@@ -1,0 +1,133 @@
+"""Tests for hashing / geocode / text kernels + the corpus synthesizer."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from zen3geo_ray.functions import geocode, hashing, text
+from zen3geo_ray.sources import corpus
+
+
+def test_knuth_hash_sql_parity():
+    import duckdb
+
+    key = np.arange(0, 5000, 37, dtype=np.int64)
+    got = hashing.knuth_hash(key)
+    expr = hashing.sql_knuth_expr("37 * i")
+    q = duckdb.sql(
+        f"SELECT {expr} AS h FROM (SELECT unnest(range(0, 136)) AS i)"
+    ).fetchnumpy()["h"]
+    assert np.array_equal(q.astype(np.int64), got[: len(q)])
+
+
+def test_fnv1a_matches_scalar():
+    vals = ["", "a", "hello world", "héllo", "x" * 1000]
+    vec = hashing.fnv1a_str_array(vals)
+    for i, v in enumerate(vals):
+        assert int(vec[i]) == hashing.fnv1a_bytes(v.encode("utf-8"))
+
+
+def test_fnv1a_known_vector():
+    # FNV-1a 64-bit of empty string is the offset basis
+    assert hashing.fnv1a_bytes(b"") == 14695981039346656037
+    # published test vector: fnv1a_64("a") = 0xaf63dc4c8601ec8c
+    assert hashing.fnv1a_bytes(b"a") == 0xAF63DC4C8601EC8C
+
+
+def test_geocode_id_sql_parity():
+    import duckdb
+
+    key = np.arange(100, dtype=np.int64) * 7 + 3
+    langs = np.array(["en", "de", "ja", "xx"], dtype=object)[key % 4]
+    lon, lat = geocode.geocode_id(key, langs)
+    lon_e, lat_e = geocode.sql_geocode_exprs("key", "lang")
+    df = duckdb.sql(
+        f"SELECT {lon_e} AS lon, {lat_e} AS lat FROM (SELECT "
+        f"unnest(range(100))*7+3 AS key, "
+        f"['en','de','ja','xx'][CAST((unnest(range(100))*7+3) % 4 AS INT) + 1] AS lang)"
+    ).fetchnumpy()
+    assert np.max(np.abs(df["lon"] - lon)) == 0.0
+    assert np.max(np.abs(df["lat"] - lat)) == 0.0
+
+
+def test_geocode_in_bounds():
+    key = np.arange(10_000, dtype=np.int64)
+    langs = np.array(["en"] * len(key), dtype=object)
+    lon, lat = geocode.geocode_id(key, langs)
+    assert lon.min() >= -180 and lon.max() <= 180
+    assert lat.min() >= -90 and lat.max() <= 90
+
+
+def test_extract_text_deterministic_and_rules():
+    html = (
+        b"<html><head><title>T</title><style>p{x}</style>"
+        b"<script>if(1<2){a=3}</script></head>"
+        b"<body><!-- c --><h1>A &amp; B</h1><p>x   y\tz</p><p>2 &lt; 3</p>"
+        b"</body></html>"
+    )
+    out = text.extract_text(html)
+    assert out == text.extract_text(html)  # deterministic
+    assert "script" not in out and "style" not in out and "<" not in out.replace("< ", "")
+    assert "A & B" in out
+    assert "x y z" in out  # whitespace collapsed
+    assert "2 < 3" in out  # entity unescape
+    assert text.extract_text(b"") == ""
+    assert text.extract_text(None) == ""
+
+
+def test_corpus_pages_deterministic_and_identity():
+    t1 = corpus.pages_table(500)
+    t2 = corpus.pages_table(500)
+    assert t1.equals(t2)
+    # byte-identity contract: text == extract_text(html) per row
+    htmls = t1.column("html").to_pylist()
+    texts = t1.column("text").to_pylist()
+    assert [text.extract_text(h) for h in htmls] == texts
+    # slicing by global index reproduces the same rows (partition-invariant)
+    sub = corpus.pages_batch(np.arange(100, 200), 500)
+    assert sub.equals(t1.slice(100, 100))
+
+
+def test_corpus_has_dups_and_skew():
+    t = corpus.pages_table(3000)
+    urls = t.column("url").to_pylist()
+    cnt = collections.Counter(urls)
+    assert sum(v > 1 for v in cnt.values()) > 10  # dup urls exist
+    hosts = geocode.url_host(urls)
+    hc = collections.Counter(hosts.tolist())
+    top = hc.most_common(1)[0][1]
+    assert top > 5 * (len(urls) / len(hc))  # hot host ≫ mean (power law)
+
+
+def test_token_count_and_quality():
+    texts = ["a b  c", "", "Hello, World!", "one"]
+    assert text.token_count(texts).tolist() == [3, 0, 2, 1]
+    q = text.quality_metrics(texts)
+    assert q["n_chars"].tolist() == [6, 0, 13, 3]
+    assert q["punct_ratio"][2] == pytest.approx(2 / 13)
+
+
+def test_detect_lang():
+    out = text.detect_lang(
+        [
+            "the cat and the dog is in that house",
+            "der Hund und die Katze ist nicht da",
+            "これは日本語のテキストです",
+            "",
+        ]
+    )
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "ja"
+    assert out[3] == "und"
+
+
+def test_rolling_fingerprint_stability():
+    fp = text.rolling_fingerprint(["hello world, how are you?"] * 2)
+    assert fp[0] == fp[1]
+    # small append keeps the min-hash fingerprint with high probability
+    fp2 = text.rolling_fingerprint(
+        ["hello world, how are you?", "hello world, how are you? ok"]
+    )
+    assert fp2[0] == fp2[1]

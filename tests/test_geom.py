@@ -1,0 +1,223 @@
+"""Unit tests for the numpy geometry kernels (no Ray needed).
+
+Golden values ported from the reference's fixtures:
+- clip bounds: /root/reference/zen3geo/tests/test_datapipes_geopandas.py:77-89
+- reprojected clip bounds (EPSG:3857 / EPSG:32631): same file :121-156
+"""
+
+import numpy as np
+import pytest
+
+from zen3geo_ray.geom import cells, clip, crs, predicates, strtree, wkb
+
+
+# --- WKB ------------------------------------------------------------------
+
+def test_wkb_roundtrip_all_types():
+    geoms = [
+        wkb.point(1.5, -2.5),
+        wkb.multipoint([(4.5, 4.5), (3.5, 1), (6, 3.5)]),
+        wkb.linestring([(3, 5), (5, 3), (3, 2), (5, 0)]),
+        wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)]),
+        wkb.box(0, 0, 2, 2),
+        {
+            "type": "MultiPolygon",
+            "coords": [wkb.box(0, 0, 1, 1)["coords"], wkb.box(2, 2, 3, 3)["coords"]],
+        },
+    ]
+    for g in geoms:
+        rt = wkb.loads(wkb.dumps(g))
+        assert rt["type"] == g["type"]
+        assert wkb.bounds(rt) == wkb.bounds(g)
+
+
+def test_wkb_polygon_autoclose():
+    g = wkb.polygon([(0, 0), (1, 0), (1, 1)])
+    ring = g["coords"][0]
+    assert np.array_equal(ring[0], ring[-1])
+    assert len(ring) == 4
+
+
+# --- clip (reference golden parity) ---------------------------------------
+
+def test_clip_golden_crs84():
+    # reference: box(0,0,2,2) clipped by raster bounds (-1.5,-0.5,1.5,1.5)
+    out = clip.clip_geom_rect(wkb.box(0, 0, 2, 2), -1.5, -0.5, 1.5, 1.5)
+    assert wkb.bounds(out) == (0.0, 0.0, 1.5, 1.5)
+    assert out["type"] == "Polygon"
+    # second chip: box(2,2,4,4) by (2.5,2.5,5.5,4.5)
+    out2 = clip.clip_geom_rect(wkb.box(2, 2, 4, 4), 2.5, 2.5, 5.5, 4.5)
+    assert wkb.bounds(out2) == (2.5, 2.5, 4.0, 4.0)
+    # disjoint geometry drops (clipped stream keeps only intersecting geoms)
+    assert clip.clip_geom_rect(wkb.box(2, 2, 4, 4), -1.5, -0.5, 1.5, 1.5) is None
+    assert clip.clip_geom_rect(wkb.box(0, 0, 2, 2), 2.5, 2.5, 5.5, 4.5) is None
+
+
+def test_clip_golden_epsg3857():
+    # reference test_datapipes_geopandas.py:121-138 — vector box(0,0,2,2)
+    # to_crs(EPSG:3857) then clipped by the reprojected raster's bounds.
+    g = crs.transform_geom(wkb.box(0, 0, 2, 2), "EPSG:3857")
+    mask = (-166979.23618991036, -55646.75541526544, 166988.3675623712, 166998.31375292226)
+    out = clip.clip_geom_rect(g, *mask)
+    b = wkb.bounds(out)
+    golden = (0.0, 0.0, 166988.3675623712, 166998.31375292226)
+    assert b == pytest.approx(golden, rel=1e-9, abs=1e-4)
+
+
+def test_clip_golden_epsg32631():
+    # reference test_datapipes_geopandas.py:140-156 — box(2,2,4,4) →
+    # EPSG:32631 vertices, clipped by the reprojected raster's bounds.
+    g = crs.transform_geom(wkb.box(2, 2, 4, 4), "EPSG:32631")
+    mask = (444414.4114896285, 276009.81064532325, 777205.5384580799, 497870.56195762416)
+    out = clip.clip_geom_rect(g, *mask)
+    b = wkb.bounds(out)
+    golden = (444414.4114896285, 276009.81064532325, 611163.137304327, 442194.9725083875)
+    assert b == pytest.approx(golden, rel=1e-9, abs=1e-3)
+
+
+def test_clip_line_and_points():
+    line = wkb.linestring([(-2, 0.5), (4, 0.5)])
+    out = clip.clip_geom_rect(line, 0, 0, 2, 2)
+    assert wkb.bounds(out) == (0.0, 0.5, 2.0, 0.5)
+    mp = wkb.multipoint([(0.5, 0.5), (9, 9)])
+    out = clip.clip_geom_rect(mp, 0, 0, 2, 2)
+    assert len(out["coords"]) == 1
+
+
+def test_clip_unsupported_type_raises():
+    gc = {"type": "GeometryCollection", "coords": [wkb.point(0, 0)]}
+    with pytest.raises(NotImplementedError, match="Unsupported geometry type"):
+        clip.clip_geom_rect(gc, 0, 0, 1, 1)
+
+
+# --- CRS ------------------------------------------------------------------
+
+def test_mercator_golden():
+    x, y = crs.lonlat_to_mercator(1.5, 1.5)
+    assert float(x) == pytest.approx(166979.23618991036, rel=1e-12)
+    assert float(y) == pytest.approx(166998.31375292226, rel=1e-9)
+    lon, lat = crs.mercator_to_lonlat(x, y)
+    assert float(lon) == pytest.approx(1.5, abs=1e-12)
+    assert float(lat) == pytest.approx(1.5, abs=1e-12)
+
+
+def test_utm_golden():
+    # corners of the reference's EPSG:32631 clip case
+    x, y = crs.lonlat_to_utm(4.0, 4.0, zone=31)
+    assert float(y) == pytest.approx(442194.9725083875, rel=1e-12)
+    x2, y2 = crs.lonlat_to_utm(2.5, 2.5, zone=31)
+    assert float(x2) == pytest.approx(444414.4114896285, rel=1e-11)
+
+
+# --- predicates -----------------------------------------------------------
+
+def test_points_in_polygon_pentagon():
+    poly = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+    px = np.array([5.5, 0.0, 5.9, 5.5])
+    py = np.array([4.0, 0.0, 1.0, 2.4])
+    got = predicates.points_in_polygon(px, py, poly["coords"])
+    assert got.tolist() == [True, False, True, True]
+
+
+def test_points_in_polygon_with_hole():
+    outer = wkb.box(0, 0, 10, 10)["coords"][0]
+    hole = wkb.box(4, 4, 6, 6)["coords"][0]
+    got = predicates.points_in_polygon(
+        np.array([5.0, 1.0]), np.array([5.0, 1.0]), [outer, hole]
+    )
+    assert got.tolist() == [False, True]
+
+
+def test_points_in_multipolygon():
+    mp = {
+        "type": "MultiPolygon",
+        "coords": [wkb.box(0, 0, 1, 1)["coords"], wkb.box(5, 5, 6, 6)["coords"]],
+    }
+    got = predicates.points_in_geom(
+        np.array([0.5, 5.5, 3.0]), np.array([0.5, 5.5, 3.0]), mp
+    )
+    assert got.tolist() == [True, True, False]
+
+
+# --- STRtree --------------------------------------------------------------
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    n = 3000
+    bx, by = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
+    w, h = rng.uniform(0, 3, n), rng.uniform(0, 3, n)
+    tree = strtree.STRtree(bx, by, bx + w, by + h)
+    qx, qy = rng.uniform(-5, 105, 500), rng.uniform(-5, 105, 500)
+    qi, ii = tree.query_boxes(qx, qy, qx + 2, qy + 2)
+    brute = (
+        (qx[:, None] <= bx[None, :] + w[None, :])
+        & (qx[:, None] + 2 >= bx[None, :])
+        & (qy[:, None] <= by[None, :] + h[None, :])
+        & (qy[:, None] + 2 >= by[None, :])
+    )
+    assert set(zip(qi.tolist(), ii.tolist())) == set(zip(*np.nonzero(brute)))
+
+
+def test_strtree_empty_and_single():
+    t = strtree.STRtree(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
+    qi, ii = t.query_points(np.array([1.0]), np.array([1.0]))
+    assert len(qi) == 0
+    t1 = strtree.STRtree(
+        np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([1.0])
+    )
+    qi, ii = t1.query_points(np.array([0.5, 5.0]), np.array([0.5, 5.0]))
+    assert qi.tolist() == [0] and ii.tolist() == [0]
+
+
+# --- cells ----------------------------------------------------------------
+
+def test_cell_roundtrip_and_parent():
+    lon = np.array([-98.0, 10.0, 179.9999, -180.0, 0.0])
+    lat = np.array([39.0, 51.0, 89.9999, -90.0, 0.0])
+    res = 10
+    c = cells.cell_of(lon, lat, res)
+    minlon, minlat, maxlon, maxlat = cells.cell_bounds(c, res)
+    assert np.all((lon >= minlon) & (lon <= maxlon))
+    assert np.all((lat >= minlat) & (lat <= maxlat))
+    p = cells.parent(c, res, 8)
+    pm = cells.cell_of(*cells.cell_center(c, res), 8)
+    assert np.array_equal(p, pm)
+    ch = cells.children(int(p[0]), 8, 10)
+    assert len(ch) == 16
+    assert c[0] in ch
+
+
+def test_k_ring():
+    c = cells.cell_of(np.array([0.0]), np.array([0.0]), 5)
+    ring = cells.k_ring(c, 5, 1)
+    assert ring.shape == (1, 9)
+    assert len(np.unique(ring)) == 9
+    # pole clamping: out-of-range rows replaced by the source cell
+    cp = cells.cell_of(np.array([0.0]), np.array([89.9]), 5)
+    ringp = np.unique(cells.k_ring(cp, 5, 1))
+    assert len(ringp) < 9
+    assert int(cp[0]) in ringp
+
+
+def test_cell_sql_parity():
+    import duckdb
+
+    lon = np.linspace(-180, 180, 101)
+    lat = np.linspace(-90, 90, 101)
+    got = cells.cell_of(lon, lat, 7)
+    expr = cells.sql_cell_expr("lon", "lat", 7)
+    q = duckdb.sql(
+        f"SELECT {expr} AS c FROM (SELECT -180 + 3.6*i AS lon, -90 + 1.8*i AS lat "
+        f"FROM (SELECT unnest(range(101)) AS i))"
+    ).fetchnumpy()["c"]
+    # identical arithmetic mod float formatting of the linspace inputs
+    lon2 = -180 + 3.6 * np.arange(101)
+    lat2 = -90 + 1.8 * np.arange(101)
+    assert np.array_equal(q.astype(np.int64), cells.cell_of(lon2, lat2, 7))
+
+
+def test_morton_locality():
+    lon = np.array([0.0, 0.01, 90.0])
+    lat = np.array([0.0, 0.01, 45.0])
+    m = cells.morton_of(lon, lat, 16)
+    assert abs(int(m[0]) - int(m[1])) < abs(int(m[0]) - int(m[2]))

@@ -1,0 +1,99 @@
+"""Deterministic hashes, SQL-replicable where the oracle needs them.
+
+Two families:
+
+* ``knuth_hash`` — multiplicative integer hash on int64 keys, reproducible
+  in DuckDB with plain arithmetic (``sql_knuth_expr``).  Used wherever the
+  correctness oracle must recompute a derived value (geocode coordinates,
+  salt buckets).
+* ``fnv1a_bytes`` / ``fnv1a_str_array`` — FNV-1a 64-bit over raw bytes,
+  vectorized over Arrow/pandas string arrays.  Used for url/content
+  fingerprints inside the engine (pytest-verified, not SQL-replicated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_KNUTH_A = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+_KNUTH_B = 2246822519  # xxhash prime2 — second independent stream
+_M32 = 4294967296      # 2^32
+
+
+def knuth_hash(key, mult: int = _KNUTH_A) -> np.ndarray:
+    """(key * mult) mod 2^32 on int64 keys, vectorized.
+
+    Exactly reproducible in SQL: ``(key * mult) % 4294967296`` (DuckDB
+    BIGINT math; key is assumed non-negative and < 2^31 so the product
+    fits in 63 bits on both sides).
+    """
+    key = np.asarray(key, dtype=np.int64)
+    return (key * mult) % _M32
+
+
+def sql_knuth_expr(key_expr: str, mult: int = _KNUTH_A) -> str:
+    return f"((({key_expr}) * {mult}) % {_M32})"
+
+
+def knuth_unit(key, mult: int = _KNUTH_A) -> np.ndarray:
+    """Uniform [0, 1) double derived from ``knuth_hash`` — SQL-replicable."""
+    return knuth_hash(key, mult).astype(np.float64) / _M32
+
+
+def sql_knuth_unit_expr(key_expr: str, mult: int = _KNUTH_A) -> str:
+    return f"(CAST({sql_knuth_expr(key_expr, mult)} AS DOUBLE) / {_M32})"
+
+
+KNUTH_A = _KNUTH_A
+KNUTH_B = _KNUTH_B
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_bytes(data: bytes) -> int:
+    """FNV-1a 64-bit of one bytes value (scalar reference implementation)."""
+    h = _FNV_OFFSET
+    with np.errstate(over="ignore"):
+        for b in data:
+            h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    return int(h)
+
+
+def fnv1a_str_array(values) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over an iterable of str/bytes.
+
+    Processes byte columns position-by-position over the whole batch so the
+    inner loop length is max(len) not sum(len); zero-padded tail positions
+    are masked out.  Orders of magnitude faster than a per-row Python loop
+    for typical url/text columns.
+    """
+    enc = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, int(_FNV_OFFSET), dtype=np.uint64)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        buf[i, : lens[i]] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            hj = (h ^ buf[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(active, hj, h)
+    return h
+
+
+def splitmix64(x) -> np.ndarray:
+    """splitmix64 finalizer — cheap avalanche for derived hash streams."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x

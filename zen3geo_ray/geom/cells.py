@@ -1,0 +1,160 @@
+"""Hierarchical lon/lat grid-cell index (H3/S2 analog), vectorized numpy.
+
+The engine's spatial key is a deterministic equirectangular grid cell id —
+the role H3/S2 cells play in the north-star design.  At resolution ``res``
+the globe is divided into ``2**(res+1)`` columns x ``2**res`` rows of
+square-in-degrees cells (cell edge = ``180 / 2**res`` degrees).  A cell id
+is the row-major index
+
+    cell = ny * 2**(res+1) + nx          (fits int64 for res <= 30)
+
+chosen over a Morton/Z-order packing because it is *expressible in plain
+SQL arithmetic* (the DuckDB correctness oracle recomputes it), while
+parent/child/k-ring remain O(1) bit/shift math.  For range partitioning a
+Morton variant is provided (``morton_of``) whose locality is better.
+
+API mirrors what the reference's pipelines need from h3-py: cell_of
+(geo_to_h3), parent/children (cell_to_parent/children), k_ring
+(grid_disk), cell_bounds / cell_center (cell_to_boundary).  zen3geo itself
+has no cell index — cells replace its per-scene iteration key
+(``/root/reference/zen3geo/datapipes/rioxarray.py:70-74``) with an explicit
+distributed partitioning key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 30
+
+
+def _grid_dims(res: int) -> tuple[int, int]:
+    """(n_cols, n_rows) of the res grid."""
+    return 2 << res, 1 << res
+
+
+def nxny_of(lon, lat, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (nx, ny) grid coordinates for lon/lat degrees.
+
+    Clamps to the valid range so lon=180 / lat=90 land in the last cell
+    (mirrors the SQL oracle: least(floor(...), n-1) with greatest(..., 0)).
+    """
+    ncols, nrows = _grid_dims(res)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    nx = np.floor((lon + 180.0) / 360.0 * ncols).astype(np.int64)
+    ny = np.floor((lat + 90.0) / 180.0 * nrows).astype(np.int64)
+    np.clip(nx, 0, ncols - 1, out=nx)
+    np.clip(ny, 0, nrows - 1, out=ny)
+    return nx, ny
+
+
+def cell_of(lon, lat, res: int) -> np.ndarray:
+    """lon/lat (degrees, vectorized) -> int64 cell id at ``res``."""
+    ncols, _ = _grid_dims(res)
+    nx, ny = nxny_of(lon, lat, res)
+    return ny * ncols + nx
+
+
+def cell_to_nxny(cell, res: int) -> tuple[np.ndarray, np.ndarray]:
+    ncols, _ = _grid_dims(res)
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell % ncols, cell // ncols
+
+
+def parent(cell, res: int, parent_res: int | None = None) -> np.ndarray:
+    """Cell id at a coarser resolution containing ``cell``."""
+    if parent_res is None:
+        parent_res = res - 1
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    shift = res - parent_res
+    nx, ny = cell_to_nxny(cell, res)
+    pcols, _ = _grid_dims(parent_res)
+    return (ny >> shift) * pcols + (nx >> shift)
+
+
+def children(cell: int, res: int, child_res: int | None = None) -> np.ndarray:
+    """All child cell ids of one cell at a finer resolution (scalar in)."""
+    if child_res is None:
+        child_res = res + 1
+    if child_res < res:
+        raise ValueError("child_res must be >= res")
+    shift = child_res - res
+    nx, ny = cell_to_nxny(np.asarray([cell]), res)
+    nx0, ny0 = int(nx[0]) << shift, int(ny[0]) << shift
+    k = 1 << shift
+    ccols, _ = _grid_dims(child_res)
+    cys, cxs = np.meshgrid(np.arange(ny0, ny0 + k), np.arange(nx0, nx0 + k), indexing="ij")
+    return (cys * ccols + cxs).ravel()
+
+
+def k_ring(cell, res: int, k: int = 1) -> np.ndarray:
+    """Grid-disk: all cells within Chebyshev distance ``k``.
+
+    Vectorized over an array of cells; returns shape ``(n, (2k+1)**2)``.
+    Longitude wraps (mod n_cols); latitude clamps at the poles, where
+    out-of-range rows are replaced by the source cell itself (callers
+    dedup per-row — matches h3's grid_disk returning fewer at edges).
+    """
+    ncols, nrows = _grid_dims(res)
+    nx, ny = cell_to_nxny(cell, res)
+    offs = np.arange(-k, k + 1)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    dx, dy = dx.ravel(), dy.ravel()
+    rx = (nx[:, None] + dx[None, :]) % ncols
+    ry = ny[:, None] + dy[None, :]
+    valid = (ry >= 0) & (ry < nrows)
+    ring = ry * ncols + rx
+    src = (ny * ncols + nx)[:, None]
+    return np.where(valid, ring, src)
+
+
+def cell_bounds(cell, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(minlon, minlat, maxlon, maxlat) degrees, vectorized."""
+    ncols, nrows = _grid_dims(res)
+    nx, ny = cell_to_nxny(cell, res)
+    w = 360.0 / ncols
+    h = 180.0 / nrows
+    minlon = nx * w - 180.0
+    minlat = ny * h - 90.0
+    return minlon, minlat, minlon + w, minlat + h
+
+
+def cell_center(cell, res: int) -> tuple[np.ndarray, np.ndarray]:
+    minlon, minlat, maxlon, maxlat = cell_bounds(cell, res)
+    return (minlon + maxlon) * 0.5, (minlat + maxlat) * 0.5
+
+
+def morton_of(lon, lat, res: int = 16) -> np.ndarray:
+    """Z-order key for range partitioning (better locality than row-major).
+
+    Interleaves ``res``-bit nx/ny (nx uses res+1 bits; its extra top bit is
+    prepended), giving a spatial sort key; not meant to be SQL-replicated.
+    """
+    nx, ny = nxny_of(lon, lat, res)
+    x = nx & ((1 << res) - 1)
+    topx = nx >> res
+    z = np.zeros_like(x)
+    for i in range(res):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((ny >> i) & 1) << (2 * i + 1)
+    return (topx << (2 * res)) | z
+
+
+def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The DuckDB SQL expression computing exactly ``cell_of``.
+
+    Keeping the oracle's cell arithmetic in one place guarantees the Ray
+    pipeline and the SQL oracle can never drift.
+    """
+    ncols, nrows = _grid_dims(res)
+    nx = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {ncols}) "
+        f"AS BIGINT), 0), {ncols - 1})"
+    )
+    ny = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {nrows}) "
+        f"AS BIGINT), 0), {nrows - 1})"
+    )
+    return f"({ny} * {ncols} + {nx})"
