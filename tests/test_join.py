@@ -1,0 +1,128 @@
+"""Broadcast STRtree join tests — point-in-polygon + rectangle-clip parity.
+
+Clip goldens from `zen3geo/tests/test_datapipes_geopandas.py:53-89`.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zen3geo_ray.geom import wkb
+from zen3geo_ray.sources.fixtures import admin_grid, polygons_table, reference_geoms
+from zen3geo_ray.stages.join import BoxClipJoin, PointInPolygonJoin, polygons_to_blob
+
+
+@pytest.fixture(scope="module")
+def boxes_blob():
+    g = reference_geoms()
+    return polygons_to_blob(polygons_table([g["box1"], g["box2"]], ["b1", "b2"]))
+
+
+def test_pip_join_inner(boxes_blob):
+    j = PointInPolygonJoin(boxes_blob, how="inner")
+    batch = pa.table(
+        {
+            "id": [0, 1, 2, 3],
+            "lon": [0.5, 2.5, 10.0, 1.0],
+            "lat": [0.5, 2.5, 10.0, 1.0],
+        }
+    )
+    out = j(batch)
+    assert out.column("id").to_pylist() == [0, 1, 3]
+    assert out.column("poly_id").to_pylist() == [0, 1, 0]
+    assert out.column("poly_name").to_pylist() == ["b1", "b2", "b1"]
+
+
+def test_pip_join_left_semi_anti(boxes_blob):
+    batch = pa.table({"id": [0, 1], "lon": [0.5, 9.0], "lat": [0.5, 9.0]})
+    left = PointInPolygonJoin(boxes_blob, how="left")(batch)
+    assert left.num_rows == 2
+    assert sorted(left.column("poly_id").to_pylist()) == [-1, 0]
+    semi = PointInPolygonJoin(boxes_blob, how="semi")(batch)
+    assert semi.column("id").to_pylist() == [0]
+    anti = PointInPolygonJoin(boxes_blob, how="anti")(batch)
+    assert anti.column("id").to_pylist() == [1]
+
+
+def test_pip_join_matches_bruteforce_admin_grid():
+    grid = admin_grid(nx=24, ny=12)
+    j = PointInPolygonJoin(polygons_to_blob(grid), how="inner")
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 2000)
+    lat = rng.uniform(-89.9, 89.9, 2000)
+    batch = pa.table({"i": np.arange(2000), "lon": lon, "lat": lat})
+    out = j(batch)
+    # every point falls in exactly one grid rectangle
+    assert out.num_rows == 2000
+    # brute-force expected polygon: floor arithmetic on the 15x15-degree grid
+    ix = np.floor((lon + 180) / 15).astype(int)
+    iy = np.floor((lat + 90) / 15).astype(int)
+    expected = iy * 24 + ix
+    got = np.empty(2000, dtype=int)
+    got[out.column("i").to_numpy()] = out.column("poly_id").to_numpy()
+    # ray-cast boundary convention can differ from floor exactly on grid
+    # lines; random draws avoid them
+    assert np.array_equal(got, expected)
+
+
+def test_box_clip_join_reference_golden(boxes_blob):
+    # raster chips from the reference test: bounds (-1.5,-0.5,1.5,1.5) and
+    # (2.5,2.5,5.5,4.5); vector = box(0,0,2,2), box(2,2,4,4)
+    chips = pa.table(
+        {
+            "chip_id": [0, 1],
+            "bminx": [-1.5, 2.5],
+            "bminy": [-0.5, 2.5],
+            "bmaxx": [1.5, 5.5],
+            "bmaxy": [1.5, 4.5],
+        }
+    )
+    out = BoxClipJoin(boxes_blob)(chips)
+    rows = out.to_pylist()
+    assert len(rows) == 2  # each chip intersects exactly one box
+    r0 = next(r for r in rows if r["chip_id"] == 0)
+    assert (r0["cminx"], r0["cminy"], r0["cmaxx"], r0["cmaxy"]) == (0.0, 0.0, 1.5, 1.5)
+    assert r0["poly_id"] == 0
+    r1 = next(r for r in rows if r["chip_id"] == 1)
+    assert (r1["cminx"], r1["cminy"], r1["cmaxx"], r1["cmaxy"]) == (2.5, 2.5, 4.0, 4.0)
+    assert r1["poly_id"] == 1
+    # clipped geometry round-trips as valid WKB polygon
+    g = wkb.loads(r0["clipped_wkb"])
+    assert g["type"] == "Polygon"
+
+
+def test_box_clip_join_empty_result(boxes_blob):
+    chips = pa.table(
+        {"chip_id": [0], "bminx": [50.0], "bminy": [50.0], "bmaxx": [51.0], "bmaxy": [51.0]}
+    )
+    out = BoxClipJoin(boxes_blob)(chips)
+    assert out.num_rows == 0
+    assert "clipped_wkb" in out.column_names
+
+
+def test_pip_join_in_ray_pipeline(ray_session):
+    import ray
+    import ray.data as rd
+
+    grid = admin_grid(nx=24, ny=12)
+    ref = ray.put(polygons_to_blob(grid))
+    rng = np.random.default_rng(5)
+    n = 10_000
+    tbl = pa.table(
+        {
+            "i": np.arange(n),
+            "lon": rng.uniform(-179.9, 179.9, n),
+            "lat": rng.uniform(-89.9, 89.9, n),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        PointInPolygonJoin,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+    assert out.count() == n
+    schema_names = out.schema().names
+    assert "poly_id" in schema_names and "poly_name" in schema_names

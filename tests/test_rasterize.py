@@ -1,0 +1,114 @@
+"""Rasterization golden-parity tests.
+
+Goldens from the reference (`zen3geo/tests/test_datapipes_datashader.py:77-104`):
+on a 14x10 canvas over x∈(1,8), y∈(0,5) the fixtures rasterize to
+sum 3 (MultiPoint, count), 13 (LineString, any), 15 (Polygon, any);
+output shape (10, 14); y-resolution -0.5 (North→South).
+"""
+
+import numpy as np
+import pytest
+
+from zen3geo_ray.geom import wkb
+from zen3geo_ray.stages import rasterize as rz
+
+CANVAS = dict(width=14, height=10, bounds=(1.0, 0.0, 8.0, 5.0))
+
+MULTIPOINT = wkb.multipoint([(4.5, 4.5), (3.5, 1), (6, 3.5)])
+LINE = wkb.linestring([(3, 5), (5, 3), (3, 2), (5, 0)])
+PENTAGON = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+
+
+@pytest.mark.parametrize(
+    ("geom", "agg", "total"),
+    [(MULTIPOINT, None, 3), (LINE, None, 13), (PENTAGON, None, 15)],
+)
+def test_rasterize_golden_sums(geom, agg, total):
+    grid, used_agg = rz.rasterize_geoms(
+        [geom], CANVAS["width"], CANVAS["height"], CANVAS["bounds"], agg=agg
+    )
+    assert grid.shape == (10, 14)
+    assert int(grid.sum()) == total
+    assert used_agg == ("count" if geom["type"] == "MultiPoint" else "any")
+
+
+def test_rasterize_y_flip_north_up():
+    # a single point near the top (y=4.9) must land in row 0 after the flip
+    grid, _ = rz.rasterize_geoms(
+        [wkb.point(4.0, 4.9)], CANVAS["width"], CANVAS["height"], CANVAS["bounds"]
+    )
+    assert grid[0].sum() == 1 and grid.sum() == 1
+    # y-resolution: (ymax-ymin)/height = 0.5, negative northward (e == -0.5)
+    assert (CANVAS["bounds"][3] - CANVAS["bounds"][1]) / CANVAS["height"] == 0.5
+
+
+def test_rasterize_edge_inclusion():
+    # points exactly on the max edges land in the last bin (datashader rule)
+    g = rz.raster_points(
+        np.array([8.0, 1.0]), np.array([5.0, 0.0]), 14, 10, CANVAS["bounds"]
+    )
+    assert g[9, 13] == 1 and g[0, 0] == 1
+
+
+def test_rasterize_point_aggs():
+    px = np.array([1.1, 1.1, 7.9])
+    py = np.array([0.1, 0.1, 4.9])
+    w = np.array([2.0, 3.0, 7.0])
+    s = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], weights=w, agg="sum")
+    assert s[0, 0] == 5.0 and s[9, 13] == 7.0
+    m = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], weights=w, agg="max")
+    assert m[0, 0] == 3.0
+    a = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], agg="any")
+    assert a.sum() == 2
+
+
+def test_rasterize_errors_match_reference():
+    # empty vector -> ValueError (reference: "Cannot infer spatialpandas
+    # geometry type", test_datapipes_datashader.py:176-194)
+    with pytest.raises(ValueError, match="Cannot infer"):
+        rz.rasterize_geoms([], 14, 10, CANVAS["bounds"])
+    # mixed / collection -> NotImplementedError ("Unsupported geometry
+    # type", test_datapipes_datashader.py:155-173)
+    with pytest.raises(NotImplementedError, match="Unsupported geometry type"):
+        rz.rasterize_geoms([MULTIPOINT, LINE], 14, 10, CANVAS["bounds"])
+
+
+def test_polygon_with_hole_fill():
+    outer = wkb.polygon([(1.5, 0.5), (7.5, 0.5), (7.5, 4.5), (1.5, 4.5)])
+    donut = {"type": "Polygon", "coords": outer["coords"] + [
+        wkb.polygon([(3, 1.5), (6, 1.5), (6, 3.5), (3, 3.5)])["coords"][0]
+    ]}
+    full, _ = rz.rasterize_geoms([outer], 14, 10, CANVAS["bounds"])
+    holed, _ = rz.rasterize_geoms([donut], 14, 10, CANVAS["bounds"])
+    assert holed.sum() < full.sum()
+    assert holed[5, 7] == 0  # center of hole empty
+
+
+def test_tile_grid_and_assign():
+    import pyarrow as pa
+
+    tiles = rz.tile_grid_table(-180, -90, 180, 90, 4, 2, 64, 64)
+    assert tiles.num_rows == 8
+    batch = pa.table({"lon": [-170.0, 170.0, 0.0], "lat": [-80.0, 80.0, 0.1]})
+    out = rz.assign_tiles(
+        batch, lon0=-180, lat0=-90, lon1=180, lat1=90, nx=4, ny=2
+    )
+    assert out.column("tile_id").to_pylist() == [0, 7, 6]
+
+
+def test_partial_histogram_matches_dense():
+    rng = np.random.default_rng(3)
+    import pyarrow as pa
+
+    lon = rng.uniform(1, 8, 5000)
+    lat = rng.uniform(0, 5, 5000)
+    specs = {0: dict(width=14, height=10, xmin=1.0, ymin=0.0, xmax=8.0, ymax=5.0)}
+    batch = pa.table({"lon": lon, "lat": lat,
+                      "tile_id": np.zeros(len(lon), dtype=np.int64)})
+    sparse = rz.partial_histogram(batch, tile_specs=specs)
+    dense = rz.raster_points(lon, lat, 14, 10, (1, 0, 8, 5))[::-1]
+    got = np.zeros((10, 14), dtype=np.int64)
+    got[sparse.column("py").to_numpy(), sparse.column("px").to_numpy()] = (
+        sparse.column("n").to_numpy()
+    )
+    assert np.array_equal(got, dense)

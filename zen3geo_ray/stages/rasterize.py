@@ -1,0 +1,368 @@
+"""Rasterization: the datashader-kernel recast (SURVEY §2 ops #9+#10).
+
+Reference semantics (``/root/reference/zen3geo/datapipes/datashader.py:28-259``):
+for each (canvas, vector) pair, dispatch on geometry type — ``canvas.points``
+/ ``canvas.line`` / ``canvas.polygons`` — with default agg ``count()`` for
+points and ``any()`` for lines/polygons (docstring :49-55), cast bool→uint8
+(:244-246), y axis flipped North→South on output (:247-253).
+
+Pixel conventions reproduced exactly (verified against the reference's
+golden sums 3/13/15 on the 14x10 canvas,
+``zen3geo/tests/test_datapipes_datashader.py:77-104``):
+
+* points: bin = floor((v-lo)/range*n), value==hi lands in the last bin;
+* lines: vertices snapped with the same floor map (clamped at hi), then
+  integer Bresenham — the polyline fixture touches exactly 13 pixels;
+* polygons: even-odd test of the integer pixel-center grid against
+  vertices scaled by (n-1)/range — the pentagon fixture fills 15 pixels.
+
+Ray shapes:
+
+* ``rasterize_tile_batches`` — per-tile canvas aggregation: points carry a
+  ``tile_id``; a ``groupby(tile_id).map_groups`` histogramming stage emits
+  one raster row per tile (dense H*W uint32 payload).
+* ``partial_histogram`` + groupby-sum — the sparse/zonal form: per-batch
+  partial (tile, py, px, count) rows pre-aggregated inside map_batches so
+  the shuffle moves per-pixel partials, not raw points (SURVEY §4.2 —
+  partial/combiner before the wide groupby).
+* ``burn_geoms_for_tiles`` — vector burning: broadcast WKB geometries
+  (ray.put once), per-tile mask rasterization in an actor pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+
+# --- numpy kernels --------------------------------------------------------
+
+
+def _bin(vals: np.ndarray, lo: float, hi: float, n: int) -> np.ndarray:
+    """Datashader point binning: floor map, hi-edge inclusive, else clip."""
+    idx = np.floor((vals - lo) / (hi - lo) * n).astype(np.int64)
+    idx[vals == hi] = n - 1
+    return idx
+
+
+def raster_points(
+    px,
+    py,
+    width: int,
+    height: int,
+    bounds: tuple[float, float, float, float],
+    weights=None,
+    agg: str = "count",
+) -> np.ndarray:
+    """Histogram points into a (height, width) grid, row 0 = SOUTH.
+
+    agg: 'count' | 'sum' | 'max' | 'min' | 'any' (sum/max/min need weights).
+    Out-of-range points are dropped (datashader behavior).
+    """
+    x0, y0, x1, y1 = bounds
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    keep = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+    ix = _bin(px[keep], x0, x1, width)
+    iy = _bin(py[keep], y0, y1, height)
+    flat = iy * width + ix
+    if agg == "count":
+        out = np.bincount(flat, minlength=width * height).astype(np.uint32)
+        return out.reshape(height, width)
+    if agg == "any":
+        out = np.zeros(width * height, dtype=np.uint8)
+        out[flat] = 1
+        return out.reshape(height, width)
+    w = np.asarray(weights, dtype=np.float64)[keep]
+    if agg == "sum":
+        out = np.bincount(flat, weights=w, minlength=width * height)
+        return out.reshape(height, width)
+    if agg in ("max", "min"):
+        fill = -np.inf if agg == "max" else np.inf
+        out = np.full(width * height, fill)
+        ufunc = np.maximum if agg == "max" else np.minimum
+        ufunc.at(out, flat, w)
+        out[~np.isfinite(out)] = np.nan
+        return out.reshape(height, width)
+    raise ValueError(f"unknown agg {agg!r}")
+
+
+def _snap_line(coords: np.ndarray, width, height, bounds) -> np.ndarray:
+    x0, y0, x1, y1 = bounds
+    sx = width / (x1 - x0)
+    sy = height / (y1 - y0)
+    xx = ((np.asarray(coords)[:, 0] - x0) * sx).astype(np.int64)
+    yy = ((np.asarray(coords)[:, 1] - y0) * sy).astype(np.int64)
+    xx[xx == width] = width - 1
+    yy[yy == height] = height - 1
+    return np.stack([xx, yy], axis=1)
+
+
+def _bresenham_mask(snapped: np.ndarray, width: int, height: int, out: np.ndarray):
+    """Mark Bresenham pixels of a snapped integer polyline into ``out``."""
+    for k in range(len(snapped) - 1):
+        x, y = int(snapped[k, 0]), int(snapped[k, 1])
+        x1, y1 = int(snapped[k + 1, 0]), int(snapped[k + 1, 1])
+        dx, dy = abs(x1 - x), abs(y1 - y)
+        sx = 1 if x1 > x else -1
+        sy = 1 if y1 > y else -1
+        err = dx - dy
+        while True:
+            if 0 <= x < width and 0 <= y < height:
+                out[y, x] = 1
+            if x == x1 and y == y1:
+                break
+            e2 = 2 * err
+            if e2 > -dy:
+                err -= dy
+                x += sx
+            if e2 < dx:
+                err += dx
+                y += sy
+
+
+def raster_lines(lines, width: int, height: int, bounds) -> np.ndarray:
+    """any()-rasterize polylines; row 0 = SOUTH."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    for coords in lines:
+        _bresenham_mask(_snap_line(coords, width, height, bounds), width, height, out)
+    return out
+
+
+def raster_polygons(polys, width: int, height: int, bounds) -> np.ndarray:
+    """any()-fill polygons (list of rings-lists); row 0 = SOUTH.
+
+    Even-odd scanline over the integer pixel grid with vertices scaled by
+    (n-1)/range — the exact-parity convention for the golden sum 15.
+    """
+    x0, y0, x1, y1 = bounds
+    sx = (width - 1) / (x1 - x0)
+    sy = (height - 1) / (y1 - y0)
+    out = np.zeros((height, width), dtype=np.uint8)
+    gx = np.arange(width, dtype=np.float64)
+    for rings in polys:
+        inside = None
+        for ri, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            vx = (r[:, 0] - x0) * sx
+            vy = (r[:, 1] - y0) * sy
+            # vectorized even-odd: crossings per (row, edge)
+            x1e, y1e = vx[:-1], vy[:-1]
+            x2e, y2e = vx[1:], vy[1:]
+            rows = np.arange(height, dtype=np.float64)[:, None]
+            straddle = (y1e > rows) != (y2e > rows)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2e - x1e) * (rows - y1e) / (y2e - y1e) + x1e
+            # per row: pixel col c inside iff #crossings right of c is odd
+            m = np.zeros((height, width), dtype=bool)
+            for j in range(height):
+                xs = xint[j][straddle[j]]
+                if len(xs) == 0:
+                    continue
+                cnt = (gx[:, None] < xs[None, :]).sum(axis=1)
+                m[j] = cnt % 2 == 1
+            inside = m if ri == 0 else (inside & ~m)
+        out |= inside.astype(np.uint8)
+    return out
+
+
+def rasterize_geoms(
+    geoms: list[dict], width: int, height: int, bounds, agg: str | None = None
+) -> tuple[np.ndarray, str]:
+    """Reference dispatch: geometry dtype -> points/line/polygons kernel.
+
+    Returns (grid row0=NORTH — the reference's North→South flip
+    ``datashader.py:247-253`` — , agg used).  Mixed Point/Line/Polygon
+    inputs are unsupported exactly like the reference
+    (``datashader.py:229-242`` raises on GeometryCollection).
+    """
+    if not geoms:
+        raise ValueError("Cannot infer spatialpandas geometry type from empty vector")
+    types = {g["type"].replace("Multi", "") for g in geoms}
+    if len(types) > 1 or not types <= {"Point", "LineString", "Polygon"}:
+        raise NotImplementedError(f"Unsupported geometry type(s) {types}")
+    gtype = types.pop()
+    if gtype == "Point":
+        agg = agg or "count"
+        pts = np.concatenate([np.asarray(g["coords"]).reshape(-1, 2) for g in geoms])
+        grid = raster_points(pts[:, 0], pts[:, 1], width, height, bounds, agg=agg)
+    elif gtype == "LineString":
+        agg = agg or "any"
+        lines = []
+        for g in geoms:
+            lines.extend(g["coords"] if g["type"] == "MultiLineString" else [g["coords"]])
+        grid = raster_lines(lines, width, height, bounds)
+    else:
+        agg = agg or "any"
+        polys = []
+        for g in geoms:
+            polys.extend(g["coords"] if g["type"] == "MultiPolygon" else [g["coords"]])
+        grid = raster_polygons(polys, width, height, bounds)
+    return grid[::-1], agg  # flip: row 0 = North
+
+
+# --- Ray Data stages ------------------------------------------------------
+
+
+def tile_grid_table(
+    lon0: float, lat0: float, lon1: float, lat1: float,
+    nx: int, ny: int, width: int, height: int, crs: str = "OGC:CRS84",
+) -> pa.Table:
+    """Generate a tile-spec table covering a bbox (the engine's canvases
+    are *generated* grid specs, not extracted — SURVEY §2 #9)."""
+    tw = (lon1 - lon0) / nx
+    th = (lat1 - lat0) / ny
+    tid, xs, ys = [], [], []
+    for j in range(ny):
+        for i in range(nx):
+            tid.append(j * nx + i)
+            xs.append(lon0 + i * tw)
+            ys.append(lat0 + j * th)
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    return pa.table(
+        {
+            "tile_id": pa.array(tid, pa.int64()),
+            "width": pa.array([width] * len(tid), pa.int32()),
+            "height": pa.array([height] * len(tid), pa.int32()),
+            "xmin": xs,
+            "ymin": ys,
+            "xmax": xs + tw,
+            "ymax": ys + th,
+            "crs": pa.array([crs] * len(tid)),
+        }
+    )
+
+
+def assign_tiles(batch: pa.Table, *, lon0, lat0, lon1, lat1, nx, ny,
+                 lon_col="lon", lat_col="lat") -> pa.Table:
+    """map_batches fn: add ``tile_id`` for a regular tile grid (arithmetic,
+    no lookup — the grid IS the partitioning function)."""
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    ix = np.clip(np.floor((lon - lon0) / (lon1 - lon0) * nx), 0, nx - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat - lat0) / (lat1 - lat0) * ny), 0, ny - 1).astype(np.int64)
+    inb = (lon >= lon0) & (lon <= lon1) & (lat >= lat0) & (lat <= lat1)
+    tile = np.where(inb, iy * nx + ix, -1)
+    return batch.append_column("tile_id", pa.array(tile, pa.int64()))
+
+
+class TileRasterizer:
+    """Actor-pool map_groups fn: one group (all points of one tile) ->
+    one raster row.  Tile specs are broadcast via ray.put in the caller
+    and fetched once per actor here (never re-shipped per batch)."""
+
+    def __init__(self, tile_specs_ref=None, tile_specs: pa.Table | None = None,
+                 agg: str = "count"):
+        if tile_specs is None:
+            import ray
+
+            tile_specs = ray.get(tile_specs_ref)
+        self.specs = {
+            int(r["tile_id"]): r for r in tile_specs.to_pylist()
+        }
+        self.agg = agg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        tid = int(group.column("tile_id")[0].as_py())
+        spec = self.specs[tid]
+        grid = raster_points(
+            group.column("lon").to_numpy(zero_copy_only=False),
+            group.column("lat").to_numpy(zero_copy_only=False),
+            spec["width"],
+            spec["height"],
+            (spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"]),
+            agg=self.agg,
+        )[::-1]  # row 0 = North
+        return pa.table(
+            {
+                "tile_id": pa.array([tid], pa.int64()),
+                "height": pa.array([grid.shape[0]], pa.int32()),
+                "width": pa.array([grid.shape[1]], pa.int32()),
+                "data": pa.array([grid.ravel().astype(np.uint32)],
+                                 pa.list_(pa.uint32())),
+            }
+        )
+
+
+def partial_histogram(batch: pa.Table, *, tile_specs: dict,
+                      lon_col="lon", lat_col="lat") -> pa.Table:
+    """map_batches fn: sparse per-batch partial counts (tile_id, py, px, n).
+
+    The scale path: the downstream ``groupby(['tile_id','py','px']).sum('n')``
+    moves pre-aggregated pixel partials instead of raw points, so the
+    shuffle volume is bounded by touched-pixels x batches, not rows.
+    """
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    tids = batch.column("tile_id").to_numpy(zero_copy_only=False)
+    out_t, out_y, out_x, out_n = [], [], [], []
+    for tid in np.unique(tids):
+        if tid < 0 or int(tid) not in tile_specs:
+            continue
+        spec = tile_specs[int(tid)]
+        sel = tids == tid
+        W, H = spec["width"], spec["height"]
+        ix = _bin(lon[sel], spec["xmin"], spec["xmax"], W)
+        iy = _bin(lat[sel], spec["ymin"], spec["ymax"], H)
+        flat, counts = np.unique(iy * W + ix, return_counts=True)
+        out_t.append(np.full(len(flat), tid, dtype=np.int64))
+        # row 0 = North: py = H-1-iy
+        out_y.append((H - 1 - flat // W).astype(np.int64))
+        out_x.append((flat % W).astype(np.int64))
+        out_n.append(counts.astype(np.int64))
+    if not out_t:
+        return pa.table({"tile_id": pa.array([], pa.int64()),
+                         "py": pa.array([], pa.int64()),
+                         "px": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    return pa.table({"tile_id": np.concatenate(out_t),
+                     "py": np.concatenate(out_y),
+                     "px": np.concatenate(out_x),
+                     "n": np.concatenate(out_n)})
+
+
+class GeomBurner:
+    """Actor: burn broadcast WKB geometries into each tile's grid
+    (rectangle-clip prefilter via bbox, then the exact kernels)."""
+
+    def __init__(self, wkb_ref, agg: str | None = None):
+        import ray
+
+        blobs = ray.get(wkb_ref)
+        self.geoms = [wkb.loads(b) for b in blobs]
+        self.bounds = [wkb.bounds(g) for g in self.geoms]
+        self.agg = agg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out_rows = {k: [] for k in ("tile_id", "height", "width", "data", "agg")}
+        for r in rows:
+            bb = (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+            geoms = [
+                g
+                for g, (gx0, gy0, gx1, gy1) in zip(self.geoms, self.bounds)
+                if gx0 <= bb[2] and gx1 >= bb[0] and gy0 <= bb[3] and gy1 >= bb[1]
+            ]
+            if not geoms:
+                grid = np.zeros((r["height"], r["width"]), dtype=np.uint32)
+                agg = self.agg or "count"
+            else:
+                grid, agg = rasterize_geoms(
+                    geoms, r["width"], r["height"], bb, agg=self.agg
+                )
+            out_rows["tile_id"].append(r["tile_id"])
+            out_rows["height"].append(r["height"])
+            out_rows["width"].append(r["width"])
+            out_rows["data"].append(grid.ravel().astype(np.uint32))
+            out_rows["agg"].append(agg)
+        return pa.table(
+            {
+                "tile_id": pa.array(out_rows["tile_id"], pa.int64()),
+                "height": pa.array(out_rows["height"], pa.int32()),
+                "width": pa.array(out_rows["width"], pa.int32()),
+                "data": pa.array(out_rows["data"], pa.list_(pa.uint32())),
+                "agg": pa.array(out_rows["agg"]),
+            }
+        )
