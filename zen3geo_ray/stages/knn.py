@@ -1,0 +1,134 @@
+"""k-ring kNN over the cell index (north-star operator; no reference analog).
+
+Pattern (SURVEY §2.3 joins): expand each query point's k-ring of grid
+cells → broadcast the (cell → query) lookup → equi-join point batches on
+their ``cell`` column (vectorized searchsorted, no shuffle) → haversine
+distance → per-batch partial top-k → tiny final top-k per query.
+
+At 100 TB the expensive side (the corpus) is never shuffled: each block
+emits at most |queries| x k candidate rows, and only those move.  The
+ring resolution bounds the search radius; callers pick (res, ring_k) so
+the ring covers the kNN radius for their data density, or iterate with a
+growing ring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import cells
+
+EARTH_R_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2)
+    )
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_R_KM * np.arcsin(np.sqrt(h))
+
+
+def build_ring_lookup(
+    q_lon, q_lat, res: int, ring_k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted ring cells, matching query idx) — the broadcast side."""
+    q_lon = np.asarray(q_lon, dtype=np.float64)
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    qc = cells.cell_of(q_lon, q_lat, res)
+    rings = cells.k_ring(qc, res, ring_k)  # (Q, (2k+1)^2)
+    qidx = np.repeat(np.arange(len(q_lon)), rings.shape[1])
+    flat = rings.ravel()
+    # dedup (cell, query) pairs (pole clamping can repeat the source cell)
+    pairs = np.unique(np.stack([flat, qidx], axis=1), axis=0)
+    order = np.argsort(pairs[:, 0], kind="stable")
+    return pairs[order, 0], pairs[order, 1]
+
+
+class KRingKNN:
+    """Actor-pool map_batches fn emitting per-batch candidate top-k rows.
+
+    Output columns: query_id, dist_km + ``keep_cols`` of the matched
+    point.  Finalize with ``finalize_topk`` (a tiny groupby over
+    ~#queries x k x #blocks rows).
+    """
+
+    def __init__(self, queries_ref_or_blob, res: int, ring_k: int, k: int,
+                 keep_cols: list[str] | None = None,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 cell_col: str = "cell"):
+        blob = queries_ref_or_blob
+        try:
+            import ray
+
+            if isinstance(blob, ray.ObjectRef):
+                blob = ray.get(blob)
+        except (ImportError, TypeError):
+            pass
+        self.q_id = np.asarray(blob["query_id"], dtype=np.int64)
+        self.q_lon = np.asarray(blob["lon"], dtype=np.float64)
+        self.q_lat = np.asarray(blob["lat"], dtype=np.float64)
+        self.res = res
+        self.k = k
+        self.ring_cells, self.ring_q = build_ring_lookup(
+            self.q_lon, self.q_lat, res, ring_k
+        )
+        self.keep_cols = keep_cols
+        self.lon_col, self.lat_col, self.cell_col = lon_col, lat_col, cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell = batch.column(self.cell_col).to_numpy(zero_copy_only=False)
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        # equi-join batch cells against the sorted ring-cell table
+        lo = np.searchsorted(self.ring_cells, cell, side="left")
+        hi = np.searchsorted(self.ring_cells, cell, side="right")
+        nmatch = hi - lo
+        rows = np.repeat(np.arange(len(cell)), nmatch)
+        if len(rows) == 0:
+            return self._empty(batch)
+        # vectorized pair expansion: position within each match run
+        run_off = np.arange(len(rows)) - np.repeat(
+            np.cumsum(nmatch) - nmatch, nmatch
+        )
+        ring_pos = np.repeat(lo, nmatch) + run_off
+        qsel = self.ring_q[ring_pos]
+        d = haversine_km(
+            self.q_lon[qsel], self.q_lat[qsel], lon[rows], lat[rows]
+        )
+        # partial top-k per query within the batch
+        order = np.lexsort((d, qsel))
+        qsel_s, rows_s, d_s = qsel[order], rows[order], d[order]
+        # rank within query run
+        newq = np.concatenate([[True], qsel_s[1:] != qsel_s[:-1]])
+        run_start = np.maximum.accumulate(np.where(newq, np.arange(len(qsel_s)), 0))
+        rank = np.arange(len(qsel_s)) - run_start
+        keep = rank < self.k
+        keep_cols = self.keep_cols or batch.column_names
+        out = batch.select(keep_cols).take(pa.array(rows_s[keep]))
+        out = out.append_column("query_id", pa.array(self.q_id[qsel_s[keep]], pa.int64()))
+        out = out.append_column("dist_km", pa.array(d_s[keep], pa.float64()))
+        return out
+
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        keep_cols = self.keep_cols or batch.column_names
+        out = batch.select(keep_cols).slice(0, 0)
+        out = out.append_column("query_id", pa.array([], pa.int64()))
+        out = out.append_column("dist_km", pa.array([], pa.float64()))
+        return out
+
+
+def finalize_topk(ds, k: int, by: str = "query_id", metric: str = "dist_km",
+                  ascending: bool = True):
+    """Final per-query top-k over the partial candidates (small shuffle)."""
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(metric, ascending=ascending, kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return ds.groupby(by).map_groups(topk, batch_format="pandas")

@@ -1,0 +1,106 @@
+"""Zonal statistics: partial→final grouped aggregation (SURVEY op #10b).
+
+A bare ``groupby(cell).aggregate(...)`` shuffles every row; with the
+URL-geography power law, hot cells would also skew the reduce.  The scale
+pattern here is **combiner first**: each ``map_batches`` call pre-reduces
+its batch to one row per (key) — associative partials (count/sum/min/max;
+mean = sum+count) — so the shuffle moves ≤ |keys| x |blocks| partial rows
+and per-key skew is bounded by the block count, not the row count.
+Salting is therefore unnecessary for associative aggs; for the
+order-sensitive first-valid reduce see stages/stack.py (sort key carried
+through the partial).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+_SUPPORTED = ("count", "sum", "min", "max", "mean")
+
+
+def partial_zonal(batch: pa.Table, *, keys: list[str],
+                  values: dict[str, list[str]]) -> pa.Table:
+    """Within-batch combiner: one row per key combo with partial columns
+    ``{col}_psum/_pmin/_pmax`` and ``_pcount``.
+
+    values: {column: [aggs...]} with aggs ⊆ {count,sum,min,max,mean}.
+    """
+    need: set[tuple[str, str]] = set()
+    for col, aggs in values.items():
+        for a in aggs:
+            if a not in _SUPPORTED:
+                raise ValueError(f"unsupported agg {a}")
+            if a in ("sum", "mean"):
+                need.add((col, "sum"))
+            elif a in ("min", "max"):
+                need.add((col, a))
+    gb = batch.group_by(keys)
+    specs = [(keys[0], "count")] + [(c, a) for c, a in sorted(need)]
+    out = gb.aggregate(specs)
+    # normalize names: pyarrow emits "{col}_{agg}"
+    rename = {f"{keys[0]}_count": "_pcount"}
+    for c, a in need:
+        rename[f"{c}_{a}"] = f"{c}_p{a}"
+    return out.rename_columns(
+        [rename.get(n, n) for n in out.column_names]
+    )
+
+
+def zonal_aggregate(ds, keys: list[str], values: dict[str, list[str]],
+                    batch_size: int | None = None):
+    """Full partial→final zonal aggregate.
+
+    Returns a Dataset with one row per key combo and columns named
+    ``{col}_{agg}`` plus ``n`` (row count) — names match what the SQL
+    oracle produces.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = ds.map_batches(
+        lambda b: partial_zonal(b, keys=keys, values=values),
+        batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
+    )
+    final_aggs = [Sum("_pcount", alias_name="n")]
+    for col, aggs in sorted(values.items()):
+        for a in aggs:
+            if a in ("sum", "mean"):
+                pname = f"{col}_psum"
+            else:
+                pname = f"{col}_p{a}"
+            if a == "sum":
+                final_aggs.append(Sum(pname, alias_name=f"{col}_sum"))
+            elif a == "min":
+                final_aggs.append(Min(pname, alias_name=f"{col}_min"))
+            elif a == "max":
+                final_aggs.append(Max(pname, alias_name=f"{col}_max"))
+            elif a == "mean":
+                final_aggs.append(Sum(pname, alias_name=f"_{col}_sum_for_mean"))
+    out = partial.groupby(keys).aggregate(*final_aggs)
+
+    mean_cols = [c for c, aggs in values.items() if "mean" in aggs]
+    if mean_cols:
+        def add_means(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for c in mean_cols:
+                t = t.append_column(
+                    f"{c}_mean",
+                    pc.divide(
+                        pc.cast(t.column(f"_{c}_sum_for_mean"), pa.float64()),
+                        pc.cast(t.column("n"), pa.float64()),
+                    ),
+                )
+            return t.drop_columns([f"_{c}_sum_for_mean" for c in mean_cols])
+
+        out = out.map_batches(add_means, batch_format="pyarrow")
+    return out
+
+
+def topk_cells(ds, keys: list[str], k: int, by: str = "n"):
+    """Hottest-cells top-k: count per key (partial→final) then a tiny
+    sort+limit (SURVEY §2.3 sorts: groupby.count → sort desc → limit)."""
+    counted = zonal_aggregate(ds, keys, {})
+    return counted.sort(by, descending=True).limit(k)
