@@ -1,0 +1,133 @@
+"""End-to-end walkthrough-pipeline, lineage, and multimodal tests."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray.geom import wkb
+from zen3geo_ray.pipelines import walkthroughs as wt
+from zen3geo_ray.sources.corpus import pages_table
+from zen3geo_ray.sources.fixtures import polygons_table, scenes_table
+from zen3geo_ray.stages import multimodal as mm
+from zen3geo_ray.state import lineage
+
+
+def test_segmentation_pipeline_end_to_end(ray_session):
+    pages = pages_table(400)
+    points, rasters = wt.segmentation_pipeline(
+        rd.from_arrow(pages), res=8, tile_nx=12, tile_ny=6, tile_px=32
+    )
+    pts = points.to_pandas()
+    assert len(pts) == 400  # admin grid covers the globe -> every point joins
+    assert {"poly_id", "tile_id", "cell", "lon", "lat"} <= set(pts.columns)
+    ras = rasters.to_pandas()
+    assert ras["tile_id"].is_unique
+    # mass conservation: every point lands in exactly one tile pixel
+    assert sum(np.sum(d) for d in ras["data"]) == 400
+    assert (ras["height"] == 32).all() and (ras["width"] == 32).all()
+
+
+def test_detection_pipeline_reference_semantics(ray_session):
+    # one 256x256 scene at origin (10, 50), 0.25 deg pixels, 128px chips
+    scenes = scenes_table([(0, 256, 256, 3, 1.0)])
+    # a polygon inside chip (0,0): chip bounds lon [10,42], lat [18,50]
+    poly = wkb.box(12.0, 40.0, 20.0, 46.0)
+    out = wt.detection_pipeline(
+        rd.from_arrow(scenes),
+        polygons_table([poly], ["bldg"]),
+        scene_transforms={0: (10.0, 50.0, 0.25)},
+        chip_h=128,
+        chip_w=128,
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.chip_y, r.chip_x) == (0, 0)
+    # geographic clip = the polygon itself (fully inside)
+    assert (r.cminx, r.cminy, r.cmaxx, r.cmaxy) == (12.0, 40.0, 20.0, 46.0)
+    # image coords: x = (gx-left)/res, y = (top-gy)/res (y flipped)
+    assert r.x1 == pytest.approx((12.0 - 10.0) / 0.25)
+    assert r.y1 == pytest.approx((50.0 - 46.0) / 0.25)
+    assert r.x2 == pytest.approx((20.0 - 10.0) / 0.25)
+    assert r.y2 == pytest.approx((50.0 - 40.0) / 0.25)
+    assert r.x2 > r.x1 and r.y2 > r.y1  # reference asserts these
+
+
+def test_detection_pipeline_chip_straddle(ray_session):
+    scenes = scenes_table([(0, 256, 256, 1, 1.0)])
+    # polygon straddling chips (0,0) and (0,1): lon range crosses 42
+    poly = wkb.box(40.0, 40.0, 44.0, 44.0)
+    out = wt.detection_pipeline(
+        rd.from_arrow(scenes),
+        polygons_table([poly]),
+        scene_transforms={0: (10.0, 50.0, 0.25)},
+        chip_h=128,
+        chip_w=128,
+    ).to_pandas()
+    assert len(out) == 2
+    # each chip keeps its clipped share; x-bounds butt at the chip edge 42
+    a = out.sort_values("chip_x").reset_index(drop=True)
+    assert a.loc[0, "cmaxx"] == 42.0 and a.loc[1, "cminx"] == 42.0
+
+
+def test_resumable_write_and_resume(ray_session, tmp_path):
+    out_dir = str(tmp_path / "out")
+    tbl = pa.table({"part": [1, 1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    m1 = lineage.resumable_write(rd.from_arrow(tbl), out_dir, "part").to_pandas()
+    assert sorted(m1["partition"]) == [1, 2, 3]
+    assert lineage.completed_partitions(out_dir) == {1, 2, 3}
+    back = lineage.read_partitioned(out_dir).to_pandas()
+    assert len(back) == 5 and back["v"].sum() == 15.0
+    # resume: everything complete -> nothing rewritten
+    m2 = lineage.resumable_write(rd.from_arrow(tbl), out_dir, "part").to_pandas()
+    assert len(m2) == 0
+    # partial resume: drop partition 2's manifest -> only 2 rewritten
+    os.remove(os.path.join(out_dir, "_manifest", "2.json"))
+    m3 = lineage.resumable_write(rd.from_arrow(tbl), out_dir, "part").to_pandas()
+    assert m3["partition"].tolist() == [2]
+    manifest = lineage.load_manifest(out_dir)
+    assert set(manifest.columns) >= {"partition", "rows", "content_hash", "wall_s"}
+
+
+def test_multimodal_plumbing(ray_session):
+    payloads = [f"payload-{i}".encode() for i in range(20)]
+    tbl = pa.table(
+        {"item_id": list(range(20)), "payload": pa.array(payloads, pa.binary()),
+         "frame_idx": list(range(20))}
+    )
+    ds = rd.from_arrow(tbl)
+    sampled = ds.map_batches(
+        lambda b: mm.frame_sample(b, every_n=4), batch_format="pyarrow"
+    )
+    decoded = sampled.map_batches(
+        mm.ImageDecoder,
+        fn_constructor_kwargs={"mode": "fake", "out_h": 8, "out_w": 8},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    resized = decoded.map_batches(
+        lambda b: mm.resize_nearest(b, out_h=4, out_w=4), batch_format="pyarrow"
+    )
+    feat = resized.map_batches(mm.image_features, batch_format="pyarrow")
+    out = feat.to_pandas()
+    assert len(out) == 5  # every 4th frame
+    assert len(out["image"].iloc[0]) == 4 * 4 * 3
+    assert len(out["features"].iloc[0]) == 6
+    # determinism: same payload -> same tensor
+    d2 = rd.from_arrow(tbl).map_batches(
+        lambda b: mm.frame_sample(b, every_n=4), batch_format="pyarrow"
+    ).map_batches(
+        mm.ImageDecoder,
+        fn_constructor_kwargs={"mode": "fake", "out_h": 8, "out_w": 8},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    i0 = out.sort_values("item_id")["item_id"].iloc[0]
+
+
+def test_image_decoder_real_mode_stubbed():
+    with pytest.raises(NotImplementedError, match="not available"):
+        mm.ImageDecoder(mode="real")

@@ -1,0 +1,112 @@
+"""Multimodal binary-column stages (decode stubs with real Ray plumbing).
+
+Images/audio/video travel as opaque ``binary`` columns with typed
+metadata columns.  The decode libraries (Pillow/ffmpeg/soundfile) are NOT
+in this container, so the actual codecs are stubbed behind
+``NotImplementedError``; the Ray-side plumbing — actor signature, schema,
+batch sizing, output layout — is real and tested via the deterministic
+fake decoder (a pure function of the payload bytes), exactly as the
+round brief instructs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a_str_array, splitmix64
+
+
+class ImageDecoder:
+    """Actor-pool map_batches fn: binary payload -> HxWxC uint8 tensor col.
+
+    mode='real' requires an imaging library (not available here) and
+    raises NotImplementedError; mode='fake' derives a deterministic
+    (h, w, 3) tensor from the payload hash — schema/layout identical to
+    what a real decoder would produce, so downstream stages are testable.
+    """
+
+    def __init__(self, mode: str = "fake", out_h: int = 16, out_w: int = 16,
+                 payload_col: str = "payload"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        if mode == "real":
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "use mode='fake' for plumbing tests"
+            )
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        h = fnv1a_str_array(payloads)
+        n = len(payloads)
+        size = self.out_h * self.out_w * 3
+        # deterministic pseudo-pixels: splitmix64 stream per row
+        data = np.empty((n, size), dtype=np.uint8)
+        for i in range(n):
+            stream = splitmix64(
+                np.arange(size // 8 + 1, dtype=np.uint64) + h[i]
+            ).view(np.uint8)[:size]
+            data[i] = stream
+        tensor = pa.FixedSizeListArray.from_arrays(
+            pa.array(data.reshape(-1), pa.uint8()), size
+        )
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("image", tensor)
+            .append_column("img_h", pa.array([self.out_h] * n, pa.int32()))
+            .append_column("img_w", pa.array([self.out_w] * n, pa.int32()))
+        )
+
+
+def resize_nearest(batch: pa.Table, *, out_h: int, out_w: int) -> pa.Table:
+    """Vectorized nearest-neighbor resize of the decoded tensor column."""
+    img = batch.column("image")
+    if isinstance(img, pa.ChunkedArray):
+        img = img.combine_chunks()
+    h = batch.column("img_h")[0].as_py()
+    w = batch.column("img_w")[0].as_py()
+    n = len(img)
+    arr = img.flatten().to_numpy(zero_copy_only=False).reshape(n, h, w, 3)
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    resized = arr[:, yi][:, :, xi]
+    out = pa.FixedSizeListArray.from_arrays(
+        pa.array(resized.reshape(-1), pa.uint8()), out_h * out_w * 3
+    )
+    n_arr = len(batch)
+    return (
+        batch.drop_columns(["image", "img_h", "img_w"])
+        .append_column("image", out)
+        .append_column("img_h", pa.array([out_h] * n_arr, pa.int32()))
+        .append_column("img_w", pa.array([out_w] * n_arr, pa.int32()))
+    )
+
+
+def frame_sample(batch: pa.Table, *, every_n: int,
+                 frame_col: str = "frame_idx") -> pa.Table:
+    """Deterministic frame sampling for video-frame rows (keep every Nth)."""
+    idx = batch.column(frame_col).to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(idx % every_n == 0))
+
+
+def image_features(batch: pa.Table) -> pa.Table:
+    """Cheap vectorized features from the tensor column (mean/std per
+    channel) — the stand-in for a real embedding model stage."""
+    img = batch.column("image")
+    if isinstance(img, pa.ChunkedArray):
+        img = img.combine_chunks()
+    h = batch.column("img_h")[0].as_py()
+    w = batch.column("img_w")[0].as_py()
+    n = len(img)
+    arr = img.flatten().to_numpy(zero_copy_only=False).reshape(n, h, w, 3)
+    mean = arr.mean(axis=(1, 2)).astype(np.float32)  # (n, 3)
+    std = arr.std(axis=(1, 2)).astype(np.float32)
+    feat = np.concatenate([mean, std], axis=1)
+    return batch.append_column(
+        "features",
+        pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 6),
+    )
