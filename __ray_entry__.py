@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship geospatial pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column names,
+mirrored arithmetic).  Ray is initialised by the driver BEFORE this
+module is imported — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +13,27 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents -> geocode -> broadcast admin PIP join
+    -> per-cell zonal stats (count + n_chars sum)."""
+    from zen3geo_ray.pipelines import queries as q
+    from zen3geo_ray.stages import zonal
+
+    joined = q.q_pip_admin(SF_SMOKE)
+    # zonal reduce over the join output: docs per admin polygon
+    return zonal.zonal_aggregate(joined, ["poly_id"], {})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from zen3geo_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zen3geo_ray.pipelines import queries as q
+
+    return q.build_oracles()

@@ -1,0 +1,627 @@
+"""Driver-verified query suite: one entry per operator (SURVEY.md §2).
+
+Each ``q_*`` takes ``sf_dir`` (a directory of testdata parquet tables) and
+returns a lazy ``ray.data.Dataset``; ``ORACLES`` holds the matching
+ANSI-SQL (DuckDB) statement computing the identical result over the same
+tables.  Column names AND value arithmetic are mirrored exactly — float
+expressions are written with the same operation order on both sides so
+IEEE doubles match bit-for-bit; aggregates restricted to exact cases
+(integer sums, whole-number doubles, passthrough values).
+
+NO ray.init here — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import text as textfn
+from ..functions.geocode import geocode_id, sql_geocode_exprs
+from ..geom import cells
+from ..stages import ann, dedup, knn, rasterize as rz, stack, zonal
+from ..stages.join import PointInPolygonJoin, polygons_to_blob
+from ..sources.fixtures import admin_grid
+
+RES_ZONAL = 6
+RES_KNN = 5
+KNN_RING = 2
+KNN_K = 5
+ADMIN_NX, ADMIN_NY = 24, 12
+TILE_NX, TILE_NY, TILE_PX = 8, 4, 16
+
+KNN_QUERIES = [(0, -98.0, 39.0), (1, 10.0, 51.0), (2, 138.0, 36.0)]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- geocode (SURVEY §2.3 per-record maps: lang/url -> lon/lat -> cell) ---
+
+
+def geocode_docs_batch(batch: pa.Table, res: int = RES_ZONAL) -> pa.Table:
+    key = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    langs = batch.column("lang").to_pylist()
+    lon, lat = geocode_id(key, langs)
+    cell = cells.cell_of(lon, lat, res)
+    return pa.table(
+        {
+            "doc_id": pa.array(key),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "cell": pa.array(cell, pa.int64()),
+        }
+    )
+
+
+def q_geocode(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        geocode_docs_batch, batch_format="pyarrow"
+    )
+
+
+def _geocoded(sf_dir: str, res: int = RES_ZONAL, keep_extra: list[str] | None = None):
+    cols = ["doc_id", "lang"] + (keep_extra or [])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        lon, lat = geocode_id(key, langs)
+        cell = cells.cell_of(lon, lat, res)
+        out = batch.drop_columns(["lang"] if not (keep_extra and "lang" in keep_extra) else [])
+        return (
+            out.append_column("lon", pa.array(lon, pa.float64()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+            .append_column("cell", pa.array(cell, pa.int64()))
+        )
+
+    return _read(sf_dir, "documents", cols).map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_geo_cte(res: int = RES_ZONAL, extra: str = "") -> str:
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    cell_e = cells.sql_cell_expr("lon", "lat", res)
+    return (
+        f"WITH geo0 AS (SELECT doc_id{extra}, {lon_e} AS lon, {lat_e} AS lat "
+        f"FROM documents), "
+        f"geo AS (SELECT *, {cell_e} AS cell FROM geo0)"
+    )
+
+
+# --- zonal stats (SURVEY op #10b groupby-aggregate on cell keys) ----------
+
+
+def q_zonal(sf_dir: str):
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["n_chars"])
+    return zonal.zonal_aggregate(pts, ["cell"], {"n_chars": ["sum"]})
+
+
+# --- point-in-polygon broadcast join (SURVEY op #11) ----------------------
+
+
+def q_pip_admin(sf_dir: str):
+    import ray
+
+    blob = polygons_to_blob(admin_grid(nx=ADMIN_NX, ny=ADMIN_NY))
+    ref = ray.put(blob) if ray.is_initialized() else blob
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    joined = pts.map_batches(
+        PointInPolygonJoin,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return joined.map_batches(
+        lambda b: b.select(["doc_id", "poly_id", "poly_name"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- k-ring kNN (SURVEY §2.3 joins: expand ring -> equi-join -> rank) -----
+
+
+def q_knn(sf_dir: str):
+    pts = _geocoded(sf_dir, RES_KNN)
+    qids, qlons, qlats = zip(*KNN_QUERIES)
+    blob = {
+        "query_id": np.asarray(qids, dtype=np.int64),
+        "lon": np.asarray(qlons),
+        "lat": np.asarray(qlats),
+    }
+    j = knn.KRingKNN(blob, res=RES_KNN, ring_k=KNN_RING, k=KNN_K,
+                     keep_cols=["doc_id"])
+    partial = pts.map_batches(j, batch_format="pyarrow")
+    final = knn.finalize_topk(partial, KNN_K)
+    return final.map_batches(
+        lambda b: b.select(["query_id", "doc_id", "rank"]).set_column(
+            2, "rank", pc.cast(b.column("rank"), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- chip enumeration (SURVEY op #12 xbatcher arithmetic) ------------------
+
+
+def scenes_from_part(batch: pa.Table) -> pa.Table:
+    pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+    ps = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "scene_id": pa.array(pk),
+            "height": pa.array((128 * (1 + pk % 3)).astype(np.int32), pa.int32()),
+            "width": pa.array((128 * (1 + ps % 4)).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def q_chips(sf_dir: str):
+    from ..stages.chips import enumerate_chips
+
+    scenes = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        scenes_from_part, batch_format="pyarrow"
+    )
+    chips = scenes.map_batches(
+        lambda b: enumerate_chips(b, chip_h=64, chip_w=64), batch_format="pyarrow"
+    )
+    return chips.map_batches(
+        lambda b: pa.table(
+            {
+                "scene_id": b.column("scene_id"),
+                "chip_id": b.column("chip_id"),
+                "chip_y": pc.cast(b.column("chip_y"), pa.int64()),
+                "chip_x": pc.cast(b.column("chip_x"), pa.int64()),
+                "y0": pc.cast(b.column("y0"), pa.int64()),
+                "x0": pc.cast(b.column("x0"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- rasterize: sparse per-tile histogram (SURVEY op #10a) ----------------
+
+
+def _tile_specs() -> dict:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    return {
+        j * TILE_NX + i: dict(
+            width=TILE_PX,
+            height=TILE_PX,
+            xmin=-180.0 + i * tw,
+            ymin=-90.0 + j * th,
+            xmax=-180.0 + (i + 1) * tw,
+            ymax=-90.0 + (j + 1) * th,
+        )
+        for j in range(TILE_NY)
+        for i in range(TILE_NX)
+    }
+
+
+def q_rasterize(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    specs = _tile_specs()
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    sparse = tiled.map_batches(
+        lambda b: rz.partial_histogram(b, tile_specs=specs), batch_format="pyarrow"
+    )
+    return sparse.groupby(["tile_id", "py", "px"]).aggregate(Sum("n", alias_name="n"))
+
+
+# --- dedup / first-per-key / stack (SURVEY ops #7+#8 + dedup suite) -------
+
+
+def q_dedup_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = dedup.exact_dedup(docs, order_cols=["doc_id"])
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def q_first_event(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = stack.dedup_first(ev, ["user_id"], ["ts", "event_id"])
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_series(sf_dir: str):
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_layers": [np.int64(len(g))],
+                "first_v": [g["value"].iloc[0]],
+                "last_v": [g["value"].iloc[-1]],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(agg, batch_format="pandas")
+
+
+def q_topk_cells(sf_dir: str):
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    counted = zonal.zonal_aggregate(pts, ["cell"], {})
+    return counted.sort(["n", "cell"], descending=[True, False]).limit(20)
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        toks = textfn.token_count(b.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_tokens": pa.array(toks, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        m = textfn.quality_metrics(texts)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pa.array(m["n_chars"], pa.int64()),
+                "n_tokens": pa.array(m["n_tokens"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_lang_detect(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        pred = textfn.detect_lang(b.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "lang_pred": pa.array(pred, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_minhash_groups(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_groups(docs, id_col="doc_id")
+
+
+def q_simhash(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(
+        lambda b: dedup.simhash_batch(b, text_col="text"), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+# --- ANN ------------------------------------------------------------------
+
+
+def q_ann(sf_dir: str):
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qsel = emb.filter(pc.is_in(emb.column("vec_id"), pa.array([0, 1, 2])))
+    qm = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qsel.column("embedding").to_pylist()]
+    )
+    blob = {
+        "query_id": qsel.column("vec_id").to_numpy(zero_copy_only=False),
+        "matrix": qm,
+    }
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.brute_force_knn(ds, blob, k=10, dtype=np.float64)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b.column("query_id"),
+                "vec_id": b.column("vec_id"),
+                "rank": pc.cast(b.column("rank"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- relational: aggregate / joins / sort / window ------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                    "l_shipdate"])
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(cutoff)))
+
+    filtered = li.map_batches(flt, batch_format="pyarrow")
+    return zonal.zonal_aggregate(
+        filtered, ["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]}
+    )
+
+
+def q_mktsegment(sf_dir: str):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_by_key = dict(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist(),
+        )
+    )
+
+    def add_seg(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = b.column("o_custkey").to_pandas()
+        seg = keys.map(seg_by_key)
+        return pa.table(
+            {"c_mktsegment": pa.array(seg, pa.string())}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    tagged = orders.map_batches(add_seg, batch_format="pyarrow")
+    return zonal.zonal_aggregate(tagged, ["c_mktsegment"], {})
+
+
+def q_cust_no_orders(sf_dir: str):
+    """Anti join via broadcast key set: customers with no order above
+    300k total price (threshold keeps the result non-empty at every sf)."""
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    okeys = okeys.filter(pc.greater(okeys.column("o_totalprice"), 300000.0))
+    have = np.unique(okeys.column("o_custkey").to_numpy(zero_copy_only=False))
+
+    def anti(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(keys, have)))
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+def q_top_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_events_hourly(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        return pa.table(
+            {"event_type": b.column("event_type"), "hour": pa.array(h, pa.int64())}
+        )
+
+    return zonal.zonal_aggregate(
+        ev.map_batches(hour, batch_format="pyarrow"), ["event_type", "hour"], {}
+    )
+
+
+# --- the SQL oracles ------------------------------------------------------
+
+
+def _sql_knn() -> str:
+    ncols, nrows = 2 << RES_KNN, 1 << RES_KNN
+    qvals = ", ".join(f"({q}, {lon!r}, {lat!r})" for q, lon, lat in KNN_QUERIES)
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    nx = (
+        f"LEAST(GREATEST(CAST(FLOOR(((lon) + 180.0) / 360.0 * {ncols}) AS BIGINT), 0), {ncols - 1})"
+    )
+    ny = (
+        f"LEAST(GREATEST(CAST(FLOOR(((lat) + 90.0) / 180.0 * {nrows}) AS BIGINT), 0), {nrows - 1})"
+    )
+    qnx = nx.replace("(lon)", "(qlon)")
+    qny = ny.replace("(lat)", "(qlat)")
+    hav = (
+        "2 * 6371.0088 * ASIN(SQRT("
+        "POW(SIN((RADIANS(lat) - RADIANS(qlat)) / 2), 2) + "
+        "COS(RADIANS(qlat)) * COS(RADIANS(lat)) * "
+        "POW(SIN((RADIANS(lon) - RADIANS(qlon)) / 2), 2)))"
+    )
+    return f"""
+WITH geo AS (
+  SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat FROM documents
+),
+pts AS (SELECT doc_id, lon, lat, {nx} AS nx, {ny} AS ny FROM geo),
+q(query_id, qlon, qlat) AS (VALUES {qvals}),
+qc AS (SELECT query_id, qlon, qlat, {qnx} AS qnx, {qny} AS qny FROM q),
+cand AS (
+  SELECT qc.query_id, pts.doc_id, {hav} AS d
+  FROM qc JOIN pts ON
+    LEAST(ABS(pts.nx - qc.qnx), {ncols} - ABS(pts.nx - qc.qnx)) <= {KNN_RING}
+    AND ABS(pts.ny - qc.qny) <= {KNN_RING}
+)
+SELECT query_id, doc_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, doc_id) AS rank
+FROM cand QUALIFY rank <= {KNN_K}
+"""
+
+
+def _sql_rasterize() -> str:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    # mirror assign_tiles: clip(floor((lon-lon0)/(lon1-lon0)*nx))
+    ix = f"LEAST(GREATEST(CAST(FLOOR((lon - -180.0) / 360.0 * {TILE_NX}) AS BIGINT), 0), {TILE_NX - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR((lat - -90.0) / 180.0 * {TILE_NY}) AS BIGINT), 0), {TILE_NY - 1})"
+    # mirror _bin: floor((v - lo) / (hi - lo) * n)  (lo = -180 + ix*tw)
+    px = f"CAST(FLOOR((lon - (-180.0 + ix * {tw!r})) / {tw!r} * {TILE_PX}) AS BIGINT)"
+    gy = f"CAST(FLOOR((lat - (-90.0 + iy * {th!r})) / {th!r} * {TILE_PX}) AS BIGINT)"
+    return f"""
+{_sql_geo_cte(RES_ZONAL)},
+tiled AS (SELECT lon, lat, {ix} AS ix, {iy} AS iy FROM geo),
+binned AS (
+  SELECT iy * {TILE_NX} + ix AS tile_id,
+         {TILE_PX} - 1 - {gy} AS py,
+         {px} AS px
+  FROM tiled
+)
+SELECT tile_id, py, px, COUNT(*) AS n FROM binned GROUP BY 1, 2, 3
+"""
+
+
+def build_oracles() -> dict[str, str]:
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
+    admin_ix = f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 15.0) AS BIGINT), 0), {ADMIN_NX - 1})"
+    admin_iy = f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 15.0) AS BIGINT), 0), {ADMIN_NY - 1})"
+    return {
+        "geocode": (
+            f"WITH g AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat FROM documents) "
+            f"SELECT doc_id, lon, lat, {cell_e} AS cell FROM g"
+        ),
+        "zonal": (
+            f"{_sql_geo_cte(RES_ZONAL, ', n_chars')} "
+            f"SELECT cell, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum "
+            f"FROM geo GROUP BY cell"
+        ),
+        "pip_admin": (
+            f"{_sql_geo_cte(RES_ZONAL)}, "
+            f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
+            f"SELECT doc_id, iy * {ADMIN_NX} + ix AS poly_id, "
+            f"'admin_' || iy || '_' || ix AS poly_name FROM j"
+        ),
+        "knn": _sql_knn(),
+        "chips": """
+WITH s AS (
+  SELECT p_partkey AS scene_id,
+         128 * (1 + p_partkey % 3) AS h,
+         128 * (1 + p_size % 4) AS w
+  FROM part
+),
+g AS (SELECT scene_id, h // 64 AS ny, w // 64 AS nx FROM s)
+SELECT g.scene_id,
+       cy.cy * g.nx + cx.cx AS chip_id,
+       cy.cy AS chip_y, cx.cx AS chip_x,
+       cy.cy * 64 AS y0, cx.cx * 64 AS x0
+FROM g,
+     LATERAL (SELECT unnest(range(g.ny)) AS cy) cy,
+     LATERAL (SELECT unnest(range(g.nx)) AS cx) cx
+""",
+        "rasterize": _sql_rasterize(),
+        "dedup_docs": (
+            "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
+        ),
+        "first_event": (
+            "SELECT user_id, event_id, event_type, value FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
+        ),
+        "user_series": (
+            "SELECT user_id, COUNT(*) AS n_layers, "
+            "ARG_MIN(value, ts) AS first_v, ARG_MAX(value, ts) AS last_v "
+            "FROM events GROUP BY user_id"
+        ),
+        "topk_cells": (
+            f"{_sql_geo_cte(RES_ZONAL)} "
+            f"SELECT cell, COUNT(*) AS n FROM geo GROUP BY cell "
+            f"ORDER BY n DESC, cell LIMIT 20"
+        ),
+        "token_count": (
+            r"SELECT doc_id, CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "quality": (
+            r"SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+            r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "ann": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+FROM cand QUALIFY rank <= 10
+""",
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "mktsegment": (
+            "SELECT c.c_mktsegment, COUNT(*) AS n FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+        ),
+        "cust_no_orders": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
+            "COUNT(*) AS n FROM events GROUP BY event_type, hour"
+        ),
+    }
+
+
+def build_queries() -> dict:
+    return {
+        "geocode": q_geocode,
+        "zonal": q_zonal,
+        "pip_admin": q_pip_admin,
+        "knn": q_knn,
+        "chips": q_chips,
+        "rasterize": q_rasterize,
+        "dedup_docs": q_dedup_docs,
+        "first_event": q_first_event,
+        "user_series": q_user_series,
+        "topk_cells": q_topk_cells,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_detect": q_lang_detect,
+        "minhash_groups": q_minhash_groups,
+        "simhash": q_simhash,
+        "ann": q_ann,
+        "lineitem_agg": q_lineitem_agg,
+        "mktsegment": q_mktsegment,
+        "cust_no_orders": q_cust_no_orders,
+        "top_orders": q_top_orders,
+        "events_hourly": q_events_hourly,
+    }

@@ -39,7 +39,7 @@ class BruteForceTopK:
     """
 
     def __init__(self, queries_ref_or_blob, k: int, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", dtype=np.float32):
         blob = queries_ref_or_blob
         try:
             import ray
@@ -48,14 +48,15 @@ class BruteForceTopK:
                 blob = ray.get(blob)
         except (ImportError, TypeError):
             pass
+        self.dtype = dtype
         self.q_id = np.asarray(blob["query_id"], dtype=np.int64)
-        self.q = normalize(np.asarray(blob["matrix"], dtype=np.float32))
+        self.q = normalize(np.asarray(blob["matrix"], dtype=dtype))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = normalize(_batch_matrix(batch, self.vec_col))
+        m = normalize(_batch_matrix(batch, self.vec_col).astype(self.dtype))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         sims = m @ self.q.T  # (n, Q)
         n, Q = sims.shape
@@ -87,10 +88,11 @@ def finalize_topk(ds, k: int):
 
 
 def brute_force_knn(ds, queries_blob_or_ref, k: int, id_col: str = "vec_id",
-                    vec_col: str = "embedding", concurrency=None):
+                    vec_col: str = "embedding", concurrency=None,
+                    dtype=np.float32):
     partial = ds.map_batches(
         BruteForceTopK,
-        fn_constructor_args=(queries_blob_or_ref, k, id_col, vec_col),
+        fn_constructor_args=(queries_blob_or_ref, k, id_col, vec_col, dtype),
         batch_format="pyarrow",
         concurrency=concurrency or 2,
     )
