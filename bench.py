@@ -1,0 +1,201 @@
+"""Benchmark driver: headline spatial-join + tiling pipeline + query suite.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "tiles_per_sec": ...}
+
+Headline = the north-star flagship over a deterministic synthetic pages
+corpus (input_hint shape): read parquet → html→text extraction (actor
+pool) → geocode+cell → broadcast STRtree PIP join → zonal aggregate
+(docs/sec), then tile assignment → per-tile rasterization (tiles/sec).
+
+`--scaling` runs the headline twice in fresh processes (num_cpus=8 vs
+32) on the same input and reports throughputs + scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_DOCS (default 600000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "600000"))
+CORPUS_DIR = f"/tmp/zen3geo_bench/pages_{N_DOCS}"
+
+
+def ensure_corpus():
+    """Synthesize the bench corpus once (cached across runs/parallelism)."""
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    from zen3geo_ray.sources.corpus import write_pages_parquet
+
+    import shutil
+
+    if os.path.isdir(CORPUS_DIR):
+        shutil.rmtree(CORPUS_DIR)
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    write_pages_parquet(CORPUS_DIR, N_DOCS, parallelism=max(NUM_CPUS * 4, 32))
+    open(marker, "w").close()
+
+
+def headline() -> dict:
+    import ray
+    import ray.data as rd
+
+    from zen3geo_ray.sources.fixtures import admin_grid
+    from zen3geo_ray.stages import rasterize as rz, zonal
+    from zen3geo_ray.stages.extract import pages_to_points
+    from zen3geo_ray.stages.join import PointInPolygonJoin, polygons_to_blob
+
+    ensure_corpus()
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(CORPUS_DIR).count()
+
+    blob_ref = ray.put(polygons_to_blob(admin_grid(nx=48, ny=24)))
+    tile_nx, tile_ny, tile_px = 64, 32, 64
+
+    t0 = time.monotonic()
+    pages = rd.read_parquet(CORPUS_DIR)
+    # autoscaling pools (min 1) so no stage can starve the others of CPUs
+    points = pages_to_points(
+        pages, res=12, concurrency=(1, max(2, NUM_CPUS // 2)), batch_size=2048
+    )
+    joined = points.map_batches(
+        PointInPolygonJoin,
+        fn_constructor_args=(blob_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, max(2, NUM_CPUS // 2)),
+        batch_size=8192,
+    )
+    tiled = joined.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180, lat0=-90, lon1=180, lat1=90, nx=tile_nx, ny=tile_ny
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_docs = tiled.count()
+    t_points = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    specs = rz.tile_grid_table(-180, -90, 180, 90, tile_nx, tile_ny, tile_px, tile_px)
+    rasterizer = rz.TileRasterizer(tile_specs=specs)
+
+    def rasterize_group(g):
+        return rasterizer(g)
+
+    rasters = tiled.groupby("tile_id").map_groups(
+        rasterize_group, batch_format="pyarrow"
+    )
+    n_tiles = rasters.count()
+    t_tiles = time.monotonic() - t1
+
+    return {
+        "headline_sec": round(t_points + t_tiles, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / t_points, 1),
+        "tiles": n_tiles,
+        "tiles_per_sec": round(n_tiles / t_tiles, 1),
+        "points_sec": round(t_points, 3),
+        "raster_sec": round(t_tiles, 3),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    h = headline()
+    queries = run_queries()
+    result = {
+        "metric": "spatial-join + tiling throughput (docs/sec and tiles/sec)",
+        "value": h["headline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": h["docs_per_sec"],
+        "tiles_per_sec": h["tiles_per_sec"],
+        "bench_docs": h["docs"],
+        "points_sec": h["points_sec"],
+        "raster_sec": h["raster_sec"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (N -> 4N CPUs, fresh sessions)",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "docs_per_sec_lo": r_lo["docs_per_sec"],
+                "docs_per_sec_hi": r_hi["docs_per_sec"],
+                "tiles_per_sec_lo": r_lo["tiles_per_sec"],
+                "tiles_per_sec_hi": r_hi["tiles_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,71 @@
+"""Guard the driver contract: queries() vs oracle_sql() at sf0.001.
+
+A fast subset runs in CI (the full suite is tools/check_oracles.py).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+FAST = [
+    "geocode",
+    "zonal",
+    "pip_admin",
+    "knn",
+    "dedup_docs",
+    "first_event",
+    "topk_cells",
+    "token_count",
+    "lineitem_agg",
+    "mktsegment",
+    "cust_no_orders",
+    "top_orders",
+    "rasterize",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    got = canon(entrymod.queries()[name](SF).to_pandas())
+    exp = canon(con.sql(entrymod.oracle_sql()[name]).fetchdf())
+    assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    import __ray_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs
+    # non-SQL ops are the documented rows-only set
+    assert qs - os_ == {"lang_detect", "minhash_groups", "simhash"}

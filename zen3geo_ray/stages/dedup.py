@@ -88,21 +88,22 @@ def minhash_lsh_groups(docs_ds, *, id_col: str, text_col: str = "text",
     components would iterate this min-label step to a fixed point; one
     round is the standard near-dup grouping for pipelines.
     """
+    from ray.data.aggregate import Min
+
+    from .bucketed import bucketed_groupby
+
     bands_ds = docs_ds.map_batches(
         lambda b: minhash_bands(b, id_col=id_col, text_col=text_col,
                                 num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
     )
 
+    # one vectorized transform("min") per coarse bucket, not per LSH bucket
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[id_col].min()
-        return pd.DataFrame({id_col: g[id_col], "dup_group": m})
+        gm = g.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("min")
+        return pd.DataFrame({id_col: g[id_col], "dup_group": gm})
 
-    grouped = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_min, batch_format="pandas"
-    )
-    from ray.data.aggregate import Min
-
+    grouped = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_min)
     return grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
 
 

@@ -20,47 +20,35 @@ import pandas as pd
 
 
 def stack_series(ds, key_cols: list[str], order_cols: list[str],
-                 value_col: str, list_col: str | None = None):
-    """groupby(key) -> one row per key with the values stacked as a list,
-    sorted by order_cols (the stacker recast: rows sharing a spatial key
-    become one (key, [values...]) tensor row)."""
-    list_col = list_col or f"{value_col}_stack"
+                 value_col: str, list_col: str | None = None,
+                 n_buckets: int = 64):
+    """One row per key with the values stacked as a list, sorted by
+    order_cols (the stacker recast: rows sharing a spatial key become one
+    (key, [values...]) tensor row).  Executes via coarse-bucket groups
+    (stages/bucketed.py) so millions of keys cost B Python calls, not
+    |keys|."""
+    from .bucketed import stack_per_key
 
-    def stack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        row = {k: [g[k].iloc[0]] for k in key_cols}
-        row[list_col] = [g[value_col].to_list()]
-        row["n_layers"] = [len(g)]
-        return pd.DataFrame(row)
-
-    return ds.groupby(key_cols).map_groups(stack, batch_format="pandas")
+    return stack_per_key(ds, key_cols, order_cols, value_col, list_col, n_buckets)
 
 
 def first_valid_mosaic(ds, key_cols: list[str], order_cols: list[str],
-                       value_cols: list[str]):
-    """groupby(key) -> first non-null value per value_col in order_cols
-    order (the mosaicker recast, order made explicit)."""
+                       value_cols: list[str], n_buckets: int = 64):
+    """First non-null value per (key, value_col) in order_cols order (the
+    mosaicker recast, order made explicit)."""
+    from .bucketed import first_valid_per_key
 
-    def mosaic(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        row = {k: [g[k].iloc[0]] for k in key_cols}
-        for v in value_cols:
-            nn = g[v].dropna()
-            row[v] = [nn.iloc[0] if len(nn) else None]
-        return pd.DataFrame(row)
-
-    return ds.groupby(key_cols).map_groups(mosaic, batch_format="pandas")
+    return first_valid_per_key(ds, key_cols, order_cols, value_cols, n_buckets)
 
 
-def dedup_first(ds, key_cols: list[str], order_cols: list[str]):
+def dedup_first(ds, key_cols: list[str], order_cols: list[str],
+                n_buckets: int = 64):
     """Exact dedup keeping the first row per key in order_cols order
     (per-url dedup for the byte-identity contract: first (warc_ts, url)
     wins, independent of partitioning — FIXTURES.md F6)."""
+    from .bucketed import first_per_key
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, kind="mergesort").head(1)
-
-    return ds.groupby(key_cols).map_groups(first, batch_format="pandas")
+    return first_per_key(ds, key_cols, order_cols, n_buckets)
 
 
 def split_by_time(ds, ts_col: str, cutoff, before_name="pre", after_name="post"):
