@@ -1,0 +1,149 @@
+"""Functional chaining API — the reference's composition surface, recast.
+
+zen3geo registers every operator as a chainable functional datapipe
+(``@functional_datapipe``, e.g. ``rioxarray.py:12``) so users write
+``dp.read_from_rioxarray().slice_with_xbatcher(...)``.  The Ray-native
+equivalent is a tiny ``Pipe`` wrapper over a Dataset: each reference
+operator name maps to the engine stage with the same semantics, and
+``.then(fn, **kw)`` is the user-extension hook (any Dataset -> Dataset
+function composes — the ``@functional_datapipe`` analog).
+
+    from zen3geo_ray import api
+    pts = (api.read_pages(path, columns=[...])
+              .extract_text()
+              .geocode(res=12)
+              .join_polygons(polygons, how="inner")
+              .assign_tiles(nx=64, ny=32)
+              .ds)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .sources import readers
+from .stages import chips as chips_mod
+from .stages import rasterize as rz
+from .stages.extract import TextExtractor, geocode_batch
+from .stages.join import BoxClipJoin, PointInPolygonJoin, polygons_to_blob
+
+
+def _put(blob):
+    import ray
+
+    return ray.put(blob) if ray.is_initialized() else blob
+
+
+class Pipe:
+    """Thin chainable wrapper over a ray.data.Dataset."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    # --- user extension hook (the @functional_datapipe analog) ----------
+    def then(self, fn, *args, **kwargs) -> "Pipe":
+        """Apply any Dataset -> Dataset function."""
+        return Pipe(fn(self.ds, *args, **kwargs))
+
+    def map_batches(self, fn, **kwargs) -> "Pipe":
+        kwargs.setdefault("batch_format", "pyarrow")
+        return Pipe(self.ds.map_batches(fn, **kwargs))
+
+    # --- reference-named operators ---------------------------------------
+    def extract_text(self, check: bool = False, concurrency=2,
+                     batch_size: int = 1024) -> "Pipe":
+        return Pipe(
+            self.ds.map_batches(
+                TextExtractor,
+                fn_constructor_kwargs={"drop_html": True, "check": check},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        )
+
+    def geocode(self, res: int = 12) -> "Pipe":
+        return self.map_batches(lambda b: geocode_batch(b, res=res))
+
+    def join_polygons(self, polygons: pa.Table, how: str = "inner",
+                      concurrency=2) -> "Pipe":
+        """clip_vector_with_rectangle / PIP join analog (broadcast)."""
+        ref = _put(polygons_to_blob(polygons))
+        return Pipe(
+            self.ds.map_batches(
+                PointInPolygonJoin,
+                fn_constructor_args=(ref,),
+                fn_constructor_kwargs={"how": how},
+                batch_format="pyarrow",
+                concurrency=concurrency,
+            )
+        )
+
+    def clip_vector_with_rectangle(self, polygons: pa.Table,
+                                   concurrency=2) -> "Pipe":
+        """Reference op #11: box rows x broadcast geometries with clip."""
+        ref = _put(polygons_to_blob(polygons))
+        return Pipe(
+            self.ds.map_batches(
+                BoxClipJoin,
+                fn_constructor_args=(ref,),
+                batch_format="pyarrow",
+                concurrency=concurrency,
+            )
+        )
+
+    def slice_with_chips(self, input_dims: dict, input_overlap: dict | None = None
+                         ) -> "Pipe":
+        """Reference op #12 (slice_with_xbatcher): input_dims={'y':H,'x':W}."""
+        ov = input_overlap or {}
+        return self.map_batches(
+            lambda b: chips_mod.enumerate_chips(
+                b,
+                chip_h=input_dims["y"],
+                chip_w=input_dims["x"],
+                overlap_h=ov.get("y", 0),
+                overlap_w=ov.get("x", 0),
+            )
+        )
+
+    def canvas_from_raster(self) -> "Pipe":
+        """Reference op #9 (canvas_from_xarray): grid-spec projection."""
+        return self.map_batches(rz.canvas_from_raster)
+
+    def assign_tiles(self, nx: int, ny: int, lon0=-180.0, lat0=-90.0,
+                     lon1=180.0, lat1=90.0) -> "Pipe":
+        return self.map_batches(
+            lambda b: rz.assign_tiles(
+                b, lon0=lon0, lat0=lat0, lon1=lon1, lat1=lat1, nx=nx, ny=ny
+            )
+        )
+
+    def rasterize_tiles(self, tile_specs: pa.Table, agg: str = "count") -> "Pipe":
+        """Reference op #10 (rasterize_with_datashader), per-tile shape."""
+        rasterizer = rz.TileRasterizer(tile_specs=tile_specs, agg=agg)
+
+        def group_fn(g: pa.Table) -> pa.Table:
+            return rasterizer(g)
+
+        return Pipe(self.ds.groupby("tile_id").map_groups(group_fn,
+                                                          batch_format="pyarrow"))
+
+    # --- terminals --------------------------------------------------------
+    def write_parquet(self, path: str, **kwargs):
+        return self.ds.write_parquet(path, **kwargs)
+
+    def to_pandas(self):
+        return self.ds.to_pandas()
+
+    def count(self) -> int:
+        return self.ds.count()
+
+
+def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> Pipe:
+    return Pipe(readers.read_pages(path, columns=columns, **kwargs))
+
+
+def from_arrow(table: pa.Table) -> Pipe:
+    import ray.data as rd
+
+    return Pipe(rd.from_arrow(table))

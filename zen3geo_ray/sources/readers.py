@@ -1,0 +1,141 @@
+"""Source readers (SURVEY §2 ops #1–#6 recast).
+
+The reference's sources wrap rioxarray/pyogrio/pySTAC — each takes a
+stream of hrefs and yields opened objects.  Our engine's analogs:
+
+* ``read_pages`` — the heavy-payload source (#1/#6): column-pruned
+  ``read_parquet`` over the pages corpus; kwargs passthrough mirrors the
+  reference's ``**kwargs`` convention (``rioxarray.py:29-31``).
+* ``read_vector`` — small-side vector load (#2): driver-side parquet read
+  of a POLYGONS-schema table (broadcast via ray.put downstream).
+* ``manifest_from_items`` / ``search_manifest`` / ``list_manifest_items``
+  — the STAC trio (#3/#4/#5): a manifest TABLE of assets with bbox/time
+  metadata replaces pystac Items; search is a pushed-down filter, listing
+  is the flat-map from one search row to its matching asset rows.
+* ``scene_tensor_batch`` — materializes constant-fill scene tensors from
+  descriptor rows (the raster-decode stage shape; real GeoTIFF decode
+  would slot in here as an actor pool with a rasterio dependency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def read_pages(path: str, columns: list[str] | None = None, **kwargs):
+    """Pages-corpus source with column pruning pushed to the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_vector(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side small-side vector table load (POLYGONS schema)."""
+    return pq.read_table(path, columns=columns)
+
+
+def manifest_from_items(items: list[dict]):
+    """Asset manifest from in-memory records: uri, bbox (minx,miny,maxx,
+    maxy), ts, props — the pystac.Item analog as plain rows."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "uri": pa.array([i["uri"] for i in items], pa.string()),
+            "minx": pa.array([i["bbox"][0] for i in items], pa.float64()),
+            "miny": pa.array([i["bbox"][1] for i in items], pa.float64()),
+            "maxx": pa.array([i["bbox"][2] for i in items], pa.float64()),
+            "maxy": pa.array([i["bbox"][3] for i in items], pa.float64()),
+            "ts": pa.array([i.get("ts") for i in items], pa.timestamp("us")),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def search_manifest(manifest_ds, *, bbox=None, ts_range=None):
+    """Deferred search over the manifest (the ItemSearch analog): lazy
+    filters that prune before any heavy read happens."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(len(batch), dtype=bool))
+        if bbox is not None:
+            qminx, qminy, qmaxx, qmaxy = bbox
+            mask = pc.and_(
+                mask,
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(batch.column("minx"), qmaxx),
+                        pc.greater_equal(batch.column("maxx"), qminx),
+                    ),
+                    pc.and_(
+                        pc.less_equal(batch.column("miny"), qmaxy),
+                        pc.greater_equal(batch.column("maxy"), qminy),
+                    ),
+                ),
+            )
+        if ts_range is not None:
+            lo, hi = ts_range
+            mask = pc.and_(
+                mask,
+                pc.and_(
+                    pc.greater_equal(batch.column("ts"), pa.scalar(lo)),
+                    pc.less_equal(batch.column("ts"), pa.scalar(hi)),
+                ),
+            )
+        return batch.filter(mask)
+
+    return manifest_ds.map_batches(flt, batch_format="pyarrow")
+
+
+def list_manifest_items(searches: list[dict], manifest_ds):
+    """One search dict -> N matching item rows (the ItemLister flat-map,
+    ``pystac_client.py:228-230``), expressed as a union of filtered
+    scans tagged with their search id."""
+    import ray.data as rd
+
+    parts = []
+    for i, s in enumerate(searches):
+        part = search_manifest(manifest_ds, bbox=s.get("bbox"),
+                               ts_range=s.get("ts_range"))
+        parts.append(
+            part.map_batches(
+                lambda b, sid=i: b.append_column(
+                    "search_id", pa.array(np.full(len(b), sid, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def scene_tensor_batch(batch: pa.Table) -> pa.Table:
+    """Scene descriptor rows -> constant-fill (bands*H*W) tensor rows.
+
+    The decode stage for synthetic scenes (reference fixtures are
+    all-ones grids, ``test_datapipes_xbatcher.py:21-23``); a real raster
+    decoder would replace the fill with file IO in an actor pool.
+    """
+    sid = batch.column("scene_id").to_numpy(zero_copy_only=False)
+    H = batch.column("height").to_numpy(zero_copy_only=False)
+    W = batch.column("width").to_numpy(zero_copy_only=False)
+    B = batch.column("bands").to_numpy(zero_copy_only=False)
+    fill = batch.column("fill").to_numpy(zero_copy_only=False)
+    datas = [
+        np.full(int(B[i]) * int(H[i]) * int(W[i]), fill[i], dtype=np.float32)
+        for i in range(len(sid))
+    ]
+    return pa.table(
+        {
+            "scene_id": batch.column("scene_id"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "bands": batch.column("bands"),
+            "data": pa.array([d for d in datas], pa.list_(pa.float32())),
+        }
+    )

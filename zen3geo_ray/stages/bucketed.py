@@ -48,9 +48,11 @@ def bucketed_groupby(ds, key_cols: list[str], bucket_fn, n_buckets: int = 64):
             _BUCKET, pa.array(_bucket_ids(batch, key_cols, n_buckets))
         )
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
+    def run(g: pd.DataFrame) -> pa.Table:
         out = bucket_fn(g.drop(columns=[_BUCKET]))
-        return out
+        # emit Arrow blocks: downstream groupby/aggregate over pandas
+        # blocks is an order of magnitude slower in Ray Data
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

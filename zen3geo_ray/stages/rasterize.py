@@ -235,6 +235,27 @@ def tile_grid_table(
     )
 
 
+def canvas_from_raster(batch: pa.Table) -> pa.Table:
+    """Grid-spec extraction (SURVEY op #9, ``datashader.py:352-368``):
+    raster rows (tile_id/scene_id, height, width, bounds) -> blank canvas
+    spec rows with identical plot dims and extent — a pure projection."""
+    id_col = "tile_id" if "tile_id" in batch.column_names else "scene_id"
+    cols = {
+        "tile_id": batch.column(id_col),
+        "width": batch.column("width"),
+        "height": batch.column("height"),
+        "xmin": batch.column("bminx" if "bminx" in batch.column_names else "xmin"),
+        "ymin": batch.column("bminy" if "bminy" in batch.column_names else "ymin"),
+        "xmax": batch.column("bmaxx" if "bmaxx" in batch.column_names else "xmax"),
+        "ymax": batch.column("bmaxy" if "bmaxy" in batch.column_names else "ymax"),
+    }
+    if "crs" in batch.column_names:
+        cols["crs"] = batch.column("crs")
+    else:
+        cols["crs"] = pa.array(["OGC:CRS84"] * len(batch))
+    return pa.table(cols)
+
+
 def assign_tiles(batch: pa.Table, *, lon0, lat0, lon1, lat1, nx, ny,
                  lon_col="lon", lat_col="lat") -> pa.Table:
     """map_batches fn: add ``tile_id`` for a regular tile grid (arithmetic,
