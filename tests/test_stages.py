@@ -97,7 +97,7 @@ def test_stack_series_sorted(ray_session):
     )
     out = stack.stack_series(rd.from_arrow(tbl), ["cell"], ["ts"], "v").to_pandas()
     out = out.sort_values("cell").reset_index(drop=True)
-    assert out["v_stack"][0] == [10.0, 20.0, 30.0]
+    assert list(out["v_stack"][0]) == [10.0, 20.0, 30.0]
     assert out["n_layers"].tolist() == [3, 1]
 
 
