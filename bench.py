@@ -87,14 +87,12 @@ def headline() -> dict:
 
     t1 = time.monotonic()
     specs = rz.tile_grid_table(-180, -90, 180, 90, tile_nx, tile_ny, tile_px, tile_px)
-    rasterizer = rz.TileRasterizer(tile_specs=specs)
-
-    def rasterize_group(g):
-        return rasterizer(g)
-
-    rasters = tiled.groupby("tile_id").map_groups(
-        rasterize_group, batch_format="pyarrow"
+    spec_lookup = {int(r["tile_id"]): r for r in specs.to_pylist()}
+    sparse = tiled.map_batches(
+        lambda b: rz.partial_histogram(b, tile_specs=spec_lookup),
+        batch_format="pyarrow",
     )
+    rasters = rz.assemble_rasters(sparse, specs)
     n_tiles = rasters.count()
     t_tiles = time.monotonic() - t1
 

@@ -1,0 +1,122 @@
+"""Tests for partition/salting helpers, the functional API, and readers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray import api
+from zen3geo_ray.sources import readers
+from zen3geo_ray.sources.corpus import pages_table
+from zen3geo_ray.sources.fixtures import admin_grid, scenes_table
+from zen3geo_ray.stages import partition as pt
+
+
+def test_salted_group_reduce_matches_direct(ray_session):
+    rng = np.random.default_rng(1)
+    n = 20_000
+    # skewed: 80% of rows on one key
+    key = np.where(rng.uniform(size=n) < 0.8, 7, rng.integers(0, 50, n))
+    tbl = pa.table({"k": key, "rid": np.arange(n), "v": rng.uniform(0, 10, n)})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False).agg(s=("v", "sum"), c=("v", "size"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+
+    out = pt.salted_group_reduce(
+        rd.from_arrow(tbl).repartition(8), ["k"], partial, merge,
+        salt=8, row_key_col="rid",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (
+        pd.DataFrame({"k": key, "v": tbl.column("v").to_numpy()})
+        .groupby("k", as_index=False)
+        .agg(s=("v", "sum"), c=("v", "size"))
+    )
+    assert np.array_equal(out["k"], exp["k"])
+    assert np.array_equal(out["c"], exp["c"])
+    assert np.allclose(out["s"], exp["s"])
+
+
+def test_range_partition_by_morton(ray_session):
+    pages = pages_table(1000)
+    pts = api.from_arrow(pages).extract_text().geocode(res=10).ds
+    parted = pt.range_partition_by_morton(pts, num_partitions=8)
+    df = parted.to_pandas()
+    assert df["partition"].nunique() <= 8
+    # partitions are contiguous morton ranges: max(morton) of partition i
+    # <= min(morton) of partition i+1
+    g = df.groupby("partition")["morton"].agg(["min", "max"]).sort_index()
+    assert (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+    # roughly balanced (quantile cuts): no partition > 3x the mean
+    counts = df["partition"].value_counts()
+    assert counts.max() < 3 * counts.mean()
+
+
+def test_api_chain_segmentation(ray_session):
+    pages = pages_table(300)
+    out = (
+        api.from_arrow(pages)
+        .extract_text(check=True)
+        .geocode(res=10)
+        .join_polygons(admin_grid(), how="inner")
+        .assign_tiles(nx=12, ny=6)
+        .to_pandas()
+    )
+    assert len(out) == 300
+    assert {"poly_id", "tile_id", "cell"} <= set(out.columns)
+
+
+def test_api_chips_and_canvas(ray_session):
+    scenes = scenes_table([(0, 128, 192, 1, 1.0)])
+    chips = api.from_arrow(scenes).slice_with_chips({"y": 64, "x": 64})
+    assert chips.count() == 6
+    # canvas projection from chip bbox rows
+    from zen3geo_ray.stages.chips import chip_bboxes
+
+    boxed = chips.map_batches(
+        lambda b: chip_bboxes(b, scene_transforms={0: (0.0, 10.0, 0.1)})
+    )
+    canvases = boxed.canvas_from_raster().to_pandas()
+    assert {"tile_id", "width", "height", "xmin", "crs"} <= set(canvases.columns)
+    assert (canvases["width"] == 64).all()
+
+
+def test_api_then_hook(ray_session):
+    p = api.from_arrow(pa.table({"x": [1, 2, 3]}))
+    out = p.then(lambda ds: ds.map_batches(
+        lambda b: b.append_column("y", pa.array([v * 2 for v in b.column("x").to_pylist()])),
+        batch_format="pyarrow",
+    )).to_pandas()
+    assert out["y"].tolist() == [2, 4, 6]
+
+
+def test_manifest_search_and_list(ray_session):
+    items = [
+        {"uri": f"s3://bucket/item{i}", "bbox": [i * 10.0, 0.0, i * 10.0 + 5, 5.0],
+         "ts": np.datetime64("2024-01-01") + np.timedelta64(i, "D")}
+        for i in range(10)
+    ]
+    man = readers.manifest_from_items(items)
+    hits = readers.search_manifest(man, bbox=(12.0, 0.0, 33.0, 4.0)).to_pandas()
+    assert sorted(hits["uri"]) == [
+        "s3://bucket/item1", "s3://bucket/item2", "s3://bucket/item3"
+    ]
+    listed = readers.list_manifest_items(
+        [{"bbox": (0.0, 0.0, 11.0, 5.0)}, {"bbox": (80.0, 0.0, 95.0, 5.0)}],
+        man,
+    ).to_pandas()
+    # search 0 -> items 0,1 (bbox overlap); search 1 -> items 8,9
+    assert len(listed) == 4
+    assert set(listed["search_id"]) == {0, 1}
+
+
+def test_scene_tensor_batch():
+    scenes = scenes_table([(0, 4, 5, 2, 3.0)])
+    out = readers.scene_tensor_batch(scenes)
+    data = out.column("data").to_pylist()[0]
+    assert len(data) == 2 * 4 * 5
+    assert all(v == 3.0 for v in data)

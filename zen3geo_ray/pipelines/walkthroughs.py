@@ -65,14 +65,14 @@ def segmentation_pipeline(
         batch_format="pyarrow",
     )
     specs = rz.tile_grid_table(-180, -90, 180, 90, tile_nx, tile_ny, tile_px, tile_px)
-    rasterizer = rz.TileRasterizer(tile_specs=specs)
-
-    def rasterize_group(g: pa.Table) -> pa.Table:
-        return rasterizer(g)
-
-    rasters = tiled.groupby("tile_id").map_groups(
-        rasterize_group, batch_format="pyarrow"
+    spec_lookup = {int(r["tile_id"]): r for r in specs.to_pylist()}
+    # scale path: pre-bin per batch so the shuffle moves pixel partials,
+    # not points (SURVEY §4.2 combiner-before-shuffle)
+    sparse = tiled.map_batches(
+        lambda b: rz.partial_histogram(b, tile_specs=spec_lookup),
+        batch_format="pyarrow",
     )
+    rasters = rz.assemble_rasters(sparse, specs)
     return tiled, rasters
 
 

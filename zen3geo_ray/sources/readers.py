@@ -49,7 +49,13 @@ def manifest_from_items(items: list[dict]):
             "miny": pa.array([i["bbox"][1] for i in items], pa.float64()),
             "maxx": pa.array([i["bbox"][2] for i in items], pa.float64()),
             "maxy": pa.array([i["bbox"][3] for i in items], pa.float64()),
-            "ts": pa.array([i.get("ts") for i in items], pa.timestamp("us")),
+            "ts": pa.array(
+                [
+                    None if i.get("ts") is None else np.datetime64(i["ts"], "us")
+                    for i in items
+                ],
+                pa.timestamp("us"),
+            ),
         }
     )
     return rd.from_arrow(t)

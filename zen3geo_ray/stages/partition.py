@@ -1,0 +1,114 @@
+"""Explicit partitioning & skew handling (north-star: "cell-key range
+partitioning plus salted shuffles to break hot-cell skew").
+
+Three tools, used by increasing cost:
+
+1. **Combiner-first** (stages/zonal.py) — for associative aggregates the
+   per-batch partial bound per-key shuffle volume to |blocks|; hot cells
+   stop mattering.  Always prefer this.
+2. **Salted two-level reduce** (here) — for reduces that are mergeable
+   but too heavy per batch (big per-key state): group on (key, salt)
+   where salt = hash(row) % S, reduce partials, then a second tiny
+   groupby on key merges.  S is chosen from a driver-side key histogram
+   (``choose_salt``).
+3. **Range partition by Morton cell** (here) — for sorted/clustered
+   output layouts: sample Morton keys → cut points → repartition so each
+   output partition covers a contiguous space-filling-curve range
+   (locality for downstream range scans), written resumably via
+   state/lineage.py keyed on the coarse cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import knuth_hash
+from ..geom import cells
+
+
+def choose_salt(ds, key_col: str, target_rows_per_group: int = 100_000,
+                sample_blocks: int = 4) -> int:
+    """Pick a salt factor from a sampled per-key histogram: S such that
+    the hottest key's rows split into ~target-sized partial groups."""
+    sample = ds.limit(500_000).groupby(key_col).count().to_pandas()
+    if len(sample) == 0:
+        return 1
+    hottest = int(sample["count()"].max()) if "count()" in sample else int(
+        sample.iloc[:, -1].max()
+    )
+    return max(1, min(256, -(-hottest // target_rows_per_group)))
+
+
+def add_salt(batch: pa.Table, *, salt: int, row_key_col: str,
+             out_col: str = "_salt") -> pa.Table:
+    """Deterministic salt from a per-row id column (NOT random — retries
+    must produce identical partials)."""
+    rk = batch.column(row_key_col).to_numpy(zero_copy_only=False)
+    if not np.issubdtype(rk.dtype, np.integer):
+        from ..functions.hashing import fnv1a_str_array
+
+        rk = fnv1a_str_array(batch.column(row_key_col).to_pylist()).astype(np.int64)
+    s = (knuth_hash(np.abs(rk)) % salt).astype(np.int64)
+    return batch.append_column(out_col, pa.array(s))
+
+
+def salted_group_reduce(ds, key_cols: list[str], partial_fn, merge_fn,
+                        salt: int, row_key_col: str):
+    """Two-level reduce: groupby(key+salt) -> partial_fn(pandas) ->
+    groupby(key) -> merge_fn(pandas).  Both fns must be written so that
+    merge(partials) == reduce(all rows) (associativity contract)."""
+    import pandas as pd
+
+    salted = ds.map_batches(
+        lambda b: add_salt(b, salt=salt, row_key_col=row_key_col),
+        batch_format="pyarrow",
+    )
+
+    def run_partial(g: pd.DataFrame) -> pa.Table:
+        out = partial_fn(g.drop(columns=["_salt"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = salted.groupby(key_cols + ["_salt"]).map_groups(
+        run_partial, batch_format="pandas"
+    )
+
+    def run_merge(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(merge_fn(g), preserve_index=False)
+
+    return partials.groupby(key_cols).map_groups(run_merge, batch_format="pandas")
+
+
+def add_morton(batch: pa.Table, *, res: int = 16, lon_col="lon", lat_col="lat",
+               out_col: str = "morton") -> pa.Table:
+    m = cells.morton_of(
+        batch.column(lon_col).to_numpy(zero_copy_only=False),
+        batch.column(lat_col).to_numpy(zero_copy_only=False),
+        res,
+    )
+    return batch.append_column(out_col, pa.array(m.astype(np.int64)))
+
+
+def range_partition_by_morton(ds, num_partitions: int, res: int = 16,
+                              lon_col="lon", lat_col="lat"):
+    """Assign a contiguous space-filling-curve range partition id.
+
+    Boundaries from a sampled quantile sketch of the Morton keys (the
+    driver-side histogram the north star calls for); each partition then
+    covers a compact spatial region — the layout for resumable writes and
+    downstream range scans.  Adds columns ``morton`` and ``partition``.
+    """
+    with_m = ds.map_batches(
+        lambda b: add_morton(b, res=res, lon_col=lon_col, lat_col=lat_col),
+        batch_format="pyarrow",
+    )
+    sample = with_m.limit(200_000).to_pandas()["morton"].to_numpy()
+    qs = np.quantile(sample, np.linspace(0, 1, num_partitions + 1)[1:-1])
+    bounds = np.unique(qs.astype(np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = batch.column("morton").to_numpy(zero_copy_only=False)
+        p = np.searchsorted(bounds, m, side="right")
+        return batch.append_column("partition", pa.array(p.astype(np.int64)))
+
+    return with_m.map_batches(assign, batch_format="pyarrow")

@@ -344,6 +344,39 @@ def partial_histogram(batch: pa.Table, *, tile_specs: dict,
                      "n": np.concatenate(out_n)})
 
 
+def assemble_rasters(sparse_ds, tile_specs: pa.Table):
+    """Sparse (tile_id, py, px, n) partials -> dense per-tile raster rows.
+
+    The scale path for per-tile count rasters: raw points never shuffle —
+    ``partial_histogram`` pre-bins inside map_batches, the groupby moves
+    only touched-pixel partials (≤ H*W per tile per block), and this
+    stage sums + densifies per tile.  Equivalent to TileRasterizer over
+    raw rows (test_partial_histogram_matches_dense) at a fraction of the
+    exchange volume.
+    """
+    specs = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
+
+    def assemble(g) -> pa.Table:
+        import pandas as pd
+
+        tid = int(g["tile_id"].iloc[0])
+        spec = specs[tid]
+        H, W = spec["height"], spec["width"]
+        grid = np.zeros(H * W, dtype=np.uint32)
+        flat = (g["py"].to_numpy() * W + g["px"].to_numpy()).astype(np.int64)
+        np.add.at(grid, flat, g["n"].to_numpy().astype(np.uint32))
+        return pa.table(
+            {
+                "tile_id": pa.array([tid], pa.int64()),
+                "height": pa.array([H], pa.int32()),
+                "width": pa.array([W], pa.int32()),
+                "data": pa.array([grid], pa.list_(pa.uint32())),
+            }
+        )
+
+    return sparse_ds.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+
+
 class GeomBurner:
     """Actor: burn broadcast WKB geometries into each tile's grid
     (rectangle-clip prefilter via bbox, then the exact kernels)."""
