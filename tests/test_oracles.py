@@ -27,6 +27,7 @@ FAST = [
     "cust_no_orders",
     "top_orders",
     "rasterize",
+    "multires",
 ]
 
 

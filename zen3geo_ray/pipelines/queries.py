@@ -32,7 +32,7 @@ KNN_K = 5
 ADMIN_NX, ADMIN_NY = 24, 12
 TILE_NX, TILE_NY, TILE_PX = 8, 4, 16
 
-KNN_QUERIES = [(0, -98.0, 39.0), (1, 10.0, 51.0), (2, 138.0, 36.0)]
+KNN_QUERIES = [(0, -98.0, 39.0), (1, 10.0, 51.0), (2, -3.0, 40.0)]
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -220,6 +220,35 @@ def q_rasterize(sf_dir: str):
         lambda b: rz.partial_histogram(b, tile_specs=specs), batch_format="pyarrow"
     )
     return sparse.groupby(["tile_id", "py", "px"]).aggregate(Sum("n", alias_name="n"))
+
+
+# --- multi-resolution rollup (docs/multi-resolution.md analog) ------------
+
+RES_COARSE = 2
+
+
+def q_multires(sf_dir: str):
+    """Hierarchical rollup: zonal at RES_ZONAL, then parent-cell (RES_COARSE)
+    re-aggregation — the DataTree lowres/highres analog as two keyed
+    aggregations sharing the cell hierarchy (integer parent arithmetic,
+    no re-geocode)."""
+    from ray.data.aggregate import Sum
+
+    fine = zonal.zonal_aggregate(
+        _geocoded(sf_dir, RES_ZONAL), ["cell"], {}
+    )
+
+    def add_parent(b: pa.Table) -> pa.Table:
+        c = b.column("cell").to_numpy(zero_copy_only=False)
+        p = cells.parent(c, RES_ZONAL, RES_COARSE)
+        return pa.table({"parent_cell": pa.array(p, pa.int64()),
+                         "n": b.column("n")})
+
+    return (
+        fine.map_batches(add_parent, batch_format="pyarrow")
+        .groupby("parent_cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
 
 # --- dedup / first-per-key / stack (SURVEY ops #7+#8 + dedup suite) -------
@@ -519,6 +548,16 @@ def build_oracles() -> dict[str, str]:
             f"'admin_' || iy || '_' || ix AS poly_name FROM j"
         ),
         "knn": _sql_knn(),
+        "multires": (
+            # mirror cells.parent integer arithmetic on the res-6 cell id
+            f"{_sql_geo_cte(RES_ZONAL)}, "
+            f"f AS (SELECT cell, COUNT(*) AS n FROM geo GROUP BY cell), "
+            f"p AS (SELECT ((cell // {2 << RES_ZONAL}) // {1 << (RES_ZONAL - RES_COARSE)})"
+            f" * {2 << RES_COARSE} + ((cell % {2 << RES_ZONAL}) // "
+            f"{1 << (RES_ZONAL - RES_COARSE)}) AS parent_cell, n FROM f) "
+            f"SELECT parent_cell, CAST(SUM(n) AS BIGINT) AS n FROM p "
+            f"GROUP BY parent_cell"
+        ),
         "chips": """
 WITH s AS (
   SELECT p_partkey AS scene_id,
@@ -607,6 +646,7 @@ def build_queries() -> dict:
         "zonal": q_zonal,
         "pip_admin": q_pip_admin,
         "knn": q_knn,
+        "multires": q_multires,
         "chips": q_chips,
         "rasterize": q_rasterize,
         "dedup_docs": q_dedup_docs,

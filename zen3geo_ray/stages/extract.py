@@ -65,16 +65,40 @@ def geocode_batch(batch: pa.Table, res: int = 12) -> pa.Table:
     )
 
 
+def extract_batch(batch: pa.Table, drop_html: bool = True,
+                  check: bool = False) -> pa.Table:
+    """Stateless task form of the extractor (regexes are module-level).
+
+    Preferred in pipelines: task-based stages share CPUs elastically with
+    the parquet read instead of reserving a fixed actor pool (a pool
+    sized to the node starves the read and serializes the pipeline).
+    Use the ``TextExtractor`` actor class when the extractor carries real
+    per-worker state (a model, a tokenizer).
+    """
+    return TextExtractor(drop_html=drop_html, check=check)(batch)
+
+
 def pages_to_points(pages_ds, res: int = 12, check_identity: bool = False,
                     concurrency=None, batch_size: int = 1024):
-    """The flagship slice as one lazy plan (streaming end to end)."""
-    pts = pages_ds.map_batches(
-        TextExtractor,
-        fn_constructor_kwargs={"drop_html": True, "check": check_identity},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or 2,
-    )
+    """The flagship slice as one lazy plan (streaming end to end).
+
+    concurrency=None (default) -> stateless tasks, fully elastic;
+    concurrency=N or (lo, hi) -> actor pool (for stateful extractors).
+    """
+    if concurrency:
+        pts = pages_ds.map_batches(
+            TextExtractor,
+            fn_constructor_kwargs={"drop_html": True, "check": check_identity},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        pts = pages_ds.map_batches(
+            lambda b: extract_batch(b, check=check_identity),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return pts.map_batches(
         lambda b: geocode_batch(b, res=res), batch_format="pyarrow"
     )

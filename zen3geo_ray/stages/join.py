@@ -194,6 +194,34 @@ class BoxClipJoin(_TreeHolder):
         return out
 
 
+_PROCESS_CACHE: dict = {}
+
+
+def make_pip_join_fn(blob_ref, how: str = "inner",
+                     lon_col: str = "lon", lat_col: str = "lat"):
+    """Task-form point-in-polygon join with a per-worker-process memoized
+    STRtree.
+
+    Actor pools reserve CPUs for the pipeline's whole lifetime, which can
+    starve elastic stages (the parquet read) on a shared node.  This
+    returns a plain function for ``map_batches`` (tasks, elastic); the
+    index is built once per WORKER PROCESS (keyed by the object ref) and
+    reused across all tasks that land there — the same amortization an
+    actor gives, without the reservation.
+    """
+    key = ("pip", str(blob_ref), how, lon_col, lat_col)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        j = _PROCESS_CACHE.get(key)
+        if j is None:
+            j = PointInPolygonJoin(blob_ref, how=how, lon_col=lon_col,
+                                   lat_col=lat_col)
+            _PROCESS_CACHE[key] = j
+        return j(batch)
+
+    return join_batch
+
+
 def broadcast_lookup_join(
     batch: pa.Table,
     *,

@@ -122,12 +122,21 @@ class KRingKNN:
 
 
 def finalize_topk(ds, k: int, by: str = "query_id", metric: str = "dist_km",
-                  ascending: bool = True):
-    """Final per-query top-k over the partial candidates (small shuffle)."""
+                  ascending: bool = True, tie_cols: list[str] | None = None):
+    """Final per-query top-k over the partial candidates (small shuffle).
+
+    Ties on the metric are broken by ``tie_cols`` (default: every other
+    column, sorted ascending) so the selection is deterministic under any
+    partitioning."""
     import pandas as pd
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(metric, ascending=ascending, kind="mergesort").head(k)
+        ties = tie_cols or [c for c in g.columns if c not in (by, metric)]
+        g = g.sort_values(
+            [metric] + ties,
+            ascending=[ascending] + [True] * len(ties),
+            kind="mergesort",
+        ).head(k)
         g["rank"] = np.arange(1, len(g) + 1)
         return g
 

@@ -382,9 +382,14 @@ class GeomBurner:
     (rectangle-clip prefilter via bbox, then the exact kernels)."""
 
     def __init__(self, wkb_ref, agg: str | None = None):
-        import ray
+        blobs = wkb_ref
+        try:
+            import ray
 
-        blobs = ray.get(wkb_ref)
+            if isinstance(wkb_ref, ray.ObjectRef):
+                blobs = ray.get(wkb_ref)
+        except (ImportError, TypeError):
+            pass
         self.geoms = [wkb.loads(b) for b in blobs]
         self.bounds = [wkb.bounds(g) for g in self.geoms]
         self.agg = agg
