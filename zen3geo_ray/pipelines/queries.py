@@ -449,6 +449,41 @@ def q_top_orders(sf_dir: str):
     ).limit(10)
 
 
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) as two exact keyed reductions: dedup on the pair
+    key (partial per batch), then count per group — the shuffle moves one
+    row per distinct pair, not per event."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ev.map_batches(
+        lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    # global dedup of pairs, then count per event_type
+    distinct = pairs.groupby(["event_type", "user_id"]).count()
+    counted = distinct.map_batches(
+        lambda b: pa.table(
+            {"event_type": b.column("event_type"),
+             "one": pa.array(np.ones(len(b), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return counted.groupby("event_type").aggregate(Sum("one", alias_name="n_users"))
+
+
+def q_prepost(sf_dir: str):
+    """Pre/post-event split (docs/stacking.md:468-487 analog): tag each
+    event against a cutoff, count per (event_type, phase)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    cutoff = np.datetime64("2024-02-15T00:00:00", "us")
+    tagged = stack.split_by_time(ev, "ts", cutoff)
+    only = tagged.map_batches(
+        lambda b: b.select(["event_type", "phase"]), batch_format="pyarrow"
+    )
+    return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
+
+
 def q_events_hourly(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "event_type"])
 
@@ -637,6 +672,15 @@ FROM cand QUALIFY rank <= 10
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "COUNT(*) AS n FROM events GROUP BY event_type, hour"
         ),
+        "distinct_users": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"
+        ),
+        "prepost": (
+            "SELECT event_type, CASE WHEN ts < TIMESTAMP '2024-02-15' "
+            "THEN 'pre' ELSE 'post' END AS phase, COUNT(*) AS n "
+            "FROM events GROUP BY event_type, phase"
+        ),
     }
 
 
@@ -664,4 +708,6 @@ def build_queries() -> dict:
         "cust_no_orders": q_cust_no_orders,
         "top_orders": q_top_orders,
         "events_hourly": q_events_hourly,
+        "distinct_users": q_distinct_users,
+        "prepost": q_prepost,
     }
