@@ -272,22 +272,25 @@ def q_first_event(sf_dir: str):
 
 
 def q_user_series(sf_dir: str):
+    """Per-user ordered series summary via the coarse-bucket pattern: one
+    vectorized pandas aggregation per bucket, not one call per user."""
     import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_layers": [np.int64(len(g))],
-                "first_v": [g["value"].iloc[0]],
-                "last_v": [g["value"].iloc[-1]],
-            }
+        out = g.groupby("user_id", sort=False).agg(
+            n_layers=("value", "size"),
+            first_v=("value", "first"),
+            last_v=("value", "last"),
         )
+        out["n_layers"] = out["n_layers"].astype(np.int64)
+        return out.reset_index()
 
-    return ev.groupby("user_id").map_groups(agg, batch_format="pandas")
+    return bucketed_groupby(ev, ["user_id"], agg)
 
 
 def q_topk_cells(sf_dir: str):

@@ -275,7 +275,7 @@ class TileRasterizer:
     and fetched once per actor here (never re-shipped per batch)."""
 
     def __init__(self, tile_specs_ref=None, tile_specs: pa.Table | None = None,
-                 agg: str = "count"):
+                 agg: str = "count", value_col: str | None = None):
         if tile_specs is None:
             import ray
 
@@ -284,25 +284,37 @@ class TileRasterizer:
             int(r["tile_id"]): r for r in tile_specs.to_pylist()
         }
         self.agg = agg
+        if agg in ("sum", "max", "min") and not value_col:
+            raise ValueError(f"agg={agg!r} needs value_col")
+        self.value_col = value_col
 
     def __call__(self, group: pa.Table) -> pa.Table:
         tid = int(group.column("tile_id")[0].as_py())
         spec = self.specs[tid]
+        weights = (
+            group.column(self.value_col).to_numpy(zero_copy_only=False)
+            if self.value_col
+            else None
+        )
         grid = raster_points(
             group.column("lon").to_numpy(zero_copy_only=False),
             group.column("lat").to_numpy(zero_copy_only=False),
             spec["width"],
             spec["height"],
             (spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"]),
+            weights=weights,
             agg=self.agg,
         )[::-1]  # row 0 = North
+        if self.agg in ("count", "any"):
+            data = pa.array([grid.ravel().astype(np.uint32)], pa.list_(pa.uint32()))
+        else:
+            data = pa.array([grid.ravel().astype(np.float64)], pa.list_(pa.float64()))
         return pa.table(
             {
                 "tile_id": pa.array([tid], pa.int64()),
                 "height": pa.array([grid.shape[0]], pa.int32()),
                 "width": pa.array([grid.shape[1]], pa.int32()),
-                "data": pa.array([grid.ravel().astype(np.uint32)],
-                                 pa.list_(pa.uint32())),
+                "data": data,
             }
         )
 
