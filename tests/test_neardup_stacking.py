@@ -1,0 +1,84 @@
+"""End-to-end near-dup verification pipeline + stacking walkthrough tests."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.pipelines.walkthroughs import stacking_pipeline
+from zen3geo_ray.sources.corpus import pages_table
+from zen3geo_ray.stages.dedup import near_dup_pipeline
+
+
+def test_near_dup_pipeline_finds_planted_dups(ray_session):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of golden wheat toward the river crossing "
+    )
+    docs = pa.table(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                base * 3,
+                base * 3 + "extra tail",
+                "a completely different document about database systems " * 4,
+                "yet another unrelated text concerning mountain weather " * 4,
+                base * 3 + "tiny",
+                "short",
+            ],
+        }
+    )
+    out = near_dup_pipeline(
+        rd.from_arrow(docs), id_col="doc_id", threshold=0.7
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    # 0/1/4 are near-identical -> verified pairs anchored at min id 0
+    assert (0, 1) in pairs and (0, 4) in pairs
+    # unrelated docs never verified against each other
+    assert all(a == 0 for a, b in pairs)
+    assert (out["jaccard"] >= 0.7).all()
+
+
+def test_near_dup_pipeline_no_candidates(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "first totally distinct content about oceans " * 3,
+                "second document on an entirely different topic " * 3,
+            ],
+        }
+    )
+    out = near_dup_pipeline(rd.from_arrow(docs), id_col="doc_id")
+    assert out.count() == 0
+
+
+def test_stacking_pipeline(ray_session):
+    pages = pages_table(400)
+    stacked, mosaic = stacking_pipeline(rd.from_arrow(pages), res=4)
+    st = stacked.to_pandas()
+    mo = mosaic.to_pandas()
+    assert st["n_layers"].sum() == 400
+    assert set(st["cell"]) == set(mo["cell"])
+    # mosaic keeps the first (warc_ts, url) row per cell
+    pdf = pages.to_pandas()
+    from zen3geo_ray.functions.geocode import geocode_url
+    from zen3geo_ray.geom import cells as cellmod
+
+    lon, lat = geocode_url(pdf["url"].tolist(), pdf["lang"].tolist())
+    pdf["cell"] = cellmod.cell_of(lon, lat, 4)
+    exp = (
+        pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        .groupby("cell")
+        .first()
+        .reset_index()
+    )
+    merged = mo.merge(exp[["cell", "url"]], on="cell", suffixes=("", "_exp"))
+    assert (merged["url"] == merged["url_exp"]).all()
+    # stacks are time-ordered
+    row = st.iloc[int(np.argmax(st["n_layers"].to_numpy()))]
+    stack_urls = list(row["url_stack"])
+    cell_rows = pdf[pdf.cell == row["cell"]].sort_values(
+        ["warc_ts", "url"], kind="mergesort"
+    )
+    assert stack_urls == cell_rows["url"].tolist()

@@ -112,6 +112,26 @@ def geobox_to_imgbox(batch: pa.Table) -> pa.Table:
     )
 
 
+def stacking_pipeline(pages_ds, *, res: int = 8, concurrency=None):
+    """The stacking walkthrough analog (``docs/stacking.md``): corpus →
+    points → group by cell → stack page timestamps/urls along time
+    (op #7) + first-valid mosaic per cell (op #8), order made explicit by
+    (warc_ts, url).
+
+    Returns (stacked_ds, mosaic_ds) — two keyed Datasets sharing the cell
+    key (the fork/zip of the reference becomes key-aligned reuse).
+    """
+    from ..stages.stack import first_valid_mosaic, stack_series
+
+    points = pages_to_points(pages_ds, res=res, concurrency=concurrency)
+    slim = points.map_batches(
+        lambda b: b.select(["url", "warc_ts", "cell"]), batch_format="pyarrow"
+    ).materialize()  # fork point: two branches reuse one materialization
+    stacked = stack_series(slim, ["cell"], ["warc_ts", "url"], "url")
+    mosaic = first_valid_mosaic(slim, ["cell"], ["warc_ts", "url"], ["url", "warc_ts"])
+    return stacked, mosaic
+
+
 def detection_pipeline(scenes_ds, polygons: pa.Table, *,
                        scene_transforms: dict, chip_h=128, chip_w=128,
                        concurrency: int | None = None):

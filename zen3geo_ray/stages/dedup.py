@@ -152,6 +152,69 @@ def verify_pairs(batch: pa.Table, *, texts_lookup: dict, a_col: str, b_col: str,
     return out.filter(pa.array(sim >= threshold))
 
 
+def near_dup_pipeline(docs_ds, *, id_col: str, text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, k: int = 5,
+                      threshold: float = 0.8, max_verify: int = 200_000):
+    """End-to-end near-dup: LSH candidate pairs → exact Jaccard verify →
+    verified dup groups.
+
+    Candidate pairs come from LSH buckets (one (min_id, other_id) pair per
+    bucket member); verification needs both texts — the verified set is
+    gathered via a broadcast text lookup of only the CANDIDATE ids
+    (bounded by ``max_verify``; at larger candidate volumes partition the
+    pair list by min_id range and join texts per partition instead).
+    Returns a Dataset of (id, dup_group, jaccard) for verified pairs.
+    """
+    import ray
+
+    from .bucketed import bucketed_groupby
+
+    bands_ds = docs_ds.map_batches(
+        lambda b: minhash_bands(b, id_col=id_col, text_col=text_col,
+                                num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gm = g.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("min")
+        out = pd.DataFrame({"a": gm, "b": g[id_col]})
+        out = out[out.a != out.b].drop_duplicates()
+        return out
+
+    pairs = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_pairs)
+    pairs_tbl = pairs.limit(max_verify).to_pandas().drop_duplicates()
+    if len(pairs_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_items([])
+    cand_ids = set(pairs_tbl["a"]) | set(pairs_tbl["b"])
+
+    def collect_texts(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, np.fromiter(cand_ids, dtype=ids.dtype))
+        return b.filter(pa.array(mask)).select([id_col, text_col])
+
+    texts = docs_ds.map_batches(collect_texts, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(texts[id_col], texts[text_col]))
+    lookup_ref = ray.put(lookup) if ray.is_initialized() else lookup
+
+    import ray.data as rd
+
+    pair_ds = rd.from_pandas(pairs_tbl)
+
+    def verify(b: pa.Table) -> pa.Table:
+        lk = lookup_ref
+        try:
+            if isinstance(lk, ray.ObjectRef):
+                lk = ray.get(lk)
+        except TypeError:
+            pass
+        return verify_pairs(b, texts_lookup=lk, a_col="a", b_col="b",
+                            k=k, threshold=threshold)
+
+    return pair_ds.map_batches(verify, batch_format="pyarrow")
+
+
 # --- exact dedup ----------------------------------------------------------
 
 
