@@ -94,9 +94,16 @@ def url_host(urls) -> np.ndarray:
 
 
 def geocode_url(urls, langs) -> tuple[np.ndarray, np.ndarray]:
-    """url + lang -> (lon, lat); host-hash based so hosts form hot cells."""
+    """url + lang -> (lon, lat); host-hash based so hosts form hot cells.
+
+    Hashing runs over the batch's UNIQUE hosts only (a Zipf host
+    distribution makes uniques ~sqrt(rows)), then scatters — the same
+    values as per-row hashing at a fraction of the work.
+    """
     hosts = url_host(urls)
-    h = fnv1a_str_array(hosts)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    hu = fnv1a_str_array(uniq)
+    h = hu[inv]
     lon0, lat0, spread = _anchor_arrays(langs)
     u1 = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     with np.errstate(over="ignore"):

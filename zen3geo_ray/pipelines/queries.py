@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..functions import hashing
 from ..functions import text as textfn
 from ..functions.geocode import geocode_id, sql_geocode_exprs
 from ..geom import cells
@@ -501,6 +502,22 @@ def q_prepost(sf_dir: str):
     return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
 
 
+def q_sample(sf_dir: str):
+    """Deterministic ~10% sample via a hash predicate — reproducible
+    under any partitioning/retry (unlike RNG sampling) and replicable in
+    SQL (SURVEY §2.3 sampling)."""
+    from ..functions.hashing import knuth_unit
+
+    def flt(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = knuth_unit(key * 7 + 1) < 0.1
+        return b.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        flt, batch_format="pyarrow"
+    )
+
+
 def q_join_agg(sf_dir: str):
     """Large x large hash join (orders x lineitem on orderkey) followed by
     a partial-final aggregate — the non-broadcast join path
@@ -714,6 +731,10 @@ FROM cand QUALIFY rank <= 10
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "COUNT(*) AS n FROM events GROUP BY event_type, hour"
         ),
+        "sample": (
+            f"SELECT doc_id, lang FROM documents WHERE "
+            f"{hashing.sql_knuth_unit_expr('doc_id * 7 + 1')} < 0.1"
+        ),
         "join_agg": (
             "SELECT o.o_orderpriority, COUNT(*) AS n, "
             "SUM(l.l_quantity) AS l_quantity_sum "
@@ -756,6 +777,7 @@ def build_queries() -> dict:
         "cust_no_orders": q_cust_no_orders,
         "top_orders": q_top_orders,
         "events_hourly": q_events_hourly,
+        "sample": q_sample,
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "prepost": q_prepost,
