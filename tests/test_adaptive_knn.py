@@ -1,0 +1,72 @@
+"""Adaptive (growing-ring) kNN + resumable corpus-points write tests."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.geom import cells
+from zen3geo_ray.sources.corpus import pages_table
+from zen3geo_ray.stages.extract import pages_to_points
+from zen3geo_ray.stages.knn import adaptive_knn, haversine_km
+from zen3geo_ray.state import lineage
+
+
+def test_adaptive_knn_grows_ring_for_sparse_regions(ray_session):
+    rng = np.random.default_rng(5)
+    lon = np.concatenate([rng.uniform(-5, 5, 2000), rng.uniform(85, 95, 8)])
+    lat = np.concatenate([rng.uniform(40, 50, 2000), rng.uniform(-45, -35, 8)])
+    res = 6
+    tbl = pa.table(
+        {
+            "pid": np.arange(len(lon)),
+            "lon": lon,
+            "lat": lat,
+            "cell": cells.cell_of(lon, lat, res),
+        }
+    )
+    queries = {
+        "query_id": np.array([0, 1]),
+        "lon": np.array([0.0, 90.0]),
+        "lat": np.array([45.0, -40.0]),
+    }
+    out = adaptive_knn(
+        rd.from_arrow(tbl), queries, res=res, k=5, ring_k=1, max_ring=16
+    ).to_pandas()
+    # both the dense and the sparse query reach full k
+    assert (out.groupby("query_id").size() == 5).all()
+    for qid, (qlon, qlat) in enumerate(zip(queries["lon"], queries["lat"])):
+        d = haversine_km(qlon, qlat, lon, lat)
+        exp = set(np.argsort(d, kind="stable")[:5].tolist())
+        assert set(out[out.query_id == qid]["pid"]) == exp
+
+
+def test_resumable_points_write_by_coarse_cell(ray_session, tmp_path):
+    out_dir = str(tmp_path / "points")
+    pages = pages_table(500)
+
+    def run():
+        pts = pages_to_points(rd.from_arrow(pages), res=10)
+        parted = pts.map_batches(
+            lambda b: b.append_column(
+                "part_cell",
+                pa.array(
+                    cells.parent(
+                        b.column("cell").to_numpy(zero_copy_only=False), 10, 2
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        return lineage.resumable_write(parted, out_dir, "part_cell").to_pandas()
+
+    m1 = run()
+    assert m1["rows"].sum() == 500
+    back = lineage.read_partitioned(out_dir)
+    assert back.count() == 500
+    # resume skips everything
+    m2 = run()
+    assert len(m2) == 0
+    # manifest doubles as metrics: per-partition rows + wall time
+    man = lineage.load_manifest(out_dir)
+    assert man["rows"].sum() == 500 and (man["wall_s"] >= 0).all()

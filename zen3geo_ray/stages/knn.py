@@ -121,6 +121,45 @@ class KRingKNN:
         return out
 
 
+def adaptive_knn(points_ds, queries: dict, *, res: int, k: int,
+                 ring_k: int = 2, max_ring: int = 16,
+                 keep_cols: list[str] | None = None):
+    """k-ring kNN with ring growth: queries that found fewer than k
+    neighbors re-run with a doubled ring until satisfied or max_ring.
+
+    Each round scans the dataset once but only for the UNSATISFIED
+    queries (the broadcast ring lookup shrinks), so the common case is
+    one pass and sparse-region queries cost extra passes, not a global
+    shuffle.  Returns the finalized top-k Dataset (columns: keep_cols +
+    query_id, dist_km, rank).
+    """
+    import pandas as pd
+
+    remaining = {
+        "query_id": np.asarray(queries["query_id"], dtype=np.int64),
+        "lon": np.asarray(queries["lon"], dtype=np.float64),
+        "lat": np.asarray(queries["lat"], dtype=np.float64),
+    }
+    results: list[pd.DataFrame] = []
+    ring = ring_k
+    while len(remaining["query_id"]) and ring <= max_ring:
+        j = KRingKNN(remaining, res=res, ring_k=ring, k=k, keep_cols=keep_cols)
+        partial = points_ds.map_batches(j, batch_format="pyarrow")
+        got = finalize_topk(partial, k).to_pandas()
+        counts = got.groupby("query_id").size()
+        satisfied = set(counts[counts >= k].index)
+        if ring * 2 > max_ring:  # last round: keep whatever was found
+            satisfied |= set(remaining["query_id"].tolist())
+        results.append(got[got["query_id"].isin(satisfied)])
+        keep = ~np.isin(remaining["query_id"], np.fromiter(satisfied, dtype=np.int64, count=len(satisfied)) if satisfied else np.empty(0, dtype=np.int64))
+        remaining = {kk: v[keep] for kk, v in remaining.items()}
+        ring *= 2
+    import ray.data as rd
+
+    out = pd.concat(results, ignore_index=True) if results else pd.DataFrame()
+    return rd.from_pandas(out) if len(out) else rd.from_items([])
+
+
 def finalize_topk(ds, k: int, by: str = "query_id", metric: str = "dist_km",
                   ascending: bool = True, tie_cols: list[str] | None = None):
     """Final per-query top-k over the partial candidates (small shuffle).
