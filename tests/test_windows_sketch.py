@@ -1,0 +1,87 @@
+"""Windowing (sliding/session) and HLL-sketch tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray.stages import sketch, windows
+
+
+def test_sliding_window_expand():
+    ts = np.array(["2024-01-01T00:30", "2024-01-01T02:30"], dtype="datetime64[us]")
+    batch = pa.table({"ts": ts, "k": ["a", "b"]})
+    out = windows.sliding_window_expand(
+        batch, ts_col="ts", size_units=3, unit_us=3_600_000_000, keep_cols=["k"]
+    ).to_pandas()
+    # each row lands in 3 windows ending at its own hour
+    assert len(out) == 6
+    h0 = int(ts[0].astype("datetime64[us]").astype(np.int64) // 3_600_000_000)
+    assert sorted(out[out.k == "a"]["window"]) == [h0 - 2, h0 - 1, h0]
+
+
+def test_sessionize_matches_pandas(ray_session):
+    rng = np.random.default_rng(0)
+    n = 3000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + np.sort(rng.integers(0, 86_400_000_000, n)).astype("timedelta64[us]")
+    user = rng.integers(0, 40, n)
+    tbl = pa.table({"user_id": user, "ts": ts})
+    gap = 15 * 60 * 1_000_000
+    out = windows.sessionize(
+        rd.from_arrow(tbl).repartition(6), key_col="user_id", ts_col="ts",
+        gap_us=gap,
+    ).to_pandas()
+    # pandas oracle
+    df = pd.DataFrame({"user_id": user, "t": ts.astype(np.int64)}).sort_values(
+        ["user_id", "t"], kind="mergesort"
+    )
+    new = (df.groupby("user_id")["t"].diff().fillna(gap + 1) > gap).astype(int)
+    df["sid"] = new.groupby(df["user_id"]).cumsum() - 1
+    exp = (
+        df.groupby(["user_id", "sid"])
+        .agg(n_events=("t", "size"), start_us=("t", "min"), end_us=("t", "max"))
+        .reset_index()
+        .rename(columns={"sid": "session_idx"})
+    )
+    g = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    for c in ("user_id", "session_idx", "n_events", "start_us", "end_us"):
+        assert np.array_equal(g[c].to_numpy().astype(np.int64),
+                              e[c].to_numpy().astype(np.int64)), c
+
+
+def test_hll_accuracy():
+    rng = np.random.default_rng(1)
+    for true_n in (50, 5_000, 200_000):
+        vals = rng.integers(0, 1 << 60, true_n).astype(np.uint64)
+        regs = sketch.hll_from_hashes(sketch.splitmix64(vals))
+        est = sketch.hll_estimate(regs)
+        assert est == pytest.approx(true_n, rel=0.06)
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 1 << 60, 10_000).astype(np.uint64)
+    b = rng.integers(0, 1 << 60, 10_000).astype(np.uint64)
+    ra = sketch.hll_from_hashes(sketch.splitmix64(a))
+    rb = sketch.hll_from_hashes(sketch.splitmix64(b))
+    runion = sketch.hll_from_hashes(sketch.splitmix64(np.concatenate([a, b])))
+    assert np.array_equal(sketch.hll_merge(ra, rb), runion)
+
+
+def test_approx_distinct_pipeline(ray_session):
+    rng = np.random.default_rng(3)
+    n = 30_000
+    key = rng.integers(0, 3, n)
+    val = rng.integers(0, 2_000, n)
+    tbl = pa.table({"k": key, "v": val})
+    out = sketch.approx_distinct(
+        rd.from_arrow(tbl).repartition(8), ["k"], "v"
+    ).to_pandas()
+    exact = pd.DataFrame({"k": key, "v": val}).groupby("k")["v"].nunique()
+    for _, row in out.iterrows():
+        assert row["approx_distinct"] == pytest.approx(exact[row["k"]], rel=0.08)

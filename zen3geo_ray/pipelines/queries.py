@@ -467,6 +467,31 @@ def q_top_orders(sf_dir: str):
     ).limit(10)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+SLIDE_SIZE_UNITS = 3  # 3-hour windows stepping 1 hour
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped op; gaps-and-islands
+    oracle)."""
+    from ..stages.windows import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ev, key_col="user_id", ts_col="ts", gap_us=SESSION_GAP_US)
+
+
+def q_sliding(sf_dir: str):
+    """Sliding 3h/1h window counts per event_type (fan-out + partial
+    count)."""
+    from ..stages.windows import sliding_count
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return sliding_count(
+        ev, ts_col="ts", key_col="event_type",
+        size_units=SLIDE_SIZE_UNITS, unit_us=3_600_000_000,
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """COUNT(DISTINCT) as two exact keyed reductions: dedup on the pair
     key (partial per batch), then count per group — the shuffle moves one
@@ -745,6 +770,33 @@ FROM cand QUALIFY rank <= 10
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"
         ),
+        "sessions": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+flags AS (
+  SELECT user_id, t,
+         CASE WHEN LAG(t) OVER w IS NULL
+                   OR t - LAG(t) OVER w > {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
+  FROM flags
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(t) AS start_us, MAX(t) AS end_us
+FROM sess GROUP BY user_id, session_idx
+""",
+        "sliding": f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS u FROM events)
+SELECT event_type, u - o.off AS window, COUNT(*) AS n
+FROM e, LATERAL (SELECT unnest(range({SLIDE_SIZE_UNITS})) AS off) o
+GROUP BY event_type, u - o.off
+""",
         "prepost": (
             "SELECT event_type, CASE WHEN ts < TIMESTAMP '2024-02-15' "
             "THEN 'pre' ELSE 'post' END AS phase, COUNT(*) AS n "
@@ -781,4 +833,6 @@ def build_queries() -> dict:
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "prepost": q_prepost,
+        "sessions": q_sessions,
+        "sliding": q_sliding,
     }
