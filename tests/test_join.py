@@ -126,3 +126,22 @@ def test_pip_join_in_ray_pipeline(ray_session):
     assert out.count() == n
     schema_names = out.schema().names
     assert "poly_id" in schema_names and "poly_name" in schema_names
+
+
+def test_pip_join_large_polygon_layer():
+    # 10k-rect layer: STRtree candidates + exact PIP must equal direct
+    # grid arithmetic (deep-tree correctness at realistic layer sizes)
+    grid = admin_grid(nx=125, ny=80)  # 10,000 rectangles
+    j = PointInPolygonJoin(polygons_to_blob(grid), how="inner")
+    rng = np.random.default_rng(23)
+    n = 20_000
+    lon = rng.uniform(-179.99, 179.99, n)
+    lat = rng.uniform(-89.99, 89.99, n)
+    out = j(pa.table({"i": np.arange(n), "lon": lon, "lat": lat}))
+    assert out.num_rows == n
+    ix = np.floor((lon + 180) / (360 / 125)).astype(int)
+    iy = np.floor((lat + 90) / (180 / 80)).astype(int)
+    expected = iy * 125 + ix
+    got = np.empty(n, dtype=int)
+    got[out.column("i").to_numpy()] = out.column("poly_id").to_numpy()
+    assert np.array_equal(got, expected)

@@ -82,3 +82,24 @@ def test_stacking_pipeline(ray_session):
         ["warc_ts", "url"], kind="mergesort"
     )
     assert stack_urls == cell_rows["url"].tolist()
+
+
+def test_simhash_near_dup_groups(ray_session):
+    from zen3geo_ray.stages.dedup import simhash_near_dup_groups
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds are singing in the morning light of early spring "
+    )
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base * 4, base * 4 + "!", "totally different topic words " * 8],
+        }
+    )
+    out = simhash_near_dup_groups(
+        rd.from_arrow(docs), id_col="doc_id"
+    ).to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert g[1] == g[2] == 1
+    assert g[3] == 3

@@ -28,6 +28,17 @@ FAST = [
     "top_orders",
     "rasterize",
     "multires",
+    "sample",
+    "join_agg",
+    "distinct_users",
+    "prepost",
+    "sessions",
+    "sliding",
+    "user_series",
+    "quality",
+    "events_hourly",
+    "ann",
+    "chips",
 ]
 
 

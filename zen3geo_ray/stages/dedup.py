@@ -128,6 +128,48 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(h.astype(np.int64), pa.int64()))
 
 
+def simhash_near_dup_groups(docs_ds, *, id_col: str, text_col: str = "text",
+                            n_bands: int = 4):
+    """SimHash near-dup grouping: split the 64-bit fingerprint into
+    ``n_bands`` bands; docs sharing ANY band are grouped (catches pairs
+    with Hamming distance < n_bands by pigeonhole).  Same LSH-banding
+    shuffle shape as MinHash — only (id, band, band_bits) rows move."""
+    from ray.data.aggregate import Min
+
+    from .bucketed import bucketed_groupby
+
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch.column(text_col).to_pylist())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        cols_id, cols_band, cols_bits = [], [], []
+        with np.errstate(over="ignore"):
+            for b in range(n_bands):
+                bits = (h >> np.uint64(b * width)) & mask
+                cols_id.append(ids)
+                cols_band.append(np.full(n, b, dtype=np.int32))
+                cols_bits.append(bits.astype(np.int64))
+        return pa.table(
+            {
+                id_col: np.concatenate(cols_id),
+                "band_id": pa.array(np.concatenate(cols_band), pa.int32()),
+                "band_bits": pa.array(np.concatenate(cols_bits), pa.int64()),
+            }
+        )
+
+    bands_ds = docs_ds.map_batches(bands, batch_format="pyarrow")
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        gm = g.groupby(["band_id", "band_bits"], sort=False)[id_col].transform("min")
+        return pd.DataFrame({id_col: g[id_col], "dup_group": gm})
+
+    grouped = bucketed_groupby(bands_ds, ["band_id", "band_bits"], bucket_min)
+    return grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
+
+
 # --- n-gram jaccard -------------------------------------------------------
 
 
