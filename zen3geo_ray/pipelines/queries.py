@@ -492,6 +492,32 @@ def q_sliding(sf_dir: str):
     )
 
 
+def q_parse_props(sf_dir: str):
+    """Parser op: extract the integer payload from the events ``props``
+    JSON-ish string column ('{"k": 69}') and aggregate it — the
+    per-record parser category (SURVEY §2.3), regex mirrored in SQL."""
+    import re
+
+    pat = re.compile(r"[0-9]+")
+
+    def parse(b: pa.Table) -> pa.Table:
+        props = b.column("props").to_pylist()
+        k = np.fromiter(
+            (int(m.group()) if (m := pat.search(p or "")) else 0 for p in props),
+            dtype=np.int64,
+            count=len(props),
+        )
+        return pa.table({"event_type": b.column("event_type"),
+                         "k": pa.array(k, pa.int64())})
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    return zonal.zonal_aggregate(
+        ev.map_batches(parse, batch_format="pyarrow"),
+        ["event_type"],
+        {"k": ["sum", "max"]},
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """COUNT(DISTINCT) as two exact keyed reductions: dedup on the pair
     key (partial per batch), then count per group — the shuffle moves one
@@ -770,6 +796,14 @@ FROM cand QUALIFY rank <= 10
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"
         ),
+        "parse_props": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) "
+            "AS k_sum, "
+            "CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) "
+            "AS k_max "
+            "FROM events GROUP BY event_type"
+        ),
         "sessions": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
 flags AS (
@@ -833,6 +867,7 @@ def build_queries() -> dict:
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "prepost": q_prepost,
+        "parse_props": q_parse_props,
         "sessions": q_sessions,
         "sliding": q_sliding,
     }
