@@ -131,3 +131,33 @@ def test_rolling_fingerprint_stability():
         ["hello world, how are you?", "hello world, how are you? ok"]
     )
     assert fp2[0] == fp2[1]
+
+
+def test_bloom_filter_no_false_negatives():
+    from zen3geo_ray.functions.bloom import BloomFilter
+
+    rng = np.random.default_rng(6)
+    members = rng.integers(0, 1 << 62, 20_000).astype(np.uint64)
+    bf = BloomFilter.build(members)
+    assert bf.contains(members).all()  # zero false negatives, always
+    probes = rng.integers(0, 1 << 62, 20_000).astype(np.uint64)
+    fresh = probes[~np.isin(probes, members)]
+    fp_rate = bf.contains(fresh).mean()
+    assert fp_rate < 0.03  # ~1% expected at 10 bits/key
+
+
+def test_bloom_semi_join(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from zen3geo_ray.functions.bloom import BloomFilter, bloom_semi_join
+
+    keys = np.arange(0, 1000, 2)  # even keys are members
+    bf = BloomFilter.build(keys.astype(np.uint64))
+    ref = ray.put(bf)
+    ds = rd.from_arrow(pa.table({"k": np.arange(1000)}))
+    semi = bloom_semi_join(ds, ref, "k").to_pandas()
+    assert set(keys) <= set(semi["k"])  # superset: no member missed
+    anti = bloom_semi_join(ds, ref, "k", anti=True).to_pandas()
+    assert set(anti["k"]).isdisjoint(set(keys))  # no member survives anti
