@@ -66,3 +66,25 @@ def test_split_by_time(ray_session):
         rd.from_arrow(tbl), "ts", np.datetime64("2024-07-01", "us")
     ).to_pandas()
     assert out.sort_values("v")["phase"].tolist() == ["pre", "pre", "post"]
+
+
+def test_geom_burner_missing_crs_errors():
+    # reference parity: canvas without crs -> AttributeError
+    # (test_datapipes_datashader.py:107-122)
+    import pytest
+
+    pent = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+    tiles = pa.table(
+        {
+            "tile_id": [0],
+            "width": pa.array([14], pa.int32()),
+            "height": pa.array([10], pa.int32()),
+            "xmin": [1.0],
+            "ymin": [0.0],
+            "xmax": [8.0],
+            "ymax": [5.0],
+            "crs": pa.array([None], pa.string()),
+        }
+    )
+    with pytest.raises(AttributeError, match="Missing crs information"):
+        GeomBurner([wkb.dumps(pent)])(tiles)

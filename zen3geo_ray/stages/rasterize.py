@@ -410,6 +410,12 @@ class GeomBurner:
         rows = batch.to_pylist()
         out_rows = {k: [] for k in ("tile_id", "height", "width", "data", "agg")}
         for r in rows:
+            # reference parity: a canvas without CRS is an error
+            # (datashader.py:195-212, "Missing crs information")
+            if "crs" in r and not r["crs"]:
+                raise AttributeError(
+                    f"Missing crs information for canvas tile_id={r['tile_id']}"
+                )
             bb = (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
             geoms = [
                 g
