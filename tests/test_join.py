@@ -145,3 +145,28 @@ def test_pip_join_large_polygon_layer():
     got = np.empty(n, dtype=int)
     got[out.column("i").to_numpy()] = out.column("poly_id").to_numpy()
     assert np.array_equal(got, expected)
+
+
+def test_box_clip_join_multi_crs(boxes_blob):
+    # reference different-CRS case (test_datapipes_geopandas.py:93-156):
+    # vector reprojected to each chip's CRS before clipping
+    chips = pa.table(
+        {
+            "chip_id": [0, 1],
+            "bminx": [-166979.23618991036, 444414.4114896285],
+            "bminy": [-55646.75541526544, 276009.81064532325],
+            "bmaxx": [166988.3675623712, 777205.5384580799],
+            "bmaxy": [166998.31375292226, 497870.56195762416],
+            "crs": ["EPSG:3857", "EPSG:32631"],
+        }
+    )
+    out = BoxClipJoin(boxes_blob, crs_col="crs")(chips).to_pylist()
+    assert len(out) == 2
+    r0 = next(r for r in out if r["chip_id"] == 0)
+    golden0 = (0.0, 0.0, 166988.3675623712, 166998.31375292226)
+    for got, exp in zip((r0["cminx"], r0["cminy"], r0["cmaxx"], r0["cmaxy"]), golden0):
+        assert got == pytest.approx(exp, rel=1e-9, abs=1e-3)
+    r1 = next(r for r in out if r["chip_id"] == 1)
+    golden1 = (444414.4114896285, 276009.81064532325, 611163.137304327, 442194.9725083875)
+    for got, exp in zip((r1["cminx"], r1["cminy"], r1["cmaxx"], r1["cmaxy"]), golden1):
+        assert got == pytest.approx(exp, rel=1e-9, abs=1e-3)

@@ -148,28 +148,61 @@ class BoxClipJoin(_TreeHolder):
     """
 
     def __init__(self, blob_or_ref, keep_cols: list[str] | None = None,
-                 box_cols=("bminx", "bminy", "bmaxx", "bmaxy")):
+                 box_cols=("bminx", "bminy", "bmaxx", "bmaxy"),
+                 crs_col: str | None = None):
         super().__init__(blob_or_ref)
         self.keep_cols = keep_cols
         self.box_cols = box_cols
+        # geometries are stored in OGC:CRS84; when boxes carry a CRS
+        # column, each geometry is reprojected to the box CRS before the
+        # clip — the reference's behavior when vector.crs != raster.crs
+        # (geopandas.py:166-170).  Reprojections cached per CRS.
+        self.crs_col = crs_col
+        self._crs_cache: dict[str, list[dict]] = {}
+        self._tree_cache: dict[str, object] = {}
+
+    def _geoms_for(self, crs: str | None):
+        from ..geom import crs as crsmod
+        from ..geom.strtree import STRtree
+
+        if crs is None or crs.upper() in ("OGC:CRS84", "EPSG:4326", "CRS84"):
+            return self.geoms, self.tree
+        if crs not in self._crs_cache:
+            g = [crsmod.transform_geom(geom, crs) for geom in self.geoms]
+            b = np.asarray([wkb.bounds(x) for x in g], dtype=np.float64).reshape(-1, 4)
+            self._crs_cache[crs] = g
+            self._tree_cache[crs] = STRtree(b[:, 0], b[:, 1], b[:, 2], b[:, 3])
+        return self._crs_cache[crs], self._tree_cache[crs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bx0 = batch.column(self.box_cols[0]).to_numpy(zero_copy_only=False)
         by0 = batch.column(self.box_cols[1]).to_numpy(zero_copy_only=False)
         bx1 = batch.column(self.box_cols[2]).to_numpy(zero_copy_only=False)
         by1 = batch.column(self.box_cols[3]).to_numpy(zero_copy_only=False)
-        qi, ii = self.tree.query_boxes(bx0, by0, bx1, by1)
+        if self.crs_col and self.crs_col in batch.column_names:
+            crss = batch.column(self.crs_col).to_pylist()
+        else:
+            crss = [None] * len(bx0)
         rows_q, rows_p, blobs, bnds = [], [], [], []
-        for q, i in zip(qi.tolist(), ii.tolist()):
-            clipped = clipmod.clip_geom_rect(
-                self.geoms[i], bx0[q], by0[q], bx1[q], by1[q]
-            )
-            if clipped is None:
-                continue
-            rows_q.append(q)
-            rows_p.append(self.poly_id[i])
-            blobs.append(wkb.dumps(clipped))
-            bnds.append(wkb.bounds(clipped))
+        # group rows by CRS so each reprojection + tree query runs once
+        by_crs: dict = {}
+        for idx, c in enumerate(crss):
+            by_crs.setdefault(c, []).append(idx)
+        for c, idxs in by_crs.items():
+            geoms, tree = self._geoms_for(c)
+            sel = np.asarray(idxs)
+            qi, ii = tree.query_boxes(bx0[sel], by0[sel], bx1[sel], by1[sel])
+            for q, i in zip(qi.tolist(), ii.tolist()):
+                gq = int(sel[q])
+                clipped = clipmod.clip_geom_rect(
+                    geoms[i], bx0[gq], by0[gq], bx1[gq], by1[gq]
+                )
+                if clipped is None:
+                    continue
+                rows_q.append(gq)
+                rows_p.append(self.poly_id[i])
+                blobs.append(wkb.dumps(clipped))
+                bnds.append(wkb.bounds(clipped))
         keep = self.keep_cols or batch.column_names
         if not rows_q:
             empty = batch.select(keep).slice(0, 0)
