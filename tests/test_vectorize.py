@@ -1,0 +1,88 @@
+"""Raster → vector conversion tests (round trip with rasterize)."""
+
+import numpy as np
+import pyarrow as pa
+
+from zen3geo_ray.geom import wkb
+from zen3geo_ray.stages import rasterize as rz
+from zen3geo_ray.stages import vectorize as vz
+
+
+def _tile_row(grid: np.ndarray, bounds=(1.0, 0.0, 8.0, 5.0), tile_id=0):
+    H, W = grid.shape
+    return pa.table(
+        {
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "height": pa.array([H], pa.int32()),
+            "width": pa.array([W], pa.int32()),
+            "xmin": [bounds[0]],
+            "ymin": [bounds[1]],
+            "xmax": [bounds[2]],
+            "ymax": [bounds[3]],
+            "data": pa.array([grid.ravel().astype(np.uint32)], pa.list_(pa.uint32())),
+        }
+    )
+
+
+def test_label_components():
+    mask = np.array(
+        [
+            [1, 1, 0, 0, 1],
+            [0, 1, 0, 1, 1],
+            [0, 0, 0, 0, 0],
+            [1, 0, 1, 1, 0],
+        ],
+        dtype=bool,
+    )
+    labels, n = vz.label_components(mask)
+    assert n == 4
+    assert labels[0, 0] == labels[1, 1]  # L-shape joined
+    assert labels[0, 4] == labels[1, 3]  # top-right pair joined
+    assert labels[3, 0] not in (labels[3, 2], 0)
+    # U-shape merge case (equivalence across a row)
+    u = np.array([[1, 0, 1], [1, 0, 1], [1, 1, 1]], dtype=bool)
+    labels_u, n_u = vz.label_components(u)
+    assert n_u == 1
+
+
+def test_raster_to_points_roundtrip():
+    # rasterize the golden pentagon, vectorize back to pixel points
+    pent = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+    grid, _ = rz.rasterize_geoms([pent], 14, 10, (1, 0, 8, 5))
+    pts = vz.raster_to_points(_tile_row(grid)).to_pandas()
+    assert len(pts) == 15  # golden sum
+    # pixel centers lie within the canvas
+    assert pts.lon.between(1, 8).all() and pts.lat.between(0, 5).all()
+    # re-rasterizing the points reproduces the mask
+    back = rz.raster_points(pts.lon.to_numpy(), pts.lat.to_numpy(), 14, 10,
+                            (1, 0, 8, 5), agg="any")[::-1]
+    assert np.array_equal(back, (grid > 0).astype(np.uint8))
+
+
+def test_raster_to_regions():
+    grid = np.zeros((10, 14), dtype=np.uint32)
+    grid[1:3, 1:4] = 2   # region A: 2x3 block, value 2
+    grid[7:9, 10:12] = 1  # region B: 2x2 block
+    out = vz.raster_to_regions(_tile_row(grid)).to_pandas()
+    assert len(out) == 2
+    a = out[out.pixel_count == 6].iloc[0]
+    assert a.value_sum == 12.0
+    # bbox: cols 1..3 of 0.5-wide pixels from xmin=1
+    assert a.rminx == 1.5 and a.rmaxx == 3.0
+    # rows 1..2 from the top (ymax=5): maxy = 5-0.5, miny = 5-1.5
+    assert a.rmaxy == 4.5 and a.rminy == 3.5
+    g = wkb.loads(a.region_wkb)
+    assert g["type"] == "Polygon"
+    assert wkb.bounds(g) == (1.5, 3.5, 3.0, 4.5)
+
+
+def test_vectorize_in_pipeline(ray_session):
+    import ray.data as rd
+
+    pent = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+    grid, _ = rz.rasterize_geoms([pent], 14, 10, (1, 0, 8, 5))
+    ds = rd.from_arrow(_tile_row(grid))
+    regions = ds.map_batches(
+        lambda b: vz.raster_to_regions(b), batch_format="pyarrow"
+    ).to_pandas()
+    assert regions["pixel_count"].sum() == 15

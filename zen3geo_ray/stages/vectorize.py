@@ -1,0 +1,154 @@
+"""Raster → vector conversion (the reverse of stages/rasterize.py).
+
+The north star calls for datashader-style raster↔vector conversion;
+rasterize covers vector→raster, this module covers the way back:
+
+* ``raster_to_points`` — nonzero (or thresholded) pixels -> point rows
+  at pixel centers with their values (mask → point cloud);
+* ``raster_to_regions`` — 4-connected components of the thresholded
+  mask -> one region row per component with pixel count and geographic
+  bbox + WKB box polygon (mask → polygons, bbox-level fidelity; exact
+  boundary tracing would slot in the same per-tile kernel).
+
+Both are per-tile map_batches transforms over raster rows (tile_id,
+height, width, data + tile bounds): embarrassingly parallel, no
+shuffle.  Connected-component labeling is a vectorized two-pass
+union-find in numpy (no scipy dependency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+
+
+def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labeling (two-pass union-find, vectorized).
+
+    Returns (labels int32 array with 0 = background, n_components).
+    """
+    H, W = mask.shape
+    labels = np.zeros((H, W), dtype=np.int32)
+    parent = [0]  # union-find; parent[0] unused
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = 1
+    # pass 1: provisional labels + equivalences (row-wise vectorized runs)
+    for y in range(H):
+        row = mask[y]
+        if not row.any():
+            continue
+        # run starts/ends in this row
+        padded = np.concatenate([[False], row, [False]])
+        starts = np.flatnonzero(~padded[:-1] & padded[1:])
+        ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+        for s, e in zip(starts, ends):
+            if y > 0:
+                above = labels[y - 1, s:e]
+                roots = np.unique(above[above > 0])
+            else:
+                roots = np.empty(0, dtype=np.int32)
+            if len(roots) == 0:
+                parent.append(nxt)
+                lab = nxt
+                nxt += 1
+            else:
+                lab = find(int(roots[0]))
+                for r in roots[1:]:
+                    rr = find(int(r))
+                    if rr != lab:
+                        parent[rr] = lab
+            labels[y, s:e] = lab
+    # pass 2: flatten equivalences, compact label ids
+    flat = np.array([find(i) for i in range(nxt)], dtype=np.int32)
+    uniq = np.unique(flat[1:]) if nxt > 1 else np.empty(0, dtype=np.int32)
+    remap = np.zeros(nxt, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    labels = remap[flat[labels]]
+    return labels, len(uniq)
+
+
+def raster_to_points(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
+    """Raster rows -> one point row per pixel with value > threshold.
+
+    Output: tile_id, lon, lat (pixel centers; row 0 = North), value.
+    Requires tile bounds columns (xmin..ymax).
+    """
+    out_t, out_lon, out_lat, out_v = [], [], [], []
+    for r in batch.to_pylist():
+        H, W = r["height"], r["width"]
+        grid = np.asarray(r["data"], dtype=np.float64).reshape(H, W)
+        ys, xs = np.nonzero(grid > threshold)
+        if len(ys) == 0:
+            continue
+        pw = (r["xmax"] - r["xmin"]) / W
+        ph = (r["ymax"] - r["ymin"]) / H
+        out_t.append(np.full(len(ys), r["tile_id"], dtype=np.int64))
+        out_lon.append(r["xmin"] + (xs + 0.5) * pw)
+        out_lat.append(r["ymax"] - (ys + 0.5) * ph)  # row 0 = North
+        out_v.append(grid[ys, xs])
+    if not out_t:
+        return pa.table({"tile_id": pa.array([], pa.int64()),
+                         "lon": pa.array([], pa.float64()),
+                         "lat": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    return pa.table({"tile_id": np.concatenate(out_t),
+                     "lon": np.concatenate(out_lon),
+                     "lat": np.concatenate(out_lat),
+                     "value": np.concatenate(out_v)})
+
+
+def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
+    """Raster rows -> one region row per 4-connected component.
+
+    Output: tile_id, region_id, pixel_count, value_sum, rminx..rmaxy
+    (geographic bbox of the component's pixels) + region_wkb (box).
+    """
+    cols = {k: [] for k in ("tile_id", "region_id", "pixel_count", "value_sum",
+                            "rminx", "rminy", "rmaxx", "rmaxy", "region_wkb")}
+    for r in batch.to_pylist():
+        H, W = r["height"], r["width"]
+        grid = np.asarray(r["data"], dtype=np.float64).reshape(H, W)
+        labels, n = label_components(grid > threshold)
+        if n == 0:
+            continue
+        pw = (r["xmax"] - r["xmin"]) / W
+        ph = (r["ymax"] - r["ymin"]) / H
+        flat = labels.ravel()
+        ys, xs = np.divmod(np.arange(H * W), W)
+        for lab in range(1, n + 1):
+            sel = flat == lab
+            lx, ly = xs[sel], ys[sel]
+            minx = r["xmin"] + lx.min() * pw
+            maxx = r["xmin"] + (lx.max() + 1) * pw
+            maxy = r["ymax"] - ly.min() * ph
+            miny = r["ymax"] - (ly.max() + 1) * ph
+            cols["tile_id"].append(r["tile_id"])
+            cols["region_id"].append(lab)
+            cols["pixel_count"].append(int(sel.sum()))
+            cols["value_sum"].append(float(grid.ravel()[sel].sum()))
+            cols["rminx"].append(minx)
+            cols["rminy"].append(miny)
+            cols["rmaxx"].append(maxx)
+            cols["rmaxy"].append(maxy)
+            cols["region_wkb"].append(wkb.dumps(wkb.box(minx, miny, maxx, maxy)))
+    return pa.table(
+        {
+            "tile_id": pa.array(cols["tile_id"], pa.int64()),
+            "region_id": pa.array(cols["region_id"], pa.int32()),
+            "pixel_count": pa.array(cols["pixel_count"], pa.int64()),
+            "value_sum": pa.array(cols["value_sum"], pa.float64()),
+            "rminx": pa.array(cols["rminx"], pa.float64()),
+            "rminy": pa.array(cols["rminy"], pa.float64()),
+            "rmaxx": pa.array(cols["rmaxx"], pa.float64()),
+            "rmaxy": pa.array(cols["rmaxy"], pa.float64()),
+            "region_wkb": pa.array(cols["region_wkb"], pa.binary()),
+        }
+    )
