@@ -266,6 +266,33 @@ def q_multires(sf_dir: str):
     )
 
 
+def q_r2v(sf_dir: str):
+    """Raster→vector round trip: sparse histogram → dense tile rasters →
+    pixel-center point rows (tile_id, lon, lat, value) — the full
+    rasterize→assemble→vectorize chain with float arithmetic mirrored in
+    SQL (pixel center = xmin + (px+0.5)*pw)."""
+    from ..stages.vectorize import raster_to_points
+
+    sparse = q_rasterize(sf_dir)
+    specs_tbl = rz.tile_grid_table(
+        -180, -90, 180, 90, TILE_NX, TILE_NY, TILE_PX, TILE_PX
+    )
+    dense = rz.assemble_rasters(sparse, specs_tbl)
+    spec_map = {int(r["tile_id"]): r for r in specs_tbl.to_pylist()}
+
+    def add_bounds(b: pa.Table) -> pa.Table:
+        tids = b.column("tile_id").to_numpy(zero_copy_only=False)
+        for name in ("xmin", "ymin", "xmax", "ymax"):
+            b = b.append_column(
+                name, pa.array([spec_map[int(t)][name] for t in tids], pa.float64())
+            )
+        return b
+
+    return dense.map_batches(add_bounds, batch_format="pyarrow").map_batches(
+        lambda b: raster_to_points(b), batch_format="pyarrow"
+    )
+
+
 # --- dedup / first-per-key / stack (SURVEY ops #7+#8 + dedup suite) -------
 
 
@@ -649,7 +676,7 @@ FROM cand QUALIFY rank <= {KNN_K}
 """
 
 
-def _sql_rasterize() -> str:
+def _sql_rasterize_cte() -> str:
     tw = 360.0 / TILE_NX
     th = 180.0 / TILE_NY
     # mirror assign_tiles: clip(floor((lon-lon0)/(lon1-lon0)*nx))
@@ -666,8 +693,25 @@ binned AS (
          {TILE_PX} - 1 - {gy} AS py,
          {px} AS px
   FROM tiled
-)
-SELECT tile_id, py, px, COUNT(*) AS n FROM binned GROUP BY 1, 2, 3
+),
+hist AS (SELECT tile_id, py, px, COUNT(*) AS n FROM binned GROUP BY 1, 2, 3)
+"""
+
+
+def _sql_rasterize() -> str:
+    return _sql_rasterize_cte() + "SELECT tile_id, py, px, n FROM hist"
+
+
+def _sql_r2v() -> str:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    # mirror raster_to_points: center = xmin + (px+0.5)*pw, lat from ymax
+    return _sql_rasterize_cte() + f"""
+SELECT tile_id,
+       (-180.0 + (tile_id % {TILE_NX}) * {tw!r}) + (px + 0.5) * ({tw!r} / {TILE_PX}) AS lon,
+       (-90.0 + ((tile_id // {TILE_NX}) + 1) * {th!r}) - (py + 0.5) * ({th!r} / {TILE_PX}) AS lat,
+       CAST(n AS DOUBLE) AS value
+FROM hist
 """
 
 
@@ -720,6 +764,7 @@ FROM g,
      LATERAL (SELECT unnest(range(g.nx)) AS cx) cx
 """,
         "rasterize": _sql_rasterize(),
+        "r2v": _sql_r2v(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
             "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
@@ -848,6 +893,7 @@ def build_queries() -> dict:
         "multires": q_multires,
         "chips": q_chips,
         "rasterize": q_rasterize,
+        "r2v": q_r2v,
         "dedup_docs": q_dedup_docs,
         "first_event": q_first_event,
         "user_series": q_user_series,
