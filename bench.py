@@ -106,6 +106,38 @@ def headline() -> dict:
     n_tiles = rasters.count()
     n_docs = N_DOCS
 
+    # optional lineage demo: checkpointed points write partitioned by
+    # coarse cell, resumable (GRAFT_BENCH_WRITE=1)
+    if os.environ.get("GRAFT_BENCH_WRITE") == "1":
+        import shutil
+
+        import pyarrow as pa
+
+        from zen3geo_ray.geom import cells as cellmod
+        from zen3geo_ray.state import lineage
+
+        out_dir = "/tmp/zen3geo_bench/points_ckpt"
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        tw = time.monotonic()
+        pts = pages_to_points(read_corpus(), res=12, batch_size=4096)
+        parted = pts.map_batches(
+            lambda b: b.append_column(
+                "part_cell",
+                pa.array(cellmod.parent(
+                    b.column("cell").to_numpy(zero_copy_only=False), 12, 2
+                )),
+            ),
+            batch_format="pyarrow",
+        )
+        manifest = lineage.resumable_write(parted, out_dir, "part_cell").to_pandas()
+        print(
+            f'{{"checkpoint_write_sec": {time.monotonic() - tw:.2f}, '
+            f'"partitions": {len(manifest)}, '
+            f'"rows": {int(manifest["rows"].sum())}}}',
+            file=sys.stderr,
+        )
+
     return {
         "headline_sec": round(wall, 3),
         "docs": n_docs,
