@@ -86,3 +86,32 @@ def test_vectorize_in_pipeline(ray_session):
         lambda b: vz.raster_to_regions(b), batch_format="pyarrow"
     ).to_pandas()
     assert regions["pixel_count"].sum() == 15
+
+
+def test_trace_boundary_exact_area():
+    # pentagon mask: traced outer polygon area == pixel count (no holes)
+    pent = wkb.polygon([(6, 5), (3.5, 2.5), (6, 0), (6, 2.5), (5, 2.5)])
+    grid, _ = rz.rasterize_geoms([pent], 14, 10, (1, 0, 8, 5))
+    regions = vz.raster_to_regions(_tile_row(grid)).to_pandas()
+    total_pixels = regions["pixel_count"].sum()
+    assert total_pixels == 15
+    for _, r in regions.iterrows():
+        ring = wkb.loads(r.region_wkb)["coords"][0]
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        area = abs(0.5 * np.sum(x * y2 - x2 * y))
+        pixel_area = 0.5 * 0.5
+        assert area == r.pixel_count * pixel_area
+        # boundary ring matches the region bbox
+        b = wkb.bounds({"type": "Polygon", "coords": [ring]})
+        assert b == (r.rminx, r.rminy, r.rmaxx, r.rmaxy)
+
+
+def test_trace_boundary_concave():
+    m = np.array(
+        [[1, 0, 0], [1, 0, 0], [1, 1, 1]], dtype=bool
+    )  # L-shape, concave
+    ring = vz.trace_boundary(m)
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    assert abs(0.5 * np.sum(x * y2 - x2 * y)) == 5.0  # exact pixel area

@@ -75,6 +75,59 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return labels, len(uniq)
 
 
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Trace the outer boundary of a connected region as a closed ring of
+    pixel-CORNER coordinates (pixel units; x right, y DOWN image rows).
+
+    Marching-squares crack following: at each grid corner the 2x2 pixel
+    neighborhood determines the outgoing direction (saddles resolved by
+    the incoming direction), keeping the region on the RIGHT of travel.
+    The ring encloses exactly the region's pixels, so |shoelace area| ==
+    pixel count for hole-free regions.
+    """
+    H, W = mask.shape
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.empty((0, 2))
+    y0 = int(ys.min())
+    x0 = int(xs[ys == y0].min())
+
+    def px(ix: int, iy: int) -> bool:
+        return 0 <= ix < W and 0 <= iy < H and bool(mask[iy, ix])
+
+    UP, RIGHT, DOWN, LEFT = (0, -1), (1, 0), (0, 1), (-1, 0)
+    # outgoing direction per 2x2 state s = TL + 2*TR + 4*BL + 8*BR,
+    # derived from "inside pixel on the LEFT of travel" (y down):
+    #   UP    iff TL and not TR;  DOWN  iff BR and not BL;
+    #   RIGHT iff TR and not BR;  LEFT  iff BL and not TL.
+    TABLE = {1: UP, 2: RIGHT, 3: RIGHT, 4: LEFT, 5: UP, 7: RIGHT,
+             8: DOWN, 10: DOWN, 11: DOWN, 12: LEFT, 13: UP, 14: LEFT}
+    start = (x0, y0)
+    x, y = start
+    prev = None
+    pts = [start]
+    for _ in range(4 * (H + 2) * (W + 2) + 4):
+        tl = px(x - 1, y - 1)
+        tr = px(x, y - 1)
+        bl = px(x - 1, y)
+        br = px(x, y)
+        s = tl * 1 + tr * 2 + bl * 4 + br * 8
+        if s == 6:  # saddle TR+BL: keep the incoming wall's region
+            d = LEFT if prev == UP else RIGHT
+        elif s == 9:  # saddle TL+BR
+            d = UP if prev == RIGHT else DOWN
+        elif s in TABLE:
+            d = TABLE[s]
+        else:  # 0/15 cannot occur on a boundary; terminate defensively
+            break
+        x, y = x + d[0], y + d[1]
+        prev = d
+        if (x, y) == start:
+            break
+        pts.append((x, y))
+    return np.asarray(pts + [start], dtype=np.float64)
+
+
 def raster_to_points(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
     """Raster rows -> one point row per pixel with value > threshold.
 
@@ -109,7 +162,9 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
     """Raster rows -> one region row per 4-connected component.
 
     Output: tile_id, region_id, pixel_count, value_sum, rminx..rmaxy
-    (geographic bbox of the component's pixels) + region_wkb (box).
+    (geographic bbox) + region_wkb: the traced OUTER boundary polygon
+    (marching-squares crack following; pixel-exact, so the polygon's
+    area equals pixel_count * pixel_area for hole-free regions).
     """
     cols = {k: [] for k in ("tile_id", "region_id", "pixel_count", "value_sum",
                             "rminx", "rminy", "rmaxx", "rmaxy", "region_wkb")}
@@ -138,7 +193,15 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
             cols["rminy"].append(miny)
             cols["rmaxx"].append(maxx)
             cols["rmaxy"].append(maxy)
-            cols["region_wkb"].append(wkb.dumps(wkb.box(minx, miny, maxx, maxy)))
+            # exact outer boundary, pixel-corner -> geographic coords
+            ring = trace_boundary(labels == lab)
+            geo = np.stack(
+                [r["xmin"] + ring[:, 0] * pw, r["ymax"] - ring[:, 1] * ph],
+                axis=1,
+            )
+            cols["region_wkb"].append(
+                wkb.dumps({"type": "Polygon", "coords": [geo]})
+            )
     return pa.table(
         {
             "tile_id": pa.array(cols["tile_id"], pa.int64()),
