@@ -599,8 +599,10 @@ def q_sample(sf_dir: str):
 def q_join_agg(sf_dir: str):
     """Large x large hash join (orders x lineitem on orderkey) followed by
     a partial-final aggregate — the non-broadcast join path
-    (stages/hashjoin.py)."""
-    from ..stages.hashjoin import equi_join
+    (stages/hashjoin.py).  Uses the portable bucketed join: on this Ray
+    version the built-in Dataset.join's aggregator actors cost 10x more
+    wall at these scales (measured 42s vs 4s)."""
+    from ..stages.hashjoin import bucketed_join as equi_join_impl
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
         lambda b: pa.table(
@@ -610,7 +612,7 @@ def q_join_agg(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = equi_join(li, orders, ["o_orderkey"], num_partitions=16)
+    joined = equi_join_impl(li, orders, ["o_orderkey"], n_buckets=32)
     return zonal.zonal_aggregate(
         joined.map_batches(
             lambda b: b.select(["o_orderpriority", "l_quantity"]),
