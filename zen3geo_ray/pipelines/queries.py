@@ -47,13 +47,19 @@ def _read(sf_dir: str, table: str, columns=None):
     import ray
     import ray.data as rd
 
+    path = f"{sf_dir}/{table}.parquet"
     try:
-        nblocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
-        nblocks = 8
-    return rd.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=nblocks
-    )
+        cpus = 8
+    try:
+        n_rows = pq.read_metadata(path).num_rows
+    except Exception:
+        n_rows = 1 << 30
+    # at least ~20k rows per block: tiny tables in 1-2 blocks, big tables
+    # capped at one block per CPU
+    nblocks = int(min(cpus, max(1, n_rows // 20_000)))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
 # --- geocode (SURVEY §2.3 per-record maps: lang/url -> lon/lat -> cell) ---
