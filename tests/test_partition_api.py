@@ -120,3 +120,26 @@ def test_scene_tensor_batch():
     data = out.column("data").to_pylist()[0]
     assert len(data) == 2 * 4 * 5
     assert all(v == 3.0 for v in data)
+
+
+def test_api_rasterize_tiles_golden(ray_session):
+    # end-to-end through the api: points -> tiles -> per-tile count raster
+    import pyarrow as pa
+
+    from zen3geo_ray.stages.rasterize import tile_grid_table
+
+    pts = pa.table(
+        {
+            "lon": [-170.0, -170.0, 100.0],
+            "lat": [-80.0, -80.0, 80.0],
+        }
+    )
+    specs = tile_grid_table(-180, -90, 180, 90, 4, 2, 8, 8)
+    out = (
+        api.from_arrow(pts)
+        .assign_tiles(nx=4, ny=2)
+        .rasterize_tiles(specs)
+        .to_pandas()
+    )
+    assert sorted(out["tile_id"]) == [0, 7]
+    assert sum(np.sum(d) for d in out["data"]) == 3
