@@ -117,23 +117,82 @@ def lsh_bucket(batch: pa.Table, *, planes: np.ndarray,
     return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
+class BucketedTopK:
+    """Per-batch cosine top-k where each candidate is compared ONLY
+    against the queries sharing its LSH bucket (the honest scale path:
+    compare volume shrinks ~2^planes-fold, recall traded accordingly)."""
+
+    def __init__(self, blob_or_ref, planes: np.ndarray, k: int,
+                 id_col: str, vec_col: str):
+        try:
+            import ray
+
+            if isinstance(blob_or_ref, ray.ObjectRef):
+                blob_or_ref = ray.get(blob_or_ref)
+        except (ImportError, TypeError):
+            pass
+        blob = blob_or_ref
+        self.q_id = np.asarray(blob["query_id"], dtype=np.int64)
+        self.q = normalize(np.asarray(blob["matrix"], dtype=np.float32))
+        qb = ((self.q @ planes.T) > 0).astype(np.int64) @ (
+            1 << np.arange(planes.shape[0], dtype=np.int64)
+        )
+        # bucket -> query indices
+        self.by_bucket: dict[int, np.ndarray] = {
+            int(b): np.flatnonzero(qb == b) for b in np.unique(qb)
+        }
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        out_ids, out_q, out_s = [], [], []
+        for b, qidx in self.by_bucket.items():
+            rows = np.flatnonzero(buckets == b)
+            if len(rows) == 0:
+                continue
+            sims = m[rows] @ self.q[qidx].T  # (n_b, q_b)
+            kk = min(self.k, len(rows))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j, qi in enumerate(qidx):
+                sel = rows[top[:, j]]
+                out_ids.append(ids[sel])
+                out_q.append(np.full(kk, self.q_id[qi], dtype=np.int64))
+                out_s.append(sims[top[:, j], j])
+        if not out_ids:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "query_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_ids)),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(out_s).astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+
 def lsh_knn(ds, queries_blob, k: int, n_planes: int = 8,
             id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7):
-    """Approximate kNN: compare only vectors whose bucket matches a
-    query's bucket.  Recall < 1 by construction; the baseline for recall
-    comparisons is ``brute_force_knn``."""
+    """Approximate kNN: each vector is compared only against the queries
+    whose LSH bucket it shares.  Recall < 1 by construction; the recall
+    baseline is ``brute_force_knn``."""
     qm = np.asarray(queries_blob["matrix"], dtype=np.float32)
     planes = hyperplanes(qm.shape[1], n_planes, seed)
-    q_buckets = ((qm @ planes.T) > 0).astype(np.int64) @ (
+    q_buckets = ((normalize(qm) @ planes.T) > 0).astype(np.int64) @ (
         1 << np.arange(n_planes, dtype=np.int64)
     )
-    wanted = set(q_buckets.tolist())
+    wanted_arr = np.unique(q_buckets)
 
     bucketed = ds.map_batches(
         lambda b: lsh_bucket(b, planes=planes, vec_col=vec_col),
         batch_format="pyarrow",
     )
-    wanted_arr = np.fromiter(wanted, dtype=np.int64)
     cand = bucketed.map_batches(
         lambda b: b.filter(
             pa.array(np.isin(b.column("bucket").to_numpy(zero_copy_only=False),
@@ -141,7 +200,10 @@ def lsh_knn(ds, queries_blob, k: int, n_planes: int = 8,
         ),
         batch_format="pyarrow",
     )
-    # per-bucket query restriction: compare each candidate only against
-    # queries in its bucket — achieved by splitting the query blob per
-    # bucket; with few buckets just run brute force on the reduced set.
-    return brute_force_knn(cand, queries_blob, k, id_col, vec_col)
+    partial = cand.map_batches(
+        BucketedTopK,
+        fn_constructor_args=(queries_blob, planes, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return finalize_topk(partial, k)
