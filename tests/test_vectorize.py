@@ -115,3 +115,37 @@ def test_trace_boundary_concave():
     x, y = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
     assert abs(0.5 * np.sum(x * y2 - x2 * y)) == 5.0  # exact pixel area
+
+
+def test_region_with_hole():
+    # donut: 6x6 block with a 2x2 hole
+    grid = np.zeros((10, 14), dtype=np.uint32)
+    grid[2:8, 3:9] = 1
+    grid[4:6, 5:7] = 0
+    out = vz.raster_to_regions(_tile_row(grid)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.pixel_count == 36 - 4
+    g = wkb.loads(r.region_wkb)
+    assert g["type"] == "Polygon" and len(g["coords"]) == 2  # outer + hole
+    # even-odd PIP: a point inside the hole is NOT in the polygon
+    from zen3geo_ray.geom.predicates import points_in_polygon
+
+    # hole pixels rows 4-5, cols 5-6 -> geo center of hole
+    hx = 1 + 6 * 0.5  # col 6 * 0.5 + xmin 1 => 4.0
+    hy = 5 - 5 * 0.5  # row 5 -> 2.5
+    inside_hole = points_in_polygon(
+        np.array([hx]), np.array([hy]), g["coords"]
+    )
+    assert not inside_hole[0]
+    # a point on the ring solid part IS inside
+    sx = 1 + 3.5 * 0.5
+    sy = 5 - 2.5 * 0.5
+    assert points_in_polygon(np.array([sx]), np.array([sy]), g["coords"])[0]
+    # shoelace: outer - hole == pixel count * pixel area
+    def area(ring):
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        return abs(0.5 * np.sum(x * y2 - x2 * y))
+
+    assert area(g["coords"][0]) - area(g["coords"][1]) == 32 * 0.25

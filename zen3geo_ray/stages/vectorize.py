@@ -128,6 +128,37 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     return np.asarray(pts + [start], dtype=np.float64)
 
 
+def region_rings(labels: np.ndarray, lab: int,
+                 bg_labels: tuple | None = None) -> list[np.ndarray]:
+    """Outer boundary + interior (hole) rings of one labeled region, in
+    pixel-corner coordinates.
+
+    Holes = 4-connected background components that don't touch the tile
+    border and are surrounded by this region (checked via the pixel above
+    the hole's topmost pixel).  Each hole's outer boundary (traced on the
+    hole mask) becomes an interior ring; even-odd PIP semantics make
+    orientation irrelevant.
+    """
+    m = labels == lab
+    rings = [trace_boundary(m)]
+    H, W = labels.shape
+    if bg_labels is None:
+        bg_labels = label_components(labels == 0)
+    bg, nbg = bg_labels
+    for hl in range(1, nbg + 1):
+        hm = bg == hl
+        ys, xs = np.nonzero(hm)
+        if ys.min() == 0 or xs.min() == 0 or ys.max() == H - 1 or xs.max() == W - 1:
+            continue  # touches the border: outside, not a hole
+        # surrounding label: pixel above the topmost-leftmost hole pixel
+        y0 = ys.min()
+        x0 = xs[ys == y0].min()
+        if labels[y0 - 1, x0] != lab:
+            continue  # hole belongs to a different region
+        rings.append(trace_boundary(hm))
+    return rings
+
+
 def raster_to_points(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
     """Raster rows -> one point row per pixel with value > threshold.
 
@@ -178,6 +209,7 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
         ph = (r["ymax"] - r["ymin"]) / H
         flat = labels.ravel()
         ys, xs = np.divmod(np.arange(H * W), W)
+        bg_labels = label_components(labels == 0)  # shared across regions
         for lab in range(1, n + 1):
             sel = flat == lab
             lx, ly = xs[sel], ys[sel]
@@ -193,14 +225,16 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
             cols["rminy"].append(miny)
             cols["rmaxx"].append(maxx)
             cols["rmaxy"].append(maxy)
-            # exact outer boundary, pixel-corner -> geographic coords
-            ring = trace_boundary(labels == lab)
-            geo = np.stack(
-                [r["xmin"] + ring[:, 0] * pw, r["ymax"] - ring[:, 1] * ph],
-                axis=1,
-            )
+            # exact boundary (outer + hole rings), pixel-corner -> geo
+            geo_rings = [
+                np.stack(
+                    [r["xmin"] + ring[:, 0] * pw, r["ymax"] - ring[:, 1] * ph],
+                    axis=1,
+                )
+                for ring in region_rings(labels, lab, bg_labels)
+            ]
             cols["region_wkb"].append(
-                wkb.dumps({"type": "Polygon", "coords": [geo]})
+                wkb.dumps({"type": "Polygon", "coords": geo_rings})
             )
     return pa.table(
         {
