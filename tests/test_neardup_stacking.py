@@ -103,3 +103,23 @@ def test_simhash_near_dup_groups(ray_session):
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert g[1] == g[2] == 1
     assert g[3] == 3
+
+
+def test_lsh_group_labels_transitive_chain(ray_session):
+    from zen3geo_ray.stages.dedup import lsh_group_labels
+
+    # chain: 1~2 share bucket (0, 100); 2~3 share bucket (1, 200);
+    # 1 and 3 share nothing directly
+    bands = pa.table(
+        {
+            "doc_id": [1, 2, 2, 3, 9],
+            "band_id": [0, 0, 1, 1, 5],
+            "band_hash": [100, 100, 200, 200, 999],
+        }
+    )
+    out = lsh_group_labels(
+        rd.from_arrow(bands), id_col="doc_id", rounds=2
+    ).to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert g[1] == g[2] == g[3] == 1  # transitive closure
+    assert g[9] == 9  # singleton untouched

@@ -79,32 +79,70 @@ def minhash_bands(batch: pa.Table, *, id_col: str, text_col: str = "text",
     )
 
 
-def minhash_lsh_groups(docs_ds, *, id_col: str, text_col: str = "text",
-                       num_perm: int = 64, bands: int = 16, k: int = 5):
-    """Docs -> (doc_id, dup_group) rows for docs sharing any LSH band.
+def lsh_group_labels(bands_ds, *, id_col: str, rounds: int = 2):
+    """(id, band_id, band_hash) rows -> (id, dup_group) with transitive
+    closure via pointer jumping.
 
-    dup_group = min doc id in the band bucket; a doc in multiple buckets
-    keeps its smallest group (one more tiny groupby).  Full connected
-    components would iterate this min-label step to a fixed point; one
-    round is the standard near-dup grouping for pipelines.
+    Round 0: label = min id per LSH bucket, then min per doc.  Each
+    extra round replaces label[x] with min(label[x], label[label[x]])
+    through a distributed self-join (bucketed hash join) — pointer
+    jumping, so chain diameter halves per round; ``rounds=2`` closes
+    chains up to length ~4, which covers practical near-dup clusters.
     """
     from ray.data.aggregate import Min
 
     from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
 
-    bands_ds = docs_ds.map_batches(
-        lambda b: minhash_bands(b, id_col=id_col, text_col=text_col,
-                                num_perm=num_perm, bands=bands, k=k),
-        batch_format="pyarrow",
-    )
-
-    # one vectorized transform("min") per coarse bucket, not per LSH bucket
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         gm = g.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("min")
         return pd.DataFrame({id_col: g[id_col], "dup_group": gm})
 
     grouped = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_min)
-    return grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
+    labels = grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
+
+    for _ in range(rounds):
+        # parent table: the label of each label
+        parents = labels.map_batches(
+            lambda b: pa.table({"dup_group": b.column(id_col),
+                                "parent": b.column("dup_group")}),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_join(labels, parents, ["dup_group"], how="left")
+        labels = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b.column(id_col),
+                    "dup_group": pa.array(
+                        np.minimum(
+                            b.column("dup_group").to_numpy(zero_copy_only=False),
+                            np.nan_to_num(
+                                b.column("parent")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.float64),
+                                nan=np.inf,
+                            ),
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return labels
+
+
+def minhash_lsh_groups(docs_ds, *, id_col: str, text_col: str = "text",
+                       num_perm: int = 64, bands: int = 16, k: int = 5,
+                       rounds: int = 2):
+    """Docs -> (doc_id, dup_group) rows for docs sharing any LSH band,
+    with transitive closure (pointer jumping, see lsh_group_labels)."""
+    bands_ds = docs_ds.map_batches(
+        lambda b: minhash_bands(b, id_col=id_col, text_col=text_col,
+                                num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow",
+    )
+    return lsh_group_labels(bands_ds, id_col=id_col, rounds=rounds)
 
 
 # --- simhash --------------------------------------------------------------
