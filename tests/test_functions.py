@@ -161,3 +161,19 @@ def test_bloom_semi_join(ray_session):
     assert set(keys) <= set(semi["k"])  # superset: no member missed
     anti = bloom_semi_join(ds, ref, "k", anti=True).to_pandas()
     assert set(anti["k"]).isdisjoint(set(keys))  # no member survives anti
+
+
+def test_pages_dataset_streaming_matches_table(ray_session):
+    from zen3geo_ray.sources.corpus import pages_dataset, pages_table
+
+    ds = pages_dataset(800, parallelism=4)
+    got = ds.to_pandas().sort_values("url", kind="mergesort").reset_index(drop=True)
+    exp = (
+        pages_table(800)
+        .to_pandas()
+        .sort_values("url", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # distributed generation must reproduce the in-memory table exactly
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert got["warc_ts"].tolist() == exp["warc_ts"].tolist()

@@ -221,3 +221,13 @@ def test_morton_locality():
     lat = np.array([0.0, 0.01, 45.0])
     m = cells.morton_of(lon, lat, 16)
     assert abs(int(m[0]) - int(m[1])) < abs(int(m[0]) - int(m[2]))
+
+
+def test_utm_south_hemisphere():
+    # EPSG:327xx adds the 10,000 km false northing
+    xn, yn = crs.lonlat_to_utm(173.0, -41.0, zone=59, north=False)
+    assert 0 < float(xn) < 1_000_000
+    assert 5_000_000 < float(yn) < 10_000_000
+    # transform() dispatch for the southern EPSG code
+    x2, y2 = crs.transform(173.0, -41.0, "EPSG:32759")
+    assert float(x2) == float(xn) and float(y2) == float(yn)
