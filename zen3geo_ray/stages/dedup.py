@@ -100,6 +100,10 @@ def lsh_group_labels(bands_ds, *, id_col: str, rounds: int = 2):
 
     grouped = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_min)
     labels = grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
+    # one row per doc — materialize so each jump round consumes the
+    # previous result instead of re-executing the whole lazy chain
+    # (the self-join reads `labels` twice per round)
+    labels = labels.materialize()
 
     for _ in range(rounds):
         # parent table: the label of each label
@@ -128,7 +132,7 @@ def lsh_group_labels(bands_ds, *, id_col: str, rounds: int = 2):
                 }
             ),
             batch_format="pyarrow",
-        )
+        ).materialize()
     return labels
 
 
