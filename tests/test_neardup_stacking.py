@@ -118,7 +118,7 @@ def test_lsh_group_labels_transitive_chain(ray_session):
         }
     )
     out = lsh_group_labels(
-        rd.from_arrow(bands), id_col="doc_id", rounds=2
+        rd.from_arrow(bands), id_col="doc_id"
     ).to_pandas()
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert g[1] == g[2] == g[3] == 1  # transitive closure

@@ -39,6 +39,12 @@ FAST = [
     "events_hourly",
     "ann",
     "chips",
+    "region_balance",
+    "priority_segment",
+    "semi_customers",
+    "lang_detect",
+    "simhash",
+    "minhash_groups",
 ]
 
 
@@ -79,5 +85,6 @@ def test_every_query_has_oracle_or_is_flagged():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # non-SQL ops are the documented rows-only set
-    assert qs - os_ == {"lang_detect", "minhash_groups", "simhash"}
+    # every query is oracle-checked (the dedup/lang kernels are written in
+    # SQL-mirrorable arithmetic precisely so nothing is rows-only)
+    assert qs - os_ == set()

@@ -67,13 +67,23 @@ def extract_text_array(htmls) -> list[str]:
 _RE_TOKEN = re.compile(r"\S+")
 
 
+def _as_string_array(texts):
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        return texts
+    return pa.array(list(texts), pa.string())
+
+
 def token_count(texts) -> np.ndarray:
-    """Whitespace token count.  SQL oracle: counting space-runs + 1."""
-    return np.fromiter(
-        (len(_RE_TOKEN.findall(t)) if t else 0 for t in texts),
-        dtype=np.int64,
-        count=len(texts),
-    )
+    """Whitespace token count — one vectorized RE2 kernel over the whole
+    column (``pyarrow.compute.count_substring_regex``), no per-doc loop.
+    Same RE2 semantics the DuckDB oracle's regexp_extract_all uses."""
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    out = pc.fill_null(pc.count_substring_regex(arr, pattern=r"\S+"), 0)
+    return out.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 _PUNCT = ".,;:!?"
@@ -81,19 +91,24 @@ _PUNCT = ".,;:!?"
 
 def quality_metrics(texts) -> dict[str, np.ndarray]:
     """Simple quality-scoring signals (n_chars, n_tokens, punct_ratio,
-    upper_ratio, mean_token_len).  Definitions restated in the SQL oracle.
-    """
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_tokens = np.empty(n, dtype=np.int64)
-    n_punct = np.empty(n, dtype=np.int64)
-    n_upper = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        n_tokens[i] = len(_RE_TOKEN.findall(t))
-        n_punct[i] = sum(t.count(c) for c in _PUNCT)
-        n_upper[i] = sum(c.isupper() for c in t)
+    upper_ratio, mean_token_len) — all pyarrow.compute kernels over the
+    column (utf8_length + count_substring/_regex), zero per-doc Python.
+    Definitions restated in the SQL oracle."""
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    n_chars = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_tokens = pc.fill_null(
+        pc.count_substring_regex(arr, pattern=r"\S+"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_punct = np.zeros(len(n_chars), dtype=np.int64)
+    for c in _PUNCT:
+        n_punct += pc.fill_null(pc.count_substring(arr, pattern=c), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    n_upper = pc.fill_null(
+        pc.count_substring_regex(arr, pattern=r"\p{Lu}"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
     denom = np.maximum(n_chars, 1).astype(np.float64)
     return {
         "n_chars": n_chars,
@@ -119,26 +134,40 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
 def detect_lang(texts) -> list[str]:
     """Stopword-overlap language heuristic; CJK via unicode ranges.
 
-    Returns best-scoring lang code or 'und'.  Deterministic; ties broken
-    by sorted lang code.
+    Vectorized: one lowered column, one CJK regex pass each, then one
+    presence regex per (lang, stopword) — 50-odd RE2 kernels over the
+    whole column instead of a Python loop per document.  Presence of a
+    stopword as a standalone ``\\S+`` token == bounded-by-whitespace
+    match.  Best score > 0 wins; ties break to the smallest lang code
+    (argmax over lang-sorted score matrix).
     """
-    out = []
-    for t in texts:
-        t = (t or "").lower()
-        if any("぀" <= c <= "ヿ" for c in t):
-            out.append("ja")
-            continue
-        if any("一" <= c <= "鿿" for c in t):
-            out.append("zh")
-            continue
-        words = set(_RE_TOKEN.findall(t))
-        best, best_score = "und", 0
-        for lang in sorted(_LANG_PROFILES):
-            score = len(words & _LANG_PROFILES[lang])
-            if score > best_score:
-                best, best_score = lang, score
-        out.append(best)
-    return out
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    low = pc.utf8_lower(arr)
+    n = len(arr)
+    ja = pc.fill_null(
+        pc.match_substring_regex(low, pattern="[぀-ヿ]"), False
+    ).to_numpy(zero_copy_only=False)
+    zh = pc.fill_null(
+        pc.match_substring_regex(low, pattern="[一-鿿]"), False
+    ).to_numpy(zero_copy_only=False)
+    langs = sorted(_LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for w in _LANG_PROFILES[lang]:
+            pat = f"(^|\\s){re.escape(w)}(\\s|$)"
+            hit = pc.fill_null(
+                pc.match_substring_regex(low, pattern=pat), False
+            ).to_numpy(zero_copy_only=False)
+            scores[:, li] += hit
+    best_idx = np.argmax(scores, axis=1)  # first max = smallest lang code
+    best_score = scores[np.arange(n), best_idx]
+    lang_arr = np.asarray(langs, dtype=object)
+    out = np.where(best_score > 0, lang_arr[best_idx], "und")
+    out = np.where(zh, "zh", out)
+    out = np.where(ja, "ja", out)
+    return out.tolist()
 
 
 def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:

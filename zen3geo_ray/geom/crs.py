@@ -107,10 +107,11 @@ def transform(lon, lat, crs: str) -> tuple[np.ndarray, np.ndarray]:
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if crs == "EPSG:3857":
         return lonlat_to_mercator(lon, lat)
-    if crs.startswith("EPSG:326"):
-        return lonlat_to_utm(lon, lat, int(crs[8:]), north=True)
-    if crs.startswith("EPSG:327"):
-        return lonlat_to_utm(lon, lat, int(crs[8:]), north=False)
+    # UTM codes are exactly 5 digits: 326zz north / 327zz south, zone 1-60
+    if (crs.startswith("EPSG:326") or crs.startswith("EPSG:327")) and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return lonlat_to_utm(lon, lat, zone, north=crs[7] == "6")
     raise NotImplementedError(f"Unsupported CRS: {crs}")
 
 

@@ -284,13 +284,21 @@ def q_r2v(sf_dir: str):
         -180, -90, 180, 90, TILE_NX, TILE_NY, TILE_PX, TILE_PX
     )
     dense = rz.assemble_rasters(sparse, specs_tbl)
-    spec_map = {int(r["tile_id"]): r for r in specs_tbl.to_pylist()}
+    # dense per-tile bound arrays indexed by tile_id — np.take per batch,
+    # no per-row Python (shape survives large tile grids)
+    spec_ids = specs_tbl.column("tile_id").to_numpy(zero_copy_only=False)
+    nspec = int(spec_ids.max()) + 1 if len(spec_ids) else 0
+    bound_arrs = {}
+    for name in ("xmin", "ymin", "xmax", "ymax"):
+        arr = np.zeros(nspec, dtype=np.float64)
+        arr[spec_ids] = specs_tbl.column(name).to_numpy(zero_copy_only=False)
+        bound_arrs[name] = arr
 
     def add_bounds(b: pa.Table) -> pa.Table:
         tids = b.column("tile_id").to_numpy(zero_copy_only=False)
         for name in ("xmin", "ymin", "xmax", "ymax"):
             b = b.append_column(
-                name, pa.array([spec_map[int(t)][name] for t in tids], pa.float64())
+                name, pa.array(np.take(bound_arrs[name], tids), pa.float64())
             )
         return b
 
@@ -391,9 +399,14 @@ def q_lang_detect(sf_dir: str):
     )
 
 
+MH_NUM_PERM, MH_BANDS, MH_K = 64, 16, 3
+
+
 def q_minhash_groups(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_lsh_groups(docs, id_col="doc_id")
+    return dedup.minhash_lsh_groups(
+        docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS, k=MH_K
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -410,10 +423,13 @@ def q_simhash(sf_dir: str):
 
 
 def q_ann(sf_dir: str):
-    emb = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # query vectors: predicate pushed into the read — only row groups
+    # containing vec_id 0-2 are decoded, not the whole embeddings table
+    qsel = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [0, 1, 2])],
     )
-    qsel = emb.filter(pc.is_in(emb.column("vec_id"), pa.array([0, 1, 2])))
     qm = np.stack(
         [np.asarray(v, dtype=np.float64) for v in qsel.column("embedding").to_pylist()]
     )
@@ -453,44 +469,56 @@ def q_lineitem_agg(sf_dir: str):
 
 
 def q_mktsegment(sf_dir: str):
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_by_key = dict(
-        zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_mktsegment").to_pylist(),
-        )
-    )
-
-    def add_seg(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        keys = b.column("o_custkey").to_pandas()
-        seg = keys.map(seg_by_key)
-        return pa.table(
-            {"c_mktsegment": pa.array(seg, pa.string())}
-        )
+    """Orders per market segment — aggregate-then-join: orders are first
+    reduced to one count row per custkey (combiner-first, distributed),
+    then the per-custkey counts join customer on the key and the small
+    per-segment re-aggregation sums them.  No driver-side table read —
+    both shuffles move one row per custkey, not per order."""
+    from ..stages.hashjoin import bucketed_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    tagged = orders.map_batches(add_seg, batch_format="pyarrow")
-    return zonal.zonal_aggregate(tagged, ["c_mktsegment"], {})
+    per_cust = zonal.zonal_aggregate(orders, ["o_custkey"], {}).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("o_custkey"),
+                            "n_ord": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_mktsegment": b.column("c_mktsegment")}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(per_cust, cust, ["o_custkey"], n_buckets=32)
+    agg = zonal.zonal_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["c_mktsegment", "n_ord"]), batch_format="pyarrow"
+        ),
+        ["c_mktsegment"],
+        {"n_ord": ["sum"]},
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                            "n": b.column("n_ord_sum")}),
+        batch_format="pyarrow",
+    )
 
 
 def q_cust_no_orders(sf_dir: str):
-    """Anti join via broadcast key set: customers with no order above
-    300k total price (threshold keeps the result non-empty at every sf)."""
-    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    okeys = okeys.filter(pc.greater(okeys.column("o_totalprice"), 300000.0))
-    have = np.unique(okeys.column("o_custkey").to_numpy(zero_copy_only=False))
+    """Distributed anti join: customers with no order above 300k total
+    price (threshold keeps the result non-empty at every sf).  The order
+    keys are pre-filtered and batch-deduped (combiner), then ONE bucketed
+    shuffle filters customers by key existence — no driver-side key set."""
+    from ..stages.hashjoin import bucketed_join
 
-    def anti(b: pa.Table) -> pa.Table:
-        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(~np.isin(keys, have)))
+    def big_keys(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b.column("o_totalprice"), pa.scalar(300000.0)))
+        keys = np.unique(f.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(keys, pa.int64())})
 
-    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        anti, batch_format="pyarrow"
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        big_keys, batch_format="pyarrow"
     )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return bucketed_join(cust, okeys, ["c_custkey"], how="anti", n_buckets=32)
 
 
 def q_top_orders(sf_dir: str):
@@ -498,6 +526,92 @@ def q_top_orders(sf_dir: str):
     return orders.sort(
         ["o_totalprice", "o_orderkey"], descending=[True, False]
     ).limit(10)
+
+
+def q_region_balance(sf_dir: str):
+    """Supplier balances per region: two broadcast dimension joins
+    (nation, region — ray.put once, per-worker memoized searchsorted
+    index) then a keyed aggregate.  Balance summed in integer cents so
+    the double arithmetic is order-independent and oracle-exact."""
+    import ray
+
+    from ..stages.join import make_broadcast_lookup_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    nat_blob = {
+        "s_nationkey": nat.column("n_nationkey").to_numpy(zero_copy_only=False),
+        "n_regionkey": nat.column("n_regionkey").to_numpy(zero_copy_only=False),
+    }
+    reg_blob = {
+        "n_regionkey": reg.column("r_regionkey").to_numpy(zero_copy_only=False),
+        "r_name": np.asarray(reg.column("r_name").to_pylist(), dtype=object),
+    }
+    nat_ref = ray.put(nat_blob) if ray.is_initialized() else nat_blob
+    reg_ref = ray.put(reg_blob) if ray.is_initialized() else reg_blob
+    j_nat = make_broadcast_lookup_join(
+        nat_ref, key_col="s_nationkey",
+        value_cols={"n_regionkey": pa.int64()},
+    )
+    j_reg = make_broadcast_lookup_join(
+        reg_ref, key_col="n_regionkey", value_cols={"r_name": pa.string()},
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100.0).astype(np.int64)
+        return pa.table({"r_name": b.column("r_name"),
+                         "bal_cents": pa.array(cents, pa.int64())})
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    tagged = (
+        sup.map_batches(j_nat, batch_format="pyarrow")
+        .map_batches(j_reg, batch_format="pyarrow")
+        .map_batches(to_cents, batch_format="pyarrow")
+    )
+    return zonal.zonal_aggregate(tagged, ["r_name"], {"bal_cents": ["sum"]})
+
+
+def q_priority_segment(sf_dir: str):
+    """Order counts per (mktsegment, orderpriority) through the
+    sort-merge join variant (per-bucket key-ordered merge) — result
+    equal to the hash join, exercised as a distinct code path."""
+    from ..stages.hashjoin import sort_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_mktsegment": b.column("c_mktsegment")}),
+        batch_format="pyarrow",
+    )
+    joined = sort_merge_join(orders, cust, ["o_custkey"], n_buckets=32)
+    return zonal.zonal_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["c_mktsegment", "o_orderpriority"]),
+            batch_format="pyarrow",
+        ),
+        ["c_mktsegment", "o_orderpriority"],
+        {},
+    )
+
+
+def q_semi_customers(sf_dir: str):
+    """Distributed semi join: customers with at least one 'F'-status
+    order — key-existence filter, each left row at most once."""
+    from ..stages.hashjoin import bucketed_join
+
+    def fkeys(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+        keys = np.unique(f.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        fkeys, batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return bucketed_join(cust, okeys, ["c_custkey"], how="semi", n_buckets=32)
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -646,6 +760,138 @@ def q_events_hourly(sf_dir: str):
 
 # --- the SQL oracles ------------------------------------------------------
 
+# DuckDB HUGEINT mirrors of the poly64 hashing in stages/dedup.py: every
+# step is multiply-add mod 2^64 (no xor), products bounded < 2^127 so the
+# INT128 arithmetic never overflows.
+_SQL_M = "18446744073709551616::HUGEINT"     # 2^64
+_SQL_P = "1099511628211::HUGEINT"            # POLY_P
+_SQL_H0 = "14695981039346656037::HUGEINT"    # POLY_H0
+_SQL_I64 = "9223372036854775808::HUGEINT"    # 2^63 (signed conversion)
+
+
+def _sql_tokhash_cte() -> str:
+    """tok/th CTEs: per-doc token list and poly64 token-hash list."""
+    return f"""
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(toks, t ->
+    list_reduce(list_prepend({_SQL_H0},
+      list_transform(range(1, length(t)+1), i -> unicode(t[i])::HUGEINT)),
+      (h, cp) -> (h * {_SQL_P} + cp) % {_SQL_M})) AS ths
+  FROM tok
+)"""
+
+
+def _sql_minhash_groups() -> str:
+    """MinHash LSH dup groups: token-shingle signatures + band buckets in
+    HUGEINT arithmetic, then connected-component min labels via a
+    recursive CTE — mirrors stages/dedup.py minhash_lsh_groups at its
+    fixpoint exactly (same perms, same folds, same component mins)."""
+    a, b = dedup.perm_params(MH_NUM_PERM)
+    permvals = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(MH_NUM_PERM)
+    )
+    r = MH_NUM_PERM // MH_BANDS
+    return f"""
+WITH RECURSIVE {_sql_tokhash_cte()},
+sh AS (
+  SELECT doc_id, list_transform(range(greatest(len(ths)-{MH_K}+1, 1)), i ->
+    list_reduce(list_prepend({_SQL_H0}, ths[i+1 : least(i+{MH_K}, len(ths))]),
+      (h, v) -> (h * {_SQL_P} + v) % {_SQL_M})) AS shs
+  FROM th
+),
+shr AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+perm(p, a, b) AS (VALUES {permvals}),
+sig AS (
+  SELECT doc_id, p, MIN((s * a + b) % {_SQL_M}) AS v
+  FROM shr CROSS JOIN perm GROUP BY doc_id, p
+),
+bandlist AS (
+  SELECT doc_id, p // {r} AS band_id, list(v ORDER BY p) AS vs
+  FROM sig GROUP BY doc_id, p // {r}
+),
+bands AS (
+  SELECT doc_id, band_id,
+    list_reduce(list_prepend({_SQL_H0}, vs),
+      (h, v) -> (h * {_SQL_P} + v) % {_SQL_M}) AS bh
+  FROM bandlist
+),
+edge AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.bh = y.bh
+),
+walk(id, r) AS (
+  SELECT DISTINCT a, a FROM edge
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
+)
+SELECT id AS doc_id, MIN(r) AS dup_group FROM walk GROUP BY id
+"""
+
+
+def _sql_simhash() -> str:
+    """Token-vote SimHash in HUGEINT arithmetic (bit b of a token hash is
+    (h // 2^b) % 2); zero-token docs COALESCE to -1 like the engine's
+    all-bits-set vote."""
+    bitvals = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH {_sql_tokhash_cte()},
+thr AS (SELECT doc_id, unnest(ths) AS h FROM th),
+bitt(bit, w) AS (VALUES {bitvals}),
+votes AS (
+  SELECT doc_id, bit, ANY_VALUE(w) AS w,
+         SUM(CASE WHEN (h // w) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM thr CROSS JOIN bitt GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id, SUM(CASE WHEN v >= 0 THEN w ELSE 0::HUGEINT END) AS f
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(
+    f.f - CASE WHEN f.f >= {_SQL_I64} THEN {_SQL_M} ELSE 0::HUGEINT END,
+    -1) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+def _sql_lang_detect() -> str:
+    """Stopword-overlap lang id: distinct lowered tokens intersected with
+    each profile; best score > 0 wins, ties to the smallest lang code,
+    CJK unicode-range overrides first — exactly functions/text.py
+    detect_lang."""
+    from ..functions.text import _LANG_PROFILES
+
+    langvals = ", ".join(
+        "('%s', [%s])" % (lang, ",".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])))
+        for lang in sorted(_LANG_PROFILES)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, lower(text) AS lt,
+         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS words
+  FROM documents
+),
+langs(lang, sw) AS (VALUES {langvals}),
+scored AS (
+  SELECT doc_id, lang, len(list_intersect(words, sw)) AS sc
+  FROM w CROSS JOIN langs
+),
+best AS (
+  SELECT doc_id, lang, sc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang) AS rn
+  FROM scored
+)
+SELECT w.doc_id,
+  CASE WHEN regexp_matches(w.lt, '[぀-ヿ]') THEN 'ja'
+       WHEN regexp_matches(w.lt, '[一-鿿]') THEN 'zh'
+       WHEN b.sc > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM w JOIN best b ON w.doc_id = b.doc_id AND b.rn = 1
+"""
+
 
 def _sql_knn() -> str:
     ncols, nrows = 2 << RES_KNN, 1 << RES_KNN
@@ -782,9 +1028,17 @@ FROM g,
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
         ),
         "user_series": (
-            "SELECT user_id, COUNT(*) AS n_layers, "
-            "ARG_MIN(value, ts) AS first_v, ARG_MAX(value, ts) AS last_v "
-            "FROM events GROUP BY user_id"
+            # tie-break mirrored: the engine orders by (ts, event_id), so
+            # first/last are taken from the same ROW_NUMBER frame — not
+            # ARG_MIN/ARG_MAX(value, ts), which are nondeterministic when
+            # (user_id, ts) repeats
+            "WITH o AS (SELECT user_id, value, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM events) "
+            "SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n_layers, "
+            "MAX(CASE WHEN rn = 1 THEN value END) AS first_v, "
+            "MAX(CASE WHEN rn = cnt THEN value END) AS last_v "
+            "FROM o GROUP BY user_id"
         ),
         "topk_cells": (
             f"{_sql_geo_cte(RES_ZONAL)} "
@@ -827,6 +1081,26 @@ FROM cand QUALIFY rank <= 10
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"
         ),
+        "region_balance": (
+            "SELECT r.r_name, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(s.s_acctbal * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents_sum "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
+        ),
+        "priority_segment": (
+            "SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment, o.o_orderpriority"
+        ),
+        "semi_customers": (
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "minhash_groups": _sql_minhash_groups(),
+        "simhash": _sql_simhash(),
+        "lang_detect": _sql_lang_detect(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -916,6 +1190,9 @@ def build_queries() -> dict:
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,
         "top_orders": q_top_orders,
+        "region_balance": q_region_balance,
+        "priority_segment": q_priority_segment,
+        "semi_customers": q_semi_customers,
         "events_hourly": q_events_hourly,
         "sample": q_sample,
         "join_agg": q_join_agg,

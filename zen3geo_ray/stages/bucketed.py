@@ -31,7 +31,13 @@ def _bucket_ids(batch: pa.Table, key_cols: list[str], n_buckets: int) -> np.ndar
             if pa.types.is_integer(col.type):
                 v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             elif pa.types.is_floating(col.type):
-                v = col.to_numpy(zero_copy_only=False).view(np.uint64)
+                f = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                # canonicalize before hashing by bit pattern: -0.0 == 0.0
+                # under the in-bucket merge, and every NaN payload compares
+                # the same way — collapse both to one representative
+                f = f + 0.0
+                f = np.where(np.isnan(f), np.float64(np.nan), f)
+                v = f.view(np.uint64)
             else:
                 v = fnv1a_str_array(col.to_pylist())
             h = h * np.uint64(1099511628211) + v

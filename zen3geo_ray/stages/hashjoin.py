@@ -46,14 +46,14 @@ def equi_join(left, right, on: list[str], how: str = "inner",
         return bucketed_join(left, right, on, how=how, n_buckets=num_partitions)
 
 
-def bucketed_join(left, right, on: list[str], how: str = "inner",
-                  n_buckets: int = 64):
-    """Portable partitioned hash join (same key names on both sides;
-    non-key columns must be disjoint)."""
+def _tagged_union(left, right, on: list[str], n_buckets: int,
+                  keep_right_cols: bool = True):
+    """Pad both sides to a shared schema, tag side + coarse key bucket,
+    union — the single all-to-all every bucketed join variant shares."""
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
-    rcols = [c for c in rschema.names if c not in on]
+    rcols = [c for c in rschema.names if c not in on] if keep_right_cols else []
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
@@ -61,7 +61,7 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
     types.update({n: t for n, t in zip(rschema.names, rschema.types)})
     all_cols = lcols + rcols
 
-    def pad(side: int, keys: list[str]):
+    def pad(side: int):
         def fn(b: pa.Table) -> pa.Table:
             n = len(b)
             cols = {}
@@ -71,21 +71,81 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
                 else:
                     cols[name] = pa.nulls(n, types[name])
             out = pa.table(cols)
-            bucket = _bucket_ids(b, keys, n_buckets)
+            bucket = _bucket_ids(b, on, n_buckets)
             return out.append_column(_BUCKET, pa.array(bucket)).append_column(
                 _SIDE, pa.array(np.full(n, side, dtype=np.int8))
             )
 
         return fn
 
-    lt = left.map_batches(pad(0, on), batch_format="pyarrow")
-    rt = right.map_batches(pad(1, on), batch_format="pyarrow")
-    both = lt.union(rt)
+    lt = left.map_batches(pad(0), batch_format="pyarrow")
+    rt = right.map_batches(pad(1), batch_format="pyarrow")
+
+    def restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        """Undo the union's dtype pollution: padding the OTHER side with
+        nulls turns int columns float in pandas; once a side is subset
+        back to its own (non-null) rows, cast ints back so key hashing
+        and chained joins see the original integer dtype."""
+        df = df[cols]
+        for c in cols:
+            if (
+                pa.types.is_integer(types[c])
+                and df[c].dtype.kind == "f"
+                and not df[c].isna().any()
+            ):
+                df = df.assign(**{c: df[c].astype(types[c].to_pandas_dtype())})
+        return df
+
+    return (lt.union(rt), lcols, rcols, restore)
+
+
+def bucketed_join(left, right, on: list[str], how: str = "inner",
+                  n_buckets: int = 64):
+    """Portable partitioned hash join (same key names on both sides;
+    non-key columns must be disjoint).
+
+    how: 'inner' | 'left' | 'semi' | 'anti'.  Semi/anti return LEFT rows
+    filtered by key existence on the right (each left row at most once) —
+    the distributed NOT IN / EXISTS shape, no driver-side key set.
+    """
+    filter_only = how in ("semi", "anti")
+    both, lcols, rcols, restore = _tagged_union(
+        left, right, on, n_buckets, keep_right_cols=not filter_only
+    )
 
     def join_bucket(g: pd.DataFrame) -> pa.Table:
-        l = g[g[_SIDE] == 0][lcols]
-        r = g[g[_SIDE] == 1][on + rcols]
-        merged = l.merge(r, how=how, on=on)
+        l = restore(g[g[_SIDE] == 0], lcols)
+        if filter_only:
+            rkeys = restore(g[g[_SIDE] == 1], on).drop_duplicates()
+            m = l.merge(rkeys, how="left", on=on, indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            merged = m[m["_merge"] == want].drop(columns=["_merge"])
+        else:
+            r = restore(g[g[_SIDE] == 1], on + rcols)
+            merged = l.merge(r, how=how, on=on)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
+def sort_merge_join(left, right, on: list[str], how: str = "inner",
+                    n_buckets: int = 64):
+    """Sort-merge variant of the bucketed join: within each bucket both
+    sides are sorted on the key and merged with ``pd.merge(..., sort=
+    True)`` semantics — output rows come back key-ordered per bucket.
+
+    Same single all-to-all as ``bucketed_join``; pick this when a
+    downstream stage wants per-bucket key order (e.g. range windows over
+    the join result) — the hash variant returns probe order.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("sort_merge_join supports how='inner'|'left'")
+    both, lcols, rcols, restore = _tagged_union(left, right, on, n_buckets)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        l = restore(g[g[_SIDE] == 0], lcols).sort_values(on, kind="mergesort")
+        r = restore(g[g[_SIDE] == 1], on + rcols).sort_values(on, kind="mergesort")
+        merged = pd.merge_ordered(l, r, on=on, how=how)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")

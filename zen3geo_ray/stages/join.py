@@ -255,31 +255,67 @@ def make_pip_join_fn(blob_ref, how: str = "inner",
     return join_batch
 
 
-def broadcast_lookup_join(
-    batch: pa.Table,
+def make_broadcast_lookup_join(
+    dim_ref,
     *,
-    lookup: dict,
     key_col: str,
     value_cols: dict[str, pa.DataType],
     how: str = "inner",
-) -> pa.Table:
-    """Generic broadcast hash-lookup equi-join for small dimension tables
-    (lookup: key -> dict of values), vectorized via pandas map."""
-    import pandas as pd
+):
+    """Broadcast dimension-table equi-join as a task fn for map_batches.
 
-    keys = batch.column(key_col).to_pandas()
-    out = batch
-    first_col = next(iter(value_cols))
-    mapped = {
-        name: keys.map(lambda k, n=name: lookup.get(k, {}).get(n))
-        for name in value_cols
-    }
-    if how == "inner":
-        mask = ~mapped[first_col].isna().to_numpy()
-        out = out.filter(pa.array(mask))
+    ``dim_ref`` is a ``ray.put`` ObjectRef (or plain dict) of
+    ``{key_col: int64 array, <value>: array, ...}``.  The dim table is
+    fetched and indexed ONCE per worker process (sorted key array +
+    aligned value arrays, memoized like ``make_pip_join_fn``); each batch
+    then joins via vectorized ``np.searchsorted`` — no per-row Python.
+    """
+
+    key = ("blj", str(dim_ref), key_col, tuple(value_cols), how)
+
+    def _index():
+        idx = _PROCESS_CACHE.get(key)
+        if idx is None:
+            blob = dim_ref
+            try:
+                import ray
+
+                if isinstance(blob, ray.ObjectRef):
+                    blob = ray.get(blob)
+            except (ImportError, TypeError):
+                pass
+            keys = np.asarray(blob[key_col], dtype=np.int64)
+            order = np.argsort(keys, kind="stable")
+            idx = (
+                keys[order],
+                {n: np.asarray(blob[n])[order] for n in value_cols},
+            )
+            _PROCESS_CACHE[key] = idx
+        return idx
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        skeys, svals = _index()
+        bk = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(skeys):
+            pos_c = np.minimum(np.searchsorted(skeys, bk), len(skeys) - 1)
+            hit = skeys[pos_c] == bk
+        else:
+            pos_c = np.zeros(len(bk), dtype=np.int64)
+            hit = np.zeros(len(bk), dtype=bool)
+        if how == "inner":
+            out = batch.filter(pa.array(hit))
+            take = pos_c[hit]
+            for name, typ in value_cols.items():
+                out = out.append_column(name, pa.array(svals[name][take], typ))
+            return out
+        # left: unmatched rows get nulls (mask= makes them null, vectorized)
+        out = batch
         for name, typ in value_cols.items():
-            out = out.append_column(name, pa.array(mapped[name][mask], typ))
-    else:  # left
-        for name, typ in value_cols.items():
-            out = out.append_column(name, pa.array(mapped[name], typ))
-    return out
+            if len(skeys):
+                vals = pa.array(svals[name][pos_c], typ, mask=~hit)
+            else:
+                vals = pa.nulls(len(bk), typ)
+            out = out.append_column(name, vals)
+        return out
+
+    return join_batch

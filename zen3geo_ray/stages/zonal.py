@@ -37,10 +37,12 @@ def partial_zonal(batch: pa.Table, *, keys: list[str],
             elif a in ("min", "max"):
                 need.add((col, a))
     gb = batch.group_by(keys)
-    specs = [(keys[0], "count")] + [(c, a) for c, a in sorted(need)]
+    # ([], "count_all") counts ROWS — a (keys[0], "count") would report 0
+    # for a null-keyed group while SQL COUNT(*) counts its rows
+    specs = [([], "count_all")] + [(c, a) for c, a in sorted(need)]
     out = gb.aggregate(specs)
     # normalize names: pyarrow emits "{col}_{agg}"
-    rename = {f"{keys[0]}_count": "_pcount"}
+    rename = {"count_all": "_pcount"}
     for c, a in need:
         rename[f"{c}_{a}"] = f"{c}_p{a}"
     return out.rename_columns(
