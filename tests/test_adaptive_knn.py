@@ -70,3 +70,40 @@ def test_resumable_points_write_by_coarse_cell(ray_session, tmp_path):
     # manifest doubles as metrics: per-partition rows + wall time
     man = lineage.load_manifest(out_dir)
     assert man["rows"].sum() == 500 and (man["wall_s"] >= 0).all()
+
+
+def test_lsh_knn_multiprobe_recall(ray_session):
+    """Multi-probe recall target: >= 0.9 vs brute force at 8 planes,
+    probe=2 (the stated recall knob for the scale path)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages import ann
+
+    rng = np.random.default_rng(11)
+    n, d, Q, k = 4000, 32, 8, 10
+    # clustered data — the regime LSH serves: true neighbors are ANGULARLY
+    # close (isotropic gaussians make top-k near-orthogonal, where no
+    # sign-pattern scheme can work)
+    centers = rng.standard_normal((50, d)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 50, n)
+    m = (centers[assign] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n),
+         "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    q = m[rng.choice(n, Q, replace=False)] + 0.1 * rng.standard_normal(
+        (Q, d)
+    ).astype(np.float32)
+    blob = {"query_id": np.arange(Q), "matrix": q}
+    exact = ann.brute_force_knn(rd.from_arrow(tbl), blob, k=k).to_pandas()
+    approx = ann.lsh_knn(
+        rd.from_arrow(tbl), blob, k=k, n_planes=8, probe=2
+    ).to_pandas()
+    recalls = []
+    for qi in range(Q):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / k)
+    assert np.mean(recalls) >= 0.9, recalls

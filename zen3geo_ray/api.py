@@ -118,8 +118,25 @@ class Pipe:
             )
         )
 
-    def rasterize_tiles(self, tile_specs: pa.Table, agg: str = "count") -> "Pipe":
-        """Reference op #10 (rasterize_with_datashader), per-tile shape."""
+    def rasterize_tiles(self, tile_specs: pa.Table, agg: str = "count",
+                        small_grid: bool = False) -> "Pipe":
+        """Reference op #10 (rasterize_with_datashader), per-tile shape.
+
+        agg='count' (the default) routes through the SCALE path:
+        ``partial_histogram`` pre-bins inside map_batches so the shuffle
+        moves touched-pixel partials, never raw points, and
+        ``assemble_rasters`` densifies per tile.  ``small_grid=True`` (or
+        any non-count agg) uses the per-tile ``TileRasterizer`` map_groups
+        — O(#tiles) Python calls, fine for dozens of tiles, wrong for
+        thousands.
+        """
+        if agg == "count" and not small_grid:
+            spec_lookup = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
+            sparse = self.ds.map_batches(
+                lambda b: rz.partial_histogram(b, tile_specs=spec_lookup),
+                batch_format="pyarrow",
+            )
+            return Pipe(rz.assemble_rasters(sparse, tile_specs))
         rasterizer = rz.TileRasterizer(tile_specs=tile_specs, agg=agg)
 
         def group_fn(g: pa.Table) -> pa.Table:

@@ -88,6 +88,31 @@ def chipping_pipeline(scenes_ds, *, chip_h=512, chip_w=512,
     )
 
 
+def chip_tensor_pipeline(scenes_ds, *, chip_h=64, chip_w=64,
+                         overlap_h=0, overlap_w=0, batch_size: int | None = 8):
+    """scenes -> decoded scene tensors -> per-chip rows with REAL windowed
+    tensor data (the reference's xbatcher data path, not just ids).
+
+    The decode + slice stages run with a small ``batch_size`` because each
+    row carries a full scene tensor — size so scenes x bytes fit a worker
+    heap; chips stream out as flat float32 lists ready for collation.
+    """
+    from ..sources.readers import scene_tensor_batch
+
+    tensors = scenes_ds.map_batches(
+        scene_tensor_batch, batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
+    )
+    return tensors.map_batches(
+        lambda b: chips_mod.slice_chip_tensors(
+            b, chip_h=chip_h, chip_w=chip_w,
+            overlap_h=overlap_h, overlap_w=overlap_w,
+        ),
+        batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
+    )
+
+
 def geobox_to_imgbox(batch: pa.Table) -> pa.Table:
     """Geographic clipped bounds -> image coords, the reference's affine
     (``docs/object-detection-boxes.md:328-364``): x = (gx - left)/xres,
@@ -134,14 +159,21 @@ def stacking_pipeline(pages_ds, *, res: int = 8, concurrency=None):
 
 def detection_pipeline(scenes_ds, polygons: pa.Table, *,
                        scene_transforms: dict, chip_h=128, chip_w=128,
-                       concurrency: int | None = None):
+                       concurrency: int | None = None,
+                       with_data: bool = False):
     """scenes -> chips -> clip-join vs polygons -> geo+image box rows.
 
     Output: one row per (chip, polygon) intersection with both
     geographic (cminx..cmaxy) and image-space (x1,y1,x2,y2) boxes —
     the join-output-rows contract of the object-detection walkthrough.
+    ``with_data=True`` routes through the tensor path: each output row
+    also carries its chip's real windowed tensor (``data``), the
+    reference's chip-image + boxes pairing.
     """
-    chips = chipping_pipeline(scenes_ds, chip_h=chip_h, chip_w=chip_w)
+    if with_data:
+        chips = chip_tensor_pipeline(scenes_ds, chip_h=chip_h, chip_w=chip_w)
+    else:
+        chips = chipping_pipeline(scenes_ds, chip_h=chip_h, chip_w=chip_w)
     boxed = chips.map_batches(
         lambda b: chips_mod.chip_bboxes(b, scene_transforms=scene_transforms),
         batch_format="pyarrow",

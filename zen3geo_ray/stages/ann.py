@@ -117,13 +117,36 @@ def lsh_bucket(batch: pa.Table, *, planes: np.ndarray,
     return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
+def probe_buckets(qb: np.ndarray, n_planes: int, probe: int = 0) -> dict[int, np.ndarray]:
+    """bucket -> query-index mapping with MULTI-PROBE expansion: each
+    query also probes every bucket within Hamming distance <= ``probe``
+    of its own sign pattern (flip up to ``probe`` plane bits).  probe=0
+    is single-bucket; probe=2 at 8 planes probes 37 of 256 buckets —
+    the standard recall knob without re-shuffling anything."""
+    from itertools import combinations
+
+    flips = [0]
+    for r in range(1, probe + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+    out: dict[int, list[int]] = {}
+    for qi, b in enumerate(qb.tolist()):
+        for m in flips:
+            out.setdefault(b ^ m, []).append(qi)
+    return {b: np.asarray(v, dtype=np.int64) for b, v in out.items()}
+
+
 class BucketedTopK:
     """Per-batch cosine top-k where each candidate is compared ONLY
-    against the queries sharing its LSH bucket (the honest scale path:
-    compare volume shrinks ~2^planes-fold, recall traded accordingly)."""
+    against the queries probing its LSH bucket (the honest scale path:
+    compare volume shrinks ~2^planes-fold; recall recovered via
+    multi-probe)."""
 
     def __init__(self, blob_or_ref, planes: np.ndarray, k: int,
-                 id_col: str, vec_col: str):
+                 id_col: str, vec_col: str, probe: int = 0):
         try:
             import ray
 
@@ -137,10 +160,7 @@ class BucketedTopK:
         qb = ((self.q @ planes.T) > 0).astype(np.int64) @ (
             1 << np.arange(planes.shape[0], dtype=np.int64)
         )
-        # bucket -> query indices
-        self.by_bucket: dict[int, np.ndarray] = {
-            int(b): np.flatnonzero(qb == b) for b in np.unique(qb)
-        }
+        self.by_bucket = probe_buckets(qb, planes.shape[0], probe)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
@@ -178,16 +198,21 @@ class BucketedTopK:
 
 
 def lsh_knn(ds, queries_blob, k: int, n_planes: int = 8,
-            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7):
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+            probe: int = 0):
     """Approximate kNN: each vector is compared only against the queries
-    whose LSH bucket it shares.  Recall < 1 by construction; the recall
-    baseline is ``brute_force_knn``."""
+    probing its LSH bucket.  ``probe`` expands each query to all buckets
+    within that Hamming distance of its sign pattern (recall knob —
+    probe=2 at 8 planes reaches >= 0.9 recall on the recall test, still
+    pruning most candidates); the exact baseline is ``brute_force_knn``."""
     qm = np.asarray(queries_blob["matrix"], dtype=np.float32)
     planes = hyperplanes(qm.shape[1], n_planes, seed)
     q_buckets = ((normalize(qm) @ planes.T) > 0).astype(np.int64) @ (
         1 << np.arange(n_planes, dtype=np.int64)
     )
-    wanted_arr = np.unique(q_buckets)
+    wanted_arr = np.unique(
+        np.asarray(list(probe_buckets(q_buckets, n_planes, probe)), dtype=np.int64)
+    )
 
     bucketed = ds.map_batches(
         lambda b: lsh_bucket(b, planes=planes, vec_col=vec_col),
@@ -202,7 +227,7 @@ def lsh_knn(ds, queries_blob, k: int, n_planes: int = 8,
     )
     partial = cand.map_batches(
         BucketedTopK,
-        fn_constructor_args=(queries_blob, planes, k, id_col, vec_col),
+        fn_constructor_args=(queries_blob, planes, k, id_col, vec_col, probe),
         batch_format="pyarrow",
         concurrency=2,
     )

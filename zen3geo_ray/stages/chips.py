@@ -79,6 +79,105 @@ def enumerate_chips(
     return pa.table(cols)
 
 
+def slice_chip_tensors(
+    batch: pa.Table,
+    *,
+    chip_h: int,
+    chip_w: int,
+    overlap_h: int = 0,
+    overlap_w: int = 0,
+    data_col: str = "data",
+) -> pa.Table:
+    """Scene-tensor rows -> per-chip rows with ACTUAL windowed data.
+
+    Input rows carry (scene_id, height, width, bands, data) where data is
+    the flat band-major (B, H, W) float32 tensor; output is one row per
+    chip with the same deterministic (chip_id, chip_y, chip_x, y0, x0)
+    identity ``enumerate_chips`` assigns plus the chip's
+    (bands * chip_h * chip_w) tensor — the reference's
+    ``xbatcher.BatchGenerator`` window contents
+    (``/root/reference/zen3geo/datapipes/xbatcher.py:105-110``; fixture
+    golden: an all-ones 3x128x128 scene -> 4 chips of real data,
+    ``test_datapipes_xbatcher.py:21-31``).
+
+    Per scene the windowing is one strided view + transpose (no Python
+    per-chip loop); batches should be sized so scenes * tensor bytes fit
+    the worker heap (large scenes -> small ``batch_size``).
+    """
+    sy = chip_h - overlap_h
+    sx = chip_w - overlap_w
+    sid = batch.column("scene_id").to_numpy(zero_copy_only=False)
+    H = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
+    W = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
+    B = batch.column("bands").to_numpy(zero_copy_only=False).astype(np.int64)
+    data = batch.column(data_col)
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    out_sid, out_cid, out_cy, out_cx, out_data, out_bands = [], [], [], [], [], []
+    for i in range(len(sid)):
+        arr = np.asarray(data[i].values, dtype=np.float32).reshape(
+            int(B[i]), int(H[i]), int(W[i])
+        )
+        ny = int(chips_per_dim(H[i], chip_h, overlap_h))
+        nx = int(chips_per_dim(W[i], chip_w, overlap_w))
+        if ny == 0 or nx == 0:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(
+            arr, (chip_h, chip_w), axis=(1, 2)
+        )[:, ::sy, ::sx][:, :ny, :nx]          # (B, ny, nx, ch, cw)
+        tiles = win.transpose(1, 2, 0, 3, 4).reshape(ny * nx, -1)
+        out_sid.append(np.full(ny * nx, sid[i]))
+        out_cid.append(np.arange(ny * nx, dtype=np.int64))
+        yy, xx = np.divmod(np.arange(ny * nx), nx)
+        out_cy.append(yy)
+        out_cx.append(xx)
+        out_data.append(np.ascontiguousarray(tiles))
+        out_bands.append(int(B[i]))
+    if not out_sid:
+        return pa.table(
+            {
+                "scene_id": pa.array([], batch.schema.field("scene_id").type),
+                "chip_id": pa.array([], pa.int64()),
+                "chip_y": pa.array([], pa.int32()),
+                "chip_x": pa.array([], pa.int32()),
+                "y0": pa.array([], pa.int32()),
+                "x0": pa.array([], pa.int32()),
+                "height": pa.array([], pa.int32()),
+                "width": pa.array([], pa.int32()),
+                "bands": pa.array([], pa.int64()),
+                "data": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    cy = np.concatenate(out_cy)
+    cx = np.concatenate(out_cx)
+    nchips = len(cy)
+    flat = np.concatenate([t.reshape(-1) for t in out_data])
+    sizes = np.concatenate(
+        [np.full(t.shape[0], t.shape[1], dtype=np.int32) for t in out_data]
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    data_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat, pa.float32())
+    )
+    bands_rep = np.repeat(
+        np.asarray(out_bands, dtype=np.int64), [t.shape[0] for t in out_data]
+    )
+    return pa.table(
+        {
+            "scene_id": pa.array(np.concatenate(out_sid)),
+            "chip_id": pa.array(np.concatenate(out_cid), pa.int64()),
+            "chip_y": pa.array(cy.astype(np.int32), pa.int32()),
+            "chip_x": pa.array(cx.astype(np.int32), pa.int32()),
+            "y0": pa.array((cy * sy).astype(np.int32), pa.int32()),
+            "x0": pa.array((cx * sx).astype(np.int32), pa.int32()),
+            "height": pa.array(np.full(nchips, chip_h, dtype=np.int32), pa.int32()),
+            "width": pa.array(np.full(nchips, chip_w, dtype=np.int32), pa.int32()),
+            "bands": pa.array(bands_rep, pa.int64()),
+            "data": data_arr,
+        }
+    )
+
+
 def chip_bboxes(
     chips: pa.Table,
     *,

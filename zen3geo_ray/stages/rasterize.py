@@ -270,9 +270,15 @@ def assign_tiles(batch: pa.Table, *, lon0, lat0, lon1, lat1, nx, ny,
 
 
 class TileRasterizer:
-    """Actor-pool map_groups fn: one group (all points of one tile) ->
+    """Per-tile map_groups fn: one group (all points of one tile) ->
     one raster row.  Tile specs are broadcast via ray.put in the caller
-    and fetched once per actor here (never re-shipped per batch)."""
+    and fetched once per actor here (never re-shipped per batch).
+
+    SMALL-GRID path: a map_groups call per tile is O(#tiles) Python
+    overhead and shuffles raw points — right for dozens of tiles (or
+    weighted sum/min/max aggs), wrong for thousands.  Large count grids
+    route through ``partial_histogram`` + ``assemble_rasters``
+    (api.Pipe.rasterize_tiles does this automatically)."""
 
     def __init__(self, tile_specs_ref=None, tile_specs: pa.Table | None = None,
                  agg: str = "count", value_col: str | None = None):

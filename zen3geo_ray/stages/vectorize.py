@@ -6,9 +6,9 @@ rasterize covers vector→raster, this module covers the way back:
 * ``raster_to_points`` — nonzero (or thresholded) pixels -> point rows
   at pixel centers with their values (mask → point cloud);
 * ``raster_to_regions`` — 4-connected components of the thresholded
-  mask -> one region row per component with pixel count and geographic
-  bbox + WKB box polygon (mask → polygons, bbox-level fidelity; exact
-  boundary tracing would slot in the same per-tile kernel).
+  mask -> one region row per component with pixel count, geographic
+  bbox, and an EXACT traced boundary polygon (Moore boundary tracing on
+  the pixel grid, interior rings included) as WKB.
 
 Both are per-tile map_batches transforms over raster rows (tile_id,
 height, width, data + tile bounds): embarrassingly parallel, no
