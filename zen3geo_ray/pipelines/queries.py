@@ -36,13 +36,18 @@ TILE_NX, TILE_NY, TILE_PX = 8, 4, 16
 KNN_QUERIES = [(0, -98.0, 39.0), (1, 10.0, 51.0), (2, -3.0, 40.0)]
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 20_000):
     """Column-pruned read with a bounded block count.
 
     Ray's default read splitting can shatter small files into hundreds of
     blocks; on high-task-overhead hosts the per-task cost then dominates
     every downstream shuffle (measured 23.5s -> 3.4s for a 600k-row join
     just from capping blocks).  Cap at ~1 block per CPU.
+
+    ``rows_per_block`` sizes blocks to the downstream work: ~20k rows for
+    cheap columnar transforms (the default), smaller (~1k) when the map
+    stage runs a heavy per-text kernel that should parallelize even on a
+    small table.
     """
     import ray
     import ray.data as rd
@@ -56,9 +61,7 @@ def _read(sf_dir: str, table: str, columns=None):
         n_rows = pq.read_metadata(path).num_rows
     except Exception:
         n_rows = 1 << 30
-    # at least ~20k rows per block: tiny tables in 1-2 blocks, big tables
-    # capped at one block per CPU
-    nblocks = int(min(cpus, max(1, n_rows // 20_000)))
+    nblocks = int(min(cpus, max(1, n_rows // rows_per_block)))
     return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
@@ -403,14 +406,14 @@ MH_NUM_PERM, MH_BANDS, MH_K = 64, 16, 3
 
 
 def q_minhash_groups(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
     return dedup.minhash_lsh_groups(
         docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS, k=MH_K
     )
 
 
 def q_simhash(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
     out = docs.map_batches(
         lambda b: dedup.simhash_batch(b, text_col="text"), batch_format="pyarrow"
     )
@@ -474,14 +477,23 @@ def q_mktsegment(sf_dir: str):
     then the per-custkey counts join customer on the key and the small
     per-segment re-aggregation sums them.  No driver-side table read —
     both shuffles move one row per custkey, not per order."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
     from ..stages.hashjoin import bucketed_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    per_cust = zonal.zonal_aggregate(orders, ["o_custkey"], {}).map_batches(
-        lambda b: pa.table({"o_custkey": b.column("o_custkey"),
-                            "n_ord": b.column("n")}),
-        batch_format="pyarrow",
-    )
+
+    def count_per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["o_custkey"].value_counts(sort=False)
+        return pd.DataFrame(
+            {"o_custkey": vc.index.to_numpy(), "n_ord": vc.to_numpy()}
+        )
+
+    # combiner-first count per custkey via the coarse-bucket reduce (the
+    # native groupby aggregate measured ~5x slower at this key count)
+    per_cust = bucketed_groupby(orders, ["o_custkey"], count_per_cust,
+                                n_buckets=32)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda b: pa.table({"o_custkey": b.column("c_custkey"),
                             "c_mktsegment": b.column("c_mktsegment")}),

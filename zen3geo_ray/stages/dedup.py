@@ -128,9 +128,19 @@ def minhash_signatures(texts, num_perm: int = 64, k: int = 3) -> np.ndarray:
     a, b = perm_params(num_perm)
     if len(sh) == 0:
         return np.empty((0, num_perm), dtype=np.uint64)
+    ndocs = len(soff) - 1
+    sig = np.empty((ndocs, num_perm), dtype=np.uint64)
+    starts = soff[:-1]
+    # one 1-D contiguous pass per permutation: a (shingles, num_perm)
+    # broadcast matrix would cost |sh|*P*8 bytes of temporaries (hundreds
+    # of MB at batch scale) and numpy's strided uint64 loops are far
+    # slower than the contiguous ones
     with np.errstate(over="ignore"):
-        perm = sh[:, None] * a[None, :] + b[None, :]
-    return np.minimum.reduceat(perm, soff[:-1], axis=0)
+        for p in range(num_perm):
+            perm = sh * a[p]
+            perm += b[p]
+            sig[:, p] = np.minimum.reduceat(perm, starts)
+    return sig
 
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -166,57 +176,69 @@ def minhash_bands(batch: pa.Table, *, id_col: str, text_col: str = "text",
     )
 
 
-def lsh_group_labels(bands_ds, *, id_col: str, max_rounds: int = 50):
+def lsh_group_labels(bands_ds, *, id_col: str, max_rounds: int = 50,
+                     n_buckets: int | None = None):
     """(id, band_id, band_hash) rows -> (id, dup_group) where dup_group is
     the MINIMUM doc id of the full connected component induced by shared
     LSH buckets.
 
     Min-label propagation over the doc↔bucket bipartite graph, iterated
-    to FIXPOINT: each round attaches current labels to the band rows
-    (bucketed join on doc id), takes the min label per bucket, then the
-    min bucket-label per doc.  Labels are monotonically non-increasing
-    int64s, so the total label sum strictly decreases until convergence —
-    one scalar aggregate per round detects the fixpoint (no driver-side
-    table reads).  Only fixed-width (id, band, hash, label) rows shuffle.
+    to FIXPOINT.  The working state is the band-row table itself with the
+    current label carried on every row, so each round is exactly TWO
+    coarse-bucket shuffles (no join, no native groupby aggregate — both
+    measured far slower here): (A) bucket by (band_id, band_hash), take
+    the min label per LSH bucket; (B) bucket by doc id, take the min over
+    the doc's rows and re-tag them for the next round.  Labels are
+    monotonically non-increasing int64s, so the total label sum strictly
+    decreases until convergence — one scalar aggregate per round detects
+    the fixpoint (no driver-side table reads).  Only fixed-width
+    (id, band, hash, label) rows shuffle.
     """
-    from ray.data.aggregate import Min
-
     from .bucketed import bucketed_groupby
-    from .hashjoin import bucketed_join
 
-    # consumed once per round — materialize so rounds don't re-execute the
-    # upstream signature computation
-    bands_ds = bands_ds.materialize()
-
-    def bucket_min_ids(g: pd.DataFrame) -> pd.DataFrame:
-        gm = g.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("min")
-        return pd.DataFrame({id_col: g[id_col], "dup_group": gm})
-
-    grouped = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_min_ids)
-    labels = grouped.groupby(id_col).aggregate(
-        Min("dup_group", alias_name="dup_group")
+    # carry the label on every band row; materialized once per round
+    tagged = bands_ds.map_batches(
+        lambda b: b.append_column("dup_group", b.column(id_col)),
+        batch_format="pyarrow",
     ).materialize()
-    prev_sum = labels.sum("dup_group", ignore_nulls=False)
-    if prev_sum is None:  # empty input
-        return labels
-
-    def bucket_min_labels(g: pd.DataFrame) -> pd.DataFrame:
-        gm = g.groupby(["band_id", "band_hash"], sort=False)["dup_group"].transform("min")
-        return pd.DataFrame({id_col: g[id_col], "dup_group": gm})
-
-    for _ in range(max_rounds):
-        tagged = bucketed_join(bands_ds, labels, [id_col])
-        cand = bucketed_groupby(
-            tagged, ["band_id", "band_hash"], bucket_min_labels
+    nrows = tagged.count()
+    if nrows == 0:
+        return tagged.map_batches(
+            lambda b: b.select([id_col, "dup_group"]), batch_format="pyarrow"
         )
-        labels = cand.groupby(id_col).aggregate(
-            Min("dup_group", alias_name="dup_group")
+    if n_buckets is None:
+        # a shuffle's latency here is task-count-bound: size buckets to
+        # the data, floor at 8 for parallelism
+        n_buckets = int(min(64, max(8, nrows // 50_000)))
+
+    def bucket_min(keys):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.copy()
+            g["dup_group"] = g.groupby(keys, sort=False)["dup_group"].transform("min")
+            return g
+
+        return fn
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        a = bucketed_groupby(
+            tagged, ["band_id", "band_hash"],
+            bucket_min(["band_id", "band_hash"]), n_buckets=n_buckets,
+        )
+        tagged = bucketed_groupby(
+            a, [id_col], bucket_min([id_col]), n_buckets=n_buckets
         ).materialize()
-        new_sum = labels.sum("dup_group", ignore_nulls=False)
+        # every doc carries `bands` identical label rows, so the row-sum
+        # is a faithful (scaled) label sum for the convergence test
+        new_sum = tagged.sum("dup_group", ignore_nulls=False)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+
+    def one_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(id_col)[[id_col, "dup_group"]]
+
+    return bucketed_groupby(tagged, [id_col], one_per_doc, n_buckets=n_buckets)
 
 
 def minhash_lsh_groups(docs_ds, *, id_col: str, text_col: str = "text",
@@ -247,14 +269,24 @@ def simhash64(texts) -> np.ndarray:
     th, off = token_hashes_batch(texts)
     ndocs = len(off) - 1
     counts = np.diff(off)
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)  # (T, 64)
-    csum = np.vstack([np.zeros((1, 64), dtype=np.int64), np.cumsum(bits, axis=0)])
-    sums = csum[off[1:]] - csum[off[:-1]]          # (D, 64) popcounts
-    votes_nonneg = (2 * sums - counts[:, None]) >= 0
     fp = np.zeros(ndocs, dtype=np.uint64)
-    for b in range(64):
-        fp |= votes_nonneg[:, b].astype(np.uint64) << np.uint64(b)
+    one = np.uint64(1)
+    # per-bit 1-D contiguous passes (a (tokens, 64) bit matrix would be
+    # ~140 MB of temporaries per 270k-token batch; see minhash note).
+    # reduceat needs in-bounds indices: empty docs get a clipped start and
+    # their garbage popcount is masked out by `has` below
+    starts = np.minimum(off[:-1], max(len(th) - 1, 0))
+    has = counts > 0
+    with np.errstate(over="ignore"):
+        for b in range(64):
+            bits = ((th >> np.uint64(b)) & one).astype(np.int64)
+            pop = (
+                np.add.reduceat(bits, starts)
+                if len(th)
+                else np.zeros(ndocs, dtype=np.int64)
+            )
+            votes_nonneg = np.where(has, (2 * pop - counts) >= 0, True)
+            fp |= votes_nonneg.astype(np.uint64) << np.uint64(b)
     return fp.view(np.int64)
 
 
