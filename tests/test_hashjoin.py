@@ -102,3 +102,46 @@ def test_join_agg_query_matches_oracle(ray_session):
     assert g["o_orderpriority"].tolist() == e["o_orderpriority"].tolist()
     assert g["n"].astype("int64").tolist() == e["n"].astype("int64").tolist()
     assert np.allclose(g["l_quantity_sum"], e["l_quantity_sum"])
+
+
+def test_bloom_anti_join_matches_bucketed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.functions.bloom import bloom_anti_join
+    from zen3geo_ray.stages.hashjoin import bucketed_join
+
+    rng = np.random.default_rng(9)
+    left = pa.table({"k": pa.array(rng.integers(0, 5000, 8000), pa.int64())})
+    right = pa.table(
+        {"k": pa.array(np.unique(rng.integers(0, 5000, 2000)), pa.int64())}
+    )
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    exact = bucketed_join(lds, rds, ["k"], how="anti", n_buckets=8).to_pandas()
+    bloomed = bloom_anti_join(
+        lds, rds, "k", n_keys_hint=2000, n_buckets=8
+    ).to_pandas()
+    assert sorted(bloomed["k"]) == sorted(exact["k"])
+
+
+def test_sort_merge_join_matches_hash(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hashjoin import bucketed_join, sort_merge_join
+
+    rng = np.random.default_rng(10)
+    left = pa.table({"k": pa.array(rng.integers(0, 300, 2000), pa.int64()),
+                     "lv": pa.array(np.arange(2000), pa.int64())})
+    right = pa.table({"k": pa.array(rng.integers(0, 300, 500), pa.int64()),
+                      "rv": pa.array(np.arange(500), pa.int64())})
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    h = bucketed_join(lds, rds, ["k"], n_buckets=8).to_pandas()
+    s = sort_merge_join(lds, rds, ["k"], n_buckets=8).to_pandas()
+    key = ["k", "lv", "rv"]
+    assert (
+        h.sort_values(key).reset_index(drop=True)[key]
+        .equals(s.sort_values(key).reset_index(drop=True)[key])
+    )

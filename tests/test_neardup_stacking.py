@@ -123,3 +123,30 @@ def test_lsh_group_labels_transitive_chain(ray_session):
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert g[1] == g[2] == g[3] == 1  # transitive closure
     assert g[9] == 9  # singleton untouched
+
+
+def test_embedding_near_dup_groups(ray_session):
+    from zen3geo_ray.stages.dedup import embedding_near_dup_groups
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16).astype(np.float32)
+    far = -base  # opposite signs -> different bucket, cos = -1
+    other = rng.standard_normal(16).astype(np.float32)
+    vecs = [
+        base,
+        base + 0.01 * rng.standard_normal(16).astype(np.float32),  # near-dup of 0
+        far,
+        other,
+        base + 0.02 * rng.standard_normal(16).astype(np.float32),  # near-dup of 0
+    ]
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(5), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               pa.list_(pa.float32()))}
+    )
+    out = embedding_near_dup_groups(
+        rd.from_arrow(tbl), sign_dims=8, threshold=0.9
+    ).to_pandas()
+    g = dict(zip(out["vec_id"], out["dup_group"]))
+    assert g[0] == g[1] == g[4] == 0
+    assert g[2] == 2 and g[3] == 3

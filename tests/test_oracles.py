@@ -45,6 +45,8 @@ FAST = [
     "lang_detect",
     "simhash",
     "minhash_groups",
+    "emb_dups",
+    "peak_value",
 ]
 
 

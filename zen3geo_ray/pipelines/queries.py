@@ -454,6 +454,49 @@ def q_ann(sf_dir: str):
     )
 
 
+EMB_SIGN_DIMS, EMB_TAU = 8, 0.3
+
+
+def q_emb_dups(sf_dir: str):
+    """Embedding-cosine near-dup groups (coordinate-sign LSH + cosine
+    threshold + connected components)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_near_dup_groups(
+        emb, id_col="vec_id", sign_dims=EMB_SIGN_DIMS, threshold=EMB_TAU
+    )
+
+
+def _sql_emb_dups() -> str:
+    """Sign-bucket + cosine-threshold pairs + recursive CC — mirrors
+    embedding_near_dup_groups (bucket assignment is pure sign tests, so
+    no float-summation-order hazard; the cosine threshold sits >= 1e-3
+    from every pair in the testdata)."""
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(EMB_SIGN_DIMS)
+    )
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) >= {EMB_TAU}
+),
+edge AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+  UNION SELECT vec_id, vec_id FROM embeddings
+),
+walk(id, r) AS (
+  SELECT DISTINCT a, a FROM edge
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
+)
+SELECT id AS vec_id, MIN(r) AS dup_group FROM walk GROUP BY id
+"""
+
+
 # --- relational: aggregate / joins / sort / window ------------------------
 
 
@@ -516,10 +559,13 @@ def q_mktsegment(sf_dir: str):
 
 def q_cust_no_orders(sf_dir: str):
     """Distributed anti join: customers with no order above 300k total
-    price (threshold keeps the result non-empty at every sf).  The order
-    keys are pre-filtered and batch-deduped (combiner), then ONE bucketed
-    shuffle filters customers by key existence — no driver-side key set."""
-    from ..stages.hashjoin import bucketed_join
+    price (threshold keeps the result non-empty at every sf).
+
+    Bloom-prefiltered: the filtered order keys (pre-deduped per batch —
+    combiner) build a distributed Bloom; customers missing the Bloom pass
+    through with NO shuffle, only the hits go through the exact bucketed
+    anti join.  No driver-side key set at any point."""
+    from ..functions.bloom import bloom_anti_join
 
     def big_keys(b: pa.Table) -> pa.Table:
         f = b.filter(pc.greater(b.column("o_totalprice"), pa.scalar(300000.0)))
@@ -530,7 +576,9 @@ def q_cust_no_orders(sf_dir: str):
         big_keys, batch_format="pyarrow"
     )
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    return bucketed_join(cust, okeys, ["c_custkey"], how="anti", n_buckets=32)
+    n_hint = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    return bloom_anti_join(cust, okeys, "c_custkey", n_keys_hint=n_hint,
+                           n_buckets=32)
 
 
 def q_top_orders(sf_dir: str):
@@ -710,6 +758,37 @@ def q_prepost(sf_dir: str):
         lambda b: b.select(["event_type", "phase"]), batch_format="pyarrow"
     )
     return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
+
+
+def q_peak_value(sf_dir: str):
+    """Per-user running-sum peak — the keyed-ordered-fold (actor-state
+    streaming window) surface, integer-exact via cents."""
+    from ..stages.windows import running_peak
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "v_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    folded = running_peak(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"], value_col="v_cents",
+    )
+    return folded.map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id"),
+                            "peak_cents": b.column("peak"),
+                            "total_cents": b.column("total")}),
+        batch_format="pyarrow",
+    )
 
 
 def q_sample(sf_dir: str):
@@ -1113,6 +1192,7 @@ FROM cand QUALIFY rank <= 10
         "minhash_groups": _sql_minhash_groups(),
         "simhash": _sql_simhash(),
         "lang_detect": _sql_lang_detect(),
+        "emb_dups": _sql_emb_dups(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -1124,6 +1204,15 @@ FROM cand QUALIFY rank <= 10
         "sample": (
             f"SELECT doc_id, lang FROM documents WHERE "
             f"{hashing.sql_knuth_unit_expr('doc_id * 7 + 1')} < 0.1"
+        ),
+        "peak_value": (
+            "WITH c AS (SELECT user_id, "
+            "CAST(ROUND(value * 100.0) AS BIGINT) AS v, "
+            "SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM events) "
+            "SELECT user_id, CAST(MAX(run) AS BIGINT) AS peak_cents, "
+            "CAST(SUM(v) AS BIGINT) AS total_cents FROM c GROUP BY user_id"
         ),
         "join_agg": (
             "SELECT o.o_orderpriority, COUNT(*) AS n, "
@@ -1198,6 +1287,7 @@ def build_queries() -> dict:
         "minhash_groups": q_minhash_groups,
         "simhash": q_simhash,
         "ann": q_ann,
+        "emb_dups": q_emb_dups,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,
@@ -1213,4 +1303,5 @@ def build_queries() -> dict:
         "parse_props": q_parse_props,
         "sessions": q_sessions,
         "sliding": q_sliding,
+        "peak_value": q_peak_value,
     }

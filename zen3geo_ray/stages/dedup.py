@@ -337,6 +337,79 @@ def simhash_near_dup_groups(docs_ds, *, id_col: str, text_col: str = "text",
     return grouped.groupby(id_col).aggregate(Min("dup_group", alias_name="dup_group"))
 
 
+# --- embedding-cosine near-dup --------------------------------------------
+
+
+def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
+                              vec_col: str = "embedding", sign_dims: int = 8,
+                              threshold: float = 0.3, n_buckets: int = 64):
+    """Embedding near-dup groups: coordinate-sign LSH buckets + exact
+    within-bucket cosine-threshold edges + connected-component min labels.
+
+    The bucket is the sign pattern of the first ``sign_dims`` raw
+    coordinates — axis-aligned hyperplane LSH whose assignment involves
+    NO arithmetic, so the SQL oracle reproduces it bit-exactly (a random
+    hyperplane projection would hinge on float summation order).  Near-
+    identical vectors agree on every coordinate sign w.h.p.  One shuffle
+    moves embedding rows grouped by sign bucket; inside each coarse
+    bucket the pairwise cosine is a vectorized float64 matmul per LSH
+    bucket.  Edges (cos >= threshold) plus per-id self rows feed
+    ``lsh_group_labels`` for the transitive closure.
+    """
+    weights = (1 << np.arange(sign_dims, dtype=np.int64))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        arr = b.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(arr), -1)
+        bits = (m[:, :sign_dims] > 0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "bucket": pa.array(bits @ weights, pa.int64()),
+                vec_col: arr,
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ids_out, keys_out = [g[id_col].to_numpy()], [-g[id_col].to_numpy() - 1]
+        for _, grp in g.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+            )
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = (m / norms) @ (m / norms).T
+            gi = grp[id_col].to_numpy()
+            ii, jj = np.triu_indices(len(gi), 1)
+            keep = cos[ii, jj] >= threshold
+            if not keep.any():
+                continue
+            a, b_ = gi[ii[keep]], gi[jj[keep]]
+            key = np.minimum(a, b_) * np.int64(1 << 31) + np.maximum(a, b_)
+            ids_out.extend([a, b_])
+            keys_out.extend([key, key])
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(ids_out),
+                "band_id": np.zeros(sum(len(x) for x in ids_out), dtype=np.int32),
+                "band_hash": np.concatenate(keys_out),
+            }
+        )
+
+    from .bucketed import bucketed_groupby
+
+    bands = bucketed_groupby(bucketed, ["bucket"], bucket_edges,
+                             n_buckets=n_buckets)
+    return lsh_group_labels(bands, id_col=id_col, n_buckets=n_buckets)
+
+
 # --- n-gram jaccard -------------------------------------------------------
 
 

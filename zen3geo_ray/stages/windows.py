@@ -89,3 +89,44 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_us: int,
         return agg.reset_index()
 
     return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def keyed_ordered_fold(ds, *, key_col: str, order_cols: list[str], fold_fn,
+                       n_buckets: int = 64):
+    """Generic stateful per-key ordered fold — the actor-state streaming
+    window expressed Dataset-first.
+
+    Every row of a key lands in one coarse bucket (hash-partitioned), the
+    bucket's rows arrive SORTED by ``order_cols`` within each key, and
+    ``fold_fn(key_df) -> state_df`` runs once per bucket over the ordered
+    frame (vectorize per key inside: cumsum/cummax/shift cover most state
+    machines without a Python loop).  This is semantically an actor
+    holding per-key state fed in event-time order; expressing it as a
+    keyed batch transform lets the streaming executor schedule and retry
+    it like any other stage instead of pinning actor pools.
+    """
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        return fold_fn(g)
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def running_peak(ds, *, key_col: str, order_cols: list[str], value_col: str,
+                 n_buckets: int = 64):
+    """Per-key running-sum peak (cumulative fold state: the running sum;
+    emitted state: its maximum + the final total).  Integer-exact when
+    ``value_col`` is integer — mirror float columns to cents first."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        run = g.groupby(key_col, sort=False)[value_col].cumsum()
+        tmp = pd.DataFrame({key_col: g[key_col], "_run": run,
+                            "_v": g[value_col]})
+        agg = tmp.groupby(key_col, sort=False).agg(
+            peak=("_run", "max"), total=("_v", "sum")
+        )
+        return agg.reset_index()
+
+    return keyed_ordered_fold(ds, key_col=key_col, order_cols=order_cols,
+                              fold_fn=fold, n_buckets=n_buckets)
