@@ -177,3 +177,9 @@ def test_pages_dataset_streaming_matches_table(ray_session):
     # distributed generation must reproduce the in-memory table exactly
     assert got["text"].tolist() == exp["text"].tolist()
     assert got["warc_ts"].tolist() == exp["warc_ts"].tolist()
+
+
+def test_token_count_bpe():
+    out = text.token_count_bpe(["I'll go, won't you?", "", "a1b2"])
+    # I |'ll| go|,| won|'t| you|? -> 8 ; "" -> 0 ; a|1|b|2 -> 4
+    assert out.tolist() == [8, 0, 4]

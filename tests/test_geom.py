@@ -231,3 +231,64 @@ def test_utm_south_hemisphere():
     # transform() dispatch for the southern EPSG code
     x2, y2 = crs.transform(173.0, -41.0, "EPSG:32759")
     assert float(x2) == float(xn) and float(y2) == float(yn)
+
+
+# --- Douglas-Peucker simplification ---------------------------------------
+
+
+def test_simplify_line_collinear():
+    from zen3geo_ray.geom.simplify import simplify_line
+
+    pts = np.array([[0.0, 0], [1, 0.001], [2, -0.001], [3, 0], [3, 3]])
+    out = simplify_line(pts, 0.01)
+    assert [tuple(p) for p in out] == [(0.0, 0.0), (3.0, 0.0), (3.0, 3.0)]
+    # below tolerance nothing is dropped
+    assert len(simplify_line(pts, 0.0001)) == 5
+
+
+def test_simplify_ring_square():
+    from zen3geo_ray.geom.simplify import simplify_ring
+
+    # unit square traced with collinear edge points (closed ring)
+    ring = np.array(
+        [[0.0, 0], [0.5, 0], [1, 0], [1, 0.5], [1, 1], [0.5, 1],
+         [0, 1], [0, 0.5], [0, 0]]
+    )
+    out = simplify_ring(ring, 0.01)
+    assert (out[0] == out[-1]).all()
+    assert len(out) == 5  # 4 corners + closure
+    corners = {tuple(p) for p in out[:-1]}
+    assert corners == {(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)}
+
+
+def test_raster_to_regions_simplified_area_preserved():
+    import pyarrow as pa
+
+    from zen3geo_ray.geom import wkb as wkbmod
+    from zen3geo_ray.stages.vectorize import raster_to_regions
+
+    H = W = 16
+    grid = np.zeros((H, W))
+    grid[2:14, 3:12] = 1.0  # solid rectangle -> boundary has collinear runs
+    batch = pa.table(
+        {"tile_id": pa.array([0], pa.int64()),
+         "height": pa.array([H], pa.int32()),
+         "width": pa.array([W], pa.int32()),
+         "data": pa.array([grid.reshape(-1)], pa.list_(pa.float64())),
+         "xmin": pa.array([0.0]), "ymin": pa.array([0.0]),
+         "xmax": pa.array([16.0]), "ymax": pa.array([16.0])}
+    )
+    full = raster_to_regions(batch)
+    simp = raster_to_regions(batch, simplify_eps=0.25)
+    g_full = wkbmod.loads(full.column("region_wkb")[0].as_py())
+    g_simp = wkbmod.loads(simp.column("region_wkb")[0].as_py())
+    assert len(g_simp["coords"][0]) < len(g_full["coords"][0])
+    assert len(g_simp["coords"][0]) == 5  # rectangle -> 4 corners + closure
+
+    def shoelace(ring):
+        r = np.asarray(ring)
+        return 0.5 * abs(
+            np.sum(r[:-1, 0] * r[1:, 1]) - np.sum(r[1:, 0] * r[:-1, 1])
+        )
+
+    assert shoelace(g_simp["coords"][0]) == shoelace(g_full["coords"][0])

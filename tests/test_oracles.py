@@ -47,6 +47,7 @@ FAST = [
     "minhash_groups",
     "emb_dups",
     "peak_value",
+    "token_bpe",
 ]
 
 

@@ -86,6 +86,23 @@ def token_count(texts) -> np.ndarray:
     return out.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 flavor, RE2-compatible: the
+# original's \s+(?!\S) lookahead is dropped — trailing whitespace runs
+# count as one token).  Identical RE2 semantics in pyarrow and DuckDB.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(texts) -> np.ndarray:
+    """BPE-style pre-token count (word/number/punct splits + contraction
+    suffixes) — the closer proxy for LLM token budgeting than whitespace
+    counting; one vectorized RE2 kernel."""
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    out = pc.fill_null(pc.count_substring_regex(arr, pattern=BPE_PATTERN), 0)
+    return out.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 _PUNCT = ".,;:!?"
 
 

@@ -373,6 +373,18 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_token_bpe(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        toks = textfn.token_count_bpe(b.column("text"))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_bpe": pa.array(toks, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def q_quality(sf_dir: str):
     def fn(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
@@ -1140,6 +1152,11 @@ FROM g,
             r"SELECT doc_id, CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
+        "token_bpe": (
+            "SELECT doc_id, CAST(LEN(regexp_extract_all(text, "
+            f"'{textfn.BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) "
+            "AS BIGINT) AS n_bpe FROM documents"
+        ),
         "quality": (
             r"SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
             r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens "
@@ -1282,6 +1299,7 @@ def build_queries() -> dict:
         "user_series": q_user_series,
         "topk_cells": q_topk_cells,
         "token_count": q_token_count,
+        "token_bpe": q_token_bpe,
         "quality": q_quality,
         "lang_detect": q_lang_detect,
         "minhash_groups": q_minhash_groups,

@@ -189,13 +189,17 @@ def raster_to_points(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
                      "value": np.concatenate(out_v)})
 
 
-def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
+def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0,
+                      simplify_eps: float | None = None) -> pa.Table:
     """Raster rows -> one region row per 4-connected component.
 
     Output: tile_id, region_id, pixel_count, value_sum, rminx..rmaxy
     (geographic bbox) + region_wkb: the traced OUTER boundary polygon
     (marching-squares crack following; pixel-exact, so the polygon's
     area equals pixel_count * pixel_area for hole-free regions).
+    ``simplify_eps`` (geographic units) runs Douglas-Peucker on every
+    ring before encoding — traced pixel boundaries grow with perimeter,
+    so large regions shrink by orders of magnitude at sub-pixel eps.
     """
     cols = {k: [] for k in ("tile_id", "region_id", "pixel_count", "value_sum",
                             "rminx", "rminy", "rmaxx", "rmaxy", "region_wkb")}
@@ -233,6 +237,10 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0) -> pa.Table:
                 )
                 for ring in region_rings(labels, lab, bg_labels)
             ]
+            if simplify_eps:
+                from ..geom.simplify import simplify_ring
+
+                geo_rings = [simplify_ring(g, simplify_eps) for g in geo_rings]
             cols["region_wkb"].append(
                 wkb.dumps({"type": "Polygon", "coords": geo_rings})
             )
