@@ -107,3 +107,37 @@ def test_lsh_knn_multiprobe_recall(ray_session):
         a = set(approx[approx.query_id == qi]["vec_id"])
         recalls.append(len(e & a) / k)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF recall target: >= 0.9 vs brute force at 32 lists, probe=4 on
+    clustered embeddings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages import ann
+
+    rng = np.random.default_rng(21)
+    n, d, Q, k = 4000, 32, 8, 10
+    centers = rng.standard_normal((50, d)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 50, n)
+    m = (centers[assign] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n),
+         "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    q = m[rng.choice(n, Q, replace=False)] + 0.1 * rng.standard_normal(
+        (Q, d)
+    ).astype(np.float32)
+    blob = {"query_id": np.arange(Q), "matrix": q}
+    exact = ann.brute_force_knn(rd.from_arrow(tbl), blob, k=k).to_pandas()
+    approx = ann.ivf_knn(
+        rd.from_arrow(tbl), blob, k=k, n_centroids=32, n_probe=4
+    ).to_pandas()
+    recalls = []
+    for qi in range(Q):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / k)
+    assert np.mean(recalls) >= 0.9, recalls

@@ -145,3 +145,28 @@ def test_sort_merge_join_matches_hash(ray_session):
         h.sort_values(key).reset_index(drop=True)[key]
         .equals(s.sort_values(key).reset_index(drop=True)[key])
     )
+
+
+def test_asof_join_golden(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hashjoin import asof_join
+
+    left = pa.table({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                     "t": pa.array([10, 20, 5, 7], pa.int64()),
+                     "lid": pa.array([0, 1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                      "t": pa.array([9, 15, 99], pa.int64()),
+                      "v": pa.array([100, 200, 300], pa.int64())})
+    out = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                  by=["k"], on="t", n_buckets=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # lid0 (k1,t10) -> v100 (t9); lid1 (k1,t20) -> v200 (t15);
+    # lid2 (k2,t5) -> none (right t99 > 5); lid3 (k3) -> none
+    assert out["v"].tolist()[:2] == [100.0, 200.0]
+    assert pd.isna(out["v"].iloc[2]) and pd.isna(out["v"].iloc[3])

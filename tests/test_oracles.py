@@ -48,6 +48,7 @@ FAST = [
     "emb_dups",
     "peak_value",
     "token_bpe",
+    "asof",
 ]
 
 

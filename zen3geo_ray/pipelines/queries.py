@@ -772,6 +772,41 @@ def q_prepost(sf_dir: str):
     return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
 
 
+def q_asof(sf_dir: str):
+    """AS-OF join: each purchase event picks the user's most recent view
+    event's value (cents) — the partitioned merge_asof operator with a
+    DuckDB ASOF LEFT JOIN oracle."""
+    from ..stages.hashjoin import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        return f.select(["event_id", "user_id", "ts"])
+
+    def views(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), pa.scalar("view")))
+        cents = np.rint(
+            f.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": f.column("user_id"),
+                "ts": f.column("ts"),
+                "prev_view_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    v = ev.map_batches(views, batch_format="pyarrow")
+    out = asof_join(p, v, by=["user_id"], on="ts", n_buckets=32)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "prev_view_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_peak_value(sf_dir: str):
     """Per-user running-sum peak — the keyed-ordered-fold (actor-state
     streaming window) surface, integer-exact via cents."""
@@ -1222,6 +1257,14 @@ FROM cand QUALIFY rank <= 10
             f"SELECT doc_id, lang FROM documents WHERE "
             f"{hashing.sql_knuth_unit_expr('doc_id * 7 + 1')} < 0.1"
         ),
+        "asof": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, ts, CAST(ROUND(value * 100.0) AS BIGINT) "
+            "AS prev_view_cents FROM events WHERE event_type = 'view') "
+            "SELECT p.event_id, p.user_id, v.prev_view_cents "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
+        ),
         "peak_value": (
             "WITH c AS (SELECT user_id, "
             "CAST(ROUND(value * 100.0) AS BIGINT) AS v, "
@@ -1322,4 +1365,5 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "sliding": q_sliding,
         "peak_value": q_peak_value,
+        "asof": q_asof,
     }

@@ -128,6 +128,77 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join(left, right, by: list[str], on: str, n_buckets: int = 64,
+              direction: str = "backward"):
+    """Distributed AS-OF join: for each left row, the single right row of
+    the same ``by`` key with the largest ``on`` <= left's ``on``
+    (direction='backward'; 'forward' = smallest >=).  Left-join
+    semantics — unmatched left rows keep nulls.
+
+    One coarse-bucket shuffle on the ``by`` key (the order column stays
+    OUT of the bucket hash so a key's whole timeline co-locates), then a
+    vectorized ``pd.merge_asof`` per bucket over ``on``-sorted frames —
+    the standard partitioned as-of plan; skew note: one key's full
+    history lands in one bucket, pre-filter or split by time range for
+    pathological keys.  Ties on (key, on) resolve to the LAST right row
+    in (on)-order, matching DuckDB's ASOF JOIN with unique (key, on)
+    rows (dedupe the right side first if it has exact duplicates).
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    shared = list(by) + [on]
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c not in shared]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: t for n, t in zip(rschema.names, rschema.types)})
+    all_cols = lcols + rcols
+
+    def pad(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {}
+            for name in all_cols:
+                if name in b.column_names:
+                    cols[name] = b.column(name)
+                else:
+                    cols[name] = pa.nulls(n, types[name])
+            out = pa.table(cols)
+            bucket = _bucket_ids(b, by, n_buckets)
+            return out.append_column(_BUCKET, pa.array(bucket)).append_column(
+                _SIDE, pa.array(np.full(n, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lt = left.map_batches(pad(0), batch_format="pyarrow")
+    rt = right.map_batches(pad(1), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        df = df[cols]
+        for c in cols:
+            if (
+                pa.types.is_integer(types[c])
+                and df[c].dtype.kind == "f"
+                and not df[c].isna().any()
+            ):
+                df = df.assign(**{c: df[c].astype(types[c].to_pandas_dtype())})
+        return df
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        l = restore(g[g[_SIDE] == 0], lcols).sort_values(on, kind="mergesort")
+        r = restore(g[g[_SIDE] == 1], shared + rcols).sort_values(
+            on, kind="mergesort"
+        )
+        merged = pd.merge_asof(l, r, on=on, by=by, direction=direction)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
 def sort_merge_join(left, right, on: list[str], how: str = "inner",
                     n_buckets: int = 64):
     """Sort-merge variant of the bucketed join: within each bucket both
