@@ -49,6 +49,7 @@ FAST = [
     "peak_value",
     "token_bpe",
     "asof",
+    "range_windows",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Range-join tests: sweep kernel goldens + broadcast vs bucketed parity."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.stages.rangejoin import (
+    _match_intervals,
+    bucketed_range_join,
+    make_broadcast_range_join,
+)
+
+
+def test_match_intervals_overlapping():
+    v = np.array([1.0, 5.0, 9.0, 20.0])
+    lo = np.array([0.0, 4.0, 4.5, 30.0])
+    hi = np.array([6.0, 10.0, 5.5, 40.0])
+    vi, ii = _match_intervals(v, lo, hi)
+    pairs = sorted(zip(vi.tolist(), ii.tolist()))
+    # v=1 -> [0,6); v=5 -> [0,6),[4,10),[4.5,5.5); v=9 -> [4,10); v=20 -> none
+    assert pairs == [(0, 0), (1, 0), (1, 1), (1, 2), (2, 1)]
+
+
+def test_match_intervals_half_open():
+    vi, ii = _match_intervals(
+        np.array([10.0]), np.array([0.0, 10.0]), np.array([10.0, 20.0])
+    )
+    # hi exclusive, lo inclusive: 10 matches only [10, 20)
+    assert (vi.tolist(), ii.tolist()) == ([0], [1])
+
+
+def test_broadcast_vs_bucketed_range_join(ray_session):
+    rng = np.random.default_rng(17)
+    n, m = 3000, 80
+    vals = rng.uniform(0, 1000, n)
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "v": pa.array(vals, pa.float64())})
+    lo = rng.uniform(0, 950, m)
+    length = rng.uniform(1, 60, m)
+    right = pa.table({"win": pa.array(np.arange(m), pa.int64()),
+                      "lo": pa.array(lo, pa.float64()),
+                      "hi": pa.array(lo + length, pa.float64())})
+
+    blob = {"lo": lo, "hi": lo + length,
+            "keep": {"win": np.arange(m, dtype=np.int64)},
+            "keep_types": {"win": pa.int64()}}
+    bro = (
+        rd.from_arrow(left)
+        .map_batches(make_broadcast_range_join(blob, value_col="v"),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    buck = bucketed_range_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        value_col="v", lo_col="lo", hi_col="hi",
+        bucket_width=64.0, n_buckets=8,
+    ).to_pandas()
+    a = sorted(zip(bro["lid"], bro["win"]))
+    b = sorted(zip(buck["lid"].astype(np.int64), buck["win"].astype(np.int64)))
+    assert len(a) > 0
+    assert a == b

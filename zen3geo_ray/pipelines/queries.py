@@ -772,6 +772,54 @@ def q_prepost(sf_dir: str):
     return zonal.zonal_aggregate(only, ["event_type", "phase"], {})
 
 
+RANGE_N_WIN = 14
+RANGE_STEP_US = 2 * 86_400 * 10**6   # windows start every 2 days
+RANGE_LEN_US = 4 * 86_400 * 10**6    # ...and span 4 days (50% overlap)
+RANGE_BASE_US = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+
+
+def q_range_windows(sf_dir: str):
+    """Range (interval) join: events matched to overlapping fixed time
+    windows via the broadcast range join (searchsorted sweep per batch,
+    NO shuffle), then a per-window aggregate in integer cents."""
+    import ray
+
+    from ..stages.rangejoin import make_broadcast_range_join
+
+    wid = np.arange(RANGE_N_WIN, dtype=np.int64)
+    lo = RANGE_BASE_US + wid * RANGE_STEP_US
+    blob = {
+        "lo": lo,
+        "hi": lo + RANGE_LEN_US,
+        "keep": {"window_id": wid},
+        "keep_types": {"window_id": pa.int64()},
+    }
+    ref = ray.put(blob) if ray.is_initialized() else blob
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False)
+        t_us = t.astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"t": pa.array(t_us, pa.int64()),
+                         "v_cents": pa.array(cents, pa.int64())})
+
+    ev = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    joined = ev.map_batches(
+        make_broadcast_range_join(ref, value_col="t"), batch_format="pyarrow"
+    )
+    return zonal.zonal_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["window_id", "v_cents"]), batch_format="pyarrow"
+        ),
+        ["window_id"],
+        {"v_cents": ["sum"]},
+    )
+
+
 def q_asof(sf_dir: str):
     """AS-OF join: each purchase event picks the user's most recent view
     event's value (cents) — the partitioned merge_asof operator with a
@@ -1257,6 +1305,20 @@ FROM cand QUALIFY rank <= 10
             f"SELECT doc_id, lang FROM documents WHERE "
             f"{hashing.sql_knuth_unit_expr('doc_id * 7 + 1')} < 0.1"
         ),
+        "range_windows": (
+            "WITH w(window_id, lo, hi) AS (VALUES "
+            + ", ".join(
+                f"({w}, {RANGE_BASE_US + w * RANGE_STEP_US}, "
+                f"{RANGE_BASE_US + w * RANGE_STEP_US + RANGE_LEN_US})"
+                for w in range(RANGE_N_WIN)
+            )
+            + "), e AS (SELECT epoch_us(ts) AS t, "
+            "CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events) "
+            "SELECT w.window_id, COUNT(*) AS n, "
+            "CAST(SUM(e.v) AS BIGINT) AS v_cents_sum "
+            "FROM e JOIN w ON e.t >= w.lo AND e.t < w.hi "
+            "GROUP BY w.window_id"
+        ),
         "asof": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'purchase'), "
@@ -1366,4 +1428,5 @@ def build_queries() -> dict:
         "sliding": q_sliding,
         "peak_value": q_peak_value,
         "asof": q_asof,
+        "range_windows": q_range_windows,
     }

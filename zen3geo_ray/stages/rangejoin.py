@@ -1,0 +1,201 @@
+"""Range (interval) joins: value-in-interval matching.
+
+Two scale shapes, picked by the interval side's size:
+
+* ``broadcast_range_join`` — the interval table fits a broadcast
+  (``ray.put`` once): each batch matches its values against the sorted
+  interval endpoints with ``np.searchsorted`` — NO shuffle, linear in
+  input blocks.  Overlapping intervals are handled by a bounded sweep
+  over the max overlap depth.
+* ``bucketed_range_join`` — large x large: quantize the value axis into
+  width-``w`` buckets; every interval REPLICATES to each bucket it
+  overlaps (replication factor = interval_len / w + 1 — document the
+  boundedness assumption), values go to their single bucket, and the
+  match runs vectorized inside each bucket.  One all-to-all.
+
+Semantics: left row matches interval rows with ``lo <= v < hi``
+(half-open, mirroring SQL ``v >= lo AND v < hi``); inner join (an
+unmatched left row emits nothing), one output row per (row, interval)
+pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import _bucket_ids  # noqa: F401  (shared convention)
+
+_BUCKET = "__rbucket"
+_SIDE = "__rside"
+
+
+def _match_intervals(v: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """All (value_idx, interval_idx) pairs with lo <= v < hi.
+
+    Intervals are processed in lo-sorted order; the sweep bounds work by
+    the maximum overlap depth D: each value is tested against at most D
+    candidate intervals (vectorized per depth level), so cost is
+    O((n + m) log m + n * D).
+    """
+    order = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[order], hi[order]
+    # for each value: index of first interval with lo > v
+    upper = np.searchsorted(lo_s, v, side="right")
+    out_v, out_i = [], []
+    # sweep depth: walk back from `upper` while intervals may still cover v.
+    # running max of hi over prefixes lets us stop early.
+    run_max_hi = np.maximum.accumulate(hi_s) if len(hi_s) else hi_s
+    active = np.flatnonzero(upper > 0)
+    depth = 0
+    idx = upper.copy()
+    while len(active):
+        idx[active] -= 1
+        cand = idx[active]
+        vv = v[active]
+        hit = vv < hi_s[cand]
+        if hit.any():
+            out_v.append(active[hit])
+            out_i.append(order[cand[hit]])
+        # keep walking while an earlier interval could still reach v
+        cont = (cand > 0) & (vv < run_max_hi[np.maximum(cand - 1, 0)])
+        active = active[cont]
+        depth += 1
+    if not out_v:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(out_v), np.concatenate(out_i)
+
+
+def intervals_blob(tbl: pa.Table, *, lo_col: str, hi_col: str,
+                   keep_cols: list[str]) -> dict:
+    """Driver-side: pack an interval table for ray.put broadcast."""
+    return {
+        "lo": tbl.column(lo_col).to_numpy(zero_copy_only=False),
+        "hi": tbl.column(hi_col).to_numpy(zero_copy_only=False),
+        "keep": {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                 for c in keep_cols},
+        "keep_types": {c: tbl.schema.field(c).type for c in keep_cols},
+    }
+
+
+def make_broadcast_range_join(blob_ref, *, value_col: str):
+    """Task fn for map_batches: match rows to broadcast intervals
+    (per-worker memoized unpack, vectorized sweep)."""
+    from .join import _PROCESS_CACHE
+
+    key = ("rangejoin", str(blob_ref), value_col)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        blob = _PROCESS_CACHE.get(key)
+        if blob is None:
+            b = blob_ref
+            try:
+                import ray
+
+                if isinstance(b, ray.ObjectRef):
+                    b = ray.get(b)
+            except (ImportError, TypeError):
+                pass
+            blob = b
+            _PROCESS_CACHE[key] = blob
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vi, ii = _match_intervals(
+            np.asarray(v), np.asarray(blob["lo"]), np.asarray(blob["hi"])
+        )
+        out = batch.take(pa.array(vi))
+        for c, vals in blob["keep"].items():
+            out = out.append_column(
+                c, pa.array(np.asarray(vals)[ii], blob["keep_types"][c])
+            )
+        return out
+
+    return join_batch
+
+
+def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
+                        hi_col: str, bucket_width: float,
+                        n_buckets: int = 64):
+    """Large x large range join via value-axis quantization.
+
+    Each RIGHT interval replicates to every width-``bucket_width`` slab
+    it overlaps; each LEFT value goes to its single slab; slabs hash
+    into ``n_buckets`` coarse buckets and the exact half-open compare
+    runs vectorized per bucket.  Pick ``bucket_width`` >= the typical
+    interval length so replication stays O(1) per interval.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"columns overlap: {sorted(overlap)}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: t for n, t in zip(rschema.names, rschema.types)})
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        slab = np.floor(v / bucket_width).astype(np.int64)
+        cols = {c: b.column(c) for c in lcols}
+        for c in rcols:
+            cols[c] = pa.nulls(len(b), types[c])
+        out = pa.table(cols)
+        return out.append_column(_BUCKET, pa.array(slab)).append_column(
+            _SIDE, pa.array(np.zeros(len(b), dtype=np.int8))
+        )
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        lo = b.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = b.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        s0 = np.floor(lo / bucket_width).astype(np.int64)
+        # hi is exclusive: the slab containing hi is needed only when hi
+        # is not exactly on a slab edge
+        s1 = np.ceil(hi / bucket_width).astype(np.int64) - 1
+        s1 = np.maximum(s1, s0)
+        counts = (s1 - s0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(b)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slab = np.arange(int(counts.sum())) - np.repeat(starts, counts) + s0[rep]
+        cols = {}
+        for c in lcols:
+            cols[c] = pa.nulls(len(rep), types[c])
+        taken = b.take(pa.array(rep))
+        for c in rcols:
+            cols[c] = taken.column(c)
+        out = pa.table(cols)
+        return out.append_column(_BUCKET, pa.array(slab)).append_column(
+            _SIDE, pa.array(np.ones(len(rep), dtype=np.int8))
+        )
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g[g[_SIDE] == 0]
+        r = g[g[_SIDE] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return pa.Table.from_pandas(
+                pd.DataFrame(columns=lcols + rcols), preserve_index=False
+            )
+        v = l[value_col].to_numpy(dtype=np.float64)
+        lo = r[lo_col].to_numpy(dtype=np.float64)
+        hi = r[hi_col].to_numpy(dtype=np.float64)
+        vi, ii = _match_intervals(v, lo, hi)
+        out = pd.concat(
+            [
+                l.iloc[vi][lcols].reset_index(drop=True),
+                r.iloc[ii][rcols].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        # undo the union's null-padding dtype pollution (ints -> float)
+        for c in lcols + rcols:
+            t = types[c]
+            if (pa.types.is_integer(t) and out[c].dtype.kind == "f"
+                    and not out[c].isna().any()):
+                out[c] = out[c].astype(t.to_pandas_dtype())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
