@@ -55,34 +55,73 @@ def perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# the exact character set Python's re \s matches for str patterns
+# (ASCII whitespace + unicode Zs/line separators); tokens are maximal
+# runs of NON-members — identical to _TOKEN_RE.findall
+_WS_CPS = np.array(
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85,
+     0xA0, 0x1680] + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F,
+     0x205F, 0x3000],
+    dtype=np.uint32,
+)
+
+
 def token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-token poly64 hashes for a batch of texts.
 
     Returns ``(hashes, offsets)``: uint64 hashes of every ``\\S+`` token of
-    every doc (flat), and int64 doc offsets (len = n_docs + 1).  The hash
-    of a token is the fold ``h = h*P + codepoint`` starting from POLY_H0 —
-    one padded codepoint matrix for the whole batch, folded position-by-
-    position, so the Python-level work is O(max_token_len) not O(tokens).
+    every doc (flat), and int64 doc offsets (len = n_docs + 1).
+
+    Fully vectorized tokenization: ONE utf-32 encode per doc, whitespace
+    classified with ``np.isin`` against Python-\\s's exact codepoint set,
+    token runs from mask edges (doc boundaries force breaks), and the
+    poly64 fold over a gathered (tokens, max_token_len) codepoint matrix
+    — Python-level work is O(docs + max_token_len), not O(tokens).
     """
-    toks_per_doc = [_TOKEN_RE.findall(t or "") for t in texts]
-    counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
-                         count=len(toks_per_doc))
+    ndocs = len(texts)
+    cps_list = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+        for t in texts
+    ]
+    doc_len = np.fromiter((len(c) for c in cps_list), dtype=np.int64,
+                          count=ndocs)
+    doc_off = np.concatenate([[0], np.cumsum(doc_len)])
+    total = int(doc_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(ndocs + 1, dtype=np.int64)
+    cps = np.concatenate([c for c in cps_list if len(c)])
+    nonws = ~np.isin(cps, _WS_CPS)
+    # run starts/ends; a doc boundary always breaks a run
+    prev = np.concatenate([[False], nonws[:-1]])
+    nxt = np.concatenate([nonws[1:], [False]])
+    start_mask = nonws & ~prev
+    end_mask = nonws & ~nxt
+    bounds = doc_off[1:-1]  # interior doc boundaries
+    if len(bounds):
+        inb = bounds[bounds < total]
+        start_mask[inb] = nonws[inb]     # boundary char starts its own run
+        before = inb - 1
+        end_mask[before] |= nonws[before]  # ...and ends the previous doc's
+    starts = np.flatnonzero(start_mask)
+    ends = np.flatnonzero(end_mask) + 1
+    tok_lens = ends - starts
+    n = len(starts)
+    # per-doc token counts: doc of each token via searchsorted on starts
+    tok_doc = np.searchsorted(doc_off, starts, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    all_toks = [t for doc in toks_per_doc for t in doc]
-    n = len(all_toks)
     if n == 0:
         return np.empty(0, dtype=np.uint64), offsets
-    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in all_toks]
-    lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=n)
-    maxlen = int(lens.max())
-    buf = np.zeros((n, maxlen), dtype=np.uint64)
-    for i, c in enumerate(cps):
-        buf[i, : lens[i]] = c
+    maxlen = int(tok_lens.max())
+    # gathered codepoint matrix: row i = cps[starts[i] : ends[i]], padded
+    gather = starts[:, None] + np.arange(maxlen)[None, :]
+    valid = gather < ends[:, None]
+    buf = cps[np.minimum(gather, total - 1)].astype(np.uint64)
     h = np.full(n, POLY_H0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(maxlen):
-            active = lens > j
-            h = np.where(active, h * POLY_P + buf[:, j], h)
+            act = valid[:, j]
+            h = np.where(act, h * POLY_P + buf[:, j], h)
     return h, offsets
 
 
