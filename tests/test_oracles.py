@@ -50,6 +50,7 @@ FAST = [
     "token_bpe",
     "asof",
     "range_windows",
+    "sliding_value",
 ]
 
 

@@ -131,3 +131,39 @@ def test_multimodal_plumbing(ray_session):
 def test_image_decoder_real_mode_stubbed():
     with pytest.raises(NotImplementedError, match="not available"):
         mm.ImageDecoder(mode="real")
+
+
+def test_incremental_write_skips_unchanged(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.state.lineage import incremental_write, load_manifest
+
+    out = str(tmp_path / "inc")
+
+    def table(vals_for_p1):
+        return pa.table(
+            {
+                "part": pa.array([0, 0, 1, 1], pa.int64()),
+                "fp": pa.array([11, 22, 33, vals_for_p1], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+
+    # first run: both partitions written
+    res, todo = incremental_write(rd.from_arrow(table(44)), out, "part", "fp")
+    res.materialize()
+    assert todo == {0, 1}
+    man = load_manifest(out)
+    assert sorted(man["partition"]) == [0, 1]
+    assert man["input_fp"].notna().all()
+
+    # unchanged inputs: nothing re-runs
+    res2, todo2 = incremental_write(rd.from_arrow(table(44)), out, "part", "fp")
+    assert todo2 == set()
+
+    # partition 1's input changed: only it re-runs
+    res3, todo3 = incremental_write(rd.from_arrow(table(99)), out, "part", "fp")
+    res3.materialize()
+    assert todo3 == {1}

@@ -711,6 +711,29 @@ def q_sliding(sf_dir: str):
     )
 
 
+def q_sliding_value(sf_dir: str):
+    """Sliding 3h/1h windowed VALUE aggregate per event_type (cents sum +
+    max) — the windowed-aggregate operator with values, not just counts."""
+    from ..stages.windows import sliding_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "ts": b.column("ts"),
+                         "v_cents": pa.array(c, pa.int64())})
+
+    return sliding_agg(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        ts_col="ts", key_col="event_type", value_col="v_cents",
+        size_units=SLIDE_SIZE_UNITS, unit_us=3_600_000_000,
+        aggs=["sum", "max"],
+    )
+
+
 def q_parse_props(sf_dir: str):
     """Parser op: extract the integer payload from the events ``props``
     JSON-ish string column ('{"k": 69}') and aggregate it — the
@@ -1305,6 +1328,16 @@ FROM cand QUALIFY rank <= 10
             f"SELECT doc_id, lang FROM documents WHERE "
             f"{hashing.sql_knuth_unit_expr('doc_id * 7 + 1')} < 0.1"
         ),
+        "sliding_value": f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS u,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events)
+SELECT event_type, u - o.off AS window, COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS v_cents_sum,
+       CAST(MAX(v) AS BIGINT) AS v_cents_max
+FROM e, LATERAL (SELECT unnest(range({SLIDE_SIZE_UNITS})) AS off) o
+GROUP BY event_type, u - o.off
+""",
         "range_windows": (
             "WITH w(window_id, lo, hi) AS (VALUES "
             + ", ".join(
@@ -1429,4 +1462,5 @@ def build_queries() -> dict:
         "peak_value": q_peak_value,
         "asof": q_asof,
         "range_windows": q_range_windows,
+        "sliding_value": q_sliding_value,
     }

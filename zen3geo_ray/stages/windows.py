@@ -130,3 +130,21 @@ def running_peak(ds, *, key_col: str, order_cols: list[str], value_col: str,
 
     return keyed_ordered_fold(ds, key_col=key_col, order_cols=order_cols,
                               fold_fn=fold, n_buckets=n_buckets)
+
+
+def sliding_agg(ds, *, ts_col: str, key_col: str, value_col: str,
+                size_units: int, unit_us: int, aggs: list[str]):
+    """Sliding-window VALUE aggregate per (key, window-start): same
+    fan-out shape as ``sliding_count`` but carrying the value column into
+    the partial→final aggregate (sum/min/max; integer values stay
+    oracle-exact)."""
+    from .zonal import zonal_aggregate
+
+    expanded = ds.map_batches(
+        lambda b: sliding_window_expand(
+            b, ts_col=ts_col, size_units=size_units, unit_us=unit_us,
+            keep_cols=[key_col, value_col],
+        ),
+        batch_format="pyarrow",
+    )
+    return zonal_aggregate(expanded, [key_col, "window"], {value_col: aggs})

@@ -139,3 +139,102 @@ def read_partitioned(paths_or_dir: str):
 
     files = sorted(glob.glob(os.path.join(paths_or_dir, "*=*", "data.parquet")))
     return rd.read_parquet(files)
+
+
+# --- incremental (changed-input) re-runs ----------------------------------
+
+
+def input_fingerprints(ds, partition_col: str, fp_col: str):
+    """Distributed per-partition input fingerprint: xor-reduce a caller-
+    computed row fingerprint column per partition (order-insensitive, so
+    any partitioning/retry yields the same value).  Returns
+    {partition_id: fingerprint} — one small row per partition."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "p": batch.column(partition_col).to_numpy(zero_copy_only=False),
+            "f": batch.column(fp_col).to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+        })
+        agg = df.groupby("p", sort=False)["f"].agg(
+            lambda s: np.bitwise_xor.reduce(s.to_numpy())
+        )
+        return pa.table({
+            partition_col: pa.array(agg.index.to_numpy()),
+            "_fp": pa.array(agg.to_numpy().astype(np.uint64).view(np.int64),
+                            pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out: dict = {}
+    for p, f in zip(parts[partition_col], parts["_fp"]):
+        out[p] = out.get(p, 0) ^ (int(f) & 0xFFFFFFFFFFFFFFFF)
+    return out
+
+
+def stale_partitions(out_dir: str, current_fps: dict) -> set:
+    """Partitions needing (re-)processing: missing from the manifest OR
+    written from different input bytes (``input_fp`` mismatch).  Feed the
+    result to ``incremental_write``'s keep-filter."""
+    man = load_manifest(out_dir)
+    if man.empty:
+        return set(current_fps)
+    recorded = {
+        r["partition"]: r.get("input_fp")
+        for _, r in man.iterrows()
+    }
+    stale = set()
+    for pid, fp in current_fps.items():
+        if pid not in recorded or recorded[pid] != fp:
+            stale.add(pid)
+    return stale
+
+
+def incremental_write(ds, out_dir: str, partition_col: str, fp_col: str):
+    """Changed-input incremental run: recompute per-partition input
+    fingerprints, then write ONLY missing or stale partitions (their
+    manifest records carry ``input_fp`` for the next run's comparison).
+
+    The fingerprint pass reads just (partition, fp) columns; unchanged
+    partitions are filtered out BEFORE the write shuffle, so a no-change
+    re-run costs one column scan and nothing else.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    fps = input_fingerprints(ds, partition_col, fp_col)
+    todo = stale_partitions(out_dir, fps)
+    if not todo:
+        import ray.data as rd
+
+        return rd.from_items([]), set()
+    todo_arr = pa.array(list(todo))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column(partition_col), todo_arr))
+
+    writer = PartitionWriter(out_dir, partition_col)
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        pid = group.column(partition_col)[0].as_py()
+        out = writer(group)
+        # extend the manifest record with the input fingerprint
+        mpath = os.path.join(out_dir, "_manifest", f"{pid}.json")
+        with open(mpath) as fh:
+            rec = json.load(fh)
+        rec["input_fp"] = fps[pid]
+        tmp = mpath + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, mpath)
+        return out
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    return (
+        filtered.groupby(partition_col).map_groups(
+            write_partition, batch_format="pyarrow"
+        ),
+        todo,
+    )
