@@ -143,3 +143,21 @@ def test_api_rasterize_tiles_golden(ray_session):
     )
     assert sorted(out["tile_id"]) == [0, 7]
     assert sum(np.sum(d) for d in out["data"]) == 3
+
+
+def test_api_burn_geometries(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from zen3geo_ray import api
+    from zen3geo_ray.geom import wkb
+    from zen3geo_ray.stages.rasterize import tile_grid_table
+
+    specs = tile_grid_table(-180, -90, 180, 90, 4, 2, 8, 8)
+    poly = wkb.dumps(wkb.box(-180.0, -90.0, -135.0, -45.0))  # fills tile 0
+    out = api.Pipe(rd.from_arrow(specs)).burn_geometries([poly]).to_pandas()
+    sums = {int(t): float(np.sum(d)) for t, d in zip(out["tile_id"], out["data"])}
+    assert sums[0] > 0            # covered tile has burned pixels
+    assert sums[7] == 0           # opposite corner untouched
+    # polygon default agg is 'any' (reference parity); empty tiles count
+    assert set(out["agg"]) <= {"any", "count"}

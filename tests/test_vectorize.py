@@ -149,3 +149,24 @@ def test_region_with_hole():
         return abs(0.5 * np.sum(x * y2 - x2 * y))
 
     assert area(g["coords"][0]) - area(g["coords"][1]) == 32 * 0.25
+
+
+def test_filter_geom_types():
+    import pyarrow as pa
+
+    from zen3geo_ray.geom import wkb
+    from zen3geo_ray.stages.vectorize import filter_geom_types
+
+    blobs = [
+        wkb.dumps(wkb.point(1.0, 2.0)),
+        wkb.dumps(wkb.linestring([(0.0, 0.0), (1.0, 1.0)])),
+        wkb.dumps(wkb.box(0.0, 0.0, 2.0, 2.0)),
+        wkb.dumps(wkb.multipoint([(0.0, 0.0), (3.0, 3.0)])),
+    ]
+    t = pa.table({"gid": pa.array([0, 1, 2, 3], pa.int64()),
+                  "geometry_wkb": pa.array(blobs, pa.binary())})
+    pts = filter_geom_types(t, wkb_col="geometry_wkb",
+                            keep=("Point", "MultiPoint"))
+    assert pts.column("gid").to_pylist() == [0, 3]
+    polys = filter_geom_types(t, wkb_col="geometry_wkb", keep=("Polygon",))
+    assert polys.column("gid").to_pylist() == [2]

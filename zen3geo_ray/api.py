@@ -118,6 +118,25 @@ class Pipe:
             )
         )
 
+    def burn_geometries(self, wkb_blobs: list, agg: str | None = None,
+                        concurrency: int | None = None) -> "Pipe":
+        """Reference op #10, geometry form: burn a broadcast vector layer
+        (WKB blobs, ray.put once) into each canvas row's grid — actor
+        pool decodes the layer once per actor, bbox-prefilters per tile,
+        then runs the exact point/line/polygon kernels."""
+        import ray
+
+        blobs = list(wkb_blobs)
+        ref = ray.put(blobs) if ray.is_initialized() else blobs
+        return Pipe(
+            self.ds.map_batches(
+                rz.GeomBurner,
+                fn_constructor_args=(ref, agg),
+                batch_format="pyarrow",
+                concurrency=concurrency or 2,
+            )
+        )
+
     def rasterize_tiles(self, tile_specs: pa.Table, agg: str = "count",
                         small_grid: bool = False) -> "Pipe":
         """Reference op #10 (rasterize_with_datashader), per-tile shape.

@@ -182,3 +182,20 @@ def bounds(geom: dict) -> tuple[float, float, float, float]:
         float(allc[:, 0].max()),
         float(allc[:, 1].max()),
     )
+
+
+def peek_types(blobs) -> list[str]:
+    """Geometry type names from WKB headers WITHOUT full parsing (byte 0 =
+    endianness, bytes 1-4 = type code) — the cheap kernel behind per-type
+    filtering of mixed-geometry columns."""
+    import struct
+
+    out = []
+    for b in blobs:
+        if b is None or len(b) < 5:
+            out.append(None)
+            continue
+        fmt = "<I" if b[0] == 1 else ">I"
+        code = struct.unpack_from(fmt, b, 1)[0] % 1000  # strip Z/M flags
+        out.append(_TYPES.get(code))
+    return out

@@ -257,3 +257,19 @@ def raster_to_regions(batch: pa.Table, *, threshold: float = 0.0,
             "region_wkb": pa.array(cols["region_wkb"], pa.binary()),
         }
     )
+
+
+def filter_geom_types(batch: pa.Table, *, wkb_col: str,
+                      keep: tuple[str, ...]) -> pa.Table:
+    """map_batches fn: keep rows whose WKB geometry type is in ``keep``.
+
+    The reference rasterizes one geometry TYPE at a time and raises on
+    GeometryCollection (``datashader.py:220-242``); mixed vector tables
+    are split per type with this filter before each rasterize pass
+    (parity helper for ``test_datapipes_datashader.py:88``'s per-type
+    spatialpandas conversion).  Header peek only — no geometry decode.
+    """
+    types = wkb.peek_types(batch.column(wkb_col).to_pylist())
+    mask = np.fromiter((t in keep for t in types), dtype=bool,
+                       count=len(types))
+    return batch.filter(pa.array(mask))
