@@ -520,11 +520,15 @@ def near_dup_pipeline(docs_ds, *, id_col: str, text_col: str = "text",
         out = pd.DataFrame({"a": gm, "b": g[id_col]})
         return out[out.a != out.b].drop_duplicates()
 
+    # candidate pairs are LSH-pruned — a bounded table, materialized once
+    # so the empty-schema probe and the two text joins don't re-execute
+    # the banding pipeline
     pairs = bucketed_groupby(bands_ds, ["band_id", "band_hash"], bucket_pairs,
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets).materialize()
     # global pair dedup (same pair can surface from many bands)
     if pairs.schema() is not None:
-        pairs = first_per_key(pairs, ["a", "b"], ["a", "b"], n_buckets=n_buckets)
+        pairs = first_per_key(pairs, ["a", "b"], ["a", "b"],
+                              n_buckets=n_buckets).materialize()
     if pairs.schema() is None:  # no candidate pair anywhere
         import ray.data as rd
 
