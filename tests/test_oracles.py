@@ -51,6 +51,7 @@ FAST = [
     "asof",
     "range_windows",
     "sliding_value",
+    "curate",
 ]
 
 

@@ -415,6 +415,21 @@ def q_lang_detect(sf_dir: str):
 
 
 MH_NUM_PERM, MH_BANDS, MH_K = 64, 16, 3
+CURATE_MIN_TOKENS = 20
+
+
+def q_curate(sf_dir: str):
+    """Flagship curation chain: minhash-CC representatives -> token
+    floor -> lang id -> per-lang stats (pipelines/curate.py)."""
+    from .curate import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, stats = curate_corpus(
+        docs, docs2, min_tokens=CURATE_MIN_TOKENS,
+        num_perm=MH_NUM_PERM, bands=MH_BANDS, shingle_k=MH_K,
+    )
+    return stats
 
 
 def q_minhash_groups(sf_dir: str):
@@ -993,19 +1008,18 @@ th AS (
 )"""
 
 
-def _sql_minhash_groups() -> str:
-    """MinHash LSH dup groups: token-shingle signatures + band buckets in
-    HUGEINT arithmetic, then connected-component min labels via a
-    recursive CTE — mirrors stages/dedup.py minhash_lsh_groups at its
-    fixpoint exactly (same perms, same folds, same component mins)."""
+def _sql_minhash_cc_ctes() -> str:
+    """The CTE chain from documents to ``labels(doc_id, dup_group)`` —
+    MinHash token-shingle signatures + band buckets in HUGEINT
+    arithmetic, connected components via the recursive ``walk`` CTE.
+    Compose inside a ``WITH RECURSIVE`` block."""
     a, b = dedup.perm_params(MH_NUM_PERM)
     permvals = ", ".join(
         f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
         for p in range(MH_NUM_PERM)
     )
     r = MH_NUM_PERM // MH_BANDS
-    return f"""
-WITH RECURSIVE {_sql_tokhash_cte()},
+    return f"""{_sql_tokhash_cte()},
 sh AS (
   SELECT doc_id, list_transform(range(greatest(len(ths)-{MH_K}+1, 1)), i ->
     list_reduce(list_prepend({_SQL_H0}, ths[i+1 : least(i+{MH_K}, len(ths))]),
@@ -1036,9 +1050,18 @@ walk(id, r) AS (
   SELECT DISTINCT a, a FROM edge
   UNION
   SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
-)
-SELECT id AS doc_id, MIN(r) AS dup_group FROM walk GROUP BY id
-"""
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS dup_group FROM walk GROUP BY id)"""
+
+
+def _sql_minhash_groups() -> str:
+    """MinHash LSH dup groups — mirrors stages/dedup.py
+    minhash_lsh_groups at its fixpoint exactly (same perms, same folds,
+    same component mins)."""
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes()
+        + " SELECT doc_id, dup_group FROM labels"
+    )
 
 
 def _sql_simhash() -> str:
@@ -1067,10 +1090,11 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 
 
-def _sql_lang_detect() -> str:
-    """Stopword-overlap lang id: distinct lowered tokens intersected with
-    each profile; best score > 0 wins, ties to the smallest lang code,
-    CJK unicode-range overrides first — exactly functions/text.py
+def _sql_lang_ctes(src: str = "documents") -> str:
+    """CTE chain from ``src(doc_id, text)`` to ``langpred(doc_id,
+    lang_pred)`` — distinct lowered tokens intersected with each profile;
+    best score > 0 wins, ties to the smallest lang code, CJK
+    unicode-range overrides first — exactly functions/text.py
     detect_lang."""
     from ..functions.text import _LANG_PROFILES
 
@@ -1078,11 +1102,10 @@ def _sql_lang_detect() -> str:
         "('%s', [%s])" % (lang, ",".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])))
         for lang in sorted(_LANG_PROFILES)
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, lower(text) AS lt,
          list_distinct(regexp_extract_all(lower(text), '\\S+')) AS words
-  FROM documents
+  FROM {src}
 ),
 langs(lang, sw) AS (VALUES {langvals}),
 scored AS (
@@ -1093,13 +1116,43 @@ best AS (
   SELECT doc_id, lang, sc,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang) AS rn
   FROM scored
-)
-SELECT w.doc_id,
-  CASE WHEN regexp_matches(w.lt, '[぀-ヿ]') THEN 'ja'
-       WHEN regexp_matches(w.lt, '[一-鿿]') THEN 'zh'
-       WHEN b.sc > 0 THEN b.lang ELSE 'und' END AS lang_pred
-FROM w JOIN best b ON w.doc_id = b.doc_id AND b.rn = 1
-"""
+),
+langpred AS (
+  SELECT w.doc_id,
+    CASE WHEN regexp_matches(w.lt, '[぀-ヿ]') THEN 'ja'
+         WHEN regexp_matches(w.lt, '[一-鿿]') THEN 'zh'
+         WHEN b.sc > 0 THEN b.lang ELSE 'und' END AS lang_pred
+  FROM w JOIN best b ON w.doc_id = b.doc_id AND b.rn = 1
+)"""
+
+
+def _sql_lang_detect() -> str:
+    return (
+        "WITH " + _sql_lang_ctes()
+        + " SELECT doc_id, lang_pred FROM langpred"
+    )
+
+
+def _sql_curate() -> str:
+    """Full curation oracle: MinHash-CC representatives (doc_id ==
+    component min) -> whitespace token filter -> lang id -> per-lang
+    (n docs, total tokens).  One WITH RECURSIVE block composing the
+    minhash and lang CTE chains over the kept subset."""
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + f""",
+reps AS (SELECT doc_id FROM labels WHERE doc_id = dup_group),
+kept AS (
+  SELECT d.doc_id, d.text,
+         CAST(LEN(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents d JOIN reps USING (doc_id)
+  WHERE LEN(regexp_extract_all(d.text, '\\S+')) >= {CURATE_MIN_TOKENS}
+),
+{_sql_lang_ctes('kept')}
+SELECT l.lang_pred, COUNT(*) AS n,
+       CAST(SUM(k.n_tok) AS BIGINT) AS n_tok_sum
+FROM kept k JOIN langpred l USING (doc_id)
+GROUP BY l.lang_pred
+""")
 
 
 def _sql_knn() -> str:
@@ -1316,6 +1369,7 @@ FROM cand QUALIFY rank <= 10
         "simhash": _sql_simhash(),
         "lang_detect": _sql_lang_detect(),
         "emb_dups": _sql_emb_dups(),
+        "curate": _sql_curate(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -1463,4 +1517,5 @@ def build_queries() -> dict:
         "asof": q_asof,
         "range_windows": q_range_windows,
         "sliding_value": q_sliding_value,
+        "curate": q_curate,
     }
