@@ -52,6 +52,8 @@ FAST = [
     "range_windows",
     "sliding_value",
     "curate",
+    "top_per_group",
+    "rollup",
 ]
 
 

@@ -701,6 +701,81 @@ def q_semi_customers(sf_dir: str):
     return bucketed_join(cust, okeys, ["c_custkey"], how="semi", n_buckets=32)
 
 
+def q_top_per_group(sf_dir: str):
+    """Per-group top-k (top-2 orders by totalprice per orderpriority) —
+    the grouped-rank operator via the coarse-bucket pattern; values pass
+    through untouched so float parity is exact."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        out = g.groupby("o_orderpriority", sort=False).head(2).copy()
+        out["rank"] = out.groupby("o_orderpriority", sort=False).cumcount() + 1
+        return out
+
+    return bucketed_groupby(orders, ["o_orderpriority"], top2, n_buckets=8)
+
+
+def q_rollup(sf_dir: str):
+    """GROUPING SETS rollup ((flag, status), (flag), ()) — three partial→
+    final aggregates sharing one pass shape, null-filled subtotal keys."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                    "l_quantity"])
+    fine = zonal.zonal_aggregate(
+        li, ["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]}
+    )
+
+    def to_mid(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("n"),
+            "l_quantity_sum": b.column("l_quantity_sum"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    mid = (
+        fine.map_batches(to_mid, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("l_quantity_sum", alias_name="l_quantity_sum"))
+    )
+
+    def pad_mid(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": pa.nulls(len(b), pa.string()),
+            "n": b.column("n"),
+            "l_quantity_sum": b.column("l_quantity_sum"),
+        })
+
+    def to_total(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "n": pa.array([pc_.sum(b.column("n")).as_py() or 0], pa.int64()),
+            "l_quantity_sum": pa.array(
+                [pc_.sum(b.column("l_quantity_sum")).as_py() or 0.0],
+                pa.float64(),
+            ),
+        })
+
+    # grand total from the 5-or-so mid rows (single tiny block)
+    total = mid.map_batches(to_mid, batch_format="pyarrow").repartition(1).map_batches(
+        to_total, batch_format="pyarrow"
+    )
+    mid_padded = mid.map_batches(pad_mid, batch_format="pyarrow")
+    return fine.union(mid_padded).union(total)
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 SLIDE_SIZE_UNITS = 3  # 3-hour windows stepping 1 hour
 
@@ -1374,6 +1449,19 @@ FROM cand QUALIFY rank <= 10
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        "top_per_group": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM ("
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
+            "WHERE rank <= 2"
+        ),
+        "rollup": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_returnflag), ())"
+        ),
         "events_hourly": (
             "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "COUNT(*) AS n FROM events GROUP BY event_type, hour"
@@ -1502,6 +1590,8 @@ def build_queries() -> dict:
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,
         "top_orders": q_top_orders,
+        "top_per_group": q_top_per_group,
+        "rollup": q_rollup,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,
