@@ -170,3 +170,45 @@ def test_box_clip_join_multi_crs(boxes_blob):
     golden1 = (444414.4114896285, 276009.81064532325, 611163.137304327, 442194.9725083875)
     for got, exp in zip((r1["cminx"], r1["cminy"], r1["cmaxx"], r1["cmaxy"]), golden1):
         assert got == pytest.approx(exp, rel=1e-9, abs=1e-3)
+
+
+def test_partitioned_pip_join_matches_broadcast(ray_session):
+    """Large x large partitioned spatial join == broadcast PIP join."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from zen3geo_ray.sources.fixtures import admin_grid
+    from zen3geo_ray.stages.join import (
+        PointInPolygonJoin,
+        partitioned_pip_join,
+        polygons_to_blob,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(n), pa.int64()),
+            "lon": pa.array(rng.uniform(-179, 179, n), pa.float64()),
+            "lat": pa.array(rng.uniform(-89, 89, n), pa.float64()),
+        }
+    )
+    polys = admin_grid(nx=24, ny=12)
+
+    ref = ray.put(polygons_to_blob(polys))
+    bro = (
+        rd.from_arrow(pts)
+        .map_batches(PointInPolygonJoin, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    part = partitioned_pip_join(
+        rd.from_arrow(pts), rd.from_arrow(polys), cell_deg=30.0, n_buckets=8
+    ).to_pandas()
+    a = sorted(zip(bro["pid"], bro["poly_id"]))
+    b = sorted(zip(part["pid"].astype(np.int64), part["poly_id"].astype(np.int64)))
+    assert len(a) == n  # every point falls in exactly one admin cell
+    assert a == b
+    # names carried through
+    assert set(part.columns) == {"pid", "lon", "lat", "poly_id", "poly_name"}

@@ -50,6 +50,24 @@ def polygons_to_blob(polys: pa.Table) -> dict:
     }
 
 
+def match_points_to_geoms(px, py, geoms, tree):
+    """Vectorized exact point-in-geometry matching: STRtree candidates
+    then per-polygon predicate batches.  Returns (point_idx, geom_idx)."""
+    qi, ii = tree.query_points(px, py)
+    if len(qi) == 0:
+        return qi, ii
+    keep = np.zeros(len(qi), dtype=bool)
+    order = np.argsort(ii, kind="stable")
+    qi_s, ii_s = qi[order], ii[order]
+    bounds_idx = np.flatnonzero(np.diff(ii_s)) + 1
+    for seg in np.split(np.arange(len(ii_s)), bounds_idx):
+        g = geoms[ii_s[seg[0]]]
+        pts = qi_s[seg]
+        keep_seg = predicates.points_in_geom(px[pts], py[pts], g)
+        keep[order[seg]] = keep_seg
+    return qi[keep], ii[keep]
+
+
 class _TreeHolder:
     """Shared init: decode WKB + build the STRtree once per actor."""
 
@@ -90,19 +108,7 @@ class PointInPolygonJoin(_TreeHolder):
     def match_pairs(self, px, py) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized exact matching: STRtree candidates -> per-polygon
         point-in-polygon test.  Returns (point_idx, tree_item_idx)."""
-        qi, ii = self.tree.query_points(px, py)
-        if len(qi) == 0:
-            return qi, ii
-        keep = np.zeros(len(qi), dtype=bool)
-        order = np.argsort(ii, kind="stable")
-        qi_s, ii_s = qi[order], ii[order]
-        bounds_idx = np.flatnonzero(np.diff(ii_s)) + 1
-        for seg in np.split(np.arange(len(ii_s)), bounds_idx):
-            g = self.geoms[ii_s[seg[0]]]
-            pts = qi_s[seg]
-            keep_seg = predicates.points_in_geom(px[pts], py[pts], g)
-            keep[order[seg]] = keep_seg
-        return qi[keep], ii[keep]
+        return match_points_to_geoms(px, py, self.geoms, self.tree)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
@@ -319,3 +325,139 @@ def make_broadcast_lookup_join(
         return out
 
     return join_batch
+
+
+def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
+                         n_buckets: int = 64,
+                         lon_col: str = "lon", lat_col: str = "lat"):
+    """LARGE x LARGE point-in-polygon join — neither side broadcast.
+
+    Spatial partitioning on a ``cell_deg``-degree grid: each POLYGON row
+    replicates to every grid cell its bbox overlaps (replication factor
+    = bbox area / cell area + edge cells — pick ``cell_deg`` near the
+    typical polygon size to keep it O(1)); each POINT goes to its single
+    cell.  Cells hash into coarse buckets (ONE all-to-all), and inside a
+    bucket the exact kernel runs per cell: STRtree over that cell's
+    polygon rows, vectorized candidate + point-in-geometry test.  A
+    point lives in exactly one cell, so no pair is emitted twice.
+
+    Use the broadcast ``PointInPolygonJoin`` whenever the polygon layer
+    fits an object-store broadcast — this operator is for the 1e8+
+    polygon regime where it cannot.
+    Output: point columns + poly_id (+ poly_name when present), inner.
+    """
+    import pandas as pd
+
+    from ..geom.strtree import STRtree as _STR
+
+    pschema = points_ds.schema()
+    gschema = polys_ds.schema()
+    pcols = list(pschema.names)
+    gcols = list(gschema.names)
+    overlap = set(pcols) & set(gcols)
+    if overlap:
+        raise ValueError(f"columns overlap: {sorted(overlap)}")
+    types = {n: t for n, t in zip(pschema.names, pschema.types)}
+    types.update({n: t for n, t in zip(gschema.names, gschema.types)})
+    all_cols = pcols + gcols
+    ncx = int(np.ceil(360.0 / cell_deg))
+    ncy = int(np.ceil(180.0 / cell_deg))
+
+    def cell_of(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        return cy * ncx + cx
+
+    def clipx(i):
+        return np.clip(i, 0, ncx - 1)
+
+    def clipy(i):
+        return np.clip(i, 0, ncy - 1)
+
+    def pad_points(b: pa.Table) -> pa.Table:
+        lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        cx = clipx(np.floor((lon + 180.0) / cell_deg).astype(np.int64))
+        cy = clipy(np.floor((lat + 90.0) / cell_deg).astype(np.int64))
+        cols = {c: b.column(c) for c in pcols}
+        for c in gcols:
+            cols[c] = pa.nulls(len(b), types[c])
+        out = pa.table(cols)
+        cell = cell_of(cx, cy)
+        return (
+            out.append_column("__cell", pa.array(cell, pa.int64()))
+            .append_column("__bucket", pa.array(cell % n_buckets, pa.int64()))
+            .append_column("__side", pa.array(np.zeros(len(b), dtype=np.int8)))
+        )
+
+    def pad_polys(b: pa.Table) -> pa.Table:
+        minx = b.column("minx").to_numpy(zero_copy_only=False)
+        miny = b.column("miny").to_numpy(zero_copy_only=False)
+        maxx = b.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = b.column("maxy").to_numpy(zero_copy_only=False)
+        x0 = clipx(np.floor((minx + 180.0) / cell_deg).astype(np.int64))
+        x1 = clipx(np.floor((maxx + 180.0) / cell_deg).astype(np.int64))
+        y0 = clipy(np.floor((miny + 90.0) / cell_deg).astype(np.int64))
+        y1 = clipy(np.floor((maxy + 90.0) / cell_deg).astype(np.int64))
+        nx = x1 - x0 + 1
+        ny = y1 - y0 + 1
+        counts = (nx * ny).astype(np.int64)
+        rep = np.repeat(np.arange(len(b)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+        cx = x0[rep] + local % nx[rep]
+        cy = y0[rep] + local // nx[rep]
+        taken = b.take(pa.array(rep))
+        cols = {}
+        for c in pcols:
+            cols[c] = pa.nulls(len(rep), types[c])
+        for c in gcols:
+            cols[c] = taken.column(c)
+        out = pa.table(cols)
+        cell = cell_of(cx, cy)
+        return (
+            out.append_column("__cell", pa.array(cell, pa.int64()))
+            .append_column("__bucket", pa.array(cell % n_buckets, pa.int64()))
+            .append_column("__side", pa.array(np.ones(len(rep), dtype=np.int8)))
+        )
+
+    pt = points_ds.map_batches(pad_points, batch_format="pyarrow")
+    gt = polys_ds.map_batches(pad_polys, batch_format="pyarrow")
+    both = pt.union(gt)
+
+    out_cols = pcols + ["poly_id"] + (["poly_name"] if "name" in gcols else [])
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        frames = []
+        for _, sub in g.groupby("__cell", sort=False):
+            pts = sub[sub["__side"] == 0]
+            pls = sub[sub["__side"] == 1]
+            if len(pts) == 0 or len(pls) == 0:
+                continue
+            geoms = [wkb.loads(blob) for blob in pls["geometry_wkb"]]
+            tree = _STR(
+                pls["minx"].to_numpy(dtype=np.float64),
+                pls["miny"].to_numpy(dtype=np.float64),
+                pls["maxx"].to_numpy(dtype=np.float64),
+                pls["maxy"].to_numpy(dtype=np.float64),
+            )
+            px = pts[lon_col].to_numpy(dtype=np.float64)
+            py = pts[lat_col].to_numpy(dtype=np.float64)
+            qi, ii = match_points_to_geoms(px, py, geoms, tree)
+            if len(qi) == 0:
+                continue
+            f = pts.iloc[qi][pcols].reset_index(drop=True)
+            f["poly_id"] = pls["poly_id"].to_numpy()[ii].astype(np.int64)
+            if "name" in gcols:
+                f["poly_name"] = pls["name"].to_numpy()[ii]
+            frames.append(f)
+        if not frames:
+            return pa.Table.from_pandas(
+                pd.DataFrame(columns=out_cols), preserve_index=False
+            )
+        out = pd.concat(frames, ignore_index=True)
+        for c in pcols:
+            if (pa.types.is_integer(types[c]) and out[c].dtype.kind == "f"
+                    and not out[c].isna().any()):
+                out[c] = out[c].astype(types[c].to_pandas_dtype())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
