@@ -727,9 +727,11 @@ def q_rollup(sf_dir: str):
     final aggregates sharing one pass shape, null-filled subtotal keys."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
                                     "l_quantity"])
+    # a handful of rows consumed by three branches (itself, mid, total) —
+    # materialize so the base scan+aggregate runs once, not three times
     fine = zonal.zonal_aggregate(
         li, ["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]}
-    )
+    ).materialize()
 
     def to_mid(b: pa.Table) -> pa.Table:
         return pa.table({
