@@ -103,3 +103,85 @@ def test_wkb_roundtrip_random(seed):
     for g in (wkb.multipoint(pts), wkb.linestring(pts)):
         rt = wkb.loads(wkb.dumps(g))
         assert np.allclose(rt["coords"], g["coords"])
+
+
+# --- round-2 kernels ------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_match_intervals_matches_bruteforce(seed):
+    from zen3geo_ray.stages.rangejoin import _match_intervals
+
+    rng = np.random.default_rng(seed)
+    n, m = rng.integers(0, 60), rng.integers(0, 40)
+    v = rng.uniform(0, 100, n)
+    lo = rng.uniform(0, 100, m)
+    hi = lo + rng.uniform(0, 30, m)
+    vi, ii = _match_intervals(v, lo, hi)
+    got = set(zip(vi.tolist(), ii.tolist()))
+    brute = {
+        (i, j)
+        for i in range(n)
+        for j in range(m)
+        if lo[j] <= v[i] < hi[j]
+    }
+    assert got == brute
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_minhash_signature_matches_per_doc_reference(seed):
+    """Batched vectorized signatures == signature of each doc alone
+    (batching must not change any hash)."""
+    from zen3geo_ray.stages.dedup import minhash_signatures
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("abc déf\n\tXY .")
+    docs = [
+        "".join(rng.choice(alphabet, rng.integers(0, 60)))
+        for _ in range(rng.integers(1, 6))
+    ]
+    batched = minhash_signatures(docs, num_perm=16, k=3)
+    for i, d in enumerate(docs):
+        solo = minhash_signatures([d], num_perm=16, k=3)
+        assert (batched[i] == solo[0]).all(), (i, repr(d))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_simhash_batching_invariant(seed):
+    from zen3geo_ray.stages.dedup import simhash64
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("words and more stuff\n ")
+    docs = [
+        "".join(rng.choice(alphabet, rng.integers(0, 50)))
+        for _ in range(rng.integers(1, 5))
+    ]
+    batched = simhash64(docs)
+    for i, d in enumerate(docs):
+        assert batched[i] == simhash64([d])[0], repr(d)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_simplify_preserves_endpoints_and_tolerance(seed):
+    from zen3geo_ray.geom.simplify import _seg_dist, simplify_line
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 40))
+    pts = rng.uniform(-10, 10, (n, 2))
+    eps = float(rng.uniform(0.01, 2.0))
+    out = simplify_line(pts, eps)
+    assert (out[0] == pts[0]).all() and (out[-1] == pts[-1]).all()
+    # every dropped point is within eps of the simplified polyline
+    kept = {tuple(p) for p in out}
+    for p in pts:
+        if tuple(p) in kept:
+            continue
+        d = min(
+            _seg_dist(p[None, :], out[i], out[i + 1])[0]
+            for i in range(len(out) - 1)
+        )
+        assert d <= eps + 1e-9

@@ -312,18 +312,18 @@ def simhash64(texts) -> np.ndarray:
     one = np.uint64(1)
     # per-bit 1-D contiguous passes (a (tokens, 64) bit matrix would be
     # ~140 MB of temporaries per 270k-token batch; see minhash note).
-    # reduceat needs in-bounds indices: empty docs get a clipped start and
-    # their garbage popcount is masked out by `has` below
-    starts = np.minimum(off[:-1], max(len(th) - 1, 0))
+    # reduceat runs over NON-EMPTY docs' starts only (strictly increasing,
+    # so each segment covers exactly one doc's tokens — clipping empty
+    # docs' starts instead would steal the previous doc's last token);
+    # empty docs vote all bits set (-1), mirroring the oracle's COALESCE.
     has = counts > 0
+    nz_starts = off[:-1][has]
     with np.errstate(over="ignore"):
         for b in range(64):
             bits = ((th >> np.uint64(b)) & one).astype(np.int64)
-            pop = (
-                np.add.reduceat(bits, starts)
-                if len(th)
-                else np.zeros(ndocs, dtype=np.int64)
-            )
+            pop = np.zeros(ndocs, dtype=np.int64)
+            if len(nz_starts):
+                pop[has] = np.add.reduceat(bits, nz_starts)
             votes_nonneg = np.where(has, (2 * pop - counts) >= 0, True)
             fp |= votes_nonneg.astype(np.uint64) << np.uint64(b)
     return fp.view(np.int64)
