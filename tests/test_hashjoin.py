@@ -170,3 +170,42 @@ def test_asof_join_golden(ray_session):
     # lid2 (k2,t5) -> none (right t99 > 5); lid3 (k3) -> none
     assert out["v"].tolist()[:2] == [100.0, 200.0]
     assert pd.isna(out["v"].iloc[2]) and pd.isna(out["v"].iloc[3])
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Distributed asof == single-frame pd.merge_asof on random data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hashjoin import asof_join
+
+    rng = np.random.default_rng(33)
+    nl, nr = 800, 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, nl),
+        "t": rng.integers(0, 10_000, nl),
+        "lid": np.arange(nl),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 20, nr),
+        "t": rng.integers(0, 10_000, nr),
+        "v": np.arange(nr),
+    }).drop_duplicates(["k", "t"])
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    got = (
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+            by=["k"], on="t", n_buckets=8,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert (got["lid"].to_numpy() == exp["lid"].to_numpy()).all()
+    gv, ev = got["v"].to_numpy(dtype=float), exp["v"].to_numpy(dtype=float)
+    assert ((gv == ev) | (np.isnan(gv) & np.isnan(ev))).all()

@@ -167,3 +167,38 @@ def test_incremental_write_skips_unchanged(ray_session, tmp_path):
     res3, todo3 = incremental_write(rd.from_arrow(table(99)), out, "part", "fp")
     res3.materialize()
     assert todo3 == {1}
+
+
+def test_multimodal_features_to_ann(ray_session):
+    """Composition: fake-decode images -> feature extraction -> ANN over
+    the feature column (the multimodal embedding-pipeline shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages import ann
+    from zen3geo_ray.stages.multimodal import ImageDecoder, image_features
+
+    n = 200
+    payloads = [f"img-{i}".encode() for i in range(n)]
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    feats = (
+        rd.from_arrow(tbl)
+        .map_batches(ImageDecoder, fn_constructor_kwargs={"mode": "fake"},
+                     batch_format="pyarrow", concurrency=2)
+        .map_batches(image_features, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(["vec_id", "features"]),
+                     batch_format="pyarrow")
+    )
+    # query with vec 0's own feature vector: it must retrieve itself
+    import pandas as pd
+    f0 = feats.to_pandas()
+    q = np.asarray(f0.sort_values("vec_id")["features"].iloc[0], dtype=np.float32)
+    blob = {"query_id": np.array([0]), "matrix": q[None, :]}
+    out = ann.brute_force_knn(
+        rd.from_arrow(pa.Table.from_pandas(f0, preserve_index=False)),
+        blob, k=3, vec_col="features",
+    ).to_pandas()
+    assert 0 in set(out["vec_id"])
+    assert out.sort_values("rank")["vec_id"].iloc[0] == 0
