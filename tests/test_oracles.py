@@ -54,6 +54,7 @@ FAST = [
     "curate",
     "top_per_group",
     "rollup",
+    "near_dup",
 ]
 
 

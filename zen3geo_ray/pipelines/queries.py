@@ -481,6 +481,62 @@ def q_ann(sf_dir: str):
     )
 
 
+ND_CHAR_K, ND_TAU = 5, 0.8
+
+
+def q_near_dup(sf_dir: str):
+    """LSH candidates -> exact char-shingle Jaccard verification, fully
+    distributed (two bucketed text joins) — returns verified (a, b,
+    jaccard) pairs.  The jaccard is a single int/int division, so the
+    SQL oracle's DOUBLE division reproduces it bit-for-bit."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
+    return dedup.near_dup_pipeline(
+        docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS,
+        shingle_k=MH_K, k=ND_CHAR_K, threshold=ND_TAU, n_buckets=16,
+    )
+
+
+def _sql_near_dup() -> str:
+    """Candidate pairs from the minhash band buckets (min-doc anchor per
+    bucket) + exact distinct-codepoint-shingle Jaccard — mirrors
+    near_dup_pipeline operation for operation."""
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + f""",
+minb AS (
+  SELECT band_id, bh, MIN(doc_id) AS a FROM bands GROUP BY band_id, bh
+),
+cpairs AS (
+  SELECT DISTINCT m.a, b2.doc_id AS b
+  FROM bands b2 JOIN minb m ON b2.band_id = m.band_id AND b2.bh = m.bh
+  WHERE b2.doc_id <> m.a
+),
+cps AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text)+1),
+                        i -> unicode(text[i])::HUGEINT) AS cp
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(greatest(len(cp)-{ND_CHAR_K}+1, 1)), i ->
+      list_reduce(list_prepend({_SQL_H0},
+                               cp[i+1 : least(i+{ND_CHAR_K}, len(cp))]),
+        (h, c) -> (h * {_SQL_P} + c) % {_SQL_M}))) AS shs
+  FROM cps
+),
+ver AS (
+  SELECT p.a, p.b,
+    CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+    CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))
+         AS DOUBLE) AS jaccard
+  FROM cpairs p
+  JOIN csh x ON x.doc_id = p.a
+  JOIN csh y ON y.doc_id = p.b
+)
+SELECT a, b, jaccard FROM ver WHERE jaccard >= {ND_TAU}
+""")
+
+
 EMB_SIGN_DIMS, EMB_TAU = 8, 0.3
 
 
@@ -1447,6 +1503,7 @@ FROM cand QUALIFY rank <= 10
         "lang_detect": _sql_lang_detect(),
         "emb_dups": _sql_emb_dups(),
         "curate": _sql_curate(),
+        "near_dup": _sql_near_dup(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -1610,4 +1667,5 @@ def build_queries() -> dict:
         "range_windows": q_range_windows,
         "sliding_value": q_sliding_value,
         "curate": q_curate,
+        "near_dup": q_near_dup,
     }

@@ -453,17 +453,19 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of the k-character shingles of a text (uint64)."""
-    data = text.encode("utf-8")
-    if len(data) < k:
-        return fnv1a_str_array([text])
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = len(arr) - k + 1
-    with np.errstate(over="ignore"):
-        h = np.zeros(n, dtype=np.uint64)
-        for j in range(k):
-            h = h * np.uint64(1099511628211) + arr[j : j + n]
-    return np.unique(h)
+    """DISTINCT poly64 hashes of the k-CODEPOINT shingles of a text.
+
+    Same fold as the token machinery (``h = h*P + codepoint`` seeded at
+    POLY_H0, short texts fold whatever codepoints exist) so the exact
+    char-shingle Jaccard is restatable in DuckDB HUGEINT arithmetic —
+    the near-dup verification threshold becomes oracle-checkable."""
+    cps = np.frombuffer(
+        (text or "").encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    sh, _ = token_shingle_hashes(
+        cps, np.array([0, len(cps)], dtype=np.int64), k
+    )
+    return np.unique(sh)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
