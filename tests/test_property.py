@@ -185,3 +185,51 @@ def test_simplify_preserves_endpoints_and_tolerance(seed):
             for i in range(len(out) - 1)
         )
         assert d <= eps + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_lsh_group_labels_is_connected_components(ray_session, seed):
+    """Distributed fixpoint min-label propagation == union-find CC on a
+    random doc/bucket bipartite graph (chains, stars, singletons)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import lsh_group_labels
+
+    rng = np.random.default_rng(seed)
+    ndocs = int(rng.integers(2, 40))
+    docs = np.arange(ndocs)
+    rows_d, rows_b, rows_h = [], [], []
+    for d in docs:
+        for _ in range(int(rng.integers(1, 4))):
+            rows_d.append(d)
+            rows_b.append(int(rng.integers(0, 3)))
+            rows_h.append(int(rng.integers(0, ndocs)))
+    bands = pa.table({
+        "doc_id": pa.array(rows_d, pa.int64()),
+        "band_id": pa.array(rows_b, pa.int32()),
+        "band_hash": pa.array(rows_h, pa.int64()),
+    })
+    got = lsh_group_labels(rd.from_arrow(bands), id_col="doc_id").to_pandas()
+    labels = dict(zip(got["doc_id"], got["dup_group"]))
+
+    # union-find reference over shared (band, hash) buckets
+    parent = {int(d): int(d) for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets: dict = {}
+    for d, b, h in zip(rows_d, rows_b, rows_h):
+        buckets.setdefault((b, h), []).append(int(d))
+    for mem in buckets.values():
+        for m in mem[1:]:
+            ra, rb = find(mem[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    for d in docs:
+        assert labels[int(d)] == find(int(d)), (seed, d)
