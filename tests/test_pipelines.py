@@ -202,3 +202,27 @@ def test_multimodal_features_to_ann(ray_session):
     ).to_pandas()
     assert 0 in set(out["vec_id"])
     assert out.sort_values("rank")["vec_id"].iloc[0] == 0
+
+
+def test_streaming_exact_dedup_registry(ray_session):
+    """Online dedup via the sharded registry: exactly one survivor per
+    distinct key across batches, whatever the arrival order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.state.registry import make_registry, streaming_exact_dedup
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 300, 2000)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "row": pa.array(np.arange(2000), pa.int64())})
+    reg = make_registry(n_shards=4)
+    out = streaming_exact_dedup(
+        rd.from_arrow(tbl).repartition(8), reg, "k"
+    ).to_pandas()
+    assert sorted(out["k"].unique()) == sorted(set(keys.tolist()))
+    assert len(out) == len(set(keys.tolist()))  # exactly one per key
+    # a SECOND stream against the same live registry drops everything
+    out2 = streaming_exact_dedup(rd.from_arrow(tbl), reg, "k").to_pandas()
+    assert len(out2) == 0
