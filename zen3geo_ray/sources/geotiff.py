@@ -1,0 +1,292 @@
+"""Minimal pure-numpy GeoTIFF codec — REAL raster decode, no GDAL.
+
+The reference's #1 operator opens GeoTIFF/COG via rasterio
+(``/root/reference/zen3geo/datapipes/rioxarray.py:70-74``); this
+container has no GDAL stack, so the engine implements the subset of the
+public TIFF 6.0 + GeoTIFF specs a synthetic-scene pipeline needs:
+
+* byte orders II/MM; baseline IFD tags;
+* strip- and tile-organized data (tiled = the COG layout);
+* compression 1 (none) and 8 (zlib/deflate — stdlib ``zlib``);
+* uint8/uint16/int16/uint32/float32/float64 samples, band-interleaved
+  (PlanarConfiguration=2) or pixel-interleaved (=1);
+* geotransform from ModelPixelScale + ModelTiepoint (the affine
+  north-up case rasterio reports as ``(minx, maxy, res)``).
+
+``write_geotiff`` exists so tests can round-trip without any external
+fixture; the decode stage (``scene_tensor_from_geotiff``) emits the same
+schema as the synthetic ``scene_tensor_batch``, making the real-decode
+path a drop-in source for the chip/detection pipelines.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_SAMPLE_DTYPES = {
+    (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+    (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
+    (3, 32): np.float32, (3, 64): np.float64,
+}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd_values(buf, bo, typ, count, value_field):
+    size = _TYPE_SIZES[typ] * count
+    if size <= 4:
+        raw = value_field[:size]
+    else:
+        (off,) = struct.unpack(bo + "I", value_field)
+        raw = buf[off : off + size]
+    if typ in _TYPE_FMT:
+        return list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "II" * count, raw)
+        return [vals[i] / vals[i + 1] for i in range(0, 2 * count, 2)]
+    return [raw]
+
+
+def read_geotiff(data: bytes) -> dict:
+    """Decode a (Geo)TIFF byte payload.
+
+    Returns {data: (bands, H, W) ndarray, height, width, bands,
+    minx, maxy, res} — res from ModelPixelScale, origin from the
+    (0, 0, 0, minx, maxy, z) ModelTiepoint (the north-up affine).
+    """
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = _read_ifd_values(data, bo, typ, count, e[8:12])
+
+    width = int(tags[256][0])
+    height = int(tags[257][0])
+    bands = int(tags.get(277, [1])[0])
+    bits = int(tags.get(258, [8])[0])
+    fmt = int(tags.get(339, [1])[0])
+    comp = int(tags.get(259, [1])[0])
+    planar = int(tags.get(284, [1])[0])
+    dtype = np.dtype(_SAMPLE_DTYPES[(fmt, bits)]).newbyteorder(bo)
+    if comp not in (1, 8):
+        raise NotImplementedError(f"TIFF compression {comp} unsupported "
+                                  "(only none/deflate)")
+
+    def chunk(off, cnt):
+        raw = data[off : off + cnt]
+        return zlib.decompress(raw) if comp == 8 else raw
+
+    out = np.zeros((bands, height, width), dtype=dtype.newbyteorder("="))
+    if 322 in tags:  # tiled layout (COG)
+        tw, th = int(tags[322][0]), int(tags[323][0])
+        offs, cnts = tags[324], tags[325]
+        ntx = (width + tw - 1) // tw
+        nty = (height + th - 1) // th
+        per_plane = ntx * nty
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            plane = i // per_plane if planar == 2 else 0
+            t = i % per_plane if planar == 2 else i
+            ty, tx = divmod(t, ntx)
+            arr = np.frombuffer(chunk(off, cnt), dtype=dtype)
+            if planar == 2:
+                tile = arr.reshape(th, tw)
+                sel = out[plane]
+                h = min(th, height - ty * th)
+                w = min(tw, width - tx * tw)
+                sel[ty * th : ty * th + h, tx * tw : tx * tw + w] = tile[:h, :w]
+            else:
+                tile = arr.reshape(th, tw, bands)
+                h = min(th, height - ty * th)
+                w = min(tw, width - tx * tw)
+                out[:, ty * th : ty * th + h, tx * tw : tx * tw + w] = (
+                    tile[:h, :w].transpose(2, 0, 1)
+                )
+    else:  # strips
+        rps = int(tags.get(278, [height])[0])
+        offs, cnts = tags[273], tags[279]
+        nstrips = (height + rps - 1) // rps
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            plane = i // nstrips if planar == 2 else 0
+            s = i % nstrips if planar == 2 else i
+            y0 = s * rps
+            h = min(rps, height - y0)
+            arr = np.frombuffer(chunk(off, cnt), dtype=dtype)
+            if planar == 2:
+                out[plane, y0 : y0 + h] = arr.reshape(h, width)
+            else:
+                out[:, y0 : y0 + h] = arr.reshape(h, width, bands).transpose(
+                    2, 0, 1
+                )
+
+    res = float(tags[33550][0]) if 33550 in tags else 1.0
+    if 33922 in tags:
+        tp = np.frombuffer(tags[33922][0], dtype=np.dtype("f8").newbyteorder(bo)) \
+            if isinstance(tags[33922][0], (bytes, bytearray)) else np.asarray(tags[33922])
+        minx, maxy = float(tp[3]), float(tp[4])
+    else:
+        minx, maxy = 0.0, float(height) * res
+    return {"data": out, "height": height, "width": width, "bands": bands,
+            "minx": minx, "maxy": maxy, "res": res}
+
+
+def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
+                  res: float = 1.0, compress: bool = False,
+                  tiled: bool = False, tile: int = 16) -> bytes:
+    """Encode (bands, H, W) or (H, W) as a little-endian GeoTIFF
+    (band-interleaved planes, strip or square-tile layout)."""
+    if arr.ndim == 2:
+        arr = arr[None]
+    bands, H, W = arr.shape
+    dt = arr.dtype
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    comp = 8 if compress else 1
+
+    chunks: list[bytes] = []
+    if tiled:
+        th = tw = tile
+        ntx = (W + tw - 1) // tw
+        nty = (H + th - 1) // th
+        for b in range(bands):
+            for ty in range(nty):
+                for tx in range(ntx):
+                    t = np.zeros((th, tw), dtype=dt)
+                    h = min(th, H - ty * th)
+                    w = min(tw, W - tx * tw)
+                    t[:h, :w] = arr[b, ty * th : ty * th + h,
+                                    tx * tw : tx * tw + w]
+                    chunks.append(t.tobytes())
+    else:
+        for b in range(bands):
+            chunks.append(arr[b].tobytes())
+    if compress:
+        chunks = [zlib.compress(c) for c in chunks]
+
+    # layout: header | chunk data | geo doubles | IFD
+    header_len = 8
+    data_off = header_len
+    offs, cnts = [], []
+    for c in chunks:
+        offs.append(data_off)
+        cnts.append(len(c))
+        data_off += len(c)
+    scale_off = data_off
+    tiepoint_off = scale_off + 3 * 8
+    extra_off = tiepoint_off + 6 * 8
+    # BitsPerSample for bands > 1 needs an external array when bands > 2
+    bps_vals = [bits] * bands
+    bps_external = bands * 2 > 4
+    bps_off = extra_off
+    if bps_external:
+        extra_off += 2 * bands
+    # offset/count arrays external when > 1 entry
+    offs_external = len(offs) * 4 > 4
+    offs_off = extra_off
+    if offs_external:
+        extra_off += 4 * len(offs)
+    cnts_off = extra_off
+    if offs_external:
+        extra_off += 4 * len(cnts)
+    ifd_off = extra_off
+
+    entries = []
+
+    def entry(tag, typ, count, value_bytes):
+        entries.append(struct.pack("<HHI", tag, typ, count)
+                       + value_bytes.ljust(4, b"\0"))
+
+    entry(256, 4, 1, struct.pack("<I", W))
+    entry(257, 4, 1, struct.pack("<I", H))
+    if bps_external:
+        entry(258, 3, bands, struct.pack("<I", bps_off))
+    else:
+        entry(258, 3, bands, struct.pack("<" + "H" * bands, *bps_vals))
+    entry(259, 3, 1, struct.pack("<H", comp))
+    entry(262, 3, 1, struct.pack("<H", 1))
+    if offs_external:
+        off_field = struct.pack("<I", offs_off)
+        cnt_field = struct.pack("<I", cnts_off)
+    else:
+        off_field = struct.pack("<I", offs[0])
+        cnt_field = struct.pack("<I", cnts[0])
+    if tiled:
+        entry(322, 4, 1, struct.pack("<I", tile))
+        entry(323, 4, 1, struct.pack("<I", tile))
+        entry(324, 4, len(offs), off_field)
+        entry(325, 4, len(cnts), cnt_field)
+    else:
+        entry(273, 4, len(offs), off_field)
+        entry(277, 3, 1, struct.pack("<H", bands))
+        entry(278, 4, 1, struct.pack("<I", H))
+        entry(279, 4, len(cnts), cnt_field)
+    if tiled:
+        entry(277, 3, 1, struct.pack("<H", bands))
+    entry(284, 3, 1, struct.pack("<H", 2))  # planar: band planes
+    entry(339, 3, 1, struct.pack("<H", fmt))
+    entry(33550, 12, 3, struct.pack("<I", scale_off))
+    entry(33922, 12, 6, struct.pack("<I", tiepoint_off))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for c in chunks:
+        out += c
+    out += struct.pack("<3d", res, res, 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, minx, maxy, 0.0)
+    if bps_external:
+        out += struct.pack("<" + "H" * bands, *bps_vals)
+    if offs_external:
+        out += struct.pack("<" + "I" * len(offs), *offs)
+        out += struct.pack("<" + "I" * len(cnts), *cnts)
+    assert len(out) == ifd_off, (len(out), ifd_off)
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # next IFD
+    return bytes(out)
+
+
+def scene_tensor_from_geotiff(batch: pa.Table, *, payload_col: str = "tiff",
+                              id_col: str = "scene_id") -> pa.Table:
+    """map_batches fn: GeoTIFF byte payloads -> scene tensor rows with
+    the SAME schema as the synthetic ``scene_tensor_batch`` (+ transform
+    columns) — the real-decode source for the chip/detection pipelines."""
+    ids = batch.column(id_col)
+    rows = {k: [] for k in ("height", "width", "bands", "data",
+                            "minx", "maxy", "res")}
+    for blob in batch.column(payload_col).to_pylist():
+        g = read_geotiff(blob)
+        rows["height"].append(g["height"])
+        rows["width"].append(g["width"])
+        rows["bands"].append(g["bands"])
+        rows["data"].append(
+            np.ascontiguousarray(g["data"], dtype=np.float32).reshape(-1)
+        )
+        rows["minx"].append(g["minx"])
+        rows["maxy"].append(g["maxy"])
+        rows["res"].append(g["res"])
+    return pa.table({
+        id_col: ids,
+        "height": pa.array(rows["height"], pa.int32()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "bands": pa.array(rows["bands"], pa.int64()),
+        "data": pa.array(rows["data"], pa.list_(pa.float32())),
+        "minx": pa.array(rows["minx"], pa.float64()),
+        "maxy": pa.array(rows["maxy"], pa.float64()),
+        "res": pa.array(rows["res"], pa.float64()),
+    })
