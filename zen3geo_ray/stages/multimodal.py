@@ -28,19 +28,53 @@ class ImageDecoder:
 
     def __init__(self, mode: str = "fake", out_h: int = 16, out_w: int = 16,
                  payload_col: str = "payload"):
-        if mode not in ("fake", "real"):
+        if mode not in ("fake", "real", "tiff"):
             raise ValueError(mode)
         if mode == "real":
             raise NotImplementedError(
-                "image codecs are not available in this environment; "
-                "use mode='fake' for plumbing tests"
+                "PNG/JPEG codecs are not available in this environment; "
+                "mode='tiff' decodes real TIFF payloads (sources/geotiff), "
+                "mode='fake' is the deterministic plumbing stand-in"
             )
+        self.mode = mode
         self.out_h = out_h
         self.out_w = out_w
         self.payload_col = payload_col
 
+    def _decode_tiff(self, payloads, batch: pa.Table) -> pa.Table:
+        from ..sources.geotiff import read_geotiff
+
+        tensors, hs, ws = [], [], []
+        for b in payloads:
+            g = read_geotiff(b)
+            arr = g["data"][:3]
+            if arr.shape[0] < 3:  # grey -> 3 channels
+                arr = np.repeat(arr[:1], 3, axis=0)
+            hwc = np.clip(arr.transpose(1, 2, 0), 0, 255).astype(np.uint8)
+            tensors.append(hwc.reshape(-1))
+            hs.append(g["height"])
+            ws.append(g["width"])
+        if len({(h, w) for h, w in zip(hs, ws)}) > 1:
+            raise ValueError("mixed image sizes in one batch: resize or "
+                             "group by size upstream")
+        size = (hs[0] * ws[0] * 3) if hs else 0
+        tensor = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(tensors) if tensors else
+                     np.empty(0, np.uint8), pa.uint8()),
+            size or 1,
+        )
+        n = len(payloads)
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("image", tensor)
+            .append_column("img_h", pa.array(hs, pa.int32()))
+            .append_column("img_w", pa.array(ws, pa.int32()))
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
+        if self.mode == "tiff":
+            return self._decode_tiff(payloads, batch)
         h = fnv1a_str_array(payloads)
         n = len(payloads)
         size = self.out_h * self.out_w * 3
