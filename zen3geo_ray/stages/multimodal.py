@@ -30,30 +30,41 @@ class ImageDecoder:
                  payload_col: str = "payload"):
         if mode not in ("fake", "real", "tiff"):
             raise ValueError(mode)
-        if mode == "real":
-            raise NotImplementedError(
-                "PNG/JPEG codecs are not available in this environment; "
-                "mode='tiff' decodes real TIFF payloads (sources/geotiff), "
-                "mode='fake' is the deterministic plumbing stand-in"
-            )
         self.mode = mode
         self.out_h = out_h
         self.out_w = out_w
         self.payload_col = payload_col
 
-    def _decode_tiff(self, payloads, batch: pa.Table) -> pa.Table:
+    def _decode_real(self, payloads, batch: pa.Table) -> pa.Table:
+        """Real codecs: PNG and TIFF by signature sniffing (the formats
+        the in-engine pure-numpy codecs cover; JPEG would need a DCT
+        stack this container doesn't have)."""
         from ..sources.geotiff import read_geotiff
+        from ..sources.png import read_png
 
         tensors, hs, ws = [], [], []
         for b in payloads:
-            g = read_geotiff(b)
-            arr = g["data"][:3]
-            if arr.shape[0] < 3:  # grey -> 3 channels
-                arr = np.repeat(arr[:1], 3, axis=0)
-            hwc = np.clip(arr.transpose(1, 2, 0), 0, 255).astype(np.uint8)
-            tensors.append(hwc.reshape(-1))
-            hs.append(g["height"])
-            ws.append(g["width"])
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                hwc = read_png(b)[:, :, :3]
+                if hwc.shape[2] < 3:  # grey -> 3 channels
+                    hwc = np.repeat(hwc[:, :, :1], 3, axis=2)
+                arr3 = hwc
+            elif b[:2] in (b"II", b"MM"):
+                g = read_geotiff(b)
+                planes = g["data"][:3]
+                if planes.shape[0] < 3:
+                    planes = np.repeat(planes[:1], 3, axis=0)
+                arr3 = np.clip(planes.transpose(1, 2, 0), 0, 255).astype(
+                    np.uint8
+                )
+            else:
+                raise NotImplementedError(
+                    "unsupported image signature (PNG/TIFF decodable; "
+                    "JPEG needs codecs absent from this container)"
+                )
+            tensors.append(np.ascontiguousarray(arr3).reshape(-1))
+            hs.append(arr3.shape[0])
+            ws.append(arr3.shape[1])
         if len({(h, w) for h, w in zip(hs, ws)}) > 1:
             raise ValueError("mixed image sizes in one batch: resize or "
                              "group by size upstream")
@@ -73,8 +84,8 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        if self.mode == "tiff":
-            return self._decode_tiff(payloads, batch)
+        if self.mode in ("tiff", "real"):
+            return self._decode_real(payloads, batch)
         h = fnv1a_str_array(payloads)
         n = len(payloads)
         size = self.out_h * self.out_w * 3
