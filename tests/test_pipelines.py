@@ -128,9 +128,16 @@ def test_multimodal_plumbing(ray_session):
     i0 = out.sort_values("item_id")["item_id"].iloc[0]
 
 
-def test_image_decoder_real_mode_stubbed():
-    with pytest.raises(NotImplementedError, match="not available"):
-        mm.ImageDecoder(mode="real")
+def test_image_decoder_real_mode_jpeg_stubbed():
+    # real mode decodes PNG/TIFF in-engine; a JPEG payload (no DCT stack
+    # in this container) raises at decode with a pointer to the gap
+    import pyarrow as pa
+
+    dec = mm.ImageDecoder(mode="real")
+    jpeg = pa.table({"payload": pa.array([b"\xff\xd8\xff\xe0 jfif"],
+                                         pa.binary())})
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        dec(jpeg)
 
 
 def test_incremental_write_skips_unchanged(ray_session, tmp_path):
