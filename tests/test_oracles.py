@@ -55,6 +55,7 @@ FAST = [
     "top_per_group",
     "rollup",
     "near_dup",
+    "median_price",
 ]
 
 

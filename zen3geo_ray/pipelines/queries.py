@@ -778,6 +778,25 @@ def q_top_per_group(sf_dir: str):
     return bucketed_groupby(orders, ["o_orderpriority"], top2, n_buckets=8)
 
 
+def q_median_price(sf_dir: str):
+    """Exact distributed median (holistic aggregate): order price cents
+    per priority via the bounded value-histogram plan — the shuffle
+    moves one row per distinct (priority, cents), never per order."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "p_cents": pa.array(c, pa.int64())})
+
+    return zonal.grouped_median(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"], "p_cents", n_buckets=8,
+    )
+
+
 def q_rollup(sf_dir: str):
     """GROUPING SETS rollup ((flag, status), (flag), ()) — three partial→
     final aggregates sharing one pass shape, null-filled subtotal keys."""
@@ -1515,6 +1534,11 @@ FROM cand QUALIFY rank <= 10
             "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
             "WHERE rank <= 2"
         ),
+        "median_price": (
+            "SELECT o_orderpriority, "
+            "MEDIAN(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))::DOUBLE "
+            "AS median FROM orders GROUP BY o_orderpriority"
+        ),
         "rollup": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
@@ -1651,6 +1675,7 @@ def build_queries() -> dict:
         "top_orders": q_top_orders,
         "top_per_group": q_top_per_group,
         "rollup": q_rollup,
+        "median_price": q_median_price,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,

@@ -106,3 +106,48 @@ def topk_cells(ds, keys: list[str], k: int, by: str = "n"):
     sort+limit (SURVEY §2.3 sorts: groupby.count → sort desc → limit)."""
     counted = zonal_aggregate(ds, keys, {})
     return counted.sort(by, descending=True).limit(k)
+
+
+def grouped_median(ds, key_cols: list[str], value_col: str,
+                   n_buckets: int = 32):
+    """EXACT per-group median of an integer column — the holistic
+    aggregate expressed scale-first: each batch pre-reduces to
+    (key, value, n) counts (combiner), the groupby moves one row per
+    DISTINCT (key, value) — bounded by the value domain, not the row
+    count — and the per-key middle is read off the cumulative histogram.
+    Even-sized groups average the two middle values ((a + b) / 2.0, the
+    same single expression SQL MEDIAN evaluates, so doubles match
+    bit-for-bit on integer inputs).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(key_cols + [value_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(key_cols + [value_col, "_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(key_cols + [value_col], sort=False)["_n"].sum()
+            .reset_index()
+            .sort_values(key_cols + [value_col], kind="mergesort")
+        )
+        out_rows = []
+        for key, grp in g.groupby(key_cols, sort=False):
+            v = grp[value_col].to_numpy()
+            n = grp["_n"].to_numpy()
+            c = np.cumsum(n)
+            total = int(c[-1])
+            lo_i = int(np.searchsorted(c, (total - 1) // 2 + 1))
+            hi_i = int(np.searchsorted(c, total // 2 + 1))
+            med = (float(v[lo_i]) + float(v[hi_i])) / 2.0
+            row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            row["median"] = med
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
