@@ -112,3 +112,41 @@ def test_partial_histogram_matches_dense():
         sparse.column("n").to_numpy()
     )
     assert np.array_equal(got, dense)
+
+
+def test_weighted_histogram_matches_tile_rasterizer(ray_session):
+    """Scale-path weighted sum == per-tile TileRasterizer agg='sum'."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray import api
+    from zen3geo_ray.stages.rasterize import tile_grid_table
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    pts = pa.table({
+        "lon": pa.array(rng.uniform(-179, 179, n), pa.float64()),
+        "lat": pa.array(rng.uniform(-89, 89, n), pa.float64()),
+        "w": pa.array(rng.integers(1, 10, n).astype(np.float64), pa.float64()),
+    })
+    specs = tile_grid_table(-180, -90, 180, 90, 4, 2, 8, 8)
+    scale = (
+        api.from_arrow(pts).assign_tiles(nx=4, ny=2)
+        .rasterize_tiles(specs, agg="sum", value_col="w")
+        .to_pandas()
+    )
+    small = (
+        api.from_arrow(pts).assign_tiles(nx=4, ny=2)
+        .rasterize_tiles(specs, agg="sum", value_col="w", small_grid=True)
+        .to_pandas()
+    )
+    total_w = float(np.sum(pts.column("w").to_numpy()))
+    got = {int(t): np.asarray(d, dtype=np.float64)
+           for t, d in zip(scale["tile_id"], scale["data"])}
+    exp = {int(t): np.asarray(d, dtype=np.float64)
+           for t, d in zip(small["tile_id"], small["data"])}
+    assert set(got) == set(exp)
+    assert sum(g.sum() for g in got.values()) == total_w
+    for t in got:
+        assert (got[t] == exp[t]).all(), t

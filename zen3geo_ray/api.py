@@ -138,25 +138,37 @@ class Pipe:
         )
 
     def rasterize_tiles(self, tile_specs: pa.Table, agg: str = "count",
+                        value_col: str | None = None,
                         small_grid: bool = False) -> "Pipe":
         """Reference op #10 (rasterize_with_datashader), per-tile shape.
 
-        agg='count' (the default) routes through the SCALE path:
-        ``partial_histogram`` pre-bins inside map_batches so the shuffle
-        moves touched-pixel partials, never raw points, and
-        ``assemble_rasters`` densifies per tile.  ``small_grid=True`` (or
-        any non-count agg) uses the per-tile ``TileRasterizer`` map_groups
-        — O(#tiles) Python calls, fine for dozens of tiles, wrong for
-        thousands.
+        agg='count' and agg='sum' (with ``value_col``) route through the
+        SCALE path: ``partial_histogram`` / ``partial_weighted_histogram``
+        pre-bin inside map_batches so the shuffle moves touched-pixel
+        partials, never raw points, and the assemblers densify per tile.
+        ``small_grid=True`` (or min/max aggs) uses the per-tile
+        ``TileRasterizer`` map_groups — O(#tiles) Python calls, fine for
+        dozens of tiles, wrong for thousands.
         """
-        if agg == "count" and not small_grid:
+        if not small_grid and agg in ("count", "sum"):
             spec_lookup = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
+            if agg == "count":
+                sparse = self.ds.map_batches(
+                    lambda b: rz.partial_histogram(b, tile_specs=spec_lookup),
+                    batch_format="pyarrow",
+                )
+                return Pipe(rz.assemble_rasters(sparse, tile_specs))
+            if not value_col:
+                raise ValueError("agg='sum' needs value_col")
             sparse = self.ds.map_batches(
-                lambda b: rz.partial_histogram(b, tile_specs=spec_lookup),
+                lambda b: rz.partial_weighted_histogram(
+                    b, tile_specs=spec_lookup, value_col=value_col
+                ),
                 batch_format="pyarrow",
             )
-            return Pipe(rz.assemble_rasters(sparse, tile_specs))
-        rasterizer = rz.TileRasterizer(tile_specs=tile_specs, agg=agg)
+            return Pipe(rz.assemble_weighted_rasters(sparse, tile_specs))
+        rasterizer = rz.TileRasterizer(tile_specs=tile_specs, agg=agg,
+                                       value_col=value_col)
 
         def group_fn(g: pa.Table) -> pa.Table:
             return rasterizer(g)

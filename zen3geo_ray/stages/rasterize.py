@@ -362,6 +362,67 @@ def partial_histogram(batch: pa.Table, *, tile_specs: dict,
                      "n": np.concatenate(out_n)})
 
 
+def partial_weighted_histogram(batch: pa.Table, *, tile_specs: dict,
+                               value_col: str, lon_col="lon",
+                               lat_col="lat") -> pa.Table:
+    """Weighted-sum twin of ``partial_histogram``: sparse per-batch
+    partial SUMS (tile_id, py, px, v float64) — the scale path for
+    agg='sum' rasters (downstream groupby moves pixel partials, the
+    final assemble densifies).  Same binning/N-up conventions."""
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    w = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    tids = batch.column("tile_id").to_numpy(zero_copy_only=False)
+    out_t, out_y, out_x, out_v = [], [], [], []
+    for tid in np.unique(tids):
+        if tid < 0 or int(tid) not in tile_specs:
+            continue
+        spec = tile_specs[int(tid)]
+        sel = tids == tid
+        W, H = spec["width"], spec["height"]
+        ix = _bin(lon[sel], spec["xmin"], spec["xmax"], W)
+        iy = _bin(lat[sel], spec["ymin"], spec["ymax"], H)
+        flat, inv = np.unique(iy * W + ix, return_inverse=True)
+        sums = np.bincount(inv, weights=w[sel], minlength=len(flat))
+        out_t.append(np.full(len(flat), tid, dtype=np.int64))
+        out_y.append((H - 1 - flat // W).astype(np.int64))
+        out_x.append((flat % W).astype(np.int64))
+        out_v.append(sums)
+    if not out_t:
+        return pa.table({"tile_id": pa.array([], pa.int64()),
+                         "py": pa.array([], pa.int64()),
+                         "px": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.float64())})
+    return pa.table({"tile_id": np.concatenate(out_t),
+                     "py": np.concatenate(out_y),
+                     "px": np.concatenate(out_x),
+                     "v": pa.array(np.concatenate(out_v), pa.float64())})
+
+
+def assemble_weighted_rasters(sparse_ds, tile_specs: pa.Table):
+    """Dense float64 per-tile rasters from sparse weighted partials
+    (sums duplicates like the count assembler)."""
+    specs = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
+
+    def assemble(g) -> pa.Table:
+        tid = int(g["tile_id"].iloc[0])
+        spec = specs[tid]
+        H, W = spec["height"], spec["width"]
+        grid = np.zeros(H * W, dtype=np.float64)
+        flat = (g["py"].to_numpy() * W + g["px"].to_numpy()).astype(np.int64)
+        np.add.at(grid, flat, g["v"].to_numpy())
+        return pa.table(
+            {
+                "tile_id": pa.array([tid], pa.int64()),
+                "height": pa.array([H], pa.int32()),
+                "width": pa.array([W], pa.int32()),
+                "data": pa.array([grid], pa.list_(pa.float64())),
+            }
+        )
+
+    return sparse_ds.groupby("tile_id").map_groups(assemble, batch_format="pandas")
+
+
 def assemble_rasters(sparse_ds, tile_specs: pa.Table):
     """Sparse (tile_id, py, px, n) partials -> dense per-tile raster rows.
 
