@@ -163,6 +163,42 @@ def test_bloom_semi_join(ray_session):
     assert set(anti["k"]).isdisjoint(set(keys))  # no member survives anti
 
 
+def test_bloom_distributed_streaming_tree_merge(ray_session):
+    """The distributed build must (a) match a single-node build bit for
+    bit, (b) fold only post-tree-merge blobs on the driver (never one per
+    block), (c) consume its blob stream lazily — O(filter) driver memory."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.functions import bloom
+
+    keys = np.arange(10_000, dtype=np.int64) * 7 + 3
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(16)
+    bf = bloom.build_bloom_distributed(ds, "k", len(keys), merge_groups=3)
+    ref = bloom.BloomFilter(len(keys))
+    ref.add(keys.astype(np.uint64))
+    assert np.array_equal(bf.bits, ref.bits)
+    # 16 partial blocks -> cluster-side merge leaves <= merge_groups blobs
+    # for the driver fold (never the per-block 16 of the old to_pandas)
+    assert bloom._LAST_BUILD_STATS["driver_blobs_folded"] <= 3
+
+    # the driver fold itself holds exactly one blob at a time: feed it a
+    # generator whose outstanding-item count is tracked at yield time
+    live = {"now": 0, "peak": 0}
+
+    def gen():
+        for _ in range(5):
+            live["now"] += 1
+            live["peak"] = max(live["peak"], live["now"])
+            yield ref.bits.tobytes()
+            live["now"] -= 1  # resumed => previous blob was consumed
+
+    out = np.zeros_like(ref.bits)
+    assert bloom._or_fold_blobs(gen(), out) == 5
+    assert live["peak"] == 1
+    assert np.array_equal(out, ref.bits)
+
+
 def test_pages_dataset_streaming_matches_table(ray_session):
     from zen3geo_ray.sources.corpus import pages_dataset, pages_table
 

@@ -52,18 +52,51 @@ class BloomFilter:
         return bf
 
 
+# observability for the streaming merge (tests assert the driver never
+# folds more blobs than the tree level leaves it)
+_LAST_BUILD_STATS: dict = {}
+
+
+def _or_fold_blobs(blobs, out_bits: np.ndarray) -> int:
+    """Fold an ITERATOR of bit blobs into ``out_bits`` in place.
+
+    Consumes lazily — exactly ONE blob is alive on top of the
+    accumulator at any moment, so driver memory is O(filter), never
+    O(filter x blocks).  Returns the number of blobs folded.
+    """
+    n = 0
+    for blob in blobs:
+        np.bitwise_or(out_bits, np.frombuffer(blob, dtype=np.uint64),
+                      out=out_bits)
+        n += 1
+    return n
+
+
 def build_bloom_distributed(keys_ds, key_col: str, n_keys_hint: int,
-                            bits_per_key: int = 10, n_hashes: int = 7):
+                            bits_per_key: int = 10, n_hashes: int = 7,
+                            merge_groups: int = 32):
     """Build a BloomFilter over a Dataset key column WITHOUT collecting
     the keys to the driver.
 
     Each map_batches task folds its block's keys into a partial bit
     array (all partials share the sizing derived from ``n_keys_hint``, an
-    upper bound — e.g. the table's parquet row count); the driver then
-    ORs one small fixed-size array per BLOCK, so driver memory is
-    O(filter_size x blocks), never O(keys).  At cluster scale the OR is a
-    tree-reduce; single-node the block count is capped anyway.
+    upper bound — e.g. the table's parquet row count).  The partials are
+    then OR-merged CLUSTER-side: each blob hashes (crc of its bytes —
+    pure load balancing) into one of ``merge_groups`` reduce groups and a
+    map_groups task folds its group's blobs sequentially into one.  The
+    driver then STREAMS the ≤ ``merge_groups`` survivors via
+    ``iter_batches`` and ORs them one at a time — driver memory is
+    O(filter) and driver ingress is merge_groups x filter bytes,
+    regardless of block count (never one blob per block held
+    simultaneously, the round-2 scale hazard).
+
+    Per-reduce-group memory is ceil(blocks / merge_groups) blobs per
+    group BLOCK; with giant filters and very high block counts size
+    ``merge_groups`` ~ blocks/8 (the level composes — re-group the
+    output for another round — but one level covers realistic shapes).
     """
+    import zlib
+
     import pyarrow as pa
 
     proto = BloomFilter(n_keys_hint, bits_per_key, n_hashes)
@@ -74,13 +107,36 @@ def build_bloom_distributed(keys_ds, key_col: str, n_keys_hint: int,
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         if len(keys):
             bf.add(keys.astype(np.uint64))
-        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+        blob = bf.bits.tobytes()
+        g = zlib.crc32(blob) % merge_groups
+        return pa.table({"__g": pa.array([g], pa.int64()),
+                         "bits": pa.array([blob], pa.binary())})
 
-    parts = keys_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def or_merge(group: pa.Table) -> pa.Table:
+        acc = None
+        for blob in group.column("bits"):
+            arr = np.frombuffer(blob.as_py(), dtype=np.uint64)
+            if acc is None:
+                acc = arr.copy()
+            else:
+                np.bitwise_or(acc, arr, out=acc)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby("__g").map_groups(or_merge, batch_format="pyarrow")
     out = BloomFilter(n_keys_hint, bits_per_key, n_hashes)
     assert out.m == m and out.k == k
-    for blob in parts["bits"]:
-        out.bits |= np.frombuffer(blob, dtype=np.uint64)
+
+    def blob_stream():
+        for b in merged.iter_batches(batch_size=1, batch_format="pyarrow"):
+            for blob in b.column("bits"):
+                yield blob.as_py()
+
+    n_folded = _or_fold_blobs(blob_stream(), out.bits)
+    _LAST_BUILD_STATS.clear()
+    _LAST_BUILD_STATS.update(
+        {"driver_blobs_folded": n_folded, "merge_groups": merge_groups}
+    )
     return out
 
 
