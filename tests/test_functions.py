@@ -108,6 +108,39 @@ def test_token_count_and_quality():
     assert q["punct_ratio"][2] == pytest.approx(2 / 13)
 
 
+def test_tokenizer_matches_re2_whitespace():
+    """The MinHash/SimHash tokenizer, token_count and the DuckDB oracle
+    must all agree on what a token is — including on characters where
+    Python-\\s and RE2-\\s diverge (\\xa0 NBSP — present in extract_text
+    output via &nbsp; — \\x0b VT, \\x85 NEL, unicode spaces)."""
+    import duckdb
+
+    from zen3geo_ray.stages.dedup import token_hashes_batch
+
+    texts = [
+        "a\xa0b",          # NBSP: one RE2 token
+        "a\x0bb",          # VT: one RE2 token
+        "a\x85b",          # NEL: one RE2 token
+        "a b",        # EM SPACE: one RE2 token
+        "a　b",        # IDEOGRAPHIC SPACE: one RE2 token
+        "a b\tc\nd\fe\rf",  # the five real RE2 whitespace chars
+        "ital\xa0end.",    # the corpus's &nbsp; shape
+        "", "  \t ",
+    ]
+    _, offsets = token_hashes_batch(texts)
+    engine_counts = np.diff(offsets).tolist()
+    assert engine_counts == text.token_count(texts).tolist()
+    con = duckdb.connect()
+    oracle_counts = [
+        con.execute(
+            r"select len(regexp_extract_all(?, '\S+'))", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert engine_counts == oracle_counts
+    assert engine_counts == [1, 1, 1, 1, 1, 6, 1, 0, 0]
+
+
 def test_detect_lang():
     out = text.detect_lang(
         [

@@ -43,7 +43,15 @@ from ..functions.hashing import fnv1a_str_array, splitmix64
 POLY_P = np.uint64(1099511628211)          # FNV prime, as poly multiplier
 POLY_H0 = np.uint64(14695981039346656037)  # FNV offset, as fold seed
 
-_TOKEN_RE = re.compile(r"\S+")
+# RE2's \s set — NOT Python's: the SQL oracles (DuckDB regexp_* = RE2)
+# and the engine's own token_count (pyarrow.compute = RE2) both treat
+# ONLY [\t\n\f\r ] as whitespace (no \v, no \x85/\xa0/unicode spaces —
+# probed against both engines; see tests/test_functions.py::
+# test_tokenizer_matches_re2_whitespace).  The MinHash/SimHash tokenizer
+# must agree or oracle parity silently depends on the corpus never
+# containing such characters (extract_text output DOES carry \xa0 from
+# &nbsp;).
+_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
 
 
 def perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -55,15 +63,8 @@ def perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-# the exact character set Python's re \s matches for str patterns
-# (ASCII whitespace + unicode Zs/line separators); tokens are maximal
-# runs of NON-members — identical to _TOKEN_RE.findall
-_WS_CPS = np.array(
-    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85,
-     0xA0, 0x1680] + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F,
-     0x205F, 0x3000],
-    dtype=np.uint32,
-)
+# tokens are maximal runs of NON-members — identical to _TOKEN_RE.findall
+_WS_CPS = np.array([0x09, 0x0A, 0x0C, 0x0D, 0x20], dtype=np.uint32)
 
 
 def token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -73,7 +74,8 @@ def token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     every doc (flat), and int64 doc offsets (len = n_docs + 1).
 
     Fully vectorized tokenization: ONE utf-32 encode per doc, whitespace
-    classified with ``np.isin`` against Python-\\s's exact codepoint set,
+    classified with ``np.isin`` against RE2-\\s's exact codepoint set
+    ([\\t\\n\\f\\r ] — what the DuckDB oracle and pyarrow both match),
     token runs from mask edges (doc boundaries force breaks), and the
     poly64 fold over a gathered (tokens, max_token_len) codepoint matrix
     — Python-level work is O(docs + max_token_len), not O(tokens).
