@@ -1,6 +1,6 @@
 """Driver-mimicking correctness harness: run every queries() entry and its
 oracle_sql() side-by-side, compare row-count + schema + order-insensitive
-values.  Usage: python tools/check_oracles.py [sf_dir]"""
+values.  Usage: python tools/check_oracles.py [sf_dir] [--only q1,q2,...]"""
 
 from __future__ import annotations
 
@@ -28,7 +28,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -51,6 +51,8 @@ def main(sf_dir: str):
 
     fails = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             res = fn(sf_dir)
             if hasattr(res, "to_pandas"):
@@ -103,4 +105,10 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    main(args[0] if args else "/root/testdata/sf0.01", only=only)

@@ -14,7 +14,8 @@ arrival-order dependent (that is inherent to online dedup; use
 stages/dedup.exact_dedup when the input is bounded and a deterministic
 winner matters).  Shards are independent actors, so the registry scales
 horizontally and adds no all-to-all; per-batch cost is ``n_shards``
-small RPCs carrying only uint64 key hashes.
+small RPCs.  Shards store the ACTUAL keys (dedup is exact — the 64-bit
+hash is used only for shard ROUTING, where a collision is harmless).
 """
 
 from __future__ import annotations
@@ -38,15 +39,17 @@ def make_registry(n_shards: int = 8):
 
     @ray.remote(num_cpus=0)
     class KeySetShard:
-        """Owns one shard of the seen-key set; test-and-set per call."""
+        """Owns one shard of the seen-key set; test-and-set per call.
+        Stores the real key values, so dedup is exact (no hash-collision
+        key loss)."""
 
         def __init__(self):
-            self.seen: set[int] = set()
+            self.seen: set = set()
 
-        def test_and_set(self, keys: np.ndarray) -> np.ndarray:
+        def test_and_set(self, keys: list) -> np.ndarray:
             out = np.empty(len(keys), dtype=bool)
             seen = self.seen
-            for i, k in enumerate(keys.tolist()):
+            for i, k in enumerate(keys):
                 if k in seen:
                     out[i] = False
                 else:
@@ -72,14 +75,17 @@ def streaming_exact_dedup(ds, registry: list, key_col: str):
     n_shards = len(registry)
 
     def dedup_batch(batch: pa.Table) -> pa.Table:
-        h = _key_hashes(batch, key_col)
+        h = _key_hashes(batch, key_col)  # routing only — values are sent
         shard = (h % np.uint64(n_shards)).astype(np.int64)
+        keys = batch.column(key_col).to_pylist()
         keep = np.zeros(len(batch), dtype=bool)
         futures, idxs = [], []
         for s in range(n_shards):
             sel = np.flatnonzero(shard == s)
             if len(sel):
-                futures.append(registry[s].test_and_set.remote(h[sel]))
+                futures.append(
+                    registry[s].test_and_set.remote([keys[i] for i in sel])
+                )
                 idxs.append(sel)
         for fut, sel in zip(ray.get(futures), idxs):
             keep[sel] = fut
