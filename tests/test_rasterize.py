@@ -150,3 +150,65 @@ def test_weighted_histogram_matches_tile_rasterizer(ray_session):
     assert sum(g.sum() for g in got.values()) == total_w
     for t in got:
         assert (got[t] == exp[t]).all(), t
+
+
+def test_rasterize_moment_aggs_dense():
+    """mean/var/std dense kernels: population moments, NaN on empty
+    pixels, exact values on a hand-checked layout."""
+    px = np.array([1.1, 1.1, 1.1, 7.9])
+    py = np.array([0.1, 0.1, 0.1, 4.9])
+    w = np.array([2.0, 4.0, 6.0, 7.0])
+    m = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], weights=w, agg="mean")
+    v = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], weights=w, agg="var")
+    s = rz.raster_points(px, py, 14, 10, CANVAS["bounds"], weights=w, agg="std")
+    assert m[0, 0] == 4.0 and m[9, 13] == 7.0
+    assert v[0, 0] == pytest.approx(8 / 3) and v[9, 13] == 0.0
+    assert s[0, 0] == pytest.approx(np.sqrt(8 / 3)) and s[9, 13] == 0.0
+    assert np.isnan(m[5, 5]) and np.isnan(v[5, 5]) and np.isnan(s[5, 5])
+
+
+def test_moment_rasters_scale_path_matches_dense(ray_session):
+    """partial moments + groupby-sum + finalize == the dense mean/var/std
+    kernels, pixel for pixel (including the N-up flip)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lon = rng.uniform(1, 8, n)
+    lat = rng.uniform(0, 5, n)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    specs = {0: dict(width=14, height=10, xmin=1.0, ymin=0.0, xmax=8.0, ymax=5.0)}
+    tbl = pa.table({"lon": lon, "lat": lat, "w": w,
+                    "tile_id": np.zeros(n, dtype=np.int64)})
+    out = rz.moment_rasters(
+        rd.from_arrow(tbl).repartition(5), specs, value_col="w"
+    ).to_pandas()
+    for stat in ("mean", "var", "std"):
+        dense = rz.raster_points(
+            lon, lat, 14, 10, (1, 0, 8, 5), weights=w.astype(np.float64),
+            agg=stat,
+        )[::-1]  # N-up
+        got = np.full((10, 14), np.nan)
+        got[out["py"].to_numpy(), out["px"].to_numpy()] = out[stat].to_numpy()
+        both_nan = np.isnan(got) & np.isnan(dense)
+        assert (both_nan | np.isclose(got, dense, rtol=1e-12, equal_nan=False)).all(), stat
+
+    # dense assembler returns the same grid as the sparse finalize
+    sparse = rd.from_arrow(tbl).map_batches(
+        lambda b: rz.partial_moment_histogram(b, tile_specs=specs, value_col="w"),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Sum
+
+    summed = sparse.groupby(["tile_id", "py", "px"]).aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"),
+    )
+    specs_tbl = rz.tile_grid_table(1, 0, 8, 5, 1, 1, 14, 10)
+    dense_rows = rz.assemble_moment_rasters(summed, specs_tbl, stat="mean").to_pandas()
+    grid = np.asarray(dense_rows["data"].iloc[0], dtype=np.float64).reshape(10, 14)
+    exp = rz.raster_points(lon, lat, 14, 10, (1, 0, 8, 5),
+                           weights=w.astype(np.float64), agg="mean")[::-1]
+    bn = np.isnan(grid) & np.isnan(exp)
+    assert (bn | np.isclose(grid, exp, rtol=1e-12)).all()

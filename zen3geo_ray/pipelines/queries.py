@@ -246,6 +246,26 @@ def q_rasterize(sf_dir: str):
     return sparse.groupby(["tile_id", "py", "px"]).aggregate(Sum("n", alias_name="n"))
 
 
+def q_raster_stats(sf_dir: str):
+    """Rasterize with the mean/var/std reductions (the datashader ``agg=``
+    surface beyond count/any/sum/min/max — reference passthrough
+    ``/root/reference/zen3geo/datapipes/datashader.py:49-55``): moment
+    partials (n, s, ss) inside map_batches → ONE groupby-sum over touched
+    pixels → vectorized finalize.  Integer n_chars weights keep the sums
+    exact, so the derived float mean/var/std match the SQL oracle
+    bit-for-bit."""
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["n_chars"])
+    specs = _tile_specs()
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    return rz.moment_rasters(tiled, specs, value_col="n_chars")
+
+
 # --- multi-resolution rollup (docs/multi-resolution.md analog) ------------
 
 RES_COARSE = 2
@@ -1370,6 +1390,45 @@ def _sql_rasterize() -> str:
     return _sql_rasterize_cte() + "SELECT tile_id, py, px, n FROM hist"
 
 
+def _sql_raster_stats() -> str:
+    """Mirror of moment_rasters: same tile/bin arithmetic as the
+    rasterize oracle, weight = n_chars; mean/ex2 are single DOUBLE
+    divisions of exact BIGINT sums, var/std derive from them with the
+    identical operation order the engine's finalize_moments uses."""
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    ix = f"LEAST(GREATEST(CAST(FLOOR((lon - -180.0) / 360.0 * {TILE_NX}) AS BIGINT), 0), {TILE_NX - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR((lat - -90.0) / 180.0 * {TILE_NY}) AS BIGINT), 0), {TILE_NY - 1})"
+    px = f"CAST(FLOOR((lon - (-180.0 + ix * {tw!r})) / {tw!r} * {TILE_PX}) AS BIGINT)"
+    gy = f"CAST(FLOOR((lat - (-90.0 + iy * {th!r})) / {th!r} * {TILE_PX}) AS BIGINT)"
+    return f"""
+{_sql_geo_cte(RES_ZONAL, ', n_chars')},
+tiled AS (SELECT lon, lat, n_chars, {ix} AS ix, {iy} AS iy FROM geo),
+binned AS (
+  SELECT iy * {TILE_NX} + ix AS tile_id,
+         {TILE_PX} - 1 - {gy} AS py,
+         {px} AS px,
+         n_chars AS w
+  FROM tiled
+),
+mom AS (
+  SELECT tile_id, py, px, COUNT(*) AS n,
+         CAST(SUM(w) AS BIGINT) AS s, CAST(SUM(w * w) AS BIGINT) AS ss
+  FROM binned GROUP BY 1, 2, 3
+),
+m2 AS (
+  SELECT tile_id, py, px, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS ex2
+  FROM mom
+)
+SELECT tile_id, py, px, n, mean,
+       ex2 - mean * mean AS var,
+       SQRT(ex2 - mean * mean) AS std
+FROM m2
+"""
+
+
 def _sql_r2v() -> str:
     tw = 360.0 / TILE_NX
     th = 180.0 / TILE_NY
@@ -1432,6 +1491,7 @@ FROM g,
      LATERAL (SELECT unnest(range(g.nx)) AS cx) cx
 """,
         "rasterize": _sql_rasterize(),
+        "raster_stats": _sql_raster_stats(),
         "r2v": _sql_r2v(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
@@ -1656,6 +1716,7 @@ def build_queries() -> dict:
         "multires": q_multires,
         "chips": q_chips,
         "rasterize": q_rasterize,
+        "raster_stats": q_raster_stats,
         "r2v": q_r2v,
         "dedup_docs": q_dedup_docs,
         "first_event": q_first_event,

@@ -57,7 +57,10 @@ def raster_points(
 ) -> np.ndarray:
     """Histogram points into a (height, width) grid, row 0 = SOUTH.
 
-    agg: 'count' | 'sum' | 'max' | 'min' | 'any' (sum/max/min need weights).
+    agg: 'count' | 'sum' | 'max' | 'min' | 'any' | 'mean' | 'var' | 'std'
+    (all but count/any need weights) — the datashader ``agg=`` reduction
+    surface (var/std are population moments, datashader semantics; empty
+    pixels are NaN for the float aggs).
     Out-of-range points are dropped (datashader behavior).
     """
     x0, y0, x1, y1 = bounds
@@ -84,6 +87,18 @@ def raster_points(
         ufunc = np.maximum if agg == "max" else np.minimum
         ufunc.at(out, flat, w)
         out[~np.isfinite(out)] = np.nan
+        return out.reshape(height, width)
+    if agg in ("mean", "var", "std"):
+        cnt = np.bincount(flat, minlength=width * height).astype(np.float64)
+        s = np.bincount(flat, weights=w, minlength=width * height)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / cnt  # NaN where the pixel saw no points
+            if agg == "mean":
+                out = mean
+            else:
+                ss = np.bincount(flat, weights=w * w, minlength=width * height)
+                var = ss / cnt - mean * mean
+                out = var if agg == "var" else np.sqrt(var)
         return out.reshape(height, width)
     raise ValueError(f"unknown agg {agg!r}")
 
@@ -290,7 +305,7 @@ class TileRasterizer:
             int(r["tile_id"]): r for r in tile_specs.to_pylist()
         }
         self.agg = agg
-        if agg in ("sum", "max", "min") and not value_col:
+        if agg in ("sum", "max", "min", "mean", "var", "std") and not value_col:
             raise ValueError(f"agg={agg!r} needs value_col")
         self.value_col = value_col
 
@@ -397,6 +412,146 @@ def partial_weighted_histogram(batch: pa.Table, *, tile_specs: dict,
                      "py": np.concatenate(out_y),
                      "px": np.concatenate(out_x),
                      "v": pa.array(np.concatenate(out_v), pa.float64())})
+
+
+def partial_moment_histogram(batch: pa.Table, *, tile_specs: dict,
+                             value_col: str, lon_col="lon",
+                             lat_col="lat") -> pa.Table:
+    """Moment partials for mean/var/std rasters: sparse per-batch
+    (tile_id, py, px, n, s, ss) rows — count, weight sum and weight
+    sum-of-squares are all ASSOCIATIVE, so the downstream groupby-sum
+    moves pre-aggregated pixel partials and the finalize step derives
+    mean = s/n, var = ss/n - mean², std = sqrt(var) (population moments,
+    the datashader ``mean``/``var``/``std`` reductions).  Integer weight
+    columns keep int64 partials, so the sums — and with them the SQL
+    oracle comparison — are exact."""
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    wcol = batch.column(value_col)
+    is_int = pa.types.is_integer(wcol.type)
+    w = wcol.to_numpy(zero_copy_only=False)
+    w = w.astype(np.int64) if is_int else w.astype(np.float64)
+    tids = batch.column("tile_id").to_numpy(zero_copy_only=False)
+    sdt = np.int64 if is_int else np.float64
+    out_t, out_y, out_x, out_n, out_s, out_ss = [], [], [], [], [], []
+    for tid in np.unique(tids):
+        if tid < 0 or int(tid) not in tile_specs:
+            continue
+        spec = tile_specs[int(tid)]
+        sel = tids == tid
+        W, H = spec["width"], spec["height"]
+        ix = _bin(lon[sel], spec["xmin"], spec["xmax"], W)
+        iy = _bin(lat[sel], spec["ymin"], spec["ymax"], H)
+        flat, inv = np.unique(iy * W + ix, return_inverse=True)
+        ws = w[sel]
+        # np.add.at keeps int64 exactness (np.bincount forces float64)
+        s = np.zeros(len(flat), dtype=sdt)
+        ss = np.zeros(len(flat), dtype=sdt)
+        np.add.at(s, inv, ws)
+        np.add.at(ss, inv, ws * ws)
+        out_t.append(np.full(len(flat), tid, dtype=np.int64))
+        out_y.append((H - 1 - flat // W).astype(np.int64))
+        out_x.append((flat % W).astype(np.int64))
+        out_n.append(np.bincount(inv, minlength=len(flat)).astype(np.int64))
+        out_s.append(s)
+        out_ss.append(ss)
+    pt = pa.int64() if is_int else pa.float64()
+    if not out_t:
+        return pa.table({"tile_id": pa.array([], pa.int64()),
+                         "py": pa.array([], pa.int64()),
+                         "px": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "s": pa.array([], pt),
+                         "ss": pa.array([], pt)})
+    return pa.table({"tile_id": np.concatenate(out_t),
+                     "py": np.concatenate(out_y),
+                     "px": np.concatenate(out_x),
+                     "n": np.concatenate(out_n),
+                     "s": pa.array(np.concatenate(out_s), pt),
+                     "ss": pa.array(np.concatenate(out_ss), pt)})
+
+
+def finalize_moments(batch: pa.Table) -> pa.Table:
+    """Summed moment partials -> (tile_id, py, px, n, mean, var, std).
+
+    Operation-for-operation mirror of the SQL oracle: mean = s/n and
+    ex2 = ss/n as single float64 divisions of exact int64 sums, then
+    var = ex2 - mean*mean and std = sqrt(var) — every step restates
+    bit-exactly in DuckDB DOUBLE arithmetic."""
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    ss = batch.column("ss").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s / n
+        ex2 = ss / n
+        var = ex2 - mean * mean
+        std = np.sqrt(var)
+    return pa.table({
+        "tile_id": batch.column("tile_id"),
+        "py": batch.column("py"),
+        "px": batch.column("px"),
+        "n": batch.column("n"),
+        "mean": pa.array(mean, pa.float64()),
+        "var": pa.array(var, pa.float64()),
+        "std": pa.array(std, pa.float64()),
+    })
+
+
+def moment_rasters(points_ds, tile_specs: dict, *, value_col: str,
+                   lon_col="lon", lat_col="lat"):
+    """Scale path for mean/var/std rasters: partial moments inside
+    map_batches → one groupby-sum over touched pixels → vectorized
+    finalize.  Raw points never shuffle."""
+    from ray.data.aggregate import Sum
+
+    sparse = points_ds.map_batches(
+        lambda b: partial_moment_histogram(
+            b, tile_specs=tile_specs, value_col=value_col,
+            lon_col=lon_col, lat_col=lat_col,
+        ),
+        batch_format="pyarrow",
+    )
+    summed = sparse.groupby(["tile_id", "py", "px"]).aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"),
+    )
+    return summed.map_batches(finalize_moments, batch_format="pyarrow")
+
+
+def assemble_moment_rasters(summed_ds, tile_specs: pa.Table,
+                            stat: str = "mean"):
+    """Dense float64 per-tile ``stat`` rasters (mean/var/std) from summed
+    moment partials; empty pixels are NaN (datashader semantics)."""
+    specs = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
+
+    def assemble(g) -> pa.Table:
+        tid = int(g["tile_id"].iloc[0])
+        spec = specs[tid]
+        H, W = spec["height"], spec["width"]
+        n = np.zeros(H * W, dtype=np.float64)
+        s = np.zeros(H * W, dtype=np.float64)
+        ss = np.zeros(H * W, dtype=np.float64)
+        flat = (g["py"].to_numpy() * W + g["px"].to_numpy()).astype(np.int64)
+        np.add.at(n, flat, g["n"].to_numpy().astype(np.float64))
+        np.add.at(s, flat, g["s"].to_numpy().astype(np.float64))
+        np.add.at(ss, flat, g["ss"].to_numpy().astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            if stat == "mean":
+                grid = mean
+            else:
+                var = ss / n - mean * mean
+                grid = var if stat == "var" else np.sqrt(var)
+        return pa.table(
+            {
+                "tile_id": pa.array([tid], pa.int64()),
+                "height": pa.array([H], pa.int32()),
+                "width": pa.array([W], pa.int32()),
+                "data": pa.array([grid], pa.list_(pa.float64())),
+            }
+        )
+
+    return summed_ds.groupby("tile_id").map_groups(assemble, batch_format="pandas")
 
 
 def assemble_weighted_rasters(sparse_ds, tile_specs: pa.Table):
