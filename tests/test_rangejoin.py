@@ -60,3 +60,65 @@ def test_broadcast_vs_bucketed_range_join(ray_session):
     b = sorted(zip(buck["lid"].astype(np.int64), buck["win"].astype(np.int64)))
     assert len(a) > 0
     assert a == b
+
+
+def test_keyed_range_join_matches_pandas(ray_session):
+    """by= + interval join: every (key, lo<=v<hi) pair, once — verified
+    against a brute-force pandas merge on random data with overlapping
+    per-key intervals spanning multiple slabs."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rangejoin import keyed_range_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 4000, 300
+    left = pd.DataFrame({
+        "user": rng.integers(0, 50, nl),
+        "t": rng.integers(0, 10_000, nl).astype(np.int64),
+        "lid": np.arange(nl, dtype=np.int64),
+    })
+    lo = rng.integers(0, 9_000, nr).astype(np.int64)
+    right = pd.DataFrame({
+        "r_user": rng.integers(0, 50, nr),
+        "lo": lo,
+        "hi": lo + rng.integers(1, 3_000, nr).astype(np.int64),
+        "rid": np.arange(nr, dtype=np.int64),
+    })
+    got = keyed_range_join(
+        rd.from_arrow(pa.Table.from_pandas(left)).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(right)).repartition(3),
+        left_key="user", right_key="r_user", value_col="t",
+        lo_col="lo", hi_col="hi", bucket_width=512, n_buckets=16,
+    ).to_pandas()
+    exp = left.merge(right, left_on="user", right_on="r_user")
+    exp = exp[(exp["t"] >= exp["lo"]) & (exp["t"] < exp["hi"])]
+    gk = sorted(zip(got["lid"], got["rid"]))
+    ek = sorted(zip(exp["lid"], exp["rid"]))
+    assert gk == ek
+    assert len(gk) == len(set(gk))  # no double-counted pair
+
+
+def test_keyed_range_join_slab_edges(ray_session):
+    """Half-open boundaries on exact slab edges (hi on an edge must not
+    leak into the next slab; v == lo included, v == hi excluded)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rangejoin import keyed_range_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "t": np.array([0, 512, 1024, 512], dtype=np.int64),
+                         "lid": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"rk": [1, 2], "lo": np.array([0, 512], dtype=np.int64),
+                          "hi": np.array([1024, 1024], dtype=np.int64),
+                          "rid": np.array([0, 1], dtype=np.int64)})
+    got = keyed_range_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        left_key="k", right_key="rk", value_col="t",
+        lo_col="lo", hi_col="hi", bucket_width=512, n_buckets=4,
+    ).to_pandas()
+    pairs = sorted(zip(got["lid"], got["rid"]))
+    assert pairs == [(0, 0), (1, 0), (3, 1)]  # t=1024 == hi excluded

@@ -1030,6 +1030,64 @@ def q_range_windows(sf_dir: str):
     )
 
 
+KR_N_WIN = 3                      # per-key validity intervals per user
+KR_DAY_US = 86_400 * 10**6
+KR_LEN_US = 3 * KR_DAY_US
+
+
+def q_keyed_range(sf_dir: str):
+    """Keyed (by= + interval) range join: each user's events matched to
+    that user's own validity windows (deterministic per-user arithmetic
+    intervals), then a per-(user, window) cents aggregate.  The shuffle
+    key is hash(user) x time-slab — only co-matchable rows co-locate."""
+    from ..stages.bucketed import first_per_key
+    from ..stages.rangejoin import keyed_range_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False)
+        t_us = t.astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "t": pa.array(t_us, pa.int64()),
+                         "v_cents": pa.array(cents, pa.int64())})
+
+    left = ev.map_batches(prep, batch_format="pyarrow")
+    users = first_per_key(
+        left.map_batches(lambda b: b.select(["user_id"]),
+                         batch_format="pyarrow"),
+        ["user_id"], ["user_id"],
+    )
+
+    def mk_windows(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        reps = np.repeat(u, KR_N_WIN)
+        j = np.tile(np.arange(KR_N_WIN, dtype=np.int64), len(u))
+        lo = RANGE_BASE_US + ((reps * 7 + j * 13) % 40) * KR_DAY_US
+        return pa.table({"r_user": pa.array(reps, pa.int64()),
+                         "win": pa.array(j, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(lo + KR_LEN_US, pa.int64())})
+
+    wins = users.map_batches(mk_windows, batch_format="pyarrow")
+    joined = keyed_range_join(
+        left, wins, left_key="user_id", right_key="r_user",
+        value_col="t", lo_col="lo", hi_col="hi",
+        bucket_width=4 * KR_DAY_US, n_buckets=32,
+    )
+    return zonal.zonal_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["user_id", "win", "v_cents"]),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "win"],
+        {"v_cents": ["sum"]},
+    )
+
+
 def q_asof(sf_dir: str):
     """AS-OF join: each purchase event picks the user's most recent view
     event's value (cents) — the partitioned merge_asof operator with a
@@ -1637,6 +1695,19 @@ GROUP BY event_type, u - o.off
             "FROM e JOIN w ON e.t >= w.lo AND e.t < w.hi "
             "GROUP BY w.window_id"
         ),
+        "keyed_range": f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+w AS (
+  SELECT user_id AS r_user, CAST(o.j AS BIGINT) AS win,
+         {RANGE_BASE_US} + ((user_id * 7 + o.j * 13) % 40) * {KR_DAY_US} AS lo
+  FROM u, LATERAL (SELECT unnest(range({KR_N_WIN})) AS j) o
+),
+e AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events)
+SELECT e.user_id, w.win, COUNT(*) AS n, CAST(SUM(e.v) AS BIGINT) AS v_cents_sum
+FROM e JOIN w ON e.user_id = w.r_user AND e.t >= w.lo AND e.t < w.lo + {KR_LEN_US}
+GROUP BY e.user_id, w.win
+""",
         "asof": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'purchase'), "
@@ -1751,6 +1822,7 @@ def build_queries() -> dict:
         "peak_value": q_peak_value,
         "asof": q_asof,
         "range_windows": q_range_windows,
+        "keyed_range": q_keyed_range,
         "sliding_value": q_sliding_value,
         "curate": q_curate,
         "near_dup": q_near_dup,

@@ -113,17 +113,10 @@ def make_broadcast_range_join(blob_ref, *, value_col: str):
     return join_batch
 
 
-def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
-                        hi_col: str, bucket_width: float,
-                        n_buckets: int = 64):
-    """Large x large range join via value-axis quantization.
+_SLAB = "__rslab"
 
-    Each RIGHT interval replicates to every width-``bucket_width`` slab
-    it overlaps; each LEFT value goes to its single slab; slabs hash
-    into ``n_buckets`` coarse buckets and the exact half-open compare
-    runs vectorized per bucket.  Pick ``bucket_width`` >= the typical
-    interval length so replication stays O(1) per interval.
-    """
+
+def _schema_prep(left, right):
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -133,6 +126,49 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
         raise ValueError(f"columns overlap: {sorted(overlap)}")
     types = {n: t for n, t in zip(lschema.names, lschema.types)}
     types.update({n: t for n, t in zip(rschema.names, rschema.types)})
+    return lcols, rcols, types
+
+
+def _restore_int_dtypes(out: pd.DataFrame, cols: list[str], types: dict):
+    """Undo the union's null-padding dtype pollution (ints -> float)."""
+    for c in cols:
+        t = types[c]
+        if (pa.types.is_integer(t) and out[c].dtype.kind == "f"
+                and not out[c].isna().any()):
+            out[c] = out[c].astype(t.to_pandas_dtype())
+    return out
+
+
+def _interval_slabs(lo: np.ndarray, hi: np.ndarray, w: float):
+    """(rep_idx, slab) replication of [lo, hi) intervals onto width-w
+    slabs — the slab containing ``hi`` is skipped when hi sits exactly on
+    a slab edge (half-open)."""
+    s0 = np.floor(lo / w).astype(np.int64)
+    s1 = np.ceil(hi / w).astype(np.int64) - 1
+    s1 = np.maximum(s1, s0)
+    counts = (s1 - s0 + 1).astype(np.int64)
+    rep = np.repeat(np.arange(len(lo)), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slab = np.arange(int(counts.sum())) - np.repeat(starts, counts) + s0[rep]
+    return rep, slab
+
+
+def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
+                        hi_col: str, bucket_width: float,
+                        n_buckets: int = 64):
+    """Large x large range join via value-axis quantization.
+
+    Each RIGHT interval replicates to every width-``bucket_width`` slab
+    it overlaps; each LEFT value goes to its single slab; slabs map into
+    ``n_buckets`` COARSE shuffle buckets (slab % n_buckets — one
+    map_groups task per bucket, not the O(#slabs) Python-call shape) and
+    inside each bucket the exact half-open compare runs vectorized PER
+    SLAB (two slabs of one interval landing in the same bucket must not
+    double-match, so slabs stay separate inner groups).  Pick
+    ``bucket_width`` >= the typical interval length so replication stays
+    O(1) per interval.
+    """
+    lcols, rcols, types = _schema_prep(left, right)
 
     def pad_left(b: pa.Table) -> pa.Table:
         v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -141,20 +177,115 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
         for c in rcols:
             cols[c] = pa.nulls(len(b), types[c])
         out = pa.table(cols)
-        return out.append_column(_BUCKET, pa.array(slab)).append_column(
-            _SIDE, pa.array(np.zeros(len(b), dtype=np.int8))
+        return (
+            out.append_column(_SLAB, pa.array(slab))
+            .append_column(_BUCKET, pa.array(slab % n_buckets))
+            .append_column(_SIDE, pa.array(np.zeros(len(b), dtype=np.int8)))
         )
 
     def pad_right(b: pa.Table) -> pa.Table:
         lo = b.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
         hi = b.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        s0 = np.floor(lo / bucket_width).astype(np.int64)
-        # hi is exclusive: the slab containing hi is needed only when hi
-        # is not exactly on a slab edge
-        s1 = np.ceil(hi / bucket_width).astype(np.int64) - 1
-        s1 = np.maximum(s1, s0)
+        rep, slab = _interval_slabs(lo, hi, bucket_width)
+        cols = {}
+        for c in lcols:
+            cols[c] = pa.nulls(len(rep), types[c])
+        taken = b.take(pa.array(rep))
+        for c in rcols:
+            cols[c] = taken.column(c)
+        out = pa.table(cols)
+        return (
+            out.append_column(_SLAB, pa.array(slab))
+            .append_column(_BUCKET, pa.array(slab % n_buckets))
+            .append_column(_SIDE, pa.array(np.ones(len(rep), dtype=np.int8)))
+        )
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        outs = []
+        for _, sg in g.groupby(_SLAB, sort=False):
+            l = sg[sg[_SIDE] == 0]
+            r = sg[sg[_SIDE] == 1]
+            if len(l) == 0 or len(r) == 0:
+                continue
+            v = l[value_col].to_numpy(dtype=np.float64)
+            lo = r[lo_col].to_numpy(dtype=np.float64)
+            hi = r[hi_col].to_numpy(dtype=np.float64)
+            vi, ii = _match_intervals(v, lo, hi)
+            outs.append(pd.concat(
+                [
+                    l.iloc[vi][lcols].reset_index(drop=True),
+                    r.iloc[ii][rcols].reset_index(drop=True),
+                ],
+                axis=1,
+            ))
+        if not outs:
+            return pa.Table.from_pandas(
+                pd.DataFrame(columns=lcols + rcols), preserve_index=False
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out = _restore_int_dtypes(out, lcols + rcols, types)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
+def keyed_range_join(left, right, *, left_key: str, right_key: str,
+                     value_col: str, lo_col: str, hi_col: str,
+                     bucket_width: int, n_buckets: int = 64):
+    """Keyed (``by=`` + interval) range join: left row matches right rows
+    with ``left.key == right.key AND lo <= v < hi`` — per-key validity
+    intervals, the asof-style bucketing.
+
+    Scale shape: the shuffle key is hash(key) combined with the value
+    slab, so only rows that can possibly match co-locate (an interval
+    replicates to its few slabs WITHIN its key, exactly like the unkeyed
+    join).  Inside each coarse bucket the (key, slab) pairs are
+    factorized and folded into ONE integer composite axis
+    ``pair_code * bucket_width + (v - slab*width)`` — a single vectorized
+    sweep matches every key's values at once, no per-key Python loop.
+    The composite is exact for int64 axes (timestamps, cents); float
+    axes would need a per-pair fallback and are rejected.
+    """
+    lcols, rcols, types = _schema_prep(left, right)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        if v.dtype.kind != "i":
+            raise TypeError(f"{value_col} must be int64 (got {v.dtype})")
+        slab = v // w
+        cols = {c: b.column(c) for c in lcols}
+        for c in rcols:
+            cols[c] = pa.nulls(len(b), types[c])
+        out = pa.table(cols)
+        key_h = _bucket_ids(b.select([left_key]).rename_columns(["__k"]),
+                            ["__k"], 1 << 62)
+        bucket = ((key_h.astype(np.uint64)
+                   * np.uint64(1099511628211)
+                   + slab.astype(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return (
+            out.append_column(_SLAB, pa.array(slab))
+            .append_column(_BUCKET, pa.array(bucket))
+            .append_column(_SIDE, pa.array(np.zeros(len(b), dtype=np.int8)))
+        )
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        lo = b.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = b.column(hi_col).to_numpy(zero_copy_only=False)
+        if lo.dtype.kind != "i" or hi.dtype.kind != "i":
+            raise TypeError(f"{lo_col}/{hi_col} must be int64")
+        # slab replication in exact integer arithmetic (floor div)
+        s0 = lo // w
+        s1 = np.maximum(-((-hi) // w) - 1, s0)  # ceil(hi/w)-1, int-exact
         counts = (s1 - s0 + 1).astype(np.int64)
-        rep = np.repeat(np.arange(len(b)), counts)
+        rep = np.repeat(np.arange(len(lo)), counts)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         slab = np.arange(int(counts.sum())) - np.repeat(starts, counts) + s0[rep]
         cols = {}
@@ -164,8 +295,16 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
         for c in rcols:
             cols[c] = taken.column(c)
         out = pa.table(cols)
-        return out.append_column(_BUCKET, pa.array(slab)).append_column(
-            _SIDE, pa.array(np.ones(len(rep), dtype=np.int8))
+        key_h = _bucket_ids(out.select([right_key]).rename_columns(["__k"]),
+                            ["__k"], 1 << 62)
+        bucket = ((key_h.astype(np.uint64)
+                   * np.uint64(1099511628211)
+                   + slab.astype(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return (
+            out.append_column(_SLAB, pa.array(slab))
+            .append_column(_BUCKET, pa.array(bucket))
+            .append_column(_SIDE, pa.array(np.ones(len(rep), dtype=np.int8)))
         )
 
     lt = left.map_batches(pad_left, batch_format="pyarrow")
@@ -179,10 +318,29 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
             return pa.Table.from_pandas(
                 pd.DataFrame(columns=lcols + rcols), preserve_index=False
             )
-        v = l[value_col].to_numpy(dtype=np.float64)
-        lo = r[lo_col].to_numpy(dtype=np.float64)
-        hi = r[hi_col].to_numpy(dtype=np.float64)
-        vi, ii = _match_intervals(v, lo, hi)
+        lk = l[left_key].to_numpy()
+        rk = r[right_key].to_numpy()
+        ls = l[_SLAB].to_numpy(dtype=np.int64)
+        rs = r[_SLAB].to_numpy(dtype=np.int64)
+        pair = pd.MultiIndex.from_arrays(
+            [np.concatenate([lk, rk]), np.concatenate([ls, rs])]
+        )
+        codes, _ = pd.factorize(pair, sort=False)
+        cl = codes[: len(l)].astype(np.int64)
+        cr = codes[len(l):].astype(np.int64)
+        ncodes = int(codes.max()) + 1
+        if ncodes * w >= (1 << 62):
+            raise OverflowError(
+                "composite axis overflow: raise n_buckets or shrink "
+                "bucket_width so pairs-per-bucket x width fits int64"
+            )
+        v = l[value_col].to_numpy(dtype=np.int64)
+        lo = r[lo_col].to_numpy(dtype=np.int64)
+        hi = r[hi_col].to_numpy(dtype=np.int64)
+        comp_v = cl * w + (v - ls * w)
+        comp_lo = cr * w + np.clip(lo - rs * w, 0, w)
+        comp_hi = cr * w + np.clip(hi - rs * w, 0, w)
+        vi, ii = _match_intervals(comp_v, comp_lo, comp_hi)
         out = pd.concat(
             [
                 l.iloc[vi][lcols].reset_index(drop=True),
@@ -190,12 +348,7 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
             ],
             axis=1,
         )
-        # undo the union's null-padding dtype pollution (ints -> float)
-        for c in lcols + rcols:
-            t = types[c]
-            if (pa.types.is_integer(t) and out[c].dtype.kind == "f"
-                    and not out[c].isna().any()):
-                out[c] = out[c].astype(t.to_pandas_dtype())
+        out = _restore_int_dtypes(out, lcols + rcols, types)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
