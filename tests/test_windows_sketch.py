@@ -85,3 +85,46 @@ def test_approx_distinct_pipeline(ray_session):
     exact = pd.DataFrame({"k": key, "v": val}).groupby("k")["v"].nunique()
     for _, row in out.iterrows():
         assert row["approx_distinct"] == pytest.approx(exact[row["k"]], rel=0.08)
+
+
+def test_sliding_agg_dense_matches_fanout(ray_session):
+    """Dense (prefix-sum + sparse-table) sliding aggregates == the
+    fan-out implementation, at a big window size and with gaps."""
+    rng = np.random.default_rng(23)
+    n = 3000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # clustered + gapped event times across ~6 days
+    ts = base + (rng.integers(0, 150, n) * 3600 + rng.integers(0, 3600, n)).astype(
+        "timedelta64[s]"
+    ).astype("timedelta64[us]")
+    tbl = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], n)),
+        "ts": pa.array(ts),
+        "v": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    kw = dict(ts_col="ts", key_col="k", value_col="v",
+              unit_us=3_600_000_000, aggs=["sum", "min", "max"])
+    for size in (1, 3, 24):
+        dense = windows.sliding_agg_dense(
+            rd.from_arrow(tbl).repartition(4), size_units=size, **kw
+        ).to_pandas().sort_values(["k", "window"]).reset_index(drop=True)
+        fan = windows.sliding_agg(
+            rd.from_arrow(tbl).repartition(4), size_units=size, **kw
+        ).to_pandas().sort_values(["k", "window"]).reset_index(drop=True)
+        fan = fan[dense.columns]
+        pd.testing.assert_frame_equal(
+            dense, fan, check_dtype=False, obj=f"size={size}"
+        )
+
+
+def test_rmq_levels_and_query():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(-1000, 1000, 500).astype(np.int64)
+    for ufunc in (np.minimum, np.maximum):
+        levels = windows._rmq_levels(arr, 64, ufunc)
+        a = rng.integers(0, 450, 200)
+        b = a + rng.integers(0, 50, 200)
+        b = np.minimum(b, len(arr) - 1)
+        got = windows._rmq_query(levels, a, b, ufunc)
+        exp = np.array([ufunc.reduce(arr[x:y + 1]) for x, y in zip(a, b)])
+        assert np.array_equal(got, exp)

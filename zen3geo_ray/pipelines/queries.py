@@ -898,11 +898,7 @@ def q_sliding(sf_dir: str):
     )
 
 
-def q_sliding_value(sf_dir: str):
-    """Sliding 3h/1h windowed VALUE aggregate per event_type (cents sum +
-    max) — the windowed-aggregate operator with values, not just counts."""
-    from ..stages.windows import sliding_agg
-
+def _events_cents(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def cents(b: pa.Table) -> pa.Table:
@@ -913,11 +909,39 @@ def q_sliding_value(sf_dir: str):
                          "ts": b.column("ts"),
                          "v_cents": pa.array(c, pa.int64())})
 
-    return sliding_agg(
-        ev.map_batches(cents, batch_format="pyarrow"),
+    return ev.map_batches(cents, batch_format="pyarrow")
+
+
+def q_sliding_value(sf_dir: str):
+    """Sliding 3h/1h windowed VALUE aggregate per event_type (cents sum +
+    max) — via the DENSE path (per-unit partials + prefix sums + sparse-
+    table range-max): no per-event fan-out, same oracle as the fan-out
+    implementation."""
+    from ..stages.windows import sliding_agg_dense
+
+    return sliding_agg_dense(
+        _events_cents(sf_dir),
         ts_col="ts", key_col="event_type", value_col="v_cents",
         size_units=SLIDE_SIZE_UNITS, unit_us=3_600_000_000,
         aggs=["sum", "max"],
+    )
+
+
+SLIDE_BIG_UNITS = 24
+
+
+def q_sliding_big(sf_dir: str):
+    """24h/1h sliding windowed aggregate (sum + min + max) — the big-
+    window case where the fan-out implementation would 24x every event;
+    the dense path's shuffle volume is UNCHANGED from the 3h window
+    (per-(key, unit) partials only)."""
+    from ..stages.windows import sliding_agg_dense
+
+    return sliding_agg_dense(
+        _events_cents(sf_dir),
+        ts_col="ts", key_col="event_type", value_col="v_cents",
+        size_units=SLIDE_BIG_UNITS, unit_us=3_600_000_000,
+        aggs=["sum", "min", "max"],
     )
 
 
@@ -1681,6 +1705,17 @@ SELECT event_type, u - o.off AS window, COUNT(*) AS n,
 FROM e, LATERAL (SELECT unnest(range({SLIDE_SIZE_UNITS})) AS off) o
 GROUP BY event_type, u - o.off
 """,
+        "sliding_big": f"""
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS u,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events)
+SELECT event_type, u - o.off AS window, COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS v_cents_sum,
+       CAST(MIN(v) AS BIGINT) AS v_cents_min,
+       CAST(MAX(v) AS BIGINT) AS v_cents_max
+FROM e, LATERAL (SELECT unnest(range({SLIDE_BIG_UNITS})) AS off) o
+GROUP BY event_type, u - o.off
+""",
         "range_windows": (
             "WITH w(window_id, lo, hi) AS (VALUES "
             + ", ".join(
@@ -1824,6 +1859,7 @@ def build_queries() -> dict:
         "range_windows": q_range_windows,
         "keyed_range": q_keyed_range,
         "sliding_value": q_sliding_value,
+        "sliding_big": q_sliding_big,
         "curate": q_curate,
         "near_dup": q_near_dup,
     }

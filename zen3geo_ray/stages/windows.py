@@ -137,7 +137,14 @@ def sliding_agg(ds, *, ts_col: str, key_col: str, value_col: str,
     """Sliding-window VALUE aggregate per (key, window-start): same
     fan-out shape as ``sliding_count`` but carrying the value column into
     the partial→final aggregate (sum/min/max; integer values stay
-    oracle-exact)."""
+    oracle-exact).
+
+    NOTE: each event fans out to ``size_units`` rows — fine for small
+    windows, O(window) blowup for day-long ones.  ``sliding_agg_dense``
+    computes the identical result with NO fan-out (prefix sums + sparse-
+    table range-min/max over per-unit partials) and is the default used
+    by the query suite.
+    """
     from .zonal import zonal_aggregate
 
     expanded = ds.map_batches(
@@ -148,3 +155,135 @@ def sliding_agg(ds, *, ts_col: str, key_col: str, value_col: str,
         batch_format="pyarrow",
     )
     return zonal_aggregate(expanded, [key_col, "window"], {value_col: aggs})
+
+
+def _rmq_levels(arr: np.ndarray, max_len: int, ufunc):
+    """Sparse-table doubling levels: levels[j][p] = fold of arr[p:p+2^j].
+    Built with log2(max_len) vectorized passes (the segment-tree-merge
+    shape for big windows — no O(window) work per query)."""
+    levels = [arr]
+    j = 1
+    while (1 << j) <= max_len and len(levels[-1]) > (1 << (j - 1)):
+        h = 1 << (j - 1)
+        prev = levels[-1]
+        levels.append(ufunc(prev[: len(prev) - h], prev[h:]))
+        j += 1
+    return levels
+
+
+def _rmq_query(levels, a: np.ndarray, b: np.ndarray, ufunc):
+    """Vectorized fold over [a, b] (inclusive, a <= b) via two
+    overlapping power-of-two blocks per query."""
+    lens = b - a + 1
+    _, e = np.frexp(lens.astype(np.float64))
+    j = e.astype(np.int64) - 1          # 2^j <= len < 2^(j+1)
+    out = np.empty(len(a), dtype=levels[0].dtype)
+    for jj in np.unique(j):
+        sel = j == jj
+        lv = levels[jj]
+        out[sel] = ufunc(lv[a[sel]], lv[b[sel] - (1 << jj) + 1])
+    return out
+
+
+def sliding_agg_dense(ds, *, ts_col: str, key_col: str, value_col: str,
+                      size_units: int, unit_us: int, aggs: list[str],
+                      n_buckets: int = 64):
+    """Sliding-window VALUE aggregate WITHOUT the per-event fan-out —
+    identical output to ``sliding_agg`` at any window size.
+
+    Shape: (1) map_batches pre-aggregates each batch to per-(key, unit)
+    partials (count/sum/min/max — all associative), so the ONE shuffle
+    moves at most #distinct-units rows per key per batch, independent of
+    ``size_units``; (2) a coarse-bucket reduce combines partials, lays
+    each key's units on a dense concatenated axis, and answers every
+    window with prefix-sum differences (count/sum) and sparse-table
+    range-min/max queries (two O(1) lookups per window after log(window)
+    vectorized build passes) — the segment-tree-merge alternative to
+    fanning each event into ``size_units`` copies.  Windows with no
+    events are skipped, matching the fan-out semantics.
+    """
+    want = set(aggs)
+    bad = want - {"sum", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported aggs {sorted(bad)}")
+    size = int(size_units)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        u = ts_to_unit(ts, unit_us)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "_u": u, "_v": v})
+        spec = {"n": ("_v", "size")}
+        if "sum" in want:
+            spec["s"] = ("_v", "sum")
+        if "min" in want:
+            spec["mn"] = ("_v", "min")
+        if "max" in want:
+            spec["mx"] = ("_v", "max")
+        out = df.groupby([key_col, "_u"], sort=False).agg(**spec).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    I64_MAX = np.iinfo(np.int64).max
+    I64_MIN = np.iinfo(np.int64).min
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"n": ("n", "sum")}
+        if "sum" in want:
+            spec["s"] = ("s", "sum")
+        if "min" in want:
+            spec["mn"] = ("mn", "min")
+        if "max" in want:
+            spec["mx"] = ("mx", "max")
+        g = g.groupby([key_col, "_u"], sort=False).agg(**spec).reset_index()
+        g = g.sort_values([key_col, "_u"], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        u = g["_u"].to_numpy(dtype=np.int64)
+        newk = np.concatenate([[True], keys[1:] != keys[:-1]])
+        key_first = np.flatnonzero(newk)
+        key_last = np.concatenate([key_first[1:] - 1, [len(g) - 1]])
+        u_min, u_max = u[key_first], u[key_last]
+        span = u_max - u_min + 1
+        seg_start = np.concatenate([[0], np.cumsum(span)[:-1]])
+        L = int(span.sum())
+        key_of_row = np.cumsum(newk) - 1
+        pos = seg_start[key_of_row] + (u - u_min[key_of_row])
+        n_d = np.zeros(L, dtype=np.int64)
+        n_d[pos] = g["n"].to_numpy()
+        # candidate windows: starts u_min-size+1 .. u_max per key
+        nw = span + size - 1
+        w_start = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        W = int(nw.sum())
+        kidx = np.repeat(np.arange(len(span)), nw)
+        local = np.arange(W) - np.repeat(w_start, nw)
+        w_val = u_min[kidx] - (size - 1) + local
+        a = seg_start[kidx] + np.maximum(w_val - u_min[kidx], 0)
+        b = (seg_start[kidx]
+             + np.minimum(w_val + size - 1, u_max[kidx]) - u_min[kidx])
+        Pn = np.concatenate([[0], np.cumsum(n_d)])
+        n_w = Pn[b + 1] - Pn[a]
+        keep = n_w > 0
+        a, b, kidx, w_val, n_w = a[keep], b[keep], kidx[keep], w_val[keep], n_w[keep]
+        out = {key_col: keys[key_first][kidx], "window": w_val, "n": n_w}
+        if "sum" in want:
+            s_d = np.zeros(L, dtype=np.int64)
+            s_d[pos] = g["s"].to_numpy()
+            Ps = np.concatenate([[0], np.cumsum(s_d)])
+            out[f"{value_col}_sum"] = Ps[b + 1] - Ps[a]
+        if "min" in want:
+            mn_d = np.full(L, I64_MAX, dtype=np.int64)
+            mn_d[pos] = g["mn"].to_numpy()
+            out[f"{value_col}_min"] = _rmq_query(
+                _rmq_levels(mn_d, size, np.minimum), a, b, np.minimum
+            )
+        if "max" in want:
+            mx_d = np.full(L, I64_MIN, dtype=np.int64)
+            mx_d[pos] = g["mx"].to_numpy()
+            out[f"{value_col}_max"] = _rmq_query(
+                _rmq_levels(mx_d, size, np.maximum), a, b, np.maximum
+            )
+        return pd.DataFrame(out)
+
+    return bucketed_groupby(parts, [key_col], bucket_fn, n_buckets)
