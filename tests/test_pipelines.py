@@ -128,16 +128,22 @@ def test_multimodal_plumbing(ray_session):
     i0 = out.sort_values("item_id")["item_id"].iloc[0]
 
 
-def test_image_decoder_real_mode_jpeg_stubbed():
-    # real mode decodes PNG/TIFF in-engine; a JPEG payload (no DCT stack
-    # in this container) raises at decode with a pointer to the gap
+def test_image_decoder_real_mode_jpeg():
+    # real mode now decodes baseline JPEG via the in-engine pure-numpy
+    # codec; unknown signatures raise a clear error
+    import numpy as np
     import pyarrow as pa
 
+    from zen3geo_ray.sources.jpeg import write_jpeg
+
+    img = np.full((8, 8, 3), 120, np.uint8)
     dec = mm.ImageDecoder(mode="real")
-    jpeg = pa.table({"payload": pa.array([b"\xff\xd8\xff\xe0 jfif"],
-                                         pa.binary())})
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        dec(jpeg)
+    out = dec(pa.table({"payload": pa.array([write_jpeg(img, 95)],
+                                            pa.binary())}))
+    got = np.asarray(out.column("image")[0].as_py(), np.uint8).reshape(8, 8, 3)
+    assert np.abs(got.astype(int) - 120).max() <= 2
+    with pytest.raises(ValueError, match="signature"):
+        dec(pa.table({"payload": pa.array([b"not an image"], pa.binary())}))
 
 
 def test_incremental_write_skips_unchanged(ray_session, tmp_path):

@@ -67,17 +67,23 @@ def test_errors():
         read_png(blob)
 
 
-def test_image_decoder_real_mode_png_and_tiff(ray_session):
+def test_image_decoder_real_mode_all_formats(ray_session):
+    """mode='real' decodes PNG (lossless), TIFF (lossless) and baseline
+    JPEG (lossy, bounded error) in ONE pipeline — the last stub is gone."""
     from zen3geo_ray.sources.geotiff import write_geotiff
+    from zen3geo_ray.sources.jpeg import write_jpeg
     from zen3geo_ray.stages.multimodal import ImageDecoder
 
     rng = np.random.default_rng(2)
     png_img = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
     tif_img = rng.integers(0, 255, (3, 8, 8)).astype(np.uint8)
+    jpg_img = np.full((8, 8, 3), 0, np.uint8)
+    jpg_img[:, :, 0] = 200  # flat color block: decodes near-exactly
     tbl = pa.table({
-        "img_id": pa.array([0, 1], pa.int64()),
+        "img_id": pa.array([0, 1, 2], pa.int64()),
         "payload": pa.array(
-            [write_png(png_img), write_geotiff(tif_img)], pa.binary()
+            [write_png(png_img), write_geotiff(tif_img),
+             write_jpeg(jpg_img, quality=95)], pa.binary()
         ),
     })
     out = (
@@ -88,5 +94,7 @@ def test_image_decoder_real_mode_png_and_tiff(ray_session):
     )
     got_png = np.asarray(out.iloc[0]["image"], np.uint8).reshape(8, 8, 3)
     got_tif = np.asarray(out.iloc[1]["image"], np.uint8).reshape(8, 8, 3)
+    got_jpg = np.asarray(out.iloc[2]["image"], np.uint8).reshape(8, 8, 3)
     assert (got_png == png_img).all()
     assert (got_tif == tif_img.transpose(1, 2, 0)).all()
+    assert np.abs(got_jpg.astype(int) - jpg_img.astype(int)).max() <= 3

@@ -1,0 +1,563 @@
+"""Pure-numpy baseline JPEG codec (stdlib + numpy only).
+
+Completes ``ImageDecoder(mode='real')`` — the reference's raster reader
+accepts any GDAL-supported format (``/root/reference/zen3geo/datapipes/
+rioxarray.py:70-74``); with PNG + TIFF already covered by
+``sources/png.py`` / ``sources/geotiff.py``, JPEG was the engine's last
+stubbed decode path.
+
+Scope (ITU-T T.81 baseline sequential DCT):
+
+* ``read_jpeg`` — SOI/APP/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI parsing,
+  canonical Huffman decode (min/max-code-per-length walk), dequantize,
+  vectorized IDCT over all blocks at once (one einsum), per-component
+  sampling factors with nearest-neighbour chroma upsampling (4:4:4,
+  4:2:2, 4:2:0), restart-interval resync, JFIF YCbCr -> RGB.
+* ``write_jpeg`` — the fixture-free round-trip twin (same pattern
+  ``sources/png.py`` used): 4:4:4 (or grayscale), Annex-K quantization
+  tables with libjpeg quality scaling, simple VALID canonical Huffman
+  tables (12x 4-bit DC categories, 162x 8-bit AC run/size symbols —
+  suboptimal compression, spec-conformant streams), 0xFF byte stuffing.
+
+Both ends share the zigzag order, the DCT basis matrix and the canonical
+code generator, so the round trip is exact up to quantization error.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared constants ------------------------------------------------------
+
+_QL = np.array([  # Annex K luminance quantization
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+_QC = np.array([  # Annex K chrominance
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+
+def _zigzag_order() -> np.ndarray:
+    """(64,) flat indices into an 8x8 block in zigzag scan order."""
+    order = sorted(
+        ((x, y) for x in range(8) for y in range(8)),
+        # odd anti-diagonals run down-left (row asc), even ones up-right
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+    )
+    return np.array([x * 8 + y for x, y in order], dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+_UNZZ = np.argsort(_ZZ)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = int(np.clip(quality, 1, 100))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    out = []
+    for base in (_QL, _QC):
+        t = np.floor((base * scale + 50.0) / 100.0)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman assignment: {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# encoder tables: fixed-length canonical codes (valid, suboptimal)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 categories at 4 bits
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8  # all at 8 bits (162 < 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) (multiples of 8) -> (H//8 * W//8, 8, 8), row-major blocks."""
+    H, W = plane.shape
+    return (
+        plane.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int,
+                  dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC."""
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.flatnonzero(blk[1:])
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+    return dc
+
+
+def write_jpeg(arr: np.ndarray, quality: int = 90,
+               subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as baseline JPEG.
+
+    subsampling: '444' (no chroma subsampling) or '420' (2x2 luma
+    sampling, chroma = 2x2 block means).  restart_interval > 0 emits DRI
+    + RSTn markers every that many MCUs (and resets the DC predictors) —
+    the resync structure a parallel decoder keys on.
+    """
+    arr = np.asarray(arr)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = _quality_tables(quality)
+    if grey:
+        sampling = [(1, 1)]
+        qids = [0]
+        full = [arr.astype(np.float64)]
+    else:
+        if subsampling == "444":
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qids = [0, 1, 1]
+        ycc = _rgb_to_ycbcr(arr.astype(np.float64))
+        full = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad full-res planes to the MCU grid, then downsample per component
+    ph, pw = mcuy * 8 * vmax - h, mcux * 8 * hmax - w
+    comp_zz = []
+    for (ch, cv), qid, plane in zip(sampling, qids, full):
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            p = p.reshape(p.shape[0] // ry, ry, p.shape[1] // rx, rx).mean(
+                axis=(1, 3)
+            )
+        qt = ql if qid == 0 else qc
+        blocks = _blockify(p) - 128.0
+        coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+        qz = np.round(coeffs / qt).astype(np.int64)
+        comp_zz.append(qz.reshape(-1, 64)[:, _ZZ])
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    entropy = bytearray()
+    prev_dc = [0] * len(sampling)
+    rst = 0
+    since_rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and since_rst == restart_interval:
+            bw.flush()
+            entropy += bytes(bw.out)
+            entropy += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            prev_dc = [0] * len(sampling)
+            since_rst = 0
+        my, mx = divmod(mcu, mcux)
+        for ci, ((ch, cv), zz) in enumerate(zip(sampling, comp_zz)):
+            cbw = mcux * ch  # blocks per row for this component
+            for v in range(cv):
+                for hh in range(ch):
+                    bi = (my * cv + v) * cbw + (mx * ch + hh)
+                    prev_dc[ci] = _encode_block(
+                        bw, zz[bi], prev_dc[ci], dc_codes, ac_codes
+                    )
+        since_rst += 1
+    bw.flush()
+    entropy += bytes(bw.out)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in ([(0, ql)] if grey else [(0, ql), (1, qc)]):
+        payload = bytes([tid]) + bytes(
+            qt.reshape(-1)[_ZZ].astype(np.uint8).tolist()
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    ncomp = len(sampling)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
+                      qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (class<<4 | id): DC table 0, AC table 0, shared by all comps
+    for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes(entropy)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical decode via min/max code per length."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            else:
+                self.maxcode[ln] = -1
+            code <<= 1
+        self.values = values
+
+
+class _BitReader:
+    def __init__(self, bits: np.ndarray):
+        self.bits = bits
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        p = self.pos
+        bits = self.bits
+        for _ in range(n):
+            v = (v << 1) | int(bits[p])
+            p += 1
+        self.pos = p
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        bits = self.bits
+        p = self.pos
+        for ln in range(1, 17):
+            code = (code << 1) | int(bits[p])
+            p += 1
+            if code <= table.maxcode[ln]:  # maxcode = -1 when length unused
+                self.pos = p
+                return table.values[table.valptr[ln] + code - table.mincode[ln]]
+        raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _unstuff(data: bytes) -> np.ndarray:
+    """Entropy bytes -> bit array, dropping 0x00 after 0xFF."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    drop = np.zeros(len(arr), dtype=bool)
+    ff = np.flatnonzero(arr == 0xFF)
+    nxt = ff + 1
+    nxt = nxt[nxt < len(arr)]
+    drop[nxt[arr[nxt] == 0x00]] = True
+    return np.unpackbits(arr[~drop])
+
+
+def read_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG into (H, W, 3) RGB uint8 (grayscale is
+    replicated to 3 channels).  Supports per-component sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0, nearest chroma upsample) and restart
+    intervals; progressive/arithmetic modes raise NotImplementedError.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                t = np.empty(64, dtype=np.float64)
+                t[_ZZ] = vals
+                qtabs[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                p += 1
+                bits = list(seg[p:p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(seg[p:p + nv])
+                p += nv
+                htabs[(cls, tid)] = _HuffTable(bits, vals)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"H": H, "W": W, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 15)
+            # entropy data runs from here to the next non-RST marker
+            epos = pos + seglen
+            chunks = []
+            start = epos
+            while True:
+                ff = data.find(b"\xff", epos)
+                if ff < 0:
+                    chunks.append(data[start:])
+                    epos = len(data)
+                    break
+                nb = data[ff + 1] if ff + 1 < len(data) else 0
+                if nb == 0x00:
+                    epos = ff + 2
+                    continue
+                if 0xD0 <= nb <= 0xD7:  # RSTn: chunk boundary
+                    chunks.append(data[start:ff])
+                    start = ff + 2
+                    epos = ff + 2
+                    continue
+                chunks.append(data[start:ff])
+                epos = ff
+                break
+            scan = {"sel": sel, "chunks": chunks}
+            pos = epos
+            continue
+        pos += seglen
+
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG (no frame/scan)")
+
+    H, W = frame["H"], frame["W"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]   # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+
+    n_mcu = mcux * mcuy
+    per_chunk = restart_interval if restart_interval else n_mcu
+    mcu = 0
+    for chunk in scan["chunks"]:
+        if mcu >= n_mcu:
+            break
+        br = _BitReader(_unstuff(chunk))
+        pred = {c["id"]: 0 for c in comps}
+        end = min(n_mcu, mcu + per_chunk)
+        while mcu < end:
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                dct_t, act_t = scan["sel"][c["id"]]
+                dtab = htabs[(0, dct_t)]
+                atab = htabs[(1, act_t)]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.float64)
+                        s = br.decode(dtab)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(atab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        by = my * c["v"] + v
+                        bx = mx * c["h"] + hh
+                        c["coef"][by * c["bw"] + bx] = blk
+            mcu += 1
+
+    planes = []
+    for c in comps:
+        qt = qtabs[c["tq"]]
+        coef = np.empty_like(c["coef"])
+        coef[:, _ZZ] = c["coef"]
+        blocks = coef.reshape(-1, 8, 8) * qt
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, blocks, _DCT.T) + 128.0
+        bh, bw_ = c["bh"], c["bw"]
+        plane = (
+            pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        # upsample to full resolution (nearest)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -1,12 +1,14 @@
-"""Multimodal binary-column stages (decode stubs with real Ray plumbing).
+"""Multimodal binary-column stages.
 
 Images/audio/video travel as opaque ``binary`` columns with typed
-metadata columns.  The decode libraries (Pillow/ffmpeg/soundfile) are NOT
-in this container, so the actual codecs are stubbed behind
-``NotImplementedError``; the Ray-side plumbing — actor signature, schema,
-batch sizing, output layout — is real and tested via the deterministic
-fake decoder (a pure function of the payload bytes), exactly as the
-round brief instructs.
+metadata columns.  ``mode='real'`` decodes PNG, TIFF **and baseline
+JPEG** with the engine's own pure-numpy codecs (``sources/png.py``,
+``sources/geotiff.py``, ``sources/jpeg.py``) — no imaging library needed
+— dispatched by signature sniffing; ``mode='fake'`` derives a
+deterministic tensor from the payload hash for codec-independent
+plumbing tests (schema, actor signature, batch sizing, output layout).
+Audio/video decoding would need ffmpeg/soundfile (absent from this
+container) and stays behind the deterministic fake path.
 """
 
 from __future__ import annotations
@@ -20,10 +22,10 @@ from ..functions.hashing import fnv1a_str_array, splitmix64
 class ImageDecoder:
     """Actor-pool map_batches fn: binary payload -> HxWxC uint8 tensor col.
 
-    mode='real' requires an imaging library (not available here) and
-    raises NotImplementedError; mode='fake' derives a deterministic
-    (h, w, 3) tensor from the payload hash — schema/layout identical to
-    what a real decoder would produce, so downstream stages are testable.
+    mode='real' (and its alias 'tiff') decodes PNG/TIFF/baseline-JPEG
+    payloads with the in-engine pure-numpy codecs; mode='fake' derives a
+    deterministic (h, w, 3) tensor from the payload hash — schema/layout
+    identical to the real decoder, for codec-independent plumbing tests.
     """
 
     def __init__(self, mode: str = "fake", out_h: int = 16, out_w: int = 16,
@@ -36,10 +38,11 @@ class ImageDecoder:
         self.payload_col = payload_col
 
     def _decode_real(self, payloads, batch: pa.Table) -> pa.Table:
-        """Real codecs: PNG and TIFF by signature sniffing (the formats
-        the in-engine pure-numpy codecs cover; JPEG would need a DCT
-        stack this container doesn't have)."""
+        """Real codecs: PNG, TIFF and baseline JPEG by signature
+        sniffing — all pure-numpy, in-engine (``sources/png.py``,
+        ``sources/geotiff.py``, ``sources/jpeg.py``)."""
         from ..sources.geotiff import read_geotiff
+        from ..sources.jpeg import read_jpeg
         from ..sources.png import read_png
 
         tensors, hs, ws = [], [], []
@@ -49,6 +52,8 @@ class ImageDecoder:
                 if hwc.shape[2] < 3:  # grey -> 3 channels
                     hwc = np.repeat(hwc[:, :, :1], 3, axis=2)
                 arr3 = hwc
+            elif b[:3] == b"\xff\xd8\xff":
+                arr3 = read_jpeg(b)
             elif b[:2] in (b"II", b"MM"):
                 g = read_geotiff(b)
                 planes = g["data"][:3]
@@ -58,9 +63,8 @@ class ImageDecoder:
                     np.uint8
                 )
             else:
-                raise NotImplementedError(
-                    "unsupported image signature (PNG/TIFF decodable; "
-                    "JPEG needs codecs absent from this container)"
+                raise ValueError(
+                    "unrecognized image signature (PNG/TIFF/JPEG supported)"
                 )
             tensors.append(np.ascontiguousarray(arr3).reshape(-1))
             hs.append(arr3.shape[0])
