@@ -141,3 +141,74 @@ def test_ivf_knn_recall(ray_session):
         a = set(approx[approx.query_id == qi]["vec_id"])
         recalls.append(len(e & a) / k)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def _clustered(seed, n=4000, d=32, Q=8):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((50, d)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 50, n)
+    m = (centers[assign] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    q = m[rng.choice(n, Q, replace=False)] + 0.1 * rng.standard_normal(
+        (Q, d)
+    ).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n),
+         "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    return tbl, {"query_id": np.arange(Q), "matrix": q}
+
+
+def _mean_recall(exact, approx, Q, k):
+    recalls = []
+    for qi in range(Q):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / k)
+    return float(np.mean(recalls))
+
+
+def test_auto_lsh_knn_hits_recall_target_without_knobs(ray_session):
+    """Recall-targeted auto-tuning: the sampled estimator picks a probe
+    radius that actually delivers >= target recall on the full run —
+    no hand-picked knob."""
+    from zen3geo_ray.stages import ann
+
+    tbl, blob = _clustered(31)
+    ds = rd.from_arrow(tbl)
+    exact = ann.brute_force_knn(ds, blob, k=10).to_pandas()
+    out, probe, est = ann.auto_lsh_knn(
+        rd.from_arrow(tbl), blob, k=10, n_planes=8, target_recall=0.9
+    )
+    assert est >= 0.9
+    assert 0 <= probe < 8          # tuner found a real pruning level
+    got = _mean_recall(exact, out.to_pandas(), 8, 10)
+    assert got >= 0.85, (probe, est, got)  # sampled estimate tracks reality
+
+
+def test_auto_ivf_knn_hits_recall_target_without_knobs(ray_session):
+    from zen3geo_ray.stages import ann
+
+    tbl, blob = _clustered(41)
+    ds = rd.from_arrow(tbl)
+    exact = ann.brute_force_knn(ds, blob, k=10).to_pandas()
+    out, n_probe, est = ann.auto_ivf_knn(
+        rd.from_arrow(tbl), blob, k=10, n_centroids=32, target_recall=0.9
+    )
+    assert est >= 0.9
+    assert 1 <= n_probe < 32
+    got = _mean_recall(exact, out.to_pandas(), 8, 10)
+    assert got >= 0.85, (n_probe, est, got)
+
+
+def test_tuner_monotone_and_loose_target_prunes_harder(ray_session):
+    """A looser recall target must never pick a LARGER probe radius."""
+    from zen3geo_ray.stages import ann
+
+    tbl, blob = _clustered(51)
+    p_tight, _ = ann.tune_lsh_probe(
+        rd.from_arrow(tbl), blob, 10, n_planes=8, target_recall=0.95
+    )
+    p_loose, _ = ann.tune_lsh_probe(
+        rd.from_arrow(tbl), blob, 10, n_planes=8, target_recall=0.5
+    )
+    assert p_loose <= p_tight

@@ -361,3 +361,117 @@ def ivf_knn(ds, queries_blob, k: int, n_centroids: int = 32, n_probe: int = 4,
         concurrency=2,
     )
     return finalize_topk(partial, k)
+
+
+# --- recall-targeted auto-tuning ------------------------------------------
+
+
+def _sample_matrix(ds, vec_col: str, n_sample: int) -> np.ndarray:
+    tbl = ds.limit(n_sample).to_pandas()
+    return np.stack([np.asarray(v, dtype=np.float32) for v in tbl[vec_col]])
+
+
+def _sample_recall_at(q: np.ndarray, sample: np.ndarray, k: int,
+                      cand_mask: np.ndarray) -> float:
+    """Mean candidate recall over queries: fraction of each query's true
+    sample-top-k that survives the pruning mask (Q, n)."""
+    sims = q @ sample.T  # (Q, n) — both normalized by callers
+    kk = min(k, sample.shape[0])
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    hit = np.take_along_axis(cand_mask, top, axis=1)
+    return float(hit.mean())
+
+
+def tune_lsh_probe(ds, queries_blob, k: int, *, n_planes: int = 8,
+                   target_recall: float = 0.9, n_sample: int = 2048,
+                   seed: int = 7, vec_col: str = "embedding") -> tuple[int, float]:
+    """Pick the SMALLEST multi-probe radius whose estimated recall meets
+    ``target_recall`` — estimated on a bounded driver-side sample with the
+    exact same hashing the full pipeline applies (candidate recall ==
+    final recall, because survivors are ranked exactly).
+
+    Returns (probe, estimated_recall); probe = n_planes means "no pruning
+    left to relax" (the estimator saw no radius reaching the target and
+    fell through to all buckets).
+    """
+    planes = hyperplanes(
+        np.asarray(queries_blob["matrix"]).shape[1], n_planes, seed
+    )
+    sample = normalize(_sample_matrix(ds, vec_col, n_sample))
+    q = normalize(np.asarray(queries_blob["matrix"], dtype=np.float32))
+    sb = ((sample @ planes.T) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    qb = ((q @ planes.T) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    for probe in range(n_planes + 1):
+        by_bucket = probe_buckets(qb, n_planes, probe)
+        # (Q, n) candidate mask under this radius
+        mask = np.zeros((len(q), len(sample)), dtype=bool)
+        for b, qidx in by_bucket.items():
+            rows = sb == b
+            if rows.any():
+                mask[np.ix_(qidx, np.flatnonzero(rows))] = True
+        rec = _sample_recall_at(q, sample, k, mask)
+        if rec >= target_recall:
+            return probe, rec
+    return n_planes, 1.0
+
+
+def tune_ivf_probe(ds, queries_blob, k: int, *, n_centroids: int = 32,
+                   target_recall: float = 0.9, n_sample: int = 2048,
+                   train_sample: int = 4096,
+                   vec_col: str = "embedding") -> tuple[int, float]:
+    """Pick the SMALLEST IVF ``n_probe`` whose estimated recall meets
+    ``target_recall`` (same sample-based estimator as ``tune_lsh_probe``;
+    the quantizer trained here is the one the full run reuses, so the
+    estimate tracks the deployed index).  Returns (n_probe, est_recall).
+    """
+    sample_m = _sample_matrix(ds, vec_col, max(n_sample, train_sample))
+    centroids = kmeans_centroids(sample_m[:train_sample], n_centroids)
+    sample = normalize(sample_m[:n_sample])
+    q = normalize(np.asarray(queries_blob["matrix"], dtype=np.float32))
+    s_list = np.argmax(sample @ centroids.T, axis=1)
+    q_order = np.argsort(-(q @ centroids.T), axis=1)  # (Q, C)
+    for n_probe in range(1, centroids.shape[0] + 1):
+        probes = q_order[:, :n_probe]
+        mask = np.zeros((len(q), len(sample)), dtype=bool)
+        for qi in range(len(q)):
+            mask[qi] = np.isin(s_list, probes[qi])
+        rec = _sample_recall_at(q, sample, k, mask)
+        if rec >= target_recall:
+            return n_probe, rec
+    return centroids.shape[0], 1.0
+
+
+def auto_lsh_knn(ds, queries_blob, k: int, *, n_planes: int = 8,
+                 target_recall: float = 0.9, n_sample: int = 2048,
+                 seed: int = 7, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """lsh_knn with the probe radius chosen by ``tune_lsh_probe`` — no
+    hand-picked knob; returns (dataset, chosen_probe, est_recall)."""
+    probe, rec = tune_lsh_probe(
+        ds, queries_blob, k, n_planes=n_planes, target_recall=target_recall,
+        n_sample=n_sample, seed=seed, vec_col=vec_col,
+    )
+    out = lsh_knn(ds, queries_blob, k, n_planes=n_planes, id_col=id_col,
+                  vec_col=vec_col, seed=seed, probe=probe)
+    return out, probe, rec
+
+
+def auto_ivf_knn(ds, queries_blob, k: int, *, n_centroids: int = 32,
+                 target_recall: float = 0.9, n_sample: int = 2048,
+                 train_sample: int = 4096, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """ivf_knn with ``n_probe`` chosen by ``tune_ivf_probe``; returns
+    (dataset, chosen_n_probe, est_recall)."""
+    n_probe, rec = tune_ivf_probe(
+        ds, queries_blob, k, n_centroids=n_centroids,
+        target_recall=target_recall, n_sample=n_sample,
+        train_sample=train_sample, vec_col=vec_col,
+    )
+    out = ivf_knn(ds, queries_blob, k, n_centroids=n_centroids,
+                  n_probe=n_probe, train_sample=train_sample,
+                  id_col=id_col, vec_col=vec_col)
+    return out, n_probe, rec
