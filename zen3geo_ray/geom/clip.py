@@ -13,25 +13,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
-    """Sutherland–Hodgman clip of one closed ring against a rectangle.
+def _sh_clip_multi(pts: np.ndarray, seg_id: np.ndarray,
+                   bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized MULTI-ring Sutherland–Hodgman: clip many (open) rings
+    at once, each against its OWN rectangle.
 
-    Each half-plane pass is vectorized over the ring's vertices.  Returns
-    the clipped closed ring, or an empty (0,2) array if nothing remains.
+    pts (N, 2) — concatenated ring vertices; seg_id (N,) — ring index per
+    vertex (non-decreasing); bounds (R, 4) — (minx, miny, maxx, maxy)
+    per ring.  All four half-plane passes run as flat array ops over
+    every ring simultaneously — the per-vertex emit is a counts/prefix-
+    sum/scatter, no Python loop.  Returns (clipped_pts, clipped_seg_id)
+    with rings still open and possibly degenerate (< 3 vertices —
+    callers filter).
     """
-    pts = np.asarray(ring, dtype=np.float64)
-    if len(pts) and np.array_equal(pts[0], pts[-1]):
-        pts = pts[:-1]
-    for axis, bound, keep_ge in (
-        (0, minx, True),
-        (0, maxx, False),
-        (1, miny, True),
-        (1, maxy, False),
-    ):
-        if len(pts) == 0:
+    for axis, bcol, keep_ge in ((0, 0, True), (0, 2, False),
+                                (1, 1, True), (1, 3, False)):
+        n = len(pts)
+        if n == 0:
             break
+        # next vertex within each ring (wrap at ring ends)
+        first = np.concatenate([[True], seg_id[1:] != seg_id[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        nxt_idx = np.arange(1, n + 1)
+        nxt_idx[ends] = starts
         cur = pts
-        nxt = np.roll(cur, -1, axis=0)
+        nxt = pts[nxt_idx]
+        bound = bounds[seg_id, bcol]
         if keep_ge:
             cur_in = cur[:, axis] >= bound
             nxt_in = nxt[:, axis] >= bound
@@ -44,18 +52,88 @@ def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
         t = np.where(np.isfinite(t), t, 0.0)
         inter = cur + t[:, None] * (nxt - cur)
         inter[:, axis] = bound  # exact on the clip line
-        out = []
-        for i in range(len(cur)):
-            if cur_in[i]:
-                out.append(cur[i])
-                if not nxt_in[i]:
-                    out.append(inter[i])
-            elif nxt_in[i]:
-                out.append(inter[i])
-        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+        # emit order per vertex: cur (if inside), then the intersection
+        # (if the edge crosses) — identical to the classic S-H loop
+        cross = cur_in != nxt_in
+        counts = cur_in.astype(np.int64) + cross
+        off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total = int(off[-1] + counts[-1]) if n else 0
+        out = np.empty((total, 2), dtype=np.float64)
+        out[off[cur_in]] = cur[cur_in]
+        out[off[cross] + cur_in[cross]] = inter[cross]
+        pts = out
+        seg_id = np.repeat(seg_id, counts)
+    return pts, seg_id
+
+
+def clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sutherland–Hodgman clip of one closed ring against a rectangle.
+
+    Thin wrapper over the vectorized multi-ring kernel.  Returns the
+    clipped closed ring, or an empty (0,2) array if nothing remains.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    bounds = np.array([[minx, miny, maxx, maxy]], dtype=np.float64)
+    pts, _ = _sh_clip_multi(pts, np.zeros(len(pts), dtype=np.int64), bounds)
     if len(pts) < 3:
         return np.empty((0, 2), dtype=np.float64)
     return np.vstack([pts, pts[:1]])
+
+
+def clip_polygons_rect_multi(polys: list, boxes: np.ndarray) -> list:
+    """Clip MANY polygons (each a rings-list: exterior first, then holes)
+    against per-polygon rectangles in ONE vectorized kernel run.
+
+    polys[i] is clipped against boxes[i] (minx, miny, maxx, maxy).
+    Returns a list of clipped rings-lists — ``[]`` where the exterior
+    vanished; hole rings that vanish are dropped individually — exactly
+    ``clip_polygon_rect`` semantics (same pass order, same arithmetic,
+    so outputs are bit-identical), without the per-(pair, ring, vertex)
+    Python loops.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    pts_parts, sid_parts = [], []
+    seg_poly, seg_is_ext = [], []
+    seg = 0
+    for pi, rings in enumerate(polys):
+        for ri, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+            if len(r) and np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            pts_parts.append(r)
+            sid_parts.append(np.full(len(r), seg, dtype=np.int64))
+            seg_poly.append(pi)
+            seg_is_ext.append(ri == 0)
+            seg += 1
+    if seg == 0:
+        return []
+    pts = (np.concatenate(pts_parts) if pts_parts
+           else np.empty((0, 2), dtype=np.float64))
+    sid = (np.concatenate(sid_parts) if sid_parts
+           else np.empty(0, dtype=np.int64))
+    seg_poly = np.asarray(seg_poly, dtype=np.int64)
+    seg_is_ext = np.asarray(seg_is_ext, dtype=bool)
+    out_pts, out_sid = _sh_clip_multi(pts, sid, boxes[seg_poly])
+    counts = np.bincount(out_sid, minlength=seg) if len(out_sid) else \
+        np.zeros(seg, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    result: list = [[] for _ in polys]
+    ext_alive = np.zeros(len(polys), dtype=bool)
+    for s in range(seg):
+        if counts[s] < 3:
+            continue
+        ring = out_pts[offsets[s]:offsets[s + 1]]
+        ring = np.vstack([ring, ring[:1]])
+        pi = seg_poly[s]
+        if seg_is_ext[s]:
+            ext_alive[pi] = True
+            result[pi].append(ring)
+        elif ext_alive[pi]:
+            result[pi].append(ring)
+    # a polygon whose exterior vanished drops entirely (holes included)
+    return [r if ext_alive[pi] else [] for pi, r in enumerate(result)]
 
 
 def clip_polygon_rect(rings, minx, miny, maxx, maxy) -> list[np.ndarray]:

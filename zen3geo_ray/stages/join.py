@@ -198,13 +198,43 @@ class BoxClipJoin(_TreeHolder):
             geoms, tree = self._geoms_for(c)
             sel = np.asarray(idxs)
             qi, ii = tree.query_boxes(bx0[sel], by0[sel], bx1[sel], by1[sel])
-            for q, i in zip(qi.tolist(), ii.tolist()):
-                gq = int(sel[q])
-                clipped = clipmod.clip_geom_rect(
-                    geoms[i], bx0[gq], by0[gq], bx1[gq], by1[gq]
-                )
-                if clipped is None:
+            pairs = list(zip(qi.tolist(), ii.tolist()))
+            # batch every polygonal ring of every matched pair into ONE
+            # vectorized multi-pair Sutherland–Hodgman run; non-polygon
+            # pairs (points/lines) stay on the per-pair kernels
+            units, unit_boxes, unit_span = [], [], {}
+            for pj, (q, i) in enumerate(pairs):
+                g = geoms[i]
+                if g["type"] not in ("Polygon", "MultiPolygon"):
                     continue
+                polys_in = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+                gq = int(sel[q])
+                unit_span[pj] = (len(units), len(polys_in))
+                units.extend(polys_in)
+                unit_boxes.extend(
+                    [(bx0[gq], by0[gq], bx1[gq], by1[gq])] * len(polys_in)
+                )
+            clipped_units = (
+                clipmod.clip_polygons_rect_multi(units, np.asarray(unit_boxes))
+                if units else []
+            )
+            for pj, (q, i) in enumerate(pairs):
+                gq = int(sel[q])
+                if pj in unit_span:
+                    st, nu = unit_span[pj]
+                    polys = [r for r in clipped_units[st:st + nu] if r]
+                    if not polys:
+                        continue
+                    if len(polys) == 1:
+                        clipped = {"type": "Polygon", "coords": polys[0]}
+                    else:
+                        clipped = {"type": "MultiPolygon", "coords": polys}
+                else:
+                    clipped = clipmod.clip_geom_rect(
+                        geoms[i], bx0[gq], by0[gq], bx1[gq], by1[gq]
+                    )
+                    if clipped is None:
+                        continue
                 rows_q.append(gq)
                 rows_p.append(self.poly_id[i])
                 blobs.append(wkb.dumps(clipped))
