@@ -110,6 +110,15 @@ def headline() -> dict:
     n_tiles = rasters.count()
     n_docs = N_DOCS
 
+    if os.environ.get("GRAFT_BENCH_STATS") == "1":
+        # per-operator remote wall times — the per-row costs that must
+        # stay flat as the corpus grows (the 100-TB check)
+        keep = ("Operator", "Remote wall time", "Output rows per task",
+                "* Total time")
+        for line in rasters.stats().splitlines():
+            if any(k in line for k in keep):
+                print(line.rstrip(), file=sys.stderr)
+
     # optional lineage demo: checkpointed points write partitioned by
     # coarse cell, resumable (GRAFT_BENCH_WRITE=1)
     if os.environ.get("GRAFT_BENCH_WRITE") == "1":

@@ -239,3 +239,37 @@ def test_streaming_exact_dedup_registry(ray_session):
     # a SECOND stream against the same live registry drops everything
     out2 = streaming_exact_dedup(rd.from_arrow(tbl), reg, "k").to_pandas()
     assert len(out2) == 0
+
+
+def test_batch_scorer_inference_stage(ray_session):
+    """Model-inference stage shape: actor pool, model loaded once per
+    actor (ray.put ref), int64 logits match a direct numpy compute."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scoring import (
+        BatchScorer,
+        make_linear_model,
+        score_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d = 500, 64
+    m = rng.uniform(-0.3, 0.3, (n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": np.arange(n),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    model = make_linear_model(4, d)
+    out = score_embeddings(
+        rd.from_arrow(tbl).repartition(4), ray.put(model), batch_size=128
+    ).to_pandas().sort_values("vec_id")
+    qx = np.rint(m.astype(np.float64) * 1000).astype(np.int64)
+    logits = qx @ model["W"].T
+    assert out["cls"].to_numpy().tolist() == np.argmax(logits, axis=1).tolist()
+    assert out["logit"].to_numpy().tolist() == logits.max(axis=1).tolist()
+    # direct-call form works without ray (blob instead of ref)
+    one = BatchScorer(model)(tbl.slice(0, 10))
+    assert one.num_rows == 10

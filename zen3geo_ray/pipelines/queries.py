@@ -501,6 +501,42 @@ def q_ann(sf_dir: str):
     )
 
 
+SCORE_CLASSES, SCORE_DIM, SCORE_QUANT = 4, 64, 1000
+
+
+def q_score_docs(sf_dir: str):
+    """Batched model-inference stage shape: an actor-pool scorer holding
+    the model (loaded once per actor), one int64 matmul per batch —
+    integer quantization makes the whole inference run oracle-exact."""
+    import ray
+
+    from ..stages.scoring import make_linear_model, score_embeddings
+
+    model = make_linear_model(SCORE_CLASSES, SCORE_DIM)
+    ref = ray.put(model) if ray.is_initialized() else model
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return score_embeddings(emb, ref, batch_size=1024, concurrency=2)
+
+
+def _sql_score_docs() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, d.d AS d,
+         CAST(ROUND(embedding[d.d + 1] * {SCORE_QUANT}.0) AS BIGINT) AS qx
+  FROM embeddings, LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d
+),
+logits AS (
+  SELECT vec_id, c.c AS cls,
+         CAST(SUM(qx * (((c.c * 131 + d * 17) % 19) - 9)) AS BIGINT) AS logit
+  FROM q, LATERAL (SELECT unnest(range({SCORE_CLASSES})) AS c) c
+  GROUP BY vec_id, c.c
+)
+SELECT vec_id, CAST(cls AS BIGINT) AS cls, logit
+FROM logits
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY logit DESC, cls) = 1
+"""
+
+
 ND_CHAR_K, ND_TAU = 5, 0.8
 
 
@@ -1659,6 +1695,7 @@ FROM cand QUALIFY rank <= 10
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
         ),
+        "score_docs": _sql_score_docs(),
         "minhash_groups": _sql_minhash_groups(),
         "simhash": _sql_simhash(),
         "lang_detect": _sql_lang_detect(),
@@ -1835,6 +1872,7 @@ def build_queries() -> dict:
         "minhash_groups": q_minhash_groups,
         "simhash": q_simhash,
         "ann": q_ann,
+        "score_docs": q_score_docs,
         "emb_dups": q_emb_dups,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
