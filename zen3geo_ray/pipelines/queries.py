@@ -923,12 +923,12 @@ def q_sessions(sf_dir: str):
 
 
 def q_sliding(sf_dir: str):
-    """Sliding 3h/1h window counts per event_type (fan-out + partial
-    count)."""
-    from ..stages.windows import sliding_count
+    """Sliding 3h/1h window counts per event_type — dense path (per-unit
+    partials + prefix sums), no per-event fan-out."""
+    from ..stages.windows import sliding_count_dense
 
     ev = _read(sf_dir, "events", ["event_type", "ts"])
-    return sliding_count(
+    return sliding_count_dense(
         ev, ts_col="ts", key_col="event_type",
         size_units=SLIDE_SIZE_UNITS, unit_us=3_600_000_000,
     )

@@ -185,9 +185,20 @@ def _rmq_query(levels, a: np.ndarray, b: np.ndarray, ufunc):
     return out
 
 
-def sliding_agg_dense(ds, *, ts_col: str, key_col: str, value_col: str,
-                      size_units: int, unit_us: int, aggs: list[str],
-                      n_buckets: int = 64):
+def sliding_count_dense(ds, *, ts_col: str, key_col: str, size_units: int,
+                        unit_us: int, n_buckets: int = 64):
+    """``sliding_count`` without the per-event fan-out — the dense path
+    restricted to counts (value_col-free)."""
+    return sliding_agg_dense(
+        ds, ts_col=ts_col, key_col=key_col, value_col=None,
+        size_units=size_units, unit_us=unit_us, aggs=[],
+        n_buckets=n_buckets,
+    )
+
+
+def sliding_agg_dense(ds, *, ts_col: str, key_col: str,
+                      value_col: str | None, size_units: int, unit_us: int,
+                      aggs: list[str], n_buckets: int = 64):
     """Sliding-window VALUE aggregate WITHOUT the per-event fan-out —
     identical output to ``sliding_agg`` at any window size.
 
@@ -206,15 +217,18 @@ def sliding_agg_dense(ds, *, ts_col: str, key_col: str, value_col: str,
     bad = want - {"sum", "min", "max"}
     if bad:
         raise ValueError(f"unsupported aggs {sorted(bad)}")
+    if want and value_col is None:
+        raise ValueError("value aggs need value_col")
     size = int(size_units)
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
         u = ts_to_unit(ts, unit_us)
-        v = batch.column(value_col).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
-                           "_u": u, "_v": v})
-        spec = {"n": ("_v", "size")}
+                           "_u": u})
+        if value_col is not None:
+            df["_v"] = batch.column(value_col).to_numpy(zero_copy_only=False)
+        spec = {"n": ("_u", "size")}
         if "sum" in want:
             spec["s"] = ("_v", "sum")
         if "min" in want:
