@@ -142,6 +142,106 @@ def frame_sample(batch: pa.Table, *, every_n: int,
     return batch.filter(pa.array(idx % every_n == 0))
 
 
+class AudioDecoder:
+    """Actor-pool map_batches fn: WAV payload -> variable-length int16
+    sample column (+ rate / n_samples / channels metadata columns).
+
+    mode='real' decodes RIFF PCM WAV via the in-engine pure-numpy codec
+    (``sources/wav.py``); mode='fake' derives a deterministic int16
+    stream from the payload hash (schema-identical, for plumbing tests).
+    Multi-channel audio is downmixed to mono by integer mean — feature
+    stages see one channel.
+    """
+
+    def __init__(self, mode: str = "real", payload_col: str = "payload",
+                 fake_len: int = 2048, fake_rate: int = 16_000):
+        if mode not in ("real", "fake"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.payload_col = payload_col
+        self.fake_len = fake_len
+        self.fake_rate = fake_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        samples, rates, chans = [], [], []
+        if self.mode == "real":
+            from ..sources.wav import read_wav
+
+            for b in payloads:
+                w = read_wav(b)
+                mono = w["samples"].astype(np.int32).mean(axis=1).astype(np.int16)
+                samples.append(mono)
+                rates.append(w["rate"])
+                chans.append(w["channels"])
+        else:
+            h = fnv1a_str_array(payloads)
+            for i in range(len(payloads)):
+                stream = splitmix64(
+                    np.arange(self.fake_len // 4 + 1, dtype=np.uint64) + h[i]
+                ).view(np.int16)[: self.fake_len]
+                samples.append(stream)
+                rates.append(self.fake_rate)
+                chans.append(1)
+        flat = (np.concatenate(samples) if samples
+                else np.empty(0, dtype=np.int16))
+        offsets = np.concatenate(
+            [[0], np.cumsum([len(s) for s in samples])]
+        ).astype(np.int32)
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int16())
+        )
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("audio", col)
+            .append_column("rate", pa.array(rates, pa.int32()))
+            .append_column("channels", pa.array(chans, pa.int32()))
+            .append_column(
+                "n_samples",
+                pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            )
+        )
+
+
+def audio_features(batch: pa.Table, *, audio_col: str = "audio") -> pa.Table:
+    """Vectorized per-clip audio features over the decoded sample column:
+    duration_s, rms, zero-crossing rate, spectral centroid (Hz, via one
+    rfft per clip) — the model-input stand-in for an audio embedding
+    stage.  Per-clip numpy kernels; the sample arrays dominate, not the
+    row loop."""
+    arr = batch.column(audio_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    rates = batch.column("rate").to_numpy(zero_copy_only=False)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = np.asarray(arr.offsets)
+    n = len(arr)
+    dur = np.empty(n)
+    rms = np.empty(n)
+    zcr = np.empty(n)
+    cent = np.empty(n)
+    for i in range(n):
+        s = flat[offs[i]:offs[i + 1]]
+        m = len(s)
+        dur[i] = m / rates[i]
+        if m == 0:
+            rms[i] = zcr[i] = cent[i] = 0.0
+            continue
+        rms[i] = np.sqrt(np.mean(s * s))
+        zcr[i] = (np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))
+                  / max(m - 1, 1))
+        spec = np.abs(np.fft.rfft(s))
+        freqs = np.fft.rfftfreq(m, d=1.0 / rates[i])
+        tot = spec.sum()
+        cent[i] = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+    return (
+        batch.append_column("duration_s", pa.array(dur, pa.float64()))
+        .append_column("rms", pa.array(rms, pa.float64()))
+        .append_column("zcr", pa.array(zcr, pa.float64()))
+        .append_column("spectral_centroid", pa.array(cent, pa.float64()))
+    )
+
+
 def image_features(batch: pa.Table) -> pa.Table:
     """Cheap vectorized features from the tensor column (mean/std per
     channel) — the stand-in for a real embedding model stage."""
