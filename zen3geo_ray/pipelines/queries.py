@@ -510,12 +510,15 @@ def q_score_docs(sf_dir: str):
     integer quantization makes the whole inference run oracle-exact."""
     import ray
 
-    from ..stages.scoring import make_linear_model, score_embeddings
+    from ..stages.scoring import make_linear_model, make_scorer_fn
 
     model = make_linear_model(SCORE_CLASSES, SCORE_DIM)
     ref = ray.put(model) if ray.is_initialized() else model
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return score_embeddings(emb, ref, batch_size=1024, concurrency=2)
+    # task form with per-worker memoized model: no actor-pool spin-up on
+    # a small CPU model (score_embeddings is the GPU/actor-pool shape)
+    return emb.map_batches(make_scorer_fn(ref), batch_format="pyarrow",
+                           batch_size=1024)
 
 
 def _sql_score_docs() -> str:

@@ -76,6 +76,27 @@ class BatchScorer:
         )
 
 
+def make_scorer_fn(model_ref, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Task-form scorer with a per-worker-process memoized model — the
+    stateless twin of ``score_embeddings`` (same output, no actor-pool
+    reservation: tasks share CPUs elastically with the read; right for
+    small/CPU models, while the actor pool + num_gpus form is right when
+    the model load is heavy or needs an accelerator)."""
+    from .join import _PROCESS_CACHE
+
+    key = ("scorer", str(model_ref), id_col, vec_col)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        s = _PROCESS_CACHE.get(key)
+        if s is None:
+            s = BatchScorer(model_ref, id_col=id_col, vec_col=vec_col)
+            _PROCESS_CACHE[key] = s
+        return s(batch)
+
+    return score_batch
+
+
 def score_embeddings(ds, model_blob_or_ref, *, id_col: str = "vec_id",
                      vec_col: str = "embedding", batch_size: int = 1024,
                      concurrency=2, num_gpus: float = 0):
