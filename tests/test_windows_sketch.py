@@ -128,3 +128,40 @@ def test_rmq_levels_and_query():
         got = windows._rmq_query(levels, a, b, ufunc)
         exp = np.array([ufunc.reduce(arr[x:y + 1]) for x, y in zip(a, b)])
         assert np.array_equal(got, exp)
+
+
+def test_approx_top_k_bounds_and_exact_case(ray_session):
+    """Bounded-capacity heavy hitters: (a) true counts sit inside the
+    reported [n_lo, n_hi] for every reported key; (b) heavy skew keeps
+    the true top keys in the report; (c) with capacity >= block distinct
+    the result equals the exact GROUP BY top-k."""
+    from zen3geo_ray.stages.sketch import approx_top_k
+
+    rng = np.random.default_rng(13)
+    # zipf-ish skew over 500 keys
+    keys = rng.zipf(1.5, 20_000) % 500
+    tbl = pa.table({"k": pa.array(keys.astype(np.int64))})
+    truth = pd.Series(keys).value_counts()
+
+    # bounded capacity: approximation with valid bounds
+    out = approx_top_k(
+        rd.from_arrow(tbl).repartition(8), "k", k=10, capacity=50
+    ).to_pandas()
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        t = int(truth.get(int(r["k"]), 0))
+        assert r["n_lo"] <= t <= r["n_hi"], (r.tolist(), t)
+    top_true = set(truth.index[:3].astype(int))
+    assert top_true <= set(out["k"].astype(int))
+
+    # generous capacity: exact — equals GROUP BY count top-k
+    exact = approx_top_k(
+        rd.from_arrow(tbl).repartition(8), "k", k=10, capacity=4096
+    ).to_pandas()
+    expect = (
+        truth.rename_axis("k").reset_index(name="n")
+        .sort_values(["n", "k"], ascending=[False, True]).head(10)
+    )
+    assert exact["k"].astype(int).tolist() == expect["k"].astype(int).tolist()
+    assert exact["n_lo"].tolist() == expect["n"].tolist()
+    assert (exact["n_lo"] == exact["n_hi"]).all()

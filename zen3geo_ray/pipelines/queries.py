@@ -1033,6 +1033,18 @@ def q_distinct_users(sf_dir: str):
     return counted.groupby("event_type").aggregate(Sum("one", alias_name="n_users"))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Approximate top-k by count via bounded per-block summaries (the
+    space-saving shape: distinct keys never materialize).  At this
+    capacity nothing truncates, so n_lo == n_hi == the exact count and
+    the SQL oracle matches bit-for-bit; the bounded-capacity error
+    guarantee is unit-tested separately."""
+    from ..stages.sketch import approx_top_k
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return approx_top_k(ev, "user_id", k=10, capacity=8192)
+
+
 def q_prepost(sf_dir: str):
     """Pre/post-event split (docs/stacking.md:468-487 analog): tag each
     event against a cutoff, count per (event_type, phase)."""
@@ -1810,6 +1822,11 @@ GROUP BY e.user_id, w.win
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"
         ),
+        "heavy_hitters": (
+            "SELECT user_id, COUNT(*) AS n_lo, COUNT(*) AS n_hi "
+            "FROM events GROUP BY user_id "
+            "ORDER BY n_hi DESC, user_id LIMIT 10"
+        ),
         "parse_props": (
             "SELECT event_type, COUNT(*) AS n, "
             "CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) "
@@ -1891,6 +1908,7 @@ def build_queries() -> dict:
         "sample": q_sample,
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
+        "heavy_hitters": q_heavy_hitters,
         "prepost": q_prepost,
         "parse_props": q_parse_props,
         "sessions": q_sessions,

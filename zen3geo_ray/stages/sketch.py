@@ -109,3 +109,104 @@ def approx_distinct(ds, key_cols: list[str], value_col: str):
     from .bucketed import bucketed_groupby
 
     return bucketed_groupby(partials, key_cols, lambda g: merge(g).to_pandas())
+
+
+# --- approximate heavy hitters (space-saving-style block summaries) --------
+
+
+def topk_block_summary(batch: pa.Table, key_col: str,
+                       capacity: int) -> pa.Table:
+    """Per-block heavy-hitter partial: exact within-block counts,
+    truncated to the ``capacity`` most frequent keys; ``thr`` = the
+    largest DROPPED count (0 when nothing dropped — then the block
+    summary is exact).  One extra META row (is_meta=1) per block carries
+    the block's threshold to the merge."""
+    keys = batch.column(key_col)
+    counts = pa.table({key_col: keys}).group_by(key_col).aggregate(
+        [(key_col, "count")]
+    )
+    cnt = counts.column(f"{key_col}_count").to_numpy(zero_copy_only=False)
+    order = np.argsort(-cnt, kind="stable")
+    kept = order[:capacity]
+    thr = int(cnt[order[capacity]]) if len(order) > capacity else 0
+    n = len(kept)
+    kept_keys = counts.column(key_col).take(pa.array(kept))
+    key_type = kept_keys.type
+    return pa.table({
+        key_col: pa.concat_arrays(
+            [kept_keys.combine_chunks(), pa.nulls(1, key_type)]
+        ),
+        "cnt": pa.array(np.concatenate([cnt[kept], [0]]), pa.int64()),
+        "thr": pa.array(
+            np.concatenate([np.full(n, thr, dtype=np.int64), [thr]]),
+            pa.int64(),
+        ),
+        "is_meta": pa.array(
+            np.concatenate([np.zeros(n, dtype=np.int8), [1]]), pa.int8()
+        ),
+    })
+
+
+def approx_top_k(ds, key_col: str, k: int, capacity: int = 4096,
+                 n_buckets: int = 64):
+    """Distributed approximate top-k by count with DETERMINISTIC bounds.
+
+    Per-block summaries keep only ``capacity`` counters (bounded state —
+    the space-saving shape: at 100 TB the distinct-key set never
+    materializes); the merge derives, for every surviving key,
+    ``n_lo`` = sum of its present counts (a LOWER bound on the true
+    count) and ``n_hi`` = n_lo + sum of the thresholds of blocks where
+    the key was truncated (an UPPER bound).  Top-k is taken by ``n_hi``
+    (desc, key asc) — a superset guarantee: any key whose true count
+    beats the k-th upper bound is present.  When ``capacity`` >= the
+    per-block distinct-key count every thr is 0, n_lo == n_hi == exact,
+    and the result equals the exact GROUP BY top-k (the oracle case).
+    """
+    import pyarrow.compute as pc
+
+    from .bucketed import bucketed_groupby
+
+    parts = ds.map_batches(
+        lambda b: topk_block_summary(b, key_col, capacity),
+        batch_format="pyarrow",
+    ).materialize()  # bounded: blocks x capacity rows; consumed twice
+    # total threshold over blocks: sum of the one meta row per block
+    meta = parts.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_meta"), pa.scalar(1, pa.int8()))),
+        batch_format="pyarrow",
+    )
+    thr_total = int(meta.sum("thr") or 0)
+    data = parts.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("is_meta"), pa.scalar(0, pa.int8()))
+        ).drop_columns(["is_meta"]),
+        batch_format="pyarrow",
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(key_col, sort=False).agg(
+            n_lo=("cnt", "sum"), thr_present=("thr", "sum")
+        ).reset_index()
+        agg["n_hi"] = agg["n_lo"] + (thr_total - agg["thr_present"])
+        return agg[[key_col, "n_lo", "n_hi"]]
+
+    merged = bucketed_groupby(data, [key_col], combine, n_buckets=n_buckets)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_hi", key_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g
+
+    # final top-k over the (bounded) merged summary
+    out = merged.map_batches(
+        lambda b: pa.Table.from_pandas(
+            topk(b.to_pandas()), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    ).repartition(1)
+    return out.map_batches(
+        lambda b: pa.Table.from_pandas(
+            topk(b.to_pandas()), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
