@@ -203,6 +203,61 @@ class AudioDecoder:
         )
 
 
+class VideoFrameExtractor:
+    """Actor-pool flat-map: one video payload row -> one row PER FRAME.
+
+    mode='real' walks MJPEG AVI containers (``sources/avi.py``) and
+    emits each frame's JPEG bytes as a new ``payload`` — so the video
+    pipeline composes from existing stages: ``VideoFrameExtractor ->
+    frame_sample(every_n) -> ImageDecoder(mode='real') -> resize /
+    features``, all real decodes.  mode='fake' fabricates ``fake_frames``
+    deterministic payload rows per video for plumbing tests.  Carry-over
+    columns are repeated per frame; adds ``frame_idx`` and ``fps``.
+    """
+
+    def __init__(self, mode: str = "real", payload_col: str = "payload",
+                 fake_frames: int = 8):
+        if mode not in ("real", "fake"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.payload_col = payload_col
+        self.fake_frames = fake_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        frames, idxs, fps_out, rep = [], [], [], []
+        if self.mode == "real":
+            from ..sources.avi import read_avi_mjpeg
+
+            for ri, b in enumerate(payloads):
+                v = read_avi_mjpeg(b)
+                frames.extend(v["frames"])
+                idxs.extend(range(v["n_frames"]))
+                fps_out.extend([v["fps"]] * v["n_frames"])
+                rep.extend([ri] * v["n_frames"])
+        else:
+            h = fnv1a_str_array(payloads)
+            for ri in range(len(payloads)):
+                for fi in range(self.fake_frames):
+                    frames.append(
+                        splitmix64(
+                            np.arange(8, dtype=np.uint64)
+                            + h[ri] + np.uint64(fi)
+                        ).tobytes()
+                    )
+                    idxs.append(fi)
+                    fps_out.append(0)
+                    rep.append(ri)
+        out = batch.drop_columns([self.payload_col]).take(pa.array(rep))
+        return (
+            out.append_column("frame_idx",
+                              pa.array(np.asarray(idxs, np.int64), pa.int64()))
+            .append_column("fps", pa.array(np.asarray(fps_out, np.int32),
+                                           pa.int32()))
+            .append_column(self.payload_col, pa.array(frames, pa.binary()))
+        )
+
+
 def audio_features(batch: pa.Table, *, audio_col: str = "audio") -> pa.Table:
     """Vectorized per-clip audio features over the decoded sample column:
     duration_s, rms, zero-crossing rate, spectral centroid (Hz, via one
