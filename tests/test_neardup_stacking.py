@@ -150,3 +150,23 @@ def test_embedding_near_dup_groups(ray_session):
     g = dict(zip(out["vec_id"], out["dup_group"]))
     assert g[0] == g[1] == g[4] == 0
     assert g[2] == 2 and g[3] == 3
+
+
+def test_lsh_group_labels_pointer_jump_long_chain(ray_session):
+    """A chain whose diameter EXCEEDS max_rounds must still reach the
+    full transitive closure via the pointer-jumping fallback (diameter
+    halves per jump), never return partial groups."""
+    from zen3geo_ray.stages.dedup import lsh_group_labels
+
+    n = 24  # chain 0-1-...-23; diameter 23 >> max_rounds=3
+    ids, bands_, hashes = [], [], []
+    for k in range(n - 1):  # bucket k links docs k and k+1
+        ids += [k, k + 1]
+        bands_ += [0, 0]
+        hashes += [1000 + k, 1000 + k]
+    bands = pa.table({"doc_id": ids, "band_id": bands_, "band_hash": hashes})
+    out = lsh_group_labels(
+        rd.from_arrow(bands), id_col="doc_id", max_rounds=3
+    ).to_pandas()
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert all(g[i] == 0 for i in range(n)), g

@@ -278,19 +278,60 @@ def lsh_group_labels(bands_ds, *, id_col: str, max_rounds: int = 50,
             break
         prev_sum = new_sum
     if not converged:
-        # a component with diameter > max_rounds would return labels that
-        # are NOT its transitive closure — surface it loudly instead of
-        # silently handing back non-converged groups (oracle parity
-        # depends on the fixpoint having been reached)
-        import warnings
+        # one-hop propagation didn't reach the fixpoint (component
+        # diameter > max_rounds).  Fall back to POINTER JUMPING: replace
+        # each row's label g by label_of_doc(g) (labels are doc ids, so
+        # the current label table doubles as the parent map) — chain
+        # depth HALVES per jump, so convergence is log(diameter)-bounded
+        # instead of diameter-bounded.  Costs one extra bucketed join
+        # per jump and only runs on pathological chains.
+        from .hashjoin import bucketed_join
 
-        warnings.warn(
-            f"lsh_group_labels: min-label propagation did not reach its "
-            f"fixpoint within max_rounds={max_rounds}; dup groups may be "
-            f"incomplete connected components — raise max_rounds",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        for _ in range(64):  # 2^64 exceeds any possible diameter
+            parent = bucketed_groupby(
+                tagged, [id_col],
+                lambda g: (
+                    g.drop_duplicates(id_col)[[id_col, "dup_group"]]
+                    .rename(columns={id_col: "dup_group",
+                                     "dup_group": "__parent"})
+                ),
+                n_buckets=n_buckets,
+            )
+            jumped = bucketed_join(
+                tagged, parent, ["dup_group"], how="inner",
+                n_buckets=n_buckets,
+            )
+            tagged = jumped.map_batches(
+                lambda b: pa.table(
+                    {
+                        id_col: b.column(id_col),
+                        "band_id": b.column("band_id"),
+                        "band_hash": b.column("band_hash"),
+                        "dup_group": b.column("__parent"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            # re-run one propagation round after the jump so bucket
+            # edges see the shortened chains
+            a = bucketed_groupby(
+                tagged, ["band_id", "band_hash"],
+                bucket_min(["band_id", "band_hash"]), n_buckets=n_buckets,
+            )
+            tagged = bucketed_groupby(
+                a, [id_col], bucket_min([id_col]), n_buckets=n_buckets
+            ).materialize()
+            new_sum = tagged.sum("dup_group", ignore_nulls=False)
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+        if not converged:
+            raise RuntimeError(
+                "lsh_group_labels failed to converge even under pointer "
+                "jumping — this should be impossible; check for label "
+                "corruption upstream"
+            )
 
     def one_per_doc(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(id_col)[[id_col, "dup_group"]]
