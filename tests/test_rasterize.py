@@ -212,3 +212,39 @@ def test_moment_rasters_scale_path_matches_dense(ray_session):
                            weights=w.astype(np.float64), agg="mean")[::-1]
     bn = np.isnan(grid) & np.isnan(exp)
     assert (bn | np.isclose(grid, exp, rtol=1e-12)).all()
+
+
+def test_first_last_rasters_match_pandas(ray_session):
+    """Per-pixel first/last winners (explicit order key) == a pandas
+    groupby idxmin/idxmax reference."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    df = pd.DataFrame({
+        "lon": rng.uniform(1, 8, n),
+        "lat": rng.uniform(0, 5, n),
+        "ord": rng.permutation(n).astype(np.int64),
+        "val": rng.integers(0, 100, n).astype(np.int64),
+        "tile_id": np.zeros(n, dtype=np.int64),
+    })
+    specs = {0: dict(width=14, height=10, xmin=1.0, ymin=0.0, xmax=8.0, ymax=5.0)}
+    for agg, keep in (("first", "first"), ("last", "last")):
+        got = rz.first_last_rasters(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(5), specs,
+            order_cols=["ord"], keep_cols=["val"], agg=agg,
+        ).to_pandas().sort_values(["py", "px"]).reset_index(drop=True)
+        ref = df.copy()
+        ix = rz._bin(ref["lon"].to_numpy(), 1, 8, 14)
+        iy = rz._bin(ref["lat"].to_numpy(), 0, 5, 10)
+        ref["py"] = 10 - 1 - iy
+        ref["px"] = ix
+        exp = (
+            ref.sort_values("ord", kind="mergesort")
+            .drop_duplicates(["py", "px"], keep=keep)
+            .sort_values(["py", "px"]).reset_index(drop=True)
+        )
+        assert got["val"].tolist() == exp["val"].tolist(), agg
+        assert got["ord"].tolist() == exp["ord"].tolist(), agg

@@ -266,6 +266,52 @@ def q_raster_stats(sf_dir: str):
     return rz.moment_rasters(tiled, specs, value_col="n_chars")
 
 
+def q_raster_first(sf_dir: str):
+    """datashader ``first`` reduction with an explicit order key: per
+    touched pixel, the doc_id-first document's n_chars — per-batch
+    winners then one bucketed pixel reduce (winner rows shuffle, not
+    points)."""
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["n_chars"])
+    specs = _tile_specs()
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    out = rz.first_last_rasters(
+        tiled, specs, order_cols=["doc_id"], keep_cols=["n_chars"],
+        agg="first",
+    )
+    return out.map_batches(
+        lambda b: b.select(["tile_id", "py", "px", "doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_raster_first() -> str:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    ix = f"LEAST(GREATEST(CAST(FLOOR((lon - -180.0) / 360.0 * {TILE_NX}) AS BIGINT), 0), {TILE_NX - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR((lat - -90.0) / 180.0 * {TILE_NY}) AS BIGINT), 0), {TILE_NY - 1})"
+    px = f"CAST(FLOOR((lon - (-180.0 + ix * {tw!r})) / {tw!r} * {TILE_PX}) AS BIGINT)"
+    gy = f"CAST(FLOOR((lat - (-90.0 + iy * {th!r})) / {th!r} * {TILE_PX}) AS BIGINT)"
+    return f"""
+{_sql_geo_cte(RES_ZONAL, ', n_chars')},
+tiled AS (SELECT doc_id, n_chars, lon, lat, {ix} AS ix, {iy} AS iy FROM geo),
+binned AS (
+  SELECT doc_id, n_chars,
+         iy * {TILE_NX} + ix AS tile_id,
+         {TILE_PX} - 1 - {gy} AS py,
+         {px} AS px
+  FROM tiled
+)
+SELECT tile_id, py, px, doc_id, n_chars FROM binned
+QUALIFY ROW_NUMBER() OVER (PARTITION BY tile_id, py, px ORDER BY doc_id) = 1
+"""
+
+
 # --- multi-resolution rollup (docs/multi-resolution.md analog) ------------
 
 RES_COARSE = 2
@@ -1625,6 +1671,7 @@ FROM g,
 """,
         "rasterize": _sql_rasterize(),
         "raster_stats": _sql_raster_stats(),
+        "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
@@ -1880,6 +1927,7 @@ def build_queries() -> dict:
         "chips": q_chips,
         "rasterize": q_rasterize,
         "raster_stats": q_raster_stats,
+        "raster_first": q_raster_first,
         "r2v": q_r2v,
         "dedup_docs": q_dedup_docs,
         "first_event": q_first_event,

@@ -497,6 +497,70 @@ def finalize_moments(batch: pa.Table) -> pa.Table:
     })
 
 
+def pixel_bin_batch(batch: pa.Table, *, tile_specs: dict, lon_col="lon",
+                    lat_col="lat") -> pa.Table:
+    """map_batches fn: add (py, px) pixel coordinates (N-up) for each
+    row's tile — the shared binning step for per-pixel keyed reductions
+    (first/last, argmin-style winners).  Out-of-grid rows are dropped."""
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    tids = batch.column("tile_id").to_numpy(zero_copy_only=False)
+    py = np.full(len(batch), -1, dtype=np.int64)
+    px = np.full(len(batch), -1, dtype=np.int64)
+    for tid in np.unique(tids):
+        if tid < 0 or int(tid) not in tile_specs:
+            continue
+        spec = tile_specs[int(tid)]
+        sel = tids == tid
+        W, H = spec["width"], spec["height"]
+        ix = _bin(lon[sel], spec["xmin"], spec["xmax"], W)
+        iy = _bin(lat[sel], spec["ymin"], spec["ymax"], H)
+        py[sel] = H - 1 - iy
+        px[sel] = ix
+    out = batch.append_column("py", pa.array(py)).append_column(
+        "px", pa.array(px)
+    )
+    return out.filter(pa.array(py >= 0))
+
+
+def first_last_rasters(points_ds, tile_specs: dict, *, order_cols: list[str],
+                       keep_cols: list[str], agg: str = "first",
+                       lon_col="lon", lat_col="lat", n_buckets: int = 64):
+    """datashader ``first``/``last`` reductions with an EXPLICIT order
+    key (data order is meaningless distributed — pass a unique order
+    column, e.g. [ts, id], for a deterministic winner).
+
+    Scale shape: per-batch pre-reduction (one winner per touched pixel
+    per batch — associative) then ONE coarse-bucket keyed reduce over
+    pixels; only per-pixel winner rows shuffle, never raw points.
+    Output: one row per touched pixel with (tile_id, py, px) +
+    ``keep_cols`` of the winning row.
+    """
+    if agg not in ("first", "last"):
+        raise ValueError(agg)
+    from .bucketed import bucketed_groupby
+
+    pix = ["tile_id", "py", "px"]
+    keep = agg  # pandas drop_duplicates keep= matches first/last
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(order_cols, kind="mergesort").drop_duplicates(
+            pix, keep=keep
+        )
+        return out[pix + order_cols
+                   + [c for c in keep_cols if c not in order_cols]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        binned = pixel_bin_batch(batch, tile_specs=tile_specs,
+                                 lon_col=lon_col, lat_col=lat_col)
+        return pa.Table.from_pandas(
+            winner(binned.to_pandas()), preserve_index=False
+        )
+
+    parts = points_ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby(parts, pix, winner, n_buckets=n_buckets)
+
+
 def moment_rasters(points_ds, tile_specs: dict, *, value_col: str,
                    lon_col="lon", lat_col="lat"):
     """Scale path for mean/var/std rasters: partial moments inside
