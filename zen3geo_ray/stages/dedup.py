@@ -501,16 +501,32 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
             keep = cos[ii, jj] >= threshold
             if not keep.any():
                 continue
-            a, b_ = gi[ii[keep]], gi[jj[keep]]
-            # exact (a<b) pair key over the full id<2^32 range: high 32
-            # bits = min id, low 32 = max id (int64 view; the self keys
-            # -id-1 live in [-2^32, -1], disjoint from any packed pair)
-            key = (
-                (np.minimum(a, b_).astype(np.uint64) << np.uint64(32))
-                | np.maximum(a, b_).astype(np.uint64)
-            ).view(np.int64)
-            ids_out.extend([a, b_])
-            keys_out.extend([key, key])
+            # collapse the WITHIN-bucket components locally (union-find)
+            # and emit one STAR edge per member — same transitive
+            # closure as raw pair edges, but the global fixpoint then
+            # only has to stitch components ACROSS buckets (fewer
+            # label-propagation rounds)
+            parent = np.arange(len(gi))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for x, y in zip(ii[keep], jj[keep]):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            roots = np.array([find(x) for x in range(len(gi))])
+            touched = np.isin(np.arange(len(gi)),
+                              np.concatenate([ii[keep], jj[keep]]))
+            mem = np.flatnonzero(touched)
+            # star key: the component root's id (negative space shifted
+            # clear of self keys by -2^33 offset; exact for id < 2^32)
+            key = -(gi[roots[mem]].astype(np.int64)) - (1 << 33)
+            ids_out.append(gi[mem])
+            keys_out.append(key)
         return pd.DataFrame(
             {
                 id_col: np.concatenate(ids_out),
