@@ -238,3 +238,30 @@ def test_text_extractor_check_catches_mismatch():
     )
     with pytest.raises(AssertionError, match="text mismatch"):
         extract.TextExtractor(check=True)(bad)
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    """Exact discrete quantiles (DuckDB quantile_disc convention:
+    idx = max(ceil(q*n)-1, 0)) vs a direct sorted-array reference,
+    including singleton and even/odd group sizes."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.zonal import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 7, 5000)
+    vals = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    keys[0] = 99  # singleton group
+    tbl = pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals)})
+    qs = [0.25, 0.5, 0.75, 0.9]
+    out = grouped_quantiles(
+        rd.from_arrow(tbl).repartition(6), ["k"], "v", qs=qs
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for _, r in out.iterrows():
+        sv = np.sort(df[df.k == r["k"]]["v"].to_numpy())
+        for q in qs:
+            idx = max(int(np.ceil(q * len(sv))) - 1, 0)
+            assert r[f"p{int(q * 100)}"] == sv[idx], (r["k"], q)

@@ -902,6 +902,26 @@ def q_median_price(sf_dir: str):
     )
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed discrete quantiles (p25/p50/p75/p90) per
+    priority — grouped_median generalized to any quantile list; the
+    shuffle still moves one row per distinct (priority, cents)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "p_cents": pa.array(c, pa.int64())})
+
+    return zonal.grouped_quantiles(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"], "p_cents", qs=[0.25, 0.5, 0.75, 0.9],
+        n_buckets=8,
+    )
+
+
 def q_rollup(sf_dir: str):
     """GROUPING SETS rollup ((flag, status), (flag), ()) — three partial→
     final aggregates sharing one pass shape, null-filled subtotal keys."""
@@ -1780,6 +1800,14 @@ FROM cand QUALIFY rank <= 10
             "MEDIAN(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))::DOUBLE "
             "AS median FROM orders GROUP BY o_orderpriority"
         ),
+        "quantiles": (
+            "WITH c AS (SELECT o_orderpriority, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v FROM orders) "
+            "SELECT o_orderpriority, "
+            "quantile_disc(v, 0.25) AS p25, quantile_disc(v, 0.5) AS p50, "
+            "quantile_disc(v, 0.75) AS p75, quantile_disc(v, 0.9) AS p90 "
+            "FROM c GROUP BY o_orderpriority"
+        ),
         "rollup": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
@@ -1949,6 +1977,7 @@ def build_queries() -> dict:
         "top_per_group": q_top_per_group,
         "rollup": q_rollup,
         "median_price": q_median_price,
+        "quantiles": q_quantiles,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,

@@ -108,6 +108,53 @@ def topk_cells(ds, keys: list[str], k: int, by: str = "n"):
     return counted.sort(by, descending=True).limit(k)
 
 
+def grouped_quantiles(ds, key_cols: list[str], value_col: str,
+                      qs: list[float], n_buckets: int = 32):
+    """EXACT per-group discrete quantiles of an integer column — the
+    generalization of ``grouped_median`` to any quantile list.
+
+    Same scale shape: per-batch (key, value, n) combiner, the groupby
+    moves one row per DISTINCT (key, value) (bounded by the value
+    domain, not rows), and each quantile is read off the cumulative
+    histogram at index ``max(ceil(q*total) - 1, 0)`` — DuckDB's
+    ``quantile_disc`` convention (verified empirically), so the oracle
+    matches value-for-value with NO float arithmetic beyond the q*total
+    product both sides compute identically.  Output columns ``p{q*100}``
+    (e.g. p25, p50, p75).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(key_cols + [value_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(key_cols + [value_col, "_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    labels = [f"p{int(round(q * 100))}" for q in qs]
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(key_cols + [value_col], sort=False)["_n"].sum()
+            .reset_index()
+            .sort_values(key_cols + [value_col], kind="mergesort")
+        )
+        out_rows = []
+        for key, grp in g.groupby(key_cols, sort=False):
+            v = grp[value_col].to_numpy()
+            c = np.cumsum(grp["_n"].to_numpy())
+            total = int(c[-1])
+            row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            for q, lab in zip(qs, labels):
+                k = max(int(np.ceil(q * total)) - 1, 0)
+                row[lab] = int(v[int(np.searchsorted(c, k + 1))])
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
+
+
 def grouped_median(ds, key_cols: list[str], value_col: str,
                    n_buckets: int = 32):
     """EXACT per-group median of an integer column — the holistic
