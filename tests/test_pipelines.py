@@ -273,3 +273,37 @@ def test_batch_scorer_inference_stage(ray_session):
     # direct-call form works without ray (blob instead of ref)
     one = BatchScorer(model)(tbl.slice(0, 10))
     assert one.num_rows == 10
+
+
+def test_resize_bilinear_properties(ray_session):
+    """Bilinear resize: flat images stay flat (interpolation exactness),
+    a 2x downscale of a checkerboard averages to mid-gray, identity
+    resize returns the image unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    flat = np.full((8, 8, 3), 200, np.uint8)
+    checker = np.zeros((8, 8, 3), np.uint8)
+    checker[::2, 1::2] = 255
+    checker[1::2, ::2] = 255
+
+    def to_tbl(img):
+        return pa.table({
+            "image": pa.FixedSizeListArray.from_arrays(
+                pa.array(img.reshape(-1), pa.uint8()), img.size
+            ),
+            "img_h": pa.array([img.shape[0]], pa.int32()),
+            "img_w": pa.array([img.shape[1]], pa.int32()),
+        })
+
+    out = mm.resize_bilinear(to_tbl(flat), out_h=5, out_w=3)
+    got = np.asarray(out.column("image")[0].as_py(), np.uint8)
+    assert (got == 200).all()
+
+    ident = mm.resize_bilinear(to_tbl(checker), out_h=8, out_w=8)
+    gi = np.asarray(ident.column("image")[0].as_py(), np.uint8).reshape(8, 8, 3)
+    assert (gi == checker).all()
+
+    half = mm.resize_bilinear(to_tbl(checker), out_h=4, out_w=4)
+    gh = np.asarray(half.column("image")[0].as_py(), np.uint8).reshape(4, 4, 3)
+    assert np.abs(gh.astype(int) - 128).max() <= 1  # 2x2 box avg of 0/255
