@@ -170,3 +170,34 @@ def test_lsh_group_labels_pointer_jump_long_chain(ray_session):
     ).to_pandas()
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert all(g[i] == 0 for i in range(n)), g
+
+
+def test_containment_catches_excerpts_jaccard_misses():
+    from zen3geo_ray.stages.dedup import ngram_containment, ngram_jaccard
+
+    long = "the quick brown fox jumps over the lazy dog " * 20
+    excerpt = long[:60]  # short excerpt fully contained in the long doc
+    j = ngram_jaccard(excerpt, long)
+    c = ngram_containment(excerpt, long)
+    assert c > 0.95          # excerpt detected
+    assert j < 0.2           # ...which jaccard would have missed
+    assert ngram_containment("", "") == 1.0
+    assert ngram_containment("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_near_dup_pipeline_containment_metric(ray_session):
+    from zen3geo_ray.stages.dedup import near_dup_pipeline
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, base[:120], "completely different content here"],
+    })
+    out = near_dup_pipeline(
+        rd.from_arrow(docs), id_col="doc_id", threshold=0.9,
+        metric="containment", n_buckets=4,
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs
+    assert "containment" in out.columns
+    assert all(out["containment"] >= 0.9)

@@ -601,6 +601,69 @@ def q_near_dup(sf_dir: str):
     )
 
 
+CD_TAU = 0.95
+
+
+def q_contain_dup(sf_dir: str):
+    """Containment near-dup: |A∩B| / min(|A|,|B|) over char shingles —
+    catches excerpt/substring duplication that Jaccard misses (a short
+    doc fully contained in a long one has low Jaccard but containment
+    1.0).  Same distributed LSH-candidates → bucketed-text-joins →
+    vectorized-verify plan as near_dup."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
+    return dedup.near_dup_pipeline(
+        docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS,
+        shingle_k=MH_K, k=ND_CHAR_K, threshold=CD_TAU, n_buckets=16,
+        metric="containment",
+    )
+
+
+def _sql_verify_ctes() -> str:
+    """Shared candidate-pair + char-shingle CTEs for the near-dup verify
+    oracles (pairs from minhash band buckets, distinct codepoint
+    shingles per doc)."""
+    return f""",
+minb AS (
+  SELECT band_id, bh, MIN(doc_id) AS a FROM bands GROUP BY band_id, bh
+),
+cpairs AS (
+  SELECT DISTINCT m.a, b2.doc_id AS b
+  FROM bands b2 JOIN minb m ON b2.band_id = m.band_id AND b2.bh = m.bh
+  WHERE b2.doc_id <> m.a
+),
+cps AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text)+1),
+                        i -> unicode(text[i])::HUGEINT) AS cp
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(greatest(len(cp)-{ND_CHAR_K}+1, 1)), i ->
+      list_reduce(list_prepend({_SQL_H0},
+                               cp[i+1 : least(i+{ND_CHAR_K}, len(cp))]),
+        (h, c) -> (h * {_SQL_P} + c) % {_SQL_M}))) AS shs
+  FROM cps
+)
+"""
+
+
+def _sql_contain_dup() -> str:
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + _sql_verify_ctes()
+        + f""",
+ver AS (
+  SELECT p.a, p.b,
+    CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+    CAST(LEAST(len(x.shs), len(y.shs)) AS DOUBLE) AS containment
+  FROM cpairs p
+  JOIN csh x ON x.doc_id = p.a
+  JOIN csh y ON y.doc_id = p.b
+)
+SELECT a, b, containment FROM ver WHERE containment >= {CD_TAU}
+""")
+
+
 def _sql_near_dup() -> str:
     """Candidate pairs from the minhash band buckets (min-doc anchor per
     bucket) + exact distinct-codepoint-shingle Jaccard — mirrors
@@ -1097,6 +1160,20 @@ def q_distinct_users(sf_dir: str):
         batch_format="pyarrow",
     )
     return counted.groupby("event_type").aggregate(Sum("one", alias_name="n_users"))
+
+
+STRAT_N = 20
+
+
+def q_strat_sample(sf_dir: str):
+    """Stratified sampling: exactly min(20, |stratum|) events per
+    event_type, deterministic hash ranking — per-batch local top-n
+    pre-prune, one bucketed reduce; at most n rows per (key, batch)
+    ever shuffle."""
+    from ..stages.partition import stratified_sample
+
+    ev = _read(sf_dir, "events", ["event_type", "event_id"])
+    return stratified_sample(ev, ["event_type"], STRAT_N, "event_id")
 
 
 def q_heavy_hitters(sf_dir: str):
@@ -1784,6 +1861,7 @@ FROM cand QUALIFY rank <= 10
         "emb_dups": _sql_emb_dups(),
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
+        "contain_dup": _sql_contain_dup(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -1897,6 +1975,13 @@ GROUP BY e.user_id, w.win
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"
         ),
+        "strat_sample": (
+            f"SELECT event_type, event_id FROM ("
+            f"SELECT event_type, event_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY event_type ORDER BY "
+            f"{hashing.sql_knuth_expr('event_id')}, event_id) AS rn "
+            f"FROM events) WHERE rn <= {STRAT_N}"
+        ),
         "heavy_hitters": (
             "SELECT user_id, COUNT(*) AS n_lo, COUNT(*) AS n_hi "
             "FROM events GROUP BY user_id "
@@ -1986,6 +2071,7 @@ def build_queries() -> dict:
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
+        "strat_sample": q_strat_sample,
         "prepost": q_prepost,
         "parse_props": q_parse_props,
         "sessions": q_sessions,
@@ -1998,4 +2084,5 @@ def build_queries() -> dict:
         "sliding_big": q_sliding_big,
         "curate": q_curate,
         "near_dup": q_near_dup,
+        "contain_dup": q_contain_dup,
     }

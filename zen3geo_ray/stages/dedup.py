@@ -571,27 +571,43 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def ngram_containment(a: str, b: str, k: int = 5) -> float:
+    """Exact k-char-shingle CONTAINMENT: |A ∩ B| / min(|A|, |B|) — near
+    1.0 when the shorter text is (almost) a substring/excerpt of the
+    longer one, even when their Jaccard is low.  The excerpt-dup metric
+    Jaccard misses."""
+    sa = _shingle_hashes(a or "", k)
+    sb = _shingle_hashes(b or "", k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / min(len(sa), len(sb))
+
+
 def verify_text_pairs(batch: pa.Table, *, a_text: str = "text_a",
                       b_text: str = "text_b", k: int = 5,
-                      threshold: float = 0.8) -> pa.Table:
+                      threshold: float = 0.8,
+                      metric: str = "jaccard") -> pa.Table:
     """map_batches fn over joined candidate rows (both texts inline):
-    exact char-shingle Jaccard filter.  The per-pair kernel is the
-    verification step itself — pair volume is already LSH-pruned."""
+    exact char-shingle similarity filter (``metric``: 'jaccard' |
+    'containment').  The per-pair kernel is the verification step
+    itself — pair volume is already LSH-pruned."""
+    fn = {"jaccard": ngram_jaccard, "containment": ngram_containment}[metric]
     ta = batch.column(a_text).to_pylist()
     tb = batch.column(b_text).to_pylist()
     sim = np.fromiter(
-        (ngram_jaccard(x, y, k) for x, y in zip(ta, tb)),
+        (fn(x, y, k) for x, y in zip(ta, tb)),
         dtype=np.float64, count=len(ta),
     )
     out = batch.drop_columns([a_text, b_text])
-    out = out.append_column("jaccard", pa.array(sim, pa.float64()))
+    out = out.append_column(metric, pa.array(sim, pa.float64()))
     return out.filter(pa.array(sim >= threshold))
 
 
 def near_dup_pipeline(docs_ds, *, id_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 5,
                       shingle_k: int = 3, threshold: float = 0.8,
-                      n_buckets: int = 64):
+                      n_buckets: int = 64, metric: str = "jaccard"):
     """End-to-end near-dup: LSH candidate pairs → exact Jaccard verify →
     verified (a, b, jaccard) pairs — fully distributed.
 
@@ -630,7 +646,7 @@ def near_dup_pipeline(docs_ds, *, id_col: str, text_col: str = "text",
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      metric: pa.array([], pa.float64())})
         )
 
     texts_a = docs_ds.map_batches(
@@ -644,7 +660,8 @@ def near_dup_pipeline(docs_ds, *, id_col: str, text_col: str = "text",
     j1 = bucketed_join(pairs, texts_a, ["a"], how="inner", n_buckets=n_buckets)
     j2 = bucketed_join(j1, texts_b, ["b"], how="inner", n_buckets=n_buckets)
     return j2.map_batches(
-        lambda b: verify_text_pairs(b, k=k, threshold=threshold),
+        lambda b: verify_text_pairs(b, k=k, threshold=threshold,
+                                    metric=metric),
         batch_format="pyarrow",
     )
 

@@ -112,3 +112,40 @@ def range_partition_by_morton(ds, num_partitions: int, res: int = 16,
         return batch.append_column("partition", pa.array(p.astype(np.int64)))
 
     return with_m.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key_cols: list[str], n_per_key: int, id_col: str,
+                      mult: int | None = None, n_buckets: int = 64):
+    """Exactly ``min(n_per_key, |stratum|)`` rows per key, chosen
+    DETERMINISTICALLY: rows rank within their stratum by
+    ``(knuth_hash(id), id)`` and the first n win — a uniform without-
+    replacement sample reproducible across runs and partitionings, and
+    restatable in SQL (ROW_NUMBER over the same hash expression).
+
+    Scale shape: each batch pre-prunes to its LOCAL top-n per key (the
+    rank is associative), so the shuffle moves at most n rows per
+    (key, batch) — never the stratum; one coarse-bucket reduce takes the
+    global top-n.  Output columns = input columns (the rank key is
+    internal).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import KNUTH_A, knuth_hash
+    from .bucketed import bucketed_groupby
+
+    mult = mult or KNUTH_A
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return df.groupby(key_cols, sort=False).head(n_per_key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b = batch.append_column("__h", pa.array(knuth_hash(ids, mult)))
+        return pa.Table.from_pandas(prune(b.to_pandas()),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_groupby(parts, key_cols, prune, n_buckets=n_buckets)
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow")
