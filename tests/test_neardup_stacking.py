@@ -175,8 +175,9 @@ def test_lsh_group_labels_pointer_jump_long_chain(ray_session):
 def test_containment_catches_excerpts_jaccard_misses():
     from zen3geo_ray.stages.dedup import ngram_containment, ngram_jaccard
 
-    long = "the quick brown fox jumps over the lazy dog " * 20
-    excerpt = long[:60]  # short excerpt fully contained in the long doc
+    # non-periodic long doc (distinct shingles everywhere), short excerpt
+    long = " ".join(f"word{i} token{i * 7 % 113}" for i in range(200))
+    excerpt = long[:60]  # fully contained in the long doc
     j = ngram_jaccard(excerpt, long)
     c = ngram_containment(excerpt, long)
     assert c > 0.95          # excerpt detected
