@@ -252,3 +252,36 @@ def test_token_count_bpe():
     out = text.token_count_bpe(["I'll go, won't you?", "", "a1b2"])
     # I |'ll| go|,| won|'t| you|? -> 8 ; "" -> 0 ; a|1|b|2 -> 4
     assert out.tolist() == [8, 0, 4]
+
+
+def test_doc_term_counts_and_vocab(ray_session):
+    """Term counting matches a direct Counter; vocabulary picks the
+    highest-df terms with unsigned-order tie-breaks."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import token_hashes_batch
+    from zen3geo_ray.stages.tfidf import build_vocabulary, doc_term_counts
+
+    texts = ["a b b c", "b c c d", "a a a", ""]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": texts})
+    out = doc_term_counts(tbl).to_pandas()
+    # reference: per-doc token hash counts
+    for di, t in enumerate(texts):
+        th, off = token_hashes_batch([t])
+        ref = collections.Counter(th.view(np.int64).tolist())
+        got = dict(zip(out[out.doc_id == di]["term"], out[out.doc_id == di]["tf"]))
+        assert got == dict(ref), di
+
+    vocab = build_vocabulary(
+        rd.from_arrow(tbl).repartition(2), top_v=2
+    ).to_pandas()
+    # df: a->2 docs, b->2, c->2, d->1; top-2 = the two of {a,b,c} with
+    # the smallest UNSIGNED hashes (the deterministic tie-break)
+    th_abcd = token_hashes_batch(["a b c d"])[0]
+    tied = sorted(th_abcd[:3].tolist())[:2]  # uint64 order
+    assert sorted(np.asarray(vocab["term"]).view(np.uint64).tolist()) == tied
+    assert vocab["df"].tolist() == [2, 2]

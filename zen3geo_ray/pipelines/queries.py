@@ -601,6 +601,35 @@ def q_near_dup(sf_dir: str):
     )
 
 
+TFIDF_V = 20
+
+
+def q_tfidf(sf_dir: str):
+    """Bag-of-words featurization: top-20-document-frequency vocabulary
+    (local top-V per block → tiny final top-V; the term universe never
+    collects) + per-doc term counts for vocabulary terms — all integer,
+    oracle-exact (idf floats stay client-side)."""
+    from ..stages.tfidf import tfidf_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
+    return tfidf_features(docs, top_v=TFIDF_V)
+
+
+def _sql_tfidf() -> str:
+    return f"""
+WITH {_sql_tokhash_cte().lstrip()},
+dt AS (SELECT doc_id, unnest(ths) AS h FROM th),
+dtc AS (SELECT doc_id, h, COUNT(*) AS tf FROM dt GROUP BY doc_id, h),
+dfv AS (SELECT h, COUNT(*) AS df FROM dtc GROUP BY h),
+vocab AS (SELECT h, df FROM dfv ORDER BY df DESC, h LIMIT {TFIDF_V})
+SELECT d.doc_id,
+  CAST(d.h - CASE WHEN d.h >= {_SQL_I64} THEN {_SQL_M} ELSE 0::HUGEINT END
+       AS BIGINT) AS term,
+  CAST(d.tf AS BIGINT) AS tf, CAST(v.df AS BIGINT) AS df
+FROM dtc d JOIN vocab v USING (h)
+"""
+
+
 CD_TAU = 0.95
 
 
@@ -1862,6 +1891,7 @@ FROM cand QUALIFY rank <= 10
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
+        "tfidf": _sql_tfidf(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -2085,4 +2115,5 @@ def build_queries() -> dict:
         "curate": q_curate,
         "near_dup": q_near_dup,
         "contain_dup": q_contain_dup,
+        "tfidf": q_tfidf,
     }
