@@ -64,16 +64,17 @@ def _local_top_v(g: pd.DataFrame, v: int) -> pd.DataFrame:
     return g.drop(columns=["_tu"])
 
 
-def build_vocabulary(docs_ds, *, id_col: str = "doc_id",
+def build_vocabulary(docs_ds=None, *, id_col: str = "doc_id",
                      text_col: str = "text", top_v: int = 20,
-                     n_buckets: int = 64):
+                     n_buckets: int = 64, terms_ds=None):
     """Top-``top_v`` terms by document frequency -> a SMALL Dataset of
     (term, df) rows (ties broken by unsigned term order).  Only V rows
     per block survive the local prune; the final reduce sees
-    blocks x V rows."""
+    blocks x V rows.  Pass ``terms_ds`` (a doc_term_counts output) to
+    reuse an already-tokenized term table instead of ``docs_ds``."""
     from .bucketed import bucketed_groupby
 
-    terms = docs_ds.map_batches(
+    terms = terms_ds if terms_ds is not None else docs_ds.map_batches(
         lambda b: doc_term_counts(b, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
@@ -105,10 +106,16 @@ def tfidf_features(docs_ds, *, id_col: str = "doc_id",
     integer-exact (idf = ln(N/df) is a trivial client-side derivation
     whose float libm would break bit-parity, so it stays out of the
     oracle surface).  The vocabulary is collected driver-side (V rows,
-    bounded) and broadcast into the filter."""
+    bounded) and broadcast into the filter.  The term table is
+    tokenized ONCE and materialized (distinct (doc, term) rows —
+    spillable object-store residency), then consumed by both the
+    vocabulary reduce and the featurize filter."""
+    terms = docs_ds.map_batches(
+        lambda b: doc_term_counts(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    ).materialize()
     vocab_tbl = build_vocabulary(
-        docs_ds, id_col=id_col, text_col=text_col, top_v=top_v,
-        n_buckets=n_buckets,
+        top_v=top_v, n_buckets=n_buckets, terms_ds=terms
     ).to_pandas()
     vocab_terms = vocab_tbl["term"].to_numpy()
     df_of = dict(zip(vocab_tbl["term"], vocab_tbl["df"].astype(np.int64)))
@@ -121,8 +128,4 @@ def tfidf_features(docs_ds, *, id_col: str = "doc_id",
         dfs = np.array([df_of[x] for x in tt], dtype=np.int64)
         return out.append_column("df", pa.array(dfs, pa.int64()))
 
-    terms = docs_ds.map_batches(
-        lambda b: doc_term_counts(b, id_col=id_col, text_col=text_col),
-        batch_format="pyarrow",
-    )
     return terms.map_batches(featurize, batch_format="pyarrow")
