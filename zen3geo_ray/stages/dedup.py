@@ -452,11 +452,15 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
     coordinates — axis-aligned hyperplane LSH whose assignment involves
     NO arithmetic, so the SQL oracle reproduces it bit-exactly (a random
     hyperplane projection would hinge on float summation order).  Near-
-    identical vectors agree on every coordinate sign w.h.p.  One shuffle
-    moves embedding rows grouped by sign bucket; inside each coarse
-    bucket the pairwise cosine is a vectorized float64 matmul per LSH
-    bucket.  Edges (cos >= threshold) plus per-id self rows feed
-    ``lsh_group_labels`` for the transitive closure.
+    identical vectors agree on every coordinate sign w.h.p.
+
+    Because every vector lives in EXACTLY ONE sign bucket, threshold
+    edges can never span buckets — the global connected components are
+    precisely the within-bucket components, so one shuffle (embedding
+    rows grouped by sign bucket) plus a per-bucket union-find yields the
+    FINAL min-id labels directly: no iterative label propagation at all
+    (the earlier fixpoint machinery was pure stage-latency overhead for
+    this operator).
     """
     weights = (1 << np.arange(sign_dims, dtype=np.int64))
 
@@ -477,16 +481,10 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) and int(g[id_col].max()) >= (1 << 32):
-            # the packed pair key is exact only below 2^32 — collisions
-            # above would silently MERGE unrelated components.  Remap ids
-            # into a dense range (or shard the table) before calling.
-            raise ValueError(
-                f"{id_col} must be < 2^32 for exact pair keys "
-                f"(got {int(g[id_col].max())}); remap ids first"
-            )
-        ids_out, keys_out = [g[id_col].to_numpy()], [-g[id_col].to_numpy() - 1]
+    def bucket_labels(g: pd.DataFrame) -> pd.DataFrame:
+        ids_all = g[id_col].to_numpy()
+        labels_all = ids_all.copy()  # default: own component
+        pos_of = pd.Series(np.arange(len(g)), index=g.index)
         for _, grp in g.groupby("bucket", sort=False):
             if len(grp) < 2:
                 continue
@@ -501,11 +499,9 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
             keep = cos[ii, jj] >= threshold
             if not keep.any():
                 continue
-            # collapse the WITHIN-bucket components locally (union-find)
-            # and emit one STAR edge per member — same transitive
-            # closure as raw pair edges, but the global fixpoint then
-            # only has to stitch components ACROSS buckets (fewer
-            # label-propagation rounds)
+            # union-find over the within-bucket threshold edges; the
+            # component label is its MIN member id (the oracle's CC
+            # labeling)
             parent = np.arange(len(gi))
 
             def find(x):
@@ -519,27 +515,16 @@ def embedding_near_dup_groups(ds, *, id_col: str = "vec_id",
                 if rx != ry:
                     parent[max(rx, ry)] = min(rx, ry)
             roots = np.array([find(x) for x in range(len(gi))])
-            touched = np.isin(np.arange(len(gi)),
-                              np.concatenate([ii[keep], jj[keep]]))
-            mem = np.flatnonzero(touched)
-            # star key: the component root's id (negative space shifted
-            # clear of self keys by -2^33 offset; exact for id < 2^32)
-            key = -(gi[roots[mem]].astype(np.int64)) - (1 << 33)
-            ids_out.append(gi[mem])
-            keys_out.append(key)
-        return pd.DataFrame(
-            {
-                id_col: np.concatenate(ids_out),
-                "band_id": np.zeros(sum(len(x) for x in ids_out), dtype=np.int32),
-                "band_hash": np.concatenate(keys_out),
-            }
-        )
+            comp_min = np.full(len(gi), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(comp_min, roots, gi)
+            rows = pos_of[grp.index].to_numpy()
+            labels_all[rows] = comp_min[roots]
+        return pd.DataFrame({id_col: ids_all, "dup_group": labels_all})
 
     from .bucketed import bucketed_groupby
 
-    bands = bucketed_groupby(bucketed, ["bucket"], bucket_edges,
-                             n_buckets=n_buckets)
-    return lsh_group_labels(bands, id_col=id_col, n_buckets=n_buckets)
+    return bucketed_groupby(bucketed, ["bucket"], bucket_labels,
+                            n_buckets=n_buckets)
 
 
 # --- n-gram jaccard -------------------------------------------------------
