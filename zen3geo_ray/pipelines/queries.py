@@ -1015,59 +1015,37 @@ def q_quantiles(sf_dir: str):
 
 
 def q_rollup(sf_dir: str):
-    """GROUPING SETS rollup ((flag, status), (flag), ()) — three partial→
-    final aggregates sharing one pass shape, null-filled subtotal keys."""
+    """GROUPING SETS rollup ((flag, status), (flag), ()) — ONE
+    distributed fine aggregate; the subtotal levels derive from the
+    handful of fine rows in a single tiny final task (re-summing exact
+    whole-number sums — no extra shuffles or branch stages; the earlier
+    three-branch plan was pure stage-latency overhead on ~6 rows)."""
+    import pandas as pd
+
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
                                     "l_quantity"])
-    # a handful of rows consumed by three branches (itself, mid, total) —
-    # materialize so the base scan+aggregate runs once, not three times
     fine = zonal.zonal_aggregate(
         li, ["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]}
-    ).materialize()
-
-    def to_mid(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_returnflag": b.column("l_returnflag"),
-            "n": b.column("n"),
-            "l_quantity_sum": b.column("l_quantity_sum"),
-        })
-
-    from ray.data.aggregate import Sum
-
-    mid = (
-        fine.map_batches(to_mid, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(Sum("n", alias_name="n"),
-                   Sum("l_quantity_sum", alias_name="l_quantity_sum"))
     )
 
-    def pad_mid(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_returnflag": b.column("l_returnflag"),
-            "l_linestatus": pa.nulls(len(b), pa.string()),
-            "n": b.column("n"),
-            "l_quantity_sum": b.column("l_quantity_sum"),
+    def all_levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        mid = df.groupby("l_returnflag", as_index=False)[
+            ["n", "l_quantity_sum"]
+        ].sum()
+        mid.insert(1, "l_linestatus", None)
+        total = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "n": [df["n"].sum()],
+            "l_quantity_sum": [df["l_quantity_sum"].sum()],
         })
+        cols = ["l_returnflag", "l_linestatus", "n", "l_quantity_sum"]
+        out = pd.concat([df[cols], mid[cols], total[cols]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def to_total(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc_
-
-        return pa.table({
-            "l_returnflag": pa.nulls(1, pa.string()),
-            "l_linestatus": pa.nulls(1, pa.string()),
-            "n": pa.array([pc_.sum(b.column("n")).as_py() or 0], pa.int64()),
-            "l_quantity_sum": pa.array(
-                [pc_.sum(b.column("l_quantity_sum")).as_py() or 0.0],
-                pa.float64(),
-            ),
-        })
-
-    # grand total from the 5-or-so mid rows (single tiny block)
-    total = mid.map_batches(to_mid, batch_format="pyarrow").repartition(1).map_batches(
-        to_total, batch_format="pyarrow"
-    )
-    mid_padded = mid.map_batches(pad_mid, batch_format="pyarrow")
-    return fine.union(mid_padded).union(total)
+    return fine.repartition(1).map_batches(all_levels, batch_format="pyarrow")
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
