@@ -1147,26 +1147,36 @@ def q_parse_props(sf_dir: str):
 
 
 def q_distinct_users(sf_dir: str):
-    """COUNT(DISTINCT) as two exact keyed reductions: dedup on the pair
-    key (partial per batch), then count per group — the shuffle moves one
-    row per distinct pair, not per event."""
-    from ray.data.aggregate import Sum
+    """COUNT(DISTINCT) as ONE exact keyed reduction: per-batch pair
+    dedup (combiner), one coarse-bucket shuffle on the pair key (global
+    dedup + per-bucket partial counts — one row per distinct pair moves,
+    never per event), and a tiny final sum over n_buckets x |keys|
+    partial rows."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
     pairs = ev.map_batches(
         lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
         batch_format="pyarrow",
     )
-    # global dedup of pairs, then count per event_type
-    distinct = pairs.groupby(["event_type", "user_id"]).count()
-    counted = distinct.map_batches(
-        lambda b: pa.table(
-            {"event_type": b.column("event_type"),
-             "one": pa.array(np.ones(len(b), dtype=np.int64))}
-        ),
-        batch_format="pyarrow",
-    )
-    return counted.groupby("event_type").aggregate(Sum("one", alias_name="n_users"))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", sort=False).size().rename("partial")
+        return out.reset_index()
+
+    partials = bucketed_groupby(pairs, ["event_type", "user_id"], bucket_count)
+
+    def final(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("event_type", sort=False)["partial"].sum()
+        return pa.table({
+            "event_type": pa.array(df.index.to_numpy()),
+            "n_users": pa.array(df.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow")
 
 
 STRAT_N = 20
