@@ -202,3 +202,15 @@ def test_near_dup_pipeline_containment_metric(ray_session):
     assert (1, 2) in pairs
     assert "containment" in out.columns
     assert all(out["containment"] >= 0.9)
+
+
+def test_weighted_jaccard_sees_multiplicity():
+    from zen3geo_ray.stages.dedup import ngram_jaccard, token_weighted_jaccard
+
+    a = "spam ham eggs"
+    b = "spam spam spam spam ham eggs"  # same distinct tokens, heavy repeat
+    assert token_weighted_jaccard(a, a) == 1.0
+    wj = token_weighted_jaccard(a, b)
+    assert wj == 3 / 6  # min-sum 3 over max-sum 6
+    assert token_weighted_jaccard("", "") == 1.0
+    assert token_weighted_jaccard("x", "") == 0.0

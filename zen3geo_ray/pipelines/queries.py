@@ -693,6 +693,60 @@ SELECT a, b, containment FROM ver WHERE containment >= {CD_TAU}
 """)
 
 
+WJ_TAU = 0.8
+
+
+def q_wjac_dup(sf_dir: str):
+    """Weighted-Jaccard near-dup: Σmin(tf)/Σmax(tf) over token
+    histograms — repetition-aware verification (distinct-shingle Jaccard
+    is blind to multiplicity changes).  Same distributed plan as
+    near_dup."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
+    return dedup.near_dup_pipeline(
+        docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS,
+        shingle_k=MH_K, threshold=WJ_TAU, n_buckets=16, metric="wjaccard",
+    )
+
+
+def _sql_wjac_dup() -> str:
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + f""",
+minb AS (
+  SELECT band_id, bh, MIN(doc_id) AS a FROM bands GROUP BY band_id, bh
+),
+cpairs AS (
+  SELECT DISTINCT m.a, b2.doc_id AS b
+  FROM bands b2 JOIN minb m ON b2.band_id = m.band_id AND b2.bh = m.bh
+  WHERE b2.doc_id <> m.a
+),
+tc AS (
+  SELECT doc_id, h, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ths) AS h FROM th) GROUP BY doc_id, h
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS i
+  FROM cpairs p
+  JOIN tc x ON x.doc_id = p.a
+  JOIN tc y ON y.doc_id = p.b AND y.h = x.h
+  GROUP BY p.a, p.b
+),
+ver AS (
+  SELECT p.a, p.b,
+    CASE WHEN COALESCE(ta.t, 0) + COALESCE(tb.t, 0) = 0 THEN 1.0
+         ELSE CAST(COALESCE(i.i, 0) AS DOUBLE) /
+              CAST(COALESCE(ta.t, 0) + COALESCE(tb.t, 0)
+                   - COALESCE(i.i, 0) AS DOUBLE)
+    END AS wjaccard
+  FROM cpairs p
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  LEFT JOIN tot ta ON ta.doc_id = p.a
+  LEFT JOIN tot tb ON tb.doc_id = p.b
+)
+SELECT a, b, wjaccard FROM ver WHERE wjaccard >= {WJ_TAU}
+""")
+
+
 def _sql_near_dup() -> str:
     """Candidate pairs from the minhash band buckets (min-doc anchor per
     bucket) + exact distinct-codepoint-shingle Jaccard — mirrors
@@ -1880,6 +1934,7 @@ FROM cand QUALIFY rank <= 10
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
         "tfidf": _sql_tfidf(),
+        "wjac_dup": _sql_wjac_dup(),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -2104,4 +2159,5 @@ def build_queries() -> dict:
         "near_dup": q_near_dup,
         "contain_dup": q_contain_dup,
         "tfidf": q_tfidf,
+        "wjac_dup": q_wjac_dup,
     }

@@ -569,15 +569,36 @@ def ngram_containment(a: str, b: str, k: int = 5) -> float:
     return inter / min(len(sa), len(sb))
 
 
+def token_weighted_jaccard(a: str, b: str, k: int = 0) -> float:
+    """WEIGHTED Jaccard over token histograms: Σ min(tf_a, tf_b) /
+    Σ max(tf_a, tf_b) — repetition-aware (plain Jaccard over distinct
+    shingles scores a doc and its de-duplicated-token sibling 1.0; the
+    weighted form sees the multiplicity change).  Integer counts, one
+    exact division — oracle-mirrorable.  ``k`` ignored (token-level)."""
+    tha, _ = token_hashes_batch([a or ""])
+    thb, _ = token_hashes_batch([b or ""])
+    if len(tha) == 0 and len(thb) == 0:
+        return 1.0
+    ha, ca = np.unique(tha, return_counts=True)
+    hb, cb = np.unique(thb, return_counts=True)
+    _, ia, ib = np.intersect1d(ha, hb, assume_unique=True,
+                               return_indices=True)
+    inter = int(np.minimum(ca[ia], cb[ib]).sum())
+    union = int(ca.sum()) + int(cb.sum()) - inter
+    return inter / union
+
+
 def verify_text_pairs(batch: pa.Table, *, a_text: str = "text_a",
                       b_text: str = "text_b", k: int = 5,
                       threshold: float = 0.8,
                       metric: str = "jaccard") -> pa.Table:
     """map_batches fn over joined candidate rows (both texts inline):
-    exact char-shingle similarity filter (``metric``: 'jaccard' |
-    'containment').  The per-pair kernel is the verification step
-    itself — pair volume is already LSH-pruned."""
-    fn = {"jaccard": ngram_jaccard, "containment": ngram_containment}[metric]
+    exact similarity filter (``metric``: 'jaccard' | 'containment' —
+    char-shingle based — or 'wjaccard' — token-histogram weighted).
+    The per-pair kernel is the verification step itself — pair volume
+    is already LSH-pruned."""
+    fn = {"jaccard": ngram_jaccard, "containment": ngram_containment,
+          "wjaccard": token_weighted_jaccard}[metric]
     ta = batch.column(a_text).to_pylist()
     tb = batch.column(b_text).to_pylist()
     sim = np.fromiter(
