@@ -214,3 +214,27 @@ def test_weighted_jaccard_sees_multiplicity():
     assert wj == 3 / 6  # min-sum 3 over max-sum 6
     assert token_weighted_jaccard("", "") == 1.0
     assert token_weighted_jaccard("x", "") == 0.0
+
+
+def test_incremental_exact_dedup_across_runs(ray_session, tmp_path):
+    """Three runs against one persistent store: novel texts survive,
+    previously-seen texts (any earlier run) are dropped, the store is
+    append-only."""
+    import os
+
+    from zen3geo_ray.stages.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+
+    def run(ids, texts):
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()), "text": texts,
+        }))
+        out = incremental_exact_dedup(ds, store, order_cols=["doc_id"])
+        return sorted(out.to_pandas()["doc_id"].tolist())
+
+    assert run([1, 2, 3], ["aa", "bb", "aa"]) == [1, 2]   # in-run dup dropped
+    assert run([4, 5, 6], ["bb", "cc", "cc"]) == [5]      # bb seen in run 1
+    assert run([7], ["aa"]) == []                          # still remembered
+    runs = [d for d in os.listdir(store) if d.startswith("run-")]
+    assert len(runs) == 3  # append-only: one file set per run

@@ -387,6 +387,45 @@ def q_dedup_docs(sf_dir: str):
     )
 
 
+def q_delta_dedup(sf_dir: str):
+    """CROSS-RUN incremental dedup: run 1 seeds a persistent content-hash
+    store with the even-doc_id half of the corpus; run 2 processes the
+    odd half and keeps only docs whose text was never seen — the
+    corpus-version delta-dedup shape (only 8-byte hashes persist and
+    shuffle).  A fresh temp store per call keeps the query idempotent."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_delta_")
+    try:
+        seed = incremental_exact_dedup(
+            docs.map_batches(half(0), batch_format="pyarrow"), store,
+            order_cols=["doc_id"],
+        )
+        seed.count()  # drive run 1 so the store is seeded
+        fresh = incremental_exact_dedup(
+            docs.map_batches(half(1), batch_format="pyarrow"), store,
+            order_cols=["doc_id"],
+        )
+        out = fresh.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def q_first_event(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
     out = stack.dedup_first(ev, ["user_id"], ["ts", "event_id"])
@@ -1845,6 +1884,12 @@ FROM g,
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
             "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
         ),
+        "delta_dedup": (
+            "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id % 2 = 1 AND text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id % 2 = 0) "
+            "GROUP BY text"
+        ),
         "first_event": (
             "SELECT user_id, event_id, event_type, value FROM events "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
@@ -2116,6 +2161,7 @@ def build_queries() -> dict:
         "raster_first": q_raster_first,
         "r2v": q_r2v,
         "dedup_docs": q_dedup_docs,
+        "delta_dedup": q_delta_dedup,
         "first_event": q_first_event,
         "user_series": q_user_series,
         "topk_cells": q_topk_cells,

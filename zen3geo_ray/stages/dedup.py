@@ -681,6 +681,54 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pa.array(h.astype(np.int64), pa.int64()))
 
 
+def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
+                            order_cols: list[str] | None = None,
+                            n_buckets: int = 64):
+    """CROSS-RUN exact dedup against a persistent content-hash store.
+
+    Each call keeps only rows whose content hash was seen in NO prior
+    call (store miss) — deduped within the batch too (first per hash by
+    ``order_cols``) — and appends the survivors' hashes to the store.
+    The store is a directory of plain parquet files holding ONE int64
+    ``content_hash`` column: tiny relative to the corpus, read
+    column-pruned each run, and append-only (a new file per run — no
+    rewrite of prior state; delete the directory to reset).
+
+    Scale shape: the old-hash side joins via the bucketed hash anti join
+    (only 8-byte hashes shuffle, never documents); at very large stores
+    swap in ``bloom_anti_join`` with the store row count as the hint.
+    """
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from .hashjoin import bucketed_join
+    from .stack import dedup_first
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    fresh = dedup_first(hashed, ["content_hash"],
+                        order_cols or [text_col], n_buckets=n_buckets)
+    has_store = os.path.isdir(store_dir) and any(
+        fn.endswith(".parquet")
+        for _, _, files in os.walk(store_dir) for fn in files
+    )
+    if has_store:
+        old = rd.read_parquet(store_dir, columns=["content_hash"])
+        fresh = bucketed_join(fresh, old, ["content_hash"], how="anti",
+                              n_buckets=n_buckets)
+    fresh = fresh.materialize()  # consumed twice: hash append + output
+    os.makedirs(store_dir, exist_ok=True)
+    run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
+    fresh.map_batches(
+        lambda b: b.select(["content_hash"]), batch_format="pyarrow"
+    ).write_parquet(run_dir)
+    return fresh
+
+
 def exact_dedup(ds, *, text_col: str = "text", order_cols: list[str] | None = None):
     """Hash-partitioned exact dedup: first row per content hash (ties
     broken deterministically by order_cols)."""
