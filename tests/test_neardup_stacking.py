@@ -231,7 +231,8 @@ def test_incremental_exact_dedup_across_runs(ray_session, tmp_path):
             "doc_id": pa.array(ids, pa.int64()), "text": texts,
         }))
         out = incremental_exact_dedup(ds, store, order_cols=["doc_id"])
-        return sorted(out.to_pandas()["doc_id"].tolist())
+        df = out.to_pandas()
+        return sorted(df["doc_id"].tolist()) if len(df) else []
 
     assert run([1, 2, 3], ["aa", "bb", "aa"]) == [1, 2]   # in-run dup dropped
     assert run([4, 5, 6], ["bb", "cc", "cc"]) == [5]      # bb seen in run 1
