@@ -238,4 +238,5 @@ def test_incremental_exact_dedup_across_runs(ray_session, tmp_path):
     assert run([4, 5, 6], ["bb", "cc", "cc"]) == [5]      # bb seen in run 1
     assert run([7], ["aa"]) == []                          # still remembered
     runs = [d for d in os.listdir(store) if d.startswith("run-")]
-    assert len(runs) == 3  # append-only: one file set per run
+    # append-only: one file set per run WITH survivors (run 3 had none)
+    assert len(runs) == 2
