@@ -480,9 +480,14 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
                 f["poly_name"] = pls["name"].to_numpy()[ii]
             frames.append(f)
         if not frames:
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=out_cols), preserve_index=False
-            )
+            # TYPED empty block — an all-null-typed schema makes Ray's
+            # executor emit schema-mismatch warnings and defeats schema
+            # dedup across blocks
+            etypes = {c: types[c] for c in pcols}
+            etypes["poly_id"] = pa.int64()
+            if "name" in gcols:
+                etypes["poly_name"] = pa.string()
+            return pa.table({c: pa.array([], etypes[c]) for c in out_cols})
         out = pd.concat(frames, ignore_index=True)
         for c in pcols:
             if (pa.types.is_integer(types[c]) and out[c].dtype.kind == "f"

@@ -129,6 +129,12 @@ def _schema_prep(left, right):
     return lcols, rcols, types
 
 
+def _typed_empty(cols: list[str], types: dict) -> pa.Table:
+    """Zero-row block with the REAL output schema (all-null-typed empties
+    trigger Ray schema-mismatch warnings and break schema dedup)."""
+    return pa.table({c: pa.array([], types[c]) for c in cols})
+
+
 def _restore_int_dtypes(out: pd.DataFrame, cols: list[str], types: dict):
     """Undo the union's null-padding dtype pollution (ints -> float)."""
     for c in cols:
@@ -223,9 +229,7 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
                 axis=1,
             ))
         if not outs:
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=lcols + rcols), preserve_index=False
-            )
+            return _typed_empty(lcols + rcols, types)
         out = pd.concat(outs, ignore_index=True)
         out = _restore_int_dtypes(out, lcols + rcols, types)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -315,9 +319,7 @@ def keyed_range_join(left, right, *, left_key: str, right_key: str,
         l = g[g[_SIDE] == 0]
         r = g[g[_SIDE] == 1]
         if len(l) == 0 or len(r) == 0:
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=lcols + rcols), preserve_index=False
-            )
+            return _typed_empty(lcols + rcols, types)
         lk = l[left_key].to_numpy()
         rk = r[right_key].to_numpy()
         ls = l[_SLAB].to_numpy(dtype=np.int64)
