@@ -58,7 +58,7 @@ def bucketed_groupby(ds, key_cols: list[str], bucket_fn, n_buckets: int = 64):
         out = bucket_fn(g.drop(columns=[_BUCKET]))
         # emit Arrow blocks: downstream groupby/aggregate over pandas
         # blocks is an order of magnitude slower in Ray Data
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -123,7 +123,7 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
         else:
             r = restore(g[g[_SIDE] == 1], on + rcols)
             merged = l.merge(r, how=how, on=on)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
@@ -194,7 +194,7 @@ def asof_join(left, right, by: list[str], on: str, n_buckets: int = 64,
             on, kind="mergesort"
         )
         merged = pd.merge_asof(l, r, on=on, by=by, direction=direction)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
@@ -217,6 +217,6 @@ def sort_merge_join(left, right, on: list[str], how: str = "inner",
         l = restore(g[g[_SIDE] == 0], lcols).sort_values(on, kind="mergesort")
         r = restore(g[g[_SIDE] == 1], on + rcols).sort_values(on, kind="mergesort")
         merged = pd.merge_ordered(l, r, on=on, how=how)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")

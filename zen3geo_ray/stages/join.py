@@ -493,6 +493,6 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
             if (pa.types.is_integer(types[c]) and out[c].dtype.kind == "f"
                     and not out[c].isna().any()):
                 out[c] = out[c].astype(types[c].to_pandas_dtype())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

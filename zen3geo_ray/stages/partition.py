@@ -67,14 +67,14 @@ def salted_group_reduce(ds, key_cols: list[str], partial_fn, merge_fn,
 
     def run_partial(g: pd.DataFrame) -> pa.Table:
         out = partial_fn(g.drop(columns=["_salt"]))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = salted.groupby(key_cols + ["_salt"]).map_groups(
         run_partial, batch_format="pandas"
     )
 
     def run_merge(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(merge_fn(g), preserve_index=False)
+        return pa.Table.from_pandas(merge_fn(g), preserve_index=False).replace_schema_metadata(None)
 
     return partials.groupby(key_cols).map_groups(run_merge, batch_format="pandas")
 

@@ -232,7 +232,7 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
             return _typed_empty(lcols + rcols, types)
         out = pd.concat(outs, ignore_index=True)
         out = _restore_int_dtypes(out, lcols + rcols, types)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
@@ -351,6 +351,6 @@ def keyed_range_join(left, right, *, left_key: str, right_key: str,
             axis=1,
         )
         out = _restore_int_dtypes(out, lcols + rcols, types)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")

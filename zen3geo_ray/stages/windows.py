@@ -237,7 +237,7 @@ def sliding_agg_dense(ds, *, ts_col: str, key_col: str,
             spec["mx"] = ("_v", "max")
         out = df.groupby([key_col, "_u"], sort=False).agg(**spec).reset_index()
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     I64_MAX = np.iinfo(np.int64).max
