@@ -695,16 +695,22 @@ def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
     rewrite of prior state; delete the directory to reset).
 
     Scale shape: the old-hash side joins via the bucketed hash anti join
-    (only 8-byte hashes shuffle, never documents); at very large stores
-    swap in ``bloom_anti_join`` with the store row count as the hint.
+    (only 8-byte hashes shuffle, never documents); when the store has
+    grown past ``bloom_threshold`` rows the exact join is preceded by a
+    distributed Bloom prefilter (``bloom_anti_join``) so definite-new
+    docs skip the shuffle entirely — the billion-hash store shape.
     """
     import os
     import uuid
 
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
+    from ..functions.bloom import bloom_anti_join
     from .hashjoin import bucketed_join
     from .stack import dedup_first
+
+    bloom_threshold = 5_000_000
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col=text_col),
@@ -712,14 +718,22 @@ def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
     )
     fresh = dedup_first(hashed, ["content_hash"],
                         order_cols or [text_col], n_buckets=n_buckets)
-    has_store = os.path.isdir(store_dir) and any(
-        fn.endswith(".parquet")
-        for _, _, files in os.walk(store_dir) for fn in files
-    )
-    if has_store:
+    store_files = [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(store_dir or "")
+        for fn in files if fn.endswith(".parquet")
+    ] if os.path.isdir(store_dir) else []
+    if store_files:
+        n_old = sum(_pq.read_metadata(f).num_rows for f in store_files)
         old = rd.read_parquet(store_dir, columns=["content_hash"])
-        fresh = bucketed_join(fresh, old, ["content_hash"], how="anti",
-                              n_buckets=n_buckets)
+        if n_old >= bloom_threshold:
+            fresh = bloom_anti_join(
+                fresh, old, "content_hash", n_keys_hint=max(n_old, 1),
+                n_buckets=n_buckets,
+            )
+        else:
+            fresh = bucketed_join(fresh, old, ["content_hash"], how="anti",
+                                  n_buckets=n_buckets)
     fresh = fresh.materialize()  # consumed twice: hash append + output
     os.makedirs(store_dir, exist_ok=True)
     run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
