@@ -161,3 +161,60 @@ def test_api_burn_geometries(ray_session):
     assert sums[7] == 0           # opposite corner untouched
     # polygon default agg is 'any' (reference parity); empty tiles count
     assert set(out["agg"]) <= {"any", "count"}
+
+
+def test_api_multimodal_and_scoring_surface(ray_session):
+    """Pipe convenience methods wrap the multimodal + scoring stages."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from zen3geo_ray import api
+    from zen3geo_ray.sources.jpeg import write_jpeg
+    from zen3geo_ray.sources.wav import write_wav
+    from zen3geo_ray.stages.scoring import make_linear_model
+
+    img = np.full((8, 8, 3), 90, np.uint8)
+    out = api.from_arrow(
+        pa.table({"payload": pa.array([write_jpeg(img, 95)], pa.binary())})
+    ).decode_images().to_pandas()
+    assert len(out) == 1 and len(out["image"].iloc[0]) == 8 * 8 * 3
+
+    wav = write_wav(np.zeros(800, dtype=np.int16))
+    a = api.from_arrow(
+        pa.table({"payload": pa.array([wav], pa.binary())})
+    ).decode_audio().to_pandas()
+    assert a["n_samples"].iloc[0] == 800
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1] * 64, [-0.1] * 64], pa.list_(pa.float32())),
+    })
+    model = make_linear_model(4, 64)
+    s = api.from_arrow(emb).score(ray.put(model)).to_pandas()
+    assert set(s.columns) == {"vec_id", "cls", "logit"}
+
+
+def test_api_rasterize_tiles_mean(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from zen3geo_ray import api
+    from zen3geo_ray.stages.rasterize import tile_grid_table
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    pts = pa.table({
+        "lon": pa.array(rng.uniform(-179, 179, n), pa.float64()),
+        "lat": pa.array(rng.uniform(-89, 89, n), pa.float64()),
+        "w": pa.array(rng.integers(1, 100, n), pa.int64()),
+    })
+    specs = tile_grid_table(-180, -90, 180, 90, 4, 2, 8, 8)
+    out = (
+        api.from_arrow(pts).assign_tiles(nx=4, ny=2)
+        .rasterize_tiles(specs, agg="mean", value_col="w")
+        .to_pandas()
+    )
+    grids = np.concatenate([np.asarray(d) for d in out["data"]])
+    vals = grids[~np.isnan(grids)]
+    assert len(vals) and 1 <= vals.mean() <= 100

@@ -150,7 +150,7 @@ class Pipe:
         ``TileRasterizer`` map_groups — O(#tiles) Python calls, fine for
         dozens of tiles, wrong for thousands.
         """
-        if not small_grid and agg in ("count", "sum"):
+        if not small_grid and agg in ("count", "sum", "mean", "var", "std"):
             spec_lookup = {int(r["tile_id"]): r for r in tile_specs.to_pylist()}
             if agg == "count":
                 sparse = self.ds.map_batches(
@@ -159,7 +159,22 @@ class Pipe:
                 )
                 return Pipe(rz.assemble_rasters(sparse, tile_specs))
             if not value_col:
-                raise ValueError("agg='sum' needs value_col")
+                raise ValueError(f"agg={agg!r} needs value_col")
+            if agg in ("mean", "var", "std"):
+                from ray.data.aggregate import Sum
+
+                sparse = self.ds.map_batches(
+                    lambda b: rz.partial_moment_histogram(
+                        b, tile_specs=spec_lookup, value_col=value_col
+                    ),
+                    batch_format="pyarrow",
+                )
+                summed = sparse.groupby(["tile_id", "py", "px"]).aggregate(
+                    Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                    Sum("ss", alias_name="ss"),
+                )
+                return Pipe(rz.assemble_moment_rasters(summed, tile_specs,
+                                                       stat=agg))
             sparse = self.ds.map_batches(
                 lambda b: rz.partial_weighted_histogram(
                     b, tile_specs=spec_lookup, value_col=value_col
@@ -175,6 +190,44 @@ class Pipe:
 
         return Pipe(self.ds.groupby("tile_id").map_groups(group_fn,
                                                           batch_format="pyarrow"))
+
+    # --- multimodal / inference -------------------------------------------
+    def decode_images(self, mode: str = "real", concurrency=2,
+                      **kwargs) -> "Pipe":
+        """binary ``payload`` -> uint8 tensor column (real PNG/TIFF/JPEG
+        codecs or the deterministic fake)."""
+        from .stages.multimodal import ImageDecoder
+
+        return Pipe(self.ds.map_batches(
+            ImageDecoder, fn_constructor_kwargs={"mode": mode, **kwargs},
+            batch_format="pyarrow", concurrency=concurrency,
+        ))
+
+    def decode_audio(self, mode: str = "real", concurrency=2) -> "Pipe":
+        """binary WAV ``payload`` -> int16 sample column + metadata."""
+        from .stages.multimodal import AudioDecoder
+
+        return Pipe(self.ds.map_batches(
+            AudioDecoder, fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow", concurrency=concurrency,
+        ))
+
+    def extract_frames(self, mode: str = "real", concurrency=2) -> "Pipe":
+        """MJPEG-AVI ``payload`` -> one row per frame (JPEG payloads) —
+        compose with frame_sample + decode_images."""
+        from .stages.multimodal import VideoFrameExtractor
+
+        return Pipe(self.ds.map_batches(
+            VideoFrameExtractor, fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow", concurrency=concurrency,
+        ))
+
+    def score(self, model_blob_or_ref, **kwargs) -> "Pipe":
+        """Batched model inference over the embedding column (actor pool,
+        model loaded once per actor; ``num_gpus=`` for accelerators)."""
+        from .stages.scoring import score_embeddings
+
+        return Pipe(score_embeddings(self.ds, model_blob_or_ref, **kwargs))
 
     # --- terminals --------------------------------------------------------
     def write_parquet(self, path: str, **kwargs):
