@@ -75,3 +75,18 @@ def test_real_video_pipeline_end_to_end(ray_session):
     # red channel tracks the frame index (mean feature col 0)
     red = np.array([f[0] for f in out["features"]])
     assert abs(red[0] - 0) < 4 and abs(red[1] - 40) < 4 and abs(red[2] - 80) < 4
+
+
+def test_video_extractor_zero_frame_batch():
+    """A batch of videos with no frames must yield an EMPTY typed table,
+    not crash in take()."""
+    import struct
+
+    # valid RIFF/AVI container with no movi chunks
+    body = b"AVI "
+    empty_avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    tbl = pa.table({"vid": pa.array([0], pa.int64()),
+                    "payload": pa.array([empty_avi], pa.binary())})
+    out = VideoFrameExtractor(mode="real")(tbl)
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"vid", "frame_idx", "fps", "payload"}

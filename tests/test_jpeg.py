@@ -108,3 +108,17 @@ def test_errors():
     prog = img.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="non-baseline"):
         read_jpeg(prog)
+
+
+def test_fill_bytes_before_restart_marker():
+    """T.81 allows 0xFF fill bytes before any marker — splice one before
+    each RST and the decode must be unchanged."""
+    img = _gradient(48, 64)
+    enc = write_jpeg(img, 90, restart_interval=2)
+    ref = read_jpeg(enc)
+    filled = enc.replace(b"\xff\xd0", b"\xff\xff\xd0").replace(
+        b"\xff\xd1", b"\xff\xff\xd1"
+    )
+    assert filled != enc
+    dec = read_jpeg(filled)
+    assert np.array_equal(dec, ref)

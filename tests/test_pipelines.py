@@ -307,3 +307,21 @@ def test_resize_bilinear_properties(ray_session):
     half = mm.resize_bilinear(to_tbl(checker), out_h=4, out_w=4)
     gh = np.asarray(half.column("image")[0].as_py(), np.uint8).reshape(4, 4, 3)
     assert np.abs(gh.astype(int) - 128).max() <= 1  # 2x2 box avg of 0/255
+
+
+def test_resize_rejects_mixed_sizes():
+    import numpy as np
+    import pyarrow as pa
+
+    a = np.zeros((4, 6, 3), np.uint8)
+    b = np.zeros((6, 4, 3), np.uint8)  # same element count, transposed
+    tbl = pa.table({
+        "image": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate([a.reshape(-1), b.reshape(-1)]),
+                     pa.uint8()), a.size),
+        "img_h": pa.array([4, 6], pa.int32()),
+        "img_w": pa.array([6, 4], pa.int32()),
+    })
+    for fn in (mm.resize_nearest, mm.resize_bilinear):
+        with pytest.raises(ValueError, match="mixed image sizes"):
+            fn(tbl, out_h=2, out_w=2)

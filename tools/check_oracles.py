@@ -49,6 +49,11 @@ def main(sf_dir: str, only: set[str] | None = None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown --only query names: {sorted(unknown)}")
+            sys.exit(2)
     fails = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -748,16 +748,11 @@ def q_wjac_dup(sf_dir: str):
 
 
 def _sql_wjac_dup() -> str:
+    # _sql_verify_ctes supplies minb/cpairs (+ the char-shingle CTEs,
+    # unreferenced here — DuckDB never evaluates unused CTEs)
     return (
-        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + f""",
-minb AS (
-  SELECT band_id, bh, MIN(doc_id) AS a FROM bands GROUP BY band_id, bh
-),
-cpairs AS (
-  SELECT DISTINCT m.a, b2.doc_id AS b
-  FROM bands b2 JOIN minb m ON b2.band_id = m.band_id AND b2.bh = m.bh
-  WHERE b2.doc_id <> m.a
-),
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + _sql_verify_ctes()
+        + f""",
 tc AS (
   SELECT doc_id, h, COUNT(*) AS c
   FROM (SELECT doc_id, unnest(ths) AS h FROM th) GROUP BY doc_id, h
@@ -789,31 +784,11 @@ SELECT a, b, wjaccard FROM ver WHERE wjaccard >= {WJ_TAU}
 def _sql_near_dup() -> str:
     """Candidate pairs from the minhash band buckets (min-doc anchor per
     bucket) + exact distinct-codepoint-shingle Jaccard — mirrors
-    near_dup_pipeline operation for operation."""
+    near_dup_pipeline operation for operation (shared CTEs in
+    _sql_verify_ctes)."""
     return (
-        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + f""",
-minb AS (
-  SELECT band_id, bh, MIN(doc_id) AS a FROM bands GROUP BY band_id, bh
-),
-cpairs AS (
-  SELECT DISTINCT m.a, b2.doc_id AS b
-  FROM bands b2 JOIN minb m ON b2.band_id = m.band_id AND b2.bh = m.bh
-  WHERE b2.doc_id <> m.a
-),
-cps AS (
-  SELECT doc_id,
-         list_transform(range(1, length(text)+1),
-                        i -> unicode(text[i])::HUGEINT) AS cp
-  FROM documents
-),
-csh AS (
-  SELECT doc_id, list_distinct(
-    list_transform(range(greatest(len(cp)-{ND_CHAR_K}+1, 1)), i ->
-      list_reduce(list_prepend({_SQL_H0},
-                               cp[i+1 : least(i+{ND_CHAR_K}, len(cp))]),
-        (h, c) -> (h * {_SQL_P} + c) % {_SQL_M}))) AS shs
-  FROM cps
-),
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes() + _sql_verify_ctes()
+        + f""",
 ver AS (
   SELECT p.a, p.b,
     CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /

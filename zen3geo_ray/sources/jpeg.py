@@ -471,6 +471,12 @@ def read_jpeg(data: bytes) -> np.ndarray:
                 if nb == 0x00:
                     epos = ff + 2
                     continue
+                if nb == 0xFF:
+                    # T.81 allows 0xFF FILL bytes before any marker —
+                    # keep scanning from the next byte (the final 0xFF
+                    # of a fill run is the marker prefix)
+                    epos = ff + 1
+                    continue
                 if 0xD0 <= nb <= 0xD7:  # RSTn: chunk boundary
                     chunks.append(data[start:ff])
                     start = ff + 2

@@ -330,17 +330,17 @@ class IVFTopK:
 
 def ivf_knn(ds, queries_blob, k: int, n_centroids: int = 32, n_probe: int = 4,
             train_sample: int = 4096, id_col: str = "vec_id",
-            vec_col: str = "embedding"):
+            vec_col: str = "embedding", centroids: np.ndarray | None = None):
     """IVF approximate kNN: k-means coarse quantizer trained on a bounded
-    sample, vectors assigned to inverted lists per batch, queries probe
-    their ``n_probe`` nearest lists — candidates shrink ~C/n_probe-fold.
-    Compared to ``lsh_knn`` the lists adapt to the data distribution
-    (clustered embeddings), trading a small training step for recall."""
-    sample_tbl = ds.limit(train_sample).to_pandas()
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in sample_tbl[vec_col]]
-    )
-    centroids = kmeans_centroids(sample, n_centroids)
+    UNIFORM sample (hash-ranked — unbiased under any row order; pass
+    ``centroids`` to reuse a quantizer, e.g. the one the auto-tuner
+    evaluated), vectors assigned to inverted lists per batch, queries
+    probe their ``n_probe`` nearest lists — candidates shrink
+    ~C/n_probe-fold.  Compared to ``lsh_knn`` the lists adapt to the
+    data distribution, trading a small training step for recall."""
+    if centroids is None:
+        sample = _sample_matrix(ds, vec_col, train_sample)
+        centroids = kmeans_centroids(sample, n_centroids)
     assigned = ds.map_batches(
         lambda b: ivf_assign(b, centroids=centroids, vec_col=vec_col),
         batch_format="pyarrow",
@@ -367,7 +367,41 @@ def ivf_knn(ds, queries_blob, k: int, n_centroids: int = 32, n_probe: int = 4,
 
 
 def _sample_matrix(ds, vec_col: str, n_sample: int) -> np.ndarray:
-    tbl = ds.limit(n_sample).to_pandas()
+    """Deterministic UNIFORM sample of ``n_sample`` vectors: keep the
+    rows with the smallest content-hash ranks, pruned per block then
+    merged — one column-pruned pass, unbiased under ANY row order
+    (``limit(n)`` would take the first blocks only, which on clustered
+    or sorted embeddings makes the recall estimate wildly optimistic)."""
+    from ..functions.hashing import splitmix64
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        arr = batch.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        m = flat.reshape(len(arr), -1)
+        # content-derived rank: hash the vector bytes (order-independent)
+        words = m.view(np.uint32).astype(np.uint64)
+        h = np.zeros(len(m), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(words.shape[1]):
+                h = h * np.uint64(1099511628211) + words[:, j]
+        h = splitmix64(h)
+        keep = np.argsort(h, kind="stable")[:n_sample]
+        out = pa.table({vec_col: arr.take(pa.array(np.sort(keep)))})
+        return out.append_column("__rank", pa.array(h[np.sort(keep)]
+                                                    .astype(np.int64)))
+
+    pruned = ds.map_batches(local_top, batch_format="pyarrow")
+
+    def final_top(batch: pa.Table) -> pa.Table:
+        r = batch.column("__rank").to_numpy(zero_copy_only=False)
+        keep = np.argsort(r, kind="stable")[:n_sample]
+        return batch.take(pa.array(np.sort(keep)))
+
+    tbl = pruned.repartition(1).map_batches(
+        final_top, batch_format="pyarrow"
+    ).to_pandas()
     return np.stack([np.asarray(v, dtype=np.float32) for v in tbl[vec_col]])
 
 
@@ -422,11 +456,12 @@ def tune_lsh_probe(ds, queries_blob, k: int, *, n_planes: int = 8,
 def tune_ivf_probe(ds, queries_blob, k: int, *, n_centroids: int = 32,
                    target_recall: float = 0.9, n_sample: int = 2048,
                    train_sample: int = 4096,
-                   vec_col: str = "embedding") -> tuple[int, float]:
+                   vec_col: str = "embedding"):
     """Pick the SMALLEST IVF ``n_probe`` whose estimated recall meets
-    ``target_recall`` (same sample-based estimator as ``tune_lsh_probe``;
-    the quantizer trained here is the one the full run reuses, so the
-    estimate tracks the deployed index).  Returns (n_probe, est_recall).
+    ``target_recall`` (same sample-based estimator as ``tune_lsh_probe``).
+    Returns (n_probe, est_recall, centroids) — pass the centroids into
+    ``ivf_knn(centroids=...)`` so the DEPLOYED quantizer is exactly the
+    one the estimate was computed against (``auto_ivf_knn`` does this).
     """
     sample_m = _sample_matrix(ds, vec_col, max(n_sample, train_sample))
     centroids = kmeans_centroids(sample_m[:train_sample], n_centroids)
@@ -441,8 +476,8 @@ def tune_ivf_probe(ds, queries_blob, k: int, *, n_centroids: int = 32,
             mask[qi] = np.isin(s_list, probes[qi])
         rec = _sample_recall_at(q, sample, k, mask)
         if rec >= target_recall:
-            return n_probe, rec
-    return centroids.shape[0], 1.0
+            return n_probe, rec, centroids
+    return centroids.shape[0], 1.0, centroids
 
 
 def auto_lsh_knn(ds, queries_blob, k: int, *, n_planes: int = 8,
@@ -464,14 +499,15 @@ def auto_ivf_knn(ds, queries_blob, k: int, *, n_centroids: int = 32,
                  target_recall: float = 0.9, n_sample: int = 2048,
                  train_sample: int = 4096, id_col: str = "vec_id",
                  vec_col: str = "embedding"):
-    """ivf_knn with ``n_probe`` chosen by ``tune_ivf_probe``; returns
+    """ivf_knn with ``n_probe`` chosen by ``tune_ivf_probe`` and the
+    quantizer the tuner evaluated reused verbatim; returns
     (dataset, chosen_n_probe, est_recall)."""
-    n_probe, rec = tune_ivf_probe(
+    n_probe, rec, centroids = tune_ivf_probe(
         ds, queries_blob, k, n_centroids=n_centroids,
         target_recall=target_recall, n_sample=n_sample,
         train_sample=train_sample, vec_col=vec_col,
     )
     out = ivf_knn(ds, queries_blob, k, n_centroids=n_centroids,
                   n_probe=n_probe, train_sample=train_sample,
-                  id_col=id_col, vec_col=vec_col)
+                  id_col=id_col, vec_col=vec_col, centroids=centroids)
     return out, n_probe, rec

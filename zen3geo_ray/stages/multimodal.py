@@ -7,8 +7,9 @@ JPEG** with the engine's own pure-numpy codecs (``sources/png.py``,
 — dispatched by signature sniffing; ``mode='fake'`` derives a
 deterministic tensor from the payload hash for codec-independent
 plumbing tests (schema, actor signature, batch sizing, output layout).
-Audio/video decoding would need ffmpeg/soundfile (absent from this
-container) and stays behind the deterministic fake path.
+Audio (WAV via ``sources/wav.py``) and video (MJPEG-AVI via
+``sources/avi.py`` + the JPEG codec) decode for real too — see
+``AudioDecoder`` / ``VideoFrameExtractor``.
 """
 
 from __future__ import annotations
@@ -111,13 +112,28 @@ class ImageDecoder:
         )
 
 
+def _batch_hw(batch: pa.Table) -> tuple[int, int]:
+    """Single (h, w) of a decoded batch; raises on size mixes (a mixed
+    batch would reshape wrong — equal element counts, e.g. 16x24 vs
+    24x16, would silently transpose).  Group by size upstream."""
+    import pyarrow.compute as pc
+
+    hs = pc.unique(batch.column("img_h"))
+    ws = pc.unique(batch.column("img_w"))
+    if len(hs) > 1 or len(ws) > 1:
+        raise ValueError(
+            f"mixed image sizes in one batch (h={hs.to_pylist()}, "
+            f"w={ws.to_pylist()}): group by size upstream"
+        )
+    return hs[0].as_py(), ws[0].as_py()
+
+
 def resize_nearest(batch: pa.Table, *, out_h: int, out_w: int) -> pa.Table:
     """Vectorized nearest-neighbor resize of the decoded tensor column."""
     img = batch.column("image")
     if isinstance(img, pa.ChunkedArray):
         img = img.combine_chunks()
-    h = batch.column("img_h")[0].as_py()
-    w = batch.column("img_w")[0].as_py()
+    h, w = _batch_hw(batch)
     n = len(img)
     arr = img.flatten().to_numpy(zero_copy_only=False).reshape(n, h, w, 3)
     yi = (np.arange(out_h) * h // out_h).astype(np.int64)
@@ -142,8 +158,7 @@ def resize_bilinear(batch: pa.Table, *, out_h: int, out_w: int) -> pa.Table:
     img = batch.column("image")
     if isinstance(img, pa.ChunkedArray):
         img = img.combine_chunks()
-    h = batch.column("img_h")[0].as_py()
-    w = batch.column("img_w")[0].as_py()
+    h, w = _batch_hw(batch)
     n = len(img)
     arr = img.flatten().to_numpy(zero_copy_only=False).reshape(
         n, h, w, 3
@@ -287,10 +302,15 @@ class VideoFrameExtractor:
                     idxs.append(fi)
                     fps_out.append(0)
                     rep.append(ri)
-        out = batch.drop_columns([self.payload_col]).take(pa.array(rep))
+        # typed index array: a plain [] would be null-typed and crash take
+        out = batch.drop_columns([self.payload_col]).take(
+            pa.array(np.asarray(rep, dtype=np.int64))
+        )
         return (
-            out.append_column("frame_idx",
-                              pa.array(np.asarray(idxs, np.int64), pa.int64()))
+            out.append_column(
+                "frame_idx",
+                pa.array(np.asarray(idxs, np.int64), pa.int64()),
+            )
             .append_column("fps", pa.array(np.asarray(fps_out, np.int32),
                                            pa.int32()))
             .append_column(self.payload_col, pa.array(frames, pa.binary()))
@@ -342,8 +362,7 @@ def image_features(batch: pa.Table) -> pa.Table:
     img = batch.column("image")
     if isinstance(img, pa.ChunkedArray):
         img = img.combine_chunks()
-    h = batch.column("img_h")[0].as_py()
-    w = batch.column("img_w")[0].as_py()
+    h, w = _batch_hw(batch)
     n = len(img)
     arr = img.flatten().to_numpy(zero_copy_only=False).reshape(n, h, w, 3)
     mean = arr.mean(axis=(1, 2)).astype(np.float32)  # (n, 3)

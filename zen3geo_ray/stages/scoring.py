@@ -83,9 +83,21 @@ def make_scorer_fn(model_ref, id_col: str = "vec_id",
     reservation: tasks share CPUs elastically with the read; right for
     small/CPU models, while the actor pool + num_gpus form is right when
     the model load is heavy or needs an accelerator)."""
+    import uuid
+
     from .join import _PROCESS_CACHE
 
-    key = ("scorer", str(model_ref), id_col, vec_col)
+    # cache key: the ObjectRef hex for ray.put models; a fresh uuid per
+    # factory call for raw blobs (str(blob) would be numpy's TRUNCATED
+    # repr — two different large models could silently share a key)
+    try:
+        import ray
+
+        is_ref = isinstance(model_ref, ray.ObjectRef)
+    except ImportError:
+        is_ref = False
+    tag = str(model_ref) if is_ref else f"blob-{uuid.uuid4().hex}"
+    key = ("scorer", tag, id_col, vec_col)
 
     def score_batch(batch: pa.Table) -> pa.Table:
         s = _PROCESS_CACHE.get(key)

@@ -117,15 +117,17 @@ def tfidf_features(docs_ds, *, id_col: str = "doc_id",
     vocab_tbl = build_vocabulary(
         top_v=top_v, n_buckets=n_buckets, terms_ds=terms
     ).to_pandas()
-    vocab_terms = vocab_tbl["term"].to_numpy()
-    df_of = dict(zip(vocab_tbl["term"], vocab_tbl["df"].astype(np.int64)))
+    order = np.argsort(vocab_tbl["term"].to_numpy())
+    vocab_terms = vocab_tbl["term"].to_numpy()[order]
+    vocab_dfs = vocab_tbl["df"].to_numpy().astype(np.int64)[order]
 
     def featurize(b: pa.Table) -> pa.Table:
         t = b.column("term").to_numpy(zero_copy_only=False)
         keep = np.isin(t, vocab_terms)
         out = b.filter(pa.array(keep))
         tt = out.column("term").to_numpy(zero_copy_only=False)
-        dfs = np.array([df_of[x] for x in tt], dtype=np.int64)
+        # vectorized df lookup via searchsorted on the sorted vocab
+        dfs = vocab_dfs[np.searchsorted(vocab_terms, tt)]
         return out.append_column("df", pa.array(dfs, pa.int64()))
 
     return terms.map_batches(featurize, batch_format="pyarrow")
