@@ -165,3 +165,32 @@ def test_approx_top_k_bounds_and_exact_case(ray_session):
     assert exact["k"].astype(int).tolist() == expect["k"].astype(int).tolist()
     assert exact["n_lo"].tolist() == expect["n"].tolist()
     assert (exact["n_lo"] == exact["n_hi"]).all()
+
+
+def test_sliding_dense_sparse_key_huge_gap(ray_session):
+    """A key with events separated by a huge unit gap must not
+    materialize the full span (gap-splitting) and must still match the
+    fan-out result exactly."""
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    hours = np.array([0, 1, 2, 1_000_000, 1_000_005], dtype=np.int64)
+    tbl = pa.table({
+        "k": pa.array(["x"] * 5),
+        "ts": pa.array(base + (hours * 3600).astype("timedelta64[s]")
+                       .astype("timedelta64[us]")),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+    kw = dict(ts_col="ts", key_col="k", value_col="v",
+              unit_us=3_600_000_000, size_units=24,
+              aggs=["sum", "min", "max"])
+    dense = windows.sliding_agg_dense(
+        rd.from_arrow(tbl), **kw
+    ).to_pandas().sort_values("window").reset_index(drop=True)
+    fan = windows.sliding_agg(
+        rd.from_arrow(tbl), **kw
+    ).to_pandas().sort_values("window").reset_index(drop=True)
+    fan = fan[dense.columns]
+    pd.testing.assert_frame_equal(dense, fan, check_dtype=False)
+    # windows exist only near the two clusters, never across the gap
+    u0 = int(base.astype(np.int64) // 3_600_000_000)  # epoch-hour of base
+    w = dense["window"].to_numpy() - u0
+    assert ((w <= 2) | (w >= 1_000_000 - 23)).all()

@@ -256,6 +256,14 @@ def sliding_agg_dense(ds, *, ts_col: str, key_col: str,
         keys = g[key_col].to_numpy()
         u = g["_u"].to_numpy(dtype=np.int64)
         newk = np.concatenate([[True], keys[1:] != keys[:-1]])
+        # split each key at unit gaps >= size: no window can span such a
+        # gap (a window starting at or before the gap's left edge ends
+        # before the right edge), so segments are EXACTLY independent —
+        # and the dense axis is sized by per-segment spans, never by a
+        # sparse key's full time range (a key with two events years
+        # apart would otherwise materialize the whole span)
+        gap = np.concatenate([[True], (u[1:] - u[:-1]) >= size])
+        newk = newk | gap
         key_first = np.flatnonzero(newk)
         key_last = np.concatenate([key_first[1:] - 1, [len(g) - 1]])
         u_min, u_max = u[key_first], u[key_last]
