@@ -194,3 +194,84 @@ def test_sliding_dense_sparse_key_huge_gap(ray_session):
     u0 = int(base.astype(np.int64) // 3_600_000_000)  # epoch-hour of base
     w = dense["window"].to_numpy() - u0
     assert ((w <= 2) | (w >= 1_000_000 - 23)).all()
+
+
+# --- QuantileSketch (deterministic mergeable compactor stack) -------------
+
+
+def _rank_window(sorted_vals, est):
+    lt = int(np.searchsorted(sorted_vals, est, side="left"))
+    le = int(np.searchsorted(sorted_vals, est, side="right"))
+    return lt, le
+
+
+def test_quantile_sketch_bound_holds():
+    rng = np.random.default_rng(7)
+    v = np.round(rng.lognormal(3, 1, 150_000) * 100)
+    sk = sketch.QuantileSketch.from_values(v, capacity=512)
+    assert sk.n == len(v)
+    assert sk.err <= 2 * len(v) // 512 + 512  # ~2N/c
+    sv = np.sort(v)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.query([q])[0]
+        k = max(int(np.ceil(q * sk.n)), 1)
+        lt, le = _rank_window(sv, est)
+        assert lt < k + sk.err and le >= k - sk.err, q
+
+
+def test_quantile_sketch_merge_order_invariant_bound():
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1000, 80_000).round()
+    sv = np.sort(v)
+    chunks = np.array_split(v, 23)
+    for perm_seed in (0, 1):
+        order = np.random.default_rng(perm_seed).permutation(len(chunks))
+        m = None
+        for i in order:
+            s = sketch.QuantileSketch.from_values(chunks[i], capacity=256)
+            m = s if m is None else m.merge(s)
+        assert m.n == len(v)  # weight exactly preserved through merges
+        for q in (0.1, 0.5, 0.9):
+            est = m.query([q])[0]
+            k = max(int(np.ceil(q * m.n)), 1)
+            lt, le = _rank_window(sv, est)
+            assert lt < k + m.err and le >= k - m.err
+
+
+def test_quantile_sketch_serialization_roundtrip():
+    v = np.arange(10_000, dtype=np.float64)
+    sk = sketch.QuantileSketch.from_values(v, capacity=128)
+    rt = sketch.QuantileSketch.from_bytes(sk.to_bytes())
+    assert rt.n == sk.n and rt.err == sk.err and rt.capacity == sk.capacity
+    assert all(np.array_equal(a, b) for a, b in zip(rt.levels, sk.levels))
+    assert np.array_equal(rt.query([0.25, 0.5, 0.99]), sk.query([0.25, 0.5, 0.99]))
+
+
+def test_quantile_sketch_small_exact():
+    # below capacity the sketch never compacts: err == 0, quantiles exact
+    v = np.array([5.0, 1.0, 9.0, 3.0, 7.0])
+    sk = sketch.QuantileSketch.from_values(v, capacity=16)
+    assert sk.err == 0
+    assert sk.query([0.5])[0] == 5.0
+    assert sk.query([0.2])[0] == 1.0
+    assert sk.query([1.0])[0] == 9.0
+
+
+def test_grouped_approx_quantiles_vs_exact(ray_session):
+    rng = np.random.default_rng(11)
+    n = 60_000
+    key = rng.integers(0, 4, n)
+    val = np.round(rng.lognormal(4, 0.7, n) * 100)
+    ds = rd.from_arrow(pa.table({"k": key, "v": val})).repartition(8)
+    out = sketch.grouped_approx_quantiles(
+        ds, ["k"], "v", qs=[0.25, 0.5, 0.9], capacity=256, n_buckets=4
+    ).to_pandas().set_index("k")
+    df = pd.DataFrame({"k": key, "v": val})
+    for k_val, grp in df.groupby("k"):
+        sv = np.sort(grp["v"].to_numpy())
+        row = out.loc[k_val]
+        assert int(row["n"]) == len(sv)
+        for q, lab in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            kk = max(int(np.ceil(q * len(sv))), 1)
+            lt, le = _rank_window(sv, row[lab])
+            assert lt < kk + row["err"] and le >= kk - row["err"], (k_val, q)

@@ -1082,6 +1082,93 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_qsketch(sf_dir: str):
+    """APPROXIMATE grouped quantiles via the deterministic mergeable
+    compactor sketch (stages/sketch.py QuantileSketch) — the plan that
+    replaces ``quantiles``'s distinct-value shuffle when values are
+    continuous/high-cardinality at 100 TB: per-(key,batch) sketch rows
+    (a few KiB each) are the ONLY thing shuffled.
+
+    The accuracy contract is certified inside the query, so the oracle
+    is a REAL check, not a rows-only hole: the sketch carries an exact
+    self-reported worst-case rank-error bound ``err`` (each compaction
+    of a level-h buffer adds exactly 2^h); a second pass computes, per
+    key and per estimate, the exact rank window [#(v<est)+1, #(v<=est)]
+    and emits ok_p = 1 iff the window is within ``err`` of the target
+    rank ceil(p*n).  By the compaction theorem the flags are always 1
+    when the implementation is correct, so the oracle (COUNT(*) per key
+    + literal 1s) verifies BOTH the exact count path and that the
+    sketch's guaranteed bound actually held on this data."""
+    import pandas as pd
+
+    from ..stages import sketch as sk
+    from ..stages.bucketed import bucketed_groupby
+
+    QS = [0.25, 0.5, 0.9]
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "p_cents": pa.array(c, pa.int64())})
+
+    def cents_ds():
+        return _read(
+            sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+        ).map_batches(cents, batch_format="pyarrow")
+
+    approx = sk.grouped_approx_quantiles(
+        cents_ds(), ["o_orderpriority"], "p_cents", qs=QS,
+        capacity=256, n_buckets=8,
+    )
+    # one row per priority (5) — bounded driver materialization
+    est = approx.to_pandas().set_index("o_orderpriority")
+    targets = {
+        key: (np.array([row["p25"], row["p50"], row["p90"]]),
+              int(row["err"]), int(row["n"]))
+        for key, row in est.iterrows()
+    }
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": b.column("o_orderpriority").to_pylist(),
+            "v": b.column("p_cents").to_numpy(zero_copy_only=False),
+        })
+        rows = []
+        for key, grp in df.groupby("o_orderpriority", sort=False):
+            ests = targets[key][0]
+            v = grp["v"].to_numpy()[:, None]
+            row = {"o_orderpriority": key, "n_part": len(grp)}
+            for q, e in zip(QS, ests):
+                lab = f"{int(round(q * 100))}"
+                row[f"lt{lab}"] = int(np.count_nonzero(v < e))
+                row[f"le{lab}"] = int(np.count_nonzero(v <= e))
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    parts = cents_ds().map_batches(rank_partial, batch_format="pyarrow")
+
+    def finalize(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby("o_orderpriority", sort=False).sum().reset_index()
+        out = []
+        for _, r in agg.iterrows():
+            key = r["o_orderpriority"]
+            _, err, n_sk = targets[key]
+            n = int(r["n_part"])
+            row = {"o_orderpriority": key, "n": n}
+            for q in QS:
+                lab = f"{int(round(q * 100))}"
+                k = max(int(np.ceil(q * n)), 1)
+                ok = (int(r[f"lt{lab}"]) < k + err) and (
+                    int(r[f"le{lab}"]) >= k - err) and n == n_sk
+                row[f"ok{lab}"] = int(ok)
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return bucketed_groupby(parts, ["o_orderpriority"], finalize, n_buckets=4)
+
+
 def q_rollup(sf_dir: str):
     """GROUPING SETS rollup ((flag, status), (flag), ()) — ONE
     distributed fine aggregate; the subtotal levels derive from the
@@ -1979,6 +2066,15 @@ FROM cand QUALIFY rank <= 10
             "quantile_disc(v, 0.75) AS p75, quantile_disc(v, 0.9) AS p90 "
             "FROM c GROUP BY o_orderpriority"
         ),
+        # qsketch: the engine certifies the sketch's guaranteed rank-error
+        # bound against exact second-pass rank windows and emits 1-flags;
+        # the oracle checks the exact n per key plus the certification
+        # (a flag of 0 — bound violated — hash-mismatches immediately).
+        "qsketch": (
+            "SELECT o_orderpriority, COUNT(*) AS n, "
+            "1 AS ok25, 1 AS ok50, 1 AS ok90 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
         "rollup": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
@@ -2157,6 +2253,7 @@ def build_queries() -> dict:
         "rollup": q_rollup,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
+        "qsketch": q_qsketch,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,

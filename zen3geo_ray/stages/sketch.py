@@ -210,3 +210,191 @@ def approx_top_k(ds, key_col: str, k: int, capacity: int = 4096,
         ),
         batch_format="pyarrow",
     )
+
+
+# --- mergeable quantile sketch (deterministic compactor stack) ------------
+#
+# The approximate sibling of zonal.grouped_quantiles: the exact path
+# shuffles one row per DISTINCT (key, value) — bounded by the value
+# domain — which is the right plan for integer cents but not for
+# high-cardinality doubles at 100 TB.  This sketch is the classic
+# Munro-Paterson / KLL compactor stack made DETERMINISTIC (alternate
+# elements of a sorted buffer, no randomness) so that it carries an
+# EXACT self-reported worst-case rank-error bound:
+#
+#   * level h holds sorted items of weight 2^h;
+#   * compacting a sorted run of m items at level h promotes every
+#     second item (1-based even positions) to level h+1 and keeps the
+#     odd leftover; for ANY threshold t the weighted count of items < t
+#     changes by at most 2^h — so the sketch's ``err`` accumulator,
+#     incremented by 2^h per compaction op, is a guaranteed bound on
+#     |estimated rank - true rank| for every quantile query;
+#   * merge = per-level concatenation + the same compaction pass, and
+#     the bounds ADD — mergeability is what makes it a one-shuffle
+#     distributed plan (fixed-size binary rows move, never values).
+#
+# With capacity c the sketch holds <= c*log2(N/c) items and err <=
+# ~2N/c, i.e. a 512-capacity sketch answers any quantile of a billion
+# rows within 0.4% rank error from a few KiB of state.
+
+
+class QuantileSketch:
+    """Deterministic mergeable rank sketch over float64 values.
+
+    ``err`` is an exact accumulated upper bound on the absolute rank
+    error of any quantile estimate; ``n`` is the exact total weight
+    (compaction preserves weight, odd leftovers stay at their level).
+    """
+
+    __slots__ = ("capacity", "levels", "err", "n")
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = int(capacity)
+        self.levels: list[np.ndarray] = []
+        self.err = 0
+        self.n = 0
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, capacity: int = 512) -> "QuantileSketch":
+        sk = cls(capacity)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            sk.levels = [np.sort(v)]
+            sk.n = len(v)
+            sk._compact()
+        return sk
+
+    def _compact(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            arr = self.levels[h]
+            if len(arr) > self.capacity:
+                # whole-level compaction: one op, error 2^h, regardless
+                # of m — cheaper in error than repeated small compactions
+                m = len(arr) & ~1  # even prefix
+                promoted = arr[1:m:2]
+                self.levels[h] = arr[m:]  # odd leftover (or empty)
+                if h + 1 == len(self.levels):
+                    self.levels.append(promoted)
+                else:
+                    lv = self.levels[h + 1]
+                    self.levels[h + 1] = np.sort(np.concatenate([lv, promoted])) if len(lv) else promoted
+                self.err += 1 << h
+            h += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert other.capacity == self.capacity
+        for h, arr in enumerate(other.levels):
+            if not len(arr):
+                continue
+            if h == len(self.levels):
+                self.levels.append(arr)
+            else:
+                lv = self.levels[h]
+                self.levels[h] = np.sort(np.concatenate([lv, arr])) if len(lv) else arr
+        self.err += other.err
+        self.n += other.n
+        self._compact()
+        return self
+
+    def _flat(self):
+        vals = [a for a in self.levels if len(a)]
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        w = np.concatenate([
+            np.full(len(a), 1 << h, dtype=np.int64)
+            for h, a in enumerate(self.levels) if len(a)
+        ])
+        v = np.concatenate(vals)
+        order = np.argsort(v, kind="mergesort")
+        return v[order], w[order]
+
+    def query(self, qs) -> np.ndarray:
+        """quantile_disc-style: smallest item whose cumulative weight
+        reaches ceil(q * n) (clamped to >= 1)."""
+        v, w = self._flat()
+        if not len(v):
+            return np.full(len(qs), np.nan)
+        cum = np.cumsum(w)
+        out = np.empty(len(qs))
+        for i, q in enumerate(qs):
+            k = max(int(np.ceil(q * self.n)), 1)
+            out[i] = v[min(int(np.searchsorted(cum, k)), len(v) - 1)]
+        return out
+
+    # fixed-width serialization: the shuffle row payload
+    def to_bytes(self) -> bytes:
+        lens = np.array([len(a) for a in self.levels], dtype=np.int64)
+        head = np.array([self.capacity, len(lens), self.err, self.n],
+                        dtype=np.int64)
+        body = (np.concatenate([a for a in self.levels if len(a)])
+                if lens.sum() else np.empty(0))
+        return head.tobytes() + lens.tobytes() + body.astype(np.float64).tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QuantileSketch":
+        head = np.frombuffer(b, dtype=np.int64, count=4)
+        sk = cls(int(head[0]))
+        nlev = int(head[1])
+        sk.err = int(head[2])
+        sk.n = int(head[3])
+        lens = np.frombuffer(b, dtype=np.int64, count=nlev, offset=32)
+        body = np.frombuffer(b, dtype=np.float64, offset=32 + 8 * nlev)
+        off = 0
+        for ln in lens:
+            sk.levels.append(body[off:off + int(ln)].copy())
+            off += int(ln)
+        return sk
+
+
+def grouped_approx_quantiles(ds, key_cols: list[str], value_col: str,
+                             qs: list[float], capacity: int = 512,
+                             n_buckets: int = 32):
+    """groupby(key) -> approximate quantiles via mergeable sketches.
+
+    Partial: one serialized sketch row per (key, batch); final: per-key
+    merge + query.  Shuffle volume = |keys per batch| x O(capacity *
+    log(batch/capacity)) bytes — value cardinality never matters, the
+    plan that replaces grouped_quantiles when values are continuous.
+    Output: key cols + p{q} estimate cols + ``n`` (exact) + ``err``
+    (guaranteed rank-error bound of every estimate).
+    """
+    from .bucketed import bucketed_groupby
+
+    labels = [f"p{int(round(q * 100))}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in key_cols})
+        df["_v"] = batch.column(value_col).to_numpy(zero_copy_only=False)
+        rows = {c: [] for c in key_cols}
+        blobs = []
+        for key, grp in df.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            for c, kv in zip(key_cols, key):
+                rows[c].append(kv)
+            blobs.append(QuantileSketch.from_values(
+                grp["_v"].to_numpy(), capacity).to_bytes())
+        t = pa.table({c: pa.array(v) for c, v in rows.items()})
+        return t.append_column("_sk", pa.array(blobs, pa.binary()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for key, grp in g.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            sk = None
+            for b in grp["_sk"]:
+                s = QuantileSketch.from_bytes(b)
+                sk = s if sk is None else sk.merge(s)
+            est = sk.query(qs)
+            row = dict(zip(key_cols, key))
+            row.update({lab: float(e) for lab, e in zip(labels, est)})
+            row["n"] = sk.n
+            row["err"] = sk.err
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    return bucketed_groupby(parts, key_cols, merge, n_buckets=n_buckets)
