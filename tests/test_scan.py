@@ -1,0 +1,73 @@
+"""Distributed prefix scan + sequence packing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zen3geo_ray.stages import scan
+
+
+def _sorted_ds(n=5000, seed=0, nblocks=7):
+    rng = np.random.default_rng(seed)
+    t = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "tok": rng.integers(1, 500, n).astype(np.int64),
+    })
+    return t, rd.from_arrow(t).repartition(nblocks)
+
+
+def test_prefix_scan_matches_numpy(ray_session):
+    t, ds = _sorted_ds()
+    out = scan.prefix_scan(ds, "doc_id", "tok").to_pandas().sort_values("doc_id")
+    exp = np.cumsum(t.column("tok").to_numpy())
+    assert np.array_equal(out["tok_cum"].to_numpy(), exp)
+
+
+def test_prefix_scan_exclusive(ray_session):
+    t, ds = _sorted_ds(n=1000, nblocks=4)
+    out = scan.prefix_scan(ds, "doc_id", "tok", inclusive=False).to_pandas().sort_values("doc_id")
+    v = t.column("tok").to_numpy()
+    exp = np.cumsum(v) - v
+    assert np.array_equal(out["tok_cum"].to_numpy(), exp)
+
+
+def test_prefix_scan_unsorted_within_block(ray_session):
+    # rows shuffled WITHIN each contiguous block range: scan must sort locally
+    rng = np.random.default_rng(3)
+    n = 1200
+    ids = np.arange(n, dtype=np.int64)
+    tok = rng.integers(1, 9, n).astype(np.int64)
+    blocks = []
+    for s in range(0, n, 300):
+        perm = rng.permutation(300)
+        blocks.append(pa.table({"doc_id": ids[s:s+300][perm],
+                                "tok": tok[s:s+300][perm]}))
+    ds = rd.from_arrow(blocks)
+    out = scan.prefix_scan(ds, "doc_id", "tok").to_pandas().sort_values("doc_id")
+    assert np.array_equal(out["tok_cum"].to_numpy(), np.cumsum(tok))
+
+
+def test_prefix_scan_overlap_raises(ray_session):
+    a = pa.table({"doc_id": np.array([0, 5], dtype=np.int64),
+                  "tok": np.ones(2, dtype=np.int64)})
+    b = pa.table({"doc_id": np.array([3, 9], dtype=np.int64),
+                  "tok": np.ones(2, dtype=np.int64)})
+    with pytest.raises(ValueError, match="overlap"):
+        scan.prefix_scan(rd.from_arrow([a, b]), "doc_id", "tok")
+
+
+def test_pack_sequences_straddle_convention(ray_session):
+    t, ds = _sorted_ds(n=2000, seed=5, nblocks=5)
+    budget = 10_000
+    out = scan.pack_sequences(ds, "doc_id", "tok", budget).to_pandas().sort_values("doc_id")
+    v = t.column("tok").to_numpy()
+    cum = np.cumsum(v)
+    exp_shard = (cum - v) // budget
+    assert np.array_equal(out["shard"].to_numpy(), exp_shard)
+    # shards are contiguous runs in doc order and roughly budget-sized
+    sh = out["shard"].to_numpy()
+    assert (np.diff(sh) >= 0).all()
+    per = out.groupby("shard")["tok"].sum().to_numpy()
+    assert (per[:-1] >= budget - 500).all()  # full shards reach ~budget

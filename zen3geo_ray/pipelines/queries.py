@@ -22,7 +22,7 @@ from ..functions import hashing
 from ..functions import text as textfn
 from ..functions.geocode import geocode_id, sql_geocode_exprs
 from ..geom import cells
-from ..stages import ann, dedup, knn, rasterize as rz, stack, zonal
+from ..stages import ann, dedup, knn, rasterize as rz, scan, stack, zonal
 from ..stages.join import PointInPolygonJoin, polygons_to_blob
 from ..sources.fixtures import admin_grid
 
@@ -1169,6 +1169,22 @@ def q_qsketch(sf_dir: str):
     return bucketed_groupby(parts, ["o_orderpriority"], finalize, n_buckets=4)
 
 
+PACK_BUDGET = 25_000
+
+
+def q_pack(sf_dir: str):
+    """Sequence packing for training shards: assign every document to a
+    token-budget shard in global doc_id order via the two-pass
+    distributed prefix scan (stages/scan.py) — only one summary row per
+    block reaches the driver, data rows never shuffle.  shard =
+    exclusive running char total // budget (straddling docs belong to
+    the shard where they start), mirrored by SUM() OVER (ORDER BY)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"],
+                 rows_per_block=100)
+    return scan.pack_sequences(docs, "doc_id", "n_chars",
+                               budget=PACK_BUDGET)
+
+
 def q_rollup(sf_dir: str):
     """GROUPING SETS rollup ((flag, status), (flag), ()) — ONE
     distributed fine aggregate; the subtotal levels derive from the
@@ -2075,6 +2091,14 @@ FROM cand QUALIFY rank <= 10
             "1 AS ok25, 1 AS ok50, 1 AS ok90 "
             "FROM orders GROUP BY o_orderpriority"
         ),
+        "pack": (
+            "WITH c AS (SELECT doc_id, n_chars, "
+            "CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+            "FROM documents) "
+            f"SELECT doc_id, n_chars, cum, (cum - n_chars) // {PACK_BUDGET} "
+            "AS shard FROM c"
+        ),
         "rollup": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
@@ -2254,6 +2278,7 @@ def build_queries() -> dict:
         "median_price": q_median_price,
         "quantiles": q_quantiles,
         "qsketch": q_qsketch,
+        "pack": q_pack,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,
