@@ -285,3 +285,27 @@ def test_doc_term_counts_and_vocab(ray_session):
     tied = sorted(th_abcd[:3].tolist())[:2]  # uint64 order
     assert sorted(np.asarray(vocab["term"]).view(np.uint64).tolist()) == tied
     assert vocab["df"].tolist() == [2, 2]
+
+
+def test_redact_rules_in_order_and_counts():
+    import pyarrow as pa
+
+    from zen3geo_ray.functions.text import redact
+
+    texts = ["alpha beta alpha", "nothing here", ""]
+    out, counts = redact(pa.array(texts),
+                         [(r"alpha", "X"), (r"X beta", "Y")])
+    assert out.to_pylist() == ["Y X", "nothing here", ""]
+    # rule 2 counts measured AFTER rule 1 rewrote the text
+    assert counts[0].tolist() == [2, 0, 0]
+    assert counts[1].tolist() == [1, 0, 0]
+
+
+def test_redact_null_safe():
+    import pyarrow as pa
+
+    from zen3geo_ray.functions.text import redact
+
+    out, counts = redact(pa.array(["a1", None]), [(r"\d", "#")])
+    assert out.to_pylist() == ["a#", None]
+    assert counts[0].tolist() == [1, 0]

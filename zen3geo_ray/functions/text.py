@@ -208,3 +208,29 @@ def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
             h = acc
             out[i] = h.min()
     return out
+
+
+def redact(texts, rules: list[tuple[str, str]]):
+    """Vectorized regex redaction (PII-scrub mechanism) — each rule is a
+    (RE2 pattern, replacement) pair applied IN ORDER over the whole
+    column with ``pyarrow.compute.replace_substring_regex`` (global, all
+    occurrences); per-rule match counts are taken on the text as it
+    stands BEFORE that rule runs (i.e. after all earlier rules).
+
+    RE2 on both sides makes this oracle-mirrorable: DuckDB
+    ``regexp_replace(t, pat, rep, 'g')`` + ``len(regexp_extract_all)``
+    compute the identical result.  Real deployments swap in email/
+    phone/SSN patterns; the mechanism (vectorized kernel, no per-row
+    Python) is what matters at 100 TB.
+
+    Returns ``(redacted_array, [per-rule int64 counts])``.
+    """
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(texts)
+    counts = []
+    for pat, rep in rules:
+        c = pc.fill_null(pc.count_substring_regex(arr, pattern=pat), 0)
+        counts.append(c.to_numpy(zero_copy_only=False).astype(np.int64))
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    return arr, counts

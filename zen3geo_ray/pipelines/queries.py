@@ -1169,6 +1169,33 @@ def q_qsketch(sf_dir: str):
     return bucketed_groupby(parts, ["o_orderpriority"], finalize, n_buckets=4)
 
 
+SCRUB_RULES = [
+    (r"\b(?:key|hash|scan)\b", "[K]"),   # term blocklist (word-bounded)
+    (r"qu[a-z]+", "[Q]"),                # pattern family
+]
+
+
+def q_scrub(sf_dir: str):
+    """Regex redaction (the PII-scrub mechanism): ordered RE2 rules
+    applied globally over the text column with per-rule hit counts —
+    one vectorized pyarrow kernel per rule, zero per-row Python
+    (functions/text.py:redact).  Real deployments swap in email/phone
+    patterns; DuckDB mirrors each step with regexp_replace(...,'g') +
+    len(regexp_extract_all) on the progressively-redacted text."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        clean, counts = textfn.redact(b.column("text"), SCRUB_RULES)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "clean": clean,
+            "hits_k": pa.array(counts[0], pa.int64()),
+            "hits_q": pa.array(counts[1], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000).map_batches(fn, batch_format="pyarrow")
+
+
 PACK_BUDGET = 25_000
 
 
@@ -2091,6 +2118,16 @@ FROM cand QUALIFY rank <= 10
             "1 AS ok25, 1 AS ok50, 1 AS ok90 "
             "FROM orders GROUP BY o_orderpriority"
         ),
+        "scrub": (
+            r"WITH s1 AS (SELECT doc_id, "
+            r"len(regexp_extract_all(text, '\b(?:key|hash|scan)\b')) AS hits_k, "
+            r"regexp_replace(text, '\b(?:key|hash|scan)\b', '[K]', 'g') AS t1 "
+            r"FROM documents), "
+            r"s2 AS (SELECT doc_id, hits_k, "
+            r"len(regexp_extract_all(t1, 'qu[a-z]+')) AS hits_q, "
+            r"regexp_replace(t1, 'qu[a-z]+', '[Q]', 'g') AS clean FROM s1) "
+            r"SELECT doc_id, clean, hits_k, hits_q FROM s2"
+        ),
         "pack": (
             "WITH c AS (SELECT doc_id, n_chars, "
             "CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN "
@@ -2279,6 +2316,7 @@ def build_queries() -> dict:
         "quantiles": q_quantiles,
         "qsketch": q_qsketch,
         "pack": q_pack,
+        "scrub": q_scrub,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,
