@@ -265,3 +265,24 @@ def test_grouped_quantiles_matches_numpy(ray_session):
         for q in qs:
             idx = max(int(np.ceil(q * len(sv))) - 1, 0)
             assert r[f"p{int(q * 100)}"] == sv[idx], (r["k"], q)
+
+
+def test_profile_columns_with_nulls(ray_session):
+    import pyarrow as pa
+    import numpy as np
+    import ray.data as rd
+
+    from zen3geo_ray.stages.profile import profile_columns
+
+    t = pa.table({
+        "x": pa.array([1.0, None, 3.5, 3.5, -2.0, None], pa.float64()),
+        "s": pa.array(["b", "a", None, "b", "c", "a"], pa.string()),
+    })
+    out = profile_columns(rd.from_arrow(t).repartition(3), ["x"], ["s"])
+    rows = {r["col_name"]: r for r in out.to_pylist()}
+    x = rows["x"]
+    assert (x["n"], x["nulls"], x["min_num"], x["max_num"], x["ndv"]) == (6, 2, -2.0, 3.5, 3)
+    assert x["min_str"] is None and x["max_str"] is None
+    s = rows["s"]
+    assert (s["n"], s["nulls"], s["min_str"], s["max_str"], s["ndv"]) == (6, 1, "a", "c", 3)
+    assert s["min_num"] is None and s["max_num"] is None

@@ -1169,6 +1169,21 @@ def q_qsketch(sf_dir: str):
     return bucketed_groupby(parts, ["o_orderpriority"], finalize, n_buckets=4)
 
 
+def q_profile(sf_dir: str):
+    """Distributed column profiler (stages/profile.py): per-column row/
+    null counts, min/max, and EXACT distinct counts in two combiner-first
+    passes — stats move one row per (block, column); NDV moves one row
+    per within-block distinct (column, value), the exact-dedup shape.
+    The stats that drive partition pruning and planner decisions at
+    100 TB, mirrored by per-column UNION ALL aggregates in SQL."""
+    from ..stages.profile import profile_columns
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_returnflag", "l_linestatus"])
+    return profile_columns(li, ["l_quantity", "l_discount"],
+                           ["l_returnflag", "l_linestatus"])
+
+
 SCRUB_RULES = [
     (r"\b(?:key|hash|scan)\b", "[K]"),   # term blocklist (word-bounded)
     (r"qu[a-z]+", "[Q]"),                # pattern family
@@ -2118,6 +2133,22 @@ FROM cand QUALIFY rank <= 10
             "1 AS ok25, 1 AS ok50, 1 AS ok90 "
             "FROM orders GROUP BY o_orderpriority"
         ),
+        "profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, COUNT(*) AS n, "
+                f"COUNT(*) - COUNT({c}) AS nulls, "
+                + (f"MIN({c}) AS min_num, MAX({c}) AS max_num, "
+                   "CAST(NULL AS VARCHAR) AS min_str, "
+                   "CAST(NULL AS VARCHAR) AS max_str, "
+                   if kind == "num" else
+                   "CAST(NULL AS DOUBLE) AS min_num, "
+                   "CAST(NULL AS DOUBLE) AS max_num, "
+                   f"MIN({c}) AS min_str, MAX({c}) AS max_str, ")
+                + f"COUNT(DISTINCT {c}) AS ndv FROM lineitem"
+                for c, kind in [("l_quantity", "num"), ("l_discount", "num"),
+                                ("l_returnflag", "str"), ("l_linestatus", "str")]
+            )
+        ),
         "scrub": (
             r"WITH s1 AS (SELECT doc_id, "
             r"len(regexp_extract_all(text, '\b(?:key|hash|scan)\b')) AS hits_k, "
@@ -2317,6 +2348,7 @@ def build_queries() -> dict:
         "qsketch": q_qsketch,
         "pack": q_pack,
         "scrub": q_scrub,
+        "profile": q_profile,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,

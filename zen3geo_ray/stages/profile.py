@@ -1,0 +1,121 @@
+"""One-pass distributed column profiler (table statistics).
+
+The stats that drive pruning and planning at 100 TB — per-column row
+count, null count, min/max, exact number of distinct values — computed
+the combiner-first way:
+
+* stats: each block reduces to ONE row per profiled column
+  (n, nulls, min, max); the groupby moves O(#blocks x #cols) tiny rows;
+* exact NDV: each block emits its DISTINCT (column, value) pairs
+  (bounded by per-block cardinality, the same shape as exact dedup),
+  deduplicated with the coarse-bucket reduce and counted per column.
+  Profile NDV only on bounded-cardinality columns at scale — for
+  unbounded keys use the HLL path (stages/sketch.approx_distinct).
+
+Output is a tiny long-form table (one row per column), returned as an
+eager pyarrow Table: ``col_name, n, nulls, min_num, max_num, min_str,
+max_str, ndv`` with the min/max pair of the other type null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def profile_columns(ds, numeric_cols: list[str], string_cols: list[str] = (),
+                    n_buckets: int = 32) -> pa.Table:
+    from .bucketed import bucketed_groupby, first_per_key
+    from .zonal import zonal_aggregate
+
+    numeric_cols = list(numeric_cols)
+    string_cols = list(string_cols)
+    all_cols = numeric_cols + string_cols
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in numeric_cols:
+            col = b.column(c)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            valid = v[~np.isnan(v)] if col.null_count else v
+            rows.append({
+                "col_name": c, "n": len(b), "nulls": col.null_count,
+                "min_num": float(valid.min()) if len(valid) else None,
+                "max_num": float(valid.max()) if len(valid) else None,
+                "min_str": None, "max_str": None,
+            })
+        for c in string_cols:
+            col = b.column(c)
+            vals = col.drop_null()
+            rows.append({
+                "col_name": c, "n": len(b), "nulls": col.null_count,
+                "min_num": None, "max_num": None,
+                "min_str": pa.compute.min(vals).as_py() if len(vals) else None,
+                "max_str": pa.compute.max(vals).as_py() if len(vals) else None,
+            })
+        df = pd.DataFrame(rows)
+        return pa.table({
+            "col_name": pa.array(df["col_name"], pa.string()),
+            "n": pa.array(df["n"], pa.int64()),
+            "nulls": pa.array(df["nulls"], pa.int64()),
+            "min_num": pa.array(df["min_num"], pa.float64()),
+            "max_num": pa.array(df["max_num"], pa.float64()),
+            "min_str": pa.array(df["min_str"], pa.string()),
+            "max_str": pa.array(df["max_str"], pa.string()),
+        })
+
+    def stats_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("col_name", sort=False).agg(
+            n=("n", "sum"), nulls=("nulls", "sum"),
+            min_num=("min_num", "min"), max_num=("max_num", "max"),
+            min_str=("min_str", "min"), max_str=("max_str", "max"),
+        ).reset_index()
+
+    stats = bucketed_groupby(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["col_name"], stats_merge, n_buckets=min(n_buckets, 8),
+    ).to_pandas()  # bounded: one row per profiled column
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        # one row per within-block distinct (column, value); numerics are
+        # keyed by repr(float) — injective, so distinctness is preserved
+        outs = []
+        for c in all_cols:
+            col = b.column(c)
+            if c in numeric_cols:
+                u = np.unique(col.to_numpy(zero_copy_only=False).astype(np.float64))
+                vals = pa.array([repr(x) for x in u[~np.isnan(u)]], pa.string())
+            else:
+                vals = pa.compute.unique(col.drop_null().combine_chunks())
+            outs.append(pa.table({
+                "col_name": pa.array([c] * len(vals), pa.string()),
+                "value_key": vals,
+            }))
+        return pa.concat_tables(outs)
+
+    pairs = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    uniq = first_per_key(pairs, ["col_name", "value_key"],
+                         ["col_name"], n_buckets=n_buckets)
+    ndv = zonal_aggregate(uniq, ["col_name"], {}).to_pandas().rename(
+        columns={"n": "ndv"}
+    )  # bounded: one row per column
+
+    out = stats.merge(ndv, on="col_name", how="left")
+    out = out.set_index("col_name").loc[all_cols].reset_index()
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n": pa.array(out["n"].astype(np.int64)),
+        "nulls": pa.array(out["nulls"].astype(np.int64)),
+        "min_num": pa.array([None if pd.isna(v) else float(v)
+                             for v in out["min_num"]], pa.float64()),
+        "max_num": pa.array([None if pd.isna(v) else float(v)
+                             for v in out["max_num"]], pa.float64()),
+        "min_str": pa.array(
+            [None if (isinstance(v, float) or v is None) else v
+             for v in out["min_str"]], pa.string()),
+        "max_str": pa.array(
+            [None if (isinstance(v, float) or v is None) else v
+             for v in out["max_str"]], pa.string()),
+        "ndv": pa.array(out["ndv"].astype(np.int64)),
+    })
