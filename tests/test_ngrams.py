@@ -1,0 +1,123 @@
+"""n-gram corpus ops: repetition stats, decontamination, top-k grams,
+keyed prefix scan and shuffle-to-shards."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from zen3geo_ray.stages import scan
+from zen3geo_ray.stages.ngrams import (
+    benchmark_shingle_set,
+    contamination,
+    repetition_stats,
+    top_ngrams,
+)
+from zen3geo_ray.stages.partition import shuffle_to_shards
+
+
+def _docs(texts, nblocks=3):
+    t = pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": pa.array(texts, pa.string()),
+    })
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def test_repetition_stats_known_values(ray_session):
+    # "a b c a b c a b": 8 tokens -> 6 3-shingles, runs abc x2, bca x2,
+    # cab x2 -> 3 distinct, max_rep 2, dup_frac 0.5
+    out = (repetition_stats(_docs(["a b c a b c a b", "x y", "a a a a a"]),
+                            k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_shingles"].tolist() == [6, 1, 3]
+    assert out["n_distinct"].tolist() == [3, 1, 1]
+    assert out["max_rep"].tolist() == [2, 1, 3]
+    assert out["dup_frac"].tolist() == [0.5, 0.0, 2.0 / 3.0]
+
+
+def test_repetition_stats_empty_and_whitespace_doc(ray_session):
+    # empty / all-ws docs follow the dedup convention: ONE seed shingle
+    out = (repetition_stats(_docs(["", "   ", "q w e"]), k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_shingles"].tolist() == [1, 1, 1]
+    assert out["dup_frac"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_contamination_distinct_hits(ray_session):
+    # doc 2 repeats the benchmark 2-shingle twice -> n_hits counts it ONCE
+    bench = _docs(["secret alpha beta"], nblocks=1)
+    ref = ray.put(benchmark_shingle_set(bench, k=2))
+    train = _docs([
+        "secret alpha gamma",            # shares "secret alpha"
+        "secret alpha beta secret alpha beta",  # shares several, repeated
+        "totally clean words here",
+    ])
+    out = (contamination(train, ref, k=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out.loc[0, "n_hits"] == 1
+    # doc 1's grams: (secret alpha) x2, (alpha beta) x2, (beta secret) x1
+    # -> 2 DISTINCT benchmark hits, repeats not double-counted
+    assert out.loc[1, "n_hits"] == 2
+
+
+def test_top_ngrams_exact_with_cross_bucket_ties(ray_session):
+    texts = ["p q p q p q", "a b a b", "z z z z"]
+    # bigrams: "p q" x3, "q p" x2, "a b" x2, "b a" x1, "z z" x3
+    out = top_ngrams(_docs(texts), n=2, k_top=3, n_buckets=4).to_pandas()
+    assert out["gram"].tolist() == ["p q", "z z", "a b"]
+    assert out["n"].tolist() == [3, 3, 2]
+
+
+def test_keyed_prefix_scan_spanning_keys(ray_session):
+    # one key spans several blocks; carries must chain through all of them
+    n = 5000
+    rng = np.random.default_rng(7)
+    key = np.sort(rng.integers(0, 4, n)).astype(np.int64)  # few fat keys
+    order = np.arange(n, dtype=np.int64)
+    val = rng.integers(1, 100, n).astype(np.int64)
+    perm = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "k": key[perm], "o": order[perm], "v": val[perm]
+    })).repartition(9)
+    out = (scan.keyed_prefix_scan(ds, "k", "o", "v", out_col="cum")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    df = pd.DataFrame({"k": key, "v": val})
+    exp = df.groupby("k")["v"].cumsum().to_numpy()
+    assert np.array_equal(out["cum"].to_numpy(), exp)
+
+
+def test_keyed_prefix_scan_count_exclusive_uint64_order(ray_session):
+    # value_col=None counts rows; uint64 order column (the shards path)
+    n = 3000
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 5, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.uint64) * np.uint64(2**60 // n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(key, pa.int64()), "o": pa.array(order, pa.uint64())
+    })).repartition(6)
+    out = (scan.keyed_prefix_scan(ds, "k", "o", None, out_col="rank",
+                                  inclusive=False)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    df = pd.DataFrame({"k": key[np.argsort(order)]})
+    exp = df.groupby("k").cumcount().to_numpy()
+    assert np.array_equal(out["rank"].to_numpy(), exp)
+
+
+def test_shuffle_to_shards_is_permutation(ray_session):
+    n = 4000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(n, dtype=np.int64)})).repartition(5)
+    out = shuffle_to_shards(ds, "doc_id", n_shards=6).to_pandas()
+    assert len(out) == n
+    assert set(out.columns) == {"doc_id", "shard", "pos"}
+    for s, g in out.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+    # deterministic: second run identical
+    out2 = (shuffle_to_shards(ds, "doc_id", n_shards=6).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(out2)

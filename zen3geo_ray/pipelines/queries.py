@@ -1227,6 +1227,108 @@ def q_pack(sf_dir: str):
                                budget=PACK_BUDGET)
 
 
+DUPG_K = 3          # repetition-signal shingle width
+DECON_K = 8         # decontamination shingle width (13-gram analog)
+DECON_MOD, DECON_REM = 13, 7   # deterministic benchmark membership
+NGRAM_TOPK = 25
+N_SHARDS = 8
+
+
+def q_dup_ngram(sf_dir: str):
+    """Gopher-style repetition signal: per-doc k-token-shingle counts,
+    distinct count, the most-repeated shingle's occurrences and the
+    duplicate-shingle fraction — pure map_batches arithmetic over the
+    same poly64 shingles as MinHash (stages/ngrams.py:repetition_stats),
+    NO shuffle."""
+    from ..stages.ngrams import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return repetition_stats(docs, k=DUPG_K)
+
+
+def _bench_filter(is_bench: bool):
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % DECON_MOD) == DECON_REM
+        return b.filter(pa.array(m if is_bench else ~m))
+
+    return fn
+
+
+def q_decontam(sf_dir: str):
+    """Test-set decontamination: flag training docs sharing any k-token
+    shingle with the benchmark subset (doc_id % 13 == 7).  The SMALL
+    benchmark side reduces to a distinct shingle-hash set (streamed
+    union, bounded) and broadcasts via ``ray.put``; the big side does a
+    per-batch sorted-membership test — a broadcast semi join, the
+    training corpus never shuffles (stages/ngrams.py:contamination)."""
+    import ray
+
+    from ..stages.ngrams import benchmark_shingle_set, contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    bench = benchmark_shingle_set(
+        docs.map_batches(_bench_filter(True), batch_format="pyarrow"),
+        k=DECON_K,
+    )
+    ref = ray.put(bench)
+    return contamination(
+        docs.map_batches(_bench_filter(False), batch_format="pyarrow"),
+        ref, k=DECON_K,
+    )
+
+
+def q_ngram_topk(sf_dir: str):
+    """EXACT corpus-wide top-k token bigrams (count DESC, gram ASC) —
+    word-count at scale: per-batch value_counts combiner, bucketed global
+    sum, per-bucket top-k (exact: buckets partition grams), tiny final
+    sort (stages/ngrams.py:top_ngrams)."""
+    from ..stages.ngrams import top_ngrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return top_ngrams(docs, n=2, k_top=NGRAM_TOPK)
+
+
+def q_shards(sf_dir: str):
+    """Deterministic global shuffle into training shards: bijective
+    multiply-add hash -> shard = h % N, pos = rank within shard by h —
+    a reproducible global permutation computed with ONE range sort plus
+    the keyed two-pass scan (O(#blocks) driver rows;
+    stages/partition.py:shuffle_to_shards)."""
+    from ..stages.partition import shuffle_to_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_to_shards(docs, "doc_id", n_shards=N_SHARDS)
+
+
+def q_running_total(sf_dir: str):
+    """Keyed running totals (SUM OVER PARTITION BY ... ORDER BY ...):
+    per-customer cumulative order cents in orderkey order via
+    keyed_prefix_scan — range sort + two light passes; the driver sees
+    one summary row per BLOCK (first/last key runs only), never per key
+    (stages/scan.py:keyed_prefix_scan)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return scan.keyed_prefix_scan(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey", "o_orderkey", "cents", out_col="cum_cents",
+    )
+
+
 def q_rollup(sf_dir: str):
     """GROUPING SETS rollup ((flag, status), (flag), ()) — ONE
     distributed fine aggregate; the subtotal levels derive from the
@@ -1686,6 +1788,20 @@ th AS (
 )"""
 
 
+def _sql_shingle_ctes(k: int) -> str:
+    """tok/th/sh/shr CTEs: k-token shingle hashes per doc, unnested —
+    the dedup convention (max(n_tokens-k+1, 1) shingles; short docs fold
+    whatever tokens exist)."""
+    return f"""{_sql_tokhash_cte()},
+sh AS (
+  SELECT doc_id, list_transform(range(greatest(len(ths)-{k}+1, 1)), i ->
+    list_reduce(list_prepend({_SQL_H0}, ths[i+1 : least(i+{k}, len(ths))]),
+      (h, v) -> (h * {_SQL_P} + v) % {_SQL_M})) AS shs
+  FROM th
+),
+shr AS (SELECT doc_id, unnest(shs) AS s FROM sh)"""
+
+
 def _sql_minhash_cc_ctes() -> str:
     """The CTE chain from documents to ``labels(doc_id, dup_group)`` —
     MinHash token-shingle signatures + band buckets in HUGEINT
@@ -1948,6 +2064,20 @@ FROM hist
 """
 
 
+def _sql_shards() -> str:
+    """Deterministic shard/pos permutation — same bijective multiply-add
+    hash as stages/partition.py shuffle_to_shards, in HUGEINT."""
+    from ..stages.partition import SHARD_A, SHARD_B
+
+    return (
+        f"WITH h AS (SELECT doc_id, (doc_id::HUGEINT * {SHARD_A} + "
+        f"{SHARD_B}) % {_SQL_M} AS h FROM documents) "
+        f"SELECT doc_id, CAST(h % {N_SHARDS} AS BIGINT) AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h) "
+        "- 1 AS BIGINT) AS pos FROM h"
+    )
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -1970,6 +2100,40 @@ def build_oracles() -> dict[str, str]:
             f"'admin_' || iy || '_' || ix AS poly_name FROM j"
         ),
         "knn": _sql_knn(),
+        "dup_ngram": (
+            f"WITH {_sql_shingle_ctes(DUPG_K)}, "
+            "cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM shr GROUP BY 1, 2), "
+            "st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles, "
+            "COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_rep "
+            "FROM cnt GROUP BY 1) "
+            "SELECT doc_id, n_shingles, n_distinct, max_rep, "
+            "(n_shingles - n_distinct)::DOUBLE / n_shingles::DOUBLE AS dup_frac "
+            "FROM st"
+        ),
+        "decontam": (
+            f"WITH {_sql_shingle_ctes(DECON_K)}, "
+            f"bench AS (SELECT DISTINCT s FROM shr "
+            f"WHERE doc_id % {DECON_MOD} = {DECON_REM}) "
+            "SELECT r.doc_id, COUNT(DISTINCT r.s) AS n_hits "
+            "FROM shr r JOIN bench b ON r.s = b.s "
+            f"WHERE r.doc_id % {DECON_MOD} <> {DECON_REM} GROUP BY 1"
+        ),
+        "ngram_topk": (
+            "WITH tok AS (SELECT regexp_extract_all(text, '\\S+') AS toks "
+            "FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tok) "
+            "SELECT gram, COUNT(*) AS n FROM g GROUP BY 1 "
+            f"ORDER BY n DESC, gram LIMIT {NGRAM_TOPK}"
+        ),
+        "shards": _sql_shards(),
+        "running_total": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) "
+            "AS cum_cents FROM orders"
+        ),
         "multires": (
             # mirror cells.parent integer arithmetic on the res-6 cell id
             f"{_sql_geo_cte(RES_ZONAL)}, "
@@ -2349,6 +2513,11 @@ def build_queries() -> dict:
         "pack": q_pack,
         "scrub": q_scrub,
         "profile": q_profile,
+        "dup_ngram": q_dup_ngram,
+        "decontam": q_decontam,
+        "ngram_topk": q_ngram_topk,
+        "shards": q_shards,
+        "running_total": q_running_total,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,
         "semi_customers": q_semi_customers,

@@ -1,0 +1,213 @@
+"""Corpus n-gram operators: repetition signals, benchmark decontamination,
+exact corpus-wide top-k n-grams.
+
+Training-data curation ops with no reference analog (zen3geo delegates no
+text processing; SURVEY §2.3 extensions).  All arithmetic is
+oracle-mirrorable: shingles are the same poly64 token-hash folds as
+``stages/dedup.py`` (multiply-add mod 2^64, RE2-``\\s`` tokenization), so
+every statistic restates in DuckDB HUGEINT arithmetic.
+
+Scale shapes:
+* ``repetition_stats`` — pure ``map_batches``; per-doc arithmetic only,
+  no shuffle (the Gopher-style duplicate-ngram quality signal);
+* ``contamination`` — per-block distinct on the SMALL benchmark side →
+  bounded streaming driver union → ``ray.put`` broadcast → per-batch
+  sorted-membership test: the classic broadcast-semi-join shape, the big
+  training side never shuffles;
+* ``top_ngrams`` — per-batch partial counts (the word-count combiner) →
+  bucketed global sum keyed by gram → per-bucket top-k (exact: buckets
+  partition grams, so the global top-k under (count DESC, gram ASC) is a
+  subset of the union of per-bucket top-ks) → tiny final sort.  Shuffle
+  volume is |distinct grams per block|, never |tokens|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketed import bucketed_groupby
+from .dedup import token_hashes_batch, token_shingle_hashes
+
+# RE2 \s — keep in sync with stages/dedup.py _WS_CPS (CLAUDE.md invariant)
+_WS_PATTERN = "[\t\n\f\r ]+"
+
+
+def _doc_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    th, toff = token_hashes_batch(texts)
+    return token_shingle_hashes(th, toff, k)
+
+
+def _per_doc_runs(sh: np.ndarray, soff: np.ndarray):
+    """Sort each doc's shingles and find equal-value runs.
+
+    Returns ``(doc_of_run, run_len, run_off, rep_vals)``: runs are
+    contiguous groups of one (doc, shingle-value) pair; ``run_off`` is
+    the per-doc run-range offsets (len ndocs+1) and ``rep_vals`` each
+    run's shingle value (i.e. the doc's DISTINCT shingles, doc-major).
+    """
+    ndocs = len(soff) - 1
+    counts = np.diff(soff)
+    doc_of = np.repeat(np.arange(ndocs), counts)
+    order = np.lexsort((sh, doc_of))
+    ds_ = doc_of[order]
+    ss = sh[order]
+    if len(ss) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(ndocs + 1, np.int64), np.empty(0, np.uint64))
+    new_run = np.concatenate(
+        [[True], (ds_[1:] != ds_[:-1]) | (ss[1:] != ss[:-1])]
+    )
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate([run_starts, [len(ss)]]))
+    doc_of_run = ds_[run_starts]
+    runs_per_doc = np.bincount(doc_of_run, minlength=ndocs)
+    run_off = np.concatenate([[0], np.cumsum(runs_per_doc)])
+    return doc_of_run, run_len, run_off, ss[run_starts]
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3):
+    """Per-doc duplicate-shingle statistics (repetition quality signal).
+
+    Output columns: ``n_shingles`` (k-token shingle count, the dedup
+    convention ``max(n_tokens-k+1, 1)``), ``n_distinct`` (distinct
+    shingle hashes), ``max_rep`` (occurrences of the most repeated
+    shingle) and ``dup_frac = (n_shingles - n_distinct) / n_shingles``
+    — the Gopher-style "fraction of duplicate n-grams" filter signal.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sh, soff = _doc_shingles(texts, k)
+        n = np.diff(soff).astype(np.int64)
+        _, run_len, run_off, _ = _per_doc_runs(sh, soff)
+        ndocs = len(n)
+        n_distinct = np.diff(run_off).astype(np.int64)
+        max_rep = np.zeros(ndocs, dtype=np.int64)
+        has = n_distinct > 0
+        if run_len.size:
+            # reduceat over per-doc run ranges (every doc here has >=1
+            # shingle, but guard empty batches)
+            max_rep[has] = np.maximum.reduceat(
+                run_len, run_off[:-1][has]
+            ).astype(np.int64)
+        dup_frac = (n - n_distinct).astype(np.float64) / n.astype(np.float64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_shingles": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "max_rep": pa.array(max_rep, pa.int64()),
+            "dup_frac": pa.array(dup_frac, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def benchmark_shingle_set(ds, text_col: str = "text", k: int = 8) -> np.ndarray:
+    """Distinct shingle hashes of a (small) benchmark corpus.
+
+    Per-block distinct inside ``map_batches``, then a bounded STREAMING
+    driver union (``iter_batches`` — never more than one partial plus the
+    accumulator in memory).  Benchmark/eval sets are small by definition
+    (thousands of docs); the result is meant for ``ray.put`` broadcast.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh, _ = _doc_shingles(b.column(text_col).to_pylist(), k)
+        return pa.table({"s": pa.array(np.unique(sh), pa.uint64())})
+
+    acc = np.empty(0, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        part = b.column("s").to_numpy(zero_copy_only=False)
+        acc = np.union1d(acc, part)
+    return acc
+
+
+def contamination(ds, bench_ref, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 8):
+    """Flag training docs sharing any k-token shingle with a benchmark set.
+
+    ``bench_ref``: ``ray.put`` handle of the SORTED uint64 hash array from
+    :func:`benchmark_shingle_set` (broadcast once, read zero-copy in every
+    task — never re-shipped per batch).  Returns only contaminated docs:
+    ``(id_col, n_hits)`` with ``n_hits`` = DISTINCT overlapping shingles.
+    """
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        texts = batch.column(text_col).to_pylist()
+        sh, soff = _doc_shingles(texts, k)
+        ndocs = len(soff) - 1
+        # one representative per (doc, value) run -> DISTINCT-hit counting
+        doc_of_run, _, _, rep_vals = _per_doc_runs(sh, soff)
+        if len(rep_vals) and len(bench):
+            pos = np.searchsorted(bench, rep_vals)
+            pos = np.minimum(pos, len(bench) - 1)
+            hit = bench[pos] == rep_vals
+            n_hits = np.bincount(doc_of_run[hit], minlength=ndocs)
+        else:
+            n_hits = np.zeros(ndocs, np.int64)
+        keep = n_hits > 0
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            id_col: pa.array(ids, batch.column(id_col).type),
+            "n_hits": pa.array(n_hits[keep].astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _gram_partial(batch: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-batch n-gram partial counts — vectorized token split
+    (pyarrow RE2 kernel), adjacency within doc, pandas value_counts."""
+    sp = pc.split_pattern_regex(batch.column(text_col), pattern=_WS_PATTERN)
+    flat = pc.list_flatten(sp)
+    lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_of = doc_of[nonempty]
+    m = len(doc_of)
+    if m < n:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    base = np.arange(m - n + 1)
+    ok = doc_of[base] == doc_of[base + n - 1]
+    base = base[ok]
+    if len(base) == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    parts = [flat.take(pa.array(base + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    vc = pd.Series(grams.to_pandas()).value_counts()
+    return pa.table({"gram": pa.array(vc.index.to_numpy(), pa.string()),
+                     "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64())})
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k_top: int = 20,
+               n_buckets: int = 32):
+    """EXACT corpus-wide top-k token n-grams (count DESC, gram ASC ties).
+
+    Word-count at scale: per-batch combiner (value_counts) bounds shuffle
+    volume by distinct grams per block; a bucketed global sum then keeps
+    only each bucket's top-k (exact — grams partition across buckets), and
+    the final sort touches ``n_buckets * k_top`` rows.
+    """
+    partials = ds.map_batches(
+        lambda b: _gram_partial(b, text_col, n), batch_format="pyarrow"
+    )
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gram", sort=False, as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "gram"], ascending=[False, True],
+                              kind="mergesort")
+        return agg.head(k_top)
+
+    top = bucketed_groupby(partials, ["gram"], bucket_top,
+                           n_buckets=n_buckets)
+    return top.sort(["n", "gram"], descending=[True, False]).limit(k_top)

@@ -149,3 +149,45 @@ def stratified_sample(ds, key_cols: list[str], n_per_key: int, id_col: str,
     out = bucketed_groupby(parts, key_cols, prune, n_buckets=n_buckets)
     return out.map_batches(lambda b: b.drop_columns(["__h"]),
                            batch_format="pyarrow")
+
+
+# --- deterministic global shuffle -> training shards -----------------------
+
+# 63-bit odd multiplier / 63-bit addend: multiply-add mod 2^64 is a
+# BIJECTION of Z_2^64 (odd a), so distinct ids always get distinct hash
+# order keys, and the SQL mirror stays inside DuckDB's INT128.
+SHARD_A = (0x9E3779B97F4A7C15 >> 1) | 1
+SHARD_B = 0xBF58476D1CE4E5B9 >> 1
+
+
+def shuffle_to_shards(ds, id_col: str = "doc_id", n_shards: int = 8,
+                      shard_col: str = "shard", pos_col: str = "pos"):
+    """Deterministic pseudo-random shuffle into training shards.
+
+    Every row gets ``h = (id*A + B) mod 2^64``; ``shard = h % n_shards``
+    and ``pos`` = the row's rank inside its shard ordered by ``h`` — a
+    reproducible global permutation (a pure function of the id set: same
+    corpus -> same shard files byte-for-byte, so a failed writer restarts
+    idempotently).  The rank comes from :func:`~.scan.keyed_prefix_scan`
+    (one range sort + O(#blocks) driver rows); nothing materializes.
+
+    Mirrors ``ROW_NUMBER() OVER (PARTITION BY h % n ORDER BY h) - 1``.
+    """
+    from .scan import keyed_prefix_scan
+
+    _H = "__shard_h"
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)  # enable schema dedup
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(SHARD_A) + np.uint64(SHARD_B)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        out = batch.append_column(shard_col, pa.array(shard, pa.int64()))
+        return out.append_column(_H, pa.array(h, pa.uint64()))
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+    scanned = keyed_prefix_scan(keyed, shard_col, _H, value_col=None,
+                                out_col=pos_col, inclusive=False)
+    return scanned.drop_columns([_H])

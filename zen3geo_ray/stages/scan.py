@@ -122,3 +122,117 @@ def pack_sequences(ds, order_col: str, token_col: str, budget: int,
         return batch.append_column(shard_col, pa.array(shard, pa.int64()))
 
     return scanned.map_batches(add_shard, batch_format="pyarrow")
+
+
+# --- keyed prefix scan (PARTITION BY key ORDER BY order) -------------------
+
+def _ident(x) -> int:
+    """Injective ORDER-PRESERVING int64 image of a key/order scalar
+    (uint64 shifts by -2^63 — monotone — so the driver's block walk
+    chains carries in true sort order; signed ints pass through)."""
+    if np.asarray(x).dtype == np.uint64:
+        return int(x) - (1 << 63)
+    return int(x)
+
+
+def keyed_prefix_scan(ds, key_col: str, order_col: str,
+                      value_col: str | None = None,
+                      out_col: str = "cum", inclusive: bool = True):
+    """Per-key running totals: ``SUM(value) OVER (PARTITION BY key ORDER
+    BY order)`` (``value_col=None`` counts rows — i.e. ``ROW_NUMBER``-1
+    when ``inclusive=False``).
+
+    Requires integer ``key_col``/``order_col`` with UNIQUE (key, order)
+    pairs (ties would need frame semantics; the unique-order contract
+    keeps the scan exact and the block identity well-defined).
+
+    Scale shape — one distributed range sort plus two light passes:
+
+    * ``ds.sort([key, order])`` range-partitions AND orders the rows, so
+      every key's rows are contiguous; the sorted dataset is materialized
+      ONCE (a deliberate fork point: both passes must see identical
+      block boundaries).
+    * pass 1 reduces each block to ONE row: its first/last key and their
+      in-block totals.  Only keys that may SPAN a block boundary matter
+      for carry, so the driver sees O(#blocks) rows — never O(#keys)
+      (cf. the Bloom-merge lesson: a per-key summary would OOM the
+      driver at 1e9 keys).
+    * the driver chains carries block-to-block (a key spanning many
+      blocks accumulates through them) and broadcasts
+      ``{block_id: carry_in}`` via ``ray.put``.
+    * pass 2 computes a segmented in-block cumsum and adds the carry to
+      the head rows of each block's first key.
+
+    Both passes map whole blocks (``batch_size=None``) so the
+    block↔carry association is exact.
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("bk", "bo", "fk", "ft", "lk", "lt")})
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = (np.ones(len(b), dtype=np.int64) if value_col is None
+             else b.column(value_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        first_mask = k == k[0]
+        last_mask = k == k[-1]
+        return pa.table({
+            "bk": pa.array([_ident(k[0])], pa.int64()),
+            "bo": pa.array([_ident(o[0])], pa.int64()),
+            "fk": pa.array([_ident(k[0])], pa.int64()),
+            "ft": pa.array([int(v[first_mask].sum())], pa.int64()),
+            "lk": pa.array([_ident(k[-1])], pa.int64()),
+            "lt": pa.array([int(v[last_mask].sum())], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bo"], kind="mergesort").reset_index(drop=True)
+
+    carries: dict[tuple[int, int], int] = {}
+    open_key, acc = None, 0
+    for row in summ.itertuples(index=False):
+        carry = acc if row.fk == open_key else 0
+        carries[(int(row.bk), int(row.bo))] = carry
+        if row.lk == row.fk:
+            acc = carry + int(row.lt)
+        else:
+            acc = int(row.lt)
+        open_key = int(row.lk)
+    carry_ref = ray.put(carries)
+
+    def add_cum(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        cmap = ray.get(carry_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        v = (np.ones(len(b), dtype=np.int64) if value_col is None
+             else b.column(value_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        try:
+            carry = cmap[(_ident(k[0]), _ident(o[0]))]
+        except KeyError:
+            raise RuntimeError(
+                "keyed_prefix_scan: pass-2 block boundaries diverged from "
+                "pass 1 (non-deterministic upstream?)"
+            )
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        base = cs[starts] - v[starts]
+        run_lens = np.diff(np.concatenate([starts, [len(k)]]))
+        cum = cs - np.repeat(base, run_lens)
+        cum[k == k[0]] += carry
+        if not inclusive:
+            cum -= v
+        return b.append_column(out_col, pa.array(cum, pa.int64()))
+
+    return sorted_ds.map_batches(add_cum, batch_format="pyarrow",
+                                 batch_size=None)
