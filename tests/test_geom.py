@@ -327,3 +327,26 @@ def test_clip_polygons_rect_multi_matches_single():
         for a, b in zip(got, exp):
             assert np.array_equal(a, b)  # bit-identical vertices
     assert n_nonempty > 20  # the sample actually exercised real clips
+
+
+def test_sql_morton_expr_matches_numpy():
+    # the unrolled DuckDB bit-interleave == morton_of, including the
+    # prepended nx top bit, across the whole lon/lat range
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    lon[:3] = [-180.0, 180.0, 0.0]
+    lat[:3] = [-90.0, 90.0, 0.0]
+    res = 8
+    exp = cells.morton_of(lon, lat, res)
+    nx_e, ny_e = cells.sql_nxny_exprs("lon", "lat", res)
+    z_e = cells.sql_morton_expr("nx", "ny", res)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    got = con.execute(
+        f"WITH xy AS (SELECT {nx_e} AS nx, {ny_e} AS ny FROM pts) "
+        f"SELECT {z_e} AS z FROM xy"
+    ).df()["z"].to_numpy()
+    assert np.array_equal(got, exp)

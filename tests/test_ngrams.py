@@ -121,3 +121,62 @@ def test_shuffle_to_shards_is_permutation(ray_session):
     out2 = (shuffle_to_shards(ds, "doc_id", n_shards=6).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert out.sort_values("doc_id").reset_index(drop=True).equals(out2)
+
+
+def test_keyed_prefix_scan_string_keys(ray_session):
+    # string partition key (the domain-quota path); ranks per source
+    n = 2000
+    rng = np.random.default_rng(3)
+    src = np.array([f"src{i}" for i in rng.integers(0, 7, n)])
+    order = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.string()),
+        "o": pa.array(order, pa.int64()),
+    })).repartition(8)
+    out = (scan.keyed_prefix_scan(ds, "src", "o", None, out_col="rank",
+                                  inclusive=False)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    df = pd.DataFrame({"src": src[np.argsort(order)]})
+    exp = df.groupby("src").cumcount().to_numpy()
+    assert np.array_equal(out["rank"].to_numpy(), exp)
+
+
+def test_quota_per_key_deterministic_cap(ray_session):
+    from zen3geo_ray.stages.partition import quota_per_key
+    n = 900
+    rng = np.random.default_rng(5)
+    src = np.array([f"d{i}" for i in rng.integers(0, 4, n)])
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                  "source": pa.array(src, pa.string())})
+    ds = rd.from_arrow(t).repartition(6)
+    out = quota_per_key(ds, "source", "doc_id", 50).to_pandas()
+    assert set(out.columns) == {"doc_id", "source"}
+    assert (out.groupby("source").size() <= 50).all()
+    # every key with >=50 rows keeps exactly 50
+    full = pd.Series(src).value_counts()
+    kept = out.groupby("source").size()
+    for s, c in full.items():
+        assert kept.get(s, 0) == min(c, 50)
+    # deterministic
+    out2 = quota_per_key(ds, "source", "doc_id", 50).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_keyed_lag_block_boundaries(ray_session):
+    n = 4000
+    rng = np.random.default_rng(13)
+    key = rng.integers(0, 3, n).astype(np.int64)  # fat keys span blocks
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.integers(-50, 50, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": key, "o": order, "v": val
+    })).repartition(7)
+    out = (scan.keyed_lag(ds, "k", "o", "v", out_col="prev")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    srt = np.lexsort((order, key))
+    df = pd.DataFrame({"k": key[srt], "v": val[srt]})
+    exp = df.groupby("k")["v"].shift(1)
+    got = out["prev"]
+    assert got.isna().equals(exp.isna())
+    assert np.array_equal(got.dropna().to_numpy(),
+                          exp.dropna().to_numpy())

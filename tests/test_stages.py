@@ -286,3 +286,20 @@ def test_profile_columns_with_nulls(ray_session):
     s = rows["s"]
     assert (s["n"], s["nulls"], s["min_str"], s["max_str"], s["ndv"]) == (6, 1, "a", "c", 3)
     assert s["min_num"] is None and s["max_num"] is None
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    # percentile_cont == numpy 'linear' interpolation
+    from zen3geo_ray.stages.zonal import grouped_quantiles_cont
+    rng = np.random.default_rng(21)
+    n = 3000
+    key = rng.integers(0, 6, n).astype(np.int64)
+    val = rng.integers(0, 500, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": key, "v": val})).repartition(5)
+    out = (grouped_quantiles_cont(ds, ["k"], "v", qs=[0.25, 0.5, 0.9])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        g = val[key == row["k"]]
+        for q, lab in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+            assert row[lab] == pytest.approx(
+                np.quantile(g, q, method="linear"), rel=1e-12)

@@ -130,7 +130,7 @@ def morton_of(lon, lat, res: int = 16) -> np.ndarray:
     """Z-order key for range partitioning (better locality than row-major).
 
     Interleaves ``res``-bit nx/ny (nx uses res+1 bits; its extra top bit is
-    prepended), giving a spatial sort key; not meant to be SQL-replicated.
+    prepended), giving a spatial sort key; mirrored by ``sql_morton_expr``.
     """
     nx, ny = nxny_of(lon, lat, res)
     x = nx & ((1 << res) - 1)
@@ -142,12 +142,8 @@ def morton_of(lon, lat, res: int = 16) -> np.ndarray:
     return (topx << (2 * res)) | z
 
 
-def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
-    """The DuckDB SQL expression computing exactly ``cell_of``.
-
-    Keeping the oracle's cell arithmetic in one place guarantees the Ray
-    pipeline and the SQL oracle can never drift.
-    """
+def sql_nxny_exprs(lon_expr: str, lat_expr: str, res: int) -> tuple[str, str]:
+    """DuckDB expressions computing exactly ``nxny_of``."""
     ncols, nrows = _grid_dims(res)
     nx = (
         f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {ncols}) "
@@ -157,4 +153,28 @@ def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
         f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {nrows}) "
         f"AS BIGINT), 0), {nrows - 1})"
     )
+    return nx, ny
+
+
+def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The DuckDB SQL expression computing exactly ``cell_of``.
+
+    Keeping the oracle's cell arithmetic in one place guarantees the Ray
+    pipeline and the SQL oracle can never drift.
+    """
+    ncols, _ = _grid_dims(res)
+    nx, ny = sql_nxny_exprs(lon_expr, lat_expr, res)
     return f"({ny} * {ncols} + {nx})"
+
+
+def sql_morton_expr(nx_expr: str, ny_expr: str, res: int) -> str:
+    """DuckDB expression computing exactly ``morton_of`` from (cheap —
+    CTE-bound) nx/ny refs: unrolled bit interleave via BIGINT shift/mask,
+    disjoint bits OR-joined."""
+    mask = (1 << res) - 1
+    terms = []
+    for i in range(res):
+        terms.append(f"(((({nx_expr}) & {mask}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({ny_expr}) >> {i}) & 1) << {2 * i + 1}")
+    z = " | ".join(f"({t})" for t in terms)
+    return f"(((({nx_expr}) >> {res}) << {2 * res}) | {z})"

@@ -1082,6 +1082,57 @@ def q_quantiles(sf_dir: str):
     )
 
 
+ZORDER_RES = 8
+ZORDER_PBITS = 4  # partition = z-key's top 4 bits -> 16 locality ranges
+
+
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) locality key + FIXED-WIDTH range partition ids:
+    partition = the interleaved key's top bits — the deterministic
+    sibling of range_partition_by_morton's sampled cut points (equal
+    key-space widths instead of equal row counts), so the layout is a
+    pure function of the data and resumable (geom/cells.py:morton_of /
+    sql_morton_expr)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    shift = 2 * ZORDER_RES + 1 - ZORDER_PBITS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        lon, lat = geocode_id(ids, langs)
+        z = cells.morton_of(lon, lat, ZORDER_RES)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "zkey": pa.array(z, pa.int64()),
+            "part": pa.array(z >> shift, pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+PCONT_QS = [0.25, 0.9]
+
+
+def q_pcont(sf_dir: str):
+    """Exact distributed CONTINUOUS (interpolated) quantiles per
+    priority — percentile_cont semantics: lo + (hi - lo) * frac between
+    the two order stats at p = q*(n-1), same IEEE op order as the SQL
+    mirror (stages/zonal.py:grouped_quantiles_cont)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "p_cents": pa.array(c, pa.int64())})
+
+    return zonal.grouped_quantiles_cont(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"], "p_cents", qs=PCONT_QS, n_buckets=8,
+    )
+
+
 def q_qsketch(sf_dir: str):
     """APPROXIMATE grouped quantiles via the deterministic mergeable
     compactor sketch (stages/sketch.py QuantileSketch) — the plan that
@@ -1327,6 +1378,90 @@ def q_running_total(sf_dir: str):
         orders.map_batches(cents, batch_format="pyarrow"),
         "o_custkey", "o_orderkey", "cents", out_col="cum_cents",
     )
+
+
+QUOTA_N = 15
+
+
+def q_quota(sf_dir: str):
+    """Per-domain quota (web-corpus curation cap): keep each source's
+    first QUOTA_N docs under the bijective hash order — deterministic
+    pseudo-random subsample via the keyed rank scan
+    (stages/partition.py:quota_per_key)."""
+    from ..stages.partition import quota_per_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return quota_per_key(docs, "source", "doc_id", QUOTA_N)
+
+
+def q_user_gaps(sf_dir: str):
+    """Per-user inter-event microsecond gaps — LAG navigation window
+    (stages/scan.py:keyed_lag): one range sort, O(#blocks) driver rows,
+    in-block shift + boundary patch; null for each user's first event."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+        })
+
+    lagged = scan.keyed_lag(events.map_batches(prep, batch_format="pyarrow"),
+                            "user_id", "event_id", "ts_us",
+                            out_col="prev_us")
+
+    def gap(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "gap_us": pc.subtract(b.column("ts_us"), b.column("prev_us")),
+        })
+
+    return lagged.map_batches(gap, batch_format="pyarrow")
+
+
+def _orders_cents(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return orders.map_batches(cents, batch_format="pyarrow")
+
+
+def q_pivot_status(sf_dir: str):
+    """Long->wide pivot: per customer a count and cents-sum column per
+    order status — per-batch (index, pivot) combiner bounds the shuffle,
+    coarse-bucket reduce emits wide rows; index keys never reach the
+    driver (stages/pivot.py:pivot_table)."""
+    from ..stages.pivot import pivot_table
+
+    return pivot_table(_orders_cents(sf_dir), ["o_custkey"],
+                       "o_orderstatus", "cents",
+                       pivot_values=["F", "O", "P"])
+
+
+def q_status_seq(sf_dir: str):
+    """Ordered per-key string concatenation (string_agg ... ORDER BY):
+    each customer's order-status sequence in orderkey order
+    (stages/pivot.py:group_concat)."""
+    from ..stages.pivot import group_concat
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus"])
+    return group_concat(orders, ["o_custkey"], "o_orderstatus",
+                        ["o_orderkey"])
 
 
 def q_rollup(sf_dir: str):
@@ -2078,6 +2213,51 @@ def _sql_shards() -> str:
     )
 
 
+def _sql_pcont() -> str:
+    """Explicit order-stat interpolation (NOT quantile_cont — the
+    builtin's internal arithmetic is opaque; this mirrors the engine's
+    ``lo + (hi - lo) * (p - floor(p))`` operation-for-operation)."""
+    stat_frags, out_frags = [], []
+    for q in PCONT_QS:
+        lab = f"p{int(round(q * 100))}"
+        # ::DOUBLE — a bare 0.9 literal is DECIMAL in DuckDB and the
+        # decimal arithmetic would diverge from the engine's float64
+        p = f"{q!r}::DOUBLE*(n-1)"
+        stat_frags.append(
+            f"MAX(CASE WHEN rk = CAST(FLOOR({p}) AS BIGINT) THEN v END) "
+            f"AS lo_{lab}, "
+            f"MAX(CASE WHEN rk = least(CAST(FLOOR({p}) AS BIGINT) + 1, "
+            f"n - 1) THEN v END) AS hi_{lab}"
+        )
+        out_frags.append(
+            f"CAST(lo_{lab} AS DOUBLE) + (CAST(hi_{lab} AS DOUBLE) - "
+            f"CAST(lo_{lab} AS DOUBLE)) * ({p} - FLOOR({p})) AS {lab}"
+        )
+    return (
+        "WITH c AS (SELECT o_orderpriority AS k, "
+        "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v FROM orders), "
+        "r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)"
+        " - 1 AS rk, COUNT(*) OVER (PARTITION BY k) AS n FROM c), "
+        "s AS (SELECT k, MAX(n) AS n, " + ", ".join(stat_frags)
+        + " FROM r GROUP BY k) SELECT k AS o_orderpriority, "
+        + ", ".join(out_frags) + " FROM s"
+    )
+
+
+def _sql_quota() -> str:
+    """Per-source ROW_NUMBER cap under the same bijective hash order as
+    stages/partition.py quota_per_key, in HUGEINT."""
+    from ..stages.partition import SHARD_A, SHARD_B
+
+    return (
+        f"WITH h AS (SELECT doc_id, source, (doc_id::HUGEINT * {SHARD_A} "
+        f"+ {SHARD_B}) % {_SQL_M} AS h FROM documents), "
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY h) AS rn FROM h) "
+        f"SELECT doc_id, source FROM r WHERE rn <= {QUOTA_N}"
+    )
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -2127,6 +2307,40 @@ def build_oracles() -> dict[str, str]:
             f"ORDER BY n DESC, gram LIMIT {NGRAM_TOPK}"
         ),
         "shards": _sql_shards(),
+        "quota": _sql_quota(),
+        "pcont": _sql_pcont(),
+        "zorder": (
+            f"WITH g AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat "
+            "FROM documents), xy AS (SELECT doc_id, "
+            f"{cells.sql_nxny_exprs('lon', 'lat', ZORDER_RES)[0]} AS nx, "
+            f"{cells.sql_nxny_exprs('lon', 'lat', ZORDER_RES)[1]} AS ny "
+            "FROM g), z AS (SELECT doc_id, "
+            f"{cells.sql_morton_expr('nx', 'ny', ZORDER_RES)} AS zkey "
+            "FROM xy) SELECT doc_id, zkey, "
+            f"zkey >> {2 * ZORDER_RES + 1 - ZORDER_PBITS} AS part FROM z"
+        ),
+        "pivot_status": (
+            "WITH o AS (SELECT o_custkey, o_orderstatus, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders) SELECT o_custkey, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 "
+                f"END) AS BIGINT) AS n_{s.lower()}, "
+                f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN cents "
+                f"ELSE 0 END) AS BIGINT) AS sum_{s.lower()}"
+                for s in ("F", "O", "P"))
+            + " FROM o GROUP BY 1"
+        ),
+        "status_seq": (
+            "SELECT o_custkey, string_agg(o_orderstatus, ',' "
+            "ORDER BY o_orderkey) AS o_orderstatus_seq "
+            "FROM orders GROUP BY 1"
+        ),
+        "user_gaps": (
+            "SELECT event_id, user_id, "
+            "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY event_id) AS gap_us FROM events"
+        ),
         "running_total": (
             "SELECT o_orderkey, o_custkey, "
             "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents, "
@@ -2509,6 +2723,8 @@ def build_queries() -> dict:
         "rollup": q_rollup,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
+        "pcont": q_pcont,
+        "zorder": q_zorder,
         "qsketch": q_qsketch,
         "pack": q_pack,
         "scrub": q_scrub,
@@ -2517,6 +2733,10 @@ def build_queries() -> dict:
         "decontam": q_decontam,
         "ngram_topk": q_ngram_topk,
         "shards": q_shards,
+        "quota": q_quota,
+        "user_gaps": q_user_gaps,
+        "pivot_status": q_pivot_status,
+        "status_seq": q_status_seq,
         "running_total": q_running_total,
         "region_balance": q_region_balance,
         "priority_segment": q_priority_segment,

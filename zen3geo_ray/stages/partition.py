@@ -191,3 +191,42 @@ def shuffle_to_shards(ds, id_col: str = "doc_id", n_shards: int = 8,
     scanned = keyed_prefix_scan(keyed, shard_col, _H, value_col=None,
                                 out_col=pos_col, inclusive=False)
     return scanned.drop_columns([_H])
+
+
+def quota_per_key(ds, key_col: str, id_col: str, quota: int,
+                  rank_col: str | None = None):
+    """Deterministic per-key cap (the per-domain quota of web-corpus
+    curation): keep each key's first ``quota`` rows under the bijective
+    multiply-add hash order of ``id_col`` — a reproducible pseudo-random
+    subsample with NO randomness state (same corpus -> same survivors,
+    so retries/incremental runs agree).
+
+    rank = ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) - 1`` via
+    :func:`~.scan.keyed_prefix_scan` (string or int key; one range sort,
+    O(#blocks) driver rows); rows with rank >= quota drop.  Pass
+    ``rank_col`` to keep the rank in the output.
+    """
+    from .scan import keyed_prefix_scan
+
+    _H = "__quota_h"
+    _R = rank_col or "__quota_r"
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(SHARD_A) + np.uint64(SHARD_B)
+        return batch.append_column(_H, pa.array(h, pa.uint64()))
+
+    ranked = keyed_prefix_scan(ds.map_batches(add_h, batch_format="pyarrow"),
+                               key_col, _H, value_col=None, out_col=_R,
+                               inclusive=False)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        r = batch.column(_R).to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(r < quota))
+        drop = [_H] + ([] if rank_col else [_R])
+        return batch.drop_columns(drop)
+
+    return ranked.map_batches(prune, batch_format="pyarrow")

@@ -135,6 +135,21 @@ def _ident(x) -> int:
     return int(x)
 
 
+def _kval(x):
+    """Key scalar for driver-side block chaining: strings pass through
+    (Python str comparison is code-point order, which equals Arrow's
+    UTF-8 byte order, so the driver's walk matches Ray's sort), ints go
+    through the order-preserving :func:`_ident` image."""
+    if isinstance(x, (str, np.str_)):
+        return str(x)
+    return _ident(x)
+
+
+def _key_arr(val, ktype: pa.DataType):
+    return pa.array([_kval(val)],
+                    pa.string() if pa.types.is_string(ktype) else pa.int64())
+
+
 def keyed_prefix_scan(ds, key_col: str, order_col: str,
                       value_col: str | None = None,
                       out_col: str = "cum", inclusive: bool = True):
@@ -142,9 +157,10 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
     BY order)`` (``value_col=None`` counts rows — i.e. ``ROW_NUMBER``-1
     when ``inclusive=False``).
 
-    Requires integer ``key_col``/``order_col`` with UNIQUE (key, order)
-    pairs (ties would need frame semantics; the unique-order contract
-    keeps the scan exact and the block identity well-defined).
+    Requires an integer or STRING ``key_col`` and an integer
+    ``order_col`` with UNIQUE (key, order) pairs (ties would need frame
+    semantics; the unique-order contract keeps the scan exact and the
+    block identity well-defined).
 
     Scale shape — one distributed range sort plus two light passes:
 
@@ -171,9 +187,14 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
     sorted_ds = ds.sort([key_col, order_col]).materialize()
 
     def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
         if len(b) == 0:
-            return pa.table({c: pa.array([], pa.int64())
-                             for c in ("bk", "bo", "fk", "ft", "lk", "lt")})
+            kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+            return pa.table({
+                "bk": pa.array([], kt), "bo": pa.array([], pa.int64()),
+                "fk": pa.array([], kt), "ft": pa.array([], pa.int64()),
+                "lk": pa.array([], kt), "lt": pa.array([], pa.int64()),
+            })
         k = b.column(key_col).to_numpy(zero_copy_only=False)
         v = (np.ones(len(b), dtype=np.int64) if value_col is None
              else b.column(value_col).to_numpy(zero_copy_only=False)
@@ -182,11 +203,11 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
         first_mask = k == k[0]
         last_mask = k == k[-1]
         return pa.table({
-            "bk": pa.array([_ident(k[0])], pa.int64()),
+            "bk": _key_arr(k[0], ktype),
             "bo": pa.array([_ident(o[0])], pa.int64()),
-            "fk": pa.array([_ident(k[0])], pa.int64()),
+            "fk": _key_arr(k[0], ktype),
             "ft": pa.array([int(v[first_mask].sum())], pa.int64()),
-            "lk": pa.array([_ident(k[-1])], pa.int64()),
+            "lk": _key_arr(k[-1], ktype),
             "lt": pa.array([int(v[last_mask].sum())], pa.int64()),
         })
 
@@ -195,16 +216,16 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
     ).to_pandas()  # bounded: ONE row per block
     summ = summ.sort_values(["bk", "bo"], kind="mergesort").reset_index(drop=True)
 
-    carries: dict[tuple[int, int], int] = {}
+    carries: dict[tuple, int] = {}
     open_key, acc = None, 0
     for row in summ.itertuples(index=False):
         carry = acc if row.fk == open_key else 0
-        carries[(int(row.bk), int(row.bo))] = carry
+        carries[(_kval(row.bk), int(row.bo))] = carry
         if row.lk == row.fk:
             acc = carry + int(row.lt)
         else:
             acc = int(row.lt)
-        open_key = int(row.lk)
+        open_key = _kval(row.lk)
     carry_ref = ray.put(carries)
 
     def add_cum(b: pa.Table) -> pa.Table:
@@ -217,7 +238,7 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
              else b.column(value_col).to_numpy(zero_copy_only=False)
              .astype(np.int64))
         try:
-            carry = cmap[(_ident(k[0]), _ident(o[0]))]
+            carry = cmap[(_kval(k[0]), _ident(o[0]))]
         except KeyError:
             raise RuntimeError(
                 "keyed_prefix_scan: pass-2 block boundaries diverged from "
@@ -235,4 +256,79 @@ def keyed_prefix_scan(ds, key_col: str, order_col: str,
         return b.append_column(out_col, pa.array(cum, pa.int64()))
 
     return sorted_ds.map_batches(add_cum, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def keyed_lag(ds, key_col: str, order_col: str, value_col: str,
+              out_col: str = "prev"):
+    """Previous row's value within key — ``LAG(value) OVER (PARTITION BY
+    key ORDER BY order)``; null for each key's first row.
+
+    Same contract and scale shape as :func:`keyed_prefix_scan` (integer
+    or string key, integer order/value, UNIQUE (key, order) pairs): one
+    range sort materialized once, pass 1 reduces each block to ONE row
+    (its identity plus its LAST row's key and value), the driver maps
+    every block to its predecessor block's last (key, value) — O(#blocks)
+    rows — and pass 2 is an in-block shift patching only row 0.
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
+        kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+        if len(b) == 0:
+            return pa.table({
+                "bk": pa.array([], kt), "bo": pa.array([], pa.int64()),
+                "lk": pa.array([], kt), "lv": pa.array([], pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bk": _key_arr(k[0], ktype),
+            "bo": pa.array([_ident(o[0])], pa.int64()),
+            "lk": _key_arr(k[-1], ktype),
+            "lv": pa.array([int(v[-1])], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bo"], kind="mergesort").reset_index(drop=True)
+
+    prevs: dict[tuple, tuple] = {}
+    last = None  # (last_key, last_value) of the preceding block
+    for row in summ.itertuples(index=False):
+        prevs[(_kval(row.bk), int(row.bo))] = last
+        last = (_kval(row.lk), int(row.lv))
+    prev_ref = ray.put(prevs)
+
+    def add_prev(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        pmap = ray.get(prev_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        try:
+            prior = pmap[(_kval(k[0]), _ident(
+                b.column(order_col).to_numpy(zero_copy_only=False)[0]))]
+        except KeyError:
+            raise RuntimeError(
+                "keyed_lag: pass-2 block boundaries diverged from pass 1 "
+                "(non-deterministic upstream?)"
+            )
+        prev = np.empty(len(v), dtype=np.int64)
+        prev[1:] = v[:-1]
+        valid = np.empty(len(v), dtype=bool)
+        valid[1:] = k[1:] == k[:-1]
+        if prior is not None and prior[0] == _kval(k[0]):
+            prev[0], valid[0] = prior[1], True
+        else:
+            valid[0] = False
+        return b.append_column(out_col, pa.array(prev, pa.int64(),
+                                                 mask=~valid))
+
+    return sorted_ds.map_batches(add_prev, batch_format="pyarrow",
                                  batch_size=None)

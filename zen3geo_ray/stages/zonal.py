@@ -155,6 +155,56 @@ def grouped_quantiles(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
 
 
+def grouped_quantiles_cont(ds, key_cols: list[str], value_col: str,
+                           qs: list[float], n_buckets: int = 32):
+    """EXACT per-group CONTINUOUS (interpolated) quantiles of an integer
+    column — ``percentile_cont`` semantics next to the discrete
+    :func:`grouped_quantiles`.
+
+    Same combiner shape (one row per DISTINCT (key, value) shuffles);
+    each quantile interpolates between the order statistics at ranks
+    ``floor(p)`` and ``min(floor(p)+1, n-1)`` where ``p = q*(n-1)``:
+    ``lo + (hi - lo) * (p - floor(p))`` — the expression is written with
+    the SAME IEEE operation order as the SQL mirror so doubles match
+    bit-for-bit.  Output columns ``p{q*100}`` as float64.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(key_cols + [value_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(key_cols + [value_col, "_n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    labels = [f"p{int(round(q * 100))}" for q in qs]
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(key_cols + [value_col], sort=False)["_n"].sum()
+            .reset_index()
+            .sort_values(key_cols + [value_col], kind="mergesort")
+        )
+        out_rows = []
+        for key, grp in g.groupby(key_cols, sort=False):
+            v = grp[value_col].to_numpy()
+            c = np.cumsum(grp["_n"].to_numpy())
+            total = int(c[-1])
+            row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            for q, lab in zip(qs, labels):
+                p = np.float64(q) * np.float64(total - 1)
+                k = int(np.floor(p))
+                f = float(p - np.floor(p))
+                lo = int(v[int(np.searchsorted(c, k + 1))])
+                hi = int(v[int(np.searchsorted(c, min(k + 1, total - 1) + 1))])
+                row[lab] = float(lo) + (float(hi) - float(lo)) * f
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
+
+
 def grouped_median(ds, key_cols: list[str], value_col: str,
                    n_buckets: int = 32):
     """EXACT per-group median of an integer column — the holistic
