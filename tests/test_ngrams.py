@@ -180,3 +180,33 @@ def test_keyed_lag_block_boundaries(ray_session):
     assert got.isna().equals(exp.isna())
     assert np.array_equal(got.dropna().to_numpy(),
                           exp.dropna().to_numpy())
+
+
+def test_keyed_rank_ties_span_blocks(ray_session):
+    # few fat keys + coarse values -> tie runs guaranteed to span blocks
+    n = 6000
+    rng = np.random.default_rng(23)
+    key = rng.integers(0, 3, n).astype(np.int64)
+    val = rng.integers(0, 5, n).astype(np.int64)
+    uid = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": key, "v": val, "u": uid
+    })).repartition(11)
+    out = (scan.keyed_rank(ds, "k", "v", "u")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    df = pd.DataFrame({"k": key[np.argsort(uid)], "v": val[np.argsort(uid)]})
+    exp_rnk = df.groupby("k")["v"].rank(method="min").astype(int)
+    exp_dnk = df.groupby("k")["v"].rank(method="dense").astype(int)
+    assert np.array_equal(out["rnk"].to_numpy(), exp_rnk.to_numpy())
+    assert np.array_equal(out["dnk"].to_numpy(), exp_dnk.to_numpy())
+
+
+def test_keyed_rank_single_value_key_many_blocks(ray_session):
+    # one key, ONE value across many blocks: the run_len accumulation path
+    n = 2000
+    uid = np.random.default_rng(1).permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": np.zeros(n, np.int64), "v": np.full(n, 7, np.int64),
+        "u": uid})).repartition(9)
+    out = scan.keyed_rank(ds, "k", "v", "u").to_pandas()
+    assert (out["rnk"] == 1).all() and (out["dnk"] == 1).all()

@@ -62,3 +62,27 @@ def test_group_concat_ordered(ray_session):
     exp = df.groupby("k")["cat"].agg("|".join)
     got = out.set_index("k")["cat_seq"]
     assert got.eq(exp.reindex(got.index)).all()
+
+
+def test_melt_stacks_columns(ray_session):
+    t = pa.table({"id": np.arange(4, dtype=np.int64),
+                  "a": np.array([1, 2, 3, 4], np.int64),
+                  "b": np.array([10, 20, 30, 40], np.int64)})
+    from zen3geo_ray.stages.pivot import melt
+    out = (melt(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    assert len(out) == 8
+    assert out[out["variable"] == "a"]["value"].tolist() == [1, 2, 3, 4]
+    assert out[out["variable"] == "b"]["value"].tolist() == [10, 20, 30, 40]
+
+
+def test_histogram_clamps_and_zero_bins(ray_session):
+    from zen3geo_ray.stages.profile import histogram
+    x = np.array([-5, 0, 9, 10, 19, 95, 1000], np.int64)
+    ds = rd.from_arrow(pa.table({"x": x})).repartition(3)
+    out = (histogram(ds, "x", lo=0, width=10, n_bins=5).to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    # bins: [-5,0,9]->0, [10,19]->1, none->2,3, [95,1000]->4 (clamped)
+    assert out["bin"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n"].tolist() == [3, 2, 0, 0, 2]

@@ -1082,6 +1082,104 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_corr(sf_dir: str):
+    """Per-language Pearson correlation of doc length (chars) vs
+    whitespace token count — combiner-first moment sums (exact int64
+    partials), one tiny shuffle, DOUBLE finale with SQL-mirrored op
+    order (stages/zonal.py:grouped_corr)."""
+    docs = _read(sf_dir, "documents", ["lang", "text", "n_chars"],
+                 rows_per_block=1000)
+
+    def feats(b: pa.Table) -> pa.Table:
+        nt = textfn.token_count(b.column("text"))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+            "n_tok": pa.array(nt, pa.int64()),
+        })
+
+    return zonal.grouped_corr(
+        docs.map_batches(feats, batch_format="pyarrow"),
+        ["lang"], "n_chars", "n_tok", n_buckets=8)
+
+
+RANK_BAND = 1_000_000  # $10k price bands -> guaranteed rank ties
+
+
+def q_order_ranks(sf_dir: str):
+    """RANK + DENSE_RANK per customer over coarse price bands (ties are
+    first-class — tie runs spanning block boundaries chain through the
+    driver's O(#blocks) carry walk; stages/scan.py:keyed_rank)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def band(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "band": pa.array(c // RANK_BAND, pa.int64()),
+        })
+
+    return scan.keyed_rank(orders.map_batches(band, batch_format="pyarrow"),
+                           "o_custkey", "band", "o_orderkey")
+
+
+HIST_W, HIST_BINS = 2_500_000, 24
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-bin histogram of order totals (cents): per-batch bincount
+    combiner — exactly HIST_BINS partial rows per block — then a tiny
+    final sum; empty bins emit 0 (stages/profile.py:histogram)."""
+    from ..stages.profile import histogram
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(c, pa.int64())})
+
+    return histogram(orders.map_batches(cents, batch_format="pyarrow"),
+                     "cents", lo=0, width=HIST_W, n_bins=HIST_BINS)
+
+
+MELT_MEASURES = ["qty_c", "price_c", "tax_c"]
+
+
+def q_melt(sf_dir: str):
+    """Unpivot (wide -> long): each lineitem row melts into one row per
+    measure column — pure map_batches stacking, no shuffle
+    (stages/pivot.py:melt; SQL UNION ALL contract)."""
+    from ..stages.pivot import melt
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_tax"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        def c100(col):
+            v = np.rint(b.column(col).to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+            return pa.array(v, pa.int64())
+
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "qty_c": c100("l_quantity"),
+            "price_c": c100("l_extendedprice"),
+            "tax_c": c100("l_tax"),
+        })
+
+    return melt(li.map_batches(cents, batch_format="pyarrow"),
+                ["l_orderkey", "l_linenumber"], MELT_MEASURES,
+                var_col="measure", value_out="v")
+
+
 ZORDER_RES = 8
 ZORDER_PBITS = 4  # partition = z-key's top 4 bits -> 16 locality ranges
 
@@ -2309,6 +2407,53 @@ def build_oracles() -> dict[str, str]:
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
+        "corr": (
+            r"WITH f AS (SELECT lang, n_chars, "
+            r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok "
+            "FROM documents), s AS (SELECT lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(n_chars) AS sx, "
+            "SUM(n_tok) AS sy, SUM(n_chars * n_tok) AS sxy, "
+            "SUM(n_chars * n_chars) AS sxx, SUM(n_tok * n_tok) AS syy "
+            "FROM f GROUP BY lang), d AS (SELECT lang, n, "
+            "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov, "
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx, "
+            "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM s) "
+            "SELECT lang, n, CASE WHEN vx > 0 AND vy > 0 "
+            "THEN cov / (SQRT(vx) * SQRT(vy)) ELSE NULL END AS corr "
+            "FROM d"
+        ),
+        "order_ranks": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) "
+            f"// {RANK_BAND} AS band FROM orders) "
+            "SELECT o_orderkey, o_custkey, band, "
+            "CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY band) "
+            "AS BIGINT) AS rnk, "
+            "CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY band)"
+            " AS BIGINT) AS dnk FROM c"
+        ),
+        "histogram": (
+            "WITH c AS (SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT)"
+            " AS v FROM orders), b AS (SELECT LEAST(GREATEST(v, 0) "
+            f"// {HIST_W}, {HIST_BINS - 1}) AS bin FROM c), "
+            "cnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b "
+            "GROUP BY 1) "
+            f"SELECT r.range AS bin, CAST(COALESCE(cnt.n, 0) AS BIGINT) "
+            f"AS n FROM range({HIST_BINS}) r LEFT JOIN cnt "
+            "ON r.range = cnt.bin"
+        ),
+        "melt": (
+            "WITH c AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty_c, "
+            "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c, "
+            "CAST(ROUND(l_tax * 100.0) AS BIGINT) AS tax_c FROM lineitem) "
+            + " UNION ALL ".join(
+                f"SELECT l_orderkey, l_linenumber, '{mcol}' AS measure, "
+                f"{mcol} AS v FROM c" for mcol in MELT_MEASURES)
+        ),
         "zorder": (
             f"WITH g AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat "
             "FROM documents), xy AS (SELECT doc_id, "
@@ -2725,6 +2870,10 @@ def build_queries() -> dict:
         "quantiles": q_quantiles,
         "pcont": q_pcont,
         "zorder": q_zorder,
+        "histogram": q_histogram,
+        "melt": q_melt,
+        "order_ranks": q_order_ranks,
+        "corr": q_corr,
         "qsketch": q_qsketch,
         "pack": q_pack,
         "scrub": q_scrub,

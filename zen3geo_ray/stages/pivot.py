@@ -116,3 +116,23 @@ def group_concat(ds, key_cols: list[str], value_col: str,
         return agg
 
     return bucketed_groupby(ds, key_cols, fn, n_buckets=n_buckets)
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", value_out: str = "value"):
+    """Unpivot (wide -> long): one output row per (input row, value
+    column), ``var_col`` naming the source column.  Pure ``map_batches``
+    — each batch emits its stacked copies, no shuffle; the value columns
+    must share one type (the UNION ALL contract).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_col] = pa.array([vc] * len(batch), pa.string())
+            cols[value_out] = batch.column(vc)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -119,3 +119,34 @@ def profile_columns(ds, numeric_cols: list[str], string_cols: list[str] = (),
              for v in out["max_str"]], pa.string()),
         "ndv": pa.array(out["ndv"].astype(np.int64)),
     })
+
+
+def histogram(ds, col: str, lo: int, width: int, n_bins: int,
+              bin_col: str = "bin", count_col: str = "n"):
+    """Fixed-bin histogram of an integer column: ``bin =
+    clamp(floor((x - lo) / width), 0, n_bins - 1)`` (under/overflow
+    collapse into the edge bins), counted per bin.
+
+    Per-batch bincount combiner — exactly ``n_bins`` partial rows leave
+    each block regardless of row count — then one tiny final groupby.
+    Integer arithmetic end-to-end (SQL-mirrorable with // semantics:
+    numpy floor_divide == SQL FLOOR(x / w) only for non-negative x - lo,
+    so the clamp happens BEFORE the divide on the shifted value).
+    """
+
+    def part(b: pa.Table) -> pa.Table:
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shifted = np.maximum(x - lo, 0)
+        bins = np.minimum(shifted // width, n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins).astype(np.int64)
+        return pa.table({
+            bin_col: pa.array(np.arange(n_bins, dtype=np.int64)),
+            count_col: pa.array(counts, pa.int64()),
+        })
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    agg = partials.groupby(bin_col).sum(count_col)
+    return agg.map_batches(
+        lambda b: b.rename_columns([bin_col, count_col]),
+        batch_format="pyarrow",
+    )

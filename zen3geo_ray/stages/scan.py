@@ -332,3 +332,120 @@ def keyed_lag(ds, key_col: str, order_col: str, value_col: str,
 
     return sorted_ds.map_batches(add_prev, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def keyed_rank(ds, key_col: str, value_col: str, uid_col: str,
+               rank_col: str = "rnk", dense_col: str = "dnk"):
+    """``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    value)`` — the tied-order siblings of :func:`keyed_prefix_scan`.
+
+    Ties are first-class: rank = rows-with-smaller-value + 1, dense =
+    distinct-smaller-values + 1, both independent of intra-tie order.
+    ``uid_col`` (unique int) is only a sort tiebreaker making block
+    identity well-defined when a tie run spans a block boundary.
+
+    Scale shape: one range sort materialized once; pass 1 reduces each
+    block to ONE row (identity + its LAST key's row/run/distinct
+    counts); the driver chains per-key (rows, run_len, distinct) state
+    across blocks — O(#blocks) rows — and pass 2 is a segmented
+    vectorized rank with a carry patch on the first key's rows.
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, value_col, uid_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
+        kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+        if len(b) == 0:
+            return pa.table({
+                "bk": pa.array([], kt), "bv": pa.array([], pa.int64()),
+                "bu": pa.array([], pa.int64()), "lk": pa.array([], kt),
+                "lv": pa.array([], pa.int64()),
+                "n_lk": pa.array([], pa.int64()),
+                "n_lkv": pa.array([], pa.int64()),
+                "nd_lk": pa.array([], pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        u = b.column(uid_col).to_numpy(zero_copy_only=False)
+        lk_vals = v[k == k[-1]]  # sorted ascending within the key
+        return pa.table({
+            "bk": _key_arr(k[0], ktype),
+            "bv": pa.array([_ident(v[0])], pa.int64()),
+            "bu": pa.array([_ident(u[0])], pa.int64()),
+            "lk": _key_arr(k[-1], ktype),
+            "lv": pa.array([_ident(v[-1])], pa.int64()),
+            "n_lk": pa.array([len(lk_vals)], pa.int64()),
+            "n_lkv": pa.array([int((lk_vals == v[-1]).sum())], pa.int64()),
+            "nd_lk": pa.array([1 + int((np.diff(lk_vals) != 0).sum())],
+                              pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bv", "bu"],
+                            kind="mergesort").reset_index(drop=True)
+
+    carries: dict[tuple, tuple] = {}
+    open_key, rows, run_val, run_len, distinct = None, 0, None, 0, 0
+    for r in summ.itertuples(index=False):
+        bk = _kval(r.bk)
+        if bk == open_key:
+            cont = int(r.bv) == run_val
+            carries[(bk, int(r.bv), int(r.bu))] = (
+                rows, run_len if cont else 0, distinct, cont)
+        else:
+            cont = False
+            carries[(bk, int(r.bv), int(r.bu))] = (0, 0, 0, False)
+        if _kval(r.lk) == bk and bk == open_key:
+            rows += int(r.n_lk)
+            distinct += int(r.nd_lk) - (1 if cont else 0)
+            run_len = (run_len + int(r.n_lkv)
+                       if (cont and int(r.nd_lk) == 1) else int(r.n_lkv))
+        else:
+            rows, distinct, run_len = int(r.n_lk), int(r.nd_lk), int(r.n_lkv)
+        run_val, open_key = int(r.lv), _kval(r.lk)
+    carry_ref = ray.put(carries)
+
+    def add_ranks(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return (b.append_column(rank_col, pa.array([], pa.int64()))
+                    .append_column(dense_col, pa.array([], pa.int64())))
+        cmap = ray.get(carry_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        u = b.column(uid_col).to_numpy(zero_copy_only=False)
+        try:
+            rb, rl, db, cont = cmap[(_kval(k[0]), _ident(v[0]),
+                                     _ident(u[0]))]
+        except KeyError:
+            raise RuntimeError(
+                "keyed_rank: pass-2 block boundaries diverged from pass 1 "
+                "(non-deterministic upstream?)"
+            )
+        key_change = k[1:] != k[:-1]
+        run_change = key_change | (v[1:] != v[:-1])
+        key_start = np.concatenate([[True], key_change])
+        run_start = np.concatenate([[True], run_change])
+        key_start_idx = np.flatnonzero(key_start)
+        key_id = np.cumsum(key_start) - 1
+        key_start_of_row = key_start_idx[key_id]
+        run_start_idx = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        run_start_of_row = run_start_idx[run_id]
+        rank = (run_start_of_row - key_start_of_row + 1).astype(np.int64)
+        dense = (run_id - run_id[key_start_of_row] + 1).astype(np.int64)
+        first_key = k == k[0]
+        rank[first_key] += rb
+        if cont:
+            rank[first_key & (v == v[0])] -= rl
+            dense[first_key] += db - 1
+        else:
+            dense[first_key] += db
+        return (b.append_column(rank_col, pa.array(rank, pa.int64()))
+                .append_column(dense_col, pa.array(dense, pa.int64())))
+
+    return sorted_ds.map_batches(add_ranks, batch_format="pyarrow",
+                                 batch_size=None)

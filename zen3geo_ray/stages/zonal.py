@@ -205,6 +205,61 @@ def grouped_quantiles_cont(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
 
 
+def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str,
+                 out_col: str = "corr", n_buckets: int = 32):
+    """Per-group Pearson correlation of two INTEGER columns.
+
+    Combiner-first: each batch reduces to one (key, n, Σx, Σy, Σxy,
+    Σx², Σy²) row — exact int64 partial sums, trivially mergeable — so
+    only O(keys × blocks) fixed-width rows shuffle.  The final
+    ``r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̇) · √(n·Σy² − Σy²̇))`` is
+    evaluated in DOUBLE with a fixed operation order (cast the integer
+    sums, then multiply/subtract) so the SQL mirror matches
+    bit-for-bit.  Groups with zero variance on either side emit null.
+    Output: key cols, ``n``, ``out_col``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in key_cols})
+        df["_n"] = np.int64(1)
+        df["_sx"], df["_sy"] = x, y
+        df["_sxy"], df["_sxx"], df["_syy"] = x * y, x * x, y * y
+        agg = df.groupby(key_cols, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(key_cols, sort=False, as_index=False).sum()
+        n = m["_n"].to_numpy().astype(np.float64)
+        sx = m["_sx"].to_numpy().astype(np.float64)
+        sy = m["_sy"].to_numpy().astype(np.float64)
+        sxy = m["_sxy"].to_numpy().astype(np.float64)
+        sxx = m["_sxx"].to_numpy().astype(np.float64)
+        syy = m["_syy"].to_numpy().astype(np.float64)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / (np.sqrt(vx) * np.sqrt(vy))
+        r = np.where((vx > 0) & (vy > 0), r, np.nan)
+        out = m[key_cols].copy()
+        out["n"] = m["_n"].astype(np.int64)
+        out[out_col] = r
+        return out
+
+    return bucketed_groupby(partials, key_cols, finalize, n_buckets=n_buckets)
+
+
 def grouped_median(ds, key_cols: list[str], value_col: str,
                    n_buckets: int = 32):
     """EXACT per-group median of an integer column — the holistic
