@@ -210,3 +210,73 @@ def test_keyed_rank_single_value_key_many_blocks(ray_session):
         "u": uid})).repartition(9)
     out = scan.keyed_rank(ds, "k", "v", "u").to_pandas()
     assert (out["rnk"] == 1).all() and (out["dnk"] == 1).all()
+
+
+def test_keyed_window_matches_duckdb(ray_session):
+    import duckdb
+    n = 5000
+    rng = np.random.default_rng(7)
+    key = rng.integers(0, 6, n).astype(np.int64)
+    val = rng.integers(0, 4, n).astype(np.int64)   # coarse -> fat tie runs
+    uid = rng.permutation(n).astype(np.int64)
+    t = pa.table({"k": key, "v": val, "u": uid})
+    out = (scan.keyed_window(rd.from_arrow(t).repartition(13),
+                             "k", "v", "u", ntile=4)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT u, CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS dnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cume,
+               CAST(NTILE(4) OVER w2 AS BIGINT) AS nt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v),
+                      w2 AS (PARTITION BY k ORDER BY v, u)
+        ORDER BY u
+    """).fetchdf()
+    for c in ("rn", "rnk", "dnk", "nt"):
+        assert np.array_equal(out[c].to_numpy(), exp[c].to_numpy()), c
+    for c in ("prnk", "cume"):
+        assert np.array_equal(out[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_keyed_window_single_row_keys(ray_session):
+    # n_k == 1 keys: percent_rank must be exactly 0.0, cume 1.0, ntile 1
+    t = pa.table({"k": np.arange(40, dtype=np.int64),
+                  "v": np.zeros(40, np.int64),
+                  "u": np.arange(40, dtype=np.int64)})
+    out = scan.keyed_window(rd.from_arrow(t).repartition(7),
+                            "k", "v", "u").to_pandas()
+    assert (out["prnk"] == 0.0).all() and (out["cume"] == 1.0).all()
+    assert (out["nt"] == 1).all() and (out["rn"] == 1).all()
+
+
+def test_keyed_window_one_key_one_value_many_blocks(ray_session):
+    # the multi-boundary run-total accumulation path
+    n = 3000
+    uid = np.random.default_rng(3).permutation(n).astype(np.int64)
+    t = pa.table({"k": np.zeros(n, np.int64),
+                  "v": np.full(n, 9, np.int64), "u": uid})
+    out = scan.keyed_window(rd.from_arrow(t).repartition(11),
+                            "k", "v", "u").to_pandas()
+    assert (out["rnk"] == 1).all() and (out["cume"] == 1.0).all()
+    assert (out["prnk"] == 0.0).all()
+    assert sorted(out["rn"]) == list(range(1, n + 1))
+
+
+def test_keyed_lead_matches_pandas(ray_session):
+    n = 4000
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 37, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.integers(0, 1000, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": key, "o": order, "x": val})).repartition(9)
+    out = (scan.keyed_lead(ds, "k", "o", "x", out_col="nxt")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    df = (pd.DataFrame({"k": key, "o": order, "x": val})
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    exp = df.groupby("k")["x"].shift(-1)
+    assert out["nxt"].isna().equals(exp.isna())
+    assert np.array_equal(out["nxt"].dropna().to_numpy(),
+                          exp.dropna().to_numpy())

@@ -303,3 +303,57 @@ def test_grouped_quantiles_cont_matches_numpy(ray_session):
         for q, lab in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
             assert row[lab] == pytest.approx(
                 np.quantile(g, q, method="linear"), rel=1e-12)
+
+
+def test_grouped_regression_matches_numpy(ray_session):
+    n = 4000
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 7, n).astype(np.int64)
+    x = rng.integers(0, 500, n).astype(np.int64)
+    y = 3 * x + rng.integers(-40, 40, n) + 10 * k
+    ds = rd.from_arrow(pa.table({"k": k, "x": x, "y": y})).repartition(6)
+    out = (zonal.grouped_regression(ds, ["k"], "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for kk in range(7):
+        m = k == kk
+        slope, intercept = np.polyfit(x[m].astype(float),
+                                      y[m].astype(float), 1)
+        row = out[out["k"] == kk].iloc[0]
+        assert abs(row["slope"] - slope) < 1e-8
+        assert abs(row["intercept"] - intercept) < 1e-6
+        assert row["n"] == m.sum()
+
+
+def test_grouped_regression_zero_variance_null(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "k": np.zeros(10, np.int64),
+        "x": np.full(10, 5, np.int64),
+        "y": np.arange(10, dtype=np.int64)})).repartition(3)
+    out = zonal.grouped_regression(ds, ["k"], "x", "y").to_pandas()
+    assert out["slope"].isna().all() and out["intercept"].isna().all()
+
+
+def test_grouped_mode_tie_breaks_smallest(ray_session):
+    k = np.array([1, 1, 1, 1, 2, 2, 2], np.int64)
+    v = np.array([9, 3, 9, 3, 7, 7, 1], np.int64)  # k=1 tie 3/9 -> 3
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(4)
+    out = (zonal.grouped_mode(ds, ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["mode_v"].tolist() == [3, 7]
+    assert out["mode_n"].tolist() == [2, 2]
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    n = 5000
+    rng = np.random.default_rng(17)
+    k = rng.integers(0, 50, n).astype(np.int64)
+    v = rng.integers(0, 12, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(8)
+    out = (zonal.grouped_mode(ds, ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": k, "v": v})
+    cnt = df.groupby(["k", "v"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(["k", "n", "v"], ascending=[True, False, True])
+    exp = cnt.groupby("k", as_index=False).first()
+    assert np.array_equal(out["mode_v"].to_numpy(), exp["v"].to_numpy())
+    assert np.array_equal(out["mode_n"].to_numpy(), exp["n"].to_numpy())

@@ -1103,6 +1103,26 @@ def q_corr(sf_dir: str):
         ["lang"], "n_chars", "n_tok", n_buckets=8)
 
 
+def q_regress(sf_dir: str):
+    """Per-language OLS fit of whitespace-token count against doc chars
+    — shares grouped_corr's exact-int64 moment combiner; DOUBLE finale
+    mirrored op-for-op (stages/zonal.py:grouped_regression)."""
+    docs = _read(sf_dir, "documents", ["lang", "text", "n_chars"],
+                 rows_per_block=1000)
+
+    def feats(b: pa.Table) -> pa.Table:
+        nt = textfn.token_count(b.column("text"))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+            "n_tok": pa.array(nt, pa.int64()),
+        })
+
+    return zonal.grouped_regression(
+        docs.map_batches(feats, batch_format="pyarrow"),
+        ["lang"], "n_chars", "n_tok", n_buckets=8)
+
+
 RANK_BAND = 1_000_000  # $10k price bands -> guaranteed rank ties
 
 
@@ -1125,6 +1145,81 @@ def q_order_ranks(sf_dir: str):
 
     return scan.keyed_rank(orders.map_batches(band, batch_format="pyarrow"),
                            "o_custkey", "band", "o_orderkey")
+
+
+def q_band_mode(sf_dir: str):
+    """Per-customer MODE of the order price band (most frequent value,
+    ties to the smallest) — holistic aggregate as a (key, value, n)
+    count combiner + bucketed argmax (stages/zonal.py:grouped_mode)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def band(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "band": pa.array(c // RANK_BAND, pa.int64()),
+        })
+
+    return zonal.grouped_mode(orders.map_batches(band,
+                                                 batch_format="pyarrow"),
+                              ["o_custkey"], "band")
+
+
+WINFN_NTILE = 4
+
+
+def q_winfns(sf_dir: str):
+    """The complete ranking-window family — ROW_NUMBER / RANK /
+    DENSE_RANK / PERCENT_RANK / CUME_DIST / NTILE per customer over
+    coarse price bands, in ONE two-pass scan (stages/scan.py:
+    keyed_window): pass 1 = one summary row per block; the driver's
+    O(#blocks) walk closes totals for exactly the keys/tie-runs that
+    touch a block boundary; pass 2 is segmented vectorized math."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def band(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "band": pa.array(c // RANK_BAND, pa.int64()),
+        })
+
+    return scan.keyed_window(
+        orders.map_batches(band, batch_format="pyarrow"),
+        "o_custkey", "band", "o_orderkey", ntile=WINFN_NTILE)
+
+
+def q_user_next_gap(sf_dir: str):
+    """Per-user gap to the NEXT event — LEAD navigation window
+    (stages/scan.py:keyed_lead), the forward mirror of q_user_gaps:
+    null for each user's last event."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+        })
+
+    led = scan.keyed_lead(events.map_batches(prep, batch_format="pyarrow"),
+                          "user_id", "event_id", "ts_us",
+                          out_col="next_us")
+
+    def gap(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "gap_us": pc.subtract(b.column("next_us"), b.column("ts_us")),
+        })
+
+    return led.map_batches(gap, batch_format="pyarrow")
 
 
 HIST_W, HIST_BINS = 2_500_000, 24
@@ -2425,6 +2520,34 @@ def build_oracles() -> dict[str, str]:
             "THEN cov / (SQRT(vx) * SQRT(vy)) ELSE NULL END AS corr "
             "FROM d"
         ),
+        "regress": (
+            r"WITH f AS (SELECT lang, n_chars, "
+            r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok "
+            "FROM documents), s AS (SELECT lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(n_chars) AS sx, "
+            "SUM(n_tok) AS sy, SUM(n_chars * n_tok) AS sxy, "
+            "SUM(n_chars * n_chars) AS sxx FROM f GROUP BY lang), "
+            "d AS (SELECT lang, n, CAST(n AS DOUBLE) AS nd, "
+            "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
+            "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov, "
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx FROM s) "
+            "SELECT lang, n, "
+            "CASE WHEN vx > 0 THEN cov / vx ELSE NULL END AS slope, "
+            "CASE WHEN vx > 0 THEN (syd - (cov / vx) * sxd) / nd "
+            "ELSE NULL END AS intercept FROM d"
+        ),
+        "band_mode": (
+            "WITH c AS (SELECT o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) "
+            f"// {RANK_BAND} AS band FROM orders), "
+            "n AS (SELECT o_custkey, band, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT o_custkey, band AS mode_v, n AS mode_n FROM n "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY n DESC, band) = 1"
+        ),
         "order_ranks": (
             "WITH c AS (SELECT o_orderkey, o_custkey, "
             "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) "
@@ -2485,6 +2608,26 @@ def build_oracles() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
             "PARTITION BY user_id ORDER BY event_id) AS gap_us FROM events"
+        ),
+        "user_next_gap": (
+            "SELECT event_id, user_id, "
+            "LEAD(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY event_id) - epoch_us(ts) "
+            "AS gap_us FROM events"
+        ),
+        "winfns": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) "
+            f"// {RANK_BAND} AS band FROM orders) "
+            "SELECT o_orderkey, o_custkey, band, "
+            "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn, "
+            "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+            "CAST(DENSE_RANK() OVER w AS BIGINT) AS dnk, "
+            "PERCENT_RANK() OVER w AS prnk, "
+            "CUME_DIST() OVER w AS cume, "
+            f"CAST(NTILE({WINFN_NTILE}) OVER w2 AS BIGINT) AS nt "
+            "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY band), "
+            "w2 AS (PARTITION BY o_custkey ORDER BY band, o_orderkey)"
         ),
         "running_total": (
             "SELECT o_orderkey, o_custkey, "
@@ -2874,6 +3017,10 @@ def build_queries() -> dict:
         "melt": q_melt,
         "order_ranks": q_order_ranks,
         "corr": q_corr,
+        "winfns": q_winfns,
+        "user_next_gap": q_user_next_gap,
+        "regress": q_regress,
+        "band_mode": q_band_mode,
         "qsketch": q_qsketch,
         "pack": q_pack,
         "scrub": q_scrub,

@@ -449,3 +449,276 @@ def keyed_rank(ds, key_col: str, value_col: str, uid_col: str,
 
     return sorted_ds.map_batches(add_ranks, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def keyed_lead(ds, key_col: str, order_col: str, value_col: str,
+               out_col: str = "next"):
+    """Next row's value within key — ``LEAD(value) OVER (PARTITION BY
+    key ORDER BY order)``; null for each key's last row.
+
+    Mirror of :func:`keyed_lag`: pass 1 reduces each block to ONE row
+    (its identity plus its FIRST row's key and value), the driver maps
+    every block to its successor block's first (key, value) — O(#blocks)
+    rows — and pass 2 is an in-block shift patching only the last row.
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
+        kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+        if len(b) == 0:
+            return pa.table({
+                "bk": pa.array([], kt), "bo": pa.array([], pa.int64()),
+                "fv": pa.array([], pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bk": _key_arr(k[0], ktype),
+            "bo": pa.array([_ident(o[0])], pa.int64()),
+            "fv": pa.array([int(v[0])], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bo"], kind="mergesort").reset_index(drop=True)
+
+    nexts: dict[tuple, tuple] = {}
+    ahead = None  # (first_key, first_value) of the following block
+    for row in reversed(list(summ.itertuples(index=False))):
+        nexts[(_kval(row.bk), int(row.bo))] = ahead
+        ahead = (_kval(row.bk), int(row.fv))
+    next_ref = ray.put(nexts)
+
+    def add_next(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        nmap = ray.get(next_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        try:
+            succ = nmap[(_kval(k[0]), _ident(
+                b.column(order_col).to_numpy(zero_copy_only=False)[0]))]
+        except KeyError:
+            raise RuntimeError(
+                "keyed_lead: pass-2 block boundaries diverged from pass 1 "
+                "(non-deterministic upstream?)"
+            )
+        nxt = np.empty(len(v), dtype=np.int64)
+        nxt[:-1] = v[1:]
+        valid = np.empty(len(v), dtype=bool)
+        valid[:-1] = k[1:] == k[:-1]
+        if succ is not None and succ[0] == _kval(k[-1]):
+            nxt[-1], valid[-1] = succ[1], True
+        else:
+            valid[-1] = False
+        return b.append_column(out_col, pa.array(nxt, pa.int64(),
+                                                 mask=~valid))
+
+    return sorted_ds.map_batches(add_next, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def keyed_window(ds, key_col: str, value_col: str, uid_col: str,
+                 ntile: int = 4):
+    """The complete ranking-window family in one two-pass scan:
+    ``ROW_NUMBER`` / ``RANK`` / ``DENSE_RANK`` / ``PERCENT_RANK`` /
+    ``CUME_DIST`` / ``NTILE(n) OVER (PARTITION BY key ORDER BY value)``
+    (row_number/ntile break ties by ``uid_col``, matching a SQL
+    ``ORDER BY value, uid`` frame; the rank family is tie-order
+    independent).
+
+    Output: input columns + ``rn rnk dnk`` (int64), ``prnk cume``
+    (float64: ``(rnk-1)/(n_k-1)`` — 0.0 for single-row keys — and
+    ``count(v'<=v)/n_k``), ``nt`` (int64 NTILE bucket: the first
+    ``n_k % n`` buckets get the extra row).
+
+    Scale shape — :func:`keyed_rank`'s two passes with a wider summary:
+    pass 1 reduces each block to ONE row carrying its FIRST key/run
+    sizes as well as its last; the driver's O(#blocks) walk chains
+    forward carries AND closes per-key / per-run TOTALS for exactly the
+    keys and tie-runs that touch a block boundary (interior keys and
+    runs never need driver state); pass 2 is segmented vectorized math
+    with dict lookups only for each block's edge key/run.
+    """
+    import ray
+
+    sorted_ds = ds.sort([key_col, value_col, uid_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
+        kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+        if len(b) == 0:
+            return pa.table({
+                "bk": pa.array([], kt), "bv": pa.array([], pa.int64()),
+                "bu": pa.array([], pa.int64()),
+                "n_bk": pa.array([], pa.int64()),
+                "n_bkv": pa.array([], pa.int64()),
+                "lk": pa.array([], kt), "lv": pa.array([], pa.int64()),
+                "n_lk": pa.array([], pa.int64()),
+                "n_lkv": pa.array([], pa.int64()),
+                "nd_lk": pa.array([], pa.int64()),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        u = b.column(uid_col).to_numpy(zero_copy_only=False)
+        fk_vals = v[k == k[0]]
+        lk_vals = v[k == k[-1]]
+        return pa.table({
+            "bk": _key_arr(k[0], ktype),
+            "bv": pa.array([_ident(v[0])], pa.int64()),
+            "bu": pa.array([_ident(u[0])], pa.int64()),
+            "n_bk": pa.array([len(fk_vals)], pa.int64()),
+            "n_bkv": pa.array([int((fk_vals == v[0]).sum())], pa.int64()),
+            "lk": _key_arr(k[-1], ktype),
+            "lv": pa.array([_ident(v[-1])], pa.int64()),
+            "n_lk": pa.array([len(lk_vals)], pa.int64()),
+            "n_lkv": pa.array([int((lk_vals == v[-1]).sum())], pa.int64()),
+            "nd_lk": pa.array([1 + int((np.diff(lk_vals) != 0).sum())],
+                              pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bv", "bu"],
+                            kind="mergesort").reset_index(drop=True)
+
+    carries: dict[tuple, tuple] = {}
+    key_totals: dict = {}       # boundary keys -> total rows in key
+    run_totals: dict = {}       # boundary (key, value) runs -> total len
+    boundary_keys: set = set()
+    boundary_runs: set = set()
+    open_key, rows, run_val, run_len, distinct = None, 0, None, 0, 0
+    for r in summ.itertuples(index=False):
+        bk = _kval(r.bk)
+        if bk == open_key:
+            cont = int(r.bv) == run_val
+            carries[(bk, int(r.bv), int(r.bu))] = (
+                rows, run_len if cont else 0, distinct, cont)
+            boundary_keys.add(bk)
+            if cont:
+                boundary_runs.add((bk, run_val))
+            elif (open_key, run_val) in boundary_runs:
+                run_totals[(open_key, run_val)] = run_len
+            lk = _kval(r.lk)
+            if lk != bk:  # open key closes inside this block
+                key_totals[bk] = rows + int(r.n_bk)
+                if cont:
+                    run_totals[(bk, run_val)] = run_len + int(r.n_bkv)
+            elif cont and int(r.nd_lk) > 1:
+                # single-key block but the boundary run ends inside it
+                run_totals[(bk, run_val)] = run_len + int(r.n_bkv)
+        else:
+            cont = False
+            carries[(bk, int(r.bv), int(r.bu))] = (0, 0, 0, False)
+            if open_key in boundary_keys:
+                key_totals[open_key] = rows
+            if (open_key, run_val) in boundary_runs:
+                run_totals[(open_key, run_val)] = run_len
+        if _kval(r.lk) == bk and bk == open_key:
+            rows += int(r.n_lk)
+            distinct += int(r.nd_lk) - (1 if cont else 0)
+            run_len = (run_len + int(r.n_lkv)
+                       if (cont and int(r.nd_lk) == 1) else int(r.n_lkv))
+        else:
+            rows, distinct, run_len = int(r.n_lk), int(r.nd_lk), int(r.n_lkv)
+        run_val, open_key = int(r.lv), _kval(r.lk)
+    if open_key in boundary_keys:
+        key_totals[open_key] = rows
+    if (open_key, run_val) in boundary_runs:
+        run_totals[(open_key, run_val)] = run_len
+    state_ref = ray.put((carries, key_totals, run_totals))
+
+    def add_windows(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            out = b
+            for c, t in (("rn", pa.int64()), ("rnk", pa.int64()),
+                         ("dnk", pa.int64()), ("prnk", pa.float64()),
+                         ("cume", pa.float64()), ("nt", pa.int64())):
+                out = out.append_column(c, pa.array([], t))
+            return out
+        cmap, ktot, rtot = ray.get(state_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        u = b.column(uid_col).to_numpy(zero_copy_only=False)
+        try:
+            rb, rl, db, cont = cmap[(_kval(k[0]), _ident(v[0]),
+                                     _ident(u[0]))]
+        except KeyError:
+            raise RuntimeError(
+                "keyed_window: pass-2 block boundaries diverged from pass 1 "
+                "(non-deterministic upstream?)"
+            )
+        n = len(k)
+        key_change = k[1:] != k[:-1]
+        run_change = key_change | (v[1:] != v[:-1])
+        key_start = np.concatenate([[True], key_change])
+        run_start = np.concatenate([[True], run_change])
+        key_start_idx = np.flatnonzero(key_start)
+        key_id = np.cumsum(key_start) - 1
+        key_start_of_row = key_start_idx[key_id]
+        run_start_idx = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        run_start_of_row = run_start_idx[run_id]
+        idx = np.arange(n)
+        rank = (run_start_of_row - key_start_of_row + 1).astype(np.int64)
+        dense = (run_id - run_id[key_start_of_row] + 1).astype(np.int64)
+        rn = (idx - key_start_of_row + 1).astype(np.int64)
+        first_key = k == k[0]
+        rank[first_key] += rb
+        rn[first_key] += rb
+        if cont:
+            rank[first_key & (v == v[0])] -= rl
+            dense[first_key] += db - 1
+        else:
+            dense[first_key] += db
+        # per-row key totals: local sizes, edge keys overridden from dict
+        key_sizes = np.diff(np.concatenate([key_start_idx, [n]]))
+        n_k = key_sizes[key_id].astype(np.int64)
+        t0 = ktot.get(_kval(k[0]))
+        if t0 is not None:
+            n_k[first_key] = t0
+        last_key = k == k[-1]
+        tl = ktot.get(_kval(k[-1]))
+        if tl is not None:
+            n_k[last_key] = tl
+        # per-row tie-run totals: local sizes, edge runs overridden
+        run_sizes = np.diff(np.concatenate([run_start_idx, [n]]))
+        r_len = run_sizes[run_id].astype(np.int64)
+        r0 = rtot.get((_kval(k[0]), _ident(v[0])))
+        if r0 is not None:
+            r_len[first_key & (v == v[0])] = r0
+        rz = rtot.get((_kval(k[-1]), _ident(v[-1])))
+        if rz is not None:
+            r_len[last_key & (v == v[-1])] = rz
+        count_le = rank + r_len - 1
+        cume = count_le.astype(np.float64) / n_k.astype(np.float64)
+        prnk = np.where(
+            n_k > 1,
+            (rank - 1).astype(np.float64)
+            / np.maximum(n_k - 1, 1).astype(np.float64),
+            0.0)
+        size = n_k // ntile
+        rem = n_k % ntile
+        thresh = (size + 1) * rem
+        nt = np.where(
+            rn <= thresh,
+            (rn - 1) // (size + 1) + 1,
+            rem + (rn - 1 - thresh) // np.maximum(size, 1) + 1,
+        ).astype(np.int64)
+        out = b
+        for c, arr, t in (("rn", rn, pa.int64()), ("rnk", rank, pa.int64()),
+                          ("dnk", dense, pa.int64()),
+                          ("prnk", prnk, pa.float64()),
+                          ("cume", cume, pa.float64()),
+                          ("nt", nt, pa.int64())):
+            out = out.append_column(c, pa.array(arr, t))
+        return out
+
+    return sorted_ds.map_batches(add_windows, batch_format="pyarrow",
+                                 batch_size=None)

@@ -205,6 +205,29 @@ def grouped_quantiles_cont(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
 
 
+def _moment_partials(ds, key_cols: list[str], x_col: str, y_col: str):
+    """Per-batch (key, n, Σx, Σy, Σxy, Σx², Σy²) combiner — exact int64
+    partial sums shared by :func:`grouped_corr` and
+    :func:`grouped_regression`; O(keys × blocks) fixed-width rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in key_cols})
+        df["_n"] = np.int64(1)
+        df["_sx"], df["_sy"] = x, y
+        df["_sxy"], df["_sxx"], df["_syy"] = x * y, x * x, y * y
+        agg = df.groupby(key_cols, sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
 def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str,
                  out_col: str = "corr", n_buckets: int = 32):
     """Per-group Pearson correlation of two INTEGER columns.
@@ -222,21 +245,7 @@ def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str,
 
     from .bucketed import bucketed_groupby
 
-    def partial(batch: pa.Table) -> pa.Table:
-        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
-                           for c in key_cols})
-        df["_n"] = np.int64(1)
-        df["_sx"], df["_sy"] = x, y
-        df["_sxy"], df["_sxx"], df["_syy"] = x * y, x * x, y * y
-        agg = df.groupby(key_cols, sort=False, as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _moment_partials(ds, key_cols, x_col, y_col)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(key_cols, sort=False, as_index=False).sum()
@@ -258,6 +267,92 @@ def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str,
         return out
 
     return bucketed_groupby(partials, key_cols, finalize, n_buckets=n_buckets)
+
+
+def grouped_regression(ds, key_cols: list[str], x_col: str, y_col: str,
+                       n_buckets: int = 32):
+    """Per-group simple linear regression ``y = intercept + slope·x``
+    of two INTEGER columns — same exact-int64 moment partials as
+    :func:`grouped_corr` (one combiner pass, one tiny shuffle).
+
+    DOUBLE finale with fixed op order for the SQL mirror:
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)``,
+    ``intercept = (Σy − slope·Σx) / n``.  Zero-variance-x groups emit
+    null for both.  Output: key cols, ``n``, ``slope``, ``intercept``.
+    (Deliberately NOT mirrored with DuckDB's REGR_SLOPE — its streaming
+    covariance updates are not reproducible arithmetic; the explicit
+    sum formulas are.)
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    partials = _moment_partials(ds, key_cols, x_col, y_col)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(key_cols, sort=False, as_index=False).sum()
+        n = m["_n"].to_numpy().astype(np.float64)
+        sx = m["_sx"].to_numpy().astype(np.float64)
+        sy = m["_sy"].to_numpy().astype(np.float64)
+        sxy = m["_sxy"].to_numpy().astype(np.float64)
+        sxx = m["_sxx"].to_numpy().astype(np.float64)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = cov / vx
+            intercept = (sy - slope * sx) / n
+        ok = vx > 0
+        slope = np.where(ok, slope, np.nan)
+        intercept = np.where(ok, intercept, np.nan)
+        out = m[key_cols].copy()
+        out["n"] = m["_n"].astype(np.int64)
+        out["slope"] = slope
+        out["intercept"] = intercept
+        return out
+
+    return bucketed_groupby(partials, key_cols, finalize, n_buckets=n_buckets)
+
+
+def grouped_mode(ds, key_cols: list[str], value_col: str,
+                 mode_col: str = "mode_v", count_col: str = "mode_n",
+                 n_buckets: int = 32):
+    """Per-group MODE (most frequent value; ties break to the smallest
+    value) of an integer column.
+
+    Holistic-aggregate scale shape shared with :func:`grouped_median`:
+    each batch pre-reduces to (key, value, n) counts, so the shuffle
+    moves one row per distinct (key, value) per block — bounded by the
+    value domain — and the per-key argmax is a vectorized sort inside
+    coarse hash buckets.  Output: key cols, ``mode_col``, ``count_col``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in (*key_cols, value_col)})
+        df["_n"] = np.int64(1)
+        agg = df.groupby([*key_cols, value_col], sort=False,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counts = ds.map_batches(counts_partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby([*key_cols, value_col], sort=False,
+                      as_index=False).sum()
+        m = m.sort_values([*key_cols, "_n", value_col],
+                          ascending=[*([True] * len(key_cols)), False, True],
+                          kind="mergesort")
+        top = m.groupby(key_cols, sort=False, as_index=False).first()
+        out = top[key_cols].copy()
+        out[mode_col] = top[value_col].astype(np.int64)
+        out[count_col] = top["_n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
 
 
 def grouped_median(ds, key_cols: list[str], value_col: str,
