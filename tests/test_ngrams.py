@@ -280,3 +280,50 @@ def test_keyed_lead_matches_pandas(ray_session):
     assert out["nxt"].isna().equals(exp.isna())
     assert np.array_equal(out["nxt"].dropna().to_numpy(),
                           exp.dropna().to_numpy())
+
+
+def test_keyed_rolling_matches_duckdb(ray_session):
+    import duckdb
+    n = 4000
+    rng = np.random.default_rng(29)
+    key = rng.integers(0, 5, n).astype(np.int64)   # fat keys span blocks
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.integers(-50, 50, n).astype(np.int64)
+    t = pa.table({"k": key, "o": order, "v": val})
+    out = (scan.keyed_rolling(rd.from_arrow(t).repartition(12),
+                              "k", "o", "v", n=10)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, o,
+          SUM(v) OVER w AS s, CAST(COUNT(v) OVER w AS BIGINT) AS c,
+          MIN(v) OVER w AS mn, MAX(v) OVER w AS mx
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY o
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ORDER BY k, o
+    """).fetchdf()
+    assert np.array_equal(out["roll_sum"].to_numpy(),
+                          exp["s"].to_numpy().astype(np.int64))
+    assert np.array_equal(out["roll_cnt"].to_numpy(), exp["c"].to_numpy())
+    assert np.array_equal(out["roll_min"].to_numpy(), exp["mn"].to_numpy())
+    assert np.array_equal(out["roll_max"].to_numpy(), exp["mx"].to_numpy())
+
+
+def test_keyed_rolling_frame1_and_single_key(ray_session):
+    nrows = 500
+    order = np.random.default_rng(2).permutation(nrows).astype(np.int64)
+    v = np.arange(nrows, dtype=np.int64)
+    t = pa.table({"k": np.zeros(nrows, np.int64), "o": order, "v": v})
+    out1 = (scan.keyed_rolling(rd.from_arrow(t).repartition(7),
+                               "k", "o", "v", n=1)
+            .to_pandas().sort_values("o").reset_index(drop=True))
+    assert np.array_equal(out1["roll_sum"].to_numpy(),
+                          out1["v"].to_numpy())
+    assert (out1["roll_cnt"] == 1).all()
+    # n=3 over a single key across many blocks: boundary carries
+    out3 = (scan.keyed_rolling(rd.from_arrow(t).repartition(9),
+                               "k", "o", "v", n=3)
+            .to_pandas().sort_values("o").reset_index(drop=True))
+    sv = out3["v"].to_numpy()
+    exp = pd.Series(sv).rolling(3, min_periods=1).sum().to_numpy()
+    assert np.array_equal(out3["roll_sum"].to_numpy(),
+                          exp.astype(np.int64))

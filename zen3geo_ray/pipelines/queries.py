@@ -1167,6 +1167,94 @@ def q_band_mode(sf_dir: str):
                               ["o_custkey"], "band")
 
 
+ROLL_N = 10
+
+
+def q_rolling(sf_dir: str):
+    """Per-customer moving 10-order frame (SUM/COUNT/MIN/MAX ... ROWS
+    BETWEEN 9 PRECEDING AND CURRENT ROW) — two-pass scan whose ONLY
+    cross-block state is each block's last-key value tail
+    (stages/scan.py:keyed_rolling)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return scan.keyed_rolling(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey", "o_orderkey", "cents", n=ROLL_N)
+
+
+FUZZY_TERMS = ["query", "quary", "hash", "batch", "stream"]
+FUZZY_MAXLEN = 24
+
+
+def q_fuzzy_contam(sf_dir: str):
+    """Typo-tolerant decontamination: docs containing a token within
+    edit distance 1 of a blocklist term — deletion-neighborhood
+    (SymSpell) candidates over each batch's UNIQUE vocabulary, exact DP
+    verify, distinct (doc, term) pairs shuffle (stages/fuzzy.py)."""
+    from ..stages.fuzzy import fuzzy_term_matches
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return fuzzy_term_matches(docs, FUZZY_TERMS, max_len=FUZZY_MAXLEN)
+
+
+SETOP_DISC = 0.06
+
+
+def q_set_intersect(sf_dir: str):
+    """(orderkey, suppkey) pairs that are BOTH high-discount and
+    high-tax somewhere in lineitem — distinct INTERSECT via one tagged
+    union + bucketed presence reduce (stages/setops.py): each side
+    pre-distincts per block before the single shuffle."""
+    from ..stages.setops import intersect_distinct
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_discount", "l_tax"])
+
+    def side(col):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.greater_equal(b.column(col), SETOP_DISC)
+            return b.filter(keep).select(["l_orderkey", "l_suppkey"])
+        return fn
+
+    a = li.map_batches(side("l_discount"), batch_format="pyarrow")
+    b = li.map_batches(side("l_tax"), batch_format="pyarrow")
+    return intersect_distinct(a, b, ["l_orderkey", "l_suppkey"])
+
+
+def q_set_except(sf_dir: str):
+    """Open orders with no returned line item — distinct EXCEPT via the
+    same tagged-union bucketed reduce (stages/setops.py)."""
+    from ..stages.setops import except_distinct
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def open_orders(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("o_orderstatus"), "O")
+        return b.filter(keep).select(["o_orderkey"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("l_returnflag"), "R")
+        return pa.table({"o_orderkey": b.filter(keep).column("l_orderkey")})
+
+    return except_distinct(
+        orders.map_batches(open_orders, batch_format="pyarrow"),
+        li.map_batches(returned, batch_format="pyarrow"),
+        ["o_orderkey"])
+
+
 WINFN_NTILE = 4
 
 
@@ -2520,6 +2608,41 @@ def build_oracles() -> dict[str, str]:
             "THEN cov / (SQRT(vx) * SQRT(vy)) ELSE NULL END AS corr "
             "FROM d"
         ),
+        "rolling": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders) "
+            "SELECT o_orderkey, o_custkey, cents, "
+            "CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum, "
+            "CAST(COUNT(cents) OVER w AS BIGINT) AS roll_cnt, "
+            "MIN(cents) OVER w AS roll_min, "
+            "MAX(cents) OVER w AS roll_max "
+            "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY "
+            f"o_orderkey ROWS BETWEEN {ROLL_N - 1} PRECEDING "
+            "AND CURRENT ROW)"
+        ),
+        "fuzzy_contam": (
+            "WITH terms(term) AS (VALUES "
+            + ", ".join(f"('{t}')" for t in FUZZY_TERMS) + "), "
+            r"tok AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(text, '\S+')) AS w "
+            "FROM documents), tu AS (SELECT DISTINCT doc_id, w FROM tok "
+            f"WHERE w ~ '^[!-~]{{1,{FUZZY_MAXLEN}}}$') "
+            "SELECT DISTINCT doc_id, term FROM tu JOIN terms "
+            "ON levenshtein(w, term) <= 1"
+        ),
+        "set_intersect": (
+            "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "
+            f"WHERE l_discount >= {SETOP_DISC} "
+            "INTERSECT "
+            "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "
+            f"WHERE l_tax >= {SETOP_DISC}"
+        ),
+        "set_except": (
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' "
+            "EXCEPT "
+            "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'"
+        ),
         "regress": (
             r"WITH f AS (SELECT lang, n_chars, "
             r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok "
@@ -3021,6 +3144,10 @@ def build_queries() -> dict:
         "user_next_gap": q_user_next_gap,
         "regress": q_regress,
         "band_mode": q_band_mode,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "fuzzy_contam": q_fuzzy_contam,
+        "rolling": q_rolling,
         "qsketch": q_qsketch,
         "pack": q_pack,
         "scrub": q_scrub,

@@ -1,0 +1,128 @@
+"""Typo-tolerant term matching (edit-distance-1 decontamination).
+
+Benchmark decontamination by exact token membership (stages/ngrams.py
+``contamination``) misses one-keystroke variants — "quary" for "query",
+"hash," for "hash".  This stage finds every document containing a token
+within Levenshtein distance 1 of any blocklist term, using the
+deletion-neighborhood (SymSpell) construction from the public
+spell-correction literature:
+
+* ed(w, t) <= 1  iff  ({w} ∪ del1(w)) ∩ ({t} ∪ del1(t)) != ∅ AND the
+  exact DP distance verifies <= 1 (the intersection alone admits a few
+  distance-2 pairs — same-length deletions at different positions);
+* the blocklist index {variant -> term ids} is built once on the driver
+  (terms are tiny) and broadcast via ``ray.put``;
+* per batch: ONE vectorized RE2 split (``pc.split_pattern_regex`` —
+  the same ``\\s`` set the DuckDB oracle's ``regexp_extract_all``
+  uses), then the candidate probe runs over the batch's UNIQUE tokens
+  only (vocabulary-sized, not token-sized), and survivors map back to
+  documents with numpy masks;
+* matches are pre-distincted per batch, then one bucketed shuffle of
+  (doc_id, term) pairs — never documents — finishes the global
+  distinct.
+
+Tokens are restricted to printable ASCII (``^[!-~]{1,max_len}$``) on
+both the engine and oracle sides so "one edit" has a single, pinned
+meaning (DuckDB's levenshtein and Python's DP agree codepoint-for-
+codepoint on ASCII).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketed import first_per_key
+
+
+def _del1(s: str) -> set[str]:
+    return {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+def build_term_index(terms: list[str]) -> dict[str, list[int]]:
+    """{variant -> [term ids]} over each term and its 1-deletions."""
+    idx: dict[str, list[int]] = {}
+    for ti, t in enumerate(terms):
+        for v in {t} | _del1(t):
+            idx.setdefault(v, []).append(ti)
+    return idx
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance — the same definition DuckDB's
+    ``levenshtein()`` implements (verified against the oracle)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _ascii_ok(t: str, max_len: int) -> bool:
+    return 0 < len(t) <= max_len and all("!" <= c <= "~" for c in t)
+
+
+def fuzzy_term_matches(docs_ds, terms: list[str], *, id_col: str = "doc_id",
+                       text_col: str = "text", max_len: int = 24,
+                       n_buckets: int = 32):
+    """Distinct (doc, term) pairs where some token of the doc is within
+    edit distance 1 of the term.  Output: ``id_col``, ``term``."""
+    import ray
+
+    state_ref = ray.put((list(terms), build_term_index(list(terms))))
+
+    def find(batch: pa.Table) -> pa.Table:
+        terms_l, idx = ray.get(state_ref)
+        toks = pc.split_pattern_regex(batch.column(text_col),
+                                      pattern=r"\s+")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        parts = []
+        doc_ids_col = batch.column(id_col).to_numpy(zero_copy_only=False)
+        arrs = flat.chunks if isinstance(flat, pa.ChunkedArray) else [flat]
+        row0 = 0
+        for arr in arrs:
+            off = arr.offsets.to_numpy(zero_copy_only=False)
+            vals = np.asarray(arr.values.to_pylist(), dtype=object)
+            counts = np.diff(off)
+            parent = np.repeat(np.arange(len(arr)) + row0, counts)
+            row0 += len(arr)
+            uniq, inv = np.unique(vals.astype(str), return_inverse=True)
+            # probe the deletion index over the UNIQUE vocabulary only
+            hit_terms: dict[int, list[int]] = {}
+            for ui, w in enumerate(uniq):
+                if not _ascii_ok(w, max_len):
+                    continue
+                cand: set[int] = set()
+                for v in {w} | _del1(w):
+                    cand.update(idx.get(v, ()))
+                ok = [ti for ti in cand
+                      if levenshtein(w, terms_l[ti]) <= 1]
+                if ok:
+                    hit_terms[ui] = ok
+            if not hit_terms:
+                continue
+            hit_mask = np.isin(inv, np.fromiter(hit_terms, dtype=np.int64))
+            for tok_pos in np.flatnonzero(hit_mask):
+                for ti in hit_terms[inv[tok_pos]]:
+                    parts.append((doc_ids_col[parent[tok_pos]],
+                                  terms_l[ti]))
+        if not parts:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        df = pd.DataFrame(parts, columns=[id_col, "term"]).drop_duplicates()
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy().astype(np.int64)),
+            "term": pa.array(df["term"].tolist(), pa.string()),
+        })
+
+    pairs = docs_ds.map_batches(find, batch_format="pyarrow")
+    return first_per_key(pairs, [id_col, "term"], [id_col],
+                         n_buckets=n_buckets)

@@ -722,3 +722,140 @@ def keyed_window(ds, key_col: str, value_col: str, uid_col: str,
 
     return sorted_ds.map_batches(add_windows, batch_format="pyarrow",
                                  batch_size=None)
+
+
+_I64_MAX = np.iinfo(np.int64).max
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def keyed_rolling(ds, key_col: str, order_col: str, value_col: str, n: int,
+                  prefix: str = "roll"):
+    """Moving-frame aggregates ``SUM/COUNT/MIN/MAX(value) OVER
+    (PARTITION BY key ORDER BY order ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW)`` — exact, integer arithmetic end-to-end.
+
+    Same contract as :func:`keyed_prefix_scan` (unique (key, order)
+    pairs).  Scale shape: one range sort materialized once; pass 1
+    reduces each block to ONE row whose only payload is the last
+    ``min(n-1, rows)`` values of its LAST key (a small list — the only
+    state a frame of n rows can ever need across a boundary); the
+    driver chains these value tails per open key (O(#blocks x n)
+    state) and pass 2 is fully vectorized: running-sum differences for
+    sum/count and a sentinel-gapped ``sliding_window_view`` for
+    min/max (per-key clamping without any per-key Python).  Intended
+    for bounded frames (n <= ~256); for day-long value windows use
+    ``stages/windows.py`` sliding aggregates.
+    """
+    import ray
+
+    if n < 1:
+        raise ValueError("frame size n must be >= 1")
+    if n > 256:
+        raise ValueError(
+            "keyed_rolling is for bounded row frames (n <= 256); use the "
+            "dense sliding aggregates in stages/windows.py for big windows"
+        )
+
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        ktype = b.column(key_col).type
+        kt = pa.string() if pa.types.is_string(ktype) else pa.int64()
+        if len(b) == 0:
+            return pa.table({
+                "bk": pa.array([], kt), "bo": pa.array([], pa.int64()),
+                "lk": pa.array([], kt),
+                "tail": pa.array([], pa.list_(pa.int64())),
+            })
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tail = v[k == k[-1]][-(n - 1):] if n > 1 else v[:0]
+        return pa.table({
+            "bk": _key_arr(k[0], ktype),
+            "bo": pa.array([_ident(o[0])], pa.int64()),
+            "lk": _key_arr(k[-1], ktype),
+            "tail": pa.array([tail.tolist()], pa.list_(pa.int64())),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: ONE row per block
+    summ = summ.sort_values(["bk", "bo"], kind="mergesort") \
+        .reset_index(drop=True)
+
+    carries: dict[tuple, list] = {}
+    open_key, tail = None, []
+    for row in summ.itertuples(index=False):
+        bk = _kval(row.bk)
+        carries[(bk, int(row.bo))] = list(tail) if bk == open_key else []
+        blk_tail = list(row.tail)
+        if _kval(row.lk) == bk and bk == open_key:
+            tail = (tail + blk_tail)[-(n - 1):] if n > 1 else []
+        else:
+            tail = blk_tail
+        open_key = _kval(row.lk)
+    carry_ref = ray.put(carries)
+
+    def add_rolling(b: pa.Table) -> pa.Table:
+        cols = [f"{prefix}_sum", f"{prefix}_cnt",
+                f"{prefix}_min", f"{prefix}_max"]
+        if len(b) == 0:
+            out = b
+            for c in cols:
+                out = out.append_column(c, pa.array([], pa.int64()))
+            return out
+        cmap = ray.get(carry_ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        try:
+            pre = np.asarray(cmap[(_kval(k[0]), _ident(o[0]))],
+                             dtype=np.int64)
+        except KeyError:
+            raise RuntimeError(
+                "keyed_rolling: pass-2 block boundaries diverged from "
+                "pass 1 (non-deterministic upstream?)"
+            )
+        p = len(pre)
+        m = len(v)
+        key_start = np.concatenate([[True], k[1:] != k[:-1]])
+        key_start_idx = np.flatnonzero(key_start)
+        key_id = np.cumsum(key_start) - 1
+        key_start_of_row = key_start_idx[key_id]
+        # ext coords: prefix rows (same key as k[0]) occupy [0, p)
+        first_key = k == k[0]
+        ks_ext = key_start_of_row + p
+        ks_ext[first_key] = 0
+        i_ext = np.arange(m) + p
+        win_lo = np.maximum(ks_ext, i_ext - (n - 1))
+        ext_v = np.concatenate([pre, v])
+        cs = np.concatenate([[0], np.cumsum(ext_v)])
+        roll_sum = (cs[i_ext + 1] - cs[win_lo]).astype(np.int64)
+        roll_cnt = (i_ext - win_lo + 1).astype(np.int64)
+        # min/max: insert n-1 sentinel gaps between keys so a width-n
+        # window can never see another key's values
+        ext_kid = np.concatenate([np.zeros(p, np.int64), key_id])
+        gpos = np.arange(p + m) + ext_kid * (n - 1)
+        glen = (p + m) + (int(key_id[-1]) if m else 0) * (n - 1) + (n - 1)
+        if n == 1:
+            roll_min = roll_max = v
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+            buf_min = np.full(glen, _I64_MAX, np.int64)
+            buf_min[gpos + (n - 1)] = ext_v
+            roll_min_all = sliding_window_view(buf_min, n).min(axis=1)
+            buf_max = np.full(glen, _I64_MIN, np.int64)
+            buf_max[gpos + (n - 1)] = ext_v
+            roll_max_all = sliding_window_view(buf_max, n).max(axis=1)
+            roll_min = roll_min_all[gpos[p:]]
+            roll_max = roll_max_all[gpos[p:]]
+        out = b
+        for c, arr in zip(cols, (roll_sum, roll_cnt, roll_min, roll_max)):
+            out = out.append_column(c, pa.array(arr, pa.int64()))
+        return out
+
+    return sorted_ds.map_batches(add_rolling, batch_format="pyarrow",
+                                 batch_size=None)
