@@ -1,0 +1,212 @@
+"""Event-sequence analytics (stages/sequence.py) and keyed analytic
+windows (stages/analytic.py) vs brute-force pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.stages import analytic, sequence
+
+
+def _events(n=4000, seed=1, n_keys=60, nblocks=6):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_keys, n).astype(np.int64),
+        "ts_us": rng.integers(0, 500_000, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase", "scroll"], n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(nblocks)
+    return df, ds
+
+
+def test_transition_counts(ray_session):
+    df, ds = _events()
+    out = sequence.transition_counts(
+        ds, key_col="user_id", order_col="event_id", type_col="event_type"
+    ).to_pandas().sort_values(["event_type", "next_event_type"]).reset_index(drop=True)
+
+    s = df.sort_values(["user_id", "event_id"])
+    nxt = s.groupby("user_id")["event_type"].shift(-1)
+    exp = (
+        pd.DataFrame({"event_type": s["event_type"], "next_event_type": nxt})
+        .dropna()
+        .value_counts(["event_type", "next_event_type"])
+        .reset_index(name="n")
+        .sort_values(["event_type", "next_event_type"])
+        .reset_index(drop=True)
+    )
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, exp)
+    assert out["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_funnel_conversion(ray_session):
+    df, ds = _events(seed=2)
+    within = np.int64(40_000)
+    out = sequence.funnel_conversion(
+        ds, key_col="user_id", ts_col="ts_us", type_col="event_type",
+        from_type="view", to_type="purchase", within_us=int(within)
+    ).to_pandas().set_index("user_id").sort_index()
+
+    rows = {}
+    for uid, g in df.groupby("user_id"):
+        f = g.loc[g["event_type"] == "view", "ts_us"].to_numpy()
+        p = g.loc[g["event_type"] == "purchase", "ts_us"].to_numpy()
+        if len(f) == 0:
+            continue
+        conv = sum(bool(np.any((p > t) & (p - t <= within))) for t in f)
+        rows[uid] = (len(f), conv)
+    exp = pd.DataFrame.from_dict(rows, orient="index",
+                                 columns=["n_from", "n_conv"]).sort_index()
+    assert np.array_equal(out["n_from"].to_numpy(), exp["n_from"].to_numpy())
+    assert np.array_equal(out["n_conv"].to_numpy(), exp["n_conv"].to_numpy())
+
+
+def test_funnel_strictly_after_and_horizon():
+    # unit-level check of the lexsort tie rule: purchase at SAME ts does
+    # not count; exactly-at-horizon does.
+    df = pd.DataFrame({
+        "user_id": np.zeros(4, dtype=np.int64),
+        "ts_us": np.array([100, 100, 200, 300], dtype=np.int64),
+        "event_type": ["purchase", "view", "view", "purchase"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = sequence.funnel_conversion(
+        ds, key_col="user_id", ts_col="ts_us", type_col="event_type",
+        from_type="view", to_type="purchase", within_us=100,
+    ).to_pandas()
+    # view@100: next purchase is @300 (gap 200 > 100) -> no.
+    # view@200: purchase@300 gap 100 <= 100 -> yes.
+    assert out["n_from"].iloc[0] == 2 and out["n_conv"].iloc[0] == 1
+
+
+def test_cumulative_distinct(ray_session):
+    df, ds = _events(seed=3)
+    out = sequence.cumulative_distinct(
+        ds, key_col="user_id", order_col="event_id", type_col="event_type"
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    s = df.sort_values(["user_id", "event_id"])
+    first = ~s.duplicated(["user_id", "event_type"], keep="first")
+    exp = first.astype(np.int64).groupby(s["user_id"]).cumsum()
+    s = s.assign(n_types=exp).sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(out["n_types"].to_numpy(), s["n_types"].to_numpy())
+    assert out["n_types"].max() <= 4
+
+
+def test_gapfill_counts(ray_session):
+    df, ds = _events(seed=4, n=800, n_keys=12)
+    unit = 50_000
+    out = sequence.gapfill_counts(
+        ds, key_col="user_id", ts_col="ts_us", unit_us=unit
+    ).to_pandas().sort_values(["user_id", "unit_us"]).reset_index(drop=True)
+
+    frames = []
+    for uid, g in df.groupby("user_id"):
+        hb = g["ts_us"].to_numpy() // unit
+        dense = np.arange(hb.min(), hb.max() + 1, dtype=np.int64)
+        cnt = pd.Series(hb).value_counts().reindex(dense, fill_value=0)
+        frames.append(pd.DataFrame({
+            "user_id": np.int64(uid), "unit_us": dense * unit,
+            "n": cnt.to_numpy().astype(np.int64)}))
+    exp = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(out, exp)
+    # densified: consecutive buckets per key, zeros present
+    assert (out.groupby("user_id")["unit_us"].diff().dropna() == unit).all()
+
+
+def _orders(n=3000, seed=5, n_keys=40, nblocks=5):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "uid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, n_keys, n).astype(np.int64),
+        "cents": rng.integers(100, 1_000_000, n).astype(np.int64),
+    })
+    return df, rd.from_arrow(pa.Table.from_pandas(df)).repartition(nblocks)
+
+
+def test_share_of_key(ray_session):
+    df, ds = _orders()
+    out = analytic.share_of_key(ds, key_col="k", value_col="cents") \
+        .to_pandas().sort_values("uid").reset_index(drop=True)
+    tot = df.groupby("k")["cents"].transform("sum")
+    exp = df["cents"].to_numpy().astype(np.float64) / tot.to_numpy().astype(np.float64)
+    assert np.array_equal(out["share"].to_numpy(), exp)  # bit-exact
+    sums = out.groupby("k")["share"].sum()
+    assert np.allclose(sums, 1.0)
+
+
+def test_first_last_nth(ray_session):
+    df, ds = _orders(seed=6)
+    out = analytic.first_last_nth(
+        ds, key_col="k", order_col="uid", value_col="cents", nth=3
+    ).to_pandas().set_index("k").sort_index()
+    for k, g in df.sort_values("uid").groupby("k"):
+        v = g["cents"].to_numpy()
+        assert out.loc[k, "first_v"] == v[0]
+        assert out.loc[k, "last_v"] == v[-1]
+        assert out.loc[k, "n"] == len(v)
+        if len(v) >= 3:
+            assert out.loc[k, "nth_v"] == v[2]
+        else:
+            assert np.isnan(out.loc[k, "nth_v"])
+
+
+def test_first_last_nth_short_groups(ray_session):
+    # keys with fewer than nth rows yield null nth_v, not a wrong value
+    df = pd.DataFrame({
+        "uid": np.arange(4, dtype=np.int64),
+        "k": np.array([0, 0, 1, 2], dtype=np.int64),
+        "cents": np.array([10, 20, 30, 40], dtype=np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = analytic.first_last_nth(
+        ds, key_col="k", order_col="uid", value_col="cents", nth=2
+    ).to_pandas().set_index("k").sort_index()
+    assert out.loc[0, "nth_v"] == 20
+    assert np.isnan(out.loc[1, "nth_v"]) and np.isnan(out.loc[2, "nth_v"])
+
+
+def test_mad_outliers(ray_session):
+    df, ds = _orders(seed=7, n_keys=4)
+    df["k"] = df["k"].astype(np.int64)
+    out = analytic.mad_outliers(
+        ds, key_cols=["k"], value_col="cents", uid_col="uid", k=1
+    ).to_pandas().sort_values("uid").reset_index(drop=True)
+
+    med = df.groupby("k")["cents"].median()
+    med2 = (2 * med).round().astype(np.int64)
+    dev2 = np.abs(2 * df["cents"].to_numpy()
+                  - med2.reindex(df["k"]).to_numpy())
+    mad2 = pd.Series(dev2).groupby(df["k"].to_numpy()).median()
+    flag = dev2 > 1 * mad2.reindex(df["k"]).to_numpy()
+    exp = df.loc[flag, "uid"].to_numpy()
+    assert np.array_equal(out["uid"].to_numpy(), np.sort(exp))
+    assert 0 < len(out) < len(df)
+
+
+def test_cube2(ray_session):
+    rng = np.random.default_rng(8)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(1, 50, n).astype(np.float64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = analytic.cube2(ds, dim1="a", dim2="b", value_col="v").to_pandas()
+    assert len(out) == 3 * 2 + 3 + 2 + 1
+    fine = out[out["a"].notna() & out["b"].notna()]
+    exp_fine = df.groupby(["a", "b"]).agg(n=("v", "size"), v_sum=("v", "sum"))
+    for (a, b), r in exp_fine.iterrows():
+        row = fine[(fine["a"] == a) & (fine["b"] == b)].iloc[0]
+        assert row["n"] == r["n"] and row["v_sum"] == r["v_sum"]
+    lv1 = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    exp1 = df.groupby("a")["v"].sum()
+    assert np.array_equal(lv1["v_sum"].sort_index().to_numpy(),
+                          exp1.sort_index().to_numpy())
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["n"].iloc[0] == n and total["v_sum"].iloc[0] == df["v"].sum()

@@ -2539,6 +2539,141 @@ def _sql_quota() -> str:
     )
 
 
+# --- event-sequence analytics + keyed analytic windows -------------------
+
+FUNNEL_WITHIN_US = 3_600_000_000   # view -> purchase within 1 hour
+GAPFILL_UNIT_US = 3_600_000_000    # hourly densified buckets
+MAD_K = 1   # synthetic prices are uniform: MAD ~ quarter-range, so k=1
+            # flags the distribution tails (k=3 would flag nothing)
+NTH_N = 3
+
+
+def q_transitions(sf_dir: str):
+    """Markov transition matrix of event types: successor per user in
+    unique event_id order, global (type, next_type) counts — partial
+    counts per coarse bucket (bounded by #types^2), one micro-task
+    final reduce (stages/sequence.py:transition_counts)."""
+    from ..stages.sequence import transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return transition_counts(ev, key_col="user_id", order_col="event_id",
+                             type_col="event_type")
+
+
+def q_funnel(sf_dir: str):
+    """Funnel conversion: per user, how many 'view' events are followed
+    by a 'purchase' strictly after and within 1 h (EXISTS semantics) —
+    one lexsort + reverse running-min across each bucket, no per-key
+    slicing, no pair join (stages/sequence.py:funnel_conversion)."""
+    from ..stages.sequence import funnel_conversion
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_type": b.column("event_type"),
+        })
+
+    return funnel_conversion(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts_us", type_col="event_type",
+        from_type="view", to_type="purchase", within_us=FUNNEL_WITHIN_US)
+
+
+def q_run_distinct(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in event order —
+    vectorized first-occurrence flags + per-key cumsum, one bucket
+    shuffle (stages/sequence.py:cumulative_distinct)."""
+    from ..stages.sequence import cumulative_distinct
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return cumulative_distinct(ev, key_col="user_id", order_col="event_id",
+                               type_col="event_type")
+
+
+def q_gapfill(sf_dir: str):
+    """Densified hourly per-user event counts: every hour between each
+    user's first and last event appears, zero filled — per-key spans
+    from one groupby min/max, the dense axis is a single arange +
+    scatter (stages/sequence.py:gapfill_counts)."""
+    from ..stages.sequence import gapfill_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+        })
+
+    return gapfill_counts(ev.map_batches(prep, batch_format="pyarrow"),
+                          key_col="user_id", ts_col="ts_us",
+                          unit_us=GAPFILL_UNIT_US)
+
+
+def _orders_cents_cols(sf_dir: str, extra: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", extra, "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            extra: b.column(extra),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return orders.map_batches(cents, batch_format="pyarrow")
+
+
+def q_share(sf_dir: str):
+    """Ratio-to-report: each order's share of its customer's total —
+    cents / SUM(cents) OVER (PARTITION BY custkey); one IEEE division
+    of two exact int64s per row (stages/analytic.py:share_of_key)."""
+    from ..stages.analytic import share_of_key
+
+    return share_of_key(_orders_cents_cols(sf_dir, "o_custkey"),
+                        key_col="o_custkey", value_col="cents")
+
+
+def q_firstlast(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(3) per customer in orderkey
+    order, one row per key — segmented boundary reads off one sorted
+    pass (stages/analytic.py:first_last_nth)."""
+    from ..stages.analytic import first_last_nth
+
+    return first_last_nth(_orders_cents_cols(sf_dir, "o_custkey"),
+                          key_col="o_custkey", order_col="o_orderkey",
+                          value_col="cents", nth=NTH_N)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-priority price outliers: |x - median| > k * MAD with
+    both medians EXACT (combiner-first grouped_median; deviations in
+    doubled units so they stay integers)
+    (stages/analytic.py:mad_outliers)."""
+    from ..stages.analytic import mad_outliers
+
+    return mad_outliers(_orders_cents_cols(sf_dir, "o_orderpriority"),
+                        key_cols=["o_orderpriority"], value_col="cents",
+                        uid_col="o_orderkey", k=MAD_K)
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): one distributed fine
+    aggregate; all four grouping sets derive in a single micro-task
+    (stages/analytic.py:cube2)."""
+    from ..stages.analytic import cube2
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube2(li, dim1="l_returnflag", dim2="l_linestatus",
+                 value_col="l_quantity")
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -3097,6 +3232,83 @@ GROUP BY event_type, u - o.off
             "THEN 'pre' ELSE 'post' END AS phase, COUNT(*) AS n "
             "FROM events GROUP BY event_type, phase"
         ),
+        "transitions": (
+            "WITH l AS (SELECT user_id, event_type, LEAD(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS next_event_type FROM events) "
+            "SELECT event_type, next_event_type, COUNT(*) AS n FROM l "
+            "WHERE next_event_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "funnel": (
+            "WITH f AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+            "WHERE event_type = 'view'), "
+            "p AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT f.user_id, COUNT(*) AS n_from, "
+            "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM p WHERE "
+            "p.user_id = f.user_id AND p.t > f.t AND "
+            f"p.t - f.t <= {FUNNEL_WITHIN_US}) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_conv FROM f GROUP BY f.user_id"
+        ),
+        "run_distinct": (
+            "WITH r AS (SELECT event_id, user_id, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id, event_type ORDER BY event_id) AS rn "
+            "FROM events) SELECT event_id, user_id, "
+            "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY event_id) AS BIGINT) "
+            "AS n_types FROM r"
+        ),
+        "gapfill": (
+            f"WITH e AS (SELECT user_id, epoch_us(ts) // {GAPFILL_UNIT_US} "
+            "AS hb FROM events), "
+            "b AS (SELECT user_id, hb, COUNT(*) AS n FROM e GROUP BY 1, 2), "
+            "r AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM b "
+            "GROUP BY 1), "
+            "g AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS hb "
+            "FROM r) "
+            f"SELECT g.user_id, g.hb * {GAPFILL_UNIT_US} AS unit_us, "
+            "CAST(COALESCE(b.n, 0) AS BIGINT) AS n "
+            "FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.hb = b.hb"
+        ),
+        "share": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders) "
+            "SELECT o_orderkey, o_custkey, cents, "
+            "CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER ("
+            "PARTITION BY o_custkey) AS DOUBLE) AS share FROM c"
+        ),
+        "firstlast": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders), "
+            "r AS (SELECT o_custkey, cents, ROW_NUMBER() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM c) "
+            "SELECT o_custkey, arg_min(cents, rn) AS first_v, "
+            "arg_max(cents, rn) AS last_v, "
+            f"CAST(MAX(CASE WHEN rn = {NTH_N} THEN cents END) AS DOUBLE) "
+            "AS nth_v, COUNT(*) AS n FROM r GROUP BY o_custkey"
+        ),
+        "mad_outliers": (
+            "WITH c AS (SELECT o_orderkey, o_orderpriority, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders), "
+            "m AS (SELECT o_orderpriority, CAST(MEDIAN(cents) AS DOUBLE) "
+            "AS med FROM c GROUP BY 1), "
+            "d AS (SELECT c.o_orderkey, c.o_orderpriority, c.cents, m.med, "
+            "ABS(2 * c.cents - CAST(ROUND(2 * m.med) AS BIGINT)) AS dev2 "
+            "FROM c JOIN m USING (o_orderpriority)), "
+            "md AS (SELECT o_orderpriority, CAST(MEDIAN(dev2) AS DOUBLE) "
+            "AS mad2 FROM d GROUP BY 1) "
+            "SELECT d.o_orderkey, d.o_orderpriority, d.cents, d.med, "
+            "md.mad2, d.dev2 FROM d JOIN md USING (o_orderpriority) "
+            f"WHERE d.dev2 > {MAD_K} * md.mad2"
+        ),
+        "cube": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
+            "GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
     }
 
 
@@ -3185,4 +3397,12 @@ def build_queries() -> dict:
         "contain_dup": q_contain_dup,
         "tfidf": q_tfidf,
         "wjac_dup": q_wjac_dup,
+        "transitions": q_transitions,
+        "funnel": q_funnel,
+        "run_distinct": q_run_distinct,
+        "gapfill": q_gapfill,
+        "share": q_share,
+        "firstlast": q_firstlast,
+        "mad_outliers": q_mad_outliers,
+        "cube": q_cube,
     }

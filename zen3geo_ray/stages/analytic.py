@@ -1,0 +1,167 @@
+"""Keyed analytic operators: share-of-total, positional values per key,
+robust (median/MAD) outlier flagging, and CUBE grouping sets.
+
+Scale shape: every operator here is either (a) one coarse-bucket
+shuffle with vectorized pandas inside (share_of_key, first_last_nth),
+(b) combiner-first — per-batch pre-reduction bounds the shuffle by the
+value DOMAIN, not the row count (mad_outliers via
+stages/zonal.py:grouped_median; cube2 via one fine aggregate whose
+subtotal levels derive in a single micro-task, the rollup pattern).
+
+Arithmetic is oracle-mirrorable by construction: shares divide two
+EXACT int64s (one IEEE op), medians are the (a+b)/2 of ints that SQL
+MEDIAN evaluates, and MAD works in doubled units (2*x - 2*median is an
+exact integer) so the second median is again over ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import bucketed_groupby
+from .zonal import grouped_median, zonal_aggregate
+
+
+def share_of_key(ds, *, key_col: str, value_col: str,
+                 out_col: str = "share", n_buckets: int = 64):
+    """Ratio-to-report: each row's int64 ``value_col`` divided by its
+    key's total — value / SUM(value) OVER (PARTITION BY key).  One
+    bucket shuffle; the division is a single IEEE op on two exact
+    integers, so it matches SQL bit-for-bit."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy()
+        tot = g.groupby(key_col, sort=False)[value_col].transform("sum")
+        g[out_col] = v.astype(np.float64) / tot.to_numpy().astype(np.float64)
+        return g
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def first_last_nth(ds, *, key_col: str, order_col: str, value_col: str,
+                   nth: int, n_buckets: int = 64):
+    """Per key in ``order_col`` order (unique within key): the first
+    value, the last value, the ``nth`` value (null when the key has
+    fewer than nth rows) and the row count.  Output columns:
+    key, first_v, last_v, nth_v, n."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.empty(len(starts), dtype=np.int64)
+        ends[:-1] = starts[1:] - 1
+        if len(starts):
+            ends[-1] = len(keys) - 1
+        counts = ends - starts + 1
+        nth_pos = starts + (nth - 1)
+        has_nth = counts >= nth
+        nth_v = np.where(has_nth, v[np.minimum(nth_pos, max(len(v) - 1, 0))],
+                         0).astype(np.float64)
+        out = pd.DataFrame({
+            key_col: keys[starts],
+            "first_v": v[starts],
+            "last_v": v[ends],
+            "nth_v": np.where(has_nth, nth_v, np.nan),
+            "n": counts.astype(np.int64),
+        })
+        out["nth_v"] = out["nth_v"].where(has_nth)
+        return out
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def mad_outliers(ds, *, key_cols: list[str], value_col: str, uid_col: str,
+                 k: int = 3, n_buckets: int = 32):
+    """Robust per-group outliers: |x - median| > k * MAD, computed
+    EXACTLY on an int64 value column.
+
+    To keep every step oracle-exact the deviation works in doubled
+    units: med = (a+b)/2 can end in .5, but 2*med = a+b is an exact
+    integer, so dev2 = |2*x - 2*med| is int64 and the second
+    (MAD) median runs over ints again.  The outlier test is then
+    dev2 > k * (2*MAD) evaluated as dev2 > k * mad2 with mad2 itself a
+    .0/.5 double — one exact IEEE multiply + compare.
+
+    Both medians use the combiner-first grouped_median (shuffle bounded
+    by the value domain); group medians broadcast back via a per-batch
+    pandas merge against the tiny medians table (#groups rows).
+    Returns outlier rows: uid, keys, value, med, mad2, dev2.
+    """
+    import ray
+
+    med_df = grouped_median(
+        ds, key_cols, value_col, n_buckets=n_buckets
+    ).to_pandas()  # one row per group — bounded by the key domain
+    med_df["med2"] = np.rint(2.0 * med_df["median"].to_numpy()).astype(
+        np.int64)  # 2*median = a+b, exact
+    med_ref = ray.put(med_df[[*key_cols, "med2"]])
+
+    def add_dev(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().merge(ray.get(med_ref), on=key_cols, how="left")
+        df["dev2"] = np.abs(
+            2 * df[value_col].to_numpy().astype(np.int64)
+            - df.pop("med2").to_numpy()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    with_dev = ds.map_batches(add_dev, batch_format="pyarrow")
+    mad_df = grouped_median(
+        with_dev, key_cols, "dev2", n_buckets=n_buckets
+    ).to_pandas().rename(columns={"median": "mad2"})
+    stats = med_df[[*key_cols]].copy()
+    stats["med"] = med_df["med2"].to_numpy() / 2.0
+    stats = stats.merge(mad_df, on=key_cols)
+    stats_ref = ray.put(stats)
+
+    def flag(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().merge(ray.get(stats_ref), on=key_cols, how="left")
+        out = df[df["dev2"].to_numpy()
+                 > float(k) * df["mad2"].to_numpy()]
+        cols = [uid_col, *key_cols, value_col, "med", "mad2", "dev2"]
+        return pa.Table.from_pandas(
+            out[cols], preserve_index=False).replace_schema_metadata(None)
+
+    return with_dev.map_batches(flag, batch_format="pyarrow")
+
+
+def cube2(ds, *, dim1: str, dim2: str, value_col: str):
+    """GROUP BY CUBE(dim1, dim2): all four grouping sets — (d1,d2),
+    (d1), (d2), () — from ONE distributed fine aggregate; the three
+    coarser levels re-sum the handful of fine rows in a single final
+    micro-task (exact whole-number sums), the rollup pattern extended
+    to the full lattice.  Output: dim1, dim2, n, {value}_sum with NULL
+    marking the rolled-up dimension."""
+    fine = zonal_aggregate(ds, [dim1, dim2], {value_col: ["sum"]})
+    sum_col = f"{value_col}_sum"
+
+    def all_levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        lv1 = df.groupby(dim1, as_index=False)[["n", sum_col]].sum()
+        lv1[dim2] = None
+        lv2 = df.groupby(dim2, as_index=False)[["n", sum_col]].sum()
+        lv2[dim1] = None
+        total = pd.DataFrame({
+            dim1: [None], dim2: [None],
+            "n": [df["n"].sum()], sum_col: [df[sum_col].sum()],
+        })
+        cols = [dim1, dim2, "n", sum_col]
+        out = pd.concat(
+            [df[cols], lv1[cols], lv2[cols], total[cols]],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        # keep the input's sum dtype (double sums of integral values are
+        # exact at any addition order, so the SQL mirror matches)
+        out[sum_col] = out[sum_col].astype(df[sum_col].dtype)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return fine.repartition(1).map_batches(all_levels,
+                                           batch_format="pyarrow")

@@ -1,0 +1,188 @@
+"""Event-sequence analytics over the partitioned-log model.
+
+Operators a clickstream / training-telemetry pipeline needs beyond
+plain windows (SURVEY §2.3 streaming semantics; reference surface:
+zen3geo treats streams as ordered datapipes — here each op is one
+coarse-bucket shuffle on the key plus vectorized pandas/numpy inside,
+so the Python-call count is O(buckets), never O(keys)):
+
+* transition_counts — Markov bigram matrix of event types: per key
+  sort by a unique order column, pair each type with its successor,
+  count globally.  Partial counts per bucket (bounded by #types^2)
+  then one tiny final reduce — raw events shuffle once.
+* funnel_conversion — per key, how many `from_type` events are
+  followed by a `to_type` event within a horizon; one lexsort + a
+  reverse running-min across the whole bucket (no per-key slicing,
+  no pair blowup).
+* cumulative_distinct — running COUNT(DISTINCT type) per key in order:
+  first-occurrence flags (vectorized ~duplicated) + per-key cumsum.
+* gapfill_counts — densify per-key unit-bucket counts over each key's
+  [min, max] span with zero fill.  Output volume is keys x span-units
+  (inherent to densification); spans are per-key, never the global
+  axis, mirroring the gap-split bound in stages/windows.py.
+
+All arithmetic is integer (epoch-us buckets, int counts) so the DuckDB
+oracles match bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import bucketed_groupby
+
+
+def transition_counts(ds, *, key_col: str, order_col: str, type_col: str,
+                      n_buckets: int = 64):
+    """Global (type, next_type) pair counts; successor taken per key in
+    ``order_col`` order (``order_col`` must be unique within a key).
+    Returns columns (type_col, next_{type_col}, n) — pairs whose
+    successor falls off the end of a key's sequence are dropped, the
+    LEAD-IS-NOT-NULL convention."""
+    next_col = f"next_{type_col}"
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        nxt = g.groupby(key_col, sort=False)[type_col].shift(-1)
+        pairs = pd.DataFrame({type_col: g[type_col], next_col: nxt})
+        pairs = pairs[nxt.notna()]
+        out = pairs.value_counts([type_col, next_col]).reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = bucketed_groupby(ds, [key_col], partial, n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby([type_col, next_col], as_index=False, sort=False)[
+            "n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    # pair domain is #types^2 rows per bucket — a single micro-task
+    return partials.repartition(1).map_batches(finalize,
+                                               batch_format="pyarrow")
+
+
+def funnel_conversion(ds, *, key_col: str, ts_col: str, type_col: str,
+                      from_type: str, to_type: str, within_us: int,
+                      n_buckets: int = 64):
+    """Per key: ``n_from`` = count of `from_type` events, ``n_conv`` =
+    how many of them have a `to_type` event strictly after them and at
+    most ``within_us`` later (EXISTS semantics — each from-event counts
+    once no matter how many conversions follow).  ``ts_col`` must be
+    int64 epoch microseconds.
+
+    Fully vectorized across ALL keys in a bucket: one lexsort of
+    (key, ts, kind) placing to-events before equal-ts from-events
+    (so "strictly after" holds by construction), then a reverse
+    running-min over to-positions gives each from-event its nearest
+    following to-event; a same-key comparison replaces per-key slicing.
+    Keys with no from-events emit nothing (SQL inner-grouping shape).
+    """
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g[type_col].to_numpy()
+        keep = (kinds == from_type) | (kinds == to_type)
+        key = g[key_col].to_numpy()[keep]
+        t = g[ts_col].to_numpy()[keep]
+        is_from = kinds[keep] == from_type
+        order = np.lexsort((is_from, t, key))
+        key, t, is_from = key[order], t[order], is_from[order]
+        n = len(key)
+        idx = np.arange(n, dtype=np.int64)
+        to_pos = np.where(~is_from, idx, n)
+        nxt = np.minimum.accumulate(to_pos[::-1])[::-1]
+        f_nxt = nxt[is_from]
+        ok = f_nxt < n
+        safe = np.minimum(f_nxt, max(n - 1, 0))
+        conv = np.zeros(int(is_from.sum()), dtype=np.int64)
+        if n:
+            same_key = key[safe] == key[is_from]
+            in_time = t[safe] - t[is_from] <= np.int64(within_us)
+            conv = (ok & same_key & in_time).astype(np.int64)
+        out = pd.DataFrame({key_col: key[is_from], "_c": conv})
+        agg = out.groupby(key_col, sort=False)["_c"].agg(
+            ["count", "sum"]).reset_index()
+        agg.columns = [key_col, "n_from", "n_conv"]
+        agg["n_from"] = agg["n_from"].astype(np.int64)
+        agg["n_conv"] = agg["n_conv"].astype(np.int64)
+        return agg
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def cumulative_distinct(ds, *, key_col: str, order_col: str, type_col: str,
+                        out_col: str = "n_types", n_buckets: int = 64):
+    """Running COUNT(DISTINCT type) per key in ``order_col`` order
+    (unique within key): one row out per row in, with the cumulative
+    number of distinct types seen so far (inclusive)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        first = ~g.duplicated([key_col, type_col], keep="first")
+        g = g.drop(columns=[type_col])
+        g[out_col] = (
+            first.astype(np.int64)
+            .groupby(g[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        return g
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def gapfill_counts(ds, *, key_col: str, ts_col: str, unit_us: int,
+                   out_ts_col: str = "unit_us", n_buckets: int = 64):
+    """Per-key event counts per ``unit_us`` bucket, densified: every
+    bucket between a key's first and last event appears, zero filled.
+    ``ts_col`` must be int64 epoch microseconds; buckets are
+    floor(ts / unit), output timestamps are bucket * unit.
+
+    Vectorized densification across the whole bucket: per-key
+    [lo, hi] spans come from one groupby min/max; the dense axis is a
+    single arange sliced by repeated offsets; observed counts scatter
+    into it by (cumstart + hb - lo) positions — no per-key loop."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        hb = g[ts_col].to_numpy() // np.int64(unit_us)
+        obs = (
+            pd.DataFrame({key_col: g[key_col].to_numpy(), "_hb": hb})
+            .groupby([key_col, "_hb"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        keys = obs[key_col].to_numpy()
+        hbs = obs["_hb"].to_numpy()
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        key_vals = keys[first]
+        lo = hbs[first]
+        hi = np.empty(len(key_vals), dtype=np.int64)
+        hi[:-1] = hbs[np.flatnonzero(first)[1:] - 1]
+        if len(key_vals):
+            hi[-1] = hbs[-1]
+        lengths = hi - lo + 1
+        cumstart = np.zeros(len(key_vals), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=cumstart[1:])
+        total = int(lengths.sum())
+        # dense per-key bucket axis in one arange
+        dense_hb = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cumstart, lengths)
+            + np.repeat(lo, lengths)
+        )
+        n_arr = np.zeros(total, dtype=np.int64)
+        key_idx = np.cumsum(first) - 1
+        n_arr[cumstart[key_idx] + (hbs - lo[key_idx])] = obs["n"].to_numpy()
+        return pd.DataFrame({
+            key_col: np.repeat(key_vals, lengths),
+            out_ts_col: dense_hb * np.int64(unit_us),
+            "n": n_arr,
+        })
+
+    return bucketed_groupby(ds, [key_col], fn, n_buckets)
