@@ -1,0 +1,104 @@
+"""Corpus-prep operators (stages/corpus.py, ngrams.skipgram_counts) and
+the full outer hash join, vs brute-force references and goldens."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.stages.corpus import chunk_documents, postings
+from zen3geo_ray.stages.hashjoin import bucketed_join
+from zen3geo_ray.stages.ngrams import skipgram_counts
+
+
+def _docs(texts, nblocks=3):
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def test_chunk_goldens(ray_session):
+    # 10 tokens, size 4, overlap 2 (stride 2): starts 0,2,4,6 -> last
+    # window [6:10] covers the tail, no degenerate trailing chunk
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    out = chunk_documents(_docs([text]), size=4, overlap=2).to_pandas()
+    out = out.sort_values("chunk_idx").reset_index(drop=True)
+    assert list(out["tok_start"]) == [0, 2, 4, 6]
+    assert list(out["n_toks"]) == [4, 4, 4, 4]
+    assert out["chunk_text"][0] == "t0 t1 t2 t3"
+    assert out["chunk_text"][3] == "t6 t7 t8 t9"
+
+
+def test_chunk_short_and_ragged(ray_session):
+    # short doc -> one chunk; 5 tokens size 4 stride 2 -> starts 0,2
+    # (last short); empty/whitespace-only docs emit nothing
+    out = chunk_documents(
+        _docs(["a b", "a b c d e", "", "\t \n"]), size=4, overlap=2
+    ).to_pandas()
+    g = {k: v.sort_values("chunk_idx") for k, v in out.groupby("doc_id")}
+    assert list(g[0]["chunk_text"]) == ["a b"]
+    assert list(g[0]["n_toks"]) == [2]
+    assert list(g[1]["chunk_text"]) == ["a b c d", "c d e"]
+    assert list(g[1]["tok_start"]) == [0, 2]
+    assert 2 not in g and 3 not in g
+
+
+def test_chunk_no_overlap_partition(ray_session):
+    # overlap=0 chunks partition the tokens exactly
+    texts = ["w%d" % i + " x" * (i % 7) for i in range(50)]
+    out = chunk_documents(_docs(texts, nblocks=4), size=3).to_pandas()
+    n_tok = {i: 1 + (i % 7) for i in range(50)}
+    per_doc = out.groupby("doc_id")["n_toks"].sum().to_dict()
+    assert per_doc == n_tok
+    # reconstruction: concatenated chunk texts == original tokens
+    joined = (out.sort_values(["doc_id", "chunk_idx"])
+              .groupby("doc_id")["chunk_text"].agg(" ".join))
+    for i in range(50):
+        assert joined[i] == " ".join(texts[i].split())
+
+
+def test_skipgram_counts(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = np.array(["a", "b", "c", "d"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+             for _ in range(200)]
+    out = skipgram_counts(_docs(texts, nblocks=5), window=3).to_pandas()
+    got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+    exp: dict = {}
+    for t in texts:
+        toks = t.split()
+        for d in (1, 2, 3):
+            for i in range(len(toks) - d):
+                k = (toks[i], toks[i + d])
+                exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_postings(ray_session):
+    texts = ["a b a", "b c", "a", "c c c"]
+    out = postings(_docs(texts, nblocks=2)).to_pandas().set_index("w")
+    assert out.loc["a", "df"] == 2 and out.loc["a", "tf"] == 3
+    assert out.loc["a", "postings"] == "0,2"
+    assert out.loc["b", "postings"] == "0,1"
+    assert out.loc["c", "df"] == 2 and out.loc["c", "tf"] == 4
+    assert out.loc["c", "postings"] == "1,3"
+
+
+def test_full_outer_join(ray_session):
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([200, 300, 400], pa.int64()),
+    }))
+    out = bucketed_join(left, right, ["k"], how="outer").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3, 4]
+    assert out["a"].isna().tolist() == [False, False, False, True]
+    assert out["b"].isna().tolist() == [True, False, False, False]
+    assert out.loc[1, "a"] == 20 and out.loc[1, "b"] == 200

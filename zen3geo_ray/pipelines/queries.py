@@ -2674,6 +2674,126 @@ def q_cube(sf_dir: str):
                  value_col="l_quantity")
 
 
+# --- corpus prep: chunking, inverted index, skip-grams; full outer join ---
+
+CHUNK_SIZE = 8        # tokens per training chunk
+CHUNK_OVERLAP = 4     # stride = size - overlap
+SKIP_WINDOW = 2       # skip-gram context distance
+OUTER_VALUE_MIN = 90.0  # rare-event threshold -> genuinely disjoint users
+
+
+def q_chunks(sf_dir: str):
+    """Overlapping token-window chunking (size 8, overlap 4): the
+    doc→training-sample splitter; pure map_batches, chunk texts built by
+    one vectorized ListArray binary_join
+    (stages/corpus.py:chunk_documents)."""
+    from ..stages.corpus import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+def q_postings(sf_dir: str):
+    """Inverted index: per token df / tf / sorted comma-joined doc-id
+    postings — per-batch (token, doc, tf) partials then ONE bucketed
+    shuffle keyed by token (stages/corpus.py:postings)."""
+    from ..stages.corpus import postings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return postings(docs)
+
+
+def q_skipgrams(sf_dir: str):
+    """Skip-gram co-occurrence counts within distance 2 (word2vec-style
+    context matrix): shifted-view pair extraction per batch, combiner
+    value_counts, one bucketed sum
+    (stages/ngrams.py:skipgram_counts)."""
+    from ..stages.ngrams import skipgram_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return skipgram_counts(docs, window=SKIP_WINDOW)
+
+
+def q_outer_join(sf_dir: str):
+    """FULL OUTER join of two per-user rare-event counts (high-value
+    signups vs high-value errors — genuinely disjoint user sets on both
+    sides): combiner-first per-batch counts, bucketed outer hash join,
+    COALESCE to 0 (stages/hashjoin.py:bucketed_join how='outer')."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.hashjoin import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def counts(typ: str, out: str):
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(b.column("event_type"), typ),
+                        pc.greater(b.column("value"), OUTER_VALUE_MIN))
+            ids = b.column("user_id").filter(m)
+            vc = pd.Series(
+                ids.to_numpy(zero_copy_only=False)).value_counts(sort=False)
+            return pa.table({
+                "user_id": pa.array(vc.index.to_numpy(),
+                                    b.column("user_id").type),
+                out: pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            })
+
+        def total(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("user_id", sort=False, as_index=False)[out].sum()
+            agg[out] = agg[out].astype(np.int64)
+            return agg
+
+        return bucketed_groupby(ev.map_batches(part, batch_format="pyarrow"),
+                                ["user_id"], total)
+
+    joined = bucketed_join(counts("signup", "n_signup"),
+                           counts("error", "n_error"),
+                           ["user_id"], how="outer")
+
+    def fin(b: pa.Table) -> pa.Table:
+        def z(name):
+            col = b.column(name)
+            return pc.cast(pc.coalesce(col, pa.scalar(0.0)), pa.int64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_signup": z("n_signup"), "n_error": z("n_error")})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_corpus_chunks() -> str:
+    s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks) AS nt FROM tok WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, nt,
+        unnest(range(0, 1 + (greatest(nt - {s}, 0) + {st - 1}) // {st})) AS ci
+      FROM nn)
+SELECT doc_id, ci AS chunk_idx, ci*{st} AS tok_start,
+  least({s}, nt - ci*{st}) AS n_toks,
+  array_to_string(toks[ci*{st}+1 : least(ci*{st}+{s}, nt)], ' ')
+    AS chunk_text
+FROM c"""
+
+
+def _sql_skipgrams() -> str:
+    branches = " UNION ALL ".join(
+        "SELECT unnest(list_transform(range(1, len(toks)-%d+1), "
+        "i -> toks[i])) AS w1, "
+        "unnest(list_transform(range(1, len(toks)-%d+1), "
+        "i -> toks[i+%d])) AS w2 FROM tok WHERE len(toks) > %d"
+        % (d, d, d, d)
+        for d in range(1, SKIP_WINDOW + 1)
+    )
+    return (
+        "WITH tok AS (SELECT regexp_extract_all(text, '\\S+') AS toks "
+        f"FROM documents), pairs AS ({branches}) "
+        "SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2"
+    )
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -3309,6 +3429,29 @@ GROUP BY event_type, u - o.off
             "SUM(l_quantity) AS l_quantity_sum FROM lineitem "
             "GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
+        "chunks": _sql_corpus_chunks(),
+        "postings": (
+            r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
+            "AS toks FROM documents), "
+            "p AS (SELECT doc_id, unnest(toks) AS w FROM tok), "
+            "wc AS (SELECT w, doc_id, COUNT(*) AS c FROM p GROUP BY 1, 2) "
+            "SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM wc GROUP BY w"
+        ),
+        "skipgrams": _sql_skipgrams(),
+        "outer_join": (
+            "WITH v AS (SELECT user_id, COUNT(*) AS n_signup FROM events "
+            f"WHERE event_type = 'signup' AND value > {OUTER_VALUE_MIN} "
+            "GROUP BY 1), "
+            "p AS (SELECT user_id, COUNT(*) AS n_error FROM events "
+            f"WHERE event_type = 'error' AND value > {OUTER_VALUE_MIN} "
+            "GROUP BY 1) "
+            "SELECT COALESCE(v.user_id, p.user_id) AS user_id, "
+            "COALESCE(v.n_signup, 0) AS n_signup, "
+            "COALESCE(p.n_error, 0) AS n_error "
+            "FROM v FULL OUTER JOIN p ON v.user_id = p.user_id"
+        ),
     }
 
 
@@ -3405,4 +3548,8 @@ def build_queries() -> dict:
         "firstlast": q_firstlast,
         "mad_outliers": q_mad_outliers,
         "cube": q_cube,
+        "chunks": q_chunks,
+        "postings": q_postings,
+        "skipgrams": q_skipgrams,
+        "outer_join": q_outer_join,
     }

@@ -1,0 +1,142 @@
+"""Corpus preparation operators: token-window chunking and inverted-index
+construction — the steps between curation and training-shard writing.
+
+Training-data prep ops with no reference analog (zen3geo delegates no
+text processing; SURVEY §2.3 extensions).  Tokenization is the shared
+RE2-``\\s`` convention (stages/dedup.py `_WS_CPS`, CLAUDE.md invariant)
+so every statistic restates in DuckDB ``regexp_extract_all(text, '\\S+')``
+arithmetic.
+
+Scale shapes:
+* ``chunk_documents`` — pure ``map_batches``, NO shuffle: each doc's
+  overlapping token windows are enumerated with one arange/repeat pass
+  and the chunk texts are materialized by a single vectorized
+  ``binary_join`` over a sliced ListArray — no per-doc Python, no
+  per-chunk string building.  Output volume is ~n_tokens/stride rows per
+  doc (inherent to overlapped chunking).
+* ``postings`` — the classic inverted-index shape: per-batch (token,
+  doc, tf) partials (each doc lives in exactly one batch row, so the
+  pairs are globally unique), then ONE bucketed shuffle keyed by token;
+  document ids concatenate in sorted order per token.  Shuffle volume is
+  |distinct (token, doc) pairs|, never |tokens|; per-bucket work is
+  vectorized except the vocabulary-bounded join of postings strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketed import bucketed_groupby
+from .ngrams import tokens_flat
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    size: int, overlap: int = 0):
+    """Split each document into ``size``-token chunks overlapping by
+    ``overlap`` tokens (stride = size - overlap).  Chunk starts are
+    0, stride, 2*stride, …; the count is ``1 + ceil(max(n-size,0)/stride)``
+    so every token is covered and the last window is the only short one.
+    Docs with zero tokens emit nothing.
+
+    Output: (id_col, chunk_idx, tok_start, n_toks, chunk_text) with
+    ``chunk_text`` = the window's tokens joined by a single space —
+    mirrors ``array_to_string(toks[s+1 : least(s+size, n)], ' ')``.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(batch, text_col)
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        n_chunks = np.where(
+            n > 0,
+            1 + (np.maximum(n - size, 0) + stride - 1) // stride,
+            0,
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        empty = pa.table({
+            id_col: pa.array([], batch.column(id_col).type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if total == 0:
+            return empty
+        chunk_doc = np.repeat(np.arange(ndocs), n_chunks)
+        cum_chunks = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=cum_chunks[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - cum_chunks[chunk_doc]
+        tok_start = chunk_idx * stride
+        n_toks = np.minimum(size, n[chunk_doc] - tok_start)
+        doc_base = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(n[:-1], out=doc_base[1:])
+        abs_start = doc_base[chunk_doc] + tok_start
+        # flat token indices of every chunk in one arange pass
+        off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(n_toks, out=off[1:])
+        idx = (
+            np.arange(off[-1], dtype=np.int64)
+            - np.repeat(off[:-1], n_toks)
+            + np.repeat(abs_start, n_toks)
+        )
+        vals = flat.take(pa.array(idx))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), vals)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(chunk_doc)),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "n_toks": pa.array(n_toks, pa.int64()),
+            "chunk_text": pc.binary_join(la, " "),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def postings(ds, *, id_col: str = "doc_id", text_col: str = "text",
+             n_buckets: int = 32):
+    """Inverted index: per token, document frequency ``df``, total term
+    frequency ``tf``, and ``postings`` = comma-joined doc ids in
+    ascending id order — ``string_agg(doc_id, ',' ORDER BY doc_id)``
+    over per-doc term counts.
+
+    Each document's text is one input row, so per-batch (token, doc, c)
+    partials are globally unique pairs; the bucketed reduce then needs
+    no distinct pass.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_of]
+        vc = (
+            pd.DataFrame({"w": flat.to_pandas(), "d": ids})
+            .value_counts(["w", "d"], sort=False)
+            .reset_index(name="c")
+        )
+        return pa.table({
+            "w": pa.array(vc["w"].to_numpy(), pa.string()),
+            "d": pa.array(vc["d"].to_numpy(), batch.column(id_col).type),
+            "c": pa.array(vc["c"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", "d"], kind="mergesort")
+        # vocabulary-bounded: one Python join call per DISTINCT token
+        agg = g.groupby("w", sort=False).agg(
+            df=("d", "size"),
+            tf=("c", "sum"),
+            postings=("d", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        agg["df"] = agg["df"].astype(np.int64)
+        agg["tf"] = agg["tf"].astype(np.int64)
+        return agg
+
+    return bucketed_groupby(partials, ["w"], fn, n_buckets=n_buckets)

@@ -40,6 +40,19 @@ def _doc_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return token_shingle_hashes(th, toff, k)
 
 
+def tokens_flat(batch: pa.Table, text_col: str):
+    """Vectorized RE2-``\\s+`` tokenization of a batch: returns
+    ``(flat_tokens, doc_of, ndocs)`` — the flattened non-empty token
+    StringArray, each token's source-row index, and the batch row count.
+    The shared front half of every token-level corpus operator."""
+    sp = pc.split_pattern_regex(batch.column(text_col), pattern=_WS_PATTERN)
+    flat = pc.list_flatten(sp)
+    lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(nonempty)), doc_of[nonempty], len(lens)
+
+
 def _per_doc_runs(sh: np.ndarray, soff: np.ndarray):
     """Sort each doc's shingles and find equal-value runs.
 
@@ -165,13 +178,7 @@ def contamination(ds, bench_ref, text_col: str = "text",
 def _gram_partial(batch: pa.Table, text_col: str, n: int) -> pa.Table:
     """Per-batch n-gram partial counts — vectorized token split
     (pyarrow RE2 kernel), adjacency within doc, pandas value_counts."""
-    sp = pc.split_pattern_regex(batch.column(text_col), pattern=_WS_PATTERN)
-    flat = pc.list_flatten(sp)
-    lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
-    doc_of = np.repeat(np.arange(len(lens)), lens)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(nonempty))
-    doc_of = doc_of[nonempty]
+    flat, doc_of, _ = tokens_flat(batch, text_col)
     m = len(doc_of)
     if m < n:
         return pa.table({"gram": pa.array([], pa.string()),
@@ -211,3 +218,59 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k_top: int = 20,
     top = bucketed_groupby(partials, ["gram"], bucket_top,
                            n_buckets=n_buckets)
     return top.sort(["n", "gram"], descending=[True, False]).limit(k_top)
+
+
+def skipgram_counts(ds, text_col: str = "text", window: int = 2,
+                    n_buckets: int = 32):
+    """Corpus-wide skip-gram co-occurrence counts: (w1, w2, n) where w2
+    follows w1 within ``window`` positions inside one doc (distances
+    1..window, summed) — the word2vec-style context-count matrix.
+
+    Same combiner-first shape as :func:`top_ngrams`: per-batch pair
+    counts (one shifted-view pass per distance, no per-row Python) bound
+    the single bucketed shuffle by |distinct pairs per block| ≤ vocab².
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(batch, text_col)
+        m = len(doc_of)
+        w1_parts, w2_parts = [], []
+        for d in range(1, window + 1):
+            if m <= d:
+                break
+            base = np.arange(m - d)
+            ok = doc_of[base] == doc_of[base + d]
+            base = base[ok]
+            if len(base):
+                w1_parts.append(flat.take(pa.array(base)))
+                w2_parts.append(flat.take(pa.array(base + d)))
+        if not w1_parts:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = (
+            pd.DataFrame({
+                "w1": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in w1_parts]).to_pandas(),
+                "w2": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in w2_parts]).to_pandas(),
+            })
+            .value_counts(["w1", "w2"], sort=False)
+            .reset_index(name="n")
+        )
+        return pa.table({
+            "w1": pa.array(vc["w1"].to_numpy(), pa.string()),
+            "w2": pa.array(vc["w2"].to_numpy(), pa.string()),
+            "n": pa.array(vc["n"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(partials, ["w1", "w2"], fn, n_buckets=n_buckets)
