@@ -2761,6 +2761,44 @@ def q_outer_join(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+TEMP_ALPHA = 0.5          # sqrt flattening — IEEE sqrt is exact both sides
+WBERN_DENOM_LOG2 = 10     # p = min(n_chars, 1024) / 1024
+
+
+def q_temp_sample(sf_dir: str):
+    """Temperature-based mixture sampling (alpha=0.5): source s keeps
+    max(1, floor(sqrt(n_s))) docs, chosen by the deterministic
+    (knuth_hash, id) rank — tiny count aggregate broadcast, local
+    pre-prune, one bucketed shuffle of at most m rows per (key, batch)
+    (stages/partition.py:temperature_sample)."""
+    from ..stages.partition import temperature_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return temperature_sample(docs, "source", "doc_id", alpha=TEMP_ALPHA)
+
+
+def q_wsample(sf_dir: str):
+    """Size-weighted Bernoulli sampling: doc survives iff
+    hash32(doc_id) * 1024 < min(n_chars, 1024) * 2^32 — an EXACT integer
+    predicate (no float, no RNG state), pure map_batches filter
+    (stages/partition.py:weighted_bernoulli)."""
+    from ..stages.partition import weighted_bernoulli
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_bernoulli(docs, "doc_id", "n_chars",
+                              denom_log2=WBERN_DENOM_LOG2)
+
+
+def q_minmax(sf_dir: str):
+    """Per-priority min-max feature scaling of order prices:
+    (x - min) / (max - min) on exact int cents — combiner-first min/max
+    broadcast, rows never shuffle (stages/analytic.py:minmax_scale)."""
+    from ..stages.analytic import minmax_scale
+
+    return minmax_scale(_orders_cents_cols(sf_dir, "o_orderpriority"),
+                        key_cols=["o_orderpriority"], value_col="cents")
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3452,6 +3490,35 @@ GROUP BY event_type, u - o.off
             "COALESCE(p.n_error, 0) AS n_error "
             "FROM v FULL OUTER JOIN p ON v.user_id = p.user_id"
         ),
+        "temp_sample": (
+            "WITH nn AS (SELECT source, COUNT(*) AS ns FROM documents "
+            "GROUP BY 1), "
+            "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY "
+            f"{hashing.sql_knuth_expr('doc_id')}, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT r.doc_id, r.source FROM r JOIN nn USING (source) "
+            "WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT("
+            "CAST(ns AS DOUBLE))) AS BIGINT))"
+        ),
+        "wsample": (
+            "SELECT doc_id, n_chars FROM documents "
+            f"WHERE {hashing.sql_knuth_expr('doc_id')} "
+            f"* {1 << WBERN_DENOM_LOG2} < "
+            f"LEAST(CAST(n_chars AS BIGINT), {1 << WBERN_DENOM_LOG2}) "
+            "* 4294967296"
+        ),
+        "minmax": (
+            "WITH c AS (SELECT o_orderkey, o_orderpriority, "
+            "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
+            "FROM orders), "
+            "s AS (SELECT o_orderpriority, MIN(cents) AS lo, "
+            "MAX(cents) AS hi FROM c GROUP BY 1) "
+            "SELECT c.o_orderkey, c.o_orderpriority, c.cents, "
+            "CASE WHEN s.hi > s.lo THEN CAST(c.cents - s.lo AS DOUBLE) "
+            "/ CAST(s.hi - s.lo AS DOUBLE) ELSE NULL END AS scaled "
+            "FROM c JOIN s USING (o_orderpriority)"
+        ),
     }
 
 
@@ -3552,4 +3619,7 @@ def build_queries() -> dict:
         "postings": q_postings,
         "skipgrams": q_skipgrams,
         "outer_join": q_outer_join,
+        "temp_sample": q_temp_sample,
+        "wsample": q_wsample,
+        "minmax": q_minmax,
     }

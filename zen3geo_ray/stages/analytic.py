@@ -165,3 +165,40 @@ def cube2(ds, *, dim1: str, dim2: str, value_col: str):
 
     return fine.repartition(1).map_batches(all_levels,
                                            batch_format="pyarrow")
+
+
+def minmax_scale(ds, *, key_cols: list[str], value_col: str,
+                 out_col: str = "scaled"):
+    """Per-group min-max feature scaling: ``(x - min) / (max - min)``
+    over an int64 value column — one subtraction of exact ints and one
+    IEEE division, so the SQL mirror matches bit-for-bit.  Groups where
+    max == min emit NULL (the undefined-range convention).
+
+    Combiner-first: per-batch min/max partials reduce to one tiny
+    per-group table (bounded by the key domain), broadcast via
+    ``ray.put``; the scaling itself is a pure ``map_batches`` pass —
+    the rows never shuffle.
+    """
+    import ray
+
+    stats = zonal_aggregate(
+        ds, key_cols, {value_col: ["min", "max"]}
+    ).to_pandas()  # one row per group
+    lo = stats[f"{value_col}_min"].to_numpy().astype(np.int64)
+    hi = stats[f"{value_col}_max"].to_numpy().astype(np.int64)
+    stats = stats[[*key_cols]].assign(__lo=lo, __rng=hi - lo)
+    stats_ref = ray.put(stats)
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().merge(ray.get(stats_ref), on=key_cols, how="left")
+        rng = df.pop("__rng").to_numpy()
+        num = (df[value_col].to_numpy().astype(np.int64)
+               - df.pop("__lo").to_numpy()).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = num / rng.astype(np.float64)
+        df[out_col] = np.where(rng > 0, scaled, np.nan)
+        out = pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

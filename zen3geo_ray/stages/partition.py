@@ -230,3 +230,88 @@ def quota_per_key(ds, key_col: str, id_col: str, quota: int,
         return batch.drop_columns(drop)
 
     return ranked.map_batches(prune, batch_format="pyarrow")
+
+
+# --- data-mixing samplers ---------------------------------------------------
+
+def temperature_sample(ds, key_col: str, id_col: str, alpha: float = 0.5,
+                       n_buckets: int = 64):
+    """Temperature-based mixture sampling (the multi-source data-mixing
+    step of LLM corpus assembly): source ``s`` with ``n_s`` rows keeps
+    ``m_s = max(1, floor(n_s ** alpha))`` rows, flattening the source
+    distribution toward uniform as ``alpha → 0``.
+
+    Survivors are the stratum's first ``m_s`` rows under the
+    ``(knuth_hash(id), id)`` order — deterministic, partitioning-
+    independent, and restatable as ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY hash, id) <= m_s``.  With ``alpha = 0.5`` the target is
+    ``floor(sqrt(n))``; IEEE sqrt is correctly rounded, so the SQL
+    mirror is bit-exact (other alphas go through ``pow``, whose last-ulp
+    behaviour is libm-specific — documented, not oracle-checked).
+
+    Scale shape: one tiny per-key count aggregate (bounded by the key
+    domain — sources number in the hundreds) broadcast via ``ray.put``;
+    then the stratified-sample pattern: each batch pre-prunes to its
+    LOCAL top-m per key, so the single bucketed shuffle moves at most
+    ``m`` rows per (key, batch), never the stratum.
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import knuth_hash
+    from .bucketed import bucketed_groupby
+    from .zonal import zonal_aggregate
+
+    counts = zonal_aggregate(ds, [key_col], {}).to_pandas()
+    if alpha == 0.5:
+        m = np.maximum(1, np.floor(np.sqrt(
+            counts["n"].to_numpy().astype(np.float64)))).astype(np.int64)
+    else:
+        m = np.maximum(1, np.floor(np.power(
+            counts["n"].to_numpy().astype(np.float64), alpha))).astype(np.int64)
+    quota_ref = ray.put(dict(zip(counts[key_col], m)))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        q = df[key_col].map(ray.get(quota_ref)).to_numpy()
+        rank = df.groupby(key_col, sort=False).cumcount().to_numpy()
+        return df[rank < q]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b = batch.append_column("__h", pa.array(knuth_hash(ids)))
+        return pa.Table.from_pandas(prune(b.to_pandas()),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_groupby(parts, [key_col], prune, n_buckets=n_buckets)
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow")
+
+
+def weighted_bernoulli(ds, id_col: str, weight_col: str,
+                       denom_log2: int = 10):
+    """Probability-proportional-to-size row sampling with NO randomness
+    state: row ``i`` survives iff ``knuth_hash(id_i) < p_i * 2^32`` with
+    ``p_i = min(weight_i, D) / D``, ``D = 2^denom_log2`` — evaluated as
+    the EXACT integer predicate ``hash32 * D < weight * 2^32`` (products
+    < 2^63, no float anywhere), so the same rows survive in any engine,
+    on any partitioning, and in the SQL mirror.
+
+    Pure ``map_batches`` filter — no shuffle, no driver state; the
+    deterministic hash makes retries and incremental re-runs agree.
+    """
+    from ..functions.hashing import knuth_hash
+
+    D = np.int64(1 << denom_log2)
+    M32 = np.int64(1 << 32)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = np.minimum(
+            batch.column(weight_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64), D)
+        h = knuth_hash(ids).astype(np.int64)
+        return batch.filter(pa.array(h * D < w * M32))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
