@@ -1,0 +1,81 @@
+"""assign_split / zscore / length_buckets / char_pair_counts vs
+brute-force references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from zen3geo_ray.functions.hashing import knuth_hash
+from zen3geo_ray.stages.analytic import zscore
+from zen3geo_ray.stages.corpus import char_pair_counts, length_buckets
+from zen3geo_ray.stages.partition import (SPLIT_TRAIN_T, SPLIT_VAL_T,
+                                          assign_split)
+
+
+def test_assign_split(ray_session):
+    n = 5000
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = assign_split(rd.from_arrow(t).repartition(4), "doc_id").to_pandas()
+    h = knuth_hash(out["doc_id"].to_numpy())
+    exp = np.where(h < SPLIT_TRAIN_T, "train",
+                   np.where(h < SPLIT_VAL_T, "val", "test"))
+    assert (out["split"].to_numpy() == exp).all()
+    frac = pd.Series(exp).value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+
+
+def test_zscore(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "i": np.arange(4000, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], 4000),
+        "v": rng.integers(0, 1000, 4000).astype(np.int64),
+    })
+    out = zscore(rd.from_arrow(pa.Table.from_pandas(df)).repartition(5),
+                 key_cols=["g"], value_col="v").to_pandas()
+    out = out.set_index("i").loc[df["i"]]
+    for g, grp in df.groupby("g"):
+        mu = grp["v"].sum() / len(grp)
+        m2 = (grp["v"] ** 2).sum() / len(grp)
+        std = np.sqrt(m2 - mu * mu)
+        exp = (grp["v"].to_numpy() - mu) / std
+        np.testing.assert_allclose(
+            out.loc[grp["i"], "z"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_zscore_degenerate_group(ray_session):
+    t = pa.table({"i": pa.array([0, 1], pa.int64()),
+                  "g": pa.array(["x", "x"]),
+                  "v": pa.array([7, 7], pa.int64())})
+    out = zscore(rd.from_arrow(t), key_cols=["g"],
+                 value_col="v").to_pandas()
+    assert out["z"].isna().all()
+
+
+def test_length_buckets(ray_session):
+    texts = ["w " * k for k in [1, 3, 5, 17, 18, 31, 33]]
+    t = pa.table({"text": pa.array(texts)})
+    out = (length_buckets(rd.from_arrow(t).repartition(3), bucket_tokens=16)
+           .to_pandas().set_index("bucket").sort_index())
+    # bucket 0: 1,3,5 tokens -> n=3 max=5 waste=15-9=6
+    assert out.loc[0, "n"] == 3 and out.loc[0, "max_tok"] == 5
+    assert out.loc[0, "pad_waste"] == 6
+    # bucket 1: 17,18,31 -> max 31, waste 93-66=27
+    assert out.loc[1, "n"] == 3 and out.loc[1, "pad_waste"] == 27
+    assert out.loc[2, "n"] == 1 and out.loc[2, "pad_waste"] == 0
+
+
+def test_char_pair_counts(ray_session):
+    texts = ["ab ab", "abc", "a\xa0b x"]  # NBSP is NOT RE2 whitespace
+    t = pa.table({"text": pa.array(texts)})
+    out = char_pair_counts(rd.from_arrow(t).repartition(2)).to_pandas()
+    got = dict(zip(out["pair"], out["n"]))
+    # "ab" x2, "ab"+"bc" from abc, "a\xa0"+"\xa0b" from the NBSP token
+    assert got["ab"] == 3
+    assert got["bc"] == 1
+    assert got["a\xa0"] == 1 and got["\xa0b"] == 1
+    assert " b" not in got and "b " not in got
+    assert sum(got.values()) == 6

@@ -2799,6 +2799,67 @@ def q_minmax(sf_dir: str):
                         key_cols=["o_orderpriority"], value_col="cents")
 
 
+LENBUCKET_TOKENS = 16     # inference-batching bucket width
+
+from ..stages.partition import SPLIT_TRAIN_T, SPLIT_VAL_T  # noqa: E402
+
+
+def q_zscore(sf_dir: str):
+    """Per-type z-score standardization of event values (exact int64
+    sum/sumsq partials -> broadcast mean/std; rows never shuffle)
+    (stages/analytic.py:zscore)."""
+    from ..stages.analytic import zscore
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return zscore(ev.map_batches(cents, batch_format="pyarrow"),
+                  key_cols=["event_type"], value_col="cents")
+
+
+def q_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by exact integer
+    hash thresholds, then per-(lang, split) counts — no RNG state, stable
+    under repartitioning (stages/partition.py:assign_split)."""
+    from ..stages.partition import assign_split
+    from ..stages.zonal import zonal_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return zonal_aggregate(assign_split(docs, "doc_id"), ["lang", "split"],
+                           {})
+
+
+def q_len_buckets(sf_dir: str):
+    """Inference length-bucketing plan: per 16-token bucket, doc count,
+    padded length (max) and total padding waste — combiner-first integer
+    aggregates (stages/corpus.py:length_buckets)."""
+    from ..stages.corpus import length_buckets
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return length_buckets(docs, bucket_tokens=LENBUCKET_TOKENS)
+
+
+def q_bpe_pairs(sf_dir: str):
+    """BPE merge-candidate counting (tokenizer training step 1):
+    corpus-wide adjacent-char-pair counts within whitespace-pretokenized
+    tokens — contiguous codepoint buffer per batch, packed-key np.unique
+    combiner, alphabet²-bounded shuffle
+    (stages/corpus.py:char_pair_counts)."""
+    from ..stages.corpus import char_pair_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return char_pair_counts(docs)
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3519,6 +3580,44 @@ GROUP BY event_type, u - o.off
             "/ CAST(s.hi - s.lo AS DOUBLE) ELSE NULL END AS scaled "
             "FROM c JOIN s USING (o_orderpriority)"
         ),
+        "zscore": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(ROUND(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s1, "
+            "SUM(cents * cents) AS s2 FROM c GROUP BY 1), "
+            "t AS (SELECT event_type, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+            "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2 FROM s) "
+            "SELECT c.event_id, c.event_type, c.cents, "
+            "CASE WHEN SQRT(t.m2 - t.mu * t.mu) > 0 THEN "
+            "(CAST(c.cents AS DOUBLE) - t.mu) / SQRT(t.m2 - t.mu * t.mu) "
+            "ELSE NULL END AS z FROM c JOIN t USING (event_type)"
+        ),
+        "split": (
+            "SELECT lang, CASE "
+            f"WHEN {hashing.sql_knuth_expr('doc_id')} < {SPLIT_TRAIN_T} "
+            "THEN 'train' "
+            f"WHEN {hashing.sql_knuth_expr('doc_id')} < {SPLIT_VAL_T} "
+            "THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n "
+            "FROM documents GROUP BY 1, 2"
+        ),
+        "len_buckets": (
+            r"WITH t AS (SELECT CAST(LEN(regexp_extract_all(text, '\S+')) "
+            "AS BIGINT) AS n_tok FROM documents) "
+            f"SELECT n_tok // {LENBUCKET_TOKENS} AS bucket, "
+            "COUNT(*) AS n, MAX(n_tok) AS max_tok, "
+            "CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) "
+            "AS pad_waste "
+            f"FROM t GROUP BY n_tok // {LENBUCKET_TOKENS}"
+        ),
+        "bpe_pairs": (
+            r"WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS toks "
+            "FROM documents), "
+            "w AS (SELECT unnest(toks) AS t FROM tok), "
+            "p AS (SELECT unnest(list_transform(range(1, length(t)), "
+            "i -> substr(t, i, 2))) AS pair FROM w WHERE length(t) > 1) "
+            "SELECT pair, COUNT(*) AS n FROM p GROUP BY pair"
+        ),
     }
 
 
@@ -3622,4 +3721,8 @@ def build_queries() -> dict:
         "temp_sample": q_temp_sample,
         "wsample": q_wsample,
         "minmax": q_minmax,
+        "zscore": q_zscore,
+        "split": q_split,
+        "len_buckets": q_len_buckets,
+        "bpe_pairs": q_bpe_pairs,
     }

@@ -202,3 +202,48 @@ def minmax_scale(ds, *, key_cols: list[str], value_col: str,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def zscore(ds, *, key_cols: list[str], value_col: str,
+           out_col: str = "z"):
+    """Per-group z-score standardization of an int64 value column:
+    ``(x - mean) / std`` with population variance ``sumsq/n - mean²``.
+
+    ``sum`` and ``sumsq`` accumulate as EXACT int64 (caller must ensure
+    ``sum(x²)`` fits — scale values accordingly), so the float pipeline
+    is a fixed op sequence on exact integers and the SQL mirror matches
+    bit-for-bit.  Combiner-first: per-batch partials reduce to one tiny
+    per-group table broadcast via ``ray.put``; rows never shuffle.
+    Groups with zero variance emit NULL.
+    """
+    import ray
+
+    sq = f"__{value_col}_sq"
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(sq, pa.array(v * v, pa.int64()))
+
+    stats = zonal_aggregate(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        key_cols, {value_col: ["sum"], sq: ["sum"]},
+    ).to_pandas()  # one row per group
+    n = stats["n"].to_numpy().astype(np.float64)
+    mu = stats[f"{value_col}_sum"].to_numpy().astype(np.float64) / n
+    var = stats[f"{sq}_sum"].to_numpy().astype(np.float64) / n - mu * mu
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt(var)
+    stats = stats[[*key_cols]].assign(__mu=mu, __std=std)
+    stats_ref = ray.put(stats)
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().merge(ray.get(stats_ref), on=key_cols, how="left")
+        mu = df.pop("__mu").to_numpy()
+        std = df.pop("__std").to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (df[value_col].to_numpy().astype(np.float64) - mu) / std
+        df[out_col] = np.where(std > 0, z, np.nan)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

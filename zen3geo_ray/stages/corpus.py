@@ -140,3 +140,89 @@ def postings(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return agg
 
     return bucketed_groupby(partials, ["w"], fn, n_buckets=n_buckets)
+
+
+def length_buckets(ds, *, text_col: str = "text", bucket_tokens: int = 16):
+    """Inference-batching plan: docs bucket by ``n_tokens //
+    bucket_tokens``; per bucket report ``n`` docs, ``max_tok`` (the padded
+    sequence length) and ``pad_waste = n * max_tok - sum(n_tok)`` — the
+    padding overhead a length-sorted batcher would pay.
+
+    Combiner-first: per-batch (bucket, count, sum, max) partials bound
+    the shuffle by |buckets per block|; the waste derives from the final
+    exact integer aggregates.
+    """
+    from .zonal import zonal_aggregate
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        _, doc_of, ndocs = tokens_flat(b, text_col)
+        n_tok = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(n_tok // bucket_tokens, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64()),
+        })
+
+    agg = zonal_aggregate(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                          ["bucket"], {"n_tok": ["sum", "max"]})
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = b.column("n_tok_max").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b.column("n_tok_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": b.column("bucket"),
+            "n": pa.array(n, pa.int64()),
+            "max_tok": pa.array(mx, pa.int64()),
+            "pad_waste": pa.array(n * mx - s, pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def char_pair_counts(ds, *, text_col: str = "text", n_buckets: int = 32):
+    """BPE merge-candidate counting — the first step of byte-pair-encoding
+    tokenizer TRAINING: corpus-wide counts of adjacent character pairs
+    WITHIN tokens (whitespace pre-tokenization, the GPT-2 convention).
+    Output: (pair, n) with ``pair`` the two characters concatenated.
+
+    Per batch, texts decode once into a contiguous codepoint buffer
+    (the stages/dedup.py pattern); a pair survives iff neither side is
+    RE2-``\\s`` whitespace and the pair doesn't cross a doc boundary.
+    Counts combine per batch via ``np.unique`` on a packed
+    ``cp1 * 2^21 + cp2`` key (codepoints < 2^21), so the single bucketed
+    shuffle is bounded by the alphabet², never the corpus; pair strings
+    materialize only for the distinct survivors.
+    """
+    from .bucketed import bucketed_groupby
+    from .dedup import _WS_CPS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        # one contiguous UTF-32 buffer; 0x110000 sentinel between docs
+        joined = "\U0010fffd".join(t or "" for t in texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(cps) < 2:
+            return empty
+        a, b = cps[:-1], cps[1:]
+        bad = np.isin(a, _WS_CPS) | np.isin(b, _WS_CPS) \
+            | (a == 0x10FFFD) | (b == 0x10FFFD)
+        key = (a[~bad].astype(np.int64) << 21) | b[~bad].astype(np.int64)
+        if len(key) == 0:
+            return empty
+        uniq, counts = np.unique(key, return_counts=True)
+        pairs = [chr(int(k) >> 21) + chr(int(k) & 0x1FFFFF) for k in uniq]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fn(g):
+        out = g.groupby("pair", sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(partials, ["pair"], fn, n_buckets=n_buckets)

@@ -315,3 +315,27 @@ def weighted_bernoulli(ds, id_col: str, weight_col: str,
         return batch.filter(pa.array(h * D < w * M32))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# exact integer split thresholds: 80 / 10 / 10 % of the 2^32 hash space
+SPLIT_TRAIN_T = ((1 << 32) * 4) // 5
+SPLIT_VAL_T = ((1 << 32) * 9) // 10
+
+
+def assign_split(ds, id_col: str, split_col: str = "split",
+                 train_t: int = SPLIT_TRAIN_T, val_t: int = SPLIT_VAL_T):
+    """Deterministic train/val/test assignment by hash range: row goes to
+    'train' if ``hash32(id) < train_t``, 'val' if ``< val_t``, else
+    'test' — exact integer thresholds (defaults 80/10/10), no RNG state,
+    stable under repartitioning and incremental re-runs.  Pure
+    ``map_batches``; no shuffle."""
+    from ..functions.hashing import knuth_hash
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = knuth_hash(ids)
+        split = np.where(h < train_t, "train",
+                         np.where(h < val_t, "val", "test"))
+        return batch.append_column(split_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
