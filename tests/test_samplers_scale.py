@@ -87,3 +87,44 @@ def test_minmax_degenerate_group_null(ray_session):
                        value_col="w").to_pandas().set_index("doc_id")
     assert out.loc[0, "scaled"] == 0.0 and out.loc[1, "scaled"] == 1.0
     assert np.isnan(out.loc[2, "scaled"])
+
+
+def test_cooccurrence_pairs(ray_session):
+    from zen3geo_ray.stages.sequence import cooccurrence_pairs
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 80, 2000).astype(np.int64),
+        "t": rng.choice(["a", "b", "c", "d", "e"], 2000),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = cooccurrence_pairs(ds, key_col="u", item_col="t").to_pandas()
+    got = {(r.t1, r.t2): r.n for r in out.itertuples()}
+    exp: dict = {}
+    for _, g in df.groupby("u"):
+        items = sorted(set(g["t"]))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                k = (items[i], items[j])
+                exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_winsorize(ray_session):
+    from zen3geo_ray.stages.analytic import winsorize
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "i": np.arange(3000, dtype=np.int64),
+        "g": rng.choice(["x", "y"], 3000),
+        "v": rng.integers(0, 10_000, 3000).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = winsorize(ds, key_cols=["g"], value_col="v",
+                    q_lo=0.1, q_hi=0.9).to_pandas().set_index("i")
+    for g, grp in df.groupby("g"):
+        lo = np.quantile(grp["v"].to_numpy(), 0.1)  # type-7 = linear interp
+        hi = np.quantile(grp["v"].to_numpy(), 0.9)
+        exp = np.clip(grp["v"].to_numpy().astype(np.float64), lo, hi)
+        np.testing.assert_allclose(
+            out.loc[grp["i"], "w"].to_numpy(), exp, rtol=1e-12)
+        assert (out.loc[grp["i"], "w"] >= lo - 1e-9).all()
+        assert (out.loc[grp["i"], "w"] <= hi + 1e-9).all()

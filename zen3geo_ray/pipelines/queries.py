@@ -2860,6 +2860,63 @@ def q_bpe_pairs(sf_dir: str):
     return char_pair_counts(docs)
 
 
+WINSOR_LO, WINSOR_HI = 0.1, 0.9
+
+
+def q_basket(sf_dir: str):
+    """Market-basket pair support: unordered event-type pairs counted by
+    the number of users exhibiting both — distinct (user, type)
+    self-merge inside coarse buckets, item-domain²-bounded partials,
+    micro-task finale (stages/sequence.py:cooccurrence_pairs)."""
+    from ..stages.sequence import cooccurrence_pairs
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence_pairs(ev, key_col="user_id", item_col="event_type")
+
+
+def q_winsorize(sf_dir: str):
+    """Per-priority winsorization of order prices: clip to the group's
+    exact interpolated [p10, p90] quantiles (combiner-first quantile
+    table broadcast; rows never shuffle)
+    (stages/analytic.py:winsorize)."""
+    from ..stages.analytic import winsorize
+
+    return winsorize(_orders_cents_cols(sf_dir, "o_orderpriority"),
+                     key_cols=["o_orderpriority"], value_col="cents",
+                     q_lo=WINSOR_LO, q_hi=WINSOR_HI)
+
+
+def _sql_winsor() -> str:
+    """The _sql_pcont interpolation chain for p10/p90 plus the join-back
+    clamp LEAST(GREATEST(x, lo), hi) — mirrors winsorize op-for-op."""
+    stat_frags, out_frags = [], []
+    for q in (WINSOR_LO, WINSOR_HI):
+        lab = f"p{int(round(q * 100))}"
+        p = f"{q!r}::DOUBLE*(n-1)"
+        stat_frags.append(
+            f"MAX(CASE WHEN rk = CAST(FLOOR({p}) AS BIGINT) THEN v END) "
+            f"AS lo_{lab}, "
+            f"MAX(CASE WHEN rk = least(CAST(FLOOR({p}) AS BIGINT) + 1, "
+            f"n - 1) THEN v END) AS hi_{lab}"
+        )
+        out_frags.append(
+            f"CAST(lo_{lab} AS DOUBLE) + (CAST(hi_{lab} AS DOUBLE) - "
+            f"CAST(lo_{lab} AS DOUBLE)) * ({p} - FLOOR({p})) AS {lab}"
+        )
+    return (
+        "WITH c AS (SELECT o_orderkey, o_orderpriority AS k, "
+        "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v FROM orders), "
+        "r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)"
+        " - 1 AS rk, COUNT(*) OVER (PARTITION BY k) AS n FROM c), "
+        "s AS (SELECT k, MAX(n) AS n, " + ", ".join(stat_frags)
+        + " FROM r GROUP BY k), b AS (SELECT k, " + ", ".join(out_frags)
+        + " FROM s) "
+        "SELECT c.o_orderkey, c.k AS o_orderpriority, c.v AS cents, "
+        "LEAST(GREATEST(CAST(c.v AS DOUBLE), b.p10), b.p90) AS w "
+        "FROM c JOIN b USING (k)"
+    )
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3618,6 +3675,13 @@ GROUP BY event_type, u - o.off
             "i -> substr(t, i, 2))) AS pair FROM w WHERE length(t) > 1) "
             "SELECT pair, COUNT(*) AS n FROM p GROUP BY pair"
         ),
+        "basket": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"
+        ),
+        "winsorize": _sql_winsor(),
     }
 
 
@@ -3725,4 +3789,6 @@ def build_queries() -> dict:
         "split": q_split,
         "len_buckets": q_len_buckets,
         "bpe_pairs": q_bpe_pairs,
+        "basket": q_basket,
+        "winsorize": q_winsorize,
     }

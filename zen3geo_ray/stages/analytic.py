@@ -247,3 +247,37 @@ def zscore(ds, *, key_cols: list[str], value_col: str,
             df, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winsorize(ds, *, key_cols: list[str], value_col: str,
+              q_lo: float = 0.1, q_hi: float = 0.9,
+              out_col: str = "w", n_buckets: int = 32):
+    """Per-group winsorization: clip an int64 value column to its
+    group's [q_lo, q_hi] CONTINUOUS (interpolated) quantiles —
+    ``LEAST(GREATEST(x, p_lo), p_hi)`` with the quantiles from the exact
+    combiner-first :func:`~.zonal.grouped_quantiles_cont` (shuffle
+    bounded by distinct (key, value) pairs, broadcast back via
+    ``ray.put``); the clipped rows never shuffle.  The clamp is
+    max-then-min on exact-int-derived doubles, so SQL mirrors it
+    bit-for-bit.
+    """
+    import ray
+
+    from .zonal import grouped_quantiles_cont
+
+    lab_lo = f"p{int(round(q_lo * 100))}"
+    lab_hi = f"p{int(round(q_hi * 100))}"
+    qs = grouped_quantiles_cont(ds, key_cols, value_col,
+                                [q_lo, q_hi], n_buckets=n_buckets).to_pandas()
+    qs_ref = ray.put(qs[[*key_cols, lab_lo, lab_hi]])
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().merge(ray.get(qs_ref), on=key_cols, how="left")
+        lo = df.pop(lab_lo).to_numpy()
+        hi = df.pop(lab_hi).to_numpy()
+        x = df[value_col].to_numpy().astype(np.float64)
+        df[out_col] = np.minimum(np.maximum(x, lo), hi)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

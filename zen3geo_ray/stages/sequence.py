@@ -186,3 +186,40 @@ def gapfill_counts(ds, *, key_col: str, ts_col: str, unit_us: int,
         })
 
     return bucketed_groupby(ds, [key_col], fn, n_buckets)
+
+
+def cooccurrence_pairs(ds, *, key_col: str, item_col: str,
+                       n_buckets: int = 64):
+    """Market-basket pair support: for every unordered item pair
+    (t1 < t2), the number of keys whose item set contains both — the
+    candidate-generation step of frequent-itemset mining.
+
+    One bucketed shuffle on the key; inside each bucket the distinct
+    (key, item) pairs self-merge vectorized (pair volume is
+    keys x k² for per-key item counts k — the inherent output of pair
+    enumeration, never |rows|²); partial counts are bounded by the
+    item-domain² and re-sum in a single micro-task.
+    Output columns: (t1, t2, n).
+    """
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[key_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=key_col, suffixes=("_1", "_2"))
+        a, b = f"{item_col}_1", f"{item_col}_2"
+        m = m[m[a] < m[b]]
+        vc = m.value_counts([a, b], sort=False).reset_index(name="n")
+        vc.columns = ["t1", "t2", "n"]
+        vc["n"] = vc["n"].astype(np.int64)
+        return vc
+
+    partials = bucketed_groupby(ds, [key_col], partial, n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.groupby(["t1", "t2"], as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return partials.repartition(1).map_batches(finalize,
+                                               batch_format="pyarrow")
