@@ -56,6 +56,29 @@ FAST = [
     "rollup",
     "near_dup",
     "median_price",
+    # round-3 additions (sequence/analytic/corpus/mixing/flagship)
+    "transitions",
+    "funnel",
+    "run_distinct",
+    "gapfill",
+    "share",
+    "firstlast",
+    "mad_outliers",
+    "cube",
+    "chunks",
+    "postings",
+    "skipgrams",
+    "outer_join",
+    "temp_sample",
+    "wsample",
+    "minmax",
+    "zscore",
+    "split",
+    "len_buckets",
+    "bpe_pairs",
+    "basket",
+    "winsorize",
+    "q3_top",
 ]
 
 

@@ -2917,6 +2917,83 @@ def _sql_winsor() -> str:
     )
 
 
+import datetime as _dt
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUT_US = int(_dt.datetime(1998, 6, 1).timestamp() * 0) + \
+    (_dt.date(1998, 6, 1) - _dt.date(1970, 1, 1)).days * 86_400_000_000
+Q3_TOPK = 10
+
+
+def q_q3_top(sf_dir: str):
+    """TPC-H Q3-shaped flagship chain: segment-filtered customers
+    ⋉ date-filtered orders ⋉ ship-after lineitems → exact-integer
+    revenue per order → global top-10.  Three bucketed stages, every
+    join a SEMI (only keys shuffle beside the revenue rows); the top-10
+    is exact via per-bucket top-k (buckets partition orderkeys).
+    Revenue = extprice_cents * (100 - disc_pct) — pure int64, so SUM is
+    order-independent and the oracle matches bit-exactly."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.hashjoin import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def ckeys(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("c_mktsegment"),
+                              pa.scalar(Q3_SEGMENT)))
+        return pa.table({"o_custkey": f.column("c_custkey")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def odate(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64())
+        keep = pc.less(ts, pa.scalar(Q3_CUT_US, pa.int64()))
+        f = b.filter(keep)
+        return pa.table({"o_orderkey": f.column("o_orderkey"),
+                         "o_custkey": f.column("o_custkey")})
+
+    qual_orders = bucketed_join(
+        orders.map_batches(odate, batch_format="pyarrow"),
+        cust.map_batches(ckeys, batch_format="pyarrow"),
+        ["o_custkey"], how="semi", n_buckets=32,
+    ).map_batches(lambda b: b.select(["o_orderkey"]),
+                  batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lrev(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.int64())
+        f = b.filter(pc.greater(ts, pa.scalar(Q3_CUT_US, pa.int64())))
+        ep = np.rint(f.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        dp = np.rint(f.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": f.column("l_orderkey"),
+            "rev": pa.array(ep * (100 - dp), pa.int64()),
+        })
+
+    li_q = bucketed_join(li.map_batches(lrev, batch_format="pyarrow"),
+                         qual_orders, ["o_orderkey"], how="semi",
+                         n_buckets=32)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_orderkey", sort=False, as_index=False)["rev"] \
+            .sum().rename(columns={"rev": "revenue_c"})
+        agg["revenue_c"] = agg["revenue_c"].astype(np.int64)
+        agg = agg.sort_values(["revenue_c", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+        return agg.head(Q3_TOPK)
+
+    top = bucketed_groupby(li_q, ["o_orderkey"], bucket_top, n_buckets=32)
+    return top.sort(["revenue_c", "o_orderkey"],
+                    descending=[True, False]).limit(Q3_TOPK)
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3682,6 +3759,21 @@ GROUP BY event_type, u - o.off
             "AND a.event_type < b.event_type GROUP BY 1, 2"
         ),
         "winsorize": _sql_winsor(),
+        "q3_top": (
+            "WITH c AS (SELECT c_custkey FROM customer "
+            f"WHERE c_mktsegment = '{Q3_SEGMENT}'), "
+            "o AS (SELECT o_orderkey FROM orders "
+            f"WHERE epoch_us(o_orderdate) < {Q3_CUT_US} "
+            "AND o_custkey IN (SELECT c_custkey FROM c)), "
+            "l AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS rev "
+            f"FROM lineitem WHERE epoch_us(l_shipdate) > {Q3_CUT_US}) "
+            "SELECT o_orderkey, CAST(SUM(rev) AS BIGINT) AS revenue_c "
+            "FROM l WHERE o_orderkey IN (SELECT o_orderkey FROM o) "
+            "GROUP BY o_orderkey "
+            f"ORDER BY revenue_c DESC, o_orderkey LIMIT {Q3_TOPK}"
+        ),
     }
 
 
@@ -3791,4 +3883,5 @@ def build_queries() -> dict:
         "bpe_pairs": q_bpe_pairs,
         "basket": q_basket,
         "winsorize": q_winsorize,
+        "q3_top": q_q3_top,
     }
