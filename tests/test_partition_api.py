@@ -218,3 +218,33 @@ def test_api_rasterize_tiles_mean(ray_session):
     grids = np.concatenate([np.asarray(d) for d in out["data"]])
     vals = grids[~np.isnan(grids)]
     assert len(vals) and 1 <= vals.mean() <= 100
+
+
+def test_api_corpus_prep_chain(ray_session):
+    import numpy as np
+    from zen3geo_ray import api
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "source": pa.array(["a" if i % 3 else "b" for i in range(200)]),
+        "text": pa.array([f"tok{i} alpha beta gamma delta" for i in range(200)]),
+    })
+    chunks = api.from_arrow(docs).chunk(size=3, overlap=1).to_pandas()
+    assert {"chunk_idx", "tok_start", "n_toks", "chunk_text"} <= set(chunks)
+    assert (chunks.groupby("doc_id")["chunk_idx"].max() == 1).all()
+
+    idx = api.from_arrow(docs).invert_index().to_pandas()
+    assert idx.set_index("w").loc["alpha", "df"] == 200
+
+    mixed = api.from_arrow(docs).sample_temperature("source", "doc_id")
+    sizes = mixed.to_pandas().groupby("source").size()
+    import math
+    assert sizes["a"] == math.floor(math.sqrt(133))
+    assert sizes["b"] == math.floor(math.sqrt(67))
+
+    sp = api.from_arrow(docs).split().to_pandas()
+    assert set(sp["split"]) <= {"train", "val", "test"}
+    kept = api.from_arrow(docs.append_column(
+        "w", pa.array([1024] * 200, pa.int64()))).sample_weighted(
+        "doc_id", "w").count()
+    assert kept == 200  # weight >= denom -> p = 1

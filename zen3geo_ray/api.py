@@ -229,6 +229,44 @@ class Pipe:
 
         return Pipe(score_embeddings(self.ds, model_blob_or_ref, **kwargs))
 
+    # --- corpus prep / data mixing -----------------------------------------
+    def chunk(self, size: int, overlap: int = 0, id_col: str = "doc_id",
+              text_col: str = "text") -> "Pipe":
+        """Overlapping token-window chunking (doc -> training samples)."""
+        from .stages.corpus import chunk_documents
+
+        return Pipe(chunk_documents(self.ds, id_col=id_col,
+                                    text_col=text_col, size=size,
+                                    overlap=overlap))
+
+    def invert_index(self, id_col: str = "doc_id",
+                     text_col: str = "text") -> "Pipe":
+        """token -> (df, tf, sorted postings) inverted index."""
+        from .stages.corpus import postings
+
+        return Pipe(postings(self.ds, id_col=id_col, text_col=text_col))
+
+    def sample_temperature(self, key_col: str, id_col: str,
+                           alpha: float = 0.5) -> "Pipe":
+        """Per-source temperature mixture sampling (n_s^alpha quota)."""
+        from .stages.partition import temperature_sample
+
+        return Pipe(temperature_sample(self.ds, key_col, id_col, alpha=alpha))
+
+    def sample_weighted(self, id_col: str, weight_col: str,
+                        denom_log2: int = 10) -> "Pipe":
+        """Exact-integer weighted Bernoulli row sampling (p ∝ weight)."""
+        from .stages.partition import weighted_bernoulli
+
+        return Pipe(weighted_bernoulli(self.ds, id_col, weight_col,
+                                       denom_log2=denom_log2))
+
+    def split(self, id_col: str = "doc_id", **kwargs) -> "Pipe":
+        """Deterministic 80/10/10 train/val/test assignment by hash."""
+        from .stages.partition import assign_split
+
+        return Pipe(assign_split(self.ds, id_col, **kwargs))
+
     # --- terminals --------------------------------------------------------
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)
