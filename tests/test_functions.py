@@ -309,3 +309,51 @@ def test_redact_null_safe():
     out, counts = redact(pa.array(["a1", None]), [(r"\d", "#")])
     assert out.to_pylist() == ["a#", None]
     assert counts[0].tolist() == [1, 0]
+
+
+def test_split_url_and_registered_domain():
+    import pyarrow as pa
+    from zen3geo_ray.functions.text import registered_domain, split_url
+
+    urls = [
+        "https://en.host-00001.example/p/2",
+        "http://x.y.z/path/a?q=1&r=2",
+        "ftp://plain",
+        "nohost",
+        "https://h.example/p?only#frag",
+    ]
+    parts = split_url(urls)
+    assert parts["scheme"].to_pylist() == ["https", "http", "ftp", "", "https"]
+    assert parts["host"].to_pylist() == [
+        "en.host-00001.example", "x.y.z", "plain", "nohost", "h.example"]
+    assert parts["path"].to_pylist() == ["/p/2", "/path/a", "", "", "/p"]
+    assert parts["query"].to_pylist() == ["", "q=1&r=2", "", "", "only"]
+    doms = registered_domain(parts["host"]).to_pylist()
+    assert doms == ["host-00001.example", "y.z", "plain", "nohost",
+                    "h.example"]
+
+
+def test_per_domain_quota_pipeline(ray_session):
+    """split_url -> registered_domain -> per-domain quota cap end to end."""
+    import pyarrow as pa
+    import ray.data as rd
+    from zen3geo_ray.functions.text import registered_domain, split_url
+    from zen3geo_ray.stages.partition import quota_per_key
+    from zen3geo_ray.sources.corpus import pages_table
+
+    pages = pages_table(400)
+
+    def add_domain(b: pa.Table) -> pa.Table:
+        host = split_url(b.column("url"))["host"]
+        return b.append_column("domain", registered_domain(host))
+
+    ds = rd.from_arrow(pages).repartition(4).map_batches(
+        add_domain, batch_format="pyarrow")
+    capped = quota_per_key(ds, "domain", "url", quota=3).to_pandas()
+    assert (capped.groupby("domain").size() <= 3).all()
+    # deterministic: same survivors on a different partitioning
+    capped2 = quota_per_key(
+        rd.from_arrow(pages).repartition(9).map_batches(
+            add_domain, batch_format="pyarrow"),
+        "domain", "url", quota=3).to_pandas()
+    assert set(capped["url"]) == set(capped2["url"])

@@ -213,8 +213,15 @@ def quota_per_key(ds, key_col: str, id_col: str, quota: int,
 
     def add_h(batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
+        raw = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(raw.dtype, np.integer):
+            ids = raw.astype(np.uint64)
+        else:
+            # string ids (urls): fingerprint first, then the bijective
+            # mix — same determinism contract, collision odds 2^-64
+            from ..functions.hashing import fnv1a_str_array
+
+            ids = fnv1a_str_array(batch.column(id_col).to_pylist())
         with np.errstate(over="ignore"):
             h = ids * np.uint64(SHARD_A) + np.uint64(SHARD_B)
         return batch.append_column(_H, pa.array(h, pa.uint64()))
