@@ -79,3 +79,44 @@ def test_char_pair_counts(ray_session):
     assert got["a\xa0"] == 1 and got["\xa0b"] == 1
     assert " b" not in got and "b " not in got
     assert sum(got.values()) == 6
+
+
+def test_char_pairs_boundary_and_u10fffd(ray_session):
+    from zen3geo_ray.stages.corpus import char_pair_counts
+    # doc boundary must not create a pair ("ab"|"cd" -> no "bc");
+    # U+10FFFD is a legal codepoint and must count like any other
+    t = pa.table({"text": pa.array(["ab", "cd", "a\U0010fffdb"])})
+    out = char_pair_counts(rd.from_arrow(t).repartition(1)).to_pandas()
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"ab": 1, "cd": 1,
+                   "a\U0010fffd": 1, "\U0010fffdb": 1}
+
+
+def test_cube2_null_dims(ray_session):
+    from zen3geo_ray.stages.analytic import cube2
+    t = pa.table({
+        "d1": pa.array(["x", None, "x", None]),
+        "d2": pa.array(["p", "p", None, "q"]),
+        "v": pa.array([1, 2, 4, 8], pa.int64()),
+    })
+    out = cube2(rd.from_arrow(t), dim1="d1", dim2="d2",
+                value_col="v").to_pandas()
+    # SQL CUBE keeps NULL-valued dim groups at every level
+    lv1 = out[out["d2"].isna() & out["d1"].isna()]
+    # grand total row: n=4 sum=15 (also d1=None,d2=None fine rows exist —
+    # distinguish by checking the full lattice sums)
+    assert out["n"].sum() == 16  # 4 fine + 4 + 4 + 4 across levels
+    assert out.loc[out["d1"].isna(), "v_sum"].sum() > 0
+    lv_d1 = out[(~out["d1"].isna()) & out["d2"].isna()]
+    assert lv_d1.loc[lv_d1["d1"] == "x", "v_sum"].sum() >= 5
+
+
+def test_first_last_nth_rejects_bad_nth(ray_session):
+    import pytest
+    from zen3geo_ray.stages.analytic import first_last_nth
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "o": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        first_last_nth(rd.from_arrow(t), key_col="k", order_col="o",
+                       value_col="v", nth=0)

@@ -46,6 +46,8 @@ def first_last_nth(ds, *, key_col: str, order_col: str, value_col: str,
     value, the last value, the ``nth`` value (null when the key has
     fewer than nth rows) and the row count.  Output columns:
     key, first_v, last_v, nth_v, n."""
+    if nth < 1:
+        raise ValueError("nth must be >= 1 (NTH_VALUE is 1-based)")
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="mergesort")
@@ -61,17 +63,16 @@ def first_last_nth(ds, *, key_col: str, order_col: str, value_col: str,
         counts = ends - starts + 1
         nth_pos = starts + (nth - 1)
         has_nth = counts >= nth
-        nth_v = np.where(has_nth, v[np.minimum(nth_pos, max(len(v) - 1, 0))],
-                         0).astype(np.float64)
-        out = pd.DataFrame({
+        nth_v = np.where(
+            has_nth, v[np.minimum(nth_pos, max(len(v) - 1, 0))].astype(
+                np.float64), np.nan)
+        return pd.DataFrame({
             key_col: keys[starts],
             "first_v": v[starts],
             "last_v": v[ends],
-            "nth_v": np.where(has_nth, nth_v, np.nan),
+            "nth_v": nth_v,
             "n": counts.astype(np.int64),
         })
-        out["nth_v"] = out["nth_v"].where(has_nth)
-        return out
 
     return bucketed_groupby(ds, [key_col], fn, n_buckets)
 
@@ -143,9 +144,12 @@ def cube2(ds, *, dim1: str, dim2: str, value_col: str):
 
     def all_levels(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        lv1 = df.groupby(dim1, as_index=False)[["n", sum_col]].sum()
+        # dropna=False: SQL GROUP BY CUBE keeps NULL-dim groups
+        lv1 = df.groupby(dim1, as_index=False, dropna=False)[
+            ["n", sum_col]].sum()
         lv1[dim2] = None
-        lv2 = df.groupby(dim2, as_index=False)[["n", sum_col]].sum()
+        lv2 = df.groupby(dim2, as_index=False, dropna=False)[
+            ["n", sum_col]].sum()
         lv2[dim1] = None
         total = pd.DataFrame({
             dim1: [None], dim2: [None],

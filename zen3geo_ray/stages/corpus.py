@@ -114,16 +114,14 @@ def postings(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def partial(batch: pa.Table) -> pa.Table:
         flat, doc_of, _ = tokens_flat(batch, text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_of]
-        vc = (
-            pd.DataFrame({"w": flat.to_pandas(), "d": ids})
-            .value_counts(["w", "d"], sort=False)
-            .reset_index(name="c")
-        )
-        return pa.table({
-            "w": pa.array(vc["w"].to_numpy(), pa.string()),
-            "d": pa.array(vc["d"].to_numpy(), batch.column(id_col).type),
-            "c": pa.array(vc["c"].to_numpy().astype(np.int64), pa.int64()),
+        # pure-Arrow combiner (no per-token Python objects)
+        pairs = pa.table({
+            "w": flat,
+            "d": pa.array(ids, batch.column(id_col).type),
         })
+        vc = pairs.group_by(["w", "d"]).aggregate([([], "count_all")])
+        return vc.rename_columns(["w", "d", "c"]).set_column(
+            2, "c", vc.column(2).cast(pa.int64()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -189,27 +187,32 @@ def char_pair_counts(ds, *, text_col: str = "text", n_buckets: int = 32):
 
     Per batch, texts decode once into a contiguous codepoint buffer
     (the stages/dedup.py pattern); a pair survives iff neither side is
-    RE2-``\\s`` whitespace and the pair doesn't cross a doc boundary.
-    Counts combine per batch via ``np.unique`` on a packed
-    ``cp1 * 2^21 + cp2`` key (codepoints < 2^21), so the single bucketed
-    shuffle is bounded by the alphabet², never the corpus; pair strings
-    materialize only for the distinct survivors.
+    RE2-``\\s`` whitespace and the pair doesn't cross a doc boundary
+    (boundaries are masked by offset, NOT an in-band sentinel, so every
+    legal codepoint — including U+10FFFD — counts correctly).  Counts
+    combine per batch via ``np.unique`` on a packed ``cp1 * 2^21 + cp2``
+    key (codepoints < 2^21), so the single bucketed shuffle is bounded
+    by the alphabet², never the corpus; pair strings materialize only
+    for the distinct survivors.
     """
-    from .bucketed import bucketed_groupby
     from .dedup import _WS_CPS
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        # one contiguous UTF-32 buffer; 0x110000 sentinel between docs
-        joined = "\U0010fffd".join(t or "" for t in texts)
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        joined = "".join(texts)
         cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
         empty = pa.table({"pair": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
         if len(cps) < 2:
             return empty
         a, b = cps[:-1], cps[1:]
-        bad = np.isin(a, _WS_CPS) | np.isin(b, _WS_CPS) \
-            | (a == 0x10FFFD) | (b == 0x10FFFD)
+        bad = np.isin(a, _WS_CPS) | np.isin(b, _WS_CPS)
+        # mask pairs straddling doc boundaries by offset
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        cross = np.cumsum(lens)[:-1] - 1
+        cross = cross[(cross >= 0) & (cross < len(a))]
+        bad[cross] = True
         key = (a[~bad].astype(np.int64) << 21) | b[~bad].astype(np.int64)
         if len(key) == 0:
             return empty
