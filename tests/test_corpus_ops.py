@@ -102,3 +102,17 @@ def test_full_outer_join(ray_session):
     assert out["a"].isna().tolist() == [False, False, False, True]
     assert out["b"].isna().tolist() == [True, False, False, False]
     assert out.loc[1, "a"] == 20 and out.loc[1, "b"] == 200
+
+
+def test_tokens_flat_null_text(ray_session):
+    # null texts count as empty — every token-level op survives them
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", None, "c"], pa.string()),
+    })
+    out = chunk_documents(rd.from_arrow(t), size=2).to_pandas()
+    assert set(out["doc_id"]) == {0, 2}
+    idx = postings(rd.from_arrow(t)).to_pandas().set_index("w")
+    assert idx.loc["a", "postings"] == "0"
+    sg = skipgram_counts(rd.from_arrow(t), window=2).to_pandas()
+    assert dict(zip(sg["w1"], sg["n"])) == {"a": 1}

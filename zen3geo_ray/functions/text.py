@@ -201,12 +201,10 @@ def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
                 out[i] = np.uint64(fnv1a_bytes(data))
                 continue
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-            h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
-            acc = np.zeros_like(h)
+            acc = np.zeros(len(arr) - window + 1, dtype=np.uint64)
             for j in range(window):
-                acc = acc * B + arr[j : j + len(h)]
-            h = acc
-            out[i] = h.min()
+                acc = acc * B + arr[j : j + len(acc)]
+            out[i] = acc.min()
     return out
 
 

@@ -44,8 +44,11 @@ def tokens_flat(batch: pa.Table, text_col: str):
     """Vectorized RE2-``\\s+`` tokenization of a batch: returns
     ``(flat_tokens, doc_of, ndocs)`` — the flattened non-empty token
     StringArray, each token's source-row index, and the batch row count.
-    The shared front half of every token-level corpus operator."""
-    sp = pc.split_pattern_regex(batch.column(text_col), pattern=_WS_PATTERN)
+    Null texts count as empty (the ``(t or '')`` convention of the
+    shingle path).  The shared front half of every token-level corpus
+    operator."""
+    col = pc.fill_null(batch.column(text_col), "")
+    sp = pc.split_pattern_regex(col, pattern=_WS_PATTERN)
     flat = pc.list_flatten(sp)
     lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
     doc_of = np.repeat(np.arange(len(lens)), lens)
@@ -191,9 +194,10 @@ def _gram_partial(batch: pa.Table, text_col: str, n: int) -> pa.Table:
                          "n": pa.array([], pa.int64())})
     parts = [flat.take(pa.array(base + j)) for j in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ")
-    vc = pd.Series(grams.to_pandas()).value_counts()
-    return pa.table({"gram": pa.array(vc.index.to_numpy(), pa.string()),
-                     "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64())})
+    vc = pa.table({"gram": grams}).group_by(["gram"]).aggregate(
+        [([], "count_all")])
+    return vc.rename_columns(["gram", "n"]).set_column(
+        1, "n", vc.column(1).cast(pa.int64()))
 
 
 def top_ngrams(ds, text_col: str = "text", n: int = 2, k_top: int = 20,
@@ -248,23 +252,18 @@ def skipgram_counts(ds, text_col: str = "text", window: int = 2,
             return pa.table({"w1": pa.array([], pa.string()),
                              "w2": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        vc = (
-            pd.DataFrame({
-                "w1": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                     else a for a in w1_parts]).to_pandas(),
-                "w2": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                     else a for a in w2_parts]).to_pandas(),
-            })
-            .value_counts(["w1", "w2"], sort=False)
-            .reset_index(name="n")
-        )
-        return pa.table({
-            "w1": pa.array(vc["w1"].to_numpy(), pa.string()),
-            "w2": pa.array(vc["w2"].to_numpy(), pa.string()),
-            "n": pa.array(vc["n"].to_numpy().astype(np.int64), pa.int64()),
+        pairs = pa.table({
+            "w1": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in w1_parts]),
+            "w2": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in w2_parts]),
         })
+        # pure-Arrow combiner (no per-pair Python objects)
+        vc = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return vc.rename_columns(["w1", "w2", "n"]).set_column(
+            2, "n", vc.column(2).cast(pa.int64()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 

@@ -28,10 +28,10 @@ from ..geom import cells
 
 
 def choose_salt(ds, key_col: str, target_rows_per_group: int = 100_000,
-                sample_blocks: int = 4) -> int:
+                sample_rows: int = 500_000) -> int:
     """Pick a salt factor from a sampled per-key histogram: S such that
     the hottest key's rows split into ~target-sized partial groups."""
-    sample = ds.limit(500_000).groupby(key_col).count().to_pandas()
+    sample = ds.limit(sample_rows).groupby(key_col).count().to_pandas()
     if len(sample) == 0:
         return 1
     hottest = int(sample["count()"].max()) if "count()" in sample else int(
