@@ -79,6 +79,8 @@ FAST = [
     "basket",
     "winsorize",
     "q3_top",
+    "q5_nation_rev",
+    "promo_rev",
 ]
 
 

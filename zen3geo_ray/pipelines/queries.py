@@ -2994,6 +2994,156 @@ def q_q3_top(sf_dir: str):
                     descending=[True, False]).limit(Q3_TOPK)
 
 
+Q5_REGION = "ASIA"
+Q14_TYPE = "ECONOMY"
+Q14_LO_US = (_dt.date(1998, 1, 1) - _dt.date(1970, 1, 1)).days \
+    * 86_400_000_000
+Q14_HI_US = (_dt.date(1999, 1, 1) - _dt.date(1970, 1, 1)).days \
+    * 86_400_000_000
+
+
+def _li_rev_cols(b: pa.Table, extra: list[str]) -> pa.Table:
+    """lineitem → (extra cols, rev) with rev = extprice_cents *
+    (100 - disc_pct) — pure int64, order-independent SUM."""
+    ep = np.rint(b.column("l_extendedprice")
+                 .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    dp = np.rint(b.column("l_discount")
+                 .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    cols = {c: b.column(c) for c in extra}
+    cols["rev"] = pa.array(ep * (100 - dp), pa.int64())
+    return pa.table(cols)
+
+
+def q_q5_nation_rev(sf_dir: str):
+    """TPC-H Q5-shaped chain: revenue per nation for one region where
+    supplier and customer share the nation — two broadcast dim lookups
+    (supplier→nation, nation→region/name: ray.put once, per-worker
+    memoized searchsorted) + two bucketed hash joins (orders⋈customer,
+    lineitem⋈orders); the co-nation filter runs vectorized post-join;
+    revenue in exact int64 cents (stages/join.py:make_broadcast_lookup_join,
+    stages/hashjoin.py:bucketed_join)."""
+    import ray
+
+    from ..stages.hashjoin import bucketed_join
+    from ..stages.join import make_broadcast_lookup_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {k: n for k, n in zip(reg.column("r_regionkey").to_pylist(),
+                               reg.column("r_name").to_pylist())}
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nregion = nat.column("n_regionkey").to_numpy(zero_copy_only=False)
+    in_region = np.array([rk[int(r)] == Q5_REGION for r in nregion])
+    region_nations = set(nkeys[in_region].tolist())
+    names = dict(zip(nkeys.tolist(), nat.column("n_name").to_pylist()))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup_blob = {
+        "l_suppkey": sup.column("s_suppkey").to_numpy(zero_copy_only=False),
+        "s_nationkey": sup.column("s_nationkey")
+        .to_numpy(zero_copy_only=False),
+    }
+    sup_ref = ray.put(sup_blob) if ray.is_initialized() else sup_blob
+    j_sup = make_broadcast_lookup_join(
+        sup_ref, key_col="l_suppkey", value_cols={"s_nationkey": pa.int64()})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    rn = sorted(region_nations)
+
+    def ckeys(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, rn)
+        f = b.filter(pa.array(keep))
+        return pa.table({"o_custkey": f.column("c_custkey"),
+                         "c_nationkey": f.column("c_nationkey")})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_enriched = bucketed_join(
+        orders, cust.map_batches(ckeys, batch_format="pyarrow"),
+        ["o_custkey"], n_buckets=32,
+    ).map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"]),
+                  batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        t = _li_rev_cols(b, ["l_orderkey", "l_suppkey"])
+        t = j_sup(t)
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "s_nationkey": t.column("s_nationkey"),
+                         "rev": t.column("rev")})
+
+    joined = bucketed_join(li.map_batches(lprep, batch_format="pyarrow"),
+                           o_enriched, ["o_orderkey"], n_buckets=32)
+
+    names_ref = ray.put(names) if ray.is_initialized() else names
+
+    def co_nation(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(sn == cn))
+        nm = ray.get(names_ref) if ray.is_initialized() else names_ref
+        cns = f.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nm[int(k)] for k in cns], pa.string()),
+            "rev": f.column("rev"),
+        })
+
+    tagged = joined.map_batches(co_nation, batch_format="pyarrow")
+    return zonal.zonal_aggregate(tagged, ["n_name"], {"rev": ["sum"]})
+
+
+def q_promo_rev(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue ratio: 1998 lineitems joined to
+    part by a broadcast partkey→type lookup, per-batch exact int64
+    (promo, total) partials, one-row finale with the double ratio
+    mirrored op-for-op."""
+    import ray
+
+    from ..stages.join import make_broadcast_lookup_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    blob = {
+        "l_partkey": part.column("p_partkey").to_numpy(zero_copy_only=False),
+        "p_type": np.asarray(part.column("p_type").to_pylist(), dtype=object),
+    }
+    ref = ray.put(blob) if ray.is_initialized() else blob
+    j_part = make_broadcast_lookup_join(ref, key_col="l_partkey",
+                                        value_cols={"p_type": pa.string()})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, pa.scalar(Q14_LO_US, pa.int64())),
+                       pc.less(ts, pa.scalar(Q14_HI_US, pa.int64())))
+        f = b.filter(keep)
+        t = j_part(_li_rev_cols(f, ["l_partkey"]))
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        promo = t.column("p_type").to_numpy(zero_copy_only=False) == Q14_TYPE
+        return pa.table({
+            "promo_c": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_c": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        p = int(pc.sum(b.column("promo_c")).as_py() or 0)
+        t = int(pc.sum(b.column("total_c")).as_py() or 0)
+        pct = 100.0 * np.float64(p) / np.float64(t) if t else np.nan
+        return pa.table({"promo_c": pa.array([p], pa.int64()),
+                         "total_c": pa.array([t], pa.int64()),
+                         "promo_pct": pa.array([pct], pa.float64())})
+
+    return partials.repartition(1).map_batches(finalize,
+                                               batch_format="pyarrow")
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3759,6 +3909,36 @@ GROUP BY event_type, u - o.off
             "AND a.event_type < b.event_type GROUP BY 1, 2"
         ),
         "winsorize": _sql_winsor(),
+        "q5_nation_rev": (
+            "WITH j AS (SELECT n.n_name, "
+            "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT)) AS rev "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            f"WHERE r.r_name = '{Q5_REGION}' "
+            "AND s.s_nationkey = c.c_nationkey) "
+            "SELECT n_name, COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) "
+            "AS rev_sum FROM j GROUP BY n_name"
+        ),
+        "promo_rev": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS rev "
+            f"FROM lineitem WHERE epoch_us(l_shipdate) >= {Q14_LO_US} "
+            f"AND epoch_us(l_shipdate) < {Q14_HI_US}), "
+            "j AS (SELECT p.p_type, l.rev FROM l "
+            "JOIN part p ON l.l_partkey = p.p_partkey) "
+            "SELECT CAST(SUM(CASE WHEN p_type = "
+            f"'{Q14_TYPE}' THEN rev ELSE 0 END) AS BIGINT) AS promo_c, "
+            "CAST(SUM(rev) AS BIGINT) AS total_c, "
+            "100.0 * CAST(SUM(CASE WHEN p_type = "
+            f"'{Q14_TYPE}' THEN rev ELSE 0 END) AS DOUBLE) "
+            "/ CAST(SUM(rev) AS DOUBLE) AS promo_pct FROM j"
+        ),
         "q3_top": (
             "WITH c AS (SELECT c_custkey FROM customer "
             f"WHERE c_mktsegment = '{Q3_SEGMENT}'), "
@@ -3884,4 +4064,6 @@ def build_queries() -> dict:
         "basket": q_basket,
         "winsorize": q_winsorize,
         "q3_top": q_q3_top,
+        "q5_nation_rev": q_q5_nation_rev,
+        "promo_rev": q_promo_rev,
     }
