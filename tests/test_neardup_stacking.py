@@ -240,3 +240,29 @@ def test_incremental_exact_dedup_across_runs(ray_session, tmp_path):
     runs = [d for d in os.listdir(store) if d.startswith("run-")]
     # append-only: one file set per run WITH survivors (run 3 had none)
     assert len(runs) == 2
+
+
+def test_incremental_exact_dedup_bloom_path(ray_session, tmp_path):
+    """With bloom_threshold=0 every store lookup goes through the Bloom
+    prefilter + exact verify path (the billion-hash store shape) and the
+    result stays identical to the plain anti-join path."""
+    from zen3geo_ray.functions import bloom as bloom_mod
+    from zen3geo_ray.stages.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+
+    def run(ids, texts):
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()), "text": texts,
+        }))
+        out = incremental_exact_dedup(ds, store, order_cols=["doc_id"],
+                                      bloom_threshold=0)
+        df = out.to_pandas()
+        return sorted(df["doc_id"].tolist()) if len(df) else []
+
+    assert run([1, 2, 3], ["aa", "bb", "aa"]) == [1, 2]
+    bloom_mod._LAST_BUILD_STATS.clear()
+    assert run([4, 5, 6, 7], ["bb", "cc", "cc", "aa"]) == [5]
+    # the prefilter really ran: the distributed build recorded its merge
+    assert bloom_mod._LAST_BUILD_STATS.get("driver_blobs_folded", 0) >= 1
+    assert run([8], ["cc"]) == []

@@ -81,6 +81,7 @@ FAST = [
     "q3_top",
     "q5_nation_rev",
     "promo_rev",
+    "raster_mode",
 ]
 
 

@@ -343,6 +343,18 @@ def test_grouped_mode_tie_breaks_smallest(ray_session):
     assert out["mode_n"].tolist() == [2, 2]
 
 
+def test_grouped_mode_string_values(ray_session):
+    # string value column passes through (no int cast); ties break to the
+    # lexicographically smallest value — pins the raster_mode query path
+    k = np.array([1, 1, 1, 1, 2, 2, 2], np.int64)
+    v = np.array(["en", "de", "en", "de", "fr", "fr", "aa"])
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(4)
+    out = (zonal.grouped_mode(ds, ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["mode_v"].tolist() == ["de", "fr"]
+    assert out["mode_n"].tolist() == [2, 2]
+
+
 def test_grouped_mode_matches_pandas(ray_session):
     n = 5000
     rng = np.random.default_rng(17)

@@ -90,7 +90,8 @@ def q_geocode(sf_dir: str):
 
 
 def _geocoded(sf_dir: str, res: int = RES_ZONAL, keep_extra: list[str] | None = None):
-    cols = ["doc_id", "lang"] + (keep_extra or [])
+    cols = ["doc_id", "lang"] + [c for c in (keep_extra or [])
+                                 if c not in ("doc_id", "lang")]
 
     def fn(batch: pa.Table) -> pa.Table:
         key = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -309,6 +310,56 @@ binned AS (
 )
 SELECT tile_id, py, px, doc_id, n_chars FROM binned
 QUALIFY ROW_NUMBER() OVER (PARTITION BY tile_id, py, px ORDER BY doc_id) = 1
+"""
+
+
+def q_raster_mode(sf_dir: str):
+    """datashader ``mode`` reduction analog: per touched pixel, the most
+    frequent lang (ties → smallest) — the shared pixel binning step then
+    the holistic grouped_mode (per-batch (pixel, value, n) partials; the
+    shuffle is bounded by distinct (pixel, value) pairs, never points)
+    (stages/rasterize.py:pixel_bin_batch, stages/zonal.py:grouped_mode)."""
+    from ..stages.zonal import grouped_mode
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+    specs = _tile_specs()
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    binned = tiled.map_batches(
+        lambda b: rz.pixel_bin_batch(b, tile_specs=specs),
+        batch_format="pyarrow",
+    ).map_batches(lambda b: b.select(["tile_id", "py", "px", "lang"]),
+                  batch_format="pyarrow")
+    return grouped_mode(binned, ["tile_id", "py", "px"], "lang")
+
+
+def _sql_raster_mode() -> str:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    ix = f"LEAST(GREATEST(CAST(FLOOR((lon - -180.0) / 360.0 * {TILE_NX}) AS BIGINT), 0), {TILE_NX - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR((lat - -90.0) / 180.0 * {TILE_NY}) AS BIGINT), 0), {TILE_NY - 1})"
+    px = f"CAST(FLOOR((lon - (-180.0 + ix * {tw!r})) / {tw!r} * {TILE_PX}) AS BIGINT)"
+    gy = f"CAST(FLOOR((lat - (-90.0 + iy * {th!r})) / {th!r} * {TILE_PX}) AS BIGINT)"
+    return f"""
+{_sql_geo_cte(RES_ZONAL, ', lang')},
+tiled AS (SELECT lang, lon, lat, {ix} AS ix, {iy} AS iy FROM geo),
+binned AS (
+  SELECT lang,
+         iy * {TILE_NX} + ix AS tile_id,
+         {TILE_PX} - 1 - {gy} AS py,
+         {px} AS px
+  FROM tiled
+),
+cnt AS (SELECT tile_id, py, px, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY 1, 2, 3, 4)
+SELECT tile_id, py, px, lang AS mode_v, n AS mode_n FROM cnt
+QUALIFY ROW_NUMBER() OVER (PARTITION BY tile_id, py, px
+                           ORDER BY n DESC, lang) = 1
 """
 
 
@@ -3909,6 +3960,7 @@ GROUP BY event_type, u - o.off
             "AND a.event_type < b.event_type GROUP BY 1, 2"
         ),
         "winsorize": _sql_winsor(),
+        "raster_mode": _sql_raster_mode(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4064,6 +4116,7 @@ def build_queries() -> dict:
         "basket": q_basket,
         "winsorize": q_winsorize,
         "q3_top": q_q3_top,
+        "raster_mode": q_raster_mode,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

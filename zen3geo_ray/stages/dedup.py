@@ -683,7 +683,8 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text",
 
 def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
                             order_cols: list[str] | None = None,
-                            n_buckets: int = 64):
+                            n_buckets: int = 64,
+                            bloom_threshold: int = 5_000_000):
     """CROSS-RUN exact dedup against a persistent content-hash store.
 
     Each call keeps only rows whose content hash was seen in NO prior
@@ -709,8 +710,6 @@ def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
     from ..functions.bloom import bloom_anti_join
     from .hashjoin import bucketed_join
     from .stack import dedup_first
-
-    bloom_threshold = 5_000_000
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col=text_col),

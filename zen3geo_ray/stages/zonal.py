@@ -348,7 +348,10 @@ def grouped_mode(ds, key_cols: list[str], value_col: str,
                           kind="mergesort")
         top = m.groupby(key_cols, sort=False, as_index=False).first()
         out = top[key_cols].copy()
-        out[mode_col] = top[value_col].astype(np.int64)
+        v = top[value_col]
+        # preserve the value dtype (int columns stay int64; string/other
+        # columns pass through — ties still break to the smallest value)
+        out[mode_col] = v.astype(np.int64) if v.dtype.kind in "iu" else v
         out[count_col] = top["_n"].astype(np.int64)
         return out
 
