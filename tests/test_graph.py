@@ -1,0 +1,111 @@
+"""Iterative graph operators (stages/graph.py): exact fixed-point
+PageRank and bounded-hop multi-source BFS vs driver-side references."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from zen3geo_ray.stages.graph import (
+    bfs_hops,
+    distinct_tuples,
+    node_degrees,
+    pagerank,
+)
+
+SCALE, DN, DD = 10 ** 12, 85, 100
+
+
+def _random_graph(seed=7, n_nodes=200, n_edges=1500):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([src[m], dst[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    # a dangling node (500: in-edges only) exercises outdeg=0 handling
+    src = np.append(src, [3])
+    dst = np.append(dst, [500])
+    return src, dst
+
+
+def _ref_pagerank(src, dst, iters):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n, np.int64)
+    for s in src:
+        outdeg[idx[int(s)]] += 1
+    base = ((DD - DN) * SCALE) // (DD * n)
+    pr = np.full(n, SCALE // n, np.int64)
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    for _ in range(iters):
+        contrib = pr[si] // outdeg[si]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        pr = base + (DN * acc) // DD
+    return dict(zip(nodes.tolist(), pr.tolist()))
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    out = pagerank(edges, iters=3, scale=SCALE, d_num=DN, d_den=DD,
+                   n_buckets=8).to_pandas()
+    ref = _ref_pagerank(src, dst, 3)
+    got = dict(zip(out["node"], out["pr"]))
+    assert got == ref  # exact int equality, every node present
+
+
+def test_pagerank_two_node_cycle(ray_session):
+    # A<->B symmetric: stationary by symmetry; one round must already
+    # produce base + (85 * (scale//2)) // 100 for both nodes
+    edges = rd.from_arrow(pa.table({"src": [0, 1], "dst": [1, 0]}))
+    out = pagerank(edges, iters=1, scale=SCALE, n_buckets=8).to_pandas()
+    base = ((DD - DN) * SCALE) // (DD * 2)
+    want = base + (DN * (SCALE // 2)) // DD
+    assert sorted(out["node"]) == [0, 1]
+    assert set(out["pr"]) == {want}
+
+
+def test_node_degrees_covers_dst_only_nodes(ray_session):
+    edges = rd.from_arrow(pa.table({"src": [1, 1, 2], "dst": [2, 3, 9]}))
+    out = node_degrees(edges, n_buckets=8).to_pandas()
+    got = dict(zip(out["node"], out["outdeg"]))
+    assert got == {1: 2, 2: 1, 3: 0, 9: 0}
+
+
+def test_distinct_tuples(ray_session):
+    t = pa.table({"a": [1, 1, 2, 2, 1], "b": [5, 5, 6, 6, 7]})
+    out = distinct_tuples(rd.from_arrow(t).repartition(3), ["a", "b"])
+    got = sorted(map(tuple, out.to_pandas().itertuples(index=False)))
+    assert got == [(1, 5), (1, 7), (2, 6)]
+
+
+def test_bfs_hops_matches_reference(ray_session):
+    src, dst = _random_graph(seed=11, n_nodes=120, n_edges=500)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    seed_nodes = np.unique(src[src % 10 == 0]).astype(np.int64)
+    seeds = rd.from_arrow(pa.table({"node": seed_nodes}))
+
+    dist = {int(v): 0 for v in seed_nodes}
+    for _ in range(3):
+        new = dict(dist)
+        for s, d in zip(src, dst):
+            if int(s) in dist:
+                cand = dist[int(s)] + 1
+                if cand < new.get(int(d), 1 << 30):
+                    new[int(d)] = cand
+        dist = new
+
+    out = bfs_hops(edges, seeds, max_hops=3, n_buckets=8).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == dist
+
+
+def test_bfs_unreachable_nodes_absent(ray_session):
+    # chain 0->1->2->3->4, seed {0}, 2 hops: node 3/4 must NOT appear
+    edges = rd.from_arrow(pa.table({"src": [0, 1, 2, 3],
+                                    "dst": [1, 2, 3, 4]}))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+    out = bfs_hops(edges, seeds, max_hops=2, n_buckets=8).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 1, 2: 2}

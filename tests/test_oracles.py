@@ -82,6 +82,8 @@ FAST = [
     "q5_nation_rev",
     "promo_rev",
     "raster_mode",
+    "pagerank",
+    "bfs_hops",
 ]
 
 

@@ -3195,6 +3195,139 @@ def q_promo_rev(sf_dir: str):
                                                batch_format="pyarrow")
 
 
+# --- iterative graph ops: PageRank / bounded-hop BFS ----------------------
+#
+# The link graph stand-in: the customer↔supplier bipartite trade graph
+# (distinct (custkey, suppkey) pairs from orders ⋈ lineitem), symmetric
+# so every node has outdeg >= 1.  Node ids disambiguate the partitions:
+# customer c -> 2c, supplier s -> 2s+1.
+
+GRAPH_ITERS = 4
+GRAPH_SCALE = 10 ** 12
+GRAPH_DNUM, GRAPH_DDEN = 85, 100   # damping 0.85 as an exact rational
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 100                 # seeds: customer nodes, custkey % 50 == 0
+
+
+def _trade_edges(sf_dir: str):
+    from ..stages.graph import distinct_tuples
+    from ..stages.hashjoin import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_join(li, orders, ["o_orderkey"])
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cnode": pa.array(c * 2), "snode": pa.array(s * 2 + 1)})
+
+    dpairs = distinct_tuples(
+        pairs.map_batches(to_nodes, batch_format="pyarrow"),
+        ["cnode", "snode"],
+    )
+
+    def symm(b: pa.Table) -> pa.Table:
+        c = b.column("cnode").combine_chunks()
+        s = b.column("snode").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([c, s]),
+                         "dst": pa.concat_arrays([s, c])})
+
+    return dpairs.map_batches(symm, batch_format="pyarrow")
+
+
+_SQL_GRAPH_EDGES = """pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+)"""
+
+
+def q_pagerank(sf_dir: str):
+    """Exact fixed-point PageRank (4 rounds, damping 85/100, ranks scaled
+    by 1e12) over the customer↔supplier graph — the iterative BSP plan:
+    per round ONE bucketed join ships (node, outdeg, pr) onto the edges
+    and ONE combiner-first bucketed reduce sums floor-div contributions
+    per dst; all arithmetic int64 so the chained-CTE oracle matches
+    bit-exactly (stages/graph.py:pagerank)."""
+    from ..stages.graph import pagerank
+
+    pr = pagerank(_trade_edges(sf_dir), iters=GRAPH_ITERS, scale=GRAPH_SCALE,
+                  d_num=GRAPH_DNUM, d_den=GRAPH_DDEN)
+    return pr.map_batches(lambda b: b.select(["node", "pr"]),
+                          batch_format="pyarrow")
+
+
+def _sql_pagerank() -> str:
+    sc, dn, dd = GRAPH_SCALE, GRAPH_DNUM, GRAPH_DDEN
+    ctes = [
+        _SQL_GRAPH_EDGES,
+        ("deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg "
+         "FROM edges GROUP BY 1)"),
+        ("nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges "
+         "UNION ALL SELECT dst AS node FROM edges))"),
+        ("nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg "
+         "FROM nodes n LEFT JOIN deg d USING (node))"),
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd)",
+        f"r0 AS (SELECT node, outdeg, {sc} // p.n AS pr FROM nd CROSS JOIN p)",
+    ]
+    for i in range(1, GRAPH_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node, nd.outdeg,
+         (({dd - dn} * {sc}) // ({dd} * p.n))
+         + ({dn} * COALESCE(s.s, 0)) // {dd} AS pr
+  FROM nd CROSS JOIN p
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s
+             FROM edges e JOIN r{i - 1} r ON r.node = e.src GROUP BY 1) s
+  USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, pr FROM r{GRAPH_ITERS}")
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source bounded-hop BFS (Bellman-Ford layering, 3 rounds)
+    from every customer node with custkey % 50 == 0 — per round one
+    bucketed edge join + one keyed min reduce, mirroring the chained-CTE
+    oracle term for term (stages/graph.py:bfs_hops)."""
+    from ..stages.graph import bfs_hops, distinct_tuples
+
+    edges = _trade_edges(sf_dir).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(s[s % BFS_SEED_MOD == 0]))})
+
+    seeds = distinct_tuples(
+        edges.map_batches(seed_partial, batch_format="pyarrow"), ["node"]
+    )
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def _sql_bfs_hops() -> str:
+    ctes = [
+        _SQL_GRAPH_EDGES,
+        (f"d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist "
+         f"FROM edges WHERE src % {BFS_SEED_MOD} = 0)"),
+    ]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + 1 AS dist
+    FROM edges e JOIN d{i - 1} r ON r.node = e.src
+  ) GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{BFS_MAX_HOPS}")
+
+
 def _sql_corpus_chunks() -> str:
     s, st = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
     return f"""
@@ -3961,6 +4094,8 @@ GROUP BY event_type, u - o.off
         ),
         "winsorize": _sql_winsor(),
         "raster_mode": _sql_raster_mode(),
+        "pagerank": _sql_pagerank(),
+        "bfs_hops": _sql_bfs_hops(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4117,6 +4252,8 @@ def build_queries() -> dict:
         "winsorize": q_winsorize,
         "q3_top": q_q3_top,
         "raster_mode": q_raster_mode,
+        "pagerank": q_pagerank,
+        "bfs_hops": q_bfs_hops,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

@@ -1,0 +1,230 @@
+"""Iterative graph operators: exact fixed-point PageRank and bounded-hop
+multi-source BFS over an edge Dataset.
+
+The reference has no graph operators at all; at web scale the link graph
+IS the corpus structure (crawl ranking, spam propagation, seed-set
+expansion), so these are first-class training-data-pipeline extensions
+(SURVEY §2.3 "user extension" + round brief).  Both are expressed as the
+same Ray-Data-first plan shape as the MinHash connected-components
+closure (stages/dedup.py:lsh_group_labels): a FIXED number of rounds,
+each round = one bucketed hash join (ship current per-node state onto
+the edges, keyed by src) + one coarse-bucket keyed reduce (combine the
+propagated values per dst with every node's previous state).  Only
+fixed-width (node, int) rows ever shuffle besides the edge table itself.
+
+Numeric design: PageRank is computed in FIXED-POINT INTEGER arithmetic
+(ranks scaled by ``scale``, damping as the exact rational d_num/d_den,
+per-edge contribution = floor(rank / outdeg), update = base +
+floor(d_num * Σcontrib / d_den)).  Integer sums are order-independent,
+so the result is bit-exact against the mirrored SQL (no IEEE
+float-summation-order hazard) — the same discipline as the MinHash /
+SimHash kernels.  With the default scale=10^12 the per-node quantization
+error is < outdeg/scale per step; sums stay far below 2^62.
+
+Scale notes (100 TB):
+* the edge table re-shuffles once per round inside the bucketed join —
+  that is the dominant cost and matches the classic Pregel/BSP plan; on
+  a real cluster the next optimization is pinning edge blocks to
+  hash(src) buckets once and shipping only the (node, rank) table, which
+  Ray Data cannot express without actor-held state (documented trade).
+* per-round reduces are combiner-first: contributions are pre-summed per
+  dst INSIDE each joined batch, so the all-to-all moves at most one row
+  per (dst, batch), never one per edge.
+* dangling nodes (outdeg = 0) receive rank but contribute none — their
+  mass decays, the standard simplification; both sides of the oracle
+  compute the same thing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import bucketed_groupby
+from .hashjoin import bucketed_join
+
+NODE = "node"
+
+
+def distinct_tuples(ds, cols: list[str], n_buckets: int = 64):
+    """Global DISTINCT over ``cols``: per-batch pre-distinct (combiner)
+    then one bucketed drop_duplicates — at most one row per (tuple,
+    batch) shuffles."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas().drop_duplicates(cols)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return bucketed_groupby(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        cols,
+        lambda g: g.drop_duplicates(cols),
+        n_buckets=n_buckets,
+    )
+
+
+def node_degrees(edges, *, src: str = "src", dst: str = "dst",
+                 n_buckets: int = 64):
+    """(node, outdeg) over the FULL node universe (src ∪ dst); dst-only
+    nodes get outdeg 0.  One combiner-first shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False)
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        us, cs = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        return pa.table({
+            NODE: pa.array(np.concatenate([us, ud])),
+            "_c": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)])),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(NODE, sort=False, as_index=False)["_c"].sum()
+        return out.rename(columns={"_c": "outdeg"})
+
+    return bucketed_groupby(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        [NODE], combine, n_buckets=n_buckets,
+    )
+
+
+def _propagated(edges, state, *, src: str, n_buckets: int):
+    """Ship per-node ``state`` onto the edges: one bucketed hash join on
+    ``src`` — each edge row gains its source node's state columns."""
+    renamed = state.map_batches(
+        lambda b: b.rename_columns(
+            [src if c == NODE else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+    return bucketed_join(edges, renamed, [src], n_buckets=n_buckets)
+
+
+def _auto_buckets(n_rows: int) -> int:
+    """Size the coarse-bucket count to the data: a shuffle's latency on
+    small inputs is TASK-count-bound (see lsh_group_labels), so floor at
+    8 for parallelism and grow one bucket per ~50k rows up to 64."""
+    return int(min(64, max(8, n_rows // 50_000)))
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
+             scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
+             n_buckets: int | None = None):
+    """Exact fixed-point PageRank; returns (node, outdeg, pr) with pr an
+    int64 rank scaled by ``scale`` (Σpr ≈ scale up to floor residue and
+    dangling decay).
+
+    pr_0(v)   = scale // N
+    pr_i(v)   = base + (d_num * Σ_{u→v} (pr_{i-1}(u) // outdeg(u))) // d_den
+    base      = ((d_den - d_num) * scale) // (d_den * N)
+
+    All operations are int64; the mirrored SQL (pipelines/queries.py
+    ``_sql_pagerank``) computes the identical recurrence, so equality is
+    exact, not approximate.
+    """
+    if scale * d_num >= 1 << 62:
+        raise ValueError("scale * d_num must stay below 2^62")
+    edges = edges.materialize()  # re-read every round
+    if n_buckets is None:
+        n_buckets = _auto_buckets(edges.count())
+    nodes = node_degrees(edges, src=src, dst=dst,
+                         n_buckets=n_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column("pr", pa.nulls(len(b), pa.int64())),
+            batch_format="pyarrow",
+        )
+    base = ((d_den - d_num) * scale) // (d_den * n)
+    r0 = scale // n
+
+    state = nodes.map_batches(
+        lambda b: b.append_column(
+            "pr", pa.array(np.full(len(b), r0, dtype=np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        pr = b.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = b.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pr // od  # od >= 1 for every src by construction
+        df = pd.DataFrame({NODE: d, "_s": c}).groupby(
+            NODE, sort=False, as_index=False)["_s"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(NODE, sort=False, as_index=False).agg(
+            outdeg=("outdeg", "max"), _s=("_s", "sum"))
+        s = agg["_s"].to_numpy().astype(np.int64)
+        agg["pr"] = base + (d_num * s) // d_den
+        return agg[[NODE, "outdeg", "pr"]]
+
+    for _ in range(iters):
+        joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
+        partials = joined.map_batches(contrib_partial, batch_format="pyarrow")
+        seeds = state.map_batches(
+            lambda b: b.select([NODE, "outdeg"]).append_column(
+                "_s", pa.array(np.zeros(len(b), dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+        # contrib rows carry outdeg 0 so the per-node max recovers the
+        # true degree from each node's single seed row
+        partials = partials.map_batches(
+            lambda b: pa.table({
+                NODE: b.column(NODE),
+                "outdeg": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "_s": b.column("_s"),
+            }),
+            batch_format="pyarrow",
+        )
+        state = bucketed_groupby(
+            seeds.union(partials), [NODE], finalize, n_buckets=n_buckets,
+        ).materialize()
+    return state
+
+
+def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
+             max_hops: int = 3, n_buckets: int | None = None):
+    """Multi-source bounded-hop BFS: (node, dist) for every node whose
+    shortest hop count from ANY seed is <= max_hops.
+
+    ``seeds`` is a Dataset with a ``node`` column (dist 0).  Round i
+    relaxes every edge once: dist_i(v) = min(dist_{i-1}(v),
+    min_{u→v} dist_{i-1}(u) + 1) — after round i every node within i
+    hops holds its exact distance (standard Bellman-Ford layering), so
+    ``max_hops`` rounds are sufficient AND mirror the chained-CTE SQL
+    oracle term for term.  The frontier is not tracked separately:
+    shipping the whole (node, dist) table keeps each round two bucketed
+    shuffles and identical to the SQL; a frontier-delta variant is the
+    cluster optimization when dist rows dwarf the active frontier.
+    """
+    state = seeds.map_batches(
+        lambda b: pa.table({
+            NODE: b.column(NODE),
+            "dist": pa.array(np.zeros(len(b), dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = edges.materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(edges.count())
+
+    def relax_partial(b: pa.Table) -> pa.Table:
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        dist = b.column("dist").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({NODE: d, "dist": dist + 1}).groupby(
+            NODE, sort=False, as_index=False)["dist"].min()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["dist"].min()
+
+    for _ in range(max_hops):
+        joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
+        relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
+        state = bucketed_groupby(
+            state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
+        ).materialize()
+    return state
