@@ -109,3 +109,67 @@ def test_bfs_unreachable_nodes_absent(ray_session):
     seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
     out = bfs_hops(edges, seeds, max_hops=2, n_buckets=8).to_pandas()
     assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 1, 2: 2}
+
+
+def _ref_components(src, dst):
+    # union-find
+    nodes = np.unique(np.concatenate([src, dst]))
+    parent = {int(v): int(v) for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(src, dst):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {int(v): find(int(v)) for v in nodes}
+
+
+def test_connected_components_random(ray_session):
+    from zen3geo_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 80, 120).astype(np.int64)
+    dst = rng.integers(0, 80, 120).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    out = connected_components(edges, n_buckets=8).to_pandas()
+    assert dict(zip(out["node"], out["comp"])) == _ref_components(src, dst)
+
+
+def test_connected_components_long_chain_log_rounds(ray_session):
+    from zen3geo_ray.stages.graph import connected_components
+
+    # a 30-deep chain: relax+jump halves depth per round, so 7 rounds
+    # (not 30) suffice — pins the pointer-jump interleave
+    n = 30
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.arange(0, n - 1, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = connected_components(edges, max_rounds=7, n_buckets=8).to_pandas()
+    assert sorted(out["node"]) == list(range(n))
+    assert set(out["comp"]) == {0}
+
+
+def test_connected_components_round_budget_raises(ray_session):
+    import pytest
+
+    from zen3geo_ray.stages.graph import connected_components
+
+    n = 30
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.arange(0, n - 1, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2, n_buckets=8)
+
+
+def test_connected_components_self_loop_singleton(ray_session):
+    from zen3geo_ray.stages.graph import connected_components
+
+    edges = rd.from_arrow(pa.table({"src": [7, 1], "dst": [7, 2]}))
+    out = connected_components(edges, n_buckets=8).to_pandas()
+    assert dict(zip(out["node"], out["comp"])) == {7: 7, 1: 1, 2: 1}

@@ -84,6 +84,7 @@ FAST = [
     "raster_mode",
     "pagerank",
     "bfs_hops",
+    "components",
 ]
 
 

@@ -3310,6 +3310,59 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+CC_QTY_MIN = 48  # co-occurrence edge filter: rare high-quantity lines
+
+
+def q_components(sf_dir: str):
+    """Weakly-connected components of the part co-occurrence graph
+    (parts sharing an order among qty >= 48 lineitems).  Per-order STAR
+    expansion (hub = min part; linear edge count, never the quadratic
+    within-group pair blowup) feeds the public connected_components
+    operator: min-label propagation to a one-scalar-aggregate fixpoint
+    with the pointer-jump fallback (stages/graph.py:connected_components).
+    Hub self-edges give lone parts singleton components."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import connected_components
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(CC_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        hub = g.groupby("l_orderkey", sort=False)["l_partkey"].transform("min")
+        return pd.DataFrame({"src": hub.to_numpy(),
+                             "dst": g["l_partkey"].to_numpy()})
+
+    # the qty filter keeps ~6% of lines; 16 buckets beats the 64 default
+    # (per-task overhead dominates tiny groups — CLAUDE.md block lesson)
+    edges = bucketed_groupby(lines, ["l_orderkey"], star, n_buckets=16)
+    return connected_components(edges)
+
+
+def _sql_components() -> str:
+    return f"""WITH RECURSIVE
+lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {CC_QTY_MIN}),
+hub AS (SELECT ok, MIN(pk) AS h FROM lines GROUP BY ok),
+e0 AS (SELECT h.h AS a, l.pk AS b FROM lines l JOIN hub h ON h.ok = l.ok),
+edge AS (SELECT DISTINCT a, b FROM
+         (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+walk(id, r) AS (
+  SELECT DISTINCT a, a FROM edge
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
+)
+SELECT id AS node, MIN(r) AS comp FROM walk GROUP BY id"""
+
+
 def _sql_bfs_hops() -> str:
     ctes = [
         _SQL_GRAPH_EDGES,
@@ -4096,6 +4149,7 @@ GROUP BY event_type, u - o.off
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
         "bfs_hops": _sql_bfs_hops(),
+        "components": _sql_components(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4254,6 +4308,7 @@ def build_queries() -> dict:
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
         "bfs_hops": q_bfs_hops,
+        "components": q_components,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

@@ -108,6 +108,19 @@ def _auto_buckets(n_rows: int) -> int:
     return int(min(64, max(8, n_rows // 50_000)))
 
 
+def _settle(ds, n_blocks: int):
+    """Materialize an iterative round's state with a BOUNDED block count.
+
+    Sort-based bucketed stages emit roughly one block per input block,
+    and each round's union/join would otherwise COMPOUND the state's
+    block count (~4x per round measured: 4 -> 24 -> 104 -> 424 blocks
+    for 77 rows) until fixed per-task overhead dominates the loop.
+    Coalescing to the bucket count keeps every round O(n_buckets)
+    tasks regardless of round number — at cluster scale this is the
+    difference between O(rounds) and O(4^rounds) scheduler pressure."""
+    return ds.repartition(n_blocks).materialize()
+
+
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
              n_buckets: int | None = None):
@@ -139,11 +152,11 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     base = ((d_den - d_num) * scale) // (d_den * n)
     r0 = scale // n
 
-    state = nodes.map_batches(
+    state = _settle(nodes.map_batches(
         lambda b: b.append_column(
             "pr", pa.array(np.full(len(b), r0, dtype=np.int64))),
         batch_format="pyarrow",
-    ).materialize()
+    ), n_buckets)
 
     def contrib_partial(b: pa.Table) -> pa.Table:
         d = b.column(dst).to_numpy(zero_copy_only=False)
@@ -179,9 +192,99 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
             }),
             batch_format="pyarrow",
         )
-        state = bucketed_groupby(
+        state = _settle(bucketed_groupby(
             seeds.union(partials), [NODE], finalize, n_buckets=n_buckets,
-        ).materialize()
+        ), n_buckets)
+    return state
+
+
+def connected_components(edges, *, src: str = "src", dst: str = "dst",
+                         max_rounds: int = 50, n_buckets: int | None = None):
+    """Weakly-connected components of an arbitrary edge Dataset:
+    (node, comp) where comp is the MINIMUM node id of the component.
+
+    The PUBLIC generalization of the MinHash closure
+    (stages/dedup.py:lsh_group_labels, which walks doc↔LSH-bucket
+    bipartite rows): edges are symmetrized, labels start as node ids,
+    and each round is one edge RELAX (min-label propagation: bucketed
+    join + keyed min reduce) followed by one POINTER JUMP
+    (comp <- comp_of(comp)), so ``max_rounds`` bounds the reachable
+    diameter at ~2^rounds, not rounds.  Raises RuntimeError instead of
+    returning partial groups if the budget is still exceeded.
+    Self-loops are harmless and give isolated nodes singleton
+    components."""
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).combine_chunks()
+        d = b.column(dst).combine_chunks()
+        return pa.table({src: pa.concat_arrays([s, d]),
+                         dst: pa.concat_arrays([d, s])})
+
+    e = edges.map_batches(symm, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(e.count())
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column(src).to_numpy(zero_copy_only=False))
+        return pa.table({NODE: pa.array(u)})
+
+    nodes = bucketed_groupby(
+        e.map_batches(node_partial, batch_format="pyarrow"),
+        [NODE], lambda g: g.drop_duplicates(NODE), n_buckets=n_buckets,
+    )
+    state = _settle(nodes.map_batches(
+        lambda b: b.append_column("comp", b.column(NODE)),
+        batch_format="pyarrow",
+    ), n_buckets)
+
+    def relax_partial(b: pa.Table) -> pa.Table:
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        c = b.column("comp").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({NODE: d, "comp": c}).groupby(
+            NODE, sort=False, as_index=False)["comp"].min()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["comp"].min()
+
+    # every round = RELAX (one edge hop of min-label propagation) then
+    # POINTER JUMP (comp <- comp_of(comp); label-chain depth halves) —
+    # the hash-to-min-style interleave, so convergence is O(log
+    # diameter) rounds instead of O(diameter).  Labels are monotonically
+    # non-increasing node ids, so the label sum is a one-scalar fixpoint
+    # test; a fixpoint of relax+jump is per-component constant = the
+    # component MIN (relax-stable => constant across every edge;
+    # jump-stable + min-reachability => that constant is the min).
+    prev_sum = None
+    converged = False
+    for _ in range(max_rounds):
+        joined = _propagated(e, state, src=src, n_buckets=n_buckets)
+        relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
+        state = _settle(bucketed_groupby(
+            state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
+        ), n_buckets)
+        parent = state.map_batches(
+            lambda b: pa.table({"comp": b.column(NODE),
+                                "_p": b.column("comp")}),
+            batch_format="pyarrow",
+        )
+        state = _settle(bucketed_join(
+            state, parent, ["comp"], n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pa.table({NODE: b.column(NODE),
+                                "comp": b.column("_p")}),
+            batch_format="pyarrow",
+        ), n_buckets)
+        new_sum = state.sum("comp", ignore_nulls=False)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "relax+jump rounds (covers diameter ~2^rounds); raise "
+            "max_rounds")
     return state
 
 
@@ -200,16 +303,16 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     shuffles and identical to the SQL; a frontier-delta variant is the
     cluster optimization when dist rows dwarf the active frontier.
     """
-    state = seeds.map_batches(
+    edges = edges.materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(edges.count())
+    state = _settle(seeds.map_batches(
         lambda b: pa.table({
             NODE: b.column(NODE),
             "dist": pa.array(np.zeros(len(b), dtype=np.int64)),
         }),
         batch_format="pyarrow",
-    ).materialize()
-    edges = edges.materialize()
-    if n_buckets is None:
-        n_buckets = _auto_buckets(edges.count())
+    ), n_buckets)
 
     def relax_partial(b: pa.Table) -> pa.Table:
         d = b.column(dst).to_numpy(zero_copy_only=False)
@@ -224,7 +327,7 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     for _ in range(max_hops):
         joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
         relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
-        state = bucketed_groupby(
+        state = _settle(bucketed_groupby(
             state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
-        ).materialize()
+        ), n_buckets)
     return state
