@@ -173,3 +173,54 @@ def test_connected_components_self_loop_singleton(ray_session):
     edges = rd.from_arrow(pa.table({"src": [7, 1], "dst": [7, 2]}))
     out = connected_components(edges, n_buckets=8).to_pandas()
     assert dict(zip(out["node"], out["comp"])) == {7: 7, 1: 1, 2: 1}
+
+
+def _ref_triangles(src, dst):
+    import itertools
+    adj = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        u, v = int(min(s, d)), int(max(s, d))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n = 0
+    for v, nbrs in adj.items():
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            if v < a and b in adj.get(a, ()):  # count at min vertex
+                n += 1
+    return n
+
+
+def test_triangle_count_random(ray_session):
+    from zen3geo_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    out = triangle_count(edges, n_buckets=8).to_pandas()
+    assert len(out) == 1
+    assert out["n_tri"][0] == _ref_triangles(src, dst)
+
+
+def test_triangle_count_k4(ray_session):
+    from zen3geo_ray.stages.graph import triangle_count
+
+    # K4 has exactly 4 triangles; feed edges in mixed orientation + dups
+    src = np.array([0, 0, 0, 1, 2, 3, 1], np.int64)
+    dst = np.array([1, 2, 3, 2, 3, 1, 0], np.int64)
+    out = triangle_count(rd.from_arrow(pa.table({"src": src, "dst": dst})),
+                         n_buckets=8).to_pandas()
+    assert out["n_tri"][0] == 4
+
+
+def test_triangle_count_triangle_free(ray_session):
+    from zen3geo_ray.stages.graph import triangle_count
+
+    # a star (bipartite) has zero triangles
+    src = np.zeros(5, np.int64)
+    dst = np.arange(1, 6, dtype=np.int64)
+    out = triangle_count(rd.from_arrow(pa.table({"src": src, "dst": dst})),
+                         n_buckets=8).to_pandas()
+    assert out["n_tri"][0] == 0

@@ -85,6 +85,8 @@ FAST = [
     "pagerank",
     "bfs_hops",
     "components",
+    "triangles",
+    "source_hhi",
 ]
 
 

@@ -369,3 +369,30 @@ def test_grouped_mode_matches_pandas(ray_session):
     exp = cnt.groupby("k", as_index=False).first()
     assert np.array_equal(out["mode_v"].to_numpy(), exp["v"].to_numpy())
     assert np.array_equal(out["mode_n"].to_numpy(), exp["n"].to_numpy())
+
+
+def test_grouped_hhi_matches_pandas(ray_session):
+    # multi-block input with the SAME (key, value) pair split across
+    # blocks — pins re-sum-before-square
+    rng = np.random.default_rng(23)
+    k = rng.integers(0, 5, 4000)
+    v = rng.integers(0, 11, 4000)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(7)
+    out = (zonal.grouped_hhi(ds, ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    import pandas as pd
+    df = pd.DataFrame({"k": k, "v": v})
+    for i, row in out.iterrows():
+        c = df[df["k"] == row["k"]]["v"].value_counts().to_numpy().astype(np.int64)
+        assert row["n"] == c.sum()
+        assert row["n_vals"] == len(c)
+        want = np.float64((c.astype(np.int64) ** 2).sum()) / (
+            np.float64(c.sum()) * np.float64(c.sum()))
+        assert row["hhi"] == want
+
+
+def test_grouped_hhi_single_value_is_one(ray_session):
+    ds = rd.from_arrow(pa.table({"k": [1, 1, 1], "v": ["a", "a", "a"]}))
+    out = zonal.grouped_hhi(ds, ["k"], "v").to_pandas()
+    assert out["hhi"].tolist() == [1.0]
+    assert out["n_vals"].tolist() == [1]

@@ -267,6 +267,31 @@ class Pipe:
 
         return Pipe(assign_split(self.ds, id_col, **kwargs))
 
+    # --- graph ops (the pipe holds an edge table: src/dst columns) --------
+    def pagerank(self, **kwargs) -> "Pipe":
+        """Exact fixed-point integer PageRank over an edge pipe."""
+        from .stages.graph import pagerank
+
+        return Pipe(pagerank(self.ds, **kwargs))
+
+    def connected_components(self, **kwargs) -> "Pipe":
+        """(node, comp) weakly-connected component labels of an edge pipe."""
+        from .stages.graph import connected_components
+
+        return Pipe(connected_components(self.ds, **kwargs))
+
+    def bfs_hops(self, seeds, **kwargs) -> "Pipe":
+        """Bounded-hop multi-source BFS distances from a seed Dataset."""
+        from .stages.graph import bfs_hops
+
+        return Pipe(bfs_hops(self.ds, seeds, **kwargs))
+
+    def triangle_count(self, **kwargs) -> "Pipe":
+        """One-row exact triangle count of an edge pipe."""
+        from .stages.graph import triangle_count
+
+        return Pipe(triangle_count(self.ds, **kwargs))
+
     # --- terminals --------------------------------------------------------
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)

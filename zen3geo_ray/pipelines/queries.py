@@ -3363,6 +3363,83 @@ walk(id, r) AS (
 SELECT id AS node, MIN(r) AS comp FROM walk GROUP BY id"""
 
 
+def q_source_hhi(sf_dir: str):
+    """Per-language SOURCE CONCENTRATION (Herfindahl index) over the
+    documents table — the corpus-diversity signal a mixture curator
+    watches.  Σc and Σc² are exact int64 moments (combiner-first, shuffle
+    bounded by distinct (lang, source) pairs); the single trailing IEEE
+    division is mirrored op-for-op (stages/zonal.py:grouped_hhi)."""
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    return zonal.grouped_hhi(docs, ["lang"], "source")
+
+
+_SQL_SOURCE_HHI = """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cn
+           FROM documents GROUP BY 1, 2)
+SELECT lang, CAST(SUM(cn) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(CAST(SUM(cn * cn) AS BIGINT) AS DOUBLE)
+         / (CAST(CAST(SUM(cn) AS BIGINT) AS DOUBLE)
+            * CAST(CAST(SUM(cn) AS BIGINT) AS DOUBLE)) AS hhi
+FROM c GROUP BY lang
+"""
+
+
+TRI_QTY_MIN = 40  # co-purchase pair filter (~10% of lines; cliques <= 7)
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    an order among qty >= 40 lineitems; within-order pair expansion is
+    bounded by the tiny order size).  Degree-oriented wedge join — hot
+    parts can't blow up wedge volume because wedges enumerate only at
+    each edge's (degree, id)-smaller endpoint; wedges stream through the
+    closing semi join, never materialized (stages/graph.py:triangle_count)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(TRI_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return triangle_count(prs)
+
+
+def _sql_triangles() -> str:
+    return f"""WITH
+lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS lo,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS hi,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dhi
+      FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+w AS (SELECT e1.hi AS b, e1.dhi AS db, e2.hi AS c
+      FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+      AND ((e1.dhi, e1.hi) < (e2.dhi, e2.hi)))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM w JOIN o e ON e.lo = w.b AND e.hi = w.c"""
+
+
 def _sql_bfs_hops() -> str:
     ctes = [
         _SQL_GRAPH_EDGES,
@@ -4150,6 +4227,8 @@ GROUP BY event_type, u - o.off
         "pagerank": _sql_pagerank(),
         "bfs_hops": _sql_bfs_hops(),
         "components": _sql_components(),
+        "triangles": _sql_triangles(),
+        "source_hhi": _SQL_SOURCE_HHI,
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4309,6 +4388,8 @@ def build_queries() -> dict:
         "pagerank": q_pagerank,
         "bfs_hops": q_bfs_hops,
         "components": q_components,
+        "triangles": q_triangles,
+        "source_hhi": q_source_hhi,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

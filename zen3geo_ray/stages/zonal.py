@@ -358,6 +358,53 @@ def grouped_mode(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
 
 
+def grouped_hhi(ds, key_cols: list[str], value_col: str,
+                n_buckets: int = 32):
+    """Per-group Herfindahl–Hirschman concentration index of a
+    categorical column: hhi = Σ_v (c_v / n)² = (Σ c_v²) / n² — the
+    corpus-diversity signal (1/#values uniform .. 1.0 single-source).
+
+    Same holistic shape as :func:`grouped_mode` — per-batch (key, value,
+    n) count partials, shuffle bounded by distinct (key, value) pairs.
+    Both moments (Σc, Σc²) are EXACT int64 sums (order-free), so the one
+    trailing IEEE division is the only float op and is mirrored
+    operation-for-operation by the SQL oracle.  Output: key cols,
+    ``n`` (rows), ``n_vals`` (distinct values), ``hhi`` (double).
+
+    Cross-block caveat handled: partial counts for one (key, value) from
+    different blocks are re-summed per pair BEFORE squaring."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in (*key_cols, value_col)})
+        df["_n"] = np.int64(1)
+        agg = df.groupby([*key_cols, value_col], sort=False,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counts = ds.map_batches(counts_partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby([*key_cols, value_col], sort=False,
+                      as_index=False).sum()
+        m["_sq"] = m["_n"].to_numpy().astype(np.int64) ** 2
+        out = m.groupby(key_cols, sort=False, as_index=False).agg(
+            n=("_n", "sum"), n_vals=(value_col, "size"), _sq=("_sq", "sum"))
+        n = out["n"].to_numpy().astype(np.int64)
+        sq = out["_sq"].to_numpy().astype(np.int64)
+        out["n"] = n
+        out["n_vals"] = out["n_vals"].to_numpy().astype(np.int64)
+        out["hhi"] = sq.astype(np.float64) / (
+            n.astype(np.float64) * n.astype(np.float64))
+        return out[[*key_cols, "n", "n_vals", "hhi"]]
+
+    return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
+
+
 def grouped_median(ds, key_cols: list[str], value_col: str,
                    n_buckets: int = 32):
     """EXACT per-group median of an integer column — the holistic
