@@ -47,11 +47,15 @@ def _ref_pagerank(src, dst, iters):
     return dict(zip(nodes.tolist(), pr.tolist()))
 
 
-def test_pagerank_matches_integer_reference(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_pagerank_matches_integer_reference(ray_session, bt):
     src, dst = _random_graph()
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
     out = pagerank(edges, iters=3, scale=SCALE, d_num=DN, d_den=DD,
-                   n_buckets=8).to_pandas()
+                   n_buckets=8, broadcast_threshold=bt).to_pandas()
     ref = _ref_pagerank(src, dst, 3)
     got = dict(zip(out["node"], out["pr"]))
     assert got == ref  # exact int equality, every node present
@@ -98,8 +102,10 @@ def test_bfs_hops_matches_reference(ray_session):
                     new[int(d)] = cand
         dist = new
 
-    out = bfs_hops(edges, seeds, max_hops=3, n_buckets=8).to_pandas()
-    assert dict(zip(out["node"], out["dist"])) == dist
+    for bt in (0, 2_000_000):  # bucketed AND broadcast paths
+        out = bfs_hops(edges, seeds, max_hops=3, n_buckets=8,
+                       broadcast_threshold=bt).to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == dist
 
 
 def test_bfs_unreachable_nodes_absent(ray_session):
@@ -129,14 +135,16 @@ def _ref_components(src, dst):
     return {int(v): find(int(v)) for v in nodes}
 
 
-def test_connected_components_random(ray_session):
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_connected_components_random(ray_session, bt):
     from zen3geo_ray.stages.graph import connected_components
 
     rng = np.random.default_rng(3)
     src = rng.integers(0, 80, 120).astype(np.int64)
     dst = rng.integers(0, 80, 120).astype(np.int64)
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
-    out = connected_components(edges, n_buckets=8).to_pandas()
+    out = connected_components(edges, n_buckets=8,
+                               broadcast_threshold=bt).to_pandas()
     assert dict(zip(out["node"], out["comp"])) == _ref_components(src, dst)
 
 
@@ -163,8 +171,10 @@ def test_connected_components_round_budget_raises(ray_session):
     src = np.arange(1, n, dtype=np.int64)
     dst = np.arange(0, n - 1, dtype=np.int64)
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=2, n_buckets=8)
+    for bt in (0, 2_000_000):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_rounds=2, n_buckets=8,
+                                 broadcast_threshold=bt)
 
 
 def test_connected_components_self_loop_singleton(ray_session):
@@ -199,9 +209,11 @@ def test_triangle_count_random(ray_session):
     src = rng.integers(0, 40, 300).astype(np.int64)
     dst = rng.integers(0, 40, 300).astype(np.int64)
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
-    out = triangle_count(edges, n_buckets=8).to_pandas()
-    assert len(out) == 1
-    assert out["n_tri"][0] == _ref_triangles(src, dst)
+    for bt in (0, 2_000_000):  # bucketed AND broadcast orientation
+        out = triangle_count(edges, n_buckets=8,
+                             broadcast_threshold=bt).to_pandas()
+        assert len(out) == 1
+        assert out["n_tri"][0] == _ref_triangles(src, dst)
 
 
 def test_triangle_count_k4(ray_session):
@@ -224,3 +236,45 @@ def test_triangle_count_triangle_free(ray_session):
     out = triangle_count(rd.from_arrow(pa.table({"src": src, "dst": dst})),
                          n_buckets=8).to_pandas()
     assert out["n_tri"][0] == 0
+
+
+def _ref_kcore(src, dst, k, rounds):
+    edges = set()
+    for s, d in zip(src, dst):
+        if s != d:
+            edges.add((int(min(s, d)), int(max(s, d))))
+    alive = None
+    deg = {}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            if alive is None or (u in alive and v in alive):
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        deg = {n: d for n, d in deg.items() if d >= k}
+    return deg
+
+
+def test_kcore_matches_reference(ray_session):
+    from zen3geo_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 30, 150).astype(np.int64)
+    dst = rng.integers(0, 30, 150).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for bt in (0, 2_000_000):  # bucketed AND broadcast paths
+        out = kcore(edges, k=3, rounds=4, n_buckets=8,
+                    broadcast_threshold=bt).to_pandas()
+        assert dict(zip(out["node"], out["deg"])) == _ref_kcore(src, dst, 3, 4)
+
+
+def test_kcore_k4_with_pendant(ray_session):
+    from zen3geo_ray.stages.graph import kcore
+
+    # K4 (nodes 0-3) + pendant 4-0: 3-core keeps exactly the K4 at deg 3
+    src = np.array([0, 0, 0, 1, 1, 2, 4], np.int64)
+    dst = np.array([1, 2, 3, 2, 3, 3, 0], np.int64)
+    out = kcore(rd.from_arrow(pa.table({"src": src, "dst": dst})),
+                k=3, rounds=3, n_buckets=8).to_pandas()
+    assert dict(zip(out["node"], out["deg"])) == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -87,6 +87,7 @@ FAST = [
     "components",
     "triangles",
     "source_hhi",
+    "kcore",
 ]
 
 

@@ -3440,6 +3440,62 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
 FROM w JOIN o e ON e.lo = w.b AND e.hi = w.c"""
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 5
+KCORE_QTY_MIN = 35  # denser co-purchase graph than the triangle query
+
+
+def q_kcore(sf_dir: str):
+    """Synchronous 3-core peeling (5 fixed rounds) of the part
+    co-purchase graph: per round two bucketed SEMI joins keep edges with
+    both endpoints alive, one combiner-first degree reduce, drop deg < 3
+    (stages/graph.py:kcore).  Survivors + within-core degree, mirrored
+    round-for-round by chained CTEs."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import kcore
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(KCORE_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return kcore(prs, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _sql_kcore() -> str:
+    k = KCORE_K
+    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {KCORE_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+d1 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM edges GROUP BY 1),
+s1 AS (SELECT node, deg FROM d1 WHERE deg >= {k})"""]
+    for i in range(2, KCORE_ROUNDS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges e
+  JOIN s{i - 1} a ON a.node = e.u JOIN s{i - 1} b ON b.node = e.v
+  GROUP BY 1),
+s{i} AS (SELECT node, deg FROM d{i} WHERE deg >= {k})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, deg FROM s{KCORE_ROUNDS}")
+
+
 def _sql_bfs_hops() -> str:
     ctes = [
         _SQL_GRAPH_EDGES,
@@ -4229,6 +4285,7 @@ GROUP BY event_type, u - o.off
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
+        "kcore": _sql_kcore(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4390,6 +4447,7 @@ def build_queries() -> dict:
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
+        "kcore": q_kcore,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

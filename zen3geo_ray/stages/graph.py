@@ -40,6 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .bucketed import bucketed_groupby
 from .hashjoin import bucketed_join
@@ -108,6 +109,33 @@ def _auto_buckets(n_rows: int) -> int:
     return int(min(64, max(8, n_rows // 50_000)))
 
 
+#: node-count ceiling for the BROADCAST state path.  Below it, per-round
+#: state (ranks / labels / distances / survivors — all node-bounded, a
+#: few int64 arrays) is shipped once via ``ray.put`` and looked up with
+#: searchsorted inside the edge map, so THE EDGE TABLE NEVER RE-SHUFFLES
+#: and each round is ONE dataset execution.  Above it, the bucketed BSP
+#: path runs (state too big for one object — the 1e9-node cluster path).
+#: 2M nodes ≈ 50 MB of state — comfortably a broadcast object.
+BROADCAST_NODES = 2_000_000
+
+_STATE_CACHE: dict = {}
+
+
+def _get_blob(ref):
+    """Per-worker-process memoized ``ray.get`` (the
+    stages/join.py:_PROCESS_CACHE pattern) — one deserialize per worker
+    per round instead of per batch; capped because iterative rounds mint
+    a fresh ref each round."""
+    key = str(ref)
+    v = _STATE_CACHE.get(key)
+    if v is None:
+        import ray
+        if len(_STATE_CACHE) > 8:
+            _STATE_CACHE.clear()
+        _STATE_CACHE[key] = v = ray.get(ref)
+    return v
+
+
 def _settle(ds, n_blocks: int):
     """Materialize an iterative round's state with a BOUNDED block count.
 
@@ -123,7 +151,8 @@ def _settle(ds, n_blocks: int):
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
-             n_buckets: int | None = None):
+             n_buckets: int | None = None,
+             broadcast_threshold: int = BROADCAST_NODES):
     """Exact fixed-point PageRank; returns (node, outdeg, pr) with pr an
     int64 rank scaled by ``scale`` (Σpr ≈ scale up to floor residue and
     dangling decay).
@@ -152,6 +181,59 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     base = ((d_den - d_num) * scale) // (d_den * n)
     r0 = scale // n
 
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(NODE, sort=False, as_index=False).agg(
+            outdeg=("outdeg", "max"), _s=("_s", "sum"))
+        s = agg["_s"].to_numpy().astype(np.int64)
+        agg["pr"] = base + (d_num * s) // d_den
+        return agg[[NODE, "outdeg", "pr"]]
+
+    if n <= broadcast_threshold:
+        # broadcast path: ranks live as driver arrays (node-bounded);
+        # edges map in place, one execution per round
+        import ray
+        import ray.data as rd
+
+        npdf = nodes.to_pandas()
+        order = np.argsort(npdf[NODE].to_numpy(), kind="mergesort")
+        node_sorted = npdf[NODE].to_numpy()[order].astype(np.int64)
+        outdeg = npdf["outdeg"].to_numpy()[order].astype(np.int64)
+        pr = np.full(n, r0, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        seeds = rd.from_arrow(pa.table({
+            NODE: pa.array(node_sorted), "outdeg": pa.array(outdeg),
+            "_s": pa.array(zeros)})).materialize()
+
+        for _ in range(iters):
+            contrib = np.where(outdeg > 0,
+                               pr // np.maximum(outdeg, 1), 0).astype(np.int64)
+            ref = ray.put((node_sorted, contrib))
+
+            def edge_partial_bc(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, cb = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                c = cb[np.searchsorted(ns, s)]
+                df = pd.DataFrame({NODE: d, "_s": c}).groupby(
+                    NODE, sort=False, as_index=False)["_s"].sum()
+                m = len(df)
+                return pa.table({
+                    NODE: pa.array(df[NODE].to_numpy()),
+                    "outdeg": pa.array(np.zeros(m, dtype=np.int64)),
+                    "_s": pa.array(df["_s"].to_numpy().astype(np.int64)),
+                })
+
+            partials = edges.map_batches(edge_partial_bc,
+                                         batch_format="pyarrow")
+            res = bucketed_groupby(seeds.union(partials), [NODE], finalize,
+                                   n_buckets=n_buckets).to_pandas()
+            ro = np.argsort(res[NODE].to_numpy(), kind="mergesort")
+            pr = res["pr"].to_numpy()[ro].astype(np.int64)
+
+        return rd.from_arrow(pa.table({
+            NODE: pa.array(node_sorted), "outdeg": pa.array(outdeg),
+            "pr": pa.array(pr)}))
+
     state = _settle(nodes.map_batches(
         lambda b: b.append_column(
             "pr", pa.array(np.full(len(b), r0, dtype=np.int64))),
@@ -166,13 +248,6 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
         df = pd.DataFrame({NODE: d, "_s": c}).groupby(
             NODE, sort=False, as_index=False)["_s"].sum()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(NODE, sort=False, as_index=False).agg(
-            outdeg=("outdeg", "max"), _s=("_s", "sum"))
-        s = agg["_s"].to_numpy().astype(np.int64)
-        agg["pr"] = base + (d_num * s) // d_den
-        return agg[[NODE, "outdeg", "pr"]]
 
     for _ in range(iters):
         joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
@@ -199,7 +274,8 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
 
 
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
-                         max_rounds: int = 50, n_buckets: int | None = None):
+                         max_rounds: int = 50, n_buckets: int | None = None,
+                         broadcast_threshold: int = BROADCAST_NODES):
     """Weakly-connected components of an arbitrary edge Dataset:
     (node, comp) where comp is the MINIMUM node id of the component.
 
@@ -231,7 +307,52 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     nodes = bucketed_groupby(
         e.map_batches(node_partial, batch_format="pyarrow"),
         [NODE], lambda g: g.drop_duplicates(NODE), n_buckets=n_buckets,
-    )
+    ).materialize()
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["comp"].min()
+
+    if nodes.count() <= broadcast_threshold:
+        # broadcast path: labels are driver arrays; relax maps edges in
+        # place (one execution/round) and the pointer jump + fixpoint
+        # test are FREE numpy gathers on the driver
+        import ray
+        import ray.data as rd
+
+        node_sorted = np.sort(
+            nodes.to_pandas()[NODE].to_numpy().astype(np.int64))
+        comp = node_sorted.copy()
+        for _ in range(max_rounds):
+            ref = ray.put((node_sorted, comp))
+
+            def relax_bc(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, cp = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                c = cp[np.searchsorted(ns, s)]
+                df = pd.DataFrame({NODE: d, "comp": c}).groupby(
+                    NODE, sort=False, as_index=False)["comp"].min()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                e.map_batches(relax_bc, batch_format="pyarrow"),
+                [NODE], take_min, n_buckets=n_buckets,
+            ).to_pandas()
+            new = comp.copy()
+            idx = np.searchsorted(node_sorted, red[NODE].to_numpy())
+            new[idx] = np.minimum(new[idx],
+                                  red["comp"].to_numpy().astype(np.int64))
+            new = new[np.searchsorted(node_sorted, new)]  # pointer jump
+            if np.array_equal(new, comp):
+                return rd.from_arrow(pa.table({
+                    NODE: pa.array(node_sorted), "comp": pa.array(new)}))
+            comp = new
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "relax+jump rounds (covers diameter ~2^rounds); raise "
+            "max_rounds")
+
     state = _settle(nodes.map_batches(
         lambda b: b.append_column("comp", b.column(NODE)),
         batch_format="pyarrow",
@@ -243,9 +364,6 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
         df = pd.DataFrame({NODE: d, "comp": c}).groupby(
             NODE, sort=False, as_index=False)["comp"].min()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
-    def take_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(NODE, sort=False, as_index=False)["comp"].min()
 
     # every round = RELAX (one edge hop of min-label propagation) then
     # POINTER JUMP (comp <- comp_of(comp); label-chain depth halves) —
@@ -289,7 +407,8 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
 
 
 def triangle_count(edges, *, src: str = "src", dst: str = "dst",
-                   n_buckets: int | None = None):
+                   n_buckets: int | None = None,
+                   broadcast_threshold: int = BROADCAST_NODES):
     """Exact global triangle count; returns a ONE-ROW Dataset {n_tri}.
 
     The DEGREE-ORIENTED wedge plan (the standard skew-safe distributed
@@ -332,18 +451,7 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
         [NODE], deg_combine, n_buckets=n_buckets,
     ).materialize()
 
-    du = deg.map_batches(lambda b: b.rename_columns(["u", "_du"]),
-                         batch_format="pyarrow")
-    dv = deg.map_batches(lambda b: b.rename_columns(["v", "_dv"]),
-                         batch_format="pyarrow")
-    j = bucketed_join(bucketed_join(pairs, du, ["u"], n_buckets=n_buckets),
-                      dv, ["v"], n_buckets=n_buckets)
-
-    def orient(b: pa.Table) -> pa.Table:
-        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-        a = b.column("_du").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b.column("_dv").to_numpy(zero_copy_only=False).astype(np.int64)
+    def _orient_arrays(u, v, a, c):
         swap = (c < a) | ((c == a) & (v < u))
         return pa.table({
             "lo": pa.array(np.where(swap, v, u)),
@@ -351,7 +459,41 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
             "dhi": pa.array(np.where(swap, a, c)),
         })
 
-    o = j.map_batches(orient, batch_format="pyarrow").materialize()
+    if deg.count() <= broadcast_threshold:
+        # the degree table is NODE-bounded: broadcast it and orient
+        # inside the edge map — saves two edge-wide attach joins
+        import ray
+
+        ddf = deg.to_pandas()
+        order = np.argsort(ddf[NODE].to_numpy(), kind="mergesort")
+        dref = ray.put((ddf[NODE].to_numpy()[order].astype(np.int64),
+                        ddf["_c"].to_numpy()[order].astype(np.int64)))
+
+        def orient_bc(b: pa.Table, _ref=dref) -> pa.Table:
+            ns, dv = _get_blob(_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            return _orient_arrays(u, v, dv[np.searchsorted(ns, u)],
+                                  dv[np.searchsorted(ns, v)])
+
+        o = pairs.map_batches(orient_bc, batch_format="pyarrow").materialize()
+    else:
+        du = deg.map_batches(lambda b: b.rename_columns(["u", "_du"]),
+                             batch_format="pyarrow")
+        dv = deg.map_batches(lambda b: b.rename_columns(["v", "_dv"]),
+                             batch_format="pyarrow")
+        j = bucketed_join(
+            bucketed_join(pairs, du, ["u"], n_buckets=n_buckets),
+            dv, ["v"], n_buckets=n_buckets)
+
+        def orient(b: pa.Table) -> pa.Table:
+            return _orient_arrays(
+                b.column("u").to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column("v").to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column("_du").to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column("_dv").to_numpy(zero_copy_only=False).astype(np.int64))
+
+        o = j.map_batches(orient, batch_format="pyarrow").materialize()
 
     o2 = o.map_batches(
         lambda b: b.rename_columns(["lo", "_hi2", "_dhi2"]),
@@ -392,8 +534,122 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
         finalize, batch_format="pyarrow")
 
 
+def kcore(edges, *, k: int, rounds: int, src: str = "src",
+          dst: str = "dst", n_buckets: int | None = None,
+          broadcast_threshold: int = BROADCAST_NODES):
+    """SYNCHRONOUS k-core peeling for a FIXED number of rounds: each
+    round recomputes every surviving node's degree among surviving
+    neighbors and drops nodes with degree < k.  Returns (node, deg) for
+    the survivors of round ``rounds`` with their within-survivor degree.
+
+    Fixed-round semantics (not run-to-fixpoint) so the chained-CTE SQL
+    oracle mirrors it term for term; once peeling stabilizes, extra
+    rounds are no-ops, so for any graph whose peel sequence settles
+    within ``rounds`` this IS the k-core.  Round shape: two bucketed
+    SEMI joins keep edges whose BOTH endpoints survive (edges stream,
+    survivors are the small side), one combiner-first degree reduce —
+    the same BSP discipline as pagerank/bfs, with `_settle` bounding
+    block growth."""
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"u": pa.array(np.concatenate([s, d])),
+                         "v": pa.array(np.concatenate([d, s]))})
+
+    # distinct symmetric edges so degree counts each neighbor once
+    e = distinct_tuples(
+        edges.map_batches(symm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    n_edges = e.count()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(n_edges)
+
+    def deg_combine_named(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(NODE, sort=False, as_index=False)["_c"].sum()
+        return out.rename(columns={"_c": "deg"})
+
+    if n_edges <= broadcast_threshold:
+        # broadcast path: the survivor set is a driver array; the
+        # alive-edge filter runs inside the edge map via searchsorted
+        # membership — one execution per round, edges never re-shuffle
+        import ray
+        import ray.data as rd
+
+        surv = None  # None = all alive in round 1
+        node_out = deg_out = None
+        for _ in range(rounds):
+            ref = ray.put(surv)
+
+            def alive_deg_partial(b: pa.Table, _ref=ref) -> pa.Table:
+                sv = _get_blob(_ref)
+                u = b.column("u").to_numpy(zero_copy_only=False)
+                v = b.column("v").to_numpy(zero_copy_only=False)
+                if sv is not None:
+                    if len(sv) == 0:
+                        return pa.table({NODE: pa.array([], pa.int64()),
+                                         "_c": pa.array([], pa.int64())})
+                    iu = np.minimum(np.searchsorted(sv, u), len(sv) - 1)
+                    iv = np.minimum(np.searchsorted(sv, v), len(sv) - 1)
+                    m = (sv[iu] == u) & (sv[iv] == v)
+                    u = u[m]
+                un, c = np.unique(u, return_counts=True)
+                return pa.table({NODE: pa.array(un),
+                                 "_c": pa.array(c.astype(np.int64))})
+
+            red = bucketed_groupby(
+                e.map_batches(alive_deg_partial, batch_format="pyarrow"),
+                [NODE], deg_combine_named, n_buckets=n_buckets,
+            ).to_pandas()
+            keep = red[red["deg"] >= k].sort_values(NODE, kind="mergesort")
+            node_out = keep[NODE].to_numpy().astype(np.int64)
+            deg_out = keep["deg"].to_numpy().astype(np.int64)
+            surv = node_out
+        return rd.from_arrow(pa.table({NODE: pa.array(node_out),
+                                       "deg": pa.array(deg_out)}))
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("u").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({NODE: pa.array(u),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    def degrees(ed):
+        return bucketed_groupby(
+            ed.map_batches(deg_partial, batch_format="pyarrow"),
+            [NODE], deg_combine_named, n_buckets=n_buckets,
+        )
+
+    survivors = None  # None = all nodes alive (round 1 skips the semis)
+    state = None
+    for _ in range(rounds):
+        alive = e
+        if survivors is not None:
+            su = survivors.map_batches(
+                lambda b: b.select([NODE]).rename_columns(["u"]),
+                batch_format="pyarrow")
+            sv = survivors.map_batches(
+                lambda b: b.select([NODE]).rename_columns(["v"]),
+                batch_format="pyarrow")
+            alive = bucketed_join(
+                bucketed_join(e, su, ["u"], how="semi", n_buckets=n_buckets),
+                sv, ["v"], how="semi", n_buckets=n_buckets)
+        deg = degrees(alive)
+        state = _settle(deg.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("deg"), pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow",
+        ), n_buckets)
+        survivors = state
+    return state
+
+
 def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
-             max_hops: int = 3, n_buckets: int | None = None):
+             max_hops: int = 3, n_buckets: int | None = None,
+             broadcast_threshold: int = BROADCAST_NODES):
     """Multi-source bounded-hop BFS: (node, dist) for every node whose
     shortest hop count from ANY seed is <= max_hops.
 
@@ -408,8 +664,54 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     cluster optimization when dist rows dwarf the active frontier.
     """
     edges = edges.materialize()
+    n_edges = edges.count()
     if n_buckets is None:
-        n_buckets = _auto_buckets(edges.count())
+        n_buckets = _auto_buckets(n_edges)
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["dist"].min()
+
+    # reachable-set size is bounded by 2 * edge rows, so the edge count
+    # is a safe proxy for the node-bounded broadcast decision
+    if n_edges <= broadcast_threshold:
+        import ray
+        import ray.data as rd
+
+        sdf = seeds.to_pandas()
+        known = np.sort(np.unique(sdf[NODE].to_numpy().astype(np.int64)))
+        dist = np.zeros(len(known), dtype=np.int64)
+        for _ in range(max_hops):
+            ref = ray.put((known, dist))
+
+            def relax_bc(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, dv = _get_blob(_ref)
+                if len(ns) == 0:
+                    return pa.table({NODE: pa.array([], pa.int64()),
+                                     "dist": pa.array([], pa.int64())})
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                idx_c = np.minimum(np.searchsorted(ns, s), len(ns) - 1)
+                m = ns[idx_c] == s
+                df = pd.DataFrame({NODE: d[m], "dist": dv[idx_c[m]] + 1}
+                                  ).groupby(NODE, sort=False,
+                                            as_index=False)["dist"].min()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                edges.map_batches(relax_bc, batch_format="pyarrow"),
+                [NODE], take_min, n_buckets=n_buckets,
+            ).to_pandas()
+            merged = pd.concat([
+                pd.DataFrame({NODE: known, "dist": dist}),
+                red[[NODE, "dist"]],
+            ]).groupby(NODE, sort=False, as_index=False)["dist"].min()
+            merged = merged.sort_values(NODE, kind="mergesort")
+            known = merged[NODE].to_numpy().astype(np.int64)
+            dist = merged["dist"].to_numpy().astype(np.int64)
+        return rd.from_arrow(pa.table({NODE: pa.array(known),
+                                       "dist": pa.array(dist)}))
+
     state = _settle(seeds.map_batches(
         lambda b: pa.table({
             NODE: b.column(NODE),
@@ -424,9 +726,6 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
         df = pd.DataFrame({NODE: d, "dist": dist + 1}).groupby(
             NODE, sort=False, as_index=False)["dist"].min()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
-    def take_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(NODE, sort=False, as_index=False)["dist"].min()
 
     for _ in range(max_hops):
         joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
