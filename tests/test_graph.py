@@ -278,3 +278,39 @@ def test_kcore_k4_with_pendant(ray_session):
     out = kcore(rd.from_arrow(pa.table({"src": src, "dst": dst})),
                 k=3, rounds=3, n_buckets=8).to_pandas()
     assert dict(zip(out["node"], out["deg"])) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _ref_ppr(src, dst, iters, seed_pred):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n, np.int64)
+    for s in src:
+        outdeg[idx[int(s)]] += 1
+    flags = np.array([1 if seed_pred(int(v)) else 0 for v in nodes], np.int64)
+    ns = int(flags.sum())
+    base = ((DD - DN) * SCALE) // (DD * ns)
+    pr = flags * (SCALE // ns)
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    for _ in range(iters):
+        contrib = np.where(outdeg[si] > 0, pr[si] // np.maximum(outdeg[si], 1), 0)
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        pr = flags * base + (DN * acc) // DD
+    return dict(zip(nodes.tolist(), pr.tolist()))
+
+
+def test_personalized_pagerank_both_paths(ray_session):
+    src, dst = _random_graph(seed=13, n_nodes=100, n_edges=400)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    seed_nodes = np.unique(np.concatenate([src, dst]))
+    seed_nodes = seed_nodes[seed_nodes % 7 == 0].astype(np.int64)
+    seeds = rd.from_arrow(pa.table({"node": seed_nodes}))
+    ref = _ref_ppr(src, dst, 3, lambda v: v % 7 == 0)
+    for bt in (0, 2_000_000):
+        out = pagerank(edges, iters=3, scale=SCALE, d_num=DN, d_den=DD,
+                       n_buckets=8, seeds=seeds,
+                       broadcast_threshold=bt).to_pandas()
+        assert dict(zip(out["node"], out["pr"])) == ref
+        assert list(out.columns) == ["node", "outdeg", "pr"]

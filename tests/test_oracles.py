@@ -88,6 +88,7 @@ FAST = [
     "triangles",
     "source_hhi",
     "kcore",
+    "ppr",
 ]
 
 

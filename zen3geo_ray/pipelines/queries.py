@@ -3265,7 +3265,9 @@ def q_pagerank(sf_dir: str):
                           batch_format="pyarrow")
 
 
-def _sql_pagerank() -> str:
+def _sql_pagerank(seed_expr: str = "1") -> str:
+    """Chained-CTE fixed-point PageRank; ``seed_expr`` personalizes the
+    teleport vector (1 = classic, a node predicate = PPR)."""
     sc, dn, dd = GRAPH_SCALE, GRAPH_DNUM, GRAPH_DDEN
     ctes = [
         _SQL_GRAPH_EDGES,
@@ -3273,15 +3275,17 @@ def _sql_pagerank() -> str:
          "FROM edges GROUP BY 1)"),
         ("nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges "
          "UNION ALL SELECT dst AS node FROM edges))"),
-        ("nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg "
+        (f"nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg, "
+         f"CAST({seed_expr} AS BIGINT) AS seed "
          "FROM nodes n LEFT JOIN deg d USING (node))"),
-        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd)",
-        f"r0 AS (SELECT node, outdeg, {sc} // p.n AS pr FROM nd CROSS JOIN p)",
+        "p AS (SELECT CAST(SUM(seed) AS BIGINT) AS n FROM nd)",
+        (f"r0 AS (SELECT node, outdeg, seed, seed * ({sc} // p.n) AS pr "
+         "FROM nd CROSS JOIN p)"),
     ]
     for i in range(1, GRAPH_ITERS + 1):
         ctes.append(f"""r{i} AS (
-  SELECT nd.node, nd.outdeg,
-         (({dd - dn} * {sc}) // ({dd} * p.n))
+  SELECT nd.node, nd.outdeg, nd.seed,
+         nd.seed * (({dd - dn} * {sc}) // ({dd} * p.n))
          + ({dn} * COALESCE(s.s, 0)) // {dd} AS pr
   FROM nd CROSS JOIN p
   LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s
@@ -3289,6 +3293,28 @@ def _sql_pagerank() -> str:
   USING (node))""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, pr FROM r{GRAPH_ITERS}")
+
+
+def q_ppr(sf_dir: str):
+    """PERSONALIZED PageRank: teleport mass restricted to the customer
+    seed nodes (custkey % 50 == 0) — the seed-set-expansion / trust-rank
+    primitive; same exact-integer recurrence with a seed-masked base
+    vector (stages/graph.py:pagerank(seeds=...))."""
+    from ..stages.graph import distinct_tuples, pagerank
+
+    edges = _trade_edges(sf_dir).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(s[s % BFS_SEED_MOD == 0]))})
+
+    seeds = distinct_tuples(
+        edges.map_batches(seed_partial, batch_format="pyarrow"), ["node"]
+    )
+    pr = pagerank(edges, iters=GRAPH_ITERS, scale=GRAPH_SCALE,
+                  d_num=GRAPH_DNUM, d_den=GRAPH_DDEN, seeds=seeds)
+    return pr.map_batches(lambda b: b.select(["node", "pr"]),
+                          batch_format="pyarrow")
 
 
 def q_bfs_hops(sf_dir: str):
@@ -4281,6 +4307,8 @@ GROUP BY event_type, u - o.off
         "winsorize": _sql_winsor(),
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
+        "ppr": _sql_pagerank(
+            f"CASE WHEN n.node % {BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END"),
         "bfs_hops": _sql_bfs_hops(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
@@ -4443,6 +4471,7 @@ def build_queries() -> dict:
         "q3_top": q_q3_top,
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
         "bfs_hops": q_bfs_hops,
         "components": q_components,
         "triangles": q_triangles,

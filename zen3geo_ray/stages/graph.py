@@ -151,19 +151,26 @@ def _settle(ds, n_blocks: int):
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
-             n_buckets: int | None = None,
+             n_buckets: int | None = None, seeds=None,
              broadcast_threshold: int = BROADCAST_NODES):
-    """Exact fixed-point PageRank; returns (node, outdeg, pr) with pr an
-    int64 rank scaled by ``scale`` (Σpr ≈ scale up to floor residue and
-    dangling decay).
+    """Exact fixed-point (optionally PERSONALIZED) PageRank; returns
+    (node, outdeg, pr) with pr an int64 rank scaled by ``scale``
+    (Σpr ≈ scale up to floor residue and dangling decay).
 
-    pr_0(v)   = scale // N
-    pr_i(v)   = base + (d_num * Σ_{u→v} (pr_{i-1}(u) // outdeg(u))) // d_den
-    base      = ((d_den - d_num) * scale) // (d_den * N)
+    pr_0(v)   = seed(v) * (scale // S)
+    pr_i(v)   = seed(v) * base
+                + (d_num * Σ_{u→v} (pr_{i-1}(u) // outdeg(u))) // d_den
+    base      = ((d_den - d_num) * scale) // (d_den * S)
 
-    All operations are int64; the mirrored SQL (pipelines/queries.py
-    ``_sql_pagerank``) computes the identical recurrence, so equality is
-    exact, not approximate.
+    ``seeds`` (a Dataset with a ``node`` column) personalizes the walk:
+    teleport mass lands only on the S seed nodes — the seed-set
+    expansion / trust-propagation primitive.  ``seeds=None`` means every
+    node is a seed (S = N), which is classic PageRank.  The seed set is
+    driver-collected and broadcast (seed sets are small by contract —
+    they personalize; a billion-seed "personalization" is just global
+    PageRank).  All operations are int64; the mirrored SQL
+    (pipelines/queries.py ``_sql_pagerank``) computes the identical
+    recurrence, so equality is exact, not approximate.
     """
     if scale * d_num >= 1 << 62:
         raise ValueError("scale * d_num must stay below 2^62")
@@ -178,15 +185,32 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
             lambda b: b.append_column("pr", pa.nulls(len(b), pa.int64())),
             batch_format="pyarrow",
         )
-    base = ((d_den - d_num) * scale) // (d_den * n)
-    r0 = scale // n
+    seed_ids = None
+    if seeds is not None:
+        seed_ids = np.sort(np.unique(
+            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+        if len(seed_ids) == 0:
+            raise ValueError("personalized pagerank needs >= 1 seed node")
+    s_count = n if seed_ids is None else int(len(seed_ids))
+    base = ((d_den - d_num) * scale) // (d_den * s_count)
+    r0 = scale // s_count
+
+    def _seed_flags(node_arr: np.ndarray) -> np.ndarray:
+        if seed_ids is None:
+            return np.ones(len(node_arr), dtype=np.int64)
+        if len(node_arr) == 0:
+            return np.zeros(0, dtype=np.int64)
+        ix = np.minimum(np.searchsorted(seed_ids, node_arr),
+                        len(seed_ids) - 1)
+        return (seed_ids[ix] == node_arr).astype(np.int64)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(NODE, sort=False, as_index=False).agg(
-            outdeg=("outdeg", "max"), _s=("_s", "sum"))
+            outdeg=("outdeg", "max"), seed=("seed", "max"), _s=("_s", "sum"))
         s = agg["_s"].to_numpy().astype(np.int64)
-        agg["pr"] = base + (d_num * s) // d_den
-        return agg[[NODE, "outdeg", "pr"]]
+        sd = agg["seed"].to_numpy().astype(np.int64)
+        agg["pr"] = sd * base + (d_num * s) // d_den
+        return agg[[NODE, "outdeg", "seed", "pr"]]
 
     if n <= broadcast_threshold:
         # broadcast path: ranks live as driver arrays (node-bounded);
@@ -198,11 +222,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
         order = np.argsort(npdf[NODE].to_numpy(), kind="mergesort")
         node_sorted = npdf[NODE].to_numpy()[order].astype(np.int64)
         outdeg = npdf["outdeg"].to_numpy()[order].astype(np.int64)
-        pr = np.full(n, r0, dtype=np.int64)
+        flags = _seed_flags(node_sorted)
+        pr = flags * r0
         zeros = np.zeros(n, dtype=np.int64)
-        seeds = rd.from_arrow(pa.table({
+        seed_rows = rd.from_arrow(pa.table({
             NODE: pa.array(node_sorted), "outdeg": pa.array(outdeg),
-            "_s": pa.array(zeros)})).materialize()
+            "seed": pa.array(flags), "_s": pa.array(zeros)})).materialize()
 
         for _ in range(iters):
             contrib = np.where(outdeg > 0,
@@ -220,12 +245,14 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
                 return pa.table({
                     NODE: pa.array(df[NODE].to_numpy()),
                     "outdeg": pa.array(np.zeros(m, dtype=np.int64)),
+                    "seed": pa.array(np.zeros(m, dtype=np.int64)),
                     "_s": pa.array(df["_s"].to_numpy().astype(np.int64)),
                 })
 
             partials = edges.map_batches(edge_partial_bc,
                                          batch_format="pyarrow")
-            res = bucketed_groupby(seeds.union(partials), [NODE], finalize,
+            res = bucketed_groupby(seed_rows.union(partials), [NODE],
+                                   finalize,
                                    n_buckets=n_buckets).to_pandas()
             ro = np.argsort(res[NODE].to_numpy(), kind="mergesort")
             pr = res["pr"].to_numpy()[ro].astype(np.int64)
@@ -234,11 +261,16 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
             NODE: pa.array(node_sorted), "outdeg": pa.array(outdeg),
             "pr": pa.array(pr)}))
 
-    state = _settle(nodes.map_batches(
-        lambda b: b.append_column(
-            "pr", pa.array(np.full(len(b), r0, dtype=np.int64))),
-        batch_format="pyarrow",
-    ), n_buckets)
+    def init_state(b: pa.Table) -> pa.Table:
+        nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = _seed_flags(nd)
+        return pa.table({
+            NODE: b.column(NODE), "outdeg": b.column("outdeg"),
+            "seed": pa.array(fl), "pr": pa.array(fl * r0),
+        })
+
+    state = _settle(nodes.map_batches(init_state, batch_format="pyarrow"),
+                    n_buckets)
 
     def contrib_partial(b: pa.Table) -> pa.Table:
         d = b.column(dst).to_numpy(zero_copy_only=False)
@@ -252,25 +284,27 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     for _ in range(iters):
         joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
         partials = joined.map_batches(contrib_partial, batch_format="pyarrow")
-        seeds = state.map_batches(
-            lambda b: b.select([NODE, "outdeg"]).append_column(
+        seed_rows = state.map_batches(
+            lambda b: b.select([NODE, "outdeg", "seed"]).append_column(
                 "_s", pa.array(np.zeros(len(b), dtype=np.int64))),
             batch_format="pyarrow",
         )
-        # contrib rows carry outdeg 0 so the per-node max recovers the
-        # true degree from each node's single seed row
+        # contrib rows carry outdeg/seed 0 so the per-node max recovers
+        # the true values from each node's single seed row
         partials = partials.map_batches(
             lambda b: pa.table({
                 NODE: b.column(NODE),
                 "outdeg": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "seed": pa.array(np.zeros(len(b), dtype=np.int64)),
                 "_s": b.column("_s"),
             }),
             batch_format="pyarrow",
         )
         state = _settle(bucketed_groupby(
-            seeds.union(partials), [NODE], finalize, n_buckets=n_buckets,
+            seed_rows.union(partials), [NODE], finalize, n_buckets=n_buckets,
         ), n_buckets)
-    return state
+    return state.map_batches(
+        lambda b: b.select([NODE, "outdeg", "pr"]), batch_format="pyarrow")
 
 
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
