@@ -266,3 +266,48 @@ def test_incremental_exact_dedup_bloom_path(ray_session, tmp_path):
     # the prefilter really ran: the distributed build recorded its merge
     assert bloom_mod._LAST_BUILD_STATS.get("driver_blobs_folded", 0) >= 1
     assert run([8], ["cc"]) == []
+
+
+def test_incremental_minhash_dedup_across_runs(ray_session, tmp_path):
+    from zen3geo_ray.stages.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "mhstore")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "continues running through the wide open field all day ")
+
+    def run(ids, texts):
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()), "text": texts}))
+        out = incremental_minhash_dedup(ds, store, agree_min=32)
+        df = out.to_pandas()
+        assert "__sig" not in df.columns  # internal column stripped
+        return sorted(df["doc_id"].tolist()) if len(df) else []
+
+    # run 1: store empty -> everything survives (even near-dups of each
+    # other: new-vs-new is documented out of scope)
+    assert run([1, 2], [base * 3, "totally unrelated content here " * 5]) == [1, 2]
+    # run 2: 10 is a near-dup of stored 1 (one word changed), 11 is new
+    changed = (base * 3).replace("lazy", "sleepy", 1)
+    assert run([10, 11], [changed, "fresh new never-seen text " * 6]) == [11]
+    # run 3: near-dup of run-2 SURVIVOR 11 -> dropped (store accumulated)
+    assert run([20], ["fresh new never-seen text " * 6 + "tail"]) == []
+
+
+def test_incremental_minhash_signature_store_is_binary(ray_session, tmp_path):
+    # pins the fixed-size-binary signature representation: an int-list
+    # column that picks up nulls in a padded bucketed-join union round-
+    # trips through pandas as FLOAT arrays, corrupting values > 2^53
+    import pyarrow.parquet as pq
+
+    from zen3geo_ray.stages.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "mhstore2")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": ["hello world " * 10]}))
+    incremental_minhash_dedup(ds, store).to_pandas()
+    import os
+    files = [os.path.join(r, f) for r, _, fs in os.walk(store)
+             for f in fs if f.endswith(".parquet")]
+    schema = pq.read_schema(files[0])
+    assert pa.types.is_fixed_size_binary(schema.field("__sig").type)
+    assert schema.field("__sig").type.byte_width == 64 * 8

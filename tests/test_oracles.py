@@ -89,6 +89,7 @@ FAST = [
     "source_hhi",
     "kcore",
     "ppr",
+    "delta_neardup",
 ]
 
 

@@ -2269,11 +2269,11 @@ sh AS (
 shr AS (SELECT doc_id, unnest(shs) AS s FROM sh)"""
 
 
-def _sql_minhash_cc_ctes() -> str:
-    """The CTE chain from documents to ``labels(doc_id, dup_group)`` —
-    MinHash token-shingle signatures + band buckets in HUGEINT
-    arithmetic, connected components via the recursive ``walk`` CTE.
-    Compose inside a ``WITH RECURSIVE`` block."""
+def _sql_minhash_sig_ctes() -> str:
+    """The CTE chain from documents to ``sig(doc_id, p, v)`` and
+    ``bands(doc_id, band_id, bh)`` — MinHash token-shingle signatures +
+    band buckets in HUGEINT arithmetic (shared by the CC closure and the
+    cross-run near-dup delta oracle)."""
     a, b = dedup.perm_params(MH_NUM_PERM)
     permvals = ", ".join(
         f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
@@ -2302,7 +2302,14 @@ bands AS (
     list_reduce(list_prepend({_SQL_H0}, vs),
       (h, v) -> (h * {_SQL_P} + v) % {_SQL_M}) AS bh
   FROM bandlist
-),
+)"""
+
+
+def _sql_minhash_cc_ctes() -> str:
+    """sig/bands CTEs + connected components via the recursive ``walk``
+    CTE, ending at ``labels(doc_id, dup_group)``.  Compose inside a
+    ``WITH RECURSIVE`` block."""
+    return _sql_minhash_sig_ctes() + """,
 edge AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.bh = y.bh
@@ -2313,6 +2320,69 @@ walk(id, r) AS (
   SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
 ),
 labels AS (SELECT id AS doc_id, MIN(r) AS dup_group FROM walk GROUP BY id)"""
+
+
+MH_AGREE_MIN = 32  # delta near-dup verify: >= 32/64 agreeing positions
+
+
+def q_delta_neardup(sf_dir: str):
+    """CROSS-RUN incremental NEAR-dup dedup: run 1 seeds a persistent
+    MinHash-signature store with the even-doc_id half; run 2 processes
+    the odd half and drops docs that share an LSH band bucket with a
+    stored doc AND agree on >= 32/64 signature positions — the
+    dedup-new-crawl-against-all-prior-crawls shape (only signatures
+    persist and shuffle, never documents)
+    (stages/dedup.py:incremental_minhash_dedup)."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_minhash_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_deltand_")
+    try:
+        seed = incremental_minhash_dedup(
+            docs.map_batches(half(0), batch_format="pyarrow"), store,
+            num_perm=MH_NUM_PERM, bands=MH_BANDS, k=MH_K,
+            agree_min=MH_AGREE_MIN,
+        )
+        seed.count()  # drive run 1 so the store is seeded
+        fresh = incremental_minhash_dedup(
+            docs.map_batches(half(1), batch_format="pyarrow"), store,
+            num_perm=MH_NUM_PERM, bands=MH_BANDS, k=MH_K,
+            agree_min=MH_AGREE_MIN,
+        )
+        out = fresh.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _sql_delta_neardup() -> str:
+    return f"""WITH {_sql_minhash_sig_ctes()},
+ba AS (SELECT doc_id, band_id, bh FROM bands WHERE doc_id % 2 = 0),
+bb AS (SELECT doc_id, band_id, bh FROM bands WHERE doc_id % 2 = 1),
+cand AS (SELECT DISTINCT bb.doc_id AS b, ba.doc_id AS a
+         FROM bb JOIN ba ON ba.band_id = bb.band_id AND ba.bh = bb.bh),
+agree AS (
+  SELECT c.b, c.a, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p AND sb.v = sa.v
+  GROUP BY 1, 2),
+dups AS (SELECT DISTINCT b FROM agree WHERE n >= {MH_AGREE_MIN})
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT b FROM dups)"""
 
 
 def _sql_minhash_groups() -> str:
@@ -4314,6 +4384,7 @@ GROUP BY event_type, u - o.off
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
         "kcore": _sql_kcore(),
+        "delta_neardup": _sql_delta_neardup(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4477,6 +4548,7 @@ def build_queries() -> dict:
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
         "kcore": q_kcore,
+        "delta_neardup": q_delta_neardup,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

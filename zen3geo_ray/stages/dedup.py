@@ -742,6 +742,141 @@ def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
     return fresh
 
 
+def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
+                              text_col: str = "text", num_perm: int = 64,
+                              bands: int = 16, k: int = 3,
+                              agree_min: int = 32, n_buckets: int = 64):
+    """CROSS-RUN NEAR-duplicate dedup against a persistent MinHash
+    SIGNATURE store — the "dedup this crawl against every prior crawl"
+    primitive.
+
+    A new doc is dropped iff it (a) shares >= 1 LSH band bucket with a
+    stored doc (candidate generation — work bounded by colliding bands,
+    never all pairs) AND (b) agrees with that stored doc on >=
+    ``agree_min`` of ``num_perm`` signature positions (the unbiased
+    MinHash estimate of Jaccard >= agree_min/num_perm).  Survivors'
+    signatures append to the store (one parquet per run, append-only).
+    New-vs-new near-dups are NOT collapsed here — compose
+    ``minhash_lsh_groups`` first if the run itself needs dedup; ids must
+    be unique across runs.
+
+    Scale shape: only fixed-width (id, band, hash) and (id, sig[P]) rows
+    shuffle — documents never do; the store holds 8*(P+1) bytes per
+    surviving doc, read column-pruned; stored band hashes are RECOMPUTED
+    vectorized from signatures (CPU for 2x less store I/O).  The
+    position-agreement verify is one vectorized integer comparison, so
+    the whole delta flow is SQL-mirrorable (oracle ``delta_neardup``).
+    """
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from .graph import distinct_tuples
+    from .hashjoin import bucketed_join
+
+    P = int(num_perm)
+    SIGW = P * 8  # signature as FIXED-SIZE BINARY: P little-endian u64s.
+    # NOT a list<int64> column: an int-list column that picks up NULLS
+    # (every padded bucketed-join union does) round-trips through pandas
+    # as FLOAT arrays — silently corrupting values above 2^53 and
+    # emitting list<double> blocks that poison schema unification.
+    # Bytes cells survive pandas exactly.
+
+    def add_sig(b: pa.Table) -> pa.Table:
+        sig = minhash_signatures(b.column(text_col).to_pylist(), P, k)
+        data = np.ascontiguousarray(sig.astype("<u8")).tobytes()
+        arr = pa.Array.from_buffers(pa.binary(SIGW), len(b),
+                                    [None, pa.py_buffer(data)])
+        return b.append_column("__sig", arr)
+
+    def _sig_matrix(b: pa.Table, col: str = "__sig") -> np.ndarray:
+        arr = b.column(col).combine_chunks()
+        if pa.types.is_fixed_size_binary(arr.type) and arr.null_count == 0:
+            flat = np.frombuffer(arr.buffers()[1], dtype="<u8")
+            flat = flat[arr.offset * P:(arr.offset + len(arr)) * P]
+        else:  # variable binary after a pandas round trip
+            flat = np.frombuffer(b"".join(arr.to_pylist()), dtype="<u8")
+        return flat.reshape(len(b), P)
+
+    def make_bands_fn(idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            sig = _sig_matrix(b)
+            bh = band_hashes(sig, bands) if len(b) else \
+                np.empty((0, bands), dtype=np.uint64)
+            ids = b.column(idc).to_numpy(zero_copy_only=False)
+            return pa.table({
+                idc: pa.array(np.repeat(ids, bands)),
+                "band_id": pa.array(np.tile(np.arange(bands), len(b)),
+                                    pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64),
+                                      pa.int64()),
+            })
+        return fn
+
+    sigged = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
+
+    store_files = [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(store_dir or "")
+        for fn in files if fn.endswith(".parquet")
+    ] if os.path.isdir(store_dir) else []
+
+    survivors = sigged
+    if store_files:
+        old = rd.read_parquet(store_dir).map_batches(
+            lambda b: b.rename_columns(["__old", "__sig"]),
+            batch_format="pyarrow",
+        ).materialize()  # consumed twice: band probe + sig verify
+        new_bands = sigged.map_batches(
+            lambda b: b.select([id_col, "__sig"]), batch_format="pyarrow"
+        ).map_batches(make_bands_fn(id_col), batch_format="pyarrow")
+        old_bands = old.map_batches(make_bands_fn("__old"),
+                                    batch_format="pyarrow")
+        hits = bucketed_join(new_bands, old_bands,
+                             ["band_id", "band_hash"], n_buckets=n_buckets)
+        pairs = distinct_tuples(
+            hits.map_batches(lambda b: b.select([id_col, "__old"]),
+                             batch_format="pyarrow"),
+            [id_col, "__old"], n_buckets=n_buckets)
+        with_new = bucketed_join(
+            pairs,
+            sigged.map_batches(lambda b: b.select([id_col, "__sig"]),
+                               batch_format="pyarrow"),
+            [id_col], n_buckets=n_buckets)
+        with_both = bucketed_join(
+            with_new.map_batches(
+                lambda b: b.rename_columns(
+                    [c if c != "__sig" else "__nsig" for c in b.column_names]),
+                batch_format="pyarrow"),
+            old, ["__old"], n_buckets=n_buckets)
+
+        def verify(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            a = _sig_matrix(b, "__nsig")
+            o = _sig_matrix(b, "__sig")
+            agree = (a == o).sum(axis=1)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({id_col: pa.array(
+                np.unique(ids[agree >= agree_min]))})
+
+        dup_ids = distinct_tuples(
+            with_both.map_batches(verify, batch_format="pyarrow"),
+            [id_col], n_buckets=n_buckets)
+        survivors = bucketed_join(sigged, dup_ids, [id_col], how="anti",
+                                  n_buckets=n_buckets)
+
+    survivors = survivors.materialize()  # store append + output
+    os.makedirs(store_dir, exist_ok=True)
+    run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
+    survivors.map_batches(
+        lambda b: b.select([id_col, "__sig"]), batch_format="pyarrow"
+    ).write_parquet(run_dir)
+    return survivors.map_batches(lambda b: b.drop_columns(["__sig"]),
+                                 batch_format="pyarrow")
+
+
 def exact_dedup(ds, *, text_col: str = "text", order_cols: list[str] | None = None):
     """Hash-partitioned exact dedup: first row per content hash (ties
     broken deterministically by order_cols)."""
