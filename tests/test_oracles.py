@@ -90,6 +90,7 @@ FAST = [
     "kcore",
     "ppr",
     "delta_neardup",
+    "split_explode",
 ]
 
 

@@ -396,3 +396,30 @@ def test_grouped_hhi_single_value_is_one(ray_session):
     out = zonal.grouped_hhi(ds, ["k"], "v").to_pandas()
     assert out["hhi"].tolist() == [1.0]
     assert out["n_vals"].tolist() == [1]
+
+
+def test_split_records_sentences(ray_session):
+    from zen3geo_ray.stages.corpus import split_records
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["One. Two!  Three? ok", "no delimiters here", None],
+    })
+    out = (split_records(rd.from_arrow(t).repartition(2),
+                         r"[.!?]+[\t\n\f\r ]+")
+           .to_pandas().sort_values(["doc_id", "part_idx"])
+           .reset_index(drop=True))
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [(1, 1, "One"), (1, 2, "Two"), (1, 3, "Three"),
+                   (1, 4, "ok"), (2, 1, "no delimiters here")]
+
+
+def test_split_records_keeps_empty_when_asked(ray_session):
+    from zen3geo_ray.stages.corpus import split_records
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["a,,b,"]})
+    out = (split_records(rd.from_arrow(t), ",", drop_empty=False)
+           .to_pandas().sort_values("part_idx").reset_index(drop=True))
+    assert out["part"].tolist() == ["a", "", "b", ""]
+    assert out["part_idx"].tolist() == [1, 2, 3, 4]

@@ -2322,6 +2322,32 @@ walk(id, r) AS (
 labels AS (SELECT id AS doc_id, MIN(r) AS dup_group FROM walk GROUP BY id)"""
 
 
+SPLIT_DELIM = " table "  # record delimiter present throughout the corpus
+
+
+def q_split_explode(sf_dir: str):
+    """Regex record splitting + ordinal explode (the sentence-split
+    mechanism): one row per delimiter-separated part with its 1-based
+    index — pure flat map, zero-copy list explode, NO shuffle
+    (stages/corpus.py:split_records; RE2 on both sides)."""
+    from ..stages.corpus import split_records
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return split_records(docs, SPLIT_DELIM)
+
+
+_SQL_SPLIT_EXPLODE = f"""
+WITH s AS (SELECT doc_id, regexp_split_to_array(text, '{SPLIT_DELIM}') AS parts
+           FROM documents),
+e AS (SELECT doc_id,
+             unnest(range(1, len(parts) + 1)) AS part_idx,
+             unnest(parts) AS part
+      FROM s)
+SELECT doc_id, CAST(part_idx AS BIGINT) AS part_idx, part
+FROM e WHERE length(part) > 0
+"""
+
+
 MH_AGREE_MIN = 32  # delta near-dup verify: >= 32/64 agreeing positions
 
 
@@ -4385,6 +4411,7 @@ GROUP BY event_type, u - o.off
         "source_hhi": _SQL_SOURCE_HHI,
         "kcore": _sql_kcore(),
         "delta_neardup": _sql_delta_neardup(),
+        "split_explode": _SQL_SPLIT_EXPLODE,
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -4549,6 +4576,7 @@ def build_queries() -> dict:
         "source_hhi": q_source_hhi,
         "kcore": q_kcore,
         "delta_neardup": q_delta_neardup,
+        "split_explode": q_split_explode,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

@@ -229,3 +229,41 @@ def char_pair_counts(ds, *, text_col: str = "text", n_buckets: int = 32):
         return out
 
     return bucketed_groupby(partials, ["pair"], fn, n_buckets=n_buckets)
+
+
+def split_records(ds, pattern: str, *, id_col: str = "doc_id",
+                  text_col: str = "text", out_col: str = "part",
+                  idx_col: str = "part_idx", drop_empty: bool = True):
+    """Regex record/sentence splitter: one output row per regex-delimited
+    part of each document — (id, 1-based part index, part text).
+
+    Pure ``map_batches`` flat map, NO shuffle: ``pc.split_pattern_regex``
+    (RE2) builds the list column, explode is zero-copy via list offsets
+    + ``list_parent_indices``.  RE2 has no lookbehind, so the delimiter
+    itself is consumed — identical on both sides of the oracle
+    (DuckDB ``regexp_split_to_array`` is RE2 too; parity probed for
+    adjacent/leading/trailing delimiters).  Null text splits like ''.
+    Sentence splitting = ``pattern=r"[.!?]+[\\t\\n\\f\\r ]+"``."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col), "")
+        parts = pc.split_pattern_regex(texts, pattern)
+        la = parts.combine_chunks()
+        flat = pc.list_flatten(la)
+        parents = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        total = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]  # rebased
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts.astype(np.int64), counts) + 1)
+        ids = b.column(id_col).take(pa.array(parents))
+        out = pa.table({id_col: ids,
+                        idx_col: pa.array(idx),
+                        out_col: flat})
+        if drop_empty:
+            out = out.filter(pc.greater(pc.utf8_length(out.column(out_col)),
+                                        pa.scalar(0, pa.int32())))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
