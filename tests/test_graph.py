@@ -314,3 +314,36 @@ def test_personalized_pagerank_both_paths(ray_session):
                        broadcast_threshold=bt).to_pandas()
         assert dict(zip(out["node"], out["pr"])) == ref
         assert list(out.columns) == ["node", "outdeg", "pr"]
+
+
+def test_weighted_pagerank_both_paths(ray_session):
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 60, 250).astype(np.int64)
+    dst = rng.integers(0, 60, 250).astype(np.int64)
+    w = rng.integers(1, 6, 250).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})
+                          ).repartition(4)
+
+    # integer reference with out-weights
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n, np.int64)
+    for s, ww in zip(src, w):
+        outw[idx[int(s)]] += ww
+    base = ((DD - DN) * SCALE) // (DD * n)
+    pr = np.full(n, SCALE // n, np.int64)
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    for _ in range(3):
+        contrib = (pr[si] * w) // outw[si]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        pr = base + (DN * acc) // DD
+    ref = dict(zip(nodes.tolist(), pr.tolist()))
+
+    for bt in (0, 2_000_000):
+        out = pagerank(edges, iters=3, scale=SCALE, d_num=DN, d_den=DD,
+                       n_buckets=8, weight_col="w",
+                       broadcast_threshold=bt).to_pandas()
+        assert dict(zip(out["node"], out["pr"])) == ref

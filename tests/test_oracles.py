@@ -91,6 +91,7 @@ FAST = [
     "ppr",
     "delta_neardup",
     "split_explode",
+    "wpagerank",
 ]
 
 

@@ -3335,6 +3335,19 @@ def _trade_edges(sf_dir: str):
     return dpairs.map_batches(symm, batch_format="pyarrow")
 
 
+_SQL_GRAPH_EDGES_W = """pairs AS (
+  SELECT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst, w FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, w FROM pairs
+)"""
+
+
 _SQL_GRAPH_EDGES = """pairs AS (
   SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -3361,14 +3374,18 @@ def q_pagerank(sf_dir: str):
                           batch_format="pyarrow")
 
 
-def _sql_pagerank(seed_expr: str = "1") -> str:
+def _sql_pagerank(seed_expr: str = "1", weighted: bool = False) -> str:
     """Chained-CTE fixed-point PageRank; ``seed_expr`` personalizes the
-    teleport vector (1 = classic, a node predicate = PPR)."""
+    teleport vector (1 = classic, a node predicate = PPR); ``weighted``
+    switches to integer edge weights (w = pair multiplicity, outdeg =
+    out-weight, contribution = (pr * w) // outdeg)."""
     sc, dn, dd = GRAPH_SCALE, GRAPH_DNUM, GRAPH_DDEN
     ctes = [
-        _SQL_GRAPH_EDGES,
-        ("deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg "
-         "FROM edges GROUP BY 1)"),
+        _SQL_GRAPH_EDGES_W if weighted else _SQL_GRAPH_EDGES,
+        (("deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS outdeg "
+          "FROM edges GROUP BY 1)") if weighted else
+         ("deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg "
+          "FROM edges GROUP BY 1)")),
         ("nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges "
          "UNION ALL SELECT dst AS node FROM edges))"),
         (f"nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg, "
@@ -3384,11 +3401,69 @@ def _sql_pagerank(seed_expr: str = "1") -> str:
          nd.seed * (({dd - dn} * {sc}) // ({dd} * p.n))
          + ({dn} * COALESCE(s.s, 0)) // {dd} AS pr
   FROM nd CROSS JOIN p
-  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM({{contrib}}) AS BIGINT) AS s
              FROM edges e JOIN r{i - 1} r ON r.node = e.src GROUP BY 1) s
-  USING (node))""")
+  USING (node))""".replace("{contrib}",
+                           "(r.pr * e.w) // r.outdeg" if weighted
+                           else "r.pr // r.outdeg"))
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, pr FROM r{GRAPH_ITERS}")
+
+
+def _trade_edges_weighted(sf_dir: str):
+    """Weighted symmetric trade edges: w = number of lineitems linking
+    (customer, supplier) — the multiplicity-weighted variant of
+    _trade_edges (count per pair via one combiner-first bucketed sum)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.hashjoin import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_join(li, orders, ["o_orderkey"])
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cnode": c * 2, "snode": s * 2 + 1})
+        df["w"] = np.int64(1)
+        agg = df.groupby(["cnode", "snode"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counted = bucketed_groupby(
+        pairs.map_batches(to_nodes, batch_format="pyarrow"),
+        ["cnode", "snode"],
+        lambda g: g.groupby(["cnode", "snode"], sort=False,
+                            as_index=False)["w"].sum(),
+    )
+
+    def symm(b: pa.Table) -> pa.Table:
+        c = b.column("cnode").combine_chunks()
+        s = b.column("snode").combine_chunks()
+        w = b.column("w").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([c, s]),
+                         "dst": pa.concat_arrays([s, c]),
+                         "w": pa.concat_arrays([w, w])})
+
+    return counted.map_batches(symm, batch_format="pyarrow")
+
+
+def q_wpagerank(sf_dir: str):
+    """WEIGHTED PageRank: edge weight = lineitem multiplicity per
+    (customer, supplier) pair; contribution = (pr * w) // out_weight —
+    exact integers end to end (stages/graph.py:pagerank(weight_col=))."""
+    from ..stages.graph import pagerank
+
+    pr = pagerank(_trade_edges_weighted(sf_dir), iters=GRAPH_ITERS,
+                  scale=GRAPH_SCALE, d_num=GRAPH_DNUM, d_den=GRAPH_DDEN,
+                  weight_col="w")
+    return pr.map_batches(lambda b: b.select(["node", "pr"]),
+                          batch_format="pyarrow")
 
 
 def q_ppr(sf_dir: str):
@@ -4403,6 +4478,7 @@ GROUP BY event_type, u - o.off
         "winsorize": _sql_winsor(),
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
+        "wpagerank": _sql_pagerank(weighted=True),
         "ppr": _sql_pagerank(
             f"CASE WHEN n.node % {BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END"),
         "bfs_hops": _sql_bfs_hops(),
@@ -4569,6 +4645,7 @@ def build_queries() -> dict:
         "q3_top": q_q3_top,
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
+        "wpagerank": q_wpagerank,
         "ppr": q_ppr,
         "bfs_hops": q_bfs_hops,
         "components": q_components,

@@ -66,19 +66,29 @@ def distinct_tuples(ds, cols: list[str], n_buckets: int = 64):
 
 
 def node_degrees(edges, *, src: str = "src", dst: str = "dst",
-                 n_buckets: int = 64):
+                 weight_col: str | None = None, n_buckets: int = 64):
     """(node, outdeg) over the FULL node universe (src ∪ dst); dst-only
-    nodes get outdeg 0.  One combiner-first shuffle."""
+    nodes get outdeg 0.  With ``weight_col``, outdeg is the total
+    OUT-WEIGHT per node instead of the edge count.  One combiner-first
+    shuffle."""
 
     def partial(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False)
         d = b.column(dst).to_numpy(zero_copy_only=False)
-        us, cs = np.unique(s, return_counts=True)
+        if weight_col is None:
+            us, cs = np.unique(s, return_counts=True)
+            cs = cs.astype(np.int64)
+        else:
+            w = b.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            us, inv = np.unique(s, return_inverse=True)
+            cs = np.zeros(len(us), dtype=np.int64)
+            np.add.at(cs, inv, w)
         ud = np.unique(d)
         return pa.table({
             NODE: pa.array(np.concatenate([us, ud])),
             "_c": pa.array(np.concatenate(
-                [cs.astype(np.int64), np.zeros(len(ud), np.int64)])),
+                [cs, np.zeros(len(ud), np.int64)])),
         })
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -152,6 +162,7 @@ def _settle(ds, n_blocks: int):
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
              n_buckets: int | None = None, seeds=None,
+             weight_col: str | None = None,
              broadcast_threshold: int = BROADCAST_NODES):
     """Exact fixed-point (optionally PERSONALIZED) PageRank; returns
     (node, outdeg, pr) with pr an int64 rank scaled by ``scale``
@@ -168,16 +179,19 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     node is a seed (S = N), which is classic PageRank.  The seed set is
     driver-collected and broadcast (seed sets are small by contract —
     they personalize; a billion-seed "personalization" is just global
-    PageRank).  All operations are int64; the mirrored SQL
-    (pipelines/queries.py ``_sql_pagerank``) computes the identical
-    recurrence, so equality is exact, not approximate.
+    PageRank).  ``weight_col`` names a non-negative INTEGER edge-weight
+    column: ``outdeg`` becomes the node's total out-weight W_u and each
+    edge contributes ``(pr * w) // W_u`` — still exact (keep
+    scale * max_weight * d_num below 2^62).  All operations are int64;
+    the mirrored SQL (pipelines/queries.py ``_sql_pagerank``) computes
+    the identical recurrence, so equality is exact, not approximate.
     """
     if scale * d_num >= 1 << 62:
         raise ValueError("scale * d_num must stay below 2^62")
     edges = edges.materialize()  # re-read every round
     if n_buckets is None:
         n_buckets = _auto_buckets(edges.count())
-    nodes = node_degrees(edges, src=src, dst=dst,
+    nodes = node_degrees(edges, src=src, dst=dst, weight_col=weight_col,
                          n_buckets=n_buckets).materialize()
     n = nodes.count()
     if n == 0:
@@ -230,15 +244,28 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
             "seed": pa.array(flags), "_s": pa.array(zeros)})).materialize()
 
         for _ in range(iters):
-            contrib = np.where(outdeg > 0,
-                               pr // np.maximum(outdeg, 1), 0).astype(np.int64)
-            ref = ray.put((node_sorted, contrib))
+            if weight_col is None:
+                # unweighted: the per-node contribution is a constant —
+                # precompute it on the driver, ship one array
+                contrib = np.where(outdeg > 0,
+                                   pr // np.maximum(outdeg, 1),
+                                   0).astype(np.int64)
+                ref = ray.put((node_sorted, contrib, None))
+            else:
+                ref = ray.put((node_sorted, pr,
+                               np.maximum(outdeg, 1)))
 
             def edge_partial_bc(b: pa.Table, _ref=ref) -> pa.Table:
-                ns, cb = _get_blob(_ref)
+                ns, cb, ow = _get_blob(_ref)
                 s = b.column(src).to_numpy(zero_copy_only=False)
                 d = b.column(dst).to_numpy(zero_copy_only=False)
-                c = cb[np.searchsorted(ns, s)]
+                ix = np.searchsorted(ns, s)
+                if ow is None:
+                    c = cb[ix]
+                else:
+                    w = b.column(weight_col).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    c = (cb[ix] * w) // ow[ix]
                 df = pd.DataFrame({NODE: d, "_s": c}).groupby(
                     NODE, sort=False, as_index=False)["_s"].sum()
                 m = len(df)
@@ -276,7 +303,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
         d = b.column(dst).to_numpy(zero_copy_only=False)
         pr = b.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
         od = b.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = pr // od  # od >= 1 for every src by construction
+        if weight_col is None:
+            c = pr // od  # od >= 1 for every src by construction
+        else:
+            w = b.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            c = (pr * w) // od
         df = pd.DataFrame({NODE: d, "_s": c}).groupby(
             NODE, sort=False, as_index=False)["_s"].sum()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
