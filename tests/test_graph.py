@@ -347,3 +347,34 @@ def test_weighted_pagerank_both_paths(ray_session):
                        n_buckets=8, weight_col="w",
                        broadcast_threshold=bt).to_pandas()
         assert dict(zip(out["node"], out["pr"])) == ref
+
+
+def test_pinned_pagerank_parity_and_empty(ray_session):
+    from zen3geo_ray.stages.pregel import pinned_pagerank
+
+    src, dst = _random_graph(seed=29, n_nodes=150, n_edges=900)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    want = pagerank(edges, iters=4, n_buckets=8,
+                    broadcast_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got = pinned_pagerank(edges, iters=4, n_shards=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    # bit-identical to the Dataset BSP path (same integer recurrence)
+    assert want["node"].equals(got["node"])
+    assert want["outdeg"].equals(got["outdeg"])
+    assert want["pr"].equals(got["pr"])
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    out = pinned_pagerank(empty, iters=2, n_shards=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_pinned_pagerank_single_shard(ray_session):
+    from zen3geo_ray.stages.pregel import pinned_pagerank
+
+    edges = rd.from_arrow(pa.table({"src": [0, 1], "dst": [1, 0]}))
+    out = pinned_pagerank(edges, iters=1, n_shards=1).to_pandas()
+    base = ((DD - DN) * SCALE) // (DD * 2)
+    want = base + (DN * (SCALE // 2)) // DD
+    assert set(out["pr"]) == {want}
