@@ -378,3 +378,31 @@ def test_pinned_pagerank_single_shard(ray_session):
     base = ((DD - DN) * SCALE) // (DD * 2)
     want = base + (DN * (SCALE // 2)) // DD
     assert set(out["pr"]) == {want}
+
+
+def test_pinned_components_parity(ray_session):
+    from zen3geo_ray.stages.graph import connected_components
+    from zen3geo_ray.stages.pregel import pinned_components
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 90, 140).astype(np.int64)
+    dst = rng.integers(0, 90, 140).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    want = connected_components(edges, n_buckets=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got = pinned_components(edges, n_shards=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert want["node"].equals(got["node"])
+    assert want["comp"].equals(got["comp"])
+
+
+def test_pinned_components_round_budget(ray_session):
+    import pytest
+
+    from zen3geo_ray.stages.pregel import pinned_components
+
+    n = 20  # chain of diameter 19; 3 relax rounds can't finish
+    edges = rd.from_arrow(pa.table({"src": np.arange(1, n, dtype=np.int64),
+                                    "dst": np.arange(0, n - 1, dtype=np.int64)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pinned_components(edges, max_rounds=3, n_shards=2)

@@ -56,6 +56,8 @@ def _make_shard_cls():
             self.n = n_shards
             self._src_parts: list[np.ndarray] = []
             self._dst_parts: list[np.ndarray] = []
+            self._node_parts: list[np.ndarray] = []
+            self._deg_parts: list[np.ndarray] = []
             self.nodes = np.empty(0, dtype=np.int64)
             self.outdeg = np.empty(0, dtype=np.int64)
             self.pr = np.empty(0, dtype=np.int64)
@@ -81,12 +83,21 @@ def _make_shard_cls():
             return len(self.src)
 
         def add_nodes(self, nodes: np.ndarray, outdeg: np.ndarray) -> int:
-            order = np.argsort(nodes, kind="mergesort")
-            self.nodes = np.asarray(nodes, np.int64)[order]
-            self.outdeg = np.asarray(outdeg, np.int64)[order]
-            return len(self.nodes)
+            # ACCUMULATE (never replace): callers may deliver the node
+            # table in several batches
+            self._node_parts.append(np.asarray(nodes, np.int64))
+            self._deg_parts.append(np.asarray(outdeg, np.int64))
+            return len(nodes)
 
         def init_rank(self, r0: int) -> None:
+            nodes = (np.concatenate(self._node_parts)
+                     if self._node_parts else np.empty(0, np.int64))
+            outdeg = (np.concatenate(self._deg_parts)
+                      if self._deg_parts else np.empty(0, np.int64))
+            self._node_parts = self._deg_parts = []
+            order = np.argsort(nodes, kind="mergesort")
+            self.nodes = nodes[order]
+            self.outdeg = outdeg[order]
             self.pr = np.full(len(self.nodes), int(r0), dtype=np.int64)
 
         def contribs(self) -> list:
@@ -128,6 +139,54 @@ def _make_shard_cls():
             return pa.table({NODE: pa.array(self.nodes),
                              "outdeg": pa.array(self.outdeg),
                              "pr": pa.array(self.pr)})
+
+        # --- min-label propagation (connected components) -------------
+        def init_comp(self) -> None:
+            nodes = (np.concatenate(self._node_parts)
+                     if self._node_parts else np.empty(0, np.int64))
+            self._node_parts = self._deg_parts = []
+            self.nodes = np.unique(nodes)
+            self.comp = self.nodes.copy()
+
+        def min_contribs(self) -> list:
+            if len(self.src) == 0:
+                empty = pa.table({NODE: pa.array([], pa.int64()),
+                                  "comp": pa.array([], pa.int64())})
+                return [empty] * self.n
+            ix = np.searchsorted(self.nodes, self.src)
+            c = self.comp[ix]
+            out = []
+            for j in range(self.n):
+                m = self.dst_shard == j
+                d = self.dst[m]
+                u, inv = np.unique(d, return_inverse=True)
+                mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mn, inv, c[m])
+                out.append(pa.table({NODE: pa.array(u),
+                                     "comp": pa.array(mn)}))
+            return out
+
+        def apply_min(self, *incoming) -> int:
+            """Relax with incoming minima; returns how many labels
+            CHANGED (the distributed convergence scalar)."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            new = self.comp.copy()
+            for t in flat:
+                nd = t.column(NODE).to_numpy(zero_copy_only=False)
+                if len(nd) == 0:
+                    continue
+                ix = np.searchsorted(self.nodes, nd)
+                np.minimum.at(
+                    new, ix, t.column("comp").to_numpy(zero_copy_only=False))
+            changed = int((new != self.comp).sum())
+            self.comp = new
+            return changed
+
+        def comp_table(self) -> pa.Table:
+            return pa.table({NODE: pa.array(self.nodes),
+                             "comp": pa.array(self.comp)})
 
     return GraphShard
 
@@ -191,10 +250,7 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
         ray.get(acks)
         return pa.table({"_n": pa.array([len(b)], pa.int64())})
 
-    # one block per shard-owner call would clobber earlier add_nodes
-    # (add_nodes REPLACES) — coalesce the node table to one block first
-    nodes.repartition(1).map_batches(
-        route_nodes, batch_format="pyarrow").materialize()
+    nodes.map_batches(route_nodes, batch_format="pyarrow").materialize()
 
     n = nodes.count()
     if n == 0:
@@ -222,6 +278,79 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
     refs = [sh.rank_table.remote() for sh in shards]
     # materialize before killing the shards so the blocks no longer
     # depend on actor-task lineage for reconstruction
+    out = rd.from_arrow_refs(refs).materialize()
+    for sh in shards:
+        ray.kill(sh)
+    return out
+
+
+def pinned_components(edges, *, src: str = "src", dst: str = "dst",
+                      max_rounds: int = 200, n_shards: int | None = None):
+    """Weakly-connected components over actor-pinned edge shards:
+    (node, comp) with comp = component-minimum node id — bit-identical
+    to stages/graph.py:connected_components (parity-tested).
+
+    Relax-only min-label propagation (no pointer jump — a cross-shard
+    jump would need a second exchange per round), so rounds are
+    DIAMETER-bound, each costing only a per-shard node-partial exchange;
+    convergence is the sum of per-shard changed-label counts (no label
+    sums, no overflow concern).  Raises if ``max_rounds`` is exceeded."""
+    import ray
+    import ray.data as rd
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    shards_ref = ray.put(shards)
+
+    def route(b: pa.Table) -> pa.Table:
+        hs = ray.get(shards_ref)
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetrize at routing time: each undirected edge lands in both
+        # endpoints' shards as an out-edge
+        s2 = np.concatenate([s, d])
+        d2 = np.concatenate([d, s])
+        sh = _shard_of(s2, S)
+        acks = []
+        for j in range(S):
+            m = sh == j
+            if m.any():
+                acks.append(hs[j].add_edges.remote(s2[m], d2[m]))
+                # node universe = all sources of the symmetric edges
+                acks.append(hs[j].add_nodes.remote(
+                    s2[m], np.zeros(int(m.sum()), np.int64)))
+        ray.get(acks)
+        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow").materialize()
+    ray.get([sh.seal.remote() for sh in shards])
+    ray.get([sh.init_comp.remote() for sh in shards])
+
+    converged = False
+    for _ in range(max_rounds):
+        if S == 1:
+            outs = [[sh.min_contribs.remote()] for sh in shards]
+        else:
+            outs = [sh.min_contribs.options(num_returns=S).remote()
+                    for sh in shards]
+        changed = ray.get([
+            shards[j].apply_min.remote(*[outs[i][j] for i in range(S)])
+            for j in range(S)
+        ])
+        if sum(changed) == 0:
+            converged = True
+            break
+    if not converged:
+        for sh in shards:
+            ray.kill(sh)
+        raise RuntimeError(
+            f"pinned_components did not converge in {max_rounds} relax "
+            "rounds (rounds are diameter-bound on this path)")
+    refs = [sh.comp_table.remote() for sh in shards]
     out = rd.from_arrow_refs(refs).materialize()
     for sh in shards:
         ray.kill(sh)
