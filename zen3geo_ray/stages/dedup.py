@@ -792,6 +792,8 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
 
     def _sig_matrix(b: pa.Table, col: str = "__sig") -> np.ndarray:
         arr = b.column(col).combine_chunks()
+        if len(arr) == 0:
+            return np.empty((0, P), dtype=np.uint64)
         if pa.types.is_fixed_size_binary(arr.type) and arr.null_count == 0:
             flat = np.frombuffer(arr.buffers()[1], dtype="<u8")
             flat = flat[arr.offset * P:(arr.offset + len(arr)) * P]

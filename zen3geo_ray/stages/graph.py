@@ -179,9 +179,10 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     node is a seed (S = N), which is classic PageRank.  The seed set is
     driver-collected and broadcast (seed sets are small by contract —
     they personalize; a billion-seed "personalization" is just global
-    PageRank).  ``weight_col`` names a non-negative INTEGER edge-weight
-    column: ``outdeg`` becomes the node's total out-weight W_u and each
-    edge contributes ``(pr * w) // W_u`` — still exact (keep
+    PageRank).  ``weight_col`` names a POSITIVE integer edge-weight
+    column (w >= 1 — a zero-weight source would divide by zero on the
+    SQL side): ``outdeg`` becomes the node's total out-weight W_u and
+    each edge contributes ``(pr * w) // W_u`` — still exact (keep
     scale * max_weight * d_num below 2^62).  All operations are int64;
     the mirrored SQL (pipelines/queries.py ``_sql_pagerank``) computes
     the identical recurrence, so equality is exact, not approximate.
@@ -616,6 +617,8 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
     survivors are the small side), one combiner-first degree reduce —
     the same BSP discipline as pagerank/bfs, with `_settle` bounding
     block growth."""
+    if rounds < 1:
+        raise ValueError("kcore needs rounds >= 1")
 
     def symm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
