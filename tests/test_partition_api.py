@@ -248,3 +248,42 @@ def test_api_corpus_prep_chain(ray_session):
         "w", pa.array([1024] * 200, pa.int64()))).sample_weighted(
         "doc_id", "w").count()
     assert kept == 200  # weight >= denom -> p = 1
+
+
+def test_jsonl_and_csv_sources_match_parquet(ray_session, tmp_path):
+    """Format parity: the same rows through JSONL / CSV / parquet sources
+    produce identical downstream results (read_pages_* prune after the
+    read since neither format has column pushdown)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from zen3geo_ray.sources.readers import (
+        read_pages, read_pages_csv, read_pages_jsonl)
+
+    rows = [{"url": f"https://ex{i}.org/p", "n": i * 3, "lang": "en"}
+            for i in range(50)]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, tmp_path / "pages.parquet")
+    with open(tmp_path / "pages.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(tmp_path / "pages.csv", "w") as f:
+        f.write("url,n,lang\n")
+        for r in rows:
+            f.write(f"{r['url']},{r['n']},{r['lang']}\n")
+
+    def total(ds):
+        return ds.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(b.column("n").to_numpy(zero_copy_only=False).sum())],
+                pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("s")
+
+    want = total(read_pages(str(tmp_path / "pages.parquet"),
+                            columns=["url", "n"]))
+    assert total(read_pages_jsonl(str(tmp_path / "pages.jsonl"),
+                                  columns=["url", "n"])) == want
+    assert total(read_pages_csv(str(tmp_path / "pages.csv"),
+                                columns=["url", "n"])) == want

@@ -37,6 +37,31 @@ def read_vector(path: str, columns: list[str] | None = None) -> pa.Table:
     return pq.read_table(path, columns=columns)
 
 
+def read_pages_jsonl(path: str, columns: list[str] | None = None, **kwargs):
+    """Pages corpus from JSONL (crawler dumps commonly land as
+    newline-delimited JSON before parquet-ification).  JSON has no
+    column pushdown, so pruning happens right after the read — still
+    before anything shuffles."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **kwargs)
+    if columns:
+        ds = ds.map_batches(lambda b: b.select(columns),
+                            batch_format="pyarrow")
+    return ds
+
+
+def read_pages_csv(path: str, columns: list[str] | None = None, **kwargs):
+    """Pages corpus from CSV (same post-read pruning note as JSONL)."""
+    import ray.data as rd
+
+    ds = rd.read_csv(path, **kwargs)
+    if columns:
+        ds = ds.map_batches(lambda b: b.select(columns),
+                            batch_format="pyarrow")
+    return ds
+
+
 def manifest_from_items(items: list[dict]):
     """Asset manifest from in-memory records: uri, bbox (minx,miny,maxx,
     maxy), ts, props — the pystac.Item analog as plain rows."""
