@@ -727,10 +727,12 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     min_{u→v} dist_{i-1}(u) + 1) — after round i every node within i
     hops holds its exact distance (standard Bellman-Ford layering), so
     ``max_hops`` rounds are sufficient AND mirror the chained-CTE SQL
-    oracle term for term.  The frontier is not tracked separately:
-    shipping the whole (node, dist) table keeps each round two bucketed
-    shuffles and identical to the SQL; a frontier-delta variant is the
-    cluster optimization when dist rows dwarf the active frontier.
+    oracle term for term.  The broadcast path is FRONTIER-DELTA: unit
+    hops make a node's distance final at first reach, so each round
+    ships only the newly-settled frontier and the walk stops early when
+    it empties — same results, shrinking blobs.  The bucketed path ships
+    the whole (node, dist) table (frontier bookkeeping there would cost
+    an extra shuffle per round).
     """
     edges = edges.materialize()
     n_edges = edges.count()
@@ -749,14 +751,20 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
         sdf = seeds.to_pandas()
         known = np.sort(np.unique(sdf[NODE].to_numpy().astype(np.int64)))
         dist = np.zeros(len(known), dtype=np.int64)
+        # FRONTIER-DELTA: with unit hop weights a node's distance is
+        # FINAL the first time it is reached, so round i only needs to
+        # relax edges whose source joined `known` in round i-1.  The
+        # broadcast blob therefore shrinks to the active frontier, and
+        # the walk stops early once the frontier empties.
+        frontier = known
+        fdist = dist
         for _ in range(max_hops):
-            ref = ray.put((known, dist))
+            if len(frontier) == 0:
+                break
+            ref = ray.put((frontier, fdist))
 
             def relax_bc(b: pa.Table, _ref=ref) -> pa.Table:
                 ns, dv = _get_blob(_ref)
-                if len(ns) == 0:
-                    return pa.table({NODE: pa.array([], pa.int64()),
-                                     "dist": pa.array([], pa.int64())})
                 s = b.column(src).to_numpy(zero_copy_only=False)
                 d = b.column(dst).to_numpy(zero_copy_only=False)
                 idx_c = np.minimum(np.searchsorted(ns, s), len(ns) - 1)
@@ -771,13 +779,21 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
                 edges.map_batches(relax_bc, batch_format="pyarrow"),
                 [NODE], take_min, n_buckets=n_buckets,
             ).to_pandas()
-            merged = pd.concat([
-                pd.DataFrame({NODE: known, "dist": dist}),
-                red[[NODE, "dist"]],
-            ]).groupby(NODE, sort=False, as_index=False)["dist"].min()
-            merged = merged.sort_values(NODE, kind="mergesort")
-            known = merged[NODE].to_numpy().astype(np.int64)
-            dist = merged["dist"].to_numpy().astype(np.int64)
+            rn = red[NODE].to_numpy().astype(np.int64)
+            rdist = red["dist"].to_numpy().astype(np.int64)
+            # new frontier = reached nodes NOT already known
+            ik = np.minimum(np.searchsorted(known, rn),
+                            max(len(known) - 1, 0))
+            fresh = (known[ik] != rn) if len(known) \
+                else np.ones(len(rn), dtype=bool)
+            frontier = rn[fresh]
+            fdist = rdist[fresh]
+            order = np.argsort(frontier, kind="mergesort")
+            frontier, fdist = frontier[order], fdist[order]
+            merged = np.concatenate([known, frontier])
+            mdist = np.concatenate([dist, fdist])
+            mo = np.argsort(merged, kind="mergesort")
+            known, dist = merged[mo], mdist[mo]
         return rd.from_arrow(pa.table({NODE: pa.array(known),
                                        "dist": pa.array(dist)}))
 
