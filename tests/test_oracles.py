@@ -92,6 +92,7 @@ FAST = [
     "delta_neardup",
     "split_explode",
     "wpagerank",
+    "neighbor_sample",
 ]
 
 

@@ -3488,6 +3488,31 @@ def q_ppr(sf_dir: str):
                           batch_format="pyarrow")
 
 
+NEIGHBOR_K = 3  # GNN-minibatch-style per-node neighbor cap
+
+
+def q_neighbor_sample(sf_dir: str):
+    """Deterministic per-node NEIGHBOR SAMPLING (GraphSAGE-style
+    minibatch prep): keep each source's first K=3 neighbors under the
+    bijective hash order of dst — reproducible pseudo-random sampling
+    with no RNG state, via the keyed rank scan
+    (stages/partition.py:quota_per_key over the edge table)."""
+    from ..stages.partition import quota_per_key
+
+    return quota_per_key(_trade_edges(sf_dir), "src", "dst", NEIGHBOR_K)
+
+
+def _sql_neighbor_sample() -> str:
+    from ..stages.partition import SHARD_A, SHARD_B
+
+    return f"""WITH {_SQL_GRAPH_EDGES},
+h AS (SELECT src, dst, (dst::HUGEINT * {SHARD_A} + {SHARD_B}) % {_SQL_M} AS h
+      FROM edges),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
+      FROM h)
+SELECT src, dst FROM r WHERE rn <= {NEIGHBOR_K}"""
+
+
 def q_bfs_hops(sf_dir: str):
     """Multi-source bounded-hop BFS (Bellman-Ford layering, 3 rounds)
     from every customer node with custkey % 50 == 0 — per round one
@@ -4482,6 +4507,7 @@ GROUP BY event_type, u - o.off
         "ppr": _sql_pagerank(
             f"CASE WHEN n.node % {BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END"),
         "bfs_hops": _sql_bfs_hops(),
+        "neighbor_sample": _sql_neighbor_sample(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
@@ -4648,6 +4674,7 @@ def build_queries() -> dict:
         "wpagerank": q_wpagerank,
         "ppr": q_ppr,
         "bfs_hops": q_bfs_hops,
+        "neighbor_sample": q_neighbor_sample,
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
