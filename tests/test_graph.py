@@ -406,3 +406,53 @@ def test_pinned_components_round_budget(ray_session):
                                     "dst": np.arange(0, n - 1, dtype=np.int64)}))
     with pytest.raises(RuntimeError, match="did not converge"):
         pinned_components(edges, max_rounds=3, n_shards=2)
+
+
+def test_common_neighbors_reference(ray_session):
+    from zen3geo_ray.stages.graph import common_neighbors
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+
+    # brute reference with the same degree cap
+    adj = {}
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        u, v = int(min(s, d)), int(max(s, d))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ref = {}
+    for z, nbrs in adj.items():
+        if len(nbrs) > 6:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                ref[(ns[i], ns[j])] = ref.get((ns[i], ns[j]), 0) + 1
+    ref = {k: n for k, n in ref.items() if n >= 2}
+
+    out = common_neighbors(edges, max_degree=6, min_common=2,
+                           n_buckets=8).to_pandas()
+    got = {(int(r.u), int(r.v)): int(r.n_common)
+           for r in out.itertuples(index=False)}
+    assert got == ref
+
+
+def test_common_neighbors_hub_guard_excludes_center(ray_session):
+    from zen3geo_ray.stages.graph import common_neighbors
+
+    # star center 0 with 5 leaves: cap 4 excludes it -> no pairs at all
+    src = np.zeros(5, np.int64)
+    dst = np.arange(1, 6, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = common_neighbors(edges, max_degree=4, min_common=1,
+                           n_buckets=8).to_pandas()
+    assert len(out) == 0
+    # cap 5 admits it: C(5,2)=10 pairs, each with exactly 1 common nbr
+    out2 = common_neighbors(edges, max_degree=5, min_common=1,
+                            n_buckets=8).to_pandas()
+    assert len(out2) == 10
+    assert set(out2["n_common"]) == {1}

@@ -93,6 +93,7 @@ FAST = [
     "split_explode",
     "wpagerank",
     "neighbor_sample",
+    "common_neighbors",
 ]
 
 

@@ -716,6 +716,108 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
     return state
 
 
+def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
+                     max_degree: int = 16, min_common: int = 2,
+                     n_buckets: int | None = None,
+                     broadcast_threshold: int = BROADCAST_NODES):
+    """Per-pair COMMON-NEIGHBOR counts — the classic link-prediction /
+    who-to-crawl-next feature: (u, v, n_common) for unordered pairs
+    u < v that share >= ``min_common`` neighbors.
+
+    Wedges are enumerated at every center with degree <= ``max_degree``
+    (the standard hub guard: a celebrity center contributes deg² wedges;
+    capped centers are excluded IDENTICALLY on both oracle sides, so the
+    semantics stay exact — raise the cap when hubs matter more than
+    cost).  Shape: one bucketed self-join on the center key, per-batch
+    pair-count partials, one bucketed sum — pair volume is bounded by
+    Σ_{deg(z)<=D} deg(z)²/2."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    pairs = distinct_tuples(
+        edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(pairs.count())
+
+    def symm_adj(b: pa.Table) -> pa.Table:
+        u = b.column("u").combine_chunks()
+        v = b.column("v").combine_chunks()
+        return pa.table({"z": pa.concat_arrays([u, v]),
+                         "nb": pa.concat_arrays([v, u])})
+
+    adj = pairs.map_batches(symm_adj, batch_format="pyarrow").materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        z, c = np.unique(b.column("z").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({NODE: pa.array(z),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    deg = bucketed_groupby(
+        adj.map_batches(deg_partial, batch_format="pyarrow"),
+        [NODE],
+        lambda g: g.groupby(NODE, sort=False, as_index=False)["_c"].sum(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    if deg.count() <= broadcast_threshold:
+        import ray
+
+        ddf = deg.to_pandas()
+        order = np.argsort(ddf[NODE].to_numpy(), kind="mergesort")
+        dref = ray.put((ddf[NODE].to_numpy()[order].astype(np.int64),
+                        ddf["_c"].to_numpy()[order].astype(np.int64)))
+
+        def center_filter(b: pa.Table, _ref=dref) -> pa.Table:
+            ns, dv = _get_blob(_ref)
+            z = b.column("z").to_numpy(zero_copy_only=False)
+            keep = dv[np.searchsorted(ns, z)] <= max_degree
+            return b.filter(pa.array(keep))
+
+        kept = adj.map_batches(center_filter, batch_format="pyarrow")
+    else:
+        small = deg.map_batches(
+            lambda b: b.filter(pc.less_equal(
+                b.column("_c"), pa.scalar(max_degree, pa.int64()))
+            ).select([NODE]).rename_columns(["z"]),
+            batch_format="pyarrow",
+        )
+        kept = bucketed_join(adj, small, ["z"], how="semi",
+                             n_buckets=n_buckets)
+
+    nb2 = kept.map_batches(lambda b: b.rename_columns(["z", "_nb2"]),
+                           batch_format="pyarrow")
+    wedged = bucketed_join(kept, nb2, ["z"], n_buckets=n_buckets)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        a = b.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("_nb2").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = a < c
+        df = pd.DataFrame({"u": a[m], "v": c[m]})
+        df["n_common"] = np.int64(1)
+        agg = df.groupby(["u", "v"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], sort=False, as_index=False)[
+            "n_common"].sum()
+        return out[out["n_common"] >= min_common]
+
+    return bucketed_groupby(
+        wedged.map_batches(pair_partial, batch_format="pyarrow"),
+        ["u", "v"], pair_sum, n_buckets=n_buckets,
+    )
+
+
 def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
              max_hops: int = 3, n_buckets: int | None = None,
              broadcast_threshold: int = BROADCAST_NODES):
