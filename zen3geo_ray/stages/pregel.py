@@ -1,4 +1,5 @@
-"""Pregel-style actor-sharded PageRank: edge shards PINNED in actors.
+"""Pregel-style actor-sharded graph ops: edge shards PINNED in actors
+(PageRank + min-label connected components).
 
 The Dataset BSP path (stages/graph.py:pagerank) re-shuffles the edge
 table once per round inside its bucketed join — the documented cost of
