@@ -287,3 +287,20 @@ def test_jsonl_and_csv_sources_match_parquet(ray_session, tmp_path):
                                   columns=["url", "n"])) == want
     assert total(read_pages_csv(str(tmp_path / "pages.csv"),
                                 columns=["url", "n"])) == want
+
+
+def test_api_graph_and_split_methods(ray_session):
+    from zen3geo_ray import api
+
+    e = api.from_arrow(pa.table({"src": np.array([0, 0, 1, 2], np.int64),
+                                 "dst": np.array([1, 2, 2, 3], np.int64)}))
+    assert e.triangle_count(n_buckets=8).to_pandas()["n_tri"][0] == 1
+    core = e.kcore(k=2, rounds=3, n_buckets=8).to_pandas()
+    assert sorted(core["node"]) == [0, 1, 2]
+    cn = e.common_neighbors(max_degree=8, min_common=1,
+                            n_buckets=8).to_pandas()
+    assert len(cn) > 0
+    docs = api.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "text": ["A b. C d! E"]}))
+    parts = docs.split_sentences().to_pandas()
+    assert parts["part"].tolist() == ["A b", "C d", "E"]

@@ -292,6 +292,25 @@ class Pipe:
 
         return Pipe(triangle_count(self.ds, **kwargs))
 
+    def kcore(self, k: int, rounds: int, **kwargs) -> "Pipe":
+        """Synchronous k-core peeling survivors of an edge pipe."""
+        from .stages.graph import kcore
+
+        return Pipe(kcore(self.ds, k=k, rounds=rounds, **kwargs))
+
+    def common_neighbors(self, **kwargs) -> "Pipe":
+        """(u, v, n_common) link-prediction counts of an edge pipe."""
+        from .stages.graph import common_neighbors
+
+        return Pipe(common_neighbors(self.ds, **kwargs))
+
+    def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
+                        **kwargs) -> "Pipe":
+        """Regex record/sentence splitting with 1-based part indices."""
+        from .stages.corpus import split_records
+
+        return Pipe(split_records(self.ds, pattern, **kwargs))
+
     # --- terminals --------------------------------------------------------
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)
