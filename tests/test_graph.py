@@ -456,3 +456,60 @@ def test_common_neighbors_hub_guard_excludes_center(ray_session):
                             n_buckets=8).to_pandas()
     assert len(out2) == 10
     assert set(out2["n_common"]) == {1}
+
+
+def test_pinned_pagerank_weighted_and_personalized_parity(ray_session):
+    from zen3geo_ray.stages.pregel import pinned_pagerank
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 80, 400).astype(np.int64)
+    dst = rng.integers(0, 80, 400).astype(np.int64)
+    w = rng.integers(1, 9, 400).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst,
+                                    "w": w})).repartition(4)
+
+    # weighted: bit-parity vs the Dataset path
+    want = pagerank(edges, iters=3, n_buckets=8, weight_col="w",
+                    broadcast_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got = pinned_pagerank(edges, iters=3, n_shards=3,
+                          weight_col="w").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert want["node"].equals(got["node"])
+    assert want["outdeg"].equals(got["outdeg"])
+    assert want["pr"].equals(got["pr"])
+
+    # personalized: bit-parity vs the Dataset path
+    seeds = rd.from_arrow(pa.table({"node": pa.array([3, 7, 11], pa.int64())}))
+    want = pagerank(edges, iters=3, n_buckets=8, seeds=seeds,
+                    broadcast_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)[["node", "outdeg", "pr"]]
+    got = pinned_pagerank(edges, iters=3, n_shards=3,
+                          seeds=seeds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert want["node"].equals(got["node"])
+    assert want["pr"].equals(got["pr"])
+
+
+def test_pinned_kcore_parity(ray_session):
+    from zen3geo_ray.stages.graph import kcore
+    from zen3geo_ray.stages.pregel import pinned_kcore
+
+    rng = np.random.default_rng(43)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for k, rounds in ((3, 4), (5, 3)):
+        want = kcore(edges, k=k, rounds=rounds, n_buckets=8).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        got = pinned_kcore(edges, k=k, rounds=rounds,
+                           n_shards=3).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert want["node"].equals(got["node"])
+        assert want["deg"].equals(got["deg"])
+
+    # empty-core graph: 5-node path, k=3 (the ADVICE crash shape)
+    path = rd.from_arrow(pa.table({"src": pa.array([1, 2, 3, 4], pa.int64()),
+                                   "dst": pa.array([2, 3, 4, 5], pa.int64())}))
+    out = pinned_kcore(path, k=3, rounds=3, n_shards=2).to_pandas()
+    assert len(out) == 0

@@ -96,12 +96,187 @@ def lonlat_to_utm(lon, lat, zone: int, north: bool = True) -> tuple[np.ndarray, 
     return x, y
 
 
+# --- conic projections (Snyder 1987, USGS PP 1395 — public formulas) ------
+#
+# Lambert Conformal Conic 2SP (Snyder §15, eqs 14-15/15-1..15-10) and
+# Albers Equal-Area 2SP (Snyder §14, eqs 14-1..14-6), ellipsoidal closed
+# forms — the two projected-CRS families of US/EU regional data (state
+# plane, CONUS Albers, Lambert-93...).  Inverses included (Newton /
+# series-free fixed-point per Snyder) so round-trip property tests pin
+# correctness without external geodesy libraries.
+
+
+def _m_factor(phi: np.ndarray, e2: float) -> np.ndarray:
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+
+def _t_factor(phi: np.ndarray, e: float) -> np.ndarray:
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _q_factor(phi: np.ndarray, e: float) -> np.ndarray:
+    s = np.sin(phi)
+    e2 = e * e
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+
+
+class LambertConformalConic:
+    """LCC 2SP on an ellipsoid (defaults WGS84)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.x0, self.y0, self.lon0 = a, x0, y0, lon0
+        e2 = f * (2.0 - f)
+        self.e = np.sqrt(e2)
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        m1, m2 = _m_factor(np.float64(p1), e2), _m_factor(np.float64(p2), e2)
+        t1, t2 = _t_factor(np.float64(p1), self.e), _t_factor(np.float64(p2), self.e)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self.F = float(m1 / (self.n * t1 ** self.n))
+        self.rho0 = a * self.F * float(_t_factor(np.float64(p0), self.e)) ** self.n
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        t = _t_factor(np.radians(lat), self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * np.radians(lon - self.lon0)
+        return (rho * np.sin(th) + self.x0,
+                self.rho0 - rho * np.cos(th) + self.y0)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self.n) * np.hypot(x, y)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        lon = np.degrees(th / self.n) + self.lon0
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder eq 7-9 fixed point, quadratic in e^2
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0))
+        return lon, np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Albers 2SP on an ellipsoid (defaults WGS84)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.x0, self.y0, self.lon0 = a, x0, y0, lon0
+        e2 = f * (2.0 - f)
+        self.e = np.sqrt(e2)
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        m1, m2 = _m_factor(np.float64(p1), e2), _m_factor(np.float64(p2), e2)
+        q1, q2 = _q_factor(np.float64(p1), self.e), _q_factor(np.float64(p2), self.e)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = a * np.sqrt(self.C - self.n * float(
+            _q_factor(np.float64(p0), self.e))) / self.n
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        q = _q_factor(np.radians(lat), self.e)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * np.radians(lon - self.lon0)
+        return (rho * np.sin(th) + self.x0,
+                self.rho0 - rho * np.cos(th) + self.y0)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.hypot(x, y)
+        th = np.arctan2(x, y)
+        lon = np.degrees(th / self.n) + self.lon0
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        e, e2 = self.e, self.e ** 2
+        # Snyder eq 3-16 Newton iteration from the authalic latitude
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            d = (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+            phi = phi + d
+        return lon, np.degrees(phi)
+
+
+def _parse_proj(spec: str) -> dict:
+    kv = {}
+    for tok in spec.split():
+        if tok.startswith("+") and "=" in tok:
+            k, v = tok[1:].split("=", 1)
+            kv[k] = v
+    return kv
+
+
+# common conic EPSG aliases (parameters are public registry values)
+_EPSG_CONIC = {
+    # NAD83 / Conus Albers (datum shift to WGS84 is sub-meter — treated
+    # as identical, the standard approximation without a grid shift)
+    "EPSG:5070": ("aea", dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0)),
+    # RGF93 / Lambert-93 (France)
+    "EPSG:2154": ("lcc", dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+                              x0=700_000.0, y0=6_600_000.0)),
+}
+
+
+def conic_from_spec(spec: str):
+    """Build an LCC/Albers projector from a PROJ-like string
+    ('+proj=lcc +lat_1=.. +lat_2=.. +lat_0=.. +lon_0=.. [+x_0 +y_0]')
+    or a known conic EPSG alias.  Returns None if the spec is not a
+    conic this module understands."""
+    up = spec.upper()
+    if up in _EPSG_CONIC:
+        kind, kw = _EPSG_CONIC[up]
+        cls = LambertConformalConic if kind == "lcc" else AlbersEqualArea
+        return cls(**kw)
+    if "+proj=" not in spec:
+        return None
+    kv = _parse_proj(spec)
+    proj = kv.get("proj")
+    if proj not in ("lcc", "aea"):
+        return None
+    cls = LambertConformalConic if proj == "lcc" else AlbersEqualArea
+    return cls(
+        lat1=float(kv.get("lat_1", 0.0)),
+        lat2=float(kv.get("lat_2", kv.get("lat_1", 0.0))),
+        lat0=float(kv.get("lat_0", 0.0)),
+        lon0=float(kv.get("lon_0", 0.0)),
+        x0=float(kv.get("x_0", 0.0)),
+        y0=float(kv.get("y_0", 0.0)),
+        a=float(kv.get("a", WGS84_A)),
+        f=(1.0 / float(kv["rf"])) if "rf" in kv else (
+            1.0 - float(kv["b"]) / float(kv.get("a", WGS84_A))
+            if "b" in kv else WGS84_F),
+    )
+
+
 def transform(lon, lat, crs: str) -> tuple[np.ndarray, np.ndarray]:
     """lon/lat (OGC:CRS84 degrees) -> coordinates of ``crs``.
 
     Supported: 'OGC:CRS84' / 'EPSG:4326' (identity), 'EPSG:3857',
-    'EPSG:326xx' (UTM north), 'EPSG:327xx' (UTM south).
+    'EPSG:326xx' (UTM north), 'EPSG:327xx' (UTM south), conic EPSG
+    aliases (EPSG:5070 Conus Albers, EPSG:2154 Lambert-93), and
+    PROJ-like '+proj=lcc/+proj=aea' parameter strings.
     """
+    conic = conic_from_spec(crs)
+    if conic is not None:
+        return conic.forward(lon, lat)
     crs = crs.upper()
     if crs in ("OGC:CRS84", "EPSG:4326", "CRS84"):
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)

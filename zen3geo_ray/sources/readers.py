@@ -33,7 +33,16 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs):
 
 
 def read_vector(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Driver-side small-side vector table load (POLYGONS schema)."""
+    """Driver-side small-side vector table load (POLYGONS schema).
+
+    Formats: parquet (default) or GeoJSON (``.geojson`` / ``.json`` —
+    pure-python parse, sources/geojson.py), both yielding the identical
+    fixed POLYGONS schema so downstream joins are format-agnostic."""
+    if path.endswith((".geojson", ".json")):
+        from .geojson import geojson_to_polygons_table
+
+        t = geojson_to_polygons_table(path)
+        return t.select(columns) if columns else t
     return pq.read_table(path, columns=columns)
 
 

@@ -23,6 +23,33 @@ from ..functions.hashing import fnv1a_str_array
 _BUCKET = "__bucket"
 
 
+def int_exact_frame(t: pa.Table) -> pd.DataFrame:
+    """Arrow -> pandas WITHOUT the int64-through-float64 hazard.
+
+    pandas' default Arrow conversion turns an integer column that holds
+    ANY null into float64 — every padded bucketed-join union does this to
+    the other side's payload columns, silently corrupting values above
+    2^53 (64-bit hashed node ids, fixed-point ranks).  Null-bearing
+    integer columns are therefore converted to pandas MASKED integer
+    arrays (exact int64 storage + separate validity mask); null-free
+    columns take the normal fast path so the hot joins pay nothing.
+    """
+    risky = [
+        c for c in t.column_names
+        if pa.types.is_integer(t.schema.field(c).type)
+        and t.column(c).null_count > 0
+    ]
+    if not risky:
+        return t.to_pandas()
+    df = t.drop_columns(risky).to_pandas()
+    for c in risky:
+        arr = t.column(c).combine_chunks()
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        df[c] = pd.arrays.IntegerArray(np.ascontiguousarray(vals), mask)
+    return df[t.column_names]
+
+
 def _bucket_ids(batch: pa.Table, key_cols: list[str], n_buckets: int) -> np.ndarray:
     h = np.zeros(len(batch), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -45,6 +72,20 @@ def _bucket_ids(batch: pa.Table, key_cols: list[str], n_buckets: int) -> np.ndar
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+_NULLABLE_INT = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64",
+}
+
+
+def nullable_int_name(pa_type: pa.DataType) -> str:
+    """pandas masked dtype name matching an Arrow integer type — used to
+    keep int payloads exact through a LEFT merge (whose unmatched rows
+    would otherwise force the lossy float64 fallback)."""
+    return _NULLABLE_INT[str(pa_type)]
+
+
 def bucketed_groupby(ds, key_cols: list[str], bucket_fn, n_buckets: int = 64):
     """Shuffle by coarse bucket; ``bucket_fn(pandas_df) -> pandas_df`` runs
     once per bucket with ALL rows of its keys (vectorize inside!)."""
@@ -54,8 +95,11 @@ def bucketed_groupby(ds, key_cols: list[str], bucket_fn, n_buckets: int = 64):
             _BUCKET, pa.array(_bucket_ids(batch, key_cols, n_buckets))
         )
 
-    def run(g: pd.DataFrame) -> pa.Table:
-        out = bucket_fn(g.drop(columns=[_BUCKET]))
+    def run(t: pa.Table) -> pa.Table:
+        # int_exact_frame (not Ray's pandas conversion): a chained left
+        # join upstream can leave nulls in int columns, and the default
+        # float64 fallback corrupts values above 2^53
+        out = bucket_fn(int_exact_frame(t.drop_columns([_BUCKET])))
         # emit Arrow blocks: downstream groupby/aggregate over pandas
         # blocks is an order of magnitude slower in Ray Data
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
@@ -63,7 +107,7 @@ def bucketed_groupby(ds, key_cols: list[str], bucket_fn, n_buckets: int = 64):
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby(_BUCKET)
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format="pyarrow")
     )
 
 

@@ -760,19 +760,31 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
     ``minhash_lsh_groups`` first if the run itself needs dedup; ids must
     be unique across runs.
 
-    Scale shape: only fixed-width (id, band, hash) and (id, sig[P]) rows
-    shuffle — documents never do; the store holds 8*(P+1) bytes per
-    surviving doc, read column-pruned; stored band hashes are RECOMPUTED
-    vectorized from signatures (CPU for 2x less store I/O).  The
-    position-agreement verify is one vectorized integer comparison, so
-    the whole delta flow is SQL-mirrorable (oracle ``delta_neardup``).
+    Scale shape: only fixed-width rows shuffle — documents never do; the
+    store holds 8*(P+1) bytes per surviving doc, read column-pruned;
+    stored band hashes are RECOMPUTED vectorized from signatures (CPU
+    for 2x less store I/O).  The position-agreement verify is one
+    vectorized integer comparison, so the whole delta flow is
+    SQL-mirrorable (oracle ``delta_neardup``).
+
+    Execution shape (round-3 verdict fix — the old flow was ~12
+    sequential Ray stages of pure latency at small scale): the NEW
+    side's band rows CARRY their signature through the band join, so a
+    band hit immediately holds the new sig and only ONE more join (old
+    sig attach) reaches the verify — 3 shuffles total (band join, old
+    attach, anti join) instead of 6.  The global pair/id distincts are
+    gone: verify uniquifies ids per batch and the anti join's per-bucket
+    ``drop_duplicates`` absorbs any remaining multiplicity.  Trade,
+    documented: new-side band shuffle volume grows from 20 B to
+    (20 + 8P) B per band row — paid only on the NEW delta (the small
+    side of an incremental run); the stored corpus still ships slim
+    20 B band rows.
     """
     import os
     import uuid
 
     import ray.data as rd
 
-    from .graph import distinct_tuples
     from .hashjoin import bucketed_join
 
     P = int(num_perm)
@@ -801,22 +813,36 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
             flat = np.frombuffer(b"".join(arr.to_pylist()), dtype="<u8")
         return flat.reshape(len(b), P)
 
-    def make_bands_fn(idc: str):
+    def make_bands_fn(idc: str, carry_sig: bool):
+        """Band rows per doc; with ``carry_sig`` each band row also
+        carries the doc's full signature (as ``__nsig``) so the band
+        join's output is verify-ready without a re-attach join."""
+
         def fn(b: pa.Table) -> pa.Table:
             sig = _sig_matrix(b)
             bh = band_hashes(sig, bands) if len(b) else \
                 np.empty((0, bands), dtype=np.uint64)
             ids = b.column(idc).to_numpy(zero_copy_only=False)
-            return pa.table({
+            cols = {
                 idc: pa.array(np.repeat(ids, bands)),
                 "band_id": pa.array(np.tile(np.arange(bands), len(b)),
                                     pa.int32()),
                 "band_hash": pa.array(bh.reshape(-1).view(np.int64),
                                       pa.int64()),
-            })
+            }
+            if carry_sig:
+                rep = np.repeat(sig, bands, axis=0)
+                data = np.ascontiguousarray(rep.astype("<u8")).tobytes()
+                cols["__nsig"] = pa.Array.from_buffers(
+                    pa.binary(SIGW), len(b) * bands,
+                    [None, pa.py_buffer(data)])
+            return pa.table(cols)
+
         return fn
 
     sigged = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
+    _sch = sigged.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
 
     store_files = [
         os.path.join(root, fn)
@@ -826,48 +852,45 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
 
     survivors = sigged
     if store_files:
+        # select store columns BY NAME (the parquet column order is an
+        # implementation detail of the writer, not a contract)
         old = rd.read_parquet(store_dir).map_batches(
-            lambda b: b.rename_columns(["__old", "__sig"]),
+            lambda b: pa.table({"__old": b.column(id_col),
+                                "__sig": b.column("__sig")}),
             batch_format="pyarrow",
         ).materialize()  # consumed twice: band probe + sig verify
         new_bands = sigged.map_batches(
             lambda b: b.select([id_col, "__sig"]), batch_format="pyarrow"
-        ).map_batches(make_bands_fn(id_col), batch_format="pyarrow")
-        old_bands = old.map_batches(make_bands_fn("__old"),
+        ).map_batches(make_bands_fn(id_col, carry_sig=True),
+                      batch_format="pyarrow")
+        old_bands = old.map_batches(make_bands_fn("__old", carry_sig=False),
                                     batch_format="pyarrow")
         hits = bucketed_join(new_bands, old_bands,
                              ["band_id", "band_hash"], n_buckets=n_buckets)
-        pairs = distinct_tuples(
-            hits.map_batches(lambda b: b.select([id_col, "__old"]),
-                             batch_format="pyarrow"),
-            [id_col, "__old"], n_buckets=n_buckets)
-        with_new = bucketed_join(
-            pairs,
-            sigged.map_batches(lambda b: b.select([id_col, "__sig"]),
-                               batch_format="pyarrow"),
-            [id_col], n_buckets=n_buckets)
         with_both = bucketed_join(
-            with_new.map_batches(
-                lambda b: b.rename_columns(
-                    [c if c != "__sig" else "__nsig" for c in b.column_names]),
+            hits.map_batches(
+                lambda b: b.select([id_col, "__old", "__nsig"]),
                 batch_format="pyarrow"),
             old, ["__old"], n_buckets=n_buckets)
 
         def verify(b: pa.Table) -> pa.Table:
             if len(b) == 0:
-                return pa.table({id_col: pa.array([], pa.int64())})
+                return pa.table({id_col: pa.array([], id_type)})
             a = _sig_matrix(b, "__nsig")
             o = _sig_matrix(b, "__sig")
             agree = (a == o).sum(axis=1)
             ids = b.column(id_col).to_numpy(zero_copy_only=False)
             return pa.table({id_col: pa.array(
-                np.unique(ids[agree >= agree_min]))})
+                np.unique(ids[agree >= agree_min]), id_type)})
 
-        dup_ids = distinct_tuples(
-            with_both.map_batches(verify, batch_format="pyarrow"),
-            [id_col], n_buckets=n_buckets)
-        survivors = bucketed_join(sigged, dup_ids, [id_col], how="anti",
-                                  n_buckets=n_buckets)
+        # dup id rows may repeat across batches/bands — the anti join's
+        # per-bucket drop_duplicates absorbs that; a global distinct
+        # here would only add a shuffle
+        dup_ids = with_both.map_batches(
+            verify, batch_format="pyarrow").materialize()
+        if dup_ids.count() > 0:
+            survivors = bucketed_join(sigged, dup_ids, [id_col], how="anti",
+                                      n_buckets=n_buckets)
 
     survivors = survivors.materialize()  # store append + output
     os.makedirs(store_dir, exist_ok=True)

@@ -651,6 +651,8 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
         surv = None  # None = all alive in round 1
         node_out = deg_out = None
         for _ in range(rounds):
+            if surv is not None and len(surv) == 0:
+                break  # empty core is a fixpoint — later rounds no-op
             ref = ray.put(surv)
 
             def alive_deg_partial(b: pa.Table, _ref=ref) -> pa.Table:
@@ -673,6 +675,11 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
                 e.map_batches(alive_deg_partial, batch_format="pyarrow"),
                 [NODE], deg_combine_named, n_buckets=n_buckets,
             ).to_pandas()
+            if "deg" not in red.columns:
+                # a fully-peeled round yields zero blocks, and the empty
+                # frame loses its columns — a legitimate empty k-core
+                red = pd.DataFrame({NODE: np.array([], np.int64),
+                                    "deg": np.array([], np.int64)})
             keep = red[red["deg"] >= k].sort_values(NODE, kind="mergesort")
             node_out = keep[NODE].to_numpy().astype(np.int64)
             deg_out = keep["deg"].to_numpy().astype(np.int64)
@@ -692,6 +699,10 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
             [NODE], deg_combine_named, n_buckets=n_buckets,
         )
 
+    import ray.data as rd
+
+    empty_core = pa.table({NODE: pa.array([], pa.int64()),
+                           "deg": pa.array([], pa.int64())})
     survivors = None  # None = all nodes alive (round 1 skips the semis)
     state = None
     for _ in range(rounds):
@@ -712,6 +723,11 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
                 pc.greater_equal(b.column("deg"), pa.scalar(k, pa.int64()))),
             batch_format="pyarrow",
         ), n_buckets)
+        if state.count() == 0:
+            # legitimate empty k-core: later rounds would feed a
+            # schema-less survivor set into the semi joins — return a
+            # TYPED empty (node, deg) dataset instead
+            return rd.from_arrow(empty_core)
         survivors = state
     return state
 

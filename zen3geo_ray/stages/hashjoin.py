@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .bucketed import _bucket_ids
+from .bucketed import _bucket_ids, int_exact_frame, nullable_int_name
 
 _SIDE = "__side"
 _BUCKET = "__jbucket"
@@ -83,20 +83,23 @@ def _tagged_union(left, right, on: list[str], n_buckets: int,
 
     def restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
         """Undo the union's dtype pollution: padding the OTHER side with
-        nulls turns int columns float in pandas; once a side is subset
-        back to its own (non-null) rows, cast ints back so key hashing
-        and chained joins see the original integer dtype."""
+        nulls makes int columns arrive as MASKED integer arrays (via
+        int_exact_frame — exact at all 64 bits, unlike the old float64
+        fallback); once a side is subset back to its own (non-null) rows,
+        cast ints back to plain numpy so key hashing and merges run at
+        native speed."""
         df = df[cols]
         for c in cols:
-            if (
-                pa.types.is_integer(types[c])
-                and df[c].dtype.kind == "f"
-                and not df[c].isna().any()
-            ):
-                df = df.assign(**{c: df[c].astype(types[c].to_pandas_dtype())})
+            if not pa.types.is_integer(types[c]):
+                continue
+            dt = df[c].dtype
+            if (isinstance(dt, pd.api.extensions.ExtensionDtype)
+                    or dt.kind == "f") and not df[c].isna().any():
+                df = df.assign(
+                    **{c: df[c].to_numpy(dtype=types[c].to_pandas_dtype())})
         return df
 
-    return (lt.union(rt), lcols, rcols, restore)
+    return (lt.union(rt), lcols, rcols, restore, types)
 
 
 def bucketed_join(left, right, on: list[str], how: str = "inner",
@@ -109,11 +112,12 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
     the distributed NOT IN / EXISTS shape, no driver-side key set.
     """
     filter_only = how in ("semi", "anti")
-    both, lcols, rcols, restore = _tagged_union(
+    both, lcols, rcols, restore, types = _tagged_union(
         left, right, on, n_buckets, keep_right_cols=not filter_only
     )
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = int_exact_frame(t)
         l = restore(g[g[_SIDE] == 0], lcols)
         if filter_only:
             rkeys = restore(g[g[_SIDE] == 1], on).drop_duplicates()
@@ -122,10 +126,18 @@ def bucketed_join(left, right, on: list[str], how: str = "inner",
             merged = m[m["_merge"] == want].drop(columns=["_merge"])
         else:
             r = restore(g[g[_SIDE] == 1], on + rcols)
+            if how == "left":
+                # unmatched left rows put nulls in right payloads; masked
+                # ints keep them exact (plain int64 would fall back to
+                # lossy float64 and emit mixed int/double block schemas)
+                for c in rcols:
+                    if pa.types.is_integer(types[c]):
+                        r = r.assign(
+                            **{c: r[c].astype(nullable_int_name(types[c]))})
             merged = l.merge(r, how=how, on=on)
         return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(left, right, by: list[str], on: str, n_buckets: int = 64,
@@ -180,23 +192,30 @@ def asof_join(left, right, by: list[str], on: str, n_buckets: int = 64,
     def restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
         df = df[cols]
         for c in cols:
-            if (
-                pa.types.is_integer(types[c])
-                and df[c].dtype.kind == "f"
-                and not df[c].isna().any()
-            ):
-                df = df.assign(**{c: df[c].astype(types[c].to_pandas_dtype())})
+            if not pa.types.is_integer(types[c]):
+                continue
+            dt = df[c].dtype
+            if (isinstance(dt, pd.api.extensions.ExtensionDtype)
+                    or dt.kind == "f") and not df[c].isna().any():
+                df = df.assign(
+                    **{c: df[c].to_numpy(dtype=types[c].to_pandas_dtype())})
         return df
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = int_exact_frame(t)
         l = restore(g[g[_SIDE] == 0], lcols).sort_values(on, kind="mergesort")
         r = restore(g[g[_SIDE] == 1], shared + rcols).sort_values(
             on, kind="mergesort"
         )
+        # as-of is left-join-shaped: unmatched rows null the right
+        # payloads — masked ints keep them exact (see bucketed_join)
+        for c in rcols:
+            if pa.types.is_integer(types[c]):
+                r = r.assign(**{c: r[c].astype(nullable_int_name(types[c]))})
         merged = pd.merge_asof(l, r, on=on, by=by, direction=direction)
         return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def sort_merge_join(left, right, on: list[str], how: str = "inner",
@@ -211,12 +230,19 @@ def sort_merge_join(left, right, on: list[str], how: str = "inner",
     """
     if how not in ("inner", "left"):
         raise ValueError("sort_merge_join supports how='inner'|'left'")
-    both, lcols, rcols, restore = _tagged_union(left, right, on, n_buckets)
+    both, lcols, rcols, restore, types = _tagged_union(left, right, on,
+                                                       n_buckets)
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = int_exact_frame(t)
         l = restore(g[g[_SIDE] == 0], lcols).sort_values(on, kind="mergesort")
         r = restore(g[g[_SIDE] == 1], on + rcols).sort_values(on, kind="mergesort")
+        if how == "left":
+            for c in rcols:
+                if pa.types.is_integer(types[c]):
+                    r = r.assign(
+                        **{c: r[c].astype(nullable_int_name(types[c]))})
         merged = pd.merge_ordered(l, r, on=on, how=how)
         return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")

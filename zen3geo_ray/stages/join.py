@@ -455,7 +455,10 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
 
     out_cols = pcols + ["poly_id"] + (["poly_name"] if "name" in gcols else [])
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        from .bucketed import int_exact_frame
+
+        g = int_exact_frame(t)
         frames = []
         for _, sub in g.groupby("__cell", sort=False):
             pts = sub[sub["__side"] == 0]
@@ -475,7 +478,7 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
             if len(qi) == 0:
                 continue
             f = pts.iloc[qi][pcols].reset_index(drop=True)
-            f["poly_id"] = pls["poly_id"].to_numpy()[ii].astype(np.int64)
+            f["poly_id"] = pls["poly_id"].to_numpy(dtype=np.int64)[ii]
             if "name" in gcols:
                 f["poly_name"] = pls["name"].to_numpy()[ii]
             frames.append(f)
@@ -490,9 +493,12 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
             return pa.table({c: pa.array([], etypes[c]) for c in out_cols})
         out = pd.concat(frames, ignore_index=True)
         for c in pcols:
-            if (pa.types.is_integer(types[c]) and out[c].dtype.kind == "f"
-                    and not out[c].isna().any()):
-                out[c] = out[c].astype(types[c].to_pandas_dtype())
+            if not pa.types.is_integer(types[c]):
+                continue
+            dt = out[c].dtype
+            if (isinstance(dt, pd.api.extensions.ExtensionDtype)
+                    or dt.kind == "f") and not out[c].isna().any():
+                out[c] = out[c].to_numpy(dtype=types[c].to_pandas_dtype())
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -27,17 +27,35 @@ from ..functions.hashing import knuth_hash
 from ..geom import cells
 
 
-def choose_salt(ds, key_col: str, target_rows_per_group: int = 100_000,
-                sample_rows: int = 500_000) -> int:
-    """Pick a salt factor from a sampled per-key histogram: S such that
-    the hottest key's rows split into ~target-sized partial groups."""
-    sample = ds.limit(sample_rows).groupby(key_col).count().to_pandas()
-    if len(sample) == 0:
-        return 1
-    hottest = int(sample["count()"].max()) if "count()" in sample else int(
-        sample.iloc[:, -1].max()
+def choose_salt(ds, key_col: str, target_rows_per_group: int = 100_000) -> int:
+    """Pick a salt factor S such that the hottest key's rows split into
+    ~target-sized partial groups.
+
+    The hottest-key count is EXACT, not sampled: a combiner-first count
+    (per-batch ``np.unique`` partials, one coarse-bucket sum) feeds a
+    scalar ``Dataset.max`` — at most one row per (key, batch) shuffles
+    and no key table ever reaches the driver.  (The previous
+    ``limit()``-prefix sample under-counted hot keys on any clustered
+    input — the same order bias fixed in the ANN tuner and the Morton
+    boundary sampler.)"""
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        vals, counts = np.unique(
+            col.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({key_col: pa.array(vals),
+                         "_c": pa.array(counts.astype(np.int64))})
+
+    counts = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col],
+        lambda g: g.groupby(key_col, sort=False, as_index=False)["_c"].sum(),
     )
-    return max(1, min(256, -(-hottest // target_rows_per_group)))
+    hottest = counts.max("_c")
+    if hottest is None:
+        return 1
+    return max(1, min(256, -(-int(hottest) // target_rows_per_group)))
 
 
 def add_salt(batch: pa.Table, *, salt: int, row_key_col: str,
@@ -54,11 +72,16 @@ def add_salt(batch: pa.Table, *, salt: int, row_key_col: str,
 
 
 def salted_group_reduce(ds, key_cols: list[str], partial_fn, merge_fn,
-                        salt: int, row_key_col: str):
+                        salt: int | None, row_key_col: str):
     """Two-level reduce: groupby(key+salt) -> partial_fn(pandas) ->
     groupby(key) -> merge_fn(pandas).  Both fns must be written so that
-    merge(partials) == reduce(all rows) (associativity contract)."""
+    merge(partials) == reduce(all rows) (associativity contract).
+    ``salt=None`` auto-sizes from the exact hottest-key count
+    (:func:`choose_salt` on the first key column)."""
     import pandas as pd
+
+    if salt is None:
+        salt = choose_salt(ds, key_cols[0])
 
     salted = ds.map_batches(
         lambda b: add_salt(b, salt=salt, row_key_col=row_key_col),
@@ -89,20 +112,55 @@ def add_morton(batch: pa.Table, *, res: int = 16, lon_col="lon", lat_col="lat",
     return batch.append_column(out_col, pa.array(m.astype(np.int64)))
 
 
+def uniform_value_sample(ds, col: str, n_sample: int) -> np.ndarray:
+    """One-pass UNIFORM sample of a numeric column, unbiased under ANY
+    row order: every row gets a deterministic hash rank (value bits
+    mixed with its within-block index so duplicated values still sample
+    proportionally), each block keeps its n smallest ranks, one final
+    top-n merges them.  ``limit(n)`` would take the first blocks only —
+    on key- or time-clustered input that prefix is unrepresentative and
+    quantile boundaries collapse onto one hot partition (round-3
+    verdict; same fix as the ANN tuner's ``_sample_matrix``)."""
+    from ..functions.hashing import splitmix64
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        bits = np.ascontiguousarray(v).view(np.uint64) if v.dtype.itemsize == 8 \
+            else v.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(bits + splitmix64(
+                np.arange(len(v), dtype=np.uint64)))
+        keep = np.sort(np.argsort(h, kind="stable")[:n_sample])
+        return pa.table({col: pa.array(v[keep]),
+                         "__rank": pa.array(h[keep].view(np.int64))})
+
+    pruned = ds.map_batches(local_top, batch_format="pyarrow")
+
+    def final_top(batch: pa.Table) -> pa.Table:
+        r = batch.column("__rank").to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(r, kind="stable")[:n_sample])
+        return batch.take(pa.array(keep)).select([col])
+
+    out = pruned.repartition(1).map_batches(
+        final_top, batch_format="pyarrow").to_pandas()
+    return out[col].to_numpy()
+
+
 def range_partition_by_morton(ds, num_partitions: int, res: int = 16,
                               lon_col="lon", lat_col="lat"):
     """Assign a contiguous space-filling-curve range partition id.
 
-    Boundaries from a sampled quantile sketch of the Morton keys (the
-    driver-side histogram the north star calls for); each partition then
-    covers a compact spatial region — the layout for resumable writes and
-    downstream range scans.  Adds columns ``morton`` and ``partition``.
+    Boundaries from a hash-ranked UNIFORM sample of the Morton keys
+    (``uniform_value_sample`` — order-unbiased, so clustered input still
+    yields balanced cuts); each partition then covers a compact spatial
+    region — the layout for resumable writes and downstream range
+    scans.  Adds columns ``morton`` and ``partition``.
     """
     with_m = ds.map_batches(
         lambda b: add_morton(b, res=res, lon_col=lon_col, lat_col=lat_col),
         batch_format="pyarrow",
-    )
-    sample = with_m.limit(200_000).to_pandas()["morton"].to_numpy()
+    ).materialize()  # consumed twice: boundary sample + assignment
+    sample = uniform_value_sample(with_m, "morton", 200_000)
     qs = np.quantile(sample, np.linspace(0, 1, num_partitions + 1)[1:-1])
     bounds = np.unique(qs.astype(np.int64))
 

@@ -57,15 +57,21 @@ def _make_shard_cls():
             self.n = n_shards
             self._src_parts: list[np.ndarray] = []
             self._dst_parts: list[np.ndarray] = []
+            self._w_parts: list[np.ndarray] = []
             self._node_parts: list[np.ndarray] = []
             self._deg_parts: list[np.ndarray] = []
             self.nodes = np.empty(0, dtype=np.int64)
             self.outdeg = np.empty(0, dtype=np.int64)
             self.pr = np.empty(0, dtype=np.int64)
+            self.seed = None  # None = classic (every node a seed)
+            self.w = None  # None = unweighted edges
 
-        def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        def add_edges(self, src: np.ndarray, dst: np.ndarray,
+                      w: np.ndarray | None = None) -> int:
             self._src_parts.append(np.asarray(src, dtype=np.int64))
             self._dst_parts.append(np.asarray(dst, dtype=np.int64))
+            if w is not None:
+                self._w_parts.append(np.asarray(w, dtype=np.int64))
             return len(src)
 
         def seal(self) -> int:
@@ -75,10 +81,17 @@ def _make_shard_cls():
                    if self._src_parts else np.empty(0, np.int64))
             dst = (np.concatenate(self._dst_parts)
                    if self._dst_parts else np.empty(0, np.int64))
-            self._src_parts = self._dst_parts = []
+            if self._w_parts:
+                w = np.concatenate(self._w_parts)
+                if len(w) != len(src):
+                    raise ValueError("weighted and unweighted add_edges mixed")
+            else:
+                w = None
+            self._src_parts = self._dst_parts = self._w_parts = []
             order = np.argsort(src, kind="mergesort")
             self.src = src[order]
             self.dst = dst[order]
+            self.w = w[order] if w is not None else None
             # pre-split destinations by owner shard (static across rounds)
             self.dst_shard = _shard_of(self.dst, self.n)
             return len(self.src)
@@ -90,7 +103,12 @@ def _make_shard_cls():
             self._deg_parts.append(np.asarray(outdeg, np.int64))
             return len(nodes)
 
-        def init_rank(self, r0: int) -> None:
+        def init_rank(self, r0: int,
+                      seed_ids: np.ndarray | None = None) -> None:
+            """``seed_ids`` (a SORTED global seed array — seed sets are
+            small by the personalization contract, so every shard gets
+            the whole array) turns the walk personalized: teleport mass
+            lands only on seeds; None = classic PageRank."""
             nodes = (np.concatenate(self._node_parts)
                      if self._node_parts else np.empty(0, np.int64))
             outdeg = (np.concatenate(self._deg_parts)
@@ -99,7 +117,17 @@ def _make_shard_cls():
             order = np.argsort(nodes, kind="mergesort")
             self.nodes = nodes[order]
             self.outdeg = outdeg[order]
-            self.pr = np.full(len(self.nodes), int(r0), dtype=np.int64)
+            if seed_ids is None:
+                self.seed = np.ones(len(self.nodes), dtype=np.int64)
+            else:
+                sid = np.asarray(seed_ids, dtype=np.int64)
+                if len(sid) and len(self.nodes):
+                    ix = np.minimum(np.searchsorted(sid, self.nodes),
+                                    len(sid) - 1)
+                    self.seed = (sid[ix] == self.nodes).astype(np.int64)
+                else:
+                    self.seed = np.zeros(len(self.nodes), dtype=np.int64)
+            self.pr = self.seed * int(r0)
 
         def contribs(self) -> list:
             """S per-destination-shard (node, sum) partial tables."""
@@ -108,7 +136,13 @@ def _make_shard_cls():
                                   "_s": pa.array([], pa.int64())})
                 return [empty] * self.n
             ix = np.searchsorted(self.nodes, self.src)
-            c = self.pr[ix] // self.outdeg[ix]  # outdeg >= 1 for sources
+            if self.w is None:
+                c = self.pr[ix] // self.outdeg[ix]  # outdeg >= 1 for srcs
+            else:
+                # outdeg holds the node's total OUT-WEIGHT here; exact
+                # integer per-edge share, same recurrence as
+                # graph.pagerank(weight_col=...)
+                c = (self.pr[ix] * self.w) // self.outdeg[ix]
             out = []
             for j in range(self.n):
                 m = self.dst_shard == j
@@ -133,7 +167,7 @@ def _make_shard_cls():
                     continue
                 ix = np.searchsorted(self.nodes, nd)
                 s[ix] += t.column("_s").to_numpy(zero_copy_only=False)
-            self.pr = int(base) + (int(d_num) * s) // int(d_den)
+            self.pr = self.seed * int(base) + (int(d_num) * s) // int(d_den)
             return len(self.pr)
 
         def rank_table(self) -> pa.Table:
@@ -189,16 +223,65 @@ def _make_shard_cls():
             return pa.table({NODE: pa.array(self.nodes),
                              "comp": pa.array(self.comp)})
 
+        # --- synchronous k-core peeling (dead-delta exchange) ----------
+        def init_alive(self) -> None:
+            """Node universe = unique local edge sources (the symmetric
+            routing delivers every endpoint as a source)."""
+            nodes = (np.concatenate(self._node_parts)
+                     if self._node_parts else np.empty(0, np.int64))
+            self._node_parts = self._deg_parts = []
+            self.nodes = np.unique(nodes)
+            self.alive = np.ones(len(self.nodes), dtype=bool)
+            self.deg = np.zeros(len(self.nodes), dtype=np.int64)
+            self.edge_ok = np.ones(len(self.src), dtype=bool)
+
+        def peel(self, k: int, *dead_in) -> np.ndarray:
+            """One SYNCHRONOUS peel round: apply last round's deaths
+            (mask dst-dead edges), recompute each alive node's degree
+            among alive neighbors, kill deg < k, return the newly-dead
+            ids (next round's delta).  Exactly graph.kcore's per-round
+            semantics — parity-tested."""
+            dead = [np.asarray(d, dtype=np.int64) for d in dead_in
+                    if d is not None and len(d)]
+            if dead:
+                dd = np.sort(np.concatenate(dead))
+                if len(self.dst) and self.edge_ok.any():
+                    ix = np.minimum(np.searchsorted(dd, self.dst),
+                                    len(dd) - 1)
+                    self.edge_ok &= dd[ix] != self.dst
+            if len(self.nodes) == 0:
+                return np.empty(0, dtype=np.int64)
+            m = self.edge_ok
+            if len(self.src):
+                m = m & self.alive[np.searchsorted(self.nodes, self.src)]
+            deg = np.zeros(len(self.nodes), dtype=np.int64)
+            if m.any():
+                u, c = np.unique(self.src[m], return_counts=True)
+                deg[np.searchsorted(self.nodes, u)] = c
+            newly = self.nodes[self.alive & (deg < k)]
+            self.alive &= deg >= k
+            self.deg = deg
+            return newly
+
+        def core_table(self) -> pa.Table:
+            return pa.table({NODE: pa.array(self.nodes[self.alive]),
+                             "deg": pa.array(self.deg[self.alive])})
+
     return GraphShard
 
 
 def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
                     iters: int = 4, scale: int = 10 ** 12,
                     d_num: int = 85, d_den: int = 100,
-                    n_shards: int | None = None):
+                    n_shards: int | None = None,
+                    weight_col: str | None = None, seeds=None):
     """PageRank over actor-pinned edge shards (see module docstring).
 
-    Same result as ``graph.pagerank`` bit for bit; per-round data
+    Same result as ``graph.pagerank`` bit for bit — including the
+    WEIGHTED (``weight_col``: positive int edge weights, outdeg = total
+    out-weight, per-edge share ``(pr*w)//W``) and PERSONALIZED
+    (``seeds``: Dataset of teleport nodes; seed sets are small by
+    contract, shipped whole to every shard) variants; per-round data
     movement excludes the edge table entirely.  Returns a Dataset built
     from the shard rank tables WITHOUT driver materialization
     (``ray.data.from_arrow_refs``)."""
@@ -213,76 +296,101 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
     S = int(n_shards)
     GraphShard = _make_shard_cls()
     shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        # distributed ingestion: map tasks route each batch's edges to
+        # their shard owners (acked inside the task — no driver-side
+        # batch loop).  Routing MUTATES actor state, so the routing
+        # stages run with max_retries=0: a retried task would re-deliver
+        # its batch and silently duplicate edges/nodes — fail loudly
+        # instead (the caller reruns the whole build, which is cheap
+        # relative to corrupt ranks).
+        shards_ref = ray.put(shards)
 
-    # distributed ingestion: map tasks route each batch's edges to their
-    # shard owners (acked inside the task — no driver-side batch loop)
-    shards_ref = ray.put(shards)
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = None if weight_col is None else b.column(
+                weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = _shard_of(s, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(
+                        s[m], d[m], None if w is None else w[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
 
-    def route(b: pa.Table) -> pa.Table:
-        hs = ray.get(shards_ref)
-        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = _shard_of(s, S)
-        acks = []
-        for j in range(S):
-            m = sh == j
-            if m.any():
-                acks.append(hs[j].add_edges.remote(s[m], d[m]))
-        ray.get(acks)
-        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+        edges.map_batches(
+            route, batch_format="pyarrow",
+            max_retries=0, retry_exceptions=False,
+        ).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
 
-    edges.map_batches(route, batch_format="pyarrow").materialize()
-    ray.get([sh.seal.remote() for sh in shards])
+        # node universe + out-degrees (out-WEIGHTS when weighted) via the
+        # Dataset combiner, routed to the co-partitioned owners
+        nodes = node_degrees(edges, src=src, dst=dst,
+                             weight_col=weight_col).materialize()
 
-    # node universe + out-degrees via the Dataset combiner, routed to
-    # the co-partitioned owners the same way
-    nodes = node_degrees(edges, src=src, dst=dst).materialize()
+        def route_nodes(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
+            od = b.column("outdeg").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sh = _shard_of(nd, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_nodes.remote(nd[m], od[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
 
-    def route_nodes(b: pa.Table) -> pa.Table:
-        hs = ray.get(shards_ref)
-        nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
-        od = b.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = _shard_of(nd, S)
-        acks = []
-        for j in range(S):
-            m = sh == j
-            if m.any():
-                acks.append(hs[j].add_nodes.remote(nd[m], od[m]))
-        ray.get(acks)
-        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+        nodes.map_batches(
+            route_nodes, batch_format="pyarrow",
+            max_retries=0, retry_exceptions=False,
+        ).materialize()
 
-    nodes.map_batches(route_nodes, batch_format="pyarrow").materialize()
+        n = nodes.count()
+        if n == 0:
+            return rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
+                                           "outdeg": pa.array([], pa.int64()),
+                                           "pr": pa.array([], pa.int64())}))
+        seed_ids = None
+        if seeds is not None:
+            seed_ids = np.sort(np.unique(
+                seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+            if len(seed_ids) == 0:
+                raise ValueError("personalized pagerank needs >= 1 seed")
+        s_count = n if seed_ids is None else int(len(seed_ids))
+        base = ((d_den - d_num) * scale) // (d_den * s_count)
+        r0 = scale // s_count
+        ray.get([sh.init_rank.remote(r0, seed_ids) for sh in shards])
 
-    n = nodes.count()
-    if n == 0:
-        return rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
-                                       "outdeg": pa.array([], pa.int64()),
-                                       "pr": pa.array([], pa.int64())}))
-    base = ((d_den - d_num) * scale) // (d_den * n)
-    r0 = scale // n
-    ray.get([sh.init_rank.remote(r0) for sh in shards])
+        for _ in range(iters):
+            # S refs per shard; partial tables flow actor-to-actor
+            if S == 1:
+                outs = [[sh.contribs.remote()] for sh in shards]
+            else:
+                outs = [sh.contribs.options(num_returns=S).remote()
+                        for sh in shards]
+            acks = [
+                shards[j].apply.remote(base, d_num, d_den,
+                                       *[outs[i][j] for i in range(S)])
+                for j in range(S)
+            ]
+            ray.get(acks)
 
-    for _ in range(iters):
-        # S refs per shard; partial tables flow actor-to-actor
-        if S == 1:
-            outs = [[sh.contribs.remote()] for sh in shards]
-        else:
-            outs = [sh.contribs.options(num_returns=S).remote()
-                    for sh in shards]
-        acks = [
-            shards[j].apply.remote(base, d_num, d_den,
-                                   *[outs[i][j] for i in range(S)])
-            for j in range(S)
-        ]
-        ray.get(acks)
-
-    refs = [sh.rank_table.remote() for sh in shards]
-    # materialize before killing the shards so the blocks no longer
-    # depend on actor-task lineage for reconstruction
-    out = rd.from_arrow_refs(refs).materialize()
-    for sh in shards:
-        ray.kill(sh)
-    return out
+        refs = [sh.rank_table.remote() for sh in shards]
+        # materialize before killing the shards so the blocks no longer
+        # depend on actor-task lineage for reconstruction
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        # covers the n == 0 early return AND any raise between actor
+        # creation and here — shard memory never outlives the call
+        for sh in shards:
+            ray.kill(sh)
 
 
 def pinned_components(edges, *, src: str = "src", dst: str = "dst",
@@ -305,54 +413,132 @@ def pinned_components(edges, *, src: str = "src", dst: str = "dst",
     S = int(n_shards)
     GraphShard = _make_shard_cls()
     shards = [GraphShard.remote(i, S) for i in range(S)]
-    shards_ref = ray.put(shards)
+    try:
+        shards_ref = ray.put(shards)
 
-    def route(b: pa.Table) -> pa.Table:
-        hs = ray.get(shards_ref)
-        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        # symmetrize at routing time: each undirected edge lands in both
-        # endpoints' shards as an out-edge
-        s2 = np.concatenate([s, d])
-        d2 = np.concatenate([d, s])
-        sh = _shard_of(s2, S)
-        acks = []
-        for j in range(S):
-            m = sh == j
-            if m.any():
-                acks.append(hs[j].add_edges.remote(s2[m], d2[m]))
-                # node universe = all sources of the symmetric edges
-                acks.append(hs[j].add_nodes.remote(
-                    s2[m], np.zeros(int(m.sum()), np.int64)))
-        ray.get(acks)
-        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            # symmetrize at routing time: each undirected edge lands in
+            # both endpoints' shards as an out-edge
+            s2 = np.concatenate([s, d])
+            d2 = np.concatenate([d, s])
+            sh = _shard_of(s2, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(s2[m], d2[m]))
+                    # node universe = all sources of the symmetric edges
+                    acks.append(hs[j].add_nodes.remote(
+                        s2[m], np.zeros(int(m.sum()), np.int64)))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
 
-    edges.map_batches(route, batch_format="pyarrow").materialize()
-    ray.get([sh.seal.remote() for sh in shards])
-    ray.get([sh.init_comp.remote() for sh in shards])
+        # max_retries=0: routing mutates actor state; a retried task
+        # would duplicate edges/nodes (see pinned_pagerank)
+        edges.map_batches(
+            route, batch_format="pyarrow",
+            max_retries=0, retry_exceptions=False,
+        ).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.init_comp.remote() for sh in shards])
 
-    converged = False
-    for _ in range(max_rounds):
-        if S == 1:
-            outs = [[sh.min_contribs.remote()] for sh in shards]
-        else:
-            outs = [sh.min_contribs.options(num_returns=S).remote()
-                    for sh in shards]
-        changed = ray.get([
-            shards[j].apply_min.remote(*[outs[i][j] for i in range(S)])
-            for j in range(S)
-        ])
-        if sum(changed) == 0:
-            converged = True
-            break
-    if not converged:
+        converged = False
+        for _ in range(max_rounds):
+            if S == 1:
+                outs = [[sh.min_contribs.remote()] for sh in shards]
+            else:
+                outs = [sh.min_contribs.options(num_returns=S).remote()
+                        for sh in shards]
+            changed = ray.get([
+                shards[j].apply_min.remote(*[outs[i][j] for i in range(S)])
+                for j in range(S)
+            ])
+            if sum(changed) == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"pinned_components did not converge in {max_rounds} relax "
+                "rounds (rounds are diameter-bound on this path)")
+        refs = [sh.comp_table.remote() for sh in shards]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
         for sh in shards:
             ray.kill(sh)
-        raise RuntimeError(
-            f"pinned_components did not converge in {max_rounds} relax "
-            "rounds (rounds are diameter-bound on this path)")
-    refs = [sh.comp_table.remote() for sh in shards]
-    out = rd.from_arrow_refs(refs).materialize()
-    for sh in shards:
-        ray.kill(sh)
-    return out
+
+
+def pinned_kcore(edges, *, k: int, rounds: int, src: str = "src",
+                 dst: str = "dst", n_shards: int | None = None):
+    """Synchronous k-core peeling over actor-pinned edge shards — same
+    per-round semantics (and parity-tested results) as ``graph.kcore``,
+    with the edge table shipped ONCE.
+
+    Exchange shape: each round every shard returns only its NEWLY-DEAD
+    node ids; the driver forwards the S delta refs to every shard for
+    the next round (object-store peer-to-peer).  Total exchanged volume
+    across ALL rounds is bounded by the number of nodes ever peeled —
+    the shrinking-frontier property that makes deep peeling sequences
+    cheap, where the Dataset path pays two semi joins per round."""
+    import ray
+    import ray.data as rd
+
+    from .graph import distinct_tuples
+
+    if rounds < 1:
+        raise ValueError("pinned_kcore needs rounds >= 1")
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+
+    # identical pre-pass to graph.kcore: symmetric DISTINCT neighbor
+    # pairs so degree counts each neighbor once
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"u": pa.array(np.concatenate([s, d])),
+                         "v": pa.array(np.concatenate([d, s]))})
+
+    e = distinct_tuples(edges.map_batches(symm, batch_format="pyarrow"),
+                        ["u", "v"]).materialize()
+
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            sh = _shard_of(u, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(u[m], v[m]))
+                    acks.append(hs[j].add_nodes.remote(
+                        u[m], np.zeros(int(m.sum()), np.int64)))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        # max_retries=0: routing mutates actor state (see pinned_pagerank)
+        e.map_batches(route, batch_format="pyarrow",
+                      max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.init_alive.remote() for sh in shards])
+
+        deltas: list = []
+        for _ in range(rounds):
+            deltas = [sh.peel.remote(k, *deltas) for sh in shards]
+        ray.get(deltas)  # barrier so core_table sees the final round
+        refs = [sh.core_table.remote() for sh in shards]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)

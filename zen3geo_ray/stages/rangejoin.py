@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .bucketed import _bucket_ids  # noqa: F401  (shared convention)
+from .bucketed import _bucket_ids, int_exact_frame  # noqa: F401
 
 _BUCKET = "__rbucket"
 _SIDE = "__rside"
@@ -136,12 +136,17 @@ def _typed_empty(cols: list[str], types: dict) -> pa.Table:
 
 
 def _restore_int_dtypes(out: pd.DataFrame, cols: list[str], types: dict):
-    """Undo the union's null-padding dtype pollution (ints -> float)."""
+    """Undo the union's null-padding dtype pollution: int columns arrive
+    as MASKED integer arrays (int_exact_frame — exact at 64 bits) or,
+    defensively, float64; cast back to plain numpy ints once null-free."""
     for c in cols:
         t = types[c]
-        if (pa.types.is_integer(t) and out[c].dtype.kind == "f"
-                and not out[c].isna().any()):
-            out[c] = out[c].astype(t.to_pandas_dtype())
+        if not pa.types.is_integer(t):
+            continue
+        dt = out[c].dtype
+        if (isinstance(dt, pd.api.extensions.ExtensionDtype)
+                or dt.kind == "f") and not out[c].isna().any():
+            out[c] = out[c].to_numpy(dtype=t.to_pandas_dtype())
     return out
 
 
@@ -210,7 +215,8 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
     rt = right.map_batches(pad_right, batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = int_exact_frame(t)
         outs = []
         for _, sg in g.groupby(_SLAB, sort=False):
             l = sg[sg[_SIDE] == 0]
@@ -234,7 +240,7 @@ def bucketed_range_join(left, right, *, value_col: str, lo_col: str,
         out = _restore_int_dtypes(out, lcols + rcols, types)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def keyed_range_join(left, right, *, left_key: str, right_key: str,
@@ -315,11 +321,14 @@ def keyed_range_join(left, right, *, left_key: str, right_key: str,
     rt = right.map_batches(pad_right, batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        g = int_exact_frame(t)
         l = g[g[_SIDE] == 0]
         r = g[g[_SIDE] == 1]
         if len(l) == 0 or len(r) == 0:
             return _typed_empty(lcols + rcols, types)
+        l = _restore_int_dtypes(l.copy(), lcols, types)
+        r = _restore_int_dtypes(r.copy(), rcols, types)
         lk = l[left_key].to_numpy()
         rk = r[right_key].to_numpy()
         ls = l[_SLAB].to_numpy(dtype=np.int64)
@@ -353,4 +362,4 @@ def keyed_range_join(left, right, *, left_key: str, right_key: str,
         out = _restore_int_dtypes(out, lcols + rcols, types)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
