@@ -224,3 +224,37 @@ def test_choose_salt_exact_hot_key(ray_session):
     hot = pa.table({"k": pa.array(np.full(5000, -1, dtype=np.int64))})
     ds = rd.from_arrow(cold).union(rd.from_arrow(hot))
     assert choose_salt(ds, "k", target_rows_per_group=1000) == 5
+
+
+def test_incremental_minhash_broadcast_vs_bucketed_parity(ray_session,
+                                                          tmp_path):
+    """The broadcast store probe (zero shuffles) and the bucketed
+    three-shuffle path must keep the SAME survivors."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import incremental_minhash_dedup
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    base = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    run1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(base)}))
+    # run2 = 20 copies of stored docs + 20 fresh docs
+    fresh = [" ".join(rng.choice(words, 30)) + " novel" for _ in range(20)]
+    run2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(100, 140), pa.int64()),
+        "text": pa.array(base[:20] + fresh)}))
+
+    outs = {}
+    for label, thresh in (("broadcast", 10 ** 9), ("bucketed", 0)):
+        store = str(tmp_path / f"store_{label}")
+        incremental_minhash_dedup(run1, store, num_perm=16, bands=8,
+                                  agree_min=12).count()
+        out = incremental_minhash_dedup(run2, store, num_perm=16, bands=8,
+                                        agree_min=12,
+                                        broadcast_store=thresh)
+        outs[label] = sorted(out.to_pandas()["doc_id"])
+    assert outs["broadcast"] == outs["bucketed"]
+    # the 20 exact copies must be dropped on both paths
+    assert all(d >= 120 for d in outs["broadcast"])

@@ -742,10 +742,21 @@ def incremental_exact_dedup(ds, store_dir: str, *, text_col: str = "text",
     return fresh
 
 
+#: store-row ceiling for the BROADCAST probe path: below it the whole
+#: signature store (8(P+1) bytes/row ≈ 100 MB at 200k rows, P=64) ships
+#: once via ray.put and the band match + agreement verify + drop run
+#: INSIDE one map pass over the new side — zero shuffles, one execution.
+#: Above it, the bucketed three-shuffle path runs (the billion-sig
+#: store shape).  Same semantics bit for bit (parity-tested).
+BROADCAST_STORE_ROWS = 200_000
+
+
 def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
                               text_col: str = "text", num_perm: int = 64,
                               bands: int = 16, k: int = 3,
-                              agree_min: int = 32, n_buckets: int = 64):
+                              agree_min: int = 32,
+                              n_buckets: int | None = None,
+                              broadcast_store: int = BROADCAST_STORE_ROWS):
     """CROSS-RUN NEAR-duplicate dedup against a persistent MinHash
     SIGNATURE store — the "dedup this crawl against every prior crawl"
     primitive.
@@ -843,6 +854,10 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
     sigged = ds.map_batches(add_sig, batch_format="pyarrow").materialize()
     _sch = sigged.schema()
     id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    if n_buckets is None:
+        # task-count-bound at small scale (the _auto_buckets lesson):
+        # one bucket per ~25k band rows, floor 8 for parallelism
+        n_buckets = int(min(64, max(8, (sigged.count() * bands) // 25_000)))
 
     store_files = [
         os.path.join(root, fn)
@@ -850,15 +865,72 @@ def incremental_minhash_dedup(ds, store_dir: str, *, id_col: str = "doc_id",
         for fn in files if fn.endswith(".parquet")
     ] if os.path.isdir(store_dir) else []
 
+    import pyarrow.parquet as _pq
+
+    n_old = sum(_pq.read_metadata(f).num_rows for f in store_files)
+
     survivors = sigged
-    if store_files:
+    if store_files and n_old <= broadcast_store:
+        # BROADCAST path: the store fits one object — driver loads it
+        # column-pruned, builds per-band sorted hash indexes, ships the
+        # blob once; each new batch band-matches via searchsorted,
+        # verifies signature agreement vectorized, and filters — the
+        # whole probe is ONE map pass, no shuffle at all.
+        from .graph import _get_blob  # per-worker memoized ray.get
+        import ray as _ray
+
+        old_tbl = pa.concat_tables(
+            [_pq.read_table(f, columns=[id_col, "__sig"])
+             for f in store_files])
+        osig = _sig_matrix(old_tbl)
+        obands = band_hashes(osig, bands) if len(old_tbl) else \
+            np.empty((0, bands), dtype=np.uint64)
+        orders = [np.argsort(obands[:, j], kind="stable")
+                  for j in range(bands)]
+        sorted_h = [obands[:, j][orders[j]] for j in range(bands)]
+        blob_ref = _ray.put((sorted_h, orders, osig)) \
+            if _ray.is_initialized() else (sorted_h, orders, osig)
+
+        def probe(b: pa.Table, _ref=blob_ref) -> pa.Table:
+            sh, od, os_ = _get_blob(_ref) if not isinstance(_ref, tuple) \
+                else _ref
+            if len(b) == 0:
+                return b
+            nsig = _sig_matrix(b)
+            nh = band_hashes(nsig, bands)
+            dup = np.zeros(len(b), dtype=bool)
+            for j in range(bands):
+                live = np.flatnonzero(~dup)
+                if len(live) == 0:
+                    break
+                h = nh[live, j]
+                lo = np.searchsorted(sh[j], h, side="left")
+                hi = np.searchsorted(sh[j], h, side="right")
+                cnt = hi - lo
+                m = cnt > 0
+                if not m.any():
+                    continue
+                starts, counts = lo[m], cnt[m]
+                total = int(counts.sum())
+                offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                pos = (np.arange(total) - np.repeat(offs, counts)
+                       + np.repeat(starts, counts))
+                i_new = np.repeat(live[m], counts)
+                j_old = od[j][pos]
+                agree = (nsig[i_new] == os_[j_old]).sum(axis=1)
+                hit = i_new[agree >= agree_min]
+                dup[hit] = True
+            return b.filter(pa.array(~dup))
+
+        survivors = sigged.map_batches(probe, batch_format="pyarrow")
+    elif store_files:
         # select store columns BY NAME (the parquet column order is an
         # implementation detail of the writer, not a contract)
         old = rd.read_parquet(store_dir).map_batches(
             lambda b: pa.table({"__old": b.column(id_col),
                                 "__sig": b.column("__sig")}),
             batch_format="pyarrow",
-        ).materialize()  # consumed twice: band probe + sig verify
+        ).materialize()
         new_bands = sigged.map_batches(
             lambda b: b.select([id_col, "__sig"]), batch_format="pyarrow"
         ).map_batches(make_bands_fn(id_col, carry_sig=True),
