@@ -6,6 +6,7 @@ import pytest
 
 import ray.data as rd
 
+from zen3geo_ray.sources import geotiff as gt
 from zen3geo_ray.sources.geotiff import (
     read_geotiff,
     scene_tensor_from_geotiff,
@@ -145,3 +146,54 @@ def test_image_decoder_tiff_mode(ray_session):
     exp = imgs[2].transpose(1, 2, 0)[::2, ::2]
     got = np.asarray(row["image"], dtype=np.uint8).reshape(4, 4, 3)
     assert (got == exp).all()
+
+
+def test_overview_chain_roundtrip():
+    """Overview IFDs: next-IFD chain, nearest decimation, res scaling,
+    unchanged origin; full-res decode unaffected."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, (2, 64, 96), dtype=np.uint8)
+    blob = gt.write_geotiff(arr, minx=10.0, maxy=20.0, res=0.5,
+                            overviews=[2, 4], tiled=True, tile=16)
+    full = gt.read_geotiff(blob)
+    assert np.array_equal(full["data"], arr)
+    assert full["res"] == 0.5 and full["minx"] == 10.0
+
+    ov0 = gt.read_geotiff(blob, overview_level=0)
+    assert np.array_equal(ov0["data"], arr[:, ::2, ::2])
+    assert ov0["res"] == 1.0 and (ov0["height"], ov0["width"]) == (32, 48)
+    assert (ov0["minx"], ov0["maxy"]) == (10.0, 20.0)
+
+    ov1 = gt.read_geotiff(blob, overview_level=1)
+    assert np.array_equal(ov1["data"], arr[:, ::4, ::4])
+    assert ov1["res"] == 2.0 and (ov1["height"], ov1["width"]) == (16, 24)
+
+    with pytest.raises(ValueError, match="out of range"):
+        gt.read_geotiff(blob, overview_level=2)
+    # a file with no overviews still reads at full res
+    plain = gt.write_geotiff(arr[0])
+    assert np.array_equal(gt.read_geotiff(plain)["data"][0], arr[0])
+    with pytest.raises(ValueError, match="out of range"):
+        gt.read_geotiff(plain, overview_level=0)
+
+
+def test_overview_chip_accounting_matches_reference():
+    """The chipping walkthrough reads overview_level (docs/chipping.md:
+    104-110) and slices 512-pixel chips: two overview-decoded scenes
+    must reproduce the reference's 12 / 30 chip accounting
+    (docs/chipping.md:125-148)."""
+    from zen3geo_ray.sources.fixtures import scenes_table
+    from zen3geo_ray.stages import chips as ch
+
+    rng = np.random.default_rng(10)
+    blobs = [gt.write_geotiff(
+        rng.integers(0, 9, (1, 4096, 6144), dtype=np.uint8),
+        overviews=[2, 4], compress=True) for _ in range(2)]
+    dims = [gt.read_geotiff(b, overview_level=1) for b in blobs]
+    assert [(d["height"], d["width"]) for d in dims] == [(1024, 1536)] * 2
+
+    s = scenes_table([(i, d["height"], d["width"], 1, 1.0)
+                      for i, d in enumerate(dims)])
+    assert ch.enumerate_chips(s, chip_h=512, chip_w=512).num_rows == 12
+    assert ch.enumerate_chips(s, chip_h=512, chip_w=512,
+                              overlap_h=256, overlap_w=256).num_rows == 30

@@ -3772,6 +3772,67 @@ s{i} AS (SELECT node, deg FROM d{i} WHERE deg >= {k})""")
             + f"\nSELECT node, deg FROM s{KCORE_ROUNDS}")
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+KTRUSS_QTY_MIN = 40  # same co-purchase graph as the triangle query
+
+
+def q_ktruss(sf_dir: str):
+    """Synchronous 4-truss peeling (2 fixed rounds) of the part
+    co-purchase graph: per round a degree-oriented wedge enumeration
+    (hub guard) closes triangles with the wedge center carried through,
+    each triangle explodes to its three canonical edges, a combiner-
+    first bucketed sum yields per-edge support, edges with support <
+    k-2 drop (stages/graph.py:ktruss).  Chained-CTE oracle mirrors it
+    round for round."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import ktruss
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(KTRUSS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return ktruss(prs, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def _sql_ktruss() -> str:
+    thr = KTRUSS_K - 2
+    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {KTRUSS_QTY_MIN}),
+e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk)"""]
+    for i in range(KTRUSS_ROUNDS):
+        # id-ordered triangle enumeration (x < y < z) counts the same
+        # triangles as the engine's degree-oriented wedges
+        ctes.append(f"""t{i} AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{i} a JOIN e{i} b ON b.u = a.u AND a.v < b.v
+  JOIN e{i} c ON c.u = a.v AND c.v = b.v),
+e{i + 1} AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT x AS u, y AS v FROM t{i}
+    UNION ALL SELECT x AS u, z AS v FROM t{i}
+    UNION ALL SELECT y AS u, z AS v FROM t{i})
+  GROUP BY 1, 2 HAVING COUNT(*) >= {thr})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u, v, support FROM e{KTRUSS_ROUNDS}")
+
+
 def _sql_bfs_hops() -> str:
     ctes = [
         _SQL_GRAPH_EDGES,
@@ -4567,6 +4628,7 @@ GROUP BY event_type, u - o.off
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
         "kcore": _sql_kcore(),
+        "ktruss": _sql_ktruss(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
         "q5_nation_rev": (
@@ -4735,6 +4797,7 @@ def build_queries() -> dict:
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,
         "q5_nation_rev": q_q5_nation_rev,

@@ -52,12 +52,32 @@ def _read_ifd_values(buf, bo, typ, count, value_field):
     return [raw]
 
 
-def read_geotiff(data: bytes) -> dict:
+def _ifd_offsets(data: bytes, bo: str, first: int) -> list[int]:
+    """Walk the next-IFD chain (full resolution first, then overviews —
+    the COG reduced-resolution layout)."""
+    offs = []
+    off = first
+    while off and len(offs) < 64:
+        offs.append(off)
+        (n,) = struct.unpack(bo + "H", data[off : off + 2])
+        (off,) = struct.unpack(bo + "I",
+                               data[off + 2 + 12 * n : off + 6 + 12 * n])
+    return offs
+
+
+def read_geotiff(data: bytes, overview_level: int | None = None) -> dict:
     """Decode a (Geo)TIFF byte payload.
 
     Returns {data: (bands, H, W) ndarray, height, width, bands,
     minx, maxy, res} — res from ModelPixelScale, origin from the
     (0, 0, 0, minx, maxy, z) ModelTiepoint (the north-up affine).
+
+    ``overview_level`` selects a reduced-resolution IFD, rasterio
+    semantics (``rioxarray.open_rasterio(..., overview_level=i)``, the
+    chipping walkthrough's ``overview_level=3`` — docs/chipping.md:
+    104-110): None = full resolution (first IFD), ``i`` = the (i+1)-th
+    overview in the next-IFD chain.  Only the selected IFD's chunks are
+    touched — the point of overviews is NOT reading full-res bytes.
     """
     if data[:2] == b"II":
         bo = "<"
@@ -65,9 +85,16 @@ def read_geotiff(data: bytes) -> dict:
         bo = ">"
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    magic, first_ifd = struct.unpack(bo + "HI", data[2:8])
     if magic != 42:
         raise ValueError("not a TIFF: bad magic")
+    chain = _ifd_offsets(data, bo, first_ifd)
+    idx = 0 if overview_level is None else 1 + int(overview_level)
+    if idx >= len(chain):
+        raise ValueError(
+            f"overview_level={overview_level} out of range: file has "
+            f"{len(chain) - 1} overview IFD(s)")
+    ifd_off = chain[idx]
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
     tags: dict[int, list] = {}
     for i in range(n_entries):
@@ -144,13 +171,13 @@ def read_geotiff(data: bytes) -> dict:
             "minx": minx, "maxy": maxy, "res": res}
 
 
-def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
-                  res: float = 1.0, compress: bool = False,
-                  tiled: bool = False, tile: int = 16) -> bytes:
-    """Encode (bands, H, W) or (H, W) as a little-endian GeoTIFF
-    (band-interleaved planes, strip or square-tile layout)."""
-    if arr.ndim == 2:
-        arr = arr[None]
+def _encode_ifd(arr: np.ndarray, *, minx: float, maxy: float, res: float,
+                compress: bool, tiled: bool, tile: int,
+                base: int) -> tuple[bytes, int]:
+    """Encode ONE image as [chunk data | geo doubles | aux | IFD] laid
+    out at absolute file offset ``base``; returns (segment bytes,
+    absolute IFD offset).  The IFD's trailing next-IFD pointer is 0 —
+    the assembler patches it when chaining overviews."""
     bands, H, W = arr.shape
     dt = arr.dtype
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -177,9 +204,8 @@ def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
     if compress:
         chunks = [zlib.compress(c) for c in chunks]
 
-    # layout: header | chunk data | geo doubles | IFD
-    header_len = 8
-    data_off = header_len
+    # layout (within this segment): chunk data | geo doubles | aux | IFD
+    data_off = base
     offs, cnts = [], []
     for c in chunks:
         offs.append(data_off)
@@ -243,7 +269,6 @@ def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
     for c in chunks:
         out += c
     out += struct.pack("<3d", res, res, 0.0)
@@ -253,24 +278,66 @@ def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
     if offs_external:
         out += struct.pack("<" + "I" * len(offs), *offs)
         out += struct.pack("<" + "I" * len(cnts), *cnts)
-    assert len(out) == ifd_off, (len(out), ifd_off)
+    assert base + len(out) == ifd_off, (base + len(out), ifd_off)
     out += struct.pack("<H", len(entries))
     for e in entries:
         out += e
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<I", 0)  # next IFD (assembler patches)
+    return bytes(out), ifd_off
+
+
+def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
+                  res: float = 1.0, compress: bool = False,
+                  tiled: bool = False, tile: int = 16,
+                  overviews: list[int] | None = None) -> bytes:
+    """Encode (bands, H, W) or (H, W) as a little-endian GeoTIFF
+    (band-interleaved planes, strip or square-tile layout).
+
+    ``overviews``: decimation factors (e.g. [2, 4, 8, 16]) — each adds
+    a reduced-resolution IFD to the next-IFD chain (the COG overview
+    layout; nearest-neighbor decimation ``arr[:, ::f, ::f]``, res
+    scaled by f, same origin) so ``read_geotiff(overview_level=i)``
+    can decode level i without touching full-res bytes."""
+    if arr.ndim == 2:
+        arr = arr[None]
+    levels = [arr] + [
+        np.ascontiguousarray(arr[:, ::f, ::f]) for f in (overviews or [])]
+    factors = [1] + list(overviews or [])
+
+    segments: list[bytes] = []
+    ifd_offs: list[int] = []
+    base = 8  # after the II*42 header
+    for lv, f in zip(levels, factors):
+        seg, ifd_off = _encode_ifd(
+            lv, minx=minx, maxy=maxy, res=res * f, compress=compress,
+            tiled=tiled, tile=tile, base=base)
+        segments.append(seg)
+        ifd_offs.append(ifd_off)
+        base += len(seg)
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_offs[0])
+    for i, seg in enumerate(segments):
+        if i + 1 < len(segments):
+            # patch this segment's trailing next-IFD pointer
+            seg = seg[:-4] + struct.pack("<I", ifd_offs[i + 1])
+        out += seg
     return bytes(out)
 
 
 def scene_tensor_from_geotiff(batch: pa.Table, *, payload_col: str = "tiff",
-                              id_col: str = "scene_id") -> pa.Table:
+                              id_col: str = "scene_id",
+                              overview_level: int | None = None) -> pa.Table:
     """map_batches fn: GeoTIFF byte payloads -> scene tensor rows with
     the SAME schema as the synthetic ``scene_tensor_batch`` (+ transform
-    columns) — the real-decode source for the chip/detection pipelines."""
+    columns) — the real-decode source for the chip/detection pipelines.
+    ``overview_level`` decodes a reduced-resolution IFD (the chipping
+    walkthrough's ``overview_level=3``)."""
     ids = batch.column(id_col)
     rows = {k: [] for k in ("height", "width", "bands", "data",
                             "minx", "maxy", "res")}
     for blob in batch.column(payload_col).to_pylist():
-        g = read_geotiff(blob)
+        g = read_geotiff(blob, overview_level=overview_level)
         rows["height"].append(g["height"])
         rows["width"].append(g["width"])
         rows["bands"].append(g["bands"])

@@ -937,3 +937,164 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
             state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
         ), n_buckets)
     return state
+
+
+def ktruss(edges, *, k: int, rounds: int, src: str = "src",
+           dst: str = "dst", n_buckets: int | None = None,
+           broadcast_threshold: int = BROADCAST_NODES):
+    """SYNCHRONOUS k-truss peeling for a FIXED number of rounds: each
+    round computes every surviving edge's triangle SUPPORT (triangles
+    within the surviving edge set) and drops edges with support < k-2.
+    Returns (u, v, support) for the canonical (u < v) edges surviving
+    round ``rounds`` with that round's support — fixed-round semantics
+    so the chained-CTE SQL oracle mirrors it term for term (the same
+    discipline as :func:`kcore`); once peeling stabilizes, extra rounds
+    are no-ops, so any graph whose peel settles within ``rounds`` gets
+    its true k-truss.
+
+    Round shape: degree-oriented wedge enumeration (the triangle_count
+    hub guard — wedges only at each edge's (degree, id)-smaller
+    endpoint, volume bounded by arboricity) with the wedge CENTER
+    carried through the closing semi join; each closed triangle
+    explodes to its three canonical edges, a combiner-first bucketed
+    sum yields per-edge support, one inner join filters survivors.
+    The degree table is node-bounded, so it broadcasts below
+    ``broadcast_threshold`` (orientation happens inside the edge map —
+    no attach joins); the per-round state itself is EDGE-valued, so
+    there is no whole-state broadcast path — edges stay distributed.
+    """
+    if k < 3:
+        raise ValueError("ktruss needs k >= 3 (support threshold k-2 >= 1)")
+    if rounds < 1:
+        raise ValueError("ktruss needs rounds >= 1")
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    e = distinct_tuples(
+        edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(e.count())
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    import ray.data as rd
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False)])
+        un, c = np.unique(x, return_counts=True)
+        return pa.table({NODE: pa.array(un),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    def _orient_tbl(u, v, a, c):
+        swap = (c < a) | ((c == a) & (v < u))
+        return pa.table({
+            "lo": pa.array(np.where(swap, v, u)),
+            "hi": pa.array(np.where(swap, u, v)),
+            "dhi": pa.array(np.where(swap, a, c)),
+        })
+
+    state = None
+    for _ in range(rounds):
+        deg = bucketed_groupby(
+            e.map_batches(deg_partial, batch_format="pyarrow"),
+            [NODE],
+            lambda g: g.groupby(NODE, sort=False, as_index=False)["_c"].sum(),
+            n_buckets=n_buckets,
+        ).materialize()
+
+        if deg.count() <= broadcast_threshold:
+            import ray
+
+            ddf = deg.to_pandas()
+            order = np.argsort(ddf[NODE].to_numpy(), kind="mergesort")
+            dref = ray.put((ddf[NODE].to_numpy()[order].astype(np.int64),
+                            ddf["_c"].to_numpy()[order].astype(np.int64)))
+
+            def orient_bc(b: pa.Table, _ref=dref) -> pa.Table:
+                ns, dv = _get_blob(_ref)
+                u = b.column("u").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                v = b.column("v").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return _orient_tbl(u, v, dv[np.searchsorted(ns, u)],
+                                   dv[np.searchsorted(ns, v)])
+
+            o = e.map_batches(orient_bc, batch_format="pyarrow").materialize()
+        else:
+            du = deg.map_batches(lambda b: b.rename_columns(["u", "_du"]),
+                                 batch_format="pyarrow")
+            dv = deg.map_batches(lambda b: b.rename_columns(["v", "_dv"]),
+                                 batch_format="pyarrow")
+            j = bucketed_join(
+                bucketed_join(e, du, ["u"], n_buckets=n_buckets),
+                dv, ["v"], n_buckets=n_buckets)
+
+            def orient(b: pa.Table) -> pa.Table:
+                g = lambda c: b.column(c).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return _orient_tbl(g("u"), g("v"), g("_du"), g("_dv"))
+
+            o = j.map_batches(orient, batch_format="pyarrow").materialize()
+
+        o2 = o.map_batches(
+            lambda b: b.rename_columns(["lo", "_hi2", "_dhi2"]),
+            batch_format="pyarrow")
+        wedged = bucketed_join(o, o2, ["lo"], n_buckets=n_buckets)
+
+        def wedge_rows(b: pa.Table) -> pa.Table:
+            z = b.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+            h1 = b.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+            d1 = b.column("dhi").to_numpy(zero_copy_only=False).astype(np.int64)
+            h2 = b.column("_hi2").to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = b.column("_dhi2").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (d1 < d2) | ((d1 == d2) & (h1 < h2))
+            # re-key by the potential closing edge; CENTER rides along
+            return pa.table({"lo": pa.array(h1[keep]),
+                             "hi": pa.array(h2[keep]),
+                             "_z": pa.array(z[keep])})
+
+        wedges = wedged.map_batches(wedge_rows, batch_format="pyarrow")
+        closed = bucketed_join(
+            wedges, o.map_batches(lambda b: b.select(["lo", "hi"]),
+                                  batch_format="pyarrow"),
+            ["lo", "hi"], how="semi", n_buckets=n_buckets)
+
+        def support_partial(b: pa.Table) -> pa.Table:
+            z = b.column("_z").to_numpy(zero_copy_only=False).astype(np.int64)
+            h1 = b.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+            h2 = b.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+            eu = np.concatenate([np.minimum(z, h1), np.minimum(z, h2),
+                                 np.minimum(h1, h2)])
+            ev = np.concatenate([np.maximum(z, h1), np.maximum(z, h2),
+                                 np.maximum(h1, h2)])
+            df = pd.DataFrame({"u": eu, "v": ev})
+            df["support"] = np.int64(1)
+            agg = df.groupby(["u", "v"], sort=False, as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        def support_sum(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["u", "v"], sort=False, as_index=False)[
+                "support"].sum()
+            return out[out["support"] >= k - 2]
+
+        state = _settle(bucketed_groupby(
+            closed.map_batches(support_partial, batch_format="pyarrow"),
+            ["u", "v"], support_sum, n_buckets=n_buckets,
+        ), n_buckets)
+        if state.count() == 0:
+            return rd.from_arrow(empty)  # empty truss is a fixpoint
+        e = state.map_batches(lambda b: b.select(["u", "v"]),
+                              batch_format="pyarrow").materialize()
+    return state
