@@ -133,3 +133,32 @@ def test_cross_crs_clip_golden_conic(spec):
     fb = wkb.bounds(crs.transform_geom(wkb.box(-60.0, 30.0, -50.0, 40.0),
                                        spec))
     assert clip.clip_geom_rect(g, *fb) is None
+
+
+@pytest.mark.parametrize("spec", ["EPSG:3857", "EPSG:32631", "EPSG:32759",
+                                  "EPSG:5070", "EPSG:2154",
+                                  "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"])
+def test_transform_inverse_roundtrip(spec):
+    rng = np.random.default_rng(23)
+    if spec == "EPSG:32631":
+        lon, lat = rng.uniform(0, 6, 200), rng.uniform(1, 60, 200)
+    elif spec == "EPSG:32759":
+        lon, lat = rng.uniform(168, 174, 200), rng.uniform(-55, -5, 200)
+    elif spec in ("EPSG:5070",) or spec.startswith("+proj"):
+        lon, lat = rng.uniform(-120, -70, 200), rng.uniform(25, 50, 200)
+    elif spec == "EPSG:2154":
+        lon, lat = rng.uniform(-4, 8, 200), rng.uniform(42, 51, 200)
+    else:
+        lon, lat = rng.uniform(-179, 179, 200), rng.uniform(-80, 80, 200)
+    x, y = crs.transform(lon, lat, spec)
+    lo, la = crs.transform_inverse(x, y, spec)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_transform_geom_inverse():
+    g = wkb.box(2.0, 2.0, 4.0, 4.0)
+    fwd = crs.transform_geom(g, "EPSG:32631")
+    back = crs.transform_geom_inverse(fwd, "EPSG:32631")
+    for r_in, r_out in zip(g["coords"], back["coords"]):
+        assert np.allclose(r_in, r_out, atol=1e-9)

@@ -546,3 +546,27 @@ def test_ktruss_k4_golden(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k >= 3"):
         ktruss(edges, k=2, rounds=1)
+
+
+def test_pinned_bfs_parity(ray_session):
+    from zen3geo_ray.stages.graph import bfs_hops
+    from zen3geo_ray.stages.pregel import pinned_bfs
+
+    rng = np.random.default_rng(47)
+    src = rng.integers(0, 70, 250).astype(np.int64)
+    dst = rng.integers(0, 70, 250).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 13], pa.int64())}))
+    for hops in (1, 3):
+        want = bfs_hops(edges, seeds, max_hops=hops,
+                        n_buckets=8).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        got = pinned_bfs(edges, seeds, max_hops=hops,
+                         n_shards=3).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert want["node"].equals(got["node"])
+        assert want["dist"].equals(got["dist"])
+    # unreachable seeds only: result is exactly the seed set at dist 0
+    lone = rd.from_arrow(pa.table({"node": pa.array([999], pa.int64())}))
+    out = pinned_bfs(edges, lone, max_hops=2, n_shards=2).to_pandas()
+    assert out["node"].tolist() == [999] and out["dist"].tolist() == [0]

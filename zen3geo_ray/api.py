@@ -304,6 +304,18 @@ class Pipe:
 
         return Pipe(common_neighbors(self.ds, **kwargs))
 
+    def ktruss(self, k: int, rounds: int, **kwargs) -> "Pipe":
+        """Synchronous k-truss support peeling of an edge pipe."""
+        from .stages.graph import ktruss
+
+        return Pipe(ktruss(self.ds, k=k, rounds=rounds, **kwargs))
+
+    def dup_spans(self, L: int = 30, **kwargs) -> "Pipe":
+        """Maximal exact duplicated substring spans per doc."""
+        from .stages.substring import dup_spans
+
+        return Pipe(dup_spans(self.ds, L=L, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

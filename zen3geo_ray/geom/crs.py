@@ -96,6 +96,47 @@ def lonlat_to_utm(lon, lat, zone: int, north: bool = True) -> tuple[np.ndarray, 
     return x, y
 
 
+# inverse Krüger series (Karney 2011, same paper): beta coefficients
+_BETA = np.array(
+    [
+        _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512
+        + 96199 * _N6 / 604800,
+        _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105
+        - 1118711 * _N6 / 3870720,
+        17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480
+        + 5569 * _N6 / 90720,
+        4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
+        4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
+        20648693 * _N6 / 638668800,
+    ]
+)
+
+
+def utm_to_lonlat(x, y, zone: int, north: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse transverse-mercator (Karney beta series + conformal-
+    latitude fixed point) — round-trips lonlat_to_utm to ~1e-11 deg."""
+    x = np.asarray(x, dtype=np.float64) - UTM_FE
+    y = np.asarray(y, dtype=np.float64) - (0.0 if north else UTM_FN_S)
+    A = _A_FACT * WGS84_A
+    xi = y / (UTM_K0 * A)
+    eta = x / (UTM_K0 * A)
+    xi1 = xi.copy()
+    eta1 = eta.copy()
+    for j in range(1, 7):
+        xi1 -= _BETA[j - 1] * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta1 -= _BETA[j - 1] * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    lam = np.arctan2(np.sinh(eta1), np.cos(xi1))
+    tau1 = np.sin(xi1) / np.hypot(np.sinh(eta1), np.cos(xi1))
+    # invert the conformal latitude: fixed point on
+    # phi = atan(sinh(asinh(tau') + e*artanh(e*sin(phi))))
+    phi = np.arctan(tau1)
+    for _ in range(8):
+        phi = np.arctan(np.sinh(
+            np.arcsinh(tau1) + _E * np.arctanh(_E * np.sin(phi))))
+    lon0 = (zone - 1) * 6.0 - 180.0 + 3.0
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
 # --- conic projections (Snyder 1987, USGS PP 1395 — public formulas) ------
 #
 # Lambert Conformal Conic 2SP (Snyder §15, eqs 14-15/15-1..15-10) and
@@ -299,6 +340,45 @@ def transform_geom(geom: dict, crs: str) -> dict:
         arr = np.asarray(arr, dtype=np.float64)
         x, y = transform(arr[:, 0], arr[:, 1], crs)
         return np.stack([x, y], axis=1)
+
+    if gtype in ("Point", "MultiPoint", "LineString"):
+        return {"type": gtype, "coords": tx(c)}
+    if gtype in ("Polygon", "MultiLineString"):
+        return {"type": gtype, "coords": [tx(r) for r in c]}
+    if gtype == "MultiPolygon":
+        return {"type": gtype, "coords": [[tx(r) for r in rings] for rings in c]}
+    raise NotImplementedError(gtype)
+
+
+def transform_inverse(x, y, crs: str) -> tuple[np.ndarray, np.ndarray]:
+    """Coordinates of ``crs`` -> lon/lat (OGC:CRS84 degrees) — the
+    reverse direction the reference gets from PROJ (reading projected
+    rasters/vectors back into the geographic pipeline).  Same CRS
+    vocabulary as :func:`transform`."""
+    conic = conic_from_spec(crs)
+    if conic is not None:
+        return conic.inverse(x, y)
+    crs = crs.upper()
+    if crs in ("OGC:CRS84", "EPSG:4326", "CRS84"):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if crs == "EPSG:3857":
+        return mercator_to_lonlat(x, y)
+    if (crs.startswith("EPSG:326") or crs.startswith("EPSG:327")) and len(crs) == 10:
+        zone = int(crs[8:])
+        if 1 <= zone <= 60:
+            return utm_to_lonlat(x, y, zone, north=crs[7] == "6")
+    raise NotImplementedError(f"Unsupported CRS: {crs}")
+
+
+def transform_geom_inverse(geom: dict, crs: str) -> dict:
+    """Reproject a geometry dict from ``crs`` back to lon/lat."""
+    gtype = geom["type"]
+    c = geom["coords"]
+
+    def tx(arr):
+        arr = np.asarray(arr, dtype=np.float64)
+        lon, lat = transform_inverse(arr[:, 0], arr[:, 1], crs)
+        return np.stack([lon, lat], axis=1)
 
     if gtype in ("Point", "MultiPoint", "LineString"):
         return {"type": gtype, "coords": tx(c)}

@@ -3772,6 +3772,47 @@ s{i} AS (SELECT node, deg FROM d{i} WHERE deg >= {k})""")
             + f"\nSELECT node, deg FROM s{KCORE_ROUNDS}")
 
 
+SPAN_L = 30  # duplicated-substring window length (chars)
+
+
+def q_dup_spans(sf_dir: str):
+    """EXACT duplicated-substring spans (the suffix-array dedup family,
+    Lee et al. 2022): every 30-char window occurring at >= 2 (doc, pos)
+    locations corpus-wide is duplicated; per doc the duplicated windows
+    merge into maximal [start, end) spans (stages/substring.py:
+    dup_spans — grouping on the window TEXT itself, so no hash
+    collisions; the winnowed fingerprint path is the 100-TB variant,
+    guarantee-tested in tests/test_substring.py)."""
+    from ..stages.substring import dup_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_spans(docs, L=SPAN_L)
+
+
+def _sql_dup_spans() -> str:
+    L = SPAN_L
+    return f"""WITH d AS (SELECT doc_id, text, length(text) AS n
+           FROM documents),
+w AS (SELECT doc_id, CAST(gs - 1 AS BIGINT) AS pos,
+             substr(text, CAST(gs AS INTEGER), {L}) AS gram
+      FROM d, LATERAL unnest(range(1, greatest(n - {L - 1}, 0) + 1)) t(gs)),
+dup AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt FROM w)
+        WHERE cnt >= 2),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN pos > COALESCE(MAX(pos + {L}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS b
+        FROM dup),
+isl AS (SELECT doc_id, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {L} AS span_end
+FROM isl GROUP BY doc_id, island"""
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 2
 KTRUSS_QTY_MIN = 40  # same co-purchase graph as the triangle query
@@ -4629,6 +4670,7 @@ GROUP BY event_type, u - o.off
         "source_hhi": _SQL_SOURCE_HHI,
         "kcore": _sql_kcore(),
         "ktruss": _sql_ktruss(),
+        "dup_spans": _sql_dup_spans(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
         "q5_nation_rev": (
@@ -4798,6 +4840,7 @@ def build_queries() -> dict:
         "source_hhi": q_source_hhi,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
+        "dup_spans": q_dup_spans,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,
         "q5_nation_rev": q_q5_nation_rev,

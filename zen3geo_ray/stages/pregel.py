@@ -1,5 +1,6 @@
 """Pregel-style actor-sharded graph ops: edge shards PINNED in actors
-(PageRank + min-label connected components).
+(PageRank — classic/weighted/personalized — min-label connected
+components, frontier-delta BFS, and dead-delta k-core peeling).
 
 The Dataset BSP path (stages/graph.py:pagerank) re-shuffles the edge
 table once per round inside its bucketed join — the documented cost of
@@ -222,6 +223,86 @@ def _make_shard_cls():
         def comp_table(self) -> pa.Table:
             return pa.table({NODE: pa.array(self.nodes),
                              "comp": pa.array(self.comp)})
+
+        # --- multi-source BFS (frontier-delta exchange) ----------------
+        def init_bfs(self, seed_ids: np.ndarray) -> int:
+            """Local seeds = the global seed set restricted to this
+            shard's hash range; dist 0.  (Seed sets ship whole — they
+            are small by the BFS contract, like pagerank seeds.)"""
+            sid = np.unique(np.asarray(seed_ids, dtype=np.int64))
+            mine = sid[_shard_of(sid, self.n) == self.shard_id]
+            self.known = mine
+            self.kdist = np.zeros(len(mine), dtype=np.int64)
+            self.frontier = mine
+            self.fdist = np.zeros(len(mine), dtype=np.int64)
+            return len(mine)
+
+        def bfs_contribs(self) -> list:
+            """Relax ONLY the local frontier's out-edges (unit hops make
+            distances final at first reach, so the settled interior
+            never re-relaxes); S per-dst-shard (node, dist) partials."""
+            empty = pa.table({NODE: pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+            if len(self.frontier) == 0 or len(self.src) == 0:
+                return [empty] * self.n
+            ix = np.minimum(np.searchsorted(self.frontier, self.src),
+                            len(self.frontier) - 1)
+            m = self.frontier[ix] == self.src
+            if not m.any():
+                return [empty] * self.n
+            d = self.dst[m]
+            nd = self.fdist[ix[m]] + 1
+            sh = self.dst_shard[m]
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                u, inv = np.unique(d[mm], return_inverse=True)
+                mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mn, inv, nd[mm])
+                out.append(pa.table({NODE: pa.array(u),
+                                     "dist": pa.array(mn)}))
+            return out
+
+        def bfs_apply(self, *incoming) -> int:
+            """Merge incoming minima; UNSEEN nodes become the next
+            frontier (their first-reach distance is final).  Returns the
+            new frontier size (the distributed convergence scalar)."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            nodes, dists = [], []
+            for t in flat:
+                nd = t.column(NODE).to_numpy(zero_copy_only=False)
+                if len(nd):
+                    nodes.append(nd)
+                    dists.append(t.column("dist").to_numpy(
+                        zero_copy_only=False))
+            if not nodes:
+                self.frontier = np.empty(0, np.int64)
+                self.fdist = np.empty(0, np.int64)
+                return 0
+            cand = np.concatenate(nodes)
+            cd = np.concatenate(dists).astype(np.int64)
+            u, inv = np.unique(cand, return_inverse=True)
+            mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mn, inv, cd)
+            if len(self.known):
+                ik = np.minimum(np.searchsorted(self.known, u),
+                                len(self.known) - 1)
+                fresh = self.known[ik] != u
+            else:
+                fresh = np.ones(len(u), dtype=bool)
+            self.frontier = u[fresh]
+            self.fdist = mn[fresh]
+            merged = np.concatenate([self.known, self.frontier])
+            md = np.concatenate([self.kdist, self.fdist])
+            o = np.argsort(merged, kind="mergesort")
+            self.known, self.kdist = merged[o], md[o]
+            return len(self.frontier)
+
+        def bfs_table(self) -> pa.Table:
+            return pa.table({NODE: pa.array(self.known),
+                             "dist": pa.array(self.kdist)})
 
         # --- synchronous k-core peeling (dead-delta exchange) ----------
         def init_alive(self) -> None:
@@ -538,6 +619,67 @@ def pinned_kcore(edges, *, k: int, rounds: int, src: str = "src",
             deltas = [sh.peel.remote(k, *deltas) for sh in shards]
         ray.get(deltas)  # barrier so core_table sees the final round
         refs = [sh.core_table.remote() for sh in shards]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_bfs(edges, seeds, *, src: str = "src", dst: str = "dst",
+               max_hops: int = 3, n_shards: int | None = None):
+    """Multi-source bounded-hop BFS over actor-pinned edge shards —
+    same results as ``graph.bfs_hops`` (parity-tested), edges shipped
+    once.  Pure FRONTIER-DELTA exchange: each round ships only the
+    newly-settled (node, dist) rows actor-to-actor, so total exchanged
+    volume across the whole walk is bounded by the reachable set, and
+    the loop exits early when every shard's frontier empties."""
+    import ray
+    import ray.data as rd
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = _shard_of(s, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(s[m], d[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        # max_retries=0: routing mutates actor state (see pinned_pagerank)
+        edges.map_batches(route, batch_format="pyarrow",
+                          max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+
+        seed_ids = np.sort(np.unique(
+            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+        ray.get([sh.init_bfs.remote(seed_ids) for sh in shards])
+
+        for _ in range(max_hops):
+            if S == 1:
+                outs = [[sh.bfs_contribs.remote()] for sh in shards]
+            else:
+                outs = [sh.bfs_contribs.options(num_returns=S).remote()
+                        for sh in shards]
+            sizes = ray.get([
+                shards[j].bfs_apply.remote(*[outs[i][j] for i in range(S)])
+                for j in range(S)
+            ])
+            if sum(sizes) == 0:
+                break  # all frontiers empty — distances are final
+        refs = [sh.bfs_table.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
     finally:
         for sh in shards:
