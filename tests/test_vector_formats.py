@@ -1,0 +1,125 @@
+"""GPKG + Shapefile vector sources: format parity with the parquet
+POLYGONS path (completes the reference's pyogrio multi-format surface,
+pyogrio.py:87-89; GeoJSON covered in test_geojson.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zen3geo_ray.geom import wkb
+from zen3geo_ray.sources.fixtures import admin_grid, polygons_table, reference_geoms
+from zen3geo_ray.sources.gpkg import parse_gpkg_blob, read_gpkg, write_gpkg
+from zen3geo_ray.sources.readers import read_vector
+from zen3geo_ray.sources.shapefile import read_shp, write_shp
+
+
+def test_gpkg_roundtrip_matches_parquet(tmp_path):
+    tbl = admin_grid(nx=6, ny=3)
+    gp = tmp_path / "admin.gpkg"
+    write_gpkg(tbl, str(gp))
+    pqf = tmp_path / "admin.parquet"
+    pq.write_table(tbl, pqf)
+    from_gp = read_vector(str(gp))
+    from_pq = read_vector(str(pqf))
+    assert from_gp.schema.equals(from_pq.schema)
+    assert from_gp.equals(from_pq)  # WKB byte-identical: same encoder
+
+
+def test_gpkg_all_geometry_types(tmp_path):
+    geoms = list(reference_geoms().values())
+    tbl = polygons_table(geoms, names=list(reference_geoms()))
+    gp = tmp_path / "mixed.gpkg"
+    write_gpkg(tbl, str(gp))
+    assert read_gpkg(str(gp)).equals(tbl)
+
+
+def test_gpkg_blob_header_and_layer_errors(tmp_path):
+    tbl = admin_grid(nx=2, ny=1)
+    gp = tmp_path / "a.gpkg"
+    write_gpkg(tbl, str(gp), layer="adm")
+    # explicit layer works; wrong layer raises
+    assert read_gpkg(str(gp), layer="adm").num_rows == 2
+    with pytest.raises(ValueError, match="not in"):
+        read_gpkg(str(gp), layer="nope")
+    with pytest.raises(ValueError, match="GP magic"):
+        parse_gpkg_blob(b"XX\0\0\0\0\0\0")
+    # envelope parsed: GP header strips to clean WKB
+    import sqlite3
+
+    con = sqlite3.connect(str(gp))
+    blob = con.execute('SELECT geom FROM "adm" LIMIT 1').fetchone()[0]
+    con.close()
+    raw = parse_gpkg_blob(blob)
+    assert raw == tbl.column("geometry_wkb")[0].as_py()
+
+
+def test_shp_roundtrip_matches_parquet(tmp_path):
+    tbl = admin_grid(nx=6, ny=3)
+    shp = tmp_path / "admin.shp"
+    write_shp(tbl, str(shp))
+    from_shp = read_vector(str(shp))
+    assert from_shp.schema.equals(tbl.schema)
+    assert from_shp.equals(tbl)
+
+
+def test_shp_geometry_types(tmp_path):
+    # shapefile has no mixed Multi* fidelity for points-in-one-record;
+    # cover point / multipoint / line / polygon records
+    geoms = [
+        wkb.point(3.5, -1.25),
+        wkb.multipoint([(1, 2), (3, 4)]),
+        wkb.linestring([(0, 0), (2, 1), (4, 0)]),
+        wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4)]),
+    ]
+    tbl = polygons_table(geoms, names=["pt", "mp", "ln", "pg"])
+    shp = tmp_path / "mixed.shp"
+    write_shp(tbl, str(shp))
+    back = read_shp(str(shp))
+    assert back.column("name").to_pylist() == ["pt", "mp", "ln", "pg"]
+    for i in range(4):
+        g0 = wkb.loads(tbl.column("geometry_wkb")[i].as_py())
+        g1 = wkb.loads(back.column("geometry_wkb")[i].as_py())
+        assert g0["type"] == g1["type"]
+    assert back.column("minx").to_pylist() == tbl.column("minx").to_pylist()
+
+
+def test_pip_join_same_results_across_all_formats(ray_session, tmp_path):
+    """pip parity: geojson / gpkg / shp / parquet layers all produce
+    identical point-in-polygon assignments."""
+    import ray
+    import ray.data as rd
+
+    from zen3geo_ray.sources.geojson import write_geojson
+    from zen3geo_ray.stages.join import PointInPolygonJoin, polygons_to_blob
+
+    rng = np.random.default_rng(31)
+    pts = pa.table({
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "lon": pa.array(rng.uniform(-179, 179, 300)),
+        "lat": pa.array(rng.uniform(-89, 89, 300)),
+    })
+    layer = admin_grid(nx=8, ny=4)
+    paths = {}
+    pq.write_table(layer, tmp_path / "l.parquet")
+    paths["parquet"] = tmp_path / "l.parquet"
+    write_geojson(layer, str(tmp_path / "l.geojson"))
+    paths["geojson"] = tmp_path / "l.geojson"
+    write_gpkg(layer, str(tmp_path / "l.gpkg"))
+    paths["gpkg"] = tmp_path / "l.gpkg"
+    write_shp(layer, str(tmp_path / "l.shp"))
+    paths["shp"] = tmp_path / "l.shp"
+
+    results = {}
+    for fmt, p in paths.items():
+        loaded = read_vector(str(p))
+        ref = ray.put(polygons_to_blob(loaded))
+        ds = rd.from_arrow(pts).map_batches(
+            PointInPolygonJoin, fn_constructor_args=(ref,),
+            batch_format="pyarrow", concurrency=2)
+        results[fmt] = ds.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+    base = results["parquet"]
+    assert len(base) == 300
+    for fmt in ("geojson", "gpkg", "shp"):
+        assert results[fmt].equals(base), fmt

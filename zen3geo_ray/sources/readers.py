@@ -32,18 +32,32 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs):
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
-def read_vector(path: str, columns: list[str] | None = None) -> pa.Table:
+def read_vector(path: str, columns: list[str] | None = None,
+                layer: str | None = None) -> pa.Table:
     """Driver-side small-side vector table load (POLYGONS schema).
 
-    Formats: parquet (default) or GeoJSON (``.geojson`` / ``.json`` —
-    pure-python parse, sources/geojson.py), both yielding the identical
-    fixed POLYGONS schema so downstream joins are format-agnostic."""
+    Formats: parquet (default), GeoJSON (``.geojson`` / ``.json`` —
+    pure-python RFC 7946 parse, sources/geojson.py), GeoPackage
+    (``.gpkg`` — stdlib sqlite3 + GP-blob parse, sources/gpkg.py;
+    ``layer=`` selects among feature tables) and ESRI Shapefile
+    (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) — all yielding
+    the identical fixed POLYGONS schema so downstream joins are
+    format-agnostic (the reference's pyogrio multi-format surface)."""
     if path.endswith((".geojson", ".json")):
         from .geojson import geojson_to_polygons_table
 
         t = geojson_to_polygons_table(path)
-        return t.select(columns) if columns else t
-    return pq.read_table(path, columns=columns)
+    elif path.endswith(".gpkg"):
+        from .gpkg import read_gpkg
+
+        t = read_gpkg(path, layer=layer)
+    elif path.endswith(".shp"):
+        from .shapefile import read_shp
+
+        t = read_shp(path)
+    else:
+        return pq.read_table(path, columns=columns)
+    return t.select(columns) if columns else t
 
 
 def read_pages_jsonl(path: str, columns: list[str] | None = None, **kwargs):
