@@ -126,3 +126,33 @@ def test_winnowing_guarantee_finds_long_duplicates(ray_session):
     by_fp = cand.groupby("fp")["doc_id"].agg(set)
     assert any({10, 11} <= s for s in by_fp), \
         "winnowing guarantee violated: shared long run not fingerprinted"
+
+
+def test_strip_dup_spans_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import strip_dup_spans
+
+    docs = _docs()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }))
+    out = strip_dup_spans(ds, L=L, n_buckets=4).to_pandas() \
+        .set_index("doc_id")
+    spans = {}
+    for did, s, e in _brute_spans(docs, L):
+        spans.setdefault(did, []).append((s, e))
+    for did, t in docs.items():
+        parts, prev = [], 0
+        for s, e in sorted(spans.get(did, [])):
+            parts.append(t[prev:s])
+            prev = e
+        parts.append(t[prev:])
+        want = "".join(parts)
+        assert out.loc[did, "clean_text"] == want
+        assert out.loc[did, "removed_chars"] == len(t) - len(want)
+    # span-free and too-short docs pass through untouched
+    assert out.loc[4, "clean_text"] == docs[4]
+    assert out.loc[5, "clean_text"] == "tiny"
+    assert int(out["removed_chars"].loc[[4, 5]].sum()) == 0

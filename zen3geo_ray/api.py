@@ -316,6 +316,12 @@ class Pipe:
 
         return Pipe(dup_spans(self.ds, L=L, **kwargs))
 
+    def strip_dup_spans(self, L: int = 30, **kwargs) -> "Pipe":
+        """Remove every duplicated substring span from every doc."""
+        from .stages.substring import strip_dup_spans
+
+        return Pipe(strip_dup_spans(self.ds, L=L, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

@@ -3789,9 +3789,9 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(docs, L=SPAN_L)
 
 
-def _sql_dup_spans() -> str:
+def _sql_dup_span_ctes() -> str:
     L = SPAN_L
-    return f"""WITH d AS (SELECT doc_id, text, length(text) AS n
+    return f"""d AS (SELECT doc_id, text, length(text) AS n
            FROM documents),
 w AS (SELECT doc_id, CAST(gs - 1 AS BIGINT) AS pos,
              substr(text, CAST(gs AS INTEGER), {L}) AS gram
@@ -3808,9 +3808,50 @@ brk AS (SELECT doc_id, pos,
         FROM dup),
 isl AS (SELECT doc_id, pos,
           SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM brk)
-SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {L} AS span_end
-FROM isl GROUP BY doc_id, island"""
+        FROM brk)"""
+
+
+def _sql_dup_spans() -> str:
+    L = SPAN_L
+    return (f"WITH {_sql_dup_span_ctes()}\n"
+            f"SELECT doc_id, MIN(pos) AS span_start, "
+            f"MAX(pos) + {L} AS span_end\n"
+            f"FROM isl GROUP BY doc_id, island")
+
+
+def q_strip_spans(sf_dir: str):
+    """Duplicated-substring REMOVAL (the cleaning step over dup_spans —
+    the Lee et al. 'drop duplicated substrings' variant, all copies
+    removed): per doc the clean text is the concatenation of the gaps
+    between its maximal duplicated spans
+    (stages/substring.py:strip_dup_spans)."""
+    from ..stages.substring import strip_dup_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return strip_dup_spans(docs, L=SPAN_L)
+
+
+def _sql_strip_spans() -> str:
+    L = SPAN_L
+    return f"""WITH {_sql_dup_span_ctes()},
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L} AS e
+          FROM isl GROUP BY doc_id, island),
+gap1 AS (SELECT doc_id,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+           s AS ge
+         FROM spans),
+gap2 AS (SELECT sp.doc_id, MAX(sp.e) AS gs, CAST(MAX(dd.n) AS BIGINT) AS ge
+         FROM spans sp JOIN d dd ON dd.doc_id = sp.doc_id
+         GROUP BY sp.doc_id),
+gaps AS (SELECT * FROM gap1 UNION ALL SELECT * FROM gap2),
+cleaned AS (SELECT g.doc_id,
+    string_agg(substr(dd.text, CAST(g.gs + 1 AS INTEGER),
+                      CAST(g.ge - g.gs AS INTEGER)), '' ORDER BY g.gs) AS ct
+  FROM gaps g JOIN d dd ON dd.doc_id = g.doc_id GROUP BY g.doc_id)
+SELECT dd.doc_id, COALESCE(c.ct, dd.text) AS clean_text,
+       CAST(dd.n - length(COALESCE(c.ct, dd.text)) AS BIGINT)
+         AS removed_chars
+FROM d dd LEFT JOIN cleaned c ON c.doc_id = dd.doc_id"""
 
 
 KTRUSS_K = 4
@@ -4671,6 +4712,7 @@ GROUP BY event_type, u - o.off
         "kcore": _sql_kcore(),
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
+        "strip_spans": _sql_strip_spans(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
         "q5_nation_rev": (
@@ -4841,6 +4883,7 @@ def build_queries() -> dict:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,
         "q5_nation_rev": q_q5_nation_rev,

@@ -217,3 +217,53 @@ def winnowed_candidates(docs, *, L: int = 30, w: int = 8,
         return g[cnt >= 2]
 
     return bucketed_groupby(fps, ["fp"], colliding, n_buckets=n_buckets)
+
+
+def strip_dup_spans(docs, *, L: int = 30, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 64):
+    """Remove every duplicated span (ALL copies) from every doc — the
+    cleaning step over :func:`dup_spans` (the Lee et al. "drop
+    duplicated substrings" variant; keeping one canonical copy is a
+    policy layer above this primitive).  Returns (doc_id, clean_text,
+    removed_chars); span-free docs pass through unchanged.
+
+    Shape: spans (a small derived table) LEFT-join onto the docs keyed
+    by id, then one per-doc gap concatenation inside coarse buckets —
+    documents shuffle twice (join + regroup), unavoidable for a
+    text-rewriting op whose output is per-doc text."""
+    from .hashjoin import bucketed_join
+
+    spans = dup_spans(docs, L=L, id_col=id_col, text_col=text_col,
+                      n_buckets=n_buckets)
+    joined = bucketed_join(
+        docs.map_batches(lambda b: b.select([id_col, text_col]),
+                         batch_format="pyarrow"),
+        spans, [id_col], how="left", n_buckets=n_buckets)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        ids, cleans, removed = [], [], []
+        for did, sub in g.groupby(id_col, sort=False):
+            t = sub[text_col].iloc[0]
+            ss = sub["span_start"].dropna()
+            if len(ss) == 0:
+                ids.append(did)
+                cleans.append(t)
+                removed.append(0)
+                continue
+            s = np.sort(ss.to_numpy(dtype=np.int64))
+            e = np.sort(sub["span_end"].dropna().to_numpy(dtype=np.int64))
+            parts = []
+            prev = 0
+            for a, b_ in zip(s, e):  # spans are disjoint and few per doc
+                parts.append(t[prev:a])
+                prev = b_
+            parts.append(t[prev:])
+            clean = "".join(parts)
+            ids.append(did)
+            cleans.append(clean)
+            removed.append(len(t) - len(clean))
+        return pd.DataFrame({id_col: ids, "clean_text": cleans,
+                             "removed_chars": np.asarray(removed,
+                                                         dtype=np.int64)})
+
+    return bucketed_groupby(joined, [id_col], per_doc, n_buckets=n_buckets)
