@@ -258,3 +258,42 @@ def test_incremental_minhash_broadcast_vs_bucketed_parity(ray_session,
     assert outs["broadcast"] == outs["bucketed"]
     # the 20 exact copies must be dropped on both paths
     assert all(d >= 120 for d in outs["broadcast"])
+
+
+def test_incremental_embedding_dedup_paths_parity(ray_session, tmp_path):
+    """Broadcast vs bucketed store probe keep the same survivors; near-
+    identical vectors to stored ones drop, novel directions survive."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import incremental_embedding_dedup
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    run1 = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(30), pa.int64()),
+        "embedding": pa.array([v for v in base],
+                              pa.list_(pa.float32())),
+    }))
+    # run2: 10 tiny perturbations of stored vectors + 10 fresh ones
+    near = base[:10] + rng.normal(scale=1e-4, size=(10, 16)) \
+        .astype(np.float32)
+    fresh = rng.normal(size=(10, 16)).astype(np.float32)
+    run2 = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(100, 120), pa.int64()),
+        "embedding": pa.array([v for v in np.vstack([near, fresh])],
+                              pa.list_(pa.float32())),
+    }))
+    outs = {}
+    for label, thresh in (("broadcast", 10 ** 9), ("bucketed", 0)):
+        store = str(tmp_path / f"emb_{label}")
+        incremental_embedding_dedup(run1, store, sign_dims=6,
+                                    threshold=0.9).count()
+        out = incremental_embedding_dedup(run2, store, sign_dims=6,
+                                          threshold=0.9,
+                                          broadcast_store=thresh)
+        outs[label] = sorted(out.to_pandas()["vec_id"])
+    assert outs["broadcast"] == outs["bucketed"]
+    # every near-copy (100..109) dropped; random fresh vectors are far
+    # from cosine 0.9 of anything stored w.h.p.
+    assert all(v >= 110 for v in outs["broadcast"])
+    assert len(outs["broadcast"]) >= 8

@@ -84,3 +84,40 @@ def test_zarr_stacking_pipeline(ray_session, tmp_path):
     series = np.asarray([np.asarray(v) for v in row["values_stack"]])
     want = arr[:, 0:3, 3:6].reshape(4, -1)
     assert np.array_equal(series, want)  # t-ordered, content-exact
+
+
+def test_write_zarr_dataset_roundtrip_and_resume(ray_session, tmp_path):
+    """Distributed sink: chunk rows from store A write store B; B reads
+    back identical.  Resumability: delete one chunk file, re-run the
+    write, the store heals (idempotent per-chunk files)."""
+    import os
+
+    arr = _cube(t=4, h=6, w=10, dtype=np.float64, seed=21)
+    src = str(tmp_path / "src.zarr")
+    z.write_zarr(src, arr, chunks=[2, 3, 5])
+    dst = str(tmp_path / "dst.zarr")
+    tiles = z.zarr_chunk_dataset(src)
+    z.write_zarr_dataset(tiles, dst, shape=[4, 6, 10], chunks=[2, 3, 5],
+                         attrs={"crs": "EPSG:4326"})
+    got = _reassemble(z.zarr_chunk_dataset(dst), arr.shape)
+    assert np.array_equal(got, arr)
+    assert z.read_zarr_meta(dst)["attrs"]["crs"] == "EPSG:4326"
+
+    os.remove(os.path.join(dst, "0.0.0"))
+    z.write_zarr_dataset(z.zarr_chunk_dataset(src), dst,
+                         shape=[4, 6, 10], chunks=[2, 3, 5])
+    got = _reassemble(z.zarr_chunk_dataset(dst), arr.shape)
+    assert np.array_equal(got, arr)
+
+    # misaligned offsets fail loudly
+    import pyarrow as _pa
+    import ray.data as rd
+
+    bad = rd.from_arrow(_pa.table({
+        "o0": [1], "o1": [0], "o2": [0],
+        "n0": [1], "n1": [3], "n2": [5],
+        "data": [np.zeros(15)],
+    }))
+    with pytest.raises(Exception, match="chunk-aligned"):
+        z.write_zarr_dataset(bad, str(tmp_path / "bad.zarr"),
+                             shape=[4, 6, 10], chunks=[2, 3, 5])

@@ -865,6 +865,61 @@ def q_emb_dups(sf_dir: str):
     )
 
 
+def q_delta_embdup(sf_dir: str):
+    """CROSS-RUN incremental EMBEDDING near-dup dedup: run 1 seeds a
+    persistent vector store with the even-vec_id half; run 2 processes
+    the odd half and drops vectors that share a coordinate-sign LSH
+    bucket with a stored vector AND have cosine >= 0.3 — the semantic
+    member of the incremental-store trio
+    (stages/dedup.py:incremental_embedding_dedup)."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_embedding_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_deltaemb_")
+    try:
+        seed = incremental_embedding_dedup(
+            emb.map_batches(half(0), batch_format="pyarrow"), store,
+            sign_dims=EMB_SIGN_DIMS, threshold=EMB_TAU)
+        seed.count()  # drive run 1 so the store is seeded
+        fresh = incremental_embedding_dedup(
+            emb.map_batches(half(1), batch_format="pyarrow"), store,
+            sign_dims=EMB_SIGN_DIMS, threshold=EMB_TAU)
+        out = fresh.map_batches(
+            lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _sql_delta_embdup() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(EMB_SIGN_DIMS)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket
+           FROM embeddings),
+old AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+new AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+dropped AS (
+  SELECT DISTINCT n.vec_id FROM new n JOIN old o ON o.bucket = n.bucket
+  WHERE list_cosine_similarity(n.embedding, o.embedding) >= {EMB_TAU})
+SELECT vec_id FROM new
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+
 def _sql_emb_dups() -> str:
     """Sign-bucket + cosine-threshold pairs + recursive CC — mirrors
     embedding_near_dup_groups (bucket assignment is pure sign tests, so
@@ -4311,6 +4366,7 @@ FROM cand QUALIFY rank <= 10
         "simhash": _sql_simhash(),
         "lang_detect": _sql_lang_detect(),
         "emb_dups": _sql_emb_dups(),
+        "delta_embdup": _sql_delta_embdup(),
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
@@ -4789,6 +4845,7 @@ def build_queries() -> dict:
         "ann": q_ann,
         "score_docs": q_score_docs,
         "emb_dups": q_emb_dups,
+        "delta_embdup": q_delta_embdup,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,

@@ -220,3 +220,68 @@ def write_zarr(store: str, arr: np.ndarray, *, chunks: list[int],
             raw = zlib.compress(raw, 6)
         with open(os.path.join(adir, ".".join(map(str, ix))), "wb") as f:
             f.write(raw)
+
+
+def write_zarr_dataset(ds, store: str, *, shape: list[int],
+                       chunks: list[int], dtype: str = "<f8",
+                       compressor: str | None = "zlib",
+                       attrs: dict | None = None,
+                       array: str | None = None):
+    """DISTRIBUTED Zarr sink: every input row is one chunk-aligned tile
+    (the ``zarr_chunk_dataset`` schema — per-dim offsets ``o{d}``,
+    extents ``n{d}``, flattened ``data``) and writes ITS OWN chunk file
+    inside the map task — embarrassingly parallel, no driver bytes.
+
+    Resumable by construction: one file per chunk key, writes are
+    idempotent overwrites, so a failed run re-executes only what the
+    consumer re-runs and never corrupts finished chunks (the
+    'partitioned output, never one giant file' contract).  The driver
+    writes only the tiny ``.zarray`` JSON.  Offsets must sit on chunk
+    boundaries; edge tiles may be short (padded with fill 0 like the
+    spec's full-size edge chunks)."""
+    adir = store if array is None else os.path.join(store, array)
+    os.makedirs(adir, exist_ok=True)
+    if array is not None:
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+    meta = {
+        "zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
+        "dtype": np.dtype(dtype).newbyteorder("<").str, "order": "C",
+        "fill_value": 0, "filters": None,
+        "compressor": {"id": "zlib", "level": 6} if compressor else None,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs:
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+    rank = len(shape)
+    dt = np.dtype(dtype).newbyteorder("<")
+
+    def write_chunk(b: pa.Table) -> pa.Table:
+        offs = [b.column(f"o{d}").to_numpy(zero_copy_only=False)
+                for d in range(rank)]
+        ns = [b.column(f"n{d}").to_numpy(zero_copy_only=False)
+              for d in range(rank)]
+        data = b.column("data")
+        for r in range(len(b)):
+            ix = []
+            for d in range(rank):
+                if offs[d][r] % chunks[d]:
+                    raise ValueError(
+                        f"row offset o{d}={offs[d][r]} not chunk-aligned")
+                ix.append(int(offs[d][r]) // chunks[d])
+            ext = tuple(int(ns[d][r]) for d in range(rank))
+            full = np.zeros(chunks, dtype=dt)
+            vals = np.asarray(data[r].as_py(), dtype=np.float64) \
+                .reshape(ext).astype(dt)
+            full[tuple(slice(0, e) for e in ext)] = vals
+            raw = full.tobytes()
+            if compressor:
+                raw = zlib.compress(raw, 6)
+            path = os.path.join(adir, ".".join(map(str, ix)))
+            with open(path, "wb") as f:
+                f.write(raw)
+        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+    ds.map_batches(write_chunk, batch_format="pyarrow").materialize()

@@ -983,3 +983,148 @@ def exact_dedup(ds, *, text_col: str = "text", order_cols: list[str] | None = No
         lambda b: add_content_hash(b, text_col=text_col), batch_format="pyarrow"
     )
     return dedup_first(hashed, ["content_hash"], order_cols or [text_col])
+
+
+def incremental_embedding_dedup(ds, store_dir: str, *,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                sign_dims: int = 8, threshold: float = 0.3,
+                                n_buckets: int = 64,
+                                broadcast_store: int = BROADCAST_STORE_ROWS):
+    """CROSS-RUN embedding near-dup dedup against a persistent VECTOR
+    store — the semantic sibling of ``incremental_minhash_dedup``
+    (completes the incremental trio: exact hash / MinHash / embedding).
+
+    A new vector is dropped iff it shares a coordinate-SIGN LSH bucket
+    (the engine's oracle-safe axis-aligned LSH — assignment is pure
+    sign tests, no float-summation-order hazard) with a STORED vector
+    AND their cosine similarity >= ``threshold``.  Survivors'
+    (id, embedding) rows append to the store (one parquet per run,
+    append-only; buckets are recomputed from signs on read — free).
+    New-vs-new dups are NOT collapsed (compose
+    ``embedding_near_dup_groups`` first), matching the MinHash
+    contract; ids must be unique across runs.
+
+    Scale shape: below ``broadcast_store`` rows the store ships once
+    via ``ray.put`` as per-bucket NORMALIZED matrices and the whole
+    probe (bucket lookup + one matmul + drop) runs inside ONE map pass
+    — zero shuffles.  Above it, new and stored rows union-tag into ONE
+    bucketed group keyed by the sign bucket (both sides share a schema,
+    so no padded-join list hazard) and verify per bucket; dropped ids
+    anti-join the input.  Both paths parity-tested.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
+
+    weights = (1 << np.arange(sign_dims, dtype=np.int64))
+
+    def _mat(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(arr) == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    def _buckets(m: np.ndarray) -> np.ndarray:
+        return (m[:, :sign_dims] > 0).astype(np.int64) @ weights
+
+    store_files = [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(store_dir or "")
+        for fn in files if fn.endswith(".parquet")
+    ] if os.path.isdir(store_dir) else []
+    n_old = sum(_pq.read_metadata(f).num_rows for f in store_files)
+
+    survivors = ds
+    if store_files and n_old <= broadcast_store:
+        import ray as _ray
+
+        old_tbl = pa.concat_tables(
+            [_pq.read_table(f, columns=[vec_col]) for f in store_files])
+        om = _mat(old_tbl.column(vec_col))
+        ob = _buckets(om)
+        order = np.argsort(ob, kind="stable")
+        om, ob = _norm(om[order]), ob[order]
+        blob = (ob, om)
+        ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+        def probe(b: pa.Table, _ref=ref) -> pa.Table:
+            from .graph import _get_blob
+
+            obv, omat = _get_blob(_ref) if not isinstance(_ref, tuple) \
+                else _ref
+            if len(b) == 0 or len(obv) == 0:
+                return b
+            nm = _mat(b.column(vec_col))
+            nb = _buckets(nm)
+            nmn = _norm(nm)
+            drop = np.zeros(len(b), dtype=bool)
+            lo = np.searchsorted(obv, nb, side="left")
+            hi = np.searchsorted(obv, nb, side="right")
+            for i in np.flatnonzero(hi > lo):
+                sims = omat[lo[i]:hi[i]] @ nmn[i]
+                if (sims >= threshold).any():
+                    drop[i] = True
+            return b.filter(pa.array(~drop))
+
+        survivors = ds.map_batches(probe, batch_format="pyarrow")
+    elif store_files:
+        old = rd.read_parquet(store_dir)
+
+        def tag(side: int):
+            def fn(b: pa.Table) -> pa.Table:
+                m = _mat(b.column(vec_col))
+                return pa.table({
+                    id_col: b.column(id_col),
+                    "__bkt": pa.array(_buckets(m), pa.int64()),
+                    vec_col: b.column(vec_col),
+                    "__side": pa.array(
+                        np.full(len(b), side, dtype=np.int8)),
+                })
+            return fn
+
+        both = ds.map_batches(tag(0), batch_format="pyarrow").union(
+            old.map_batches(tag(1), batch_format="pyarrow"))
+
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, sub in g.groupby("__bkt", sort=False):
+                new = sub[sub["__side"] == 0]
+                olds = sub[sub["__side"] == 1]
+                if len(new) == 0 or len(olds) == 0:
+                    continue
+                nm = _norm(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in new[vec_col]]))
+                om_ = _norm(np.stack([np.asarray(v, dtype=np.float64)
+                                      for v in olds[vec_col]]))
+                hit = (nm @ om_.T >= threshold).any(axis=1)
+                if hit.any():
+                    outs.append(pd.DataFrame(
+                        {id_col: new[id_col].to_numpy()[hit]}))
+            if not outs:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        dropped = bucketed_groupby(both, ["__bkt"], verify,
+                                   n_buckets=n_buckets).materialize()
+        if dropped.count() > 0:
+            survivors = bucketed_join(ds, dropped, [id_col], how="anti",
+                                      n_buckets=n_buckets)
+
+    survivors = survivors.materialize()  # store append + output
+    os.makedirs(store_dir, exist_ok=True)
+    run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
+    survivors.map_batches(
+        lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
+    ).write_parquet(run_dir)
+    return survivors
