@@ -515,10 +515,12 @@ def test_pinned_kcore_parity(ray_session):
     assert len(out) == 0
 
 
-def test_ktruss_k4_golden(ray_session):
+@pytest.mark.parametrize("threshold", [0, 10 ** 9])
+def test_ktruss_k4_golden(ray_session, threshold):
     """K4 + pendant + disjoint triangle: the 3-truss keeps K4 (support
     2 per edge) and the triangle (support 1); the 4-truss keeps only
-    K4; the 5-truss is empty (typed empty result)."""
+    K4; the 5-truss is empty (typed empty result).  Both execution
+    paths (broadcast rounds / distributed join rounds)."""
     from zen3geo_ray.stages.graph import ktruss
 
     k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
@@ -528,24 +530,42 @@ def test_ktruss_k4_golden(ray_session):
         "src": pa.array([a for a, _ in ed], pa.int64()),
         "dst": pa.array([b for _, b in ed], pa.int64())}))
 
-    out3 = ktruss(edges, k=3, rounds=3, n_buckets=4).to_pandas() \
+    out3 = ktruss(edges, k=3, rounds=3, n_buckets=4,
+                  broadcast_threshold=threshold).to_pandas() \
         .sort_values(["u", "v"]).reset_index(drop=True)
     assert list(zip(out3.u, out3.v, out3.support)) == [
         (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2),
         (10, 11, 1), (10, 12, 1), (11, 12, 1)]
 
-    out4 = ktruss(edges, k=4, rounds=3, n_buckets=4).to_pandas() \
+    out4 = ktruss(edges, k=4, rounds=3, n_buckets=4,
+                  broadcast_threshold=threshold).to_pandas() \
         .sort_values(["u", "v"]).reset_index(drop=True)
     assert list(zip(out4.u, out4.v)) == k4
     assert set(out4.support) == {2}
 
-    out5 = ktruss(edges, k=5, rounds=3, n_buckets=4)
+    out5 = ktruss(edges, k=5, rounds=3, n_buckets=4,
+                  broadcast_threshold=threshold)
     assert out5.count() == 0
     assert set(out5.schema().names) == {"u", "v", "support"}
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k >= 3"):
         ktruss(edges, k=2, rounds=1)
+
+
+def test_ktruss_paths_parity_random(ray_session):
+    from zen3geo_ray.stages.graph import ktruss
+
+    rng = np.random.default_rng(53)
+    src = rng.integers(0, 50, 400).astype(np.int64)
+    dst = rng.integers(0, 50, 400).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    a = ktruss(edges, k=4, rounds=2, n_buckets=8).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    b = ktruss(edges, k=4, rounds=2, n_buckets=8,
+               broadcast_threshold=0).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
 
 
 def test_pinned_bfs_parity(ray_session):

@@ -156,3 +156,21 @@ def test_strip_dup_spans_golden(ray_session):
     assert out.loc[4, "clean_text"] == docs[4]
     assert out.loc[5, "clean_text"] == "tiny"
     assert int(out["removed_chars"].loc[[4, 5]].sum()) == 0
+
+
+def test_strip_dup_spans_bucketed_path_parity(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import strip_dup_spans
+
+    docs = _docs()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }))
+    a = strip_dup_spans(ds, L=L, n_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = strip_dup_spans(ds, L=L, n_buckets=4,
+                        broadcast_spans=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

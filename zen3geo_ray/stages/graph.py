@@ -960,8 +960,15 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
     sum yields per-edge support, one inner join filters survivors.
     The degree table is node-bounded, so it broadcasts below
     ``broadcast_threshold`` (orientation happens inside the edge map —
-    no attach joins); the per-round state itself is EDGE-valued, so
-    there is no whole-state broadcast path — edges stay distributed.
+    no attach joins).  The per-round state is EDGE-valued; below
+    ``broadcast_threshold`` EDGES the whole round runs as BROADCAST
+    ROUNDS: the driver holds the (small) surviving edge list, ships an
+    oriented CSR adjacency + a dense-rank edge-membership key array via
+    ``ray.put``, and each round is ONE wedge-enumeration map (partners
+    of an edge = the CSR entries strictly after its own slot — exactly
+    the (deg, id) order predicate) + ONE combiner-first support sum —
+    no joins at all.  Above the threshold the distributed join rounds
+    run (the billion-edge path).  Both paths are parity-tested.
     """
     if k < 3:
         raise ValueError("ktruss needs k >= 3 (support threshold k-2 >= 1)")
@@ -987,6 +994,91 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
                       "v": pa.array([], pa.int64()),
                       "support": pa.array([], pa.int64())})
     import ray.data as rd
+
+    def support_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], sort=False, as_index=False)[
+            "support"].sum()
+        return out[out["support"] >= k - 2]
+
+    if e.count() <= broadcast_threshold:
+        # BROADCAST ROUNDS: surviving edges are driver state; each round
+        # ships an oriented CSR + dense-rank membership keys once and
+        # runs ONE wedge map + ONE support reduce — no joins.
+        import ray
+
+        cur = e.to_pandas()
+        state_df = None
+        for _ in range(rounds):
+            if len(cur) == 0:
+                return rd.from_arrow(empty)
+            u = cur["u"].to_numpy().astype(np.int64)
+            v = cur["v"].to_numpy().astype(np.int64)
+            nodes, inv = np.unique(np.concatenate([u, v]),
+                                   return_inverse=True)
+            deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+            ru, rv = inv[:len(u)], inv[len(u):]
+            du, dv = deg[ru], deg[rv]
+            swap = (dv < du) | ((dv == du) & (v < u))
+            # DENSE RANKS stand in for node ids everywhere below: nodes
+            # is sorted ascending, so rank order == id order and the
+            # (deg, id) orientation + canonical min/max are identical;
+            # rank*n_nodes+rank packs the closure key into one int64
+            lo = np.where(swap, rv, ru).astype(np.int64)
+            hi = np.where(swap, ru, rv).astype(np.int64)
+            dhi = np.where(swap, du, dv)
+            order = np.lexsort((hi, dhi, lo))
+            lo, hi, dhi = lo[order], hi[order], dhi[order]
+            nn = np.int64(len(nodes))
+            run_end = np.searchsorted(lo, lo, side="right")
+            kset = np.sort(lo * nn + hi)
+            ref = ray.put((lo, hi, run_end, nodes, kset, nn))
+            gidx_ds = rd.from_arrow(pa.table({
+                "gidx": pa.array(np.arange(len(lo), dtype=np.int64))})) \
+                .repartition(n_buckets)
+
+            def wedge_support(b: pa.Table, _ref=ref) -> pa.Table:
+                lo_, hi_, rend, nodes_, ks, n_ = _get_blob(_ref)
+                g = b.column("gidx").to_numpy(zero_copy_only=False)
+                cnt = rend[g] - g - 1
+                m = cnt > 0
+                g2, c2 = g[m], cnt[m]
+                total = int(c2.sum())
+                if total == 0:
+                    return empty
+                offs = np.concatenate([[0], np.cumsum(c2)[:-1]])
+                pos = (np.arange(total) - np.repeat(offs, c2)
+                       + np.repeat(g2 + 1, c2))
+                own = np.repeat(g2, c2)
+                z, h1, h2 = lo_[own], hi_[own], hi_[pos]
+                key = h1 * n_ + h2
+                ix = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
+                hit = ks[ix] == key
+                z, h1, h2 = z[hit], h1[hit], h2[hit]
+                if len(z) == 0:
+                    return empty
+                eu = np.concatenate([np.minimum(z, h1), np.minimum(z, h2),
+                                     np.minimum(h1, h2)])
+                ev = np.concatenate([np.maximum(z, h1), np.maximum(z, h2),
+                                     np.maximum(h1, h2)])
+                df = pd.DataFrame({"u": nodes_[eu], "v": nodes_[ev]})
+                df["support"] = np.int64(1)
+                agg = df.groupby(["u", "v"], sort=False,
+                                 as_index=False).sum()
+                return pa.Table.from_pandas(agg, preserve_index=False) \
+                    .replace_schema_metadata(None)
+
+            partials = gidx_ds.map_batches(wedge_support,
+                                           batch_format="pyarrow")
+            state_df = bucketed_groupby(
+                partials, ["u", "v"], support_sum, n_buckets=n_buckets,
+            ).to_pandas()
+            if len(state_df) == 0 or "support" not in state_df.columns:
+                return rd.from_arrow(empty)
+            cur = state_df[["u", "v"]]
+        out = pa.Table.from_pandas(
+            state_df[["u", "v", "support"]].astype(np.int64),
+            preserve_index=False).replace_schema_metadata(None)
+        return rd.from_arrow(out)
 
     def deg_partial(b: pa.Table) -> pa.Table:
         x = np.concatenate([
@@ -1083,11 +1175,6 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
             agg = df.groupby(["u", "v"], sort=False, as_index=False).sum()
             return pa.Table.from_pandas(agg, preserve_index=False) \
                 .replace_schema_metadata(None)
-
-        def support_sum(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(["u", "v"], sort=False, as_index=False)[
-                "support"].sum()
-            return out[out["support"] >= k - 2]
 
         state = _settle(bucketed_groupby(
             closed.map_batches(support_partial, batch_format="pyarrow"),

@@ -220,50 +220,105 @@ def winnowed_candidates(docs, *, L: int = 30, w: int = 8,
 
 
 def strip_dup_spans(docs, *, L: int = 30, id_col: str = "doc_id",
-                    text_col: str = "text", n_buckets: int = 64):
+                    text_col: str = "text", n_buckets: int = 64,
+                    broadcast_spans: int = 2_000_000):
     """Remove every duplicated span (ALL copies) from every doc — the
     cleaning step over :func:`dup_spans` (the Lee et al. "drop
     duplicated substrings" variant; keeping one canonical copy is a
     policy layer above this primitive).  Returns (doc_id, clean_text,
     removed_chars); span-free docs pass through unchanged.
 
-    Shape: spans (a small derived table) LEFT-join onto the docs keyed
-    by id, then one per-doc gap concatenation inside coarse buckets —
-    documents shuffle twice (join + regroup), unavoidable for a
-    text-rewriting op whose output is per-doc text."""
+    Two shapes: when the span table fits one object (<=
+    ``broadcast_spans`` rows — spans are a tiny fraction of docs by
+    construction) it ships once via ``ray.put`` sorted by doc, and the
+    rewrite is ONE map pass over the docs (searchsorted per batch; the
+    per-affected-doc string splice is the inherent serial work).
+    Above it, spans LEFT-join onto the docs keyed by id and the gap
+    concatenation runs inside coarse buckets — documents shuffle twice,
+    unavoidable for a shuffled text-rewriting op."""
     from .hashjoin import bucketed_join
 
     spans = dup_spans(docs, L=L, id_col=id_col, text_col=text_col,
-                      n_buckets=n_buckets)
+                      n_buckets=n_buckets).materialize()
+
+    def _splice(t: str, s: np.ndarray, e: np.ndarray) -> str:
+        parts, prev = [], 0
+        for a, b_ in zip(s, e):  # spans are disjoint and few per doc
+            parts.append(t[prev:a])
+            prev = b_
+        parts.append(t[prev:])
+        return "".join(parts)
+
+    if spans.count() <= broadcast_spans:
+        import ray as _ray
+
+        sdf = spans.to_pandas()
+        order = np.lexsort((sdf["span_start"].to_numpy(),
+                            sdf[id_col].to_numpy()))
+        blob = (sdf[id_col].to_numpy()[order],
+                sdf["span_start"].to_numpy()[order].astype(np.int64),
+                sdf["span_end"].to_numpy()[order].astype(np.int64))
+        ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+        def rewrite(b: pa.Table, _ref=ref) -> pa.Table:
+            from .graph import _get_blob
+
+            sid, ss, se = _get_blob(_ref) if not isinstance(_ref, tuple) \
+                else _ref
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            texts = b.column(text_col).to_pylist()
+            lo = np.searchsorted(sid, ids, side="left")
+            hi = np.searchsorted(sid, ids, side="right")
+            cleans, removed = [], np.zeros(len(b), dtype=np.int64)
+            for i, t in enumerate(texts):
+                if hi[i] == lo[i]:
+                    cleans.append(t)
+                    continue
+                c = _splice(t, ss[lo[i]:hi[i]], se[lo[i]:hi[i]])
+                cleans.append(c)
+                removed[i] = len(t) - len(c)
+            return pa.table({id_col: b.column(id_col),
+                             "clean_text": pa.array(cleans, pa.string()),
+                             "removed_chars": pa.array(removed)})
+
+        return docs.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        ).map_batches(rewrite, batch_format="pyarrow")
+
     joined = bucketed_join(
         docs.map_batches(lambda b: b.select([id_col, text_col]),
                          batch_format="pyarrow"),
         spans, [id_col], how="left", n_buckets=n_buckets)
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        ids, cleans, removed = [], [], []
-        for did, sub in g.groupby(id_col, sort=False):
-            t = sub[text_col].iloc[0]
-            ss = sub["span_start"].dropna()
-            if len(ss) == 0:
-                ids.append(did)
-                cleans.append(t)
-                removed.append(0)
-                continue
-            s = np.sort(ss.to_numpy(dtype=np.int64))
-            e = np.sort(sub["span_end"].dropna().to_numpy(dtype=np.int64))
-            parts = []
-            prev = 0
-            for a, b_ in zip(s, e):  # spans are disjoint and few per doc
-                parts.append(t[prev:a])
-                prev = b_
-            parts.append(t[prev:])
-            clean = "".join(parts)
-            ids.append(did)
-            cleans.append(clean)
-            removed.append(len(t) - len(clean))
-        return pd.DataFrame({id_col: ids, "clean_text": cleans,
-                             "removed_chars": np.asarray(removed,
+        has = g["span_start"].notna().to_numpy()
+        out_ids, out_clean, out_rm = [], [], []
+        # passthrough docs arrive as exactly one null-span row each
+        miss = g[~has]
+        out_ids.extend(miss[id_col].tolist())
+        out_clean.extend(miss[text_col].tolist())
+        out_rm.extend([0] * len(miss))
+        sub = g[has]
+        if len(sub):
+            doc = sub[id_col].to_numpy()
+            ss = sub["span_start"].to_numpy(dtype=np.int64)
+            se = sub["span_end"].to_numpy(dtype=np.int64)
+            texts = sub[text_col].to_numpy()
+            order = np.lexsort((ss, doc))
+            doc, ss, se, texts = doc[order], ss[order], se[order], \
+                texts[order]
+            new_doc = np.ones(len(doc), dtype=bool)
+            new_doc[1:] = doc[1:] != doc[:-1]
+            starts = np.append(np.flatnonzero(new_doc), len(doc))
+            for j in range(len(starts) - 1):
+                a, b_ = starts[j], starts[j + 1]
+                t = texts[a]
+                c = _splice(t, ss[a:b_], se[a:b_])
+                out_ids.append(doc[a])
+                out_clean.append(c)
+                out_rm.append(len(t) - len(c))
+        return pd.DataFrame({id_col: out_ids, "clean_text": out_clean,
+                             "removed_chars": np.asarray(out_rm,
                                                          dtype=np.int64)})
 
     return bucketed_groupby(joined, [id_col], per_doc, n_buckets=n_buckets)
