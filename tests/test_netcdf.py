@@ -1,0 +1,77 @@
+"""NetCDF classic (CDF-1) reader — the other half of the
+XpySTACAssetReader datacube pair (zarr covered in test_zarrlite.py)."""
+
+import numpy as np
+import pytest
+
+from zen3geo_ray.sources import netcdf as nc
+
+
+def _store(tmp_path, dtype=np.float32):
+    rng = np.random.default_rng(29)
+    temp = rng.integers(200, 320, (6, 4, 5)).astype(dtype)  # (time, y, x)
+    lat = np.linspace(-30, 30, 4).astype(np.float64)
+    lon = np.linspace(0, 40, 5).astype(np.float64)
+    p = str(tmp_path / "cube.nc")
+    nc.write_netcdf(
+        p,
+        dims={"time": None, "y": 4, "x": 5},
+        variables={
+            "lat": (["y"], lat),
+            "lon": (["x"], lon),
+            "temp": (["time", "y", "x"], temp),
+        },
+        attrs={"crs": "EPSG:4326"},
+    )
+    return p, temp, lat, lon
+
+
+def test_netcdf_header_and_fixed_vars(tmp_path):
+    p, temp, lat, lon = _store(tmp_path)
+    data = open(p, "rb").read()
+    meta = nc.netcdf_meta(data)
+    assert meta["numrecs"] == 6
+    assert dict(meta["dims"]) == {"time": 0, "y": 4, "x": 5}
+    assert meta["attrs"]["crs"] == "EPSG:4326"
+    assert meta["vars"]["temp"]["record"] is True
+    assert meta["vars"]["temp"]["shape"] == [6, 4, 5]
+    assert np.array_equal(nc.read_netcdf_var(data, "lat"), lat)
+    assert np.array_equal(nc.read_netcdf_var(data, "lon"), lon)
+
+
+def test_netcdf_record_var_roundtrip(tmp_path):
+    p, temp, _, _ = _store(tmp_path)
+    data = open(p, "rb").read()
+    got = nc.read_netcdf_var(data, "temp")
+    assert got.shape == (6, 4, 5)
+    assert np.array_equal(got, temp)
+    sl = nc.read_netcdf_var(data, "temp", (2, 5))
+    assert np.array_equal(sl, temp[2:5])
+
+
+def test_netcdf_slab_dataset_stacking(ray_session, tmp_path):
+    """Distributed record slabs reassemble the cube and feed
+    stack_series exactly like the zarr datacube leg."""
+    p, temp, _, _ = _store(tmp_path, dtype=np.float64)
+    ds = nc.netcdf_slab_dataset(p, "temp", recs_per_slab=2)
+    out = np.full((6, 4, 5), np.nan)
+    import pyarrow as pa
+
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        b = pa.table(b) if not isinstance(b, pa.Table) else b
+        for r in range(b.num_rows):
+            r0 = b.column("rec0")[r].as_py()
+            n = b.column("nrec")[r].as_py()
+            vals = np.asarray(b.column("data")[r].as_py()).reshape(n, 4, 5)
+            out[r0:r0 + n] = vals
+    assert np.array_equal(out, temp)
+
+
+def test_netcdf_error_paths(tmp_path):
+    with pytest.raises(ValueError, match="CDF magic"):
+        nc.netcdf_meta(b"NOPE" + b"\0" * 64)
+    with pytest.raises(NotImplementedError, match="HDF5"):
+        nc.netcdf_meta(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
+    p, _, _, _ = _store(tmp_path)
+    with pytest.raises(ValueError, match="fixed variable"):
+        nc.netcdf_slab_dataset(p, "lat")
