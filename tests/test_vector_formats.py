@@ -109,6 +109,10 @@ def test_pip_join_same_results_across_all_formats(ray_session, tmp_path):
     paths["gpkg"] = tmp_path / "l.gpkg"
     write_shp(layer, str(tmp_path / "l.shp"))
     paths["shp"] = tmp_path / "l.shp"
+    from zen3geo_ray.sources.flatgeobuf import write_flatgeobuf
+
+    write_flatgeobuf(layer, str(tmp_path / "l.fgb"))
+    paths["fgb"] = tmp_path / "l.fgb"
 
     results = {}
     for fmt, p in paths.items():
@@ -121,5 +125,43 @@ def test_pip_join_same_results_across_all_formats(ray_session, tmp_path):
             .reset_index(drop=True)
     base = results["parquet"]
     assert len(base) == 300
-    for fmt in ("geojson", "gpkg", "shp"):
+    for fmt in ("geojson", "gpkg", "shp", "fgb"):
         assert results[fmt].equals(base), fmt
+
+
+def test_fgb_roundtrip_matches_parquet(tmp_path):
+    from zen3geo_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    tbl = admin_grid(nx=6, ny=3)
+    f = tmp_path / "admin.fgb"
+    write_flatgeobuf(tbl, str(f))
+    from_fgb = read_vector(str(f))
+    assert from_fgb.schema.equals(tbl.schema)
+    assert from_fgb.equals(tbl)
+
+
+def test_fgb_geometry_types_and_holes(tmp_path):
+    from zen3geo_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    hole_poly = wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                            holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]])
+    mp = {"type": "MultiPolygon", "coords": [
+        wkb.box(0, 0, 1, 1)["coords"], wkb.box(5, 5, 7, 7)["coords"]]}
+    geoms = [hole_poly, mp, wkb.linestring([(0, 0), (3, 4)]),
+             wkb.point(-12.5, 42.0), wkb.multipoint([(1, 1), (2, 2)])]
+    tbl = polygons_table(geoms, names=["hole", "mp", "ln", "pt", "mpt"])
+    f = tmp_path / "mixed.fgb"
+    write_flatgeobuf(tbl, str(f))
+    back = read_flatgeobuf(str(f))
+    assert back.equals(tbl)  # WKB byte-identical through the round trip
+    g = wkb.loads(back.column("geometry_wkb")[0].as_py())
+    assert len(g["coords"]) == 2  # hole ring survived the ends vector
+
+
+def test_fgb_bad_magic(tmp_path):
+    from zen3geo_ray.sources.flatgeobuf import read_flatgeobuf
+
+    p = tmp_path / "bad.fgb"
+    p.write_bytes(b"notfgb00" + b"\0" * 32)
+    with pytest.raises(ValueError, match="magic"):
+        read_flatgeobuf(str(p))

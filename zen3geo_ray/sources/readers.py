@@ -55,6 +55,10 @@ def read_vector(path: str, columns: list[str] | None = None,
         from .shapefile import read_shp
 
         t = read_shp(path)
+    elif path.endswith(".fgb"):
+        from .flatgeobuf import read_flatgeobuf
+
+        t = read_flatgeobuf(path)
     else:
         return pq.read_table(path, columns=columns)
     return t.select(columns) if columns else t
