@@ -590,3 +590,26 @@ def test_pinned_bfs_parity(ray_session):
     lone = rd.from_arrow(pa.table({"node": pa.array([999], pa.int64())}))
     out = pinned_bfs(edges, lone, max_hops=2, n_shards=2).to_pandas()
     assert out["node"].tolist() == [999] and out["dist"].tolist() == [0]
+
+
+def test_pinned_triangles_parity(ray_session):
+    from zen3geo_ray.stages.graph import triangle_count
+    from zen3geo_ray.stages.pregel import pinned_triangles
+
+    rng = np.random.default_rng(59)
+    src = rng.integers(0, 60, 350).astype(np.int64)
+    dst = rng.integers(0, 60, 350).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    want = triangle_count(edges, n_buckets=8).to_pandas()["n_tri"].iloc[0]
+    got = pinned_triangles(edges, n_shards=3).to_pandas()["n_tri"].iloc[0]
+    assert int(want) == int(got) and int(got) > 0
+
+    # K4: exactly 4 triangles; single shard path
+    k4 = rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "dst": pa.array([2, 3, 4, 3, 4, 4], pa.int64())}))
+    assert pinned_triangles(k4, n_shards=1).to_pandas()["n_tri"].iloc[0] == 4
+    # triangle-free graph
+    path = rd.from_arrow(pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                                   "dst": pa.array([2, 3, 4], pa.int64())}))
+    assert pinned_triangles(path, n_shards=2).to_pandas()["n_tri"].iloc[0] == 0

@@ -1,6 +1,7 @@
 """Pregel-style actor-sharded graph ops: edge shards PINNED in actors
 (PageRank — classic/weighted/personalized — min-label connected
-components, frontier-delta BFS, and dead-delta k-core peeling).
+components, frontier-delta BFS, dead-delta k-core peeling, and
+degree-oriented triangle counting).
 
 The Dataset BSP path (stages/graph.py:pagerank) re-shuffles the edge
 table once per round inside its bucketed join — the documented cost of
@@ -223,6 +224,82 @@ def _make_shard_cls():
         def comp_table(self) -> pa.Table:
             return pa.table({NODE: pa.array(self.nodes),
                              "comp": pa.array(self.comp)})
+
+        # --- degree-oriented triangle counting -------------------------
+        def prep_tri(self, blob_ref) -> int:
+            """Edges here are ORIENTED (lo -> hi, routed by shard(lo)).
+            ``blob_ref``: (sorted global nodes, degrees) — node-bounded,
+            shipped once.  Sorts local edges into wedge order
+            (lo, deg[hi], hi), precomputes run ends and the packed
+            dense-rank key set for closure membership."""
+            import ray as _ray
+
+            nodes_g, deg_g = _ray.get(blob_ref) \
+                if not isinstance(blob_ref, tuple) else blob_ref
+            self._tri_nodes = nodes_g
+            self._tri_n = np.int64(len(nodes_g))
+            dhi = deg_g[np.searchsorted(nodes_g, self.dst)]
+            order = np.lexsort((self.dst, dhi, self.src))
+            self._tlo = self.src[order]
+            self._thi = self.dst[order]
+            self._tdhi = dhi[order]
+            self._trun_end = np.searchsorted(self._tlo, self._tlo,
+                                             side="right")
+            rlo = np.searchsorted(nodes_g, self._tlo)
+            rhi = np.searchsorted(nodes_g, self._thi)
+            self._tkeys = np.sort(rlo * self._tri_n + rhi)
+            return len(self._tlo)
+
+        def tri_wedges(self) -> list:
+            """Enumerate wedges at local lo vertices; ship (h1, h2)
+            candidate closing edges to shard(h1) as S tables.  Volume
+            is arboricity-bounded by the (deg, id) orientation —
+            identical to the Dataset path's streamed wedges."""
+            empty = pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64())})
+            m = len(self._tlo)
+            if m == 0:
+                return [empty] * self.n
+            g = np.arange(m, dtype=np.int64)
+            cnt = self._trun_end - g - 1
+            sel = cnt > 0
+            g2, c2 = g[sel], cnt[sel]
+            total = int(c2.sum())
+            if total == 0:
+                return [empty] * self.n
+            offs = np.concatenate([[0], np.cumsum(c2)[:-1]])
+            pos = (np.arange(total) - np.repeat(offs, c2)
+                   + np.repeat(g2 + 1, c2))
+            h1 = self._thi[np.repeat(g2, c2)]
+            h2 = self._thi[pos]
+            sh = _shard_of(h1, self.n)
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                out.append(pa.table({"a": pa.array(h1[mm]),
+                                     "b": pa.array(h2[mm])}))
+            return out
+
+        def tri_count(self, *incoming) -> int:
+            """Count incoming wedges whose closing edge (a -> b) exists
+            in this shard's oriented set (dense-rank packed keys)."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            total = 0
+            for t in flat:
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                if len(a) == 0:
+                    continue
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                ra = np.searchsorted(self._tri_nodes, a)
+                rb = np.searchsorted(self._tri_nodes, b)
+                key = ra * self._tri_n + rb
+                if len(self._tkeys):
+                    ix = np.minimum(np.searchsorted(self._tkeys, key),
+                                    len(self._tkeys) - 1)
+                    total += int((self._tkeys[ix] == key).sum())
+            return total
 
         # --- multi-source BFS (frontier-delta exchange) ----------------
         def init_bfs(self, seed_ids: np.ndarray) -> int:
@@ -681,6 +758,104 @@ def pinned_bfs(edges, seeds, *, src: str = "src", dst: str = "dst",
                 break  # all frontiers empty — distances are final
         refs = [sh.bfs_table.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_triangles(edges, *, src: str = "src", dst: str = "dst",
+                     n_shards: int | None = None):
+    """Exact global triangle count over actor-pinned oriented edge
+    shards — same degree-oriented wedge algorithm (and parity-tested
+    count) as ``graph.triangle_count``, with one exchange total:
+    wedges ship actor-to-actor to the shard owning their potential
+    closing edge's lo endpoint; no Dataset joins at all.
+
+    Plan: canonical distinct pairs + degrees via the Dataset combiners;
+    degrees are node-bounded, so the (nodes, deg) blob ships once and
+    orientation happens inside the routing map.  Returns a ONE-ROW
+    Dataset {n_tri}."""
+    import ray
+    import ray.data as rd
+
+    from .graph import distinct_tuples
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    pairs = distinct_tuples(edges.map_batches(norm, batch_format="pyarrow"),
+                            ["u", "v"]).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False)])
+        un, c = np.unique(x, return_counts=True)
+        return pa.table({NODE: pa.array(un),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    from .bucketed import bucketed_groupby
+
+    deg = bucketed_groupby(
+        pairs.map_batches(deg_partial, batch_format="pyarrow"),
+        [NODE],
+        lambda g: g.groupby(NODE, sort=False, as_index=False)["_c"].sum(),
+    ).to_pandas()
+    order = np.argsort(deg[NODE].to_numpy(), kind="mergesort")
+    nodes_g = deg[NODE].to_numpy()[order].astype(np.int64)
+    deg_g = deg["_c"].to_numpy()[order].astype(np.int64)
+
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+        blob_ref = ray.put((nodes_g, deg_g))
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            ng, dg = ray.get(blob_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            du = dg[np.searchsorted(ng, u)]
+            dv = dg[np.searchsorted(ng, v)]
+            swap = (dv < du) | ((dv == du) & (v < u))
+            lo = np.where(swap, v, u)
+            hi = np.where(swap, u, v)
+            sh = _shard_of(lo, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(lo[m], hi[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        pairs.map_batches(route, batch_format="pyarrow",
+                          max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.prep_tri.remote(blob_ref) for sh in shards])
+
+        if S == 1:
+            outs = [[sh.tri_wedges.remote()] for sh in shards]
+        else:
+            outs = [sh.tri_wedges.options(num_returns=S).remote()
+                    for sh in shards]
+        counts = ray.get([
+            shards[j].tri_count.remote(*[outs[i][j] for i in range(S)])
+            for j in range(S)
+        ])
+        return rd.from_arrow(pa.table({
+            "n_tri": pa.array([int(sum(counts))], pa.int64())}))
     finally:
         for sh in shards:
             ray.kill(sh)
