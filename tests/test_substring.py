@@ -174,3 +174,46 @@ def test_strip_dup_spans_bucketed_path_parity(ray_session):
                         broadcast_spans=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_winnowed_dup_spans_end_to_end(ray_session):
+    """The scale path recovers every planted duplicated run of length
+    >= L + w - 1 with its FULL extent, and every span it reports is
+    contained in the exact operator's output."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import dup_spans, winnowed_dup_spans
+
+    rng = np.random.default_rng(61)
+    alpha = list("abcdefghijklmnopqrstuvwxyz ")
+    run_a = "".join(rng.choice(alpha, L + W - 1))     # exactly the bound
+    run_b = "".join(rng.choice(alpha, 3 * L))          # long shared run
+    docs = {
+        1: "".join(rng.choice(alpha, 40)) + run_a
+           + "".join(rng.choice(alpha, 30)) + run_b,
+        2: run_b + "".join(rng.choice(alpha, 25)) + run_a
+           + "".join(rng.choice(alpha, 50)),
+        3: "".join(rng.choice(alpha, 120)),
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }))
+    wspans = winnowed_dup_spans(ds, L=L, w=W, n_buckets=4).to_pandas()
+    espans = dup_spans(ds, L=L, n_buckets=4).to_pandas()
+
+    # every winnowed span is inside an exact span (no false content)
+    for _, r in wspans.iterrows():
+        covered = espans[(espans.doc_id == r.doc_id)
+                         & (espans.span_start <= r.span_start)
+                         & (espans.span_end >= r.span_end)]
+        assert len(covered) == 1, (r.doc_id, r.span_start, r.span_end)
+
+    # both planted runs recovered at FULL extent in both docs
+    for did, t in list(docs.items())[:2]:
+        got = wspans[wspans.doc_id == did]
+        for run in (run_a, run_b):
+            s = t.find(run)
+            hit = got[(got.span_start <= s) & (got.span_end >= s + len(run))]
+            assert len(hit) == 1, (did, run[:10])
+    assert 3 not in set(wspans.doc_id)

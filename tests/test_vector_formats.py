@@ -165,3 +165,55 @@ def test_fgb_bad_magic(tmp_path):
     p.write_bytes(b"notfgb00" + b"\0" * 32)
     with pytest.raises(ValueError, match="magic"):
         read_flatgeobuf(str(p))
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_coord = st.floats(min_value=-180, max_value=180, allow_nan=False,
+                   width=64).map(lambda x: round(x, 6))
+
+
+@st.composite
+def _geom(draw):
+    kind = draw(st.sampled_from(["Point", "MultiPoint", "LineString",
+                                 "Polygon", "MultiPolygon"]))
+    def pt():
+        return (draw(_coord), draw(_coord))
+    if kind == "Point":
+        return wkb.point(*pt())
+    if kind == "MultiPoint":
+        return wkb.multipoint([pt() for _ in range(draw(
+            st.integers(1, 5)))])
+    if kind == "LineString":
+        return wkb.linestring([pt() for _ in range(draw(
+            st.integers(2, 6)))])
+    if kind == "Polygon":
+        n = draw(st.integers(3, 6))
+        return wkb.polygon([pt() for _ in range(n)])
+    rings = []
+    for _ in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(3, 5))
+        rings.append(wkb.polygon([pt() for _ in range(n)])["coords"])
+    return {"type": "MultiPolygon", "coords": rings}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_geom(), min_size=1, max_size=6),
+       st.sampled_from(["geojson", "gpkg", "fgb"]))
+def test_vector_formats_roundtrip_property(tmp_path_factory, geoms, fmt):
+    """Random geometry tables survive every self-describing format
+    byte-for-byte (shapefile excluded: it cannot represent MultiPolygon
+    vs Polygon distinctly — covered by its targeted tests)."""
+    from zen3geo_ray.sources.flatgeobuf import write_flatgeobuf
+    from zen3geo_ray.sources.geojson import write_geojson
+
+    tmp = tmp_path_factory.mktemp("fmt")
+    tbl = polygons_table(geoms)
+    p = str(tmp / f"t.{fmt}")
+    if fmt == "geojson":
+        write_geojson(tbl, p)
+    elif fmt == "gpkg":
+        write_gpkg(tbl, p)
+    else:
+        write_flatgeobuf(tbl, p)
+    assert read_vector(p).equals(tbl)

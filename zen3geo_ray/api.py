@@ -322,6 +322,14 @@ class Pipe:
 
         return Pipe(strip_dup_spans(self.ds, L=L, **kwargs))
 
+    def winnowed_dup_spans(self, L: int = 30, w: int = 8,
+                           **kwargs) -> "Pipe":
+        """Scale-path duplicated spans (winnowed fingerprints + exact
+        verify/extend; guaranteed for runs >= L + w - 1)."""
+        from .stages.substring import winnowed_dup_spans
+
+        return Pipe(winnowed_dup_spans(self.ds, L=L, w=w, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

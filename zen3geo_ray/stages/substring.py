@@ -322,3 +322,118 @@ def strip_dup_spans(docs, *, L: int = 30, id_col: str = "doc_id",
                                                          dtype=np.int64)})
 
     return bucketed_groupby(joined, [id_col], per_doc, n_buckets=n_buckets)
+
+
+def _merge_intervals(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Interval union of explicit [span_start, span_end) rows per doc —
+    the general form of :func:`_merge_spans` (same vectorized segmented
+    running-max, no per-doc loop)."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "span_start": pd.Series([], dtype="int64"),
+             "span_end": pd.Series([], dtype="int64")})
+    doc = g[id_col].to_numpy()
+    s = g["span_start"].to_numpy().astype(np.int64)
+    e = g["span_end"].to_numpy().astype(np.int64)
+    order = np.lexsort((s, doc))
+    doc, s, e = doc[order], s[order], e[order]
+    new_doc = np.ones(len(doc), dtype=bool)
+    new_doc[1:] = doc[1:] != doc[:-1]
+    gid = np.cumsum(new_doc) - 1
+    K = np.int64(e.max() + 1)
+    seg_max = np.maximum.accumulate(e + gid * K) - gid * K
+    brk = new_doc.copy()
+    brk[1:] |= s[1:] > seg_max[:-1]
+    starts = np.flatnonzero(brk)
+    return pd.DataFrame({id_col: doc[starts],
+                         "span_start": s[starts],
+                         "span_end": np.maximum.reduceat(e, starts)})
+
+
+def winnowed_dup_spans(docs, *, L: int = 30, w: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int = 64):
+    """The 100-TB substring-dedup path END TO END: winnowed fingerprint
+    candidates -> anchor pairs -> two bucketed text joins -> EXACT
+    window verify (collision-immune) + maximal left/right extension ->
+    per-doc interval union.  Returns (doc_id, span_start, span_end).
+
+    Coverage guarantee (winnowing): every duplicated run of length >=
+    L + w - 1 shares a fingerprint on each copy, so its FULL extent is
+    recovered by the extension; shorter duplicates may be missed — the
+    documented recall/volume trade vs :func:`dup_spans` (which shuffles
+    every window; this path shuffles ~2/(w+1) fingerprint rows plus
+    candidate texts only).  Pinned by a test against dup_spans on
+    planted long runs."""
+    from .hashjoin import bucketed_join
+
+    cands = winnowed_candidates(docs, L=L, w=w, id_col=id_col,
+                                text_col=text_col, n_buckets=n_buckets)
+
+    def mk_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        fp = g["fp"].to_numpy()
+        doc = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy().astype(np.int64)
+        order = np.lexsort((pos, doc, fp))
+        fp, doc, pos = fp[order], doc[order], pos[order]
+        new_run = np.ones(len(fp), dtype=bool)
+        new_run[1:] = fp[1:] != fp[:-1]
+        run_first = np.maximum.accumulate(
+            np.where(new_run, np.arange(len(fp)), 0))
+        members = ~new_run  # everyone pairs with its run's anchor
+        return pd.DataFrame({
+            "a_doc": doc[run_first[members]],
+            "a_pos": pos[run_first[members]],
+            "b_doc": doc[members],
+            "b_pos": pos[members],
+        }).drop_duplicates()
+
+    pairs = bucketed_groupby(cands, ["fp"], mk_pairs, n_buckets=n_buckets)
+
+    ta = docs.map_batches(
+        lambda b: pa.table({"a_doc": b.column(id_col),
+                            "__ta": b.column(text_col)}),
+        batch_format="pyarrow")
+    tb = docs.map_batches(
+        lambda b: pa.table({"b_doc": b.column(id_col),
+                            "__tb": b.column(text_col)}),
+        batch_format="pyarrow")
+    j = bucketed_join(bucketed_join(pairs, ta, ["a_doc"],
+                                    n_buckets=n_buckets),
+                      tb, ["b_doc"], n_buckets=n_buckets)
+
+    def verify_extend(b: pa.Table) -> pa.Table:
+        ad = b.column("a_doc").to_numpy(zero_copy_only=False)
+        bd = b.column("b_doc").to_numpy(zero_copy_only=False)
+        ap = b.column("a_pos").to_numpy(zero_copy_only=False)
+        bp = b.column("b_pos").to_numpy(zero_copy_only=False)
+        tas = b.column("__ta").to_pylist()
+        tbs = b.column("__tb").to_pylist()
+        docs_o, ss, es = [], [], []
+        for i in range(len(b)):
+            x, y = tas[i], tbs[i]
+            p, q = int(ap[i]), int(bp[i])
+            if x[p:p + L] != y[q:q + L]:
+                continue  # poly64 collision — exact check kills it
+            lo = 0
+            while p - lo - 1 >= 0 and q - lo - 1 >= 0 \
+                    and x[p - lo - 1] == y[q - lo - 1]:
+                lo += 1
+            hi = L
+            nx, ny = len(x), len(y)
+            while p + hi < nx and q + hi < ny and x[p + hi] == y[q + hi]:
+                hi += 1
+            for d, s0 in ((ad[i], p), (bd[i], q)):
+                docs_o.append(d)
+                ss.append(s0 - lo)
+                es.append(s0 + hi)
+        return pa.table({id_col: pa.array(np.asarray(docs_o)) if docs_o
+                         else pa.array([], pa.int64()),
+                         "span_start": pa.array(ss, pa.int64()),
+                         "span_end": pa.array(es, pa.int64())})
+
+    spans = j.map_batches(verify_extend, batch_format="pyarrow")
+    return bucketed_groupby(spans, [id_col],
+                            lambda g: _merge_intervals(g, id_col),
+                            n_buckets=n_buckets)
