@@ -389,51 +389,106 @@ def winnowed_dup_spans(docs, *, L: int = 30, w: int = 8,
             "b_pos": pos[members],
         }).drop_duplicates()
 
-    pairs = bucketed_groupby(cands, ["fp"], mk_pairs, n_buckets=n_buckets)
+    pairs = bucketed_groupby(cands, ["fp"], mk_pairs,
+                             n_buckets=n_buckets).materialize()
 
-    ta = docs.map_batches(
-        lambda b: pa.table({"a_doc": b.column(id_col),
-                            "__ta": b.column(text_col)}),
-        batch_format="pyarrow")
-    tb = docs.map_batches(
-        lambda b: pa.table({"b_doc": b.column(id_col),
-                            "__tb": b.column(text_col)}),
-        batch_format="pyarrow")
-    j = bucketed_join(bucketed_join(pairs, ta, ["a_doc"],
-                                    n_buckets=n_buckets),
-                      tb, ["b_doc"], n_buckets=n_buckets)
+    def _extend(x: str, y: str, p: int, q: int):
+        if x[p:p + L] != y[q:q + L]:
+            return None  # poly64 collision — exact check kills it
+        lo = 0
+        while p - lo - 1 >= 0 and q - lo - 1 >= 0 \
+                and x[p - lo - 1] == y[q - lo - 1]:
+            lo += 1
+        hi = L
+        nx, ny = len(x), len(y)
+        while p + hi < nx and q + hi < ny and x[p + hi] == y[q + hi]:
+            hi += 1
+        return lo, hi
 
-    def verify_extend(b: pa.Table) -> pa.Table:
-        ad = b.column("a_doc").to_numpy(zero_copy_only=False)
-        bd = b.column("b_doc").to_numpy(zero_copy_only=False)
-        ap = b.column("a_pos").to_numpy(zero_copy_only=False)
-        bp = b.column("b_pos").to_numpy(zero_copy_only=False)
-        tas = b.column("__ta").to_pylist()
-        tbs = b.column("__tb").to_pylist()
+    # BROADCAST-PAIRS text fetch (the volume fix): the candidate pair
+    # table is winnow-sparse, so it ships once via ray.put and ONE map
+    # over the docs emits only the CANDIDATE texts, tagged by pair id —
+    # the corpus itself never enters a join shuffle (the naive
+    # two-bucketed-join attach ships every document's text twice).
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64())}))
+    import ray as _ray
+
+    pid = np.arange(len(pdf), dtype=np.int64)
+    sides = []
+    for side, (dc, pc) in enumerate((("a_doc", "a_pos"),
+                                     ("b_doc", "b_pos"))):
+        d = pdf[dc].to_numpy()
+        o = np.argsort(d, kind="mergesort")
+        sides.append((d[o], pid[o], pdf[pc].to_numpy()[o].astype(np.int64),
+                      side))
+    blob = tuple(sides)
+    ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+    def fetch(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        sd = _get_blob(_ref) if not isinstance(_ref, tuple) else _ref
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        texts = b.column(text_col).to_pylist()
+        out_pid, out_side, out_pos, out_txt, out_doc = [], [], [], [], []
+        for d_arr, p_arr, pos_arr, side in sd:
+            lo = np.searchsorted(d_arr, ids, side="left")
+            hi = np.searchsorted(d_arr, ids, side="right")
+            for i in np.flatnonzero(hi > lo):
+                for j in range(lo[i], hi[i]):
+                    out_pid.append(p_arr[j])
+                    out_side.append(side)
+                    out_pos.append(pos_arr[j])
+                    out_txt.append(texts[i])
+                    out_doc.append(ids[i])
+        return pa.table({
+            "pid": pa.array(np.asarray(out_pid, dtype=np.int64)),
+            "side": pa.array(np.asarray(out_side, dtype=np.int8)),
+            "pos": pa.array(np.asarray(out_pos, dtype=np.int64)),
+            "txt": pa.array(out_txt, pa.string()),
+            "doc": pa.array(np.asarray(out_doc, dtype=np.int64)),
+        })
+
+    fetched = docs.map_batches(fetch, batch_format="pyarrow")
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pid", "side"], kind="mergesort")
+        pids = g["pid"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = pids[1:] != pids[:-1]
+        starts = np.append(np.flatnonzero(new), len(g))
         docs_o, ss, es = [], [], []
-        for i in range(len(b)):
-            x, y = tas[i], tbs[i]
-            p, q = int(ap[i]), int(bp[i])
-            if x[p:p + L] != y[q:q + L]:
-                continue  # poly64 collision — exact check kills it
-            lo = 0
-            while p - lo - 1 >= 0 and q - lo - 1 >= 0 \
-                    and x[p - lo - 1] == y[q - lo - 1]:
-                lo += 1
-            hi = L
-            nx, ny = len(x), len(y)
-            while p + hi < nx and q + hi < ny and x[p + hi] == y[q + hi]:
-                hi += 1
-            for d, s0 in ((ad[i], p), (bd[i], q)):
-                docs_o.append(d)
+        sidev = g["side"].to_numpy()
+        posv = g["pos"].to_numpy()
+        txtv = g["txt"].to_numpy()
+        docv = g["doc"].to_numpy()
+        for j in range(len(starts) - 1):
+            a, b_ = starts[j], starts[j + 1]
+            if b_ - a != 2 or sidev[a] == sidev[b_ - 1]:
+                continue  # incomplete pair (shouldn't happen)
+            x, y = txtv[a], txtv[a + 1]
+            p, q = int(posv[a]), int(posv[a + 1])
+            r = _extend(x, y, p, q)
+            if r is None:
+                continue
+            lo, hi = r
+            for dd, s0 in ((docv[a], p), (docv[a + 1], q)):
+                docs_o.append(dd)
                 ss.append(s0 - lo)
                 es.append(s0 + hi)
-        return pa.table({id_col: pa.array(np.asarray(docs_o)) if docs_o
-                         else pa.array([], pa.int64()),
-                         "span_start": pa.array(ss, pa.int64()),
-                         "span_end": pa.array(es, pa.int64())})
+        return pd.DataFrame({id_col: docs_o,
+                             "span_start": np.asarray(ss, dtype=np.int64),
+                             "span_end": np.asarray(es, dtype=np.int64)})
 
-    spans = j.map_batches(verify_extend, batch_format="pyarrow")
+    spans = bucketed_groupby(fetched, ["pid"], verify_group,
+                             n_buckets=n_buckets)
     return bucketed_groupby(spans, [id_col],
                             lambda g: _merge_intervals(g, id_col),
                             n_buckets=n_buckets)
