@@ -1,0 +1,122 @@
+"""Distributed exact k-means + SemDeDup (stages/cluster.py).
+
+The oracle parity tests live in test_oracles.py (kmeans / semdedup); here
+are the kernel-level invariants: exact quantization, tie-breaks, empty-
+cluster semantics, and the blocked pairwise scan vs a naive reference.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from zen3geo_ray.stages.cluster import (
+    _OFF, SCALE_BITS, _assign, _quant_matrix, kmeans_assign, semdedup,
+)
+
+
+def _emb_table(ids, mat):
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_quantize_is_exact_floor():
+    # float32 values quantize by exponent shift: floor(x * 2^20) + OFF
+    vals = np.array([[0.5, -0.5, 0.25, -1.0]], dtype=np.float32)
+    q = _quant_matrix(_emb_table([1], vals), "embedding")
+    exp = np.floor(vals.astype(np.float64) * (1 << SCALE_BITS)).astype(np.int64) + _OFF
+    assert (q == exp).all()
+    assert (q >= 0).all()  # non-negative: truncating // == floor //
+
+
+def test_assign_tie_breaks_to_smallest_cluster():
+    q = np.array([[10, 10]], dtype=np.int64)
+    cents = np.array([[12, 10], [8, 10], [10, 12]], dtype=np.int64)  # all dist 4
+    assert _assign(q, cents)[0] == 0
+
+
+def test_assign_exact_at_large_magnitudes():
+    # distances up to dim * 2^42 stay exact int64 — no float rounding
+    q = np.array([[_OFF * 2 - 1] * 64], dtype=np.int64)
+    c = np.array([[0] * 64, [_OFF * 2 - 2] * 64], dtype=np.int64)
+    assert _assign(q, c)[0] == 1
+
+
+def test_kmeans_two_blobs(ray_session):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.5, 0.01, size=(40, 8))
+    b = rng.normal(-0.5, 0.01, size=(40, 8))
+    mat = np.vstack([a, b]).astype(np.float32)
+    ids = np.arange(80)
+    ds = ray.data.from_arrow(_emb_table(ids, mat))
+    cents, asg = kmeans_assign(ds, k=2, iters=3)
+    df = asg.to_pandas().sort_values("vec_id")
+    lab = df["cluster"].to_numpy()
+    # each blob lands in one cluster (seeds are ids 0,1 — both in blob a,
+    # but one Lloyd update separates the blobs)
+    assert len(set(lab[:40])) == 1 and len(set(lab[40:])) == 1
+    assert lab[0] != lab[40]
+    assert cents.shape == (2, 8)
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session):
+    # two identical points, k=2: cluster 1 goes empty after round 1 and
+    # must keep its previous centroid (the COALESCE the oracle mirrors)
+    mat = np.array([[0.5] * 4, [0.5] * 4], dtype=np.float32)
+    ds = ray.data.from_arrow(_emb_table([0, 1], mat))
+    cents, asg = kmeans_assign(ds, k=2, iters=2)
+    df = asg.to_pandas().sort_values("vec_id")
+    assert (df["cluster"].to_numpy() == 0).all()  # ties -> smallest index
+    q = _quant_matrix(_emb_table([0], mat[:1]), "embedding")[0]
+    assert (cents[1] == q).all()  # seed centroid survived both rounds
+
+
+def test_semdedup_drops_smaller_id_neighbors(ray_session):
+    # 3 near-identical vectors + 1 far one: ids 11,12 drop against 10
+    base = np.full(8, 0.3, dtype=np.float32)
+    far = -base
+    mat = np.vstack([base, base + 1e-6, base + 2e-6, far]).astype(np.float32)
+    ds = ray.data.from_arrow(_emb_table([10, 11, 12, 99], mat))
+    out = semdedup(ds, k=1, iters=1, cos_tau=0.9).to_pandas()
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    assert kept == {10: True, 11: False, 12: False, 99: True}
+
+
+def test_semdedup_dropped_rows_still_chain(ray_session):
+    # a -- b within eps, b -- c within eps, a -- c outside: the EXISTS-
+    # smaller-id rule drops BOTH b and c (b counts as c's neighbor even
+    # though b itself dropped) — chain semantics the oracle mirrors
+    eps = 0.04  # |q-dist| threshold via cos_tau chosen below
+    a = np.zeros(4, dtype=np.float32); a[0] = 1.0
+    th = 0.25
+    b = np.array([np.cos(th), np.sin(th), 0, 0], dtype=np.float32)
+    c = np.array([np.cos(2 * th), np.sin(2 * th), 0, 0], dtype=np.float32)
+    ds = ray.data.from_arrow(_emb_table([1, 2, 3], np.vstack([a, b, c])))
+    # cos(0.25) ~ 0.9689, cos(0.5) ~ 0.8776: tau=0.95 separates them
+    out = semdedup(ds, k=1, iters=1, cos_tau=0.95).to_pandas()
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    assert kept == {1: True, 2: False, 3: False}
+    del eps
+
+
+def test_semdedup_blocked_scan_matches_naive(ray_session):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(0, 1, size=(300, 16)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # plant duplicates
+    mat[50] = mat[10] + 1e-7
+    mat[299] = mat[0]
+    ids = np.arange(300)
+    ds = ray.data.from_arrow(_emb_table(ids, mat))
+    out = semdedup(ds, k=1, iters=1, cos_tau=0.99).to_pandas().sort_values("vec_id")
+    q = _quant_matrix(_emb_table(ids, mat), "embedding")
+    eps2 = int(np.floor((2.0 - 2.0 * 0.99) * float(1 << (2 * SCALE_BITS))))
+    kept_ref = np.ones(300, dtype=bool)
+    for i in range(1, 300):
+        d = q[:i] - q[i]
+        kept_ref[i] = not (np.einsum("ij,ij->i", d, d) <= eps2).any()
+    assert (out["kept"].to_numpy() == kept_ref).all()
+    assert not kept_ref[50] and not kept_ref[299]

@@ -46,6 +46,8 @@ FAST = [
     "simhash",
     "minhash_groups",
     "emb_dups",
+    "kmeans",
+    "semdedup",
     "peak_value",
     "token_bpe",
     "asof",

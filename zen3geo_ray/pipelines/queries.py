@@ -951,6 +951,99 @@ SELECT id AS vec_id, MIN(r) AS dup_group FROM walk GROUP BY id
 """
 
 
+KM_K, KM_ITERS, SEM_TAU = 8, 2, 0.3
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed EXACT k-means over the embedding table (integer-
+    quantized Lloyd, stages/cluster.py): per iteration ONE shuffle-free
+    streaming pass emitting k x (dim+1) int64 partials per block —
+    clustering 100 TB of embeddings costs iters+2 scans and no
+    all-to-all at all."""
+    from ..stages.cluster import kmeans_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, asg = kmeans_assign(emb, k=KM_K, iters=KM_ITERS)
+    return asg
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop any vector with a smaller-id neighbor inside the same cluster at
+    quantized distance <= eps(cos 0.3) — the clustering bounds the
+    quadratic near-dup scan to within-cluster work; the only shuffle
+    moves (id, cluster, qvec) rows once."""
+    from ..stages.cluster import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, k=KM_K, iters=KM_ITERS, cos_tau=SEM_TAU)
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> str:
+    """Chained-CTE Lloyd mirror of stages/cluster.py: quantize q =
+    floor(x * 2^20) + 2^20 (float64 multiply by a power of two is exact;
+    the offset keeps values non-negative so DuckDB's truncating `//`
+    equals Python's floor `//`), assign = min-cluster-of-min-int-dist,
+    update = component-wise SUM // COUNT with COALESCE keep-previous for
+    empty clusters.  Final CTE ``a{iters+1}`` holds (vec_id, cluster)."""
+    off = 1 << 20
+    parts = [f"""
+q AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * {float(off)}) AS BIGINT) + {off} AS qv
+  FROM (SELECT vec_id, UNNEST(embedding) AS e,
+               UNNEST(range(1, len(embedding) + 1)) AS i FROM embeddings)
+),
+seed_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cluster, q.dim, q.qv AS cv
+       FROM seed_ids s JOIN q ON q.vec_id = s.vec_id)"""]
+    for i in range(iters + 1):
+        parts.append(f""",
+d{i + 1} AS (SELECT q.vec_id, c.cluster,
+              SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+       FROM q JOIN c{i} c ON c.dim = q.dim GROUP BY q.vec_id, c.cluster),
+a{i + 1} AS (SELECT d.vec_id, MIN(d.cluster) AS cluster
+       FROM d{i + 1} d
+       JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1} GROUP BY vec_id) m
+         ON m.vec_id = d.vec_id AND d.dist = m.md
+       GROUP BY d.vec_id)""")
+        if i < iters:
+            parts.append(f""",
+s{i + 1} AS (SELECT a.cluster, q.dim,
+              CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS cv
+       FROM a{i + 1} a JOIN q ON q.vec_id = a.vec_id
+       GROUP BY a.cluster, q.dim),
+c{i + 1} AS (SELECT c{i}.cluster, c{i}.dim, COALESCE(s{i + 1}.cv, c{i}.cv) AS cv
+       FROM c{i} LEFT JOIN s{i + 1}
+         ON s{i + 1}.cluster = c{i}.cluster AND s{i + 1}.dim = c{i}.dim)""")
+    return "WITH " + "".join(parts)
+
+
+def _sql_kmeans() -> str:
+    last = KM_ITERS + 1
+    return (_sql_kmeans_ctes(KM_K, KM_ITERS)
+            + f"\nSELECT vec_id, cluster FROM a{last}")
+
+
+def _sql_semdedup() -> str:
+    last = KM_ITERS + 1
+    eps2 = int(np.floor((2.0 - 2.0 * SEM_TAU) * float(1 << 40)))
+    return _sql_kmeans_ctes(KM_K, KM_ITERS) + f""",
+pdist AS (SELECT x.vec_id AS a, SUM((qx.qv - qy.qv) * (qx.qv - qy.qv)) AS dd
+       FROM a{last} x JOIN a{last} y
+         ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+       JOIN q qx ON qx.vec_id = x.vec_id
+       JOIN q qy ON qy.vec_id = y.vec_id AND qy.dim = qx.dim
+       GROUP BY x.vec_id, y.vec_id),
+dropped AS (SELECT DISTINCT a AS vec_id FROM pdist WHERE dd <= {eps2})
+SELECT t.vec_id, t.cluster,
+       t.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM a{last} t"""
+
+
 # --- relational: aggregate / joins / sort / window ------------------------
 
 
@@ -4367,6 +4460,8 @@ FROM cand QUALIFY rank <= 10
         "lang_detect": _sql_lang_detect(),
         "emb_dups": _sql_emb_dups(),
         "delta_embdup": _sql_delta_embdup(),
+        "kmeans": _sql_kmeans(),
+        "semdedup": _sql_semdedup(),
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
@@ -4846,6 +4941,8 @@ def build_queries() -> dict:
         "score_docs": q_score_docs,
         "emb_dups": q_emb_dups,
         "delta_embdup": q_delta_embdup,
+        "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,

@@ -1,0 +1,231 @@
+"""Distributed exact k-means + SemDeDup-style semantic dedup.
+
+The clustering family the curation literature uses to bound quadratic
+near-dup work (SemDeDup, Abbas et al. 2023: k-means the embedding space,
+then search for duplicates only WITHIN each cluster).  Everything here is
+integer-exact so the DuckDB oracle mirrors it bit-for-bit:
+
+- embeddings quantize to ``q = floor(x * 2^SCALE_BITS) + 2^SCALE_BITS``
+  (float32 -> float64 multiply by a power of two is exact; the offset
+  makes values non-negative so truncating integer division == floor on
+  both sides — DuckDB's ``//`` truncates toward zero, Python's floors);
+- distances are int64 sums of squared diffs (dim 64, |q| <= 2^21 ->
+  dist^2 <= 2^48, no overflow);
+- Lloyd updates are component-wise integer means ``sum // count`` with
+  keep-previous-centroid semantics for empty clusters;
+- ties in argmin break to the SMALLEST cluster index.
+
+Scale shape (the reason k-means earns a distributed implementation):
+each Lloyd iteration is ONE streaming ``map_batches`` pass over the
+column-pruned read emitting k x (dim+1) integer partials per BLOCK —
+state is k-bounded, there is NO shuffle at all, and the corpus never
+materializes.  Seeds (the k smallest ids' vectors) come from a per-block
+top-k partial reduce, also shuffle-free.  SemDeDup then shuffles ONLY
+(id, cluster, qvec) rows once, bucketed by cluster, and runs the
+quadratic scan within clusters — exactly the bound the paper buys with
+clustering (cluster size ~ n/k; pick k ~ n / 10k docs at corpus scale).
+
+Reference parity note: the reference (zen3geo) has no clustering; this
+extends the LLM-data-pipeline operator set (SURVEY.md "beyond the
+reference" list: embedding-space dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import bucketed_groupby
+
+SCALE_BITS = 20
+_OFF = 1 << SCALE_BITS
+
+
+def _quant_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, dim) int64 quantized matrix — exact on every lane.
+
+    float32 -> float64 is exact; multiplying by 2^SCALE_BITS only shifts
+    the exponent (exact); floor then offsets into non-negative ints.
+    """
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    dim = flat.size // n if n else 0
+    q = np.floor(flat * float(1 << SCALE_BITS)).astype(np.int64) + _OFF
+    return q.reshape(n, dim)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c ||q - c||^2 with smallest-index tie-break, all int64.
+
+    Per-centroid 1-D passes (the numpy-broadcast-pathology lesson from
+    stages/dedup.py): k passes over (n, dim) rather than one (n, k, dim)
+    temporary.
+    """
+    n = q.shape[0]
+    best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    lab = np.zeros(n, dtype=np.int64)
+    for c in range(cents.shape[0]):
+        d = q - cents[c]          # (n, dim) int64
+        dist = np.einsum("ij,ij->i", d, d)
+        upd = dist < best         # strict: ties keep the earlier (smaller) c
+        best[upd] = dist[upd]
+        lab[upd] = c
+    return lab
+
+
+def seed_centroids(ds, *, id_col: str, vec_col: str, k: int) -> np.ndarray:
+    """(k, dim) int64 seeds = the quantized vectors of the k SMALLEST ids.
+
+    Per-block top-k partial -> tiny driver merge: no sort, no shuffle;
+    at most k rows per block reach the driver.
+    """
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quant_matrix(b, vec_col)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table({
+            "__id": pa.array(ids[take], pa.int64()),
+            "__q": pa.array(list(q[take]), pa.list_(pa.int64())),
+        })
+
+    part = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    part = part.sort_values("__id", kind="mergesort").head(k)
+    return np.stack([np.asarray(v, dtype=np.int64) for v in part["__q"]])
+
+
+def lloyd_iterate(ds, cents: np.ndarray, *, vec_col: str) -> np.ndarray:
+    """One exact Lloyd update: assign against ``cents``, return the new
+    (k, dim) centroid matrix.  ONE streaming pass; per-block partials are
+    (k, dim+1) int64 — the driver reduce is k-bounded.
+
+    Empty clusters keep their previous centroid (mirrored by the oracle's
+    COALESCE left join).  int64 component sums cap at rows_per_cluster *
+    2^21; raise ``k`` (or shard the sum) beyond ~2^41 rows per cluster.
+    """
+    kk, dim = cents.shape
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        lab = _assign(q, cents)
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        np.add.at(sums, lab, q)
+        cnt = np.bincount(lab, minlength=kk).astype(np.int64)
+        return pa.table({
+            "__c": pa.array(np.arange(kk, dtype=np.int64)),
+            "__n": pa.array(cnt, pa.int64()),
+            "__s": pa.array(list(sums), pa.list_(pa.int64())),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = cents.copy()
+    for c in range(kk):
+        rows = part[part["__c"] == c]
+        n = int(rows["__n"].sum())
+        if n == 0:
+            continue
+        s = np.sum(np.stack([np.asarray(v, np.int64) for v in rows["__s"]]),
+                   axis=0)
+        out[c] = s // n           # non-negative -> floor == truncate
+    return out
+
+
+def kmeans_assign(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                  k: int = 8, iters: int = 2):
+    """Distributed exact k-means: returns (centroids, assignments Dataset
+    with columns (id_col, cluster)).  iters Lloyd updates from the
+    k-smallest-id seeds, then one final assignment pass — iters + 2
+    shuffle-free streaming scans total."""
+    cents = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
+    for _ in range(iters):
+        cents = lloyd_iterate(ds, cents, vec_col=vec_col)
+
+    def final(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        lab = _assign(q, cents)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(lab, pa.int64()),
+        })
+
+    return cents, ds.map_batches(final, batch_format="pyarrow")
+
+
+def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 8, iters: int = 2, eps2_q: int | None = None,
+             cos_tau: float = 0.9, n_buckets: int = 32):
+    """SemDeDup: k-means the embeddings, then WITHIN each cluster drop
+    any vector that has a smaller-id neighbor at quantized squared
+    distance <= eps2_q (default: the integer threshold matching cosine
+    ``cos_tau`` on unit vectors, floor((2 - 2*cos_tau) * 2^(2*SCALE))).
+
+    Returns (id_col, cluster, kept) for every vector.  The only shuffle
+    moves (id, cluster, qvec) rows bucketed by cluster; the quadratic
+    neighbor scan is cluster-local (the bound clustering exists to buy).
+    """
+    if eps2_q is None:
+        eps2_q = int(np.floor((2.0 - 2.0 * cos_tau) * float(1 << (2 * SCALE_BITS))))
+
+    cents = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
+    for _ in range(iters):
+        cents = lloyd_iterate(ds, cents, vec_col=vec_col)
+
+    def tag(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        lab = _assign(q, cents)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(lab, pa.int64()),
+            "__q": pa.array([v.tobytes() for v in q], pa.binary()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, cl_out, kept_out = [], [], []
+        for c, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.stack([
+                np.frombuffer(v, dtype=np.int64)
+                for v in g["__q"].to_numpy()[order]
+            ])
+            n = len(ids)
+            kept = np.ones(n, dtype=bool)
+            # blocked lower-triangular scan: rows [s:e) vs ALL j < i.
+            # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b, all int64-exact
+            # (dots <= dim * 2^42 = 2^48).  Dropped rows still count as
+            # neighbors for later rows — the EXISTS-smaller-id rule the
+            # SQL oracle mirrors verbatim.
+            sq = np.einsum("ij,ij->i", m, m)
+            step = 1024
+            for s in range(1, n, step):
+                e = min(s + step, n)
+                drop = np.zeros(e - s, dtype=bool)
+                for cs in range(0, e, 8192):               # bound the tile
+                    ce = min(cs + 8192, e)
+                    dots = m[s:e] @ m[cs:ce].T             # (b, tile) int64
+                    dist = sq[s:e, None] + sq[None, cs:ce] - 2 * dots
+                    lower = (np.arange(s, e)[:, None]
+                             > np.arange(cs, ce)[None, :])
+                    drop |= np.any((dist <= eps2_q) & lower, axis=1)
+                kept[s:e] &= ~drop
+            ids_out.append(ids)
+            cl_out.append(np.full(n, c, dtype=np.int64))
+            kept_out.append(kept)
+        if not ids_out:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "cluster": np.array([], np.int64),
+                                 "kept": np.array([], bool)})
+        return pd.DataFrame({
+            id_col: np.concatenate(ids_out),
+            "cluster": np.concatenate(cl_out),
+            "kept": np.concatenate(kept_out),
+        })
+
+    return bucketed_groupby(tagged, ["cluster"], bucket_fn,
+                            n_buckets=n_buckets)
