@@ -613,3 +613,64 @@ def test_pinned_triangles_parity(ray_session):
     path = rd.from_arrow(pa.table({"src": pa.array([1, 2, 3], pa.int64()),
                                    "dst": pa.array([2, 3, 4], pa.int64())}))
     assert pinned_triangles(path, n_shards=2).to_pandas()["n_tri"].iloc[0] == 0
+
+
+def test_truss_decrement_matches_recount():
+    """_truss_decrement (the broadcast path's round-2+ kernel) vs a
+    brute-force recount over the surviving set, randomized — including
+    triangles with 2-3 dropped edges (must decrement survivors exactly
+    once) and the chunked-expansion path."""
+    from zen3geo_ray.stages.graph import _truss_decrement
+
+    def supports(edges):
+        es = set(map(tuple, edges))
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {(u, v): len(adj[u] & adj[v]) for u, v in es}
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        n = int(rng.integers(6, 30))
+        m = int(min(rng.integers(6, 80), n * (n - 1) // 2))
+        e = set()
+        while len(e) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                e.add((min(a, b) + 1000, max(a, b) + 1000))
+        e = sorted(e)
+        sup = supports(e)
+        nd = int(rng.integers(1, max(2, len(e) // 2)))
+        didx = rng.choice(len(e), size=nd, replace=False)
+        dset = set(e[i] for i in didx)
+        keep = [x for x in e if x not in dset]
+        if not keep:
+            continue
+        ku = np.array([a for a, _ in keep], np.int64)
+        kv = np.array([b for _, b in keep], np.int64)
+        ks = np.array([sup[x] for x in keep], np.int64)
+        du = np.array([a for a, _ in dset], np.int64)
+        dv = np.array([b for _, b in dset], np.int64)
+        got = _truss_decrement(ku, kv, ks, du, dv, chunk_expansion=7)
+        ref_sup = supports(keep)
+        ref = np.array([ref_sup[x] for x in keep], np.int64)
+        assert (got == ref).all(), f"trial {trial}"
+
+
+def test_ktruss_deep_peel_parity(ray_session):
+    """Multi-round peels (4 rounds) must stay bit-identical between the
+    decremental broadcast path and the distributed recount path."""
+    from zen3geo_ray.stages.graph import ktruss
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 40, 500).astype(np.int64)
+    dst = rng.integers(0, 40, 500).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for k in (3, 5):
+        a = ktruss(edges, k=k, rounds=4, n_buckets=8).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        b = ktruss(edges, k=k, rounds=4, n_buckets=8,
+                   broadcast_threshold=0).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        assert a.equals(b)

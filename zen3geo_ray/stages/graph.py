@@ -939,6 +939,106 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     return state
 
 
+def _truss_decrement(ku, kv, ks, du, dv, chunk_expansion: int = 4_000_000):
+    """Batch-DECREMENTAL k-truss support update (driver-side numpy, the
+    broadcast regime's round-2+ kernel — the truss-decomposition trick).
+
+    Inputs: survivors (ku, kv, ks) whose supports ``ks`` were counted
+    over the edge set S = keep ∪ drop, and the dropped edges (du, dv).
+    Returns the survivors' supports counted over keep alone: old support
+    minus the number of S-triangles through the edge touching >= 1
+    dropped edge.  Rounds after the first cost O(|D| * deg(D)) instead of
+    a full wedge recount — and a stabilized peel costs nothing.
+
+    Triangles are enumerated from each dropped edge (common-neighbor
+    lookup against S's CSR, expansion chunked to bound memory), deduped
+    GLOBALLY (a triangle with 2-3 dropped edges is found once per dropped
+    edge but must decrement each surviving edge exactly ONCE), then the
+    surviving edges' decrements aggregate via one np.unique.  All keys
+    are dense-rank packed (rank * n + rank <= 2^44 at the 2M-edge
+    broadcast cap) so everything stays exact int64.
+    """
+    ku = np.asarray(ku, np.int64)
+    kv = np.asarray(kv, np.int64)
+    ks = np.asarray(ks, np.int64)
+    du = np.asarray(du, np.int64)
+    dv = np.asarray(dv, np.int64)
+    if len(du) == 0 or len(ku) == 0:
+        return ks.copy()
+    au = np.concatenate([ku, du])
+    av = np.concatenate([kv, dv])
+    nodes, inv = np.unique(np.concatenate([au, av]), return_inverse=True)
+    ra, rb = inv[:len(au)], inv[len(au):]
+    nn = np.int64(len(nodes))
+    # CSR over S, both directions
+    aa = np.concatenate([ra, rb])
+    bb = np.concatenate([rb, ra])
+    o = np.lexsort((bb, aa))
+    aa, bb = aa[o], bb[o]
+    starts = np.searchsorted(aa, np.arange(nn))
+    deg = np.searchsorted(aa, np.arange(nn), side="right") - starts
+    kset = np.sort(ra * nn + rb)          # ranks preserve u < v order
+    da, db = ra[len(ku):], rb[len(ku):]
+    dset = np.sort(da * nn + db)
+    low = deg[da] <= deg[db]
+    x = np.where(low, da, db)             # enumerate from the low-degree end
+    ot = np.where(low, db, da)
+    cnt = deg[x]
+    cum = np.cumsum(cnt)
+    bounds = [0]
+    while bounds[-1] < len(cnt):
+        s0 = bounds[-1]
+        base = int(cum[s0 - 1]) if s0 else 0
+        e0 = int(np.searchsorted(cum, base + chunk_expansion)) + 1
+        bounds.append(min(max(e0, s0 + 1), len(cnt)))
+    t12s, t3s = [], []
+    for s0, e0 in zip(bounds[:-1], bounds[1:]):
+        xs, os_, cs = x[s0:e0], ot[s0:e0], cnt[s0:e0]
+        das, dbs = da[s0:e0], db[s0:e0]
+        total = int(cs.sum())
+        if total == 0:
+            continue
+        offs = np.concatenate([[0], np.cumsum(cs)[:-1]])
+        pos = np.arange(total) - np.repeat(offs, cs) + np.repeat(starts[xs], cs)
+        cand = bb[pos]
+        a_r = np.repeat(das, cs)
+        b_r = np.repeat(dbs, cs)
+        o_r = np.repeat(os_, cs)
+        key = np.minimum(cand, o_r) * nn + np.maximum(cand, o_r)
+        ix = np.minimum(np.searchsorted(kset, key), len(kset) - 1)
+        hit = (kset[ix] == key) & (cand != o_r)
+        if not hit.any():
+            continue
+        a_r, b_r, c_r = a_r[hit], b_r[hit], cand[hit]
+        r1 = np.minimum(np.minimum(a_r, b_r), c_r)
+        r3 = np.maximum(np.maximum(a_r, b_r), c_r)
+        r2 = a_r + b_r + c_r - r1 - r3
+        t12s.append(r1 * nn + r2)
+        t3s.append(r3)
+    if not t12s:
+        return ks.copy()
+    k12 = np.concatenate(t12s)
+    k3 = np.concatenate(t3s)
+    o = np.lexsort((k3, k12))
+    k12, k3 = k12[o], k3[o]
+    first = np.ones(len(k12), bool)
+    first[1:] = (k12[1:] != k12[:-1]) | (k3[1:] != k3[:-1])
+    k12, k3 = k12[first], k3[first]
+    r1, r2, r3 = k12 // nn, k12 % nn, k3
+    ekeys = np.concatenate([r1 * nn + r2, r1 * nn + r3, r2 * nn + r3])
+    ix = np.minimum(np.searchsorted(dset, ekeys), len(dset) - 1)
+    ekeys = ekeys[dset[ix] != ekeys]      # dropped edges need no decrement
+    if len(ekeys) == 0:
+        return ks.copy()
+    uk, uc = np.unique(ekeys, return_counts=True)
+    keep_keys = ra[:len(ku)] * nn + rb[:len(ku)]
+    out = ks.copy()
+    ix = np.minimum(np.searchsorted(uk, keep_keys), len(uk) - 1)
+    m = uk[ix] == keep_keys
+    out[m] -= uc[ix[m]]
+    return out
+
+
 def ktruss(edges, *, k: int, rounds: int, src: str = "src",
            dst: str = "dst", n_buckets: int | None = None,
            broadcast_threshold: int = BROADCAST_NODES):
@@ -1008,9 +1108,30 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
 
         cur = e.to_pandas()
         state_df = None
+        pend_drop = None   # edges removed from the set supports count over
         for _ in range(rounds):
             if len(cur) == 0:
                 return rd.from_arrow(empty)
+            if state_df is not None and pend_drop is not None:
+                # DECREMENTAL rounds (truss-decomposition trick): a full
+                # recount is only needed once — afterwards each round
+                # subtracts the triangles lost with last round's dropped
+                # edges, O(|D| * deg) instead of a full wedge sweep
+                if len(pend_drop[0]) == 0:
+                    break  # peel stabilized: remaining rounds are no-ops
+                su = state_df["u"].to_numpy().astype(np.int64)
+                sv = state_df["v"].to_numpy().astype(np.int64)
+                ns = _truss_decrement(
+                    su, sv, state_df["support"].to_numpy(),
+                    pend_drop[0], pend_drop[1])
+                keep = ns >= k - 2
+                if not keep.any():
+                    return rd.from_arrow(empty)
+                pend_drop = (su[~keep], sv[~keep])
+                state_df = pd.DataFrame({
+                    "u": su[keep], "v": sv[keep], "support": ns[keep]})
+                cur = state_df[["u", "v"]]
+                continue
             u = cur["u"].to_numpy().astype(np.int64)
             v = cur["v"].to_numpy().astype(np.int64)
             nodes, inv = np.unique(np.concatenate([u, v]),
@@ -1074,6 +1195,11 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
             ).to_pandas()
             if len(state_df) == 0 or "support" not in state_df.columns:
                 return rd.from_arrow(empty)
+            diff = cur.merge(state_df[["u", "v"]], on=["u", "v"],
+                             how="left", indicator=True)
+            gone = diff[diff["_merge"] == "left_only"]
+            pend_drop = (gone["u"].to_numpy().astype(np.int64),
+                         gone["v"].to_numpy().astype(np.int64))
             cur = state_df[["u", "v"]]
         out = pa.Table.from_pandas(
             state_df[["u", "v", "support"]].astype(np.int64),
