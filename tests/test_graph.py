@@ -674,3 +674,27 @@ def test_ktruss_deep_peel_parity(ray_session):
                    broadcast_threshold=0).to_pandas() \
             .sort_values(["u", "v"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+def test_pinned_common_neighbors_parity(ray_session):
+    from zen3geo_ray.stages.graph import common_neighbors
+    from zen3geo_ray.stages.pregel import pinned_common_neighbors
+
+    rng = np.random.default_rng(67)
+    src = rng.integers(0, 60, 350).astype(np.int64)
+    dst = rng.integers(0, 60, 350).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for md, mc in ((16, 2), (8, 1)):
+        want = common_neighbors(edges, max_degree=md, min_common=mc,
+                                n_buckets=8).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        got = pinned_common_neighbors(edges, max_degree=md, min_common=mc,
+                                      n_shards=3).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        assert want[["u", "v", "n_common"]].equals(
+            got[["u", "v", "n_common"]]), (md, mc)
+    # empty result shape (threshold nothing can reach)
+    out = pinned_common_neighbors(edges, max_degree=2, min_common=99,
+                                  n_shards=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"u", "v", "n_common"}

@@ -47,6 +47,16 @@ def _shard_of(x: np.ndarray, n_shards: int) -> np.ndarray:
     return (splitmix64(x.astype(np.uint64)) % np.uint64(n_shards)).astype(np.int64)
 
 
+def _agg_pairs(a: np.ndarray, b: np.ndarray, c: np.ndarray):
+    """Sum c over identical (a, b) pairs — lexsort + reduceat, no pandas."""
+    o = np.lexsort((b, a))
+    a, b, c = a[o], b[o], c[o]
+    new = np.ones(len(a), bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    idx = np.flatnonzero(new)
+    return a[idx], b[idx], np.add.reduceat(c, idx)
+
+
 def _make_shard_cls():
     import ray
 
@@ -300,6 +310,70 @@ def _make_shard_cls():
                                     len(self._tkeys) - 1)
                     total += int((self._tkeys[ix] == key).sum())
             return total
+
+        # --- common neighbors (pair-partial exchange) -------------------
+        def cn_pairs(self, max_degree: int) -> list:
+            """Edges here are SYMMETRIC adjacency rows (z, nb) routed by
+            shard(z), so every center's full neighbor list — and its
+            degree — is LOCAL.  Enumerate unordered neighbor pairs at
+            centers with deg <= max_degree (the hub guard, identical to
+            graph.common_neighbors), pre-aggregate locally (combiner),
+            route partials to shard(pair.u) as S tables."""
+            empty = pa.table({"u": pa.array([], pa.int64()),
+                              "v": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            m = len(self.src)
+            if m == 0:
+                return [empty] * self.n
+            order = np.lexsort((self.dst, self.src))
+            z = self.src[order]
+            nb = self.dst[order]
+            run_end = np.searchsorted(z, z, side="right")
+            deg = run_end - np.searchsorted(z, z, side="left")
+            g = np.arange(m, dtype=np.int64)
+            cnt = run_end - g - 1
+            sel = (cnt > 0) & (deg <= max_degree)
+            g2, c2 = g[sel], cnt[sel]
+            total = int(c2.sum())
+            if total == 0:
+                return [empty] * self.n
+            offs = np.concatenate([[0], np.cumsum(c2)[:-1]])
+            pos = (np.arange(total) - np.repeat(offs, c2)
+                   + np.repeat(g2 + 1, c2))
+            a = nb[np.repeat(g2, c2)]   # nb ascending within a run -> a < b
+            b = nb[pos]
+            a, b, c = _agg_pairs(a, b, np.ones(total, dtype=np.int64))
+            sh = _shard_of(a, self.n)
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                out.append(pa.table({"u": pa.array(a[mm]),
+                                     "v": pa.array(b[mm]),
+                                     "c": pa.array(c[mm])}))
+            return out
+
+        def cn_count(self, min_common: int, *incoming) -> pa.Table:
+            """Sum this shard's incoming pair partials, filter to
+            >= min_common — one reduce, output stays sharded."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            aas, bbs, ccs = [], [], []
+            for t in flat:
+                if t.num_rows:
+                    aas.append(t.column("u").to_numpy(zero_copy_only=False))
+                    bbs.append(t.column("v").to_numpy(zero_copy_only=False))
+                    ccs.append(t.column("c").to_numpy(zero_copy_only=False))
+            if not aas:
+                return pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "n_common": pa.array([], pa.int64())})
+            a, b, c = _agg_pairs(np.concatenate(aas), np.concatenate(bbs),
+                                 np.concatenate(ccs).astype(np.int64))
+            keep = c >= min_common
+            return pa.table({"u": pa.array(a[keep]),
+                             "v": pa.array(b[keep]),
+                             "n_common": pa.array(c[keep])})
 
         # --- multi-source BFS (frontier-delta exchange) ----------------
         def init_bfs(self, seed_ids: np.ndarray) -> int:
@@ -856,6 +930,80 @@ def pinned_triangles(edges, *, src: str = "src", dst: str = "dst",
         ])
         return rd.from_arrow(pa.table({
             "n_tri": pa.array([int(sum(counts))], pa.int64())}))
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_common_neighbors(edges, *, src: str = "src", dst: str = "dst",
+                            max_degree: int = 16, min_common: int = 2,
+                            n_shards: int | None = None):
+    """Per-pair common-neighbor counts over actor-pinned SYMMETRIC
+    adjacency shards — parity-twin of ``graph.common_neighbors`` (same
+    hub guard, same min_common filter) with exactly ONE exchange: each
+    canonical pair routes to both endpoints' shards at ingest, every
+    center's neighbor list is then fully shard-local (degree included,
+    so no degree blob ships at all), and locally pre-aggregated pair
+    partials hop actor-to-actor to shard(pair.u) for the final reduce.
+    No Dataset joins; output stays sharded until the terminal
+    ``from_arrow_refs``."""
+    import ray
+    import ray.data as rd
+
+    from .graph import distinct_tuples
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    pairs = distinct_tuples(edges.map_batches(norm, batch_format="pyarrow"),
+                            ["u", "v"]).materialize()
+
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            # symmetric adjacency: (z=u, nb=v) to shard(u), mirror to shard(v)
+            z = np.concatenate([u, v])
+            nb = np.concatenate([v, u])
+            sh = _shard_of(z, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(z[m], nb[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        pairs.map_batches(route, batch_format="pyarrow",
+                          max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+
+        if S == 1:
+            outs = [[sh.cn_pairs.remote(max_degree)] for sh in shards]
+        else:
+            outs = [sh.cn_pairs.options(num_returns=S).remote(max_degree)
+                    for sh in shards]
+        refs = [
+            shards[j].cn_count.remote(min_common,
+                                      *[outs[i][j] for i in range(S)])
+            for j in range(S)
+        ]
+        return rd.from_arrow_refs(refs).materialize()
     finally:
         for sh in shards:
             ray.kill(sh)
