@@ -217,3 +217,46 @@ def test_winnowed_dup_spans_end_to_end(ray_session):
             hit = got[(got.span_start <= s) & (got.span_end >= s + len(run))]
             assert len(hit) == 1, (did, run[:10])
     assert 3 not in set(wspans.doc_id)
+
+
+@pytest.mark.parametrize("broadcast_docs", [2_000_000, 0],
+                         ids=["broadcast", "bucketed-semi"])
+def test_winnow_restrict_parity(ray_session, broadcast_docs):
+    """winnow_restrict_dup_spans is BIT-IDENTICAL to dup_spans: the
+    L-w+1-gram winnowed pass covers every match >= L (SWA guarantee),
+    so restricting the exact pass to candidate docs loses nothing —
+    on both the broadcast-ids and the bucketed-semi-join paths."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import (
+        dup_spans,
+        winnow_restrict_dup_spans,
+    )
+
+    docs = _docs()
+    ds = rd.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()])
+    exact = sorted(map(tuple, dup_spans(ds, L=L, n_buckets=4)
+                       .to_pandas().to_numpy()))
+    got = sorted(map(tuple, winnow_restrict_dup_spans(
+        ds, L=L, w=W, n_buckets=4, broadcast_docs=broadcast_docs)
+        .to_pandas().to_numpy()))
+    assert got == exact
+    assert exact == _brute_spans(docs, L)
+
+
+def test_winnow_restrict_no_candidates(ray_session):
+    """A corpus with no duplicated windows returns a typed empty span
+    table (the zero-candidate early exit)."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import winnow_restrict_dup_spans
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "abcdefghijklmnop"},
+        {"doc_id": 2, "text": "qrstuvwxyz012345"},
+    ])
+    out = winnow_restrict_dup_spans(ds, L=L, w=W, n_buckets=4)
+    assert out.count() == 0
+    # to_pandas() drops columns on empty datasets; the SCHEMA is typed
+    assert out.schema().names == ["doc_id", "span_start", "span_end"]

@@ -3967,6 +3967,23 @@ def _sql_dup_spans() -> str:
             f"FROM isl GROUP BY doc_id, island")
 
 
+SPAN_W = 8  # winnowing window for the restricted exact pass
+
+
+def q_winnow_spans(sf_dir: str):
+    """dup_spans' VERIFIED SCALE PATH: a winnowed fingerprint pass
+    (grams of L-w+1 chars, window w — SWA-2003 guarantee covers every
+    match >= L) selects CANDIDATE docs; the exact window pass runs only
+    over those docs (stages/substring.py:winnow_restrict_dup_spans).
+    Bit-identical to dup_spans by the coverage guarantee, so it shares
+    its oracle — the point of the entry is that the driver verifies the
+    restriction is lossless, not just the exact operator."""
+    from ..stages.substring import winnow_restrict_dup_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_restrict_dup_spans(docs, L=SPAN_L, w=SPAN_W)
+
+
 def q_strip_spans(sf_dir: str):
     """Duplicated-substring REMOVAL (the cleaning step over dup_spans —
     the Lee et al. 'drop duplicated substrings' variant, all copies
@@ -4863,6 +4880,7 @@ GROUP BY event_type, u - o.off
         "kcore": _sql_kcore(),
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
+        "winnow_spans": _sql_dup_spans(),
         "strip_spans": _sql_strip_spans(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
@@ -5037,6 +5055,7 @@ def build_queries() -> dict:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
+        "winnow_spans": q_winnow_spans,
         "strip_spans": q_strip_spans,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,

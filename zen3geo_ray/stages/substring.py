@@ -492,3 +492,68 @@ def winnowed_dup_spans(docs, *, L: int = 30, w: int = 8,
     return bucketed_groupby(spans, [id_col],
                             lambda g: _merge_intervals(g, id_col),
                             n_buckets=n_buckets)
+
+
+def winnow_restrict_dup_spans(docs, *, L: int = 30, w: int = 8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_buckets: int = 64,
+                              broadcast_docs: int = 2_000_000):
+    """EXACT :func:`dup_spans` output at winnowed cost — the verified
+    scale path for suffix-family dedup.
+
+    A winnowed fingerprint pass with gram length ``L - w + 1`` and
+    window ``w`` carries the SWA-2003 guarantee for every match of
+    length >= (L - w + 1) + w - 1 = L: both copies of any duplicated
+    length-L window select one SHARED fingerprint (identical hash
+    sequences + the deterministic rightmost-min tie rule pick the same
+    value), so every doc that owns a duplicated window is a CANDIDATE.
+    Restricting the exact window pass to candidate docs is therefore
+    LOSSLESS — the composition returns bit-identical spans to
+    ``dup_spans(docs, L=L)`` while the expensive L-bytes-per-character
+    window shuffle touches only the (winnow-sparse) duplicated docs;
+    clean docs ship 16-byte fingerprint rows at ~2/(w+1) density and
+    nothing else.  poly64 collisions can only ADD candidate docs (the
+    exact pass groups on window text), never lose spans.
+
+    Candidate ids broadcast via ``ray.put`` below ``broadcast_docs``
+    fingerprint rows (one map-side filter, zero extra shuffles); above
+    it the restriction is a bucketed SEMI join keyed on the doc id.
+    """
+    Lw = L - w + 1
+    if Lw < 2:
+        raise ValueError(f"need L - w + 1 >= 2 grams (L={L}, w={w})")
+    cands = winnowed_candidates(docs, L=Lw, w=w, id_col=id_col,
+                                text_col=text_col, n_buckets=n_buckets)
+    ids = cands.select_columns([id_col]).materialize()
+    n_rows = ids.count()
+    if n_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64())}))
+    if n_rows <= broadcast_docs:
+        import ray as _ray
+
+        uniq = np.unique(ids.to_pandas()[id_col].to_numpy())
+        ref = _ray.put(uniq) if _ray.is_initialized() else uniq
+
+        def keep(b: pa.Table, _ref=ref) -> pa.Table:
+            from .graph import _get_blob
+
+            u = _ref if isinstance(_ref, np.ndarray) else _get_blob(_ref)
+            v = b.column(id_col).to_numpy(zero_copy_only=False)
+            p = np.searchsorted(u, v)
+            p[p == len(u)] = 0
+            return b.filter(pa.array(u[p] == v))
+
+        subset = docs.map_batches(keep, batch_format="pyarrow")
+    else:
+        from .hashjoin import bucketed_join
+
+        subset = bucketed_join(docs, ids, [id_col], how="semi",
+                               n_buckets=n_buckets)
+    return dup_spans(subset, L=L, id_col=id_col, text_col=text_col,
+                     n_buckets=n_buckets)
