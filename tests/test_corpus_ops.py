@@ -116,3 +116,27 @@ def test_tokens_flat_null_text(ray_session):
     assert idx.loc["a", "postings"] == "0"
     sg = skipgram_counts(rd.from_arrow(t), window=2).to_pandas()
     assert dict(zip(sg["w1"], sg["n"])) == {"a": 1}
+
+
+def test_block_dedup_goldens(ray_session):
+    """Block-level exact dedup: first (doc, idx) occurrence survives;
+    a fully-duplicated doc comes back empty; a zero-token doc passes
+    through with 0 blocks; a short tail block dedups independently."""
+    from zen3geo_ray.stages.corpus import block_dedup
+
+    texts = [
+        "a b c d e f",          # doc 0: blocks "a b c" | "d e f"
+        "a b c x y z",          # doc 1: "a b c" dup of doc0 blk0
+        "d e f a b c",          # doc 2: both blocks dup -> emptied
+        "",                     # doc 3: zero tokens
+        "x y z g h",            # doc 4: "x y z" dup of doc1 blk1, "g h" kept
+    ]
+    out = (block_dedup(_docs(texts, nblocks=2), size=3, n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "clean_text"] == "a b c d e f"
+    assert out.loc[1, "clean_text"] == "x y z"
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[3, "clean_text"] == ""
+    assert out.loc[4, "clean_text"] == "g h"
+    assert out["n_blocks"].tolist() == [2, 2, 2, 0, 2]
+    assert out["n_kept"].tolist() == [2, 1, 0, 0, 1]

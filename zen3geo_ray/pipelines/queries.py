@@ -2988,6 +2988,50 @@ def q_chunks(sf_dir: str):
     return chunk_documents(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
 
 
+PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
+
+
+def q_para_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (the Dolma-style cleaning step): the
+    unit is the 4-token block since the synthetic corpus is single-line;
+    corpus-wide each block text keeps its first (doc, idx) occurrence
+    and docs rebuild from surviving blocks
+    (stages/corpus.py:block_dedup — one text-keyed shuffle, one rebuild
+    shuffle, one left join for fully-deduped docs)."""
+    from ..stages.corpus import block_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return block_dedup(docs, size=PARA_SIZE)
+
+
+def _sql_para_dedup() -> str:
+    k = PARA_SIZE
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+c AS (SELECT doc_id, toks, nt,
+        unnest(range(0, (nt + {k - 1}) // {k})) AS ci
+      FROM nn WHERE nt > 0),
+b AS (SELECT doc_id, ci,
+        array_to_string(toks[ci*{k}+1 : least((ci+1)*{k}, nt)], ' ')
+          AS para
+      FROM c),
+keep AS (SELECT doc_id, ci, para,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, ci)
+             AS rn
+         FROM b),
+r AS (SELECT doc_id, string_agg(para, ' ' ORDER BY ci) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keep WHERE rn = 1 GROUP BY doc_id),
+m AS (SELECT doc_id, CAST((nt + {k - 1}) // {k} AS BIGINT) AS n_blocks
+      FROM nn)
+SELECT m.doc_id, COALESCE(r.ct, '') AS clean_text, m.n_blocks,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM m LEFT JOIN r ON r.doc_id = m.doc_id"""
+
+
 def q_postings(sf_dir: str):
     """Inverted index: per token df / tf / sorted comma-joined doc-id
     postings — per-batch (token, doc, tf) partials then ONE bucketed
@@ -4770,6 +4814,7 @@ GROUP BY event_type, u - o.off
             "GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "chunks": _sql_corpus_chunks(),
+        "para_dedup": _sql_para_dedup(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
             "AS toks FROM documents), "
@@ -5029,6 +5074,7 @@ def build_queries() -> dict:
         "mad_outliers": q_mad_outliers,
         "cube": q_cube,
         "chunks": q_chunks,
+        "para_dedup": q_para_dedup,
         "postings": q_postings,
         "skipgrams": q_skipgrams,
         "outer_join": q_outer_join,

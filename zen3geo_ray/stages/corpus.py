@@ -267,3 +267,98 @@ def split_records(ds, pattern: str, *, id_col: str = "doc_id",
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def block_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                size: int = 4, n_buckets: int = 64):
+    """Paragraph/line-level exact dedup (the Dolma/RedPajama cleaning
+    step) over separator-free text: the dedup unit is the ``size``-token
+    BLOCK (``chunk_documents`` with zero overlap).  Corpus-wide, every
+    distinct block text keeps only its FIRST occurrence — lexicographic
+    min (doc, block index), deterministic — and each doc is rebuilt from
+    its surviving blocks in order.  Docs whose every block duplicates an
+    earlier one come back empty; zero-token docs pass through as ''.
+
+    Output: (id_col, clean_text, n_blocks, n_kept).
+
+    Scale shape: block rows shuffle ONCE keyed by an fnv1a hash of the
+    block text (grouping inside the bucket is on the text itself, so
+    collisions cost only balance, never correctness); winners shuffle
+    once by doc for the vectorized binary_join rebuild; one bucketed
+    LEFT join attaches the per-doc block counts so fully-deduped docs
+    still emit a row.  Nothing materializes on the driver.
+    """
+    from ..functions.hashing import fnv1a_str_array
+    from .hashjoin import bucketed_join
+
+    chunks = chunk_documents(ds, id_col=id_col, text_col=text_col,
+                             size=size, overlap=0)
+
+    def project(b: pa.Table) -> pa.Table:
+        txt = b.column("chunk_text")
+        h = fnv1a_str_array(txt.to_pylist()).view(np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "chunk_idx": b.column("chunk_idx"),
+            "chunk_text": txt,
+            "__ch": pa.array(h),
+        })
+
+    rows = chunks.map_batches(project, batch_format="pyarrow")
+
+    def first_per_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object")})
+        o = np.lexsort((g["chunk_idx"].to_numpy(),
+                        g[id_col].to_numpy(),
+                        g["chunk_text"].to_numpy()))
+        t = g["chunk_text"].to_numpy()[o]
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = t[1:] != t[:-1]
+        return g.iloc[o[new]][[id_col, "chunk_idx", "chunk_text"]]
+
+    winners = bucketed_groupby(rows, ["__ch"], first_per_block,
+                               n_buckets=n_buckets)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["chunk_idx"].to_numpy(), g[id_col].to_numpy()))
+        d = g[id_col].to_numpy()[o]
+        texts = pa.array(g["chunk_text"].to_numpy()[o], pa.string())
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        off = np.append(starts, len(d)).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), texts)
+        return pd.DataFrame({
+            id_col: d[starts],
+            "kept_text": pc.binary_join(la, " ").to_pylist(),
+            "n_kept": np.diff(off).astype(np.int64)})
+
+    rebuilt = bucketed_groupby(winners, [id_col], rebuild,
+                               n_buckets=n_buckets)
+
+    def meta(b: pa.Table) -> pa.Table:
+        _, doc_of, ndocs = tokens_flat(b, text_col)
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_blocks": pa.array((n + size - 1) // size),
+        })
+
+    metas = ds.map_batches(meta, batch_format="pyarrow")
+    joined = bucketed_join(metas, rebuilt, [id_col], how="left",
+                           n_buckets=n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "clean_text": pc.fill_null(b.column("kept_text"), ""),
+            "n_blocks": b.column("n_blocks"),
+            "n_kept": pc.fill_null(pc.cast(b.column("n_kept"), pa.int64()),
+                                   0),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
