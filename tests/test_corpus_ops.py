@@ -140,3 +140,23 @@ def test_block_dedup_goldens(ray_session):
     assert out.loc[4, "clean_text"] == "g h"
     assert out["n_blocks"].tolist() == [2, 2, 2, 0, 2]
     assert out["n_kept"].tolist() == [2, 1, 0, 0, 1]
+
+
+def test_unigram_lm_scores_golden(ray_session):
+    """Unigram LM scoring: top-V vocab ties break (count desc, token
+    asc); OOV tokens score 0 and count in n_oov; avg_freq is exactly
+    freq_sum / n_tokens."""
+    from zen3geo_ray.stages.scoring import unigram_lm_scores
+
+    # counts: b=4, a=3, c=3, z=1  -> top_v=2 keeps b(4) then a(3)
+    # (a < c breaks the 3-3 tie)
+    texts = ["a b b c", "b a c z", "b a c", ""]
+    out = (unigram_lm_scores(_docs(texts, nblocks=2), top_v=2,
+                             n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 1, 2]  # empty doc drops out
+    assert out["n_tokens"].tolist() == [4, 4, 3]
+    # doc0: a(3) + b(4)*2 + c(oov) = 11 ; doc1: 4+3 = 7 ; doc2: 7
+    assert out["freq_sum"].tolist() == [11, 7, 7]
+    assert out["n_oov"].tolist() == [1, 2, 1]
+    assert out["avg_freq"].tolist() == [11 / 4, 7 / 4, 7 / 3]

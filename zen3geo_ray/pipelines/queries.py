@@ -2988,6 +2988,45 @@ def q_chunks(sf_dir: str):
     return chunk_documents(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
 
 
+UNIGRAM_V = 24  # LM vocabulary cap (corpus has 31 distinct tokens)
+
+
+def q_unigram_lm(sf_dir: str):
+    """CCNet-style perplexity-filter analog: train a unigram LM (corpus
+    token counts capped to the top-24 vocabulary, ties count desc then
+    token asc), broadcast it once, score every doc in one map pass —
+    freq_sum / n_oov integer-exact, avg_freq one IEEE division
+    (stages/scoring.py:unigram_lm_scores)."""
+    from ..stages.scoring import unigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_lm_scores(docs, top_v=UNIGRAM_V)
+
+
+def _sql_unigram_lm() -> str:
+    v = UNIGRAM_V
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+vocab AS (SELECT w, c FROM (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+            FROM cnt)
+          WHERE rn <= {v}),
+d AS (SELECT t.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(COALESCE(vo.c, 0)) AS BIGINT) AS freq_sum,
+        CAST(SUM(CASE WHEN vo.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov
+      FROM tok t LEFT JOIN vocab vo ON vo.w = t.w
+      GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, freq_sum, n_oov,
+       CAST(freq_sum AS DOUBLE) / n_tokens AS avg_freq
+FROM d"""
+
+
 PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
 
 
@@ -4815,6 +4854,7 @@ GROUP BY event_type, u - o.off
         ),
         "chunks": _sql_corpus_chunks(),
         "para_dedup": _sql_para_dedup(),
+        "unigram_lm": _sql_unigram_lm(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
             "AS toks FROM documents), "
@@ -5075,6 +5115,7 @@ def build_queries() -> dict:
         "cube": q_cube,
         "chunks": q_chunks,
         "para_dedup": q_para_dedup,
+        "unigram_lm": q_unigram_lm,
         "postings": q_postings,
         "skipgrams": q_skipgrams,
         "outer_join": q_outer_join,

@@ -125,3 +125,103 @@ def score_embeddings(ds, model_blob_or_ref, *, id_col: str = "vec_id",
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
     return ds.map_batches(BatchScorer, **kwargs)
+
+
+def unigram_lm_scores(docs, *, id_col: str = "doc_id",
+                      text_col: str = "text", top_v: int = 24,
+                      n_buckets: int = 64):
+    """CCNet-style LM quality scoring, two passes: TRAIN a unigram LM
+    (corpus token counts, capped to the ``top_v`` most frequent tokens
+    — ties break count desc then token asc, so the vocabulary is
+    deterministic), BROADCAST it once via ``ray.put``, then SCORE every
+    doc in one map pass.  Stands in for the perplexity-filter step of a
+    real curation pipeline; the "perplexity" here is integer-exact so
+    the oracle can value-check it: freq_sum (sum of the corpus counts
+    of the doc's in-vocab tokens), n_oov (tokens outside the vocab),
+    and avg_freq = freq_sum / n_tokens (ONE IEEE division of exact
+    ints — no float-summation-order hazard).
+
+    Output: (id_col, n_tokens, freq_sum, n_oov, avg_freq), one row per
+    doc with >= 1 token.
+
+    100-TB shape: count partials are combiner-first (np.unique per
+    batch), the count reduce shuffles |vocab|-bounded rows, the model
+    is top_v rows however large the corpus, and scoring is stateless
+    map_batches with a per-worker memoized blob fetch.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokens_flat(b, text_col)
+        w, c = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    partials = docs.map_batches(count_partial, batch_format="pyarrow")
+    counts = bucketed_groupby(
+        partials, ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["c"].sum(),
+        n_buckets=n_buckets)
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c", "w"], ascending=[False, True],
+                             kind="mergesort").head(top_v)
+
+    pruned = counts.map_batches(
+        lambda b: pa.Table.from_pandas(top(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow").repartition(1)
+    vocab = pruned.map_batches(
+        lambda b: pa.Table.from_pandas(top(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow").to_pandas()
+
+    w_sorted = np.sort(vocab["w"].to_numpy())
+    order = np.argsort(vocab["w"].to_numpy())
+    c_sorted = vocab["c"].to_numpy()[order].astype(np.int64)
+
+    import ray as _ray
+
+    blob = (w_sorted, c_sorted)
+    ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        ws, cs = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        if len(toks):
+            p = np.searchsorted(ws, toks)
+            p[p == len(ws)] = 0
+            hit = ws[p] == toks
+            f = np.where(hit, cs[p], np.int64(0))
+            # doc_of is sorted: exact int64 segment sums via reduceat
+            # (bincount's float64 weights would round above 2^53)
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_of[1:] != doc_of[:-1]]))
+            fs = np.zeros(ndocs, dtype=np.int64)
+            fs[doc_of[starts]] = np.add.reduceat(f, starts)
+            oov = np.zeros(ndocs, dtype=np.int64)
+            oov[doc_of[starts]] = np.add.reduceat(
+                (~hit).astype(np.int64), starts)
+        else:
+            fs = np.zeros(ndocs, dtype=np.int64)
+            oov = np.zeros(ndocs, dtype=np.int64)
+        keep = n > 0
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        nk, fk, ok = n[keep], fs[keep], oov[keep]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nk),
+            "freq_sum": pa.array(fk),
+            "n_oov": pa.array(ok),
+            "avg_freq": pa.array(fk.astype(np.float64) / nk),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
