@@ -160,3 +160,47 @@ def test_unigram_lm_scores_golden(ray_session):
     assert out["freq_sum"].tolist() == [11, 7, 7]
     assert out["n_oov"].tolist() == [1, 2, 1]
     assert out["avg_freq"].tolist() == [11 / 4, 7 / 4, 7 / 3]
+
+
+def test_bm25_topk_bruteforce(ray_session):
+    """BM25 top-k matches a straight-line reference computation,
+    including the doc-id tie-break and the k cutoff."""
+    from zen3geo_ray.stages.tfidf import bm25_topk
+
+    texts = [
+        "x x y pad", "x y pad pad", "y y y y", "pad pad pad",
+        "x pad", "x pad",  # identical docs -> tied scores
+    ]
+    terms, k1, b = ["x", "y"], 1.25, 0.75
+    out = bm25_topk(_docs(texts, nblocks=3), terms, k=4,
+                    k1=k1, b=b).to_pandas()
+
+    # reference
+    toks = [t.split() for t in texts]
+    dls = [len(t) for t in toks]
+    n = sum(1 for d in dls if d > 0)
+    avgdl = float(sum(dls)) / float(n)
+    import collections
+    df = {w: sum(1 for t in toks if w in t) for w in terms}
+    scores = {}
+    for i, t in enumerate(toks):
+        c = collections.Counter(t)
+        s = 0.0
+        hit = False
+        for w in terms:
+            tf = float(c[w])
+            if tf == 0:
+                continue
+            hit = True
+            idf = ((n - df[w]) + 0.5) / (df[w] + 0.5)
+            s = s + idf * ((tf * (k1 + 1.0)) /
+                           (tf + k1 * ((1.0 - b) + b * (dls[i] / avgdl))))
+        if hit:
+            scores[i] = s
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    got = list(zip(out["doc_id"].tolist(), out["score"].tolist()))
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    assert got == ref  # scores bit-equal
+    # the identical docs 4 and 5 tie -> lower id first
+    tied = [d for d, _ in got if d in (4, 5)]
+    assert tied == sorted(tied)

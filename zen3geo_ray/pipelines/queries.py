@@ -3027,6 +3027,61 @@ SELECT doc_id, n_tokens, freq_sum, n_oov,
 FROM d"""
 
 
+BM25_TERMS = ["join", "window", "fast"]
+BM25_K = 20
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-20 lexical retrieval for a fixed query (k1=1.25,
+    b=0.75 — exactly-representable doubles; log-free idf ratio so no
+    libm divergence): combiner-first corpus stats, broadcast constants,
+    one scoring map with local top-k pruning and a single-block finale
+    (stages/tfidf.py:bm25_topk).  Score floats are value-checked by the
+    oracle — the whole scorer is bit-parity-disciplined."""
+    from ..stages.tfidf import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+def _sql_bm25() -> str:
+    terms = BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    avgdl = "(CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    contrib = (
+        "(((s.n - f.df) + 0.5) / (f.df + 0.5)) * "
+        "((CAST(t.tf AS DOUBLE) * (1.25 + 1.0)) / "
+        "(CAST(t.tf AS DOUBLE) + 1.25 * ((1.0 - 0.75) + "
+        f"0.75 * (CAST(d.dl AS DOUBLE) / {avgdl}))))"
+    )
+    pivots = ",\n        ".join(
+        f"COALESCE(MAX(CASE WHEN w = '{t}' THEN contrib END), 0.0) AS c{j}"
+        for j, t in enumerate(terms))
+    add = "c0"
+    for j in range(1, len(terms)):
+        add = f"({add} + c{j})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+       GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE w IN ({in_list}) GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+c AS (SELECT t.doc_id, t.w, {contrib} AS contrib
+      FROM tf t JOIN df f ON f.w = t.w
+      JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s),
+p AS (SELECT doc_id,
+        {pivots}
+      FROM c GROUP BY doc_id)
+SELECT doc_id, {add} AS score FROM p
+ORDER BY score DESC, doc_id LIMIT {BM25_K}"""
+
+
 PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
 
 
@@ -4855,6 +4910,7 @@ GROUP BY event_type, u - o.off
         "chunks": _sql_corpus_chunks(),
         "para_dedup": _sql_para_dedup(),
         "unigram_lm": _sql_unigram_lm(),
+        "bm25": _sql_bm25(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
             "AS toks FROM documents), "
@@ -5116,6 +5172,7 @@ def build_queries() -> dict:
         "chunks": q_chunks,
         "para_dedup": q_para_dedup,
         "unigram_lm": q_unigram_lm,
+        "bm25": q_bm25,
         "postings": q_postings,
         "skipgrams": q_skipgrams,
         "outer_join": q_outer_join,

@@ -131,3 +131,96 @@ def tfidf_features(docs_ds, *, id_col: str = "doc_id",
         return out.append_column("df", pa.array(dfs, pa.int64()))
 
     return terms.map_batches(featurize, batch_format="pyarrow")
+
+
+def bm25_topk(docs, terms: list[str], *, k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.25, b: float = 0.75):
+    """BM25 top-k retrieval for a fixed query-term list — the classic
+    lexical search scorer over a corpus, in two passes:
+
+    1. STATS: one combiner-first map emits a single partial row per
+       batch (n docs with tokens, Σdl, per-term document frequencies);
+       the driver folds the bounded partials into the corpus constants.
+    2. SCORE: stateless map computes every matching doc's score and
+       keeps a LOCAL top-k per block; one single-block finale reduces
+       blocks x k rows to the global top-k.  Nothing else shuffles.
+
+    Bit-parity discipline (the oracle value-checks scores): k1 = 1.25
+    and b = 0.75 are exactly-representable doubles; idf is the LOG-FREE
+    ratio ((N - df) + 0.5) / (df + 0.5) (libm-free — DuckDB and numpy
+    ln may differ in the last ulp); per-term contributions follow ONE
+    parenthesization mirrored by the SQL; the final score adds the
+    fixed-order term contributions explicitly, never via an unordered
+    SUM.  Ties break doc id ascending.
+
+    Output: (id_col, score), the global top-k.
+    """
+    import pandas as pd
+
+    from .ngrams import tokens_flat
+
+    terms = list(terms)
+    t_arr = np.array(terms, dtype=object)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = np.bincount(doc_of, minlength=ndocs)
+        cols = {"n_docs": pa.array([int((n > 0).sum())], pa.int64()),
+                "sum_dl": pa.array([int(n.sum())], pa.int64())}
+        for j, t in enumerate(terms):
+            tf = np.bincount(doc_of[toks == t], minlength=ndocs)
+            cols[f"df_{j}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = docs.map_batches(stats_partial,
+                             batch_format="pyarrow").to_pandas()
+    n_corpus = int(parts["n_docs"].sum())
+    sum_dl = int(parts["sum_dl"].sum())
+    df = np.array([int(parts[f"df_{j}"].sum()) for j in range(len(terms))],
+                  dtype=np.int64)
+    if n_corpus == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    avgdl = np.float64(sum_dl) / np.float64(n_corpus)
+    idf = ((n_corpus - df) + 0.5) / (df + 0.5)  # (T,) doubles
+
+    def score_local(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        score = np.zeros(ndocs, dtype=np.float64)
+        any_hit = np.zeros(ndocs, dtype=bool)
+        with np.errstate(invalid="ignore"):
+            dl_ratio = dl.astype(np.float64) / avgdl
+        for j in range(len(terms)):
+            tf = np.bincount(doc_of[toks == t_arr[j]],
+                             minlength=ndocs).astype(np.float64)
+            denom = tf + k1 * ((1.0 - b) + b * dl_ratio)
+            contrib = idf[j] * ((tf * (k1 + 1.0)) / np.where(
+                denom == 0.0, 1.0, denom))
+            contrib = np.where(tf > 0, contrib, 0.0)
+            any_hit |= tf > 0
+            score = score + contrib  # fixed term order
+        keep = any_hit
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        sc = score[keep]
+        o = np.lexsort((ids, -sc))[:k]
+        return pa.table({id_col: pa.array(ids[o], pa.int64()),
+                         "score": pa.array(sc[o], pa.float64())})
+
+    local = docs.map_batches(score_local, batch_format="pyarrow")
+
+    def finale(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sc = batch.column("score").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, -sc))[:k]
+        return pa.table({id_col: pa.array(ids[o], pa.int64()),
+                         "score": pa.array(sc[o], pa.float64())})
+
+    return local.repartition(1).map_batches(finale,
+                                            batch_format="pyarrow")
