@@ -204,3 +204,23 @@ def test_bm25_topk_bruteforce(ray_session):
     # the identical docs 4 and 5 tie -> lower id first
     tied = [d for d, _ in got if d in (4, 5)]
     assert tied == sorted(tied)
+
+
+def test_select_canonical_golden(ray_session):
+    """Keep-best per cluster: highest quality wins, ties -> lowest id;
+    singleton clusters keep their only member."""
+    from zen3geo_ray.stages.dedup import select_canonical
+
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "dup_group": pa.array([1, 1, 1, 4, 5], pa.int64())}))
+    meta = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "n_chars": pa.array([10, 30, 30, 7, 9], pa.int64())}))
+    out = (select_canonical(labels, meta, n_buckets=4)
+           .to_pandas().set_index("dup_group").sort_index())
+    assert out.loc[1, "kept_doc"] == 2          # 30-30 tie -> lower id
+    assert out.loc[1, "kept_quality"] == 30
+    assert out.loc[1, "n_members"] == 3
+    assert out.loc[4, "kept_doc"] == 4 and out.loc[4, "n_members"] == 1
+    assert out.loc[5, "kept_doc"] == 5

@@ -595,6 +595,37 @@ def q_minhash_groups(sf_dir: str):
     )
 
 
+def q_keep_best(sf_dir: str):
+    """Canonical-doc selection per MinHash near-dup cluster: the
+    highest-n_chars member of every dup_group survives (ties lowest
+    doc_id) — "keep best", the curation policy above grouping dedup
+    (stages/dedup.py:select_canonical — two 16-byte-row shuffles; text
+    never moves)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1_000)
+    labels = dedup.minhash_lsh_groups(
+        docs, id_col="doc_id", num_perm=MH_NUM_PERM, bands=MH_BANDS,
+        k=MH_K)
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return dedup.select_canonical(labels, meta)
+
+
+def _sql_keep_best() -> str:
+    return (
+        "WITH RECURSIVE " + _sql_minhash_cc_ctes()
+        + """,
+mq AS (SELECT l.doc_id, l.dup_group, d.n_chars
+       FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+rk AS (SELECT dup_group, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY dup_group
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY dup_group) AS nm
+       FROM mq)
+SELECT dup_group, doc_id AS kept_doc, n_chars AS kept_quality,
+       CAST(nm AS BIGINT) AS n_members
+FROM rk WHERE rn = 1""")
+
+
 def q_simhash(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=1_000)
     out = docs.map_batches(
@@ -4911,6 +4942,7 @@ GROUP BY event_type, u - o.off
         "para_dedup": _sql_para_dedup(),
         "unigram_lm": _sql_unigram_lm(),
         "bm25": _sql_bm25(),
+        "keep_best": _sql_keep_best(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
             "AS toks FROM documents), "
@@ -5173,6 +5205,7 @@ def build_queries() -> dict:
         "para_dedup": q_para_dedup,
         "unigram_lm": q_unigram_lm,
         "bm25": q_bm25,
+        "keep_best": q_keep_best,
         "postings": q_postings,
         "skipgrams": q_skipgrams,
         "outer_join": q_outer_join,

@@ -1128,3 +1128,55 @@ def incremental_embedding_dedup(ds, store_dir: str, *,
         lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
     ).write_parquet(run_dir)
     return survivors
+
+
+def select_canonical(labels, meta, *, id_col: str = "doc_id",
+                     group_col: str = "dup_group",
+                     quality_col: str = "n_chars",
+                     n_buckets: int = 64):
+    """Canonical-document selection per near-dup cluster — the policy
+    layer above any grouping dedup (MinHash/SimHash/embedding): given
+    cluster labels (id, group) and per-doc quality metadata (id,
+    quality), keep the HIGHEST-quality member of every cluster, ties
+    broken lowest id — "keep best", not "keep first", the curation rule
+    real pipelines want.
+
+    Returns (group_col, kept_doc, kept_quality, n_members).
+
+    Scale shape: one bucketed hash join attaches quality to labels
+    (both sides are 16-byte rows — document text never moves), one
+    bucketed reduce picks the argmax per cluster.  Works unchanged over
+    any labeler that emits (id, group).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
+
+    joined = bucketed_join(labels, meta, [id_col], how="inner",
+                           n_buckets=n_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="int64"),
+                "kept_doc": pd.Series([], dtype="int64"),
+                "kept_quality": pd.Series([], dtype="int64"),
+                "n_members": pd.Series([], dtype="int64")})
+        grp = g[group_col].to_numpy()
+        q = g[quality_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        o = np.lexsort((ids, -q, grp))
+        grp, q, ids = grp[o], q[o], ids[o]
+        new = np.ones(len(grp), dtype=bool)
+        new[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(grp)))
+        return pd.DataFrame({
+            group_col: grp[starts],
+            "kept_doc": ids[starts],
+            "kept_quality": q[starts],
+            "n_members": sizes.astype(np.int64)})
+
+    return bucketed_groupby(joined, [group_col], pick,
+                            n_buckets=n_buckets)
