@@ -698,3 +698,56 @@ def test_pinned_common_neighbors_parity(ray_session):
                                   n_shards=2)
     assert out.count() == 0
     assert set(out.schema().names) == {"u", "v", "n_common"}
+
+
+def _ref_lpa(src, dst, rounds):
+    """Straight-line synchronous LPA: most frequent neighbor label,
+    ties -> smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            c = Counter(lab[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_label_propagation_matches_reference(ray_session, bt):
+    from zen3geo_ray.stages.graph import label_propagation
+
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    out = label_propagation(edges, rounds=2, n_buckets=8,
+                            broadcast_threshold=bt).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["lab"].tolist()))
+    assert got == _ref_lpa(src, dst, 2)
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_label_propagation_two_communities(ray_session, bt):
+    """Two triangles bridged by one edge, hand-checkable: with
+    all-distinct initial labels every vote is a tie, so the min-label
+    rule drives both rounds — triangle A settles to 0 and label 2
+    leaks across the bridge into B (the documented deterministic
+    tie-break, matched exactly by the straight-line reference)."""
+    from zen3geo_ray.stages.graph import label_propagation
+
+    #  0-1-2 triangle, 10-11-12 triangle, bridge 2-10
+    src = np.array([0, 1, 2, 10, 11, 12, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 11, 12, 10, 10], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = label_propagation(edges, rounds=2, n_buckets=4,
+                            broadcast_threshold=bt).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["lab"].tolist()))
+    assert got == _ref_lpa(src, dst, 2)
+    assert got[0] == 0 and got[1] == 0

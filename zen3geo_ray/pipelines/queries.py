@@ -4188,6 +4188,62 @@ SELECT dd.doc_id, COALESCE(c.ct, dd.text) AS clean_text,
 FROM d dd LEFT JOIN cleaned c ON c.doc_id = dd.doc_id"""
 
 
+LPA_ROUNDS = 2
+
+
+def q_lpa(sf_dir: str):
+    """Synchronous label-propagation community detection (2 fixed
+    rounds) over the part co-purchase graph: every node adopts its
+    neighbors' most frequent previous label, ties -> smallest label
+    (stages/graph.py:label_propagation — broadcast labels via ray.put,
+    edges never re-shuffle; bucketed BSP path above the threshold)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import label_propagation
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
+                                    "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(KCORE_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand,
+                           n_buckets=16)
+    return label_propagation(prs, rounds=LPA_ROUNDS)
+
+
+def _sql_lpa() -> str:
+    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {KCORE_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""]
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""v{i} AS (
+  SELECT e.u AS node, l.lab AS lab, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{i - 1} l ON l.node = e.v GROUP BY 1, 2),
+lab{i} AS (SELECT node, lab FROM (
+  SELECT node, lab,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab)
+           AS rn
+  FROM v{i}) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, lab FROM lab{LPA_ROUNDS}")
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 2
 KTRUSS_QTY_MIN = 40  # same co-purchase graph as the triangle query
@@ -5051,6 +5107,7 @@ GROUP BY event_type, u - o.off
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
         "kcore": _sql_kcore(),
+        "lpa": _sql_lpa(),
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
         "winnow_spans": _sql_dup_spans(),
@@ -5230,6 +5287,7 @@ def build_queries() -> dict:
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
         "kcore": q_kcore,
+        "lpa": q_lpa,
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
         "winnow_spans": q_winnow_spans,

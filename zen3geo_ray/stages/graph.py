@@ -1311,3 +1311,131 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
         e = state.map_batches(lambda b: b.select(["u", "v"]),
                               batch_format="pyarrow").materialize()
     return state
+
+
+def label_propagation(edges, *, rounds: int, src: str = "src",
+                      dst: str = "dst", n_buckets: int | None = None,
+                      broadcast_threshold: int = BROADCAST_NODES):
+    """SYNCHRONOUS label propagation (community detection, Raghavan et
+    al. 2007) for a FIXED number of rounds: label(0) = node id; each
+    round every node adopts the most frequent label among its
+    neighbors' previous labels, ties broken by the SMALLEST label —
+    fully deterministic, so the chained-CTE SQL oracle mirrors it
+    round for round.  Returns (node, lab).
+
+    Self-loops drop and the edge set symmetrizes + dedups first, so a
+    neighbor votes exactly once per round.
+
+    Dual paths (the graph-suite discipline):
+    * broadcast (edges <= threshold): labels live in a driver array
+      shipped once per round via ``ray.put``; one map over the pinned
+      edge Dataset emits combiner-first (node, lab, count) partials and
+      one bucketed argmax reduce closes the round — edges NEVER
+      re-shuffle.
+    * bucketed BSP: per round one bucketed hash join ships the (node,
+      lab) state onto the edges keyed by dst, then the same partial ->
+      argmax reduce; `_settle` stops block compounding.
+    """
+    if rounds < 1:
+        raise ValueError("label_propagation needs rounds >= 1")
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"u": pa.array(np.concatenate([s, d])),
+                         "v": pa.array(np.concatenate([d, s]))})
+
+    e = distinct_tuples(
+        edges.map_batches(symm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    n_edges = e.count()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(n_edges)
+
+    def argmax_votes(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({NODE: pd.Series([], dtype="int64"),
+                                 "lab": pd.Series([], dtype="int64")})
+        s = g.groupby([NODE, "lab"], sort=False, as_index=False)["_c"].sum()
+        n = s[NODE].to_numpy().astype(np.int64)
+        l = s["lab"].to_numpy().astype(np.int64)
+        c = s["_c"].to_numpy()
+        o = np.lexsort((l, -c, n))
+        n, l = n[o], l[o]
+        new = np.ones(len(n), dtype=bool)
+        new[1:] = n[1:] != n[:-1]
+        return pd.DataFrame({NODE: n[new], "lab": l[new]})
+
+    def pair_counts(u: np.ndarray, lv: np.ndarray) -> pa.Table:
+        o = np.lexsort((lv, u))
+        uu, ll = u[o], lv[o]
+        new = np.ones(len(uu), dtype=bool)
+        new[1:] = (uu[1:] != uu[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(uu)))
+        return pa.table({NODE: pa.array(uu[starts]),
+                         "lab": pa.array(ll[starts]),
+                         "_c": pa.array(cnt.astype(np.int64))})
+
+    import ray.data as rd
+
+    if n_edges <= broadcast_threshold:
+        import ray
+
+        parts = e.map_batches(
+            lambda b: pa.table({"u": pa.array(np.unique(
+                b.column("u").to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow").to_pandas()
+        nodes = np.unique(parts["u"].to_numpy().astype(np.int64))
+        labels = nodes.copy()
+        for _ in range(rounds):
+            ref = ray.put((nodes, labels))
+
+            def vote_partial(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, lb = _get_blob(_ref)
+                u = b.column("u").to_numpy(zero_copy_only=False)
+                v = b.column("v").to_numpy(zero_copy_only=False)
+                lv = lb[np.searchsorted(ns, v)]
+                return pair_counts(u, lv)
+
+            red = bucketed_groupby(
+                e.map_batches(vote_partial, batch_format="pyarrow"),
+                [NODE], argmax_votes, n_buckets=n_buckets,
+            ).to_pandas()
+            new_lab = labels.copy()
+            idx = np.searchsorted(nodes, red[NODE].to_numpy())
+            new_lab[idx] = red["lab"].to_numpy()
+            labels = new_lab
+        return rd.from_arrow(pa.table({NODE: pa.array(nodes),
+                                       "lab": pa.array(labels)}))
+
+    # bucketed BSP path
+    nodes_ds = distinct_tuples(
+        e.map_batches(
+            lambda b: pa.table({NODE: b.column("u")}),
+            batch_format="pyarrow"),
+        [NODE], n_buckets=n_buckets)
+    state = nodes_ds.map_batches(
+        lambda b: b.append_column("lab", b.column(NODE)),
+        batch_format="pyarrow")
+    for _ in range(rounds):
+        lab_v = state.map_batches(
+            lambda b: pa.table({"v": b.column(NODE),
+                                "lab": b.column("lab")}),
+            batch_format="pyarrow")
+        j = bucketed_join(e, lab_v, ["v"], how="inner",
+                          n_buckets=n_buckets)
+
+        def vote_partial_b(b: pa.Table) -> pa.Table:
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = b.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pair_counts(u, lv)
+
+        partial = j.map_batches(vote_partial_b, batch_format="pyarrow")
+        state = _settle(
+            bucketed_groupby(partial, [NODE], argmax_votes,
+                             n_buckets=n_buckets), n_buckets)
+    return state
