@@ -304,3 +304,36 @@ def test_api_graph_and_split_methods(ray_session):
                                     "text": ["A b. C d! E"]}))
     parts = docs.split_sentences().to_pandas()
     assert parts["part"].tolist() == ["A b", "C d", "E"]
+
+
+def test_api_round4_fluent_ops(ray_session):
+    """The round-4 fluent additions compose end to end: block dedup,
+    LM scoring, BM25, keep-best over LPA communities."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", "a b c d", "x y z w"], pa.string()),
+    })
+    d = api.from_arrow(docs)
+    dd = d.dedup_blocks(size=2, n_buckets=4).to_pandas()
+    assert set(dd.columns) == {"doc_id", "clean_text", "n_blocks", "n_kept"}
+    lm = d.lm_score(top_v=3, n_buckets=4).to_pandas()
+    assert len(lm) == 3
+    bm = d.bm25(["a", "x"], k=2).to_pandas()
+    assert len(bm) == 2
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "dup_group": pa.array([1, 1, 3], pa.int64())}))
+    meta = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n_chars": pa.array([7, 9, 5], pa.int64())}))
+    kb = api.Pipe(labels).keep_best(meta, n_buckets=4).to_pandas()
+    assert kb.set_index("dup_group").loc[1, "kept_doc"] == 2
+    edges = pa.table({"src": pa.array([1, 2], pa.int64()),
+                      "dst": pa.array([2, 3], pa.int64())})
+    lp = api.from_arrow(edges).label_propagation(rounds=1,
+                                                 n_buckets=4).to_pandas()
+    assert len(lp) == 3

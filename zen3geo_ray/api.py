@@ -330,6 +330,46 @@ class Pipe:
 
         return Pipe(winnowed_dup_spans(self.ds, L=L, w=w, **kwargs))
 
+    def winnow_dup_spans_exact(self, L: int = 30, w: int = 8,
+                               **kwargs) -> "Pipe":
+        """dup_spans-exact output at winnowed cost (candidate-doc
+        restriction is lossless by the SWA guarantee)."""
+        from .stages.substring import winnow_restrict_dup_spans
+
+        return Pipe(winnow_restrict_dup_spans(self.ds, L=L, w=w, **kwargs))
+
+    def dedup_blocks(self, size: int = 4, **kwargs) -> "Pipe":
+        """Paragraph/block-level exact dedup with doc reassembly."""
+        from .stages.corpus import block_dedup
+
+        return Pipe(block_dedup(self.ds, size=size, **kwargs))
+
+    def lm_score(self, top_v: int = 24, **kwargs) -> "Pipe":
+        """Unigram-LM quality scores (broadcast top-V vocabulary)."""
+        from .stages.scoring import unigram_lm_scores
+
+        return Pipe(unigram_lm_scores(self.ds, top_v=top_v, **kwargs))
+
+    def bm25(self, terms: list[str], k: int = 20, **kwargs) -> "Pipe":
+        """BM25 top-k retrieval for a fixed query-term list."""
+        from .stages.tfidf import bm25_topk
+
+        return Pipe(bm25_topk(self.ds, terms, k=k, **kwargs))
+
+    def keep_best(self, meta, **kwargs) -> "Pipe":
+        """Canonical (highest-quality) member per dup cluster; ``meta``
+        is an (id, quality) Dataset or Pipe."""
+        from .stages.dedup import select_canonical
+
+        m = meta.ds if isinstance(meta, Pipe) else meta
+        return Pipe(select_canonical(self.ds, m, **kwargs))
+
+    def label_propagation(self, rounds: int, **kwargs) -> "Pipe":
+        """Fixed-round synchronous LPA community labels of an edge pipe."""
+        from .stages.graph import label_propagation
+
+        return Pipe(label_propagation(self.ds, rounds=rounds, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""
