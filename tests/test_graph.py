@@ -751,3 +751,27 @@ def test_label_propagation_two_communities(ray_session, bt):
     got = dict(zip(out["node"].tolist(), out["lab"].tolist()))
     assert got == _ref_lpa(src, dst, 2)
     assert got[0] == 0 and got[1] == 0
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_pinned_lpa_parity(ray_session, n_shards):
+    """pinned_lpa is bit-identical to label_propagation (which is
+    itself reference-pinned) — including with duplicate and reversed
+    input edges, which the shards must dedup after symmetrizing."""
+    from zen3geo_ray.stages.graph import label_propagation
+    from zen3geo_ray.stages.pregel import pinned_lpa
+
+    src, dst = _random_graph()
+    # adversarial input: duplicates + reversed copies + self loops
+    src2 = np.concatenate([src, dst, src[:50], [7]])
+    dst2 = np.concatenate([dst, src, dst[:50], [7]])
+    edges = rd.from_arrow(pa.table({"src": src2, "dst": dst2})) \
+        .repartition(5)
+    want = label_propagation(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        rounds=2, n_buckets=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got = pinned_lpa(edges, rounds=2, n_shards=n_shards).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["lab"].tolist() == want["lab"].tolist()

@@ -499,6 +499,96 @@ def _make_shard_cls():
             return pa.table({NODE: pa.array(self.nodes[self.alive]),
                              "deg": pa.array(self.deg[self.alive])})
 
+        # --- label propagation (community detection) -------------------
+        def dedup_edges(self) -> int:
+            """Distinct (src, dst) pairs within the shard — GLOBAL dedup,
+            since every edge of one src lives on one shard.  Call after
+            ``seal``; recomputes the dst-shard split.  LPA needs this:
+            duplicate edges would double a neighbor's vote."""
+            if len(self.src):
+                o = np.lexsort((self.dst, self.src))
+                s, d = self.src[o], self.dst[o]
+                keep = np.ones(len(s), dtype=bool)
+                keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+                self.src, self.dst = s[keep], d[keep]
+                self.w = None
+                self.dst_shard = _shard_of(self.dst, self.n)
+            return len(self.src)
+
+        def init_lab(self) -> None:
+            nodes = (np.concatenate(self._node_parts)
+                     if self._node_parts else np.empty(0, np.int64))
+            self._node_parts = self._deg_parts = []
+            self.nodes = np.unique(nodes)
+            self.lab = self.nodes.copy()
+
+        def lab_contribs(self) -> list:
+            """S per-destination-shard (node, lab, count) vote partials:
+            each local edge's SRC label votes for its DST."""
+            empty = pa.table({NODE: pa.array([], pa.int64()),
+                              "lab": pa.array([], pa.int64()),
+                              "_c": pa.array([], pa.int64())})
+            if len(self.src) == 0:
+                return [empty] * self.n
+            lv = self.lab[np.searchsorted(self.nodes, self.src)]
+            out = []
+            for j in range(self.n):
+                m = self.dst_shard == j
+                d, l = self.dst[m], lv[m]
+                if len(d) == 0:
+                    out.append(empty)
+                    continue
+                o = np.lexsort((l, d))
+                d, l = d[o], l[o]
+                new = np.ones(len(d), dtype=bool)
+                new[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.append(starts, len(d)))
+                out.append(pa.table({NODE: pa.array(d[starts]),
+                                     "lab": pa.array(l[starts]),
+                                     "_c": pa.array(cnt.astype(np.int64))}))
+            return out
+
+        def lab_apply(self, *incoming) -> int:
+            """Merge incoming vote partials, per-node argmax (count
+            desc, label asc) — returns how many labels changed."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            nds, lbs, ccs = [], [], []
+            for t in flat:
+                if len(t) == 0:
+                    continue
+                nds.append(t.column(NODE).to_numpy(zero_copy_only=False))
+                lbs.append(t.column("lab").to_numpy(zero_copy_only=False))
+                ccs.append(t.column("_c").to_numpy(zero_copy_only=False))
+            if not nds:
+                return 0
+            nd = np.concatenate(nds)
+            lb = np.concatenate(lbs)
+            cc = np.concatenate(ccs).astype(np.int64)
+            o = np.lexsort((lb, nd))
+            nd, lb, cc = nd[o], lb[o], cc[o]
+            new_run = np.ones(len(nd), dtype=bool)
+            new_run[1:] = (nd[1:] != nd[:-1]) | (lb[1:] != lb[:-1])
+            starts = np.flatnonzero(new_run)
+            csum = np.add.reduceat(cc, starts)
+            nd, lb = nd[starts], lb[starts]
+            o2 = np.lexsort((lb, -csum, nd))
+            nd, lb = nd[o2], lb[o2]
+            first = np.ones(len(nd), dtype=bool)
+            first[1:] = nd[1:] != nd[:-1]
+            new = self.lab.copy()
+            ix = np.searchsorted(self.nodes, nd[first])
+            new[ix] = lb[first]
+            changed = int((new != self.lab).sum())
+            self.lab = new
+            return changed
+
+        def lab_table(self) -> pa.Table:
+            return pa.table({NODE: pa.array(self.nodes),
+                             "lab": pa.array(self.lab)})
+
     return GraphShard
 
 
@@ -1003,6 +1093,83 @@ def pinned_common_neighbors(edges, *, src: str = "src", dst: str = "dst",
                                       *[outs[i][j] for i in range(S)])
             for j in range(S)
         ]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_lpa(edges, *, rounds: int, src: str = "src", dst: str = "dst",
+               n_shards: int | None = None):
+    """Fixed-round synchronous label propagation over actor-pinned edge
+    shards — bit-identical to stages/graph.py:label_propagation
+    (parity-tested), with the edge table shipped ONCE.
+
+    Routing symmetrizes (each undirected edge lands in both endpoints'
+    shards as an out-edge, self-loops dropped) and the shards dedup
+    their local (src, dst) pairs — global dedup, since all edges of one
+    src live on one shard — so a neighbor votes exactly once.  Rounds
+    exchange per-shard (node, lab, count) VOTE PARTIALS actor-to-actor
+    (``num_returns=S`` refs, object-store peer-to-peer; the driver only
+    schedules); each shard merges incoming partials and applies the
+    (count desc, label asc) argmax locally.  Early-exits when a round
+    changes zero labels (synchronous LPA is then at a fixpoint — all
+    later rounds are no-ops)."""
+    import ray
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("pinned_lpa needs rounds >= 1")
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = s != d
+            s, d = s[m], d[m]
+            s2 = np.concatenate([s, d])
+            d2 = np.concatenate([d, s])
+            sh = _shard_of(s2, S)
+            acks = []
+            for j in range(S):
+                mj = sh == j
+                if mj.any():
+                    acks.append(hs[j].add_edges.remote(s2[mj], d2[mj]))
+                    acks.append(hs[j].add_nodes.remote(
+                        s2[mj], np.zeros(int(mj.sum()), np.int64)))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        # max_retries=0: routing mutates actor state (see pinned_pagerank)
+        edges.map_batches(
+            route, batch_format="pyarrow",
+            max_retries=0, retry_exceptions=False,
+        ).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.dedup_edges.remote() for sh in shards])
+        ray.get([sh.init_lab.remote() for sh in shards])
+
+        for _ in range(rounds):
+            if S == 1:
+                outs = [[sh.lab_contribs.remote()] for sh in shards]
+            else:
+                outs = [sh.lab_contribs.options(num_returns=S).remote()
+                        for sh in shards]
+            changed = ray.get([
+                shards[j].lab_apply.remote(*[outs[i][j] for i in range(S)])
+                for j in range(S)
+            ])
+            if sum(changed) == 0:
+                break  # synchronous fixpoint: remaining rounds are no-ops
+        refs = [sh.lab_table.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
     finally:
         for sh in shards:
