@@ -5,6 +5,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pytest
 import ray.data as rd
 
 from zen3geo_ray.stages.corpus import chunk_documents, postings
@@ -224,3 +225,42 @@ def test_select_canonical_golden(ray_session):
     assert out.loc[1, "n_members"] == 3
     assert out.loc[4, "kept_doc"] == 4 and out.loc[4, "n_members"] == 1
     assert out.loc[5, "kept_doc"] == 5
+
+
+def _ref_block_dedup(texts, size):
+    import re
+
+    seen = {}
+    per_doc = []
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split("[\t\n\f\r ]+", t) if w]
+        bl = [" ".join(toks[j * size:(j + 1) * size])
+              for j in range((len(toks) + size - 1) // size)]
+        per_doc.append(bl)
+        for j, b in enumerate(bl):
+            seen.setdefault(b, (i, j))
+    return {i: (" ".join(b for j, b in enumerate(bl)
+                         if seen[b] == (i, j)),
+                len(bl),
+                sum(1 for j, b in enumerate(bl) if seen[b] == (i, j)))
+            for i, bl in enumerate(per_doc)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_block_dedup_randomized_vs_reference(ray_session, seed):
+    """Randomized small-vocab corpora (forced block collisions, ragged
+    tails, empty docs) match a straight-line reference exactly."""
+    from zen3geo_ray.stages.corpus import block_dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c"]
+    texts = []
+    for _ in range(25):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(vocab, n)))
+    out = (block_dedup(_docs(texts, nblocks=4), size=3, n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    ref = _ref_block_dedup(texts, 3)
+    for i in range(len(texts)):
+        assert (out.loc[i, "clean_text"], out.loc[i, "n_blocks"],
+                out.loc[i, "n_kept"]) == ref[i], f"doc {i}"
