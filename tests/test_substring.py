@@ -260,3 +260,40 @@ def test_winnow_restrict_no_candidates(ray_session):
     assert out.count() == 0
     # to_pandas() drops columns on empty datasets; the SCHEMA is typed
     assert out.schema().names == ["doc_id", "span_start", "span_end"]
+
+
+def test_cdc_chunks_reassembly_and_locality(ray_session):
+    """CDC invariants: chunks concatenate back to the exact doc, and a
+    PREFIX INSERTION only re-chunks a bounded head — every chunk after
+    the first post-insertion cut is byte-identical (the property that
+    makes content-defined chunking dedup-friendly, unlike fixed-width
+    blocks which all shift)."""
+    import numpy as np
+    import ray.data as rd
+
+    from zen3geo_ray.stages.substring import cdc_chunks
+
+    rng = np.random.default_rng(5)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 400))
+    shifted = "XYZ-INSERTED-" + base
+    ds = rd.from_items([{"doc_id": 1, "text": base},
+                        {"doc_id": 2, "text": shifted},
+                        {"doc_id": 3, "text": ""},
+                        {"doc_id": 4, "text": "tiny"}])
+    out = cdc_chunks(ds, k=5, divisor=16).to_pandas()
+    by_doc = {d: g.sort_values("chunk_idx") for d, g in out.groupby("doc_id")}
+    # reassembly: concatenation restores the doc byte-for-byte
+    assert "".join(by_doc[1]["chunk_text"]) == base
+    assert "".join(by_doc[2]["chunk_text"]) == shifted
+    # empty doc emits nothing; sub-k doc emits one whole-doc chunk
+    assert 3 not in by_doc
+    assert by_doc[4]["chunk_text"].tolist() == ["tiny"]
+    # locality: the two chunkings share a long common suffix
+    c1 = by_doc[1]["chunk_text"].tolist()
+    c2 = by_doc[2]["chunk_text"].tolist()
+    common = 0
+    while (common < min(len(c1), len(c2))
+           and c1[-1 - common] == c2[-1 - common]):
+        common += 1
+    assert len(c1) >= 10           # cuts actually fire
+    assert common >= len(c1) - 3   # only a bounded head re-chunked

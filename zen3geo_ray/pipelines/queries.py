@@ -4136,6 +4136,77 @@ def _sql_dup_spans() -> str:
             f"FROM isl GROUP BY doc_id, island")
 
 
+CDC_K = 8    # CDC rolling-window length (chars)
+CDC_D = 64   # CDC cut divisor (expected chunk length)
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (Rabin/FastCDC cut rule): a cut falls
+    after char p+k-1 when poly64(text[p:p+k]) % 64 == 0 — boundaries
+    are local content, so edits re-chunk O(1) chunks
+    (stages/substring.py:cdc_chunks — pure map_batches, no shuffle)."""
+    from ..stages.substring import cdc_chunks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_chunks(docs, k=CDC_K, divisor=CDC_D)
+
+
+def q_cdc_dedup(sf_dir: str):
+    """Storage-dedup accounting over the CDC chunks: one row
+    (total_chunks, distinct_chunks, total_chars, distinct_chars) —
+    chunk rows shuffle once bucketed on a chunk-text hash, per-bucket
+    exact distinct partials, single-block finale
+    (stages/substring.py:cdc_dedup_stats)."""
+    from ..stages.substring import cdc_dedup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dedup_stats(docs, k=CDC_K, divisor=CDC_D)
+
+
+def _sql_cdc_ctes() -> str:
+    k, d = CDC_K, CDC_D
+    m = 1 << 64
+    # poly64 of the k chars ending at 1-based position pe, HUGEINT mod
+    # 2^64 after each multiply-add (exact uint64 wraparound mirror)
+    h = f"CAST(ord(substr(text, CAST(pe - {k - 1} AS INTEGER), 1)) AS HUGEINT)"
+    for i in range(k - 2, -1, -1):
+        h = (f"((({h}) * 1000003 + "
+             f"ord(substr(text, CAST(pe - {i} AS INTEGER), 1))) % {m})")
+    return f"""d AS (SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+p AS (SELECT doc_id, text, n, unnest(range({k}, n + 1)) AS pe FROM d),
+cuts AS (SELECT doc_id, pe FROM p WHERE ({h}) % {d} = 0),
+b AS (SELECT doc_id, pe FROM cuts
+      UNION ALL SELECT doc_id, 0 AS pe FROM d),
+seg AS (SELECT doc_id, pe AS s,
+          LEAD(pe) OVER (PARTITION BY doc_id ORDER BY pe) AS e
+        FROM b),
+chunks AS (SELECT s.doc_id,
+    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1
+      AS chunk_idx,
+    CAST(s.s AS BIGINT) AS chunk_start,
+    substr(dd.text, CAST(s.s + 1 AS INTEGER),
+           CAST(COALESCE(s.e, dd.n) - s.s AS INTEGER)) AS chunk_text
+  FROM seg s JOIN d dd ON dd.doc_id = s.doc_id
+  WHERE COALESCE(s.e, dd.n) > s.s)"""
+
+
+def _sql_cdc_chunks() -> str:
+    return (f"WITH {_sql_cdc_ctes()}\n"
+            "SELECT doc_id, chunk_idx, chunk_start, chunk_text FROM chunks")
+
+
+def _sql_cdc_dedup() -> str:
+    return (f"WITH {_sql_cdc_ctes()}\n"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,\n"
+            "  CAST(COUNT(DISTINCT chunk_text) AS BIGINT) AS distinct_chunks,\n"
+            "  CAST(SUM(length(chunk_text)) AS BIGINT) AS total_chars,\n"
+            "  (SELECT CAST(SUM(length(t)) AS BIGINT) FROM\n"
+            "     (SELECT DISTINCT chunk_text AS t FROM chunks))\n"
+            "    AS distinct_chars\n"
+            "FROM chunks")
+
+
 SPAN_W = 8  # winnowing window for the restricted exact pass
 
 
@@ -5111,6 +5182,8 @@ GROUP BY event_type, u - o.off
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
         "winnow_spans": _sql_dup_spans(),
+        "cdc_chunks": _sql_cdc_chunks(),
+        "cdc_dedup": _sql_cdc_dedup(),
         "strip_spans": _sql_strip_spans(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
@@ -5291,6 +5364,8 @@ def build_queries() -> dict:
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
         "winnow_spans": q_winnow_spans,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
         "strip_spans": q_strip_spans,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,

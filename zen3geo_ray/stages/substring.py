@@ -557,3 +557,108 @@ def winnow_restrict_dup_spans(docs, *, L: int = 30, w: int = 8,
                                n_buckets=n_buckets)
     return dup_spans(subset, L=L, id_col=id_col, text_col=text_col,
                      n_buckets=n_buckets)
+
+
+def cdc_chunks(docs, *, k: int = 8, divisor: int = 64,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """CONTENT-DEFINED CHUNKING (the rolling-hash cut rule of
+    Rabin/FastCDC-style storage dedup, public technique): a cut falls
+    after character ``p + k - 1`` whenever the poly64 hash of the
+    length-``k`` window starting at ``p`` is ≡ 0 mod ``divisor`` —
+    boundaries depend only on LOCAL content, so an insertion early in a
+    doc re-chunks O(1) chunks instead of shifting every fixed-width
+    block (the property that makes CDC the dedup-friendly chunking).
+    Expected chunk length ≈ ``divisor`` chars.
+
+    Pure ``map_batches`` — NO shuffle; per doc the cut positions come
+    from ONE vectorized rolling-hash pass.  Docs with empty text emit
+    nothing; docs shorter than ``k`` emit one whole-doc chunk.
+
+    Output: (id_col, chunk_idx, chunk_start, chunk_text); a cut landing
+    exactly at the doc end produces no empty trailing chunk.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        oi, ox, os_, ot = [], [], [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            n = len(t)
+            if n == 0:
+                continue
+            h = rolling_hashes(t, k)
+            cuts = (np.flatnonzero(h % np.uint64(divisor) == 0)
+                    .astype(np.int64) + k)
+            starts = np.concatenate([[np.int64(0)], cuts])
+            ends = np.append(cuts, np.int64(n))
+            keep = ends > starts
+            starts, ends = starts[keep], ends[keep]
+            m = len(starts)
+            oi.append(np.full(m, ids[i]))
+            ox.append(np.arange(m, dtype=np.int64))
+            os_.append(starts)
+            ot.extend(t[s:e] for s, e in zip(starts, ends))
+        if not oi:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_start": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(oi)),
+            "chunk_idx": pa.array(np.concatenate(ox)),
+            "chunk_start": pa.array(np.concatenate(os_)),
+            "chunk_text": pa.array(ot, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(docs, *, k: int = 8, divisor: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 64):
+    """Corpus-wide CDC dedup accounting — the "storage dedup ratio"
+    aggregate: ONE row (total_chunks, distinct_chunks, total_chars,
+    distinct_chars) over the :func:`cdc_chunks` output.
+
+    Scale shape: chunk rows shuffle ONCE bucketed on an fnv1a hash of
+    the chunk text (equal chunks share a bucket, so per-bucket distinct
+    counts are globally exact partials); a single-block finale sums the
+    B partial rows.  Nothing driver-side but the 4-int result.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import fnv1a_str_array
+    from .bucketed import bucketed_groupby
+
+    ch = cdc_chunks(docs, k=k, divisor=divisor, id_col=id_col,
+                    text_col=text_col)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        txt = b.column("chunk_text")
+        h = fnv1a_str_array(txt.to_pylist()).view(np.int64)
+        return pa.table({"chunk_text": txt, "__h": pa.array(h)})
+
+    rows = ch.map_batches(add_hash, batch_format="pyarrow")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["chunk_text"].to_numpy()
+        lens = np.fromiter((len(x) for x in t), dtype=np.int64,
+                           count=len(t))
+        uniq, first = np.unique(t, return_index=True)
+        return pd.DataFrame({
+            "total_chunks": [np.int64(len(t))],
+            "distinct_chunks": [np.int64(len(uniq))],
+            "total_chars": [lens.sum()],
+            "distinct_chars": [lens[first].sum()],
+        })
+
+    parts = bucketed_groupby(rows, ["__h"], partial, n_buckets=n_buckets)
+
+    def finale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([int(pa.compute.sum(b.column(c)).as_py() or 0)],
+                        pa.int64())
+            for c in ["total_chunks", "distinct_chunks", "total_chars",
+                      "distinct_chars"]})
+
+    return parts.repartition(1).map_batches(finale,
+                                            batch_format="pyarrow")
