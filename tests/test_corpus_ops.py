@@ -264,3 +264,17 @@ def test_block_dedup_randomized_vs_reference(ray_session, seed):
     for i in range(len(texts)):
         assert (out.loc[i, "clean_text"], out.loc[i, "n_blocks"],
                 out.loc[i, "n_kept"]) == ref[i], f"doc {i}"
+
+
+def test_bpe_learn_hand_merges(ray_session):
+    """Hand-checkable BPE training, including the overlapping-pair case
+    ('aaa' with merge (a,a) -> [aa, a], left-to-right non-overlap)."""
+    from zen3geo_ray.stages.corpus import bpe_learn
+
+    texts = ["aaab aaab aaab", "ab ab"]
+    out = (bpe_learn(_docs(texts, nblocks=2), rounds=3, n_buckets=4)
+           .to_pandas().sort_values("step"))
+    got = list(map(tuple, out[["step", "lhs", "rhs", "n"]].to_numpy()))
+    # round 1: aa=6 beats ab=5; round 2: (a,b)=5 after aaab->[aa,a,b];
+    # round 3: only (aa,ab)=3 remains
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]

@@ -3058,6 +3058,52 @@ SELECT doc_id, n_tokens, freq_sum, n_oov,
 FROM d"""
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (3 learned merges): distributed word
+    counting, then merge rounds over the bounded vocabulary — top pair
+    by (count desc, pair asc), left-to-right non-overlapping merge via
+    double-space-joined sequences so DuckDB replace() mirrors it
+    exactly (stages/corpus.py:bpe_learn)."""
+    from ..stages.corpus import bpe_learn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_learn(docs, rounds=BPE_ROUNDS)
+
+
+def _sql_bpe_train() -> str:
+    ctes = ["""tok AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+),
+w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+         array_to_string(list_transform(range(1, length(w) + 1),
+             i -> substr(w, CAST(i AS INTEGER), 1)), '  ') AS seq
+       FROM tok GROUP BY w)"""]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pr AS pair, CAST(SUM(c) AS BIGINT) AS n FROM (
+    SELECT c, unnest(list_transform(range(1, len(syms)),
+        i -> syms[CAST(i AS INTEGER)] || ' '
+             || syms[CAST(i + 1 AS INTEGER)])) AS pr
+    FROM (SELECT c, string_split(seq, '  ') AS syms FROM w{r - 1}))
+  GROUP BY pr),
+t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+w{r} AS (SELECT w, c,
+    trim(replace(' ' || seq || ' ',
+         ' ' || replace((SELECT pair FROM t{r}), ' ', '  ') || ' ',
+         ' ' || replace((SELECT pair FROM t{r}), ' ', '') || ' '))
+      AS seq
+  FROM w{r - 1})""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, "
+        f"split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, n FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 BM25_TERMS = ["join", "window", "fast"]
 BM25_K = 20
 
@@ -5069,6 +5115,7 @@ GROUP BY event_type, u - o.off
         "para_dedup": _sql_para_dedup(),
         "unigram_lm": _sql_unigram_lm(),
         "bm25": _sql_bm25(),
+        "bpe_train": _sql_bpe_train(),
         "keep_best": _sql_keep_best(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
@@ -5335,6 +5382,7 @@ def build_queries() -> dict:
         "para_dedup": q_para_dedup,
         "unigram_lm": q_unigram_lm,
         "bm25": q_bm25,
+        "bpe_train": q_bpe_train,
         "keep_best": q_keep_best,
         "postings": q_postings,
         "skipgrams": q_skipgrams,

@@ -362,3 +362,75 @@ def block_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def bpe_learn(docs, *, rounds: int = 3, top_v: int | None = None,
+              id_col: str = "doc_id", text_col: str = "text",
+              n_buckets: int = 64):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn ``rounds``
+    merges over the whitespace-pretokenized corpus.
+
+    The distributed part is the word counting — combiner-first
+    ``np.unique`` partials, one vocab-bounded bucketed sum (optionally
+    capped to ``top_v`` words by count desc / word asc).  The merge
+    rounds then run on the BOUNDED vocabulary table (the model-sized
+    state, exactly how production BPE trainers work: corpus-size work
+    happens once, per-round work is |vocab|): each round counts
+    adjacent symbol pairs weighted by word count, picks the top pair
+    (count desc, pair-string asc — deterministic), and merges it
+    everywhere LEFT-TO-RIGHT NON-OVERLAPPING — encoded as sequential
+    ``str.replace`` over DOUBLE-SPACE-joined symbol sequences with
+    single-space sentinels, which makes the semantics identical to
+    DuckDB's ``replace`` so the SQL oracle mirrors every round.
+
+    Output: (step, lhs, rhs, n) — the learned merge table.
+    """
+    import pandas as pd
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokens_flat(b, text_col)
+        w, c = np.unique(flat.to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = bucketed_groupby(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["c"].sum(),
+        n_buckets=n_buckets).to_pandas()
+    if top_v is not None:
+        counts = counts.sort_values(["c", "w"], ascending=[False, True],
+                                    kind="mergesort").head(top_v)
+    words = counts["w"].tolist()
+    wc = counts["c"].to_numpy().astype(np.int64)
+    seqs = ["  ".join(w) for w in words]
+
+    merges = []
+    for step in range(1, rounds + 1):
+        pair_n: dict[str, int] = {}
+        for s, c in zip(seqs, wc):
+            syms = s.split("  ")
+            for a, b in zip(syms, syms[1:]):
+                p = a + " " + b
+                pair_n[p] = pair_n.get(p, 0) + int(c)
+        if not pair_n:
+            break
+        top = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, n = top
+        left, right = pair.split(" ")
+        merged = left + right
+        pat = " " + left + "  " + right + " "
+        rep = " " + merged + " "
+        seqs = [(" " + s + " ").replace(pat, rep).strip(" ")
+                for s in seqs]
+        merges.append((np.int64(step), left, right, np.int64(n)))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int64()),
+        "lhs": pa.array([m[1] for m in merges], pa.string()),
+        "rhs": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64()),
+    }))
