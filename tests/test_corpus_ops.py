@@ -278,3 +278,26 @@ def test_bpe_learn_hand_merges(ray_session):
     # round 1: aa=6 beats ab=5; round 2: (a,b)=5 after aaab->[aa,a,b];
     # round 3: only (aa,ab)=3 remains
     assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
+
+
+def test_bpe_token_counts_golden(ray_session):
+    """Token counts under the trained tokenizer: aaab -> [aa, ab] after
+    3 merges (2 tokens), ab -> [ab] (1); a top_v cap makes out-of-vocab
+    words fall back to their character count."""
+    from zen3geo_ray.stages.corpus import bpe_token_counts
+
+    texts = ["aaab aaab aaab", "ab ab", "aaab ab"]
+    out = (bpe_token_counts(_docs(texts, nblocks=2), rounds=3,
+                            n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    # after merges (a,a), (a,b), (aa,ab): aaab = [aaab]? no — round 3
+    # merges (aa, ab) so aaab -> [aaab] is wrong unless... verify via
+    # arithmetic: aaab -> [aa, a, b] -> [aa, ab] -> [aaab] = 1 token
+    assert out["n_bpe_tokens"].tolist() == [3 * 1, 2 * 1, 1 + 1]
+    # top_v=1 keeps only 'aaab' (count 4 beats ab 3): 'ab' is OOV and
+    # falls back to 2 chars
+    out2 = (bpe_token_counts(_docs(texts, nblocks=2), rounds=1,
+                             top_v=1, n_buckets=4)
+            .to_pandas().set_index("doc_id").sort_index())
+    # vocab = {aaab}; 1 merge (a,a) -> aaab = [aa, a, b] = 3 symbols
+    assert out2["n_bpe_tokens"].tolist() == [3 * 3, 2 * 2, 3 + 2]

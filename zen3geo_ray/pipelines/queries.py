@@ -3104,6 +3104,28 @@ w{r} AS (SELECT w, c,
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION: per-doc token counts under the 3-merge
+    trained BPE — the sizing pass before sharding; the word→symbol-count
+    model broadcasts once, scoring is one stateless map
+    (stages/corpus.py:bpe_token_counts)."""
+    from ..stages.corpus import bpe_token_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(docs, rounds=BPE_ROUNDS)
+
+
+def _sql_bpe_encode() -> str:
+    ctes = _sql_bpe_train().split("\nSELECT CAST(1", 1)[0]
+    return (ctes + f""",
+nt AS (SELECT w, CAST(len(string_split(seq, '  ')) AS BIGINT) AS ns
+       FROM w{BPE_ROUNDS}),
+tok2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+         FROM documents)
+SELECT t.doc_id, CAST(SUM(n.ns) AS BIGINT) AS n_bpe_tokens
+FROM tok2 t JOIN nt n ON n.w = t.w GROUP BY t.doc_id""")
+
+
 BM25_TERMS = ["join", "window", "fast"]
 BM25_K = 20
 
@@ -5116,6 +5138,7 @@ GROUP BY event_type, u - o.off
         "unigram_lm": _sql_unigram_lm(),
         "bm25": _sql_bm25(),
         "bpe_train": _sql_bpe_train(),
+        "bpe_encode": _sql_bpe_encode(),
         "keep_best": _sql_keep_best(),
         "postings": (
             r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
@@ -5383,6 +5406,7 @@ def build_queries() -> dict:
         "unigram_lm": q_unigram_lm,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "keep_best": q_keep_best,
         "postings": q_postings,
         "skipgrams": q_skipgrams,

@@ -385,7 +385,21 @@ def bpe_learn(docs, *, rounds: int = 3, top_v: int | None = None,
 
     Output: (step, lhs, rhs, n) — the learned merge table.
     """
-    import pandas as pd
+    _, _, merges = _bpe_train(docs, rounds=rounds, top_v=top_v,
+                              text_col=text_col, n_buckets=n_buckets)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int64()),
+        "lhs": pa.array([m[1] for m in merges], pa.string()),
+        "rhs": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64()),
+    }))
+
+
+def _bpe_train(docs, *, rounds: int, top_v: int | None,
+               text_col: str, n_buckets: int):
+    """Shared BPE trainer: returns (words, final seqs, merges)."""
 
     def count_partial(b: pa.Table) -> pa.Table:
         flat, _, _ = tokens_flat(b, text_col)
@@ -425,12 +439,55 @@ def bpe_learn(docs, *, rounds: int = 3, top_v: int | None = None,
         seqs = [(" " + s + " ").replace(pat, rep).strip(" ")
                 for s in seqs]
         merges.append((np.int64(step), left, right, np.int64(n)))
+    return words, seqs, merges
 
-    import ray.data as rd
 
-    return rd.from_arrow(pa.table({
-        "step": pa.array([m[0] for m in merges], pa.int64()),
-        "lhs": pa.array([m[1] for m in merges], pa.string()),
-        "rhs": pa.array([m[2] for m in merges], pa.string()),
-        "n": pa.array([m[3] for m in merges], pa.int64()),
-    }))
+def bpe_token_counts(docs, *, rounds: int = 3, top_v: int | None = None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 64):
+    """Tokenizer APPLICATION: train ``rounds`` BPE merges (see
+    :func:`bpe_learn`), then count each doc's tokens UNDER the trained
+    tokenizer — the sizing pass every training-data pipeline runs
+    before sharding.  The word→symbol-count table is the model: it
+    broadcasts once via ``ray.put`` (sorted word array + counts) and
+    scoring is one stateless map with exact int64 segment sums.
+
+    Output: (id_col, n_bpe_tokens), one row per doc with >= 1 token.
+    Words outside a ``top_v``-capped vocabulary count as their
+    character count (fully-split fallback).
+    """
+    words, seqs, _ = _bpe_train(docs, rounds=rounds, top_v=top_v,
+                                text_col=text_col, n_buckets=n_buckets)
+    warr = np.array(words, dtype=object)
+    ns = np.array([len(s.split("  ")) for s in seqs], dtype=np.int64)
+    o = np.argsort(warr)
+    warr, ns = warr[o], ns[o]
+
+    import ray as _ray
+
+    blob = (warr, ns)
+    ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+    def count(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        ws, nsym = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        out = np.zeros(ndocs, dtype=np.int64)
+        if len(toks):
+            p = np.searchsorted(ws, toks)
+            p[p == len(ws)] = 0
+            hit = ws[p] == toks
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            per_tok = np.where(hit, nsym[p], lens)
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_of[1:] != doc_of[:-1]]))
+            out[doc_of[starts]] = np.add.reduceat(per_tok, starts)
+        keep = out > 0
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_bpe_tokens": pa.array(out[keep])})
+
+    return docs.map_batches(count, batch_format="pyarrow")
