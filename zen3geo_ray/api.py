@@ -370,6 +370,33 @@ class Pipe:
 
         return Pipe(label_propagation(self.ds, rounds=rounds, **kwargs))
 
+    def cdc_chunks(self, k: int = 8, divisor: int = 64,
+                   **kwargs) -> "Pipe":
+        """Content-defined chunking (rolling-hash cut rule)."""
+        from .stages.substring import cdc_chunks
+
+        return Pipe(cdc_chunks(self.ds, k=k, divisor=divisor, **kwargs))
+
+    def cdc_dedup_stats(self, k: int = 8, divisor: int = 64,
+                        **kwargs) -> "Pipe":
+        """One-row CDC storage-dedup accounting."""
+        from .stages.substring import cdc_dedup_stats
+
+        return Pipe(cdc_dedup_stats(self.ds, k=k, divisor=divisor,
+                                    **kwargs))
+
+    def bpe_learn(self, rounds: int = 3, **kwargs) -> "Pipe":
+        """Train BPE merges over the corpus (merge table)."""
+        from .stages.corpus import bpe_learn
+
+        return Pipe(bpe_learn(self.ds, rounds=rounds, **kwargs))
+
+    def bpe_token_counts(self, rounds: int = 3, **kwargs) -> "Pipe":
+        """Per-doc token counts under the trained BPE tokenizer."""
+        from .stages.corpus import bpe_token_counts
+
+        return Pipe(bpe_token_counts(self.ds, rounds=rounds, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""
