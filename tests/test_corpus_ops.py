@@ -301,3 +301,60 @@ def test_bpe_token_counts_golden(ray_session):
             .to_pandas().set_index("doc_id").sort_index())
     # vocab = {aaab}; 1 merge (a,a) -> aaab = [aa, a, b] = 3 symbols
     assert out2["n_bpe_tokens"].tolist() == [3 * 3, 2 * 2, 3 + 2]
+
+
+def test_bigram_lm_scores_golden(ray_session):
+    """Bigram LM scoring: top-V bigram table, OOV bigrams score 0,
+    docs with < 2 tokens drop out, avg_freq = freq_sum / n_bigrams."""
+    from zen3geo_ray.stages.scoring import bigram_lm_scores
+
+    # bigram counts: "a b"=3, "b c"=2, "b a"=1, "c a"=1
+    # top_v=2 keeps "a b"(3), "b c"(2)
+    texts = ["a b a b c", "c a b c", "z", ""]
+    out = (bigram_lm_scores(_docs(texts, nblocks=2), top_v=2,
+                            n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 1]  # <2-token docs drop out
+    assert out["n_bigrams"].tolist() == [4, 3]
+    # doc0: ab(3) ba(0) ab(3) bc(2) = 8 ; doc1: ca(0) ab(3) bc(2) = 5
+    assert out["freq_sum"].tolist() == [8, 5]
+    assert out["n_oov"].tolist() == [1, 1]
+    assert out["avg_freq"].tolist() == [8 / 4, 5 / 3]
+
+
+def test_dsir_weights_bruteforce(ray_session):
+    """DSIR importance weights match a straight-line numpy reference:
+    hashed-bucket target/raw counts, add-one smoothing, one division."""
+    from zen3geo_ray.stages.dedup import token_hashes_batch
+    from zen3geo_ray.stages.scoring import dsir_weights
+
+    rng = np.random.default_rng(3)
+    words = ["w%d" % i for i in range(40)] + ["the", "of", "and"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 12)))
+             for _ in range(60)]
+    nb, mod, rem = 16, 3, 1
+    ids = np.arange(60, dtype=np.int64)
+
+    th, off = token_hashes_batch(texts)
+    bkt = (th % np.uint64(nb)).astype(np.int64)
+    is_t = np.repeat(ids % mod == rem, np.diff(off))
+    ct = np.bincount(bkt[is_t], minlength=nb)
+    cr = np.bincount(bkt[~is_t], minlength=nb)
+    exp = {}
+    for i in range(60):
+        if ids[i] % mod == rem:
+            continue
+        bb = bkt[off[i]:off[i + 1]]
+        if len(bb) == 0:
+            continue
+        tf, rf = int((ct[bb] + 1).sum()), int((cr[bb] + 1).sum())
+        exp[i] = (len(bb), tf, rf, tf / rf)
+
+    out = (dsir_weights(_docs(texts, nblocks=3), n_buckets=nb,
+                        target_mod=mod, target_rem=rem)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert set(out.index) == set(exp)
+    for i, (n, tf, rf, ratio) in exp.items():
+        row = out.loc[i]
+        assert (row["n_tokens"], row["tf_sum"], row["rf_sum"]) == (n, tf, rf)
+        assert row["ratio"] == ratio

@@ -71,3 +71,50 @@ def test_pack_sequences_straddle_convention(ray_session):
     assert (np.diff(sh) >= 0).all()
     per = out.groupby("shard")["tok"].sum().to_numpy()
     assert (per[:-1] >= budget - 500).all()  # full shards reach ~budget
+
+
+def test_pack_span_index_golden(ray_session):
+    """Concat-and-split spans: tokens [3,5,4,0,2] budget 4 -> doc1
+    straddles the chunk0/1 boundary, doc3 (0 tokens) emits nothing,
+    chunk boundaries land exactly where the concatenation cuts."""
+    t = pa.table({"doc_id": np.arange(5, dtype=np.int64),
+                  "tok": np.array([3, 5, 4, 0, 2], dtype=np.int64)})
+    out = (scan.pack_span_index(rd.from_arrow(t).repartition(2),
+                                "doc_id", "tok", budget=4)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    rows = list(map(tuple, out[["doc_id", "chunk_id", "doc_off",
+                                "chunk_off", "n_tok"]].to_numpy()))
+    assert rows == [
+        (0, 0, 0, 0, 3),           # start 0..3
+        (1, 0, 0, 3, 1),           # start 3, 1 token finishes chunk 0
+        (1, 1, 1, 0, 4),           # remaining 4 fill chunk 1
+        (2, 2, 0, 0, 4),           # start 8..12: exactly chunk 2
+        (4, 3, 0, 0, 2),           # start 12..14 (doc3 skipped)
+    ]
+
+
+def test_pack_span_index_invariants(ray_session):
+    """Random corpus: per-doc slices cover every token exactly once,
+    every chunk except the last sums to exactly budget, and slices tile
+    each chunk contiguously."""
+    t, ds = _sorted_ds(n=1500, seed=11, nblocks=6)
+    budget = 777
+    out = (scan.pack_span_index(ds, "doc_id", "tok", budget)
+           .to_pandas())
+    v = t.column("tok").to_numpy()
+    # per-doc coverage
+    per_doc = out.groupby("doc_id")["n_tok"].sum()
+    assert np.array_equal(per_doc.to_numpy(), v[per_doc.index.to_numpy()])
+    assert per_doc.to_numpy().sum() == v.sum()
+    # chunk totals
+    per_chunk = (out.groupby("chunk_id")["n_tok"].sum()
+                 .sort_index().to_numpy())
+    assert (per_chunk[:-1] == budget).all()
+    assert per_chunk[-1] == v.sum() - budget * (len(per_chunk) - 1)
+    # contiguous tiling inside each chunk
+    for _, g in out.sort_values(["chunk_id", "chunk_off"]).groupby("chunk_id"):
+        off = g["chunk_off"].to_numpy()
+        nt = g["n_tok"].to_numpy()
+        assert off[0] == 0
+        assert np.array_equal(off[1:], (off + nt)[:-1])

@@ -350,6 +350,32 @@ class Pipe:
 
         return Pipe(unigram_lm_scores(self.ds, top_v=top_v, **kwargs))
 
+    def bigram_lm_score(self, top_v: int = 24, **kwargs) -> "Pipe":
+        """Bigram-LM quality scores (order-sensitive upgrade of
+        lm_score; broadcast top-V bigram table)."""
+        from .stages.scoring import bigram_lm_scores
+
+        return Pipe(bigram_lm_scores(self.ds, top_v=top_v, **kwargs))
+
+    def dsir_weights(self, n_buckets: int = 64, target_mod: int = 13,
+                     target_rem: int = 7, **kwargs) -> "Pipe":
+        """DSIR-style importance weights (hashed-unigram features,
+        target subset by id residue) for data selection."""
+        from .stages.scoring import dsir_weights
+
+        return Pipe(dsir_weights(self.ds, n_buckets=n_buckets,
+                                 target_mod=target_mod,
+                                 target_rem=target_rem, **kwargs))
+
+    def pack_spans(self, order_col: str, token_col: str,
+                   budget: int) -> "Pipe":
+        """GPT-style concat-and-split packing index (doc->chunk
+        incidence rows with slice offsets)."""
+        from .stages.scan import pack_span_index
+
+        return Pipe(pack_span_index(self.ds, order_col, token_col,
+                                    budget))
+
     def bm25(self, terms: list[str], k: int = 20, **kwargs) -> "Pipe":
         """BM25 top-k retrieval for a fixed query-term list."""
         from .stages.tfidf import bm25_topk

@@ -3225,6 +3225,133 @@ SELECT m.doc_id, COALESCE(r.ct, '') AS clean_text, m.n_blocks,
 FROM m LEFT JOIN r ON r.doc_id = m.doc_id"""
 
 
+BIGRAM_V = 24
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram-LM quality scoring — the order-sensitive upgrade of
+    unigram_lm (frequent words in garbage order score low here): train
+    corpus bigram counts capped to the top-24 bigrams (ties count desc
+    then bigram asc), broadcast once, score every doc in one map pass —
+    freq_sum / n_oov integer-exact, avg_freq one IEEE division
+    (stages/scoring.py:bigram_lm_scores)."""
+    from ..stages.scoring import bigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_scores(docs, top_v=BIGRAM_V)
+
+
+def _sql_bigram_lm() -> str:
+    v = BIGRAM_V
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]))
+    AS w
+  FROM tok
+),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w),
+vocab AS (SELECT w, c FROM (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+            FROM cnt)
+          WHERE rn <= {v}),
+d AS (SELECT b.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(COALESCE(vo.c, 0)) AS BIGINT) AS freq_sum,
+        CAST(SUM(CASE WHEN vo.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov
+      FROM bg b LEFT JOIN vocab vo ON vo.w = b.w
+      GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, freq_sum, n_oov,
+       CAST(freq_sum AS DOUBLE) / n_bigrams AS avg_freq
+FROM d"""
+
+
+DSIR_BUCKETS = 64
+
+
+def q_dsir(sf_dir: str):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023): hashed-unigram features (poly64 token hash mod 64), target
+    distribution from the decontam-convention in-domain subset
+    (doc_id % 13 == 7), raw from the rest; per raw doc the smoothed
+    target/raw feature-count sums and their ratio — integer-exact sums,
+    ONE IEEE division (stages/scoring.py:dsir_weights)."""
+    from ..stages.scoring import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return dsir_weights(docs, n_buckets=DSIR_BUCKETS,
+                        target_mod=DECON_MOD, target_rem=DECON_REM)
+
+
+def _sql_dsir() -> str:
+    nb, mod, rem = DSIR_BUCKETS, DECON_MOD, DECON_REM
+    return f"""WITH {_sql_tokhash_cte()},
+tb AS (
+  SELECT doc_id, CAST(unnest(ths) % {nb} AS BIGINT) AS bkt FROM th
+),
+tcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} = {rem} GROUP BY bkt),
+rcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} <> {rem} GROUP BY bkt),
+d AS (SELECT t.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(COALESCE(tc.c, 0) + 1) AS BIGINT) AS tf_sum,
+        CAST(SUM(COALESCE(rc.c, 0) + 1) AS BIGINT) AS rf_sum
+      FROM tb t
+      LEFT JOIN tcnt tc ON tc.bkt = t.bkt
+      LEFT JOIN rcnt rc ON rc.bkt = t.bkt
+      WHERE t.doc_id % {mod} <> {rem}
+      GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, tf_sum, rf_sum,
+       CAST(tf_sum AS DOUBLE) / rf_sum AS ratio
+FROM d"""
+
+
+PACKSPAN_BUDGET = 25_000
+
+
+def q_pack_spans(sf_dir: str):
+    """GPT-style concatenate-and-split packing INDEX: conceptually
+    concatenate every doc's tokens in doc_id order and cut chunks of
+    exactly 25k tokens; one row per (doc, chunk) incidence with the
+    doc-slice and chunk offsets a loader needs to assemble any chunk
+    independently.  Two-pass prefix scan (one summary row per block to
+    the driver, data rows never shuffle) + vectorized incidence
+    expansion (stages/scan.py:pack_span_index)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"],
+                 rows_per_block=100)
+    return scan.pack_span_index(docs, "doc_id", "n_chars",
+                                budget=PACKSPAN_BUDGET)
+
+
+def _sql_pack_spans() -> str:
+    b = PACKSPAN_BUDGET
+    return f"""
+WITH c AS (
+  SELECT doc_id, n_chars AS n,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_chars AS s
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // {b}, (s + n - 1) // {b} + 1)) AS ci
+  FROM c WHERE n > 0
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_id,
+       CAST(GREATEST(s, ci * {b}) - s AS BIGINT) AS doc_off,
+       CAST(GREATEST(s, ci * {b}) - ci * {b} AS BIGINT) AS chunk_off,
+       CAST(LEAST(s + n, (ci + 1) * {b}) - GREATEST(s, ci * {b})
+            AS BIGINT) AS n_tok
+FROM x"""
+
+
 def q_postings(sf_dir: str):
     """Inverted index: per token df / tf / sorted comma-joined doc-id
     postings — per-batch (token, doc, tf) partials then ONE bucketed
@@ -5257,6 +5384,9 @@ GROUP BY event_type, u - o.off
         "strip_spans": _sql_strip_spans(),
         "delta_neardup": _sql_delta_neardup(),
         "split_explode": _SQL_SPLIT_EXPLODE,
+        "bigram_lm": _sql_bigram_lm(),
+        "dsir": _sql_dsir(),
+        "pack_spans": _sql_pack_spans(),
         "q5_nation_rev": (
             "WITH j AS (SELECT n.n_name, "
             "CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) * "
@@ -5441,6 +5571,9 @@ def build_queries() -> dict:
         "strip_spans": q_strip_spans,
         "delta_neardup": q_delta_neardup,
         "split_explode": q_split_explode,
+        "bigram_lm": q_bigram_lm,
+        "dsir": q_dsir,
+        "pack_spans": q_pack_spans,
         "q5_nation_rev": q_q5_nation_rev,
         "promo_rev": q_promo_rev,
     }

@@ -124,6 +124,69 @@ def pack_sequences(ds, order_col: str, token_col: str, budget: int,
     return scanned.map_batches(add_shard, batch_format="pyarrow")
 
 
+def pack_span_index(ds, order_col: str, token_col: str, budget: int):
+    """GPT-style concatenate-and-split packing INDEX.
+
+    Where :func:`pack_sequences` assigns whole documents to shards,
+    this is the other canonical training layout: conceptually
+    concatenate every document's tokens in global ``order_col`` order
+    and cut the stream into fixed-length chunks of ``budget`` tokens —
+    a document that straddles a boundary contributes a slice to each
+    chunk it touches.  The output is the index a loader needs to
+    assemble chunk ``c`` without materializing the concatenation:
+
+    ``(order_col, chunk_id, doc_off, chunk_off, n_tok)`` — one row per
+    (document, chunk) incidence: this document's slice starting at
+    token ``doc_off`` (within the doc) lands at position ``chunk_off``
+    of chunk ``chunk_id`` and is ``n_tok`` tokens long.  Every chunk
+    except the last sums to exactly ``budget``.
+
+    Built on the two-pass :func:`prefix_scan` (one summary row per
+    block reaches the driver, data rows never shuffle); the expansion
+    to incidence rows is a vectorized repeat — a doc touching ``s``
+    chunks emits ``s`` rows, so output size is
+    ``n_docs + total_tokens // budget`` rows regardless of skew.
+    Zero-token documents emit nothing.
+
+    Mirrored exactly by SQL: exclusive window SUM + per-row
+    ``unnest(range(start // B, (start + n - 1) // B + 1))``.
+    """
+    scanned = prefix_scan(ds, order_col, token_col, out_col="__cum",
+                          inclusive=True)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        def out(o, c, do, co, nt):
+            return pa.table({
+                order_col: pa.array(o, pa.int64()),
+                "chunk_id": pa.array(c, pa.int64()),
+                "doc_off": pa.array(do, pa.int64()),
+                "chunk_off": pa.array(co, pa.int64()),
+                "n_tok": pa.array(nt, pa.int64()),
+            })
+
+        if len(batch) == 0:
+            z = np.empty(0, np.int64)
+            return out(z, z, z, z, z)
+        o = batch.column(order_col).to_numpy(zero_copy_only=False)
+        v = batch.column(token_col).to_numpy(zero_copy_only=False)
+        cum = batch.column("__cum").to_numpy(zero_copy_only=False)
+        start = cum - v
+        keep = v > 0
+        o, v, start = o[keep], v[keep], start[keep]
+        c_lo = start // budget
+        nsp = (start + v - 1) // budget - c_lo + 1
+        idx = np.repeat(np.arange(len(v)), nsp)
+        base = np.concatenate([[0], np.cumsum(nsp)[:-1]])
+        c = c_lo[idx] + (np.arange(int(nsp.sum())) - np.repeat(base, nsp))
+        cs = c * budget
+        s, e = start[idx], (start + v)[idx]
+        lo = np.maximum(s, cs)
+        hi = np.minimum(e, cs + budget)
+        return out(o[idx], c, lo - s, lo - cs, hi - lo)
+
+    return scanned.map_batches(expand, batch_format="pyarrow")
+
+
 # --- keyed prefix scan (PARTITION BY key ORDER BY order) -------------------
 
 def _ident(x) -> int:

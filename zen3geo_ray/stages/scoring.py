@@ -225,3 +225,209 @@ def unigram_lm_scores(docs, *, id_col: str = "doc_id",
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_scores(docs, *, id_col: str = "doc_id",
+                     text_col: str = "text", top_v: int = 24,
+                     n_buckets: int = 64):
+    """Bigram-LM quality scoring — the order-sensitive upgrade of
+    :func:`unigram_lm_scores` (a doc full of frequent words in garbage
+    ORDER scores high under a unigram LM but low here).  Same two-pass
+    shape: TRAIN corpus bigram counts capped to the ``top_v`` most
+    frequent bigrams (ties count desc then bigram asc), BROADCAST the
+    table once, SCORE every doc in one map pass.
+
+    Bigrams are adjacent non-empty ``\\S+`` tokens space-joined (tokens
+    contain no whitespace, so the join is injective).  All outputs are
+    integer-exact except ``avg_freq`` — ONE IEEE division of exact
+    ints, so the oracle value-checks it bit-exactly.
+
+    Output: (id_col, n_bigrams, freq_sum, n_oov, avg_freq), one row per
+    doc with >= 2 tokens.
+
+    100-TB shape: identical to the unigram stage — combiner-first count
+    partials, a |distinct-bigrams|-bounded reduce, a ``top_v``-row model
+    however large the corpus, stateless scoring maps.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def doc_bigrams(b: pa.Table):
+        """(bigram StringArray, doc_of) for one batch."""
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) < 2:
+            return pa.array([], pa.string()), np.empty(0, np.int64), ndocs
+        same = doc_of[1:] == doc_of[:-1]
+        # separator type must match the inputs (large_string vs string)
+        sep = pa.scalar(" ", type=flat.type)
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), sep)
+        return joined.filter(pa.array(same)), doc_of[:-1][same], ndocs
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        big, _, _ = doc_bigrams(b)
+        w, c = np.unique(
+            big.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    partials = docs.map_batches(count_partial, batch_format="pyarrow")
+    counts = bucketed_groupby(
+        partials, ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["c"].sum(),
+        n_buckets=n_buckets)
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c", "w"], ascending=[False, True],
+                             kind="mergesort").head(top_v)
+
+    pruned = counts.map_batches(
+        lambda b: pa.Table.from_pandas(top(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow").repartition(1)
+    vocab = pruned.map_batches(
+        lambda b: pa.Table.from_pandas(top(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow").to_pandas()
+
+    w_sorted = np.sort(vocab["w"].to_numpy())
+    order = np.argsort(vocab["w"].to_numpy())
+    c_sorted = vocab["c"].to_numpy()[order].astype(np.int64)
+
+    import ray as _ray
+
+    blob = (w_sorted, c_sorted)
+    ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        ws, cs = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+        big, doc_of, ndocs = doc_bigrams(b)
+        toks = big.to_numpy(zero_copy_only=False)
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        if len(toks):
+            p = np.searchsorted(ws, toks)
+            p[p == len(ws)] = 0
+            hit = ws[p] == toks
+            f = np.where(hit, cs[p], np.int64(0))
+            # doc_of is sorted: exact int64 segment sums via reduceat
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_of[1:] != doc_of[:-1]]))
+            fs = np.zeros(ndocs, dtype=np.int64)
+            fs[doc_of[starts]] = np.add.reduceat(f, starts)
+            oov = np.zeros(ndocs, dtype=np.int64)
+            oov[doc_of[starts]] = np.add.reduceat(
+                (~hit).astype(np.int64), starts)
+        else:
+            fs = np.zeros(ndocs, dtype=np.int64)
+            oov = np.zeros(ndocs, dtype=np.int64)
+        keep = n > 0
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        nk, fk, ok = n[keep], fs[keep], oov[keep]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nk),
+            "freq_sum": pa.array(fk),
+            "n_oov": pa.array(ok),
+            "avg_freq": pa.array(fk.astype(np.float64) / nk),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64, target_mod: int = 13,
+                 target_rem: int = 7):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hash every token into ``n_buckets`` buckets (the
+    poly64 token hash mod n_buckets — the corpus-wide hashed-unigram
+    feature), estimate the TARGET distribution from the in-domain
+    subset (``doc_id % target_mod == target_rem``, the decontam
+    membership convention) and the RAW distribution from the rest, then
+    weight every raw doc by how target-like its hashed features are.
+
+    DSIR's log-likelihood ratio ``sum_w log(p_t(w)/p_r(w))`` is a
+    float-summation-order hazard, so the weight is restated
+    integer-exactly: per doc, ``tf_sum = sum_w (target_count[bucket(w)]
+    + 1)`` and ``rf_sum = sum_w (raw_count[bucket(w)] + 1)`` (add-one
+    smoothing), and ``ratio = tf_sum / rf_sum`` — ONE IEEE division of
+    exact ints, same rank ordering intent, bit-checkable by the oracle.
+
+    Output: (id_col, n_tokens, tf_sum, rf_sum, ratio), one row per RAW
+    doc with >= 1 token.
+
+    100-TB shape: pass 1 reduces each block to ``n_buckets`` partial
+    rows (the only thing that reaches the driver); the 2x``n_buckets``
+    model broadcasts once via ``ray.put``; scoring is a stateless map —
+    the corpus never shuffles.
+    """
+    from .dedup import token_hashes_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        texts = b.column(text_col).to_pylist()
+        th, off = token_hashes_batch(texts)
+        bkt = (th % np.uint64(n_buckets)).astype(np.int64)
+        cnt = np.diff(off)
+        is_t = np.repeat(ids % target_mod == target_rem, cnt)
+        ct = np.bincount(bkt[is_t], minlength=n_buckets)
+        cr = np.bincount(bkt[~is_t], minlength=n_buckets)
+        return pa.table({
+            "bkt": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "ct": pa.array(ct.astype(np.int64)),
+            "cr": pa.array(cr.astype(np.int64)),
+        })
+
+    # bounded driver collect: n_buckets rows per block
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bkt", sort=True)[["ct", "cr"]].sum()
+    ct = np.zeros(n_buckets, np.int64)
+    cr = np.zeros(n_buckets, np.int64)
+    ct[agg.index.to_numpy()] = agg["ct"].to_numpy()
+    cr[agg.index.to_numpy()] = agg["cr"].to_numpy()
+
+    import ray as _ray
+
+    blob = (ct, cr)
+    ref = _ray.put(blob) if _ray.is_initialized() else blob
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        ctv, crv = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        raw = ids % target_mod != target_rem
+        texts = b.column(text_col).to_pylist()
+        th, off = token_hashes_batch(
+            [t for t, r in zip(texts, raw) if r])
+        ids = ids[raw]
+        bkt = (th % np.uint64(n_buckets)).astype(np.int64)
+        n = np.diff(off)
+        ndocs = len(n)
+        tf = np.zeros(ndocs, np.int64)
+        rf = np.zeros(ndocs, np.int64)
+        if len(bkt):
+            doc_of = np.repeat(np.arange(ndocs), n)
+            # doc_of is sorted: exact int64 segment sums via reduceat
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc_of[1:] != doc_of[:-1]]))
+            tf[doc_of[starts]] = np.add.reduceat(ctv[bkt] + 1, starts)
+            rf[doc_of[starts]] = np.add.reduceat(crv[bkt] + 1, starts)
+        keep = n > 0
+        nk, fk, rk = n[keep], tf[keep], rf[keep]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(nk.astype(np.int64)),
+            "tf_sum": pa.array(fk),
+            "rf_sum": pa.array(rk),
+            "ratio": pa.array(fk.astype(np.float64) / rk),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
