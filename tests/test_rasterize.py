@@ -248,3 +248,89 @@ def test_first_last_rasters_match_pandas(ray_session):
         )
         assert got["val"].tolist() == exp["val"].tolist(), agg
         assert got["ord"].tolist() == exp["ord"].tolist(), agg
+
+
+# --- regrid / warp ----------------------------------------------------------
+
+def _sparse(rows):
+    """rows: (tile_id, py, px, n) -> one-block sparse Dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t, p, x, n = (np.array([r[i] for r in rows], dtype=np.int64)
+                  for i in range(4))
+    return rd.from_arrow(pa.table({"tile_id": t, "py": p, "px": x, "n": n}))
+
+
+SRC = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+       "nx": 8, "ny": 4, "px": 16}
+
+
+def test_regrid_identity(ray_session):
+    """Warping onto the source's own global grid reproduces every
+    populated pixel (ty == global row-from-top, tx == global col)."""
+    rows = [(0, 15, 0, 3), (7, 0, 15, 9), (29, 7, 3, 4), (12, 1, 14, 2)]
+    dst = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "w": 8 * 16, "h": 4 * 16}
+    out = (rz.regrid_nearest(_sparse(rows), src=SRC, dst=dst)
+           .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+    exp = sorted(
+        (((4 - 1 - t // 8) * 16 + p, (t % 8) * 16 + x, n)
+         for t, p, x, n in rows))
+    assert [tuple(r) for r in out[["ty", "tx", "n"]].to_numpy()] == exp
+
+
+def test_regrid_coarsen_and_crop(ray_session):
+    """2x-coarser target: each target pixel center samples exactly one
+    source pixel; a crop window drops pixels outside it."""
+    # tile 0 is the SW tile; pixel (py=15, px=0) is its SW corner pixel
+    # covering lon [-180,-177.1875), lat [-90,-87.1875)
+    rows = [(0, 15, 0, 7), (0, 15, 1, 5)]
+    dst = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "w": 64, "h": 32}  # 2x coarser: centers at odd src-pixel mids
+    out = (rz.regrid_nearest(_sparse(rows), src=SRC, dst=dst)
+           .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+    # coarse pixel (ty=31, tx=0) center = (-177.1875, -88.59375):
+    # lands in src gx=1 (value 5) — px0's value is skipped by nearest
+    assert [tuple(r) for r in out[["ty", "tx", "n"]].to_numpy()] == [
+        (31, 0, 5)]
+    crop = {"x0": 0.0, "y0": 0.0, "x1": 180.0, "y1": 90.0, "w": 8, "h": 4}
+    out2 = rz.regrid_nearest(_sparse(rows), src=SRC, dst=crop).to_pandas()
+    assert len(out2) == 0  # sources are in the SW hemisphere
+
+
+def test_regrid_cross_crs_bruteforce(ray_session):
+    """EPSG:3857 target grid: every emitted pixel matches an
+    independent per-center brute-force lookup (inverse mercator +
+    plain-python source binning), and nothing is missing."""
+    from zen3geo_ray.geom import crs
+
+    rows = [(0, 15, 0, 3), (11, 4, 9, 8), (31, 0, 15, 6), (17, 8, 2, 1)]
+    ext = 20037508.342789244
+    # fine mercator grid (~1.4 deg pixels) so mid-latitude source pixels
+    # catch several centers; the polar rows land outside +-66.5 lat and
+    # drop — the brute force reproduces both behaviors
+    dst = {"x0": -ext, "y0": -ext / 2, "x1": ext, "y1": ext / 2,
+           "w": 256, "h": 128}
+    out = (rz.regrid_nearest(
+        _sparse(rows), src=SRC, dst=dst,
+        inv_transform=lambda x, y: crs.transform_inverse(
+            x, y, "EPSG:3857"))
+        .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+
+    vals = {}
+    for t, p, x, n in rows:
+        vals[((t % 8) * 16 + x, (4 - 1 - t // 8) * 16 + p)] = n
+    exp = []
+    for ty in range(dst["h"]):
+        for tx in range(dst["w"]):
+            cx = dst["x0"] + (tx + 0.5) * (dst["x1"] - dst["x0"]) / dst["w"]
+            cy = dst["y1"] - (ty + 0.5) * (dst["y1"] - dst["y0"]) / dst["h"]
+            lon, lat = crs.transform_inverse(
+                np.array([cx]), np.array([cy]), "EPSG:3857")
+            gx = int(np.floor((lon[0] + 180.0) / (360.0 / 128)))
+            gyt = int(np.floor((90.0 - lat[0]) / (180.0 / 64)))
+            if (gx, gyt) in vals:
+                exp.append((ty, tx, vals[(gx, gyt)]))
+    assert [tuple(r) for r in out[["ty", "tx", "n"]].to_numpy()] == exp
+    assert len(exp) > 0  # the golden actually exercises hits

@@ -423,6 +423,13 @@ class Pipe:
 
         return Pipe(bpe_token_counts(self.ds, rounds=rounds, **kwargs))
 
+    def regrid(self, src: dict, dst: dict, **kwargs) -> "Pipe":
+        """Nearest-neighbor warp/regrid of a sparse raster pipe onto a
+        new grid (optionally cross-CRS via ``inv_transform=``)."""
+        from .stages.rasterize import regrid_nearest
+
+        return Pipe(regrid_nearest(self.ds, src=src, dst=dst, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

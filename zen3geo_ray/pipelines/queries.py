@@ -392,6 +392,52 @@ def q_multires(sf_dir: str):
     )
 
 
+WARP_DST = {"x0": -120.0, "y0": -60.0, "x1": 60.0, "y1": 30.0,
+            "w": 48, "h": 32}
+
+
+def q_warp(sf_dir: str):
+    """Nearest-neighbor warp/regrid (the rioxarray ``rio.reproject``
+    analog): resample the sparse count raster onto a cropped
+    finer-resolution target grid — source rows map to global integer
+    pixel keys shuffle-free, target pixels stream from range(w*h), ONE
+    bucketed hash join samples them; no dense raster is ever assembled
+    (stages/rasterize.py:regrid_nearest)."""
+    sparse = q_rasterize(sf_dir)
+    src = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "nx": TILE_NX, "ny": TILE_NY, "px": TILE_PX}
+    return rz.regrid_nearest(sparse, src=src, dst=WARP_DST)
+
+
+def _sql_warp() -> str:
+    d = WARP_DST
+    w, h = d["w"], d["h"]
+    nx, ny, pxn = TILE_NX, TILE_NY, TILE_PX
+    pw = (180.0 - -180.0) / (nx * pxn)
+    ph = (90.0 - -90.0) / (ny * pxn)
+    tw = (d["x1"] - d["x0"]) / w
+    th = (d["y1"] - d["y0"]) / h
+    return f"""{_sql_rasterize_cte()},
+srcg AS (
+  SELECT (tile_id % {nx}) * {pxn} + px AS gx,
+         ({ny} - 1 - tile_id // {nx}) * {pxn} + py AS gyt,
+         n
+  FROM hist
+),
+tgt AS (SELECT i // {w} AS ty, i % {w} AS tx FROM range(0, {w * h}) t(i)),
+tk AS (
+  SELECT ty, tx,
+    CAST(FLOOR((({d["x0"]!r} + (tx + 0.5) * {tw!r}) - {-180.0!r})
+               / {pw!r}) AS BIGINT) AS gx,
+    CAST(FLOOR(({90.0!r} - ({d["y1"]!r} - (ty + 0.5) * {th!r}))
+               / {ph!r}) AS BIGINT) AS gyt
+  FROM tgt
+),
+tkf AS (SELECT * FROM tk
+        WHERE gx >= 0 AND gx < {nx * pxn} AND gyt >= 0 AND gyt < {ny * pxn})
+SELECT ty, tx, n FROM tkf JOIN srcg USING (gx, gyt)"""
+
+
 def q_r2v(sf_dir: str):
     """Raster→vector round trip: sparse histogram → dense tile rasters →
     pixel-center point rows (tile_id, lon, lat, value) — the full
@@ -4872,6 +4918,7 @@ FROM g,
         "raster_stats": _sql_raster_stats(),
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
+        "warp": _sql_warp(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
             "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
@@ -5447,6 +5494,7 @@ def build_queries() -> dict:
         "raster_stats": q_raster_stats,
         "raster_first": q_raster_first,
         "r2v": q_r2v,
+        "warp": q_warp,
         "dedup_docs": q_dedup_docs,
         "delta_dedup": q_delta_dedup,
         "first_event": q_first_event,

@@ -729,3 +729,91 @@ class GeomBurner:
                 "agg": pa.array(out_rows["agg"]),
             }
         )
+
+
+# --- nearest-neighbor regrid / warp (the rio.reproject analog) -------------
+
+def regrid_nearest(sparse_ds, *, src: dict, dst: dict,
+                   value_col: str = "n", inv_transform=None,
+                   n_buckets: int = 16):
+    """Resample a sparse raster onto a NEW grid by nearest-neighbor
+    sampling — the reference's ``rioxarray.rio.reproject`` / regrid
+    surface (`/root/reference/zen3geo/datapipes/rioxarray.py` delegates
+    to rioxarray; here it is a distributed join).
+
+    ``sparse_ds`` holds the engine's sparse raster rows
+    ``(tile_id, py, px, value_col)`` on the ``src`` tile grid
+    (``{'x0','y0','x1','y1','nx','ny','px'}`` — nx*ny North-up tiles of
+    px*px pixels, tile ids row-major from the South-West like
+    ``assign_tiles``).  ``dst`` is the target grid
+    ``{'x0','y0','x1','y1','w','h'}``; each target pixel takes the value
+    of the SOURCE pixel containing its center (rows whose center misses
+    every populated source pixel are omitted — the output is sparse
+    too).  Output: ``(ty, tx, value_col)`` with ty counted from the top
+    (North-up), tx from the left.
+
+    ``inv_transform(cx, cy) -> (lon, lat)`` is the cross-CRS hook: when
+    given, target centers are in the DST CRS and map back to source
+    lon/lat through it (e.g. ``lambda x, y:
+    crs.transform_inverse(x, y, "EPSG:3857")``).  The affine
+    (no-transform) path is oracle-checked (query ``warp``); the
+    cross-CRS path is golden-tested (libm trig is not bit-mirrorable in
+    SQL).
+
+    100-TB shape: the source side maps (tile,py,px)->global integer
+    pixel keys with no shuffle; the target side streams from
+    ``ray.data.range(w*h)`` (never materialized on the driver); ONE
+    bucketed hash join on the integer pixel key joins them.  Both sides
+    scale out; no raster is ever assembled densely.
+    """
+    import ray.data as rd
+
+    from .hashjoin import bucketed_join
+
+    nx, ny, pxn = int(src["nx"]), int(src["ny"]), int(src["px"])
+    sx0, sy1 = float(src["x0"]), float(src["y1"])
+    pw = (float(src["x1"]) - float(src["x0"])) / (nx * pxn)
+    ph = (float(src["y1"]) - float(src["y0"])) / (ny * pxn)
+    w, h = int(dst["w"]), int(dst["h"])
+    dx0, dy1 = float(dst["x0"]), float(dst["y1"])
+    tw = (float(dst["x1"]) - float(dst["x0"])) / w
+    th = (float(dst["y1"]) - float(dst["y0"])) / h
+
+    def src_keys(b: pa.Table) -> pa.Table:
+        tid = b.column("tile_id").to_numpy(zero_copy_only=False)
+        py = b.column("py").to_numpy(zero_copy_only=False)
+        px = b.column("px").to_numpy(zero_copy_only=False)
+        gx = (tid % nx) * pxn + px
+        gyt = (ny - 1 - tid // nx) * pxn + py
+        return pa.table({
+            "gx": pa.array(gx.astype(np.int64)),
+            "gyt": pa.array(gyt.astype(np.int64)),
+            value_col: b.column(value_col),
+        })
+
+    def tgt_keys(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        ty = i // w
+        tx = i % w
+        cx = dx0 + (tx.astype(np.float64) + 0.5) * tw
+        cy = dy1 - (ty.astype(np.float64) + 0.5) * th
+        if inv_transform is not None:
+            lon, lat = inv_transform(cx, cy)
+        else:
+            lon, lat = cx, cy
+        gx = np.floor((lon - sx0) / pw)
+        gyt = np.floor((sy1 - lat) / ph)
+        ok = ((gx >= 0) & (gx < nx * pxn) & (gyt >= 0)
+              & (gyt < ny * pxn) & np.isfinite(gx) & np.isfinite(gyt))
+        return pa.table({
+            "ty": pa.array(ty[ok].astype(np.int64)),
+            "tx": pa.array(tx[ok].astype(np.int64)),
+            "gx": pa.array(gx[ok].astype(np.int64)),
+            "gyt": pa.array(gyt[ok].astype(np.int64)),
+        })
+
+    srcs = sparse_ds.map_batches(src_keys, batch_format="pyarrow")
+    tgts = rd.range(w * h).map_batches(tgt_keys, batch_format="pyarrow")
+    joined = bucketed_join(tgts, srcs, on=["gx", "gyt"], how="inner",
+                           n_buckets=n_buckets)
+    return joined.select_columns(["ty", "tx", value_col])
