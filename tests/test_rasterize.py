@@ -334,3 +334,48 @@ def test_regrid_cross_crs_bruteforce(ray_session):
                 exp.append((ty, tx, vals[(gx, gyt)]))
     assert [tuple(r) for r in out[["ty", "tx", "n"]].to_numpy()] == exp
     assert len(exp) > 0  # the golden actually exercises hits
+
+
+def test_regrid_bilinear_constant_field(ray_session):
+    """Bilinear over a CONSTANT fully-populated source region
+    reproduces the constant at every interior target pixel (weights sum
+    to 1), and a half-shifted grid interpolates exact midpoints."""
+    # populate tile 0 (SW tile) entirely with value 10
+    rows = [(0, py, px, 10) for py in range(16) for px in range(16)]
+    # target = source grid shifted half a pixel: centers sit at source
+    # pixel CORNERS -> every interior value is the average of 4 tens
+    shift = 2.8125 / 2
+    dst = {"x0": -180.0 + shift, "y0": -90.0 + shift,
+           "x1": -135.0 + shift, "y1": -45.0 + shift, "w": 16, "h": 16}
+    out = (rz.regrid_bilinear(_sparse(rows), src=SRC, dst=dst)
+           .to_pandas())
+    interior = out[(out["ty"] > 0) & (out["ty"] < 15)
+                   & (out["tx"] < 15)]
+    assert len(interior) > 100
+    assert np.allclose(interior["val"].to_numpy(), 10.0)
+
+
+def test_regrid_bilinear_single_pixel_weights(ray_session):
+    """One populated source pixel: the 4 covering target pixels carry
+    exactly the hand-computed bilinear weights."""
+    # source pixel gx=1, gyt=62 (tile 0, px=1, py=14): lon center
+    # -180 + 1.5*2.8125 = -175.78125, lat center = 90 - 62.5*2.8125
+    rows = [(0, 14, 1, 8)]
+    # target grid = source grid shifted a quarter pixel east/north
+    q = 2.8125 / 4
+    dst = {"x0": -180.0 + q, "y0": -90.0 + q,
+           "x1": 180.0 + q, "y1": 90.0 + q, "w": 128, "h": 64}
+    out = (rz.regrid_bilinear(_sparse(rows), src=SRC, dst=dst)
+           .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+    # fractional offset: dx = 0.75, dy = 0.25 for the SW-covering target
+    got = {(r.ty, r.tx): r.val for r in out.itertuples()}
+    v = 8.0
+    # target centers at source-fractional (дx, dy): four hits around
+    # (gx=1, gyt=62); weights (1-dx)(1-dy) etc. with dx=.75, dy=.25
+    assert len(got) == 4
+    tot = sum(got.values())
+    assert abs(tot - v) < 1e-12  # weights over the 4 targets sum to 1
+    vals = sorted(got.values())
+    exp = sorted([v * 0.75 * 0.25, v * 0.25 * 0.25,
+                  v * 0.75 * 0.75, v * 0.25 * 0.75])
+    assert np.allclose(vals, exp)

@@ -430,6 +430,13 @@ class Pipe:
 
         return Pipe(regrid_nearest(self.ds, src=src, dst=dst, **kwargs))
 
+    def regrid_bilinear(self, src: dict, dst: dict, **kwargs) -> "Pipe":
+        """Bilinear warp/regrid of a sparse raster pipe (4-neighbor
+        center interpolation, sparse neighbors contribute 0)."""
+        from .stages.rasterize import regrid_bilinear
+
+        return Pipe(regrid_bilinear(self.ds, src=src, dst=dst, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

@@ -438,6 +438,66 @@ tkf AS (SELECT * FROM tk
 SELECT ty, tx, n FROM tkf JOIN srcg USING (gx, gyt)"""
 
 
+def q_warp_bilinear(sf_dir: str):
+    """Bilinear warp/regrid (the smooth ``Resampling.bilinear`` mode):
+    target centers interpolate the 4 surrounding source pixel centers,
+    absent sparse neighbors contribute 0; bm25-style float discipline —
+    per-neighbor term = v * ((xw) * (yw)), quadrant-masked exact sums,
+    ONE shared parenthesization — so the DOUBLE output value-checks
+    bit-exactly (stages/rasterize.py:regrid_bilinear)."""
+    sparse = q_rasterize(sf_dir)
+    src = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "nx": TILE_NX, "ny": TILE_NY, "px": TILE_PX}
+    return rz.regrid_bilinear(sparse, src=src, dst=WARP_DST)
+
+
+def _sql_warp_bilinear() -> str:
+    d = WARP_DST
+    w, h = d["w"], d["h"]
+    nx, ny, pxn = TILE_NX, TILE_NY, TILE_PX
+    gw, gh = nx * pxn, ny * pxn
+    pw = (180.0 - -180.0) / gw
+    ph = (90.0 - -90.0) / gh
+    tw = (d["x1"] - d["x0"]) / w
+    th = (d["y1"] - d["y0"]) / h
+    return f"""{_sql_rasterize_cte()},
+srcg AS (
+  SELECT (tile_id % {nx}) * {pxn} + px AS gx,
+         ({ny} - 1 - tile_id // {nx}) * {pxn} + py AS gyt,
+         n
+  FROM hist
+),
+tgt AS (SELECT i // {w} AS ty, i % {w} AS tx FROM range(0, {w * h}) t(i)),
+f AS (
+  SELECT ty, tx,
+    ((({d["x0"]!r} + (tx + 0.5) * {tw!r}) - {-180.0!r}) / {pw!r} - 0.5)
+      AS fx,
+    (({90.0!r} - ({d["y1"]!r} - (ty + 0.5) * {th!r})) / {ph!r} - 0.5)
+      AS fy
+  FROM tgt
+),
+g AS (SELECT ty, tx, fx, fy, FLOOR(fx) AS i0, FLOOR(fy) AS j0 FROM f),
+quad AS (
+  SELECT ty, tx, q,
+    CAST(i0 + (q % 2) AS BIGINT) AS gx,
+    CAST(j0 + (q // 2) AS BIGINT) AS gyt,
+    ((CASE WHEN q % 2 = 0 THEN 1.0 - (fx - i0) ELSE (fx - i0) END)
+     * (CASE WHEN q // 2 = 0 THEN 1.0 - (fy - j0) ELSE (fy - j0) END))
+      AS w
+  FROM g, (VALUES (0), (1), (2), (3)) qs(q)
+  WHERE i0 + (q % 2) >= 0 AND i0 + (q % 2) < {gw}
+    AND j0 + (q // 2) >= 0 AND j0 + (q // 2) < {gh}
+),
+j AS (SELECT ty, tx, q, CAST(n AS DOUBLE) * w AS term
+      FROM quad JOIN srcg USING (gx, gyt))
+SELECT ty, tx,
+  ((SUM(CASE WHEN q = 0 THEN term ELSE 0.0 END)
+    + SUM(CASE WHEN q = 1 THEN term ELSE 0.0 END))
+   + (SUM(CASE WHEN q = 2 THEN term ELSE 0.0 END)
+      + SUM(CASE WHEN q = 3 THEN term ELSE 0.0 END))) AS val
+FROM j GROUP BY ty, tx"""
+
+
 def q_r2v(sf_dir: str):
     """Raster→vector round trip: sparse histogram → dense tile rasters →
     pixel-center point rows (tile_id, lon, lat, value) — the full
@@ -4919,6 +4979,7 @@ FROM g,
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
+        "warp_bilinear": _sql_warp_bilinear(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
             "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
@@ -5495,6 +5556,7 @@ def build_queries() -> dict:
         "raster_first": q_raster_first,
         "r2v": q_r2v,
         "warp": q_warp,
+        "warp_bilinear": q_warp_bilinear,
         "dedup_docs": q_dedup_docs,
         "delta_dedup": q_delta_dedup,
         "first_event": q_first_event,

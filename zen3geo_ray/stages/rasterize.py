@@ -817,3 +817,115 @@ def regrid_nearest(sparse_ds, *, src: dict, dst: dict,
     joined = bucketed_join(tgts, srcs, on=["gx", "gyt"], how="inner",
                            n_buckets=n_buckets)
     return joined.select_columns(["ty", "tx", value_col])
+
+
+def regrid_bilinear(sparse_ds, *, src: dict, dst: dict,
+                    value_col: str = "n", inv_transform=None,
+                    n_buckets: int = 16):
+    """Bilinear warp/regrid of a sparse raster — the smooth resampling
+    mode beside :func:`regrid_nearest` (rioxarray ``Resampling.bilinear``
+    analog).  Each target pixel center interpolates the 4 surrounding
+    source pixel CENTERS; absent (sparse) or out-of-range neighbors
+    contribute 0 — count-raster semantics.  Output ``(ty, tx, val)``
+    DOUBLE rows for target pixels with >= 1 populated neighbor.
+
+    BIT-PARITY float discipline (the bm25 convention): per neighbor
+    ``term = v * ((xw) * (yw))`` with one shared expression shape, the
+    four terms combine as ``((t0 + t1) + (t2 + t3))`` — each group holds
+    at most ONE nonzero row per quadrant, so masked pandas sums are
+    IEEE-exact regardless of reduce order and DuckDB mirrors them with
+    CASE-pivot SUMs.
+
+    100-TB shape: target pixels stream from ``ray.data.range`` and
+    flat-expand to <= 4 neighbor rows; ONE bucketed hash join + ONE
+    bucketed (ty, tx) reduce — both sides scale out, nothing dense.
+    """
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
+
+    nx, ny, pxn = int(src["nx"]), int(src["ny"]), int(src["px"])
+    sx0, sy1 = float(src["x0"]), float(src["y1"])
+    pw = (float(src["x1"]) - float(src["x0"])) / (nx * pxn)
+    ph = (float(src["y1"]) - float(src["y0"])) / (ny * pxn)
+    w, h = int(dst["w"]), int(dst["h"])
+    dx0, dy1 = float(dst["x0"]), float(dst["y1"])
+    tw = (float(dst["x1"]) - float(dst["x0"])) / w
+    th = (float(dst["y1"]) - float(dst["y0"])) / h
+    gw, gh = nx * pxn, ny * pxn
+
+    def src_keys(b: pa.Table) -> pa.Table:
+        tid = b.column("tile_id").to_numpy(zero_copy_only=False)
+        py = b.column("py").to_numpy(zero_copy_only=False)
+        px = b.column("px").to_numpy(zero_copy_only=False)
+        gx = (tid % nx) * pxn + px
+        gyt = (ny - 1 - tid // nx) * pxn + py
+        return pa.table({
+            "gx": pa.array(gx.astype(np.int64)),
+            "gyt": pa.array(gyt.astype(np.int64)),
+            value_col: b.column(value_col),
+        })
+
+    def tgt_quads(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        ty = i // w
+        tx = i % w
+        cx = dx0 + (tx.astype(np.float64) + 0.5) * tw
+        cy = dy1 - (ty.astype(np.float64) + 0.5) * th
+        if inv_transform is not None:
+            lon, lat = inv_transform(cx, cy)
+        else:
+            lon, lat = cx, cy
+        fx = (lon - sx0) / pw - 0.5
+        fy = (sy1 - lat) / ph - 0.5
+        i0 = np.floor(fx)
+        j0 = np.floor(fy)
+        dx = fx - i0
+        dy = fy - j0
+        outs = {"ty": [], "tx": [], "q": [], "gx": [], "gyt": [], "w": []}
+        for q in range(4):
+            gi = i0 + (q % 2)
+            gj = j0 + (q // 2)
+            wq = (np.where(q % 2 == 0, 1.0 - dx, dx)
+                  * np.where(q // 2 == 0, 1.0 - dy, dy))
+            ok = ((gi >= 0) & (gi < gw) & (gj >= 0) & (gj < gh)
+                  & np.isfinite(gi) & np.isfinite(gj))
+            outs["ty"].append(ty[ok])
+            outs["tx"].append(tx[ok])
+            outs["q"].append(np.full(int(ok.sum()), q, dtype=np.int64))
+            outs["gx"].append(gi[ok].astype(np.int64))
+            outs["gyt"].append(gj[ok].astype(np.int64))
+            outs["w"].append(wq[ok])
+        return pa.table({
+            "ty": pa.array(np.concatenate(outs["ty"]).astype(np.int64)),
+            "tx": pa.array(np.concatenate(outs["tx"]).astype(np.int64)),
+            "q": pa.array(np.concatenate(outs["q"])),
+            "gx": pa.array(np.concatenate(outs["gx"])),
+            "gyt": pa.array(np.concatenate(outs["gyt"])),
+            "w": pa.array(np.concatenate(outs["w"]), pa.float64()),
+        })
+
+    srcs = sparse_ds.map_batches(src_keys, batch_format="pyarrow")
+    tgts = rd.range(w * h).map_batches(tgt_quads, batch_format="pyarrow")
+    joined = bucketed_join(tgts, srcs, on=["gx", "gyt"], how="inner",
+                           n_buckets=n_buckets)
+
+    def reduce_fn(df):
+        import pandas as pd
+
+        v = df[value_col].to_numpy().astype(np.float64)
+        term = v * df["w"].to_numpy()
+        q = df["q"].to_numpy()
+        cols = {f"t{k}": np.where(q == k, term, 0.0) for k in range(4)}
+        g = (df.assign(**cols)
+             .groupby(["ty", "tx"], sort=False, as_index=False)
+             [["t0", "t1", "t2", "t3"]].sum())
+        # at most one nonzero row per quadrant per key: the masked sums
+        # are IEEE-exact in any order; combine in ONE parenthesization
+        val = (g["t0"].to_numpy() + g["t1"].to_numpy()) \
+            + (g["t2"].to_numpy() + g["t3"].to_numpy())
+        return pd.DataFrame({"ty": g["ty"], "tx": g["tx"], "val": val})
+
+    return bucketed_groupby(joined, ["ty", "tx"], reduce_fn,
+                            n_buckets=n_buckets)
