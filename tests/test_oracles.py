@@ -96,6 +96,13 @@ FAST = [
     "wpagerank",
     "neighbor_sample",
     "common_neighbors",
+    # round-4 late additions (scoring/packing/warp/flagship-v2)
+    "bigram_lm",
+    "dsir",
+    "pack_spans",
+    "warp",
+    "warp_bilinear",
+    "curate2",
 ]
 
 

@@ -3458,6 +3458,107 @@ SELECT doc_id,
 FROM x"""
 
 
+CURATE2_BUDGET = 2000
+
+
+def q_curate2(sf_dir: str):
+    """End-to-end curation v2 — the round-4 ops composed into one
+    training-data pipeline: exact dedup (first doc_id per text) →
+    unigram-LM quality gate (OOV fraction <= 1/4, integer predicate) →
+    DSIR selection (tf_sum * 12 >= rf_sum, integer predicate) → global
+    doc_id sort → GPT-style pack-span index at a 2000-token budget.
+    Survivor texts re-execute lazily per scoring pass (at production
+    scale the dedup output checkpoints to parquet via state/lineage —
+    here the chain stays streaming); the only driver traffic is the
+    bounded LM/DSIR models and the pack scan's per-block summaries."""
+    from ..stages import hashjoin
+    from ..stages.scoring import dsir_weights, unigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    surv = dedup.exact_dedup(docs, order_cols=["doc_id"])
+    lm = unigram_lm_scores(surv, top_v=UNIGRAM_V)
+    dw = dsir_weights(surv, n_buckets=DSIR_BUCKETS,
+                      target_mod=DECON_MOD, target_rem=DECON_REM)
+
+    def q_gate(b: pa.Table) -> pa.Table:
+        oov = b.column("n_oov").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return b.select(["doc_id", "n_tokens"]).filter(
+            pa.array(oov * 4 <= n))
+
+    def d_gate(b: pa.Table) -> pa.Table:
+        tf = b.column("tf_sum").to_numpy(zero_copy_only=False)
+        rf = b.column("rf_sum").to_numpy(zero_copy_only=False)
+        return b.select(["doc_id"]).filter(pa.array(tf * 12 >= rf))
+
+    sel = hashjoin.bucketed_join(
+        lm.map_batches(q_gate, batch_format="pyarrow"),
+        dw.map_batches(d_gate, batch_format="pyarrow"),
+        on=["doc_id"], how="semi", n_buckets=32,
+    )
+    # sort -> materialize: block-contiguous doc_id ranges with stable
+    # boundaries for the two-pass pack scan (bounded: 2 int cols)
+    packed_in = sel.sort("doc_id").materialize()
+    return scan.pack_span_index(packed_in, "doc_id", "n_tokens",
+                                budget=CURATE2_BUDGET)
+
+
+def _sql_curate2() -> str:
+    v, nb = UNIGRAM_V, DSIR_BUCKETS
+    mod, rem, b = DECON_MOD, DECON_REM, CURATE2_BUDGET
+    tokhash = _sql_tokhash_cte().replace(
+        "FROM documents", "FROM d").lstrip().lstrip(",").strip()
+    return f"""
+WITH surv AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+              FROM documents GROUP BY text),
+d AS (SELECT doc.doc_id, doc.text
+      FROM documents doc JOIN surv USING (doc_id)),
+tok0 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+         FROM d),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok0 GROUP BY w),
+vocab AS (SELECT w, c FROM (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+            FROM cnt)
+          WHERE rn <= {v}),
+lm AS (SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN vo.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+       FROM tok0 t LEFT JOIN vocab vo ON vo.w = t.w
+       GROUP BY t.doc_id),
+{tokhash},
+tb AS (SELECT doc_id, CAST(unnest(ths) % {nb} AS BIGINT) AS bkt FROM th),
+tcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} = {rem} GROUP BY bkt),
+rcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} <> {rem} GROUP BY bkt),
+dw AS (SELECT t.doc_id,
+         CAST(SUM(COALESCE(tc.c, 0) + 1) AS BIGINT) AS tf_sum,
+         CAST(SUM(COALESCE(rc.c, 0) + 1) AS BIGINT) AS rf_sum
+       FROM tb t
+       LEFT JOIN tcnt tc ON tc.bkt = t.bkt
+       LEFT JOIN rcnt rc ON rc.bkt = t.bkt
+       WHERE t.doc_id % {mod} <> {rem}
+       GROUP BY t.doc_id),
+sel AS (SELECT l.doc_id, l.n_tokens
+        FROM lm l JOIN dw USING (doc_id)
+        WHERE l.n_oov * 4 <= l.n_tokens AND dw.tf_sum * 12 >= dw.rf_sum),
+c AS (SELECT doc_id, n_tokens AS n,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS s
+      FROM sel),
+x AS (SELECT doc_id, n, s,
+        unnest(range(s // {b}, (s + n - 1) // {b} + 1)) AS ci
+      FROM c WHERE n > 0)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_id,
+       CAST(GREATEST(s, ci * {b}) - s AS BIGINT) AS doc_off,
+       CAST(GREATEST(s, ci * {b}) - ci * {b} AS BIGINT) AS chunk_off,
+       CAST(LEAST(s + n, (ci + 1) * {b}) - GREATEST(s, ci * {b})
+            AS BIGINT) AS n_tok
+FROM x"""
+
+
 def q_postings(sf_dir: str):
     """Inverted index: per token df / tf / sorted comma-joined doc-id
     postings — per-batch (token, doc, tf) partials then ONE bucketed
@@ -4980,6 +5081,7 @@ FROM g,
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
         "warp_bilinear": _sql_warp_bilinear(),
+        "curate2": _sql_curate2(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
             "CAST(MIN(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY text"
@@ -5557,6 +5659,7 @@ def build_queries() -> dict:
         "r2v": q_r2v,
         "warp": q_warp,
         "warp_bilinear": q_warp_bilinear,
+        "curate2": q_curate2,
         "dedup_docs": q_dedup_docs,
         "delta_dedup": q_delta_dedup,
         "first_event": q_first_event,
