@@ -775,3 +775,42 @@ def test_pinned_lpa_parity(ray_session, n_shards):
         .sort_values("node").reset_index(drop=True)
     assert got["node"].tolist() == want["node"].tolist()
     assert got["lab"].tolist() == want["lab"].tolist()
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_pinned_ktruss_parity(ray_session, n_shards):
+    """pinned_ktruss is bit-identical to graph.ktruss — same surviving
+    canonical edges, same final-round supports — on random graphs with
+    duplicate/reversed/self-loop edges, for both the single-shard and
+    multi-shard exchanges."""
+    from zen3geo_ray.stages.graph import ktruss
+    from zen3geo_ray.stages.pregel import pinned_ktruss
+
+    rng = np.random.default_rng(67 + n_shards)
+    src = rng.integers(0, 40, 400).astype(np.int64)
+    dst = rng.integers(0, 40, 400).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for k in (3, 4):
+        want = (ktruss(edges, k=k, rounds=4).to_pandas()
+                .sort_values(["u", "v"]).reset_index(drop=True))
+        got = (pinned_ktruss(edges, k=k, rounds=4, n_shards=n_shards)
+               .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+        assert list(want.columns) == ["u", "v", "support"]
+        assert want[["u", "v", "support"]].equals(
+            got[["u", "v", "support"]]), (k, n_shards)
+
+
+def test_pinned_ktruss_goldens(ray_session):
+    """K4 + pendant edge: the 3-truss is exactly the K4 (support 2 on
+    every surviving edge); k=5 empties the graph."""
+    from zen3geo_ray.stages.pregel import pinned_ktruss
+
+    k4p = rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "dst": pa.array([2, 3, 4, 3, 4, 4, 9], pa.int64())}))
+    out = (pinned_ktruss(k4p, k=3, rounds=3, n_shards=2).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    assert [tuple(r) for r in out.to_numpy()] == [
+        (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)]
+    empty = pinned_ktruss(k4p, k=5, rounds=3, n_shards=2).to_pandas()
+    assert len(empty) == 0

@@ -311,6 +311,155 @@ def _make_shard_cls():
                     total += int((self._tkeys[ix] == key).sum())
             return total
 
+        # --- k-truss (support exchange + local peel) --------------------
+        def prep_ktruss(self, blob_ref) -> int:
+            """Reuses prep_tri's oriented wedge-order layout, then adds
+            the alive mask, per-edge support, and a key→edge-index
+            lookup (packed dense ranks, the tri scheme — ranks < 2^32
+            by the documented pair-key constraint)."""
+            self.prep_tri(blob_ref)
+            m = len(self._tlo)
+            rlo = np.searchsorted(self._tri_nodes, self._tlo)
+            rhi = np.searchsorted(self._tri_nodes, self._thi)
+            keys = rlo * self._tri_n + rhi
+            self._ktarg = np.argsort(keys, kind="mergesort")
+            self._ktkeys = keys[self._ktarg]
+            self._alive = np.ones(m, dtype=bool)
+            self._supp = np.zeros(m, dtype=np.int64)
+            self._supp_last = np.empty(0, dtype=np.int64)
+            return m
+
+        def _kt_lookup(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            """Local edge index of oriented (a -> b); -1 if absent."""
+            if len(self._ktkeys) == 0 or len(a) == 0:
+                return np.full(len(a), -1, dtype=np.int64)
+            ra = np.searchsorted(self._tri_nodes, a)
+            rb = np.searchsorted(self._tri_nodes, b)
+            key = ra * self._tri_n + rb
+            pos = np.minimum(np.searchsorted(self._ktkeys, key),
+                             len(self._ktkeys) - 1)
+            ix = self._ktarg[pos]
+            return np.where(self._ktkeys[pos] == key, ix, np.int64(-1))
+
+        def kt_wedges(self) -> list:
+            """tri_wedges over the ALIVE edges only, carrying the wedge
+            center so closures can route confirmations home: S tables
+            (l, a, b) to shard(a)."""
+            empty = pa.table({"l": pa.array([], pa.int64()),
+                              "a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64())})
+            lo = self._tlo[self._alive]
+            hi = self._thi[self._alive]
+            m = len(lo)
+            if m == 0:
+                return [empty] * self.n
+            run_end = np.searchsorted(lo, lo, side="right")
+            g = np.arange(m, dtype=np.int64)
+            cnt = run_end - g - 1
+            sel = cnt > 0
+            g2, c2 = g[sel], cnt[sel]
+            total = int(c2.sum())
+            if total == 0:
+                return [empty] * self.n
+            offs = np.concatenate([[0], np.cumsum(c2)[:-1]])
+            pos = (np.arange(total) - np.repeat(offs, c2)
+                   + np.repeat(g2 + 1, c2))
+            ctr = lo[np.repeat(g2, c2)]
+            h1 = hi[np.repeat(g2, c2)]
+            h2 = hi[pos]
+            sh = _shard_of(h1, self.n)
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                out.append(pa.table({"l": pa.array(ctr[mm]),
+                                     "a": pa.array(h1[mm]),
+                                     "b": pa.array(h2[mm])}))
+            return out
+
+        def kt_close(self, *incoming) -> list:
+            """Check incoming wedges against the local ALIVE closing
+            edges; add support to each closed (a -> b) here, route the
+            closed (l, a, b) rows back to shard(l) so the two wedge
+            edges get their +1 there."""
+            empty = pa.table({"l": pa.array([], pa.int64()),
+                              "a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64())})
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            ls, as_, bs = [], [], []
+            for t in flat:
+                if t.num_rows == 0:
+                    continue
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                ix = self._kt_lookup(a, b)
+                ok = (ix >= 0) & self._alive[np.maximum(ix, 0)]
+                if not ok.any():
+                    continue
+                np.add.at(self._supp, ix[ok], 1)
+                ls.append(t.column("l").to_numpy(zero_copy_only=False)[ok])
+                as_.append(a[ok])
+                bs.append(b[ok])
+            if not ls:
+                return [empty] * self.n
+            l = np.concatenate(ls)
+            a = np.concatenate(as_)
+            b = np.concatenate(bs)
+            sh = _shard_of(l, self.n)
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                out.append(pa.table({"l": pa.array(l[mm]),
+                                     "a": pa.array(a[mm]),
+                                     "b": pa.array(b[mm])}))
+            return out
+
+        def kt_confirm(self, *incoming) -> int:
+            """Apply +1 support to the two local wedge edges (l -> a)
+            and (l -> b) of each confirmed triangle."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            n = 0
+            for t in flat:
+                if t.num_rows == 0:
+                    continue
+                l = t.column("l").to_numpy(zero_copy_only=False)
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                ixa = self._kt_lookup(l, a)
+                ixb = self._kt_lookup(l, b)
+                # wedge edges were alive when enumerated this round; the
+                # mask guards np.add.at's negative-index wraparound
+                ok = (ixa >= 0) & (ixb >= 0)
+                np.add.at(self._supp, ixa[ok], 1)
+                np.add.at(self._supp, ixb[ok], 1)
+                n += int(ok.sum())
+            return n
+
+        def kt_peel(self, k: int) -> int:
+            """Drop alive edges with support < k-2; reset supports for
+            the next round; return how many edges DROPPED."""
+            drop = self._alive & (self._supp < k - 2)
+            self._alive &= ~drop
+            self._supp_last = self._supp[self._alive].copy()
+            self._supp = np.zeros(len(self._tlo), dtype=np.int64)
+            return int(drop.sum())
+
+        def kt_result(self) -> pa.Table:
+            """Canonical (u, v, support) for the surviving edges with
+            the LAST executed round's support (graph.ktruss contract)."""
+            lo = self._tlo[self._alive]
+            hi = self._thi[self._alive]
+            u = np.minimum(lo, hi)
+            v = np.maximum(lo, hi)
+            return pa.table({
+                "u": pa.array(u.astype(np.int64)),
+                "v": pa.array(v.astype(np.int64)),
+                "support": pa.array(self._supp_last.astype(np.int64)),
+            })
+
         # --- common neighbors (pair-partial exchange) -------------------
         def cn_pairs(self, max_degree: int) -> list:
             """Edges here are SYMMETRIC adjacency rows (z, nb) routed by
@@ -1170,6 +1319,129 @@ def pinned_lpa(edges, *, rounds: int, src: str = "src", dst: str = "dst",
             if sum(changed) == 0:
                 break  # synchronous fixpoint: remaining rounds are no-ops
         refs = [sh.lab_table.remote() for sh in shards]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_ktruss(edges, *, k: int, rounds: int, src: str = "src",
+                  dst: str = "dst", n_shards: int | None = None):
+    """k-truss peeling over actor-pinned oriented edge shards — the
+    parity twin of ``graph.ktruss`` (same fixed-round synchronous
+    semantics, same (u, v, support) output) completing the pinned
+    family (pagerank/components/bfs/kcore/triangles/common-neighbors/
+    lpa).  Edges ingest ONCE under the frozen initial (deg, id)
+    orientation (any total order keeps the wedge enumeration exact on
+    the alive subset, so no re-orientation is ever needed); each round
+    is TWO actor-to-actor exchanges with zero Dataset joins:
+
+    * wedge pass — every shard enumerates wedges at its alive lo
+      vertices and ships (center, h1, h2) rows to shard(h1);
+    * close pass — the closing shard checks (h1 -> h2) against its
+      alive packed-key set, adds the closing edge's support locally and
+      routes confirmations back to shard(center), where the two wedge
+      edges get their +1;
+    * local peel — drop support < k-2, early-exit when a round drops
+      nothing anywhere (supports are recomputed per round, so the
+      remaining rounds are no-ops — the exact fixed-round contract).
+
+    Ingestion routing runs with max_retries=0 (a task retry would
+    double-ingest); the actor pool dies in ``finally``.
+    """
+    import ray
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+    from .graph import distinct_tuples
+
+    if rounds < 1:
+        raise ValueError("ktruss needs rounds >= 1")
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    pairs = distinct_tuples(edges.map_batches(norm, batch_format="pyarrow"),
+                            ["u", "v"]).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False)])
+        un, c = np.unique(x, return_counts=True)
+        return pa.table({NODE: pa.array(un),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    deg = bucketed_groupby(
+        pairs.map_batches(deg_partial, batch_format="pyarrow"),
+        [NODE],
+        lambda g: g.groupby(NODE, sort=False, as_index=False)["_c"].sum(),
+    ).to_pandas()
+    order = np.argsort(deg[NODE].to_numpy(), kind="mergesort")
+    nodes_g = deg[NODE].to_numpy()[order].astype(np.int64)
+    deg_g = deg["_c"].to_numpy()[order].astype(np.int64)
+
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+        blob_ref = ray.put((nodes_g, deg_g))
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            ng, dg = ray.get(blob_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            du = dg[np.searchsorted(ng, u)]
+            dv = dg[np.searchsorted(ng, v)]
+            swap = (dv < du) | ((dv == du) & (v < u))
+            lo = np.where(swap, v, u)
+            hi = np.where(swap, u, v)
+            sh = _shard_of(lo, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(lo[m], hi[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        pairs.map_batches(route, batch_format="pyarrow",
+                          max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.prep_ktruss.remote(blob_ref) for sh in shards])
+
+        for _ in range(rounds):
+            if S == 1:
+                wedges = [[sh.kt_wedges.remote()] for sh in shards]
+            else:
+                wedges = [sh.kt_wedges.options(num_returns=S).remote()
+                          for sh in shards]
+            if S == 1:
+                confirms = [[shards[j].kt_close.remote(
+                    *[wedges[i][j] for i in range(S)])] for j in range(S)]
+            else:
+                confirms = [shards[j].kt_close.options(num_returns=S)
+                            .remote(*[wedges[i][j] for i in range(S)])
+                            for j in range(S)]
+            ray.get([
+                shards[j].kt_confirm.remote(
+                    *[confirms[i][j] for i in range(S)])
+                for j in range(S)
+            ])
+            dropped = ray.get([sh.kt_peel.remote(k) for sh in shards])
+            if sum(dropped) == 0:
+                break  # stable: every remaining round is a no-op
+        refs = [sh.kt_result.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
     finally:
         for sh in shards:
