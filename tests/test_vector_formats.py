@@ -217,3 +217,38 @@ def test_vector_formats_roundtrip_property(tmp_path_factory, geoms, fmt):
     else:
         write_flatgeobuf(tbl, p)
     assert read_vector(p).equals(tbl)
+
+
+def test_zip_vector_reads(tmp_path):
+    """/vsizip/ analog: zipped shapefile (with its .dbf sidecar),
+    explicit member selection, extension priority, and error paths."""
+    import zipfile
+
+    from zen3geo_ray.sources.geojson import polygons_table_to_geojson
+
+    tbl = admin_grid(nx=4, ny=2)
+    write_shp(tbl, str(tmp_path / "admin.shp"))
+    import json
+
+    gj = tmp_path / "admin.geojson"
+    gj.write_text(json.dumps(polygons_table_to_geojson(tbl)))
+
+    z = tmp_path / "vec.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.write(tmp_path / "admin.shp", "admin.shp")
+        zf.write(tmp_path / "admin.dbf", "admin.dbf")
+        zf.write(gj, "admin.geojson")
+
+    # extension priority picks the .shp (with sidecar)
+    assert read_vector(str(z)).equals(tbl)
+    # explicit member: the geojson
+    got = read_vector(f"{z}!admin.geojson")
+    assert got.num_rows == tbl.num_rows
+    assert got.column("geometry_wkb").equals(tbl.column("geometry_wkb"))
+    with pytest.raises(FileNotFoundError, match="not in"):
+        read_vector(f"{z}!missing.shp")
+    empty = tmp_path / "empty.zip"
+    with zipfile.ZipFile(empty, "w") as zf:
+        zf.writestr("readme.txt", "x")
+    with pytest.raises(ValueError, match="no vector member"):
+        read_vector(str(empty))

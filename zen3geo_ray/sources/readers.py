@@ -43,6 +43,38 @@ def read_vector(path: str, columns: list[str] | None = None,
     (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) — all yielding
     the identical fixed POLYGONS schema so downstream joins are
     format-agnostic (the reference's pyogrio multi-format surface)."""
+    if path.endswith(".zip") or ".zip!" in path:
+        # the reference's /vsizip/ surface (pyogrio.py:87-89): read a
+        # vector layer out of a zip archive; "archive.zip!member" pins
+        # the member, else the first vector file by extension priority.
+        import os
+        import tempfile
+        import zipfile
+
+        zpath, _, member = path.partition("!")
+        with zipfile.ZipFile(zpath) as zf:
+            names = [n for n in zf.namelist()
+                     if not (n.startswith("/") or ".." in n)]
+            if member:
+                if member not in names:
+                    raise FileNotFoundError(
+                        f"{member!r} not in {zpath!r} (has {names})")
+                target = member
+            else:
+                target = None
+                for ext in (".shp", ".gpkg", ".fgb", ".geojson", ".json",
+                            ".parquet"):
+                    target = next(
+                        (n for n in names if n.endswith(ext)), None)
+                    if target:
+                        break
+                if target is None:
+                    raise ValueError(f"no vector member in {zpath!r}")
+            with tempfile.TemporaryDirectory() as td:
+                # extract everything: .shp needs its .dbf sidecar
+                zf.extractall(td, members=names)
+                return read_vector(os.path.join(td, target),
+                                   columns=columns, layer=layer)
     if path.endswith((".geojson", ".json")):
         from .geojson import geojson_to_polygons_table
 
