@@ -814,3 +814,87 @@ def test_pinned_ktruss_goldens(ray_session):
         (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)]
     empty = pinned_ktruss(k4p, k=5, rounds=3, n_shards=2).to_pandas()
     assert len(empty) == 0
+
+
+# ---------------------------------------------------------------- warm/delta
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_pagerank_warm_state_matches_manual_init(ray_session, bt):
+    """warm_state overrides the start vector: 0 warm rounds must return
+    the stored ranks for stored nodes and scale//S for new ones; 2 warm
+    rounds must equal the driver recurrence from that exact vector."""
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    warm = rd.from_arrow(pa.table({
+        "node": np.array([0, 1, 2], np.int64),
+        "pr": np.array([111, 222, 2 ** 60 + 3], np.int64),
+    }))
+    out0 = pagerank(edges, iters=0, scale=SCALE, n_buckets=8,
+                    warm_state=warm, broadcast_threshold=bt).to_pandas()
+    got0 = dict(zip(out0["node"], out0["pr"]))
+    n = len(got0)
+    for v, p in got0.items():
+        if v in (0, 1, 2):
+            assert p == {0: 111, 1: 222, 2: 2 ** 60 + 3}[v]
+        else:
+            assert p == SCALE // n
+
+    # 2 warm rounds vs the driver recurrence from the same vector
+    out2 = pagerank(edges, iters=2, scale=SCALE, n_buckets=8,
+                    warm_state=warm, broadcast_threshold=bt).to_pandas()
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), np.int64)
+    for s in src:
+        outdeg[idx[int(s)]] += 1
+    pr = np.full(len(nodes), SCALE // len(nodes), np.int64)
+    for v, p in {0: 111, 1: 222, 2: 2 ** 60 + 3}.items():
+        pr[idx[v]] = p
+    base = ((DD - DN) * SCALE) // (DD * len(nodes))
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    for _ in range(2):
+        contrib = pr[si] // outdeg[si]
+        acc = np.zeros(len(nodes), np.int64)
+        np.add.at(acc, di, contrib)
+        pr = base + (DN * acc) // DD
+    want = dict(zip(nodes.tolist(), pr.tolist()))
+    assert dict(zip(out2["node"], out2["pr"])) == want
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_incremental_pagerank_two_runs(ray_session, tmp_path, bt):
+    """Run 1 == cold pagerank on its half; run 2 == 2 warm rounds over
+    the distinct union, started from run 1's ranks — and re-sending
+    already-stored edges must not change the union graph."""
+    from zen3geo_ray.stages.graph import incremental_pagerank
+
+    src, dst = _random_graph()
+    half = ((src + dst) % 2 == 0)
+    e1 = rd.from_arrow(pa.table({"src": src[half], "dst": dst[half]}))
+    # run 2 re-sends some stored edges: the log dedup must absorb them
+    e2 = rd.from_arrow(pa.table({
+        "src": np.concatenate([src[~half], src[half][:5]]),
+        "dst": np.concatenate([dst[~half], dst[half][:5]]),
+    }))
+    store = str(tmp_path / "prstore")
+
+    r1 = incremental_pagerank(e1, store, boot_iters=3, delta_iters=2,
+                              scale=SCALE, n_buckets=8,
+                              broadcast_threshold=bt).to_pandas()
+    ref1 = _ref_pagerank(src[half], dst[half], 3)
+    assert dict(zip(r1["node"], r1["pr"])) == ref1
+
+    r2 = incremental_pagerank(e2, store, boot_iters=3, delta_iters=2,
+                              scale=SCALE, n_buckets=8,
+                              broadcast_threshold=bt).to_pandas()
+    warm = rd.from_arrow(pa.table({
+        "node": r1["node"].to_numpy().astype(np.int64),
+        "pr": r1["pr"].to_numpy().astype(np.int64)}))
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    want = pagerank(edges, iters=2, scale=SCALE, n_buckets=8,
+                    warm_state=warm,
+                    broadcast_threshold=bt).to_pandas()
+    assert (dict(zip(r2["node"], r2["pr"]))
+            == dict(zip(want["node"], want["pr"])))

@@ -274,6 +274,12 @@ class Pipe:
 
         return Pipe(pagerank(self.ds, **kwargs))
 
+    def incremental_pagerank(self, store_dir: str, **kwargs) -> "Pipe":
+        """Warm-started PageRank over a cross-run edge-log store."""
+        from .stages.graph import incremental_pagerank
+
+        return Pipe(incremental_pagerank(self.ds, store_dir, **kwargs))
+
     def connected_components(self, **kwargs) -> "Pipe":
         """(node, comp) weakly-connected component labels of an edge pipe."""
         from .stages.graph import connected_components

@@ -4093,6 +4093,107 @@ def q_pagerank(sf_dir: str):
                           batch_format="pyarrow")
 
 
+DELTA_PR_ITERS = 2  # warm-started rounds in the incremental run
+
+
+def q_delta_pagerank(sf_dir: str):
+    """CROSS-RUN incremental PageRank: run 1 bootstraps a persistent
+    edge-log + rank store with the even-(custkey+suppkey) half of the
+    trade graph (4 cold rounds); run 2 streams in the odd half and runs
+    only 2 rounds WARM-STARTED from the stored ranks — the edge-stream
+    delta-PageRank shape (stages/graph.py:incremental_pagerank).  A
+    fresh temp store per call keeps the query idempotent."""
+    import shutil
+    import tempfile
+
+    from ..stages.graph import incremental_pagerank
+
+    edges = _trade_edges(sf_dir).materialize()
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((s // 2 + d // 2) % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_dpr_")
+    try:
+        incremental_pagerank(
+            edges.map_batches(half(0), batch_format="pyarrow"), store,
+            boot_iters=GRAPH_ITERS, delta_iters=DELTA_PR_ITERS,
+            scale=GRAPH_SCALE, d_num=GRAPH_DNUM, d_den=GRAPH_DDEN,
+        )
+        out = incremental_pagerank(
+            edges.map_batches(half(1), batch_format="pyarrow"), store,
+            boot_iters=GRAPH_ITERS, delta_iters=DELTA_PR_ITERS,
+            scale=GRAPH_SCALE, d_num=GRAPH_DNUM, d_den=GRAPH_DDEN,
+        )
+        out = out.map_batches(
+            lambda b: b.select(["node", "pr"]), batch_format="pyarrow"
+        ).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _sql_delta_pagerank() -> str:
+    """Chained-CTE mirror of q_delta_pagerank: 4 cold rounds over the
+    even-pair half, then COALESCE-warm-started rounds over the full
+    graph — identical int64 recurrence on both sides."""
+    sc, dn, dd = GRAPH_SCALE, GRAPH_DNUM, GRAPH_DDEN
+
+    def rounds(tag: str, prev0: str, edges: str, nd: str, p: str,
+               n_rounds: int) -> list[str]:
+        out = []
+        prev = prev0
+        for i in range(1, n_rounds + 1):
+            out.append(f"""{tag}{i} AS (
+  SELECT {nd}.node, {nd}.outdeg,
+         (({dd - dn} * {sc}) // ({dd} * {p}.n))
+         + ({dn} * COALESCE(s.s, 0)) // {dd} AS pr
+  FROM {nd} CROSS JOIN {p}
+  LEFT JOIN (SELECT e.dst AS node,
+                    CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s
+             FROM {edges} e JOIN {tag}{i - 1} r ON r.node = e.src
+             GROUP BY 1) s
+  USING (node))""")
+            prev = f"{tag}{i}"
+        return out
+
+    ctes = [
+        _SQL_GRAPH_EDGES,
+        ("e1 AS (SELECT src, dst FROM edges "
+         "WHERE (src // 2 + dst // 2) % 2 = 0)"),
+        ("deg1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg "
+         "FROM e1 GROUP BY 1)"),
+        ("nodes1 AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e1 "
+         "UNION ALL SELECT dst AS node FROM e1))"),
+        ("nd1 AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg "
+         "FROM nodes1 n LEFT JOIN deg1 d USING (node))"),
+        "p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd1)",
+        (f"a0 AS (SELECT node, outdeg, ({sc} // p1.n) AS pr "
+         "FROM nd1 CROSS JOIN p1)"),
+    ]
+    ctes += rounds("a", "a0", "e1", "nd1", "p1", GRAPH_ITERS)
+    ctes += [
+        ("deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg "
+         "FROM edges GROUP BY 1)"),
+        ("nodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+         "FROM edges UNION ALL SELECT dst AS node FROM edges))"),
+        ("nd AS (SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg "
+         "FROM nodes n LEFT JOIN deg d USING (node))"),
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd)",
+        (f"b0 AS (SELECT nd.node, nd.outdeg, "
+         f"COALESCE(w.pr, {sc} // p.n) AS pr "
+         f"FROM nd CROSS JOIN p LEFT JOIN a{GRAPH_ITERS} w USING (node))"),
+    ]
+    ctes += rounds("b", "b0", "edges", "nd", "p", DELTA_PR_ITERS)
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, pr FROM b{DELTA_PR_ITERS}")
+
+
 def _sql_pagerank(seed_expr: str = "1", weighted: bool = False) -> str:
     """Chained-CTE fixed-point PageRank; ``seed_expr`` personalizes the
     teleport vector (1 = classic, a node predicate = PPR); ``weighted``
@@ -5575,6 +5676,7 @@ GROUP BY event_type, u - o.off
         "winsorize": _sql_winsor(),
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
+        "delta_pagerank": _sql_delta_pagerank(),
         "wpagerank": _sql_pagerank(weighted=True),
         "ppr": _sql_pagerank(
             f"CASE WHEN n.node % {BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END"),
@@ -5766,6 +5868,7 @@ def build_queries() -> dict:
         "q3_top": q_q3_top,
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
+        "delta_pagerank": q_delta_pagerank,
         "wpagerank": q_wpagerank,
         "ppr": q_ppr,
         "bfs_hops": q_bfs_hops,

@@ -162,7 +162,7 @@ def _settle(ds, n_blocks: int):
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
              n_buckets: int | None = None, seeds=None,
-             weight_col: str | None = None,
+             weight_col: str | None = None, warm_state=None,
              broadcast_threshold: int = BROADCAST_NODES):
     """Exact fixed-point (optionally PERSONALIZED) PageRank; returns
     (node, outdeg, pr) with pr an int64 rank scaled by ``scale``
@@ -186,6 +186,16 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     scale * max_weight * d_num below 2^62).  All operations are int64;
     the mirrored SQL (pipelines/queries.py ``_sql_pagerank``) computes
     the identical recurrence, so equality is exact, not approximate.
+
+    ``warm_state`` (a Dataset with ``node``/``pr`` columns, e.g. a prior
+    run's output) overrides the uniform start vector: pr_0(v) = stored
+    pr(v) when present, else seed(v) * (scale // S).  The warm vector is
+    what makes ``incremental_pagerank`` converge in a fraction of the
+    cold-start rounds — semantics stay exactly SQL-mirrorable
+    (COALESCE(prev.pr, seed * (scale // S))).  On the broadcast path the
+    warm state is driver-collected (node-bounded like every per-round
+    array there); on the bucketed path it enters through ONE extra
+    bucketed left join, so ranks never pass through the driver.
     """
     if scale * d_num >= 1 << 62:
         raise ValueError("scale * d_num must stay below 2^62")
@@ -239,6 +249,17 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
         outdeg = npdf["outdeg"].to_numpy()[order].astype(np.int64)
         flags = _seed_flags(node_sorted)
         pr = flags * r0
+        if warm_state is not None:
+            wdf = warm_state.to_pandas()
+            wn = wdf[NODE].to_numpy().astype(np.int64)
+            wp = wdf["pr"].to_numpy().astype(np.int64)
+            if len(wn):
+                wo = np.argsort(wn, kind="mergesort")
+                wn, wp = wn[wo], wp[wo]
+                ix = np.minimum(np.searchsorted(wn, node_sorted),
+                                len(wn) - 1)
+                hit = wn[ix] == node_sorted
+                pr = np.where(hit, wp[ix], pr)
         zeros = np.zeros(n, dtype=np.int64)
         seed_rows = rd.from_arrow(pa.table({
             NODE: pa.array(node_sorted), "outdeg": pa.array(outdeg),
@@ -297,8 +318,40 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
             "seed": pa.array(fl), "pr": pa.array(fl * r0),
         })
 
-    state = _settle(nodes.map_batches(init_state, batch_format="pyarrow"),
-                    n_buckets)
+    if warm_state is None:
+        state = _settle(nodes.map_batches(init_state,
+                                          batch_format="pyarrow"),
+                        n_buckets)
+    else:
+        # ONE bucketed left join ships the prior ranks onto the node
+        # universe; missing nodes fall back to the cold seed vector.
+        # The left join keeps nullable int payloads exact (CLAUDE.md),
+        # so pr survives at all 64 bits.
+        prev = warm_state.map_batches(
+            lambda b: pa.table({NODE: pc.cast(b.column(NODE), pa.int64()),
+                                "_pr0": pc.cast(b.column("pr"),
+                                                pa.int64())}),
+            batch_format="pyarrow",
+        )
+        merged = bucketed_join(nodes, prev, [NODE], how="left",
+                               n_buckets=n_buckets)
+
+        def init_warm(b: pa.Table) -> pa.Table:
+            nd = b.column(NODE).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            fl = _seed_flags(nd)
+            p0 = pc.cast(b.column("_pr0"), pa.int64())
+            pr0 = pc.if_else(pc.is_null(p0),
+                             pa.array(fl * r0, type=pa.int64()), p0)
+            return pa.table({
+                NODE: pa.array(nd),
+                "outdeg": pc.cast(b.column("outdeg"), pa.int64()),
+                "seed": pa.array(fl), "pr": pr0,
+            })
+
+        state = _settle(merged.map_batches(init_warm,
+                                           batch_format="pyarrow"),
+                        n_buckets)
 
     def contrib_partial(b: pa.Table) -> pa.Table:
         d = b.column(dst).to_numpy(zero_copy_only=False)
@@ -338,6 +391,93 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
         ), n_buckets)
     return state.map_batches(
         lambda b: b.select([NODE, "outdeg", "pr"]), batch_format="pyarrow")
+
+
+def incremental_pagerank(new_edges, store_dir: str, *,
+                         src: str = "src", dst: str = "dst",
+                         boot_iters: int = 4, delta_iters: int = 2,
+                         scale: int = 10 ** 12, d_num: int = 85,
+                         d_den: int = 100, n_buckets: int | None = None,
+                         broadcast_threshold: int = BROADCAST_NODES):
+    """CROSS-RUN incremental PageRank over an append-only edge log — the
+    cross-run-store idea (``incremental_exact_dedup``) applied to the
+    iterative graph family.  The reference has no streaming-graph
+    surface at all; this is the 100-TB "edges arrive in batches" shape.
+
+    Store layout: ``store_dir/edges/run-*/`` (append-only DISTINCT
+    (src, dst) parquet log — new pairs are anti-joined against the log
+    before appending, so the log stays duplicate-free by invariant) and
+    ``store_dir/state/run-NNNN/`` (the latest (node, pr) vector).
+
+    Semantics, mirrored bit-exactly by the ``delta_pagerank`` oracle:
+    the FIRST run bootstraps ``boot_iters`` cold rounds over its own
+    edges; every LATER run unions the stored log with the new distinct
+    pairs and runs only ``delta_iters`` rounds WARM-STARTED from the
+    stored ranks (nodes unseen by the store start at scale // S of the
+    union graph).  Power iteration touches every edge per round by
+    definition — the incremental win is ROUND COUNT (a warm vector is
+    already near the fixed point) plus the rank vector persisting as
+    node-bounded parquet instead of recomputing from uniform.
+
+    Unweighted, classic teleport only (a weighted/personalized warm
+    start composes the same way via ``pagerank(warm_state=...)``).
+    """
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from .hashjoin import bucketed_join
+
+    new_pairs = distinct_tuples(
+        new_edges.map_batches(lambda b: b.select([src, dst]),
+                              batch_format="pyarrow"),
+        [src, dst],
+        n_buckets=n_buckets or 64,
+    )
+    edges_dir = os.path.join(store_dir, "edges")
+    state_dir = os.path.join(store_dir, "state")
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            fn.endswith(".parquet")
+            for root, _, files in os.walk(d) for fn in files
+        )
+
+    if _has_parquet(edges_dir):
+        old = rd.read_parquet(edges_dir, columns=[src, dst])
+        # the log is distinct by invariant: append only genuinely-new
+        # pairs (at billion-edge scale put a Bloom prefilter in front of
+        # this anti join, exactly like incremental_exact_dedup's
+        # bloom_threshold path)
+        new_pairs = bucketed_join(new_pairs, old, [src, dst], how="anti",
+                                  n_buckets=n_buckets or 64).materialize()
+        all_edges = old.union(new_pairs)
+    else:
+        new_pairs = new_pairs.materialize()
+        all_edges = new_pairs
+
+    warm = None
+    if _has_parquet(state_dir):
+        runs = sorted(d for d in os.listdir(state_dir)
+                      if d.startswith("run-"))
+        warm = rd.read_parquet(os.path.join(state_dir, runs[-1]),
+                               columns=[NODE, "pr"])
+    res = pagerank(all_edges, src=src, dst=dst,
+                   iters=delta_iters if warm is not None else boot_iters,
+                   scale=scale, d_num=d_num, d_den=d_den,
+                   n_buckets=n_buckets, warm_state=warm,
+                   broadcast_threshold=broadcast_threshold).materialize()
+
+    os.makedirs(edges_dir, exist_ok=True)
+    new_pairs.write_parquet(
+        os.path.join(edges_dir, f"run-{uuid.uuid4().hex[:12]}"))
+    os.makedirs(state_dir, exist_ok=True)
+    n_runs = len([d for d in os.listdir(state_dir) if d.startswith("run-")])
+    res.map_batches(lambda b: b.select([NODE, "pr"]),
+                    batch_format="pyarrow").write_parquet(
+        os.path.join(state_dir, f"run-{n_runs:04d}"))
+    return res
 
 
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
