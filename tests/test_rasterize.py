@@ -379,3 +379,60 @@ def test_regrid_bilinear_single_pixel_weights(ray_session):
     exp = sorted([v * 0.75 * 0.25, v * 0.25 * 0.25,
                   v * 0.75 * 0.75, v * 0.25 * 0.75])
     assert np.allclose(vals, exp)
+
+
+def test_regrid_average_blocks(ray_session):
+    """4x4 downsample: each coarse cell averages exactly its present
+    source pixels; empty cells emit nothing; npix counts contributors."""
+    # tile 0 pixels (py=15..12, px=0..3) tile the SW-most 4x4 source
+    # block (global gyt 60..63, gx 0..3) -> ONE 16x-coarser target cell
+    rows = [(0, 15, 0, 8), (0, 15, 1, 4), (0, 14, 0, 1), (0, 12, 3, 7),
+            # a second populated cell: tile 29 pixel -> lone contributor
+            (29, 7, 3, 9)]
+    dst = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "w": 32, "h": 16}  # 4x4 source pixels per target cell
+    out = (rz.regrid_average(_sparse(rows), src=SRC, dst=dst)
+           .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+    # tile 29 = row 3 from S (ty-block top), col 5: gx=5*16+3=83,
+    # gyt=(4-1-3)*16+7=7 -> cell (ty=7//4=1, tx=83//4=20)
+    got = [tuple(r) for r in out[["ty", "tx", "npix", "val"]].to_numpy()]
+    assert got == [(1.0, 20.0, 1.0, 9.0),
+                   (15.0, 0.0, 4.0, (8 + 4 + 1 + 7) / 4.0)]
+
+
+def test_regrid_average_crop_drops_outside(ray_session):
+    rows = [(0, 15, 0, 7)]  # SW corner pixel
+    crop = {"x0": 0.0, "y0": 0.0, "x1": 180.0, "y1": 90.0, "w": 8, "h": 4}
+    out = rz.regrid_average(_sparse(rows), src=SRC, dst=crop).to_pandas()
+    assert len(out) == 0
+
+
+def test_regrid_average_cross_crs_forward(ray_session):
+    """fwd_transform projects SOURCE centers into the dst CRS before
+    binning — brute-force per-pixel check on a mercator target."""
+    from zen3geo_ray.geom import crs
+
+    rows = [(11, 4, 9, 8), (17, 8, 2, 1), (12, 1, 14, 2)]
+    ext = 20037508.342789244
+    dst = {"x0": -ext, "y0": -ext / 2, "x1": ext, "y1": ext / 2,
+           "w": 64, "h": 32}
+    fwd = lambda lon, lat: crs.transform(lon, lat, "EPSG:3857")
+    out = (rz.regrid_average(_sparse(rows), src=SRC, dst=dst,
+                             fwd_transform=fwd)
+           .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True))
+    cells = {}
+    for t, p, x, n in rows:
+        gx, gyt = (t % 8) * 16 + x, (4 - 1 - t // 8) * 16 + p
+        lon = -180.0 + (gx + 0.5) * (360.0 / 128)
+        lat = 90.0 - (gyt + 0.5) * (180.0 / 64)
+        X, Y = crs.transform(np.array([lon]), np.array([lat]),
+                             "EPSG:3857")
+        tx = int(np.floor((X[0] - dst["x0"]) / ((2 * ext) / 64)))
+        ty = int(np.floor((dst["y1"] - Y[0]) / (ext / 32)))
+        if 0 <= tx < 64 and 0 <= ty < 32:
+            s, c = cells.get((ty, tx), (0, 0))
+            cells[(ty, tx)] = (s + n, c + 1)
+    exp = sorted((ty, tx, c, s / c) for (ty, tx), (s, c) in cells.items())
+    got = [(int(r.ty), int(r.tx), int(r.npix), float(r.val))
+           for r in out.itertuples()]
+    assert got == exp and len(exp) > 0

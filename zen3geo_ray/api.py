@@ -443,6 +443,13 @@ class Pipe:
 
         return Pipe(regrid_bilinear(self.ds, src=src, dst=dst, **kwargs))
 
+    def regrid_average(self, src: dict, dst: dict, **kwargs) -> "Pipe":
+        """Area-average (anti-aliased) downsample of a sparse raster
+        pipe — the join-free fast regrid path."""
+        from .stages.rasterize import regrid_average
+
+        return Pipe(regrid_average(self.ds, src=src, dst=dst, **kwargs))
+
     def split_sentences(self, pattern: str = r"[.!?]+[\t\n\f\r ]+",
                         **kwargs) -> "Pipe":
         """Regex record/sentence splitting with 1-based part indices."""

@@ -498,6 +498,57 @@ SELECT ty, tx,
 FROM j GROUP BY ty, tx"""
 
 
+#: coarse target grid for the area-average downsample (4x+ reduction,
+#: cropped so out-of-range source pixels exercise the bounds filter)
+WARP_AVG_DST = {"x0": -150.0, "y0": -70.0, "x1": 90.0, "y1": 50.0,
+                "w": 30, "h": 15}
+
+
+def q_warp_avg(sf_dir: str):
+    """Area-average (anti-aliased) downsample — the ``Resampling.average``
+    regrid mode: every populated source pixel center bins into one coarse
+    target cell, the cell value is the mean over PRESENT pixels (weights
+    renormalize over what exists).  The FAST regrid path: no join — one
+    combiner-first reduce, only touched-cell partials shuffle; exact
+    int64 sum + count with ONE IEEE division so the DOUBLE value-checks
+    (stages/rasterize.py:regrid_average)."""
+    sparse = q_rasterize(sf_dir)
+    src = {"x0": -180.0, "y0": -90.0, "x1": 180.0, "y1": 90.0,
+           "nx": TILE_NX, "ny": TILE_NY, "px": TILE_PX}
+    return rz.regrid_average(sparse, src=src, dst=WARP_AVG_DST)
+
+
+def _sql_warp_avg() -> str:
+    d = WARP_AVG_DST
+    w, h = d["w"], d["h"]
+    nx, ny, pxn = TILE_NX, TILE_NY, TILE_PX
+    pw = (180.0 - -180.0) / (nx * pxn)
+    ph = (90.0 - -90.0) / (ny * pxn)
+    tw = (d["x1"] - d["x0"]) / w
+    th = (d["y1"] - d["y0"]) / h
+    return f"""{_sql_rasterize_cte()},
+srcg AS (
+  SELECT (tile_id % {nx}) * {pxn} + px AS gx,
+         ({ny} - 1 - tile_id // {nx}) * {pxn} + py AS gyt,
+         n
+  FROM hist
+),
+tk AS (
+  SELECT
+    CAST(FLOOR((({-180.0!r} + (gx + 0.5) * {pw!r}) - {d["x0"]!r})
+               / {tw!r}) AS BIGINT) AS tx,
+    CAST(FLOOR(({d["y1"]!r} - ({90.0!r} - (gyt + 0.5) * {ph!r}))
+               / {th!r}) AS BIGINT) AS ty,
+    n
+  FROM srcg
+),
+tkf AS (SELECT * FROM tk
+        WHERE tx >= 0 AND tx < {w} AND ty >= 0 AND ty < {h})
+SELECT ty, tx, CAST(COUNT(*) AS BIGINT) AS npix,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS val
+FROM tkf GROUP BY 1, 2"""
+
+
 def q_r2v(sf_dir: str):
     """Raster→vector round trip: sparse histogram → dense tile rasters →
     pixel-center point rows (tile_id, lon, lat, value) — the full
@@ -5182,6 +5233,7 @@ FROM g,
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
         "warp_bilinear": _sql_warp_bilinear(),
+        "warp_avg": _sql_warp_avg(),
         "curate2": _sql_curate2(),
         "dedup_docs": (
             "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, "
@@ -5761,6 +5813,7 @@ def build_queries() -> dict:
         "r2v": q_r2v,
         "warp": q_warp,
         "warp_bilinear": q_warp_bilinear,
+        "warp_avg": q_warp_avg,
         "curate2": q_curate2,
         "dedup_docs": q_dedup_docs,
         "delta_dedup": q_delta_dedup,

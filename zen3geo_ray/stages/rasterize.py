@@ -929,3 +929,86 @@ def regrid_bilinear(sparse_ds, *, src: dict, dst: dict,
 
     return bucketed_groupby(joined, ["ty", "tx"], reduce_fn,
                             n_buckets=n_buckets)
+
+
+def regrid_average(sparse_ds, *, src: dict, dst: dict,
+                   value_col: str = "n", fwd_transform=None,
+                   n_buckets: int = 16):
+    """Area-average (anti-aliased) DOWNSAMPLE of a sparse raster — the
+    ``Resampling.average`` mode beside :func:`regrid_nearest` /
+    :func:`regrid_bilinear` (rioxarray delegates this to GDAL,
+    `/root/reference/zen3geo/datapipes/rioxarray.py`).  Each populated
+    SOURCE pixel center lands in exactly one target cell; the cell's
+    value is the mean over its present source pixels — weights
+    renormalize over what exists, which is exactly what makes the
+    result alias-free on sparse data.  Output ``(ty, tx, npix, val)``:
+    ``npix`` the int64 contributing-pixel count, ``val`` DOUBLE.
+
+    BIT-PARITY float discipline: the mean is computed as an EXACT int64
+    sum and count with ONE IEEE division at the end — no
+    float-summation-order hazard, so the oracle (query ``warp_avg``)
+    value-checks the DOUBLE bit-exactly.  ``value_col`` must therefore
+    be integral (count rasters); float inputs would need a per-cell
+    ordered reduction instead.
+
+    ``fwd_transform(lon, lat) -> (X, Y)`` is the cross-CRS hook (the
+    FORWARD direction this time: source centers project into the dst
+    CRS before binning — e.g. ``geom.crs.transform`` to EPSG:3857).
+
+    100-TB shape: this is the FAST regrid path — no join at all.  Source
+    rows pre-aggregate per (ty, tx) inside each batch (combiner) and ONE
+    bucketed reduce merges the partials; only touched-cell partials ever
+    shuffle, the target grid is never even enumerated.
+    """
+    from .bucketed import bucketed_groupby
+
+    nx, ny, pxn = int(src["nx"]), int(src["ny"]), int(src["px"])
+    sx0, sy1 = float(src["x0"]), float(src["y1"])
+    pw = (float(src["x1"]) - float(src["x0"])) / (nx * pxn)
+    ph = (float(src["y1"]) - float(src["y0"])) / (ny * pxn)
+    w, h = int(dst["w"]), int(dst["h"])
+    dx0, dy1 = float(dst["x0"]), float(dst["y1"])
+    tw = (float(dst["x1"]) - float(dst["x0"])) / w
+    th = (float(dst["y1"]) - float(dst["y0"])) / h
+
+    def partial(b: pa.Table) -> pa.Table:
+        tid = b.column("tile_id").to_numpy(zero_copy_only=False)
+        py = b.column("py").to_numpy(zero_copy_only=False)
+        px = b.column("px").to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gx = (tid % nx) * pxn + px
+        gyt = (ny - 1 - tid // nx) * pxn + py
+        lon = sx0 + (gx.astype(np.float64) + 0.5) * pw
+        lat = sy1 - (gyt.astype(np.float64) + 0.5) * ph
+        if fwd_transform is not None:
+            lon, lat = fwd_transform(lon, lat)
+        tx = np.floor((lon - dx0) / tw)
+        ty = np.floor((dy1 - lat) / th)
+        ok = ((tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+              & np.isfinite(tx) & np.isfinite(ty))
+        key = ty[ok].astype(np.int64) * w + tx[ok].astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        vs = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(vs, inv, v[ok])
+        np_ = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "ty": pa.array(uk // w), "tx": pa.array(uk % w),
+            "_vs": pa.array(vs), "_np": pa.array(np_),
+        })
+
+    def reduce_fn(df):
+        import pandas as pd
+
+        g = (df.groupby(["ty", "tx"], sort=False, as_index=False)
+             [["_vs", "_np"]].sum())
+        vs = g["_vs"].to_numpy().astype(np.int64)
+        npx = g["_np"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "ty": g["ty"], "tx": g["tx"], "npix": npx,
+            "val": vs.astype(np.float64) / npx.astype(np.float64),
+        })
+
+    return bucketed_groupby(
+        sparse_ds.map_batches(partial, batch_format="pyarrow"),
+        ["ty", "tx"], reduce_fn, n_buckets=n_buckets)
