@@ -33,7 +33,7 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs):
 
 
 def read_vector(path: str, columns: list[str] | None = None,
-                layer: str | None = None) -> pa.Table:
+                layer: str | None = None, bbox=None) -> pa.Table:
     """Driver-side small-side vector table load (POLYGONS schema).
 
     Formats: parquet (default), GeoJSON (``.geojson`` / ``.json`` —
@@ -42,7 +42,14 @@ def read_vector(path: str, columns: list[str] | None = None,
     ``layer=`` selects among feature tables) and ESRI Shapefile
     (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) — all yielding
     the identical fixed POLYGONS schema so downstream joins are
-    format-agnostic (the reference's pyogrio multi-format surface)."""
+    format-agnostic (the reference's pyogrio multi-format surface).
+
+    ``bbox=(minx, miny, maxx, maxy)`` keeps only features whose bounds
+    intersect the window (pyogrio ``read_dataframe(..., bbox=)``,
+    `pyogrio.py:89` kwargs passthrough).  On parquet the predicate
+    pushes down to ROW-GROUP statistics of the covering columns
+    (sources/geoparquet.py) — pruned groups never leave storage; the
+    other formats filter after the parse."""
     if path.endswith(".zip") or ".zip!" in path:
         # the reference's /vsizip/ surface (pyogrio.py:87-89): read a
         # vector layer out of a zip archive; "archive.zip!member" pins
@@ -74,7 +81,7 @@ def read_vector(path: str, columns: list[str] | None = None,
                 # extract everything: .shp needs its .dbf sidecar
                 zf.extractall(td, members=names)
                 return read_vector(os.path.join(td, target),
-                                   columns=columns, layer=layer)
+                                   columns=columns, layer=layer, bbox=bbox)
     if path.endswith((".geojson", ".json")):
         from .geojson import geojson_to_polygons_table
 
@@ -92,7 +99,18 @@ def read_vector(path: str, columns: list[str] | None = None,
 
         t = read_flatgeobuf(path)
     else:
+        if bbox is not None:
+            from .geoparquet import read_geoparquet
+
+            return read_geoparquet(path, columns=columns, bbox=bbox)
         return pq.read_table(path, columns=columns)
+    if bbox is not None:
+        qminx, qminy, qmaxx, qmaxy = (float(v) for v in bbox)
+        keep = ((t.column("minx").to_numpy() <= qmaxx)
+                & (t.column("maxx").to_numpy() >= qminx)
+                & (t.column("miny").to_numpy() <= qmaxy)
+                & (t.column("maxy").to_numpy() >= qminy))
+        t = t.filter(pa.array(keep))
     return t.select(columns) if columns else t
 
 
