@@ -358,3 +358,41 @@ def test_dsir_weights_bruteforce(ray_session):
         row = out.loc[i]
         assert (row["n_tokens"], row["tf_sum"], row["rf_sum"]) == (n, tf, rf)
         assert row["ratio"] == ratio
+
+
+@pytest.mark.parametrize("bv", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_collocations_brute_force(ray_session, bv):
+    """PMI top-k vs a driver-side brute force: identical counts, scores
+    and (pmi DESC, w1, w2) selection on both unigram-attach paths."""
+    from collections import Counter
+
+    from zen3geo_ray.stages.ngrams import collocations
+
+    texts = ["a b a b c d", "a b c c", "x y x y x y", "d c a b", ""]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+    out = collocations(ds, top_k=4, min_count=2, n_buckets=4,
+                       broadcast_vocab=bv).to_pandas()
+
+    uni = Counter(w for t in texts for w in t.split())
+    big = Counter((a, b) for t in texts
+                  for a, b in zip(t.split(), t.split()[1:]))
+    n = sum(uni.values())
+    m = sum(big.values())
+    rows = []
+    for (a, b), c in big.items():
+        if c >= 2:
+            pmi = (float(c) * (float(n) * float(n))) / (
+                (float(m) * float(uni[a])) * float(uni[b]))
+            rows.append((a, b, c, uni[a], uni[b], pmi))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = rows[:4]
+    got = [tuple(r) for r in out[
+        ["w1", "w2", "c_xy", "c_x", "c_y", "pmi"]].to_numpy()]
+    assert got == want and len(want) == 4
+
+
+def test_collocations_empty_corpus(ray_session):
+    from zen3geo_ray.stages.ngrams import collocations
+
+    ds = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    assert collocations(ds, top_k=5).count() == 0

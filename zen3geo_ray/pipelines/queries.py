@@ -2011,6 +2011,51 @@ def q_ngram_topk(sf_dir: str):
     return top_ngrams(docs, n=2, k_top=NGRAM_TOPK)
 
 
+COLLOC_K, COLLOC_MIN = 40, 4
+
+
+def q_colloc(sf_dir: str):
+    """PMI collocation mining (Church & Hanks): top-k adjacent bigrams by
+    the log-free PMI exponential (c_xy*N*N)/((M*c_x)*c_y) — exact int64
+    counts entering one shared float expression shape so the DOUBLE
+    value-checks; combiner-first counts, broadcast unigram lookup, local
+    top-k before a one-block finale (stages/ngrams.py:collocations)."""
+    from ..stages.ngrams import collocations
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return collocations(docs, top_k=COLLOC_K, min_count=COLLOC_MIN)
+
+
+def _sql_colloc() -> str:
+    return f"""
+WITH tok AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+uni AS (SELECT unnest(toks) AS w FROM tok),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)]))
+    AS g
+  FROM tok
+),
+mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bg),
+bcnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY g
+         HAVING COUNT(*) >= {COLLOC_MIN}),
+sp AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, c
+       FROM bcnt)
+SELECT s.w1, s.w2, s.c AS c_xy, u1.cu AS c_x, u2.cu AS c_y,
+       (CAST(s.c AS DOUBLE)
+        * (CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE)))
+       / ((CAST(mt.m AS DOUBLE) * CAST(u1.cu AS DOUBLE))
+          * CAST(u2.cu AS DOUBLE)) AS pmi
+FROM sp s JOIN ucnt u1 ON u1.w = s.w1 JOIN ucnt u2 ON u2.w = s.w2
+CROSS JOIN nt CROSS JOIN mt
+ORDER BY pmi DESC, s.w1, s.w2 LIMIT {COLLOC_K}"""
+
+
 def q_shards(sf_dir: str):
     """Deterministic global shuffle into training shards: bijective
     multiply-add hash -> shard = h % N, pos = rank within shard by h —
@@ -5029,6 +5074,7 @@ def build_oracles() -> dict[str, str]:
             "SELECT gram, COUNT(*) AS n FROM g GROUP BY 1 "
             f"ORDER BY n DESC, gram LIMIT {NGRAM_TOPK}"
         ),
+        "colloc": _sql_colloc(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
@@ -5861,6 +5907,7 @@ def build_queries() -> dict:
         "dup_ngram": q_dup_ngram,
         "decontam": q_decontam,
         "ngram_topk": q_ngram_topk,
+        "colloc": q_colloc,
         "shards": q_shards,
         "quota": q_quota,
         "user_gaps": q_user_gaps,

@@ -273,3 +273,141 @@ def skipgram_counts(ds, text_col: str = "text", window: int = 2,
         return out
 
     return bucketed_groupby(partials, ["w1", "w2"], fn, n_buckets=n_buckets)
+
+
+def collocations(ds, text_col: str = "text", *, top_k: int = 50,
+                 min_count: int = 5, n_buckets: int = 32,
+                 broadcast_vocab: int = 2_000_000):
+    """PMI collocation mining: the corpus's top ``top_k`` adjacent-token
+    bigrams ranked by pointwise mutual information against the unigram
+    product model — the classic collocation-extraction surface (Church &
+    Hanks 1990) for phrase mining / tokenizer-merge candidates.
+
+    The score is the PMI EXPONENTIAL p(xy)/(p(x)p(y)), computed log-free
+    so the oracle (query ``colloc``) value-checks the DOUBLE bit-exactly:
+    ``pmi = (c_xy * (N * N)) / ((M * c_x) * c_y)`` with exact int64
+    counts entering ONE shared float expression shape on both sides
+    (rank-equivalent to log-PMI; ties break on (w1, w2)).  ``min_count``
+    drops hapax pairs before any join.
+
+    Output: ``(w1, w2, c_xy, c_x, c_y, pmi)``, ``top_k`` rows by
+    (pmi DESC, w1, w2).
+
+    100-TB shape: bigram and unigram counts are combiner-first
+    (vocab²- / vocab-bounded shuffles); corpus totals fold one bounded
+    partial row per block on the driver; the unigram table attaches via
+    ``ray.put`` broadcast below ``broadcast_vocab`` rows (zero extra
+    shuffles) or two bucketed hash joins above it; top-k runs per-block
+    locally before a single-block finale — the full score table never
+    sits on the driver.
+    """
+    import ray
+
+    big = skipgram_counts(ds, text_col, window=1,
+                          n_buckets=n_buckets).materialize()
+
+    def upartial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = tokens_flat(batch, text_col)
+        w, c = np.unique(flat.to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "cu": pa.array(c.astype(np.int64))})
+
+    ucnt = bucketed_groupby(
+        ds.map_batches(upartial, batch_format="pyarrow"), ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["cu"].sum(),
+        n_buckets=n_buckets).materialize()
+
+    def _total(counts_ds, col: str) -> int:
+        parts = counts_ds.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [int(b.column(col).to_numpy().sum())] if b.num_rows
+                else [0], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        return int(parts["s"].sum()) if len(parts) else 0
+
+    n_tok = _total(ucnt, "cu")
+    m_big = _total(big, "n")
+    if n_tok == 0 or m_big == 0:
+        return big.map_batches(lambda b: pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "c_xy": pa.array([], pa.int64()),
+            "c_x": pa.array([], pa.int64()),
+            "c_y": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}), batch_format="pyarrow")
+    nn = float(n_tok) * float(n_tok)
+    md = float(m_big)
+
+    filt = big.map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("n").to_numpy(zero_copy_only=False) >= min_count)),
+        batch_format="pyarrow")
+
+    def _pmi(c, cx, cy):
+        return ((c.astype(np.float64) * nn)
+                / ((md * cx.astype(np.float64)) * cy.astype(np.float64)))
+
+    if ucnt.count() <= broadcast_vocab:
+        udf = ucnt.to_pandas()
+        order = np.argsort(udf["w"].to_numpy(), kind="mergesort")
+        ws = udf["w"].to_numpy()[order]
+        cs = udf["cu"].to_numpy()[order].astype(np.int64)
+        ref = ray.put((ws, cs)) if ray.is_initialized() else (ws, cs)
+
+        def score_bc(b: pa.Table, _ref=ref) -> pa.Table:
+            from .graph import _get_blob
+
+            vw, vc = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+            w1 = b.column("w1").to_numpy(zero_copy_only=False)
+            w2 = b.column("w2").to_numpy(zero_copy_only=False)
+            c = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            # every bigram token exists in the unigram table by
+            # construction: searchsorted hits are exact
+            cx = vc[np.searchsorted(vw, w1)]
+            cy = vc[np.searchsorted(vw, w2)]
+            return pa.table({
+                "w1": b.column("w1"), "w2": b.column("w2"),
+                "c_xy": pa.array(c), "c_x": pa.array(cx),
+                "c_y": pa.array(cy), "pmi": pa.array(_pmi(c, cx, cy)),
+            })
+
+        scored = filt.map_batches(score_bc, batch_format="pyarrow")
+    else:
+        from .hashjoin import bucketed_join
+
+        u1 = ucnt.map_batches(
+            lambda b: b.rename_columns(["w1", "c_x"]),
+            batch_format="pyarrow")
+        u2 = ucnt.map_batches(
+            lambda b: b.rename_columns(["w2", "c_y"]),
+            batch_format="pyarrow")
+        j = bucketed_join(bucketed_join(filt, u1, ["w1"],
+                                        n_buckets=n_buckets),
+                          u2, ["w2"], n_buckets=n_buckets)
+
+        def score_j(b: pa.Table) -> pa.Table:
+            c = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            cx = b.column("c_x").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cy = b.column("c_y").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "w1": b.column("w1"), "w2": b.column("w2"),
+                "c_xy": pa.array(c), "c_x": pa.array(cx),
+                "c_y": pa.array(cy), "pmi": pa.array(_pmi(c, cx, cy)),
+            })
+
+        scored = j.map_batches(score_j, batch_format="pyarrow")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort").head(top_k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    return (scored.map_batches(local_top, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local_top, batch_format="pyarrow",
+                         batch_size=None))
