@@ -396,3 +396,42 @@ def test_collocations_empty_corpus(ray_session):
 
     ds = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     assert collocations(ds, top_k=5).count() == 0
+
+
+def test_chi2_feature_select_brute_force(ray_session):
+    """Token chi-square vs a driver-side 2x2 reference, including the
+    degenerate-margin drop (a token present in every doc)."""
+    from collections import Counter
+
+    from zen3geo_ray.stages.tfidf import chi2_feature_select
+
+    texts = ["good fine stop", "good nice stop", "bad ugly stop",
+             "bad good stop", "fine stop"]
+    langs = ["en", "en", "de", "de", "en"]
+    ds = rd.from_arrow(pa.table({"text": texts, "lang": langs}))
+    ds = ds.repartition(2)
+    out = chi2_feature_select(ds, label_col="lang", label_val="en",
+                              top_k=10, min_df=1, n_buckets=4).to_pandas()
+
+    t = len(texts)
+    p = sum(1 for v in langs if v == "en")
+    df = Counter(); av = Counter()
+    for tx, lg in zip(texts, langs):
+        for w in set(tx.split()):
+            df[w] += 1
+            av[w] += int(lg == "en")
+    rows = []
+    for w in df:
+        a, d_ = av[w], df[w]
+        b = d_ - a; c = p - a; d = t - p - b
+        if min(a + b, c + d, a + c, b + d) <= 0:
+            continue  # 'stop' is in every doc -> dropped
+        delta = float(a * d - b * c)
+        chi2 = (float(t) * (delta * delta)) / (
+            (float(a + b) * float(c + d)) * (float(a + c) * float(b + d)))
+        rows.append((w, a, d_, chi2))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    got = [tuple(r) for r in out[["w", "n_pos", "df", "chi2"]].to_numpy()]
+    assert got == rows
+    assert "stop" not in {r[0] for r in got}  # degenerate margin dropped
+    assert got[0][0] in ("bad", "ugly")  # perfectly separating features

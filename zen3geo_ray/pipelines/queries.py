@@ -2011,6 +2011,51 @@ def q_ngram_topk(sf_dir: str):
     return top_ngrams(docs, n=2, k_top=NGRAM_TOPK)
 
 
+CHI2_K, CHI2_MIN_DF = 40, 5
+
+
+def q_chi2_tokens(sf_dir: str):
+    """Chi-square token feature selection (fastText-filter features):
+    rank tokens by the 2x2 presence-vs-(lang='en') chi-square — exact
+    int64 contingency cells, one shared float expression shape so the
+    DOUBLE value-checks; label margin is two driver scalars, no
+    label-side shuffle (stages/tfidf.py:chi2_feature_select)."""
+    from ..stages.tfidf import chi2_feature_select
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 rows_per_block=1000)
+    return chi2_feature_select(docs, label_col="lang", label_val="en",
+                               top_k=CHI2_K, min_df=CHI2_MIN_DF)
+
+
+def _sql_chi2_tokens() -> str:
+    return f"""
+WITH lab AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(y) AS BIGINT) AS p FROM lab),
+tok AS (SELECT y, unnest(toks) AS w FROM lab),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(y) AS BIGINT) AS a
+        FROM tok GROUP BY w HAVING COUNT(*) >= {CHI2_MIN_DF}),
+g AS (SELECT w, a, df,
+             df - a AS b, p - a AS c, t - p - (df - a) AS d, t
+      FROM cnt CROSS JOIN tot),
+h AS (SELECT w, a AS n_pos, df,
+             (CAST(t AS DOUBLE)
+              * (CAST(a * d - b * c AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)))
+             / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+               AS chi2
+      FROM g
+      WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0)
+SELECT w, n_pos, df, chi2 FROM h ORDER BY chi2 DESC, w LIMIT {CHI2_K}"""
+
+
 COLLOC_K, COLLOC_MIN = 40, 4
 
 
@@ -5075,6 +5120,7 @@ def build_oracles() -> dict[str, str]:
             f"ORDER BY n DESC, gram LIMIT {NGRAM_TOPK}"
         ),
         "colloc": _sql_colloc(),
+        "chi2_tokens": _sql_chi2_tokens(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
@@ -5908,6 +5954,7 @@ def build_queries() -> dict:
         "decontam": q_decontam,
         "ngram_topk": q_ngram_topk,
         "colloc": q_colloc,
+        "chi2_tokens": q_chi2_tokens,
         "shards": q_shards,
         "quota": q_quota,
         "user_gaps": q_user_gaps,

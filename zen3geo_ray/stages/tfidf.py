@@ -224,3 +224,106 @@ def bm25_topk(docs, terms: list[str], *, k: int = 20,
 
     return local.repartition(1).map_batches(finale,
                                             batch_format="pyarrow")
+
+
+def chi2_feature_select(docs, *, text_col: str = "text",
+                        label_col: str = "lang", label_val: str = "en",
+                        top_k: int = 50, min_df: int = 5,
+                        n_buckets: int = 32):
+    """Chi-square token feature selection for document classifiers
+    (the fastText-quality-filter feature-picking step): rank tokens by
+    the 2x2 chi-square between PRESENCE-in-doc and a binary label
+    ``label_col == label_val``.
+
+    chi2 = T * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)) over the
+    contingency cells a (token & label) / b (token & ~label) /
+    c (~token & label) / d (~token & ~label).  All cell arithmetic is
+    exact int64 (delta = a*d - b*c stays exact while T^2 < 2^63); the
+    final value enters ONE shared float expression shape —
+    (T·(Δ·Δ)) / ((ab·cd)·(ac·bd)) — so the DOUBLE value-checks
+    bit-exactly (oracle ``chi2_tokens``).  Degenerate tokens (a margin
+    of zero, e.g. a token present in EVERY doc) are dropped, mirroring
+    the SQL WHERE.
+
+    Output: ``(w, n_pos, df, chi2)``, ``top_k`` rows by
+    (chi2 DESC, w) — ``n_pos`` = labeled docs containing w, ``df`` =
+    all docs containing w.
+
+    100-TB shape: per-batch (token -> df/a partials) over per-doc
+    DISTINCT tokens bound the one shuffle by |vocab per block|; totals
+    fold one bounded row per block on the driver; top-k is local-
+    then-one-block.  The label margin (T, P) is two scalars — no
+    label-side shuffle exists at all.
+    """
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        y = (b.column(label_col).to_numpy(zero_copy_only=False)
+             == label_val).astype(np.int64)
+        df = pd.DataFrame({
+            "w": flat.to_numpy(zero_copy_only=False), "d": doc_of,
+        }).drop_duplicates()
+        df["a"] = y[df["d"].to_numpy()]
+        g = df.groupby("w", sort=False, as_index=False).agg(
+            df_=("d", "size"), a=("a", "sum"))
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "df": pa.array(g["df_"].to_numpy().astype(np.int64)),
+            "a": pa.array(g["a"].to_numpy().astype(np.int64)),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    cnt = bucketed_groupby(
+        partials, ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)
+        [["df", "a"]].sum(),
+        n_buckets=n_buckets)
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        y = (b.column(label_col).to_numpy(zero_copy_only=False)
+             == label_val)
+        return pa.table({"t": pa.array([b.num_rows], pa.int64()),
+                         "p": pa.array([int(y.sum())], pa.int64())})
+
+    tp = docs.map_batches(tot_partial, batch_format="pyarrow").to_pandas()
+    t = int(tp["t"].sum()) if len(tp) else 0
+    p = int(tp["p"].sum()) if len(tp) else 0
+
+    def score(b: pa.Table) -> pa.Table:
+        df_ = b.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = df_ >= min_df
+        w = b.column("w").to_numpy(zero_copy_only=False)[keep]
+        df_, a = df_[keep], a[keep]
+        bb = df_ - a
+        c = p - a
+        d = t - p - bb
+        ab, cd, ac, bd = a + bb, c + d, a + c, bb + d
+        ok = (ab > 0) & (cd > 0) & (ac > 0) & (bd > 0)
+        w, a, df_ = w[ok], a[ok], df_[ok]
+        delta = (a * d[ok] - bb[ok] * c[ok]).astype(np.float64)
+        chi2 = ((float(t) * (delta * delta))
+                / ((ab[ok].astype(np.float64) * cd[ok].astype(np.float64))
+                   * (ac[ok].astype(np.float64)
+                      * bd[ok].astype(np.float64))))
+        return pa.table({
+            "w": pa.array(w, pa.string()),
+            "n_pos": pa.array(a), "df": pa.array(df_),
+            "chi2": pa.array(chi2, pa.float64()),
+        })
+
+    scored = cnt.map_batches(score, batch_format="pyarrow")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        g = b.to_pandas().sort_values(
+            ["chi2", "w"], ascending=[False, True],
+            kind="mergesort").head(top_k)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (scored.map_batches(local_top, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local_top, batch_format="pyarrow",
+                         batch_size=None))
