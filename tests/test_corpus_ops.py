@@ -435,3 +435,24 @@ def test_chi2_feature_select_brute_force(ray_session):
     assert got == rows
     assert "stop" not in {r[0] for r in got}  # degenerate margin dropped
     assert got[0][0] in ("bad", "ugly")  # perfectly separating features
+
+
+def test_rrf_fuse_brute_force(ray_session):
+    """RRF vs hand arithmetic: overlap sums both lists, one-list docs
+    contribute a single reciprocal, ranks break score ties by id."""
+    from zen3geo_ray.stages.tfidf import rrf_fuse
+
+    a = rd.from_arrow(pa.table({
+        "doc_id": np.array([10, 20, 30], np.int64),
+        "score": np.array([3.0, 2.0, 2.0], np.float64)}))  # tie 20/30
+    b = rd.from_arrow(pa.table({
+        "doc_id": np.array([30, 40], np.int64),
+        "score": np.array([9.0, 1.0], np.float64)}))
+    out = rrf_fuse([a, b], rrf_k=60, top_k=10).to_pandas()
+    # ranks: a: 10->1, 20->2 (tie broken by id), 30->3; b: 30->1, 40->2
+    want = {10: 1 / 61, 20: 1 / 62, 30: (0.0 + 1 / 63) + 1 / 61,
+            40: 1 / 62}
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    assert got == want
+    # ordering: 30 first (two lists), then 10, then 20/40 tie -> id asc
+    assert out["doc_id"].tolist() == [30, 10, 20, 40]

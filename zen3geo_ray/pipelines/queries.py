@@ -3390,8 +3390,10 @@ def q_bm25(sf_dir: str):
     return bm25_topk(docs, BM25_TERMS, k=BM25_K)
 
 
-def _sql_bm25() -> str:
-    terms = BM25_TERMS
+def _sql_bm25_ctes(prefix: str, terms: list[str], k: int) -> str:
+    """The bm25 chained CTEs with a name prefix so two rankings can
+    coexist in one statement (RRF oracle); the final CTE is
+    ``{prefix}top (doc_id, score)`` — top-k by (score DESC, doc_id)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     avgdl = "(CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
     contrib = (
@@ -3406,26 +3408,67 @@ def _sql_bm25() -> str:
     add = "c0"
     for j in range(1, len(terms)):
         add = f"({add} + c{j})"
-    return f"""
-WITH tok AS (
+    q = prefix
+    return f"""{q}tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
   FROM documents
 ),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+{q}dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM {q}tok
        GROUP BY doc_id),
-stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
-tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+{q}stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sdl FROM {q}dl),
+{q}tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM {q}tok
        WHERE w IN ({in_list}) GROUP BY doc_id, w),
-df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
-c AS (SELECT t.doc_id, t.w, {contrib} AS contrib
-      FROM tf t JOIN df f ON f.w = t.w
-      JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s),
-p AS (SELECT doc_id,
+{q}df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM {q}tf GROUP BY w),
+{q}c AS (SELECT t.doc_id, t.w, {contrib} AS contrib
+      FROM {q}tf t JOIN {q}df f ON f.w = t.w
+      JOIN {q}dl d ON d.doc_id = t.doc_id CROSS JOIN {q}stats s),
+{q}p AS (SELECT doc_id,
         {pivots}
-      FROM c GROUP BY doc_id)
-SELECT doc_id, {add} AS score FROM p
-ORDER BY score DESC, doc_id LIMIT {BM25_K}"""
+      FROM {q}c GROUP BY doc_id),
+{q}top AS (SELECT doc_id, {add} AS score FROM {q}p
+           ORDER BY score DESC, doc_id LIMIT {k})"""
+
+
+def _sql_bm25() -> str:
+    return (f"WITH {_sql_bm25_ctes('', BM25_TERMS, BM25_K)}\n"
+            "SELECT doc_id, score FROM top")
+
+
+BM25_TERMS_B = ["sort", "hash", "merge"]
+RRF_C, RRF_TOP = 60, 25
+
+
+def q_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 rankings (the hybrid-retrieval
+    combiner): rank r by (score DESC, doc_id) within each top-k list,
+    fused = 1/(60+r_a) + 1/(60+r_b) with missing entries 0.0 — fixed
+    addition order, so the DOUBLE value-checks
+    (stages/tfidf.py:rrf_fuse)."""
+    from ..stages.tfidf import bm25_topk, rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    a = bm25_topk(docs, BM25_TERMS, k=BM25_K)
+    b = bm25_topk(docs, BM25_TERMS_B, k=BM25_K)
+    return rrf_fuse([a, b], rrf_k=RRF_C, top_k=RRF_TOP)
+
+
+def _sql_rrf() -> str:
+    return f"""
+WITH {_sql_bm25_ctes('a_', BM25_TERMS, BM25_K)},
+{_sql_bm25_ctes('b_', BM25_TERMS_B, BM25_K)},
+ra AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM a_top),
+rb AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM b_top),
+u AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_C} + ra.r), 0.0)
+             + COALESCE(1.0 / ({RRF_C} + rb.r), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}"""
 
 
 PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
@@ -5121,6 +5164,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
+        "rrf": _sql_rrf(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
@@ -5955,6 +5999,7 @@ def build_queries() -> dict:
         "ngram_topk": q_ngram_topk,
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
+        "rrf": q_rrf,
         "shards": q_shards,
         "quota": q_quota,
         "user_gaps": q_user_gaps,

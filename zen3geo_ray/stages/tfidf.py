@@ -327,3 +327,40 @@ def chi2_feature_select(docs, *, text_col: str = "text",
             .repartition(1)
             .map_batches(local_top, batch_format="pyarrow",
                          batch_size=None))
+
+
+def rrf_fuse(lists, *, id_col: str = "doc_id", rrf_k: int = 60,
+             top_k: int = 20):
+    """Reciprocal-rank fusion of ranked lists — the hybrid-retrieval
+    combiner (Cormack et al. 2009; BM25 + dense lists in every modern
+    RAG data stack).  Each input is a ``(id, score)`` Dataset ALREADY
+    bounded to its own top-k (fusion operates on result lists, not
+    corpora — the inputs are driver-bounded by contract, like seed
+    sets).  Ranks are (score DESC, id) 1-based; the fused score adds
+    ``1.0 / (rrf_k + rank)`` per list IN INPUT ORDER, missing entries
+    contribute 0.0 — left-associated additions with one shared shape,
+    so the DOUBLE value-checks bit-exactly (oracle ``rrf``).
+
+    Output: ``(id_col, rrf)``, ``top_k`` rows by (rrf DESC, id).
+    """
+    import ray.data as rd
+
+    ranked = []
+    for ds_ in lists:
+        df = ds_.to_pandas().sort_values(
+            ["score", id_col], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        ranked.append(dict(zip(df[id_col].to_numpy(),
+                               np.arange(1, len(df) + 1))))
+    ids = sorted(set().union(*[r.keys() for r in ranked]))
+    vals = []
+    for i in ids:
+        v = 0.0
+        for r in ranked:
+            v = v + (1.0 / (rrf_k + r[i]) if i in r else 0.0)
+        vals.append(v)
+    out = pd.DataFrame({id_col: ids, "rrf": vals}).sort_values(
+        ["rrf", id_col], ascending=[False, True],
+        kind="mergesort").head(top_k)
+    return rd.from_arrow(pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None))
