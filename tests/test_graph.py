@@ -898,3 +898,22 @@ def test_incremental_pagerank_two_runs(ray_session, tmp_path, bt):
                     broadcast_threshold=bt).to_pandas()
     assert (dict(zip(r2["node"], r2["pr"]))
             == dict(zip(want["node"], want["pr"])))
+
+
+def test_pinned_pagerank_warm_state_parity(ray_session):
+    """warm_state on the pinned path == graph.pagerank(warm_state=)
+    bit for bit, including an unknown node in the warm vector."""
+    from zen3geo_ray.stages.pregel import pinned_pagerank
+
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    warm = rd.from_arrow(pa.table({
+        "node": np.array([0, 1, 2, 10 ** 9], np.int64),  # 1e9 not in graph
+        "pr": np.array([111, 222, 2 ** 60 + 3, 7], np.int64),
+    }))
+    got = pinned_pagerank(edges, iters=3, n_shards=3,
+                          warm_state=warm).to_pandas()
+    want = pagerank(edges, iters=3, scale=SCALE, n_buckets=8,
+                    warm_state=warm).to_pandas()
+    assert (dict(zip(got["node"], got["pr"]))
+            == dict(zip(want["node"], want["pr"])))

@@ -141,6 +141,20 @@ def _make_shard_cls():
                     self.seed = np.zeros(len(self.nodes), dtype=np.int64)
             self.pr = self.seed * int(r0)
 
+        def warm_ranks(self, nd: np.ndarray, pr: np.ndarray) -> int:
+            """Override the start vector for the given LOCAL nodes (warm
+            start; call after init_rank).  Unknown nodes are ignored;
+            pure overwrite, so redelivery is harmless (idempotent)."""
+            nd = np.asarray(nd, np.int64)
+            prv = np.asarray(pr, np.int64)
+            if len(self.nodes) == 0 or len(nd) == 0:
+                return 0
+            ix = np.minimum(np.searchsorted(self.nodes, nd),
+                            len(self.nodes) - 1)
+            hit = self.nodes[ix] == nd
+            self.pr[ix[hit]] = prv[hit]
+            return int(hit.sum())
+
         def contribs(self) -> list:
             """S per-destination-shard (node, sum) partial tables."""
             if len(self.src) == 0:
@@ -745,7 +759,8 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
                     iters: int = 4, scale: int = 10 ** 12,
                     d_num: int = 85, d_den: int = 100,
                     n_shards: int | None = None,
-                    weight_col: str | None = None, seeds=None):
+                    weight_col: str | None = None, seeds=None,
+                    warm_state=None):
     """PageRank over actor-pinned edge shards (see module docstring).
 
     Same result as ``graph.pagerank`` bit for bit — including the
@@ -755,7 +770,13 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
     contract, shipped whole to every shard) variants; per-round data
     movement excludes the edge table entirely.  Returns a Dataset built
     from the shard rank tables WITHOUT driver materialization
-    (``ray.data.from_arrow_refs``)."""
+    (``ray.data.from_arrow_refs``).
+
+    ``warm_state`` (Dataset of (node, pr), e.g. a prior run's output)
+    overrides the start vector exactly like ``graph.pagerank``'s
+    parameter: rows route to their owner shards in one map pass
+    (overwrite semantics — idempotent, so normal retries are safe) —
+    the pinned counterpart of ``incremental_pagerank``'s warm rounds."""
     import ray
     import ray.data as rd
 
@@ -838,6 +859,25 @@ def pinned_pagerank(edges, *, src: str = "src", dst: str = "dst",
         base = ((d_den - d_num) * scale) // (d_den * s_count)
         r0 = scale // s_count
         ray.get([sh.init_rank.remote(r0, seed_ids) for sh in shards])
+        if warm_state is not None:
+
+            def route_warm(b: pa.Table) -> pa.Table:
+                hs = ray.get(shards_ref)
+                nd = b.column(NODE).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pr = b.column("pr").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                sh = _shard_of(nd, S)
+                acks = []
+                for j in range(S):
+                    m = sh == j
+                    if m.any():
+                        acks.append(hs[j].warm_ranks.remote(nd[m], pr[m]))
+                ray.get(acks)
+                return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+            warm_state.map_batches(
+                route_warm, batch_format="pyarrow").materialize()
 
         for _ in range(iters):
             # S refs per shard; partial tables flow actor-to-actor
