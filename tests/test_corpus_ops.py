@@ -456,3 +456,38 @@ def test_rrf_fuse_brute_force(ray_session):
     assert got == want
     # ordering: 30 first (two lists), then 10, then 20/40 tie -> id asc
     assert out["doc_id"].tolist() == [30, 10, 20, 40]
+
+
+def test_source_minhash_sim_brute_force(ray_session):
+    """Source-level MinHash similarity vs local numpy folding: identical
+    doc unions give agree=64/sim=1.0; every other pair matches the
+    per-doc-signature group-min counted by hand."""
+    from zen3geo_ray.stages.dedup import (minhash_signatures,
+                                          source_minhash_sim)
+
+    texts = [f"tok{i} tok{i + 1} tok{i + 2} alpha beta gamma delta w{i}"
+             for i in range(12)]
+    # a and b hold the SAME six docs; c holds the other six
+    rows_text = texts[:6] + texts[:6] + texts[6:]
+    rows_src = ["a"] * 6 + ["b"] * 6 + ["c"] * 6
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(rows_text, pa.string()),
+        "source": pa.array(rows_src, pa.string()),
+    })).repartition(4)
+
+    P, K = 64, 3
+    out = source_minhash_sim(ds, group_col="source", text_col="text",
+                             num_perm=P, k=K, n_buckets=8).to_pandas()
+    got = {(r.src_a, r.src_b): (r.agree, r.sim)
+           for r in out.itertuples()}
+
+    sig = minhash_signatures(rows_text, P, K)
+    gmin = {s: sig[[i for i, g in enumerate(rows_src) if g == s]].min(axis=0)
+            for s in ("a", "b", "c")}
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        agree = int((gmin[x] == gmin[y]).sum())
+        if agree >= 1:
+            assert got[(x, y)] == (agree, agree / P)
+        else:
+            assert (x, y) not in got
+    assert got[("a", "b")] == (P, 1.0)

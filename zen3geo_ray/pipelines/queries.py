@@ -767,6 +767,43 @@ def q_keep_best(sf_dir: str):
     return dedup.select_canonical(labels, meta)
 
 
+def q_src_sim(sf_dir: str):
+    """Corpus-level SOURCE similarity (the data-mixing diagnostic run
+    before choosing mixture weights): one MinHash signature per source
+    over the union of its docs' shingles (min over union = min of
+    per-doc minima, so the per-doc kernel folds exactly), then pairwise
+    signature agreement — sim = agree/64 is one IEEE division of exact
+    ints, value-checked (stages/dedup.py:source_minhash_sim)."""
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return dedup.source_minhash_sim(
+        docs, group_col="source", text_col="text",
+        num_perm=MH_NUM_PERM, k=MH_K)
+
+
+def _sql_src_sim() -> str:
+    a, b = dedup.perm_params(MH_NUM_PERM)
+    permvals = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(MH_NUM_PERM)
+    )
+    return f"""WITH {_sql_shingle_ctes(MH_K)},
+perm(p, a, b) AS (VALUES {permvals}),
+gsig AS (
+  SELECT d.source AS g, perm.p AS p,
+         MIN((shr.s * perm.a + perm.b) % {_SQL_M}) AS v
+  FROM shr JOIN documents d ON d.doc_id = shr.doc_id CROSS JOIN perm
+  GROUP BY d.source, perm.p
+),
+pairs AS (
+  SELECT x.g AS src_a, y.g AS src_b, CAST(COUNT(*) AS BIGINT) AS agree
+  FROM gsig x JOIN gsig y ON x.p = y.p AND x.v = y.v AND x.g < y.g
+  GROUP BY x.g, y.g
+)
+SELECT src_a, src_b, agree,
+       CAST(agree AS DOUBLE) / CAST({MH_NUM_PERM} AS DOUBLE) AS sim
+FROM pairs WHERE agree >= 1"""
+
+
 def _sql_keep_best() -> str:
     return (
         "WITH RECURSIVE " + _sql_minhash_cc_ctes()
@@ -5165,6 +5202,7 @@ def build_oracles() -> dict[str, str]:
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
         "rrf": _sql_rrf(),
+        "src_sim": _sql_src_sim(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
@@ -6000,6 +6038,7 @@ def build_queries() -> dict:
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
         "rrf": q_rrf,
+        "src_sim": q_src_sim,
         "shards": q_shards,
         "quota": q_quota,
         "user_gaps": q_user_gaps,

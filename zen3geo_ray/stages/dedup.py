@@ -35,6 +35,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import fnv1a_str_array, splitmix64
 
@@ -1179,4 +1180,94 @@ def select_canonical(labels, meta, *, id_col: str = "doc_id",
             "n_members": sizes.astype(np.int64)})
 
     return bucketed_groupby(joined, [group_col], pick,
+                            n_buckets=n_buckets)
+
+
+def source_minhash_sim(docs, *, group_col: str = "source",
+                       text_col: str = "text", num_perm: int = 64,
+                       k: int = 3, min_agree: int = 1,
+                       n_buckets: int = 32):
+    """Corpus-level DATASET similarity: one MinHash signature per
+    ``group_col`` value (source/domain/snapshot) over the union of its
+    docs' k-token shingles, then pairwise signature agreement — the
+    data-mixing / governance diagnostic ("how much does source A overlap
+    source B?") that runs before choosing mixture weights.
+
+    Exactness: min over the union = min of per-doc minima, so the group
+    signature folds from the existing per-doc ``minhash_signatures``
+    kernel (same poly64 + 63-bit perm arithmetic the SQL mirrors).
+    ``sim = agree / num_perm`` is ONE IEEE division of exact ints — the
+    DOUBLE value-checks (oracle ``src_sim``).
+
+    Output: ``(src_a, src_b, agree, sim)`` for pairs with
+    ``agree >= min_agree`` (src_a < src_b).
+
+    100-TB shape: per-batch partial minima bound the first shuffle by
+    |groups x num_perm| rows per block; the pair count is ONE bucketed
+    hash join on the (perm, value) key — 64-bit join keys, never
+    all-pairs over docs — plus one combiner-first pair reduce.  Group
+    cardinality is unbounded (domains), but only group-level rows ever
+    move.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
+
+    P = int(num_perm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sig = minhash_signatures(b.column(text_col).to_pylist(), P, k)
+        if len(sig) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "p": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        src = b.column(group_col).to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(src, return_inverse=True)
+        # segmented min, not ufunc.at (the .at scatter is an element-wise
+        # Python-level loop — reduceat over inv-sorted rows is the
+        # vectorized form; contiguous axis-0, so no strided-uint64 trap)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(ug)))
+        m = np.minimum.reduceat(
+            np.ascontiguousarray(sig[order]), starts, axis=0)
+        return pa.table({
+            "g": pa.array(np.repeat(ug, P), pa.string()),
+            "p": pa.array(np.tile(np.arange(P, dtype=np.int64), len(ug))),
+            "v": pa.array(m.reshape(-1).view(np.int64)),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        # uint64 min == int64 min after a consistent shift; do it in
+        # uint64 space to stay faithful to the hash order
+        g = g.copy()
+        g["_u"] = g["v"].to_numpy().astype(np.int64).view(np.uint64)
+        out = g.groupby(["g", "p"], sort=False, as_index=False)["_u"].min()
+        out["v"] = out["_u"].to_numpy().astype(np.uint64).view(np.int64)
+        return out[["g", "p", "v"]]
+
+    sig = bucketed_groupby(partials, ["g", "p"], reduce_min,
+                           n_buckets=n_buckets).materialize()
+
+    right = sig.map_batches(
+        lambda b: b.rename_columns(["g2", "p", "v"]),
+        batch_format="pyarrow")
+    pairs = bucketed_join(sig, right, ["p", "v"], n_buckets=n_buckets)
+    pairs = pairs.map_batches(
+        lambda b: b.filter(pc.less(b.column("g"), b.column("g2"))),
+        batch_format="pyarrow")
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["g", "g2"], sort=False, as_index=False).size()
+        out = out.rename(columns={"size": "agree", "g": "src_a",
+                                  "g2": "src_b"})
+        out = out[out["agree"] >= min_agree]
+        a = out["agree"].to_numpy().astype(np.int64)
+        out["agree"] = a
+        out["sim"] = a.astype(np.float64) / np.float64(P)
+        return out
+
+    return bucketed_groupby(pairs, ["g", "g2"], count_pairs,
                             n_buckets=n_buckets)
