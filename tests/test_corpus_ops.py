@@ -491,3 +491,35 @@ def test_source_minhash_sim_brute_force(ray_session):
         else:
             assert (x, y) not in got
     assert got[("a", "b")] == (P, 1.0)
+
+
+def test_strip_boilerplate_planted(ray_session):
+    """Planted nav-bar: 'home about contact login' opens 3 of 4 docs in
+    source a (75% >= 5%, df 3 >= 2) so every occurrence drops; source b
+    has the same block only once (df 1 < 2) so it survives there."""
+    from zen3geo_ray.stages.corpus import strip_boilerplate
+
+    nav = "home about contact login"
+    rows = [
+        (1, f"{nav} alpha beta gamma delta", "a"),
+        (2, f"{nav} epsilon zeta eta theta", "a"),
+        (3, nav, "a"),                       # fully-boilerplate doc
+        (4, "iota kappa lambda mu", "a"),    # untouched doc
+        (5, "", "a"),                        # zero-token doc
+        (6, f"{nav} nu xi omicron pi", "b"),  # df=1 in b -> survives
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(3)
+
+    out = (strip_boilerplate(ds, size=4, min_docs=2, frac_num=1,
+                             frac_den=20, n_buckets=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1].tolist() == ["alpha beta gamma delta", 2, 1]
+    assert out.loc[2].tolist() == ["epsilon zeta eta theta", 2, 1]
+    assert out.loc[3].tolist() == ["", 1, 0]
+    assert out.loc[4].tolist() == ["iota kappa lambda mu", 1, 1]
+    assert out.loc[5].tolist() == ["", 0, 0]
+    assert out.loc[6].tolist() == [f"{nav} nu xi omicron pi", 2, 2]

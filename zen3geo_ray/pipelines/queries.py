@@ -3552,6 +3552,63 @@ SELECT m.doc_id, COALESCE(r.ct, '') AS clean_text, m.n_blocks,
 FROM m LEFT JOIN r ON r.doc_id = m.doc_id"""
 
 
+BOIL_MIN_DOCS = 2
+BOIL_NUM, BOIL_DEN = 1, 20  # df >= 5% of the source's docs
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet/Dolma-style per-SOURCE boilerplate removal: 4-token blocks
+    occurring in >= 2 docs AND >= 5% of a source's docs (integer
+    cross-multiplied threshold) are dropped from EVERY doc of that
+    source — the nav-bar/footer/cookie-banner cleaning step that runs
+    before corpus-wide dedup (stages/corpus.py:strip_boilerplate — one
+    partial-count shuffle, broadcast boilerplate set, corpus never
+    shuffles)."""
+    from ..stages.corpus import strip_boilerplate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return strip_boilerplate(docs, size=PARA_SIZE, min_docs=BOIL_MIN_DOCS,
+                             frac_num=BOIL_NUM, frac_den=BOIL_DEN)
+
+
+def _sql_boilerplate() -> str:
+    k = PARA_SIZE
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks
+  FROM documents
+),
+nn AS (SELECT doc_id, source, toks, len(toks) AS nt FROM tok),
+c AS (SELECT doc_id, source, toks, nt,
+        unnest(range(0, (nt + {k - 1}) // {k})) AS ci
+      FROM nn WHERE nt > 0),
+b AS (SELECT doc_id, source, ci,
+        array_to_string(toks[ci*{k}+1 : least((ci+1)*{k}, nt)], ' ')
+          AS para
+      FROM c),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM documents GROUP BY source),
+dfq AS (SELECT source, para,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM b GROUP BY source, para),
+boil AS (SELECT dfq.source, dfq.para
+         FROM dfq JOIN tot ON tot.source = dfq.source
+         WHERE dfq.df >= {BOIL_MIN_DOCS}
+           AND dfq.df * {BOIL_DEN} >= {BOIL_NUM} * tot.nd),
+keep AS (SELECT b.doc_id, b.ci, b.para FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM boil
+                           WHERE boil.source = b.source
+                             AND boil.para = b.para)),
+r AS (SELECT doc_id, string_agg(para, ' ' ORDER BY ci) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM keep GROUP BY doc_id),
+m AS (SELECT doc_id, CAST((nt + {k - 1}) // {k} AS BIGINT) AS n_blocks
+      FROM nn)
+SELECT m.doc_id, COALESCE(r.ct, '') AS clean_text, m.n_blocks,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM m LEFT JOIN r ON r.doc_id = m.doc_id"""
+
+
 BIGRAM_V = 24
 
 
@@ -5799,6 +5856,7 @@ GROUP BY event_type, u - o.off
         ),
         "chunks": _sql_corpus_chunks(),
         "para_dedup": _sql_para_dedup(),
+        "boilerplate": _sql_boilerplate(),
         "unigram_lm": _sql_unigram_lm(),
         "bm25": _sql_bm25(),
         "bpe_train": _sql_bpe_train(),
@@ -6079,6 +6137,7 @@ def build_queries() -> dict:
         "cube": q_cube,
         "chunks": q_chunks,
         "para_dedup": q_para_dedup,
+        "boilerplate": q_boilerplate,
         "unigram_lm": q_unigram_lm,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,

@@ -50,53 +50,69 @@ def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
     stride = size - overlap
 
     def fn(batch: pa.Table) -> pa.Table:
-        flat, doc_of, ndocs = tokens_flat(batch, text_col)
-        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
-        n_chunks = np.where(
-            n > 0,
-            1 + (np.maximum(n - size, 0) + stride - 1) // stride,
-            0,
-        ).astype(np.int64)
-        total = int(n_chunks.sum())
-        empty = pa.table({
+        t, _, _ = _chunk_batch(batch, id_col=id_col, text_col=text_col,
+                               size=size, stride=stride)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _chunk_batch(batch: pa.Table, *, id_col: str, text_col: str,
+                 size: int, stride: int, extra_cols: tuple = ()):
+    """One batch of ``chunk_documents`` (one doc per input row): returns
+    ``(chunk table, chunk_doc batch-row indices, ndocs)`` so callers that
+    need the doc<->chunk alignment (per-doc rebuilds without a join) can
+    reuse it; ``extra_cols`` are carried per chunk like ``id_col``."""
+    flat, doc_of, ndocs = tokens_flat(batch, text_col)
+    n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+    n_chunks = np.where(
+        n > 0,
+        1 + (np.maximum(n - size, 0) + stride - 1) // stride,
+        0,
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    if total == 0:
+        cols = {
             id_col: pa.array([], batch.column(id_col).type),
             "chunk_idx": pa.array([], pa.int64()),
             "tok_start": pa.array([], pa.int64()),
             "n_toks": pa.array([], pa.int64()),
             "chunk_text": pa.array([], pa.string()),
-        })
-        if total == 0:
-            return empty
-        chunk_doc = np.repeat(np.arange(ndocs), n_chunks)
-        cum_chunks = np.zeros(ndocs, dtype=np.int64)
-        np.cumsum(n_chunks[:-1], out=cum_chunks[1:])
-        chunk_idx = np.arange(total, dtype=np.int64) - cum_chunks[chunk_doc]
-        tok_start = chunk_idx * stride
-        n_toks = np.minimum(size, n[chunk_doc] - tok_start)
-        doc_base = np.zeros(ndocs, dtype=np.int64)
-        np.cumsum(n[:-1], out=doc_base[1:])
-        abs_start = doc_base[chunk_doc] + tok_start
-        # flat token indices of every chunk in one arange pass
-        off = np.zeros(total + 1, dtype=np.int64)
-        np.cumsum(n_toks, out=off[1:])
-        idx = (
-            np.arange(off[-1], dtype=np.int64)
-            - np.repeat(off[:-1], n_toks)
-            + np.repeat(abs_start, n_toks)
-        )
-        vals = flat.take(pa.array(idx))
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), vals)
-        return pa.table({
-            id_col: batch.column(id_col).take(pa.array(chunk_doc)),
-            "chunk_idx": pa.array(chunk_idx, pa.int64()),
-            "tok_start": pa.array(tok_start, pa.int64()),
-            "n_toks": pa.array(n_toks, pa.int64()),
-            "chunk_text": pc.binary_join(la, " "),
-        })
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+        }
+        for c in extra_cols:
+            cols[c] = pa.array([], batch.column(c).type)
+        return pa.table(cols), np.zeros(0, dtype=np.int64), ndocs
+    chunk_doc = np.repeat(np.arange(ndocs), n_chunks)
+    cum_chunks = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=cum_chunks[1:])
+    chunk_idx = np.arange(total, dtype=np.int64) - cum_chunks[chunk_doc]
+    tok_start = chunk_idx * stride
+    n_toks = np.minimum(size, n[chunk_doc] - tok_start)
+    doc_base = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(n[:-1], out=doc_base[1:])
+    abs_start = doc_base[chunk_doc] + tok_start
+    # flat token indices of every chunk in one arange pass
+    off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(n_toks, out=off[1:])
+    idx = (
+        np.arange(off[-1], dtype=np.int64)
+        - np.repeat(off[:-1], n_toks)
+        + np.repeat(abs_start, n_toks)
+    )
+    vals = flat.take(pa.array(idx))
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), vals)
+    cols = {
+        id_col: batch.column(id_col).take(pa.array(chunk_doc)),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "tok_start": pa.array(tok_start, pa.int64()),
+        "n_toks": pa.array(n_toks, pa.int64()),
+        "chunk_text": pc.binary_join(la, " "),
+    }
+    for c in extra_cols:
+        cols[c] = batch.column(c).take(pa.array(chunk_doc))
+    return pa.table(cols), chunk_doc, ndocs
 
 
 def postings(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -362,6 +378,129 @@ def block_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def strip_boilerplate(ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", source_col: str = "source",
+                      size: int = 4, min_docs: int = 2,
+                      frac_num: int = 1, frac_den: int = 20,
+                      n_buckets: int = 64):
+    """CCNet/Dolma-style per-SOURCE boilerplate removal: a block (the
+    ``size``-token chunk, same dedup unit as ``block_dedup``) is
+    BOILERPLATE within source s when it occurs in >= ``min_docs``
+    distinct docs of s AND ``df * frac_den >= frac_num * n_docs(s)`` —
+    an integer cross-multiplied document-frequency threshold (nav bars,
+    footers, cookie banners: content frequent WITHIN a site).  EVERY
+    occurrence is dropped (contrast ``block_dedup``, which keeps the
+    first); each doc rebuilds from its surviving blocks in order.
+
+    Output: (id_col, clean_text, n_blocks, n_kept), one row per doc
+    (fully-boilerplate and zero-token docs come back as '').
+
+    100-TB shape: the only all-to-all is the (source, block)
+    doc-frequency reduce, and it moves per-batch PARTIAL counts — one
+    doc per input row makes within-batch distinct (doc, block) pairs
+    globally distinct, so the partials are exact — bucketed by a block
+    rolling hash (grouping stays on the text; collisions cost balance,
+    never correctness).  Per-source doc totals are a |sources|-bounded
+    reduce, the filtered boilerplate set is df-bounded; both broadcast
+    once via ``ray.put`` and the strip + rebuild is ONE stateless map
+    pass — the corpus itself never shuffles.  Source-prefixed keys are
+    length-prefixed (``len(s):s + block``) so the pairing is injective
+    without a reserved separator byte.
+    """
+    from ..functions.hashing import fnv1a_str_array
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        t, _, _ = _chunk_batch(b, id_col=id_col, text_col=text_col,
+                               size=size, stride=size,
+                               extra_cols=(source_col,))
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "p": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "__ch": pa.array([], pa.int64())})
+        d = pd.DataFrame({
+            "i": t.column(id_col).to_numpy(zero_copy_only=False),
+            "s": t.column(source_col).to_numpy(zero_copy_only=False),
+            "p": t.column("chunk_text").to_numpy(zero_copy_only=False),
+        })
+        cnt = (d.drop_duplicates(["i", "p"])
+               .groupby(["s", "p"], sort=False, as_index=False).size())
+        h = fnv1a_str_array(cnt["p"].tolist()).view(np.int64)
+        return pa.table({
+            "s": pa.array(cnt["s"].to_numpy(), pa.string()),
+            "p": pa.array(cnt["p"].to_numpy(), pa.string()),
+            "df": pa.array(cnt["size"].to_numpy().astype(np.int64)),
+            "__ch": pa.array(h),
+        })
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        s, c = np.unique(
+            b.column(source_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"s": pa.array(s, pa.string()),
+                         "nd": pa.array(c.astype(np.int64))})
+
+    tot = bucketed_groupby(
+        ds.map_batches(tot_partial, batch_format="pyarrow"), ["s"],
+        lambda g: g.groupby("s", sort=False, as_index=False)["nd"].sum(),
+        n_buckets=min(n_buckets, 16)).to_pandas()
+    nd_map = dict(zip(tot["s"], tot["nd"].astype("int64")))
+
+    def boil_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["s", "p"], sort=False, as_index=False)["df"].sum()
+        dfv = out["df"].to_numpy().astype(np.int64)
+        nd = out["s"].map(nd_map).to_numpy().astype(np.int64)
+        keep = (dfv >= min_docs) & (dfv * frac_den >= frac_num * nd)
+        return out.loc[keep, ["s", "p"]]
+
+    boil = bucketed_groupby(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["__ch"], boil_reduce, n_buckets=n_buckets).to_pandas()
+    keys = (boil["s"].str.len().astype(str) + ":" + boil["s"]
+            + boil["p"]).to_numpy() if len(boil) else np.array([], object)
+
+    import ray as _ray
+
+    ref = _ray.put(keys) if _ray.is_initialized() else keys
+
+    def strip(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        kv = _ref if isinstance(_ref, np.ndarray) else _get_blob(_ref)
+        t, chunk_doc, ndocs = _chunk_batch(
+            b, id_col=id_col, text_col=text_col, size=size, stride=size,
+            extra_cols=(source_col,))
+        n_blocks = np.bincount(chunk_doc, minlength=ndocs).astype(np.int64)
+        keep = np.ones(t.num_rows, dtype=bool)
+        if t.num_rows and len(kv):
+            big = pa.large_string()
+            src = pc.cast(t.column(source_col), big)
+            para = pc.cast(t.column("chunk_text"), big)
+            key = pc.binary_join_element_wise(
+                pc.cast(pc.utf8_length(src), big), pa.scalar(":", big),
+                src, para, pa.scalar("", big))
+            keep = ~pc.is_in(
+                key, value_set=pa.array(kv, big)).to_numpy(
+                    zero_copy_only=False)
+        counts = np.bincount(chunk_doc[keep],
+                             minlength=ndocs).astype(np.int64)
+        off = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        texts = t.column("chunk_text").filter(pa.array(keep))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                      pc.cast(texts, pa.string()))
+        return pa.table({
+            id_col: b.column(id_col),
+            "clean_text": pc.binary_join(la, " "),
+            "n_blocks": pa.array(n_blocks),
+            "n_kept": pa.array(counts),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")
 
 
 def bpe_learn(docs, *, rounds: int = 3, top_v: int | None = None,
