@@ -523,3 +523,30 @@ def test_strip_boilerplate_planted(ray_session):
     assert out.loc[4].tolist() == ["iota kappa lambda mu", 1, 1]
     assert out.loc[5].tolist() == ["", 0, 0]
     assert out.loc[6].tolist() == [f"{nav} nu xi omicron pi", 2, 2]
+
+
+def test_phrase_search_planted(ray_session):
+    """Hand-counted hits: overlapping matches count individually, the
+    doc-boundary guard blocks straddles, positions are 1-based."""
+    from zen3geo_ray.stages.corpus import phrase_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",      # "a b a" overlaps at pos 1 and 3
+            "x a b",            # ends with "a b" (no trailing a)
+            "a b a",            # exact doc = phrase
+            "c d e",            # no hits; "e" then next doc starts "a"
+        ], pa.string()),
+    })).repartition(2)
+
+    out = phrase_search(ds, ["a b a", "a b"]).to_pandas()
+    got = {(r.pid, r.doc_id): (r.n_hits, r.first_pos)
+           for r in out.itertuples()}
+    assert got == {
+        (0, 1): (2, 1),          # pos 1 and 3
+        (0, 3): (1, 1),
+        (1, 1): (3, 1),          # pos 1, 3, 5
+        (1, 2): (1, 2),
+        (1, 3): (1, 1),
+    }

@@ -3609,6 +3609,44 @@ SELECT m.doc_id, COALESCE(r.ct, '') AS clean_text, m.n_blocks,
 FROM m LEFT JOIN r ON r.doc_id = m.doc_id"""
 
 
+PHRASES = ("slow hash batch", "part filter scan", "big data merge")
+
+
+def q_phrase(sf_dir: str):
+    """Positional phrase search — the order-sensitive exact-match leg of
+    the retrieval family (postings/bm25 are bag-of-words): per (phrase,
+    doc) hit counts + 1-based first position, pure map pass with K
+    shifted vectorized equality scans per phrase, no shuffle
+    (stages/corpus.py:phrase_search)."""
+    from ..stages.corpus import phrase_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_search(docs, PHRASES)
+
+
+def _sql_phrase() -> str:
+    parts = []
+    for pid, ph in enumerate(PHRASES):
+        toks = ph.split()
+        k = len(toks)
+        lit = "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+        parts.append(f"""
+SELECT {pid} AS pid, doc_id, i FROM (
+  SELECT doc_id, toks, unnest(range(1, nt - {k} + 2)) AS i
+  FROM nn WHERE nt >= {k})
+WHERE toks[CAST(i AS INT) : CAST(i AS INT) + {k - 1}] = {lit}""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks) AS nt FROM tok),
+hit AS ({u})
+SELECT pid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(i) AS BIGINT) AS first_pos
+FROM hit GROUP BY pid, doc_id"""
+
+
 BIGRAM_V = 24
 
 
@@ -5857,6 +5895,7 @@ GROUP BY event_type, u - o.off
         "chunks": _sql_corpus_chunks(),
         "para_dedup": _sql_para_dedup(),
         "boilerplate": _sql_boilerplate(),
+        "phrase": _sql_phrase(),
         "unigram_lm": _sql_unigram_lm(),
         "bm25": _sql_bm25(),
         "bpe_train": _sql_bpe_train(),
@@ -6138,6 +6177,7 @@ def build_queries() -> dict:
         "chunks": q_chunks,
         "para_dedup": q_para_dedup,
         "boilerplate": q_boilerplate,
+        "phrase": q_phrase,
         "unigram_lm": q_unigram_lm,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,

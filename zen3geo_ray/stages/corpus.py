@@ -503,6 +503,75 @@ def strip_boilerplate(ds, *, id_col: str = "doc_id",
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
+def phrase_search(ds, phrases, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Positional phrase search: for each query phrase, every document
+    where the phrase's tokens occur CONSECUTIVELY, with the occurrence
+    count and the 1-based token position of the first hit — the
+    phrase-query leg of the retrieval family (postings/tfidf/bm25 are
+    bag-of-words; this is the order-sensitive exact-match complement).
+
+    Output: (pid, id_col, n_hits, first_pos), one row per (phrase, doc)
+    with >= 1 hit; ``pid`` indexes ``phrases``.
+
+    100-TB shape: pure ``map_batches``, NO shuffle — one doc per input
+    row means per-doc hit counts reduce in-batch.  Matching is K
+    shifted vectorized equality passes over the flat token array per
+    phrase (K = phrase length), with a doc-boundary guard — never a
+    Python loop over tokens; cost is O(tokens x sum of phrase lengths).
+    Phrases tokenize with the shared RE2 ``\\S+`` convention.
+    """
+    import re as _re
+
+    plists = [_re.findall(r"[^\t\n\f\r ]+", p) for p in phrases]
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        doc_base = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(n[:-1], out=doc_base[1:])
+        N = len(toks)
+        ids = b.column(id_col)
+        out_pid, out_doc, out_hits, out_first = [], [], [], []
+        for pid, pt in enumerate(plists):
+            k = len(pt)
+            if k == 0 or N < k:
+                continue
+            w = N - k + 1
+            mask = toks[:w] == pt[0]
+            for j in range(1, k):
+                mask &= toks[j:j + w] == pt[j]
+            mask &= doc_of[:w] == doc_of[k - 1:]
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            d = doc_of[idx]
+            pos = idx - doc_base[d] + 1
+            new = np.ones(len(d), dtype=bool)
+            new[1:] = d[1:] != d[:-1]
+            starts = np.flatnonzero(new)
+            out_pid.append(np.full(len(starts), pid, dtype=np.int64))
+            out_doc.append(ids.take(pa.array(d[starts])))
+            out_hits.append(np.diff(np.append(starts, len(d)))
+                            .astype(np.int64))
+            out_first.append(pos[starts])
+        if not out_pid:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             id_col: pa.array([], ids.type),
+                             "n_hits": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        doc_arr = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_doc])
+        return pa.table({"pid": pa.array(np.concatenate(out_pid)),
+                         id_col: doc_arr,
+                         "n_hits": pa.array(np.concatenate(out_hits)),
+                         "first_pos": pa.array(np.concatenate(out_first))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bpe_learn(docs, *, rounds: int = 3, top_v: int | None = None,
               id_col: str = "doc_id", text_col: str = "text",
               n_buckets: int = 64):
