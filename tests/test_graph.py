@@ -917,3 +917,39 @@ def test_pinned_pagerank_warm_state_parity(ray_session):
                     warm_state=warm).to_pandas()
     assert (dict(zip(got["node"], got["pr"]))
             == dict(zip(want["node"], want["pr"])))
+
+
+def _ref_hits(src, dst, iters, scale=10 ** 6):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(d)] for d in dst])
+    h = np.full(n, scale, np.int64)
+    a = np.full(n, scale, np.int64)
+    for _ in range(iters):
+        raw = np.zeros(n, np.int64)
+        np.add.at(raw, di, h[si])
+        m = raw.max() if n else 0
+        a = (raw * scale) // m if m > 0 else np.zeros(n, np.int64)
+        raw = np.zeros(n, np.int64)
+        np.add.at(raw, si, a[di])
+        m = raw.max() if n else 0
+        h = (raw * scale) // m if m > 0 else np.zeros(n, np.int64)
+    return {int(v): (int(h[i]), int(a[i])) for v, i in idx.items()}
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_hits_matches_integer_reference(ray_session, bt):
+    from zen3geo_ray.stages.graph import hits
+
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    out = hits(edges, iters=3, scale=10 ** 6, n_buckets=8,
+               broadcast_threshold=bt).to_pandas()
+    ref = _ref_hits(src, dst, 3)
+    got = {int(r.node): (int(r.hub), int(r.auth))
+           for r in out.itertuples()}
+    assert got == ref
+    # the dangling sink (500) authors but never hubs
+    assert got[500][0] == 0 and got[500][1] > 0

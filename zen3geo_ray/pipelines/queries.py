@@ -4409,6 +4409,79 @@ def q_pagerank(sf_dir: str):
                           batch_format="pyarrow")
 
 
+HITS_ITERS = 3
+HITS_SCALE = 10 ** 6
+
+
+def _directed_trade_edges(sf_dir: str):
+    """DIRECTED bipartite trade edges customer -> supplier (customers
+    are the hubs, suppliers the authorities) — the HITS-shaped graph;
+    the symmetric _trade_edges would make hub == auth degenerate."""
+    from ..stages.graph import distinct_tuples
+    from ..stages.hashjoin import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_join(li, orders, ["o_orderkey"])
+
+    def to_edge(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2), "dst": pa.array(s * 2 + 1)})
+
+    return distinct_tuples(
+        pairs.map_batches(to_edge, batch_format="pyarrow"), ["src", "dst"])
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (3 rounds, max-normalized int64 scores
+    scaled by 1e6) over the DIRECTED customer->supplier graph — the
+    link-analysis classic next to pagerank; integer max-normalization
+    replaces the L2 norm so the chained-CTE oracle matches bit-exactly
+    (stages/graph.py:hits)."""
+    from ..stages.graph import hits
+
+    return hits(_directed_trade_edges(sf_dir), iters=HITS_ITERS,
+                scale=HITS_SCALE)
+
+
+def _sql_hits() -> str:
+    sc = HITS_SCALE
+    ctes = ["""edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+            ("nodes AS (SELECT DISTINCT node FROM ("
+             "SELECT src AS node FROM edges "
+             "UNION ALL SELECT dst AS node FROM edges))"),
+            (f"r0 AS (SELECT node, CAST({sc} AS BIGINT) AS h, "
+             f"CAST({sc} AS BIGINT) AS a FROM nodes)")]
+    for i in range(1, HITS_ITERS + 1):
+        ctes += [
+            f"""ar{i} AS (SELECT n.node, COALESCE(s.s, 0) AS raw
+  FROM nodes n LEFT JOIN
+    (SELECT e.dst AS node, CAST(SUM(r.h) AS BIGINT) AS s
+     FROM edges e JOIN r{i - 1} r ON r.node = e.src GROUP BY 1) s
+  USING (node))""",
+            f"am{i} AS (SELECT MAX(raw) AS m FROM ar{i})",
+            (f"a{i} AS (SELECT node, COALESCE((raw * {sc}) "
+             f"// NULLIF(m, 0), 0) AS a FROM ar{i} CROSS JOIN am{i})"),
+            f"""hr{i} AS (SELECT n.node, COALESCE(s.s, 0) AS raw
+  FROM nodes n LEFT JOIN
+    (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS s
+     FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1) s
+  USING (node))""",
+            f"hm{i} AS (SELECT MAX(raw) AS m FROM hr{i})",
+            (f"r{i} AS (SELECT h.node, COALESCE((h.raw * {sc}) "
+             f"// NULLIF(hm{i}.m, 0), 0) AS h, a.a "
+             f"FROM hr{i} h JOIN a{i} a USING (node) CROSS JOIN hm{i})")]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, h AS hub, a AS auth FROM r{HITS_ITERS}")
+
+
 DELTA_PR_ITERS = 2  # warm-started rounds in the incremental run
 
 
@@ -5999,6 +6072,7 @@ GROUP BY event_type, u - o.off
         "winsorize": _sql_winsor(),
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
+        "hits": _sql_hits(),
         "delta_pagerank": _sql_delta_pagerank(),
         "wpagerank": _sql_pagerank(weighted=True),
         "ppr": _sql_pagerank(
@@ -6198,6 +6272,7 @@ def build_queries() -> dict:
         "q3_top": q_q3_top,
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "delta_pagerank": q_delta_pagerank,
         "wpagerank": q_wpagerank,
         "ppr": q_ppr,

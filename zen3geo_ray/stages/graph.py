@@ -1579,3 +1579,167 @@ def label_propagation(edges, *, rounds: int, src: str = "src",
             bucketed_groupby(partial, [NODE], argmax_votes,
                              n_buckets=n_buckets), n_buckets)
     return state
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 3,
+         scale: int = 10 ** 6, n_buckets: int | None = None,
+         broadcast_threshold: int = BROADCAST_NODES):
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    set, in the exact integer fixed-point discipline of ``pagerank``:
+
+        a_raw_i(v) = Σ_{u→v} h_{i-1}(u)
+        a_i(v)     = (a_raw_i(v) * scale) // max_v a_raw_i
+        h_raw_i(u) = Σ_{u→v} a_i(v)
+        h_i(u)     = (h_raw_i(u) * scale) // max_u h_raw_i
+
+    with h_0 = a_0 = scale everywhere.  MAX-normalization replaces the
+    classic L2 norm so every round is int64-exact and the chained-CTE
+    oracle (`hits`) matches bit for bit — rank ORDER is what HITS is
+    used for and max-scaling preserves it.  Keep
+    ``scale^2 * max_degree < 2^63`` (defaults allow degree ~9e6).
+
+    Returns (node, hub, auth), int64 in [0, scale].
+
+    100-TB shape: below ``broadcast_threshold`` nodes, each half-round
+    ships the node-bounded score vector via ``ray.put`` and the edges
+    NEVER re-shuffle (one execution per half-round); above it, the
+    bucketed BSP path runs — per half-round ONE bucketed join ships
+    scores onto edges, one combiner-first reduce sums per target, and
+    the global max is a scalar aggregate (driver sees one int, never
+    rows).  ``_settle`` bounds per-round block growth.
+    """
+    import ray
+    import ray.data as rd
+
+    edges = edges.materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(edges.count())
+    nodes = node_degrees(edges, src=src, dst=dst,
+                         n_buckets=n_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({NODE: b.column(NODE),
+                                "hub": pa.array([], pa.int64()),
+                                "auth": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    if n <= broadcast_threshold:
+        npdf = nodes.to_pandas()
+        node_sorted = np.sort(npdf[NODE].to_numpy().astype(np.int64))
+        h = np.full(n, scale, dtype=np.int64)
+        a = np.full(n, scale, dtype=np.int64)
+
+        def make_gather(vec, kin, kout):
+            ref = ray.put((node_sorted, vec))
+
+            def gather(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, v = _get_blob(_ref)
+                s = b.column(kin).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                d = b.column(kout).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                df = pd.DataFrame({
+                    NODE: d, "_s": v[np.searchsorted(ns, s)],
+                }).groupby(NODE, sort=False, as_index=False)["_s"].sum()
+                return pa.table({
+                    NODE: pa.array(df[NODE].to_numpy()),
+                    "_s": pa.array(df["_s"].to_numpy().astype(np.int64)),
+                })
+
+            return gather
+
+        def reduce_align(partials) -> np.ndarray:
+            res = bucketed_groupby(
+                partials, [NODE],
+                lambda g: g.groupby(NODE, sort=False,
+                                    as_index=False)["_s"].sum(),
+                n_buckets=n_buckets).to_pandas()
+            raw = np.zeros(n, dtype=np.int64)
+            if len(res):
+                ix = np.searchsorted(node_sorted,
+                                     res[NODE].to_numpy().astype(np.int64))
+                raw[ix] = res["_s"].to_numpy().astype(np.int64)
+            return raw
+
+        for _ in range(iters):
+            araw = reduce_align(edges.map_batches(
+                make_gather(h, src, dst), batch_format="pyarrow"))
+            am = int(araw.max()) if len(araw) else 0
+            a = (araw * scale) // am if am > 0 else np.zeros(n, np.int64)
+            hraw = reduce_align(edges.map_batches(
+                make_gather(a, dst, src), batch_format="pyarrow"))
+            hm = int(hraw.max()) if len(hraw) else 0
+            h = (hraw * scale) // hm if hm > 0 else np.zeros(n, np.int64)
+        return rd.from_arrow(pa.table({
+            NODE: pa.array(node_sorted), "hub": pa.array(h),
+            "auth": pa.array(a)}))
+
+    # bucketed BSP path: per half-round one join + one reduce + one
+    # scalar max aggregate
+    zero_rows = nodes.map_batches(
+        lambda b: pa.table({
+            NODE: pc.cast(b.column(NODE), pa.int64()),
+            "_s": pa.array(np.zeros(len(b), dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    def init_vec(b: pa.Table) -> pa.Table:
+        return pa.table({
+            NODE: pc.cast(b.column(NODE), pa.int64()),
+            "_v": pa.array(np.full(len(b), scale, dtype=np.int64))})
+
+    h_ds = _settle(nodes.map_batches(init_vec, batch_format="pyarrow"),
+                   n_buckets)
+    a_ds = h_ds
+
+    def sum_by_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(NODE, sort=False, as_index=False)["_s"].sum()
+        out["_s"] = out["_s"].astype(np.int64)
+        return out
+
+    def half_round(vec_ds, kin, kout):
+        renamed = vec_ds.map_batches(
+            lambda b: b.rename_columns(
+                [kin if c == NODE else c for c in b.column_names]),
+            batch_format="pyarrow")
+        joined = bucketed_join(edges, renamed, [kin],
+                               n_buckets=n_buckets)
+
+        def partial(b: pa.Table) -> pa.Table:
+            d = b.column(kout).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = b.column("_v").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            df = pd.DataFrame({NODE: d, "_s": v}).groupby(
+                NODE, sort=False, as_index=False)["_s"].sum()
+            return pa.table({
+                NODE: pa.array(df[NODE].to_numpy()),
+                "_s": pa.array(df["_s"].to_numpy().astype(np.int64))})
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+        raw = _settle(bucketed_groupby(zero_rows.union(partials), [NODE],
+                                       sum_by_node, n_buckets=n_buckets),
+                      n_buckets)
+        m = raw.max("_s")
+        m = int(m) if m is not None else 0
+
+        def norm(b: pa.Table, _m=m) -> pa.Table:
+            s = b.column("_s").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = (s * scale) // _m if _m > 0 else np.zeros(len(s),
+                                                          np.int64)
+            return pa.table({NODE: b.column(NODE), "_v": pa.array(v)})
+
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    for _ in range(iters):
+        a_ds = half_round(h_ds, src, dst)
+        h_ds = half_round(a_ds, dst, src)
+
+    hub = h_ds.map_batches(
+        lambda b: pa.table({NODE: b.column(NODE), "hub": b.column("_v")}),
+        batch_format="pyarrow")
+    auth = a_ds.map_batches(
+        lambda b: pa.table({NODE: b.column(NODE), "auth": b.column("_v")}),
+        batch_format="pyarrow")
+    return bucketed_join(hub, auth, [NODE], n_buckets=n_buckets)
