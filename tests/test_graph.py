@@ -953,3 +953,34 @@ def test_hits_matches_integer_reference(ray_session, bt):
     assert got == ref
     # the dangling sink (500) authors but never hubs
     assert got[500][0] == 0 and got[500][1] > 0
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_assortativity_matches_numpy(ray_session, bt):
+    from zen3geo_ray.stages.graph import degree_assortativity
+
+    src, dst = _random_graph()
+    # symmetrize like the trade graph so degree == undirected degree
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    edges = rd.from_arrow(pa.table({"src": s, "dst": d})).repartition(6)
+    out = degree_assortativity(edges, n_buckets=8,
+                               broadcast_threshold=bt).to_pandas()
+
+    deg = {}
+    for u in s:
+        deg[int(u)] = deg.get(int(u), 0) + 1
+    x = np.array([deg[int(u)] for u in s], np.int64)
+    y = np.array([deg.get(int(v), 0) for v in d], np.int64)
+    m = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    assert out.iloc[0][["m", "sx", "sy", "sxx", "syy", "sxy"]].tolist() == \
+        [m, sx, sy, sxx, syy, sxy]
+    import math
+    want = (float(m * sxy - sx * sy)
+            / (math.sqrt(float(m * sxx - sx * sx))
+               * math.sqrt(float(m * syy - sy * sy))))
+    assert out.iloc[0]["assort"] == want
+    # np.corrcoef agreement to float tolerance (sanity, not parity)
+    assert abs(out.iloc[0]["assort"] - np.corrcoef(x, y)[0, 1]) < 1e-9

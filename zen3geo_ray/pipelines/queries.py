@@ -4409,6 +4409,43 @@ def q_pagerank(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_assort(sf_dir: str):
+    """Degree assortativity of the trade graph (Newman's do-hubs-link-
+    to-hubs mixing diagnostic): Pearson correlation of endpoint degrees
+    over the symmetric edge list — exact int64 moment sums, one
+    shared-parenthesization float expression so the DOUBLE
+    value-checks (stages/graph.py:degree_assortativity)."""
+    from ..stages.graph import degree_assortativity
+
+    return degree_assortativity(_trade_edges(sf_dir))
+
+
+def _sql_assort() -> str:
+    return f"""
+WITH {_SQL_GRAPH_EDGES},
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+                                     UNION ALL SELECT dst FROM edges)),
+nd AS (SELECT n.node, COALESCE(d.deg, 0) AS deg
+       FROM nodes n LEFT JOIN deg d USING (node)),
+j AS (SELECT dx.deg AS x, dy.deg AS y
+      FROM edges e JOIN nd dx ON dx.node = e.src
+                   JOIN nd dy ON dy.node = e.dst),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM j)
+SELECT m, sx, sy, sxx, syy, sxy,
+       CAST(m*sxy - sx*sy AS DOUBLE)
+       / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+          * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS assort
+FROM s"""
+
+
 HITS_ITERS = 3
 HITS_SCALE = 10 ** 6
 
@@ -6073,6 +6110,7 @@ GROUP BY event_type, u - o.off
         "raster_mode": _sql_raster_mode(),
         "pagerank": _sql_pagerank(),
         "hits": _sql_hits(),
+        "assort": _sql_assort(),
         "delta_pagerank": _sql_delta_pagerank(),
         "wpagerank": _sql_pagerank(weighted=True),
         "ppr": _sql_pagerank(
@@ -6273,6 +6311,7 @@ def build_queries() -> dict:
         "raster_mode": q_raster_mode,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "assort": q_assort,
         "delta_pagerank": q_delta_pagerank,
         "wpagerank": q_wpagerank,
         "ppr": q_ppr,

@@ -1743,3 +1743,114 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 3,
         lambda b: pa.table({NODE: b.column(NODE), "auth": b.column("_v")}),
         batch_format="pyarrow")
     return bucketed_join(hub, auth, [NODE], n_buckets=n_buckets)
+
+
+def degree_assortativity(edges, *, src: str = "src", dst: str = "dst",
+                         n_buckets: int | None = None,
+                         broadcast_threshold: int = BROADCAST_NODES):
+    """Degree assortativity: the Pearson correlation of endpoint degrees
+    over the edge list (Newman 2002's mixing diagnostic — do hubs link
+    to hubs?).  Degree = out-degree, which IS the undirected degree on
+    a symmetrized edge list.
+
+    All five moments (sx, sy, sxx, syy, sxy) and the edge count m are
+    EXACT int64 partial sums folded to Python ints on the driver; the
+    coefficient is one shared-parenthesization float expression
+
+        assort = double(m*sxy - sx*sy)
+                 / (sqrt(double(m*sxx - sx*sx)) * sqrt(double(m*syy - sy*sy)))
+
+    — int->double casts and sqrt are correctly rounded on both sides,
+    so the oracle value-checks the DOUBLE.  Degenerate (zero-variance)
+    degree sequences are the caller's precondition.
+
+    Returns ONE row: (m, sx, sy, sxx, syy, sxy, assort).
+
+    100-TB shape: below ``broadcast_threshold`` the node-bounded degree
+    vector broadcasts once and edges stream through one stateless map
+    (per-batch 6-int partials — the reduce is |blocks| rows on the
+    driver); above it, two bucketed joins ship degrees onto the edges
+    and the same bounded partials follow.  Keep
+    ``edges * maxdeg^2 < 2^63``.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    edges = edges.materialize()
+    m_edges = edges.count()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(m_edges)
+    nodes = node_degrees(edges, src=src, dst=dst,
+                         n_buckets=n_buckets).materialize()
+    n = nodes.count()
+    if n == 0 or m_edges == 0:
+        return rd.from_arrow(pa.table({c: pa.array([], pa.int64())
+                                       for c in ("m", "sx", "sy", "sxx",
+                                                 "syy", "sxy")}
+                                      | {"assort": pa.array([],
+                                                            pa.float64())}))
+
+    def moments(x: np.ndarray, y: np.ndarray) -> pa.Table:
+        return pa.table({
+            "m": pa.array([np.int64(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+        })
+
+    if n <= broadcast_threshold:
+        npdf = nodes.to_pandas()
+        order = np.argsort(npdf[NODE].to_numpy(), kind="mergesort")
+        node_sorted = npdf[NODE].to_numpy()[order].astype(np.int64)
+        deg = npdf["outdeg"].to_numpy()[order].astype(np.int64)
+        ref = ray.put((node_sorted, deg))
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            ns, dg = _get_blob(_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            return moments(dg[np.searchsorted(ns, s)],
+                           dg[np.searchsorted(ns, d)])
+
+        parts = edges.map_batches(partial,
+                                  batch_format="pyarrow").to_pandas()
+    else:
+        x_state = nodes.map_batches(
+            lambda b: pa.table({NODE: pc.cast(b.column(NODE), pa.int64()),
+                                "_x": pc.cast(b.column("outdeg"),
+                                              pa.int64())}),
+            batch_format="pyarrow")
+        y_state = nodes.map_batches(
+            lambda b: pa.table({NODE: pc.cast(b.column(NODE), pa.int64()),
+                                "_y": pc.cast(b.column("outdeg"),
+                                              pa.int64())}),
+            batch_format="pyarrow")
+        j = _propagated(_propagated(edges, x_state, src=src,
+                                    n_buckets=n_buckets),
+                        y_state, src=dst, n_buckets=n_buckets)
+
+        def partial_b(b: pa.Table) -> pa.Table:
+            x = b.column("_x").to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b.column("_y").to_numpy(zero_copy_only=False).astype(np.int64)
+            return moments(x, y)
+
+        parts = j.map_batches(partial_b, batch_format="pyarrow").to_pandas()
+
+    m = int(parts["m"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    assort = (float(m * sxy - sx * sy)
+              / (math.sqrt(float(m * sxx - sx * sx))
+                 * math.sqrt(float(m * syy - sy * sy))))
+    return rd.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()), "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "syy": pa.array([syy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "assort": pa.array([assort], pa.float64()),
+    }))
