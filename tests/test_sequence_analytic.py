@@ -210,3 +210,31 @@ def test_cube2(ray_session):
                           exp1.sort_index().to_numpy())
     total = out[out["a"].isna() & out["b"].isna()]
     assert total["n"].iloc[0] == n and total["v_sum"].iloc[0] == df["v"].sum()
+
+
+def test_cohort_retention_planted(ray_session):
+    """Hand-built cohorts: users 1,2 start unit 0 (user 1 returns at
+    units 1 and 3; user 2 at 1), user 3 starts unit 2 and returns at 3;
+    duplicate events within a unit count once."""
+    from zen3geo_ray.stages.sequence import cohort_retention
+
+    U = 10  # unit_us
+    rows = [  # (user, t_us)
+        (1, 0), (1, 5), (1, 12), (1, 33),
+        (2, 3), (2, 19),
+        (3, 25), (3, 25), (3, 31),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+    })).repartition(3)
+    out = cohort_retention(ds, unit_us=U, n_buckets=4).to_pandas()
+    got = {(r.cohort, r.offset): r.n_keys for r in out.itertuples()}
+    assert got == {
+        (0, 0): 2,   # users 1, 2
+        (0, 1): 2,   # both return in unit 1
+        (0, 3): 1,   # user 1 at unit 3
+        (2, 0): 1,   # user 3 cohort
+        (2, 1): 1,   # user 3 at unit 3
+    }

@@ -2306,6 +2306,34 @@ def q_sessions(sf_dir: str):
     return sessionize(ev, key_col="user_id", ts_col="ts", gap_us=SESSION_GAP_US)
 
 
+RETENTION_UNIT_US = 7 * 86_400 * 10 ** 6  # calendar weeks from the epoch
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (cohort = user's first epoch-week; count
+    users active k weeks later) — one key-partitioned shuffle of
+    distinct (user, week) partials, cohorts derived in-bucket with a
+    segmented min, tiny weeks^2 final reduce, NO join
+    (stages/sequence.py:cohort_retention)."""
+    from ..stages.sequence import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, unit_us=RETENTION_UNIT_US)
+
+
+def _sql_retention() -> str:
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(epoch_us(ts) // {RETENTION_UNIT_US} AS BIGINT) AS u
+  FROM events
+),
+c AS (SELECT k, MIN(u) AS cohort FROM uw GROUP BY k)
+SELECT c.cohort, uw.u - c.cohort AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM uw JOIN c USING (k) GROUP BY 1, 2"""
+
+
 def q_sliding(sf_dir: str):
     """Sliding 3h/1h window counts per event_type — dense path (per-unit
     partials + prefix sums), no per-event fan-out."""
@@ -6111,6 +6139,7 @@ GROUP BY event_type, u - o.off
         "pagerank": _sql_pagerank(),
         "hits": _sql_hits(),
         "assort": _sql_assort(),
+        "retention": _sql_retention(),
         "delta_pagerank": _sql_delta_pagerank(),
         "wpagerank": _sql_pagerank(weighted=True),
         "ppr": _sql_pagerank(
@@ -6312,6 +6341,7 @@ def build_queries() -> dict:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "assort": q_assort,
+        "retention": q_retention,
         "delta_pagerank": q_delta_pagerank,
         "wpagerank": q_wpagerank,
         "ppr": q_ppr,

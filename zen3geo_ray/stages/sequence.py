@@ -223,3 +223,64 @@ def cooccurrence_pairs(ds, *, key_col: str, item_col: str,
 
     return partials.repartition(1).map_batches(finalize,
                                                batch_format="pyarrow")
+
+
+def cohort_retention(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     unit_us: int = 7 * 86_400 * 10 ** 6,
+                     n_buckets: int = 64):
+    """Cohort retention matrix (the growth-analytics classic): cohort =
+    a key's FIRST activity unit (epoch-us // unit_us, default calendar
+    weeks from the epoch), and for every (cohort, offset) the number of
+    cohort keys active ``offset`` units later.
+
+    Output: (cohort, offset, n_keys); offset 0 rows are cohort sizes.
+
+    100-TB shape: ONE key-partitioned shuffle of per-batch DISTINCT
+    (key, unit) partials — the per-bucket kernel sees each key whole,
+    derives its cohort with a segmented min (vectorized, no per-key
+    Python), and emits (cohort, offset) partial counts bounded by
+    units^2 per bucket; the final reduce is a tiny units^2 groupby.
+    No join: the cohort never leaves the bucket that computed it.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t // unit_us
+        pairs = np.unique(np.stack([k, u], axis=1), axis=0)
+        return pa.table({"k": pa.array(pairs[:, 0]),
+                         "u": pa.array(pairs[:, 1])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["k", "u"])
+        k = d["k"].to_numpy()
+        u = d["u"].to_numpy().astype(np.int64)
+        o = np.lexsort((u, k))
+        k, u = k[o], u[o]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        # segmented min: first unit per key run IS the min (u sorted
+        # within each key run)
+        cohort = u[np.maximum.accumulate(np.where(new, np.arange(len(k)),
+                                                  0))]
+        off = u - cohort
+        cnt = (pd.DataFrame({"cohort": cohort, "offset": off})
+               .groupby(["cohort", "offset"], sort=False,
+                        as_index=False).size())
+        return pd.DataFrame({"cohort": cnt["cohort"].astype(np.int64),
+                             "offset": cnt["offset"].astype(np.int64),
+                             "n_keys": cnt["size"].astype(np.int64)})
+
+    counts = bucketed_groupby(partials, ["k"], per_key,
+                              n_buckets=n_buckets)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort", "offset"], sort=False,
+                        as_index=False)["n_keys"].sum()
+        out["n_keys"] = out["n_keys"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(counts, ["cohort", "offset"], final,
+                            n_buckets=min(n_buckets, 16))
