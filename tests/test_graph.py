@@ -458,6 +458,33 @@ def test_common_neighbors_hub_guard_excludes_center(ray_session):
     assert set(out2["n_common"]) == {1}
 
 
+def test_link_prediction_scores_golden(ray_session):
+    from zen3geo_ray.stages.graph import common_neighbors
+
+    # square 1-2-3-4-1 plus diagonal 1-3: known degrees/overlaps
+    src = np.array([1, 2, 3, 4, 1], np.int64)
+    dst = np.array([2, 3, 4, 1, 3], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = common_neighbors(edges, max_degree=16, min_common=1,
+                           n_buckets=8, scores=True).to_pandas()
+    got = {(int(r.u), int(r.v)): (int(r.n_common), float(r.jaccard),
+                                  int(r.pa_score))
+           for r in out.itertuples(index=False)}
+    # deg: 1->3 (2,4,3), 2->2 (1,3), 3->3 (2,4,1), 4->2 (3,1)
+    assert got[(2, 4)] == (2, 2 / (2 + 2 - 2), 4)   # common {1,3}
+    assert got[(1, 3)] == (2, 2 / (3 + 3 - 2), 9)   # common {2,4}
+    assert got[(1, 2)] == (1, 1 / (3 + 2 - 1), 6)   # common {3}
+    # both execution paths agree
+    out2 = common_neighbors(edges, max_degree=16, min_common=1,
+                            n_buckets=8, scores=True,
+                            broadcast_threshold=0).to_pandas()
+    a = out.sort_values(["u", "v"]).reset_index(drop=True)
+    b = out2.sort_values(["u", "v"]).reset_index(drop=True)
+    assert a[["u", "v", "n_common", "pa_score"]].equals(
+        b[["u", "v", "n_common", "pa_score"]])
+    assert np.array_equal(a["jaccard"].to_numpy(), b["jaccard"].to_numpy())
+
+
 def test_pinned_pagerank_weighted_and_personalized_parity(ray_session):
     from zen3geo_ray.stages.pregel import pinned_pagerank
 

@@ -4972,6 +4972,63 @@ def q_common_neighbors(sf_dir: str):
                             min_common=CN_MIN_COMMON)
 
 
+def q_link_pred(sf_dir: str):
+    """Link-prediction SCORES on top of the common-neighbor counts:
+    Jaccard coefficient n_common / (deg_u + deg_v - n_common) — one
+    int64 division, correctly-rounded double on both sides — and
+    preferential attachment deg_u * deg_v, joined onto the surviving
+    pairs via the broadcast degree table (node-bounded via ray.put;
+    bucketed double-join above the threshold)
+    (stages/graph.py:common_neighbors(scores=True))."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import common_neighbors
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(TRI_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return common_neighbors(prs, max_degree=CN_MAX_DEG,
+                            min_common=CN_MIN_COMMON, scores=True)
+
+
+def _sql_link_pred() -> str:
+    return f"""WITH
+lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+adj AS (SELECT u AS z, v AS nb FROM pairs
+        UNION ALL SELECT v AS z, u AS nb FROM pairs),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+ok_z AS (SELECT z FROM deg WHERE d <= {CN_MAX_DEG}),
+w AS (SELECT a.nb AS u, b2.nb AS v
+      FROM adj a JOIN adj b2 ON a.z = b2.z AND a.nb < b2.nb
+      WHERE a.z IN (SELECT z FROM ok_z)),
+cn AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
+       FROM w GROUP BY 1, 2)
+SELECT cn.u, cn.v, cn.n_common,
+       CAST(cn.n_common AS DOUBLE)
+         / CAST(du.d + dv.d - cn.n_common AS DOUBLE) AS jaccard,
+       du.d * dv.d AS pa_score
+FROM cn JOIN deg du ON du.z = cn.u JOIN deg dv ON dv.z = cn.v
+WHERE cn.n_common >= {CN_MIN_COMMON}"""
+
+
 def _sql_common_neighbors() -> str:
     return f"""WITH
 lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -6147,6 +6204,7 @@ GROUP BY event_type, u - o.off
         "bfs_hops": _sql_bfs_hops(),
         "neighbor_sample": _sql_neighbor_sample(),
         "common_neighbors": _sql_common_neighbors(),
+        "link_pred": _sql_link_pred(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
@@ -6348,6 +6406,7 @@ def build_queries() -> dict:
         "bfs_hops": q_bfs_hops,
         "neighbor_sample": q_neighbor_sample,
         "common_neighbors": q_common_neighbors,
+        "link_pred": q_link_pred,
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,

@@ -875,7 +875,8 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
 def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
                      max_degree: int = 16, min_common: int = 2,
                      n_buckets: int | None = None,
-                     broadcast_threshold: int = BROADCAST_NODES):
+                     broadcast_threshold: int = BROADCAST_NODES,
+                     scores: bool = False):
     """Per-pair COMMON-NEIGHBOR counts — the classic link-prediction /
     who-to-crawl-next feature: (u, v, n_common) for unordered pairs
     u < v that share >= ``min_common`` neighbors.
@@ -924,13 +925,17 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
         n_buckets=n_buckets,
     ).materialize()
 
-    if deg.count() <= broadcast_threshold:
+    use_broadcast = deg.count() <= broadcast_threshold
+    dref = None
+    if use_broadcast:
         import ray
 
         ddf = deg.to_pandas()
         order = np.argsort(ddf[NODE].to_numpy(), kind="mergesort")
         dref = ray.put((ddf[NODE].to_numpy()[order].astype(np.int64),
                         ddf["_c"].to_numpy()[order].astype(np.int64)))
+
+    if use_broadcast:
 
         def center_filter(b: pa.Table, _ref=dref) -> pa.Table:
             ns, dv = _get_blob(_ref)
@@ -968,10 +973,63 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
             "n_common"].sum()
         return out[out["n_common"] >= min_common]
 
-    return bucketed_groupby(
+    cn = bucketed_groupby(
         wedged.map_batches(pair_partial, batch_format="pyarrow"),
         ["u", "v"], pair_sum, n_buckets=n_buckets,
     )
+    if not scores:
+        return cn
+
+    # Link-prediction scores per surviving pair: Jaccard coefficient
+    # n_common / (deg(u) + deg(v) - n_common) — ONE int64/int64 division,
+    # so the double is the correctly-rounded quotient on both oracle
+    # sides — and preferential attachment deg(u) * deg(v) (pure int64).
+    # Degrees are TRUE degrees over the full undirected graph (the hub
+    # guard only caps wedge CENTERS; a hub common neighbor is skipped
+    # identically in the SQL, so n_common stays mirror-exact).
+    if use_broadcast:
+
+        def add_scores(b: pa.Table, _ref=dref) -> pa.Table:
+            ns, dv = _get_blob(_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            c = b.column("n_common").to_numpy(zero_copy_only=False)
+            du = dv[np.searchsorted(ns, u)]
+            dw = dv[np.searchsorted(ns, v)]
+            union = du + dw - c
+            return pa.table({
+                "u": pa.array(u), "v": pa.array(v),
+                "n_common": pa.array(c),
+                "jaccard": pa.array(c.astype(np.float64)
+                                    / union.astype(np.float64)),
+                "pa_score": pa.array(du * dw),
+            })
+
+        return cn.map_batches(add_scores, batch_format="pyarrow")
+
+    # large-graph path: two bucketed joins ship only the bounded cn
+    # pairs + the (node, deg) table — never the edges
+    du_t = deg.map_batches(
+        lambda b: b.rename_columns(["u", "_du"]), batch_format="pyarrow")
+    dv_t = deg.map_batches(
+        lambda b: b.rename_columns(["v", "_dv"]), batch_format="pyarrow")
+    j = bucketed_join(cn, du_t, ["u"], n_buckets=n_buckets)
+    j = bucketed_join(j, dv_t, ["v"], n_buckets=n_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("n_common").to_numpy(zero_copy_only=False)
+        du = b.column("_du").to_numpy(zero_copy_only=False)
+        dw = b.column("_dv").to_numpy(zero_copy_only=False)
+        union = du + dw - c
+        return pa.table({
+            "u": b.column("u"), "v": b.column("v"),
+            "n_common": b.column("n_common"),
+            "jaccard": pa.array(c.astype(np.float64)
+                                / union.astype(np.float64)),
+            "pa_score": pa.array((du * dw).astype(np.int64)),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
