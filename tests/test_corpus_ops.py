@@ -550,3 +550,34 @@ def test_phrase_search_planted(ray_session):
         (1, 2): (1, 2),
         (1, 3): (1, 1),
     }
+
+
+def test_ir_eval_golden(ray_session):
+    """Precision/recall/RR on a corpus where relevance and ranks are
+    hand-checkable: relevance = ALL terms present; metrics are single
+    int/int divisions."""
+    from zen3geo_ray.stages.tfidf import ir_eval
+
+    texts = [
+        "x y pad",      # relevant to {x,y}
+        "x y y pad",    # relevant
+        "x pad pad",    # x only
+        "y pad pad",    # y only
+        "pad pad pad",  # neither
+    ]
+    out = ir_eval(_docs(texts, nblocks=2), [["x", "y"], ["z"]],
+                  k=3).to_pandas().set_index("query_id").sort_index()
+    # query 0: rel = {0, 1}; bm25 ranks docs containing x or y; the
+    # top-3 retrieved must include both relevant docs (they match both
+    # terms and score highest)
+    q0 = out.loc[0]
+    assert q0["n_rel"] == 2 and q0["n_ret"] == 3
+    assert q0["hits"] == 2
+    assert q0["precision"] == 2 / 3
+    assert q0["recall"] == 1.0
+    assert q0["rr"] == 1.0  # a relevant doc is rank 1
+    # query 1: 'z' never occurs -> no relevant docs, nothing retrieved
+    q1 = out.loc[1]
+    assert q1["n_rel"] == 0 and q1["n_ret"] == 0 and q1["hits"] == 0
+    assert q1["precision"] == 0.0 and q1["recall"] == 0.0
+    assert q1["rr"] == 0.0

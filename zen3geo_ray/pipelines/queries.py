@@ -3536,6 +3536,50 @@ u AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
 SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}"""
 
 
+def q_ir_eval(sf_dir: str):
+    """Offline retrieval-quality metrics for the two BM25 rankings:
+    precision@k / recall@k / reciprocal rank per query, with relevance
+    = the boolean-AND rule (doc contains EVERY query term).  One
+    corpus pass evaluates all queries; metric doubles come from single
+    int/int divisions so they value-check (stages/tfidf.py:ir_eval)."""
+    from ..stages.tfidf import ir_eval
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ir_eval(docs, [BM25_TERMS, BM25_TERMS_B], k=BM25_K)
+
+
+def _sql_ir_eval() -> str:
+    ctes, selects = [], []
+    for qi, terms in enumerate([BM25_TERMS, BM25_TERMS_B]):
+        q = f"e{qi}_"
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(_sql_bm25_ctes(q, terms, BM25_K))
+        ctes.append(f"""{q}rel AS (
+  SELECT doc_id FROM {q}tok WHERE w IN ({in_list})
+  GROUP BY doc_id HAVING COUNT(DISTINCT w) = {len(terms)}),
+{q}rank AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM {q}top),
+{q}h AS (SELECT r FROM {q}rank JOIN {q}rel USING (doc_id)),
+{q}m AS (SELECT
+   (SELECT CAST(COUNT(*) AS BIGINT) FROM {q}rel) AS n_rel,
+   (SELECT CAST(COUNT(*) AS BIGINT) FROM {q}rank) AS n_ret,
+   (SELECT CAST(COUNT(*) AS BIGINT) FROM {q}h) AS hits,
+   (SELECT MIN(r) FROM {q}h) AS fr)""")
+        selects.append(f"""SELECT {qi} AS query_id, n_rel, n_ret, hits,
+  CASE WHEN n_ret = 0 THEN 0.0
+       ELSE CAST(hits AS DOUBLE) / CAST(n_ret AS DOUBLE) END
+    AS "precision",
+  CASE WHEN n_rel = 0 THEN 0.0
+       ELSE CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END
+    AS "recall",
+  CASE WHEN fr IS NULL THEN 0.0
+       ELSE 1.0 / CAST(fr AS DOUBLE) END AS rr
+FROM {q}m""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
 
 
@@ -5492,6 +5536,7 @@ def build_oracles() -> dict[str, str]:
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
         "rrf": _sql_rrf(),
+        "ir_eval": _sql_ir_eval(),
         "src_sim": _sql_src_sim(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
@@ -6334,6 +6379,7 @@ def build_queries() -> dict:
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
         "rrf": q_rrf,
+        "ir_eval": q_ir_eval,
         "src_sim": q_src_sim,
         "shards": q_shards,
         "quota": q_quota,

@@ -364,3 +364,96 @@ def rrf_fuse(lists, *, id_col: str = "doc_id", rrf_k: int = 60,
         kind="mergesort").head(top_k)
     return rd.from_arrow(pa.Table.from_pandas(
         out, preserve_index=False).replace_schema_metadata(None))
+
+
+def ir_eval(docs, query_terms: list[list[str]], *, k: int = 20,
+            id_col: str = "doc_id", text_col: str = "text",
+            k1: float = 1.25, b: float = 0.75):
+    """Retrieval-quality evaluation — precision@k / recall@k /
+    reciprocal rank per query, the offline metric loop every search /
+    RAG data pipeline runs after reranking.
+
+    Relevance is DETERMINISTIC (no human qrels in a synthetic corpus):
+    a doc is relevant to a query iff it contains EVERY query term at
+    least once — the boolean-AND oracle both sides can mirror exactly.
+    Per query:
+
+    1. ``bm25_topk`` ranks the corpus (two streaming passes, local
+       top-k pruning); the bounded k-row result is collected and ranks
+       assigned by (score DESC, id).
+    2. ONE combined relevance pass over the corpus for ALL queries:
+       per batch emit Q int partials (relevant-doc counts) plus the
+       ranks of relevant ranked docs found in the batch (<= Q*k rows).
+       The corpus streams once; nothing shuffles.
+
+    Metrics use single int/int divisions (correctly-rounded doubles,
+    bit-exact vs SQL): precision = hits / n_ret, recall = hits / n_rel
+    (0.0 when n_rel = 0), rr = 1 / first_relevant_rank (0.0 when no
+    relevant doc is ranked).
+
+    Output: one row per query — (query_id, n_rel, n_ret, hits,
+    precision, recall, rr).
+    """
+    from .ngrams import tokens_flat
+
+    queries = [list(t) for t in query_terms]
+    rank_of = []   # per query: {doc_id: 1-based rank}
+    n_rets = []
+    for terms in queries:
+        df = bm25_topk(docs, terms, k=k, id_col=id_col,
+                       text_col=text_col, k1=k1, b=b).to_pandas()
+        if len(df) == 0:  # no matching docs: empty frame loses schema
+            rank_of.append({})
+            n_rets.append(0)
+            continue
+        df = df.sort_values(["score", id_col], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        rank_of.append(dict(zip(df[id_col].to_numpy().astype(np.int64),
+                                np.arange(1, len(df) + 1))))
+        n_rets.append(len(df))
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qcol, ncol, rrank = [], [], []
+        for qi, terms in enumerate(queries):
+            rel = np.ones(ndocs, dtype=bool)
+            for t in terms:
+                rel &= np.bincount(doc_of[toks == t],
+                                   minlength=ndocs) > 0
+            qcol.append(qi)
+            ncol.append(int(rel.sum()))
+            rmap = rank_of[qi]
+            hit_ranks = [rmap[i] for i in ids[rel] if i in rmap]
+            rrank.append(np.array(sorted(hit_ranks), dtype=np.int64))
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "n_rel": pa.array(ncol, pa.int64()),
+            "hit_ranks": pa.array(rrank, pa.list_(pa.int64())),
+        })
+
+    parts = docs.map_batches(rel_partial, batch_format="pyarrow") \
+        .to_pandas()
+    rows = []
+    for qi in range(len(queries)):
+        p = parts[parts["query_id"] == qi]
+        n_rel = int(p["n_rel"].sum())
+        ranks = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in p["hit_ranks"]]
+        ) if len(p) else np.array([], np.int64)
+        hits = int(len(ranks))
+        n_ret = n_rets[qi]
+        rows.append({
+            "query_id": qi, "n_rel": n_rel, "n_ret": n_ret,
+            "hits": hits,
+            "precision": (np.float64(hits) / np.float64(n_ret)
+                          if n_ret else 0.0),
+            "recall": (np.float64(hits) / np.float64(n_rel)
+                       if n_rel else 0.0),
+            "rr": (1.0 / np.float64(ranks.min()) if hits else 0.0),
+        })
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
