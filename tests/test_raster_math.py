@@ -83,3 +83,44 @@ def test_tile_rasterizer_weighted_sum():
     assert grid[7, 0] == pytest.approx(4.0)  # south-west after N-up flip
     with pytest.raises(ValueError, match="needs value_col"):
         rz.TileRasterizer(tile_specs=specs, agg="sum")
+
+
+def test_ahash_groups_golden(ray_session):
+    """Two identical tiles group together; hash bits land in the right
+    int64 halves (cross-multiplied mean predicate, no division)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.multimodal import ahash_groups
+
+    # tile 0 and tile 7: single hot 2x2 cell at cell (py<2, px<2) ->
+    # cell index 0; total = 40, cell sum = 40 -> 40*64 > 40 -> bit 0
+    # tile 3: hot cell at py=2..3,px=0..1 -> cell index 8 (row 1)
+    rows = []
+    for t in (0, 7):
+        rows += [(t, 0, 0, 10), (t, 0, 1, 10), (t, 1, 0, 10), (t, 1, 1, 10)]
+    rows += [(3, 2, 0, 10), (3, 3, 1, 30)]
+    # tile 5: uniform across two cells -> both bits 0 (equal means,
+    # strict > fails: s*64 = 32*64 ... total 64 -> 32*64>64 true!)
+    # pick: two cells each sum 32, total 64 -> 32*64 > 64 -> both set
+    rows += [(5, 0, 4, 32), (5, 0, 6, 32)]
+    t = pa.table({
+        "tile_id": pa.array([r[0] for r in rows], pa.int64()),
+        "py": pa.array([r[1] for r in rows], pa.int64()),
+        "px": pa.array([r[2] for r in rows], pa.int64()),
+        "n": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = ahash_groups(rd.from_arrow(t).repartition(3), px_size=16,
+                       grid=8, n_buckets=4).to_pandas() \
+        .set_index("tile_id").sort_index()
+    # tiles 0 and 7: bit 0 set -> hash_lo = 1, hash_hi = 0, same group
+    assert out.loc[0, "hash_lo"] == 1 and out.loc[0, "hash_hi"] == 0
+    assert out.loc[7, "hash_lo"] == 1
+    assert out.loc[0, "rep_tile"] == 0 and out.loc[7, "rep_tile"] == 0
+    assert out.loc[0, "n_same"] == 2 and out.loc[7, "n_same"] == 2
+    # tile 3: cell 8 -> hash_lo = 1 << 8 = 256, alone
+    assert out.loc[3, "hash_lo"] == 256 and out.loc[3, "n_same"] == 1
+    # tile 5: cells 2 and 3 (px 4..5 -> cell 2, px 6..7 -> cell 3)
+    assert out.loc[5, "hash_lo"] == (1 << 2) + (1 << 3)
+    assert out.loc[5, "n_same"] == 1

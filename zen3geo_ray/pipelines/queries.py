@@ -3066,6 +3066,60 @@ def _sql_rasterize() -> str:
     return _sql_rasterize_cte() + "SELECT tile_id, py, px, n FROM hist"
 
 
+def q_phash_dedup(sf_dir: str):
+    """Perceptual-hash (aHash) visual near-dup grouping of the
+    rasterized tiles: 16x16 count rasters pool to 8x8 integer cell
+    sums, bit = cell mean > tile mean CROSS-MULTIPLIED (no division),
+    64-bit hash as two int64 halves, tiles grouped by identical hash
+    (stages/multimodal.py:ahash_groups — two tile-bounded bucketed
+    shuffles; the imagehash/visual-dedup analog)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.multimodal import ahash_groups
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    specs = _tile_specs()
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    sparse = tiled.map_batches(
+        lambda b: rz.partial_histogram(b, tile_specs=specs),
+        batch_format="pyarrow",
+    )
+    hist = sparse.groupby(["tile_id", "py", "px"]).aggregate(
+        Sum("n", alias_name="n"))
+    return ahash_groups(hist, px_size=TILE_PX, grid=8, n_buckets=8)
+
+
+def _sql_phash_dedup() -> str:
+    return _sql_rasterize_cte() + """,
+cellsum AS (SELECT tile_id, (py // 2) * 8 + (px // 2) AS cell,
+              CAST(SUM(n) AS BIGINT) AS s
+            FROM hist GROUP BY 1, 2),
+tot AS (SELECT tile_id, CAST(SUM(n) AS BIGINT) AS t
+        FROM hist GROUP BY 1),
+bits AS (SELECT c.tile_id, c.cell,
+           CASE WHEN c.s * 64 > t.t THEN 1 ELSE 0 END AS b
+         FROM cellsum c JOIN tot t USING (tile_id)),
+h AS (SELECT tile_id,
+        CAST(SUM(CASE WHEN cell >= 32
+                 THEN b * (CAST(1 AS BIGINT) << (cell - 32))
+                 ELSE 0 END) AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN cell < 32
+                 THEN b * (CAST(1 AS BIGINT) << cell)
+                 ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY 1),
+g AS (SELECT hash_hi, hash_lo, MIN(tile_id) AS rep_tile,
+        CAST(COUNT(*) AS BIGINT) AS n_same
+      FROM h GROUP BY 1, 2)
+SELECT h.tile_id, h.hash_hi, h.hash_lo, g.rep_tile, g.n_same
+FROM h JOIN g USING (hash_hi, hash_lo)"""
+
+
 def _sql_raster_stats() -> str:
     """Mirror of moment_rasters: same tile/bin arithmetic as the
     rasterize oracle, weight = n_chars; mean/ex2 are single DOUBLE
@@ -5737,6 +5791,7 @@ FROM g,
      LATERAL (SELECT unnest(range(g.nx)) AS cx) cx
 """,
         "rasterize": _sql_rasterize(),
+        "phash_dedup": _sql_phash_dedup(),
         "raster_stats": _sql_raster_stats(),
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
@@ -6323,6 +6378,7 @@ def build_queries() -> dict:
         "multires": q_multires,
         "chips": q_chips,
         "rasterize": q_rasterize,
+        "phash_dedup": q_phash_dedup,
         "raster_stats": q_raster_stats,
         "raster_first": q_raster_first,
         "r2v": q_r2v,

@@ -372,3 +372,77 @@ def image_features(batch: pa.Table) -> pa.Table:
         "features",
         pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 6),
     )
+
+
+def ahash_groups(sparse, *, key_col: str = "tile_id", py_col: str = "py",
+                 px_col: str = "px", val_col: str = "n",
+                 px_size: int = 16, grid: int = 8, n_buckets: int = 32):
+    """Perceptual-hash (average-hash) NEAR-DUP grouping over rasterized
+    tiles — the visual-dedup analog of the MinHash text path
+    (imagehash's aHash over a sparse (key, py, px, value) raster table).
+
+    Per tile, the ``px_size`` x ``px_size`` grid is pooled into
+    ``grid`` x ``grid`` integer cell sums; bit c = 1 iff the cell MEAN
+    exceeds the tile mean, computed CROSS-MULTIPLIED
+    (cell_sum * grid**2 > total_sum) so no division touches the
+    predicate — bit-exact in SQL.  Untouched cells sum to 0 and absent
+    tiles never appear (both sides see only touched pixels).  The
+    ``grid**2``-bit hash ships as two int64 halves (``hash_hi`` bits
+    >= 32, ``hash_lo`` bits < 32 — bit 63 would overflow signed SQL).
+
+    Shape: two coarse-bucket shuffles of TILE-bounded rows — one keyed
+    by tile to pool cells, one keyed by hash where each group's members
+    are co-resident, so rep/size expansion is local.
+
+    Output: one row per tile — (key_col, hash_hi, hash_lo,
+    rep_tile = min key sharing the hash, n_same = group size).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    if grid * grid > 64:
+        raise ValueError("ahash_groups: grid**2 must be <= 64 bits")
+    cell_px = px_size // grid
+    if cell_px * grid != px_size:
+        raise ValueError("ahash_groups: px_size must be divisible by grid")
+    thr = np.int64(grid * grid)
+
+    def tile_hash(g: pd.DataFrame) -> pd.DataFrame:
+        cell = ((g[py_col].to_numpy(dtype=np.int64) // cell_px) * grid
+                + g[px_col].to_numpy(dtype=np.int64) // cell_px)
+        t = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                          "_cell": cell,
+                          "_v": g[val_col].to_numpy(dtype=np.int64)})
+        cs = t.groupby([key_col, "_cell"], sort=False,
+                       as_index=False)["_v"].sum()
+        tot = t.groupby(key_col, sort=False, as_index=False)["_v"] \
+            .sum().rename(columns={"_v": "_t"})
+        m = cs.merge(tot, on=key_col)
+        s = m["_v"].to_numpy(dtype=np.int64)
+        c = m["_cell"].to_numpy(dtype=np.int64)
+        b = s * thr > m["_t"].to_numpy(dtype=np.int64)
+        m["_lo"] = np.where(b & (c < 32), np.int64(1) << (c % 32),
+                            np.int64(0))
+        m["_hi"] = np.where(b & (c >= 32), np.int64(1) << (c - 32),
+                            np.int64(0))
+        out = m.groupby(key_col, sort=False,
+                        as_index=False)[["_hi", "_lo"]].sum()
+        return pd.DataFrame({key_col: out[key_col],
+                             "hash_hi": out["_hi"].astype(np.int64),
+                             "hash_lo": out["_lo"].astype(np.int64)})
+
+    h = bucketed_groupby(sparse, [key_col], tile_hash,
+                         n_buckets=n_buckets)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["hash_hi", "hash_lo"], sort=False)[key_col]
+        return pd.DataFrame({
+            key_col: g[key_col],
+            "hash_hi": g["hash_hi"], "hash_lo": g["hash_lo"],
+            "rep_tile": grp.transform("min"),
+            "n_same": grp.transform("size").astype(np.int64),
+        })
+
+    return bucketed_groupby(h, ["hash_hi", "hash_lo"], expand,
+                            n_buckets=n_buckets)
