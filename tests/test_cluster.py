@@ -120,3 +120,67 @@ def test_semdedup_blocked_scan_matches_naive(ray_session):
         kept_ref[i] = not (np.einsum("ij,ij->i", d, d) <= eps2).any()
     assert (out["kept"].to_numpy() == kept_ref).all()
     assert not kept_ref[50] and not kept_ref[299]
+
+
+def test_grid_dbscan_reference(ray_session):
+    """Grid DBSCAN vs a straight-line reference (core cells, 8-neighbor
+    components, border adoption, noise drop) + broadcast/bucketed point
+    labeling parity."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import grid_dbscan
+
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([rng.uniform(8, 14, 60), rng.uniform(60, 64, 40),
+                          rng.uniform(-170, 170, 30)])
+    lat = np.concatenate([rng.uniform(8, 14, 60), rng.uniform(-32, -28, 40),
+                          rng.uniform(-80, 80, 30)])
+    ids = np.arange(len(lon), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "lon": pa.array(lon),
+                  "lat": pa.array(lat)})
+
+    deg, minp, mul = 5.0, 8, 1024
+    ix = np.floor((lon + 180.0) / deg).astype(np.int64)
+    iy = np.floor((lat + 90.0) / deg).astype(np.int64)
+    counts = pd.DataFrame({"ix": ix, "iy": iy}).groupby(
+        ["ix", "iy"]).size()
+    core = set(counts[counts >= minp].index)
+    # union-find over core cells with 8-adjacency
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in core:
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for c in core:
+        members = [k for k in core if find(k) == find(c)]
+        comp[c] = min(kx * mul + ky for kx, ky in members)
+    expected = {}
+    for i, (cx, cy) in enumerate(zip(ix, iy)):
+        labels = [comp[(cx + dx, cy + dy)]
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                  if (cx + dx, cy + dy) in core]
+        if labels:
+            expected[int(ids[i])] = min(labels)
+
+    for thr in (2_000_000, 0):   # broadcast and bucketed point paths
+        out = grid_dbscan(rd.from_arrow(t).repartition(4), cell_deg=deg,
+                          min_pts=minp, key_mul=mul, n_buckets=8,
+                          broadcast_threshold=thr).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int),
+                       out["cluster"].astype(int)))
+        assert got == expected

@@ -4957,6 +4957,56 @@ walk(id, r) AS (
 SELECT id AS node, MIN(r) AS comp FROM walk GROUP BY id"""
 
 
+DBSCAN_DEG = 5.0
+DBSCAN_MINPTS = 8
+DBSCAN_MUL = 1024
+
+
+def q_dbscan(sf_dir: str):
+    """Grid-based spatial DBSCAN over the geocoded documents: 5-degree
+    cells, core = >= 8 points, clusters = 8-neighbor components of core
+    cells labeled by min cell key, border cells take the min adjacent
+    core label, noise drops (stages/cluster.py:grid_dbscan — counts
+    combiner-first, all adjacency work CELL-bounded, points labeled by
+    one broadcast lookup)."""
+    from ..stages.cluster import grid_dbscan
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    return grid_dbscan(pts, cell_deg=DBSCAN_DEG, min_pts=DBSCAN_MINPTS,
+                       key_mul=DBSCAN_MUL, n_buckets=8)
+
+
+def _sql_dbscan() -> str:
+    d, p, m = DBSCAN_DEG, DBSCAN_MINPTS, DBSCAN_MUL
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    return f"""WITH RECURSIVE
+geo0 AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat FROM documents),
+pc AS (SELECT doc_id,
+         CAST(FLOOR((lon - -180.0) / {d!r}) AS BIGINT) AS ix,
+         CAST(FLOOR((lat - -90.0) / {d!r}) AS BIGINT) AS iy
+       FROM geo0),
+cnt AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pc GROUP BY 1, 2),
+core AS (SELECT ix, iy FROM cnt WHERE c >= {p}),
+off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                       (1,-1),(1,0),(1,1)),
+edge AS (SELECT a.ix * {m} + a.iy AS u, b.ix * {m} + b.iy AS v
+         FROM core a JOIN off o ON TRUE
+         JOIN core b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy),
+walk(id, r) AS (
+  SELECT DISTINCT u, u FROM edge
+  UNION
+  SELECT w.id, e.v FROM walk w JOIN edge e ON e.u = w.r
+),
+comp AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id),
+cl AS (SELECT c.ix, c.iy, MIN(p2.comp) AS cluster
+       FROM cnt c JOIN off o ON TRUE
+       JOIN comp p2 ON p2.id = (c.ix + o.dx) * {m} + (c.iy + o.dy)
+       GROUP BY 1, 2)
+SELECT pc.doc_id, cl.cluster
+FROM pc JOIN cl ON cl.ix = pc.ix AND cl.iy = pc.iy"""
+
+
 def q_source_hhi(sf_dir: str):
     """Per-language SOURCE CONCENTRATION (Herfindahl index) over the
     documents table — the corpus-diversity signal a mixture curator
@@ -6308,6 +6358,7 @@ GROUP BY event_type, u - o.off
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
+        "dbscan": _sql_dbscan(),
         "kcore": _sql_kcore(),
         "lpa": _sql_lpa(),
         "ktruss": _sql_ktruss(),
@@ -6512,6 +6563,7 @@ def build_queries() -> dict:
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,
+        "dbscan": q_dbscan,
         "kcore": q_kcore,
         "lpa": q_lpa,
         "ktruss": q_ktruss,

@@ -229,3 +229,161 @@ def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
 
     return bucketed_groupby(tagged, ["cluster"], bucket_fn,
                             n_buckets=n_buckets)
+
+
+def grid_dbscan(pts, *, id_col: str = "doc_id", lon_col: str = "lon",
+                lat_col: str = "lat", lon0: float = -180.0,
+                lat0: float = -90.0, cell_deg: float = 5.0,
+                min_pts: int = 10, key_mul: int = 1024,
+                n_buckets: int = 32, max_rounds: int = 50,
+                broadcast_threshold: int = 2_000_000):
+    """Grid-based spatial DBSCAN (STING / grid-DBSCAN): density
+    clustering of a point table without any pairwise distance pass.
+
+    Cells of ``cell_deg`` degrees bin the points; cells holding
+    >= ``min_pts`` points are CORE; core cells connected through
+    8-neighbor adjacency (self included) form clusters labeled by the
+    MINIMUM cell key (``key = ix * key_mul + iy`` — pack is exact while
+    ``iy < key_mul``); every cell's label is the min component over the
+    core cells among itself + its 8 neighbors (for a core cell that IS
+    its own component — adjacent cores share it by construction), which
+    uniformly covers core and BORDER cells; points inherit their cell's
+    label, cells with no core neighbor are NOISE and drop out.
+
+    Scale shape: cell counts are combiner-first (one bucketed reduce of
+    per-batch partials — points shuffle only as (cell, count) rows);
+    the adjacency/join/label work is all CELL-bounded (9x cell rows at
+    worst); the final point labeling is one broadcast lookup when the
+    cell table fits (``ray.put`` + per-worker searchsorted) and one
+    bucketed join otherwise.  Points themselves never shuffle on the
+    broadcast path.
+    """
+    from .graph import connected_components
+    from .hashjoin import bucketed_join
+
+    mp = np.int64(min_pts)
+    km = np.int64(key_mul)
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        ix = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        iy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        key, cnt = np.unique(ix * km + iy, return_counts=True)
+        return pa.table({"ckey": pa.array(key),
+                         "_c": pa.array(cnt.astype(np.int64))})
+
+    cells = bucketed_groupby(
+        pts.map_batches(cell_partial, batch_format="pyarrow"),
+        ["ckey"],
+        lambda g: g.groupby("ckey", sort=False, as_index=False)["_c"].sum(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    core = cells.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("_c"), pa.scalar(int(mp), pa.int64()))).select(["ckey"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def expand_core(b: pa.Table) -> pa.Table:
+        k = b.column("ckey").to_numpy(zero_copy_only=False)
+        srcs, nbrs = [], []
+        for dx, dy in offs:
+            srcs.append(k)
+            nbrs.append(k + np.int64(dx) * km + np.int64(dy))
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "ckey": pa.array(np.concatenate(nbrs))})
+
+    # (origin core cell, candidate neighbor key) semi-joined against the
+    # core set -> undirected core adjacency incl. the (0,0) self-loop,
+    # so isolated core cells survive as singleton components
+    nbr = core.map_batches(expand_core, batch_format="pyarrow")
+    edges = bucketed_join(nbr, core, ["ckey"], how="semi",
+                          n_buckets=n_buckets).map_batches(
+        lambda b: pa.table({"src": b.column("src"),
+                            "dst": b.column("ckey")}),
+        batch_format="pyarrow")
+
+    comp = connected_components(edges, max_rounds=max_rounds,
+                                n_buckets=n_buckets).materialize()
+
+    # label every cell (core AND border): min component over the core
+    # cells among self + 8 neighbors
+    def expand_cells(b: pa.Table) -> pa.Table:
+        k = b.column("ckey").to_numpy(zero_copy_only=False)
+        origs, nbrs = [], []
+        for dx, dy in offs:
+            origs.append(k)
+            nbrs.append(k + np.int64(dx) * km + np.int64(dy))
+        return pa.table({"cell": pa.array(np.concatenate(origs)),
+                         "node": pa.array(np.concatenate(nbrs))})
+
+    cand = cells.map_batches(expand_cells, batch_format="pyarrow")
+    hit = bucketed_join(cand, comp, ["node"], n_buckets=n_buckets)
+
+    labels = bucketed_groupby(
+        hit.map_batches(lambda b: b.select(["cell", "comp"]),
+                        batch_format="pyarrow"),
+        ["cell"],
+        lambda g: g.groupby("cell", sort=False, as_index=False)["comp"].min(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    n_cells = labels.count()
+
+    def point_keys(b: pa.Table) -> pa.Table:
+        lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        ix = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        iy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "cell": pa.array(ix * km + iy)})
+
+    keyed = pts.map_batches(point_keys, batch_format="pyarrow")
+
+    if n_cells <= broadcast_threshold:
+        import ray
+
+        ldf = labels.to_pandas()
+        order = np.argsort(ldf["cell"].to_numpy(), kind="mergesort")
+        lref = ray.put((ldf["cell"].to_numpy()[order].astype(np.int64),
+                        ldf["comp"].to_numpy()[order].astype(np.int64)))
+
+        def attach(b: pa.Table, _ref=lref) -> pa.Table:
+            ks, lv = _get_cells_blob(_ref)
+            c = b.column("cell").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, c)
+            pos_c = np.clip(pos, 0, max(len(ks) - 1, 0))
+            ok = (len(ks) > 0) & (ks[pos_c] == c) if len(ks) else \
+                np.zeros(len(c), bool)
+            t = b.filter(pa.array(ok))
+            return pa.table({id_col: t.column(id_col),
+                             "cluster": pa.array(
+                                 lv[pos_c[ok]] if len(ks) else
+                                 np.array([], np.int64))})
+
+        return keyed.map_batches(attach, batch_format="pyarrow")
+
+    j = bucketed_join(keyed, labels.map_batches(
+        lambda b: b.rename_columns(["cell", "cluster"]),
+        batch_format="pyarrow"), ["cell"], n_buckets=n_buckets)
+    return j.map_batches(lambda b: b.select([id_col, "cluster"]),
+                         batch_format="pyarrow")
+
+
+_CELLS_CACHE: dict = {}
+
+
+def _get_cells_blob(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _CELLS_CACHE:
+        _CELLS_CACHE.clear()
+        _CELLS_CACHE[key] = ray.get(ref)
+    return _CELLS_CACHE[key]
