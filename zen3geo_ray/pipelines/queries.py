@@ -3634,6 +3634,67 @@ FROM {q}m""")
             + "\nUNION ALL\n".join(selects))
 
 
+MMR_K, MMR_POOL, MMR_A, MMR_B = 8, 40, 7, 3
+
+
+def q_mmr(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-k (the RAG/retrieval
+    re-ranker): one streaming pass keeps a per-block relevance pool,
+    a single-block finale reduces to the global top-40 candidates, and
+    the greedy 7*rel - 3*max_sim walk runs on that bounded pool.  All
+    arithmetic is int64 (2^20 floor-quantized vectors) so the unrolled
+    SQL greedy mirrors it bit-for-bit (stages/ann.py:mmr_topk)."""
+    from ..stages.ann import mmr_topk
+
+    qsel = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qsel.column("embedding")[0].as_py(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mmr_topk(ds, qvec, k=MMR_K, pool=MMR_POOL,
+                    a_num=MMR_A, b_num=MMR_B)
+
+
+def _sql_mmr() -> str:
+    off = 1 << 20
+    steps = []
+    for r in range(2, MMR_K + 1):
+        steps.append(f""",
+s{r} AS MATERIALIZED (SELECT p.vec_id, p.rel,
+           {MMR_A} * p.rel - {MMR_B} * (SELECT MAX(s.s) FROM sim s
+               WHERE s.ai = p.vec_id
+                 AND s.bi IN (SELECT vec_id FROM sel{r - 1})) AS score
+         FROM pool p
+         WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+         ORDER BY score DESC, p.vec_id LIMIT 1),
+sel{r} AS MATERIALIZED (SELECT vec_id FROM sel{r - 1}
+           UNION ALL SELECT vec_id FROM s{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, vec_id, rel, score FROM s{r}"
+        for r in range(1, MMR_K + 1))
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, d.d AS d,
+         CAST(FLOOR(embedding[d.d + 1] * {off}.0) AS BIGINT) + {off} AS xv
+  FROM embeddings, LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d),
+q AS MATERIALIZED (SELECT d, xv AS qv FROM x WHERE vec_id = 0),
+rel AS MATERIALIZED (SELECT x.vec_id, CAST(SUM(x.xv * q.qv) AS BIGINT) AS rel
+        FROM x JOIN q ON q.d = x.d GROUP BY x.vec_id),
+pool AS MATERIALIZED (SELECT vec_id, rel FROM rel
+         ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+xp AS MATERIALIZED (SELECT x.vec_id, x.d, x.xv
+       FROM x JOIN pool p ON p.vec_id = x.vec_id),
+sim AS MATERIALIZED (SELECT xa.vec_id AS ai, xb.vec_id AS bi,
+               CAST(SUM(xa.xv * xb.xv) AS BIGINT) AS s
+        FROM xp xa JOIN xp xb ON xb.d = xa.d AND xb.vec_id <> xa.vec_id
+        GROUP BY xa.vec_id, xb.vec_id),
+s1 AS MATERIALIZED (SELECT vec_id, rel, {MMR_A} * rel AS score FROM pool
+       ORDER BY score DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1){''.join(steps)}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, score
+FROM ({union}) ORDER BY rank"""
+
+
 PARA_SIZE = 4  # dedup-unit block length in tokens (corpus has no \n)
 
 
@@ -5640,6 +5701,7 @@ def build_oracles() -> dict[str, str]:
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
         "rrf": _sql_rrf(),
+        "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
         "src_sim": _sql_src_sim(),
         "shards": _sql_shards(),
@@ -6486,6 +6548,7 @@ def build_queries() -> dict:
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
         "rrf": q_rrf,
+        "mmr": q_mmr,
         "ir_eval": q_ir_eval,
         "src_sim": q_src_sim,
         "shards": q_shards,

@@ -511,3 +511,100 @@ def auto_ivf_knn(ds, queries_blob, k: int, *, n_centroids: int = 32,
                   n_probe=n_probe, train_sample=train_sample,
                   id_col=id_col, vec_col=vec_col, centroids=centroids)
     return out, n_probe, rec
+
+
+MMR_SCALE_BITS = 20
+_MMR_OFF = 1 << MMR_SCALE_BITS
+
+
+def mmr_topk(ds, qvec: np.ndarray, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 8, pool: int = 40,
+             a_num: int = 7, b_num: int = 3):
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998) — the diversity-aware selection every RAG / dedup-aware
+    retrieval stack runs after the similarity ranker.
+
+    Everything is INTEGER-exact so the SQL oracle mirrors it
+    bit-for-bit (the k-means discipline): vectors quantize to
+    ``q = floor(x * 2^20) + 2^20``; relevance = int64 dot vs the
+    quantized query; pairwise similarity = int64 dot; the greedy score
+    is ``a_num * rel - b_num * max_sim_to_selected`` (first pick:
+    ``a_num * rel``); every argmax ties to the SMALLEST id.
+
+    Shape: one streaming pass computes relevance and keeps a LOCAL
+    top-``pool`` per block (id, rel, quantized vector as bytes); a
+    single-block finale reduces blocks x pool rows to the global pool;
+    the greedy walk runs driver-side on the POOL-BOUNDED candidates
+    (pool² int dots — the same bounded-result contract as rrf_fuse).
+
+    Output: pa.Table (rank 1-based in selection order, id_col, rel,
+    score).
+    """
+    dim = len(qvec)
+    qq = (np.floor(np.asarray(qvec, dtype=np.float64)
+                   * _MMR_OFF) + _MMR_OFF).astype(np.int64)
+
+    def local_pool(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        q = (np.floor(m * _MMR_OFF) + _MMR_OFF).astype(np.int64)
+        rel = q @ qq
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -rel))[:pool]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "rel": pa.array(rel[order]),
+            "_q": pa.array([q[i].tobytes() for i in order],
+                           pa.binary()),
+        })
+
+    cand = ds.map_batches(local_pool, batch_format="pyarrow") \
+        .repartition(1).map_batches(local_pool_finale(id_col, pool),
+                                    batch_format="pyarrow").to_pandas()
+    ids = cand[id_col].to_numpy().astype(np.int64)
+    rel = cand["rel"].to_numpy().astype(np.int64)
+    mat = np.stack([np.frombuffer(b, dtype=np.int64)
+                    for b in cand["_q"]]) if len(cand) else \
+        np.zeros((0, dim), np.int64)
+    sims = mat @ mat.T  # pool x pool int64
+
+    a, b = np.int64(a_num), np.int64(b_num)
+    selected: list[int] = []
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    remaining = np.ones(len(ids), dtype=bool)
+    for r in range(1, min(k, len(ids)) + 1):
+        if selected:
+            maxsim = sims[:, selected].max(axis=1)
+        else:
+            maxsim = np.zeros(len(ids), dtype=np.int64)
+        score = a * rel - b * maxsim
+        idx = np.arange(len(ids))[remaining]
+        pick = idx[np.lexsort((ids[idx], -score[idx]))[0]]
+        selected.append(pick)
+        remaining[pick] = False
+        out_rank.append(r)
+        out_id.append(ids[pick])
+        out_rel.append(rel[pick])
+        out_score.append(score[pick])
+    return pa.table({
+        "rank": pa.array(np.array(out_rank, np.int64)),
+        id_col: pa.array(np.array(out_id, np.int64)),
+        "rel": pa.array(np.array(out_rel, np.int64)),
+        "score": pa.array(np.array(out_score, np.int64)),
+    })
+
+
+def local_pool_finale(id_col: str, pool: int):
+    """Single-block reducer for mmr_topk's pool pass: merge the
+    per-block pools and keep the global top-``pool`` by
+    (rel DESC, id)."""
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rel = batch.column("rel").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -rel))[:pool]
+        return batch.take(pa.array(order))
+
+    return fin
