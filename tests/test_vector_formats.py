@@ -252,3 +252,93 @@ def test_zip_vector_reads(tmp_path):
         zf.writestr("readme.txt", "x")
     with pytest.raises(ValueError, match="no vector member"):
         read_vector(str(empty))
+
+
+# --- packed Hilbert R-tree (indexed FGB write + bbox pushdown read) --------
+
+def _fgb():
+    from zen3geo_ray.sources import flatgeobuf as m
+    return m
+
+
+def test_fgb_hilbert_kernel_bijective_and_anchored():
+    m = _fgb()
+    # d(0,0) = 0 on every Hilbert curve; distinct cells -> distinct d
+    assert int(m.hilbert_d(np.array([0]), np.array([0]))[0]) == 0
+    xs, ys = np.meshgrid(np.arange(0, 1 << 16, 1 << 11),
+                         np.arange(0, 1 << 16, 1 << 11))
+    d = m.hilbert_d(xs.ravel().astype(np.uint32),
+                    ys.ravel().astype(np.uint32))
+    assert len(np.unique(d)) == d.size
+    # neighbours along the curve are spatial neighbours for the first
+    # steps: the four rank-0..3 cells of the coarse grid are mutually
+    # adjacent (locality sanity, not a full spec pin)
+    order = np.argsort(d)
+    cx, cy = xs.ravel()[order[:4]] >> 11, ys.ravel()[order[:4]] >> 11
+    assert np.abs(np.diff(cx)).max() <= 1 and np.abs(np.diff(cy)).max() <= 1
+
+
+def test_fgb_indexed_roundtrip_and_size(tmp_path):
+    m = _fgb()
+    tbl = admin_grid(nx=9, ny=7)  # 63 features -> 63/16/4/1 at node_size 4
+    plain, indexed = tmp_path / "p.fgb", tmp_path / "i.fgb"
+    m.write_flatgeobuf(tbl, str(plain))
+    m.write_flatgeobuf(tbl, str(indexed), index=True, node_size=4)
+    assert (indexed.stat().st_size - plain.stat().st_size
+            == m._index_size(63, 4))
+    full = m.read_flatgeobuf(str(indexed))
+    # same feature SET (order is Hilbert), ordinals re-assigned 0..n-1
+    assert full.num_rows == tbl.num_rows
+    assert full["poly_id"].to_pylist() == list(range(tbl.num_rows))
+    got = set(zip(full["name"].to_pylist(),
+                  full["geometry_wkb"].to_pylist()))
+    want = set(zip(tbl["name"].to_pylist(),
+                   tbl["geometry_wkb"].to_pylist()))
+    assert got == want
+
+
+def test_fgb_bbox_pushdown_matches_scan(tmp_path):
+    m = _fgb()
+    tbl = admin_grid(nx=9, ny=7)
+    f = tmp_path / "i.fgb"
+    m.write_flatgeobuf(tbl, str(f), index=True, node_size=4)
+    full = m.read_flatgeobuf(str(f))
+    for bbox in [(0.0, 0.0, 1.5, 1.5), (2.5, 2.5, 4.0, 4.0),
+                 (-10.0, -10.0, -5.0, -5.0), (0.0, 0.0, 100.0, 100.0),
+                 (3.0, 1.0, 3.0, 1.0)]:
+        got = m.read_flatgeobuf(str(f), bbox=bbox)
+        keep = ((full["minx"].to_numpy() <= bbox[2])
+                & (full["maxx"].to_numpy() >= bbox[0])
+                & (full["miny"].to_numpy() <= bbox[3])
+                & (full["maxy"].to_numpy() >= bbox[1]))
+        assert got.equals(full.filter(pa.array(keep))), bbox
+    # read_vector passes the bbox down (and re-filters, harmlessly)
+    rv = read_vector(str(f), bbox=(0.0, 0.0, 1.5, 1.5))
+    assert rv.equals(m.read_flatgeobuf(str(f), bbox=(0.0, 0.0, 1.5, 1.5)))
+
+
+def test_fgb_unindexed_bbox_read_filters(tmp_path):
+    m = _fgb()
+    tbl = admin_grid(nx=4, ny=4)
+    f = tmp_path / "p.fgb"
+    m.write_flatgeobuf(tbl, str(f))
+    got = m.read_flatgeobuf(str(f), bbox=(0.0, 0.0, 0.5, 0.5))
+    assert 0 < got.num_rows < tbl.num_rows
+    # unindexed file keeps write order -> parquet-path parity holds
+    pqf = tmp_path / "p.parquet"
+    pq.write_table(tbl, pqf)
+    assert got.equals(read_vector(str(pqf), bbox=(0.0, 0.0, 0.5, 0.5)))
+
+
+def test_fgb_indexed_single_feature_and_empty(tmp_path):
+    m = _fgb()
+    one = admin_grid(nx=1, ny=1)
+    f1 = tmp_path / "one.fgb"
+    m.write_flatgeobuf(one, str(f1), index=True, node_size=4)
+    assert m.read_flatgeobuf(str(f1)).num_rows == 1
+    assert m.read_flatgeobuf(
+        str(f1), bbox=(-1e9, -1e9, 1e9, 1e9)).num_rows == 1
+    empty = one.slice(0, 0)
+    f0 = tmp_path / "zero.fgb"
+    m.write_flatgeobuf(empty, str(f0), index=True)
+    assert m.read_flatgeobuf(str(f0)).num_rows == 0

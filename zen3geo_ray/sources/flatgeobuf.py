@@ -27,6 +27,21 @@ optimization, not data); the writer emits none (node size 0).
 Emits the SAME fixed POLYGONS schema as the other vector paths.
 ``write_flatgeobuf`` is a spec-conformant fixture writer so the
 round-trip pins the byte layout.
+
+Spatial index (``write_flatgeobuf(..., index=True)`` /
+``read_flatgeobuf(..., bbox=...)``): the FGB packed Hilbert R-tree —
+features sort by the Hilbert distance of their bbox centers on a
+2^16 grid over the layer extent (the flatbush ordering; the bitwise
+Hilbert kernel is the public-domain rawrunprotected/hilbert_curves
+algorithm flatbush ports), then 40-byte nodes
+(minx,miny,maxx,maxy f64 + u64 offset) pack level by level with the
+ROOT FIRST (FGB's streaming-friendly inversion of flatbush). Leaf
+node offsets are feature byte offsets relative to the start of the
+features section; internal node offsets are the byte offset of the
+node's first child within the index. A bbox read walks the tree
+top-down and decodes ONLY intersecting features — the leaf's position
+inside the leaf level recovers the file ordinal, so ``poly_id`` is
+identical between a bbox read and a full scan.
 """
 
 from __future__ import annotations
@@ -142,9 +157,181 @@ def _index_size(num_items: int, node_size: int) -> int:
     return num_nodes * 40
 
 
-def read_flatgeobuf(path: str) -> pa.Table:
+# --- packed Hilbert R-tree ---------------------------------------------------
+
+_NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                     ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
+_HILBERT_MAX = np.uint32((1 << 16) - 1)
+
+
+def _interleave16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each uint32 into the even bit
+    positions (Morton half-interleave)."""
+    v = (v | (v << np.uint32(8))) & np.uint32(0x00FF00FF)
+    v = (v | (v << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    v = (v | (v << np.uint32(2))) & np.uint32(0x33333333)
+    v = (v | (v << np.uint32(1))) & np.uint32(0x55555555)
+    return v
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert-curve distance of 16-bit cell coordinates (vectorized
+    port of the public-domain rawrunprotected/hilbert_curves kernel
+    that flatbush — and therefore FlatGeobuf — uses for its packing
+    order).  Input: uint32 arrays with values <= 0xFFFF; output:
+    uint32 distances on the 2^16 x 2^16 curve."""
+    x = np.asarray(x, dtype=np.uint32)
+    y = np.asarray(y, dtype=np.uint32)
+    M = _HILBERT_MAX
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> np.uint32(1))
+    B = (a >> np.uint32(1)) ^ a
+    C = ((c >> np.uint32(1)) ^ (b & (d >> np.uint32(1)))) ^ c
+    D = ((a & (c >> np.uint32(1))) ^ (d >> np.uint32(1))) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(2))) ^ (b & (b >> np.uint32(2)))
+    B = (a & (b >> np.uint32(2))) ^ (b & ((a ^ b) >> np.uint32(2)))
+    C = C ^ ((a & (c >> np.uint32(2))) ^ (b & (d >> np.uint32(2))))
+    D = D ^ ((b & (c >> np.uint32(2))) ^ ((a ^ b) & (d >> np.uint32(2))))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(4))) ^ (b & (b >> np.uint32(4)))
+    B = (a & (b >> np.uint32(4))) ^ (b & ((a ^ b) >> np.uint32(4)))
+    C = C ^ ((a & (c >> np.uint32(4))) ^ (b & (d >> np.uint32(4))))
+    D = D ^ ((b & (c >> np.uint32(4))) ^ ((a ^ b) & (d >> np.uint32(4))))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> np.uint32(8))) ^ (b & (d >> np.uint32(8))))
+    D = D ^ ((b & (c >> np.uint32(8))) ^ ((a ^ b) & (d >> np.uint32(8))))
+    a = C ^ (C >> np.uint32(1))
+    b = D ^ (D >> np.uint32(1))
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+    return ((_interleave16(i1 & M) << np.uint32(1))
+            | _interleave16(i0 & M))
+
+
+def _hilbert_order(bb: np.ndarray) -> np.ndarray:
+    """Feature write order: Hilbert distance of bbox centers scaled to
+    the 2^16 grid over the layer extent (flatbush scaling; degenerate
+    extents collapse to cell 0), ties by input position."""
+    minx, miny = bb[:, 0].min(), bb[:, 1].min()
+    w = bb[:, 2].max() - minx
+    h = bb[:, 3].max() - miny
+    cx = (bb[:, 0] + bb[:, 2]) / 2.0 - minx
+    cy = (bb[:, 1] + bb[:, 3]) / 2.0 - miny
+    fx = np.floor(float(_HILBERT_MAX) * (cx / w)) if w > 0 else \
+        np.zeros(len(bb))
+    fy = np.floor(float(_HILBERT_MAX) * (cy / h)) if h > 0 else \
+        np.zeros(len(bb))
+    hd = hilbert_d(np.asarray(fx, dtype=np.uint32),
+                   np.asarray(fy, dtype=np.uint32))
+    return np.lexsort((np.arange(len(bb)), hd))
+
+
+def _level_ranges(num_items: int, node_size: int):
+    """(start, end) node-index ranges per level, ROOT FIRST (FGB's
+    top-down inversion of the flatbush layout)."""
+    sizes = [num_items]
+    n = num_items
+    while n != 1:
+        n = -(-n // node_size)
+        sizes.append(n)
+    sizes = sizes[::-1]
+    out, pos = [], 0
+    for s in sizes:
+        out.append((pos, pos + s))
+        pos += s
+    return out
+
+
+def _build_index(bb: np.ndarray, feat_offsets: np.ndarray,
+                 node_size: int) -> bytes:
+    """Pack the Hilbert R-tree: leaves carry feature byte offsets (into
+    the features section), internal nodes carry first-child byte
+    offsets (into the index) and union bboxes; bottom-up fill,
+    root-first serialization.  ``bb`` must already be in write
+    order."""
+    ranges = _level_ranges(len(feat_offsets), node_size)
+    nodes = np.zeros(ranges[-1][1], dtype=_NODE_DT)
+    ls, le = ranges[-1]
+    nodes["minx"][ls:le], nodes["miny"][ls:le] = bb[:, 0], bb[:, 1]
+    nodes["maxx"][ls:le], nodes["maxy"][ls:le] = bb[:, 2], bb[:, 3]
+    nodes["off"][ls:le] = feat_offsets.astype(np.uint64)
+    for lvl in range(len(ranges) - 2, -1, -1):
+        s, e = ranges[lvl]
+        cs, ce = ranges[lvl + 1]
+        for j in range(s, e):
+            c0 = cs + (j - s) * node_size
+            c1 = min(c0 + node_size, ce)
+            nodes["minx"][j] = nodes["minx"][c0:c1].min()
+            nodes["miny"][j] = nodes["miny"][c0:c1].min()
+            nodes["maxx"][j] = nodes["maxx"][c0:c1].max()
+            nodes["maxy"][j] = nodes["maxy"][c0:c1].max()
+            nodes["off"][j] = np.uint64(c0 * 40)
+    return nodes.tobytes()
+
+
+def _search_index(ibuf: bytes, num_items: int, node_size: int,
+                  bbox) -> list[tuple[int, int]]:
+    """Walk the packed tree top-down; returns (file ordinal, feature
+    byte offset) for every leaf whose bbox intersects ``bbox``.  Node
+    visits are tree-bounded (O(node_size * log n + hits))."""
+    nodes = np.frombuffer(ibuf, dtype=_NODE_DT)
+    ranges = _level_ranges(num_items, node_size)
+    leaf_start = ranges[-1][0]
+    qminx, qminy, qmaxx, qmaxy = (float(v) for v in bbox)
+    hits: list[tuple[int, int]] = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        nd = nodes[i]
+        if (nd["minx"] > qmaxx or nd["maxx"] < qminx
+                or nd["miny"] > qmaxy or nd["maxy"] < qminy):
+            continue
+        if i >= leaf_start:
+            hits.append((i - leaf_start, int(nd["off"])))
+            continue
+        c0 = int(nd["off"]) // 40
+        ce = next(e for s, e in ranges if s <= c0 < e)
+        stack.extend(range(c0, min(c0 + node_size, ce)))
+    return hits
+
+
+def _decode_feature(buf, off, i, gtype_hint, col_names,
+                    ids, names, blobs, bbs):
+    """Decode the size-prefixed Feature record at ``off`` (file ordinal
+    ``i``) into the accumulator lists; returns the record length."""
+    flen = _u32(buf, off)
+    if flen == 0:
+        return 0
+    froot = off + 4 + _u32(buf, off + 4)
+    gtab = _field_table(buf, froot, 0)
+    if gtab is not None:
+        geom = _decode_geometry(buf, gtab, gtype_hint)
+        name = f"poly_{i}"
+        props = _field_vector(buf, froot, 1, np.uint8)
+        if props is not None and col_names[:1] == ["name"]:
+            # properties wire format: ushort column index, then the
+            # column-typed value; column 0 is a string (u32 len)
+            pb = props.tobytes()
+            if len(pb) >= 6 and _u16(pb, 0) == 0:
+                sl = _u32(pb, 2)
+                name = pb[6:6 + sl].decode("utf-8", "replace")
+        ids.append(i)
+        names.append(name)
+        blobs.append(wkb.dumps(geom))
+        bbs.append(wkb.bounds(geom))
+    return flen
+
+
+def read_flatgeobuf(path: str, bbox=None) -> pa.Table:
     """Load a FlatGeobuf file as a POLYGONS-schema table (names from a
-    'name' string column when the properties carry one)."""
+    'name' string column when the properties carry one).  With
+    ``bbox=(minx, miny, maxx, maxy)`` and an indexed file, only the
+    R-tree-intersecting features are decoded (poly_id stays the file
+    ordinal, identical to a full scan)."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8] != MAGIC[:8]:
@@ -164,36 +351,27 @@ def read_flatgeobuf(path: str) -> pa.Table:
             ln = _u32(buf, noff)
             col_names.append(buf[noff + 4:noff + 4 + ln].decode())
     off += 4 + hlen
-    if node_size > 0 and feat_count > 0:
-        off += _index_size(feat_count, node_size)
+    has_index = node_size > 0 and feat_count > 0
+    isize = _index_size(feat_count, node_size) if has_index else 0
+    ibuf, off = buf[off:off + isize], off + isize
 
     ids, names, blobs, bbs = [], [], [], []
-    i = 0
-    while off + 4 <= len(buf) and (feat_count == 0 or i < feat_count):
-        flen = _u32(buf, off)
-        if flen == 0:
-            break
-        froot = off + 4 + _u32(buf, off + 4)
-        gtab = _field_table(buf, froot, 0)
-        if gtab is not None:
-            geom = _decode_geometry(buf, gtab, gtype_hint)
-            name = f"poly_{i}"
-            props = _field_vector(buf, froot, 1, np.uint8)
-            if props is not None and col_names[:1] == ["name"]:
-                # properties wire format: ushort column index, then the
-                # column-typed value; column 0 is a string (u32 len)
-                pb = props.tobytes()
-                if len(pb) >= 6 and _u16(pb, 0) == 0:
-                    sl = _u32(pb, 2)
-                    name = pb[6:6 + sl].decode("utf-8", "replace")
-            ids.append(i)
-            names.append(name)
-            blobs.append(wkb.dumps(geom))
-            bbs.append(wkb.bounds(geom))
-        off += 4 + flen
-        i += 1
+    if bbox is not None and has_index:
+        hits = sorted(_search_index(ibuf, feat_count, node_size, bbox))
+        for ordinal, foff in hits:
+            _decode_feature(buf, off + foff, ordinal, gtype_hint,
+                            col_names, ids, names, blobs, bbs)
+    else:
+        i = 0
+        while off + 4 <= len(buf) and (feat_count == 0 or i < feat_count):
+            flen = _decode_feature(buf, off, i, gtype_hint, col_names,
+                                   ids, names, blobs, bbs)
+            if flen == 0:
+                break
+            off += 4 + flen
+            i += 1
     b = np.asarray(bbs, dtype=np.float64).reshape(-1, 4)
-    return pa.table(
+    out = pa.table(
         {
             "poly_id": pa.array(ids, pa.int64()),
             "name": pa.array(names, pa.string()),
@@ -203,6 +381,12 @@ def read_flatgeobuf(path: str) -> pa.Table:
         },
         schema=POLYGONS,
     )
+    if bbox is not None:
+        qminx, qminy, qmaxx, qmaxy = (float(v) for v in bbox)
+        keep = ((b[:, 0] <= qmaxx) & (b[:, 2] >= qminx)
+                & (b[:, 1] <= qmaxy) & (b[:, 3] >= qminy))
+        out = out.filter(pa.array(keep))
+    return out
 
 
 # --- minimal flatbuffers wire encoding (fixture writer) ---------------------
@@ -343,35 +527,65 @@ def _encode_geometry(fb: _FB, geom: dict) -> int:
     raise NotImplementedError(t)
 
 
-def write_flatgeobuf(tbl: pa.Table, path: str) -> None:
-    """Fixture writer: magic + Header (one 'name' string column, no
-    spatial index) + size-prefixed Feature records."""
-    out = bytearray(MAGIC)
-    # header
+def _encode_feature(geom: dict, name: str) -> bytes:
+    """One size-prefixed Feature record (geometry + a single 'name'
+    string property)."""
+    fb = _FB()
+    gmark = _encode_geometry(fb, geom)
+    nb = name.encode()
+    props = struct.pack("<HI", 0, len(nb)) + nb
+    pmark = fb.vector_u8(props)
+    feat = fb.table({0: ("off", gmark), 1: ("off", pmark)})
+    return fb.finish(feat)
+
+
+def write_flatgeobuf(tbl: pa.Table, path: str, *, index: bool = False,
+                     node_size: int = 16) -> None:
+    """Spec-shaped writer: magic + Header (one 'name' string column,
+    layer envelope) + optional packed Hilbert R-tree + size-prefixed
+    Feature records.  ``index=True`` Hilbert-sorts the features by
+    bbox center and emits the flatbush-layout tree (root first,
+    40-byte nodes) so ``read_flatgeobuf(bbox=)`` can decode only the
+    intersecting features."""
+    feats = [_encode_feature(
+        wkb.loads(tbl.column("geometry_wkb")[i].as_py()),
+        tbl.column("name")[i].as_py()) for i in range(tbl.num_rows)]
+    bb = np.column_stack([
+        tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        for c in ("minx", "miny", "maxx", "maxy")]) if tbl.num_rows \
+        else np.empty((0, 4))
+    ibytes = b""
+    use_index = index and tbl.num_rows > 0
+    if use_index:
+        order = _hilbert_order(bb)
+        feats = [feats[i] for i in order]
+        bb = bb[order]
+        lens = np.array([len(f) for f in feats], dtype=np.int64)
+        feat_offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ibytes = _build_index(bb, feat_offsets, node_size)
+
     fb = _FB()
     colname = fb.string("name")
     col = fb.table({0: ("off", colname),
                     1: ("u8", 11)})  # ColumnType.String
     cols = fb.vector_offsets([col])
+    env = fb.vector_f64([bb[:, 0].min(), bb[:, 1].min(),
+                         bb[:, 2].max(), bb[:, 3].max()]) \
+        if tbl.num_rows else None
     hname = fb.string("layer")
-    header = fb.table({
+    fields = {
         0: ("off", hname),
         2: ("u8", 0),  # geometry_type Unknown (mixed)
         7: ("off", cols),
         8: ("u64", tbl.num_rows),
-        9: ("u16", 0),  # no index
-    })
-    out += fb.finish(header)
-    # features
-    for i in range(tbl.num_rows):
-        geom = wkb.loads(tbl.column("geometry_wkb")[i].as_py())
-        name = tbl.column("name")[i].as_py()
-        fb = _FB()
-        gmark = _encode_geometry(fb, geom)
-        nb = name.encode()
-        props = struct.pack("<HI", 0, len(nb)) + nb
-        pmark = fb.vector_u8(props)
-        feat = fb.table({0: ("off", gmark), 1: ("off", pmark)})
-        out += fb.finish(feat)
+        9: ("u16", node_size if use_index else 0),
+    }
+    if env is not None:
+        fields[1] = ("off", env)  # Header.envelope (minx,miny,maxx,maxy)
+    header = fb.table(fields)
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(MAGIC)
+        f.write(fb.finish(header))
+        f.write(ibytes)
+        for rec in feats:
+            f.write(rec)

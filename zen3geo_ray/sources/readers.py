@@ -97,7 +97,10 @@ def read_vector(path: str, columns: list[str] | None = None,
     elif path.endswith(".fgb"):
         from .flatgeobuf import read_flatgeobuf
 
-        t = read_flatgeobuf(path)
+        # bbox pushes down to the packed Hilbert R-tree when the file
+        # carries one (indexed write); the generic intersect filter
+        # below re-applies the same predicate, harmlessly.
+        t = read_flatgeobuf(path, bbox=bbox)
     else:
         if bbox is not None:
             from .geoparquet import read_geoparquet
