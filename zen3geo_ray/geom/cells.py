@@ -142,6 +142,116 @@ def morton_of(lon, lat, res: int = 16) -> np.ndarray:
     return (topx << (2 * res)) | z
 
 
+_HILBERT_MASK = np.uint32((1 << 16) - 1)
+
+
+def _interleave16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each uint32 into the even bit
+    positions (Morton half-interleave)."""
+    v = (v | (v << np.uint32(8))) & np.uint32(0x00FF00FF)
+    v = (v | (v << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    v = (v | (v << np.uint32(2))) & np.uint32(0x33333333)
+    v = (v | (v << np.uint32(1))) & np.uint32(0x55555555)
+    return v
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert-curve distance of 16-bit cell coordinates (vectorized
+    port of the public-domain rawrunprotected/hilbert_curves kernel
+    that flatbush — and therefore FlatGeobuf — uses for its packing
+    order).  Input: uint32 arrays with values <= 0xFFFF; output:
+    uint32 distances on the 2^16 x 2^16 curve.  Mirrored op for op by
+    ``sql_hilbert_ctes`` so oracle queries can recompute it."""
+    x = np.asarray(x, dtype=np.uint32)
+    y = np.asarray(y, dtype=np.uint32)
+    M = _HILBERT_MASK
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> np.uint32(1))
+    B = (a >> np.uint32(1)) ^ a
+    C = ((c >> np.uint32(1)) ^ (b & (d >> np.uint32(1)))) ^ c
+    D = ((a & (c >> np.uint32(1))) ^ (d >> np.uint32(1))) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(2))) ^ (b & (b >> np.uint32(2)))
+    B = (a & (b >> np.uint32(2))) ^ (b & ((a ^ b) >> np.uint32(2)))
+    C = C ^ ((a & (c >> np.uint32(2))) ^ (b & (d >> np.uint32(2))))
+    D = D ^ ((b & (c >> np.uint32(2))) ^ ((a ^ b) & (d >> np.uint32(2))))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(4))) ^ (b & (b >> np.uint32(4)))
+    B = (a & (b >> np.uint32(4))) ^ (b & ((a ^ b) >> np.uint32(4)))
+    C = C ^ ((a & (c >> np.uint32(4))) ^ (b & (d >> np.uint32(4))))
+    D = D ^ ((b & (c >> np.uint32(4))) ^ ((a ^ b) & (d >> np.uint32(4))))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> np.uint32(8))) ^ (b & (d >> np.uint32(8))))
+    D = D ^ ((b & (c >> np.uint32(8))) ^ ((a ^ b) & (d >> np.uint32(8))))
+    a = C ^ (C >> np.uint32(1))
+    b = D ^ (D >> np.uint32(1))
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+    return ((_interleave16(i1 & M) << np.uint32(1))
+            | _interleave16(i0 & M))
+
+
+def hilbert_of(lon, lat, res: int = 15) -> np.ndarray:
+    """Hilbert locality key for lon/lat degrees: ``hilbert_d`` over the
+    res grid (res <= 15 so nx's res+1 bits fit the 16-bit kernel).
+    Better tail locality than ``morton_of`` — consecutive keys are
+    always edge-adjacent cells, so range partitions have compact
+    borders (no Z seam jumps)."""
+    if res > 15:
+        raise ValueError("hilbert_of needs res <= 15 (16-bit kernel)")
+    nx, ny = nxny_of(lon, lat, res)
+    return hilbert_d(nx.astype(np.uint32),
+                     ny.astype(np.uint32)).astype(np.int64)
+
+
+def sql_hilbert_ctes(src: str, id_col: str, nx_expr: str = "nx",
+                     ny_expr: str = "ny") -> str:
+    """CTE chain mirroring ``hilbert_d`` bit for bit in DuckDB BIGINT
+    arithmetic (xor()/&/|/shifts; every intermediate < 2^33).  Input:
+    CTE ``src`` exposing (id_col, nx, ny); output: CTEs ``h1..h10``
+    and ``hfin`` exposing (id_col, hkey).  Paste after ``src`` in a
+    WITH chain."""
+    M = 65535
+    r1 = (f"h1 AS (SELECT {id_col}, {nx_expr} AS x, {ny_expr} AS y, "
+          f"xor({nx_expr}, {ny_expr}) AS a, "
+          f"xor({M}, xor({nx_expr}, {ny_expr})) AS b, "
+          f"xor({M}, ({nx_expr} | {ny_expr})) AS c, "
+          f"({nx_expr} & xor({ny_expr}, {M})) AS d FROM {src})")
+    r2 = (f"h2 AS (SELECT {id_col}, x, y, "
+          "(a | (b >> 1)) AS a, xor(a >> 1, a) AS b, "
+          "xor(xor(c >> 1, b & (d >> 1)), c) AS c, "
+          "xor(xor(a & (c >> 1), d >> 1), d) AS d FROM h1)")
+
+    def widen(tag, prev, s):
+        return (f"h{tag} AS (SELECT {id_col}, x, y, "
+                f"xor(a & (a >> {s}), b & (b >> {s})) AS a, "
+                f"xor(a & (b >> {s}), b & (xor(a, b) >> {s})) AS b, "
+                f"xor(c, xor(a & (c >> {s}), b & (d >> {s}))) AS c, "
+                f"xor(d, xor(b & (c >> {s}), xor(a, b) & (d >> {s}))) AS d "
+                f"FROM h{prev})")
+
+    r3, r4 = widen(3, 2, 2), widen(4, 3, 4)
+    r5 = (f"h5 AS (SELECT {id_col}, x, y, a, b, "
+          "xor(c, xor(a & (c >> 8), b & (d >> 8))) AS c, "
+          "xor(d, xor(b & (c >> 8), xor(a, b) & (d >> 8))) AS d FROM h4)")
+    r6 = (f"h6 AS (SELECT {id_col}, xor(x, y) AS i0, "
+          "(xor(d, d >> 1) | "
+          f"xor({M}, xor(x, y) | xor(c, c >> 1))) AS i1 FROM h5)")
+    inter = []
+    for tag, (s, mask) in enumerate(
+            [(8, 0x00FF00FF), (4, 0x0F0F0F0F),
+             (2, 0x33333333), (1, 0x55555555)], start=7):
+        inter.append(
+            f"h{tag} AS (SELECT {id_col}, "
+            f"((i0 | (i0 << {s})) & {mask}) AS i0, "
+            f"((i1 | (i1 << {s})) & {mask}) AS i1 FROM h{tag - 1})")
+    fin = f"hfin AS (SELECT {id_col}, ((i1 << 1) | i0) AS hkey FROM h10)"
+    return ", ".join([r1, r2, r3, r4, r5, r6, *inter, fin])
+
+
 def sql_nxny_exprs(lon_expr: str, lat_expr: str, res: int) -> tuple[str, str]:
     """DuckDB expressions computing exactly ``nxny_of``."""
     ncols, nrows = _grid_dims(res)

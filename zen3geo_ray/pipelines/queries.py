@@ -1815,6 +1815,32 @@ def q_zorder(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+HILBERT_RES, HILBERT_PBITS = 15, 6
+
+
+def q_hilbert(sf_dir: str):
+    """Hilbert-curve locality key + fixed-width range partition ids —
+    the Morton sibling whose consecutive keys are always edge-adjacent
+    cells, so each partition's border is compact (no Z seam jumps).
+    geom/cells.py:hilbert_of is the vectorized public-domain flatbush
+    kernel; sql_hilbert_ctes mirrors it bit for bit in BIGINT
+    arithmetic (same ordering FlatGeobuf's spatial index uses)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        lon, lat = geocode_id(ids, langs)
+        h = cells.hilbert_of(lon, lat, HILBERT_RES)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "hkey": pa.array(h, pa.int64()),
+            "part": pa.array(h >> (32 - HILBERT_PBITS), pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 PCONT_QS = [0.25, 0.9]
 
 
@@ -5827,6 +5853,16 @@ def build_oracles() -> dict[str, str]:
             "FROM xy) SELECT doc_id, zkey, "
             f"zkey >> {2 * ZORDER_RES + 1 - ZORDER_PBITS} AS part FROM z"
         ),
+        "hilbert": (
+            f"WITH g AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat "
+            "FROM documents), xy AS (SELECT doc_id, "
+            f"{cells.sql_nxny_exprs('lon', 'lat', HILBERT_RES)[0]} AS nx, "
+            f"{cells.sql_nxny_exprs('lon', 'lat', HILBERT_RES)[1]} AS ny "
+            "FROM g), "
+            + cells.sql_hilbert_ctes("xy", "doc_id")
+            + " SELECT doc_id, hkey, "
+            f"hkey >> {32 - HILBERT_PBITS} AS part FROM hfin"
+        ),
         "pivot_status": (
             "WITH o AS (SELECT o_custkey, o_orderstatus, "
             "CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents "
@@ -6526,6 +6562,7 @@ def build_queries() -> dict:
         "quantiles": q_quantiles,
         "pcont": q_pcont,
         "zorder": q_zorder,
+        "hilbert": q_hilbert,
         "histogram": q_histogram,
         "melt": q_melt,
         "order_ranks": q_order_ranks,

@@ -52,6 +52,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import wkb
+from ..geom.cells import hilbert_d
 from ..schema import POLYGONS
 
 MAGIC = b"fgb\x03fgb\x00"
@@ -162,54 +163,6 @@ def _index_size(num_items: int, node_size: int) -> int:
 _NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
                      ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
 _HILBERT_MAX = np.uint32((1 << 16) - 1)
-
-
-def _interleave16(v: np.ndarray) -> np.ndarray:
-    """Spread the low 16 bits of each uint32 into the even bit
-    positions (Morton half-interleave)."""
-    v = (v | (v << np.uint32(8))) & np.uint32(0x00FF00FF)
-    v = (v | (v << np.uint32(4))) & np.uint32(0x0F0F0F0F)
-    v = (v | (v << np.uint32(2))) & np.uint32(0x33333333)
-    v = (v | (v << np.uint32(1))) & np.uint32(0x55555555)
-    return v
-
-
-def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Hilbert-curve distance of 16-bit cell coordinates (vectorized
-    port of the public-domain rawrunprotected/hilbert_curves kernel
-    that flatbush — and therefore FlatGeobuf — uses for its packing
-    order).  Input: uint32 arrays with values <= 0xFFFF; output:
-    uint32 distances on the 2^16 x 2^16 curve."""
-    x = np.asarray(x, dtype=np.uint32)
-    y = np.asarray(y, dtype=np.uint32)
-    M = _HILBERT_MAX
-    a = x ^ y
-    b = M ^ a
-    c = M ^ (x | y)
-    d = x & (y ^ M)
-    A = a | (b >> np.uint32(1))
-    B = (a >> np.uint32(1)) ^ a
-    C = ((c >> np.uint32(1)) ^ (b & (d >> np.uint32(1)))) ^ c
-    D = ((a & (c >> np.uint32(1))) ^ (d >> np.uint32(1))) ^ d
-    a, b, c, d = A, B, C, D
-    A = (a & (a >> np.uint32(2))) ^ (b & (b >> np.uint32(2)))
-    B = (a & (b >> np.uint32(2))) ^ (b & ((a ^ b) >> np.uint32(2)))
-    C = C ^ ((a & (c >> np.uint32(2))) ^ (b & (d >> np.uint32(2))))
-    D = D ^ ((b & (c >> np.uint32(2))) ^ ((a ^ b) & (d >> np.uint32(2))))
-    a, b, c, d = A, B, C, D
-    A = (a & (a >> np.uint32(4))) ^ (b & (b >> np.uint32(4)))
-    B = (a & (b >> np.uint32(4))) ^ (b & ((a ^ b) >> np.uint32(4)))
-    C = C ^ ((a & (c >> np.uint32(4))) ^ (b & (d >> np.uint32(4))))
-    D = D ^ ((b & (c >> np.uint32(4))) ^ ((a ^ b) & (d >> np.uint32(4))))
-    a, b, c, d = A, B, C, D
-    C = C ^ ((a & (c >> np.uint32(8))) ^ (b & (d >> np.uint32(8))))
-    D = D ^ ((b & (c >> np.uint32(8))) ^ ((a ^ b) & (d >> np.uint32(8))))
-    a = C ^ (C >> np.uint32(1))
-    b = D ^ (D >> np.uint32(1))
-    i0 = x ^ y
-    i1 = b | (M ^ (i0 | a))
-    return ((_interleave16(i1 & M) << np.uint32(1))
-            | _interleave16(i0 & M))
 
 
 def _hilbert_order(bb: np.ndarray) -> np.ndarray:

@@ -172,6 +172,41 @@ def range_partition_by_morton(ds, num_partitions: int, res: int = 16,
     return with_m.map_batches(assign, batch_format="pyarrow")
 
 
+def add_hilbert(batch: pa.Table, *, res: int = 15, lon_col="lon",
+                lat_col="lat", out_col: str = "hkey") -> pa.Table:
+    """Hilbert locality key column (geom/cells.py:hilbert_of) — the
+    better-tail-locality sibling of ``add_morton``: consecutive keys
+    are always edge-adjacent cells, so range cuts have compact borders
+    (no Z seam jumps).  res <= 15 (16-bit kernel)."""
+    h = cells.hilbert_of(
+        batch.column(lon_col).to_numpy(zero_copy_only=False),
+        batch.column(lat_col).to_numpy(zero_copy_only=False),
+        res,
+    )
+    return batch.append_column(out_col, pa.array(h))
+
+
+def range_partition_by_hilbert(ds, num_partitions: int, res: int = 15,
+                               lon_col="lon", lat_col="lat"):
+    """Contiguous Hilbert-range partition ids; boundaries from the same
+    order-unbiased ``uniform_value_sample`` as the Morton variant.
+    Adds columns ``hkey`` and ``partition``."""
+    with_h = ds.map_batches(
+        lambda b: add_hilbert(b, res=res, lon_col=lon_col, lat_col=lat_col),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: boundary sample + assignment
+    sample = uniform_value_sample(with_h, "hkey", 200_000)
+    qs = np.quantile(sample, np.linspace(0, 1, num_partitions + 1)[1:-1])
+    bounds = np.unique(qs.astype(np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = batch.column("hkey").to_numpy(zero_copy_only=False)
+        p = np.searchsorted(bounds, h, side="right")
+        return batch.append_column("partition", pa.array(p.astype(np.int64)))
+
+    return with_h.map_batches(assign, batch_format="pyarrow")
+
+
 def stratified_sample(ds, key_cols: list[str], n_per_key: int, id_col: str,
                       mult: int | None = None, n_buckets: int = 64):
     """Exactly ``min(n_per_key, |stratum|)`` rows per key, chosen
