@@ -275,3 +275,56 @@ def test_grouped_approx_quantiles_vs_exact(ray_session):
             kk = max(int(np.ceil(q * len(sv))), 1)
             lt, le = _rank_window(sv, row[lab])
             assert lt < kk + row["err"] and le >= kk - row["err"], (k_val, q)
+
+
+def test_mulrot64_matches_sql_mirror():
+    import duckdb
+
+    from zen3geo_ray.functions.hashing import mulrot64, sql_mulrot_ctes
+
+    rng = np.random.default_rng(9)
+    xs = np.concatenate([
+        rng.integers(0, 1 << 63, 500).astype(np.uint64) * np.uint64(2)
+        + rng.integers(0, 2, 500).astype(np.uint64),  # full 64-bit range
+        np.array([0, 1, (1 << 64) - 1], dtype=np.uint64),
+    ])
+    want = [int(v) for v in mulrot64(xs)]
+    # pass exact values via HUGEINT literals; fetch via fetchall —
+    # fetchdf() would round HUGEINT columns through float64
+    vals = ", ".join(f"({i}, {int(v)}::HUGEINT)" for i, v in enumerate(xs))
+    sql = (f"WITH src AS (SELECT * FROM (VALUES {vals}) AS s(i, x)), "
+           + sql_mulrot_ctes("src", "i", "x")
+           + " SELECT h FROM mh ORDER BY i")
+    got = [int(r[0]) for r in duckdb.sql(sql).fetchall()]
+    assert got == want
+
+
+def test_hll_accuracy_mulrot_and_small_p():
+    from zen3geo_ray.functions.hashing import mulrot64
+
+    rng = np.random.default_rng(4)
+    for true_n in (5_000, 200_000):
+        vals = rng.integers(0, 1 << 60, true_n).astype(np.uint64)
+        est = sketch.hll_estimate(sketch.hll_from_hashes(mulrot64(vals)))
+        assert est == pytest.approx(true_n, rel=0.06)
+    # p=6 (the oracle query's size): looser envelope, still sane
+    vals = rng.integers(0, 1 << 60, 20_000).astype(np.uint64)
+    est = sketch.hll_estimate(
+        sketch.hll_from_hashes(mulrot64(vals), 6))
+    assert est == pytest.approx(20_000, rel=0.45)
+
+
+def test_hll_estimate_exact_rational_determinism():
+    # same registers in any storage order -> bit-identical estimate
+    rng = np.random.default_rng(6)
+    regs = rng.integers(0, 20, 1 << 12).astype(np.uint8)
+    a = sketch.hll_estimate(regs)
+    # merging with itself (max) changes nothing
+    assert sketch.hll_estimate(sketch.hll_merge(regs, regs)) == a
+    # linear-counting branch fires with zeros present and tiny load
+    regs2 = np.zeros(64, dtype=np.uint8)
+    regs2[:10] = 1
+    est2 = sketch.hll_estimate(regs2)
+    import math
+
+    assert est2 == 64.0 * math.log(64.0 / 54.0)

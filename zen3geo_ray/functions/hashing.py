@@ -97,3 +97,41 @@ def splitmix64(x) -> np.ndarray:
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
     return x
+
+
+# splitmix64's multipliers exceed 2^63, so its products overflow DuckDB's
+# signed INT128 — it can never be oracle-mirrored.  mulrot64 is the
+# SQL-expressible sibling: multiply-add (PCG64 LCG multiplier), rotl32
+# (= two disjoint-bit integer terms, no xor — DuckDB xor() is
+# BIGINT-only), multiply-add (xorshift64* multiplier).  Every constant
+# is < 2^63 so HUGEINT products stay < 2^127.
+MULROT_K1 = 6364136223846793005
+MULROT_C1 = 1442695040888963407
+MULROT_K2 = 2685821657736338717
+MULROT_C2 = 1181783497276652981
+_W64 = 1 << 64
+
+
+def mulrot64(x) -> np.ndarray:
+    """SQL-mirrorable 64-bit avalanche (see ``sql_mulrot_ctes``).
+    Mixing quality is pinned by the HLL accuracy-envelope tests."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = x * np.uint64(MULROT_K1) + np.uint64(MULROT_C1)
+        h = (((h & np.uint64(0xFFFFFFFF)) << np.uint64(32))
+             | (h >> np.uint64(32)))
+        h = h * np.uint64(MULROT_K2) + np.uint64(MULROT_C2)
+    return h
+
+
+def sql_mulrot_ctes(src: str, cols: str, x_expr: str) -> str:
+    """CTE pair mirroring ``mulrot64`` bit for bit in DuckDB HUGEINT
+    arithmetic.  ``x_expr`` must already be HUGEINT-typed and in
+    [0, 2^64); the final CTE ``mh`` exposes (``cols``, h)."""
+    return (
+        f"m1 AS (SELECT {cols}, "
+        f"((({x_expr}) * {MULROT_K1} + {MULROT_C1}) % {_W64}) AS t "
+        f"FROM {src}), "
+        f"mh AS (SELECT {cols}, "
+        f"((((t % 4294967296) * 4294967296 + t // 4294967296) "
+        f"* {MULROT_K2} + {MULROT_C2}) % {_W64}) AS h FROM m1)")

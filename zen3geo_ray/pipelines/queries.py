@@ -1864,6 +1864,68 @@ def q_pcont(sf_dir: str):
     )
 
 
+APPROX_P = 6  # 64 registers for the oracle query; production default 2^12
+
+
+def q_approx_users(sf_dir: str):
+    """APPROXIMATE distinct users per event type via HyperLogLog —
+    VALUE-CHECKED floats: every register is integer-exact (mulrot64
+    avalanche + the unrolled leading-zero rounds, both SQL-mirrored),
+    the harmonic denominator sums as exact integers scaled by 2^R, and
+    the estimate is ONE shared float shape over two exact integers (the
+    bm25 discipline; math.log == DuckDB ln bit-for-bit on glibc, so the
+    linear-counting branch value-checks too).  stages/sketch.py:
+    approx_distinct — partial registers per (key, block), 2^p-byte
+    blobs shuffle, never the keys."""
+    from ..functions.hashing import mulrot64
+    from ..stages.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ev, ["event_type"], "user_id",
+                           p=APPROX_P, hasher=mulrot64)
+
+
+def _sql_approx_users() -> str:
+    from ..functions.hashing import sql_mulrot_ctes
+
+    p = APPROX_P
+    m, rr = 1 << p, 64 - p + 1
+    w64 = 1 << 64
+    rounds = []
+    prev = "z0"
+    for k, s in enumerate([32, 16, 8, 4, 2, 1], start=1):
+        rounds.append(
+            f"z{k} AS (SELECT event_type, idx, "
+            f"CASE WHEN v // {1 << (64 - s)} = 0 "
+            f"THEN (v * {1 << s}) % {w64} ELSE v END AS v, "
+            f"lz + CASE WHEN v // {1 << (64 - s)} = 0 THEN {s} ELSE 0 END "
+            f"AS lz FROM {prev})")
+        prev = f"z{k}"
+    est = (f"(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 "
+           f"* {1 << rr}.0 / CAST(num AS DOUBLE)")
+    return f"""
+WITH src AS (SELECT DISTINCT event_type, user_id FROM events),
+{sql_mulrot_ctes('src', 'event_type',
+                 'CAST(user_id AS HUGEINT) + 40503')},
+z0 AS (SELECT event_type, h // {1 << (64 - p)} AS idx,
+       (h * {1 << p}) % {w64} AS v, 0 AS lz FROM mh),
+{', '.join(rounds)},
+regs AS (SELECT event_type, idx,
+         MAX(LEAST(lz, {64 - p}) + 1) AS reg FROM z6 GROUP BY 1, 2),
+agg AS (SELECT event_type,
+        SUM(CAST(1 AS BIGINT) << ({rr} - reg)) AS s,
+        COUNT(*) AS nh FROM regs GROUP BY 1),
+fin AS (SELECT event_type,
+        CAST(s AS HUGEINT)
+          + ({m} - nh) * CAST({1 << rr} AS HUGEINT) AS num,
+        {m} - nh AS zeros FROM agg)
+SELECT event_type,
+       CASE WHEN {est} <= 2.5 * {m}.0 AND zeros > 0
+            THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
+            ELSE {est} END AS approx_distinct
+FROM fin"""
+
+
 def q_qsketch(sf_dir: str):
     """APPROXIMATE grouped quantiles via the deterministic mergeable
     compactor sketch (stages/sketch.py QuantileSketch) — the plan that
@@ -6213,6 +6275,7 @@ GROUP BY e.user_id, w.win
             f"{hashing.sql_knuth_expr('event_id')}, event_id) AS rn "
             f"FROM events) WHERE rn <= {STRAT_N}"
         ),
+        "approx_users": _sql_approx_users(),
         "heavy_hitters": (
             "SELECT user_id, COUNT(*) AS n_lo, COUNT(*) AS n_hi "
             "FROM events GROUP BY user_id "
@@ -6602,6 +6665,7 @@ def build_queries() -> dict:
         "join_agg": q_join_agg,
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
+        "approx_users": q_approx_users,
         "strat_sample": q_strat_sample,
         "prepost": q_prepost,
         "parse_props": q_parse_props,

@@ -22,15 +22,15 @@ from ..functions.hashing import splitmix64
 
 P = 12  # 4096 registers; relative error ~1.6%
 M = 1 << P
-_ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
-def hll_from_hashes(h: np.ndarray) -> np.ndarray:
-    """uint64 hashes -> (M,) uint8 register array."""
-    idx = (h >> np.uint64(64 - P)).astype(np.int64)
-    rest = h << np.uint64(P)
-    # rank = leading zeros of the remaining 64-P bits, +1 (cap at 64-P+1)
-    lz = np.full(len(h), 64 - P, dtype=np.int64)
+def hll_from_hashes(h: np.ndarray, p: int = P) -> np.ndarray:
+    """uint64 hashes -> (2^p,) uint8 register array."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        rest = h << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1 (cap at 64-p+1)
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
     nonzero = rest != 0
     # leading zero count via float64 exponent trick is lossy; use bit loop
     v = rest[nonzero]
@@ -43,18 +43,32 @@ def hll_from_hashes(h: np.ndarray) -> np.ndarray:
             v = np.where(mask, v << np.uint64(shift), v)
             shift //= 2
     lz[nonzero] = lzv
-    rank = np.minimum(lz, 64 - P) + 1
-    regs = np.zeros(M, dtype=np.uint8)
+    rank = np.minimum(lz, 64 - p) + 1
+    regs = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(regs, idx, rank.astype(np.uint8))
     return regs
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    regs = regs.astype(np.float64)
-    est = _ALPHA * M * M / np.sum(2.0 ** (-regs))
-    zeros = np.count_nonzero(regs == 0)
-    if est <= 2.5 * M and zeros:
-        return M * np.log(M / zeros)  # linear counting
+    """HLL estimate with an EXACT-RATIONAL harmonic denominator: the
+    2^-reg terms sum as python integers scaled by 2^R (R = max rank),
+    so the float result is ONE shared expression shape over two exact
+    integers — deterministic and SQL-value-checkable (the bm25
+    discipline); a float accumulation would depend on summation
+    order."""
+    import math
+
+    m = len(regs)
+    p = m.bit_length() - 1
+    rr = 64 - p + 1
+    vals, cnts = np.unique(regs, return_counts=True)
+    num = sum(int(c) << (rr - int(v)) for v, c in zip(vals, cnts))
+    zeros = int(np.count_nonzero(regs == 0))
+    mf = float(m)
+    est = (0.7213 / (1.0 + 1.079 / mf)) * mf * mf \
+        * float(1 << rr) / float(num)
+    if est <= 2.5 * mf and zeros:
+        return mf * math.log(mf / float(zeros))  # linear counting
     return est
 
 
@@ -62,15 +76,20 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
-def approx_distinct(ds, key_cols: list[str], value_col: str):
+def approx_distinct(ds, key_cols: list[str], value_col: str,
+                    p: int = P, hasher=splitmix64):
     """groupby(key) -> approximate distinct count of value_col.
 
     Partial: one HLL register blob per (key, batch); final: OR-merge per
-    key + estimate.  Shuffle volume = |keys per batch| x 4 KiB.
+    key + estimate.  Shuffle volume = |keys per batch| x 2^p bytes.
+    ``hasher=mulrot64`` (functions/hashing.py) makes the whole pipeline
+    SQL-mirrorable — the ``approx_users`` oracle value-checks the float
+    estimates; the splitmix64 default cannot be mirrored (its
+    multipliers overflow DuckDB INT128).
     """
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        h = splitmix64(vals.astype(np.uint64) + np.uint64(0x9E37))
+        h = hasher(vals.astype(np.uint64) + np.uint64(0x9E37))
         keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
         import pandas as pd
 
@@ -83,7 +102,7 @@ def approx_distinct(ds, key_cols: list[str], value_col: str):
                 kv = (kv,)
             for c, v in zip(key_cols, kv):
                 rows[c].append(v)
-            blobs.append(hll_from_hashes(g["_h"].to_numpy()).tobytes())
+            blobs.append(hll_from_hashes(g["_h"].to_numpy(), p).tobytes())
         out = {c: pa.array(rows[c]) for c in key_cols}
         out["hll"] = pa.array(blobs, pa.binary())
         return pa.table(out)
@@ -96,7 +115,7 @@ def approx_distinct(ds, key_cols: list[str], value_col: str):
         for kv, grp in g.groupby(key_cols, sort=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            regs = np.zeros(M, dtype=np.uint8)
+            regs = np.zeros(1 << p, dtype=np.uint8)
             for blob in grp["hll"]:
                 regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
             for c, v in zip(key_cols, kv):
