@@ -328,3 +328,30 @@ def test_hll_estimate_exact_rational_determinism():
     import math
 
     assert est2 == 64.0 * math.log(64.0 / 54.0)
+
+
+def test_cms_never_underestimates_and_is_block_invariant(ray_session):
+    from zen3geo_ray.stages.sketch import (cms_estimate, cms_from_values,
+                                           count_min)
+
+    rng = np.random.default_rng(12)
+    vals = rng.zipf(1.4, 50_000)
+    vals = vals[vals < 10_000].astype(np.int64)
+    tbl = pa.table({"v": vals})
+    cms = count_min(rd.from_arrow(tbl).repartition(9), "v", d=4, w_bits=10)
+    # block-split invariance: distributed merge == single-pass sketch
+    assert np.array_equal(cms, cms_from_values(vals, 4, 10))
+    uniq, counts = np.unique(vals, return_counts=True)
+    est = cms_estimate(cms, uniq, 10)
+    assert (est >= counts).all()  # the CMS guarantee
+    # heavy keys estimate near-exactly at this load factor
+    top = np.argsort(-counts)[:20]
+    assert (est[top] - counts[top] <= counts[top] * 0.1 + 50).all()
+
+
+def test_cms_empty_input(ray_session):
+    from zen3geo_ray.stages.sketch import count_min
+
+    empty = pa.table({"v": pa.array([], pa.int64())})
+    cms = count_min(rd.from_arrow(empty), "v", d=4, w_bits=6)
+    assert cms.shape == (4, 64) and cms.sum() == 0

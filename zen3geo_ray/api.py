@@ -458,6 +458,31 @@ class Pipe:
         return Pipe(split_records(self.ds, pattern, **kwargs))
 
     # --- terminals --------------------------------------------------------
+    def mmr(self, qvec, k: int = 8, **kwargs) -> "Pipe":
+        """Maximal-marginal-relevance diverse top-k over an embedding
+        pipe (integer-exact greedy; pool-bounded finale)."""
+        from .stages.ann import mmr_topk
+
+        import ray.data as rd
+
+        return Pipe(rd.from_arrow(mmr_topk(self.ds, qvec, k=k, **kwargs)))
+
+    def hilbert_partition(self, num_partitions: int, **kwargs) -> "Pipe":
+        """Hilbert-range spatial partition ids (adds hkey + partition)."""
+        from .stages.partition import range_partition_by_hilbert
+
+        return Pipe(range_partition_by_hilbert(
+            self.ds, num_partitions, **kwargs))
+
+    def approx_distinct(self, key_cols: list[str], value_col: str,
+                        **kwargs) -> "Pipe":
+        """HyperLogLog distinct counts per key (hasher=mulrot64 for the
+        oracle-mirrorable variant)."""
+        from .stages.sketch import approx_distinct
+
+        return Pipe(approx_distinct(self.ds, key_cols, value_col,
+                                    **kwargs))
+
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)
 

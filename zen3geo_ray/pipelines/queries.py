@@ -1926,6 +1926,54 @@ SELECT event_type,
 FROM fin"""
 
 
+CMS_D, CMS_WBITS = 4, 10
+
+
+def q_cms_users(sf_dir: str):
+    """Count-min sketch per-user event-frequency estimates — the
+    mergeable point-frequency sketch beside heavy_hitters' top-k:
+    blocks fold into 32 KiB counter blobs (one elementwise-sum finale;
+    volume independent of row count), probes stream with the sketch in
+    the map closure.  ALL-INTEGER (mulrot64 lanes + bincount + min), so
+    every estimate value-checks against the SQL mirror
+    (stages/sketch.py:count_min / cms_estimate)."""
+    from ..stages.graph import distinct_tuples
+    from ..stages.sketch import cms_estimate, count_min
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    cms = count_min(ev, "user_id", d=CMS_D, w_bits=CMS_WBITS)
+
+    def probe(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "est": pa.array(cms_estimate(cms, u, CMS_WBITS)),
+        })
+
+    return distinct_tuples(ev.map_batches(probe, batch_format="pyarrow"),
+                           ["user_id", "est"], n_buckets=8)
+
+
+def _sql_cms_users() -> str:
+    from ..functions.hashing import sql_mulrot_ctes
+    from ..stages.sketch import CMS_SEEDS
+
+    shift = 1 << (64 - CMS_WBITS)
+    seeds = ", ".join(f"({r}, {CMS_SEEDS[r]})" for r in range(CMS_D))
+    return f"""
+WITH rs AS (SELECT * FROM (VALUES {seeds}) AS v(r, seed)),
+src AS (SELECT r, seed, user_id FROM events CROSS JOIN rs),
+{sql_mulrot_ctes('src', 'r, user_id',
+                 'CAST(user_id AS HUGEINT) + seed')},
+hx AS (SELECT r, user_id, h // {shift} AS idx FROM mh),
+cnt AS (SELECT r, idx, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hx GROUP BY 1, 2),
+probe AS (SELECT DISTINCT r, user_id, idx FROM hx)
+SELECT p.user_id, CAST(MIN(c.c) AS BIGINT) AS est
+FROM probe p JOIN cnt c ON c.r = p.r AND c.idx = p.idx
+GROUP BY 1"""
+
+
 def q_qsketch(sf_dir: str):
     """APPROXIMATE grouped quantiles via the deterministic mergeable
     compactor sketch (stages/sketch.py QuantileSketch) — the plan that
@@ -6276,6 +6324,7 @@ GROUP BY e.user_id, w.win
             f"FROM events) WHERE rn <= {STRAT_N}"
         ),
         "approx_users": _sql_approx_users(),
+        "cms_users": _sql_cms_users(),
         "heavy_hitters": (
             "SELECT user_id, COUNT(*) AS n_lo, COUNT(*) AS n_hi "
             "FROM events GROUP BY user_id "
@@ -6666,6 +6715,7 @@ def build_queries() -> dict:
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
         "approx_users": q_approx_users,
+        "cms_users": q_cms_users,
         "strat_sample": q_strat_sample,
         "prepost": q_prepost,
         "parse_props": q_parse_props,

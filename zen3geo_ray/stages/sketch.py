@@ -130,6 +130,75 @@ def approx_distinct(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(partials, key_cols, lambda g: merge(g).to_pandas())
 
 
+# --- count-min sketch -------------------------------------------------------
+
+#: row seeds for the CMS hash lanes (value + seed -> mulrot64); spaced
+#: arbitrary constants, mirrored verbatim by the ``cms_users`` oracle.
+CMS_SEEDS = (40503, 122404, 204305, 286206)
+
+
+def cms_from_values(vals: np.ndarray, d: int, w_bits: int) -> np.ndarray:
+    """(d, 2^w_bits) int64 counters for one value batch: lane r indexes
+    by the top w_bits of mulrot64(v + seed_r).  Pure integer — the SQL
+    oracle recomputes every counter exactly."""
+    from ..functions.hashing import mulrot64
+
+    w = 1 << w_bits
+    out = np.zeros((d, w), dtype=np.int64)
+    u = vals.astype(np.uint64)
+    for r in range(d):
+        idx = (mulrot64(u + np.uint64(CMS_SEEDS[r]))
+               >> np.uint64(64 - w_bits)).astype(np.int64)
+        out[r] = np.bincount(idx, minlength=w)
+    return out
+
+
+def count_min(ds, value_col: str, *, d: int = 4,
+              w_bits: int = 10) -> np.ndarray:
+    """Global count-min sketch of a column (Cormode & Muthukrishnan):
+    each block folds into ONE d x 2^w_bits counter blob (32 KiB at the
+    defaults), a single-block finale sums them elementwise — counter
+    addition is exact and commutative, so the merged sketch is
+    independent of block boundaries.  Shuffle volume = #blocks x 32 KiB
+    regardless of row count; the sketch itself is driver-sized."""
+    w = 1 << w_bits
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        blob = cms_from_values(vals, d, w_bits).tobytes()
+        return pa.table({"cms": pa.array([blob], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        tot = np.zeros(d * w, dtype=np.int64)
+        for blob in b.column("cms").to_pylist():
+            tot += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"cms": pa.array([tot.tobytes()], pa.binary())})
+
+    out = parts.map_batches(fin, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return np.zeros((d, w), dtype=np.int64)
+    return np.frombuffer(out["cms"][0],
+                         dtype=np.int64).reshape(d, w).copy()
+
+
+def cms_estimate(cms: np.ndarray, vals: np.ndarray,
+                 w_bits: int) -> np.ndarray:
+    """Point-frequency estimates: min over lanes of the value's counter
+    (never underestimates; overestimate bounded by collisions)."""
+    from ..functions.hashing import mulrot64
+
+    u = vals.astype(np.uint64)
+    est = None
+    for r in range(cms.shape[0]):
+        idx = (mulrot64(u + np.uint64(CMS_SEEDS[r]))
+               >> np.uint64(64 - w_bits)).astype(np.int64)
+        e = cms[r][idx]
+        est = e if est is None else np.minimum(est, e)
+    return est.astype(np.int64)
+
+
 # --- approximate heavy hitters (space-saving-style block summaries) --------
 
 
