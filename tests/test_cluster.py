@@ -9,6 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray
+import ray.data as rd
 
 from zen3geo_ray.stages.cluster import (
     _OFF, SCALE_BITS, _assign, _quant_matrix, kmeans_assign, semdedup,
@@ -184,3 +185,84 @@ def test_grid_dbscan_reference(ray_session):
         got = dict(zip(out["doc_id"].astype(int),
                        out["cluster"].astype(int)))
         assert got == expected
+
+
+# --- product quantization ---------------------------------------------------
+
+def _emb_dataset(vecs, ids, blocks):
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_pq_codes_block_invariant_and_reference(ray_session):
+    from zen3geo_ray.stages.cluster import (_OFF, SCALE_BITS, _assign,
+                                            pq_codes)
+
+    rng = np.random.default_rng(17)
+    n, dim, n_sub, k = 240, 32, 4, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+
+    books1, codes1 = pq_codes(_emb_dataset(vecs, ids, 1),
+                              n_sub=n_sub, k=k, iters=2)
+    books7, codes7 = pq_codes(_emb_dataset(vecs, ids, 7),
+                              n_sub=n_sub, k=k, iters=2)
+    # training partials are integer sums -> block-split invariant
+    for a, b in zip(books1, books7):
+        assert np.array_equal(a, b)
+    c1 = codes1.to_pandas().sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    c7 = codes7.to_pandas().sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    assert c1.equals(c7)
+    # codes match a direct assignment against the trained books
+    q = (np.floor(vecs.astype(np.float64) * (1 << SCALE_BITS))
+         .astype(np.int64) + _OFF)
+    sd = dim // n_sub
+    for s in range(n_sub):
+        want = _assign(q[:, s * sd:(s + 1) * sd], books1[s])
+        got = c1[c1["sub"] == s].set_index("vec_id")["code"]
+        assert np.array_equal(got.loc[ids].to_numpy(), want)
+
+
+def test_pq_adc_topk_reference_and_sanity(ray_session):
+    from zen3geo_ray.stages.cluster import (_OFF, SCALE_BITS, _assign,
+                                            pq_adc_topk, pq_train)
+
+    rng = np.random.default_rng(19)
+    n, dim, n_sub, k, top = 300, 32, 4, 8, 12
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    qv = vecs[5].copy()
+    out = pq_adc_topk(_emb_dataset(vecs, ids, 6), qv, n_sub=n_sub,
+                      k=k, iters=2, top=top).to_pandas()
+    # reference: train the same books, full-table ADC, lexsorted top
+    books = pq_train(_emb_dataset(vecs, ids, 6), n_sub=n_sub, k=k, iters=2)
+    q = (np.floor(vecs.astype(np.float64) * (1 << SCALE_BITS))
+         .astype(np.int64) + _OFF)
+    qq = (np.floor(qv.astype(np.float64) * (1 << SCALE_BITS))
+          .astype(np.int64) + _OFF)
+    sd = dim // n_sub
+    dist = np.zeros(n, dtype=np.int64)
+    for s in range(n_sub):
+        d = books[s] - qq[s * sd:(s + 1) * sd]
+        tab = np.einsum("ij,ij->i", d, d)
+        dist += tab[_assign(q[:, s * sd:(s + 1) * sd], books[s])]
+    order = np.lexsort((ids, dist))[:top]
+    assert list(out["vec_id"]) == list(ids[order])
+    assert list(out["dist"]) == list(dist[order])
+    assert list(out["rank"]) == list(range(1, top + 1))
+    # ADC sanity: the query's own vector quantizes to its cell -> its
+    # ADC distance is among the smallest; it must appear in the top set
+    assert 5 in set(out["vec_id"])
+
+
+def test_pq_train_dim_divisibility_guard(ray_session):
+    from zen3geo_ray.stages.cluster import pq_train
+
+    vecs = np.eye(3, 10, dtype=np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(_emb_dataset(vecs, np.arange(3, dtype=np.int64), 1),
+                 n_sub=4, k=2, iters=1)

@@ -1204,15 +1204,13 @@ def q_semdedup(sf_dir: str):
     return semdedup(emb, k=KM_K, iters=KM_ITERS, cos_tau=SEM_TAU)
 
 
-def _sql_kmeans_ctes(k: int, iters: int) -> str:
-    """Chained-CTE Lloyd mirror of stages/cluster.py: quantize q =
-    floor(x * 2^20) + 2^20 (float64 multiply by a power of two is exact;
-    the offset keeps values non-negative so DuckDB's truncating `//`
-    equals Python's floor `//`), assign = min-cluster-of-min-int-dist,
-    update = component-wise SUM // COUNT with COALESCE keep-previous for
-    empty clusters.  Final CTE ``a{iters+1}`` holds (vec_id, cluster)."""
+def _sql_kmeans_header(k: int) -> str:
+    """Shared quantize + seed CTEs: q = floor(x * 2^20) + 2^20 (float64
+    multiply by a power of two is exact; the offset keeps values
+    non-negative so DuckDB's truncating `//` equals Python's floor
+    `//`); seeds are the k smallest ids."""
     off = 1 << 20
-    parts = [f"""
+    return f"""
 q AS (
   SELECT vec_id, i AS dim,
          CAST(FLOOR(CAST(e AS DOUBLE) * {float(off)}) AS BIGINT) + {off} AS qv
@@ -1222,29 +1220,56 @@ q AS (
 seed_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-),
-c0 AS (SELECT s.cluster, q.dim, q.qv AS cv
-       FROM seed_ids s JOIN q ON q.vec_id = s.vec_id)"""]
+)"""
+
+
+def _sql_kmeans_chain(iters: int, prefix: str = "",
+                      dim_lo: int | None = None,
+                      dim_hi: int | None = None) -> str:
+    """Lloyd CTE chain over ``q``/``seed_ids``: assign =
+    min-cluster-of-min-int-dist, update = component-wise SUM // COUNT
+    with COALESCE keep-previous for empty clusters.  ``prefix`` renames
+    every CTE; ``dim_lo``/``dim_hi`` (1-based inclusive) restrict to a
+    SUBSPACE — c0 carries only those dims, and every later join keys on
+    c's dims, so the whole chain stays inside the slice (the PQ
+    per-subspace mirror).  Final CTE ``{prefix}a{iters+1}`` holds
+    (vec_id, cluster)."""
+    p = prefix
+    dimf = (f" AND q.dim BETWEEN {dim_lo} AND {dim_hi}"
+            if dim_lo is not None else "")
+    parts = [f"""
+{p}c0 AS (SELECT s.cluster, q.dim, q.qv AS cv
+       FROM seed_ids s JOIN q ON q.vec_id = s.vec_id{dimf})"""]
     for i in range(iters + 1):
         parts.append(f""",
-d{i + 1} AS (SELECT q.vec_id, c.cluster,
+{p}d{i + 1} AS (SELECT q.vec_id, c.cluster,
               SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
-       FROM q JOIN c{i} c ON c.dim = q.dim GROUP BY q.vec_id, c.cluster),
-a{i + 1} AS (SELECT d.vec_id, MIN(d.cluster) AS cluster
-       FROM d{i + 1} d
-       JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1} GROUP BY vec_id) m
+       FROM q JOIN {p}c{i} c ON c.dim = q.dim GROUP BY q.vec_id, c.cluster),
+{p}a{i + 1} AS (SELECT d.vec_id, MIN(d.cluster) AS cluster
+       FROM {p}d{i + 1} d
+       JOIN (SELECT vec_id, MIN(dist) AS md FROM {p}d{i + 1}
+             GROUP BY vec_id) m
          ON m.vec_id = d.vec_id AND d.dist = m.md
        GROUP BY d.vec_id)""")
         if i < iters:
             parts.append(f""",
-s{i + 1} AS (SELECT a.cluster, q.dim,
+{p}s{i + 1} AS (SELECT a.cluster, q.dim,
               CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS cv
-       FROM a{i + 1} a JOIN q ON q.vec_id = a.vec_id
+       FROM {p}a{i + 1} a JOIN q ON q.vec_id = a.vec_id
        GROUP BY a.cluster, q.dim),
-c{i + 1} AS (SELECT c{i}.cluster, c{i}.dim, COALESCE(s{i + 1}.cv, c{i}.cv) AS cv
-       FROM c{i} LEFT JOIN s{i + 1}
-         ON s{i + 1}.cluster = c{i}.cluster AND s{i + 1}.dim = c{i}.dim)""")
-    return "WITH " + "".join(parts)
+{p}c{i + 1} AS (SELECT {p}c{i}.cluster, {p}c{i}.dim,
+              COALESCE({p}s{i + 1}.cv, {p}c{i}.cv) AS cv
+       FROM {p}c{i} LEFT JOIN {p}s{i + 1}
+         ON {p}s{i + 1}.cluster = {p}c{i}.cluster
+        AND {p}s{i + 1}.dim = {p}c{i}.dim)""")
+    return "".join(parts)
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> str:
+    """Full-vector Lloyd mirror (header + unprefixed chain); final CTE
+    ``a{iters+1}`` holds (vec_id, cluster)."""
+    return "WITH " + _sql_kmeans_header(k) + "," \
+        + _sql_kmeans_chain(iters)
 
 
 def _sql_kmeans() -> str:
@@ -1267,6 +1292,79 @@ dropped AS (SELECT DISTINCT a AS vec_id FROM pdist WHERE dd <= {eps2})
 SELECT t.vec_id, t.cluster,
        t.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
 FROM a{last} t"""
+
+
+PQ_SUB, PQ_K, PQ_ITERS, PQ_TOP = 4, 8, 2, 10
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes (Jégou et al. 2011) — the
+    memory-bounded ANN representation: 4 contiguous 16-dim subspaces,
+    integer k-means each (FUSED Lloyd: one streaming pass per
+    iteration trains all subspaces), long-form (vec_id, sub, code)
+    output (stages/cluster.py:pq_train / pq_codes)."""
+    from ..stages.cluster import pq_codes
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, codes = pq_codes(emb, n_sub=PQ_SUB, k=PQ_K, iters=PQ_ITERS)
+    return codes
+
+
+def q_pq_ann(sf_dir: str):
+    """PQ asymmetric-distance top-k: the query quantizes once, each
+    subspace folds to a k-entry int64 lookup table, and scanning a
+    vector costs n_sub table adds instead of dim multiplies; per-block
+    local top + single-block finale, ties to the smallest id
+    (stages/cluster.py:pq_adc_topk)."""
+    from ..stages.cluster import pq_adc_topk
+
+    qsel = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qsel.column("embedding")[0].as_py(), dtype=np.float32)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_adc_topk(emb, qvec, n_sub=PQ_SUB, k=PQ_K,
+                       iters=PQ_ITERS, top=PQ_TOP)
+
+
+def _pq_dim_bounds(s: int) -> tuple[int, int]:
+    sd = SCORE_DIM // PQ_SUB
+    return s * sd + 1, (s + 1) * sd  # 1-based inclusive
+
+
+def _sql_pq_chains() -> str:
+    chains = []
+    for s in range(PQ_SUB):
+        lo, hi = _pq_dim_bounds(s)
+        chains.append(_sql_kmeans_chain(PQ_ITERS, prefix=f"p{s}",
+                                        dim_lo=lo, dim_hi=hi))
+    return "WITH " + _sql_kmeans_header(PQ_K) + "," + ",".join(chains)
+
+
+def _sql_pq_codes() -> str:
+    last = PQ_ITERS + 1
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS sub, cluster AS code "
+        f"FROM p{s}a{last}" for s in range(PQ_SUB))
+    return _sql_pq_chains() + f"\n{union}"
+
+
+def _sql_pq_ann() -> str:
+    last = PQ_ITERS + 1
+    adcs = ",".join(f"""
+adc{s} AS (SELECT a.vec_id,
+           CAST(SUM((qq.qv - c.cv) * (qq.qv - c.cv)) AS BIGINT) AS dd
+       FROM p{s}a{last} a JOIN p{s}c{PQ_ITERS} c ON c.cluster = a.cluster
+       JOIN q qq ON qq.vec_id = 0 AND qq.dim = c.dim
+       GROUP BY a.vec_id)""" for s in range(PQ_SUB))
+    dsum = " + ".join(f"adc{s}.dd" for s in range(PQ_SUB))
+    joins = " ".join(f"JOIN adc{s} ON adc{s}.vec_id = adc0.vec_id"
+                     for s in range(1, PQ_SUB))
+    return _sql_pq_chains() + f""",{adcs},
+fin AS (SELECT adc0.vec_id, {dsum} AS dist FROM adc0 {joins})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank,
+       vec_id, dist
+FROM fin ORDER BY dist, vec_id LIMIT {PQ_TOP}"""
 
 
 # --- relational: aggregate / joins / sort / window ------------------------
@@ -6155,6 +6253,8 @@ FROM cand QUALIFY rank <= 10
         "delta_embdup": _sql_delta_embdup(),
         "kmeans": _sql_kmeans(),
         "semdedup": _sql_semdedup(),
+        "pq_codes": _sql_pq_codes(),
+        "pq_ann": _sql_pq_ann(),
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
@@ -6664,6 +6764,8 @@ def build_queries() -> dict:
         "delta_embdup": q_delta_embdup,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        "pq_codes": q_pq_codes,
+        "pq_ann": q_pq_ann,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,

@@ -133,6 +133,142 @@ def lloyd_iterate(ds, cents: np.ndarray, *, vec_col: str) -> np.ndarray:
     return out
 
 
+def pq_train(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_sub: int = 4, k: int = 8, iters: int = 2) -> list[np.ndarray]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011):
+    split the vector into ``n_sub`` contiguous subspaces and k-means
+    each — the memory-bounded ANN representation (a 64-dim float vector
+    compresses to n_sub code bytes).  FUSED Lloyd: every iteration is
+    ONE streaming pass emitting n_sub x k x (sub_dim+1) int64 partials
+    per block (no shuffle; corpus never materializes), so training all
+    subspaces costs the same scans as training one.  Same integer
+    discipline as ``kmeans_assign`` — the ``pq_codes`` oracle re-derives
+    every codebook bit-for-bit.  Returns n_sub (k, sub_dim) int64
+    codebooks."""
+    seeds = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
+    dim = seeds.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    books = [seeds[:, s * sd:(s + 1) * sd].copy() for s in range(n_sub)]
+
+    for _ in range(iters):
+        def partial(b: pa.Table) -> pa.Table:
+            q = _quant_matrix(b, vec_col)
+            ss, cc, nn, sums = [], [], [], []
+            for s in range(n_sub):
+                qs = q[:, s * sd:(s + 1) * sd]
+                lab = _assign(qs, books[s])
+                sm = np.zeros((k, sd), dtype=np.int64)
+                np.add.at(sm, lab, qs)
+                ss += [s] * k
+                cc += list(range(k))
+                nn += list(np.bincount(lab, minlength=k).astype(np.int64))
+                sums += [row for row in sm]
+            return pa.table({
+                "__s": pa.array(np.array(ss, np.int64)),
+                "__c": pa.array(np.array(cc, np.int64)),
+                "__n": pa.array(np.array(nn, np.int64)),
+                "__sum": pa.array([r for r in sums], pa.list_(pa.int64())),
+            })
+
+        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        nxt = [b.copy() for b in books]
+        for s in range(n_sub):
+            for c in range(k):
+                rows = part[(part["__s"] == s) & (part["__c"] == c)]
+                n = int(rows["__n"].sum())
+                if n == 0:
+                    continue  # empty cluster keeps its previous centroid
+                tot = np.sum(np.stack([np.asarray(v, np.int64)
+                                       for v in rows["__sum"]]), axis=0)
+                nxt[s][c] = tot // n
+        books = nxt
+    return books
+
+
+def pq_codes(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_sub: int = 4, k: int = 8, iters: int = 2,
+             books: list[np.ndarray] | None = None):
+    """(codebooks, long-form code Dataset (id_col, sub, code)) — one
+    encode pass after training; rows never shuffle."""
+    if books is None:
+        books = pq_train(ds, id_col=id_col, vec_col=vec_col,
+                         n_sub=n_sub, k=k, iters=iters)
+    sd = books[0].shape[1]
+
+    def enc(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = []
+        for s in range(len(books)):
+            lab = _assign(q[:, s * sd:(s + 1) * sd], books[s])
+            parts.append(pa.table({
+                id_col: pa.array(ids),
+                "sub": pa.array(np.full(len(ids), s, np.int64)),
+                "code": pa.array(lab),
+            }))
+        return pa.concat_tables(parts)
+
+    return books, ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, qvec: np.ndarray, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_sub: int = 4, k: int = 8,
+                iters: int = 2, top: int = 10,
+                books: list[np.ndarray] | None = None) -> pa.Table:
+    """Asymmetric-distance top-k: quantize the query once, precompute
+    the n_sub x k lookup tables (||q_s - centroid||^2, int64), then ONE
+    streaming pass encodes each row and sums n_sub table lookups —
+    distance work per vector is n_sub adds instead of dim multiplies.
+    Per-block local top-``top`` + single-block finale (the mmr pool
+    contract); ties break to the smallest id.  Returns a pa.Table
+    (rank, id_col, dist)."""
+    if books is None:
+        books = pq_train(ds, id_col=id_col, vec_col=vec_col,
+                         n_sub=n_sub, k=k, iters=iters)
+    sd = books[0].shape[1]
+    qq = (np.floor(np.asarray(qvec, dtype=np.float64)
+                   * float(1 << SCALE_BITS)).astype(np.int64) + _OFF)
+    tables = []
+    for s in range(n_sub):
+        d = books[s] - qq[s * sd:(s + 1) * sd]
+        tables.append(np.einsum("ij,ij->i", d, d))
+
+    def scan(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_sub):
+            lab = _assign(q[:, s * sd:(s + 1) * sd], books[s])
+            dist += tables[s][lab]
+        order = np.lexsort((ids, dist))[:top]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "dist": pa.array(dist[order])})
+
+    def fin(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dist = b.column("dist").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, dist))[:top]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            id_col: pa.array(ids[order]),
+            "dist": pa.array(dist[order]),
+        })
+
+    df = ds.map_batches(scan, batch_format="pyarrow") \
+        .repartition(1).map_batches(fin, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "rank": pa.array(df["rank"].to_numpy().astype(np.int64)),
+        id_col: pa.array(df[id_col].to_numpy().astype(np.int64)),
+        "dist": pa.array(df["dist"].to_numpy().astype(np.int64)),
+    })
+
+
 def kmeans_assign(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                   k: int = 8, iters: int = 2):
     """Distributed exact k-means: returns (centroids, assignments Dataset
