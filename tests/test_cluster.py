@@ -266,3 +266,36 @@ def test_pq_train_dim_divisibility_guard(ray_session):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(_emb_dataset(vecs, np.arange(3, dtype=np.int64), 1),
                  n_sub=4, k=2, iters=1)
+
+
+def test_ivfpq_full_probe_equals_pq_and_partial_probe_recall(ray_session):
+    from zen3geo_ray.stages.cluster import ivfpq_topk, pq_adc_topk
+
+    rng = np.random.default_rng(23)
+    n, dim = 400, 32
+    # clustered data so coarse lists are meaningful
+    centers = rng.normal(size=(8, dim)).astype(np.float32) * 3
+    lab = rng.integers(0, 8, n)
+    vecs = (centers[lab] + rng.normal(size=(n, dim)).astype(np.float32)
+            * 0.3).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    qv = vecs[7].copy()
+    kw = dict(n_sub=4, k=8, iters=2, top=10)
+
+    # probing EVERY list degenerates to plain PQ ADC — bit-identical
+    full = ivfpq_topk(_emb_dataset(vecs, ids, 5), qv, n_lists=8,
+                      n_probe=8, **kw)
+    plain = pq_adc_topk(_emb_dataset(vecs, ids, 5), qv, **kw)
+    assert full.equals(plain)
+
+    # partial probe: the query's own vector survives (its list is the
+    # nearest by construction) and results overlap the full-probe top
+    part = ivfpq_topk(_emb_dataset(vecs, ids, 5), qv, n_lists=8,
+                      n_probe=2, **kw).to_pandas()
+    assert 7 in set(part["vec_id"])
+    overlap = len(set(part["vec_id"]) & set(full["vec_id"].to_pylist()))
+    assert overlap >= 6  # clustered data: 2/8 lists hold the neighborhood
+    # block invariance
+    part9 = ivfpq_topk(_emb_dataset(vecs, ids, 9), qv, n_lists=8,
+                       n_probe=2, **kw).to_pandas()
+    assert part.equals(part9)

@@ -1367,6 +1367,59 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank,
 FROM fin ORDER BY dist, vec_id LIMIT {PQ_TOP}"""
 
 
+IVFPQ_PROBE = 2
+
+
+def q_ivfpq_ann(sf_dir: str):
+    """IVF-PQ top-k (coarse k-means lists + PQ asymmetric distances,
+    probe the 2 nearest of 8 lists) — the billion-scale ANN
+    composition; per-query scan work drops by ~n_lists/n_probe
+    (stages/cluster.py:ivfpq_topk)."""
+    from ..stages.cluster import ivfpq_topk
+
+    qsel = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qsel.column("embedding")[0].as_py(), dtype=np.float32)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivfpq_topk(emb, qvec, n_lists=PQ_K, n_probe=IVFPQ_PROBE,
+                      n_sub=PQ_SUB, k=PQ_K, iters=PQ_ITERS, top=PQ_TOP)
+
+
+def _sql_ivfpq_ann() -> str:
+    last = PQ_ITERS + 1
+    coarse = _sql_kmeans_chain(PQ_ITERS, prefix="g")
+    pq_chains = ",".join(
+        _sql_kmeans_chain(PQ_ITERS, prefix=f"p{s}",
+                          dim_lo=_pq_dim_bounds(s)[0],
+                          dim_hi=_pq_dim_bounds(s)[1])
+        for s in range(PQ_SUB))
+    adcs = ",".join(f"""
+adc{s} AS (SELECT a.vec_id,
+           CAST(SUM((qq.qv - c.cv) * (qq.qv - c.cv)) AS BIGINT) AS dd
+       FROM p{s}a{last} a JOIN p{s}c{PQ_ITERS} c ON c.cluster = a.cluster
+       JOIN q qq ON qq.vec_id = 0 AND qq.dim = c.dim
+       GROUP BY a.vec_id)""" for s in range(PQ_SUB))
+    dsum = " + ".join(f"adc{s}.dd" for s in range(PQ_SUB))
+    joins = " ".join(f"JOIN adc{s} ON adc{s}.vec_id = adc0.vec_id"
+                     for s in range(1, PQ_SUB))
+    return ("WITH " + _sql_kmeans_header(PQ_K) + ","
+            + coarse + "," + pq_chains + f""",
+qdist AS (SELECT c.cluster,
+          CAST(SUM((qq.qv - c.cv) * (qq.qv - c.cv)) AS BIGINT) AS dd
+       FROM gc{PQ_ITERS} c JOIN q qq ON qq.vec_id = 0 AND qq.dim = c.dim
+       GROUP BY 1),
+pr AS (SELECT cluster FROM qdist ORDER BY dd, cluster LIMIT {IVFPQ_PROBE}),
+members AS (SELECT vec_id FROM ga{last}
+            WHERE cluster IN (SELECT cluster FROM pr)),{adcs},
+fin AS (SELECT adc0.vec_id, {dsum} AS dist
+        FROM adc0 {joins}
+        JOIN members mb ON mb.vec_id = adc0.vec_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank,
+       vec_id, dist
+FROM fin ORDER BY dist, vec_id LIMIT {PQ_TOP}""")
+
+
 # --- relational: aggregate / joins / sort / window ------------------------
 
 
@@ -6255,6 +6308,7 @@ FROM cand QUALIFY rank <= 10
         "semdedup": _sql_semdedup(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
+        "ivfpq_ann": _sql_ivfpq_ann(),
         "curate": _sql_curate(),
         "near_dup": _sql_near_dup(),
         "contain_dup": _sql_contain_dup(),
@@ -6766,6 +6820,7 @@ def build_queries() -> dict:
         "semdedup": q_semdedup,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
+        "ivfpq_ann": q_ivfpq_ann,
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,

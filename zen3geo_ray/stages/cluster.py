@@ -269,6 +269,71 @@ def pq_adc_topk(ds, qvec: np.ndarray, *, id_col: str = "vec_id",
     })
 
 
+def ivfpq_topk(ds, qvec: np.ndarray, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", n_lists: int = 8,
+               n_probe: int = 2, n_sub: int = 4, k: int = 8,
+               iters: int = 2, top: int = 10) -> pa.Table:
+    """IVF-PQ top-k (the standard billion-scale ANN composition): a
+    coarse integer k-means partitions vectors into ``n_lists`` inverted
+    lists, PQ codes give O(n_sub) asymmetric distances, and the query
+    scans ONLY the ``n_probe`` lists whose coarse centroids are nearest
+    — per-query work drops by ~n_lists/n_probe.  PQ encodes the RAW
+    vectors, not residuals (residual encoding would need signed
+    quantization; raw-vector PQ keeps the oracle's integer discipline —
+    recall at equal code budget is slightly lower, the
+    `ivfpq_ann`-vs-`ann` test pins how much).  Probe choice ties to the
+    smallest list id; everything int64, mirrored by the ``ivfpq_ann``
+    oracle."""
+    cents, _ = kmeans_assign(ds, id_col=id_col, vec_col=vec_col,
+                             k=n_lists, iters=iters)
+    books = pq_train(ds, id_col=id_col, vec_col=vec_col,
+                     n_sub=n_sub, k=k, iters=iters)
+    sd = books[0].shape[1]
+    qq = (np.floor(np.asarray(qvec, dtype=np.float64)
+                   * float(1 << SCALE_BITS)).astype(np.int64) + _OFF)
+    dc = cents - qq
+    cd = np.einsum("ij,ij->i", dc, dc)
+    probe = np.sort(np.lexsort((np.arange(n_lists), cd))[:n_probe])
+    tables = []
+    for s in range(n_sub):
+        d = books[s] - qq[s * sd:(s + 1) * sd]
+        tables.append(np.einsum("ij,ij->i", d, d))
+
+    def scan(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = np.isin(_assign(q, cents), probe)
+        q, ids = q[m], ids[m]
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_sub):
+            lab = _assign(q[:, s * sd:(s + 1) * sd], books[s])
+            dist += tables[s][lab]
+        order = np.lexsort((ids, dist))[:top]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "dist": pa.array(dist[order])})
+
+    def fin(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dist = b.column("dist").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, dist))[:top]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            id_col: pa.array(ids[order]),
+            "dist": pa.array(dist[order]),
+        })
+
+    df = ds.map_batches(scan, batch_format="pyarrow") \
+        .repartition(1).map_batches(fin, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "rank": pa.array(df["rank"].to_numpy().astype(np.int64)),
+        id_col: pa.array(df[id_col].to_numpy().astype(np.int64)),
+        "dist": pa.array(df["dist"].to_numpy().astype(np.int64)),
+    })
+
+
 def kmeans_assign(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                   k: int = 8, iters: int = 2):
     """Distributed exact k-means: returns (centroids, assignments Dataset
