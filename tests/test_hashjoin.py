@@ -209,3 +209,32 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     assert (got["lid"].to_numpy() == exp["lid"].to_numpy()).all()
     gv, ev = got["v"].to_numpy(dtype=float), exp["v"].to_numpy(dtype=float)
     assert ((gv == ev) | (np.isnan(gv) & np.isnan(ev))).all()
+
+
+def test_broadcast_semi_both_paths_and_anti(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hashjoin import broadcast_semi
+
+    rng = np.random.default_rng(31)
+    left = pa.table({"k": pa.array(rng.integers(0, 100, 5000), pa.int64()),
+                     "v": pa.array(np.arange(5000), pa.int64())})
+    keys = pa.table({"k": pa.array([3, 7, 7, 42, 99, 120], pa.int64())})
+    want_semi = left.to_pandas()[left.to_pandas()["k"].isin([3, 7, 42, 99])]
+    for thr in (2_000_000, 0):  # broadcast path, then bucketed fallback
+        got = broadcast_semi(rd.from_arrow(left).repartition(4),
+                             rd.from_arrow(keys), "k",
+                             threshold=thr, n_buckets=4).to_pandas()
+        assert sorted(got["v"]) == sorted(want_semi["v"]), thr
+        anti = broadcast_semi(rd.from_arrow(left).repartition(4),
+                              rd.from_arrow(keys), "k", anti=True,
+                              threshold=thr, n_buckets=4).to_pandas()
+        assert sorted(anti["v"]) == sorted(
+            set(range(5000)) - set(want_semi["v"])), thr
+    # empty key side keeps nothing (semi) / everything (anti)
+    empty = rd.from_arrow(keys.slice(0, 0))
+    assert broadcast_semi(rd.from_arrow(left), empty, "k").count() == 0
+    assert broadcast_semi(rd.from_arrow(left), empty, "k",
+                          anti=True).count() == 5000

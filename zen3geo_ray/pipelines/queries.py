@@ -4584,15 +4584,16 @@ Q3_TOPK = 10
 def q_q3_top(sf_dir: str):
     """TPC-H Q3-shaped flagship chain: segment-filtered customers
     ⋉ date-filtered orders ⋉ ship-after lineitems → exact-integer
-    revenue per order → global top-10.  Three bucketed stages, every
-    join a SEMI (only keys shuffle beside the revenue rows); the top-10
-    is exact via per-bucket top-k (buckets partition orderkeys).
+    revenue per order → global top-10.  Both semis run on the
+    BROADCAST path below the key-count threshold (key sets ship once
+    via ray.put, the big side never shuffles; bucketed fallback above
+    it — stages/hashjoin.py:broadcast_semi); the top-10 is exact via
+    per-bucket top-k (buckets partition orderkeys).
     Revenue = extprice_cents * (100 - disc_pct) — pure int64, so SUM is
     order-independent and the oracle matches bit-exactly."""
     import pandas as pd
 
     from ..stages.bucketed import bucketed_groupby
-    from ..stages.hashjoin import bucketed_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -4611,10 +4612,16 @@ def q_q3_top(sf_dir: str):
         return pa.table({"o_orderkey": f.column("o_orderkey"),
                          "o_custkey": f.column("o_custkey")})
 
-    qual_orders = bucketed_join(
+    from ..stages.hashjoin import broadcast_semi
+
+    # both semis take the BROADCAST path at bench scale (key sides are
+    # 30k/18k int64 rows — shipped once, the big side never shuffles;
+    # two Sort barriers disappear); above the threshold broadcast_semi
+    # falls back to the bucketed semi join (the cluster-scale path)
+    qual_orders = broadcast_semi(
         orders.map_batches(odate, batch_format="pyarrow"),
         cust.map_batches(ckeys, batch_format="pyarrow"),
-        ["o_custkey"], how="semi", n_buckets=32,
+        "o_custkey", n_buckets=32,
     ).map_batches(lambda b: b.select(["o_orderkey"]),
                   batch_format="pyarrow")
 
@@ -4633,9 +4640,8 @@ def q_q3_top(sf_dir: str):
             "rev": pa.array(ep * (100 - dp), pa.int64()),
         })
 
-    li_q = bucketed_join(li.map_batches(lrev, batch_format="pyarrow"),
-                         qual_orders, ["o_orderkey"], how="semi",
-                         n_buckets=32)
+    li_q = broadcast_semi(li.map_batches(lrev, batch_format="pyarrow"),
+                          qual_orders, "o_orderkey", n_buckets=32)
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("o_orderkey", sort=False, as_index=False)["rev"] \

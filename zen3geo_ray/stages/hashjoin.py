@@ -46,6 +46,56 @@ def equi_join(left, right, on: list[str], how: str = "inner",
         return bucketed_join(left, right, on, how=how, n_buckets=num_partitions)
 
 
+_KEYSET_CACHE: dict = {}
+
+
+def _get_keyset(ref):
+    """Per-worker-process memoized ray.get of a broadcast key array
+    (the stages/join.py / stages/graph.py pattern)."""
+    import ray
+
+    k = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if k not in _KEYSET_CACHE:
+        _KEYSET_CACHE[k] = ray.get(ref)
+    return _KEYSET_CACHE[k]
+
+
+def broadcast_semi(left, keys, on: str, *, anti: bool = False,
+                   threshold: int = 2_000_000, n_buckets: int = 32):
+    """Semi/anti filter of ``left`` against a key Dataset WITHOUT a
+    shuffle: when the key side's row count fits under ``threshold``,
+    the distinct sorted int64 keys ship once via ``ray.put`` and every
+    block filters with a per-worker memoized searchsorted — the big
+    side never moves, and one Sort barrier disappears from the plan
+    (q3_top measured the semi's all-to-all as pure stage latency).
+    Above the threshold the bucketed semi/anti join runs (the
+    cluster-scale path).  Single int64 key column only."""
+    import ray
+
+    keys = keys.materialize()
+    if keys.count() > threshold:
+        return bucketed_join(left, keys, [on],
+                             how="anti" if anti else "semi",
+                             n_buckets=n_buckets)
+    kdf = keys.to_pandas()
+    # an empty key Dataset can surface as a column-less DataFrame
+    arr = (np.unique(kdf[on].to_numpy().astype(np.int64))
+           if on in kdf.columns else np.empty(0, dtype=np.int64))
+    ref = ray.put(arr)
+
+    def flt(b: pa.Table, _ref=ref) -> pa.Table:
+        ks = _get_keyset(_ref)
+        v = b.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0:
+            hit = np.zeros(len(v), dtype=bool)
+        else:
+            ix = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+            hit = ks[ix] == v
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return left.map_batches(flt, batch_format="pyarrow")
+
+
 def _tagged_union(left, right, on: list[str], n_buckets: int,
                   keep_right_cols: bool = True):
     """Pad both sides to a shared schema, tag side + coarse key bucket,
