@@ -813,7 +813,13 @@ def regrid_nearest(sparse_ds, *, src: dict, dst: dict,
         })
 
     srcs = sparse_ds.map_batches(src_keys, batch_format="pyarrow")
-    tgts = rd.range(w * h).map_batches(tgt_keys, batch_format="pyarrow")
+    # size the target stream's blocks to ~1M pixels: the default
+    # range splitting shatters small grids into 64 tiny blocks and
+    # every downstream barrier pays per-task latency (CLAUDE.md
+    # block-count lesson; 6k-pixel bench case measured 3 barriers
+    # x 64 tasks over 277 rows)
+    tgts = rd.range(w * h, override_num_blocks=max(1, -(-(w * h) // 1_048_576))
+                    ).map_batches(tgt_keys, batch_format="pyarrow")
     joined = bucketed_join(tgts, srcs, on=["gx", "gyt"], how="inner",
                            n_buckets=n_buckets)
     return joined.select_columns(["ty", "tx", value_col])
@@ -907,7 +913,8 @@ def regrid_bilinear(sparse_ds, *, src: dict, dst: dict,
         })
 
     srcs = sparse_ds.map_batches(src_keys, batch_format="pyarrow")
-    tgts = rd.range(w * h).map_batches(tgt_quads, batch_format="pyarrow")
+    tgts = rd.range(w * h, override_num_blocks=max(1, -(-(w * h) // 1_048_576))
+                    ).map_batches(tgt_quads, batch_format="pyarrow")
     joined = bucketed_join(tgts, srcs, on=["gx", "gyt"], how="inner",
                            n_buckets=n_buckets)
 
