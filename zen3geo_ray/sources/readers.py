@@ -39,10 +39,12 @@ def read_vector(path: str, columns: list[str] | None = None,
     Formats: parquet (default), GeoJSON (``.geojson`` / ``.json`` —
     pure-python RFC 7946 parse, sources/geojson.py), GeoPackage
     (``.gpkg`` — stdlib sqlite3 + GP-blob parse, sources/gpkg.py;
-    ``layer=`` selects among feature tables) and ESRI Shapefile
-    (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) — all yielding
-    the identical fixed POLYGONS schema so downstream joins are
-    format-agnostic (the reference's pyogrio multi-format surface).
+    ``layer=`` selects among feature tables), ESRI Shapefile
+    (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) and CSV with a
+    WKT geometry column (``.csv``, sources/wktcsv.py — the GDAL CSV
+    driver interchange) — all yielding the identical fixed POLYGONS
+    schema so downstream joins are format-agnostic (the reference's
+    pyogrio multi-format surface).
 
     ``bbox=(minx, miny, maxx, maxy)`` keeps only features whose bounds
     intersect the window (pyogrio ``read_dataframe(..., bbox=)``,
@@ -70,7 +72,7 @@ def read_vector(path: str, columns: list[str] | None = None,
             else:
                 target = None
                 for ext in (".shp", ".gpkg", ".fgb", ".geojson", ".json",
-                            ".parquet"):
+                            ".parquet", ".csv"):
                     target = next(
                         (n for n in names if n.endswith(ext)), None)
                     if target:
@@ -94,6 +96,10 @@ def read_vector(path: str, columns: list[str] | None = None,
         from .shapefile import read_shp
 
         t = read_shp(path)
+    elif path.endswith(".csv"):
+        from .wktcsv import read_wkt_csv
+
+        t = read_wkt_csv(path)
     elif path.endswith(".fgb"):
         from .flatgeobuf import read_flatgeobuf
 
