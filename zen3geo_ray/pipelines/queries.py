@@ -4820,7 +4820,36 @@ BFS_MAX_HOPS = 3
 BFS_SEED_MOD = 100                 # seeds: customer nodes, custkey % 50 == 0
 
 
+#: session-scoped memo for the derived trade-edge tables: SEVEN suite
+#: queries consume the same ~20 MB materialized edge Dataset — the
+#: shared-scan optimization (rebuilding cost ~3-5s per query in a warm
+#: session).  Keyed by (variant, sf_dir); refs pin the blocks alive for
+#: the session, which is exactly the lifetime the driver/bench use.
+_EDGE_CACHE: dict = {}
+
+
+def _edge_memo(variant: str, sf_dir: str, build):
+    import ray
+
+    # key on the Ray job id too: a cached Dataset's object refs die
+    # with the session, so a shutdown/init cycle in one process must
+    # rebuild rather than return dead refs
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    key = (variant, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None and hit[0] == job:
+        return hit[1]
+    ds = build().materialize()
+    _EDGE_CACHE[key] = (job, ds)
+    return ds
+
+
 def _trade_edges(sf_dir: str):
+    return _edge_memo("plain", sf_dir, lambda: _build_trade_edges(sf_dir))
+
+
+def _build_trade_edges(sf_dir: str):
     from ..stages.graph import distinct_tuples
     from ..stages.hashjoin import bucketed_join
 
@@ -4931,6 +4960,11 @@ HITS_SCALE = 10 ** 6
 
 
 def _directed_trade_edges(sf_dir: str):
+    return _edge_memo("directed", sf_dir,
+                      lambda: _build_directed_trade_edges(sf_dir))
+
+
+def _build_directed_trade_edges(sf_dir: str):
     """DIRECTED bipartite trade edges customer -> supplier (customers
     are the hubs, suppliers the authorities) — the HITS-shaped graph;
     the symmetric _trade_edges would make hub == auth degenerate."""
@@ -5137,6 +5171,11 @@ def _sql_pagerank(seed_expr: str = "1", weighted: bool = False) -> str:
 
 
 def _trade_edges_weighted(sf_dir: str):
+    return _edge_memo("weighted", sf_dir,
+                      lambda: _build_trade_edges_weighted(sf_dir))
+
+
+def _build_trade_edges_weighted(sf_dir: str):
     """Weighted symmetric trade edges: w = number of lineitems linking
     (customer, supplier) — the multiplicity-weighted variant of
     _trade_edges (count per pair via one combiner-first bucketed sum)."""
