@@ -1011,3 +1011,80 @@ def test_assortativity_matches_numpy(ray_session, bt):
     assert out.iloc[0]["assort"] == want
     # np.corrcoef agreement to float tolerance (sanity, not parity)
     assert abs(out.iloc[0]["assort"] - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def _ref_community_stats(src, dst, labels: dict):
+    """Straight-line modularity stats reference."""
+    pairs = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            pairs.add((min(s, d), max(s, d)))
+    m = len(pairs)
+    from collections import defaultdict
+    e_in, deg, nn = defaultdict(int), defaultdict(int), defaultdict(int)
+    for n, l in labels.items():
+        nn[l] += 1
+    for u, v in pairs:
+        deg[labels[u]] += 1
+        deg[labels[v]] += 1
+        if labels[u] == labels[v]:
+            e_in[labels[u]] += 1
+    return {
+        l: (nn[l], e_in[l], deg[l], deg[l] - 2 * e_in[l],
+            4 * m * e_in[l] - deg[l] * deg[l])
+        for l in nn
+    }
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_community_stats_matches_reference(ray_session, bt):
+    from zen3geo_ray.stages.graph import community_stats, label_propagation
+
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    labs = label_propagation(edges, rounds=2, n_buckets=8)
+    out = community_stats(edges, labs, n_buckets=8,
+                          broadcast_threshold=bt).to_pandas()
+    lab_map = _ref_lpa(src, dst, 2)
+    want = _ref_community_stats(src, dst, lab_map)
+    got = {int(r.lab): (int(r.n_nodes), int(r.e_in), int(r.deg_sum),
+                        int(r.cut), int(r.q_num))
+           for r in out.itertuples()}
+    assert got == want
+    # global modularity identity: sum(deg_sum) == 2m and Q in [-1, 1]
+    m = len({(min(s, d), max(s, d))
+             for s, d in zip(src.tolist(), dst.tolist()) if s != d})
+    assert int(out["deg_sum"].sum()) == 2 * m
+    q = float(out["q_num"].sum()) / (4.0 * m * m)
+    assert -1.0 <= q <= 1.0
+
+
+def test_community_stats_two_triangles(ray_session):
+    """Two disjoint triangles with their own labels: e_in=3, deg_sum=6,
+    cut=0 each; m=6 so q_num = 4*6*3 - 36 = 36 per community and
+    Q = 72/144 = 0.5 — the textbook two-clique value."""
+    from zen3geo_ray.stages.graph import community_stats
+
+    src = np.array([0, 1, 2, 10, 11, 12], dtype=np.int64)
+    dst = np.array([1, 2, 0, 11, 12, 10], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    labs = rd.from_arrow(pa.table({
+        "node": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+        "lab": pa.array([0, 0, 0, 1, 1, 1], pa.int64())}))
+    out = community_stats(edges, labs, n_buckets=4).to_pandas() \
+        .sort_values("lab").reset_index(drop=True)
+    assert out["e_in"].tolist() == [3, 3]
+    assert out["deg_sum"].tolist() == [6, 6]
+    assert out["cut"].tolist() == [0, 0]
+    assert out["q_num"].tolist() == [36, 36]
+
+
+def test_community_stats_unlabeled_raises(ray_session):
+    from zen3geo_ray.stages.graph import community_stats
+
+    edges = rd.from_arrow(pa.table({"src": pa.array([0], pa.int64()),
+                                    "dst": pa.array([1], pa.int64())}))
+    labs = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64()),
+                                   "lab": pa.array([0], pa.int64())}))
+    with pytest.raises(Exception):
+        community_stats(edges, labs).to_pandas()

@@ -5823,10 +5823,42 @@ def q_lpa(sf_dir: str):
     neighbors' most frequent previous label, ties -> smallest label
     (stages/graph.py:label_propagation — broadcast labels via ray.put,
     edges never re-shuffle; bucketed BSP path above the threshold)."""
+    from ..stages.graph import label_propagation
+
+    return label_propagation(_lpa_edges(sf_dir), rounds=LPA_ROUNDS)
+
+
+def _sql_lpa_ctes() -> str:
+    """Shared co-purchase-graph LPA chain; final CTE ``lab{LPA_ROUNDS}``
+    holds (node, lab), ``pairs`` the canonical u<v edge set."""
+    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {KCORE_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""]
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""v{i} AS (
+  SELECT e.u AS node, l.lab AS lab, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{i - 1} l ON l.node = e.v GROUP BY 1, 2),
+lab{i} AS (SELECT node, lab FROM (
+  SELECT node, lab,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab)
+           AS rn
+  FROM v{i}) WHERE rn = 1)""")
+    return ",\n".join(ctes)
+
+
+def _sql_lpa() -> str:
+    return ("WITH " + _sql_lpa_ctes()
+            + f"\nSELECT node, lab FROM lab{LPA_ROUNDS}")
+
+
+def _lpa_edges(sf_dir: str):
+    """The LPA co-purchase pair table (shared by q_lpa / q_modularity)."""
     import pandas as pd
 
     from ..stages.bucketed import bucketed_groupby
-    from ..stages.graph import label_propagation
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
                                     "l_quantity"])
@@ -5845,29 +5877,48 @@ def q_lpa(sf_dir: str):
         return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
                              "dst": m["l_partkey_y"].to_numpy()})
 
-    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand,
-                           n_buckets=16)
-    return label_propagation(prs, rounds=LPA_ROUNDS)
+    return bucketed_groupby(lines, ["l_orderkey"], pair_expand,
+                            n_buckets=16)
 
 
-def _sql_lpa() -> str:
-    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-          FROM lineitem WHERE l_quantity >= {KCORE_QTY_MIN}),
-pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
-edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
-lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM edges)"""]
-    for i in range(1, LPA_ROUNDS + 1):
-        ctes.append(f"""v{i} AS (
-  SELECT e.u AS node, l.lab AS lab, CAST(COUNT(*) AS BIGINT) AS c
-  FROM edges e JOIN lab{i - 1} l ON l.node = e.v GROUP BY 1, 2),
-lab{i} AS (SELECT node, lab FROM (
-  SELECT node, lab,
-         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab)
-           AS rn
-  FROM v{i}) WHERE rn = 1)""")
-    return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT node, lab FROM lab{LPA_ROUNDS}")
+def q_modularity(sf_dir: str):
+    """Community-quality evaluation: per-community Newman-modularity /
+    conductance sufficient statistics (n_nodes, within-edges, degree
+    sum, cut, exact-integer q_num over the shared 4m² denominator) for
+    the label-propagation partition of the part co-purchase graph —
+    the metric loop every community-detection pipeline runs after
+    clustering (stages/graph.py:community_stats; broadcast labels via
+    ray.put below the node threshold, bucketed endpoint-tag joins
+    above; integer arithmetic end to end)."""
+    from ..stages.graph import community_stats, label_propagation
+
+    edges = _lpa_edges(sf_dir).materialize()
+    labs = label_propagation(edges, rounds=LPA_ROUNDS)
+    return community_stats(edges, labs)
+
+
+def _sql_modularity() -> str:
+    R = LPA_ROUNDS
+    return f"""WITH {_sql_lpa_ctes()},
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+tag AS (SELECT la.lab AS lu, lb.lab AS lv FROM pairs p
+        JOIN lab{R} la ON la.node = p.u
+        JOIN lab{R} lb ON lb.node = p.v),
+ein AS (SELECT lu AS lab, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM tag WHERE lu = lv GROUP BY 1),
+deg AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM
+        (SELECT lu AS lab FROM tag UNION ALL SELECT lv AS lab FROM tag)
+        GROUP BY 1),
+nn AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM lab{R} GROUP BY 1)
+SELECT nn.lab, nn.n_nodes,
+       COALESCE(e.e_in, 0) AS e_in,
+       COALESCE(d.deg_sum, 0) AS deg_sum,
+       COALESCE(d.deg_sum, 0) - 2 * COALESCE(e.e_in, 0) AS cut,
+       4 * m.m * COALESCE(e.e_in, 0)
+         - COALESCE(d.deg_sum, 0) * COALESCE(d.deg_sum, 0) AS q_num
+FROM nn LEFT JOIN ein e ON e.lab = nn.lab
+LEFT JOIN deg d ON d.lab = nn.lab CROSS JOIN mm m"""
 
 
 KTRUSS_K = 4
@@ -6770,6 +6821,7 @@ GROUP BY event_type, u - o.off
         "dbscan": _sql_dbscan(),
         "kcore": _sql_kcore(),
         "lpa": _sql_lpa(),
+        "modularity": _sql_modularity(),
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
         "winnow_spans": _sql_dup_spans(),
@@ -6982,6 +7034,7 @@ def build_queries() -> dict:
         "dbscan": q_dbscan,
         "kcore": q_kcore,
         "lpa": q_lpa,
+        "modularity": q_modularity,
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
         "winnow_spans": q_winnow_spans,

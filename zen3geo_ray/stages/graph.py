@@ -1920,3 +1920,157 @@ def degree_assortativity(edges, *, src: str = "src", dst: str = "dst",
         "sxy": pa.array([sxy], pa.int64()),
         "assort": pa.array([assort], pa.float64()),
     }))
+
+
+def community_stats(edges, labels, *, src: str = "src", dst: str = "dst",
+                    node_col: str = "node", lab_col: str = "lab",
+                    n_buckets: int | None = None,
+                    broadcast_threshold: int = BROADCAST_NODES):
+    """Per-community MODULARITY / CONDUCTANCE sufficient statistics.
+
+    Given an edge table and a (node, lab) community assignment (e.g.
+    ``label_propagation`` output), returns one row per community::
+
+        (lab, n_nodes, e_in, deg_sum, cut, q_num)
+
+    where ``e_in`` = undirected within-community edge count, ``deg_sum``
+    = sum of member degrees (Σ deg_sum = 2m), ``cut`` = deg_sum - 2·e_in
+    = edges leaving the community, and ``q_num`` = 4·m·e_in - deg_sum²
+    — the exact-INTEGER numerator of the community's Newman-modularity
+    contribution over the shared denominator 4·m² (so global
+    Q = Σ q_num / (4 m²), and conductance = cut / min(deg_sum,
+    2m - deg_sum) — both derivable with one division).  Integer sums
+    are order-independent, so the chained-SQL oracle matches bit-exact.
+
+    Edge normalization matches ``label_propagation``: self-loops drop,
+    the pair set symmetrizes + dedups to canonical (u < v) pairs, so a
+    neighbor counts once.  Every pair endpoint must appear in
+    ``labels`` (raises otherwise — an unlabeled endpoint means the
+    caller's assignment and edge table disagree).
+
+    Dual paths (the graph-suite discipline):
+
+    * labels ≤ ``broadcast_threshold``: the sorted (node → lab) arrays
+      ship ONCE via ``ray.put``; one map over the canonical pair table
+      emits combiner-first (lab, n_nodes, e_in, deg) partials — the
+      pairs never shuffle.
+    * bucketed: two bucketed hash joins tag the pair endpoints with
+      labels, then the same partial → reduce plan.
+
+    Guard: requires m < 2^30.7 so 4·m² stays inside int64; beyond that
+    the raw (e_in, deg_sum) rows are still exact — recompute q_num
+    driver-side in Python ints.
+    """
+    import ray
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"u": pa.array(np.minimum(s, d)),
+                         "v": pa.array(np.maximum(s, d))})
+
+    pairs = distinct_tuples(
+        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    m_edges = pairs.count()
+    if 4 * m_edges * m_edges >= (1 << 63):
+        raise ValueError(
+            f"community_stats: m={m_edges} overflows the int64 q_num; "
+            "compute Q from the raw (e_in, deg_sum) rows instead")
+    if n_buckets is None:
+        n_buckets = _auto_buckets(m_edges)
+
+    labels = labels.materialize()
+    n_lab_rows = labels.count()
+
+    def _partials(lu: np.ndarray, lv: np.ndarray) -> pa.Table:
+        both = np.concatenate([lu, lv])
+        dl, dc = np.unique(both, return_counts=True)
+        same = lu[lu == lv]
+        el, ec = np.unique(same, return_counts=True)
+        lab = np.concatenate([dl, el])
+        return pa.table({
+            lab_col: pa.array(lab),
+            "n_nodes": pa.array(np.zeros(len(lab), dtype=np.int64)),
+            "e_in": pa.array(np.concatenate(
+                [np.zeros(len(dl), dtype=np.int64), ec.astype(np.int64)])),
+            "deg_sum": pa.array(np.concatenate(
+                [dc.astype(np.int64), np.zeros(len(el), dtype=np.int64)])),
+        })
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        l = b.column(lab_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, uc = np.unique(l, return_counts=True)
+        z = np.zeros(len(ul), dtype=np.int64)
+        return pa.table({lab_col: pa.array(ul),
+                         "n_nodes": pa.array(uc.astype(np.int64)),
+                         "e_in": pa.array(z), "deg_sum": pa.array(z)})
+
+    if n_lab_rows <= broadcast_threshold:
+        lp = labels.to_pandas()
+        nodes = lp[node_col].to_numpy().astype(np.int64)
+        labs = lp[lab_col].to_numpy().astype(np.int64)
+        o = np.argsort(nodes, kind="stable")
+        nodes, labs = nodes[o], labs[o]
+        ref = ray.put((nodes, labs))
+
+        def tag_bc(b: pa.Table, _ref=ref) -> pa.Table:
+            nd, lb = _get_blob(_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(nd, u)
+            iv = np.searchsorted(nd, v)
+            ok = ((iu < len(nd)) & (nd[np.minimum(iu, len(nd) - 1)] == u)
+                  & (iv < len(nd)) & (nd[np.minimum(iv, len(nd) - 1)] == v))
+            if not ok.all():
+                raise ValueError("community_stats: unlabeled pair endpoint")
+            return _partials(lb[iu], lb[iv])
+
+        tagged = pairs.map_batches(tag_bc, batch_format="pyarrow")
+    else:
+        lu = labels.map_batches(
+            lambda b: pa.table({
+                "u": pc.cast(b.column(node_col), pa.int64()),
+                "_lu": pc.cast(b.column(lab_col), pa.int64())}),
+            batch_format="pyarrow")
+        lv = labels.map_batches(
+            lambda b: pa.table({
+                "v": pc.cast(b.column(node_col), pa.int64()),
+                "_lv": pc.cast(b.column(lab_col), pa.int64())}),
+            batch_format="pyarrow")
+        j = bucketed_join(pairs, lu, ["u"], n_buckets=n_buckets)
+        j = bucketed_join(j, lv, ["v"], n_buckets=n_buckets)
+
+        def tag_bk(b: pa.Table) -> pa.Table:
+            return _partials(
+                b.column("_lu").to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column("_lv").to_numpy(zero_copy_only=False).astype(np.int64))
+
+        tagged = j.map_batches(tag_bk, batch_format="pyarrow")
+
+    parts = tagged.union(
+        labels.map_batches(node_partial, batch_format="pyarrow"))
+
+    def reduce_lab(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(lab_col, sort=False, as_index=False)[
+            ["n_nodes", "e_in", "deg_sum"]].sum()
+        return s
+
+    stats = bucketed_groupby(parts, [lab_col], reduce_lab,
+                             n_buckets=n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        e = b.column("e_in").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("deg_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            lab_col: pc.cast(b.column(lab_col), pa.int64()),
+            "n_nodes": pc.cast(b.column("n_nodes"), pa.int64()),
+            "e_in": pa.array(e), "deg_sum": pa.array(d),
+            "cut": pa.array(d - 2 * e),
+            "q_num": pa.array(4 * m_edges * e - d * d),
+        })
+
+    return stats.map_batches(finalize, batch_format="pyarrow")
