@@ -299,3 +299,50 @@ def test_ivfpq_full_probe_equals_pq_and_partial_probe_recall(ray_session):
     part9 = ivfpq_topk(_emb_dataset(vecs, ids, 9), qv, n_lists=8,
                        n_probe=2, **kw).to_pandas()
     assert part.equals(part9)
+
+
+def test_cluster_purity_reference(ray_session):
+    """Purity vs a straight-line recomputation from kmeans_assign's own
+    (reference-pinned) assignment plus the truth labels."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import cluster_purity, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 240, 8, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    truth = rng.integers(0, 5, n).astype(np.int64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(truth),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    _, asg = kmeans_assign(ds, k=k, iters=2)
+    ref = pd.DataFrame({"cluster": asg.to_pandas()["cluster"],
+                        "truth": truth[asg.to_pandas()["vec_id"]]})
+    want = {}
+    for c, g in ref.groupby("cluster"):
+        vc = g.groupby("truth").size().reset_index(name="c") \
+            .sort_values(["c", "truth"], ascending=[False, True])
+        want[int(c)] = (len(g), int(vc.iloc[0]["truth"]),
+                        int(vc.iloc[0]["c"]))
+    out = cluster_purity(ds, k=k, iters=2, n_buckets=4).to_pandas()
+    got = {int(r.cluster): (int(r.n), int(r.top_truth), int(r.top_n))
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_cluster_purity_rejects_bad_truth(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import cluster_purity
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(8, dtype=np.int64)),
+        "embedding": pa.array([[0.0] * 4] * 8, pa.list_(pa.float32())),
+        "label": pa.array([-1] * 8, pa.int64()),
+    })
+    with pytest.raises(Exception):
+        cluster_purity(rd.from_arrow(t), k=2, iters=1).to_pandas()

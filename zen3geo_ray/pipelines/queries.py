@@ -1278,6 +1278,35 @@ def _sql_kmeans() -> str:
             + f"\nSELECT vec_id, cluster FROM a{last}")
 
 
+def q_purity(sf_dir: str):
+    """Clustering-quality PURITY evaluation: k-means the embedding
+    table, then per cluster the size and majority ground-truth label
+    (ties -> smallest label) — global purity = Σ top_n / Σ n.  One
+    combiner-first pass past the Lloyd scans; only (cluster, truth,
+    count) partials ever shuffle (stages/cluster.py:cluster_purity)."""
+    from ..stages.cluster import cluster_purity
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return cluster_purity(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _sql_purity() -> str:
+    last = KM_ITERS + 1
+    return _sql_kmeans_ctes(KM_K, KM_ITERS) + f""",
+pt AS (SELECT a.cluster, CAST(e.label AS BIGINT) AS t,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM a{last} a JOIN embeddings e ON e.vec_id = a.vec_id
+       GROUP BY 1, 2),
+tot AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n FROM pt GROUP BY 1),
+top AS (SELECT cluster, t AS top_truth, c AS top_n FROM (
+    SELECT cluster, t, c,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, t)
+             AS rn
+    FROM pt) WHERE rn = 1)
+SELECT tot.cluster, tot.n, top.top_truth, top.top_n
+FROM tot JOIN top ON top.cluster = tot.cluster"""
+
+
 def _sql_semdedup() -> str:
     last = KM_ITERS + 1
     eps2 = int(np.floor((2.0 - 2.0 * SEM_TAU) * float(1 << 40)))
@@ -6402,6 +6431,7 @@ FROM cand QUALIFY rank <= 10
         "delta_embdup": _sql_delta_embdup(),
         "kmeans": _sql_kmeans(),
         "semdedup": _sql_semdedup(),
+        "purity": _sql_purity(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -6915,6 +6945,7 @@ def build_queries() -> dict:
         "delta_embdup": q_delta_embdup,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        "purity": q_purity,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .bucketed import bucketed_groupby
 
@@ -335,11 +336,14 @@ def ivfpq_topk(ds, qvec: np.ndarray, *, id_col: str = "vec_id",
 
 
 def kmeans_assign(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                  k: int = 8, iters: int = 2):
+                  k: int = 8, iters: int = 2,
+                  keep_cols: list[str] | None = None):
     """Distributed exact k-means: returns (centroids, assignments Dataset
-    with columns (id_col, cluster)).  iters Lloyd updates from the
-    k-smallest-id seeds, then one final assignment pass — iters + 2
-    shuffle-free streaming scans total."""
+    with columns (id_col, cluster, *keep_cols)).  iters Lloyd updates
+    from the k-smallest-id seeds, then one final assignment pass —
+    iters + 2 shuffle-free streaming scans total.  ``keep_cols`` carries
+    extra input columns (e.g. a ground-truth label for purity
+    evaluation) through the final pass unchanged."""
     cents = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
     for _ in range(iters):
         cents = lloyd_iterate(ds, cents, vec_col=vec_col)
@@ -347,12 +351,72 @@ def kmeans_assign(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     def final(b: pa.Table) -> pa.Table:
         q = _quant_matrix(b, vec_col)
         lab = _assign(q, cents)
-        return pa.table({
+        out = pa.table({
             id_col: b.column(id_col).cast(pa.int64()),
             "cluster": pa.array(lab, pa.int64()),
         })
+        for c in keep_cols or []:
+            out = out.append_column(c, b.column(c))
+        return out
 
     return cents, ds.map_batches(final, batch_format="pyarrow")
+
+
+def cluster_purity(ds, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", truth_col: str = "label",
+                   k: int = 8, iters: int = 2, n_buckets: int = 16):
+    """Clustering-quality PURITY evaluation: k-means the vectors, then
+    per cluster report size and the majority ground-truth class —
+    (cluster, n, top_truth, top_n), ties broken by the smallest truth
+    value.  Global purity = Σ top_n / Σ n (one division, derivable).
+
+    One extra combiner-first pass past ``kmeans_assign``: batches emit
+    (cluster, truth, partial count) rows — bounded by k × #classes per
+    batch — and ONE bucketed argmax reduce closes it; vectors never
+    shuffle.  All counts int64, so the chained-SQL oracle matches
+    bit-exact."""
+    _, asg = kmeans_assign(ds, id_col=id_col, vec_col=vec_col, k=k,
+                           iters=iters, keep_cols=[truth_col])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        c = b.column("cluster").to_numpy(zero_copy_only=False)
+        t = b.column(truth_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(t) and (t.min() < 0 or t.max() >= (1 << 32)):
+            raise ValueError("cluster_purity: truth labels must be "
+                             "non-negative 32-bit integers")
+        key = c * (1 << 32) + t
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "cluster": pa.array((u >> 32).astype(np.int64)),
+            "_t": pa.array((u & ((1 << 32) - 1)).astype(np.int64)),
+            "_n": pa.array(n.astype(np.int64)),
+        })
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["cluster", "_t"], sort=False,
+                      as_index=False)["_n"].sum()
+        c = s["cluster"].to_numpy().astype(np.int64)
+        t = s["_t"].to_numpy().astype(np.int64)
+        n = s["_n"].to_numpy().astype(np.int64)
+        o = np.lexsort((t, -n, c))
+        c, t, n = c[o], t[o], n[o]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        tot = np.add.reduceat(n, np.flatnonzero(first)) if len(c) else n
+        return pd.DataFrame({"cluster": c[first], "n": tot,
+                             "top_truth": t[first], "top_n": n[first]})
+
+    parts = asg.map_batches(pair_partial, batch_format="pyarrow")
+    out = bucketed_groupby(parts, ["cluster"], argmax, n_buckets=n_buckets)
+    return out.map_batches(
+        lambda b: pa.table({
+            "cluster": pc.cast(b.column("cluster"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "top_truth": pc.cast(b.column("top_truth"), pa.int64()),
+            "top_n": pc.cast(b.column("top_n"), pa.int64()),
+        }),
+        batch_format="pyarrow")
 
 
 def semdedup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
