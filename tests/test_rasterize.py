@@ -436,3 +436,53 @@ def test_regrid_average_cross_crs_forward(ray_session):
     got = [(int(r.ty), int(r.tx), int(r.npix), float(r.val))
            for r in out.itertuples()]
     assert got == exp and len(exp) > 0
+
+
+def test_focal_stats_golden(ray_session):
+    """Hand-checked 3x3 focal window on a 4x4 tile with three touched
+    pixels (0,0)=5, (1,1)=7, (3,3)=2: the corner sees {5,7}, the center
+    sees {5,7}, (3,3) is isolated; a second tile must NOT bleed in."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import focal_stats
+
+    sparse = rd.from_arrow(pa.table({
+        "tile_id": pa.array([0, 0, 0, 1], pa.int64()),
+        "py": pa.array([0, 1, 3, 0], pa.int64()),
+        "px": pa.array([0, 1, 3, 0], pa.int64()),
+        "n": pa.array([5, 7, 2, 9], pa.int64()),
+    }))
+    out = focal_stats(sparse, px_size=4, radius=1, n_buckets=2) \
+        .to_pandas().sort_values(["tile_id", "py", "px"]) \
+        .reset_index(drop=True)
+    rows = {(int(r.tile_id), int(r.py), int(r.px)):
+            (int(r.n), int(r.focal_n), int(r.focal_cnt),
+             int(r.focal_max), float(r.focal_mean))
+            for r in out.itertuples()}
+    assert len(rows) == 4
+    assert rows[(0, 0, 0)] == (5, 12, 2, 7, 6.0)
+    assert rows[(0, 1, 1)] == (7, 12, 2, 7, 6.0)
+    assert rows[(0, 3, 3)] == (2, 2, 1, 2, 2.0)
+    assert rows[(1, 0, 0)] == (9, 9, 1, 9, 9.0)
+
+
+def test_focal_stats_radius2(ray_session):
+    """radius=2: (0,0) now reaches (1,1) AND (2,2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import focal_stats
+
+    sparse = rd.from_arrow(pa.table({
+        "tile_id": pa.array([0, 0, 0], pa.int64()),
+        "py": pa.array([0, 1, 2], pa.int64()),
+        "px": pa.array([0, 1, 2], pa.int64()),
+        "n": pa.array([1, 10, 100], pa.int64()),
+    }))
+    out = focal_stats(sparse, px_size=8, radius=2, n_buckets=2).to_pandas()
+    rows = {(int(r.py), int(r.px)): (int(r.focal_n), int(r.focal_cnt))
+            for r in out.itertuples()}
+    assert rows[(0, 0)] == (111, 3)
+    assert rows[(1, 1)] == (111, 3)
+    assert rows[(2, 2)] == (111, 3)

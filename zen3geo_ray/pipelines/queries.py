@@ -3382,6 +3382,42 @@ def _sql_rasterize() -> str:
     return _sql_rasterize_cte() + "SELECT tile_id, py, px, n FROM hist"
 
 
+def q_focal(sf_dir: str):
+    """FOCAL (3x3 moving-window) statistics over the rasterized count
+    grid — the rioxarray/scipy focal-convolution analog on the sparse
+    per-tile histogram: per touched pixel the window sum / touched
+    count / max / mean, edges clipped, windows never cross tiles.
+    Scatter-into-neighbors partials + ONE bucketed reduce; no join
+    (stages/rasterize.py:focal_stats)."""
+    from ..stages.rasterize import focal_stats
+
+    sparse = q_rasterize(sf_dir)
+    return focal_stats(sparse, px_size=TILE_PX, radius=1)
+
+
+def _sql_focal() -> str:
+    return _sql_rasterize_cte() + f""",
+offs AS (SELECT a.dy, b.dx
+         FROM (SELECT unnest(range(-1, 2)) AS dy) a,
+              (SELECT unnest(range(-1, 2)) AS dx) b),
+scat AS (SELECT h.tile_id, h.py + o.dy AS py, h.px + o.dx AS px,
+                h.n AS v,
+                CASE WHEN o.dy = 0 AND o.dx = 0 THEN 1 ELSE 0 END AS here
+         FROM hist h CROSS JOIN offs o
+         WHERE h.py + o.dy BETWEEN 0 AND {TILE_PX - 1}
+           AND h.px + o.dx BETWEEN 0 AND {TILE_PX - 1}),
+f AS (SELECT tile_id, py, px,
+             CAST(SUM(v) AS BIGINT) AS focal_n,
+             CAST(COUNT(*) AS BIGINT) AS focal_cnt,
+             CAST(MAX(v) AS BIGINT) AS focal_max,
+             CAST(SUM(here) AS BIGINT) AS hn,
+             CAST(SUM(v * here) AS BIGINT) AS n
+      FROM scat GROUP BY 1, 2, 3)
+SELECT tile_id, py, px, n, focal_n, focal_cnt, focal_max,
+       CAST(focal_n AS DOUBLE) / CAST(focal_cnt AS DOUBLE) AS focal_mean
+FROM f WHERE hn > 0"""
+
+
 def q_phash_dedup(sf_dir: str):
     """Perceptual-hash (aHash) visual near-dup grouping of the
     rasterized tiles: 16x16 count rasters pool to 8x8 integer cell
@@ -6325,6 +6361,7 @@ FROM g,
      LATERAL (SELECT unnest(range(g.nx)) AS cx) cx
 """,
         "rasterize": _sql_rasterize(),
+        "focal": _sql_focal(),
         "phash_dedup": _sql_phash_dedup(),
         "raster_stats": _sql_raster_stats(),
         "raster_first": _sql_raster_first(),
@@ -6920,6 +6957,7 @@ def build_queries() -> dict:
         "multires": q_multires,
         "chips": q_chips,
         "rasterize": q_rasterize,
+        "focal": q_focal,
         "phash_dedup": q_phash_dedup,
         "raster_stats": q_raster_stats,
         "raster_first": q_raster_first,

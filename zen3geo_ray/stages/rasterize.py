@@ -1019,3 +1019,102 @@ def regrid_average(sparse_ds, *, src: dict, dst: dict,
     return bucketed_groupby(
         sparse_ds.map_batches(partial, batch_format="pyarrow"),
         ["ty", "tx"], reduce_fn, n_buckets=n_buckets)
+
+
+def focal_stats(sparse, *, px_size: int, radius: int = 1,
+                tile_col: str = "tile_id", y_col: str = "py",
+                x_col: str = "px", val_col: str = "n",
+                n_buckets: int = 16):
+    """FOCAL (moving-window) statistics over a sparse raster — the
+    rioxarray/scipy ``focal`` / convolution analog recast for the
+    sparse per-tile histogram representation every rasterize stage here
+    emits.  For every TOUCHED pixel, the (2r+1)² window around it
+    (clipped at tile edges; absent pixels contribute nothing, windows
+    never cross tiles — per-tile canvas semantics)::
+
+        (tile, py, px, n, focal_n, focal_cnt, focal_max, focal_mean)
+
+    n = the center's own value, focal_n/focal_cnt/focal_max = sum /
+    touched-count / max over the window, focal_mean = focal_n /
+    focal_cnt (the ONE float division, mirrored by the SQL oracle).
+
+    Plan shape (100 TB): each sparse row SCATTERS into its ≤(2r+1)²
+    neighbor positions inside map_batches (the self position carries a
+    marker), ONE bucketed reduce on (tile, y, x) folds them, and a
+    marker filter keeps rows whose center exists — no join, a single
+    all-to-all over output-bounded fixed-width partials (the sparse
+    raster is canvas-bounded, never point-bounded).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    n_off = len(offs)
+    dy_a = np.array([o[0] for o in offs], dtype=np.int64)
+    dx_a = np.array([o[1] for o in offs], dtype=np.int64)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        t = b.column(tile_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        ty = np.repeat(y, n_off) + np.tile(dy_a, n)
+        tx = np.repeat(x, n_off) + np.tile(dx_a, n)
+        tt = np.repeat(t, n_off)
+        vv = np.repeat(v, n_off)
+        here = (np.tile(dy_a, n) == 0) & (np.tile(dx_a, n) == 0)
+        keep = (ty >= 0) & (ty < px_size) & (tx >= 0) & (tx < px_size)
+        return pa.table({
+            tile_col: pa.array(tt[keep]),
+            y_col: pa.array(ty[keep]),
+            x_col: pa.array(tx[keep]),
+            "_v": pa.array(vv[keep]),
+            "_h": pa.array(here[keep].astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby([tile_col, y_col, x_col], sort=False,
+                      as_index=False).agg(
+            focal_n=("_v", "sum"), focal_cnt=("_v", "size"),
+            focal_max=("_v", "max"), _hn=("_h", "sum"),
+            _cv=("_hv", "sum"))
+        s = s[s["_hn"] > 0]
+        return pd.DataFrame({
+            tile_col: s[tile_col].to_numpy(),
+            y_col: s[y_col].to_numpy(),
+            x_col: s[x_col].to_numpy(),
+            val_col: s["_cv"].to_numpy().astype(np.int64),
+            "focal_n": s["focal_n"].to_numpy().astype(np.int64),
+            "focal_cnt": s["focal_cnt"].to_numpy().astype(np.int64),
+            "focal_max": s["focal_max"].to_numpy().astype(np.int64),
+        })
+
+    def add_hv(b: pa.Table) -> pa.Table:
+        v = b.column("_v").to_numpy(zero_copy_only=False)
+        h = b.column("_h").to_numpy(zero_copy_only=False)
+        return b.append_column("_hv", pa.array(v * h))
+
+    scattered = sparse.map_batches(scatter, batch_format="pyarrow") \
+        .map_batches(add_hv, batch_format="pyarrow")
+    folded = bucketed_groupby(scattered, [tile_col, y_col, x_col], fold,
+                              n_buckets=n_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        fn = b.column("focal_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        fc = b.column("focal_cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            tile_col: b.column(tile_col).cast(pa.int64()),
+            y_col: b.column(y_col).cast(pa.int64()),
+            x_col: b.column(x_col).cast(pa.int64()),
+            val_col: b.column(val_col).cast(pa.int64()),
+            "focal_n": pa.array(fn),
+            "focal_cnt": pa.array(fc),
+            "focal_max": b.column("focal_max").cast(pa.int64()),
+            "focal_mean": pa.array(fn.astype(np.float64)
+                                   / fc.astype(np.float64)),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
