@@ -350,3 +350,66 @@ def test_sql_morton_expr_matches_numpy():
         f"SELECT {z_e} AS z FROM xy"
     ).df()["z"].to_numpy()
     assert np.array_equal(got, exp)
+
+
+class TestMeasure:
+    def test_unit_square(self):
+        from zen3geo_ray.geom import wkb
+        from zen3geo_ray.geom.measure import polygon_measures
+
+        g = wkb.box(0, 0, 2, 2)
+        m = polygon_measures(g)
+        assert m["area2"] == 8.0          # area 4
+        assert m["perimeter"] == 8.0
+        assert m["nverts"] == 4
+        # centroid = (1, 1): cx6/(3*area2) = 24/24
+        assert m["cx6"] / (3 * m["area2"]) == 1.0
+        assert m["cy6"] / (3 * m["area2"]) == 1.0
+
+    def test_345_triangle_perimeter(self):
+        from zen3geo_ray.geom import wkb
+        from zen3geo_ray.geom.measure import polygon_measures
+
+        g = wkb.polygon([(0, 0), (3, 0), (0, 4)])
+        m = polygon_measures(g)
+        assert m["area2"] == 12.0         # area 6
+        assert m["perimeter"] == 12.0     # 3 + 4 + 5
+        assert m["cx6"] / (3 * m["area2"]) == 1.0
+        assert abs(m["cy6"] / (3 * m["area2"]) - 4.0 / 3.0) < 1e-12
+
+    def test_hole_subtracts(self):
+        """4x4 shell CCW with a CW 2x2 hole: area 16 - 4 = 12; the
+        centroid stays at the shared center (2, 2)."""
+        from zen3geo_ray.geom import wkb
+        from zen3geo_ray.geom.measure import polygon_measures
+
+        shell = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        hole = [(1, 1), (1, 3), (3, 3), (3, 1)]  # clockwise
+        g = wkb.polygon(shell, holes=[hole])
+        m = polygon_measures(g)
+        assert m["area2"] == 24.0
+        assert m["cx6"] / (3 * m["area2"]) == 2.0
+        assert m["cy6"] / (3 * m["area2"]) == 2.0
+        assert m["perimeter"] == 16.0 + 8.0
+        assert m["nverts"] == 8
+
+    def test_multipolygon_sums(self):
+        from zen3geo_ray.geom import wkb
+        from zen3geo_ray.geom.measure import polygon_measures
+
+        a = wkb.box(0, 0, 1, 1)
+        b = wkb.box(10, 0, 12, 1)
+        g = {"type": "MultiPolygon", "coords": [a["coords"], b["coords"]]}
+        m = polygon_measures(g)
+        assert m["area2"] == 2.0 + 4.0
+        assert m["nverts"] == 8
+
+    def test_measures_batch_roundtrip(self):
+        from zen3geo_ray.geom import wkb
+        from zen3geo_ray.geom.measure import measures_batch
+
+        blobs = [wkb.dumps(wkb.box(0, 0, 2, 2)),
+                 wkb.dumps(wkb.polygon([(0, 0), (3, 0), (0, 4)]))]
+        t = measures_batch(blobs, as_int=True)
+        assert t.column("area2").to_pylist() == [8, 12]
+        assert t.column("cx").to_pylist()[0] == 1.0

@@ -3382,6 +3382,98 @@ def _sql_rasterize() -> str:
     return _sql_rasterize_cte() + "SELECT tile_id, py, px, n FROM hist"
 
 
+def _staircase_ring(k: int) -> np.ndarray:
+    """Deterministic integer STAIRCASE polygon for nation key k: V =
+    3 + k%3 steps right/up with hash-free integer step sizes, closed
+    left and down — a simple CCW rectilinear polygon whose shoelace
+    terms are all exact small integers (both sides mirror the same
+    vertex formulas)."""
+    v = 3 + k % 3
+    i = np.arange(1, v + 1, dtype=np.int64)
+    dx = 1 + (k * 7 + i * 3) % 5
+    dy = 1 + (k * 11 + i * 5) % 4
+    xs = np.cumsum(dx)
+    ys = np.cumsum(dy)
+    yprev = np.concatenate([[0], ys[:-1]])
+    ring = np.empty((2 * v + 3, 2), dtype=np.float64)
+    ring[0] = (0.0, 0.0)
+    ring[1:2 * v + 1:2, 0] = xs
+    ring[1:2 * v + 1:2, 1] = yprev
+    ring[2:2 * v + 1:2, 0] = xs
+    ring[2:2 * v + 1:2, 1] = ys
+    ring[2 * v + 1] = (0.0, ys[-1])
+    ring[2 * v + 2] = (0.0, 0.0)
+    return ring
+
+
+def q_geom_stats(sf_dir: str):
+    """Vector-geometry SUMMARY measures (the geopandas .area/.centroid
+    surface, reference geopandas.py delegation): integer staircase
+    polygons derived from nation keys -> WKB -> vectorized shoelace
+    area2 / centroid numerators / exact derived centroid per polygon
+    (geom/measure.py:geom_summary — stateless map, nothing shuffles)."""
+    from ..geom import wkb as _wkb
+    from ..geom.measure import geom_summary
+
+    def mk(b: pa.Table) -> pa.Table:
+        keys = b.column("n_nationkey").to_numpy(zero_copy_only=False)
+        blobs = [_wkb.dumps({"type": "Polygon",
+                             "coords": [_staircase_ring(int(k))]})
+                 for k in keys]
+        return pa.table({
+            "poly_id": pa.array(keys.astype(np.int64)),
+            "geometry_wkb": pa.array(blobs, pa.binary()),
+        })
+
+    polys = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        mk, batch_format="pyarrow")
+    out = geom_summary(polys, keep_cols=["poly_id"], as_int=True)
+    return out.map_batches(
+        lambda b: b.select(["poly_id", "nverts", "area2", "cx6", "cy6",
+                            "cx", "cy"]),
+        batch_format="pyarrow")
+
+
+def _sql_geom_stats() -> str:
+    return """WITH keys AS (SELECT n_nationkey AS k FROM nation),
+vv AS (SELECT k, 3 + k % 3 AS V FROM keys),
+steps AS (SELECT k, i,
+                 1 + (k * 7 + i * 3) % 5 AS dx,
+                 1 + (k * 11 + i * 5) % 4 AS dy
+          FROM (SELECT k, unnest(range(1, V + 1)) AS i FROM vv)),
+cum AS (SELECT k, i,
+               SUM(dx) OVER (PARTITION BY k ORDER BY i) AS x,
+               SUM(dy) OVER (PARTITION BY k ORDER BY i) AS y,
+               COALESCE(SUM(dy) OVER (PARTITION BY k ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS yprev
+        FROM steps),
+verts AS (
+  SELECT k, 0 AS ord, 0 AS x, 0 AS y FROM keys
+  UNION ALL SELECT k, 2 * i - 1, x, yprev FROM cum
+  UNION ALL SELECT k, 2 * i, x, y FROM cum
+  UNION ALL SELECT c.k, 2 * m.V + 1, 0, c.y
+            FROM cum c JOIN vv m ON m.k = c.k AND c.i = m.V),
+seq AS (SELECT k, ord, x, y,
+               LEAD(x) OVER (PARTITION BY k ORDER BY ord) AS xn,
+               LEAD(y) OVER (PARTITION BY k ORDER BY ord) AS yn
+        FROM verts),
+terms AS (SELECT k, x * yn - xn * y AS cr,
+                 (x + xn) * (x * yn - xn * y) AS ax,
+                 (y + yn) * (x * yn - xn * y) AS ay
+          FROM seq WHERE xn IS NOT NULL),
+agg AS (SELECT k AS poly_id,
+               CAST(SUM(cr) AS BIGINT) AS area2,
+               CAST(SUM(ax) AS BIGINT) AS cx6,
+               CAST(SUM(ay) AS BIGINT) AS cy6
+        FROM terms GROUP BY k),
+nv AS (SELECT k AS poly_id, CAST(2 * V + 2 AS BIGINT) AS nverts FROM vv)
+SELECT a.poly_id, nv.nverts, a.area2, a.cx6, a.cy6,
+       CAST(a.cx6 AS DOUBLE) / CAST(3 * a.area2 AS DOUBLE) AS cx,
+       CAST(a.cy6 AS DOUBLE) / CAST(3 * a.area2 AS DOUBLE) AS cy
+FROM agg a JOIN nv ON nv.poly_id = a.poly_id"""
+
+
 def q_focal(sf_dir: str):
     """FOCAL (3x3 moving-window) statistics over the rasterized count
     grid — the rioxarray/scipy focal-convolution analog on the sparse
@@ -6367,6 +6459,7 @@ FROM g,
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
+        "geom_stats": _sql_geom_stats(),
         "warp_bilinear": _sql_warp_bilinear(),
         "warp_avg": _sql_warp_avg(),
         "curate2": _sql_curate2(),
@@ -6963,6 +7056,7 @@ def build_queries() -> dict:
         "raster_first": q_raster_first,
         "r2v": q_r2v,
         "warp": q_warp,
+        "geom_stats": q_geom_stats,
         "warp_bilinear": q_warp_bilinear,
         "warp_avg": q_warp_avg,
         "curate2": q_curate2,
