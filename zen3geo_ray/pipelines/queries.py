@@ -4078,6 +4078,68 @@ FROM {q}m""")
             + "\nUNION ALL\n".join(selects))
 
 
+NDCG_K = 10
+
+
+def q_ndcg(sf_dir: str):
+    """nDCG@10 with GRADED relevance (distinct-query-terms-contained,
+    0..3) for both BM25 rankings — the order-sensitive ranking metric:
+    discount constants 1/log2(r+1) precomputed and inlined on BOTH
+    sides (libm-free), DCG/IDCG summed in fixed rank order, IDCG from
+    one combiner-first per-grade-count corpus pass
+    (stages/tfidf.py:ndcg_eval)."""
+    from ..stages.tfidf import ndcg_eval
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ndcg_eval(docs, [BM25_TERMS, BM25_TERMS_B], k=NDCG_K)
+
+
+def _sql_ndcg() -> str:
+    import math
+
+    disc = [1.0 / math.log2(r + 1) for r in range(1, NDCG_K + 1)]
+    ctes, selects = [], []
+    for qi, terms in enumerate([BM25_TERMS, BM25_TERMS_B]):
+        q = f"n{qi}_"
+        t_max = len(terms)
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(_sql_bm25_ctes(q, terms, NDCG_K))
+        gc_cols = ", ".join(
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {q}g WHERE g = {g})"
+            f" AS n{g}" for g in range(t_max, 0, -1))
+        ctes.append(f"""{q}g AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS g
+  FROM {q}tok WHERE w IN ({in_list}) GROUP BY doc_id),
+{q}gc AS (SELECT {gc_cols}),
+{q}rank AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM {q}top),
+{q}rg AS (SELECT r.r, g.g FROM {q}rank r JOIN {q}g g USING (doc_id))""")
+        dcg_terms, idcg_terms = [], []
+        for r in range(1, NDCG_K + 1):
+            dcg_terms.append(
+                f"COALESCE((SELECT CAST(g AS DOUBLE) FROM {q}rg "
+                f"WHERE r = {r}), 0.0) * {disc[r - 1]!r}")
+            cum = " + ".join(f"n{g}" for g in range(t_max, 0, -1))
+            cases = []
+            acc = []
+            for g in range(t_max, 0, -1):
+                acc.append(f"n{g}")
+                cases.append(
+                    f"WHEN {r} <= (SELECT {' + '.join(acc)} FROM {q}gc)"
+                    f" THEN {float(g)!r}")
+            idcg_terms.append(
+                f"(CASE {' '.join(cases)} ELSE 0.0 END) * {disc[r - 1]!r}")
+        selects.append(f"""SELECT query_id, n_ret, dcg, idcg,
+  CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+FROM (SELECT {qi} AS query_id,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {q}top) AS n_ret,
+  {' + '.join(dcg_terms)} AS dcg,
+  {' + '.join(idcg_terms)} AS idcg)""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 MMR_K, MMR_POOL, MMR_A, MMR_B = 8, 40, 7, 3
 
 
@@ -6243,6 +6305,7 @@ def build_oracles() -> dict[str, str]:
         "rrf": _sql_rrf(),
         "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
+        "ndcg": _sql_ndcg(),
         "src_sim": _sql_src_sim(),
         "shards": _sql_shards(),
         "quota": _sql_quota(),
@@ -7116,6 +7179,7 @@ def build_queries() -> dict:
         "rrf": q_rrf,
         "mmr": q_mmr,
         "ir_eval": q_ir_eval,
+        "ndcg": q_ndcg,
         "src_sim": q_src_sim,
         "shards": q_shards,
         "quota": q_quota,

@@ -457,3 +457,107 @@ def ir_eval(docs, query_terms: list[list[str]], *, k: int = 20,
     out = pd.DataFrame(rows)
     return pa.Table.from_pandas(out, preserve_index=False) \
         .replace_schema_metadata(None)
+
+
+def ndcg_eval(docs, query_terms: list[list[str]], *, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.25, b: float = 0.75):
+    """nDCG@k with GRADED relevance for the BM25 rankings — the ranking
+    metric precision/recall can't see (order sensitivity).
+
+    Relevance grade = number of DISTINCT query terms a doc contains
+    (0..T, deterministic, SQL-mirrorable).  DCG@k = Σ_{r=1..k}
+    grade_r · c_r over the (score DESC, id) ranking with the discount
+    constants c_r = 1/log2(r+1) PRECOMPUTED as doubles and inlined
+    into the SQL oracle — no libm call on either side — summed in
+    fixed left-associative rank order.  IDCG@k uses the global
+    per-grade counts (one combiner-first corpus pass: T ints per
+    batch per query): ideal grade at rank r falls out of the
+    cumulative counts; nDCG = DCG/IDCG is the one extra division.
+
+    Scale shape: per query ``bm25_topk``'s two streaming passes plus
+    ONE shared relevance pass for all queries — per batch the partial
+    is T ints + ≤k (rank, grade) pairs; nothing else moves.
+
+    Output: (query_id, n_ret, dcg, idcg, ndcg).
+    """
+    import math
+
+    from .ngrams import tokens_flat
+
+    queries = [list(t) for t in query_terms]
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+    rank_of, n_rets = [], []
+    for terms in queries:
+        df = bm25_topk(docs, terms, k=k, id_col=id_col,
+                       text_col=text_col, k1=k1, b=b).to_pandas()
+        if len(df):
+            df = df.sort_values(["score", id_col],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+        rank_of.append(dict(zip(
+            df[id_col].to_numpy().astype(np.int64) if len(df) else [],
+            np.arange(1, len(df) + 1))))
+        n_rets.append(len(df))
+
+    def grade_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qcol, gcounts, pairs = [], [], []
+        for qi, terms in enumerate(queries):
+            grade = np.zeros(ndocs, dtype=np.int64)
+            for t in terms:
+                grade += (np.bincount(doc_of[toks == t],
+                                      minlength=ndocs) > 0)
+            cnt = np.bincount(grade, minlength=len(terms) + 1)
+            qcol.append(qi)
+            gcounts.append(cnt.astype(np.int64))
+            rmap = rank_of[qi]
+            pr = [(rmap[i], int(g)) for i, g in zip(ids, grade)
+                  if i in rmap]
+            pairs.append(np.array(sorted(pr), dtype=np.int64).reshape(-1))
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "gcounts": pa.array([g for g in gcounts],
+                                pa.list_(pa.int64())),
+            "rank_grades": pa.array([p for p in pairs],
+                                    pa.list_(pa.int64())),
+        })
+
+    parts = docs.map_batches(grade_partial, batch_format="pyarrow") \
+        .to_pandas()
+    rows = []
+    for qi, terms in enumerate(queries):
+        t_max = len(terms)
+        p = parts[parts["query_id"] == qi]
+        cnt = np.zeros(t_max + 1, dtype=np.int64)
+        grade_at = {}
+        for g in p["gcounts"]:
+            cnt += np.asarray(g, dtype=np.int64)
+        for rg in p["rank_grades"]:
+            a = np.asarray(rg, dtype=np.int64).reshape(-1, 2)
+            for r, g in a:
+                grade_at[int(r)] = int(g)
+        # cumulative ideal counts from the top grade down (grade 0 ends)
+        cum = np.cumsum(cnt[1:][::-1])  # [n_T, n_T + n_{T-1}, ...]
+        dcg = 0.0
+        idcg = 0.0
+        for r in range(1, k + 1):
+            dcg = dcg + float(grade_at.get(r, 0)) * disc[r - 1]
+            ig = 0.0
+            for j in range(t_max):          # j=0 -> grade T, ...
+                if r <= int(cum[j]):
+                    ig = float(t_max - j)
+                    break
+            idcg = idcg + ig * disc[r - 1]
+        rows.append({
+            "query_id": qi, "n_ret": n_rets[qi], "dcg": dcg,
+            "idcg": idcg,
+            "ndcg": (dcg / idcg) if idcg > 0.0 else 0.0,
+        })
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
