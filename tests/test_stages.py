@@ -423,3 +423,74 @@ def test_split_records_keeps_empty_when_asked(ray_session):
            .to_pandas().sort_values("part_idx").reset_index(drop=True))
     assert out["part"].tolist() == ["a", "", "b", ""]
     assert out["part_idx"].tolist() == [1, 2, 3, 4]
+
+
+# --- spearman / gini ------------------------------------------------------
+
+def _avg_ranks(a: np.ndarray) -> np.ndarray:
+    """Straight-line average ranks (1-based, ties share the mean)."""
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), dtype=np.float64)
+    i = 0
+    sa = a[order]
+    while i < len(a):
+        j = i
+        while j < len(a) and sa[j] == sa[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    return ranks
+
+
+def test_spearman_matches_reference(ray_session):
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 30, 500).astype(np.int64)
+    y = (x // 2 + rng.integers(0, 10, 500)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x), "y": pa.array(y)})) \
+        .repartition(4)
+    out = zonal.spearman_corr(ds, "x", "y", n_buckets=4).to_pandas()
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    assert int(out["n"][0]) == 500
+    assert abs(float(out["rho"][0]) - want) < 1e-12
+
+
+def test_spearman_perfect_and_degenerate(ray_session):
+    x = np.arange(100, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x), "y": pa.array(x * 3)}))
+    out = zonal.spearman_corr(ds, "x", "y").to_pandas()
+    # cov/(sqrt*sqrt) op order leaves ~1 ulp: 0.9999999999999999
+    assert abs(float(out["rho"][0]) - 1.0) < 1e-15
+    flat = rd.from_arrow(pa.table({"x": pa.array(x),
+                                   "y": pa.array(np.zeros(100, np.int64))}))
+    out2 = zonal.spearman_corr(flat, "x", "y").to_pandas()
+    assert out2["rho"].isna().all()
+
+
+def test_grouped_gini_reference(ray_session):
+    """Gini vs the direct mean-absolute-difference definition."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, vals in (("a", rng.integers(1, 50, 300)),
+                    ("b", np.full(200, 7)),
+                    ("c", np.array([0, 0, 0, 10]))):
+        rows += [(g, int(v)) for v in vals]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "v": pa.array([r[1] for r in rows], pa.int64())})
+    out = zonal.grouped_gini(rd.from_arrow(t).repartition(3), ["k"], "v",
+                             n_buckets=4).to_pandas().set_index("k")
+
+    def direct(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = len(v)
+        mad = np.abs(v[:, None] - v[None, :]).sum() / (n * n)
+        return mad / (2.0 * v.mean())
+
+    for g, vals in (("a", [r[1] for r in rows if r[0] == "a"]),
+                    ("b", [7] * 200),
+                    ("c", [0, 0, 0, 10])):
+        want = direct(vals)
+        assert abs(float(out.loc[g, "gini"]) - want) < 1e-12, g
+    assert int(out.loc[b"b".decode(), "n"]) == 200
+    # all-equal values -> gini 0; extreme concentration -> 3/4 * ...
+    assert float(out.loc["b", "gini"]) == 0.0

@@ -1707,6 +1707,87 @@ def q_corr(sf_dir: str):
         ["lang"], "n_chars", "n_tok", n_buckets=8)
 
 
+def q_spearman(sf_dir: str):
+    """SPEARMAN rank correlation of doc chars vs token count — NO
+    global sort: average ranks (×2, integer) derive from the bounded
+    value-pair histogram's marginal cumulative counts, the finale runs
+    in exact Python ints (n·Σxy overflows int64 beyond ~50M rows),
+    and one float conversion per sum mirrors grouped_corr's op order
+    (stages/zonal.py:spearman_corr)."""
+    docs = _read(sf_dir, "documents", ["text", "n_chars"],
+                 rows_per_block=1000)
+
+    def feats(b: pa.Table) -> pa.Table:
+        nt = textfn.token_count(b.column("text"))
+        return pa.table({
+            "n_chars": b.column("n_chars"),
+            "n_tok": pa.array(nt, pa.int64()),
+        })
+
+    return zonal.spearman_corr(
+        docs.map_batches(feats, batch_format="pyarrow"),
+        "n_chars", "n_tok", n_buckets=8)
+
+
+_SQL_SPEARMAN = (
+    r"WITH f AS (SELECT n_chars AS x, "
+    r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS y "
+    "FROM documents), "
+    "ph AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM f "
+    "GROUP BY 1, 2), "
+    "mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM ph GROUP BY x), "
+    "rx AS (SELECT x, CAST(2 * (SUM(cx) OVER (ORDER BY x) - cx) "
+    "+ cx + 1 AS BIGINT) AS xr FROM mx), "
+    "my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM ph GROUP BY y), "
+    "ry AS (SELECT y, CAST(2 * (SUM(cy) OVER (ORDER BY y) - cy) "
+    "+ cy + 1 AS BIGINT) AS yr FROM my), "
+    "j AS (SELECT ph.c, rx.xr, ry.yr FROM ph "
+    "JOIN rx USING (x) JOIN ry USING (y)), "
+    "s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
+    "CAST(SUM(c * xr) AS BIGINT) AS sx, "
+    "CAST(SUM(c * yr) AS BIGINT) AS sy, "
+    "CAST(SUM(c * xr * yr) AS BIGINT) AS sxy, "
+    "CAST(SUM(c * xr * xr) AS BIGINT) AS sxx, "
+    "CAST(SUM(c * yr * yr) AS BIGINT) AS syy FROM j), "
+    "d AS (SELECT n, "
+    "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov, "
+    "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx, "
+    "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM s) "
+    "SELECT n, CASE WHEN vx > 0 AND vy > 0 "
+    "THEN cov / (SQRT(vx) * SQRT(vy)) ELSE NULL END AS rho FROM d"
+)
+
+
+def q_gini(sf_dir: str):
+    """Per-language GINI coefficient of doc lengths (the corpus
+    length-inequality / diversity metric): per-group value histogram
+    (cost O(distinct lengths), no per-row sort), sorted-rank identity
+    folded over ties, exact-Python-int numerator, ONE mirrored float
+    division (stages/zonal.py:grouped_gini)."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return zonal.grouped_gini(docs, ["lang"], "n_chars", n_buckets=8)
+
+
+_SQL_GINI = (
+    "WITH h AS (SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, "
+    "CAST(SUM(v * c) AS BIGINT) AS sv FROM h GROUP BY 1), "
+    "cbs AS (SELECT lang, v, c, "
+    "CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) - c AS BIGINT) AS cb "
+    "FROM h), "
+    "g AS (SELECT cbs.lang, "
+    "CAST(SUM(cbs.v * cbs.c * (2 * cbs.cb + cbs.c - t.n)) AS BIGINT) "
+    "AS num FROM cbs JOIN t ON t.lang = cbs.lang GROUP BY cbs.lang) "
+    "SELECT t.lang, t.n, CASE WHEN t.n * t.sv > 0 "
+    "THEN CAST(g.num AS DOUBLE) / CAST(t.n * t.sv AS DOUBLE) "
+    "ELSE NULL END AS gini FROM t JOIN g ON g.lang = t.lang"
+)
+
+
 def q_regress(sf_dir: str):
     """Per-language OLS fit of whitespace-token count against doc chars
     — shares grouped_corr's exact-int64 moment combiner; DOUBLE finale
@@ -6310,6 +6391,8 @@ def build_oracles() -> dict[str, str]:
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
+        "spearman": _SQL_SPEARMAN,
+        "gini": _SQL_GINI,
         "corr": (
             r"WITH f AS (SELECT lang, n_chars, "
             r"CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok "
@@ -7159,6 +7242,8 @@ def build_queries() -> dict:
         "melt": q_melt,
         "order_ranks": q_order_ranks,
         "corr": q_corr,
+        "spearman": q_spearman,
+        "gini": q_gini,
         "winfns": q_winfns,
         "user_next_gap": q_user_next_gap,
         "regress": q_regress,

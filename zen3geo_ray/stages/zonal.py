@@ -448,3 +448,153 @@ def grouped_median(ds, key_cols: list[str], value_col: str,
         return pd.DataFrame(out_rows)
 
     return bucketed_groupby(counts, key_cols, finalize, n_buckets=n_buckets)
+
+
+def _pair_histogram(ds, x_col: str, y_col: str, n_buckets: int):
+    """Bounded (x, y, c) value-pair histogram: per-batch run-length
+    partials + one bucketed reduce.  Cost is O(distinct pairs), never
+    O(rows) — the scale contract callers document."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((y, x))
+        x, y = x[o], y[o]
+        new = np.ones(len(x), dtype=bool)
+        new[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        idx = np.flatnonzero(new)
+        c = np.diff(np.append(idx, len(x)))
+        return pa.table({"x": pa.array(x[idx]), "y": pa.array(y[idx]),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["x", "y"], sort=False, as_index=False)["_c"].sum()
+
+    return bucketed_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["x", "y"], fold, n_buckets=n_buckets)
+
+
+def spearman_corr(ds, x_col: str, y_col: str, *, n_buckets: int = 32,
+                  out_col: str = "rho"):
+    """SPEARMAN rank correlation of two integer columns — computed from
+    the bounded value-pair histogram, so there is NO global sort and no
+    per-row rank assignment anywhere: average ranks (×2, so ties stay
+    integer) fall out of the marginal cumulative counts, and Spearman
+    is Pearson on those ranks.
+
+    Scale shape (100 TB): one streaming pass emits run-length (x, y,
+    count) partials, one bucketed reduce folds them to the histogram
+    (distinct-pair-bounded — the same contract as grouped_quantiles),
+    and the finale runs driver-side in EXACT Python ints (arbitrary
+    precision — n·Σxy overflows int64 beyond ~50M rows, floats would
+    silently round).  The single float conversion per sum then the
+    cov / (√vx·√vy) finale mirror grouped_corr's op order bit-for-bit.
+
+    Output: one row (n, out_col); NULL rho when either marginal has
+    zero variance.
+    """
+    import pandas as pd
+
+    hist = _pair_histogram(ds, x_col, y_col, n_buckets).to_pandas()
+    if len(hist) == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         out_col: pa.array([None], pa.float64())})
+
+    def rank2(vals: np.ndarray, cnts: np.ndarray) -> dict[int, int]:
+        o = np.argsort(vals, kind="stable")
+        v, c = vals[o], cnts[o]
+        cb = np.concatenate([[0], np.cumsum(c)[:-1]])
+        return {int(vv): 2 * int(bb) + int(cc) + 1
+                for vv, cc, bb in zip(v, c, cb)}
+
+    mx = hist.groupby("x", as_index=False)["_c"].sum()
+    my = hist.groupby("y", as_index=False)["_c"].sum()
+    rx = rank2(mx["x"].to_numpy(), mx["_c"].to_numpy())
+    ry = rank2(my["y"].to_numpy(), my["_c"].to_numpy())
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for xv, yv, cv in zip(hist["x"].tolist(), hist["y"].tolist(),
+                          hist["_c"].tolist()):
+        c = int(cv)
+        xr, yr = rx[int(xv)], ry[int(yv)]
+        n += c
+        sx += c * xr
+        sy += c * yr
+        sxy += c * xr * yr
+        sxx += c * xr * xr
+        syy += c * yr * yr
+    cov = float(n) * float(sxy) - float(sx) * float(sy)
+    vx = float(n) * float(sxx) - float(sx) * float(sx)
+    vy = float(n) * float(syy) - float(sy) * float(sy)
+    import math
+    rho = (cov / (math.sqrt(vx) * math.sqrt(vy))
+           if vx > 0 and vy > 0 else None)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     out_col: pa.array([rho], pa.float64())})
+
+
+def grouped_gini(ds, key_cols: list[str], value_col: str, *,
+                 n_buckets: int = 16):
+    """Per-group GINI coefficient of a non-negative integer column —
+    the corpus-diversity / length-inequality metric — from the bounded
+    per-group VALUE histogram (no per-row sorting): for value v with
+    count c and cumulative-smaller count cb,
+
+        gini = Σ v·c·(2·cb + c − n) / (n · Σ v·c)
+
+    (the sorted-rank identity folded over ties).  Two bucketed
+    reduces: (keys, value) histogram, then per-key finalize — numerator
+    terms in EXACT Python ints (v·c·n overflows int64 at extreme
+    scale), ONE float division mirrored by the SQL oracle.  Cost is
+    O(distinct values per key), never O(rows).
+
+    Output: key cols, n, gini (NULL when Σv·c = 0).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = [b.column(k) for k in key_cols]
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({k: c.to_pandas() for k, c in
+                           zip(key_cols, cols)})
+        df["_v"] = v
+        out = df.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False).size()
+        out = out.rename(columns={"size": "_c"})
+        out["_c"] = out["_c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False)["_c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_cols + ["_v"], fold, n_buckets=n_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, gg in g.groupby(key_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            v = gg["_v"].to_numpy()
+            c = gg["_c"].to_numpy()
+            o = np.argsort(v, kind="stable")
+            v, c = v[o], c[o]
+            cb = np.concatenate([[0], np.cumsum(c)[:-1]])
+            n = int(c.sum())
+            num = sum(int(vv) * int(cc) * (2 * int(bb) + int(cc) - n)
+                      for vv, cc, bb in zip(v, c, cb))
+            den = n * sum(int(vv) * int(cc) for vv, cc in zip(v, c))
+            gini = float(num) / float(den) if den > 0 else None
+            rows.append((*key, n, gini))
+        return pd.DataFrame(rows, columns=key_cols + ["n", "gini"])
+
+    return bucketed_groupby(hist, key_cols, finalize, n_buckets=n_buckets)
