@@ -638,3 +638,44 @@ def test_ndcg_imperfect_order(ray_session):
     for i, g in enumerate([2.0, 2.0, 2.0, 1.0]):
         idcg = idcg + g * c[i]
     assert r["idcg"] == idcg
+
+
+def test_ccnet_buckets_reference(ray_session):
+    """Exact head/middle/tail thirds per lang vs a straight-line
+    recomputation from unigram_lm_scores' own output."""
+    import pandas as pd
+
+    from zen3geo_ray.stages.scoring import ccnet_buckets, unigram_lm_scores
+
+    rng = np.random.default_rng(9)
+    words = ["a", "b", "c", "d", "e", "rare1", "rare2"]
+    texts, langs = [], []
+    for i in range(60):
+        k = 2 + int(rng.integers(0, 6))
+        texts.append(" ".join(rng.choice(words, k)))
+        langs.append(["en", "de"][i % 2])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = ccnet_buckets(ds, top_v=4, scale=1024).to_pandas()
+    sc = unigram_lm_scores(ds, top_v=4).to_pandas()
+    sc["lang"] = np.array(langs)[sc["doc_id"].to_numpy()]
+    sc["s"] = (sc["freq_sum"].to_numpy() * 1024) \
+        // sc["n_tokens"].to_numpy()
+    want = {}
+    for lang, g in sc.groupby("lang"):
+        g = g.sort_values(["s", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        rnk = g["s"].rank(method="min").to_numpy().astype(np.int64)
+        for did, s, r in zip(g["doc_id"], g["s"], rnk):
+            want[int(did)] = (lang, int(s), int(3 * (r - 1) // n))
+    got = {int(r.doc_id): (r.lang, int(r.s), int(r.bucket))
+           for r in out.itertuples()}
+    assert got == want
+    # every lang has all three buckets at n=30
+    for lang in ("en", "de"):
+        bs = {v[2] for v in got.values() if v[0] == lang}
+        assert bs == {0, 1, 2}

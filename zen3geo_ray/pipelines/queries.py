@@ -3925,10 +3925,11 @@ def q_unigram_lm(sf_dir: str):
     return unigram_lm_scores(docs, top_v=UNIGRAM_V)
 
 
-def _sql_unigram_lm() -> str:
+def _sql_unigram_ctes() -> str:
+    """Shared unigram-LM chain; the final CTE ``d`` holds one scored
+    row per doc (doc_id, n_tokens, freq_sum, n_oov)."""
     v = UNIGRAM_V
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
   FROM documents
 ),
@@ -3943,10 +3944,46 @@ d AS (SELECT t.doc_id,
         CAST(SUM(CASE WHEN vo.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS n_oov
       FROM tok t LEFT JOIN vocab vo ON vo.w = t.w
-      GROUP BY t.doc_id)
+      GROUP BY t.doc_id)"""
+
+
+def _sql_unigram_lm() -> str:
+    return f"""
+WITH {_sql_unigram_ctes()}
 SELECT doc_id, n_tokens, freq_sum, n_oov,
        CAST(freq_sum AS DOUBLE) / n_tokens AS avg_freq
 FROM d"""
+
+
+PPL_SCALE = 1024
+
+
+def q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail gate (Wenzek et al. 2020): unigram-LM
+    scores quantized to the exact integer s = (freq_sum * 1024) //
+    n_tokens, then per-LANGUAGE thirds by exact rank (RANK ties share
+    a bucket; 0 = tail, 2 = head) — the oracle-checkable form of the
+    sampled-threshold perplexity gate
+    (stages/scoring.py:ccnet_buckets)."""
+    from ..stages.scoring import ccnet_buckets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ccnet_buckets(docs, top_v=UNIGRAM_V, scale=PPL_SCALE)
+
+
+def _sql_ppl_buckets() -> str:
+    return f"""
+WITH {_sql_unigram_ctes()},
+s AS (SELECT d.doc_id, doc.lang,
+             (d.freq_sum * {PPL_SCALE}) // d.n_tokens AS s
+      FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+r AS (SELECT doc_id, lang, s,
+             RANK() OVER (PARTITION BY lang ORDER BY s) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+      FROM s)
+SELECT doc_id, lang, s,
+       CAST((3 * (rnk - 1)) // nl AS BIGINT) AS bucket
+FROM r"""
 
 
 BPE_ROUNDS = 3
@@ -7008,6 +7045,7 @@ GROUP BY event_type, u - o.off
         "boilerplate": _sql_boilerplate(),
         "phrase": _sql_phrase(),
         "unigram_lm": _sql_unigram_lm(),
+        "ppl_buckets": _sql_ppl_buckets(),
         "bm25": _sql_bm25(),
         "bpe_train": _sql_bpe_train(),
         "bpe_encode": _sql_bpe_encode(),
@@ -7311,6 +7349,7 @@ def build_queries() -> dict:
         "boilerplate": q_boilerplate,
         "phrase": q_phrase,
         "unigram_lm": q_unigram_lm,
+        "ppl_buckets": q_ppl_buckets,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,

@@ -129,7 +129,8 @@ def score_embeddings(ds, model_blob_or_ref, *, id_col: str = "vec_id",
 
 def unigram_lm_scores(docs, *, id_col: str = "doc_id",
                       text_col: str = "text", top_v: int = 24,
-                      n_buckets: int = 64):
+                      n_buckets: int = 64,
+                      keep_cols: list[str] | None = None):
     """CCNet-style LM quality scoring, two passes: TRAIN a unigram LM
     (corpus token counts, capped to the ``top_v`` most frequent tokens
     — ties break count desc then token asc, so the vocabulary is
@@ -216,13 +217,17 @@ def unigram_lm_scores(docs, *, id_col: str = "doc_id",
         keep = n > 0
         ids = b.column(id_col).to_numpy(zero_copy_only=False)[keep]
         nk, fk, ok = n[keep], fs[keep], oov[keep]
-        return pa.table({
+        out = pa.table({
             id_col: pa.array(ids, pa.int64()),
             "n_tokens": pa.array(nk),
             "freq_sum": pa.array(fk),
             "n_oov": pa.array(ok),
             "avg_freq": pa.array(fk.astype(np.float64) / nk),
         })
+        for c in keep_cols or []:
+            out = out.append_column(c, b.column(c).filter(
+                pa.array(keep)))
+        return out
 
     return docs.map_batches(score, batch_format="pyarrow")
 
@@ -431,3 +436,68 @@ def dsir_weights(docs, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang", top_v: int = 24,
+                  scale: int = 1024, n_buckets: int = 64):
+    """CCNet-style HEAD / MIDDLE / TAIL bucketing (Wenzek et al. 2020):
+    score every doc with the broadcast unigram LM, quantize the
+    perplexity analog to the integer ``s = (freq_sum · scale) //
+    n_tokens`` (exact floor division — no float anywhere), then assign
+    per-LANGUAGE thirds by exact rank: ``bucket = (3·(rank−1)) // n``
+    with RANK ties sharing a bucket (0 = tail / lowest avg frequency,
+    2 = head).  Output: (id, lang, s, bucket).
+
+    Scale notes: the rank pass is ONE range-partition sort over (lang,
+    s, id) — the exact, oracle-checkable form of CCNet's
+    sampled-threshold gate (at 100 TB you'd swap in thresholds from
+    ``uniform_value_sample`` and skip the sort; both ends of that trade
+    live in this repo).  ``freq_sum · scale`` must stay below 2^63 —
+    with the default scale 1024 that holds until a single token's
+    corpus count passes ~9e15.
+    """
+    from .scan import keyed_rank
+
+    scores = unigram_lm_scores(docs, id_col=id_col, text_col=text_col,
+                               top_v=top_v, n_buckets=n_buckets,
+                               keep_cols=[lang_col])
+
+    def add_s(b: pa.Table) -> pa.Table:
+        fs = b.column("freq_sum").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: b.column(id_col),
+            lang_col: b.column(lang_col),
+            "s": pa.array((fs * scale) // nt, pa.int64()),
+        })
+
+    sc = scores.map_batches(add_s, batch_format="pyarrow").materialize()
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({lang_col: b.column(lang_col).to_pandas()})
+        out = df.groupby(lang_col, sort=False, as_index=False).size()
+        return pa.table({
+            lang_col: pa.array(out[lang_col].astype(str)),
+            "_n": pa.array(out["size"].to_numpy().astype(np.int64)),
+        })
+
+    lp = sc.map_batches(lang_partial, batch_format="pyarrow").to_pandas()
+    n_of = lp.groupby(lang_col)["_n"].sum().to_dict()
+
+    ranked = keyed_rank(sc, lang_col, "s", id_col)
+
+    def assign(b: pa.Table) -> pa.Table:
+        langs = b.column(lang_col).to_pylist()
+        rnk = b.column("rnk").to_numpy(zero_copy_only=False)
+        nl = np.array([n_of[l] for l in langs], dtype=np.int64)
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            lang_col: b.column(lang_col),
+            "s": b.column("s").cast(pa.int64()),
+            "bucket": pa.array((3 * (rnk - 1)) // nl, pa.int64()),
+        })
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
