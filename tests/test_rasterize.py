@@ -486,3 +486,51 @@ def test_focal_stats_radius2(ray_session):
     assert rows[(0, 0)] == (111, 3)
     assert rows[(1, 1)] == (111, 3)
     assert rows[(2, 2)] == (111, 3)
+
+
+def test_focal_conv_sobel_golden(ray_session):
+    """Single pixel v=1 at (2,2): Sobel responses at its neighbors are
+    the (negated-offset) kernel weights; the center reads 0 on both
+    axes.  Convention: conv(p) = sum w * v(p + off), so the response
+    appears at p = src - off."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import focal_conv
+
+    gx = {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+          (-1, 1): 1, (0, 1): 2, (1, 1): 1}
+    sparse = rd.from_arrow(pa.table({
+        "tile_id": pa.array([0], pa.int64()),
+        "py": pa.array([2], pa.int64()),
+        "px": pa.array([2], pa.int64()),
+        "n": pa.array([1], pa.int64()),
+    }))
+    out = focal_conv(sparse, px_size=5, kernels={"gx": gx},
+                     n_buckets=2).to_pandas()
+    # only the touched pixel itself remains after the marker filter
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.py), int(r.px), int(r.n), int(r.gx)) == (2, 2, 1, 0)
+
+
+def test_focal_conv_two_kernels_one_pass(ray_session):
+    """A 2-pixel ramp: identity kernel returns the pixel, shift kernel
+    returns the right neighbor; both from one scatter pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import focal_conv
+
+    sparse = rd.from_arrow(pa.table({
+        "tile_id": pa.array([0, 0], pa.int64()),
+        "py": pa.array([0, 0], pa.int64()),
+        "px": pa.array([0, 1], pa.int64()),
+        "n": pa.array([3, 5], pa.int64()),
+    }))
+    out = focal_conv(
+        sparse, px_size=4,
+        kernels={"ident": {(0, 0): 1}, "right": {(0, 1): 1}},
+        n_buckets=2).to_pandas().sort_values("px").reset_index(drop=True)
+    assert out["ident"].tolist() == [3, 5]
+    assert out["right"].tolist() == [5, 0]

@@ -3591,6 +3591,59 @@ SELECT tile_id, py, px, n, focal_n, focal_cnt, focal_max,
 FROM f WHERE hn > 0"""
 
 
+SOBEL_GX = {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+            (-1, 1): 1, (0, 1): 2, (1, 1): 1}
+SOBEL_GY = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+            (1, -1): 1, (1, 0): 2, (1, 1): 1}
+
+
+def q_sobel(sf_dir: str):
+    """Sobel GRADIENT over the rasterized count grid — the
+    hillshade/slope-style focal-kernel convolution: both 3x3 kernels
+    evaluate in ONE scatter pass + one bucketed reduce (k kernels cost
+    one shuffle), all-int64 with the squared gradient magnitude
+    gx²+gy² (stages/rasterize.py:focal_conv)."""
+    from ..stages.rasterize import focal_conv
+
+    sparse = q_rasterize(sf_dir)
+    out = focal_conv(sparse, px_size=TILE_PX,
+                     kernels={"gx": SOBEL_GX, "gy": SOBEL_GY})
+
+    def g2(b: pa.Table) -> pa.Table:
+        gx = b.column("gx").to_numpy(zero_copy_only=False)
+        gy = b.column("gy").to_numpy(zero_copy_only=False)
+        return b.append_column("g2", pa.array(gx * gx + gy * gy,
+                                              pa.int64()))
+
+    return out.map_batches(g2, batch_format="pyarrow")
+
+
+def _sql_sobel() -> str:
+    all_offs = sorted(set(SOBEL_GX) | set(SOBEL_GY) | {(0, 0)})
+    rows = ", ".join(
+        f"({dy}, {dx}, {SOBEL_GX.get((dy, dx), 0)}, "
+        f"{SOBEL_GY.get((dy, dx), 0)})"
+        for dy, dx in all_offs)
+    return _sql_rasterize_cte() + f""",
+offs(dy, dx, wx, wy) AS (VALUES {rows}),
+scat AS (SELECT h.tile_id, h.py - o.dy AS py, h.px - o.dx AS px,
+                h.n * o.wx AS cx, h.n * o.wy AS cy,
+                CASE WHEN o.dy = 0 AND o.dx = 0 THEN 1 ELSE 0 END AS here,
+                h.n * CASE WHEN o.dy = 0 AND o.dx = 0 THEN 1 ELSE 0 END
+                  AS cn
+         FROM hist h CROSS JOIN offs o
+         WHERE h.py - o.dy BETWEEN 0 AND {TILE_PX - 1}
+           AND h.px - o.dx BETWEEN 0 AND {TILE_PX - 1}),
+f AS (SELECT tile_id, py, px,
+             CAST(SUM(cn) AS BIGINT) AS n,
+             CAST(SUM(cx) AS BIGINT) AS gx,
+             CAST(SUM(cy) AS BIGINT) AS gy,
+             CAST(SUM(here) AS BIGINT) AS hn
+      FROM scat GROUP BY 1, 2, 3)
+SELECT tile_id, py, px, n, gx, gy, gx * gx + gy * gy AS g2
+FROM f WHERE hn > 0"""
+
+
 def q_phash_dedup(sf_dir: str):
     """Perceptual-hash (aHash) visual near-dup grouping of the
     rasterized tiles: 16x16 count rasters pool to 8x8 integer cell
@@ -6637,6 +6690,7 @@ FROM g,
 """,
         "rasterize": _sql_rasterize(),
         "focal": _sql_focal(),
+        "sobel": _sql_sobel(),
         "phash_dedup": _sql_phash_dedup(),
         "raster_stats": _sql_raster_stats(),
         "raster_first": _sql_raster_first(),
@@ -7235,6 +7289,7 @@ def build_queries() -> dict:
         "chips": q_chips,
         "rasterize": q_rasterize,
         "focal": q_focal,
+        "sobel": q_sobel,
         "phash_dedup": q_phash_dedup,
         "raster_stats": q_raster_stats,
         "raster_first": q_raster_first,

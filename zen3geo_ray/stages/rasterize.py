@@ -1118,3 +1118,88 @@ def focal_stats(sparse, *, px_size: int, radius: int = 1,
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def focal_conv(sparse, *, px_size: int, kernels: dict[str, dict],
+               tile_col: str = "tile_id", y_col: str = "py",
+               x_col: str = "px", val_col: str = "n",
+               n_buckets: int = 16):
+    """General integer-KERNEL convolution over a sparse raster — the
+    weighted upgrade of :func:`focal_stats` (Sobel / Laplacian /
+    box-blur territory).  ``kernels`` maps output column name ->
+    {(dy, dx): weight}; every kernel evaluates in the SAME scatter
+    pass, so k kernels cost one shuffle, not k.
+
+    conv_K(p) = Σ_{(dy,dx),w in K} w · v(p + (dy, dx)), with absent
+    pixels contributing 0 and windows clipped at tile edges (per-tile
+    canvas semantics, like focal_stats).  Output rows are the TOUCHED
+    pixels only: (tile, y, x, v, conv_<name>...).  All int64 — the
+    SQL oracle mirrors via an offset VALUES join.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    # union of all kernel offsets (+ the self marker offset)
+    offs = sorted({o for k in kernels.values() for o in k}
+                  | {(0, 0)})
+    names = list(kernels)
+    n_off = len(offs)
+    dy_a = np.array([o[0] for o in offs], dtype=np.int64)
+    dx_a = np.array([o[1] for o in offs], dtype=np.int64)
+    w_by_name = {
+        nm: np.array([kernels[nm].get(o, 0) for o in offs],
+                     dtype=np.int64)
+        for nm in names
+    }
+    self_i = offs.index((0, 0))
+
+    def scatter(b: pa.Table) -> pa.Table:
+        t = b.column(tile_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        # source s contributes to target p = s - offset with weight w
+        ty = np.repeat(y, n_off) - np.tile(dy_a, n)
+        tx = np.repeat(x, n_off) - np.tile(dx_a, n)
+        tt = np.repeat(t, n_off)
+        vv = np.repeat(v, n_off)
+        here = np.zeros(n_off, dtype=np.int64)
+        here[self_i] = 1
+        hh = np.tile(here, n)
+        keep = (ty >= 0) & (ty < px_size) & (tx >= 0) & (tx < px_size)
+        cols = {
+            tile_col: pa.array(tt[keep]),
+            y_col: pa.array(ty[keep]),
+            x_col: pa.array(tx[keep]),
+            "_h": pa.array(hh[keep]),
+            "_cv": pa.array((vv * hh)[keep]),
+        }
+        for nm in names:
+            cols[f"_c_{nm}"] = pa.array((vv * np.tile(w_by_name[nm], n))[keep])
+        return pa.table(cols)
+
+    sums = ["_h", "_cv"] + [f"_c_{nm}" for nm in names]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby([tile_col, y_col, x_col], sort=False,
+                      as_index=False)[sums].sum()
+        return s[s["_h"] > 0]
+
+    folded = bucketed_groupby(
+        sparse.map_batches(scatter, batch_format="pyarrow"),
+        [tile_col, y_col, x_col], fold, n_buckets=n_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {
+            tile_col: b.column(tile_col).cast(pa.int64()),
+            y_col: b.column(y_col).cast(pa.int64()),
+            x_col: b.column(x_col).cast(pa.int64()),
+            val_col: b.column("_cv").cast(pa.int64()),
+        }
+        for nm in names:
+            cols[nm] = b.column(f"_c_{nm}").cast(pa.int64())
+        return pa.table(cols)
+
+    return folded.map_batches(finish, batch_format="pyarrow")
