@@ -238,3 +238,48 @@ def test_cohort_retention_planted(ray_session):
         (2, 0): 1,   # user 3 cohort
         (2, 1): 1,   # user 3 at unit 3
     }
+
+
+def test_skyline2d_reference(ray_session):
+    """Frontier vs the direct O(n^2) domination check, with duplicate
+    pairs and x/y ties crossing block boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.analytic import skyline2d
+
+    rng = np.random.default_rng(21)
+    x = rng.integers(0, 12, 400).astype(np.int64)
+    y = rng.integers(0, 12, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x), "y": pa.array(y)})) \
+        .repartition(5)
+    out = skyline2d(ds, "x", "y", n_buckets=4).to_pandas()
+
+    pairs = {}
+    for xi, yi in zip(x.tolist(), y.tolist()):
+        pairs[(xi, yi)] = pairs.get((xi, yi), 0) + 1
+    want = {}
+    for (xi, yi), c in pairs.items():
+        dominated = any(
+            xb >= xi and yb >= yi and (xb > xi or yb > yi)
+            for (xb, yb) in pairs)
+        if not dominated:
+            want[(xi, yi)] = c
+    got = {(int(r.x), int(r.y)): int(r.n_rows) for r in out.itertuples()}
+    assert got == want and len(got) >= 1
+
+
+def test_skyline2d_goldens(ray_session):
+    """Hand-checked: (3,1) dominated by (3,2); (1,3) survives; the
+    duplicate (3,2) pair keeps count 2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.analytic import skyline2d
+
+    t = pa.table({"x": pa.array([3, 3, 3, 1, 2], pa.int64()),
+                  "y": pa.array([1, 2, 2, 3, 2], pa.int64())})
+    out = skyline2d(rd.from_arrow(t), "x", "y", n_buckets=2).to_pandas()
+    got = {(int(r.x), int(r.y)): int(r.n_rows) for r in out.itertuples()}
+    assert got == {(3, 2): 2, (1, 3): 1}

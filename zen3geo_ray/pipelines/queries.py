@@ -1811,6 +1811,41 @@ def q_regress(sf_dir: str):
 RANK_BAND = 1_000_000  # $10k price bands -> guaranteed rank ties
 
 
+def q_skyline(sf_dir: str):
+    """2-D SKYLINE / Pareto frontier (maximize part size AND price):
+    the multi-objective shortlist primitive.  Exact and combiner-first
+    — the global frontier is a subset of the union of per-block
+    frontiers, so only value-domain-bounded local-frontier pairs ever
+    shuffle (stages/analytic.py:skyline2d)."""
+    from ..stages.analytic import skyline2d
+
+    part = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        return pa.table({
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    return skyline2d(part.map_batches(prep, batch_format="pyarrow"),
+                     "p_size", "cents")
+
+
+_SQL_SKYLINE = (
+    "WITH t AS (SELECT CAST(p_size AS BIGINT) AS p_size, "
+    "CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents FROM part), "
+    "p AS (SELECT p_size, cents, CAST(COUNT(*) AS BIGINT) AS n_rows "
+    "FROM t GROUP BY 1, 2) "
+    "SELECT p_size, cents, n_rows FROM p a "
+    "WHERE NOT EXISTS (SELECT 1 FROM p b "
+    "WHERE b.p_size >= a.p_size AND b.cents >= a.cents "
+    "AND (b.p_size > a.p_size OR b.cents > a.cents))"
+)
+
+
 def q_order_ranks(sf_dir: str):
     """RANK + DENSE_RANK per customer over coarse price bands (ties are
     first-class — tie runs spanning block boundaries chain through the
@@ -6481,6 +6516,7 @@ def build_oracles() -> dict[str, str]:
         "shards": _sql_shards(),
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
+        "skyline": _SQL_SKYLINE,
         "spearman": _SQL_SPEARMAN,
         "gini": _SQL_GINI,
         "corr": (
@@ -7335,6 +7371,7 @@ def build_queries() -> dict:
         "melt": q_melt,
         "order_ranks": q_order_ranks,
         "corr": q_corr,
+        "skyline": q_skyline,
         "spearman": q_spearman,
         "gini": q_gini,
         "winfns": q_winfns,

@@ -285,3 +285,68 @@ def winsorize(ds, *, key_cols: list[str], value_col: str,
             df, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def skyline2d(ds, x_col: str, y_col: str, *, n_buckets: int = 16):
+    """2-D SKYLINE (Pareto frontier, maximize both): the distinct
+    (x, y) pairs no other row strictly dominates (x' ≥ x AND y' ≥ y
+    with at least one strict), plus how many input rows carry each
+    surviving pair — the multi-objective top-N primitive (best
+    quality-vs-length docs, price-vs-size parts...).
+
+    Combiner-first and exact: the global frontier is a subset of the
+    union of per-block frontiers, so each batch reduces to its local
+    frontier pairs + counts (value-domain-bounded, never row-bounded),
+    one bucketed reduce merges duplicate pairs' counts, and a
+    single-block finale runs the sorted cummax scan.  Dominated pairs'
+    counts drop with them.  Output: (x_col, y_col, n_rows), frontier
+    pairs only.
+    """
+
+    def frontier(x: np.ndarray, y: np.ndarray, c: np.ndarray):
+        """Keep the non-dominated pairs among UNIQUE (x, y) pairs."""
+        # group max y per x, then keep y strictly above the running
+        # max over strictly-larger x
+        o = np.lexsort((-y, -x))
+        x, y, c = x[o], y[o], c[o]
+        newx = np.ones(len(x), dtype=bool)
+        newx[1:] = x[1:] != x[:-1]
+        # within an x group the first (max) y is the only candidate
+        keep = newx.copy()
+        gy = y[newx]                      # per-group max y, x desc
+        run = np.maximum.accumulate(gy)
+        prev = np.concatenate([[np.iinfo(np.int64).min], run[:-1]])
+        keep[newx] &= gy > prev
+        return x[keep], y[keep], c[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((y, x))
+        xs, ys = x[o], y[o]
+        new = np.ones(len(xs), dtype=bool)
+        new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        idx = np.flatnonzero(new)
+        c = np.diff(np.append(idx, len(xs))).astype(np.int64)
+        fx, fy, fc = frontier(xs[idx], ys[idx], c)
+        return pa.table({x_col: pa.array(fx), y_col: pa.array(fy),
+                         "n_rows": pa.array(fc)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([x_col, y_col], sort=False,
+                         as_index=False)["n_rows"].sum()
+
+    merged = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [x_col, y_col], merge, n_buckets=n_buckets)
+
+    def finale(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("n_rows").to_numpy(zero_copy_only=False).astype(np.int64)
+        fx, fy, fc = frontier(x, y, c)
+        return pa.table({x_col: pa.array(fx), y_col: pa.array(fy),
+                         "n_rows": pa.array(fc)})
+
+    return merged.repartition(1).map_batches(finale,
+                                             batch_format="pyarrow")
