@@ -494,3 +494,35 @@ def test_grouped_gini_reference(ray_session):
     assert int(out.loc[b"b".decode(), "n"]) == 200
     # all-equal values -> gini 0; extreme concentration -> 3/4 * ...
     assert float(out.loc["b", "gini"]) == 0.0
+
+
+def test_welch_ttest_reference(ray_session):
+    """t and df vs the straight-line Welch formulas (scipy-free)."""
+    rng = np.random.default_rng(17)
+    va = rng.integers(40, 80, 120).astype(np.int64)
+    vb = rng.integers(50, 95, 90).astype(np.int64)
+    t = pa.table({
+        "g": pa.array(["a"] * 120 + ["b"] * 90 + ["c"] * 10),
+        "v": pa.array(np.concatenate(
+            [va, vb, np.zeros(10, np.int64)])),
+    })
+    out = zonal.welch_ttest(rd.from_arrow(t).repartition(4),
+                            "g", "v", "a", "b").to_pandas().iloc[0]
+    m1, m2 = va.mean(), vb.mean()
+    s1 = va.var(ddof=1) / len(va)
+    s2 = vb.var(ddof=1) / len(vb)
+    want_t = (m1 - m2) / np.sqrt(s1 + s2)
+    want_df = (s1 + s2) ** 2 / (s1 ** 2 / (len(va) - 1)
+                                + s2 ** 2 / (len(vb) - 1))
+    assert int(out["n1"]) == 120 and int(out["n2"]) == 90
+    assert abs(float(out["t"]) - want_t) < 1e-10
+    assert abs(float(out["df"]) - want_df) < 1e-8
+
+
+def test_welch_ttest_degenerate(ray_session):
+    t = pa.table({"g": pa.array(["a", "a", "b", "b"]),
+                  "v": pa.array([5, 5, 5, 5], pa.int64())})
+    out = zonal.welch_ttest(rd.from_arrow(t), "g", "v",
+                            "a", "b").to_pandas().iloc[0]
+    assert out["m1"] == 5.0 and out["m2"] == 5.0
+    assert np.isnan(out["t"]) and np.isnan(out["df"])

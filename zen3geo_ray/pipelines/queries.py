@@ -1707,6 +1707,50 @@ def q_corr(sf_dir: str):
         ["lang"], "n_chars", "n_tok", n_buckets=8)
 
 
+AB_A, AB_B = "src0", "src1"
+
+
+def q_ab_test(sf_dir: str):
+    """Welch two-sample t-test (the A/B-experiment primitive): doc
+    lengths of source src0 vs src1 — one combiner-first pass reduces
+    every batch to ≤2 exact int64 moment rows, the bounded driver
+    finale evaluates t and the Welch–Satterthwaite df in a fixed
+    mirrored float op order (stages/zonal.py:welch_ttest)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.welch_ttest(docs, "source", "n_chars", AB_A, AB_B)
+
+
+_SQL_AB_TEST = f"""
+WITH p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS sv,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS svv
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')
+           GROUP BY source),
+a AS (SELECT n, sv, svv FROM p WHERE source = '{AB_A}'),
+b AS (SELECT n, sv, svv FROM p WHERE source = '{AB_B}'),
+d AS (SELECT a.n AS n1, b.n AS n2,
+  CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+  CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+  (CAST(a.n AS DOUBLE) * CAST(a.svv AS DOUBLE)
+   - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE))
+    / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) AS va1,
+  (CAST(b.n AS DOUBLE) * CAST(b.svv AS DOUBLE)
+   - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE))
+    / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)) AS va2
+  FROM a, b),
+e AS (SELECT n1, n2, m1, m2,
+             va1 / CAST(n1 AS DOUBLE) AS aa,
+             va2 / CAST(n2 AS DOUBLE) AS bb FROM d)
+SELECT n1, n2, m1, m2,
+  CASE WHEN aa + bb > 0 THEN (m1 - m2) / SQRT(aa + bb)
+       ELSE NULL END AS t,
+  CASE WHEN aa + bb > 0 THEN ((aa + bb) * (aa + bb))
+    / ((aa * aa) / CAST(n1 - 1 AS DOUBLE)
+       + (bb * bb) / CAST(n2 - 1 AS DOUBLE))
+       ELSE NULL END AS df
+FROM e"""
+
+
 def q_spearman(sf_dir: str):
     """SPEARMAN rank correlation of doc chars vs token count — NO
     global sort: average ranks (×2, integer) derive from the bounded
@@ -6517,6 +6561,7 @@ def build_oracles() -> dict[str, str]:
         "quota": _sql_quota(),
         "pcont": _sql_pcont(),
         "skyline": _SQL_SKYLINE,
+        "ab_test": _SQL_AB_TEST,
         "spearman": _SQL_SPEARMAN,
         "gini": _SQL_GINI,
         "corr": (
@@ -7372,6 +7417,7 @@ def build_queries() -> dict:
         "order_ranks": q_order_ranks,
         "corr": q_corr,
         "skyline": q_skyline,
+        "ab_test": q_ab_test,
         "spearman": q_spearman,
         "gini": q_gini,
         "winfns": q_winfns,

@@ -598,3 +598,79 @@ def grouped_gini(ds, key_cols: list[str], value_col: str, *,
         return pd.DataFrame(rows, columns=key_cols + ["n", "gini"])
 
     return bucketed_groupby(hist, key_cols, finalize, n_buckets=n_buckets)
+
+
+def welch_ttest(ds, group_col: str, value_col: str, group_a, group_b):
+    """Welch two-sample t-test between two groups of an integer column
+    — the A/B-experiment primitive.  ONE combiner-first pass: each
+    batch reduces to ≤2 (group, n, Σv, Σv²) int64 rows; the driver
+    folds the bounded partials and evaluates the float finale in a
+    FIXED op order the SQL oracle mirrors term for term::
+
+        m  = Σv / n                       (per group)
+        va = (n·Σv² − Σv·Σv) / (n·(n−1))  (sample variance)
+        se2 = va₁/n₁ + va₂/n₂
+        t  = (m₁ − m₂) / √se2
+        df = (se2·se2) / ((a·a)/(n₁−1) + (b·b)/(n₂−1)),  a = va₁/n₁ …
+
+    (Welch–Satterthwaite).  Output: one row (n1, n2, m1, m2, t, df);
+    t/df NULL when either group has < 2 rows or se2 = 0.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = {"g": [], "n": [], "sv": [], "svv": []}
+        ga = np.array([x == group_a for x in g])
+        gb = np.array([x == group_b for x in g])
+        for name, m in (("a", ga), ("b", gb)):
+            vv = v[m]
+            rows["g"].append(name)
+            rows["n"].append(len(vv))
+            rows["sv"].append(int(vv.sum()))
+            rows["svv"].append(int((vv * vv).sum()))
+        return pa.table({
+            "g": pa.array(rows["g"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sv": pa.array(rows["sv"], pa.int64()),
+            "svv": pa.array(rows["svv"], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("g")[["n", "sv", "svv"]].sum()
+
+    def stats(tag):
+        r = agg.loc[tag]
+        return int(r["n"]), int(r["sv"]), int(r["svv"])
+
+    n1, sv1, svv1 = stats("a")
+    n2, sv2, svv2 = stats("b")
+    out = {"n1": n1, "n2": n2, "m1": None, "m2": None,
+           "t": None, "df": None}
+    if n1 > 0:
+        out["m1"] = float(sv1) / float(n1)
+    if n2 > 0:
+        out["m2"] = float(sv2) / float(n2)
+    if n1 > 1 and n2 > 1:
+        va1 = ((float(n1) * float(svv1) - float(sv1) * float(sv1))
+               / (float(n1) * float(n1 - 1)))
+        va2 = ((float(n2) * float(svv2) - float(sv2) * float(sv2))
+               / (float(n2) * float(n2 - 1)))
+        a = va1 / float(n1)
+        b = va2 / float(n2)
+        se2 = a + b
+        if se2 > 0.0:
+            out["t"] = (out["m1"] - out["m2"]) / math.sqrt(se2)
+            out["df"] = ((se2 * se2)
+                         / ((a * a) / float(n1 - 1)
+                            + (b * b) / float(n2 - 1)))
+    return pa.table({
+        "n1": pa.array([out["n1"]], pa.int64()),
+        "n2": pa.array([out["n2"]], pa.int64()),
+        "m1": pa.array([out["m1"]], pa.float64()),
+        "m2": pa.array([out["m2"]], pa.float64()),
+        "t": pa.array([out["t"]], pa.float64()),
+        "df": pa.array([out["df"]], pa.float64()),
+    })
