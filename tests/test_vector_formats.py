@@ -342,3 +342,45 @@ def test_fgb_indexed_single_feature_and_empty(tmp_path):
     f0 = tmp_path / "zero.fgb"
     m.write_flatgeobuf(empty, str(f0), index=True)
     assert m.read_flatgeobuf(str(f0)).num_rows == 0
+
+
+def test_geojsonseq_roundtrip_and_parity(tmp_path):
+    """GeoJSONSeq (.geojsonl, RFC 8142): write -> read_vector matches
+    the .geojson path byte-for-byte; RS-prefixed and blank lines
+    tolerated."""
+    from zen3geo_ray.sources.geojson import (
+        geojson_to_polygons_table,
+        polygons_table_to_geojson,
+        write_geojson,
+        write_geojsonseq,
+    )
+
+    tbl = admin_grid(nx=4, ny=2)
+    p_seq = tmp_path / "l.geojsonl"
+    p_fc = tmp_path / "l.geojson"
+    write_geojsonseq(tbl, str(p_seq))
+    write_geojson(tbl, str(p_fc))
+    from_seq = read_vector(str(p_seq))
+    from_fc = read_vector(str(p_fc))
+    assert from_seq.equals(from_fc)
+
+    # strict RFC 8142 form: RS-prefixed records + a blank line
+    p_rs = tmp_path / "l2.geojsons"
+    write_geojsonseq(tbl, str(p_rs), rs=True)
+    with open(p_rs, "a") as f:
+        f.write("\n")
+    assert read_vector(str(p_rs)).equals(from_fc)
+
+
+def test_geojsonseq_in_zip(tmp_path):
+    import zipfile
+
+    from zen3geo_ray.sources.geojson import write_geojsonseq
+
+    tbl = admin_grid(nx=3, ny=2)
+    p = tmp_path / "l.geojsonl"
+    write_geojsonseq(tbl, str(p))
+    zp = tmp_path / "a.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(p, "l.geojsonl")
+    assert read_vector(str(zp)).equals(read_vector(str(p)))

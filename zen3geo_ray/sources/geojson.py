@@ -156,3 +156,40 @@ def polygons_table_to_geojson(tbl: pa.Table) -> dict:
 def write_geojson(tbl: pa.Table, path: str) -> None:
     with open(path, "w") as f:
         json.dump(polygons_table_to_geojson(tbl), f)
+
+
+def geojsonseq_to_polygons_table(path: str) -> pa.Table:
+    """GeoJSONSeq / newline-delimited GeoJSON (RFC 8142, OGR driver
+    "GeoJSONSeq", extensions .geojsonl/.geojsons/.ndjson) -> POLYGONS
+    table: one Feature (or bare geometry) per line, optional RS (0x1e)
+    record separators, blank lines skipped.  Reuses the
+    FeatureCollection path so id/name/bounds semantics are identical
+    to .geojson."""
+    feats = []
+    with open(path, "rb") as f:
+        for line in f:
+            s = line.strip().lstrip(b"\x1e").strip()
+            if not s:
+                continue
+            obj = json.loads(s)
+            if obj.get("type") == "FeatureCollection":
+                feats.extend(obj["features"])
+            elif obj.get("type") == "Feature":
+                feats.append(obj)
+            else:
+                feats.append({"type": "Feature", "geometry": obj,
+                              "properties": {}})
+    return geojson_to_polygons_table(
+        {"type": "FeatureCollection", "features": feats})
+
+
+def write_geojsonseq(tbl: pa.Table, path: str, *, rs: bool = False) -> None:
+    """POLYGONS table -> one Feature per line (RS-prefixed when
+    ``rs=True``, the strict RFC 8142 form)."""
+    fc = polygons_table_to_geojson(tbl)
+    with open(path, "w") as f:
+        for feat in fc["features"]:
+            if rs:
+                f.write("\x1e")
+            json.dump(feat, f)
+            f.write("\n")

@@ -37,7 +37,9 @@ def read_vector(path: str, columns: list[str] | None = None,
     """Driver-side small-side vector table load (POLYGONS schema).
 
     Formats: parquet (default), GeoJSON (``.geojson`` / ``.json`` —
-    pure-python RFC 7946 parse, sources/geojson.py), GeoPackage
+    pure-python RFC 7946 parse, sources/geojson.py), GeoJSONSeq
+    (``.geojsonl`` / ``.geojsons`` / ``.ndjson`` — newline-delimited
+    features, RFC 8142 RS tolerated), GeoPackage
     (``.gpkg`` — stdlib sqlite3 + GP-blob parse, sources/gpkg.py;
     ``layer=`` selects among feature tables), ESRI Shapefile
     (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) and CSV with a
@@ -71,7 +73,8 @@ def read_vector(path: str, columns: list[str] | None = None,
                 target = member
             else:
                 target = None
-                for ext in (".shp", ".gpkg", ".fgb", ".geojson", ".json",
+                for ext in (".shp", ".gpkg", ".fgb", ".geojson",
+                            ".geojsonl", ".geojsons", ".ndjson", ".json",
                             ".parquet", ".csv"):
                     target = next(
                         (n for n in names if n.endswith(ext)), None)
@@ -84,7 +87,11 @@ def read_vector(path: str, columns: list[str] | None = None,
                 zf.extractall(td, members=names)
                 return read_vector(os.path.join(td, target),
                                    columns=columns, layer=layer, bbox=bbox)
-    if path.endswith((".geojson", ".json")):
+    if path.endswith((".geojsonl", ".geojsons", ".ndjson")):
+        from .geojson import geojsonseq_to_polygons_table
+
+        t = geojsonseq_to_polygons_table(path)
+    elif path.endswith((".geojson", ".json")):
         from .geojson import geojson_to_polygons_table
 
         t = geojson_to_polygons_table(path)
