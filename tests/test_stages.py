@@ -526,3 +526,61 @@ def test_welch_ttest_degenerate(ray_session):
                             "a", "b").to_pandas().iloc[0]
     assert out["m1"] == 5.0 and out["m2"] == 5.0
     assert np.isnan(out["t"]) and np.isnan(out["df"])
+
+
+def test_mann_whitney_reference(ray_session):
+    """u2 and z vs the straight-line rank-sum computation (ties
+    included)."""
+    rng = np.random.default_rng(23)
+    va = rng.integers(0, 25, 150).astype(np.int64)
+    vb = rng.integers(5, 30, 100).astype(np.int64)
+    t = pa.table({"g": pa.array(["a"] * 150 + ["b"] * 100),
+                  "v": pa.array(np.concatenate([va, vb]))})
+    out = zonal.mann_whitney_u(rd.from_arrow(t).repartition(4),
+                               "g", "v", "a", "b",
+                               n_buckets=4).to_pandas().iloc[0]
+    pooled = np.concatenate([va, vb])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled), dtype=np.float64)
+    i = 0
+    sp = pooled[order]
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r1 = ranks[:150].sum()
+    u = r1 - 150 * 151 / 2.0
+    assert int(out["u2"]) == int(round(2 * u))
+    n1, n2, n = 150, 100, 250
+    _, tie_counts = np.unique(pooled, return_counts=True)
+    ties = float((tie_counts * (tie_counts ** 2 - 1)).sum())
+    var_u = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    want_z = (u - n1 * n2 / 2.0) / np.sqrt(var_u)
+    assert abs(float(out["z"]) - want_z) < 1e-10
+
+
+def test_ks_distance_reference(ray_session):
+    rng = np.random.default_rng(29)
+    va = rng.integers(0, 40, 200).astype(np.int64)
+    vb = (rng.integers(0, 40, 120) + 6).astype(np.int64)
+    t = pa.table({"g": pa.array(["a"] * 200 + ["b"] * 120),
+                  "v": pa.array(np.concatenate([va, vb]))})
+    out = zonal.ks_distance(rd.from_arrow(t).repartition(3),
+                            "g", "v", "a", "b",
+                            n_buckets=4).to_pandas().iloc[0]
+    vals = np.unique(np.concatenate([va, vb]))
+    best = -1
+    for v in vals:
+        diff = abs(int((va <= v).sum()) * 120 - int((vb <= v).sum()) * 200)
+        best = max(best, diff)
+    assert int(out["d_num"]) == best
+    assert int(out["d_den"]) == 200 * 120
+    assert abs(float(out["d"]) - best / (200 * 120)) < 1e-15
+    # identical groups -> D = 0
+    t2 = pa.table({"g": pa.array(["a", "b"] * 50),
+                   "v": pa.array(np.tile([1, 1], 50).astype(np.int64))})
+    out2 = zonal.ks_distance(rd.from_arrow(t2), "g", "v",
+                             "a", "b").to_pandas().iloc[0]
+    assert int(out2["d_num"]) == 0

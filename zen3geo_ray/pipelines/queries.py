@@ -1751,6 +1751,81 @@ SELECT n1, n2, m1, m2,
 FROM e"""
 
 
+def q_mwu(sf_dir: str):
+    """Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric sibling
+    of ab_test over the same src0/src1 doc lengths: ×2 average ranks
+    from the pooled value histogram's cumulative counts (NO per-row
+    ranks), exact-int u2, tie-corrected normal z in a fixed mirrored
+    float order (stages/zonal.py:mann_whitney_u)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.mann_whitney_u(docs, "source", "n_chars", AB_A, AB_B)
+
+
+_SQL_MWU = f"""
+WITH f AS (SELECT CASE WHEN source = '{AB_A}' THEN 'a' ELSE 'b' END AS g,
+                  n_chars AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+t AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN g = 'a' THEN c ELSE 0 END) AS BIGINT)
+               AS ca
+      FROM h GROUP BY v),
+r AS (SELECT v, ca, ct,
+             CAST(2 * (SUM(ct) OVER (ORDER BY v) - ct) + ct + 1
+                  AS BIGINT) AS r2 FROM t),
+s AS (SELECT
+  (SELECT CAST(SUM(c) AS BIGINT) FROM h WHERE g = 'a') AS n1,
+  (SELECT CAST(SUM(c) AS BIGINT) FROM h WHERE g = 'b') AS n2,
+  (SELECT CAST(SUM(ca * r2) AS BIGINT) FROM r) AS sar,
+  (SELECT CAST(SUM(ct * (ct * ct - 1)) AS BIGINT) FROM r) AS ties),
+d AS (SELECT n1, n2, sar - n1 * (n1 + 1) AS u2, n1 + n2 AS n, ties
+      FROM s),
+e AS (SELECT n1, n2, u2,
+  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+   * (CAST(n + 1 AS DOUBLE)
+      - CAST(ties AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) / 3.0 AS var4
+  FROM d)
+SELECT n1, n2, u2,
+  CASE WHEN var4 > 0
+       THEN (CAST(u2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) / SQRT(var4)
+       ELSE NULL END AS z
+FROM e"""
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance, ALL-INTEGER: the max
+    cross-multiplied ECDF gap |cumA·n2 − cumB·n1| over the bounded
+    value histogram, exact rational d_num/d_den + the argmax value,
+    one mirrored division (stages/zonal.py:ks_distance)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.ks_distance(docs, "source", "n_chars", AB_A, AB_B)
+
+
+_SQL_KS = f"""
+WITH f AS (SELECT CASE WHEN source = '{AB_A}' THEN 'a' ELSE 'b' END AS g,
+                  n_chars AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+t AS (SELECT v,
+  CAST(SUM(CASE WHEN g = 'a' THEN c ELSE 0 END) AS BIGINT) AS ca,
+  CAST(SUM(CASE WHEN g = 'b' THEN c ELSE 0 END) AS BIGINT) AS cb
+      FROM h GROUP BY v),
+nn AS (SELECT
+  (SELECT CAST(SUM(c) AS BIGINT) FROM h WHERE g = 'a') AS n1,
+  (SELECT CAST(SUM(c) AS BIGINT) FROM h WHERE g = 'b') AS n2),
+cumt AS (SELECT v,
+  CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+  CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM t),
+dd AS (SELECT v, ABS(cuma * nn.n2 - cumb * nn.n1) AS diff
+       FROM cumt, nn),
+best AS (SELECT diff AS d_num, v AS at_v FROM dd
+         ORDER BY diff DESC, v LIMIT 1)
+SELECT nn.n1, nn.n2, b.d_num, nn.n1 * nn.n2 AS d_den, b.at_v,
+  CAST(b.d_num AS DOUBLE) / CAST(nn.n1 * nn.n2 AS DOUBLE) AS d
+FROM nn, best b"""
+
+
 def q_spearman(sf_dir: str):
     """SPEARMAN rank correlation of doc chars vs token count — NO
     global sort: average ranks (×2, integer) derive from the bounded
@@ -6562,6 +6637,8 @@ def build_oracles() -> dict[str, str]:
         "pcont": _sql_pcont(),
         "skyline": _SQL_SKYLINE,
         "ab_test": _SQL_AB_TEST,
+        "mwu": _SQL_MWU,
+        "ks_test": _SQL_KS,
         "spearman": _SQL_SPEARMAN,
         "gini": _SQL_GINI,
         "corr": (
@@ -7418,6 +7495,8 @@ def build_queries() -> dict:
         "corr": q_corr,
         "skyline": q_skyline,
         "ab_test": q_ab_test,
+        "mwu": q_mwu,
+        "ks_test": q_ks_test,
         "spearman": q_spearman,
         "gini": q_gini,
         "winfns": q_winfns,

@@ -674,3 +674,150 @@ def welch_ttest(ds, group_col: str, value_col: str, group_a, group_b):
         "t": pa.array([out["t"]], pa.float64()),
         "df": pa.array([out["df"]], pa.float64()),
     })
+
+
+def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b,
+                   *, n_buckets: int = 16):
+    """Mann–Whitney U (Wilcoxon rank-sum) between two groups of an
+    integer column — the NONPARAMETRIC A/B test beside
+    :func:`welch_ttest`.  Like :func:`spearman_corr`, ranks never
+    materialize per row: the bounded per-(group, value) histogram
+    yields ×2 average ranks from cumulative counts, so
+
+        u2 = Σ_A r2(v)·c − n1·(n1 + 1)           (2·U, exact int)
+
+    and the normal approximation with the standard tie correction::
+
+        mu2   = n1·n2                            (2·E[U])
+        var4  = n1·n2·((n+1) − Σt(t²−1)/(n(n−1))) / 3   (4·Var asympt.)
+        z     = (u2 − mu2) / √(var4)
+
+    evaluates in a FIXED float op order (one division inside the tie
+    term, one sqrt) the SQL oracle mirrors.  Exact-Python-int sums —
+    no int64 overflow at any scale.  Output: one row (n1, n2, u2, z);
+    z NULL when var is 0 (all values tied).
+    """
+    import math
+
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for tag, name in ((group_a, "a"), (group_b, "b")):
+            m = np.array([x == tag for x in g])
+            vv = v[m]
+            u, c = np.unique(vv, return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    ca = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv), np.int64)
+    cb = piv["b"].to_numpy() if "b" in piv else np.zeros(len(piv), np.int64)
+    ct = ca + cb
+    n1, n2 = int(ca.sum()), int(cb.sum())
+    n = n1 + n2
+    # x2 average rank per value over the POOLED sample
+    cum = np.concatenate([[0], np.cumsum(ct)[:-1]])
+    u2 = 0
+    ties = 0
+    for cav, ctv, cbv, cbefore in zip(ca.tolist(), ct.tolist(),
+                                      cb.tolist(), cum.tolist()):
+        r2 = 2 * int(cbefore) + int(ctv) + 1
+        u2 += int(cav) * r2
+        t = int(ctv)
+        ties += t * (t * t - 1)
+    u2 -= n1 * (n1 + 1)
+    out = {"n1": n1, "n2": n2, "u2": u2, "z": None}
+    if n1 > 0 and n2 > 0 and n > 1:
+        mu2 = n1 * n2
+        var4 = (float(n1) * float(n2)
+                * (float(n + 1)
+                   - float(ties) / (float(n) * float(n - 1)))) / 3.0
+        if var4 > 0.0:
+            out["z"] = (float(u2) - float(mu2)) / math.sqrt(var4)
+    return pa.table({
+        "n1": pa.array([out["n1"]], pa.int64()),
+        "n2": pa.array([out["n2"]], pa.int64()),
+        "u2": pa.array([out["u2"]], pa.int64()),
+        "z": pa.array([out["z"]], pa.float64()),
+    })
+
+
+def ks_distance(ds, group_col: str, value_col: str, group_a, group_b,
+                *, n_buckets: int = 16):
+    """Two-sample Kolmogorov–Smirnov distance between two groups of an
+    integer column — ALL-INTEGER via cross-multiplied ECDFs over the
+    bounded value histogram:
+
+        D = max_v |cumA(v)·n2 − cumB(v)·n1| / (n1·n2)
+
+    Output: one row (n1, n2, d_num, d_den, d) with d_num/d_den the
+    exact rational and d the ONE mirrored division; the argmax value
+    ``at_v`` (smallest v attaining the max) comes free.  Exact Python
+    ints driver-side — cum·n products overflow int64 beyond ~3B rows.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for tag, name in ((group_a, "a"), (group_b, "b")):
+            m = np.array([x == tag for x in g])
+            u, c = np.unique(v[m], return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    ca = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv), np.int64)
+    cb = piv["b"].to_numpy() if "b" in piv else np.zeros(len(piv), np.int64)
+    n1, n2 = int(ca.sum()), int(cb.sum())
+    best, at_v = -1, None
+    cum_a = cum_b = 0
+    for v, a, b in zip(piv.index.tolist(), ca.tolist(), cb.tolist()):
+        cum_a += int(a)
+        cum_b += int(b)
+        diff = abs(cum_a * n2 - cum_b * n1)
+        if diff > best:
+            best, at_v = diff, int(v)
+    if at_v is None:
+        best = 0
+    den = n1 * n2
+    return pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "d_num": pa.array([best], pa.int64()),
+        "d_den": pa.array([den], pa.int64()),
+        "at_v": pa.array([at_v], pa.int64()),
+        "d": pa.array([float(best) / float(den) if den else None],
+                      pa.float64()),
+    })
