@@ -355,3 +355,55 @@ def test_cms_empty_input(ray_session):
     empty = pa.table({"v": pa.array([], pa.int64())})
     cms = count_min(rd.from_arrow(empty), "v", d=4, w_bits=6)
     assert cms.shape == (4, 64) and cms.sum() == 0
+
+
+def test_cusum_changepoint_reference(ray_session):
+    """Planted mean shift: key 1 jumps from ~0 to ~100 at position 21
+    — cp_i must land on the boundary; straight-line argmax parity on
+    every key (ties -> smallest i)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.windows import cusum_changepoint
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for key in range(6):
+        n = int(rng.integers(5, 40))
+        v = rng.integers(-3, 4, n)
+        if key == 1:
+            n = 40
+            v = np.concatenate([rng.integers(-2, 3, 20),
+                                100 + rng.integers(-2, 3, 20)])
+        for i, x in enumerate(v):
+            rows.append((key, i, int(x)))
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = cusum_changepoint(rd.from_arrow(t).repartition(4), "k", ["o"],
+                            "v", id_col="o", n_buckets=3).to_pandas()
+    got = {int(r.k): (int(r.n), int(r.cp_i), int(r.g_max))
+           for r in out.itertuples()}
+    # straight-line reference
+    import collections
+    byk = collections.defaultdict(list)
+    for k, o, v in rows:
+        byk[k].append((o, v))
+    for k, seq in byk.items():
+        seq.sort()
+        vals = [v for _, v in seq]
+        n = len(vals)
+        tot = sum(vals)
+        best, bi = -1, None
+        s = 0
+        for i, v in enumerate(vals, 1):
+            s += v
+            gv = abs(n * s - i * tot)
+            if gv > best:
+                best, bi = gv, i
+        assert got[k] == (n, bi, best), k
+    # the planted shift is found at the boundary
+    assert got[1][1] == 20

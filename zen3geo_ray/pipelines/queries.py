@@ -3182,6 +3182,60 @@ def q_asof(sf_dir: str):
     )
 
 
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint — the max-deviation scan statistic
+    in exact integers: G_i = |n·S_i − i·S_n| over the ts-ordered cents
+    prefix sums; argmax position (smallest i on ties) + its event id.
+    ONE bucketed shuffle, segmented-vectorized scan inside
+    (stages/windows.py:cusum_changepoint)."""
+    from ..stages.windows import cusum_changepoint
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "v_cents": pa.array(np.rint(v * 100.0).astype(np.int64)),
+        })
+
+    out = cusum_changepoint(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "v_cents", id_col="event_id")
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "cp_i": pc.cast(b.column("cp_i"), pa.int64()),
+            "cp_event": pc.cast(b.column("cp_id"), pa.int64()),
+            "g_max": pc.cast(b.column("g_max"), pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_CUSUM = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events),
+w AS (SELECT user_id, event_id, v,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       AS BIGINT) AS i,
+  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+  CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) AS stot,
+  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM e),
+g AS (SELECT user_id, event_id, i, n, ABS(n * s - i * stot) AS gv
+      FROM w),
+best AS (SELECT user_id, n, i AS cp_i, event_id AS cp_event,
+                gv AS g_max FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY gv DESC, i) AS rn FROM g)
+  WHERE rn = 1)
+SELECT user_id, n, cp_i, cp_event, g_max FROM best"""
+
+
 def q_peak_value(sf_dir: str):
     """Per-user running-sum peak — the keyed-ordered-fold (actor-state
     streaming window) surface, integer-exact via cents."""
@@ -6638,6 +6692,7 @@ def build_oracles() -> dict[str, str]:
         "skyline": _SQL_SKYLINE,
         "ab_test": _SQL_AB_TEST,
         "mwu": _SQL_MWU,
+        "cusum": _SQL_CUSUM,
         "ks_test": _SQL_KS,
         "spearman": _SQL_SPEARMAN,
         "gini": _SQL_GINI,
@@ -7496,6 +7551,7 @@ def build_queries() -> dict:
         "skyline": q_skyline,
         "ab_test": q_ab_test,
         "mwu": q_mwu,
+        "cusum": q_cusum,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
         "gini": q_gini,

@@ -309,3 +309,60 @@ def sliding_agg_dense(ds, *, ts_col: str, key_col: str,
         return pd.DataFrame(out)
 
     return bucketed_groupby(parts, [key_col], bucket_fn, n_buckets)
+
+
+def cusum_changepoint(ds, key_col: str, order_cols: list[str],
+                      value_col: str, *, id_col: str | None = None,
+                      n_buckets: int = 32):
+    """Per-key CUSUM CHANGEPOINT detection — the max-deviation scan
+    statistic in EXACT integer form: with per-key prefix sums S_i over
+    the (order_cols)-sorted values and total S_n,
+
+        G_i = |n·S_i − i·S_n|        (scaled CUSUM, all int64)
+
+    the changepoint is the position maximizing G_i (smallest i on
+    ties).  Output: one row per key — (key, n, cp_i, cp_id, g_max)
+    where cp_id is ``id_col`` at the changepoint (or omitted).
+
+    ONE bucketed shuffle by key; inside each bucket the scan is fully
+    segmented-vectorized (cumsum with segment reset, reduceat argmax)
+    — no per-key Python loop.  |n·S_i| must stay below 2^63: holds
+    until a single key carries ~10^9 rows of ~10^9-scale values.
+    """
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols,
+                          kind="mergesort").reset_index(drop=True)
+        u = g[key_col].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        m = len(g)
+        if m == 0:
+            cols = {key_col: [], "n": [], "cp_i": [], "g_max": []}
+            if id_col:
+                cols["cp_id"] = []
+            return pd.DataFrame(cols)
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, m)))
+        n_per = np.diff(np.append(starts, m)).astype(np.int64)
+        n_rep = n_per[seg]
+        cum = np.cumsum(v)
+        base = np.concatenate([[0], cum[:-1]])[starts]
+        s_i = cum - base[seg]
+        s_tot = (cum[np.append(starts[1:] - 1, m - 1)] - base)
+        s_rep = s_tot[seg]
+        i_in = (np.arange(m) - starts[seg] + 1).astype(np.int64)
+        gv = np.abs(n_rep * s_i - i_in * s_rep)
+        g_max = np.maximum.reduceat(gv, starts)
+        big = np.iinfo(np.int64).max
+        cand = np.where(gv == g_max[seg], i_in, big)
+        cp_i = np.minimum.reduceat(cand, starts)
+        pos = (starts + cp_i - 1).astype(np.int64)
+        out = {key_col: u[starts], "n": n_per, "cp_i": cp_i,
+               "g_max": g_max}
+        if id_col:
+            out["cp_id"] = g[id_col].to_numpy()[pos]
+        return pd.DataFrame(out)
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
