@@ -3182,6 +3182,57 @@ def q_asof(sf_dir: str):
     )
 
 
+def q_autocorr(sf_dir: str):
+    """Per-user LAG-1 SERIAL correlation of event amounts (the ACF(1)
+    burstiness/momentum statistic): keyed_lag ships each row its
+    predecessor's cents, then grouped_corr's exact-int64 moment
+    combiner + mirrored DOUBLE finale — a pure composition of two
+    existing verified stages (stages/scan.py:keyed_lag +
+    stages/zonal.py:grouped_corr)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "v_cents": pa.array(np.rint(v * 100.0).astype(np.int64)),
+        })
+
+    lagged = scan.keyed_lag(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "event_id", "v_cents", out_col="prev")
+    pairs = lagged.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("prev")))
+        .select(["user_id", "v_cents", "prev"]),
+        batch_format="pyarrow")
+    return zonal.grouped_corr(pairs, ["user_id"], "v_cents", "prev",
+                              out_col="acf1", n_buckets=8)
+
+
+_SQL_AUTOCORR = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events),
+l AS (SELECT user_id, v,
+             LAG(v) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+      FROM e),
+f AS (SELECT user_id, v AS x, pv AS y FROM l WHERE pv IS NOT NULL),
+s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy
+      FROM f GROUP BY user_id),
+d AS (SELECT user_id, n,
+  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM s)
+SELECT user_id, n, CASE WHEN vx > 0 AND vy > 0
+  THEN cov / (SQRT(vx) * SQRT(vy)) ELSE NULL END AS acf1
+FROM d"""
+
+
 def q_cusum(sf_dir: str):
     """Per-user CUSUM changepoint — the max-deviation scan statistic
     in exact integers: G_i = |n·S_i − i·S_n| over the ts-ordered cents
@@ -6693,6 +6744,7 @@ def build_oracles() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "mwu": _SQL_MWU,
         "cusum": _SQL_CUSUM,
+        "autocorr": _SQL_AUTOCORR,
         "ks_test": _SQL_KS,
         "spearman": _SQL_SPEARMAN,
         "gini": _SQL_GINI,
@@ -7552,6 +7604,7 @@ def build_queries() -> dict:
         "ab_test": q_ab_test,
         "mwu": q_mwu,
         "cusum": q_cusum,
+        "autocorr": q_autocorr,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
         "gini": q_gini,
