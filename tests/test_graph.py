@@ -1088,3 +1088,54 @@ def test_community_stats_unlabeled_raises(ray_session):
                                    "lab": pa.array([0], pa.int64())}))
     with pytest.raises(Exception):
         community_stats(edges, labs).to_pandas()
+
+
+def _ref_walks(src, dst, seeds, steps):
+    from zen3geo_ray.functions.hashing import knuth_hash
+    from zen3geo_ray.stages.graph import WALK_C
+
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = set()
+    for seed in seeds:
+        cur = seed
+        rows.add((seed, 0, seed))
+        for t in range(1, steps + 1):
+            nbrs = adj[cur]
+            j = int(knuth_hash(np.array([cur + t * WALK_C]))[0]) % len(nbrs)
+            cur = nbrs[j]
+            rows.add((seed, t, cur))
+    return rows
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_hash_walks_matches_reference(ray_session, bt):
+    from zen3geo_ray.stages.graph import hash_walks
+
+    src, dst = _random_graph()
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    seed_nodes = sorted({int(s) for s in src.tolist()[:20]})
+    seeds = rd.from_arrow(pa.table({"node": pa.array(seed_nodes,
+                                                     pa.int64())}))
+    out = hash_walks(edges, seeds, steps=3, n_buckets=8,
+                     broadcast_threshold=bt).to_pandas()
+    got = {(int(r.walk_id), int(r.step), int(r.node))
+           for r in out.itertuples()}
+    assert got == _ref_walks(src, dst, seed_nodes, 3)
+    # every walk emits exactly steps+1 positions
+    assert len(out) == 4 * len(seed_nodes)
+
+
+def test_hash_walks_id_bound(ray_session):
+    from zen3geo_ray.stages.graph import hash_walks
+
+    big = np.int64(1) << 40
+    edges = rd.from_arrow(pa.table({"src": pa.array([big], pa.int64()),
+                                    "dst": pa.array([1], pa.int64())}))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception):
+        hash_walks(edges, seeds, steps=2).to_pandas()

@@ -5902,6 +5902,57 @@ def q_ppr(sf_dir: str):
                           batch_format="pyarrow")
 
 
+WALK_STEPS = 3
+
+
+def q_walks(sf_dir: str):
+    """DeepWalk-style DETERMINISTIC hash-driven random walks over the
+    trade graph (the embedding-corpus generator): next hop = the
+    knuth(cur + t·C) mod deg -th neighbor in sorted order — RNG-free
+    and mirrored hop for hop by the chained-CTE oracle; broadcast CSR
+    advances all hops in one map below the edge threshold, two
+    bucketed joins per step above (stages/graph.py:hash_walks)."""
+    from ..stages.graph import distinct_tuples, hash_walks
+
+    edges = _trade_edges(sf_dir).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(s[s % BFS_SEED_MOD == 0]))})
+
+    seeds = distinct_tuples(
+        edges.map_batches(seed_partial, batch_format="pyarrow"), ["node"]
+    )
+    return hash_walks(edges, seeds, steps=WALK_STEPS)
+
+
+def _sql_walks() -> str:
+    from ..functions.hashing import sql_knuth_expr
+    from ..stages.graph import WALK_C
+
+    ctes = [f"""{_SQL_GRAPH_EDGES},
+ia AS (SELECT src AS u, dst AS v,
+              CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                   AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       FROM edges),
+s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM edges
+       WHERE src % {BFS_SEED_MOD} = 0)"""]
+    for t in range(1, WALK_STEPS + 1):
+        h = sql_knuth_expr(f"s.cur + {t * WALK_C}")
+        ctes.append(f"""s{t} AS (
+  SELECT s.walk_id, a.v AS cur FROM s{t - 1} s
+  JOIN ia a ON a.u = s.cur AND a.rn = 1 + {h} % a.deg)""")
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, "
+               "cur AS node FROM s0"]
+    selects += [f"SELECT walk_id, CAST({t} AS BIGINT) AS step, "
+                f"cur AS node FROM s{t}"
+                for t in range(1, WALK_STEPS + 1)]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 NEIGHBOR_K = 3  # GNN-minibatch-style per-node neighbor cap
 
 
@@ -7485,6 +7536,7 @@ GROUP BY event_type, u - o.off
         "kcore": _sql_kcore(),
         "lpa": _sql_lpa(),
         "modularity": _sql_modularity(),
+        "walks": _sql_walks(),
         "ktruss": _sql_ktruss(),
         "dup_spans": _sql_dup_spans(),
         "winnow_spans": _sql_dup_spans(),
@@ -7712,6 +7764,7 @@ def build_queries() -> dict:
         "kcore": q_kcore,
         "lpa": q_lpa,
         "modularity": q_modularity,
+        "walks": q_walks,
         "ktruss": q_ktruss,
         "dup_spans": q_dup_spans,
         "winnow_spans": q_winnow_spans,

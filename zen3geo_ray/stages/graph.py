@@ -2074,3 +2074,165 @@ def community_stats(edges, labels, *, src: str = "src", dst: str = "dst",
         })
 
     return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+WALK_C = 1_000_003  # step-stream offset for the walk hash
+
+
+def hash_walks(edges, seeds, *, steps: int, src: str = "src",
+               dst: str = "dst", n_buckets: int | None = None,
+               broadcast_threshold: int = BROADCAST_NODES):
+    """DeepWalk/node2vec-style corpus generation with DETERMINISTIC
+    hash-driven walks — reproducible pseudo-random without RNG state
+    (the neighbor-sampling discipline of quota_per_key applied to
+    multi-step walks):
+
+        j(u, t) = knuth(u + t·C) mod deg(u)       (0-based)
+        next    = the (j+1)-th neighbor of u in NEIGHBOR-SORTED order
+
+    so both sides of the oracle agree on every hop.  One walk per seed
+    (walk_id = the seed node); output (walk_id, step, node) for step
+    0..steps.  Node-id contract: ids must stay below 2^31 − steps·C
+    (the knuth_hash input bound) — raises otherwise.
+
+    Dual paths: edges ≤ threshold ships a CSR (sorted nodes, offsets,
+    neighbor array) once via ray.put and ALL hops advance inside one
+    map over seed batches — zero shuffles; above it each step is two
+    bucketed joins (deg lookup keyed node, then neighbor keyed
+    (node, idx)) with `_settle` bounding block growth.
+    """
+    import ray
+    import ray.data as rd
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"u": pa.array(np.concatenate([s, d])),
+                         "v": pa.array(np.concatenate([d, s]))})
+
+    adj = distinct_tuples(
+        edges.map_batches(symm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets or 64,
+    ).materialize()
+    n_adj = adj.count()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(n_adj)
+
+    from ..functions.hashing import knuth_hash
+
+    def check_ids(arr):
+        if len(arr) and int(arr.max()) >= (1 << 31) - steps * WALK_C:
+            raise ValueError("hash_walks: node ids exceed the knuth "
+                             "hash input bound (2^31 - steps*C)")
+
+    if n_adj <= broadcast_threshold:
+        ap = adj.to_pandas().sort_values(["u", "v"], kind="mergesort")
+        nodes_u = ap["u"].to_numpy().astype(np.int64)
+        nbrs = ap["v"].to_numpy().astype(np.int64)
+        check_ids(nodes_u)
+        uniq, starts = np.unique(nodes_u, return_index=True)
+        offs = np.append(starts, len(nbrs))
+        ref = ray.put((uniq, offs, nbrs))
+
+        def walk_bc(b: pa.Table, _ref=ref) -> pa.Table:
+            un, of, nb = _get_blob(_ref)
+            cur = b.column("node").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            wid = cur.copy()
+            out_w = [wid]
+            out_t = [np.zeros(len(cur), dtype=np.int64)]
+            out_n = [cur.copy()]
+            for t in range(1, steps + 1):
+                p = np.searchsorted(un, cur)
+                ok = (p < len(un)) & (un[np.minimum(p, len(un) - 1)]
+                                      == cur)
+                if not ok.all():
+                    raise ValueError("hash_walks: seed off the graph")
+                deg = of[p + 1] - of[p]
+                j = knuth_hash(cur + t * WALK_C) % deg
+                cur = nb[of[p] + j]
+                out_w.append(wid)
+                out_t.append(np.full(len(cur), t, dtype=np.int64))
+                out_n.append(cur.copy())
+            return pa.table({
+                "walk_id": pa.array(np.concatenate(out_w)),
+                "step": pa.array(np.concatenate(out_t)),
+                NODE: pa.array(np.concatenate(out_n)),
+            })
+
+        return seeds.map_batches(walk_bc, batch_format="pyarrow")
+
+    # bucketed path: per-node degree + 1-based neighbor index tables
+    def index_adj(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="mergesort")
+        u = g["u"].to_numpy().astype(np.int64)
+        check_ids(u)
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(u))))
+        idx = np.arange(len(u)) - starts[seg] + 1
+        deg = np.diff(np.append(starts, len(u)))[seg]
+        return pd.DataFrame({"u": u, "_idx": idx.astype(np.int64),
+                             "_nbr": g["v"].to_numpy(),
+                             "_deg": deg.astype(np.int64)})
+
+    iadj = bucketed_groupby(adj, ["u"], index_adj,
+                            n_buckets=n_buckets).materialize()
+    def deg_rows(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("_idx"), 1))
+        return pa.table({"u": f.column("u"),
+                         "_deg2": f.column("_deg")})
+
+    degs = iadj.map_batches(deg_rows,
+                            batch_format="pyarrow").materialize()
+
+    state = seeds.map_batches(
+        lambda b: pa.table({
+            "walk_id": pc.cast(b.column("node"), pa.int64()),
+            "u": pc.cast(b.column("node"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    outputs = [state.map_batches(
+        lambda b: pa.table({
+            "walk_id": b.column("walk_id"),
+            "step": pa.array(np.zeros(len(b), dtype=np.int64)),
+            NODE: b.column("u")}),
+        batch_format="pyarrow")]
+    for t in range(1, steps + 1):
+        with_deg = bucketed_join(state, degs, ["u"],
+                                 n_buckets=n_buckets)
+
+        def pick(b: pa.Table, _t=t) -> pa.Table:
+            cur = b.column("u").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            deg = b.column("_deg2").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            j = knuth_hash(cur + _t * WALK_C) % deg
+            return pa.table({
+                "walk_id": b.column("walk_id"),
+                "u": pa.array(cur),
+                "_idx": pa.array((j + 1).astype(np.int64)),
+            })
+
+        keyed = with_deg.map_batches(pick, batch_format="pyarrow")
+        nxt = bucketed_join(keyed, iadj.map_batches(
+            lambda b: b.select(["u", "_idx", "_nbr"]),
+            batch_format="pyarrow"), ["u", "_idx"],
+            n_buckets=n_buckets)
+        state = _settle(nxt.map_batches(
+            lambda b: pa.table({
+                "walk_id": b.column("walk_id"),
+                "u": pc.cast(b.column("_nbr"), pa.int64())}),
+            batch_format="pyarrow"), n_buckets)
+        outputs.append(state.map_batches(
+            lambda b, _t=t: pa.table({
+                "walk_id": b.column("walk_id"),
+                "step": pa.array(np.full(len(b), _t, dtype=np.int64)),
+                NODE: b.column("u")}),
+            batch_format="pyarrow"))
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out
