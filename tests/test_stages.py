@@ -584,3 +584,47 @@ def test_ks_distance_reference(ray_session):
     out2 = zonal.ks_distance(rd.from_arrow(t2), "g", "v",
                              "a", "b").to_pandas().iloc[0]
     assert int(out2["d_num"]) == 0
+
+
+# --- nearest rect join ----------------------------------------------------
+
+def test_nearest_rect_join_goldens(ray_session):
+    """Hand-checked: inside a rect -> d2 = 0 with smallest covering id;
+    outside -> clamped corner/edge distance."""
+    from zen3geo_ray.stages.knn import nearest_rect_join
+
+    rects = {
+        "poly_id": np.array([5, 2], dtype=np.int64),
+        "minx": np.array([0.0, 10.0]),
+        "miny": np.array([0.0, 10.0]),
+        "maxx": np.array([4.0, 14.0]),
+        "maxy": np.array([4.0, 14.0]),
+    }
+    pts = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lon": pa.array([1.0, 7.0, 11.0]),
+        "lat": pa.array([1.0, 4.0, 20.0]),
+    })
+    out = nearest_rect_join(rd.from_arrow(pts), rects) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert int(out.loc[0, "poly_id"]) == 5 and out.loc[0, "d2"] == 0.0
+    # point (7,4): rect5 edge dx=3,dy=0 -> 9; rect2 corner dx=3,dy=6 -> 45
+    assert int(out.loc[1, "poly_id"]) == 5 and out.loc[1, "d2"] == 9.0
+    # point (11,20): above rect2 -> dy=6 -> 36
+    assert int(out.loc[2, "poly_id"]) == 2 and out.loc[2, "d2"] == 36.0
+
+
+def test_nearest_rect_join_tie_smallest_id(ray_session):
+    from zen3geo_ray.stages.knn import nearest_rect_join
+
+    rects = {
+        "poly_id": np.array([9, 3], dtype=np.int64),
+        "minx": np.array([0.0, 0.0]),
+        "miny": np.array([0.0, 0.0]),
+        "maxx": np.array([4.0, 4.0]),
+        "maxy": np.array([4.0, 4.0]),
+    }
+    pts = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "lon": pa.array([2.0]), "lat": pa.array([2.0])})
+    out = nearest_rect_join(rd.from_arrow(pts), rects).to_pandas()
+    assert int(out["poly_id"][0]) == 3

@@ -170,6 +170,53 @@ def q_knn(sf_dir: str):
     )
 
 
+NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
+
+
+def q_nearest_admin(sf_dir: str):
+    """Nearest-rectangle join (the st_nearest / nearest-facility
+    surface beside PIP): every geocoded doc to the closest rect of a
+    SPARSE admin layer (every 7th grid cell), clamped squared degree
+    distance, ties -> smallest id.  Rects broadcast once via ray.put;
+    each batch argmins a vectorized distance panel — points never
+    shuffle (stages/knn.py:nearest_rect_join)."""
+    from ..stages.knn import nearest_rect_join
+
+    layer = admin_grid(nx=ADMIN_NX, ny=ADMIN_NY)
+    keep = np.flatnonzero(
+        layer.column("poly_id").to_numpy() % NEAREST_MOD == 0)
+    sub = layer.take(keep)
+    rects = {c: sub.column(c).to_numpy(zero_copy_only=False)
+             for c in ("poly_id", "minx", "miny", "maxx", "maxy")}
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    out = nearest_rect_join(pts, rects)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "poly_id", "d2"]),
+        batch_format="pyarrow")
+
+
+def _sql_nearest_admin() -> str:
+    w = 360.0 / ADMIN_NX
+    h = 180.0 / ADMIN_NY
+    return f"""{_sql_geo_cte(RES_ZONAL)},
+rid AS (SELECT pid, pid % {ADMIN_NX} AS i, pid // {ADMIN_NX} AS j
+        FROM (SELECT unnest(range({ADMIN_NX * ADMIN_NY})) AS pid)
+        WHERE pid % {NEAREST_MOD} = 0),
+rb AS (SELECT pid, -180.0 + i * {w!r} AS minx,
+              -90.0 + j * {h!r} AS miny,
+              -180.0 + (i + 1) * {w!r} AS maxx,
+              -90.0 + (j + 1) * {h!r} AS maxy FROM rid),
+dd AS (SELECT g.doc_id, r.pid,
+  GREATEST(r.minx - g.lon, g.lon - r.maxx, 0.0) AS dx,
+  GREATEST(r.miny - g.lat, g.lat - r.maxy, 0.0) AS dy
+  FROM geo g CROSS JOIN rb r),
+ee AS (SELECT doc_id, pid, dx * dx + dy * dy AS d2 FROM dd)
+SELECT doc_id, pid AS poly_id, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY d2, pid) AS rn FROM ee)
+WHERE rn = 1"""
+
+
 # --- chip enumeration (SURVEY op #12 xbatcher arithmetic) ------------------
 
 
@@ -6748,6 +6795,7 @@ def build_oracles() -> dict[str, str]:
             f"SELECT cell, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum "
             f"FROM geo GROUP BY cell"
         ),
+        "nearest_admin": _sql_nearest_admin(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -7601,6 +7649,7 @@ def build_queries() -> dict:
         "geocode": q_geocode,
         "zonal": q_zonal,
         "pip_admin": q_pip_admin,
+        "nearest_admin": q_nearest_admin,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -180,3 +180,53 @@ def finalize_topk(ds, k: int, by: str = "query_id", metric: str = "dist_km",
         return g
 
     return ds.groupby(by).map_groups(topk, batch_format="pandas")
+
+
+def nearest_rect_join(points_ds, rects: dict, *, id_col: str = "doc_id",
+                      lon_col: str = "lon", lat_col: str = "lat"):
+    """Nearest-RECTANGLE join (the ``st_nearest`` / nearest-facility
+    surface beside the point-in-polygon join): for every point, the
+    axis-aligned rectangle minimizing the clamped squared distance
+
+        dx = max(minx − lon, lon − maxx, 0);  d2 = dx·dx + dy·dy
+
+    ties (including d2 = 0 for points covered by several rects) break
+    to the smallest rect id.  ``rects`` is the broadcast small side —
+    ``{"poly_id", "minx", "miny", "maxx", "maxy"}`` numpy arrays
+    shipped once via ``ray.put`` and fetched per worker; each batch
+    computes the (n_points × n_rects) distance panel vectorized and
+    argmins per row — points never shuffle.
+
+    Every arithmetic step is a single IEEE op in a fixed order, so the
+    SQL oracle value-checks d2 bit-for-bit.  Output: (id, poly_id, d2).
+    """
+    import ray
+
+    ref = ray.put(rects)
+
+    def fn(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        r = _get_blob(_ref)
+        pid = np.asarray(r["poly_id"], dtype=np.int64)
+        order = np.argsort(pid, kind="stable")
+        pid = pid[order]
+        minx = np.asarray(r["minx"], dtype=np.float64)[order]
+        miny = np.asarray(r["miny"], dtype=np.float64)[order]
+        maxx = np.asarray(r["maxx"], dtype=np.float64)[order]
+        maxy = np.asarray(r["maxy"], dtype=np.float64)[order]
+        lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        dx = np.maximum(np.maximum(minx[None, :] - lon[:, None],
+                                   lon[:, None] - maxx[None, :]), 0.0)
+        dy = np.maximum(np.maximum(miny[None, :] - lat[:, None],
+                                   lat[:, None] - maxy[None, :]), 0.0)
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)   # first occurrence = smallest id
+        return pa.table({
+            id_col: b.column(id_col),
+            "poly_id": pa.array(pid[best]),
+            "d2": pa.array(d2[np.arange(len(lon)), best]),
+        })
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")
