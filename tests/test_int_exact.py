@@ -297,3 +297,78 @@ def test_incremental_embedding_dedup_paths_parity(ray_session, tmp_path):
     # from cosine 0.9 of anything stored w.h.p.
     assert all(v >= 110 for v in outs["broadcast"])
     assert len(outs["broadcast"]) >= 8
+
+
+def test_compact_store_exact(ray_session, tmp_path):
+    """Three incremental runs -> compact -> a fourth run behaves as if
+    never compacted (parallel uncompacted store as control), and file
+    count is bounded."""
+    import os
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import (
+        compact_store,
+        incremental_exact_dedup,
+    )
+
+    store_a = str(tmp_path / "a")
+    store_b = str(tmp_path / "b")
+
+    def docs(texts, base):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(base, base + len(texts)),
+                               pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }))
+
+    batches = [["aa", "bb"], ["bb", "cc"], ["cc", "dd", "ee"]]
+    for i, texts in enumerate(batches):
+        for store in (store_a, store_b):
+            incremental_exact_dedup(docs(texts, 10 * i), store) \
+                .materialize()
+    stats = compact_store(store_a, n_files=2)
+    assert stats["files_before"] >= 3
+    assert stats["files_after"] <= 2
+    assert stats["rows"] == 5  # aa bb cc dd ee
+
+    out_a = incremental_exact_dedup(docs(["ee", "ff"], 90), store_a) \
+        .to_pandas()
+    out_b = incremental_exact_dedup(docs(["ee", "ff"], 90), store_b) \
+        .to_pandas()
+    assert sorted(out_a["text"]) == sorted(out_b["text"]) == ["ff"]
+
+
+def test_compact_store_minhash_schema_preserved(ray_session, tmp_path):
+    """The fixed-size-binary signature column must survive compaction
+    byte-identically (no pandas float corruption path)."""
+    import pyarrow.parquet as pq2
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import (
+        compact_store,
+        incremental_minhash_dedup,
+    )
+
+    store = str(tmp_path / "s")
+    base = "some long enough document text for shingling here "
+    for i, texts in enumerate([[base * 3], [base * 3 + "xyz tail"]]):
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([100 + i], pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }))
+        incremental_minhash_dedup(ds, store, num_perm=16, bands=8) \
+            .materialize()
+    import os
+    files_before = [os.path.join(r, f) for r, _, fs in os.walk(store)
+                    for f in fs if f.endswith(".parquet")]
+    schema_before = pq2.read_schema(files_before[0])
+    rows_before = sum(pq2.read_metadata(f).num_rows
+                      for f in files_before)
+    stats = compact_store(store, n_files=1)
+    files_after = [os.path.join(r, f) for r, _, fs in os.walk(store)
+                   for f in fs if f.endswith(".parquet")]
+    assert stats["rows"] == rows_before
+    schema_after = pq2.read_schema(files_after[0])
+    assert schema_after.equals(schema_before)

@@ -1271,3 +1271,55 @@ def source_minhash_sim(docs, *, group_col: str = "source",
 
     return bucketed_groupby(pairs, ["g", "g2"], count_pairs,
                             n_buckets=n_buckets)
+
+
+def compact_store(store_dir: str, *, n_files: int = 8) -> dict:
+    """COMPACT a cross-run incremental store directory (the maintenance
+    op every append-only store needs): after many runs the store is
+    hundreds of small ``run-*`` parquet files and every probe pays the
+    per-file open cost; this folds them into ≤ ``n_files`` files in one
+    ``compact-*`` run directory.
+
+    Pure file-count compaction — rows and SCHEMA pass through
+    byte-identical (no pandas round-trip: the minhash store's
+    fixed-size-binary signatures survive exactly), because the stores
+    are append-only and never carry duplicate rows.
+
+    Crash-safe ordering: the compacted copy is fully written BEFORE any
+    old file is removed — an interruption can only leave duplicate rows
+    behind, which every store consumer tolerates (exact stores anti-
+    join, near-dup stores dedup candidates in verify).
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    def _files():
+        return sorted(
+            os.path.join(root, fn)
+            for root, _, files in os.walk(store_dir)
+            for fn in files if fn.endswith(".parquet"))
+
+    if not os.path.isdir(store_dir):
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    before = _files()
+    if not before:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    ds = rd.read_parquet(before).materialize()
+    rows = ds.count()
+    out_dir = os.path.join(store_dir, f"compact-{uuid.uuid4().hex[:12]}")
+    ds.repartition(min(n_files, max(1, ds.num_blocks()))) \
+        .write_parquet(out_dir)
+    for f in before:
+        os.remove(f)
+    # drop emptied run directories
+    for entry in os.listdir(store_dir):
+        p = os.path.join(store_dir, entry)
+        if os.path.isdir(p) and p != out_dir and not os.listdir(p):
+            shutil.rmtree(p)
+    return {"files_before": len(before), "files_after": len(_files()),
+            "rows": rows}
