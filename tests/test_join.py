@@ -212,3 +212,47 @@ def test_partitioned_pip_join_matches_broadcast(ray_session):
     assert a == b
     # names carried through
     assert set(part.columns) == {"pid", "lon", "lat", "poly_id", "poly_name"}
+
+
+def test_grid_bbox_join_bruteforce(ray_session):
+    """Pair set + exact areas vs the O(n*m) reference, with boxes that
+    span multiple grid cells (report-once must fire) and pairs whose
+    overlap corner falls in different cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import grid_bbox_join
+
+    rng = np.random.default_rng(41)
+
+    def boxes(n, seed_off, id_col):
+        x0 = rng.integers(0, 500, n)
+        y0 = rng.integers(0, 500, n)
+        w = rng.integers(5, 220, n)
+        h = rng.integers(5, 180, n)
+        return pa.table({
+            id_col: pa.array(np.arange(n) + seed_off, pa.int64()),
+            "x0": pa.array(x0.astype(np.int64)),
+            "y0": pa.array(y0.astype(np.int64)),
+            "x1": pa.array((x0 + w).astype(np.int64)),
+            "y1": pa.array((y0 + h).astype(np.int64)),
+        })
+
+    ta = boxes(60, 0, "a_id")
+    tb = boxes(45, 1000, "b_id")
+    out = grid_bbox_join(
+        rd.from_arrow(ta).repartition(3),
+        rd.from_arrow(tb).repartition(2),
+        cell=64, n_buckets=4).to_pandas()
+    got = {(int(r.a_id), int(r.b_id)): int(r.area)
+           for r in out.itertuples()}
+    assert len(got) == len(out)  # report-once: no duplicate pairs
+    want = {}
+    for ra in ta.to_pylist():
+        for rb in tb.to_pylist():
+            w = min(ra["x1"], rb["x1"]) - max(ra["x0"], rb["x0"])
+            h = min(ra["y1"], rb["y1"]) - max(ra["y0"], rb["y0"])
+            if w > 0 and h > 0:
+                want[(ra["a_id"], rb["b_id"])] = w * h
+    assert got == want and len(want) > 20

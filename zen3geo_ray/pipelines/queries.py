@@ -170,6 +170,73 @@ def q_knn(sf_dir: str):
     )
 
 
+BBOX_CELL, BBOX_DOM = 128, 1200  # grid cell / coordinate domain
+
+
+def _rects_exprs(key: str, salt1: int, salt2: int):
+    """Deterministic integer half-open boxes from a key column — the
+    shared arithmetic both the Ray path and the SQL oracle evaluate:
+    x0 = (k·salt1) % DOM, w = 16 + (k·7) % 120 (y analogous)."""
+    return (
+        f"({key} * {salt1}) % {BBOX_DOM}",
+        f"({key} * {salt2}) % {BBOX_DOM}",
+        f"16 + ({key} * 7) % 120",
+        f"16 + ({key} * 11) % 96",
+    )
+
+
+def q_bbox_join(sf_dir: str):
+    """Large×large RECTANGLE-INTERSECTION spatial join (the R-tree /
+    PBSM join beside point-in-polygon): part-derived boxes × supplier-
+    derived boxes, grid-partitioned with the REPORT-ONCE rule (a pair
+    emits only from the cell holding the overlap's lower-left corner —
+    no distinct pass), exact integer overlap areas
+    (stages/join.py:grid_bbox_join)."""
+    from ..stages.join import grid_bbox_join
+
+    def mk(key_col, id_out, s1, s2):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x0 = (k * s1) % BBOX_DOM
+            y0 = (k * s2) % BBOX_DOM
+            w = 16 + (k * 7) % 120
+            h = 16 + (k * 11) % 96
+            return pa.table({
+                id_out: pa.array(k), "x0": pa.array(x0),
+                "y0": pa.array(y0), "x1": pa.array(x0 + w),
+                "y1": pa.array(y0 + h),
+            })
+        return fn
+
+    a = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        mk("p_partkey", "a_id", 131, 137), batch_format="pyarrow")
+    b = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        mk("s_suppkey", "b_id", 139, 149), batch_format="pyarrow")
+    return grid_bbox_join(a, b, cell=BBOX_CELL)
+
+
+def _sql_bbox_join() -> str:
+    ax0, ay0, aw, ah = _rects_exprs("p_partkey", 131, 137)
+    bx0, by0, bw, bh = _rects_exprs("s_suppkey", 139, 149)
+    return f"""
+WITH a AS (SELECT p_partkey AS a_id,
+                  CAST({ax0} AS BIGINT) AS x0,
+                  CAST({ay0} AS BIGINT) AS y0,
+                  CAST({ax0} + {aw} AS BIGINT) AS x1,
+                  CAST({ay0} + {ah} AS BIGINT) AS y1 FROM part),
+b AS (SELECT s_suppkey AS b_id,
+             CAST({bx0} AS BIGINT) AS x0,
+             CAST({by0} AS BIGINT) AS y0,
+             CAST({bx0} + {bw} AS BIGINT) AS x1,
+             CAST({by0} + {bh} AS BIGINT) AS y1 FROM supplier)
+SELECT a.a_id, b.b_id,
+       (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+       * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS area
+FROM a JOIN b
+  ON a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -6796,6 +6863,7 @@ def build_oracles() -> dict[str, str]:
             f"FROM geo GROUP BY cell"
         ),
         "nearest_admin": _sql_nearest_admin(),
+        "bbox_join": _sql_bbox_join(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -7650,6 +7718,7 @@ def build_queries() -> dict:
         "zonal": q_zonal,
         "pip_admin": q_pip_admin,
         "nearest_admin": q_nearest_admin,
+        "bbox_join": q_bbox_join,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..geom import clip as clipmod
 from ..geom import predicates, wkb
@@ -502,3 +503,86 @@ def partitioned_pip_join(points_ds, polys_ds, *, cell_deg: float = 15.0,
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def grid_bbox_join(a_ds, b_ds, *, cell: int = 128,
+                   a_id: str = "a_id", b_id: str = "b_id",
+                   n_buckets: int = 32):
+    """Large×large RECTANGLE-INTERSECTION join (the R-tree spatial-join
+    analog, grid-partitioned): both sides carry integer half-open boxes
+    ``(id, x0, y0, x1, y1)`` with x0 < x1, y0 < y1; output one row per
+    intersecting (a, b) pair with the exact integer overlap area.
+
+    Plan (the classic PBSM shape): each box replicates to every
+    ``cell``-sized grid cell it touches (bounded fan-out: O(area /
+    cell²) per box), ONE bucketed shuffle on the cell key co-locates
+    both sides, a vectorized pandas merge pairs them up per bucket, and
+    the REPORT-ONCE rule — a pair is emitted only from the cell
+    containing the intersection's lower-left corner — dedups replicas
+    WITHOUT a distinct pass.  Neither side broadcasts; only (cell, box)
+    rows shuffle.
+
+    Intersection: ``a.x0 < b.x1 AND b.x0 < a.x1`` (and y), area =
+    ``(min(x1) − max(x0)) · (min(y1) − max(y0))`` — all int64.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def expand(side: int, id_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            i = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            x0 = b.column("x0").to_numpy(zero_copy_only=False).astype(np.int64)
+            y0 = b.column("y0").to_numpy(zero_copy_only=False).astype(np.int64)
+            x1 = b.column("x1").to_numpy(zero_copy_only=False).astype(np.int64)
+            y1 = b.column("y1").to_numpy(zero_copy_only=False).astype(np.int64)
+            cx0, cx1 = x0 // cell, (x1 - 1) // cell
+            cy0, cy1 = y0 // cell, (y1 - 1) // cell
+            nx = (cx1 - cx0 + 1).astype(np.int64)
+            ny = (cy1 - cy0 + 1).astype(np.int64)
+            reps = nx * ny
+            ridx = np.repeat(np.arange(len(i)), reps)
+            off = (np.concatenate([np.arange(r) for r in reps.tolist()])
+                   if len(i) else np.array([], dtype=np.int64))                 .astype(np.int64)
+            nxr = nx[ridx]
+            return pa.table({
+                "cx": pa.array(cx0[ridx] + off % nxr),
+                "cy": pa.array(cy0[ridx] + off // nxr),
+                "_id": pa.array(i[ridx]),
+                "_x0": pa.array(x0[ridx]), "_y0": pa.array(y0[ridx]),
+                "_x1": pa.array(x1[ridx]), "_y1": pa.array(y1[ridx]),
+                "_side": pa.array(np.full(len(ridx), side,
+                                          dtype=np.int64)),
+            })
+        return fn
+
+    both = a_ds.map_batches(expand(0, a_id), batch_format="pyarrow")         .union(b_ds.map_batches(expand(1, b_id), batch_format="pyarrow"))
+
+    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
+        aa = g[g["_side"] == 0]
+        bb = g[g["_side"] == 1]
+        m = aa.merge(bb, on=["cx", "cy"], suffixes=("_a", "_b"))
+        if len(m) == 0:
+            return pd.DataFrame({a_id: pd.Series([], dtype="int64"),
+                                 b_id: pd.Series([], dtype="int64"),
+                                 "area": pd.Series([], dtype="int64")})
+        ox0 = np.maximum(m["_x0_a"].to_numpy(), m["_x0_b"].to_numpy())
+        oy0 = np.maximum(m["_y0_a"].to_numpy(), m["_y0_b"].to_numpy())
+        w = np.minimum(m["_x1_a"].to_numpy(), m["_x1_b"].to_numpy()) - ox0
+        h = np.minimum(m["_y1_a"].to_numpy(), m["_y1_b"].to_numpy()) - oy0
+        hit = (w > 0) & (h > 0)             & (ox0 // cell == m["cx"].to_numpy())             & (oy0 // cell == m["cy"].to_numpy())
+        return pd.DataFrame({
+            a_id: m["_id_a"].to_numpy()[hit],
+            b_id: m["_id_b"].to_numpy()[hit],
+            "area": (w[hit] * h[hit]).astype(np.int64),
+        })
+
+    out = bucketed_groupby(both, ["cx", "cy"], join_cell,
+                           n_buckets=n_buckets)
+    return out.map_batches(
+        lambda b: pa.table({
+            a_id: pc.cast(b.column(a_id), pa.int64()),
+            b_id: pc.cast(b.column(b_id), pa.int64()),
+            "area": pc.cast(b.column("area"), pa.int64()),
+        }),
+        batch_format="pyarrow")
