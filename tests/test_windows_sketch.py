@@ -407,3 +407,48 @@ def test_cusum_changepoint_reference(ray_session):
         assert got[k] == (n, bi, best), k
     # the planted shift is found at the boundary
     assert got[1][1] == 20
+
+
+def test_interval_union_length_reference(ray_session):
+    """Merged coverage vs a straight-line sweep, with nested,
+    overlapping, touching, and disjoint intervals crossing blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.windows import interval_union_length
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in range(5):
+        n = int(rng.integers(3, 30))
+        s = rng.integers(0, 1000, n)
+        ln = rng.integers(1, 200, n)
+        rows += [(k, int(a), int(a + b)) for a, b in zip(s, ln)]
+    rows += [(9, 0, 10), (9, 10, 20), (9, 5, 7), (9, 50, 60)]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.int64()),
+        "e": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = interval_union_length(rd.from_arrow(t).repartition(4),
+                                "k", "s", "e", n_buckets=3).to_pandas()
+    got = {int(r.k): (int(r.n_iv), int(r.covered))
+           for r in out.itertuples()}
+
+    import collections
+    byk = collections.defaultdict(list)
+    for k, s, e in rows:
+        byk[k].append((s, e))
+    for k, ivs in byk.items():
+        ivs.sort()
+        cov, hi = 0, -1
+        for s, e in ivs:
+            if s > hi:
+                cov += e - s
+                hi = e
+            elif e > hi:
+                cov += e - hi
+                hi = e
+        assert got[k] == (len(ivs), cov), k
+    assert got[9] == (4, 30)  # touching merges, nested absorbs

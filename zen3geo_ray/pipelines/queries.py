@@ -3347,6 +3347,50 @@ SELECT user_id, n, CASE WHEN vx > 0 AND vy > 0
 FROM d"""
 
 
+def q_covered_time(sf_dir: str):
+    """Per-user TOTAL COVERED TIME with overlaps merged (session
+    coverage / uptime accounting): each event spans [ts, ts +
+    cents·1ms); one bucketed shuffle + the vectorized gaps-and-islands
+    sweep — every row adds max(0, end − max(start, running-max-end))
+    (stages/windows.py:interval_union_length)."""
+    from ..stages.windows import interval_union_length
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        dur = np.rint(v * 100.0).astype(np.int64) * 1000
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "s": pa.array(ts),
+            "e": pa.array(ts + dur),
+        })
+
+    return interval_union_length(
+        ev.map_batches(to_iv, batch_format="pyarrow"),
+        "user_id", "s", "e")
+
+
+_SQL_COVERED_TIME = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts)
+                  + CAST(ROUND(value * 100.0) AS BIGINT) * 1000 AS en
+           FROM events),
+w AS (SELECT user_id, s, en,
+  MAX(en) OVER (PARTITION BY user_id ORDER BY s, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    AS pmax
+  FROM e),
+c AS (SELECT user_id,
+             GREATEST(en - GREATEST(s, COALESCE(pmax, 0)), 0) AS add_
+      FROM w)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_iv,
+       CAST(SUM(add_) AS BIGINT) AS covered
+FROM c GROUP BY user_id"""
+
+
 def q_cusum(sf_dir: str):
     """Per-user CUSUM changepoint — the max-deviation scan statistic
     in exact integers: G_i = |n·S_i − i·S_n| over the ts-ordered cents
@@ -6911,6 +6955,7 @@ def build_oracles() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "mwu": _SQL_MWU,
         "cusum": _SQL_CUSUM,
+        "covered_time": _SQL_COVERED_TIME,
         "autocorr": _SQL_AUTOCORR,
         "ks_test": _SQL_KS,
         "spearman": _SQL_SPEARMAN,
@@ -7774,6 +7819,7 @@ def build_queries() -> dict:
         "ab_test": q_ab_test,
         "mwu": q_mwu,
         "cusum": q_cusum,
+        "covered_time": q_covered_time,
         "autocorr": q_autocorr,
         "ks_test": q_ks_test,
         "spearman": q_spearman,

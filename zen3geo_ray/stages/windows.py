@@ -366,3 +366,43 @@ def cusum_changepoint(ds, key_col: str, order_cols: list[str],
         return pd.DataFrame(out)
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def interval_union_length(ds, key_col: str, start_col: str,
+                          end_col: str, *, n_buckets: int = 32):
+    """Per-key TOTAL COVERED LENGTH of half-open intervals
+    [start, end) with overlaps merged — the session-coverage /
+    uptime-accounting sweep.  Output: (key, n_iv, covered), all int64.
+
+    ONE bucketed shuffle by key; the sweep inside is the vectorized
+    gaps-and-islands form: sort by (key, start, end), running per-key
+    cummax of ends (pandas C kernel, no Python loop), and each row
+    contributes ``max(0, end − max(start, prev_cummax))`` — exactly
+    the merged-interval total without materializing islands.
+    """
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "n_iv": pd.Series([], dtype="int64"),
+                                 "covered": pd.Series([], dtype="int64")})
+        g = g.sort_values([key_col, start_col, end_col],
+                          kind="mergesort").reset_index(drop=True)
+        s = g[start_col].to_numpy().astype(np.int64)
+        e = g[end_col].to_numpy().astype(np.int64)
+        cummax = g.groupby(key_col, sort=False)[end_col].cummax() \
+            .to_numpy().astype(np.int64)
+        prev = np.empty_like(cummax)
+        prev[1:] = cummax[:-1]
+        u = g[key_col].to_numpy()
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        prev[first] = np.iinfo(np.int64).min
+        lo = np.maximum(s, prev)
+        add = np.maximum(e - lo, 0)
+        out = pd.DataFrame({key_col: u, "_a": add, "_one": 1})
+        agg = out.groupby(key_col, sort=False, as_index=False).sum()
+        return pd.DataFrame({key_col: agg[key_col],
+                             "n_iv": agg["_one"].astype(np.int64),
+                             "covered": agg["_a"].astype(np.int64)})
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
