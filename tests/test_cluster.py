@@ -346,3 +346,40 @@ def test_cluster_purity_rejects_bad_truth(ray_session):
     })
     with pytest.raises(Exception):
         cluster_purity(rd.from_arrow(t), k=2, iters=1).to_pandas()
+
+
+def test_knn_label_agreement_planted(ray_session):
+    """Two well-separated clusters with consistent labels plus one
+    mislabeled point inside cluster A: only the plant is noisy, and a
+    brute-force recomputation agrees row for row."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import knn_label_agreement
+
+    rng = np.random.default_rng(33)
+    a = rng.normal(0.0, 0.05, size=(30, 8)).astype(np.float32)
+    b = rng.normal(3.0, 0.05, size=(30, 8)).astype(np.float32)
+    vecs = np.concatenate([a, b])
+    labels = np.array([0] * 30 + [1] * 30, dtype=np.int64)
+    labels[7] = 1  # the plant: cluster-A geometry, cluster-B label
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    out = knn_label_agreement(rd.from_arrow(t).repartition(3), k=5) \
+        .to_pandas().set_index("vec_id").sort_index()
+    assert bool(out.loc[7, "noisy"])
+    assert int(out.loc[7, "agree"]) == 0
+    clean = out.drop(index=7)
+    assert not clean["noisy"].any()
+    assert (clean["k_used"] == 5).all()
+
+    # brute-force parity on agree counts
+    q = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+    for vid in (0, 7, 45):
+        d = ((q - q[vid]) ** 2).sum(axis=1)
+        d[vid] = np.iinfo(np.int64).max
+        order = np.lexsort((np.arange(60), d))[:5]
+        want = int((labels[order] == labels[vid]).sum())
+        assert int(out.loc[vid, "agree"]) == want

@@ -1404,6 +1404,53 @@ def q_purity(sf_dir: str):
     return cluster_purity(emb, k=KM_K, iters=KM_ITERS)
 
 
+NOISE_K = 5
+
+
+def q_label_noise(sf_dir: str):
+    """kNN label-AGREEMENT data-quality audit (the Confident-Learning
+    shape): per vector, how many of its 5 exact nearest neighbors
+    (integer quantized L2, ties -> smaller id, self excluded) share
+    its label; minority agreement flags probable mislabels.  Reference
+    side broadcast once as a quantized int64 matrix — the bounded
+    eval-set contract (stages/cluster.py:knn_label_agreement)."""
+    from ..stages.cluster import knn_label_agreement
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+                rows_per_block=1000)
+    return knn_label_agreement(emb, k=NOISE_K)
+
+
+def _sql_label_noise() -> str:
+    off = 1 << 20
+    return f"""
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * {float(off)}) AS BIGINT)
+           + {off} AS qv
+  FROM (SELECT vec_id, UNNEST(embedding) AS e,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)),
+d AS (SELECT a.vec_id AS u, b.vec_id AS v,
+             CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dist
+      FROM q a JOIN q b ON b.dim = a.dim AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2),
+r AS (SELECT u, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY dist, v) AS rn
+      FROM d),
+kk AS (SELECT u, v FROM r WHERE rn <= {NOISE_K}),
+ag AS (SELECT kk.u AS vec_id,
+              CAST(COUNT(*) AS BIGINT) AS k_used,
+              CAST(SUM(CASE WHEN eb.label = ea.label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       FROM kk JOIN embeddings ea ON ea.vec_id = kk.u
+               JOIN embeddings eb ON eb.vec_id = kk.v
+       GROUP BY kk.u)
+SELECT ag.vec_id, CAST(e.label AS BIGINT) AS label, ag.k_used,
+       ag.agree, ag.agree * 2 < ag.k_used AS noisy
+FROM ag JOIN embeddings e ON e.vec_id = ag.vec_id"""
+
+
 def _sql_purity() -> str:
     last = KM_ITERS + 1
     return _sql_kmeans_ctes(KM_K, KM_ITERS) + f""",
@@ -7276,6 +7323,7 @@ FROM cand QUALIFY rank <= 10
         "kmeans": _sql_kmeans(),
         "semdedup": _sql_semdedup(),
         "purity": _sql_purity(),
+        "label_noise": _sql_label_noise(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -7797,6 +7845,7 @@ def build_queries() -> dict:
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
         "purity": q_purity,
+        "label_noise": q_label_noise,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

@@ -652,3 +652,77 @@ def _get_cells_blob(ref):
         _CELLS_CACHE.clear()
         _CELLS_CACHE[key] = ray.get(ref)
     return _CELLS_CACHE[key]
+
+
+def knn_label_agreement(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label", k: int = 5):
+    """kNN LABEL-AGREEMENT scoring (the Confident-Learning-style label
+    NOISE detector for an EVALUATION SET): for every vector, how many
+    of its k nearest neighbors (exact integer quantized L2, ties →
+    smaller id, self excluded) share its label.  Low agreement flags
+    probable mislabels.  Output: (id, label, k_used, agree, noisy)
+    with ``noisy`` = agree·2 < k_used.
+
+    Scale contract: the REFERENCE SIDE is the whole table, broadcast
+    once via ``ray.put`` as a quantized int64 matrix — this is the
+    eval-set / audit-sample shape (size-bounded by design), NOT a
+    corpus-scale all-pairs; for corpora, run it on a sample or swap
+    the reference side for the IVF/LSH candidates in stages/ann.
+    Per batch one integer distance panel + vectorized top-k; nothing
+    shuffles.
+    """
+    import ray
+
+    whole = ds.to_pandas()
+    ids_all = whole[id_col].to_numpy().astype(np.int64)
+    lab_all = whole[label_col].to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in whole[vec_col]])
+    q_all = (np.floor(mat * float(1 << SCALE_BITS)).astype(np.int64)
+             + _OFF)
+    order = np.argsort(ids_all, kind="stable")
+    ref = ray.put((ids_all[order], lab_all[order], q_all[order]))
+
+    def fn(b: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        from .graph import _get_blob
+
+        ids_r, lab_r, q_r = _get_blob(_ref) \
+            if isinstance(_ref, _ray.ObjectRef) else _ref
+        q = _quant_matrix(b, vec_col)
+        ids = b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lab = b.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n, m = len(ids), len(ids_r)
+        agree = np.zeros(n, dtype=np.int64)
+        kk = np.zeros(n, dtype=np.int64)
+        # per-row panels in bounded slabs (keep peak memory flat)
+        for lo in range(0, n, 256):
+            hi = min(lo + 256, n)
+            d = np.zeros((hi - lo, m), dtype=np.int64)
+            for c in range(q.shape[1]):
+                diff = q[lo:hi, c:c + 1] - q_r[:, c][None, :]
+                d += diff * diff
+            # exclude self by id
+            self_mask = ids[lo:hi, None] == ids_r[None, :]
+            d[self_mask] = np.iinfo(np.int64).max
+            kk_i = min(k, m - 1)
+            # top-k by (dist, id): ids_r is sorted so stable argsort
+            # over d breaks ties toward the smaller id
+            part = np.argsort(d, axis=1, kind="stable")[:, :kk_i]
+            neigh_lab = lab_r[part]
+            agree[lo:hi] = (neigh_lab
+                            == lab[lo:hi, None]).sum(axis=1)
+            kk[lo:hi] = kk_i
+        return pa.table({
+            id_col: pa.array(ids),
+            label_col: pa.array(lab),
+            "k_used": pa.array(kk),
+            "agree": pa.array(agree),
+            "noisy": pa.array((agree * 2 < kk)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
