@@ -679,3 +679,88 @@ def test_ccnet_buckets_reference(ray_session):
     for lang in ("en", "de"):
         bs = {v[2] for v in got.values() if v[0] == lang}
         assert bs == {0, 1, 2}
+
+
+def test_text_tiling_boundaries_golden(ray_session):
+    """Hand-built doc: two 'topics' of repeated vocab with a disjoint
+    junction block — the junction gaps score 0 overlap and the interior
+    one is a strict minimum."""
+    from zen3geo_ray.stages.corpus import text_tiling_boundaries
+
+    # blocks of 4: [a a b b][a a b b][x y z w][c c d d][c c d d]
+    text = "a a b b a a b b x y z w c c d d c c d d"
+    out = text_tiling_boundaries(_docs([text]), block_tokens=4) \
+        .to_pandas()
+    # gaps: 0:(b0,b1)=2shared 1:(b1,b2)=0 2:(b2,b3)=0 3:(b3,b4)=2
+    # strict minima among interior gaps {1,2}: gap1 has po=2,no=0 -> no;
+    # gap2 has po=0 -> no.  Verify none (plateau) ...
+    assert len(out) == 0
+    # now make the junction a single low point: [a b][a b][a x][a b]...
+    text2 = "a b a b x y a b a b"
+    out2 = text_tiling_boundaries(_docs([text2]), block_tokens=2) \
+        .to_pandas()
+    # blocks [a b][a b][x y][a b][a b]; overlaps: 2,0,0,2 -> plateau
+    assert len(out2) == 0
+    text3 = "a b c a b c a q c a b c"
+    out3 = text_tiling_boundaries(_docs([text3]), block_tokens=3) \
+        .to_pandas()
+    # blocks [a b c][a b c][a q c][a b c]; overlaps: 3,2,2 -> plateau
+    assert len(out3) == 0
+    text4 = "a b c a b c a q r a b c a b c"
+    out4 = text_tiling_boundaries(_docs([text4]), block_tokens=3) \
+        .to_pandas()
+    # blocks [a b c][a b c][a q r][a b c][a b c]
+    # gaps: 3, 1, 1, 3 -> interior strict minimum: none (1,1 plateau)
+    assert len(out4) == 0
+    text5 = "a b c a b c a b q a w r a b c"
+    out5 = text_tiling_boundaries(_docs([text5]), block_tokens=3) \
+        .to_pandas()
+    # blocks [a b c][a b c][a b q][a w r][a b c]
+    # gaps: 3, 2, 1, 1 -> no strict minimum with higher RIGHT neighbor
+    assert len(out5) == 0
+    text6 = "a b c a b c a w r a b c a b c"
+    out6 = text_tiling_boundaries(_docs([text6]), block_tokens=3) \
+        .to_pandas()
+    # blocks [a b c][a b c][a w r][a b c][a b c]
+    # gaps: 3, 1, 1, 3 -> plateau again!  Use asymmetric:
+    text7 = "a b c a b c w y r a b c a b c"
+    out7 = text_tiling_boundaries(_docs([text7]), block_tokens=3) \
+        .to_pandas()
+    # blocks [a b c][a b c][w y r][a b c][a b c]: gaps 3, 0, 0, 3
+    assert len(out7) == 0  # 0,0 plateau — still none
+
+
+def test_text_tiling_strict_minimum_found(ray_session):
+    """A genuine single-gap valley: overlaps 2, 1, 2."""
+    from zen3geo_ray.stages.corpus import text_tiling_boundaries
+
+    # blocks of 2: [a b][a b][a x][a b] -> gaps: 2, 1, 1  (no)
+    # build [a b][a b][b x][x b]: gaps: 2, 1, 2  -> gap 1 is a valley
+    text = "a b a b b x x b"
+    out = text_tiling_boundaries(_docs([text]), block_tokens=2) \
+        .to_pandas()
+    assert out[["gap", "overlap"]].values.tolist() == [[1, 1]]
+
+
+def test_text_tiling_matches_reference_random(ray_session):
+    """Random small-vocab docs vs a straight-line recomputation."""
+    from zen3geo_ray.stages.corpus import text_tiling_boundaries
+
+    rng = np.random.default_rng(3)
+    vocab = list("abcdefg")
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(4, 40))))
+             for _ in range(40)]
+    out = text_tiling_boundaries(_docs(texts, nblocks=3),
+                                 block_tokens=4).to_pandas()
+    got = {(int(r.doc_id), int(r.gap)): int(r.overlap)
+           for r in out.itertuples()}
+    want = {}
+    for did, txt in enumerate(texts):
+        toks = txt.split()
+        blocks = [set(toks[i:i + 4]) for i in range(0, len(toks), 4)]
+        ovs = [len(blocks[i] & blocks[i + 1])
+               for i in range(len(blocks) - 1)]
+        for g in range(1, len(ovs) - 1):
+            if ovs[g] < ovs[g - 1] and ovs[g] < ovs[g + 1]:
+                want[(did, g)] = ovs[g]
+    assert got == want

@@ -4503,6 +4503,51 @@ SELECT doc_id, lang, s,
 FROM r"""
 
 
+TILE_K = 8
+
+
+def q_tiling(sf_dir: str):
+    """TextTiling-style topic-boundary detection (Hearst 1997, exact
+    integers): fixed 8-token blocks, adjacent-block DISTINCT-shared-
+    token overlap, boundaries = strict interior local minima — pure
+    stateless map, nothing shuffles
+    (stages/corpus.py:text_tiling_boundaries)."""
+    from ..stages.corpus import text_tiling_boundaries
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return text_tiling_boundaries(docs, block_tokens=TILE_K)
+
+
+def _sql_tiling() -> str:
+    k = TILE_K
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+         unnest(range(1, len(regexp_extract_all(text, '\S+')) + 1))
+           AS pos
+  FROM documents),
+bt AS (SELECT DISTINCT doc_id, (pos - 1) // {k} AS b, w FROM tok),
+ov AS (SELECT a.doc_id, a.b AS g, CAST(COUNT(*) AS BIGINT) AS ov
+       FROM bt a JOIN bt x ON x.doc_id = a.doc_id AND x.b = a.b + 1
+                          AND x.w = a.w
+       GROUP BY 1, 2),
+nb AS (SELECT doc_id, CAST((COUNT(*) + {k - 1}) // {k} AS BIGINT)
+              AS nblk
+       FROM tok GROUP BY doc_id),
+gaps AS (SELECT nb.doc_id, CAST(g.g AS BIGINT) AS g
+         FROM nb, LATERAL (SELECT unnest(range(nb.nblk - 1)) AS g) g),
+j AS (SELECT gaps.doc_id, gaps.g, COALESCE(ov.ov, 0) AS ov
+      FROM gaps LEFT JOIN ov ON ov.doc_id = gaps.doc_id
+                            AND ov.g = gaps.g),
+w2 AS (SELECT doc_id, g, ov,
+  LAG(ov) OVER (PARTITION BY doc_id ORDER BY g) AS po,
+  LEAD(ov) OVER (PARTITION BY doc_id ORDER BY g) AS no
+  FROM j)
+SELECT doc_id, g AS gap, ov AS overlap FROM w2
+WHERE po IS NOT NULL AND no IS NOT NULL AND ov < po AND ov < no"""
+
+
 BPE_ROUNDS = 3
 
 
@@ -7625,6 +7670,7 @@ GROUP BY event_type, u - o.off
         "phrase": _sql_phrase(),
         "unigram_lm": _sql_unigram_lm(),
         "ppl_buckets": _sql_ppl_buckets(),
+        "tiling": _sql_tiling(),
         "bm25": _sql_bm25(),
         "bpe_train": _sql_bpe_train(),
         "bpe_encode": _sql_bpe_encode(),
@@ -7941,6 +7987,7 @@ def build_queries() -> dict:
         "phrase": q_phrase,
         "unigram_lm": q_unigram_lm,
         "ppl_buckets": q_ppl_buckets,
+        "tiling": q_tiling,
         "bm25": q_bm25,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,

@@ -699,3 +699,74 @@ def bpe_token_counts(docs, *, rounds: int = 3, top_v: int | None = None,
                          "n_bpe_tokens": pa.array(out[keep])})
 
     return docs.map_batches(count, batch_format="pyarrow")
+
+
+def text_tiling_boundaries(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           block_tokens: int = 8):
+    """TextTiling-style TOPIC-BOUNDARY detection (Hearst 1997 recast in
+    exact integers): split each doc into fixed ``block_tokens`` token
+    blocks, score every adjacent block pair by the number of DISTINCT
+    shared tokens, and report the gaps that are STRICT local minima of
+    that overlap (both neighbors higher) — the low-cohesion points
+    where topics change.  Interior gaps only; docs under three blocks
+    emit nothing.  Output: (id, gap, overlap) per boundary, where
+    ``gap`` g sits between blocks g and g+1 (0-based).
+
+    Pure stateless map_batches — tokenization, per-(doc, block)
+    distinct sets, adjacent-intersection counts and the valley test
+    are all vectorized per batch; nothing shuffles.  Integer counts,
+    so the SQL oracle matches bit-exactly.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gap": pa.array([], pa.int64()),
+                             "overlap": pa.array([], pa.int64())})
+        # token position within doc -> block id
+        starts = np.flatnonzero(
+            np.concatenate([[True], doc_of[1:] != doc_of[:-1]]))
+        pos = np.arange(len(doc_of)) - np.repeat(
+            starts, np.diff(np.append(starts, len(doc_of))))
+        blk = pos // block_tokens
+        # distinct (doc, blk, token) triples
+        df = pd.DataFrame({"d": doc_of, "b": blk, "w": toks})
+        df = df.drop_duplicates(["d", "b", "w"])
+        nxt = df.copy()
+        nxt["b"] = nxt["b"] - 1
+        ov = df.merge(nxt, on=["d", "b", "w"]).groupby(
+            ["d", "b"], sort=False).size().reset_index(name="ov")
+        # all interior gaps with 0-overlap defaults
+        ntok = np.bincount(doc_of, minlength=ndocs)
+        nblk = (ntok + block_tokens - 1) // block_tokens
+        m = np.maximum(nblk - 1, 0).astype(np.int64)
+        if int(m.sum()) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "gap": pa.array([], pa.int64()),
+                             "overlap": pa.array([], pa.int64())})
+        gd = np.repeat(np.arange(ndocs), m)
+        offs = np.concatenate([[0], np.cumsum(m)[:-1]])
+        gg = np.arange(int(m.sum())) - np.repeat(offs, m)
+        gaps = pd.DataFrame({"d": gd, "b": gg.astype(np.int64)})
+        gaps = gaps.merge(ov, on=["d", "b"], how="left")
+        gaps["ov"] = gaps["ov"].fillna(0).astype(np.int64)
+        d_a = gaps["d"].to_numpy()
+        g_a = gaps["b"].to_numpy()
+        o_a = gaps["ov"].to_numpy()
+        # strict local minima among interior gaps of the same doc
+        same_prev = np.concatenate([[False], d_a[1:] == d_a[:-1]])
+        same_next = np.concatenate([d_a[:-1] == d_a[1:], [False]])
+        prev_o = np.concatenate([[0], o_a[:-1]])
+        next_o = np.concatenate([o_a[1:], [0]])
+        keep = same_prev & same_next & (o_a < prev_o) & (o_a < next_o)
+        return pa.table({
+            id_col: pa.array(ids[d_a[keep]].astype(np.int64)),
+            "gap": pa.array(g_a[keep]),
+            "overlap": pa.array(o_a[keep]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
