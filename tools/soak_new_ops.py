@@ -1,0 +1,152 @@
+"""Scale soaks for the closing-session operators: grid_bbox_join,
+hash_walks and focal_conv at inputs ~100-1000x the sf0.1 suite, with
+synthetic deterministic data generated IN PARALLEL (range ->
+map_batches — nothing driver-side).  Prints one JSON line per soak.
+
+Usage: python tools/soak_new_ops.py [bbox|walks|focal|all]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+
+def _init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+
+
+def soak_bbox(n_a: int = 2_000_000, n_b: int = 2_000_000,
+              dom: int = 200_000):
+    """2M x 2M integer boxes over a 200k^2 domain (expected pair count
+    ~ n_a * n_b * (avg_w + avg_w)^2 / dom^2 — kept in the tens of
+    millions)."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.join import grid_bbox_join
+
+    def boxes(id_col, salt):
+        def fn(b: pa.Table) -> pa.Table:
+            i = b.column("id").to_numpy(zero_copy_only=False)
+            h1 = splitmix64(i.astype(np.uint64) + np.uint64(salt))
+            h2 = splitmix64(i.astype(np.uint64) + np.uint64(salt + 1))
+            x0 = (h1 % np.uint64(dom)).astype(np.int64)
+            y0 = (h2 % np.uint64(dom)).astype(np.int64)
+            w = 8 + (h1 >> np.uint64(32)).astype(np.int64) % 120
+            h = 8 + (h2 >> np.uint64(32)).astype(np.int64) % 96
+            return pa.table({
+                id_col: pa.array(i.astype(np.int64)),
+                "x0": pa.array(x0), "y0": pa.array(y0),
+                "x1": pa.array(x0 + w), "y1": pa.array(y0 + h),
+            })
+        return fn
+
+    a = rd.range(n_a, override_num_blocks=64).map_batches(
+        boxes("a_id", 11), batch_format="pyarrow")
+    b = rd.range(n_b, override_num_blocks=64).map_batches(
+        boxes("b_id", 977), batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = grid_bbox_join(a, b, cell=512, n_buckets=64)
+    n_pairs = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "bbox_join", "n_a": n_a, "n_b": n_b,
+            "pairs": n_pairs, "sec": round(wall, 2),
+            "boxes_per_sec": round((n_a + n_b) / wall)}
+
+
+def soak_walks(n_edges: int = 10_000_000, n_nodes: int = 1_000_000,
+               n_seeds: int = 100_000, steps: int = 4):
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.graph import hash_walks
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_nodes)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_nodes)).astype(np.int64)),
+        })
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        edges, batch_format="pyarrow")
+    seeds = rd.range(n_seeds).map_batches(
+        lambda b: pa.table({"node": pa.array(
+            (splitmix64(b.column("id").to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+             % np.uint64(n_nodes)).astype(np.int64))}),
+        batch_format="pyarrow")
+    # dedup seeds (hash collisions) so walk_id stays unique
+    from zen3geo_ray.stages.graph import distinct_tuples
+
+    seeds = distinct_tuples(seeds, ["node"])
+    t0 = time.perf_counter()
+    out = hash_walks(e, seeds, steps=steps)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "hash_walks", "n_edges": n_edges,
+            "n_seeds": n_seeds, "steps": steps, "rows": rows,
+            "sec": round(wall, 2),
+            "hops_per_sec": round(rows / wall)}
+
+
+def soak_focal(n_pixels: int = 10_000_000, n_tiles: int = 4096,
+               px: int = 256):
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.rasterize import focal_conv
+
+    def sparse(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h = splitmix64(i.astype(np.uint64) + np.uint64(5))
+        return pa.table({
+            "tile_id": pa.array((h % np.uint64(n_tiles)).astype(np.int64)),
+            "py": pa.array(((h >> np.uint64(16))
+                            % np.uint64(px)).astype(np.int64)),
+            "px": pa.array(((h >> np.uint64(32))
+                            % np.uint64(px)).astype(np.int64)),
+            "n": pa.array((1 + (h >> np.uint64(48))
+                           % np.uint64(100)).astype(np.int64)),
+        })
+
+    sp = rd.range(n_pixels, override_num_blocks=64).map_batches(
+        sparse, batch_format="pyarrow")
+    gx = {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+          (-1, 1): 1, (0, 1): 2, (1, 1): 1}
+    gy = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+          (1, -1): 1, (1, 0): 2, (1, 1): 1}
+    t0 = time.perf_counter()
+    out = focal_conv(sp, px_size=px, kernels={"gx": gx, "gy": gy},
+                     n_buckets=64)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "focal_conv", "n_input_rows": n_pixels,
+            "touched_pixels": rows, "sec": round(wall, 2),
+            "pixels_per_sec": round(n_pixels / wall)}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    _init()
+    fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal}
+    todo = fns.values() if which == "all" else [fns[which]]
+    for fn in todo:
+        print(json.dumps(fn()), flush=True)
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
