@@ -256,3 +256,59 @@ def test_grid_bbox_join_bruteforce(ray_session):
             if w > 0 and h > 0:
                 want[(ra["a_id"], rb["b_id"])] = w * h
     assert got == want and len(want) > 20
+
+
+def test_grid_seg_join_bruteforce(ray_session):
+    """Properly-crossing pair set + determinants vs the O(n*m)
+    orientation-test reference; segments point in all four quadrant
+    directions and span multiple cells (report-once must fire)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import grid_seg_join
+
+    rng = np.random.default_rng(43)
+
+    def segs(n, seed_off, id_col):
+        x0 = rng.integers(0, 400, n)
+        y0 = rng.integers(0, 400, n)
+        dx = rng.integers(-150, 150, n)
+        dy = rng.integers(-120, 120, n)
+        return pa.table({
+            id_col: pa.array(np.arange(n) + seed_off, pa.int64()),
+            "x0": pa.array(x0.astype(np.int64)),
+            "y0": pa.array(y0.astype(np.int64)),
+            "x1": pa.array((x0 + dx).astype(np.int64)),
+            "y1": pa.array((y0 + dy).astype(np.int64)),
+        })
+
+    ta = segs(60, 0, "a_id")
+    tb = segs(45, 1000, "b_id")
+    out = grid_seg_join(
+        rd.from_arrow(ta).repartition(3),
+        rd.from_arrow(tb).repartition(2),
+        cell=64, n_buckets=4).to_pandas()
+    got = {(int(r.a_id), int(r.b_id)): int(r.det)
+           for r in out.itertuples()}
+    assert len(got) == len(out)  # report-once: no duplicate pairs
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    want = {}
+    for ra in ta.to_pylist():
+        for rb in tb.to_pylist():
+            o1 = cross(ra["x0"], ra["y0"], ra["x1"], ra["y1"],
+                       rb["x0"], rb["y0"])
+            o2 = cross(ra["x0"], ra["y0"], ra["x1"], ra["y1"],
+                       rb["x1"], rb["y1"])
+            o3 = cross(rb["x0"], rb["y0"], rb["x1"], rb["y1"],
+                       ra["x0"], ra["y0"])
+            o4 = cross(rb["x0"], rb["y0"], rb["x1"], rb["y1"],
+                       ra["x1"], ra["y1"])
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                want[(ra["a_id"], rb["b_id"])] = (
+                    (ra["x1"] - ra["x0"]) * (rb["y1"] - rb["y0"])
+                    - (ra["y1"] - ra["y0"]) * (rb["x1"] - rb["x0"]))
+    assert got == want and len(want) > 20

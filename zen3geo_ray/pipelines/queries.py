@@ -237,6 +237,72 @@ FROM a JOIN b
   ON a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1"""
 
 
+def _segs_exprs(key: str, s1: int, s2: int):
+    """Deterministic bounded-length integer segments from a key column —
+    the shared arithmetic both sides evaluate: endpoint (x0, y0) hashed
+    into the domain, offset (dx, dy) in [-120, 120) × [-96, 96)."""
+    return (
+        f"({key} * {s1}) % {BBOX_DOM}",
+        f"({key} * {s2}) % {BBOX_DOM}",
+        f"({key} * 7) % 240 - 120",
+        f"({key} * 11) % 192 - 96",
+    )
+
+
+def q_seg_join(sf_dir: str):
+    """Large×large SEGMENT-INTERSECTION join (the line-overlay
+    st_intersects beside bbox_join): part-derived segments × supplier-
+    derived segments, PBSM grid partitioning with the report-once rule,
+    exact int64 orientation tests — one row per properly crossing pair
+    with the direction determinant (stages/join.py:grid_seg_join)."""
+    from ..stages.join import grid_seg_join
+
+    def mk(key_col, id_out, s1, s2):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x0 = (k * s1) % BBOX_DOM
+            y0 = (k * s2) % BBOX_DOM
+            dx = (k * 7) % 240 - 120
+            dy = (k * 11) % 192 - 96
+            return pa.table({
+                id_out: pa.array(k), "x0": pa.array(x0),
+                "y0": pa.array(y0), "x1": pa.array(x0 + dx),
+                "y1": pa.array(y0 + dy),
+            })
+        return fn
+
+    a = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        mk("p_partkey", "a_id", 163, 167), batch_format="pyarrow")
+    b = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        mk("s_suppkey", "b_id", 173, 179), batch_format="pyarrow")
+    return grid_seg_join(a, b, cell=BBOX_CELL)
+
+
+def _sql_seg_join() -> str:
+    ax0, ay0, adx, ady = _segs_exprs("p_partkey", 163, 167)
+    bx0, by0, bdx, bdy = _segs_exprs("s_suppkey", 173, 179)
+    return f"""
+WITH a AS (SELECT p_partkey AS a_id,
+                  CAST({ax0} AS BIGINT) AS x0,
+                  CAST({ay0} AS BIGINT) AS y0,
+                  CAST({ax0} + ({adx}) AS BIGINT) AS x1,
+                  CAST({ay0} + ({ady}) AS BIGINT) AS y1 FROM part),
+b AS (SELECT s_suppkey AS b_id,
+             CAST({bx0} AS BIGINT) AS x0,
+             CAST({by0} AS BIGINT) AS y0,
+             CAST({bx0} + ({bdx}) AS BIGINT) AS x1,
+             CAST({by0} + ({bdy}) AS BIGINT) AS y1 FROM supplier)
+SELECT a_id, b_id,
+       (a.x1 - a.x0) * (b.y1 - b.y0)
+       - (a.y1 - a.y0) * (b.x1 - b.x0) AS det
+FROM a JOIN b ON
+      ((a.x1 - a.x0) * (b.y0 - a.y0) - (a.y1 - a.y0) * (b.x0 - a.x0))
+    * ((a.x1 - a.x0) * (b.y1 - a.y0) - (a.y1 - a.y0) * (b.x1 - a.x0)) < 0
+  AND ((b.x1 - b.x0) * (a.y0 - b.y0) - (b.y1 - b.y0) * (a.x0 - b.x0))
+    * ((b.x1 - b.x0) * (a.y1 - b.y0) - (b.y1 - b.y0) * (a.x1 - b.x0)) < 0"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7000,6 +7066,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "nearest_admin": _sql_nearest_admin(),
         "bbox_join": _sql_bbox_join(),
+        "seg_join": _sql_seg_join(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -7858,6 +7925,7 @@ def build_queries() -> dict:
         "pip_admin": q_pip_admin,
         "nearest_admin": q_nearest_admin,
         "bbox_join": q_bbox_join,
+        "seg_join": q_seg_join,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
