@@ -1,0 +1,88 @@
+"""Per-group convex hull boundary + diameter (stages/hull.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute_boundary(pts: np.ndarray) -> list[tuple[int, int]]:
+    pts = np.unique(pts, axis=0)
+    out = []
+    for p in pts:
+        for q in pts:
+            if (q == p).all():
+                continue
+            cr = ((q[0] - p[0]) * (pts[:, 1] - p[1])
+                  - (q[1] - p[1]) * (pts[:, 0] - p[0]))
+            if (cr >= 0).all():
+                out.append((int(p[0]), int(p[1])))
+                break
+    return sorted(out)
+
+
+def test_boundary_kernel_fuzz():
+    from zen3geo_ray.stages.hull import _boundary_points
+
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        n = int(rng.integers(1, 40))
+        dom = int(rng.choice([3, 6, 25, 200]))
+        pts = rng.integers(0, dom, size=(n, 2)).astype(np.int64)
+        got = sorted(map(tuple, _boundary_points(pts)))
+        assert got == _brute_boundary(pts)
+    # all-collinear: every distinct point is on the boundary
+    t = np.array([0, 3, 5, 9], dtype=np.int64)
+    pts = np.stack([t * 2 + 1, t * 3 + 4], axis=1)
+    assert sorted(map(tuple, _boundary_points(pts))) == \
+        sorted(map(tuple, pts))
+    # single distinct point: no supporting q exists -> empty
+    assert len(_boundary_points(np.array([[5, 5], [5, 5]],
+                                         dtype=np.int64))) == 0
+
+
+def test_hull_boundary_distributed(ray_session):
+    """Block-local pruning is lossless: many blocks, groups scattered
+    across all of them, result equals the single-set brute force."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hull import hull_boundary
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 5, 600).astype(np.int64)
+    x = rng.integers(0, 50, 600).astype(np.int64)
+    y = rng.integers(0, 40, 600).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y})).repartition(7)
+    out = hull_boundary(ds, group_col="g", x_col="x", y_col="y",
+                        n_buckets=3).to_pandas()
+    got = sorted(zip(out["g"].astype(np.int64),
+                     out["x"].astype(np.int64),
+                     out["y"].astype(np.int64)))
+    want = []
+    for key in np.unique(g):
+        pts = np.stack([x[g == key], y[g == key]], axis=1)
+        want += [(int(key), px, py) for px, py in _brute_boundary(pts)]
+    assert got == sorted(want) and len(want) > 10
+
+
+def test_group_diameter_distributed(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.hull import group_diameter
+
+    rng = np.random.default_rng(29)
+    g = rng.integers(0, 4, 300).astype(np.int64)
+    x = rng.integers(-30, 60, 300).astype(np.int64)
+    y = rng.integers(0, 45, 300).astype(np.int64)
+    # group 9: a single point -> d2 = 0
+    g = np.concatenate([g, [9]])
+    x = np.concatenate([x, [7]])
+    y = np.concatenate([y, [8]])
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y})).repartition(5)
+    out = group_diameter(ds, group_col="g", x_col="x", y_col="y",
+                         n_buckets=3).to_pandas()
+    got = dict(zip(out["g"].astype(np.int64), out["d2"].astype(np.int64)))
+    for key in np.unique(g):
+        xs, ys = x[g == key], y[g == key]
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        assert got[int(key)] == int((dx * dx + dy * dy).max())
+    assert got[9] == 0

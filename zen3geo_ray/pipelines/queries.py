@@ -303,6 +303,80 @@ FROM a JOIN b ON
     * ((b.x1 - b.x0) * (a.y1 - b.y0) - (b.y1 - b.y0) * (a.x1 - b.x0)) < 0"""
 
 
+HULL_PTS = ("CAST((c_custkey * 29 + c_nationkey * 13) % 97 AS BIGINT)",
+            "CAST((c_custkey * 31 + c_nationkey * 17) % 89 AS BIGINT)")
+
+
+def _hull_points(sf_dir: str):
+    """Shared point derivation for hull/diameter: customers hashed into
+    a small 97×89 integer domain (small on purpose — duplicate points
+    and collinear runs actually occur, stressing the boundary rule)."""
+    def mk(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pa.array(nk),
+            "x": pa.array((ck * 29 + nk * 13) % 97),
+            "y": pa.array((ck * 31 + nk * 17) % 89),
+        })
+    return _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).map_batches(
+        mk, batch_format="pyarrow")
+
+
+def q_hull(sf_dir: str):
+    """Per-nation convex-hull boundary points (vertices + collinear
+    edge points, exact int64 cross products): block-local hulls prune
+    each block before the one bucketed shuffle — hull(union of block
+    hulls) == hull(all points), so full points never shuffle
+    (stages/hull.py:hull_boundary)."""
+    from ..stages.hull import hull_boundary
+
+    return hull_boundary(_hull_points(sf_dir),
+                         group_col="g", x_col="x", y_col="y")
+
+
+def _sql_hull() -> str:
+    hx, hy = HULL_PTS
+    return f"""
+WITH pts AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS g,
+                    {hx} AS x, {hy} AS y FROM customer),
+cand AS (
+  SELECT p.g, p.x, p.y,
+         MIN((q.x - p.x) * (r.y - p.y)
+             - (q.y - p.y) * (r.x - p.x)) AS mn
+  FROM pts p
+  JOIN pts q ON q.g = p.g AND (q.x <> p.x OR q.y <> p.y)
+  JOIN pts r ON r.g = p.g
+  GROUP BY p.g, p.x, p.y, q.x, q.y)
+SELECT DISTINCT g, x, y FROM cand WHERE mn >= 0"""
+
+
+def q_diameter(sf_dir: str):
+    """Exact per-nation squared diameter (max pairwise squared
+    distance): same block-local hull pruning — the farthest pair's
+    endpoints are hull vertices, so the O(k²) finale sees only pruned
+    survivors (stages/hull.py:group_diameter)."""
+    from ..stages.hull import group_diameter
+
+    return group_diameter(_hull_points(sf_dir),
+                          group_col="g", x_col="x", y_col="y")
+
+
+def _sql_diameter() -> str:
+    hx, hy = HULL_PTS
+    return f"""
+WITH pts AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+                    {hx} AS x, {hy} AS y FROM customer)
+SELECT p.g AS g,
+       MAX((p.x - q.x) * (p.x - q.x)
+           + (p.y - q.y) * (p.y - q.y)) AS d2
+FROM pts p JOIN pts q ON q.g = p.g
+GROUP BY p.g"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7067,6 +7141,8 @@ def build_oracles() -> dict[str, str]:
         "nearest_admin": _sql_nearest_admin(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
+        "hull": _sql_hull(),
+        "diameter": _sql_diameter(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -7926,6 +8002,8 @@ def build_queries() -> dict:
         "nearest_admin": q_nearest_admin,
         "bbox_join": q_bbox_join,
         "seg_join": q_seg_join,
+        "hull": q_hull,
+        "diameter": q_diameter,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
