@@ -86,3 +86,27 @@ def test_group_diameter_distributed(ray_session):
         dy = ys[:, None] - ys[None, :]
         assert got[int(key)] == int((dx * dx + dy * dy).max())
     assert got[9] == 0
+
+
+def test_kendall_counts_bruteforce(ray_session):
+    """Exact concordant/discordant counts vs the O(n^2) loop, ties in
+    both coordinates, groups scattered across blocks."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.zonal import kendall_counts
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 3, 400).astype(np.int64)
+    x = rng.integers(0, 12, 400).astype(np.int64)
+    y = rng.integers(0, 9, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y})).repartition(6)
+    out = kendall_counts(ds, "g", "x", "y", n_buckets=2).to_pandas()
+    got = {int(r.g): (int(r.n), int(r.concordant), int(r.discordant))
+           for r in out.itertuples()}
+    for key in np.unique(g):
+        xs, ys = x[g == key], y[g == key]
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        conc = int(((dx > 0) & (dy > 0)).sum())
+        disc = int(((dx > 0) & (dy < 0)).sum())
+        assert got[int(key)] == (len(xs), conc, disc)

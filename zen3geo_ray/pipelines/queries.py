@@ -377,6 +377,47 @@ FROM pts p JOIN pts q ON q.g = p.g
 GROUP BY p.g"""
 
 
+def q_kendall(sf_dir: str):
+    """Per-priority Kendall concordant/discordant pair counts between
+    order DAY (mod 48) and whole-dollar price (mod 40) — exact integers
+    from the bounded joint histogram, no pair join, no global sort
+    (stages/zonal.py:kendall_counts)."""
+    from ..stages.zonal import kendall_counts
+
+    def mk(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": b.column("o_orderpriority"),
+            "x": pa.array((ts // 86_400_000_000) % 48),
+            "y": pa.array(np.floor(price).astype(np.int64) % 40),
+        })
+
+    pts = _read(sf_dir, "orders",
+                ["o_orderpriority", "o_orderdate", "o_totalprice"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    return kendall_counts(pts, "g", "x", "y")
+
+
+def _sql_kendall() -> str:
+    return """
+WITH pts AS (SELECT o_orderpriority AS g,
+                    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                      % 48 AS x,
+                    CAST(FLOOR(o_totalprice) AS BIGINT) % 40 AS y
+             FROM orders),
+nn AS (SELECT g, COUNT(*) AS n FROM pts GROUP BY g),
+cd AS (SELECT p.g AS g,
+              CAST(SUM(CASE WHEN p.x < q.x AND p.y < q.y
+                            THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+              CAST(SUM(CASE WHEN p.x < q.x AND p.y > q.y
+                            THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+       FROM pts p JOIN pts q ON q.g = p.g GROUP BY p.g)
+SELECT nn.g AS g, nn.n AS n, cd.concordant, cd.discordant
+FROM nn JOIN cd ON cd.g = nn.g"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7143,6 +7184,7 @@ def build_oracles() -> dict[str, str]:
         "seg_join": _sql_seg_join(),
         "hull": _sql_hull(),
         "diameter": _sql_diameter(),
+        "kendall": _sql_kendall(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8004,6 +8046,7 @@ def build_queries() -> dict:
         "seg_join": q_seg_join,
         "hull": q_hull,
         "diameter": q_diameter,
+        "kendall": q_kendall,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -821,3 +821,69 @@ def ks_distance(ds, group_col: str, value_col: str, group_a, group_b,
         "d": pa.array([float(best) / float(den) if den else None],
                       pa.float64()),
     })
+
+
+def kendall_counts(ds, group_col: str, x_col: str, y_col: str, *,
+                   n_buckets: int = 32):
+    """Per-group KENDALL concordant / discordant pair counts of two
+    integer columns — exact int64, computed from the bounded per-group
+    (x, y) value-pair histogram, so there is NO O(n²) pair join and no
+    global sort anywhere.
+
+    With H the joint histogram and U[x, y] = Σ_{x' < x} H[x', y] the
+    exclusive x-prefix, each unordered pair is counted once at its
+    larger-x element: concordant partners of cell (x, y) are
+    Σ_{y' < y} U[x, y'] (2-D exclusive prefix), discordant partners
+    Σ_{y' > y} U[x, y'] (row total − inclusive prefix).  Tied-x and
+    tied-y pairs fall in neither sum, matching Kendall's definition.
+
+    Scale shape (100 TB): one streaming pass emits per-block
+    (g, x, y, count) partials — distinct-pair-bounded like
+    spearman_corr — one bucketed reduce folds and prefix-sums them;
+    rows never shuffle.  Counts are exact while pairs per group
+    < 2^63 (n per group ≲ 3·10⁹; beyond that lift the finale sums to
+    Python ints like spearman_corr does).
+
+    Output: (group_col, n, concordant, discordant), all int64 counts.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, x_col, y_col]).to_pandas()
+        out = df.groupby([group_col, x_col, y_col], sort=False) \
+            .size().reset_index(name="_c")
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finale(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([group_col, x_col, y_col],
+                         as_index=False)["_c"].sum()
+        gs, ns, cs_, ds_ = [], [], [], []
+        for key, g in agg.groupby(group_col, sort=False):
+            xs = g[x_col].to_numpy(dtype=np.int64)
+            ys = g[y_col].to_numpy(dtype=np.int64)
+            cnt = g["_c"].to_numpy(dtype=np.int64)
+            ux, xi = np.unique(xs, return_inverse=True)
+            uy, yi = np.unique(ys, return_inverse=True)
+            H = np.zeros((len(ux), len(uy)), dtype=np.int64)
+            np.add.at(H, (xi, yi), cnt)
+            U = np.zeros_like(H)
+            U[1:] = np.cumsum(H, axis=0)[:-1]
+            lt_lt = np.zeros_like(U)
+            lt_lt[:, 1:] = np.cumsum(U, axis=1)[:, :-1]
+            lt_gt = U.sum(axis=1, keepdims=True) - np.cumsum(U, axis=1)
+            gs.append(key)
+            ns.append(int(cnt.sum()))
+            cs_.append(int((H * lt_lt).sum()))
+            ds_.append(int((H * lt_gt).sum()))
+        return pd.DataFrame({group_col: gs,
+                             "n": pd.Series(ns, dtype="int64"),
+                             "concordant": pd.Series(cs_, dtype="int64"),
+                             "discordant": pd.Series(ds_, dtype="int64")})
+
+    return bucketed_groupby(hist, [group_col], finale,
+                            n_buckets=n_buckets)
