@@ -110,3 +110,36 @@ def test_kendall_counts_bruteforce(ray_session):
         conc = int(((dx > 0) & (dy > 0)).sum())
         disc = int(((dx > 0) & (dy < 0)).sum())
         assert got[int(key)] == (len(xs), conc, disc)
+
+
+def test_token_entropy_matches_direct(ray_session):
+    """Quantized per-group entropy equals the direct histogram
+    computation (and h is within quantization error of true entropy)."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.tfidf import token_entropy
+
+    docs = [("en", "a b a c a b"), ("en", "a d"),
+            ("fr", "x x x"), ("fr", "y x z z"),
+            ("de", "solo")]
+    t = pa.table({"lang": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]})
+    out = token_entropy(rd.from_arrow(t).repartition(3),
+                        group_col="lang", scale=65536,
+                        n_buckets=2).to_pandas()
+    got = {r.lang: (int(r.n), int(r.s), float(r.h))
+           for r in out.itertuples()}
+    for lang in ("en", "fr", "de"):
+        cnt = Counter(w for lg, tx in docs if lg == lang
+                      for w in tx.split())
+        n = sum(cnt.values())
+        s = sum(math.floor(c * math.log(c) * 65536.0)
+                for c in cnt.values())
+        h = math.log(n) - s / (float(n) * 65536.0)
+        assert got[lang] == (n, s, h)
+        true_h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert abs(got[lang][2] - true_h) < 1e-3
+    assert got["de"] == (1, 0, 0.0)

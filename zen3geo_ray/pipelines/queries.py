@@ -418,6 +418,38 @@ SELECT nn.g AS g, nn.n AS n, cd.concordant, cd.discordant
 FROM nn JOIN cd ON cd.g = nn.g"""
 
 
+ENTROPY_SCALE = 65536
+
+
+def q_entropy(sf_dir: str):
+    """Per-language Shannon entropy of the token distribution (nats,
+    VALUE-CHECKED): each vocab term contributes the exact integer
+    floor(c·ln(c)·2^16) — ln is bit-identical between math.log and
+    DuckDB on this libm — so sums are order-free and the one float
+    finale shares its parenthesization with the oracle
+    (stages/tfidf.py:token_entropy)."""
+    from ..stages.tfidf import token_entropy
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+    return token_entropy(docs, group_col="lang", scale=ENTROPY_SCALE)
+
+
+def _sql_entropy() -> str:
+    return rf"""
+WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY lang, w),
+agg AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c * ln(c) * {ENTROPY_SCALE}.0)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM cnt GROUP BY lang)
+SELECT lang, n, s,
+       ln(n) - CAST(s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * {ENTROPY_SCALE}.0) AS h
+FROM agg"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7185,6 +7217,7 @@ def build_oracles() -> dict[str, str]:
         "hull": _sql_hull(),
         "diameter": _sql_diameter(),
         "kendall": _sql_kendall(),
+        "entropy": _sql_entropy(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8047,6 +8080,7 @@ def build_queries() -> dict:
         "hull": q_hull,
         "diameter": q_diameter,
         "kendall": q_kendall,
+        "entropy": q_entropy,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
