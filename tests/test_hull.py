@@ -143,3 +143,46 @@ def test_token_entropy_matches_direct(ray_session):
         true_h = -sum((c / n) * math.log(c / n) for c in cnt.values())
         assert abs(got[lang][2] - true_h) < 1e-3
     assert got["de"] == (1, 0, 0.0)
+
+
+def test_jaccard_sim_join_complete(ray_session):
+    """Prefix filtering is COMPLETE: result equals the brute-force
+    all-pairs set over shingle sets, including a tau-boundary pair."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import jaccard_sim_join
+
+    docs = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),          # exact dup of 0
+        (2, "a b c d e f g x"),          # near dup of 0
+        (3, "p q r s t u v w"),          # unrelated
+        (4, "p q r s t u v w x y z"),    # superset of 3
+        (5, "one two"),                  # < 3 tokens: no shingles
+        (6, "a b c p q r s t u v w"),    # mixed
+    ]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": [d[1] for d in docs]})
+    out = jaccard_sim_join(
+        rd.from_arrow(t).repartition(3), k=3, tau_num=1, tau_den=2,
+        n_buckets=3).to_pandas()
+    got = {(int(r.i), int(r.j)): (int(r.inter), int(r.si), int(r.sj))
+           for r in out.itertuples()}
+    assert len(got) == len(out)
+
+    def shset(text):
+        ts = text.split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)} \
+            if len(ts) >= 3 else set()
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shset(docs[i][1]), shset(docs[j][1])
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter * 2 >= 1 * (len(a) + len(b) - inter):
+                want[(i, j)] = (inter, len(a), len(b))
+    assert got == want
+    assert (0, 1) in got and (3, 4) in got and (0, 3) not in got

@@ -450,6 +450,45 @@ SELECT lang, n, s,
 FROM agg"""
 
 
+SIMJOIN_K, SIMJOIN_NUM, SIMJOIN_DEN = 3, 1, 2
+
+
+def q_sim_join(sf_dir: str):
+    """EXACT Jaccard similarity self-join (PPJoin prefix filter): all
+    doc pairs whose 3-token shingle sets overlap at J >= 1/2 — complete
+    where the LSH pipelines are probabilistic; integer cross-multiplied
+    threshold, shingle-string-exact verify
+    (stages/dedup.py:jaccard_sim_join)."""
+    from ..stages.dedup import jaccard_sim_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_sim_join(docs, k=SIMJOIN_K, tau_num=SIMJOIN_NUM,
+                            tau_den=SIMJOIN_DEN)
+
+
+def _sql_sim_join() -> str:
+    k, num, den = SIMJOIN_K, SIMJOIN_NUM, SIMJOIN_DEN
+    joined = " || ' ' || ".join(f"ts[i+{d}]" if d else "ts[i]"
+                                for d in range(k))
+    return rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ts) - {k - 2}),
+                     i -> {joined})) AS w
+       FROM toks WHERE len(ts) >= {k}),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+       FROM sh GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(COUNT(*) AS BIGINT) AS inter
+         FROM sh a JOIN sh b ON b.w = a.w AND b.doc_id > a.doc_id
+         GROUP BY 1, 2)
+SELECT p.i, p.j, p.inter, sa.sz AS si, sb.sz AS sj
+FROM pair p JOIN sz sa ON sa.doc_id = p.i
+            JOIN sz sb ON sb.doc_id = p.j
+WHERE p.inter * {den} >= {num} * (sa.sz + sb.sz - p.inter)"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7218,6 +7257,7 @@ def build_oracles() -> dict[str, str]:
         "diameter": _sql_diameter(),
         "kendall": _sql_kendall(),
         "entropy": _sql_entropy(),
+        "sim_join": _sql_sim_join(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8081,6 +8121,7 @@ def build_queries() -> dict:
         "diameter": q_diameter,
         "kendall": q_kendall,
         "entropy": q_entropy,
+        "sim_join": q_sim_join,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -1323,3 +1323,131 @@ def compact_store(store_dir: str, *, n_files: int = 8) -> dict:
             shutil.rmtree(p)
     return {"files_before": len(before), "files_after": len(_files()),
             "rows": rows}
+
+
+def jaccard_sim_join(docs, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3,
+                     tau_num: int = 1, tau_den: int = 2,
+                     n_buckets: int = 32):
+    """EXACT Jaccard similarity self-join over per-doc DISTINCT k-token
+    shingle sets — every unordered pair (i < j) with
+    ``inter · tau_den >= tau_num · (|A| + |B| − inter)`` — COMPLETE
+    (unlike the LSH pipelines, no probabilistic miss), via PPJoin-style
+    PREFIX FILTERING (Xiao et al., WWW 2008).
+
+    Completeness: order every shingle universe by one fixed total order
+    (hash, ties by string — stateless, no broadcast vocabulary); if
+    J(A, B) >= tau then A and B must share a shingle among the first
+    ``|A| − ceil(tau·|A|) + 1`` of each side's order, so candidate
+    generation shuffles only those PREFIX postings.  A hash collision
+    can only ADD a candidate (verified exactly on strings afterwards),
+    never drop one.  Docs with fewer than k tokens have no shingles and
+    cannot pair (mirrored by the oracle's WHERE len >= k).
+
+    Plan: shingle-set stage (stateless map) → prefix postings → one
+    bucketed shuffle on the shingle hash (pairs per posting list) →
+    distinct pairs → two bucketed joins to re-attach the full sets →
+    exact set-intersection verify (stateless map).  Full documents
+    never shuffle; the set strings travel only for candidate pairs.
+
+    Output: ``(i, j, inter, si, sj)``, all int64.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import fnv1a_str_array
+    from .bucketed import bucketed_groupby
+    from .graph import distinct_tuples
+    from .hashjoin import bucketed_join
+    from .ngrams import tokens_flat
+
+    SEP = "\t"  # tokens never contain RE2 \s chars, shingles only ' '
+
+    def shingle_sets(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(doc_of, np.arange(ndocs + 1))
+        out_id, out_sz, out_set = [], [], []
+        for d in range(ndocs):
+            ts = toks[starts[d]:starts[d + 1]]
+            if len(ts) < k:
+                continue
+            sh = sorted({" ".join(ts[i:i + k])
+                         for i in range(len(ts) - k + 1)})
+            out_id.append(int(ids[d]))
+            out_sz.append(len(sh))
+            out_set.append(SEP.join(sh))
+        return pa.table({"_d": pa.array(out_id, pa.int64()),
+                         "_sz": pa.array(out_sz, pa.int64()),
+                         "_set": pa.array(out_set, pa.string())})
+
+    sets = docs.map_batches(shingle_sets, batch_format="pyarrow")
+
+    def prefix_postings(b: pa.Table) -> pa.Table:
+        ids = b.column("_d").to_numpy(zero_copy_only=False)
+        szs = b.column("_sz").to_numpy(zero_copy_only=False)
+        sstr = b.column("_set").to_numpy(zero_copy_only=False)
+        hs, ds = [], []
+        for t in range(len(ids)):
+            sh = sstr[t].split(SEP)  # string-sorted already
+            sz = int(szs[t])
+            p = sz - (-(-tau_num * sz) // tau_den) + 1
+            h = fnv1a_str_array(sh).view(np.int64)
+            # stable sort on hash over string-sorted input = the one
+            # global (hash, string) total order every doc agrees on
+            order = np.argsort(h, kind="stable")[:p]
+            hs.append(h[order])
+            ds.append(np.full(len(order), ids[t], dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "i": pa.array(np.concatenate(ds))})
+
+    posts = sets.map_batches(prefix_postings, batch_format="pyarrow")
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["i_a"] < m["i_b"]]
+        return pd.DataFrame({
+            "i": m["i_a"].to_numpy(dtype=np.int64),
+            "j": m["i_b"].to_numpy(dtype=np.int64),
+        }).drop_duplicates()
+
+    cand = bucketed_groupby(posts, ["h"], pair_up, n_buckets=n_buckets)
+    cand = distinct_tuples(cand, ["i", "j"], n_buckets=n_buckets)
+
+    left = sets.map_batches(
+        lambda b: b.rename_columns(["i", "si", "_set_i"]),
+        batch_format="pyarrow")
+    right = sets.map_batches(
+        lambda b: b.rename_columns(["j", "sj", "_set_j"]),
+        batch_format="pyarrow")
+    cand = bucketed_join(cand, left, on=["i"], how="inner",
+                         n_buckets=n_buckets)
+    cand = bucketed_join(cand, right, on=["j"], how="inner",
+                         n_buckets=n_buckets)
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ii = b.column("i").to_numpy(zero_copy_only=False)
+        jj = b.column("j").to_numpy(zero_copy_only=False)
+        si_ = b.column("si").to_numpy(zero_copy_only=False)
+        sj_ = b.column("sj").to_numpy(zero_copy_only=False)
+        sa = b.column("_set_i").to_numpy(zero_copy_only=False)
+        sb = b.column("_set_j").to_numpy(zero_copy_only=False)
+        oi, oj, ov, osi, osj = [], [], [], [], []
+        for t in range(n):
+            inter = len(set(sa[t].split(SEP)) & set(sb[t].split(SEP)))
+            if inter * tau_den >= tau_num * (int(si_[t]) + int(sj_[t])
+                                             - inter):
+                oi.append(int(ii[t])); oj.append(int(jj[t]))
+                ov.append(inter)
+                osi.append(int(si_[t])); osj.append(int(sj_[t]))
+        return pa.table({"i": pa.array(oi, pa.int64()),
+                         "j": pa.array(oj, pa.int64()),
+                         "inter": pa.array(ov, pa.int64()),
+                         "si": pa.array(osi, pa.int64()),
+                         "sj": pa.array(osj, pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
