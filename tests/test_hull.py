@@ -186,3 +186,61 @@ def test_jaccard_sim_join_complete(ray_session):
                 want[(i, j)] = (inter, len(a), len(b))
     assert got == want
     assert (0, 1) in got and (3, 4) in got and (0, 3) not in got
+
+
+def test_twap_per_key(ray_session):
+    """Quantized TWAP vs the direct per-key computation, including a
+    single-event key (span 0 -> NULL twap) and ts ties."""
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import twap_per_key
+
+    rows = [  # (user, t, value, uid)
+        (1, 0, 2.5, 1), (1, 10, 4.0, 2), (1, 30, 1.0, 3),
+        (2, 5, 7.25, 4), (2, 5, 3.0, 5), (2, 9, 1.5, 6),  # tie at t=5
+        (3, 100, 9.9, 7),                                  # single event
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "value": pa.array([r[2] for r in rows], pa.float64()),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = twap_per_key(rd.from_arrow(t).repartition(3),
+                       "user_id", "t", "value", "event_id",
+                       n_buckets=2).to_pandas()
+    got = {int(r.user_id): (int(r.n), int(r.s), int(r.span),
+                            None if r.span == 0 else float(r.twap))
+           for r in out.itertuples()}
+    # user 1: floor(2.5*10) + floor(4.0*20) = 25 + 80 = 105, span 30
+    assert got[1] == (3, 105, 30, 105.0 / 30.0)
+    # user 2: tie order by uid -> 7.25 holds 0us, 3.0 holds 4us
+    s2 = math.floor(7.25 * 0) + math.floor(3.0 * 4)
+    assert got[2] == (3, s2, 4, s2 / 4.0)
+    assert got[3] == (1, 0, 0, None)
+
+
+def test_ohlc_bars(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import ohlc_bars
+
+    rows = [  # (user, hour, t, value, uid)
+        (1, 0, 3, 5.0, 1), (1, 0, 1, 2.0, 2), (1, 0, 9, 4.0, 3),
+        (1, 1, 12, 8.0, 4),
+        (2, 0, 2, 1.0, 5), (2, 0, 2, 6.0, 6),  # tie -> uid order
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "hour": pa.array([r[1] for r in rows], pa.int64()),
+                  "t": pa.array([r[2] for r in rows], pa.int64()),
+                  "value": pa.array([r[3] for r in rows], pa.float64()),
+                  "event_id": pa.array([r[4] for r in rows], pa.int64())})
+    out = ohlc_bars(rd.from_arrow(t).repartition(3),
+                    "user_id", "hour", "t", "value", "event_id",
+                    n_buckets=2).to_pandas()
+    got = {(int(r.user_id), int(r.hour)):
+           (int(r.n), r.open, r.high, r.low, r.close)
+           for r in out.itertuples()}
+    assert got[(1, 0)] == (3, 2.0, 5.0, 2.0, 4.0)
+    assert got[(1, 1)] == (1, 8.0, 8.0, 8.0, 8.0)
+    assert got[(2, 0)] == (2, 1.0, 6.0, 1.0, 6.0)

@@ -489,6 +489,88 @@ FROM pair p JOIN sz sa ON sa.doc_id = p.i
 WHERE p.inter * {den} >= {num} * (sa.sz + sb.sz - p.inter)"""
 
 
+def q_twap(sf_dir: str):
+    """Per-user TIME-WEIGHTED average value (each value holds until
+    the user's next event): integer-quantized floor(value·Δt) terms so
+    sums are order-free, one shared float finale s/span, NULL for
+    single-event users (stages/sequence.py:twap_per_key)."""
+    from ..stages.sequence import twap_per_key
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t": b.column("ts").cast(pa.int64()),
+            "value": b.column("value"),
+            "event_id": b.column("event_id"),
+        })
+
+    return twap_per_key(events.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", "t", "value", "event_id")
+
+
+def _sql_twap() -> str:
+    return """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id
+           FROM events),
+d AS (SELECT user_id, t, value,
+             LEAD(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS nt
+      FROM e),
+agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN nt IS NULL THEN 0
+                             ELSE CAST(FLOOR(value * (nt - t))
+                                       AS BIGINT) END) AS BIGINT) AS s,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span
+        FROM d GROUP BY user_id)
+SELECT user_id, n, s, span,
+       CASE WHEN span = 0 THEN NULL
+            ELSE CAST(s AS DOUBLE) / CAST(span AS DOUBLE) END AS twap
+FROM agg"""
+
+
+def q_ohlc(sf_dir: str):
+    """OHLC candle bars per (user, hour): open/close by exact
+    (ts, event_id) order, high/low comparisons only — no float
+    arithmetic anywhere (stages/sequence.py:ohlc_bars)."""
+    from ..stages.sequence import ohlc_bars
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "hour": pc.divide(ts, 3_600_000_000),
+            "t": ts,
+            "value": b.column("value"),
+            "event_id": b.column("event_id"),
+        })
+
+    return ohlc_bars(events.map_batches(prep, batch_format="pyarrow"),
+                     "user_id", "hour", "t", "value", "event_id")
+
+
+def _sql_ohlc() -> str:
+    return """
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                  epoch_us(ts) AS t, value, event_id FROM events),
+r AS (SELECT user_id, hour, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                                ORDER BY t, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, hour) AS cnt
+      FROM e)
+SELECT user_id, hour, CAST(MAX(cnt) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn = cnt THEN value END) AS close
+FROM r GROUP BY user_id, hour"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7258,6 +7340,8 @@ def build_oracles() -> dict[str, str]:
         "kendall": _sql_kendall(),
         "entropy": _sql_entropy(),
         "sim_join": _sql_sim_join(),
+        "twap": _sql_twap(),
+        "ohlc": _sql_ohlc(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8122,6 +8206,8 @@ def build_queries() -> dict:
         "kendall": q_kendall,
         "entropy": q_entropy,
         "sim_join": q_sim_join,
+        "twap": q_twap,
+        "ohlc": q_ohlc,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -284,3 +284,88 @@ def cohort_retention(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return bucketed_groupby(counts, ["cohort", "offset"], final,
                             n_buckets=min(n_buckets, 16))
+
+
+def twap_per_key(ds, key_col: str, ts_col: str, value_col: str,
+                 uid_col: str, *, n_buckets: int = 32):
+    """Per-key TIME-WEIGHTED average price (the OHLC/TWAP market-data
+    reduce): each event's value holds until the next event; twap =
+    Σ value·Δt / (t_max − t_min).
+
+    Float discipline: every term is quantized to the exact INTEGER
+    ``floor(value · Δt_us)`` (both sides compute the identical double
+    product of a stored double and an exact-in-double int64 gap first,
+    so the floor agrees bit-for-bit), integer terms sum order-free,
+    and the one float finale ``s / span`` shares its parenthesization
+    with the oracle.  The last event of a key contributes 0 (no next
+    event); ties on ``ts_col`` break by ``uid_col`` exactly like the
+    oracle's ``ORDER BY t, uid``.
+
+    One coarse-bucket shuffle on the key; inside each bucket one
+    lexsort + segment-boundary diffs — no per-key Python.  Output:
+    ``(key, n, s, span, twap)``; twap NULL when span = 0.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, uid_col], kind="stable")
+        k = df[key_col].to_numpy()
+        t = df[ts_col].to_numpy(dtype=np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        # Δt to the NEXT event within the key; last-of-key gets 0
+        nxt = np.empty(len(df), dtype=np.int64)
+        nxt[:-1] = t[1:] - t[:-1]
+        nxt[-1] = 0
+        ends = np.concatenate([starts[1:] - 1, [len(df) - 1]])
+        nxt[ends] = 0
+        term = np.floor(v * nxt).astype(np.int64)
+        s = np.add.reduceat(term, starts)
+        n = np.diff(np.concatenate([starts, [len(df)]]))
+        span = t[ends] - t[starts]
+        twap = np.where(span == 0, np.nan,
+                        s.astype(np.float64)
+                        / np.where(span == 0, 1, span).astype(np.float64))
+        out = pd.DataFrame({key_col: k[starts],
+                            "n": n.astype(np.int64),
+                            "s": s.astype(np.int64),
+                            "span": span.astype(np.int64),
+                            "twap": twap})
+        out["twap"] = out["twap"].where(out["span"] != 0, other=None)
+        return out
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def ohlc_bars(ds, key_col: str, bucket_col: str, ts_col: str,
+              value_col: str, uid_col: str, *, n_buckets: int = 32):
+    """OHLC candle bars per (key, time-bucket): count, OPEN (first
+    value in (ts, uid) order), HIGH, LOW, CLOSE (last value).  No
+    arithmetic touches the doubles — open/close are selections and
+    high/low exact comparisons — so the oracle matches bit-for-bit
+    (values must be NaN-free; pandas min/max skip NaN where SQL
+    propagates it).
+
+    One coarse-bucket shuffle on the key; vectorized sort + groupby
+    head/tail inside — no per-key Python.  Output:
+    ``(key, bucket, n, open, high, low, close)``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, bucket_col, ts_col, uid_col],
+                            kind="stable")
+        g = df.groupby([key_col, bucket_col], sort=False)[value_col]
+        out = g.agg(n="size", open="first", high="max", low="min",
+                    close="last").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
