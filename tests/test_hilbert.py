@@ -83,3 +83,38 @@ def test_range_partition_by_hilbert_balances(ray_session):
     # partitions are monotone in hkey (contiguous curve ranges)
     s = out.sort_values("hkey")
     assert (np.diff(s["partition"].to_numpy()) >= 0).all()
+
+
+def test_geohash_published_vectors():
+    """Pin the kernel to the PUBLISHED geohash test vectors, not to our
+    own SQL mirror (both sides could share a bug otherwise)."""
+    import numpy as np
+
+    from zen3geo_ray.geom.cells import geohash_of
+
+    lon = np.array([10.40744, -5.6, 0.0, -180.0, 179.999, -74.006])
+    lat = np.array([57.64911, 42.6, 0.0, -90.0, 89.999, 40.7128])
+    got = geohash_of(lon, lat, 8).tolist()
+    assert got[0] == "u4pruydq"          # wikipedia's canonical vector
+    assert got[1].startswith("ezs42")    # Niemeyer's original example
+    assert got[2] == "s0000000"          # origin
+    assert got[3] == "00000000"          # SW corner = all-zero code
+    assert got[5].startswith("dr5reg")   # NYC (verified reference hash)
+
+
+def test_geohash_prefix_nesting():
+    """Curve invariant: a point's p=8 hash is prefixed by its p=4 hash
+    (geohash cells nest), and nearby points share long prefixes."""
+    import numpy as np
+
+    from zen3geo_ray.geom.cells import geohash_of
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    g8 = geohash_of(lon, lat, 8)
+    g4 = geohash_of(lon, lat, 4)
+    assert all(a.startswith(b) for a, b in zip(g8, g4))
+    base = geohash_of(np.array([2.3522]), np.array([48.8566]), 8)[0]
+    near = geohash_of(np.array([2.35220001]), np.array([48.85660001]), 8)[0]
+    assert near[:6] == base[:6]

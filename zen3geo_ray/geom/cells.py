@@ -288,3 +288,65 @@ def sql_morton_expr(nx_expr: str, ny_expr: str, res: int) -> str:
         terms.append(f"((({ny_expr}) >> {i}) & 1) << {2 * i + 1}")
     z = " | ".join(f"({t})" for t in terms)
     return f"(((({nx_expr}) >> {res}) << {2 * res}) | {z})"
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_of(lon, lat, precision: int = 8) -> np.ndarray:
+    """Standard GEOHASH base32 strings (Niemeyer encoding, vectorized).
+
+    Equivalent closed form of the bisection construction: quantize
+    lon/lat to ``bits/2`` bits each (lon = x, lat = y), Morton-
+    interleave with the LONGITUDE bit most significant, then emit
+    5-bit groups through the geohash base32 alphabet.  Even precisions
+    only (odd ones split a cell asymmetrically across the two axes —
+    the closed form would need per-axis bit counts to differ by one).
+    Mirrored bit for bit by ``sql_geohash_ctes``.
+    """
+    if precision % 2 != 0 or not (2 <= precision <= 12):
+        raise ValueError("precision must be even, 2..12")
+    half = 5 * precision // 2
+    n = np.int64(1) << np.int64(half)
+    x = np.clip(np.floor((np.asarray(lon, dtype=np.float64) + 180.0)
+                         / 360.0 * float(n)), 0, float(int(n) - 1)
+                ).astype(np.int64)
+    y = np.clip(np.floor((np.asarray(lat, dtype=np.float64) + 90.0)
+                         / 180.0 * float(n)), 0, float(int(n) - 1)
+                ).astype(np.int64)
+    code = np.zeros_like(x)
+    for i in range(half):
+        code |= ((x >> np.int64(i)) & 1) << np.int64(2 * i + 1)
+        code |= ((y >> np.int64(i)) & 1) << np.int64(2 * i)
+    lut = np.frombuffer(GEOHASH_B32.encode(), dtype=np.uint8)
+    idx = np.empty((len(code), precision), dtype=np.int64)
+    for c in range(precision):
+        idx[:, c] = (code >> np.int64(5 * (precision - 1 - c))) & 31
+    raw = np.ascontiguousarray(lut[idx]).view(f"S{precision}")[:, 0]
+    return raw.astype(str)
+
+
+def sql_geohash_ctes(src: str, id_col: str, lon_expr: str,
+                     lat_expr: str, precision: int = 8) -> str:
+    """CTE chain computing exactly ``geohash_of`` over ``src`` rows:
+    quantize (shared float expression shape with sql_nxny_exprs),
+    unrolled BIGINT bit interleave, base32 chars via substring lookups.
+    Ends with CTE ``ghf(id_col, gh)``."""
+    half = 5 * precision // 2
+    n = 1 << half
+    xq = (f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 "
+          f"* {n}.0) AS BIGINT), 0), {n - 1})")
+    yq = (f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 "
+          f"* {n}.0) AS BIGINT), 0), {n - 1})")
+    terms = []
+    for i in range(half):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i})")
+    code = " | ".join(terms)
+    chars = " || ".join(
+        f"substring('{GEOHASH_B32}', "
+        f"CAST((code >> {5 * (precision - 1 - c)}) & 31 AS INTEGER) + 1, 1)"
+        for c in range(precision))
+    return f"""ghq AS (SELECT {id_col}, {xq} AS x, {yq} AS y FROM {src}),
+ghc AS (SELECT {id_col}, {code} AS code FROM ghq),
+ghf AS (SELECT {id_col}, {chars} AS gh FROM ghc)"""

@@ -2751,6 +2751,38 @@ def q_hilbert(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+GEOHASH_P = 8
+
+
+def q_geohash(sf_dir: str):
+    """Standard GEOHASH base32 cell ids for every geocoded doc (the
+    ubiquitous spatial-bucketing key beside the integer grid/Morton/
+    Hilbert family): closed-form Morton interleave + alphabet lookup,
+    bit-mirrored by sql_geohash_ctes; pinned to the published
+    'u4pruydq' test vector in tests (geom/cells.py:geohash_of)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        lon, lat = geocode_id(ids, langs)
+        gh = cells.geohash_of(lon, lat, GEOHASH_P)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "gh": pa.array(gh, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_geohash() -> str:
+    lon, lat = sql_geocode_exprs("doc_id", "lang")
+    return f"""
+WITH {cells.sql_geohash_ctes("documents", "doc_id", lon, lat,
+                             GEOHASH_P)}
+SELECT doc_id, gh FROM ghf"""
+
+
 PCONT_QS = [0.25, 0.9]
 
 
@@ -7342,6 +7374,7 @@ def build_oracles() -> dict[str, str]:
         "sim_join": _sql_sim_join(),
         "twap": _sql_twap(),
         "ohlc": _sql_ohlc(),
+        "geohash": _sql_geohash(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8208,6 +8241,7 @@ def build_queries() -> dict:
         "sim_join": q_sim_join,
         "twap": q_twap,
         "ohlc": q_ohlc,
+        "geohash": q_geohash,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
