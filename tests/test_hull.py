@@ -244,3 +244,26 @@ def test_ohlc_bars(ray_session):
     assert got[(1, 0)] == (3, 2.0, 5.0, 2.0, 4.0)
     assert got[(1, 1)] == (1, 8.0, 8.0, 8.0, 8.0)
     assert got[(2, 0)] == (2, 1.0, 6.0, 1.0, 6.0)
+
+
+def test_rle_runs(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import rle_runs
+
+    rows = [  # (user, type, t, uid)
+        (1, "a", 0, 1), (1, "a", 1, 2), (1, "b", 2, 3), (1, "a", 3, 4),
+        (2, "x", 0, 5), (2, "x", 0, 6),  # tie -> uid order, one run
+        (3, "q", 9, 7),
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": [r[1] for r in rows],
+                  "t": pa.array([r[2] for r in rows], pa.int64()),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = rle_runs(rd.from_arrow(t).repartition(3),
+                   "user_id", "event_type", "t", "event_id",
+                   n_buckets=2).to_pandas()
+    got = sorted((int(r.user_id), int(r.run_id), r.event_type,
+                  int(r.run_len)) for r in out.itertuples())
+    assert got == [(1, 1, "a", 2), (1, 2, "b", 1), (1, 3, "a", 1),
+                   (2, 1, "x", 2), (3, 1, "q", 1)]

@@ -571,6 +571,83 @@ SELECT user_id, hour, CAST(MAX(cnt) AS BIGINT) AS n,
 FROM r GROUP BY user_id, hour"""
 
 
+def q_rle(sf_dir: str):
+    """Run-length encoding of each user's event-type sequence (the
+    gaps-and-islands compaction): consecutive equal types in
+    (ts, event_id) order collapse to (user, run_id, type, run_len)
+    (stages/sequence.py:rle_runs)."""
+    from ..stages.sequence import rle_runs
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "t": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+        })
+
+    return rle_runs(events.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", "event_type", "t", "event_id")
+
+
+def _sql_rle() -> str:
+    return """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events),
+r AS (SELECT user_id, event_type, t, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY t, event_id) AS rt
+      FROM e),
+g AS (SELECT user_id, event_type, rn - rt AS grp, MIN(rn) AS srn,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM r GROUP BY user_id, event_type, rn - rt)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn)
+            AS BIGINT) AS run_id,
+       event_type, run_len
+FROM g"""
+
+
+def q_sim_clusters(sf_dir: str):
+    """Exact near-duplicate CLUSTERS: the complete jaccard_sim_join
+    pair set closed under connectivity (min-doc-id labels) — the
+    entity-resolution composition sim-join -> connected components;
+    only docs with at least one partner appear (clusters of size >= 2)
+    (stages/dedup.py:jaccard_sim_join + stages/graph.py:
+    connected_components)."""
+    from ..stages.graph import connected_components
+
+    pairs = q_sim_join(sf_dir)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"src": b.column("i"), "dst": b.column("j")}),
+        batch_format="pyarrow")
+    cc = connected_components(edges)
+    return cc.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster"]),
+        batch_format="pyarrow")
+
+
+def _sql_sim_clusters() -> str:
+    sim = _sql_sim_join()
+    return f"""
+WITH RECURSIVE
+simp AS ({sim}),
+edge AS (SELECT DISTINCT a, b FROM
+         (SELECT i AS a, j AS b FROM simp
+          UNION ALL SELECT j AS a, i AS b FROM simp)),
+walk(id, r) AS (
+  SELECT DISTINCT a, a FROM edge
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster FROM walk GROUP BY id"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7375,6 +7452,8 @@ def build_oracles() -> dict[str, str]:
         "twap": _sql_twap(),
         "ohlc": _sql_ohlc(),
         "geohash": _sql_geohash(),
+        "rle": _sql_rle(),
+        "sim_clusters": _sql_sim_clusters(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8242,6 +8321,8 @@ def build_queries() -> dict:
         "twap": q_twap,
         "ohlc": q_ohlc,
         "geohash": q_geohash,
+        "rle": q_rle,
+        "sim_clusters": q_sim_clusters,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -369,3 +369,42 @@ def ohlc_bars(ds, key_col: str, bucket_col: str, ts_col: str,
         return out
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def rle_runs(ds, key_col: str, type_col: str, ts_col: str,
+             uid_col: str, *, n_buckets: int = 32):
+    """RUN-LENGTH encoding of each key's ordered event-type sequence
+    (the gaps-and-islands compaction): consecutive equal types in
+    (ts, uid) order collapse to one row ``(key, run_id, type,
+    run_len)`` with run_id 1-based per key.
+
+    One coarse-bucket shuffle on the key; inside each bucket one
+    lexsort + vectorized boundary flags + reduceat — no per-key
+    Python, all integers.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, uid_col], kind="stable")
+        k = df[key_col].to_numpy()
+        ty = df[type_col].to_numpy()
+        newkey = np.empty(len(df), dtype=bool)
+        newkey[0] = True
+        newkey[1:] = k[1:] != k[:-1]
+        newrun = newkey.copy()
+        newrun[1:] |= ty[1:] != ty[:-1]
+        starts = np.flatnonzero(newrun)
+        run_len = np.diff(np.concatenate([starts, [len(df)]]))
+        # run_id restarts at 1 on each key boundary
+        run_seq = np.arange(len(starts), dtype=np.int64)
+        keystart_of_run = np.cumsum(newkey[starts]) - 1
+        first_run_of_key = np.flatnonzero(newkey[starts])
+        run_id = run_seq - first_run_of_key[keystart_of_run] + 1
+        return pd.DataFrame({key_col: k[starts],
+                             "run_id": run_id.astype(np.int64),
+                             type_col: ty[starts],
+                             "run_len": run_len.astype(np.int64)})
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
