@@ -429,6 +429,66 @@ class Pipe:
 
         return Pipe(bpe_token_counts(self.ds, rounds=rounds, **kwargs))
 
+    def sim_join(self, **kwargs) -> "Pipe":
+        """Exact Jaccard similarity self-join (complete, prefix-filtered)."""
+        from .stages.dedup import jaccard_sim_join
+
+        return Pipe(jaccard_sim_join(self.ds, **kwargs))
+
+    def hull(self, group_col: str, x_col: str, y_col: str,
+             **kwargs) -> "Pipe":
+        """Per-group convex-hull boundary points (exact integers)."""
+        from .stages.hull import hull_boundary
+
+        return Pipe(hull_boundary(self.ds, group_col=group_col,
+                                  x_col=x_col, y_col=y_col, **kwargs))
+
+    def diameter(self, group_col: str, x_col: str, y_col: str,
+                 **kwargs) -> "Pipe":
+        """Per-group exact squared diameter via hull pruning."""
+        from .stages.hull import group_diameter
+
+        return Pipe(group_diameter(self.ds, group_col=group_col,
+                                   x_col=x_col, y_col=y_col, **kwargs))
+
+    def kendall(self, group_col: str, x_col: str, y_col: str,
+                **kwargs) -> "Pipe":
+        """Per-group Kendall concordant/discordant pair counts."""
+        from .stages.zonal import kendall_counts
+
+        return Pipe(kendall_counts(self.ds, group_col, x_col, y_col,
+                                   **kwargs))
+
+    def token_entropy(self, **kwargs) -> "Pipe":
+        """Per-group Shannon entropy of the token distribution."""
+        from .stages.tfidf import token_entropy
+
+        return Pipe(token_entropy(self.ds, **kwargs))
+
+    def twap(self, key_col: str, ts_col: str, value_col: str,
+             uid_col: str, **kwargs) -> "Pipe":
+        """Per-key time-weighted average value."""
+        from .stages.sequence import twap_per_key
+
+        return Pipe(twap_per_key(self.ds, key_col, ts_col, value_col,
+                                 uid_col, **kwargs))
+
+    def ohlc(self, key_col: str, bucket_col: str, ts_col: str,
+             value_col: str, uid_col: str, **kwargs) -> "Pipe":
+        """OHLC candle bars per (key, time bucket)."""
+        from .stages.sequence import ohlc_bars
+
+        return Pipe(ohlc_bars(self.ds, key_col, bucket_col, ts_col,
+                              value_col, uid_col, **kwargs))
+
+    def rle(self, key_col: str, type_col: str, ts_col: str,
+            uid_col: str, **kwargs) -> "Pipe":
+        """Run-length encode each key's ordered type sequence."""
+        from .stages.sequence import rle_runs
+
+        return Pipe(rle_runs(self.ds, key_col, type_col, ts_col,
+                             uid_col, **kwargs))
+
     def regrid(self, src: dict, dst: dict, **kwargs) -> "Pipe":
         """Nearest-neighbor warp/regrid of a sparse raster pipe onto a
         new grid (optionally cross-CRS via ``inv_transform=``)."""
