@@ -1164,3 +1164,40 @@ def test_incremental_pagerank_pinned_engine_parity(ray_session, tmp_path):
             results[(engine, i)] = dict(zip(r["node"], r["pr"]))
     for i in range(len(batches)):
         assert results[("dataset", i)] == results[("pinned", i)]
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_sssp_bounded_bruteforce(ray_session, bt):
+    """Weighted bounded-round distances vs a numpy Bellman-Ford
+    reference, both execution paths; a longer-hop cheaper path must
+    beat a shorter expensive one within the round budget."""
+    from zen3geo_ray.stages.graph import sssp_bounded
+
+    rng = np.random.default_rng(17)
+    n, m = 60, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 9, m).astype(np.int64)
+    # planted: 0 -> 50 direct cost 100, 0 -> 49 -> 50 cost 2
+    src = np.concatenate([src, [0, 0, 49]])
+    dst = np.concatenate([dst, [50, 49, 50]])
+    w = np.concatenate([w, [100, 1, 1]])
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})
+                          ).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": np.array([0, 7], np.int64)}))
+    rounds = 3
+    out = sssp_bounded(edges, seeds, max_rounds=rounds,
+                       broadcast_threshold=bt).to_pandas()
+    got = dict(zip(out["node"].astype(np.int64),
+                   out["dist"].astype(np.int64)))
+
+    INF = 1 << 60
+    ref = {0: 0, 7: 0}
+    for _ in range(rounds):
+        new = dict(ref)
+        for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+            if s in ref and ref[s] + ww < new.get(d, INF):
+                new[d] = ref[s] + ww
+        ref = new
+    assert got == ref
+    assert got[50] == 2

@@ -648,6 +648,48 @@ walk(id, r) AS (
 SELECT id AS doc_id, MIN(r) AS cluster FROM walk GROUP BY id"""
 
 
+SSSP_SEED_MOD, SSSP_ROUNDS = 50, 3
+
+
+def q_sssp(sf_dir: str):
+    """Multi-source bounded-round WEIGHTED shortest paths over the
+    lineitem-count trade graph (Bellman-Ford layering, changed-delta
+    broadcast / full-state bucketed) — the weighted sibling of
+    bfs_hops (stages/graph.py:sssp_bounded)."""
+    from ..stages.graph import distinct_tuples, sssp_bounded
+
+    edges = _trade_edges_weighted(sf_dir).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(s[s % SSSP_SEED_MOD == 0]))})
+
+    seeds = distinct_tuples(
+        edges.map_batches(seed_partial, batch_format="pyarrow"),
+        ["node"])
+    return sssp_bounded(edges, seeds, max_rounds=SSSP_ROUNDS)
+
+
+def _sql_sssp() -> str:
+    ctes = [
+        _SQL_GRAPH_EDGES_W,
+        (f"d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist"
+         f" FROM edges WHERE src % {SSSP_SEED_MOD} = 0)"),
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + e.w AS dist
+    FROM edges e JOIN d{i - 1} r ON r.node = e.src
+  ) GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist"
+              f" FROM d{SSSP_ROUNDS}")
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7454,6 +7496,7 @@ def build_oracles() -> dict[str, str]:
         "geohash": _sql_geohash(),
         "rle": _sql_rle(),
         "sim_clusters": _sql_sim_clusters(),
+        "sssp": _sql_sssp(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8323,6 +8366,7 @@ def build_queries() -> dict:
         "geohash": q_geohash,
         "rle": q_rle,
         "sim_clusters": q_sim_clusters,
+        "sssp": q_sssp,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

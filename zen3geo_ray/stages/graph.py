@@ -2251,3 +2251,110 @@ def hash_walks(edges, seeds, *, steps: int, src: str = "src",
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+def sssp_bounded(edges, seeds, *, src: str = "src", dst: str = "dst",
+                 weight_col: str = "w", max_rounds: int = 3,
+                 n_buckets: int | None = None,
+                 broadcast_threshold: int = BROADCAST_NODES):
+    """Multi-source bounded-round WEIGHTED shortest paths (Bellman-Ford
+    layering) — the weighted sibling of ``bfs_hops``: (node, dist) =
+    minimum total weight over paths of <= ``max_rounds`` edges from any
+    seed (non-negative int64 weights; seeds start at 0).
+
+    Round i relaxes every edge once: dist_i(v) = min(dist_{i-1}(v),
+    min_{u→v} dist_{i-1}(u) + w(u, v)) — exact over <= i-edge paths, so
+    ``max_rounds`` rounds mirror the chained-CTE oracle term for term.
+    Unlike unit-hop BFS a reached distance is NOT final, so the
+    broadcast path ships the CHANGED-DELTA set instead of the frontier:
+    only edges whose source IMPROVED last round can improve a neighbor,
+    and the walk stops early once a round improves nothing (same
+    results).  The bucketed path ships the whole (node, dist) state per
+    round like bfs_hops.
+    """
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["dist"].min()
+
+    if n_edges <= broadcast_threshold:
+        import ray
+        import ray.data as rd
+
+        sdf = seeds.to_pandas()
+        known = np.sort(np.unique(sdf[NODE].to_numpy().astype(np.int64)))
+        dist = np.zeros(len(known), dtype=np.int64)
+        ch_nodes, ch_dist = known, dist
+        for _ in range(max_rounds):
+            if len(ch_nodes) == 0:
+                break
+            ref = ray.put((ch_nodes, ch_dist))
+
+            def relax_bc(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, dv = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                wv = b.column(weight_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                idx_c = np.minimum(np.searchsorted(ns, s), len(ns) - 1)
+                m = ns[idx_c] == s
+                df = pd.DataFrame({NODE: d[m],
+                                   "dist": dv[idx_c[m]] + wv[m]}
+                                  ).groupby(NODE, sort=False,
+                                            as_index=False)["dist"].min()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                edges.map_batches(relax_bc, batch_format="pyarrow"),
+                [NODE], take_min, n_buckets=n_buckets,
+            ).to_pandas()
+            rn = red[NODE].to_numpy().astype(np.int64)
+            rdist = red["dist"].to_numpy().astype(np.int64)
+            if len(known):
+                ik = np.minimum(np.searchsorted(known, rn),
+                                len(known) - 1)
+                exists = known[ik] == rn
+            else:
+                ik = np.zeros(len(rn), dtype=np.int64)
+                exists = np.zeros(len(rn), dtype=bool)
+            better = exists & (rdist < dist[ik])
+            fresh = ~exists
+            dist[ik[better]] = rdist[better]
+            merged = np.concatenate([known, rn[fresh]])
+            mdist = np.concatenate([dist, rdist[fresh]])
+            mo = np.argsort(merged, kind="mergesort")
+            known, dist = merged[mo], mdist[mo]
+            ch = np.concatenate([rn[better], rn[fresh]])
+            cd = np.concatenate([rdist[better], rdist[fresh]])
+            co = np.argsort(ch, kind="mergesort")
+            ch_nodes, ch_dist = ch[co], cd[co]
+        return rd.from_arrow(pa.table({NODE: pa.array(known),
+                                       "dist": pa.array(dist)}))
+
+    state = _settle(seeds.map_batches(
+        lambda b: pa.table({
+            NODE: b.column(NODE),
+            "dist": pa.array(np.zeros(len(b), dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ), n_buckets)
+
+    def relax_partial(b: pa.Table) -> pa.Table:
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        wv = b.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dist = b.column("dist").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({NODE: d, "dist": dist + wv}).groupby(
+            NODE, sort=False, as_index=False)["dist"].min()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    for _ in range(max_rounds):
+        joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
+        relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
+        state = _settle(bucketed_groupby(
+            state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
+        ), n_buckets)
+    return state
