@@ -267,3 +267,22 @@ def test_rle_runs(ray_session):
                   int(r.run_len)) for r in out.itertuples())
     assert got == [(1, 1, "a", 2), (1, 2, "b", 1), (1, 3, "a", 1),
                    (2, 1, "x", 2), (3, 1, "q", 1)]
+
+
+def test_normalized_dedup(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import normalized_dedup
+
+    docs = [
+        (5, "Hello, World!"), (2, "hello   world"), (9, "HELLO-WORLD"),
+        (3, "another page"), (7, "Another page?"),
+        (4, "unique text here"),
+    ]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": [d[1] for d in docs]})
+    out = normalized_dedup(rd.from_arrow(t).repartition(3),
+                           n_buckets=2).to_pandas()
+    got = dict(zip(out["doc_id"].astype(np.int64),
+                   out["n_dups"].astype(np.int64)))
+    assert got == {2: 3, 3: 2, 4: 1}

@@ -273,3 +273,19 @@ def registered_domain(hosts):
         else pa.array(list(hosts), pa.string())
     ex = pc.extract_regex(arr, pattern=r"(?P<d>[^.]+\.[^.]+)$")
     return pc.coalesce(pc.struct_field(ex, "d"), arr)
+
+
+def normalize_ascii(col):
+    """Canonical ASCII text normalization for dedup: lowercase, every
+    non-[a-z0-9] run -> one space, trim.  Both pyarrow and DuckDB run
+    RE2 + UTF-8-aware lower(), so the SQL mirror
+    ``trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+',
+    ' ', 'g'), ' +', ' ', 'g'))`` is byte-identical (verified over the
+    corpus — non-ASCII letters are swept into the separator class, so
+    case-mapping divergence beyond ASCII cannot surface)."""
+    import pyarrow.compute as pc
+
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, "[^a-z0-9]+", " ")
+    x = pc.replace_substring_regex(x, " +", " ")
+    return pc.utf8_trim_whitespace(x)

@@ -690,6 +690,28 @@ def _sql_sssp() -> str:
               f" FROM d{SSSP_ROUNDS}")
 
 
+def q_norm_dedup(sf_dir: str):
+    """Exact dedup on CANONICALIZED text (lowercase, non-alnum runs ->
+    one space, trim — byte-identical RE2 on both sides): smallest
+    doc_id survives with the collapsed-group size; combiner-first so
+    duplicate-heavy blocks shrink before the one shuffle
+    (stages/dedup.py:normalized_dedup)."""
+    from ..stages.dedup import normalized_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return normalized_dedup(docs)
+
+
+def _sql_norm_dedup() -> str:
+    return """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM n GROUP BY norm"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7497,6 +7519,7 @@ def build_oracles() -> dict[str, str]:
         "rle": _sql_rle(),
         "sim_clusters": _sql_sim_clusters(),
         "sssp": _sql_sssp(),
+        "norm_dedup": _sql_norm_dedup(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8367,6 +8390,7 @@ def build_queries() -> dict:
         "rle": q_rle,
         "sim_clusters": q_sim_clusters,
         "sssp": q_sssp,
+        "norm_dedup": q_norm_dedup,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

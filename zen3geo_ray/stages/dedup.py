@@ -1451,3 +1451,44 @@ def jaccard_sim_join(docs, *, id_col: str = "doc_id",
                          "sj": pa.array(osj, pa.int64())})
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def normalized_dedup(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 32):
+    """Exact dedup on CANONICALIZED text (the web-pipeline 'same page,
+    different markup' case): texts equal after ASCII normalization
+    (functions/text.py:normalize_ascii) collapse to the smallest id,
+    with the collapsed-group size.
+
+    Combiner-first: each block reduces to (norm, min_id, cnt) partials
+    before the one bucketed shuffle (min/sum merge is associative), so
+    duplicate-heavy blocks shrink before moving.  Output:
+    ``(id_col, n_dups)``.
+    """
+    import pandas as pd
+
+    from ..functions.text import normalize_ascii
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "_norm": normalize_ascii(
+                b.column(text_col)).to_numpy(zero_copy_only=False),
+            id_col: b.column(id_col).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("_norm", sort=False, as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_dups": (id_col, "size")})
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finale(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_norm", sort=False, as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_dups": ("n_dups", "sum")})
+        out = g[[id_col, "n_dups"]].copy()
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(parts, ["_norm"], finale,
+                            n_buckets=n_buckets)
