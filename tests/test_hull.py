@@ -286,3 +286,30 @@ def test_normalized_dedup(ray_session):
     got = dict(zip(out["doc_id"].astype(np.int64),
                    out["n_dups"].astype(np.int64)))
     assert got == {2: 3, 3: 2, 4: 1}
+
+
+def test_span_corruption_index(ray_session):
+    """Spans are in-block, non-overlapping, deterministic; trailing
+    partial blocks unmasked."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.corpus import span_corruption_index
+
+    texts = ["w" + " w" * 46, "x y"]  # 47 tokens -> 2 full 20-blocks; 2 tokens -> none
+    t = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                  "text": texts})
+    out = span_corruption_index(
+        rd.from_arrow(t).repartition(2), block=20, span_len=3
+    ).to_pandas().sort_values(["doc_id", "block"])
+    assert out["doc_id"].tolist() == [10, 10]
+    assert out["block"].tolist() == [0, 1]
+    for r in out.itertuples():
+        off = ((10 * 2654435761 + r.block * 40503) % 2147483647) % 18
+        assert r.start == r.block * 20 + off
+        assert r.block * 20 <= r.start <= r.block * 20 + 17
+        assert r.mlen == 3
+    # determinism
+    out2 = span_corruption_index(
+        rd.from_arrow(t), block=20, span_len=3).to_pandas()
+    assert sorted(map(tuple, out2.to_numpy().tolist())) == \
+        sorted(map(tuple, out.to_numpy().tolist()))

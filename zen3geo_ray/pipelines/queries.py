@@ -712,6 +712,37 @@ SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM n GROUP BY norm"""
 
 
+T5_BLOCK, T5_LEN, T5_A, T5_C, T5_P = 20, 3, 2654435761, 40503, 2147483647
+
+
+def q_t5_spans(sf_dir: str):
+    """T5-style span-corruption masking index: one hash-placed
+    3-token span per full 20-token block, deterministic and RNG-free —
+    a pure stateless map, nothing shuffles
+    (stages/corpus.py:span_corruption_index)."""
+    from ..stages.corpus import span_corruption_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_corruption_index(docs, block=T5_BLOCK, span_len=T5_LEN,
+                                 hash_a=T5_A, hash_c=T5_C, hash_p=T5_P)
+
+
+def _sql_t5_spans() -> str:
+    b, ln, a, c, p = T5_BLOCK, T5_LEN, T5_A, T5_C, T5_P
+    win = b - ln + 1
+    return rf"""
+WITH tok AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS nt
+             FROM documents),
+blks AS (SELECT doc_id, CAST(unnest(range(nt // {b})) AS BIGINT) AS blk
+         FROM tok WHERE nt >= {b})
+SELECT doc_id, blk AS block,
+       blk * {b} + ((doc_id * {a} + blk * {c}) % {p}) % {win} AS start,
+       CAST({ln} AS BIGINT) AS mlen
+FROM blks"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7520,6 +7551,7 @@ def build_oracles() -> dict[str, str]:
         "sim_clusters": _sql_sim_clusters(),
         "sssp": _sql_sssp(),
         "norm_dedup": _sql_norm_dedup(),
+        "t5_spans": _sql_t5_spans(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8391,6 +8423,7 @@ def build_queries() -> dict:
         "sim_clusters": q_sim_clusters,
         "sssp": q_sssp,
         "norm_dedup": q_norm_dedup,
+        "t5_spans": q_t5_spans,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -770,3 +770,48 @@ def text_tiling_boundaries(ds, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def span_corruption_index(docs, *, id_col: str = "doc_id",
+                          text_col: str = "text", block: int = 20,
+                          span_len: int = 3, hash_a: int = 2654435761,
+                          hash_c: int = 40503, hash_p: int = 2147483647):
+    """T5/UL2-style SPAN-CORRUPTION masking index: for every FULL
+    ``block``-token window of each doc, one masked span of
+    ``span_len`` tokens at a hash-chosen offset — deterministic
+    (RNG-free, so the index is reproducible and resumable), one span
+    per block ⇒ a fixed ~span_len/block corruption rate with
+    non-overlapping spans by construction.
+
+    Offset rule (SQL-safe multiply-add arithmetic, no xor):
+    ``off = ((id·A + blk·C) mod P) mod (block − span_len + 1)``;
+    the trailing partial block stays unmasked.  Pure stateless map —
+    nothing shuffles; output rows are n_tokens/block per doc.
+
+    Output: ``(id_col, block, start, mlen)`` — start is the global
+    token index of the span, all int64.
+    """
+    from .ngrams import tokens_flat
+
+    win = block - span_len + 1
+
+    def fn(b: pa.Table) -> pa.Table:
+        _, doc_of, ndocs = tokens_flat(b, text_col)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        nt = np.bincount(doc_of, minlength=ndocs)
+        nblk = (nt // block).astype(np.int64)
+        ridx = np.repeat(np.arange(ndocs), nblk)
+        blk = (np.concatenate([np.arange(k) for k in nblk.tolist()])
+               if ndocs else np.array([], dtype=np.int64)
+               ).astype(np.int64)
+        did = ids[ridx].astype(np.int64)
+        off = ((did * hash_a + blk * hash_c) % hash_p) % win
+        return pa.table({
+            id_col: pa.array(did),
+            "block": pa.array(blk),
+            "start": pa.array(blk * block + off),
+            "mlen": pa.array(np.full(len(blk), span_len,
+                                     dtype=np.int64)),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
