@@ -313,3 +313,39 @@ def test_span_corruption_index(ray_session):
         rd.from_arrow(t), block=20, span_len=3).to_pandas()
     assert sorted(map(tuple, out2.to_numpy().tolist())) == \
         sorted(map(tuple, out.to_numpy().tolist()))
+
+
+def test_kl_divergence_by_group(ray_session):
+    """Quantized per-group KL vs direct computation; identical
+    distributions give ~0, disjoint vocab gives large positive."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.tfidf import kl_divergence_by_group
+
+    docs = [("s1", "a b a b"), ("s1", "a b"),
+            ("s2", "a b a b a b"),          # same distribution as s1
+            ("s3", "z z q q z")]            # disjoint vocab
+    t = pa.table({"source": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]})
+    out = kl_divergence_by_group(
+        rd.from_arrow(t).repartition(2), group_col="source",
+        scale=65536, n_buckets=2).to_pandas()
+    got = {r.source: (int(r.n), int(r.s), float(r.kl))
+           for r in out.itertuples()}
+
+    all_cnt = Counter(w for _, tx in docs for w in tx.split())
+    big_n = sum(all_cnt.values())
+    for src_ in ("s1", "s2", "s3"):
+        cnt = Counter(w for s_, tx in docs if s_ == src_
+                      for w in tx.split())
+        n = sum(cnt.values())
+        s = sum(math.floor(c * (math.log(c) - math.log(n)
+                                - math.log(all_cnt[w]) + math.log(big_n))
+                           * 65536.0) for w, c in cnt.items())
+        assert got[src_] == (n, s, s / (float(n) * 65536.0))
+    # s2: p(a)=p(b)=1/2 vs corpus q(a)=q(b)=6/17 -> KL = ln(17/12)
+    assert abs(got["s2"][2] - math.log(17 / 12)) < 1e-4
+    assert got["s3"][2] > 1.0

@@ -743,6 +743,42 @@ SELECT doc_id, blk AS block,
 FROM blks"""
 
 
+def q_kl_sources(sf_dir: str):
+    """Per-source KL divergence of the token distribution from the
+    corpus distribution (nats, VALUE-CHECKED) — the data-mixing
+    diagnostic; same quantized-ln discipline as entropy
+    (stages/tfidf.py:kl_divergence_by_group)."""
+    from ..stages.tfidf import kl_divergence_by_group
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return kl_divergence_by_group(docs, group_col="source",
+                                  scale=ENTROPY_SCALE)
+
+
+def _sql_kl_sources() -> str:
+    return rf"""
+WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+cst AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ct AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY w),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+       FROM cst GROUP BY source),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cst),
+terms AS (SELECT cst.source,
+                 CAST(FLOOR(cst.c * (ln(cst.c) - ln(ns.ns) - ln(ct.ct)
+                                     + ln(nn.n)) * {ENTROPY_SCALE}.0)
+                      AS BIGINT) AS t
+          FROM cst JOIN ct USING (w) JOIN ns USING (source)
+               CROSS JOIN nn),
+agg AS (SELECT source, CAST(SUM(t) AS BIGINT) AS s
+        FROM terms GROUP BY source)
+SELECT agg.source AS source, ns.ns AS n, agg.s AS s,
+       CAST(agg.s AS DOUBLE)
+       / (CAST(ns.ns AS DOUBLE) * {ENTROPY_SCALE}.0) AS kl
+FROM agg JOIN ns USING (source)"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7552,6 +7588,7 @@ def build_oracles() -> dict[str, str]:
         "sssp": _sql_sssp(),
         "norm_dedup": _sql_norm_dedup(),
         "t5_spans": _sql_t5_spans(),
+        "kl_sources": _sql_kl_sources(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8424,6 +8461,7 @@ def build_queries() -> dict:
         "sssp": q_sssp,
         "norm_dedup": q_norm_dedup,
         "t5_spans": q_t5_spans,
+        "kl_sources": q_kl_sources,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -629,3 +629,91 @@ def token_entropy(docs, *, text_col: str = "text",
 
     return bucketed_groupby(partials, [group_col], finale,
                             n_buckets=n_buckets)
+
+
+def kl_divergence_by_group(docs, *, text_col: str = "text",
+                           group_col: str = "source",
+                           scale: int = 65536, n_buckets: int = 16):
+    """Per-group KL DIVERGENCE of the token distribution from the
+    whole-corpus distribution (nats) — the data-mixing diagnostic
+    (which sources are token-distribution outliers): KL(p_g || q) =
+    (1/n_g)·Σ_w c_gw·(ln c_gw − ln n_g − ln c_w + ln N).
+
+    Same order-free float discipline as token_entropy: each (group,
+    token) term quantizes to the exact INTEGER floor(c·(ln c − ln n_g
+    − ln c_w + ln N)·scale) — every ln is math.log == DuckDB ln on
+    this libm, the combination shares one parenthesization — so the
+    integer sum commutes and the one float finale s/(n_g·scale)
+    value-checks bit-exactly.
+
+    Plan: per-block (group, token, count) partials → ONE bucketed
+    shuffle on token attaches the corpus count c_w → ONE bucketed
+    shuffle on group computes n_g and the term sum (ln memoized over
+    distinct count values); N is a single driver scalar.  Documents
+    never shuffle.
+
+    Output: ``(group_col, n, s, kl)`` — n, s int64; kl DOUBLE >= 0
+    (up to quantization).
+    """
+    import math
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(b, text_col)
+        grp = b.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            group_col: grp[doc_of],
+            "w": flat.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby([group_col, "w"], sort=False,
+                       as_index=False).size()
+        return pa.table({
+            group_col: pa.array(g[group_col].to_numpy(), pa.string()),
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def attach_ct(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby([group_col, "w"], as_index=False)["c"].sum()
+        cnt["ct"] = cnt.groupby("w")["c"].transform("sum")
+        return cnt
+
+    rows = bucketed_groupby(parts, ["w"], attach_ct,
+                            n_buckets=n_buckets).materialize()
+
+    tot = rows.map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [int(np.sum(b.column("c").to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    big_n = int(tot["n"].sum())
+    ln_n = math.log(big_n) if big_n > 0 else 0.0
+
+    def finale(df: pd.DataFrame) -> pd.DataFrame:
+        gs, ns, ss, ks = [], [], [], []
+        for key, gg in df.groupby(group_col, sort=False):
+            c = gg["c"].to_numpy(dtype=np.int64)
+            ct = gg["ct"].to_numpy(dtype=np.int64)
+            n_g = int(c.sum())
+            lut = {int(v): math.log(int(v))
+                   for v in np.unique(np.concatenate([c, ct]))}
+            ln_c = np.array([lut[int(v)] for v in c])
+            ln_ct = np.array([lut[int(v)] for v in ct])
+            term = c * (ln_c - math.log(n_g) - ln_ct + ln_n) \
+                * float(scale)
+            s = int(np.floor(term).astype(np.int64).sum())
+            gs.append(key)
+            ns.append(n_g)
+            ss.append(s)
+            ks.append(s / (float(n_g) * float(scale)))
+        return pd.DataFrame({group_col: gs,
+                             "n": pd.Series(ns, dtype="int64"),
+                             "s": pd.Series(ss, dtype="int64"),
+                             "kl": pd.Series(ks, dtype="float64")})
+
+    return bucketed_groupby(rows, [group_col], finale,
+                            n_buckets=n_buckets)
