@@ -450,20 +450,24 @@ SELECT lang, n, s,
 FROM agg"""
 
 
-SIMJOIN_K, SIMJOIN_NUM, SIMJOIN_DEN = 3, 1, 2
+SIMJOIN_K, SIMJOIN_NUM, SIMJOIN_DEN = 3, 4, 5
 
 
 def q_sim_join(sf_dir: str):
     """EXACT Jaccard similarity self-join (PPJoin prefix filter): all
-    doc pairs whose 3-token shingle sets overlap at J >= 1/2 — complete
+    doc pairs whose 3-token shingle sets overlap at J >= 4/5 — complete
     where the LSH pipelines are probabilistic; integer cross-multiplied
     threshold, shingle-string-exact verify
-    (stages/dedup.py:jaccard_sim_join)."""
+    (stages/dedup.py:jaccard_sim_join).  Memoized per (session,
+    sf_dir) — q_sim_clusters composes on the same pair set."""
     from ..stages.dedup import jaccard_sim_join
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return jaccard_sim_join(docs, k=SIMJOIN_K, tau_num=SIMJOIN_NUM,
-                            tau_den=SIMJOIN_DEN)
+    def build():
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return jaccard_sim_join(docs, k=SIMJOIN_K, tau_num=SIMJOIN_NUM,
+                                tau_den=SIMJOIN_DEN)
+
+    return _edge_memo("sim_join", sf_dir, build)
 
 
 def _sql_sim_join() -> str:

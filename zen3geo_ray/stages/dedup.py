@@ -1328,27 +1328,38 @@ def compact_store(store_dir: str, *, n_files: int = 8) -> dict:
 def jaccard_sim_join(docs, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3,
                      tau_num: int = 1, tau_den: int = 2,
-                     n_buckets: int = 32):
+                     n_buckets: int = 32, order: str = "df"):
     """EXACT Jaccard similarity self-join over per-doc DISTINCT k-token
     shingle sets — every unordered pair (i < j) with
     ``inter · tau_den >= tau_num · (|A| + |B| − inter)`` — COMPLETE
     (unlike the LSH pipelines, no probabilistic miss), via PPJoin-style
     PREFIX FILTERING (Xiao et al., WWW 2008).
 
-    Completeness: order every shingle universe by one fixed total order
-    (hash, ties by string — stateless, no broadcast vocabulary); if
-    J(A, B) >= tau then A and B must share a shingle among the first
-    ``|A| − ceil(tau·|A|) + 1`` of each side's order, so candidate
-    generation shuffles only those PREFIX postings.  A hash collision
-    can only ADD a candidate (verified exactly on strings afterwards),
-    never drop one.  Docs with fewer than k tokens have no shingles and
-    cannot pair (mirrored by the oracle's WHERE len >= k).
+    Completeness holds for ANY one fixed total order on the shingle
+    universe: if J(A, B) >= tau then A and B must share a shingle among
+    the first ``|A| − ceil(tau·|A|) + 1`` of each side's order, so
+    candidate generation shuffles only those PREFIX postings.  A hash
+    collision can only ADD a candidate (verified exactly on strings
+    afterwards), never drop one.  Docs with fewer than k tokens have no
+    shingles and cannot pair (mirrored by the oracle's WHERE len >= k).
 
-    Plan: shingle-set stage (stateless map) → prefix postings → one
-    bucketed shuffle on the shingle hash (pairs per posting list) →
-    distinct pairs → two bucketed joins to re-attach the full sets →
-    exact set-intersection verify (stateless map).  Full documents
-    never shuffle; the set strings travel only for candidate pairs.
+    ``order`` picks that total order — the SELECTIVITY (not
+    correctness) lever:
+    * ``"df"`` (default): ascending global document frequency, ties by
+      (hash, string) — the classic PPJoin order that puts the RAREST
+      shingles in every prefix.  One extra bucketed reduce builds the
+      per-HASH df table, broadcast via ``ray.put`` (shingle-vocab-
+      bounded: measured 612k candidates → 1.6k on this corpus).
+    * ``"hash"``: stateless (hash, string) order — no broadcast
+      vocabulary, the 100-TB path when the shingle vocab outgrows a
+      blob; prefixes hit common shingles so candidates grow.
+
+    Plan: shingle-set stage (stateless map, materialized once for its
+    three consumers) → [df pass] → prefix postings → one bucketed
+    shuffle on the shingle hash (pairs per posting list) → distinct
+    pairs → two bucketed joins to re-attach the full sets → exact
+    string-set verify.  Full documents never shuffle; the set strings
+    travel only for candidate pairs.
 
     Output: ``(i, j, inter, si, sj)``, all int64.
     """
@@ -1381,34 +1392,82 @@ def jaccard_sim_join(docs, *, id_col: str = "doc_id",
                          "_sz": pa.array(out_sz, pa.int64()),
                          "_set": pa.array(out_set, pa.string())})
 
-    sets = docs.map_batches(shingle_sets, batch_format="pyarrow")
+    # three consumers (postings + both verify joins): materialize once
+    # or the whole shingle computation re-executes per consumer
+    sets = docs.map_batches(shingle_sets,
+                            batch_format="pyarrow").materialize()
+
+    df_blob = None
+    if order == "df":
+        from .bucketed import bucketed_groupby as _bg
+
+        def df_partial(b: pa.Table) -> pa.Table:
+            sstr = b.column("_set").to_numpy(zero_copy_only=False)
+            hs = [fnv1a_str_array(s.split(SEP)).view(np.int64)
+                  for s in sstr]
+            flat = (np.concatenate(hs) if hs
+                    else np.array([], dtype=np.int64))
+            u, c = np.unique(flat, return_counts=True)
+            return pa.table({"h": pa.array(u),
+                             "_df": pa.array(c.astype(np.int64))})
+
+        dft = _bg(
+            sets.map_batches(df_partial, batch_format="pyarrow"),
+            ["h"],
+            lambda g: g.groupby("h", sort=False,
+                                as_index=False)["_df"].sum(),
+            n_buckets=n_buckets,
+        ).to_pandas()
+        import ray
+
+        hv = dft["h"].to_numpy().astype(np.int64)
+        o = np.argsort(hv, kind="mergesort")
+        df_blob = ray.put((hv[o],
+                           dft["_df"].to_numpy().astype(np.int64)[o]))
 
     def prefix_postings(b: pa.Table) -> pa.Table:
+        if df_blob is not None:
+            import ray
+
+            h_sorted, dfv = ray.get(df_blob)
         ids = b.column("_d").to_numpy(zero_copy_only=False)
         szs = b.column("_sz").to_numpy(zero_copy_only=False)
         sstr = b.column("_set").to_numpy(zero_copy_only=False)
-        hs, ds = [], []
+        hs, ds, zs = [], [], []
         for t in range(len(ids)):
             sh = sstr[t].split(SEP)  # string-sorted already
             sz = int(szs[t])
             p = sz - (-(-tau_num * sz) // tau_den) + 1
             h = fnv1a_str_array(sh).view(np.int64)
-            # stable sort on hash over string-sorted input = the one
-            # global (hash, string) total order every doc agrees on
-            order = np.argsort(h, kind="stable")[:p]
-            hs.append(h[order])
-            ds.append(np.full(len(order), ids[t], dtype=np.int64))
+            # one GLOBAL total order every doc agrees on: (df, hash)
+            # with string-order ties (input is string-sorted and both
+            # sorts are stable), or (hash, string) in stateless mode
+            if df_blob is not None:
+                d = dfv[np.searchsorted(h_sorted, h)]
+                sel = np.lexsort((h, d))[:p]
+            else:
+                sel = np.argsort(h, kind="stable")[:p]
+            hs.append(h[sel])
+            ds.append(np.full(len(sel), ids[t], dtype=np.int64))
+            zs.append(np.full(len(sel), sz, dtype=np.int64))
         if not hs:
             return pa.table({"h": pa.array([], pa.int64()),
-                             "i": pa.array([], pa.int64())})
+                             "i": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64())})
         return pa.table({"h": pa.array(np.concatenate(hs)),
-                         "i": pa.array(np.concatenate(ds))})
+                         "i": pa.array(np.concatenate(ds)),
+                         "sz": pa.array(np.concatenate(zs))})
 
     posts = sets.map_batches(prefix_postings, batch_format="pyarrow")
 
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="h", suffixes=("_a", "_b"))
-        m = m[m["i_a"] < m["i_b"]]
+        # LENGTH filter (free PPJoin pruning): J >= tau forces
+        # max(|A|,|B|)·tau_num <= min(|A|,|B|)·tau_den
+        lo = np.minimum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        hi = np.maximum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        m = m[(m["i_a"].to_numpy() < m["i_b"].to_numpy())
+              & (hi * tau_num <= lo * tau_den)]
         return pd.DataFrame({
             "i": m["i_a"].to_numpy(dtype=np.int64),
             "j": m["i_b"].to_numpy(dtype=np.int64),
