@@ -1201,3 +1201,31 @@ def test_sssp_bounded_bruteforce(ray_session, bt):
         ref = new
     assert got == ref
     assert got[50] == 2
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_pinned_sssp_parity(ray_session, n_shards):
+    """pinned_sssp == sssp_bounded bit for bit, including the planted
+    cheap-long-path case, duplicate edges, and early exit."""
+    from zen3geo_ray.stages.graph import sssp_bounded
+    from zen3geo_ray.stages.pregel import pinned_sssp
+
+    rng = np.random.default_rng(19)
+    n, m = 80, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 9, m).astype(np.int64)
+    src = np.concatenate([src, [0, 0, 49]])
+    dst = np.concatenate([dst, [50, 49, 50]])
+    w = np.concatenate([w, [100, 1, 1]])
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})
+                          ).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": np.array([0, 7], np.int64)}))
+    want = sssp_bounded(edges, seeds, max_rounds=3,
+                        broadcast_threshold=0).to_pandas()
+    got = pinned_sssp(edges, seeds, max_rounds=3,
+                      n_shards=n_shards).to_pandas()
+    assert (dict(zip(got["node"].astype(np.int64),
+                     got["dist"].astype(np.int64)))
+            == dict(zip(want["node"].astype(np.int64),
+                        want["dist"].astype(np.int64))))

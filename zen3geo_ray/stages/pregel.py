@@ -618,6 +618,85 @@ def _make_shard_cls():
             return pa.table({NODE: pa.array(self.known),
                              "dist": pa.array(self.kdist)})
 
+        # --- weighted shortest paths (bounded Bellman-Ford) -----------
+        def init_sssp(self, seed_ids: np.ndarray) -> int:
+            """Same shard-restricted seed state as init_bfs; the delta
+            set starts as the seeds."""
+            return self.init_bfs(seed_ids)
+
+        def sssp_contribs(self) -> list:
+            """Relax only edges whose source IMPROVED last round — the
+            CHANGED-DELTA rule (weighted distances are NOT final at
+            first reach, so the BFS frontier rule would be wrong);
+            candidates are dist(src) + w per edge, min-grouped per
+            destination shard."""
+            empty = pa.table({NODE: pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+            if (len(self.frontier) == 0 or len(self.src) == 0
+                    or self.w is None):
+                return [empty] * self.n
+            ix = np.minimum(np.searchsorted(self.frontier, self.src),
+                            len(self.frontier) - 1)
+            m = self.frontier[ix] == self.src
+            if not m.any():
+                return [empty] * self.n
+            d = self.dst[m]
+            nd = self.fdist[ix[m]] + self.w[m]
+            sh = self.dst_shard[m]
+            out = []
+            for j in range(self.n):
+                mm = sh == j
+                u, inv = np.unique(d[mm], return_inverse=True)
+                mn = np.full(len(u), np.iinfo(np.int64).max,
+                             dtype=np.int64)
+                np.minimum.at(mn, inv, nd[mm])
+                out.append(pa.table({NODE: pa.array(u),
+                                     "dist": pa.array(mn)}))
+            return out
+
+        def sssp_apply(self, *incoming) -> int:
+            """Relax incoming minima against the local (node, dist)
+            state; the next delta set = fresh nodes plus strictly
+            improved knowns.  Returns |delta| (convergence scalar)."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            nodes, dists = [], []
+            for t in flat:
+                nd = t.column(NODE).to_numpy(zero_copy_only=False)
+                if len(nd):
+                    nodes.append(nd)
+                    dists.append(t.column("dist").to_numpy(
+                        zero_copy_only=False))
+            if not nodes:
+                self.frontier = np.empty(0, np.int64)
+                self.fdist = np.empty(0, np.int64)
+                return 0
+            cand = np.concatenate(nodes)
+            cd = np.concatenate(dists).astype(np.int64)
+            u, inv = np.unique(cand, return_inverse=True)
+            mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mn, inv, cd)
+            if len(self.known):
+                ik = np.minimum(np.searchsorted(self.known, u),
+                                len(self.known) - 1)
+                exists = self.known[ik] == u
+                better = exists & (mn < self.kdist[ik])
+                self.kdist[ik[better]] = mn[better]
+                fresh = ~exists
+            else:
+                better = np.zeros(len(u), dtype=bool)
+                fresh = np.ones(len(u), dtype=bool)
+            merged = np.concatenate([self.known, u[fresh]])
+            md = np.concatenate([self.kdist, mn[fresh]])
+            o = np.argsort(merged, kind="mergesort")
+            self.known, self.kdist = merged[o], md[o]
+            ch = np.concatenate([u[better], u[fresh]])
+            chd = np.concatenate([mn[better], mn[fresh]])
+            co = np.argsort(ch, kind="mergesort")
+            self.frontier, self.fdist = ch[co], chd[co]
+            return len(self.frontier)
+
         # --- synchronous k-core peeling (dead-delta exchange) ----------
         def init_alive(self) -> None:
             """Node universe = unique local edge sources (the symmetric
@@ -1482,6 +1561,69 @@ def pinned_ktruss(edges, *, k: int, rounds: int, src: str = "src",
             if sum(dropped) == 0:
                 break  # stable: every remaining round is a no-op
         refs = [sh.kt_result.remote() for sh in shards]
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_sssp(edges, seeds, *, src: str = "src", dst: str = "dst",
+                weight_col: str = "w", max_rounds: int = 3,
+                n_shards: int | None = None):
+    """Bounded-round weighted shortest paths over actor-pinned edge
+    shards — same results as ``graph.sssp_bounded`` (parity-tested),
+    edges shipped once.  Per-round exchange is the CHANGED-DELTA set
+    (nodes whose distance improved), so volume shrinks as distances
+    settle and the loop exits early once a round improves nothing."""
+    import ray
+    import ray.data as rd
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sh = _shard_of(s, S)
+            acks = []
+            for j in range(S):
+                m = sh == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(s[m], d[m], w[m]))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        # max_retries=0: routing mutates actor state (see pinned_pagerank)
+        edges.map_batches(route, batch_format="pyarrow",
+                          max_retries=0, retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+
+        seed_ids = np.sort(np.unique(
+            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+        ray.get([sh.init_sssp.remote(seed_ids) for sh in shards])
+
+        for _ in range(max_rounds):
+            if S == 1:
+                outs = [[sh.sssp_contribs.remote()] for sh in shards]
+            else:
+                outs = [sh.sssp_contribs.options(num_returns=S).remote()
+                        for sh in shards]
+            sizes = ray.get([
+                shards[j].sssp_apply.remote(*[outs[i][j] for i in range(S)])
+                for j in range(S)
+            ])
+            if sum(sizes) == 0:
+                break  # nothing improved — distances are final
+        refs = [sh.bfs_table.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
     finally:
         for sh in shards:
