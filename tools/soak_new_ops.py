@@ -136,10 +136,78 @@ def soak_focal(n_pixels: int = 10_000_000, n_tiles: int = 4096,
             "pixels_per_sec": round(n_pixels / wall)}
 
 
+def soak_hull(n_pts: int = 10_000_000, n_groups: int = 64,
+              dom: int = 1_000_000):
+    """10M points, 64 groups over a 1M^2 integer domain: the block-
+    local pruning must collapse each block to its tiny local hulls
+    before the one survivor shuffle."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.hull import hull_boundary
+
+    def pts(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(21))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(77))
+        return pa.table({
+            "g": pa.array((h1 % np.uint64(n_groups)).astype(np.int64)),
+            "x": pa.array((h2 % np.uint64(dom)).astype(np.int64)),
+            "y": pa.array(((h2 >> np.uint64(20))
+                           % np.uint64(dom)).astype(np.int64)),
+        })
+
+    ds = rd.range(n_pts, override_num_blocks=64).map_batches(
+        pts, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    rows = hull_boundary(ds, group_col="g", x_col="x", y_col="y",
+                         n_buckets=32).count()
+    wall = time.perf_counter() - t0
+    return {"soak": "hull", "n_pts": n_pts, "groups": n_groups,
+            "boundary_pts": rows, "sec": round(wall, 2),
+            "pts_per_sec": round(n_pts / wall)}
+
+
+def soak_pinned_sssp(n_edges: int = 10_000_000, n_nodes: int = 1_000_000,
+                     n_seeds: int = 1000, rounds: int = 4):
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.pregel import pinned_sssp
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_nodes)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_nodes)).astype(np.int64)),
+            "w": pa.array((1 + (h1 >> np.uint64(40))
+                           % np.uint64(15)).astype(np.int64)),
+        })
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        edges, batch_format="pyarrow")
+    seeds = rd.range(n_seeds).map_batches(
+        lambda b: pa.table({"node": pa.array(
+            (b.column("id").to_numpy(zero_copy_only=False)
+             * 997 % n_nodes).astype(np.int64))}),
+        batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = pinned_sssp(e, seeds, max_rounds=rounds)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "pinned_sssp", "n_edges": n_edges,
+            "n_seeds": n_seeds, "rounds": rounds, "reached": rows,
+            "sec": round(wall, 2),
+            "edge_relax_per_sec": round(n_edges * rounds / wall)}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     _init()
-    fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal}
+    fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal,
+           "hull": soak_hull, "sssp": soak_pinned_sssp}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
