@@ -783,6 +783,37 @@ SELECT agg.source AS source, ns.ns AS n, agg.s AS s,
 FROM agg JOIN ns USING (source)"""
 
 
+def q_er_canonical(sf_dir: str):
+    """Entity-resolution flagship composition: EXACT sim-join pairs →
+    connectivity closure (sim_clusters) → keep the HIGHEST-quality
+    member per cluster (n_chars argmax, id ties) — the canonical-record
+    table an ER pipeline publishes
+    (q_sim_clusters + stages/dedup.py:select_canonical)."""
+    from ..stages.dedup import select_canonical
+
+    labels = q_sim_clusters(sf_dir).map_batches(
+        lambda b: b.rename_columns(["doc_id", "dup_group"]),
+        batch_format="pyarrow")
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return select_canonical(labels, meta)
+
+
+def _sql_er_canonical() -> str:
+    cl = _sql_sim_clusters()
+    return f"""
+WITH cl AS ({cl}),
+q AS (SELECT cl.cluster AS dup_group, cl.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                                ORDER BY d.n_chars DESC, cl.doc_id)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cl.cluster) AS BIGINT)
+               AS n_members
+      FROM cl JOIN documents d USING (doc_id))
+SELECT dup_group, doc_id AS kept_doc, n_chars AS kept_quality,
+       n_members
+FROM q WHERE rn = 1"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7593,6 +7624,7 @@ def build_oracles() -> dict[str, str]:
         "norm_dedup": _sql_norm_dedup(),
         "t5_spans": _sql_t5_spans(),
         "kl_sources": _sql_kl_sources(),
+        "er_canonical": _sql_er_canonical(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8466,6 +8498,7 @@ def build_queries() -> dict:
         "norm_dedup": q_norm_dedup,
         "t5_spans": q_t5_spans,
         "kl_sources": q_kl_sources,
+        "er_canonical": q_er_canonical,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
