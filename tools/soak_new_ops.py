@@ -203,11 +203,52 @@ def soak_pinned_sssp(n_edges: int = 10_000_000, n_nodes: int = 1_000_000,
             "edge_relax_per_sec": round(n_edges * rounds / wall)}
 
 
+def soak_sim_join(n_docs: int = 1_000_000, doc_len: int = 40,
+                  vocab: int = 100_000):
+    """1M synthetic docs over a 100k-word vocab with ~10% planted
+    near-dup pairs (4 of 40 tokens changed): the PREFIX filter must
+    keep candidates near the true pair count.  order='hash' — at this
+    vocab the df table outgrows a broadcast blob, which is exactly the
+    regime the stateless order exists for."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.dedup import jaccard_sim_join
+
+    def docs(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc 10k+9 clones doc 10k+8 except 4 hash-picked positions
+        base = np.where(i % 10 == 9, i - 1, i)
+        texts = []
+        for bi, oi in zip(base.tolist(), i.tolist()):
+            pos = splitmix64(np.uint64(bi) * np.uint64(doc_len)
+                             + np.arange(doc_len, dtype=np.uint64))
+            w = pos % np.uint64(vocab)
+            if oi != bi:  # the near-dup: perturb 4 positions
+                w = w.copy()
+                w[::10] = (w[::10] + np.uint64(1)) % np.uint64(vocab)
+            texts.append(" ".join("w%d" % t for t in w.tolist()))
+        return pa.table({"doc_id": pa.array(i), "text": texts})
+
+    ds = rd.range(n_docs, override_num_blocks=64).map_batches(
+        docs, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = jaccard_sim_join(ds, k=3, tau_num=1, tau_den=2,
+                           n_buckets=64, order="hash")
+    pairs = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "sim_join", "n_docs": n_docs, "vocab": vocab,
+            "pairs": pairs, "sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall)}
+
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     _init()
     fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal,
-           "hull": soak_hull, "sssp": soak_pinned_sssp}
+           "hull": soak_hull, "sssp": soak_pinned_sssp,
+           "sim": soak_sim_join}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
