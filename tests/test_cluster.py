@@ -383,3 +383,31 @@ def test_knn_label_agreement_planted(ray_session):
         order = np.lexsort((np.arange(60), d))[:5]
         want = int((labels[order] == labels[vid]).sum())
         assert int(out.loc[vid, "agree"]) == want
+
+
+def test_label_centroids(ray_session):
+    """Quantized centroid means match the direct numpy mean within
+    quantization error; partials merge across blocks exactly."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import label_centroids
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    labs = rng.integers(0, 3, 300).astype(np.int32)
+    t = pa.table({"embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labs)})
+    out = label_centroids(rd.from_arrow(t).repartition(5), dim=8,
+                          scale=1 << 20, n_buckets=2).to_pandas()
+    assert len(out) == 24
+    for r in out.itertuples():
+        col = vecs[labs == r.label][:, r.d].astype(np.float64)
+        s = sum(math.floor(float(v) * float(1 << 20)) for v in col)
+        assert (int(r.n), int(r.s)) == (len(col), s)
+        assert r.mean == s / (float(len(col)) * float(1 << 20))
+        assert abs(r.mean - col.mean()) < 1e-5

@@ -814,6 +814,36 @@ SELECT dup_group, doc_id AS kept_doc, n_chars AS kept_quality,
 FROM q WHERE rn = 1"""
 
 
+CENTROID_SCALE = 1 << 20
+
+
+def q_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes) — quantized
+    floor(v·2^20) integer element sums commute across blocks, one
+    shared float mean finale; vectors never shuffle
+    (stages/cluster.py:label_centroids)."""
+    from ..stages.cluster import label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return label_centroids(emb, dim=SCORE_DIM, scale=CENTROID_SCALE)
+
+
+def _sql_centroids() -> str:
+    return f"""
+WITH el AS (SELECT CAST(label AS BIGINT) AS label, d.d AS d,
+                   CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE)
+                              * {CENTROID_SCALE}.0) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d),
+agg AS (SELECT label, d, CAST(SUM(q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM el GROUP BY label, d)
+SELECT label, d, n, s,
+       CAST(s AS DOUBLE)
+       / (CAST(n AS DOUBLE) * {CENTROID_SCALE}.0) AS mean
+FROM agg"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7625,6 +7655,7 @@ def build_oracles() -> dict[str, str]:
         "t5_spans": _sql_t5_spans(),
         "kl_sources": _sql_kl_sources(),
         "er_canonical": _sql_er_canonical(),
+        "centroids": _sql_centroids(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8499,6 +8530,7 @@ def build_queries() -> dict:
         "t5_spans": q_t5_spans,
         "kl_sources": q_kl_sources,
         "er_canonical": q_er_canonical,
+        "centroids": q_centroids,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

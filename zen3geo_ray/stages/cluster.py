@@ -726,3 +726,53 @@ def knn_label_agreement(ds, *, id_col: str = "vec_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def label_centroids(ds, *, vec_col: str = "embedding",
+                    label_col: str = "label", dim: int = 64,
+                    scale: int = 1 << 20, n_buckets: int = 8):
+    """Per-label embedding CENTROIDS (the class-prototype table kNN /
+    semdedup diagnostics read) with SUMMATION-ORDER-FREE float
+    discipline: every element quantizes to the exact INTEGER
+    ``floor(float64(v) · scale)`` (float32 storage widens exactly, the
+    product is one identical double both sides), integer sums commute
+    across blocks, and the mean is ONE shared float shape
+    ``s / (n · scale)``.
+
+    Combiner-first: each block reduces to (label, d, s, n) partials —
+    label-count × dim bounded — before one tiny bucketed merge;
+    vectors never shuffle.  Output: ``(label, d, n, s, mean)``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        labs = b.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vec = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b.column(vec_col).to_pylist()])
+        q = np.floor(vec * float(scale)).astype(np.int64)
+        u, inv = np.unique(labs, return_inverse=True)
+        s = np.zeros((len(u), dim), dtype=np.int64)
+        np.add.at(s, inv, q)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(u, dim)),
+            "d": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                  len(u))),
+            "s": pa.array(s.reshape(-1)),
+            "n": pa.array(np.repeat(n, dim)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finale(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "d"], as_index=False)[["s", "n"]].sum()
+        g["mean"] = (g["s"].to_numpy(dtype=np.float64)
+                     / (g["n"].to_numpy(dtype=np.float64)
+                        * float(scale)))
+        return g[["label", "d", "n", "s", "mean"]]
+
+    return bucketed_groupby(parts, ["label"], finale,
+                            n_buckets=n_buckets)
