@@ -411,3 +411,32 @@ def test_label_centroids(ray_session):
         assert (int(r.n), int(r.s)) == (len(col), s)
         assert r.mean == s / (float(len(col)) * float(1 << 20))
         assert abs(r.mean - col.mean()) < 1e-5
+
+
+def test_centroid_cosine_pairs(ray_session):
+    """Self-similar labels give cos ~1; orthogonal prototypes ~0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import centroid_cosine_pairs
+
+    rng = np.random.default_rng(9)
+    # label 0/1: same direction e0 (+noise); label 2: direction e1
+    base = np.zeros((3, 8), dtype=np.float64)
+    base[0, 0] = base[1, 0] = 1.0
+    base[2, 1] = 1.0
+    vecs, labs = [], []
+    for lab in range(3):
+        for _ in range(50):
+            vecs.append((base[lab] + rng.normal(scale=0.01, size=8))
+                        .astype(np.float32))
+            labs.append(lab)
+    t = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array(np.array(labs, dtype=np.int32))})
+    out = centroid_cosine_pairs(rd.from_arrow(t).repartition(4),
+                                dim=8, n_buckets=2).to_pandas()
+    got = {(int(r.la), int(r.lb)): float(r.cos)
+           for r in out.itertuples()}
+    assert got[(0, 1)] > 0.999
+    assert abs(got[(0, 2)]) < 0.05 and abs(got[(1, 2)]) < 0.05

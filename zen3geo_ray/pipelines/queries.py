@@ -844,6 +844,41 @@ SELECT label, d, n, s,
 FROM agg"""
 
 
+def q_proto_sim(sf_dir: str):
+    """Class-confusability matrix: pairwise cosine between label
+    centroids over the quantized integer sums — exact-Python-int dots
+    (they overflow int64), IEEE-exact sqrt finale
+    (stages/cluster.py:centroid_cosine_pairs)."""
+    from ..stages.cluster import centroid_cosine_pairs
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return centroid_cosine_pairs(emb, dim=SCORE_DIM,
+                                 scale=CENTROID_SCALE)
+
+
+def _sql_proto_sim() -> str:
+    return f"""
+WITH el AS (SELECT CAST(label AS BIGINT) AS label, d.d AS d,
+                   CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE)
+                              * {CENTROID_SCALE}.0) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d),
+agg AS (SELECT label, d, CAST(SUM(q) AS BIGINT) AS s
+        FROM el GROUP BY label, d),
+pair AS (SELECT a.label AS la, b.label AS lb,
+                SUM(CAST(a.s AS HUGEINT) * b.s) AS num,
+                SUM(CAST(a.s AS HUGEINT) * a.s) AS da,
+                SUM(CAST(b.s AS HUGEINT) * b.s) AS db
+         FROM agg a JOIN agg b ON b.d = a.d AND b.label > a.label
+         GROUP BY 1, 2)
+SELECT la, lb,
+       CASE WHEN num IS NULL OR da = 0 OR db = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE)
+                 / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE)))
+       END AS cos
+FROM pair"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7656,6 +7691,7 @@ def build_oracles() -> dict[str, str]:
         "kl_sources": _sql_kl_sources(),
         "er_canonical": _sql_er_canonical(),
         "centroids": _sql_centroids(),
+        "proto_sim": _sql_proto_sim(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8531,6 +8567,7 @@ def build_queries() -> dict:
         "kl_sources": q_kl_sources,
         "er_canonical": q_er_canonical,
         "centroids": q_centroids,
+        "proto_sim": q_proto_sim,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -776,3 +776,46 @@ def label_centroids(ds, *, vec_col: str = "embedding",
 
     return bucketed_groupby(parts, ["label"], finale,
                             n_buckets=n_buckets)
+
+
+def centroid_cosine_pairs(ds, *, vec_col: str = "embedding",
+                          label_col: str = "label", dim: int = 64,
+                          scale: int = 1 << 20, n_buckets: int = 8):
+    """Pairwise COSINE similarity between label centroids (the class-
+    confusability matrix): computed over the QUANTIZED integer sum
+    vectors from label_centroids, so the dot products and norms are
+    exact Python ints (they overflow int64 — 64 dims of ~1e9 sums),
+    and the one float finale ``num / (sqrt(da) · sqrt(db))`` mirrors
+    bit-exactly because IEEE sqrt is correctly rounded (unlike ln, no
+    libm hazard at all).
+
+    The centroid table is label-count × dim bounded, so the pairing
+    runs driver-side on a tiny pivot; vectors never shuffle (one
+    combiner pass + one tiny reduce inside label_centroids).
+
+    Output: ``(la, lb, cos)`` for la < lb, cos DOUBLE.
+    """
+    import math
+
+    cent = label_centroids(ds, vec_col=vec_col, label_col=label_col,
+                           dim=dim, scale=scale,
+                           n_buckets=n_buckets).to_pandas()
+    labs = np.sort(cent["label"].unique())
+    piv = {int(lab): np.zeros(dim, dtype=object) for lab in labs}
+    for r in cent.itertuples():
+        piv[int(r.label)][int(r.d)] = int(r.s)
+    la_, lb_, cos_ = [], [], []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            a, b = piv[int(labs[i])], piv[int(labs[j])]
+            num = int(sum(x * y for x, y in zip(a, b)))
+            da = int(sum(x * x for x in a))
+            db = int(sum(y * y for y in b))
+            la_.append(int(labs[i]))
+            lb_.append(int(labs[j]))
+            cos_.append(float(num)
+                        / (math.sqrt(float(da)) * math.sqrt(float(db)))
+                        if da and db else None)
+    return pa.table({"la": pa.array(la_, pa.int64()),
+                     "lb": pa.array(lb_, pa.int64()),
+                     "cos": pa.array(cos_, pa.float64())})
