@@ -489,6 +489,37 @@ class Pipe:
         return Pipe(rle_runs(self.ds, key_col, type_col, ts_col,
                              uid_col, **kwargs))
 
+    def sssp(self, seeds, **kwargs) -> "Pipe":
+        """Bounded-round weighted shortest paths of an edge pipe."""
+        from .stages.graph import sssp_bounded
+
+        s = seeds.ds if isinstance(seeds, Pipe) else seeds
+        return Pipe(sssp_bounded(self.ds, s, **kwargs))
+
+    def norm_dedup(self, **kwargs) -> "Pipe":
+        """Exact dedup on ASCII-canonicalized text."""
+        from .stages.dedup import normalized_dedup
+
+        return Pipe(normalized_dedup(self.ds, **kwargs))
+
+    def t5_spans(self, **kwargs) -> "Pipe":
+        """Deterministic span-corruption masking index."""
+        from .stages.corpus import span_corruption_index
+
+        return Pipe(span_corruption_index(self.ds, **kwargs))
+
+    def kl_by_group(self, **kwargs) -> "Pipe":
+        """Per-group KL divergence from the corpus token distribution."""
+        from .stages.tfidf import kl_divergence_by_group
+
+        return Pipe(kl_divergence_by_group(self.ds, **kwargs))
+
+    def label_centroids(self, **kwargs) -> "Pipe":
+        """Per-label embedding centroids (quantized exact sums)."""
+        from .stages.cluster import label_centroids
+
+        return Pipe(label_centroids(self.ds, **kwargs))
+
     def regrid(self, src: dict, dst: dict, **kwargs) -> "Pipe":
         """Nearest-neighbor warp/regrid of a sparse raster pipe onto a
         new grid (optionally cross-CRS via ``inv_transform=``)."""
