@@ -349,3 +349,30 @@ def test_kl_divergence_by_group(ray_session):
     # s2: p(a)=p(b)=1/2 vs corpus q(a)=q(b)=6/17 -> KL = ln(17/12)
     assert abs(got["s2"][2] - math.log(17 / 12)) < 1e-4
     assert got["s3"][2] > 1.0
+
+
+def test_rect_union_area_bruteforce(ray_session):
+    """Exact union area per group vs a pixel-grid brute force, with
+    heavy overlap and rects spanning multiple cells."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.zonal import rect_union_area
+
+    rng = np.random.default_rng(37)
+    n = 120
+    g = rng.integers(0, 3, n).astype(np.int64)
+    x0 = rng.integers(0, 300, n).astype(np.int64)
+    y0 = rng.integers(0, 250, n).astype(np.int64)
+    x1 = x0 + rng.integers(5, 180, n)
+    y1 = y0 + rng.integers(5, 140, n)
+    t = pa.table({"g": g, "x0": x0, "y0": y0, "x1": x1, "y1": y1})
+    out = rect_union_area(rd.from_arrow(t).repartition(4),
+                          cell=64, n_buckets=4).to_pandas()
+    got = dict(zip(out["g"].astype(np.int64),
+                   out["area"].astype(np.int64)))
+    for key in np.unique(g):
+        grid = np.zeros((520, 520), dtype=bool)
+        for a, b, c, d in zip(x0[g == key], y0[g == key],
+                              x1[g == key], y1[g == key]):
+            grid[a:c, b:d] = True
+        assert got[int(key)] == int(grid.sum())

@@ -879,6 +879,69 @@ SELECT la, lb,
 FROM pair"""
 
 
+UNION_RECT_EXPRS = (
+    "(c_custkey * 37 + c_nationkey * 5) % 1200",
+    "(c_custkey * 41 + c_nationkey * 3) % 1200",
+    "16 + (c_custkey * 13) % 120",
+    "16 + (c_custkey * 17) % 96",
+)
+
+
+def q_union_area(sf_dir: str):
+    """Exact per-nation UNION AREA of customer-derived rectangles
+    (Klee's measure problem / ST_Union area): rects clip to grid cells
+    (union area is additive over disjoint cells), one bucketed shuffle,
+    per-cell x-compression + cummax y-sweep — no global sweep anywhere
+    (stages/zonal.py:rect_union_area)."""
+    from ..stages.zonal import rect_union_area
+
+    def mk(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = (ck * 37 + nk * 5) % 1200
+        y0 = (ck * 41 + nk * 3) % 1200
+        w = 16 + (ck * 13) % 120
+        h = 16 + (ck * 17) % 96
+        return pa.table({
+            "g": pa.array(nk), "x0": pa.array(x0), "y0": pa.array(y0),
+            "x1": pa.array(x0 + w), "y1": pa.array(y0 + h),
+        })
+
+    rects = _read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey"]).map_batches(
+        mk, batch_format="pyarrow")
+    return rect_union_area(rects, cell=BBOX_CELL)
+
+
+def _sql_union_area() -> str:
+    x0e, y0e, we, he = UNION_RECT_EXPRS
+    return f"""
+WITH r AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+                  CAST({x0e} AS BIGINT) AS x0,
+                  CAST({y0e} AS BIGINT) AS y0,
+                  CAST({x0e} + ({we}) AS BIGINT) AS x1,
+                  CAST({y0e} + ({he}) AS BIGINT) AS y1 FROM customer),
+xs AS (SELECT DISTINCT g, x FROM
+       (SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r)),
+sl AS (SELECT g, x AS sx,
+              LEAD(x) OVER (PARTITION BY g ORDER BY x) AS ex FROM xs),
+sv AS (SELECT s.g, s.sx, s.ex, r.y0, r.y1
+       FROM sl s JOIN r ON r.g = s.g AND r.x0 <= s.sx AND s.sx < r.x1
+       WHERE s.ex IS NOT NULL),
+w2 AS (SELECT g, sx, ex, y0, y1,
+              MAX(y1) OVER (PARTITION BY g, sx ORDER BY y0, y1
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+       FROM sv),
+c2 AS (SELECT g, sx, ex,
+              GREATEST(y1 - GREATEST(y0, COALESCE(pmax, 0)), 0) AS add_
+       FROM w2)
+SELECT g, CAST(SUM((ex - sx) * add_) AS BIGINT) AS area
+FROM c2 GROUP BY g"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7692,6 +7755,7 @@ def build_oracles() -> dict[str, str]:
         "er_canonical": _sql_er_canonical(),
         "centroids": _sql_centroids(),
         "proto_sim": _sql_proto_sim(),
+        "union_area": _sql_union_area(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8568,6 +8632,7 @@ def build_queries() -> dict:
         "er_canonical": q_er_canonical,
         "centroids": q_centroids,
         "proto_sim": q_proto_sim,
+        "union_area": q_union_area,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

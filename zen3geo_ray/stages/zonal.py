@@ -887,3 +887,92 @@ def kendall_counts(ds, group_col: str, x_col: str, y_col: str, *,
 
     return bucketed_groupby(hist, [group_col], finale,
                             n_buckets=n_buckets)
+
+
+def rect_union_area(ds, *, group_col: str = "g", cell: int = 128,
+                    n_buckets: int = 32):
+    """Exact UNION AREA of axis-aligned half-open integer rectangles
+    per group (KLEE'S MEASURE problem — the ST_Union(geometry)::area
+    analog for box footprints), distributed without any global sweep:
+    rects replicate to every grid cell they touch CLIPPED to the cell
+    (disjoint cells make union area additive), ONE bucketed shuffle on
+    the cell key, and each (group, cell) runs the classic sweep —
+    x-coordinate compression, per-slab y-interval union via the
+    vectorized cummax rule Σ max(0, y1 − max(y0, prev_cummax)) — over
+    its own few rows.  A tiny per-group reduce sums the cell partials.
+
+    Input columns: (group_col, x0, y0, x1, y1) int64, x0 < x1, y0 < y1.
+    Output: ``(group_col, area)`` int64, exact.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def expand(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = b.column("x0").to_numpy(zero_copy_only=False).astype(np.int64)
+        y0 = b.column("y0").to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = b.column("x1").to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0, cx1 = x0 // cell, (x1 - 1) // cell
+        cy0, cy1 = y0 // cell, (y1 - 1) // cell
+        nx = (cx1 - cx0 + 1).astype(np.int64)
+        ny = (cy1 - cy0 + 1).astype(np.int64)
+        reps = nx * ny
+        ridx = np.repeat(np.arange(len(g)), reps)
+        off = (np.concatenate([np.arange(r) for r in reps.tolist()])
+               if len(g) else np.array([], dtype=np.int64)).astype(np.int64)
+        nxr = nx[ridx]
+        cx = cx0[ridx] + off % nxr
+        cy = cy0[ridx] + off // nxr
+        return pa.table({
+            group_col: pa.array(g[ridx]),
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "x0": pa.array(np.maximum(x0[ridx], cx * cell)),
+            "y0": pa.array(np.maximum(y0[ridx], cy * cell)),
+            "x1": pa.array(np.minimum(x1[ridx], (cx + 1) * cell)),
+            "y1": pa.array(np.minimum(y1[ridx], (cy + 1) * cell)),
+        })
+
+    clipped = ds.map_batches(expand, batch_format="pyarrow")
+
+    def cell_fold(df: pd.DataFrame) -> pd.DataFrame:
+        gs, areas = [], []
+        for key, grp in df.groupby([group_col, "cx", "cy"], sort=False):
+            x0 = grp["x0"].to_numpy(dtype=np.int64)
+            y0 = grp["y0"].to_numpy(dtype=np.int64)
+            x1 = grp["x1"].to_numpy(dtype=np.int64)
+            y1 = grp["y1"].to_numpy(dtype=np.int64)
+            xs = np.unique(np.concatenate([x0, x1]))
+            area = 0
+            for i in range(len(xs) - 1):
+                sx = xs[i]
+                m = (x0 <= sx) & (sx < x1)
+                if not m.any():
+                    continue
+                o = np.lexsort((y1[m], y0[m]))
+                ys, ye = y0[m][o], y1[m][o]
+                pmax = np.concatenate(
+                    [[0], np.maximum.accumulate(ye)[:-1]])
+                ylen = int(np.maximum(
+                    ye - np.maximum(ys, pmax), 0).sum())
+                area += int(xs[i + 1] - sx) * ylen
+            gs.append(key[0])
+            areas.append(area)
+        part = pd.DataFrame({group_col: gs, "_a": areas})
+        return part.groupby(group_col, sort=False,
+                            as_index=False)["_a"].sum()
+
+    per_cell = bucketed_groupby(clipped, ["cx", "cy"], cell_fold,
+                                n_buckets=n_buckets)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group_col, sort=False,
+                         as_index=False)["_a"].sum()
+        out = out.rename(columns={"_a": "area"})
+        out["area"] = out["area"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(per_cell, [group_col], fin,
+                            n_buckets=max(4, n_buckets // 4))
