@@ -1229,3 +1229,39 @@ def test_pinned_sssp_parity(ray_session, n_shards):
                      got["dist"].astype(np.int64)))
             == dict(zip(want["node"].astype(np.int64),
                         want["dist"].astype(np.int64))))
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_temporal_reachability_bruteforce(ray_session, bt):
+    """Earliest time-respecting arrivals vs a reference relaxation;
+    a path that goes back in time must NOT be taken."""
+    from zen3geo_ray.stages.graph import temporal_reachability
+
+    rng = np.random.default_rng(41)
+    n, m = 50, 300
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    ts = rng.integers(0, 100, m).astype(np.int64)
+    # planted: 0 -(t=10)-> 40 -(t=5)-> 41 is time-DISrespecting;
+    # 0 -(t=10)-> 40 -(t=20)-> 41 is fine
+    src = np.concatenate([src, [0, 40, 40]])
+    dst = np.concatenate([dst, [40, 41, 41]])
+    ts = np.concatenate([ts, [10, 5, 20]])
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "ts": ts})
+                          ).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": np.array([0], np.int64)}))
+    rounds, start = 3, 3
+    out = temporal_reachability(edges, seeds, start=start,
+                                max_rounds=rounds,
+                                broadcast_threshold=bt).to_pandas()
+    got = dict(zip(out["node"].astype(np.int64),
+                   out["t"].astype(np.int64)))
+
+    ref = {0: start}
+    for _ in range(rounds):
+        new = dict(ref)
+        for s, d, t in zip(src.tolist(), dst.tolist(), ts.tolist()):
+            if s in ref and t >= ref[s] and t < new.get(d, 1 << 60):
+                new[d] = t
+        ref = new
+    assert got == ref

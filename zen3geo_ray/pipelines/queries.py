@@ -942,6 +942,92 @@ SELECT g, CAST(SUM((ex - sx) * add_) AS BIGINT) AS area
 FROM c2 GROUP BY g"""
 
 
+TREACH_START, TREACH_ROUNDS, TREACH_SEED_MOD = 9500, 3, 50
+
+
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting earliest-arrival reachability over the
+    timestamped trade graph (edge = a customer-supplier order on an
+    epoch-day; a path's days must be non-decreasing): 3 rounds from
+    every node % 50 == 0 starting at day 9500
+    (stages/graph.py:temporal_reachability)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import distinct_tuples, temporal_reachability
+    from ..stages.hashjoin import bucketed_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    pairs = bucketed_join(li, orders, ["o_orderkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = (b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        df = pd.DataFrame({"cnode": c * 2, "snode": s * 2 + 1,
+                           "ts": day}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    tri = distinct_tuples(
+        pairs.map_batches(to_edges, batch_format="pyarrow"),
+        ["cnode", "snode", "ts"])
+
+    def symm(b: pa.Table) -> pa.Table:
+        c = b.column("cnode").combine_chunks()
+        s = b.column("snode").combine_chunks()
+        t = b.column("ts").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([c, s]),
+                         "dst": pa.concat_arrays([s, c]),
+                         "ts": pa.concat_arrays([t, t])})
+
+    edges = tri.map_batches(symm, batch_format="pyarrow").materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(s[s % TREACH_SEED_MOD == 0]))})
+
+    seeds = distinct_tuples(
+        edges.map_batches(seed_partial, batch_format="pyarrow"),
+        ["node"])
+    return temporal_reachability(edges, seeds, start=TREACH_START,
+                                 max_rounds=TREACH_ROUNDS)
+
+
+def _sql_temporal_reach() -> str:
+    ctes = [
+        ("pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cnode,"
+         " l.l_suppkey * 2 + 1 AS snode,"
+         " CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS ts"
+         " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)"),
+        ("edges AS (SELECT cnode AS src, snode AS dst, ts FROM pairs"
+         " UNION ALL SELECT snode AS src, cnode AS dst, ts FROM pairs)"),
+        (f"d0 AS (SELECT DISTINCT src AS node,"
+         f" CAST({TREACH_START} AS BIGINT) AS t FROM edges"
+         f" WHERE src % {TREACH_SEED_MOD} = 0)"),
+    ]
+    for i in range(1, TREACH_ROUNDS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, MIN(t) AS t FROM (
+    SELECT node, t FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.ts AS t
+    FROM edges e JOIN d{i - 1} r ON r.node = e.src AND e.ts >= r.t
+  ) GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(t AS BIGINT) AS t"
+              f" FROM d{TREACH_ROUNDS}")
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7756,6 +7842,7 @@ def build_oracles() -> dict[str, str]:
         "centroids": _sql_centroids(),
         "proto_sim": _sql_proto_sim(),
         "union_area": _sql_union_area(),
+        "temporal_reach": _sql_temporal_reach(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8633,6 +8720,7 @@ def build_queries() -> dict:
         "centroids": q_centroids,
         "proto_sim": q_proto_sim,
         "union_area": q_union_area,
+        "temporal_reach": q_temporal_reach,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -2358,3 +2358,109 @@ def sssp_bounded(edges, seeds, *, src: str = "src", dst: str = "dst",
             state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
         ), n_buckets)
     return state
+
+
+def temporal_reachability(edges, seeds, *, src: str = "src",
+                          dst: str = "dst", ts_col: str = "ts",
+                          start: int = 0, max_rounds: int = 3,
+                          n_buckets: int | None = None,
+                          broadcast_threshold: int = BROADCAST_NODES):
+    """TIME-RESPECTING earliest-arrival reachability (the temporal-graph
+    sibling of sssp_bounded): (node, t) = the earliest arrival time at
+    each node over paths of <= ``max_rounds`` edges whose timestamps
+    are non-decreasing along the path — an edge (u → v, ts) is
+    traversable only when ts >= arrival(u), and arriving via it means
+    arrival(v) = ts.  Seeds start at ``start``.
+
+    Round i mirrors the chained-CTE oracle term for term:
+    t_i(v) = min(t_{i-1}(v), min over eligible edges of e.ts).
+    Improvements only propagate from nodes whose arrival IMPROVED
+    (a smaller arrival can only widen the eligible edge set), so the
+    broadcast path ships the changed-delta set and exits early like
+    sssp_bounded; the bucketed path ships full state per round.
+    """
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["t"].min()
+
+    if n_edges <= broadcast_threshold:
+        import ray
+        import ray.data as rd
+
+        sdf = seeds.to_pandas()
+        known = np.sort(np.unique(sdf[NODE].to_numpy().astype(np.int64)))
+        dist = np.full(len(known), start, dtype=np.int64)
+        ch_nodes, ch_dist = known, dist
+        for _ in range(max_rounds):
+            if len(ch_nodes) == 0:
+                break
+            ref = ray.put((ch_nodes, ch_dist))
+
+            def relax_bc(b: pa.Table, _ref=ref) -> pa.Table:
+                ns, dv = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                tv = b.column(ts_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                idx_c = np.minimum(np.searchsorted(ns, s), len(ns) - 1)
+                m = (ns[idx_c] == s) & (tv >= dv[idx_c])
+                df = pd.DataFrame({NODE: d[m], "t": tv[m]}).groupby(
+                    NODE, sort=False, as_index=False)["t"].min()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                edges.map_batches(relax_bc, batch_format="pyarrow"),
+                [NODE], take_min, n_buckets=n_buckets,
+            ).to_pandas()
+            rn = red[NODE].to_numpy().astype(np.int64)
+            rdist = red["t"].to_numpy().astype(np.int64)
+            if len(known):
+                ik = np.minimum(np.searchsorted(known, rn),
+                                len(known) - 1)
+                exists = known[ik] == rn
+                better = exists & (rdist < dist[ik])
+                dist[ik[better]] = rdist[better]
+                fresh = ~exists
+            else:
+                better = np.zeros(len(rn), dtype=bool)
+                fresh = np.ones(len(rn), dtype=bool)
+            merged = np.concatenate([known, rn[fresh]])
+            mdist = np.concatenate([dist, rdist[fresh]])
+            mo = np.argsort(merged, kind="mergesort")
+            known, dist = merged[mo], mdist[mo]
+            ch = np.concatenate([rn[better], rn[fresh]])
+            cd = np.concatenate([rdist[better], rdist[fresh]])
+            co = np.argsort(ch, kind="mergesort")
+            ch_nodes, ch_dist = ch[co], cd[co]
+        return rd.from_arrow(pa.table({NODE: pa.array(known),
+                                       "t": pa.array(dist)}))
+
+    state = _settle(seeds.map_batches(
+        lambda b: pa.table({
+            NODE: b.column(NODE),
+            "t": pa.array(np.full(len(b), start, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ), n_buckets)
+
+    def relax_partial(b: pa.Table) -> pa.Table:
+        d = b.column(dst).to_numpy(zero_copy_only=False)
+        tv = b.column(ts_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        arr = b.column("t").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = tv >= arr
+        df = pd.DataFrame({NODE: d[m], "t": tv[m]}).groupby(
+            NODE, sort=False, as_index=False)["t"].min()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    for _ in range(max_rounds):
+        joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
+        relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
+        state = _settle(bucketed_groupby(
+            state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
+        ), n_buckets)
+    return state
