@@ -376,3 +376,24 @@ def test_rect_union_area_bruteforce(ray_session):
                               x1[g == key], y1[g == key]):
             grid[a:c, b:d] = True
         assert got[int(key)] == int(grid.sum())
+
+
+def test_grouped_weighted_median(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.zonal import grouped_weighted_median
+
+    rows = [  # (key, v, w)
+        (1, 10, 1), (1, 20, 2), (1, 30, 1),   # cum 1,3,4; 2cw>=4 at v=20
+        (2, 5, 10),                            # single value
+        (3, 1, 1), (3, 2, 1),                  # even split -> lower = 1
+    ]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "v": pa.array([r[1] for r in rows], pa.int64()),
+                  "w": pa.array([r[2] for r in rows], pa.int64())})
+    out = grouped_weighted_median(
+        rd.from_arrow(t).repartition(3), ["k"], "v", "w",
+        n_buckets=2).to_pandas()
+    got = {int(r.k): (int(r.wmedian), int(r.total_w))
+           for r in out.itertuples()}
+    assert got == {1: (20, 4), 2: (5, 10), 3: (1, 2)}

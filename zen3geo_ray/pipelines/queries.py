@@ -1028,6 +1028,47 @@ def _sql_temporal_reach() -> str:
               f" FROM d{TREACH_ROUNDS}")
 
 
+def q_wmedian(sf_dir: str):
+    """Per-returnflag WEIGHTED median whole-dollar price, weighted by
+    integer quantity — exact lower weighted median from the bounded
+    (key, value) histogram, cost O(distinct values)
+    (stages/zonal.py:grouped_weighted_median)."""
+    from ..stages.zonal import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "flag": b.column("l_returnflag"),
+            "v": pa.array(np.floor(price).astype(np.int64) % 1000),
+            "w": pa.array(qty.astype(np.int64)),
+        })
+
+    return grouped_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["flag"], "v", "w")
+
+
+def _sql_wmedian() -> str:
+    return """
+WITH src AS (SELECT l_returnflag AS flag,
+                    CAST(FLOOR(l_extendedprice) AS BIGINT) % 1000 AS v,
+                    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+h AS (SELECT flag, v, CAST(SUM(w) AS BIGINT) AS w
+      FROM src GROUP BY flag, v),
+c AS (SELECT flag, v, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw FROM h)
+SELECT flag, CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+         AS wmedian,
+       CAST(MAX(tw) AS BIGINT) AS total_w
+FROM c GROUP BY flag"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7843,6 +7884,7 @@ def build_oracles() -> dict[str, str]:
         "proto_sim": _sql_proto_sim(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
+        "wmedian": _sql_wmedian(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8721,6 +8763,7 @@ def build_queries() -> dict:
         "proto_sim": q_proto_sim,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
+        "wmedian": q_wmedian,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -976,3 +976,53 @@ def rect_union_area(ds, *, group_col: str = "g", cell: int = 128,
 
     return bucketed_groupby(per_cell, [group_col], fin,
                             n_buckets=max(4, n_buckets // 4))
+
+
+def grouped_weighted_median(ds, key_cols: list[str], value_col: str,
+                            weight_col: str, *, n_buckets: int = 32):
+    """Per-group WEIGHTED MEDIAN of an integer value with integer
+    weights — the smallest v whose cumulative weight doubles to at
+    least the group total (lower weighted median, exact integers).
+
+    Combiner-first: per-block (key, value, weight-sum) partials bound
+    the one shuffle by distinct (key, value) pairs; the finale sorts
+    each group's value histogram and takes the crossing point — cost
+    O(distinct values), never O(rows).  Output: ``(keys..., wmedian,
+    total_w)``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(key_cols + [value_col, weight_col]).to_pandas()
+        g = df.groupby(key_cols + [value_col], sort=False,
+                       as_index=False)[weight_col].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finale(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(key_cols + [value_col],
+                         as_index=False)[weight_col].sum()
+        agg = agg.sort_values(key_cols + [value_col], kind="stable")
+        out_rows = []
+        for key, g in agg.groupby(key_cols, sort=False):
+            w = g[weight_col].to_numpy(dtype=np.int64)
+            v = g[value_col].to_numpy(dtype=np.int64)
+            cw = np.cumsum(w)
+            total = int(cw[-1])
+            idx = int(np.searchsorted(2 * cw, total, side="left"))
+            row = (key if isinstance(key, tuple) else (key,))
+            out_rows.append(row + (int(v[idx]), total))
+        cols = {c: [r[i] for r in out_rows]
+                for i, c in enumerate(key_cols)}
+        cols["wmedian"] = pd.Series(
+            [r[len(key_cols)] for r in out_rows], dtype="int64")
+        cols["total_w"] = pd.Series(
+            [r[len(key_cols) + 1] for r in out_rows], dtype="int64")
+        return pd.DataFrame(cols)
+
+    return bucketed_groupby(parts, key_cols, finale,
+                            n_buckets=n_buckets)
