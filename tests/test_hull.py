@@ -397,3 +397,39 @@ def test_grouped_weighted_median(ray_session):
     got = {int(r.k): (int(r.wmedian), int(r.total_w))
            for r in out.itertuples()}
     assert got == {1: (20, 4), 2: (5, 10), 3: (1, 2)}
+
+
+def test_incremental_sim_join_two_runs(ray_session, tmp_path):
+    """Run 2 finds new-vs-stored AND new-vs-new pairs, never
+    stored-vs-stored; union of both runs == the one-shot join."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import (incremental_sim_join,
+                                          jaccard_sim_join)
+
+    docs = [
+        (0, "a b c d e f g h"), (2, "a b c d e f g h"),   # old dup pair
+        (1, "a b c d e f g h"),                            # new, dups 0/2
+        (3, "p q r s t u v w"), (5, "p q r s t u v w"),    # new-new pair
+        (4, "m n o p q r s t u v"),                        # old, unrelated-ish
+    ]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": [d[1] for d in docs]})
+    full = rd.from_arrow(t)
+    evens = full.filter(lambda r: r["doc_id"] % 2 == 0)
+    odds = full.filter(lambda r: r["doc_id"] % 2 == 1)
+    store = str(tmp_path / "simstore")
+
+    r1 = incremental_sim_join(evens, store, k=3, tau_num=4,
+                              tau_den=5).to_pandas()
+    p1 = {(int(r.i), int(r.j)) for r in r1.itertuples()}
+    assert p1 == {(0, 2)}  # within-run pair of the seed batch
+
+    r2 = incremental_sim_join(odds, store, k=3, tau_num=4,
+                              tau_den=5).to_pandas()
+    p2 = {(int(r.i), int(r.j)) for r in r2.itertuples()}
+    assert p2 == {(0, 1), (1, 2), (3, 5)}  # no stored-vs-stored (0,2)
+
+    ref = jaccard_sim_join(full, k=3, tau_num=4, tau_den=5).to_pandas()
+    pref = {(int(r.i), int(r.j)) for r in ref.itertuples()}
+    assert p1 | p2 == pref

@@ -1069,6 +1069,47 @@ SELECT flag, CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
 FROM c GROUP BY flag"""
 
 
+def q_delta_simjoin(sf_dir: str):
+    """CROSS-RUN incremental EXACT sim join: run 1 seeds a persistent
+    shingle-set store with the even-doc_id half; run 2 matches the odd
+    half against stored + new — output is run 2's pairs, i.e. every
+    J >= 4/5 pair with at least one ODD side
+    (stages/dedup.py:incremental_sim_join)."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_sim_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_deltasim_")
+    try:
+        seed = incremental_sim_join(
+            docs.map_batches(half(0), batch_format="pyarrow"), store,
+            k=SIMJOIN_K, tau_num=SIMJOIN_NUM, tau_den=SIMJOIN_DEN)
+        seed.count()  # drive run 1 so the store is seeded
+        fresh = incremental_sim_join(
+            docs.map_batches(half(1), batch_format="pyarrow"), store,
+            k=SIMJOIN_K, tau_num=SIMJOIN_NUM, tau_den=SIMJOIN_DEN)
+        return fresh.materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _sql_delta_simjoin() -> str:
+    sim = _sql_sim_join()
+    return f"""
+WITH simp AS ({sim})
+SELECT i, j, inter, si, sj FROM simp
+WHERE i % 2 = 1 OR j % 2 = 1"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7885,6 +7926,7 @@ def build_oracles() -> dict[str, str]:
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
+        "delta_simjoin": _sql_delta_simjoin(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8764,6 +8806,7 @@ def build_queries() -> dict:
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,
+        "delta_simjoin": q_delta_simjoin,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -1325,6 +1325,36 @@ def compact_store(store_dir: str, *, n_files: int = 8) -> dict:
             "rows": rows}
 
 
+_SIM_SEP = "\t"  # tokens never contain RE2 \s chars, shingles only ' '
+
+
+def _shingle_set_fn(id_col: str, text_col: str, k: int):
+    """Per-batch map: one row per doc with >= k tokens — (id, distinct
+    shingle count, the string-sorted shingle set joined on tab)."""
+    from .ngrams import tokens_flat
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(doc_of, np.arange(ndocs + 1))
+        out_id, out_sz, out_set = [], [], []
+        for d in range(ndocs):
+            ts = toks[starts[d]:starts[d + 1]]
+            if len(ts) < k:
+                continue
+            sh = sorted({" ".join(ts[i:i + k])
+                         for i in range(len(ts) - k + 1)})
+            out_id.append(int(ids[d]))
+            out_sz.append(len(sh))
+            out_set.append(_SIM_SEP.join(sh))
+        return pa.table({"_d": pa.array(out_id, pa.int64()),
+                         "_sz": pa.array(out_sz, pa.int64()),
+                         "_set": pa.array(out_set, pa.string())})
+
+    return fn
+
+
 def jaccard_sim_join(docs, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3,
                      tau_num: int = 1, tau_den: int = 2,
@@ -1371,30 +1401,11 @@ def jaccard_sim_join(docs, *, id_col: str = "doc_id",
     from .hashjoin import bucketed_join
     from .ngrams import tokens_flat
 
-    SEP = "\t"  # tokens never contain RE2 \s chars, shingles only ' '
-
-    def shingle_sets(b: pa.Table) -> pa.Table:
-        flat, doc_of, ndocs = tokens_flat(b, text_col)
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        toks = flat.to_numpy(zero_copy_only=False)
-        starts = np.searchsorted(doc_of, np.arange(ndocs + 1))
-        out_id, out_sz, out_set = [], [], []
-        for d in range(ndocs):
-            ts = toks[starts[d]:starts[d + 1]]
-            if len(ts) < k:
-                continue
-            sh = sorted({" ".join(ts[i:i + k])
-                         for i in range(len(ts) - k + 1)})
-            out_id.append(int(ids[d]))
-            out_sz.append(len(sh))
-            out_set.append(SEP.join(sh))
-        return pa.table({"_d": pa.array(out_id, pa.int64()),
-                         "_sz": pa.array(out_sz, pa.int64()),
-                         "_set": pa.array(out_set, pa.string())})
+    SEP = _SIM_SEP
 
     # three consumers (postings + both verify joins): materialize once
     # or the whole shingle computation re-executes per consumer
-    sets = docs.map_batches(shingle_sets,
+    sets = docs.map_batches(_shingle_set_fn(id_col, text_col, k),
                             batch_format="pyarrow").materialize()
 
     df_blob = None
@@ -1551,3 +1562,144 @@ def normalized_dedup(ds, *, id_col: str = "doc_id",
 
     return bucketed_groupby(parts, ["_norm"], finale,
                             n_buckets=n_buckets)
+
+
+def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         tau_num: int = 4, tau_den: int = 5,
+                         n_buckets: int = 32):
+    """CROSS-RUN incremental EXACT similarity join — the fourth member
+    of the persistent-store family (exact / MinHash / embedding /
+    THIS): each run appends its docs' (id, size, shingle-set) rows to
+    ``store_dir`` and returns every pair with J >= tau where AT LEAST
+    ONE side is from the new batch (new-vs-stored and new-vs-new) —
+    the "match the new crawl against all prior crawls" shape.  Only
+    the set rows persist and shuffle, never documents.
+
+    Candidate order is the STATELESS (hash, string) prefix order —
+    consistent across runs with no global df table to maintain, which
+    is what makes the prefix filter valid over the union of all runs.
+    Doc ids must be unique across runs (the store is append-only).
+
+    Output: ``(i, j, inter, si, sj)`` with i < j, all int64.
+    """
+    import os
+    import uuid
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.hashing import fnv1a_str_array
+    from .bucketed import bucketed_groupby
+    from .graph import distinct_tuples
+    from .hashjoin import bucketed_join
+
+    new_sets = ds.map_batches(_shingle_set_fn(id_col, text_col, k),
+                              batch_format="pyarrow").materialize()
+
+    def _flag(v: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_new", pa.array(np.full(b.num_rows, v, dtype=np.int64)))
+        return fn
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            fn.endswith(".parquet")
+            for _, _, files in os.walk(d) for fn in files)
+
+    flagged = new_sets.map_batches(_flag(1), batch_format="pyarrow")
+    if _has_parquet(store_dir):
+        old = rd.read_parquet(store_dir,
+                              columns=["_d", "_sz", "_set"]) \
+            .map_batches(_flag(0), batch_format="pyarrow")
+        allsets = old.union(flagged).materialize()
+    else:
+        allsets = flagged.materialize()
+
+    def prefix_postings(b: pa.Table) -> pa.Table:
+        ids = b.column("_d").to_numpy(zero_copy_only=False)
+        szs = b.column("_sz").to_numpy(zero_copy_only=False)
+        sstr = b.column("_set").to_numpy(zero_copy_only=False)
+        nw = b.column("_new").to_numpy(zero_copy_only=False)
+        hs, ds_, zs, ns = [], [], [], []
+        for t in range(len(ids)):
+            sh = sstr[t].split(_SIM_SEP)
+            sz = int(szs[t])
+            p = sz - (-(-tau_num * sz) // tau_den) + 1
+            h = fnv1a_str_array(sh).view(np.int64)
+            sel = np.argsort(h, kind="stable")[:p]
+            hs.append(h[sel])
+            ds_.append(np.full(len(sel), ids[t], dtype=np.int64))
+            zs.append(np.full(len(sel), sz, dtype=np.int64))
+            ns.append(np.full(len(sel), nw[t], dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64()),
+                             "_new": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "i": pa.array(np.concatenate(ds_)),
+                         "sz": pa.array(np.concatenate(zs)),
+                         "_new": pa.array(np.concatenate(ns))})
+
+    posts = allsets.map_batches(prefix_postings, batch_format="pyarrow")
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        lo = np.minimum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        hi = np.maximum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        keep = ((m["i_a"].to_numpy() < m["i_b"].to_numpy())
+                & (hi * tau_num <= lo * tau_den)
+                & ((m["_new_a"].to_numpy() + m["_new_b"].to_numpy())
+                   >= 1))
+        m = m[keep]
+        return pd.DataFrame({
+            "i": m["i_a"].to_numpy(dtype=np.int64),
+            "j": m["i_b"].to_numpy(dtype=np.int64),
+        }).drop_duplicates()
+
+    cand = bucketed_groupby(posts, ["h"], pair_up, n_buckets=n_buckets)
+    cand = distinct_tuples(cand, ["i", "j"], n_buckets=n_buckets)
+
+    plain = allsets.map_batches(
+        lambda b: b.select(["_d", "_sz", "_set"]),
+        batch_format="pyarrow")
+    left = plain.map_batches(
+        lambda b: b.rename_columns(["i", "si", "_set_i"]),
+        batch_format="pyarrow")
+    right = plain.map_batches(
+        lambda b: b.rename_columns(["j", "sj", "_set_j"]),
+        batch_format="pyarrow")
+    cand = bucketed_join(cand, left, on=["i"], how="inner",
+                         n_buckets=n_buckets)
+    cand = bucketed_join(cand, right, on=["j"], how="inner",
+                         n_buckets=n_buckets)
+
+    def verify(b: pa.Table) -> pa.Table:
+        ii = b.column("i").to_numpy(zero_copy_only=False)
+        jj = b.column("j").to_numpy(zero_copy_only=False)
+        si_ = b.column("si").to_numpy(zero_copy_only=False)
+        sj_ = b.column("sj").to_numpy(zero_copy_only=False)
+        sa = b.column("_set_i").to_numpy(zero_copy_only=False)
+        sb = b.column("_set_j").to_numpy(zero_copy_only=False)
+        oi, oj, ov, osi, osj = [], [], [], [], []
+        for t in range(b.num_rows):
+            inter = len(set(sa[t].split(_SIM_SEP))
+                        & set(sb[t].split(_SIM_SEP)))
+            if inter * tau_den >= tau_num * (int(si_[t]) + int(sj_[t])
+                                             - inter):
+                oi.append(int(ii[t])); oj.append(int(jj[t]))
+                ov.append(inter)
+                osi.append(int(si_[t])); osj.append(int(sj_[t]))
+        return pa.table({"i": pa.array(oi, pa.int64()),
+                         "j": pa.array(oj, pa.int64()),
+                         "inter": pa.array(ov, pa.int64()),
+                         "si": pa.array(osi, pa.int64()),
+                         "sj": pa.array(osj, pa.int64())})
+
+    out = cand.map_batches(verify, batch_format="pyarrow")
+    os.makedirs(store_dir, exist_ok=True)
+    new_sets.write_parquet(
+        os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}"))
+    return out
