@@ -433,3 +433,25 @@ def test_incremental_sim_join_two_runs(ray_session, tmp_path):
     ref = jaccard_sim_join(full, k=3, tau_num=4, tau_den=5).to_pandas()
     pref = {(int(r.i), int(r.j)) for r in ref.itertuples()}
     assert p1 | p2 == pref
+
+
+def test_max_drawdown(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import max_drawdown
+
+    rows = [  # (user, t, c, uid): series 10, 8, 12, 3, 9
+        (1, 0, 10, 1), (1, 1, 8, 2), (1, 2, 12, 3), (1, 3, 3, 4),
+        (1, 4, 9, 5),
+        (2, 0, 5, 6),  # single event: drawdown 0
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "c": pa.array([r[2] for r in rows], pa.int64()),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = max_drawdown(rd.from_arrow(t).repartition(3),
+                       "user_id", "t", "c", "event_id",
+                       n_buckets=2).to_pandas()
+    got = {int(r.user_id): (int(r.n), int(r.max_drawdown), int(r.peak))
+           for r in out.itertuples()}
+    assert got == {1: (5, 9, 12), 2: (1, 0, 5)}

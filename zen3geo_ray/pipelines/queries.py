@@ -1110,6 +1110,78 @@ SELECT i, j, inter, si, sj FROM simp
 WHERE i % 2 = 1 OR j % 2 = 1"""
 
 
+def q_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the event value series (cents,
+    running-peak minus value) in (ts, event_id) order — all integers
+    (stages/sequence.py:max_drawdown)."""
+    from ..stages.sequence import max_drawdown
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t": b.column("ts").cast(pa.int64()),
+            "c": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            "event_id": b.column("event_id"),
+        })
+
+    return max_drawdown(ev.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", "t", "c", "event_id")
+
+
+def _sql_drawdown() -> str:
+    return """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS c
+           FROM events),
+w AS (SELECT user_id, c,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pk
+      FROM e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(pk - c) AS BIGINT) AS max_drawdown,
+       CAST(MAX(pk) AS BIGINT) AS peak
+FROM w GROUP BY user_id"""
+
+
+def q_extent(sf_dir: str):
+    """Per-language bounding box of the geocoded corpus (the
+    geopandas total_bounds / ST_Extent surface): grouped float min/max
+    — comparisons only, no arithmetic, so doubles mirror exactly."""
+    from ..stages.zonal import zonal_aggregate
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.select(["lang", "lon", "lat"])
+
+    from ..stages.bucketed import bucketed_groupby
+
+    def fold(df):
+        out = df.groupby("lang", sort=False).agg(
+            n=("lon", "size"), minx=("lon", "min"), miny=("lat", "min"),
+            maxx=("lon", "max"), maxy=("lat", "max")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(
+        pts.map_batches(prep, batch_format="pyarrow"), ["lang"], fold,
+        n_buckets=4)
+
+
+def _sql_extent() -> str:
+    lon, lat = sql_geocode_exprs("doc_id", "lang")
+    return f"""
+WITH g AS (SELECT lang, {lon} AS lon, {lat} AS lat FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(lon) AS minx, MIN(lat) AS miny,
+       MAX(lon) AS maxx, MAX(lat) AS maxy
+FROM g GROUP BY lang"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7927,6 +7999,8 @@ def build_oracles() -> dict[str, str]:
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
         "delta_simjoin": _sql_delta_simjoin(),
+        "drawdown": _sql_drawdown(),
+        "extent": _sql_extent(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8807,6 +8881,8 @@ def build_queries() -> dict:
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,
         "delta_simjoin": q_delta_simjoin,
+        "drawdown": q_drawdown,
+        "extent": q_extent,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -408,3 +408,31 @@ def rle_runs(ds, key_col: str, type_col: str, ts_col: str,
                              "run_len": run_len.astype(np.int64)})
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def max_drawdown(ds, key_col: str, ts_col: str, value_col: str,
+                 uid_col: str, *, n_buckets: int = 32):
+    """Per-key MAXIMUM DRAWDOWN of an integer value series in
+    (ts, uid) order — max(running_peak − value), the classic
+    risk/regression metric, plus the peak itself.  All integers
+    (quantize floats to cents upstream); one bucketed shuffle, pandas
+    C-kernel cummax inside — no per-key Python.
+
+    Output: ``(key, n, max_drawdown, peak)``, int64.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, uid_col], kind="stable")
+        pk = df.groupby(key_col, sort=False)[value_col].cummax()
+        df = df.assign(_dd=pk - df[value_col], _pk=pk)
+        out = df.groupby(key_col, sort=False).agg(
+            n=(value_col, "size"), max_drawdown=("_dd", "max"),
+            peak=("_pk", "max")).reset_index()
+        for c in ("n", "max_drawdown", "peak"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
