@@ -1151,8 +1151,6 @@ def q_extent(sf_dir: str):
     """Per-language bounding box of the geocoded corpus (the
     geopandas total_bounds / ST_Extent surface): grouped float min/max
     — comparisons only, no arithmetic, so doubles mirror exactly."""
-    from ..stages.zonal import zonal_aggregate
-
     pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
 
     def prep(b: pa.Table) -> pa.Table:
