@@ -455,3 +455,36 @@ def test_max_drawdown(ray_session):
     got = {int(r.user_id): (int(r.n), int(r.max_drawdown), int(r.peak))
            for r in out.itertuples()}
     assert got == {1: (5, 9, 12), 2: (1, 0, 5)}
+
+
+def test_linear_interp_grid(ray_session):
+    """Interpolated values at known brackets; on-event grid points take
+    the event value; unbracketed edges drop; ts ties dedupe to max uid."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import linear_interp_grid
+
+    H = 3_600_000_000
+    rows = [  # (user, t, v, uid)
+        (1, H * 10, 4.0, 1), (1, H * 12, 8.0, 2),   # interp at h=11 -> 6
+        (1, H * 12, 99.0, 3),                        # tie: uid 3 wins
+        (2, H * 11, 5.0, 4),                         # single event
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "value": pa.array([r[2] for r in rows], pa.float64()),
+                  "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = linear_interp_grid(rd.from_arrow(t).repartition(2),
+                             "user_id", "t", "value", "event_id",
+                             hour_lo=9, hour_hi=13,
+                             n_buckets=2).to_pandas()
+    got = {(int(r.user_id), int(r.h)): float(r.val)
+           for r in out.itertuples()}
+    # user 1: h=9 unbracketed (no prev), h=13 unbracketed (no next)
+    assert set(k[1] for k in got if k[0] == 1) == {10, 11, 12}
+    assert got[(1, 10)] == 4.0
+    assert got[(1, 11)] == 4.0 + (99.0 - 4.0) * 0.5  # tie winner 99.0
+    assert got[(1, 12)] == 99.0
+    # user 2: only h=11 is ON the single event; others unbracketed
+    assert set(k[1] for k in got if k[0] == 2) == {11}
+    assert got[(2, 11)] == 5.0

@@ -1180,6 +1180,60 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
 FROM g GROUP BY lang"""
 
 
+INTERP_H0, INTERP_H1 = 473500, 473571  # 72-hour grid inside the corpus
+
+
+def q_interp(sf_dir: str):
+    """Per-user linear interpolation of the event value series onto a
+    fixed 72-hour grid (the resample/align step): prev/next bracketing
+    events, inner as-of semantics, one shared float expression
+    (stages/sequence.py:linear_interp_grid)."""
+    from ..stages.sequence import linear_interp_grid
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t": b.column("ts").cast(pa.int64()),
+            "value": b.column("value"),
+            "event_id": b.column("event_id"),
+        })
+
+    return linear_interp_grid(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "t", "value", "event_id",
+        hour_lo=INTERP_H0, hour_hi=INTERP_H1)
+
+
+def _sql_interp() -> str:
+    return f"""
+WITH e0 AS (SELECT user_id, epoch_us(ts) AS t, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                      ORDER BY event_id DESC) AS rn
+            FROM events),
+e AS (SELECT user_id, t, value FROM e0 WHERE rn = 1),
+u AS (SELECT DISTINCT user_id FROM e),
+g2 AS (SELECT user_id,
+              CAST(unnest(range({INTERP_H0}, {INTERP_H1} + 1))
+                   AS BIGINT) AS h FROM u),
+g3 AS (SELECT user_id, h, h * 3600000000 AS tg FROM g2),
+pv AS (SELECT g3.user_id, g3.h, g3.tg, e.t AS t0, e.value AS v0
+       FROM g3 ASOF JOIN e
+            ON e.user_id = g3.user_id AND e.t <= g3.tg),
+nv AS (SELECT g3.user_id, g3.h, e.t AS t1, e.value AS v1
+       FROM g3 ASOF JOIN e
+            ON e.user_id = g3.user_id AND e.t >= g3.tg)
+SELECT pv.user_id, pv.h,
+       CASE WHEN nv.t1 = pv.t0 THEN pv.v0
+            ELSE pv.v0 + (nv.v1 - pv.v0)
+                 * (CAST(pv.tg - pv.t0 AS DOUBLE)
+                    / CAST(nv.t1 - pv.t0 AS DOUBLE))
+       END AS val
+FROM pv JOIN nv ON nv.user_id = pv.user_id AND nv.h = pv.h"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -7999,6 +8053,7 @@ def build_oracles() -> dict[str, str]:
         "delta_simjoin": _sql_delta_simjoin(),
         "drawdown": _sql_drawdown(),
         "extent": _sql_extent(),
+        "interp": _sql_interp(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8881,6 +8936,7 @@ def build_queries() -> dict:
         "delta_simjoin": q_delta_simjoin,
         "drawdown": q_drawdown,
         "extent": q_extent,
+        "interp": q_interp,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,

@@ -436,3 +436,61 @@ def max_drawdown(ds, key_col: str, ts_col: str, value_col: str,
         return out
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def linear_interp_grid(ds, key_col: str, ts_col: str, value_col: str,
+                       uid_col: str, *, hour_lo: int, hour_hi: int,
+                       hour_us: int = 3_600_000_000,
+                       n_buckets: int = 32):
+    """Per-key LINEAR INTERPOLATION of an irregular value series onto a
+    fixed hourly grid (the time-series resample/align step): grid point
+    t_g takes ``v0 + (v1 − v0) · ((t_g − t0) / (t1 − t0))`` between its
+    bracketing events (prev = last t <= t_g, next = first t >= t_g);
+    only points bracketed on BOTH sides emit (inner as-of semantics),
+    a grid point ON an event takes that value, and events tied on ts
+    dedupe to the highest-uid row — all rules mirrored by the ASOF-JOIN
+    oracle.  The float expression shares one parenthesization with the
+    SQL; µs gaps are exact in double.
+
+    One bucketed shuffle on the key; per-bucket vectorized searchsorted
+    against the fixed [hour_lo, hour_hi] window (bounded output:
+    keys × window hours).  Output: ``(key, h, val)``.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    hours = np.arange(hour_lo, hour_hi + 1, dtype=np.int64)
+    grid = hours * hour_us
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, uid_col], kind="stable") \
+            .drop_duplicates([key_col, ts_col], keep="last")
+        ks, hs, vs = [], [], []
+        for key, g in df.groupby(key_col, sort=False):
+            ts = g[ts_col].to_numpy(dtype=np.int64)
+            v = g[value_col].to_numpy(dtype=np.float64)
+            jn = np.searchsorted(ts, grid, side="left")
+            jp = np.searchsorted(ts, grid, side="right") - 1
+            ok = (jp >= 0) & (jn < len(ts))
+            if not ok.any():
+                continue
+            t0, v0 = ts[jp[ok]], v[jp[ok]]
+            t1, v1 = ts[jn[ok]], v[jn[ok]]
+            dt = t1 - t0
+            same = dt == 0
+            ratio = ((grid[ok] - t0).astype(np.float64)
+                     / np.where(same, 1, dt).astype(np.float64))
+            val = np.where(same, v0, v0 + (v1 - v0) * ratio)
+            ks.append(np.full(ok.sum(), key))
+            hs.append(hours[ok])
+            vs.append(val)
+        if not ks:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="int64"),
+                                 "val": pd.Series([], dtype="float64")})
+        return pd.DataFrame({key_col: np.concatenate(ks),
+                             "h": np.concatenate(hs),
+                             "val": np.concatenate(vs)})
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
