@@ -520,6 +520,50 @@ class Pipe:
 
         return Pipe(label_centroids(self.ds, **kwargs))
 
+    def union_area(self, **kwargs) -> "Pipe":
+        """Exact per-group union area of integer rectangles (Klee)."""
+        from .stages.zonal import rect_union_area
+
+        return Pipe(rect_union_area(self.ds, **kwargs))
+
+    def temporal_reach(self, seeds, **kwargs) -> "Pipe":
+        """Time-respecting earliest arrival over timestamped edges."""
+        from .stages.graph import temporal_reachability
+
+        s = seeds.ds if isinstance(seeds, Pipe) else seeds
+        return Pipe(temporal_reachability(self.ds, s, **kwargs))
+
+    def weighted_median(self, key_cols: list, value_col: str,
+                        weight_col: str, **kwargs) -> "Pipe":
+        """Exact per-group lower weighted median."""
+        from .stages.zonal import grouped_weighted_median
+
+        return Pipe(grouped_weighted_median(self.ds, key_cols,
+                                            value_col, weight_col,
+                                            **kwargs))
+
+    def drawdown(self, key_col: str, ts_col: str, value_col: str,
+                 uid_col: str, **kwargs) -> "Pipe":
+        """Per-key maximum drawdown of an integer value series."""
+        from .stages.sequence import max_drawdown
+
+        return Pipe(max_drawdown(self.ds, key_col, ts_col, value_col,
+                                 uid_col, **kwargs))
+
+    def interp_grid(self, key_col: str, ts_col: str, value_col: str,
+                    uid_col: str, **kwargs) -> "Pipe":
+        """Per-key linear interpolation onto a fixed hourly grid."""
+        from .stages.sequence import linear_interp_grid
+
+        return Pipe(linear_interp_grid(self.ds, key_col, ts_col,
+                                       value_col, uid_col, **kwargs))
+
+    def sim_join_incremental(self, store_dir: str, **kwargs) -> "Pipe":
+        """Cross-run exact similarity join against a persistent store."""
+        from .stages.dedup import incremental_sim_join
+
+        return Pipe(incremental_sim_join(self.ds, store_dir, **kwargs))
+
     def regrid(self, src: dict, dst: dict, **kwargs) -> "Pipe":
         """Nearest-neighbor warp/regrid of a sparse raster pipe onto a
         new grid (optionally cross-CRS via ``inv_transform=``)."""
