@@ -1234,6 +1234,68 @@ SELECT pv.user_id, pv.h,
 FROM pv JOIN nv ON nv.user_id = pv.user_id AND nv.h = pv.h"""
 
 
+def q_chi2_cat(sf_dir: str):
+    """Chi-square independence cells for the (lang × source)
+    contingency table — per OBSERVED cell the exact integer sufficient
+    stats and the one-division term (o·T − rt·ct)²/(T·rt·ct), computed
+    in exact Python ints (the numerator overflows int64 at web scale);
+    counts are combiner-first partials, the finale is a
+    categories-bounded driver table."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["lang", "source"], sort=False,
+                                   as_index=False).size()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    parts = docs.map_batches(partial,
+                             batch_format="pyarrow").to_pandas()
+    c = parts.groupby(["lang", "source"],
+                      as_index=False)["size"].sum()
+    rt = dict(c.groupby("lang")["size"].sum())
+    ct = dict(c.groupby("source")["size"].sum())
+    t = int(c["size"].sum())
+    rows = {"lang": [], "source": [], "o": [], "rt": [], "ct": [],
+            "term": []}
+    for r in c.itertuples():
+        o, rtv, ctv = int(r.size), int(rt[r.lang]), int(ct[r.source])
+        num = (o * t - rtv * ctv) ** 2
+        rows["lang"].append(r.lang)
+        rows["source"].append(r.source)
+        rows["o"].append(o)
+        rows["rt"].append(rtv)
+        rows["ct"].append(ctv)
+        rows["term"].append(float(num) / float(t * rtv * ctv))
+    return pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "source": pa.array(rows["source"], pa.string()),
+        "o": pa.array(rows["o"], pa.int64()),
+        "rt": pa.array(rows["rt"], pa.int64()),
+        "ct": pa.array(rows["ct"], pa.int64()),
+        "term": pa.array(rows["term"], pa.float64()),
+    })
+
+
+def _sql_chi2_cat() -> str:
+    return """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct
+       FROM c GROUP BY source),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM c)
+SELECT c.lang, c.source, c.o, rt.rt, ct.ct,
+       CAST((CAST(c.o AS HUGEINT) * tt.t - CAST(rt.rt AS HUGEINT)
+             * ct.ct)
+            * (CAST(c.o AS HUGEINT) * tt.t - CAST(rt.rt AS HUGEINT)
+               * ct.ct) AS DOUBLE)
+       / CAST(CAST(tt.t AS HUGEINT) * rt.rt * ct.ct AS DOUBLE) AS term
+FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tt"""
+
+
 NEAREST_MOD = 7  # sparse admin layer: keep every 7th rect
 
 
@@ -8054,6 +8116,7 @@ def build_oracles() -> dict[str, str]:
         "drawdown": _sql_drawdown(),
         "extent": _sql_extent(),
         "interp": _sql_interp(),
+        "chi2_cat": _sql_chi2_cat(),
         "pip_admin": (
             f"{_sql_geo_cte(RES_ZONAL)}, "
             f"j AS (SELECT doc_id, {admin_iy} AS iy, {admin_ix} AS ix FROM geo) "
@@ -8937,6 +9000,7 @@ def build_queries() -> dict:
         "drawdown": q_drawdown,
         "extent": q_extent,
         "interp": q_interp,
+        "chi2_cat": q_chi2_cat,
         "knn": q_knn,
         "multires": q_multires,
         "chips": q_chips,
