@@ -485,6 +485,44 @@ def test_link_prediction_scores_golden(ray_session):
     assert np.array_equal(a["jaccard"].to_numpy(), b["jaccard"].to_numpy())
 
 
+def test_adamic_adar_golden_and_parity(ray_session):
+    import math
+
+    from zen3geo_ray.stages.graph import common_neighbors
+
+    # square 1-2-3-4-1 plus diagonal 1-3: deg 1->3, 2->2, 3->3, 4->2
+    src = np.array([1, 2, 3, 4, 1], np.int64)
+    dst = np.array([2, 3, 4, 1, 3], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = common_neighbors(edges, max_degree=16, min_common=1,
+                           n_buckets=8, aa=True).to_pandas()
+    w = {d: int((1 << 16) / math.log(d)) for d in (2, 3)}
+    r = {d: (1 << 16) // d for d in (2, 3)}
+    got = {(int(x.u), int(x.v)): (int(x.aa_q), int(x.ra_q))
+           for x in out.itertuples(index=False)}
+    assert got[(2, 4)] == (2 * w[3], 2 * r[3])      # common {1,3}, deg 3
+    assert got[(1, 3)] == (2 * w[2], 2 * r[2])      # common {2,4}, deg 2
+    assert got[(1, 2)] == (w[3], r[3])              # common {3}
+    assert got[(3, 4)] == (w[3], r[3])              # common {1}
+    # float columns are the exact /65536 rescale
+    assert np.array_equal(out["aa"].to_numpy(),
+                          out["aa_q"].to_numpy() / 65536.0)
+    # bucketed path agrees bit-for-bit
+    out2 = common_neighbors(edges, max_degree=16, min_common=1,
+                            n_buckets=8, aa=True,
+                            broadcast_threshold=0).to_pandas()
+    cols = ["u", "v", "n_common", "aa_q", "ra_q", "aa", "ra"]
+    a = out.sort_values(["u", "v"]).reset_index(drop=True)[cols]
+    b = out2.sort_values(["u", "v"]).reset_index(drop=True)[cols]
+    assert a.equals(b)
+    # hub guard interacts: cap 2 keeps only deg-2 centers (2 and 4)
+    out3 = common_neighbors(edges, max_degree=2, min_common=1,
+                            n_buckets=8, aa=True).to_pandas()
+    got3 = {(int(x.u), int(x.v)): int(x.aa_q)
+            for x in out3.itertuples(index=False)}
+    assert got3 == {(1, 3): 2 * w[2]}
+
+
 def test_pinned_pagerank_weighted_and_personalized_parity(ray_session):
     from zen3geo_ray.stages.pregel import pinned_pagerank
 

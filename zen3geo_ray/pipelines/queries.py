@@ -7629,6 +7629,71 @@ cn AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
 SELECT u, v, n_common FROM cn WHERE n_common >= {CN_MIN_COMMON}"""
 
 
+def q_adamic(sf_dir: str):
+    """Adamic–Adar + resource-allocation link-prediction scores over
+    the same part co-purchase graph as link_pred: per surviving pair
+    Σ 1/ln(deg z) and Σ 1/deg z over the shared-neighbor centers z,
+    VALUE-CHECKED floats — per-center weights are the QUANTIZED ints
+    floor(2^16/ln d) (constants precomputed with math.log == DuckDB ln
+    and inlined in the SQL CASE, the ndcg discipline) and 2^16//d, so
+    the per-pair sums are order-free int64 and the float scores are one
+    exact /65536.0 rescale (stages/graph.py:common_neighbors(aa=True))."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import common_neighbors
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(TRI_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return common_neighbors(prs, max_degree=CN_MAX_DEG,
+                            min_common=CN_MIN_COMMON, aa=True)
+
+
+def _sql_adamic() -> str:
+    import math
+
+    waa_case = " ".join(
+        f"WHEN {d} THEN {int((1 << 16) / math.log(d))}"
+        for d in range(2, CN_MAX_DEG + 1))
+    return f"""WITH
+lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+adj AS (SELECT u AS z, v AS nb FROM pairs
+        UNION ALL SELECT v AS z, u AS nb FROM pairs),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wt AS (SELECT z, CAST(CASE d {waa_case} ELSE 0 END AS BIGINT) AS waa,
+              CAST(65536 // d AS BIGINT) AS wra
+       FROM deg WHERE d <= {CN_MAX_DEG}),
+w AS (SELECT a.nb AS u, b2.nb AS v, wt.waa AS waa, wt.wra AS wra
+      FROM adj a JOIN adj b2 ON a.z = b2.z AND a.nb < b2.nb
+      JOIN wt ON wt.z = a.z),
+cn AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+              CAST(SUM(waa) AS BIGINT) AS aa_q,
+              CAST(SUM(wra) AS BIGINT) AS ra_q
+       FROM w GROUP BY 1, 2)
+SELECT u, v, n_common, aa_q, ra_q,
+       CAST(aa_q AS DOUBLE) / 65536.0 AS aa,
+       CAST(ra_q AS DOUBLE) / 65536.0 AS ra
+FROM cn WHERE n_common >= {CN_MIN_COMMON}"""
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 5
 KCORE_QTY_MIN = 35  # denser co-purchase graph than the triangle query
@@ -8901,6 +8966,7 @@ GROUP BY event_type, u - o.off
         "neighbor_sample": _sql_neighbor_sample(),
         "common_neighbors": _sql_common_neighbors(),
         "link_pred": _sql_link_pred(),
+        "adamic": _sql_adamic(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
@@ -9160,6 +9226,7 @@ def build_queries() -> dict:
         "neighbor_sample": q_neighbor_sample,
         "common_neighbors": q_common_neighbors,
         "link_pred": q_link_pred,
+        "adamic": q_adamic,
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,

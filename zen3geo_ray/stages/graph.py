@@ -907,7 +907,7 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
                      max_degree: int = 16, min_common: int = 2,
                      n_buckets: int | None = None,
                      broadcast_threshold: int = BROADCAST_NODES,
-                     scores: bool = False):
+                     scores: bool = False, aa: bool = False):
     """Per-pair COMMON-NEIGHBOR counts — the classic link-prediction /
     who-to-crawl-next feature: (u, v, n_common) for unordered pairs
     u < v that share >= ``min_common`` neighbors.
@@ -918,7 +918,24 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
     semantics stay exact — raise the cap when hubs matter more than
     cost).  Shape: one bucketed self-join on the center key, per-batch
     pair-count partials, one bucketed sum — pair volume is bounded by
-    Σ_{deg(z)<=D} deg(z)²/2."""
+    Σ_{deg(z)<=D} deg(z)²/2.
+
+    ``aa=True`` additionally sums the two degree-weighted wedge scores —
+    Adamic–Adar Σ 1/ln(deg z) and resource allocation Σ 1/deg z — as
+    QUANTIZED int64 partials (per-center weight floor(2^16/ln d) /
+    2^16//d, looked up from a d<=max_degree table precomputed with
+    math.log, which is bit-identical to DuckDB ln on this glibc; the
+    ndcg inline-constant discipline), so the sums are order-free and the
+    float finale is one exact /65536.0 rescale on both oracle sides."""
+    if aa:
+        import math
+
+        waa_tab = np.zeros(max_degree + 1, dtype=np.int64)
+        wra_tab = np.zeros(max_degree + 1, dtype=np.int64)
+        for d in range(1, max_degree + 1):
+            if d >= 2:
+                waa_tab[d] = int((1 << 16) / math.log(d))
+            wra_tab[d] = (1 << 16) // d
 
     def norm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -971,10 +988,27 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
         def center_filter(b: pa.Table, _ref=dref) -> pa.Table:
             ns, dv = _get_blob(_ref)
             z = b.column("z").to_numpy(zero_copy_only=False)
-            keep = dv[np.searchsorted(ns, z)] <= max_degree
-            return b.filter(pa.array(keep))
+            d = dv[np.searchsorted(ns, z)]
+            keep = d <= max_degree
+            t = b.filter(pa.array(keep))
+            if aa:
+                dk = d[keep]
+                t = t.append_column("_waa", pa.array(waa_tab[dk]))
+                t = t.append_column("_wra", pa.array(wra_tab[dk]))
+            return t
 
         kept = adj.map_batches(center_filter, batch_format="pyarrow")
+    elif aa:
+        def small_weights(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.less_equal(
+                b.column("_c"), pa.scalar(max_degree, pa.int64())))
+            d = t.column("_c").to_numpy(zero_copy_only=False)
+            return pa.table({"z": t.column(NODE),
+                             "_waa": pa.array(waa_tab[d]),
+                             "_wra": pa.array(wra_tab[d])})
+
+        small = deg.map_batches(small_weights, batch_format="pyarrow")
+        kept = bucketed_join(adj, small, ["z"], n_buckets=n_buckets)
     else:
         small = deg.map_batches(
             lambda b: b.filter(pc.less_equal(
@@ -985,8 +1019,9 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
         kept = bucketed_join(adj, small, ["z"], how="semi",
                              n_buckets=n_buckets)
 
-    nb2 = kept.map_batches(lambda b: b.rename_columns(["z", "_nb2"]),
-                           batch_format="pyarrow")
+    nb2 = kept.map_batches(
+        lambda b: b.select(["z", "nb"]).rename_columns(["z", "_nb2"]),
+        batch_format="pyarrow")
     wedged = bucketed_join(kept, nb2, ["z"], n_buckets=n_buckets)
 
     def pair_partial(b: pa.Table) -> pa.Table:
@@ -995,19 +1030,36 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
         m = a < c
         df = pd.DataFrame({"u": a[m], "v": c[m]})
         df["n_common"] = np.int64(1)
+        if aa:
+            df["aa_q"] = b.column("_waa").to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]
+            df["ra_q"] = b.column("_wra").to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]
         agg = df.groupby(["u", "v"], sort=False, as_index=False).sum()
         return pa.Table.from_pandas(agg, preserve_index=False) \
             .replace_schema_metadata(None)
 
+    sum_cols = ["n_common"] + (["aa_q", "ra_q"] if aa else [])
+
     def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["u", "v"], sort=False, as_index=False)[
-            "n_common"].sum()
+            sum_cols].sum()
         return out[out["n_common"] >= min_common]
 
     cn = bucketed_groupby(
         wedged.map_batches(pair_partial, batch_format="pyarrow"),
         ["u", "v"], pair_sum, n_buckets=n_buckets,
     )
+    if aa:
+        def add_aa(b: pa.Table) -> pa.Table:
+            q1 = b.column("aa_q").to_numpy(zero_copy_only=False)
+            q2 = b.column("ra_q").to_numpy(zero_copy_only=False)
+            b = b.append_column(
+                "aa", pa.array(q1.astype(np.float64) / 65536.0))
+            return b.append_column(
+                "ra", pa.array(q2.astype(np.float64) / 65536.0))
+
+        cn = cn.map_batches(add_aa, batch_format="pyarrow")
     if not scores:
         return cn
 
