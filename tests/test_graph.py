@@ -523,6 +523,85 @@ def test_adamic_adar_golden_and_parity(ray_session):
     assert got3 == {(1, 3): 2 * w[2]}
 
 
+def test_stress_centrality_goldens(ray_session):
+    from zen3geo_ray.stages.graph import stress_centrality
+
+    # path 1-2-3-4-5, seeds {1, 5}: within 4 hops every interior node
+    # carries the single shortest path -> stress 1 each
+    edges = rd.from_arrow(pa.table({"src": np.array([1, 2, 3, 4], np.int64),
+                                    "dst": np.array([2, 3, 4, 5], np.int64)}))
+    seeds = rd.from_arrow(pa.table({"node": np.array([1, 5], np.int64)}))
+    out = stress_centrality(edges, seeds, max_hops=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
+    assert got == {2: 1, 3: 1, 4: 1}
+    # bounded hops: d(1,5)=4 > 3 -> pair unreachable, empty result
+    out2 = stress_centrality(edges, seeds, max_hops=3).to_pandas()
+    assert len(out2) == 0
+
+    # diamond 1-2-4, 1-3-4, seeds {1, 4}: sigma_14 = 2 via 2 and 3
+    dm = rd.from_arrow(pa.table({"src": np.array([1, 1, 2, 3], np.int64),
+                                 "dst": np.array([2, 3, 4, 4], np.int64)}))
+    sd = rd.from_arrow(pa.table({"node": np.array([1, 4], np.int64)}))
+    out3 = stress_centrality(dm, sd, max_hops=3).to_pandas()
+    got3 = dict(zip(out3["node"].astype(int), out3["stress"].astype(int)))
+    assert got3 == {2: 1, 3: 1}
+
+
+def test_stress_centrality_reference_and_parity(ray_session):
+    """Random graph vs a brute BFS reference; broadcast == bucketed,
+    including the internal top-degree seed derivation."""
+    from zen3geo_ray.stages.graph import stress_centrality
+
+    rng = np.random.default_rng(47)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    seeds = sorted(adj, key=lambda n: (-len(adj[n]), n))[:5]
+
+    def bfs(s, D):
+        dist, sig, frontier = {s: 0}, {s: 1}, [s]
+        for h in range(1, D + 1):
+            new = {}
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        new[y] = new.get(y, 0) + sig[x]
+            for y, g in new.items():
+                dist[y], sig[y] = h, g
+            frontier = list(new)
+        return dist, sig
+
+    R = {s: bfs(s, 3) for s in seeds}
+    ref = {}
+    for i, s in enumerate(seeds):
+        for t in seeds[i + 1:]:
+            ds_, gs_ = R[s]
+            dt_, gt_ = R[t]
+            if t not in ds_:
+                continue
+            for v in set(ds_) & set(dt_):
+                if v in (s, t):
+                    continue
+                if ds_[v] + dt_[v] == ds_[t]:
+                    ref[v] = ref.get(v, 0) + gs_[v] * gt_[v]
+
+    out = stress_centrality(edges, n_seeds=5, max_hops=3).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["stress"].astype(int)))
+    assert got == ref and len(ref) > 0
+
+    out2 = stress_centrality(edges, n_seeds=5, max_hops=3,
+                             broadcast_threshold=0).to_pandas()
+    got2 = dict(zip(out2["node"].astype(int), out2["stress"].astype(int)))
+    assert got2 == ref
+
+
 def test_pinned_pagerank_weighted_and_personalized_parity(ray_session):
     from zen3geo_ray.stages.pregel import pinned_pagerank
 

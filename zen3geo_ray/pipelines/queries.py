@@ -7694,6 +7694,78 @@ SELECT u, v, n_common, aa_q, ra_q,
 FROM cn WHERE n_common >= {CN_MIN_COMMON}"""
 
 
+STRESS_QTY_MIN = 35   # the kcore-density co-purchase graph
+STRESS_K = 6          # sampled-pivot seed count (top-K-degree hubs)
+STRESS_HOPS = 3
+
+
+def q_stress(sf_dir: str):
+    """STRESS centrality (Shimbel 1953 — the all-integer betweenness
+    sibling): number of shortest paths THROUGH each node, over the
+    top-6-degree hub seed pairs of the part co-purchase graph, paths
+    <= 3 hops.  Layered BFS path counts sigma_sv are exact integer
+    sums over predecessors (order-free), the combine is
+    sigma_sv * sigma_tv where d_sv + d_tv = d_st — every quantity
+    int64, so the chained-CTE oracle matches bit for bit
+    (stages/graph.py:stress_centrality; Brandes' rational dependency
+    accumulation is deliberately avoided)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import stress_centrality
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(STRESS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return stress_centrality(prs, n_seeds=STRESS_K, max_hops=STRESS_HOPS)
+
+
+def _sql_stress() -> str:
+    K, D = STRESS_K, STRESS_HOPS
+    ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {STRESS_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+adj AS MATERIALIZED (SELECT u AS z, v AS nb FROM pairs
+     UNION ALL SELECT v AS z, u AS nb FROM pairs),
+degs AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+seeds AS MATERIALIZED (SELECT z AS s FROM degs
+     ORDER BY d DESC, z LIMIT {K}),
+f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig
+     FROM seeds),
+r0 AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS d, sig FROM f0)"""]
+    for i in range(1, D + 1):
+        ctes.append(f"""f{i} AS MATERIALIZED (
+  SELECT f.s, a.nb AS v, CAST(SUM(f.sig) AS BIGINT) AS sig
+  FROM f{i - 1} f JOIN adj a ON a.z = f.v
+  LEFT JOIN r{i - 1} r ON r.s = f.s AND r.v = a.nb
+  WHERE r.v IS NULL GROUP BY 1, 2),
+r{i} AS MATERIALIZED (SELECT * FROM r{i - 1}
+  UNION ALL SELECT s, v, CAST({i} AS BIGINT) AS d, sig FROM f{i})""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+pdist AS MATERIALIZED (SELECT r.s AS s, r.v AS t, r.d AS d_st
+    FROM r{D} r JOIN seeds t2 ON t2.s = r.v WHERE r.s < r.v)
+SELECT a.v AS node, CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
+FROM r{D} a JOIN r{D} b ON b.v = a.v AND a.s < b.s
+JOIN pdist p ON p.s = a.s AND p.t = b.s AND p.d_st = a.d + b.d
+WHERE a.v <> a.s AND a.v <> b.s
+GROUP BY 1""")
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 5
 KCORE_QTY_MIN = 35  # denser co-purchase graph than the triangle query
@@ -8967,6 +9039,7 @@ GROUP BY event_type, u - o.off
         "common_neighbors": _sql_common_neighbors(),
         "link_pred": _sql_link_pred(),
         "adamic": _sql_adamic(),
+        "stress": _sql_stress(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
@@ -9227,6 +9300,7 @@ def build_queries() -> dict:
         "common_neighbors": q_common_neighbors,
         "link_pred": q_link_pred,
         "adamic": q_adamic,
+        "stress": q_stress,
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,

@@ -2516,3 +2516,305 @@ def temporal_reachability(edges, seeds, *, src: str = "src",
             state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
         ), n_buckets)
     return state
+
+
+def k_smallest_nodes(edges, k: int, *, src: str = "src", dst: str = "dst"):
+    """The ``k`` smallest distinct node ids in the edge table — the
+    deterministic seed derivation for sampled-source centralities (the
+    SQL mirror is ``ORDER BY node LIMIT k``).  Per-block partials are
+    BOUNDED (<= k rows each), so the driver reduce is O(k * blocks)."""
+    import ray.data as rd
+
+    def part(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(np.concatenate([s, d]))[:k]
+        return pa.table({NODE: pa.array(u)})
+
+    parts = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+    arr = np.unique(parts[NODE].to_numpy().astype(np.int64))[:k]
+    return rd.from_arrow(pa.table({NODE: pa.array(arr)}))
+
+
+def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
+                      src: str = "src", dst: str = "dst",
+                      max_hops: int = 3, n_buckets: int | None = None,
+                      broadcast_threshold: int = BROADCAST_NODES):
+    """STRESS centrality (Shimbel 1953) from a sampled seed set — the
+    all-integer member of the betweenness family: stress(v) = number of
+    shortest paths passing THROUGH v, summed over seed pairs s < t with
+    d(s, t) <= ``max_hops``.  Unlike Brandes betweenness (whose
+    dependency accumulation is rational-valued), every quantity here is
+    an exact integer — layered-BFS path counts sigma_sv (sum over
+    predecessors, order-free) and the combine sigma_sv * sigma_tv over
+    nodes with d_sv + d_tv = d_st — so the chained-CTE SQL oracle
+    matches bit for bit.
+
+    ``seeds`` is a small Dataset with a ``node`` column (sampled-pivot
+    centrality is the standard scale answer — exact all-pairs is
+    O(V*E)).  ``seeds=None`` picks the ``n_seeds`` HIGHEST-DEGREE nodes
+    (ties by smaller id) — hubs sit in the giant component, so the
+    seed pairs are actually connected; the SQL mirror is
+    ``ORDER BY deg DESC, node LIMIT k``.
+    The graph is undirected and SIMPLIFIED internally (self loops
+    dropped, parallel edges deduped — path counts require a simple
+    graph).  Returns (node, stress), stress > 0 rows only.
+
+    Broadcast path (<= ``broadcast_threshold`` edges): per round the
+    frontier (node, seed, sigma) ships once via ray.put and the edge
+    table NEVER re-shuffles; state is node-bounded (K * reachable).
+    Bucketed path: state table (_s, node, _d, _sig) advances by one
+    bucketed join + one combiner-first reduce + one anti join per
+    round, then ONE self-join on node for the pair combine (the
+    K x K seed-distance matrix is driver-collected — K^2 rows)."""
+    import ray
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        return pa.table({"u": pa.array(np.minimum(s[m], d[m])),
+                         "v": pa.array(np.maximum(s[m], d[m]))})
+
+    pairs = distinct_tuples(edges.map_batches(norm, batch_format="pyarrow"),
+                            ["u", "v"], n_buckets=n_buckets)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"z": pa.array(np.concatenate([u, v])),
+                         "nb": pa.array(np.concatenate([v, u]))})
+
+    adj = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    if seeds is None:
+        # top-n_seeds by (degree DESC, node ASC) over the simple graph
+        def deg_partial(b: pa.Table) -> pa.Table:
+            z = b.column("z").to_numpy(zero_copy_only=False)
+            uz, cz = np.unique(z, return_counts=True)
+            return pa.table({NODE: pa.array(uz),
+                             "_c": pa.array(cz.astype(np.int64))})
+
+        def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(NODE, sort=False, as_index=False)["_c"].sum()
+
+        deg = bucketed_groupby(
+            adj.map_batches(deg_partial, batch_format="pyarrow"),
+            [NODE], deg_sum, n_buckets=n_buckets)
+
+        def top_partial(b: pa.Table, _k=n_seeds) -> pa.Table:
+            df = b.to_pandas().sort_values(
+                ["_c", NODE], ascending=[False, True],
+                kind="mergesort").head(_k)
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        # block partials are BOUNDED (<= n_seeds rows each): driver
+        # reduce is O(n_seeds * blocks)
+        sd_df = deg.map_batches(
+            top_partial, batch_format="pyarrow").to_pandas()
+        sd_df = sd_df.sort_values(["_c", NODE], ascending=[False, True],
+                                  kind="mergesort").head(n_seeds)
+        sarr = np.sort(sd_df[NODE].to_numpy().astype(np.int64))
+    else:
+        sarr = np.sort(np.unique(
+            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+    K = len(sarr)
+    empty = rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
+                                    "stress": pa.array([], pa.int64())}))
+    if K < 2:
+        return empty
+
+    def sum_sig(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["_s", NODE], sort=False, as_index=False)[
+            "_sig"].sum()
+
+    if n_edges <= broadcast_threshold:
+        # reached[i] = (nodes sorted, dist, sigma) for seed index i
+        reached = {i: (sarr[i:i + 1].copy(),
+                       np.zeros(1, np.int64), np.ones(1, np.int64))
+                   for i in range(K)}
+        f_n = sarr.copy()
+        f_s = np.arange(K, dtype=np.int64)
+        f_sig = np.ones(K, np.int64)
+        for hop in range(1, max_hops + 1):
+            if len(f_n) == 0:
+                break
+            ref = ray.put((f_n, f_s, f_sig))
+
+            def expand(b: pa.Table, _ref=ref) -> pa.Table:
+                fn, fs, fg = _get_blob(_ref)
+                z = b.column("z").to_numpy(zero_copy_only=False)
+                nb = b.column("nb").to_numpy(zero_copy_only=False)
+                lo = np.searchsorted(fn, z, "left")
+                hi = np.searchsorted(fn, z, "right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if tot == 0:
+                    return pa.table({"_s": pa.array([], pa.int64()),
+                                     NODE: pa.array([], pa.int64()),
+                                     "_sig": pa.array([], pa.int64())})
+                # one-to-many frontier expansion (a node may sit in
+                # several seeds' frontiers): ranges [lo, hi) per edge
+                rep = np.repeat(np.arange(len(z)), cnt)
+                j = np.repeat(lo, cnt) + (np.arange(tot)
+                                          - np.repeat(np.cumsum(cnt) - cnt,
+                                                      cnt))
+                df = pd.DataFrame({"_s": fs[j], NODE: nb[rep],
+                                   "_sig": fg[j]}).groupby(
+                    ["_s", NODE], sort=False, as_index=False)["_sig"].sum()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                adj.map_batches(expand, batch_format="pyarrow"),
+                ["_s", NODE], sum_sig, n_buckets=n_buckets,
+            ).to_pandas()
+            if len(red) == 0:
+                break
+            rs = red["_s"].to_numpy().astype(np.int64)
+            rn = red[NODE].to_numpy().astype(np.int64)
+            rg = red["_sig"].to_numpy().astype(np.int64)
+            parts_n, parts_s, parts_g = [], [], []
+            for i in range(K):
+                mi = rs == i
+                nn, sg = rn[mi], rg[mi]
+                kn, kd, ks = reached[i]
+                pos = np.minimum(np.searchsorted(kn, nn), len(kn) - 1)
+                fresh = kn[pos] != nn
+                nn, sg = nn[fresh], sg[fresh]
+                if len(nn) == 0:
+                    continue
+                o = np.argsort(nn, kind="mergesort")
+                nn, sg = nn[o], sg[o]
+                mn = np.concatenate([kn, nn])
+                md = np.concatenate([kd, np.full(len(nn), hop, np.int64)])
+                ms = np.concatenate([ks, sg])
+                mo = np.argsort(mn, kind="mergesort")
+                reached[i] = (mn[mo], md[mo], ms[mo])
+                parts_n.append(nn)
+                parts_s.append(np.full(len(nn), i, np.int64))
+                parts_g.append(sg)
+            if not parts_n:
+                break
+            f_n = np.concatenate(parts_n)
+            f_s = np.concatenate(parts_s)
+            f_sig = np.concatenate(parts_g)
+            o = np.argsort(f_n, kind="mergesort")
+            f_n, f_s, f_sig = f_n[o], f_s[o], f_sig[o]
+
+        acc_n, acc_v = [], []
+        for i in range(K):
+            ni, di, gi = reached[i]
+            for j2 in range(i + 1, K):
+                nj, dj, gj = reached[j2]
+                p = np.searchsorted(ni, sarr[j2])
+                if p >= len(ni) or ni[p] != sarr[j2]:
+                    continue  # pair unreachable within max_hops
+                d_st = di[p]
+                ii = np.minimum(np.searchsorted(ni, nj), len(ni) - 1)
+                m = ni[ii] == nj
+                ci, cj = ii[m], np.nonzero(m)[0]
+                ok = ((di[ci] + dj[cj] == d_st)
+                      & (ni[ci] != sarr[i]) & (ni[ci] != sarr[j2]))
+                acc_n.append(ni[ci][ok])
+                acc_v.append(gi[ci][ok] * gj[cj][ok])
+        if not acc_n:
+            return empty
+        an = np.concatenate(acc_n)
+        av = np.concatenate(acc_v)
+        if len(an) == 0:
+            return empty
+        un, inv = np.unique(an, return_inverse=True)
+        out = np.zeros(len(un), np.int64)
+        np.add.at(out, inv, av)
+        return rd.from_arrow(pa.table({NODE: pa.array(un),
+                                       "stress": pa.array(out)}))
+
+    # ---- bucketed BSP path: state table (_s, node, _d, _sig) ----
+    f = rd.from_arrow(pa.table({
+        "_s": pa.array(sarr), NODE: pa.array(sarr),
+        "_sig": pa.array(np.ones(K, np.int64))}))
+    r_state = rd.from_arrow(pa.table({
+        "_s": pa.array(sarr), NODE: pa.array(sarr),
+        "_d": pa.array(np.zeros(K, np.int64)),
+        "_sig": pa.array(np.ones(K, np.int64))})).materialize()
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "_s": b.column("_s").to_numpy(zero_copy_only=False),
+            NODE: b.column("nb").to_numpy(zero_copy_only=False),
+            "_sig": b.column("_sig").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        }).groupby(["_s", NODE], sort=False, as_index=False)["_sig"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    for hop in range(1, max_hops + 1):
+        fz = f.map_batches(
+            lambda b: b.rename_columns(
+                ["z" if c == NODE else c for c in b.column_names]),
+            batch_format="pyarrow")
+        cand = bucketed_join(adj, fz, ["z"], n_buckets=n_buckets)
+        summed = bucketed_groupby(
+            cand.map_batches(cand_partial, batch_format="pyarrow"),
+            ["_s", NODE], sum_sig, n_buckets=n_buckets)
+        rkeys = r_state.map_batches(lambda b: b.select(["_s", NODE]),
+                                    batch_format="pyarrow")
+        new = bucketed_join(summed, rkeys, ["_s", NODE], how="anti",
+                            n_buckets=n_buckets).materialize()
+        if new.count() == 0:
+            break
+        newd = new.map_batches(
+            lambda b, _h=hop: b.append_column(
+                "_d", pa.array(np.full(len(b), _h, np.int64))
+            ).select(["_s", NODE, "_d", "_sig"]),
+            batch_format="pyarrow")
+        r_state = _settle(r_state.union(newd), n_buckets)
+        f = new
+
+    sd = r_state.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(NODE),
+                                    value_set=pa.array(sarr))),
+        batch_format="pyarrow").to_pandas()
+    dmat = np.full((K, K), -1, np.int64)
+    si = np.searchsorted(sarr, sd["_s"].to_numpy().astype(np.int64))
+    ti = np.searchsorted(sarr, sd[NODE].to_numpy().astype(np.int64))
+    dmat[si, ti] = sd["_d"].to_numpy().astype(np.int64)
+
+    r2 = r_state.map_batches(
+        lambda b: b.rename_columns(
+            [{"_s": "_t", "_d": "_d2", "_sig": "_sig2"}.get(c, c)
+             for c in b.column_names]),
+        batch_format="pyarrow")
+    joined = bucketed_join(r_state, r2, [NODE], n_buckets=n_buckets)
+
+    def combine_partial(b: pa.Table, _dmat=dmat, _sarr=sarr) -> pa.Table:
+        s_ = b.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ = b.column("_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = b.column("_d").to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = b.column("_d2").to_numpy(zero_copy_only=False).astype(np.int64)
+        g1 = b.column("_sig").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g2 = b.column("_sig2").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s_ < t_
+        dd = _dmat[np.searchsorted(_sarr, s_[m]),
+                   np.searchsorted(_sarr, t_[m])]
+        ok = (d1[m] + d2[m] == dd) & (nd[m] != s_[m]) & (nd[m] != t_[m])
+        df = pd.DataFrame({NODE: nd[m][ok],
+                           "stress": g1[m][ok] * g2[m][ok]}).groupby(
+            NODE, sort=False, as_index=False)["stress"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["stress"].sum()
+
+    return bucketed_groupby(
+        joined.map_batches(combine_partial, batch_format="pyarrow"),
+        [NODE], final_sum, n_buckets=n_buckets)
