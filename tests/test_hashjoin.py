@@ -125,6 +125,29 @@ def test_bloom_anti_join_matches_bucketed(ray_session):
     assert sorted(bloomed["k"]) == sorted(exact["k"])
 
 
+def test_bloom_exact_semi_join_matches_bucketed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.functions.bloom import bloom_exact_semi_join
+    from zen3geo_ray.stages.hashjoin import bucketed_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table({"k": pa.array(rng.integers(0, 5000, 8000), pa.int64()),
+                     "pay": pa.array(np.arange(8000), pa.int64())})
+    right = pa.table(
+        {"k": pa.array(np.unique(rng.integers(0, 5000, 1500)), pa.int64())}
+    )
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    exact = bucketed_join(lds, rds, ["k"], how="semi", n_buckets=8).to_pandas()
+    bloomed = bloom_exact_semi_join(
+        lds, rds, "k", n_keys_hint=1500, n_buckets=8
+    ).to_pandas()
+    assert sorted(zip(bloomed["k"], bloomed["pay"])) \
+        == sorted(zip(exact["k"], exact["pay"]))
+
+
 def test_sort_merge_join_matches_hash(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -167,6 +167,31 @@ def bloom_anti_join(left, right_keys_ds, key_col: str, *,
     return definite.union(verified)
 
 
+def bloom_exact_semi_join(left, right_keys_ds, key_col: str, *,
+                          n_keys_hint: int, n_buckets: int = 32,
+                          bits_per_key: int = 10):
+    """EXACT distributed semi join with a Bloom prefilter — the IN /
+    EXISTS sibling of ``bloom_anti_join``.
+
+    Rows whose key misses the Bloom are DEFINITE non-members and drop
+    immediately with NO shuffle; only the hits (true members + ~1%
+    false positives) go through the exact bucketed semi join.  When the
+    semi join is selective (the common case: "keep docs whose domain is
+    on the allowlist" over 100 TB), the all-to-all moves a small
+    fraction of the left side.  Content identical to a plain semi join;
+    row order differs."""
+    import ray
+
+    from ..stages.hashjoin import bucketed_join
+
+    bloom = build_bloom_distributed(right_keys_ds, key_col, n_keys_hint,
+                                    bits_per_key)
+    ref = ray.put(bloom) if ray.is_initialized() else bloom
+    maybe = bloom_semi_join(left, ref, key_col, anti=False)
+    return bucketed_join(maybe, right_keys_ds, [key_col], how="semi",
+                         n_buckets=n_buckets)
+
+
 def bloom_semi_join(ds, bloom_ref, key_col: str, anti: bool = False):
     """map_batches semi(/anti-candidate) filter against a broadcast Bloom.
 

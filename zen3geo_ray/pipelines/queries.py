@@ -2753,6 +2753,36 @@ def q_cust_no_orders(sf_dir: str):
                            n_buckets=32)
 
 
+def q_bloom_semi(sf_dir: str):
+    """Distributed EXACT semi join with a Bloom prefilter (the IN /
+    allowlist shape): customers holding at least one 300k+ order.
+    Definite Bloom misses drop with no shuffle; only hits go through
+    the exact bucketed semi join (functions/bloom.py:
+    bloom_exact_semi_join)."""
+    from ..functions.bloom import bloom_exact_semi_join
+
+    def big_keys(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b.column("o_totalprice"),
+                                pa.scalar(300000.0)))
+        keys = np.unique(f.column("o_custkey").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+
+    okeys = _read(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice"]).map_batches(
+        big_keys, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    n_hint = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    return bloom_exact_semi_join(cust, okeys, "c_custkey",
+                                 n_keys_hint=n_hint, n_buckets=32)
+
+
+_SQL_BLOOM_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > 300000.0)"""
+
+
 def q_top_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return orders.sort(
@@ -8596,6 +8626,7 @@ FROM cand QUALIFY rank <= 10
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"
         ),
+        "bloom_semi": _SQL_BLOOM_SEMI,
         "region_balance": (
             "SELECT r.r_name, COUNT(*) AS n, "
             "CAST(SUM(CAST(ROUND(s.s_acctbal * 100.0) AS BIGINT)) AS BIGINT) "
@@ -9180,6 +9211,7 @@ def build_queries() -> dict:
         "lineitem_agg": q_lineitem_agg,
         "mktsegment": q_mktsegment,
         "cust_no_orders": q_cust_no_orders,
+        "bloom_semi": q_bloom_semi,
         "top_orders": q_top_orders,
         "top_per_group": q_top_per_group,
         "rollup": q_rollup,
