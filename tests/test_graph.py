@@ -602,6 +602,42 @@ def test_stress_centrality_reference_and_parity(ray_session):
     assert got2 == ref
 
 
+def test_seed_reach_golden_and_parity(ray_session):
+    from zen3geo_ray.stages.graph import seed_reach
+
+    # path 1-2-3-4-5, seeds {1, 5}, 3 hops: each end reaches 3 others
+    edges = rd.from_arrow(pa.table({"src": np.array([1, 2, 3, 4], np.int64),
+                                    "dst": np.array([2, 3, 4, 5], np.int64)}))
+    seeds = rd.from_arrow(pa.table({"node": np.array([1, 5], np.int64)}))
+    out = seed_reach(edges, seeds, max_hops=3).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    assert out["seed"].tolist() == [1, 5]
+    assert out["ecc"].tolist() == [3, 3]
+    assert out["n_reached"].tolist() == [4, 4]   # seed + 3 reached
+    assert out["n_paths"].tolist() == [4, 4]     # sigma = 1 each
+
+    # diamond: from 1, sigma(4) = 2 -> n_paths = 1 + 1 + 1 + 2 = 5
+    dm = rd.from_arrow(pa.table({"src": np.array([1, 1, 2, 3], np.int64),
+                                 "dst": np.array([2, 3, 4, 4], np.int64)}))
+    sd = rd.from_arrow(pa.table({"node": np.array([1], np.int64)}))
+    out2 = seed_reach(dm, sd, max_hops=2).to_pandas()
+    assert out2["n_paths"].tolist() == [5]
+    assert out2["ecc"].tolist() == [2]
+
+    # bucketed path parity (internal top-degree seed pick on both)
+    rng = np.random.default_rng(53)
+    src = rng.integers(0, 50, 250).astype(np.int64)
+    dst = rng.integers(0, 50, 250).astype(np.int64)
+    g = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    a = seed_reach(g, n_seeds=4, max_hops=3).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    b = seed_reach(g, n_seeds=4, max_hops=3,
+                   broadcast_threshold=0).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    cols = ["seed", "ecc", "n_reached", "n_paths"]
+    assert a[cols].astype("int64").equals(b[cols].astype("int64"))
+
+
 def test_pinned_pagerank_weighted_and_personalized_parity(ray_session):
     from zen3geo_ray.stages.pregel import pinned_pagerank
 

@@ -7764,7 +7764,10 @@ def q_stress(sf_dir: str):
     return stress_centrality(prs, n_seeds=STRESS_K, max_hops=STRESS_HOPS)
 
 
-def _sql_stress() -> str:
+def _sql_sigma_bfs_ctes() -> str:
+    """Shared sigma-BFS CTE chain (co-purchase graph, top-K hub seeds,
+    layered path counting up to r{STRESS_HOPS}) — consumed by both the
+    stress and seed_reach finales."""
     K, D = STRESS_K, STRESS_HOPS
     ctes = [f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
           FROM lineitem WHERE l_quantity >= {STRESS_QTY_MIN}),
@@ -7786,7 +7789,12 @@ r0 AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS d, sig FROM f0)"""]
   WHERE r.v IS NULL GROUP BY 1, 2),
 r{i} AS MATERIALIZED (SELECT * FROM r{i - 1}
   UNION ALL SELECT s, v, CAST({i} AS BIGINT) AS d, sig FROM f{i})""")
-    return ("WITH " + ",\n".join(ctes) + f""",
+    return "WITH " + ",\n".join(ctes)
+
+
+def _sql_stress() -> str:
+    D = STRESS_HOPS
+    return (_sql_sigma_bfs_ctes() + f""",
 pdist AS MATERIALIZED (SELECT r.s AS s, r.v AS t, r.d AS d_st
     FROM r{D} r JOIN seeds t2 ON t2.s = r.v WHERE r.s < r.v)
 SELECT a.v AS node, CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
@@ -7794,6 +7802,45 @@ FROM r{D} a JOIN r{D} b ON b.v = a.v AND a.s < b.s
 JOIN pdist p ON p.s = a.s AND p.t = b.s AND p.d_st = a.d + b.d
 WHERE a.v <> a.s AND a.v <> b.s
 GROUP BY 1""")
+
+
+def q_seed_reach(sf_dir: str):
+    """Per-hub bounded-hop reach panel over the SAME sigma BFS as
+    ``stress``: eccentricity within 3 hops, reached-node count and
+    total shortest-path count per top-6-degree seed — the crawl-
+    frontier / influence health check (stages/graph.py:seed_reach).
+    All int64, value-checked against the shared CTE chain."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import seed_reach
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(STRESS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return seed_reach(prs, n_seeds=STRESS_K, max_hops=STRESS_HOPS)
+
+
+def _sql_seed_reach() -> str:
+    return (_sql_sigma_bfs_ctes() + f"""
+SELECT s AS seed, CAST(MAX(d) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(sig) AS BIGINT) AS n_paths
+FROM r{STRESS_HOPS} GROUP BY 1""")
 
 
 KCORE_K = 3
@@ -9071,6 +9118,7 @@ GROUP BY event_type, u - o.off
         "link_pred": _sql_link_pred(),
         "adamic": _sql_adamic(),
         "stress": _sql_stress(),
+        "seed_reach": _sql_seed_reach(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "source_hhi": _SQL_SOURCE_HHI,
@@ -9333,6 +9381,7 @@ def build_queries() -> dict:
         "link_pred": q_link_pred,
         "adamic": q_adamic,
         "stress": q_stress,
+        "seed_reach": q_seed_reach,
         "components": q_components,
         "triangles": q_triangles,
         "source_hhi": q_source_hhi,

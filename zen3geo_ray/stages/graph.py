@@ -2536,42 +2536,11 @@ def k_smallest_nodes(edges, k: int, *, src: str = "src", dst: str = "dst"):
     return rd.from_arrow(pa.table({NODE: pa.array(arr)}))
 
 
-def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
-                      src: str = "src", dst: str = "dst",
-                      max_hops: int = 3, n_buckets: int | None = None,
-                      broadcast_threshold: int = BROADCAST_NODES):
-    """STRESS centrality (Shimbel 1953) from a sampled seed set — the
-    all-integer member of the betweenness family: stress(v) = number of
-    shortest paths passing THROUGH v, summed over seed pairs s < t with
-    d(s, t) <= ``max_hops``.  Unlike Brandes betweenness (whose
-    dependency accumulation is rational-valued), every quantity here is
-    an exact integer — layered-BFS path counts sigma_sv (sum over
-    predecessors, order-free) and the combine sigma_sv * sigma_tv over
-    nodes with d_sv + d_tv = d_st — so the chained-CTE SQL oracle
-    matches bit for bit.
-
-    ``seeds`` is a small Dataset with a ``node`` column (sampled-pivot
-    centrality is the standard scale answer — exact all-pairs is
-    O(V*E)).  ``seeds=None`` picks the ``n_seeds`` HIGHEST-DEGREE nodes
-    (ties by smaller id) — hubs sit in the giant component, so the
-    seed pairs are actually connected; the SQL mirror is
-    ``ORDER BY deg DESC, node LIMIT k``.
-    The graph is undirected and SIMPLIFIED internally (self loops
-    dropped, parallel edges deduped — path counts require a simple
-    graph).  Returns (node, stress), stress > 0 rows only.
-
-    Broadcast path (<= ``broadcast_threshold`` edges): per round the
-    frontier (node, seed, sigma) ships once via ray.put and the edge
-    table NEVER re-shuffles; state is node-bounded (K * reachable).
-    Bucketed path: state table (_s, node, _d, _sig) advances by one
-    bucketed join + one combiner-first reduce + one anti join per
-    round, then ONE self-join on node for the pair combine (the
-    K x K seed-distance matrix is driver-collected — K^2 rows)."""
-    import ray
-    import ray.data as rd
-
-    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
-
+def _simple_adj(edges, *, src: str, dst: str, n_buckets: int):
+    """UNDIRECTED SIMPLE adjacency (z, nb) from a raw edge table: self
+    loops dropped, parallel edges deduped (path counts require a simple
+    graph), both directions emitted.  Materialized — iterative callers
+    re-map it every round."""
     def norm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2588,124 +2557,221 @@ def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
         return pa.table({"z": pa.array(np.concatenate([u, v])),
                          "nb": pa.array(np.concatenate([v, u]))})
 
-    adj = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    return pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    if seeds is None:
-        # top-n_seeds by (degree DESC, node ASC) over the simple graph
-        def deg_partial(b: pa.Table) -> pa.Table:
+
+def _pick_seeds(adj, seeds, n_seeds: int, n_buckets: int) -> np.ndarray:
+    """Sorted seed array: the caller's Dataset if given, else the
+    ``n_seeds`` HIGHEST-DEGREE nodes (ties by smaller id — hubs sit in
+    the giant component, so sampled pairs are actually connected; the
+    SQL mirror is ``ORDER BY deg DESC, node LIMIT k``)."""
+    if seeds is not None:
+        return np.sort(np.unique(
+            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        z = b.column("z").to_numpy(zero_copy_only=False)
+        uz, cz = np.unique(z, return_counts=True)
+        return pa.table({NODE: pa.array(uz),
+                         "_c": pa.array(cz.astype(np.int64))})
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["_c"].sum()
+
+    deg = bucketed_groupby(
+        adj.map_batches(deg_partial, batch_format="pyarrow"),
+        [NODE], deg_sum, n_buckets=n_buckets)
+
+    def top_partial(b: pa.Table, _k=n_seeds) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["_c", NODE], ascending=[False, True], kind="mergesort").head(_k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    # block partials are BOUNDED (<= n_seeds rows each): driver reduce
+    # is O(n_seeds * blocks)
+    sd_df = deg.map_batches(top_partial, batch_format="pyarrow").to_pandas()
+    sd_df = sd_df.sort_values(["_c", NODE], ascending=[False, True],
+                              kind="mergesort").head(n_seeds)
+    return np.sort(sd_df[NODE].to_numpy().astype(np.int64))
+
+
+def _sum_sig(g: pd.DataFrame) -> pd.DataFrame:
+    return g.groupby(["_s", NODE], sort=False, as_index=False)["_sig"].sum()
+
+
+def _sigma_bfs_broadcast(adj, sarr: np.ndarray, max_hops: int,
+                         n_buckets: int) -> dict:
+    """Layered BFS with exact path counts from every seed at once —
+    broadcast regime: per round the combined frontier (node, seed,
+    sigma) ships once via ray.put and the adjacency NEVER re-shuffles.
+    Returns reached[i] = (nodes sorted, dist, sigma) per seed index."""
+    import ray
+
+    K = len(sarr)
+    reached = {i: (sarr[i:i + 1].copy(),
+                   np.zeros(1, np.int64), np.ones(1, np.int64))
+               for i in range(K)}
+    f_n = sarr.copy()
+    f_s = np.arange(K, dtype=np.int64)
+    f_sig = np.ones(K, np.int64)
+    for hop in range(1, max_hops + 1):
+        if len(f_n) == 0:
+            break
+        ref = ray.put((f_n, f_s, f_sig))
+
+        def expand(b: pa.Table, _ref=ref) -> pa.Table:
+            fn, fs, fg = _get_blob(_ref)
             z = b.column("z").to_numpy(zero_copy_only=False)
-            uz, cz = np.unique(z, return_counts=True)
-            return pa.table({NODE: pa.array(uz),
-                             "_c": pa.array(cz.astype(np.int64))})
-
-        def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby(NODE, sort=False, as_index=False)["_c"].sum()
-
-        deg = bucketed_groupby(
-            adj.map_batches(deg_partial, batch_format="pyarrow"),
-            [NODE], deg_sum, n_buckets=n_buckets)
-
-        def top_partial(b: pa.Table, _k=n_seeds) -> pa.Table:
-            df = b.to_pandas().sort_values(
-                ["_c", NODE], ascending=[False, True],
-                kind="mergesort").head(_k)
+            nb = b.column("nb").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(fn, z, "left")
+            hi = np.searchsorted(fn, z, "right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                return pa.table({"_s": pa.array([], pa.int64()),
+                                 NODE: pa.array([], pa.int64()),
+                                 "_sig": pa.array([], pa.int64())})
+            # one-to-many frontier expansion (a node may sit in several
+            # seeds' frontiers): ranges [lo, hi) per edge
+            rep = np.repeat(np.arange(len(z)), cnt)
+            j = np.repeat(lo, cnt) + (np.arange(tot)
+                                      - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            df = pd.DataFrame({"_s": fs[j], NODE: nb[rep],
+                               "_sig": fg[j]}).groupby(
+                ["_s", NODE], sort=False, as_index=False)["_sig"].sum()
             return pa.Table.from_pandas(
                 df, preserve_index=False).replace_schema_metadata(None)
 
-        # block partials are BOUNDED (<= n_seeds rows each): driver
-        # reduce is O(n_seeds * blocks)
-        sd_df = deg.map_batches(
-            top_partial, batch_format="pyarrow").to_pandas()
-        sd_df = sd_df.sort_values(["_c", NODE], ascending=[False, True],
-                                  kind="mergesort").head(n_seeds)
-        sarr = np.sort(sd_df[NODE].to_numpy().astype(np.int64))
-    else:
-        sarr = np.sort(np.unique(
-            seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+        red = bucketed_groupby(
+            adj.map_batches(expand, batch_format="pyarrow"),
+            ["_s", NODE], _sum_sig, n_buckets=n_buckets,
+        ).to_pandas()
+        if len(red) == 0:
+            break
+        rs = red["_s"].to_numpy().astype(np.int64)
+        rn = red[NODE].to_numpy().astype(np.int64)
+        rg = red["_sig"].to_numpy().astype(np.int64)
+        parts_n, parts_s, parts_g = [], [], []
+        for i in range(K):
+            mi = rs == i
+            nn, sg = rn[mi], rg[mi]
+            kn, kd, ks = reached[i]
+            pos = np.minimum(np.searchsorted(kn, nn), len(kn) - 1)
+            fresh = kn[pos] != nn
+            nn, sg = nn[fresh], sg[fresh]
+            if len(nn) == 0:
+                continue
+            o = np.argsort(nn, kind="mergesort")
+            nn, sg = nn[o], sg[o]
+            mn = np.concatenate([kn, nn])
+            md = np.concatenate([kd, np.full(len(nn), hop, np.int64)])
+            ms = np.concatenate([ks, sg])
+            mo = np.argsort(mn, kind="mergesort")
+            reached[i] = (mn[mo], md[mo], ms[mo])
+            parts_n.append(nn)
+            parts_s.append(np.full(len(nn), i, np.int64))
+            parts_g.append(sg)
+        if not parts_n:
+            break
+        f_n = np.concatenate(parts_n)
+        f_s = np.concatenate(parts_s)
+        f_sig = np.concatenate(parts_g)
+        o = np.argsort(f_n, kind="mergesort")
+        f_n, f_s, f_sig = f_n[o], f_s[o], f_sig[o]
+    return reached
+
+
+def _sigma_bfs_bucketed(adj, sarr: np.ndarray, max_hops: int,
+                        n_buckets: int):
+    """Bucketed-BSP sigma BFS: state table (_s, node, _d, _sig)
+    advances by one bucketed join + one combiner-first reduce + one
+    anti join per round.  Returns the settled state Dataset."""
+    import ray.data as rd
+
+    K = len(sarr)
+    f = rd.from_arrow(pa.table({
+        "_s": pa.array(sarr), NODE: pa.array(sarr),
+        "_sig": pa.array(np.ones(K, np.int64))}))
+    r_state = rd.from_arrow(pa.table({
+        "_s": pa.array(sarr), NODE: pa.array(sarr),
+        "_d": pa.array(np.zeros(K, np.int64)),
+        "_sig": pa.array(np.ones(K, np.int64))})).materialize()
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "_s": b.column("_s").to_numpy(zero_copy_only=False),
+            NODE: b.column("nb").to_numpy(zero_copy_only=False),
+            "_sig": b.column("_sig").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        }).groupby(["_s", NODE], sort=False, as_index=False)["_sig"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    for hop in range(1, max_hops + 1):
+        fz = f.map_batches(
+            lambda b: b.rename_columns(
+                ["z" if c == NODE else c for c in b.column_names]),
+            batch_format="pyarrow")
+        cand = bucketed_join(adj, fz, ["z"], n_buckets=n_buckets)
+        summed = bucketed_groupby(
+            cand.map_batches(cand_partial, batch_format="pyarrow"),
+            ["_s", NODE], _sum_sig, n_buckets=n_buckets)
+        rkeys = r_state.map_batches(lambda b: b.select(["_s", NODE]),
+                                    batch_format="pyarrow")
+        new = bucketed_join(summed, rkeys, ["_s", NODE], how="anti",
+                            n_buckets=n_buckets).materialize()
+        if new.count() == 0:
+            break
+        newd = new.map_batches(
+            lambda b, _h=hop: b.append_column(
+                "_d", pa.array(np.full(len(b), _h, np.int64))
+            ).select(["_s", NODE, "_d", "_sig"]),
+            batch_format="pyarrow")
+        r_state = _settle(r_state.union(newd), n_buckets)
+        f = new
+    return r_state
+
+
+def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
+                      src: str = "src", dst: str = "dst",
+                      max_hops: int = 3, n_buckets: int | None = None,
+                      broadcast_threshold: int = BROADCAST_NODES):
+    """STRESS centrality (Shimbel 1953) from a sampled seed set — the
+    all-integer member of the betweenness family: stress(v) = number of
+    shortest paths passing THROUGH v, summed over seed pairs s < t with
+    d(s, t) <= ``max_hops``.  Unlike Brandes betweenness (whose
+    dependency accumulation is rational-valued), every quantity here is
+    an exact integer — layered-BFS path counts sigma_sv (sum over
+    predecessors, order-free) and the combine is sigma_sv * sigma_tv
+    over nodes with d_sv + d_tv = d_st — so the chained-CTE SQL oracle
+    matches bit for bit.
+
+    ``seeds`` is a small Dataset with a ``node`` column (sampled-pivot
+    centrality is the standard scale answer — exact all-pairs is
+    O(V*E)); ``seeds=None`` picks the top-``n_seeds`` hubs
+    (``_pick_seeds``).  The graph is simplified internally
+    (``_simple_adj``).  Returns (node, stress), stress > 0 rows only.
+
+    Broadcast path (<= ``broadcast_threshold`` edges): the sigma BFS
+    ships frontiers via ray.put (adjacency never re-shuffles) and the
+    pair combine is driver-side over the node-bounded reached state.
+    Bucketed path: ``_sigma_bfs_bucketed`` rounds, then ONE self-join
+    on node for the pair combine (the K x K seed-distance matrix is
+    driver-collected — K^2 rows)."""
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    adj = _simple_adj(edges, src=src, dst=dst, n_buckets=n_buckets)
+    sarr = _pick_seeds(adj, seeds, n_seeds, n_buckets)
     K = len(sarr)
     empty = rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
                                     "stress": pa.array([], pa.int64())}))
     if K < 2:
         return empty
 
-    def sum_sig(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["_s", NODE], sort=False, as_index=False)[
-            "_sig"].sum()
-
     if n_edges <= broadcast_threshold:
-        # reached[i] = (nodes sorted, dist, sigma) for seed index i
-        reached = {i: (sarr[i:i + 1].copy(),
-                       np.zeros(1, np.int64), np.ones(1, np.int64))
-                   for i in range(K)}
-        f_n = sarr.copy()
-        f_s = np.arange(K, dtype=np.int64)
-        f_sig = np.ones(K, np.int64)
-        for hop in range(1, max_hops + 1):
-            if len(f_n) == 0:
-                break
-            ref = ray.put((f_n, f_s, f_sig))
-
-            def expand(b: pa.Table, _ref=ref) -> pa.Table:
-                fn, fs, fg = _get_blob(_ref)
-                z = b.column("z").to_numpy(zero_copy_only=False)
-                nb = b.column("nb").to_numpy(zero_copy_only=False)
-                lo = np.searchsorted(fn, z, "left")
-                hi = np.searchsorted(fn, z, "right")
-                cnt = hi - lo
-                tot = int(cnt.sum())
-                if tot == 0:
-                    return pa.table({"_s": pa.array([], pa.int64()),
-                                     NODE: pa.array([], pa.int64()),
-                                     "_sig": pa.array([], pa.int64())})
-                # one-to-many frontier expansion (a node may sit in
-                # several seeds' frontiers): ranges [lo, hi) per edge
-                rep = np.repeat(np.arange(len(z)), cnt)
-                j = np.repeat(lo, cnt) + (np.arange(tot)
-                                          - np.repeat(np.cumsum(cnt) - cnt,
-                                                      cnt))
-                df = pd.DataFrame({"_s": fs[j], NODE: nb[rep],
-                                   "_sig": fg[j]}).groupby(
-                    ["_s", NODE], sort=False, as_index=False)["_sig"].sum()
-                return pa.Table.from_pandas(
-                    df, preserve_index=False).replace_schema_metadata(None)
-
-            red = bucketed_groupby(
-                adj.map_batches(expand, batch_format="pyarrow"),
-                ["_s", NODE], sum_sig, n_buckets=n_buckets,
-            ).to_pandas()
-            if len(red) == 0:
-                break
-            rs = red["_s"].to_numpy().astype(np.int64)
-            rn = red[NODE].to_numpy().astype(np.int64)
-            rg = red["_sig"].to_numpy().astype(np.int64)
-            parts_n, parts_s, parts_g = [], [], []
-            for i in range(K):
-                mi = rs == i
-                nn, sg = rn[mi], rg[mi]
-                kn, kd, ks = reached[i]
-                pos = np.minimum(np.searchsorted(kn, nn), len(kn) - 1)
-                fresh = kn[pos] != nn
-                nn, sg = nn[fresh], sg[fresh]
-                if len(nn) == 0:
-                    continue
-                o = np.argsort(nn, kind="mergesort")
-                nn, sg = nn[o], sg[o]
-                mn = np.concatenate([kn, nn])
-                md = np.concatenate([kd, np.full(len(nn), hop, np.int64)])
-                ms = np.concatenate([ks, sg])
-                mo = np.argsort(mn, kind="mergesort")
-                reached[i] = (mn[mo], md[mo], ms[mo])
-                parts_n.append(nn)
-                parts_s.append(np.full(len(nn), i, np.int64))
-                parts_g.append(sg)
-            if not parts_n:
-                break
-            f_n = np.concatenate(parts_n)
-            f_s = np.concatenate(parts_s)
-            f_sig = np.concatenate(parts_g)
-            o = np.argsort(f_n, kind="mergesort")
-            f_n, f_s, f_sig = f_n[o], f_s[o], f_sig[o]
-
+        reached = _sigma_bfs_broadcast(adj, sarr, max_hops, n_buckets)
         acc_n, acc_v = [], []
         for i in range(K):
             ni, di, gi = reached[i]
@@ -2734,47 +2800,7 @@ def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
         return rd.from_arrow(pa.table({NODE: pa.array(un),
                                        "stress": pa.array(out)}))
 
-    # ---- bucketed BSP path: state table (_s, node, _d, _sig) ----
-    f = rd.from_arrow(pa.table({
-        "_s": pa.array(sarr), NODE: pa.array(sarr),
-        "_sig": pa.array(np.ones(K, np.int64))}))
-    r_state = rd.from_arrow(pa.table({
-        "_s": pa.array(sarr), NODE: pa.array(sarr),
-        "_d": pa.array(np.zeros(K, np.int64)),
-        "_sig": pa.array(np.ones(K, np.int64))})).materialize()
-
-    def cand_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "_s": b.column("_s").to_numpy(zero_copy_only=False),
-            NODE: b.column("nb").to_numpy(zero_copy_only=False),
-            "_sig": b.column("_sig").to_numpy(
-                zero_copy_only=False).astype(np.int64),
-        }).groupby(["_s", NODE], sort=False, as_index=False)["_sig"].sum()
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
-
-    for hop in range(1, max_hops + 1):
-        fz = f.map_batches(
-            lambda b: b.rename_columns(
-                ["z" if c == NODE else c for c in b.column_names]),
-            batch_format="pyarrow")
-        cand = bucketed_join(adj, fz, ["z"], n_buckets=n_buckets)
-        summed = bucketed_groupby(
-            cand.map_batches(cand_partial, batch_format="pyarrow"),
-            ["_s", NODE], sum_sig, n_buckets=n_buckets)
-        rkeys = r_state.map_batches(lambda b: b.select(["_s", NODE]),
-                                    batch_format="pyarrow")
-        new = bucketed_join(summed, rkeys, ["_s", NODE], how="anti",
-                            n_buckets=n_buckets).materialize()
-        if new.count() == 0:
-            break
-        newd = new.map_batches(
-            lambda b, _h=hop: b.append_column(
-                "_d", pa.array(np.full(len(b), _h, np.int64))
-            ).select(["_s", NODE, "_d", "_sig"]),
-            batch_format="pyarrow")
-        r_state = _settle(r_state.union(newd), n_buckets)
-        f = new
+    r_state = _sigma_bfs_bucketed(adj, sarr, max_hops, n_buckets)
 
     sd = r_state.map_batches(
         lambda b: b.filter(pc.is_in(b.column(NODE),
@@ -2798,8 +2824,7 @@ def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
         nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
         d1 = b.column("_d").to_numpy(zero_copy_only=False).astype(np.int64)
         d2 = b.column("_d2").to_numpy(zero_copy_only=False).astype(np.int64)
-        g1 = b.column("_sig").to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        g1 = b.column("_sig").to_numpy(zero_copy_only=False).astype(np.int64)
         g2 = b.column("_sig2").to_numpy(
             zero_copy_only=False).astype(np.int64)
         m = s_ < t_
@@ -2818,3 +2843,65 @@ def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
     return bucketed_groupby(
         joined.map_batches(combine_partial, batch_format="pyarrow"),
         [NODE], final_sum, n_buckets=n_buckets)
+
+
+def seed_reach(edges, seeds=None, *, n_seeds: int = 6,
+               src: str = "src", dst: str = "dst",
+               max_hops: int = 3, n_buckets: int | None = None,
+               broadcast_threshold: int = BROADCAST_NODES):
+    """Per-seed bounded-hop REACH statistics over the same sigma BFS as
+    ``stress_centrality`` — the graph-health / influence panel: for
+    each seed, its eccentricity within ``max_hops`` (max settled
+    distance), the number of reached nodes (seed included, d=0), and
+    the total shortest-path count Σ sigma.  All int64, so the shared
+    chained-CTE oracle value-checks (SELECT s, MAX(d), COUNT(*),
+    SUM(sig) ... GROUP BY s).
+
+    Returns (seed, ecc, n_reached, n_paths)."""
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    adj = _simple_adj(edges, src=src, dst=dst, n_buckets=n_buckets)
+    sarr = _pick_seeds(adj, seeds, n_seeds, n_buckets)
+    K = len(sarr)
+    if K == 0:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.int64()),
+            "ecc": pa.array([], pa.int64()),
+            "n_reached": pa.array([], pa.int64()),
+            "n_paths": pa.array([], pa.int64())}))
+
+    if n_edges <= broadcast_threshold:
+        reached = _sigma_bfs_broadcast(adj, sarr, max_hops, n_buckets)
+        ecc = np.array([int(reached[i][1].max()) for i in range(K)],
+                       np.int64)
+        nr = np.array([len(reached[i][0]) for i in range(K)], np.int64)
+        npth = np.array([int(reached[i][2].sum()) for i in range(K)],
+                        np.int64)
+        return rd.from_arrow(pa.table({
+            "seed": pa.array(sarr), "ecc": pa.array(ecc),
+            "n_reached": pa.array(nr), "n_paths": pa.array(npth)}))
+
+    r_state = _sigma_bfs_bucketed(adj, sarr, max_hops, n_buckets)
+
+    def reach_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "seed": b.column("_s").to_numpy(zero_copy_only=False),
+            "_d": b.column("_d").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "_sig": b.column("_sig").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        agg = df.groupby("seed", sort=False).agg(
+            ecc=("_d", "max"), n_reached=("_d", "size"),
+            n_paths=("_sig", "sum")).reset_index()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    def reach_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("seed", sort=False, as_index=False).agg(
+            {"ecc": "max", "n_reached": "sum", "n_paths": "sum"})
+
+    return bucketed_groupby(
+        r_state.map_batches(reach_partial, batch_format="pyarrow"),
+        ["seed"], reach_final, n_buckets=n_buckets)
