@@ -87,6 +87,31 @@ def test_approx_distinct_pipeline(ray_session):
         assert row["approx_distinct"] == pytest.approx(exact[row["k"]], rel=0.08)
 
 
+def test_hll_overlap_accuracy(ray_session):
+    """Pairwise union/intersection estimates land within the HLL error
+    envelope of the exact set sizes, and the singles agree with
+    approx_distinct on the same data."""
+    rng = np.random.default_rng(5)
+    n = 30_000
+    key = rng.integers(0, 3, n)
+    # overlapping value ranges: key k draws from [k*800, k*800 + 2000)
+    val = rng.integers(0, 2_000, n) + key * 800
+    tbl = pa.table({"k": key.astype(np.int64), "v": val.astype(np.int64)})
+    out = sketch.hll_overlap(
+        rd.from_arrow(tbl).repartition(8), "k", "v").to_pandas()
+    assert len(out) == 3  # pairs (0,1), (0,2), (1,2)
+    sets = {k: set(val[key == k].tolist()) for k in (0, 1, 2)}
+    for r in out.itertuples(index=False):
+        a, b = sets[int(r.key_a)], sets[int(r.key_b)]
+        assert r.a_distinct == pytest.approx(len(a), rel=0.08)
+        assert r.union_distinct == pytest.approx(len(a | b), rel=0.08)
+        # inclusion-exclusion inherits ~3x the relative error budget
+        assert r.intersect_distinct == pytest.approx(
+            len(a & b), abs=0.25 * len(a | b))
+        assert r.intersect_distinct \
+            == pytest.approx(r.a_distinct + r.b_distinct - r.union_distinct)
+
+
 def test_sliding_agg_dense_matches_fanout(ray_session):
     """Dense (prefix-sum + sparse-table) sliding aggregates == the
     fan-out implementation, at a big window size and with gaps."""

@@ -3582,11 +3582,12 @@ def q_approx_users(sf_dir: str):
                            p=APPROX_P, hasher=mulrot64)
 
 
-def _sql_approx_users() -> str:
+def _sql_hll_regs_ctes() -> str:
+    """Shared HLL register chain — CTEs down to ``regs`` (event_type,
+    idx, reg), consumed by the approx_users and hll_overlap finales."""
     from ..functions.hashing import sql_mulrot_ctes
 
     p = APPROX_P
-    m, rr = 1 << p, 64 - p + 1
     w64 = 1 << 64
     rounds = []
     prev = "z0"
@@ -3598,17 +3599,31 @@ def _sql_approx_users() -> str:
             f"lz + CASE WHEN v // {1 << (64 - s)} = 0 THEN {s} ELSE 0 END "
             f"AS lz FROM {prev})")
         prev = f"z{k}"
-    est = (f"(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 "
-           f"* {1 << rr}.0 / CAST(num AS DOUBLE)")
-    return f"""
-WITH src AS (SELECT DISTINCT event_type, user_id FROM events),
+    return f"""src AS (SELECT DISTINCT event_type, user_id FROM events),
 {sql_mulrot_ctes('src', 'event_type',
                  'CAST(user_id AS HUGEINT) + 40503')},
 z0 AS (SELECT event_type, h // {1 << (64 - p)} AS idx,
        (h * {1 << p}) % {w64} AS v, 0 AS lz FROM mh),
 {', '.join(rounds)},
-regs AS (SELECT event_type, idx,
-         MAX(LEAST(lz, {64 - p}) + 1) AS reg FROM z6 GROUP BY 1, 2),
+regs AS MATERIALIZED (SELECT event_type, idx,
+         MAX(LEAST(lz, {64 - p}) + 1) AS reg FROM z6 GROUP BY 1, 2)"""
+
+
+def _sql_hll_estimate(num_col: str = "num", zeros_col: str = "zeros") -> str:
+    """The shared estimate expression (alpha_m bias constant + linear-
+    counting branch) over exact-integer ``num``/``zeros`` columns."""
+    m, rr = 1 << APPROX_P, 64 - APPROX_P + 1
+    est = (f"(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 "
+           f"* {1 << rr}.0 / CAST({num_col} AS DOUBLE)")
+    return (f"CASE WHEN {est} <= 2.5 * {m}.0 AND {zeros_col} > 0 "
+            f"THEN {m}.0 * ln({m}.0 / CAST({zeros_col} AS DOUBLE)) "
+            f"ELSE {est} END")
+
+
+def _sql_approx_users() -> str:
+    m, rr = 1 << APPROX_P, 64 - APPROX_P + 1
+    return f"""
+WITH {_sql_hll_regs_ctes()},
 agg AS (SELECT event_type,
         SUM(CAST(1 AS BIGINT) << ({rr} - reg)) AS s,
         COUNT(*) AS nh FROM regs GROUP BY 1),
@@ -3616,11 +3631,62 @@ fin AS (SELECT event_type,
         CAST(s AS HUGEINT)
           + ({m} - nh) * CAST({1 << rr} AS HUGEINT) AS num,
         {m} - nh AS zeros FROM agg)
-SELECT event_type,
-       CASE WHEN {est} <= 2.5 * {m}.0 AND zeros > 0
-            THEN {m}.0 * ln({m}.0 / CAST(zeros AS DOUBLE))
-            ELSE {est} END AS approx_distinct
+SELECT event_type, {_sql_hll_estimate()} AS approx_distinct
 FROM fin"""
+
+
+def q_hll_overlap(sf_dir: str):
+    """HLL set-operation estimates between event-type pairs — the
+    audience-overlap panel: approximate |A|, |B|, |A ∪ B| (register-
+    wise MAX merge, the defining HLL property) and inclusion-exclusion
+    |A ∩ B|, all VALUE-CHECKED floats (the approx_users register/
+    estimate discipline shared CTE-for-kernel;
+    stages/sketch.py:hll_overlap)."""
+    from ..functions.hashing import mulrot64
+    from ..stages.sketch import hll_overlap
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_overlap(ev, "event_type", "user_id",
+                       p=APPROX_P, hasher=mulrot64)
+
+
+def _sql_hll_overlap() -> str:
+    m, rr = 1 << APPROX_P, 64 - APPROX_P + 1
+    return f"""
+WITH {_sql_hll_regs_ctes()},
+agg AS (SELECT event_type,
+        SUM(CAST(1 AS BIGINT) << ({rr} - reg)) AS s,
+        COUNT(*) AS nh FROM regs GROUP BY 1),
+fin AS (SELECT event_type,
+        CAST(s AS HUGEINT)
+          + ({m} - nh) * CAST({1 << rr} AS HUGEINT) AS num,
+        {m} - nh AS zeros FROM agg),
+singles AS MATERIALIZED (
+    SELECT event_type, {_sql_hll_estimate()} AS approx_distinct FROM fin),
+keys AS (SELECT DISTINCT event_type FROM regs),
+prs AS (SELECT a.event_type AS ka, b.event_type AS kb
+        FROM keys a JOIN keys b ON a.event_type < b.event_type),
+uregs AS (SELECT p2.ka, p2.kb, r.idx, MAX(r.reg) AS reg
+          FROM prs p2 JOIN regs r
+            ON r.event_type = p2.ka OR r.event_type = p2.kb
+          GROUP BY 1, 2, 3),
+uagg AS (SELECT ka, kb,
+         SUM(CAST(1 AS BIGINT) << ({rr} - reg)) AS s,
+         COUNT(*) AS nh FROM uregs GROUP BY 1, 2),
+ufin AS (SELECT ka, kb,
+         CAST(s AS HUGEINT)
+           + ({m} - nh) * CAST({1 << rr} AS HUGEINT) AS num,
+         {m} - nh AS zeros FROM uagg),
+uest AS (SELECT ka, kb, {_sql_hll_estimate()} AS union_distinct FROM ufin)
+SELECT u.ka AS key_a, u.kb AS key_b,
+       sa.approx_distinct AS a_distinct,
+       sb.approx_distinct AS b_distinct,
+       u.union_distinct,
+       sa.approx_distinct + sb.approx_distinct - u.union_distinct
+         AS intersect_distinct
+FROM uest u
+JOIN singles sa ON sa.event_type = u.ka
+JOIN singles sb ON sb.event_type = u.kb"""
 
 
 CMS_D, CMS_WBITS = 4, 10
@@ -8873,6 +8939,7 @@ GROUP BY e.user_id, w.win
             f"FROM events) WHERE rn <= {STRAT_N}"
         ),
         "approx_users": _sql_approx_users(),
+        "hll_overlap": _sql_hll_overlap(),
         "cms_users": _sql_cms_users(),
         "heavy_hitters": (
             "SELECT user_id, COUNT(*) AS n_lo, COUNT(*) AS n_hi "
@@ -9318,6 +9385,7 @@ def build_queries() -> dict:
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
         "approx_users": q_approx_users,
+        "hll_overlap": q_hll_overlap,
         "cms_users": q_cms_users,
         "strat_sample": q_strat_sample,
         "prepost": q_prepost,

@@ -130,6 +130,76 @@ def approx_distinct(ds, key_cols: list[str], value_col: str,
     return bucketed_groupby(partials, key_cols, lambda g: merge(g).to_pandas())
 
 
+def hll_overlap(ds, key_col: str, value_col: str,
+                p: int = P, hasher=splitmix64):
+    """HLL SET-OPERATION estimates between every pair of keys — the
+    audience-overlap panel: for key pair (a < b), approximate |A|, |B|,
+    |A ∪ B| (register-wise MAX merge — exact over the sketches, the
+    defining HLL property) and |A ∩ B| by inclusion-exclusion.
+
+    Per-key register blobs come from the same partial→merge plan as
+    ``approx_distinct``; the K merged blobs (K = distinct keys, small
+    by contract — event types, sources, languages) are driver-collected
+    and the K²/2 pair combines are numpy maxima.  Floats follow the
+    ``hll_estimate`` exact-rational discipline, so with
+    ``hasher=mulrot64`` every column value-checks against the SQL
+    mirror; intersect = (a + b) - union, one shared left-assoc shape.
+
+    Returns (key_a, key_b, a_distinct, b_distinct, union_distinct,
+    intersect_distinct)."""
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        h = hasher(vals.astype(np.uint64) + np.uint64(0x9E37))
+        df = pd.DataFrame({key_col: batch.column(key_col).to_numpy(
+            zero_copy_only=False)})
+        df["_h"] = h
+        keys, blobs = [], []
+        for kv, g in df.groupby(key_col, sort=False):
+            keys.append(kv)
+            blobs.append(hll_from_hashes(g["_h"].to_numpy(), p).tobytes())
+        return pa.table({key_col: pa.array(keys),
+                         "hll": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        keys, blobs = [], []
+        for kv, grp in g.groupby(key_col, sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for blob in grp["hll"]:
+                regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+            keys.append(kv)
+            blobs.append(regs.tobytes())
+        return pd.DataFrame({key_col: keys, "hll": blobs})
+
+    per_key = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col], merge).to_pandas()
+    per_key = per_key.sort_values(key_col, kind="mergesort")
+    ks = per_key[key_col].tolist()
+    regs = [np.frombuffer(b, dtype=np.uint8) for b in per_key["hll"]]
+    ests = [hll_estimate(r) for r in regs]
+
+    ka, kb, ea, eb, eu, ei = [], [], [], [], [], []
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            u = hll_estimate(hll_merge(regs[i], regs[j]))
+            ka.append(ks[i])
+            kb.append(ks[j])
+            ea.append(ests[i])
+            eb.append(ests[j])
+            eu.append(u)
+            ei.append(ests[i] + ests[j] - u)
+    return rd.from_arrow(pa.table({
+        "key_a": pa.array(ka), "key_b": pa.array(kb),
+        "a_distinct": pa.array(ea, pa.float64()),
+        "b_distinct": pa.array(eb, pa.float64()),
+        "union_distinct": pa.array(eu, pa.float64()),
+        "intersect_distinct": pa.array(ei, pa.float64())}))
+
+
 # --- count-min sketch -------------------------------------------------------
 
 #: row seeds for the CMS hash lanes (value + seed -> mulrot64); spaced
