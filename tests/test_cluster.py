@@ -440,3 +440,30 @@ def test_centroid_cosine_pairs(ray_session):
            for r in out.itertuples()}
     assert got[(0, 1)] > 0.999
     assert abs(got[(0, 2)]) < 0.05 and abs(got[(1, 2)]) < 0.05
+
+
+def test_gram_matrix(ray_session):
+    """Quantized Gram entries equal the numpy int64 matmul exactly,
+    regardless of block split."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import gram_matrix
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    t = pa.table({"embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    scale = 1 << 10
+    out = gram_matrix(rd.from_arrow(t).repartition(5), dim=8,
+                      scale=scale, n_buckets=2).to_pandas()
+    assert len(out) == 8 * 9 // 2
+    q = np.floor(vecs.astype(np.float64) * float(scale)).astype(np.int64)
+    g = q.T @ q
+    for r in out.itertuples():
+        assert int(r.n) == len(vecs)
+        assert int(r.s) == g[int(r.i), int(r.j)]
+        assert r.gram == (float(int(r.s))
+                          / (float(len(vecs)) * float(scale)
+                             * float(scale)))

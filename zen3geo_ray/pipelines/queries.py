@@ -879,6 +879,37 @@ SELECT la, lb,
 FROM pair"""
 
 
+GRAM_SCALE = 1 << 16
+
+
+def q_gram(sf_dir: str):
+    """Exact integer Gram matrix of the embedding column (the PCA /
+    covariance precursor): every block reduces to the SAME d(d+1)/2
+    upper-triangle rows via one d x d int64 matmul, so the shuffle
+    moves a constant ~2k rows per block and vectors never move
+    (stages/cluster.py:gram_matrix)."""
+    from ..stages.cluster import gram_matrix
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return gram_matrix(emb, dim=SCORE_DIM, scale=GRAM_SCALE)
+
+
+def _sql_gram() -> str:
+    return f"""
+WITH el AS (SELECT vec_id, d.d AS d,
+                   CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE)
+                              * {GRAM_SCALE}.0) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d)
+SELECT a.d AS i, b.d AS j, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS s,
+       CAST(SUM(a.q * b.q) AS DOUBLE)
+       / (CAST(COUNT(*) AS DOUBLE) * {GRAM_SCALE}.0 * {GRAM_SCALE}.0)
+           AS gram
+FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.d >= a.d
+GROUP BY a.d, b.d"""
+
+
 UNION_RECT_EXPRS = (
     "(c_custkey * 37 + c_nationkey * 5) % 1200",
     "(c_custkey * 41 + c_nationkey * 3) % 1200",
@@ -8389,6 +8420,7 @@ def build_oracles() -> dict[str, str]:
         "er_canonical": _sql_er_canonical(),
         "centroids": _sql_centroids(),
         "proto_sim": _sql_proto_sim(),
+        "gram": _sql_gram(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
@@ -9278,6 +9310,7 @@ def build_queries() -> dict:
         "er_canonical": q_er_canonical,
         "centroids": q_centroids,
         "proto_sim": q_proto_sim,
+        "gram": q_gram,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,

@@ -819,3 +819,48 @@ def centroid_cosine_pairs(ds, *, vec_col: str = "embedding",
     return pa.table({"la": pa.array(la_, pa.int64()),
                      "lb": pa.array(lb_, pa.int64()),
                      "cos": pa.array(cos_, pa.float64())})
+
+
+def gram_matrix(ds, *, vec_col: str = "embedding", dim: int = 64,
+                scale: int = 1 << 16, n_buckets: int = 8):
+    """EXACT integer Gram matrix of the quantized embedding column —
+    the PCA / whitening / covariance precursor, and the canonical
+    combiner-first shape: every block reduces to the SAME d(d+1)/2
+    upper-triangle rows (one d x d int64 matmul per block), so the
+    all-to-all moves a CONSTANT ~2k rows per block regardless of input
+    size; vectors never shuffle.
+
+    Elements quantize to floor(float64(v) * scale) (the label_centroids
+    discipline), so cross-block int64 sums commute and the float
+    ``gram`` finale is ONE shared shape s / (n * scale^2) — the SQL
+    oracle value-checks.  int64 bound: |q| <= scale, so each partial
+    product is <= scale^2 and the global sum needs
+    rows * scale^2 < 2^63 (2^16 scale -> ~2^30 rows; drop scale for
+    bigger corpora).
+
+    Returns (i, j, n, s, gram) for 0 <= i <= j < dim."""
+    iu, ju = np.triu_indices(dim)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vec = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b.column(vec_col).to_pylist()])
+        q = np.floor(vec * float(scale)).astype(np.int64)
+        g = q.T @ q
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "s": pa.array(g[iu, ju]),
+            "n": pa.array(np.full(len(iu), len(q), np.int64)),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["i", "j"], sort=False, as_index=False)[
+            ["s", "n"]].sum()
+        den = out["n"].to_numpy().astype(np.float64) \
+            * float(scale) * float(scale)
+        out["gram"] = out["s"].to_numpy().astype(np.float64) / den
+        return out[["i", "j", "n", "s", "gram"]]
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], combine, n_buckets=n_buckets)
