@@ -1,0 +1,124 @@
+"""Spatial statistics (Moran's I / Geary's C / Gi* / semivariogram)
+against brute-force references on tiny grids."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _cells_ds(cells, repartition=3):
+    import ray.data as rd
+
+    t = pa.table({"cell": pa.array(np.asarray(cells, dtype=np.int64))})
+    return rd.from_arrow(t).repartition(repartition)
+
+
+def _brute(cells):
+    """(sorted unique cells, counts)"""
+    u, c = np.unique(np.asarray(cells, dtype=np.int64), return_counts=True)
+    return u, c.astype(np.int64)
+
+
+def _rook_w(u, res):
+    from zen3geo_ray.geom.cells import _grid_dims
+
+    nc, nr = _grid_dims(res)
+    s = set(u.tolist())
+    pairs = []
+    for cell in u.tolist():
+        x, y = cell % nc, cell // nc
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if 0 <= x + dx < nc and 0 <= y + dy < nr:
+                nb = cell + dy * nc + dx
+                if nb in s:
+                    pairs.append((cell, nb))
+    return pairs  # ordered (both directions)
+
+
+RES = 2  # 8 x 4 grid
+
+
+def test_morans_i_brute(ray_session):
+    from zen3geo_ray.stages.spatial_stats import morans_i
+
+    rng = np.random.default_rng(7)
+    cells = rng.integers(0, 32, size=400)
+    out = morans_i(_cells_ds(cells), res=RES, n_buckets=2).to_pandas()
+    u, x = _brute(cells)
+    pairs = _rook_w(u, RES)
+    idx = {c: i for i, c in enumerate(u.tolist())}
+    n, w = len(u), len(pairs)
+    xb = x.mean()
+    z = x - xb
+    num = sum(z[idx[a]] * z[idx[b]] for a, b in pairs)
+    den = (z * z).sum()
+    assert int(out.n_cells.iloc[0]) == n
+    assert int(out.w_pairs.iloc[0]) == w
+    assert out.moran_i.iloc[0] == pytest.approx(n / w * num / den, rel=1e-12)
+    dd = sum((x[idx[a]] - x[idx[b]]) ** 2 for a, b in pairs)
+    assert out.geary_c.iloc[0] == pytest.approx(
+        (n - 1) * dd / (2 * w * den), rel=1e-12)
+
+
+def test_morans_i_checkerboard_negative(ray_session):
+    """A perfect checkerboard is maximal negative autocorrelation."""
+    from zen3geo_ray.stages.spatial_stats import morans_i
+
+    cells = []
+    for cell in range(32):
+        x, y = cell % 8, cell // 8
+        cells.extend([cell] * (3 if (x + y) % 2 == 0 else 1))
+    out = morans_i(_cells_ds(cells), res=RES, n_buckets=2).to_pandas()
+    assert out.moran_i.iloc[0] == -1.0
+    assert out.geary_c.iloc[0] > 1.0  # dissimilar neighbors
+
+
+def test_getis_ord_brute(ray_session):
+    from zen3geo_ray.stages.spatial_stats import getis_ord_g
+
+    rng = np.random.default_rng(11)
+    cells = rng.integers(0, 32, size=300)
+    out = getis_ord_g(_cells_ds(cells), res=RES, n_buckets=2).to_pandas()
+    u, x = _brute(cells)
+    assert list(out.cell) == u.tolist()
+    n, s = len(u), int(x.sum())
+    q2 = int((x.astype(object) * x).sum())
+    idx = {c: i for i, c in enumerate(u.tolist())}
+    for r in out.itertuples():
+        nb = [b for a, b in _rook_w(u, RES) if a == r.cell]
+        wi, li = 1 + len(nb), int(x[idx[r.cell]]) + sum(
+            int(x[idx[b]]) for b in nb)
+        assert (int(r.wi), int(r.li)) == (wi, li)
+        xb, s2 = s / n, q2 / n - (s / n) ** 2
+        expect = (li - xb * wi) / math.sqrt(
+            s2 * (n * wi - wi * wi) / (n - 1))
+        assert r.gi == pytest.approx(expect, rel=1e-9)
+
+
+def test_semivariogram_brute(ray_session):
+    from zen3geo_ray.geom.cells import _grid_dims
+    from zen3geo_ray.stages.spatial_stats import semivariogram
+
+    rng = np.random.default_rng(3)
+    cells = rng.integers(0, 32, size=500)
+    out = semivariogram(_cells_ds(cells), res=RES, max_lag=2,
+                        n_buckets=2).to_pandas()
+    u, x = _brute(cells)
+    nc, nr = _grid_dims(RES)
+    idx = {c: i for i, c in enumerate(u.tolist())}
+    for h in (1, 2):
+        n_h, ssd = 0, 0
+        for i, a in enumerate(u.tolist()):
+            ax, ay = a % nc, a // nc
+            for j, b in enumerate(u.tolist()):
+                if j <= i:
+                    continue
+                bx, by = b % nc, b // nc
+                if max(abs(ax - bx), abs(ay - by)) == h:
+                    n_h += 1
+                    ssd += int(x[i] - x[j]) ** 2
+        row = out[out.h == h].iloc[0]
+        assert (int(row.n_pairs), int(row.ssd)) == (n_h, ssd)
+        assert row.gamma == ssd / (2 * n_h)

@@ -126,6 +126,151 @@ def q_zonal(sf_dir: str):
     return zonal.zonal_aggregate(pts, ["cell"], {"n_chars": ["sum"]})
 
 
+# --- spatial statistics (ESDA trio over the occupancy histogram) ----------
+
+
+def _sql_counts_cte() -> str:
+    """geo + per-cell occupancy histogram, the shared spatial-stats base."""
+    return (f"{_sql_geo_cte()}, counts AS (SELECT cell, "
+            f"CAST(COUNT(*) AS BIGINT) AS x FROM geo GROUP BY cell)")
+
+
+def q_moran(sf_dir: str):
+    """Global Moran's I + Geary's C of per-cell doc counts under rook
+    adjacency — corpus reduces to the GRID-bounded occupancy histogram
+    (one bucketed shuffle), pair/moment statistics are exact Python
+    ints (z' = n*x - S so the 1/n factors cancel), each float is ONE
+    shared division of exactly-cast integers
+    (stages/spatial_stats.py:morans_i)."""
+    from ..stages.spatial_stats import morans_i
+
+    return morans_i(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_moran() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_counts_cte()},
+sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s,
+              CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+       FROM counts),
+pairs AS (
+  SELECT a.x AS xa, b.x AS xb FROM counts a
+    JOIN counts b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.x, b.x FROM counts a
+    JOIN counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}),
+ps AS (SELECT CAST(COUNT(*) AS HUGEINT) AS wd,
+              COALESCE(SUM(CAST(xa AS HUGEINT) * xb), 0) AS p1,
+              COALESCE(SUM(CAST(xa AS HUGEINT) + xb), 0) AS p2,
+              COALESCE(SUM((CAST(xa AS HUGEINT) - xb)
+                           * (CAST(xa AS HUGEINT) - xb)), 0) AS d
+       FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(2 * wd AS BIGINT) AS w_pairs,
+       CASE WHEN wd > 0 AND n * n * q2 - n * s * s <> 0 THEN
+         CAST(n * (2 * (n * n * p1 - n * s * p2 + wd * s * s))
+              AS DOUBLE)
+         / CAST((2 * wd) * (n * n * q2 - n * s * s) AS DOUBLE)
+       ELSE NULL END AS moran_i,
+       CASE WHEN wd > 0 AND n * n * q2 - n * s * s <> 0 THEN
+         CAST((n - 1) * n * n * d AS DOUBLE)
+         / CAST(2 * wd * (n * n * q2 - n * s * s) AS DOUBLE)
+       ELSE NULL END AS geary_c
+FROM sc, ps"""
+
+
+def q_gi_star(sf_dir: str):
+    """Per-cell Getis-Ord Gi* hotspot z-scores (self-inclusive rook
+    neighborhood) — integer numerator n*L_i - S*W_i, one shared
+    sqrt-of-exact-ints shape, VALUE-checked
+    (stages/spatial_stats.py:getis_ord_g)."""
+    from ..stages.spatial_stats import getis_ord_g
+
+    return getis_ord_g(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_gi_star() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_counts_cte()},
+sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s,
+              CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+       FROM counts),
+nb AS (
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell - 1
+    WHERE a.cell % {nc} > 0
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell - {nc}
+    WHERE a.cell // {nc} > 0),
+agg AS (SELECT cell, SUM(CAST(x AS HUGEINT)) AS nsum,
+               CAST(COUNT(*) AS HUGEINT) AS ncnt
+        FROM nb GROUP BY cell),
+g AS (SELECT c.cell, c.x,
+             1 + COALESCE(a.ncnt, 0) AS wi,
+             c.x + COALESCE(a.nsum, 0) AS li
+      FROM counts c LEFT JOIN agg a ON a.cell = c.cell)
+SELECT g.cell, g.x, CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
+       CASE WHEN n > 1 AND n > wi AND n * q2 - s * s > 0 THEN
+         CAST(n * li - s * wi AS DOUBLE)
+         / sqrt(CAST((n * q2 - s * s) * (n * wi - wi * wi) AS DOUBLE)
+                / (CAST(n AS BIGINT) - 1.0))
+       ELSE NULL END AS gi
+FROM g, sc"""
+
+
+VGRAM_MAX_LAG = 3
+
+
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram over Chebyshev cell-ring lags 1..3:
+    gamma(h) = SSD_h / (2 N_h) over occupied unordered pairs, all-int
+    SSD, one shared float division
+    (stages/spatial_stats.py:semivariogram)."""
+    from ..stages.spatial_stats import semivariogram
+
+    return semivariogram(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                         max_lag=VGRAM_MAX_LAG)
+
+
+def _sql_variogram() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    k = VGRAM_MAX_LAG
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i AS dy
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({k + 1})) AS i) dyr
+         WHERE GREATEST(abs(dxr.i - {k}), dyr.i) BETWEEN 1 AND {k}
+           AND (dyr.i > 0 OR dxr.i - {k} > 0)),
+pr AS (SELECT GREATEST(abs(o.dx), o.dy) AS h, a.x AS xa, b.x AS xb
+       FROM counts a
+       CROSS JOIN offs o
+       JOIN counts b ON b.cell = a.cell + o.dy * {nc} + o.dx
+       WHERE a.cell % {nc} + o.dx >= 0
+         AND a.cell % {nc} + o.dx <= {nc - 1}
+         AND a.cell // {nc} + o.dy <= {nr - 1}),
+agg AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM((CAST(xa AS HUGEINT) - xb)
+                        * (CAST(xa AS HUGEINT) - xb)) AS BIGINT) AS ssd
+        FROM pr GROUP BY h)
+SELECT s.h, COALESCE(a.n_pairs, 0) AS n_pairs, COALESCE(a.ssd, 0) AS ssd,
+       CASE WHEN COALESCE(a.n_pairs, 0) > 0 THEN
+         CAST(a.ssd AS DOUBLE) / CAST(2 * a.n_pairs AS DOUBLE)
+       ELSE NULL END AS gamma
+FROM (SELECT unnest(range(1, {k + 1})) AS h) s
+LEFT JOIN agg a ON a.h = s.h"""
+
+
 # --- point-in-polygon broadcast join (SURVEY op #11) ----------------------
 
 
@@ -8421,6 +8566,9 @@ def build_oracles() -> dict[str, str]:
         "centroids": _sql_centroids(),
         "proto_sim": _sql_proto_sim(),
         "gram": _sql_gram(),
+        "moran": _sql_moran(),
+        "gi_star": _sql_gi_star(),
+        "variogram": _sql_variogram(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
@@ -9311,6 +9459,9 @@ def build_queries() -> dict:
         "centroids": q_centroids,
         "proto_sim": q_proto_sim,
         "gram": q_gram,
+        "moran": q_moran,
+        "gi_star": q_gi_star,
+        "variogram": q_variogram,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,

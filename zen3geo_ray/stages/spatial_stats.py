@@ -1,0 +1,211 @@
+"""Spatial statistics over the engine's grid-cell index — Moran's I /
+Geary's C (global spatial autocorrelation), Getis-Ord Gi* (local hotspot
+z-scores) and the empirical semivariogram, the ESDA trio every
+geostatistics textbook opens with (Anselin 1995; Getis & Ord 1992;
+Matheron 1963).
+
+zen3geo has no spatial-stats stage (its raster leg stops at datashader
+aggregation, `/root/reference/zen3geo/datapipes/datashader.py:229-242`);
+this extends the zonal family the way the curation stages extend the
+text leg — the statistics a user actually runs AFTER zonal_aggregate.
+
+Scale shape (shared by all three): the corpus reduces to a per-cell
+HISTOGRAM via block-local `np.unique` partials + one bucketed groupby —
+state is GRID-bounded (``2**(2*res+1)`` cells max, res 6 -> 8192), the
+corpus itself never shuffles and never materializes.  The finale probes
+rook/ring neighbors on the sorted bounded histogram driver-side (the
+ray.put-broadcast-bounded-state discipline; at res >= 14 move the probe
+into a bucketed self-join on shifted cell ids — same arithmetic).
+
+Exactness discipline (the spearman/proto_sim rules): cell counts are
+native integers, every pair/moment statistic is an EXACT integer
+(Python-int finale sums — pair products overflow int64 long before
+HUGEINT), and each reported float is ONE shared shape over exactly-cast
+integers, so the DuckDB oracle VALUE-checks all three:
+
+- Moran's I with z'_i = n*x_i - S (integers; the 1/n factors cancel):
+  I = (n * num) / (W * den),  num = SUM_pairs z'_i z'_j (both
+  directions), den = SUM_i z'_i^2 = n^2*Q2 - n*S^2.
+- Geary's C needs no centering at all: C = ((n-1) * n^2 * D) /
+  (2 * W_d * (n^2*Q2 - n*S^2)) with D = SUM_undirected (x_i - x_j)^2.
+- Gi*_i = (n*L_i - S*W_i) / sqrt((n*Q2 - S*S) * (n*W_i - W_i*W_i)
+  / (n - 1.0))  — the textbook z-score multiplied through by n.
+- gamma(h) = SSD_h / (2 * N_h) over Chebyshev-ring-h cell pairs.
+
+Neighbor convention (mirrored in SQL, no wrap): rook adjacency on the
+row-major grid — east = cell+1 iff nx < ncols-1, north = cell+ncols iff
+ny < nrows-1; only OCCUPIED cells are spatial units.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom.cells import _grid_dims
+from .bucketed import bucketed_groupby
+
+
+def cell_counts(ds, *, cell_col: str = "cell", n_buckets: int = 8):
+    """Corpus -> (cell, x) occupancy histogram; combiner-first, the only
+    shuffle any spatial statistic needs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "x": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cell", as_index=False)["x"].sum()
+
+    return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
+
+
+def _histogram(ds, cell_col: str, n_buckets: int):
+    """Materialize the GRID-BOUNDED histogram, sorted by cell id."""
+    df = cell_counts(ds, cell_col=cell_col, n_buckets=n_buckets).to_pandas()
+    df = df.sort_values("cell", kind="mergesort")
+    return (df["cell"].to_numpy().astype(np.int64),
+            df["x"].to_numpy().astype(np.int64))
+
+
+def _probe(cells_sorted: np.ndarray, targets: np.ndarray):
+    """(found_mask, positions) of ``targets`` in the sorted cell array."""
+    pos = np.searchsorted(cells_sorted, targets)
+    pos = np.minimum(pos, len(cells_sorted) - 1)
+    found = cells_sorted[pos] == targets
+    return found, pos
+
+
+def _isum(a: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array (finale discipline)."""
+    return int(sum(int(v) for v in a.tolist())) if len(a) else 0
+
+
+def _rook_pairs(cells_: np.ndarray, x: np.ndarray, res: int):
+    """Directed-once (east, north) occupied neighbor pairs -> exact-int
+    (W_d, P1=SUM x_i x_j, P2=SUM (x_i+x_j), D=SUM (x_i-x_j)^2)."""
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    wd, p1, p2, d = 0, 0, 0, 0
+    for off, ok in ((1, nx < ncols - 1), (ncols, ny < nrows - 1)):
+        src = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[src] + off)
+        xi = x[src[found]]
+        xj = x[pos[found]]
+        wd += int(found.sum())
+        p1 += int(sum(int(a) * int(b)
+                      for a, b in zip(xi.tolist(), xj.tolist())))
+        p2 += _isum(xi) + _isum(xj)
+        d += int(sum((int(a) - int(b)) ** 2
+                     for a, b in zip(xi.tolist(), xj.tolist())))
+    return wd, p1, p2, d
+
+
+def morans_i(ds, *, res: int, cell_col: str = "cell",
+             n_buckets: int = 8) -> pa.Table:
+    """Global Moran's I and Geary's C of per-cell record counts under
+    rook adjacency.  One row: (n_cells, w_pairs, moran_i, geary_c) —
+    w_pairs counts BOTH directions (the standard symmetric W)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    n = int(len(cells_))
+    s = _isum(x)
+    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    wd, p1, p2, d = _rook_pairs(cells_, x, res)
+
+    # num = SUM_{ordered pairs} z'_i z'_j with z' = n*x - S; expanding the
+    # directed-once sums: 2*(n^2*P1 - n*S*P2 + W_d*S^2).
+    num = 2 * (n * n * p1 - n * s * p2 + wd * s * s)
+    den = n * n * q2 - n * s * s
+    w = 2 * wd
+    moran = (float(n * num) / float(w * den)) if w and den else None
+    geary = (float((n - 1) * n * n * d) / float(2 * wd * den)) \
+        if wd and den else None
+    return pa.table({
+        "n_cells": pa.array([n], pa.int64()),
+        "w_pairs": pa.array([w], pa.int64()),
+        "moran_i": pa.array([moran], pa.float64()),
+        "geary_c": pa.array([geary], pa.float64()),
+    })
+
+
+def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
+                n_buckets: int = 8) -> pa.Table:
+    """Per-cell Getis-Ord Gi* hotspot z-score (self-inclusive rook
+    neighborhood).  Output (cell, x, wi, li, gi): wi = neighborhood
+    size, li = neighborhood count sum, gi the z-score."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    n = int(len(cells_))
+    s = _isum(x)
+    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    li = x.copy()
+    wi = np.ones(n, dtype=np.int64)
+    for off, ok in ((1, nx < ncols - 1), (-1, nx > 0),
+                    (ncols, ny < nrows - 1), (-ncols, ny > 0)):
+        src = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[src] + off)
+        np.add.at(li, src[found], x[pos[found]])
+        np.add.at(wi, src[found], 1)
+
+    gvar = n * q2 - s * s  # exact int, shared by every cell
+    num = [n * int(a) - s * int(b) for a, b in zip(li.tolist(), wi.tolist())]
+    gi = [float(nu) / math.sqrt(float(gvar * (n * int(w) - int(w) * int(w)))
+                                / (n - 1.0))
+          if n > 1 and n > int(w) and gvar > 0 else None
+          for nu, w in zip(num, wi.tolist())]
+    return pa.table({
+        "cell": pa.array(cells_),
+        "x": pa.array(x),
+        "wi": pa.array(wi),
+        "li": pa.array(li),
+        "gi": pa.array(gi, pa.float64()),
+    })
+
+
+def semivariogram(ds, *, res: int, max_lag: int = 3,
+                  cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
+    """Empirical semivariogram over Chebyshev cell-ring lags 1..max_lag:
+    gamma(h) = SSD_h / (2 * N_h) over occupied unordered pairs at ring
+    distance h.  Output (h, n_pairs, ssd, gamma)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    hs, ns, ssds, gammas = [], [], [], []
+    for h in range(1, max_lag + 1):
+        n_h, ssd = 0, 0
+        for dy in range(0, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                if dy == 0 and dx <= 0:  # directed-once
+                    continue
+                ok = (nx + dx >= 0) & (nx + dx < ncols) & (ny + dy < nrows)
+                src = np.flatnonzero(ok)
+                found, pos = _probe(cells_, cells_[src] + dy * ncols + dx)
+                xi, xj = x[src[found]], x[pos[found]]
+                n_h += int(found.sum())
+                ssd += int(sum((int(a) - int(b)) ** 2
+                               for a, b in zip(xi.tolist(), xj.tolist())))
+        hs.append(h)
+        ns.append(n_h)
+        ssds.append(ssd)
+        gammas.append(float(ssd) / float(2 * n_h) if n_h else None)
+    return pa.table({
+        "h": pa.array(hs, pa.int64()),
+        "n_pairs": pa.array(ns, pa.int64()),
+        "ssd": pa.array(ssds, pa.int64()),
+        "gamma": pa.array(gammas, pa.float64()),
+    })
