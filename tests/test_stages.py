@@ -628,3 +628,37 @@ def test_nearest_rect_join_tie_smallest_id(ray_session):
                     "lon": pa.array([2.0]), "lat": pa.array([2.0])})
     out = nearest_rect_join(rd.from_arrow(pts), rects).to_pandas()
     assert int(out["poly_id"][0]) == 3
+
+
+def test_oneway_anova_reference(ray_session):
+    """F and eta^2 vs the straight-line one-way ANOVA formulas."""
+    rng = np.random.default_rng(31)
+    groups, vals = [], []
+    for g, (lo, hi, n) in enumerate([(40, 80, 120), (55, 95, 90),
+                                     (30, 60, 70)]):
+        groups += [f"g{g}"] * n
+        vals.append(rng.integers(lo, hi, n).astype(np.int64))
+    t = pa.table({"g": pa.array(groups),
+                  "v": pa.array(np.concatenate(vals))})
+    out = zonal.oneway_anova(rd.from_arrow(t).repartition(5),
+                             "g", "v").to_pandas().iloc[0]
+    allv = np.concatenate(vals)
+    n, k = len(allv), 3
+    gm = allv.mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in vals)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals)
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (int(out["k"]), int(out["n"])) == (k, n)
+    assert abs(float(out["ssb"]) - ssb) < 1e-6
+    assert abs(float(out["ssw"]) - ssw) < 1e-6
+    assert abs(float(out["f_stat"]) - want_f) < 1e-10
+    assert abs(float(out["eta_sq"]) - ssb / (ssb + ssw)) < 1e-12
+
+
+def test_oneway_anova_degenerate(ray_session):
+    t = pa.table({"g": pa.array(["a", "a", "b", "b"]),
+                  "v": pa.array([7, 7, 7, 7], pa.int64())})
+    out = zonal.oneway_anova(rd.from_arrow(t), "g", "v") \
+        .to_pandas().iloc[0]
+    assert (int(out["k"]), int(out["n"])) == (2, 4)
+    assert np.isnan(out["f_stat"]) and np.isnan(out["eta_sq"])

@@ -3177,6 +3177,60 @@ SELECT n1, n2, m1, m2,
 FROM e"""
 
 
+def q_anova(sf_dir: str):
+    """One-way ANOVA F of order value (FLOOR dollars — half-dollar
+    ties make ROUND unmirrorable) across the five order priorities:
+    one combiner-first pass to <= k exact int64 moment rows per block,
+    driver finale in a fixed left-assoc float order the unrolled SQL
+    mirrors term for term (stages/zonal.py:oneway_anova)."""
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": b.column("o_orderpriority"),
+            "v": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return zonal.oneway_anova(
+        ords.map_batches(prep, batch_format="pyarrow"), "g", "v")
+
+
+ANOVA_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW")
+
+
+def _sql_anova() -> str:
+    terms = " + ".join(
+        f"(SELECT CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) FROM a WHERE g = '{g}')"
+        for g in ANOVA_GROUPS)
+    return f"""
+WITH src AS (SELECT o_orderpriority AS g,
+                    CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+             FROM orders),
+a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM src GROUP BY g),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS k,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sv) AS BIGINT) AS s,
+               CAST(SUM(svv) AS BIGINT) AS q2 FROM a),
+fx AS (SELECT k, n,
+  ({terms})
+    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+  CAST(q2 AS DOUBLE)
+    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+  FROM tot)
+SELECT k, n, ssb, sst - ssb AS ssw,
+  CASE WHEN k >= 2 AND n > k AND sst - ssb > 0.0 THEN
+    (ssb / CAST(k - 1 AS DOUBLE)) / ((sst - ssb) / CAST(n - k AS DOUBLE))
+  ELSE NULL END AS f_stat,
+  CASE WHEN k >= 2 AND n > k AND sst > 0.0 THEN ssb / sst
+  ELSE NULL END AS eta_sq
+FROM fx"""
+
+
 def q_mwu(sf_dir: str):
     """Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric sibling
     of ab_test over the same src0/src1 doc lengths: ×2 average ranks
@@ -8622,6 +8676,7 @@ def build_oracles() -> dict[str, str]:
         "pcont": _sql_pcont(),
         "skyline": _SQL_SKYLINE,
         "ab_test": _SQL_AB_TEST,
+        "anova": _sql_anova(),
         "mwu": _SQL_MWU,
         "cusum": _SQL_CUSUM,
         "covered_time": _SQL_COVERED_TIME,
@@ -9525,6 +9580,7 @@ def build_queries() -> dict:
         "corr": q_corr,
         "skyline": q_skyline,
         "ab_test": q_ab_test,
+        "anova": q_anova,
         "mwu": q_mwu,
         "cusum": q_cusum,
         "covered_time": q_covered_time,

@@ -676,6 +676,77 @@ def welch_ttest(ds, group_col: str, value_col: str, group_a, group_b):
     })
 
 
+def oneway_anova(ds, group_col: str, value_col: str):
+    """One-way ANOVA F over an integer value column grouped by a
+    LOW-CARDINALITY key — the k-group generalization of welch_ttest.
+    ONE combiner-first pass: each batch reduces to <= k
+    (group, n, Σv, Σv²) int64 rows; the driver folds the bounded
+    partials with exact Python ints and evaluates the float finale in
+    a FIXED op order (groups sorted ascending, left-assoc sum) the SQL
+    oracle mirrors term for term::
+
+        ssb = Σ_g (Σv_g)²/n_g  −  S²/n      (between groups)
+        sst = Q2 − S²/n ;  ssw = sst − ssb  (within = residual)
+        F   = (ssb/(k−1)) / (ssw/(n−k)) ;   eta² = ssb/sst
+
+    int64 bound: per-block Σv² must fit (value² · block_rows < 2^63) —
+    quantize coarsely enough (the q_anova query uses whole dollars,
+    not cents).  Output one row (k, n, ssb, ssw, f_stat, eta_sq);
+    f/eta NULL when k < 2, n <= k, or the variance degenerates."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v})
+        df["vv"] = df["v"] * df["v"]
+        out = df.groupby("g", as_index=False).agg(
+            n=("v", "size"), sv=("v", "sum"), svv=("vv", "sum"))
+        return pa.table({
+            "g": pa.array(out["g"].tolist()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "sv": pa.array(out["sv"].to_numpy().astype(np.int64)),
+            "svv": pa.array(out["svv"].to_numpy().astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = sorted(
+        (g, int(sub["n"].sum()), _py_int_sum(sub["sv"]),
+         _py_int_sum(sub["svv"]))
+        for g, sub in parts.groupby("g"))
+    k = len(rows)
+    n = sum(r[1] for r in rows)
+    s = sum(r[2] for r in rows)
+    q2 = sum(r[3] for r in rows)
+    ssb = ssw = f = eta = None
+    if k >= 2 and n > k:
+        acc = 0.0
+        for _, ng, sg, _ in rows:
+            acc = acc + (float(sg) * float(sg)) / float(ng)
+        ssb = acc - (float(s) * float(s)) / float(n)
+        sst = float(q2) - (float(s) * float(s)) / float(n)
+        ssw = sst - ssb
+        if ssw > 0.0:
+            f = (ssb / float(k - 1)) / (ssw / float(n - k))
+        if sst > 0.0:
+            eta = ssb / sst
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "ssb": pa.array([ssb], pa.float64()),
+        "ssw": pa.array([ssw], pa.float64()),
+        "f_stat": pa.array([f], pa.float64()),
+        "eta_sq": pa.array([eta], pa.float64()),
+    })
+
+
+def _py_int_sum(col) -> int:
+    """Exact Python-int column sum (int64 partials stay exact; the
+    TOTAL may not)."""
+    return int(sum(int(v) for v in col.tolist()))
+
+
 def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b,
                    *, n_buckets: int = 16):
     """Mann–Whitney U (Wilcoxon rank-sum) between two groups of an
