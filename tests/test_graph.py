@@ -1418,3 +1418,55 @@ def test_temporal_reachability_bruteforce(ray_session, bt):
                 new[d] = t
         ref = new
     assert got == ref
+
+
+def test_local_clustering_brute(ray_session):
+    """Per-node (deg, tri, cc) vs a brute-force adjacency scan."""
+    import itertools
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import local_clustering
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.integers(0, 20, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    t = pa.table({
+        "src": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+        "dst": pa.array([b for _, b in sorted(edges)], pa.int64()),
+    })
+    out = local_clustering(rd.from_arrow(t).repartition(4),
+                           n_buckets=4).to_pandas().set_index("node")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert len(out) == len(adj)
+    for v, nb in adj.items():
+        tri = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                  if y in adj[x])
+        d = len(nb)
+        row = out.loc[v]
+        assert (int(row.deg), int(row.tri)) == (d, tri)
+        if d >= 2:
+            assert row.cc == float(2 * tri) / float(d * (d - 1))
+        else:
+            assert np.isnan(row.cc)
+
+
+def test_local_clustering_k4(ray_session):
+    """K4: every node has deg 3, tri 3, cc exactly 1.0."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import local_clustering
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                  "dst": pa.array([b for _, b in pairs], pa.int64())})
+    out = local_clustering(rd.from_arrow(t), n_buckets=2).to_pandas()
+    assert len(out) == 4
+    assert (out.deg == 3).all() and (out.tri == 3).all()
+    assert (out.cc == 1.0).all()

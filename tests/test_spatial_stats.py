@@ -122,3 +122,28 @@ def test_semivariogram_brute(ray_session):
         row = out[out.h == h].iloc[0]
         assert (int(row.n_pairs), int(row.ssd)) == (n_h, ssd)
         assert row.gamma == ssd / (2 * n_h)
+
+
+def test_dissolve_stats_golden(ray_session):
+    """2x2 block -> perimeter 8, squareness exactly 1.0; diagonal pair
+    -> no adjacency, squareness 0.5."""
+    from zen3geo_ray.stages.spatial_stats import dissolve_stats
+
+    # res 2 grid is 8x4; cell = ny*8 + nx
+    block = [0, 1, 8, 9]          # (0,0),(1,0),(0,1),(1,1)
+    diag = [3, 12]                # (3,0),(4,1) — not rook-adjacent
+    t = pa.table({
+        "g": pa.array(["a"] * 8 + ["b"] * 2),
+        "cell": pa.array(np.array(block * 2 + diag, dtype=np.int64)),
+    })
+    import ray.data as rd
+
+    out = dissolve_stats(rd.from_arrow(t).repartition(3), res=RES,
+                         group_col="g", n_buckets=2).to_pandas() \
+        .set_index("g")
+    assert (int(out.loc["a", "area"]), int(out.loc["a", "adj_pairs"]),
+            int(out.loc["a", "perimeter"])) == (4, 4, 8)
+    assert out.loc["a", "squareness"] == 1.0
+    assert (int(out.loc["b", "area"]), int(out.loc["b", "adj_pairs"]),
+            int(out.loc["b", "perimeter"])) == (2, 0, 8)
+    assert out.loc["b", "squareness"] == 0.5

@@ -228,6 +228,41 @@ SELECT g.cell, g.x, CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
 FROM g, sc"""
 
 
+def q_dissolve(sf_dir: str):
+    """Per-language DISSOLVED cell-region shape stats (the ST_Union /
+    dissolve analog on the grid tessellation): area = #cells,
+    perimeter = 4*area - 2*rook-adjacent same-lang pairs, squareness =
+    16*area/perim^2 — distinct (lang, cell) pairs are the only shuffle,
+    all-integer measures (stages/spatial_stats.py:dissolve_stats)."""
+    from ..stages.spatial_stats import dissolve_stats
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+    return dissolve_stats(pts, res=RES_ZONAL, group_col="lang")
+
+
+def _sql_dissolve() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_geo_cte(extra=", lang")},
+lc AS (SELECT DISTINCT lang AS g, cell FROM geo),
+adj AS (
+  SELECT a.g FROM lc a JOIN lc b ON b.g = a.g AND b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.g FROM lc a JOIN lc b ON b.g = a.g AND b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}),
+ar AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS area FROM lc GROUP BY g),
+ad AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS adj FROM adj GROUP BY g)
+SELECT ar.g, ar.area, COALESCE(ad.adj, 0) AS adj_pairs,
+       4 * ar.area - 2 * COALESCE(ad.adj, 0) AS perimeter,
+       CASE WHEN 4 * ar.area - 2 * COALESCE(ad.adj, 0) > 0 THEN
+         CAST(16 * ar.area AS DOUBLE)
+         / CAST((4 * ar.area - 2 * COALESCE(ad.adj, 0))
+                * (4 * ar.area - 2 * COALESCE(ad.adj, 0)) AS DOUBLE)
+       ELSE NULL END AS squareness
+FROM ar LEFT JOIN ad ON ad.g = ar.g"""
+
+
 VGRAM_MAX_LAG = 3
 
 
@@ -7844,6 +7879,67 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
 FROM w JOIN o e ON e.lo = w.b AND e.hi = w.c"""
 
 
+def q_clustering(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient (the
+    Watts–Strogatz statistic) of the part co-purchase graph — the same
+    skew-safe degree-oriented wedge plan as q_triangles, except each
+    closed triangle credits all three vertices and a padded left join
+    lands zero-triangle nodes at cc = 0
+    (stages/graph.py:local_clustering)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import local_clustering
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(TRI_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return local_clustering(prs)
+
+
+def _sql_clustering() -> str:
+    return f"""WITH
+lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS lo,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS hi,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dhi
+      FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+      AND ((e1.dhi, e1.hi) < (e2.dhi, e2.hi))),
+closed AS (SELECT w.a, w.b, w.c FROM w
+           JOIN o e ON e.lo = w.b AND e.hi = w.c),
+tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM
+        (SELECT a AS node FROM closed UNION ALL SELECT b FROM closed
+         UNION ALL SELECT c FROM closed) GROUP BY 1)
+SELECT d.node, d.d AS deg, COALESCE(tri.t, 0) AS tri,
+       CASE WHEN d.d >= 2 THEN
+         CAST(2 * COALESCE(tri.t, 0) AS DOUBLE)
+         / CAST(d.d * (d.d - 1) AS DOUBLE)
+       ELSE NULL END AS cc
+FROM deg d LEFT JOIN tri ON tri.node = d.node"""
+
+
 CN_MAX_DEG = 16
 CN_MIN_COMMON = 2
 
@@ -8623,6 +8719,7 @@ def build_oracles() -> dict[str, str]:
         "moran": _sql_moran(),
         "gi_star": _sql_gi_star(),
         "variogram": _sql_variogram(),
+        "dissolve": _sql_dissolve(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
@@ -9423,6 +9520,7 @@ GROUP BY event_type, u - o.off
         "seed_reach": _sql_seed_reach(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
+        "clustering": _sql_clustering(),
         "source_hhi": _SQL_SOURCE_HHI,
         "dbscan": _sql_dbscan(),
         "kcore": _sql_kcore(),
@@ -9517,6 +9615,7 @@ def build_queries() -> dict:
         "moran": q_moran,
         "gi_star": q_gi_star,
         "variogram": q_variogram,
+        "dissolve": q_dissolve,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,
@@ -9692,6 +9791,7 @@ def build_queries() -> dict:
         "seed_reach": q_seed_reach,
         "components": q_components,
         "triangles": q_triangles,
+        "clustering": q_clustering,
         "source_hhi": q_source_hhi,
         "dbscan": q_dbscan,
         "kcore": q_kcore,

@@ -644,20 +644,13 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     return state
 
 
-def triangle_count(edges, *, src: str = "src", dst: str = "dst",
-                   n_buckets: int | None = None,
-                   broadcast_threshold: int = BROADCAST_NODES):
-    """Exact global triangle count; returns a ONE-ROW Dataset {n_tri}.
-
-    The DEGREE-ORIENTED wedge plan (the standard skew-safe distributed
-    algorithm): orient every undirected edge from its (degree, id)-SMALLER
-    endpoint to the larger, enumerate wedges only at each edge's lo
-    endpoint (out-degree after orientation is O(sqrt(E)) even for hot
-    hubs, so wedge volume is bounded by arboricity, never deg² of a
-    celebrity node), then one semi join closes wedges against the
-    oriented edge set.  Each triangle is counted exactly once, at its
-    orientation-minimal vertex.  Wedges STREAM through the closing join —
-    they are never materialized or collected."""
+def _oriented_edges(edges, *, src: str, dst: str,
+                    n_buckets: int | None,
+                    broadcast_threshold: int):
+    """Distinct undirected edges ORIENTED from the (degree, id)-smaller
+    endpoint — the shared front half of triangle_count /
+    local_clustering.  Returns (o, deg, n_buckets): o has columns
+    (lo, hi, dhi), deg has (node, _c)."""
     def norm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -733,6 +726,27 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
 
         o = j.map_batches(orient, batch_format="pyarrow").materialize()
 
+    return o, deg, n_buckets
+
+
+def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   n_buckets: int | None = None,
+                   broadcast_threshold: int = BROADCAST_NODES):
+    """Exact global triangle count; returns a ONE-ROW Dataset {n_tri}.
+
+    The DEGREE-ORIENTED wedge plan (the standard skew-safe distributed
+    algorithm): orient every undirected edge from its (degree, id)-SMALLER
+    endpoint to the larger, enumerate wedges only at each edge's lo
+    endpoint (out-degree after orientation is O(sqrt(E)) even for hot
+    hubs, so wedge volume is bounded by arboricity, never deg² of a
+    celebrity node), then one semi join closes wedges against the
+    oriented edge set.  Each triangle is counted exactly once, at its
+    orientation-minimal vertex.  Wedges STREAM through the closing join —
+    they are never materialized or collected."""
+    o, _deg, n_buckets = _oriented_edges(
+        edges, src=src, dst=dst, n_buckets=n_buckets,
+        broadcast_threshold=broadcast_threshold)
+
     o2 = o.map_batches(
         lambda b: b.rename_columns(["lo", "_hi2", "_dhi2"]),
         batch_format="pyarrow",
@@ -770,6 +784,85 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
 
     return counts.union(seed).repartition(1).map_batches(
         finalize, batch_format="pyarrow")
+
+
+def local_clustering(edges, *, src: str = "src", dst: str = "dst",
+                     n_buckets: int | None = None,
+                     broadcast_threshold: int = BROADCAST_NODES):
+    """PER-NODE triangle counts + local clustering coefficient
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the Watts–Strogatz local
+    statistic, on the same degree-oriented skew-safe wedge plan as
+    triangle_count, except each closed triangle credits ALL THREE
+    vertices (the wedge keeps its center through the closing join, and
+    the close is an inner-semi that preserves left payloads).  One
+    bucketed count-per-node reduce + one padded LEFT join back onto
+    the degree table (zero-triangle nodes keep cc = 0; masked-int
+    padding keeps counts exact).  Output (node, deg, tri, cc); cc NULL
+    for degree-1 nodes, float shape 2*tri / (deg*(deg-1)) both sides."""
+    o, deg, n_buckets = _oriented_edges(
+        edges, src=src, dst=dst, n_buckets=n_buckets,
+        broadcast_threshold=broadcast_threshold)
+
+    o2 = o.map_batches(
+        lambda b: b.rename_columns(["lo", "_hi2", "_dhi2"]),
+        batch_format="pyarrow",
+    )
+    wedged = bucketed_join(o, o2, ["lo"], n_buckets=n_buckets)
+
+    def wedge_filter(b: pa.Table) -> pa.Table:
+        c0 = b.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = b.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = b.column("dhi").to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = b.column("_hi2").to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = b.column("_dhi2").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d1 < d2) | ((d1 == d2) & (h1 < h2))
+        return pa.table({"ctr": pa.array(c0[keep]),
+                         "lo": pa.array(h1[keep]),
+                         "hi": pa.array(h2[keep])})
+
+    wedges = wedged.map_batches(wedge_filter, batch_format="pyarrow")
+    closed = bucketed_join(wedges, o, ["lo", "hi"], how="semi",
+                           n_buckets=n_buckets)
+
+    def credit(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("ctr").to_numpy(zero_copy_only=False),
+            b.column("lo").to_numpy(zero_copy_only=False),
+            b.column("hi").to_numpy(zero_copy_only=False),
+        ]).astype(np.int64)
+        u, c = np.unique(x, return_counts=True)
+        return pa.table({NODE: pa.array(u),
+                         "_t": pa.array(c.astype(np.int64))})
+
+    def tri_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["_t"].sum()
+
+    tric = bucketed_groupby(
+        closed.map_batches(credit, batch_format="pyarrow"),
+        [NODE], tri_combine, n_buckets=n_buckets)
+
+    j = bucketed_join(deg, tric, [NODE], how="left", n_buckets=n_buckets)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = b.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.fill_null(b.column("_t"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        den = d * (d - 1)
+        cc = np.where(den > 0,
+                      (2 * t).astype(np.float64)
+                      / np.where(den > 0, den, 1).astype(np.float64),
+                      np.nan)
+        return pa.table({
+            NODE: b.column(NODE),
+            "deg": pa.array(d),
+            "tri": pa.array(t),
+            "cc": pa.array(np.where(den > 0, cc, np.nan), pa.float64(),
+                           from_pandas=True),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
 
 
 def kcore(edges, *, k: int, rounds: int, src: str = "src",

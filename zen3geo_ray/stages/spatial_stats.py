@@ -173,6 +173,61 @@ def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
     })
 
 
+def dissolve_stats(ds, *, res: int, group_col: str,
+                   cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
+    """Per-group DISSOLVED cell-region shape statistics — the
+    ST_Union/dissolve analog on the grid tessellation.  Each group's
+    region is the set of cells it occupies; on a unit-cell grid the
+    dissolved geometry's measures are pure integers:
+
+        area      = #cells
+        perimeter = 4*area - 2*adj   (adj = rook-adjacent SAME-group
+                                      cell pairs, counted once)
+        squareness = 16*area / perimeter^2   (1.0 for a square block)
+
+    Corpus reduces to distinct (group, cell) pairs (one bucketed
+    shuffle, state bounded by groups x grid); the finale probes east/
+    north neighbors per group on the sorted bounded set.  Output
+    (group, area, adj_pairs, perimeter, squareness), one float shape."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "cell": c}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["g", "cell"])
+
+    distinct = bucketed_groupby(parts, ["g", "cell"], fold,
+                                n_buckets=n_buckets).to_pandas()
+    ncols, nrows = _grid_dims(res)
+    gs, areas, adjs = [], [], []
+    for g, sub in sorted(distinct.groupby("g"), key=lambda kv: kv[0]):
+        cells_ = np.sort(sub["cell"].to_numpy().astype(np.int64))
+        nx = cells_ % ncols
+        ny = cells_ // ncols
+        adj = 0
+        for off, ok in ((1, nx < ncols - 1), (ncols, ny < nrows - 1)):
+            src = np.flatnonzero(ok)
+            found, _ = _probe(cells_, cells_[src] + off)
+            adj += int(found.sum())
+        gs.append(g)
+        areas.append(len(cells_))
+        adjs.append(adj)
+    perim = [4 * a - 2 * j for a, j in zip(areas, adjs)]
+    sq = [float(16 * a) / float(p * p) if p > 0 else None
+          for a, p in zip(areas, perim)]
+    return pa.table({
+        "g": pa.array(gs),
+        "area": pa.array(areas, pa.int64()),
+        "adj_pairs": pa.array(adjs, pa.int64()),
+        "perimeter": pa.array(perim, pa.int64()),
+        "squareness": pa.array(sq, pa.float64()),
+    })
+
+
 def semivariogram(ds, *, res: int, max_lag: int = 3,
                   cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
     """Empirical semivariogram over Chebyshev cell-ring lags 1..max_lag:
