@@ -147,3 +147,41 @@ def test_dissolve_stats_golden(ray_session):
     assert (int(out.loc["b", "area"]), int(out.loc["b", "adj_pairs"]),
             int(out.loc["b", "perimeter"])) == (2, 0, 8)
     assert out.loc["b", "squareness"] == 0.5
+
+
+def test_idw_fill_golden(ray_session):
+    """Single known cell: the disk around it fills with est == its
+    value; occupied cells are excluded; weights follow 2^20 // d2."""
+    from zen3geo_ray.stages.spatial_stats import idw_fill
+
+    # cell 9 = (1,1) on the 8x4 res-2 grid, count 5
+    t = pa.table({"cell": pa.array([9] * 5, pa.int64())})
+    import ray.data as rd
+
+    out = idw_fill(rd.from_arrow(t), res=RES, radius=1,
+                   n_buckets=2).to_pandas().set_index("cell")
+    # all 8 ring-1 neighbors in-grid, none occupied
+    assert sorted(out.index) == [0, 1, 2, 8, 10, 16, 17, 18]
+    w1, w2 = (1 << 20) // 1, (1 << 20) // 2
+    for cell in out.index:
+        dx, dy = abs(cell % 8 - 1), abs(cell // 8 - 1)
+        wq = w1 if dx + dy == 1 else w2
+        r = out.loc[cell]
+        assert (int(r.num), int(r.den)) == (5 * wq, wq)
+        assert r.est == 5.0
+
+
+def test_idw_fill_two_sources(ray_session):
+    """Midpoint between two unequal sources weights by 1/d^2."""
+    from zen3geo_ray.stages.spatial_stats import idw_fill
+
+    # (1,1)=cell 9 count 2 and (5,1)=cell 13 count 10; target (3,1)=11
+    t = pa.table({"cell": pa.array([9] * 2 + [13] * 10, pa.int64())})
+    import ray.data as rd
+
+    out = idw_fill(rd.from_arrow(t).repartition(2), res=RES, radius=2,
+                   n_buckets=2).to_pandas().set_index("cell")
+    w4 = (1 << 20) // 4  # both sources at d2 = 4
+    r = out.loc[11]
+    assert (int(r.num), int(r.den)) == (w4 * 2 + w4 * 10, 2 * w4)
+    assert r.est == 6.0

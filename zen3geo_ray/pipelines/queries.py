@@ -263,6 +263,47 @@ SELECT ar.g, ar.area, COALESCE(ad.adj, 0) AS adj_pairs,
 FROM ar LEFT JOIN ad ON ad.g = ar.g"""
 
 
+IDW_RADIUS, IDW_WSCALE = 2, 1 << 20
+
+
+def q_idw(sf_dir: str):
+    """IDW gap interpolation of empty cells from the occupancy
+    histogram (the gdal_grid analog): quantized-reciprocal integer
+    weights 2^20 // d^2 keep the accumulation exact int64, estimate is
+    one float division (stages/spatial_stats.py:idw_fill)."""
+    from ..stages.spatial_stats import idw_fill
+
+    return idw_fill(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                    radius=IDW_RADIUS, w_scale=IDW_WSCALE)
+
+
+def _sql_idw() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    k = IDW_RADIUS
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i - {k} AS dy,
+                CAST({IDW_WSCALE} // ((dxr.i - {k}) * (dxr.i - {k})
+                     + (dyr.i - {k}) * (dyr.i - {k})) AS BIGINT) AS wq
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({2 * k + 1})) AS i) dyr
+         WHERE NOT (dxr.i = {k} AND dyr.i = {k})),
+cand AS (SELECT a.cell + o.dy * {nc} + o.dx AS cell,
+                o.wq * a.x AS wx, o.wq AS wq
+         FROM counts a CROSS JOIN offs o
+         WHERE a.cell % {nc} + o.dx >= 0
+           AND a.cell % {nc} + o.dx <= {nc - 1}
+           AND a.cell // {nc} + o.dy >= 0
+           AND a.cell // {nc} + o.dy <= {nr - 1}),
+agg AS (SELECT cell, CAST(SUM(wx) AS BIGINT) AS num,
+               CAST(SUM(wq) AS BIGINT) AS den
+        FROM cand GROUP BY cell)
+SELECT a.cell, a.num, a.den,
+       CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS est
+FROM agg a LEFT JOIN counts c ON c.cell = a.cell
+WHERE c.cell IS NULL"""
+
+
 VGRAM_MAX_LAG = 3
 
 
@@ -8720,6 +8761,7 @@ def build_oracles() -> dict[str, str]:
         "gi_star": _sql_gi_star(),
         "variogram": _sql_variogram(),
         "dissolve": _sql_dissolve(),
+        "idw": _sql_idw(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
@@ -9616,6 +9658,7 @@ def build_queries() -> dict:
         "gi_star": q_gi_star,
         "variogram": q_variogram,
         "dissolve": q_dissolve,
+        "idw": q_idw,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,

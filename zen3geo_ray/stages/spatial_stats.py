@@ -228,6 +228,54 @@ def dissolve_stats(ds, *, res: int, group_col: str,
     })
 
 
+def idw_fill(ds, *, res: int, radius: int = 2,
+             cell_col: str = "cell", n_buckets: int = 8,
+             w_scale: int = 1 << 20) -> pa.Table:
+    """Inverse-distance-weighted interpolation of EMPTY cells from the
+    occupancy histogram — the gdal_grid / rio fill-nodata analog.
+
+    Weights are QUANTIZED-RECIPROCAL integers ``wq = w_scale // d2``
+    (d2 = dx^2 + dy^2 over the Chebyshev disk of ``radius``), so the
+    accumulation is exact int64 (num = SUM wq*x, den = SUM wq) and the
+    estimate is ONE float division — value-checked by the SQL oracle.
+    Only empty cells with at least one occupied neighbor in the disk
+    are emitted.  Like focal_stats, the scatter goes FROM each known
+    cell INTO its neighborhood (one pass per offset over the bounded
+    histogram; per-offset weight is a constant).
+
+    Output (cell, num, den, est), sorted by cell."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    acc_num: dict[int, int] = {}
+    acc_den: dict[int, int] = {}
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx == 0 and dy == 0:
+                continue
+            wq = w_scale // (dx * dx + dy * dy)
+            ok = ((nx + dx >= 0) & (nx + dx < ncols)
+                  & (ny + dy >= 0) & (ny + dy < nrows))
+            src = np.flatnonzero(ok)
+            tgt = cells_[src] + dy * ncols + dx
+            for t, v in zip(tgt.tolist(), x[src].tolist()):
+                acc_num[t] = acc_num.get(t, 0) + wq * int(v)
+                acc_den[t] = acc_den.get(t, 0) + wq
+    occupied = set(cells_.tolist())
+    out = sorted(t for t in acc_num if t not in occupied)
+    num = [acc_num[t] for t in out]
+    den = [acc_den[t] for t in out]
+    return pa.table({
+        "cell": pa.array(out, pa.int64()),
+        "num": pa.array(num, pa.int64()),
+        "den": pa.array(den, pa.int64()),
+        "est": pa.array([float(a) / float(b) for a, b in zip(num, den)],
+                        pa.float64()),
+    })
+
+
 def semivariogram(ds, *, res: int, max_lag: int = 3,
                   cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
     """Empirical semivariogram over Chebyshev cell-ring lags 1..max_lag:
