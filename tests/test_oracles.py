@@ -103,6 +103,20 @@ FAST = [
     "warp",
     "warp_bilinear",
     "curate2",
+    # round-4 closing session 4 (spatial stats / stats / graph)
+    "gram",
+    "moran",
+    "gi_star",
+    "variogram",
+    "dissolve",
+    "idw",
+    "hotspot_docs",
+    "anova",
+    "clustering",
+    "ripley",
+    "dispersion",
+    "proximity",
+    "colocation",
 ]
 
 

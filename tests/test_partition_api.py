@@ -337,3 +337,39 @@ def test_api_round4_fluent_ops(ray_session):
     lp = api.from_arrow(edges).label_propagation(rounds=1,
                                                  n_buckets=4).to_pandas()
     assert len(lp) == 3
+
+
+def test_api_spatial_stats_surface(ray_session):
+    """The new fluent spatial-stats/graph/stats methods are wired."""
+    cells = pa.table({"cell": pa.array([0, 1, 8, 9, 9, 3] * 5,
+                                       pa.int64()),
+                      "lang": pa.array(["en", "en", "de", "de", "de",
+                                        "fr"] * 5)})
+    p = api.from_arrow(cells)
+    m = p.morans_i(res=2, n_buckets=2).to_pandas()
+    assert {"n_cells", "w_pairs", "moran_i", "geary_c"} <= set(m.columns)
+    g = p.hotspots(res=2, n_buckets=2).to_pandas()
+    assert len(g) == 5 and "gi" in g.columns
+    v = p.semivariogram(res=2, max_lag=2, n_buckets=2).to_pandas()
+    assert list(v.h) == [1, 2]
+    d = p.dissolve(res=2, group_col="lang", n_buckets=2).to_pandas()
+    assert set(d.g) == {"en", "de", "fr"}
+    f = p.idw_fill(res=2, radius=1, n_buckets=2).to_pandas()
+    assert (f.den > 0).all()
+
+    edges = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                      "dst": pa.array([1, 2, 2], pa.int64())})
+    cc = api.from_arrow(edges).local_clustering(n_buckets=2).to_pandas()
+    assert (cc.tri == 1).all() and (cc.cc == 1.0).all()
+
+    grp = pa.table({"g": pa.array(["a"] * 5 + ["b"] * 5),
+                    "v": pa.array([1, 2, 3, 4, 5, 9, 8, 7, 6, 5],
+                                  pa.int64())})
+    a = api.from_arrow(grp).anova("g", "v").to_pandas()
+    assert int(a.k.iloc[0]) == 2 and a.f_stat.iloc[0] > 0
+
+    emb = pa.table({"embedding": pa.array(
+        [[0.5, 0.25], [0.125, 1.0]], pa.list_(pa.float32()))})
+    gm = api.from_arrow(emb).gram(dim=2, scale=1 << 8,
+                                  n_buckets=2).to_pandas()
+    assert len(gm) == 3

@@ -185,3 +185,86 @@ def test_idw_fill_two_sources(ray_session):
     r = out.loc[11]
     assert (int(r.num), int(r.den)) == (w4 * 2 + w4 * 10, 2 * w4)
     assert r.est == 6.0
+
+
+def test_ripley_k_brute(ray_session):
+    from zen3geo_ray.geom.cells import _grid_dims
+    from zen3geo_ray.stages.spatial_stats import ripley_k
+
+    rng = np.random.default_rng(19)
+    cells = rng.integers(0, 32, size=250)
+    out = ripley_k(_cells_ds(cells), res=RES, max_lag=2,
+                   n_buckets=2).to_pandas().set_index("h")
+    u, x = _brute(cells)
+    nc, nr = _grid_dims(RES)
+    n = int(x.sum())
+    for h in (1, 2):
+        pairs = int((x * (x - 1)).sum())
+        for i, a in enumerate(u.tolist()):
+            for j, b in enumerate(u.tolist()):
+                if i == j:
+                    continue
+                d = max(abs(a % nc - b % nc), abs(a // nc - b // nc))
+                if d <= h:
+                    pairs += int(x[i]) * int(x[j])
+        assert int(out.loc[h, "pairs"]) == pairs
+        assert out.loc[h, "k"] == float(32 * pairs) / float(n * n)
+
+
+def test_dispersion_index(ray_session):
+    from zen3geo_ray.stages.spatial_stats import dispersion_index
+
+    # uniform 1 per cell over the whole 8x4 grid -> variance 0
+    out = dispersion_index(_cells_ds(list(range(32))), res=RES,
+                           n_buckets=2).to_pandas().iloc[0]
+    assert (int(out.m_cells), int(out.n_points)) == (32, 32)
+    assert out.vmr == 0.0 and out.chi2 == 0.0
+
+    # everything in ONE cell -> maximal clustering: vmr = (M-n... )
+    out2 = dispersion_index(_cells_ds([5] * 64), res=RES,
+                            n_buckets=2).to_pandas().iloc[0]
+    n, m = 64, 32
+    q2 = n * n
+    want = m * (m * q2 - n * n) / (n * m * (m - 1))
+    assert out2.vmr == want and out2.chi2 == (m - 1) * want
+
+
+def test_proximity_golden(ray_session):
+    """Single occupied cell at (2,1): ring distance fills outward."""
+    from zen3geo_ray.stages.spatial_stats import proximity
+
+    t = pa.table({"cell": pa.array([10] * 3, pa.int64())})  # (2,1)
+    import ray.data as rd
+
+    out = proximity(rd.from_arrow(t), res=RES, max_dist=2,
+                    n_buckets=2).to_pandas().set_index("cell")
+    assert 10 not in out.index  # occupied cells never emitted
+    # ring 1 cells around (2,1)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1),
+                   (1, -1), (-1, 1)):
+        assert int(out.loc[10 + dy * 8 + dx, "dist"]) == 1
+    # a ring-2 example: (4,1) = 12
+    assert int(out.loc[12, "dist"]) == 2
+    # beyond max_dist: (5,1) = 13 absent
+    assert 13 not in out.index
+
+
+def test_colocation_golden(ray_session):
+    """Two adjacent 'a' cells, one 'b' neighbor; majority rule applies
+    within a cell (count desc, mark asc tie)."""
+    from zen3geo_ray.stages.spatial_stats import colocation_counts
+
+    rows = (
+        [(0, "a")] * 3 + [(0, "b")] * 1      # cell 0 majority a
+        + [(1, "a")] * 2 + [(1, "b")] * 2    # cell 1 tie -> a (asc)
+        + [(2, "b")] * 4                     # cell 2 majority b
+    )
+    t = pa.table({"cell": pa.array([c for c, _ in rows], pa.int64()),
+                  "lang": pa.array([m for _, m in rows])})
+    import ray.data as rd
+
+    out = colocation_counts(rd.from_arrow(t).repartition(3), res=RES,
+                            mark_col="lang", n_buckets=2).to_pandas()
+    got = {(r.ma, r.mb): int(r.n_pairs) for r in out.itertuples()}
+    # adjacencies: 0-1 (a,a), 1-2 (a,b)
+    assert got == {("a", "a"): 1, ("a", "b"): 1}

@@ -384,3 +384,35 @@ def test_geojsonseq_in_zip(tmp_path):
     with zipfile.ZipFile(zp, "w") as zf:
         zf.write(p, "l.geojsonl")
     assert read_vector(str(zp)).equals(read_vector(str(p)))
+
+
+def test_arrow_ipc_roundtrip_and_parity(tmp_path):
+    """Arrow IPC / Feather: write -> read_vector yields the identical
+    POLYGONS table (byte-identical WKB), column pruning works, and
+    .zip dispatch finds it."""
+    import zipfile
+
+    from pyarrow import feather
+
+    tbl = admin_grid(nx=4, ny=3)
+    for ext in ("arrow", "feather"):
+        p = tmp_path / f"g.{ext}"
+        feather.write_feather(tbl, str(p))
+        got = read_vector(str(p))
+        assert got.equals(tbl)
+        pruned = read_vector(str(p), columns=["poly_id", "geometry_wkb"])
+        assert pruned.column_names == ["poly_id", "geometry_wkb"]
+        assert pruned.column("geometry_wkb").equals(
+            tbl.column("geometry_wkb"))
+
+    # bbox filter applies after the parse like the other formats
+    minx = tbl.column("minx").to_numpy()
+    sub = read_vector(str(tmp_path / "g.arrow"),
+                      bbox=(float(minx.min()), -90.0,
+                            float(minx.min()) + 1e-9, 90.0))
+    assert 0 < sub.num_rows < tbl.num_rows
+
+    zp = tmp_path / "a.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(tmp_path / "g.arrow", "g.arrow")
+    assert read_vector(str(zp)).equals(tbl)

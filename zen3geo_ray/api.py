@@ -618,6 +618,57 @@ class Pipe:
         return Pipe(approx_distinct(self.ds, key_cols, value_col,
                                     **kwargs))
 
+    def morans_i(self, res: int, **kwargs) -> pa.Table:
+        """Global Moran's I + Geary's C over the cell column (terminal:
+        returns the one-row Arrow table)."""
+        from .stages.spatial_stats import morans_i
+
+        return morans_i(self.ds, res=res, **kwargs)
+
+    def hotspots(self, res: int, **kwargs) -> pa.Table:
+        """Per-cell Getis-Ord Gi* z-scores (terminal)."""
+        from .stages.spatial_stats import getis_ord_g
+
+        return getis_ord_g(self.ds, res=res, **kwargs)
+
+    def semivariogram(self, res: int, **kwargs) -> pa.Table:
+        """Empirical semivariogram over cell-ring lags (terminal)."""
+        from .stages.spatial_stats import semivariogram
+
+        return semivariogram(self.ds, res=res, **kwargs)
+
+    def dissolve(self, res: int, group_col: str, **kwargs) -> pa.Table:
+        """Per-group dissolved cell-region shape stats (terminal)."""
+        from .stages.spatial_stats import dissolve_stats
+
+        return dissolve_stats(self.ds, res=res, group_col=group_col,
+                              **kwargs)
+
+    def idw_fill(self, res: int, **kwargs) -> pa.Table:
+        """IDW interpolation of empty cells (terminal)."""
+        from .stages.spatial_stats import idw_fill
+
+        return idw_fill(self.ds, res=res, **kwargs)
+
+    def local_clustering(self, **kwargs) -> "Pipe":
+        """Per-node triangle counts + clustering coefficient over
+        (src, dst) edges."""
+        from .stages.graph import local_clustering
+
+        return Pipe(local_clustering(self.ds, **kwargs))
+
+    def anova(self, group_col: str, value_col: str) -> pa.Table:
+        """One-way ANOVA F across groups (terminal)."""
+        from .stages.zonal import oneway_anova
+
+        return oneway_anova(self.ds, group_col, value_col)
+
+    def gram(self, **kwargs) -> "Pipe":
+        """Exact integer Gram matrix of the embedding column."""
+        from .stages.cluster import gram_matrix
+
+        return Pipe(gram_matrix(self.ds, **kwargs))
+
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)
 

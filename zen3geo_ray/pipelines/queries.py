@@ -192,10 +192,15 @@ def q_gi_star(sf_dir: str):
     return getis_ord_g(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
 
 
-def _sql_gi_star() -> str:
+def _sql_gi_ctes(extra: str = "") -> str:
+    """Shared Gi* CTE chain (geo -> counts -> neighborhood sums ->
+    ``gsel`` per-cell z-scores); ``extra`` threads additional geo
+    columns (e.g. ", lang") for composed consumers."""
     nc, nr = cells._grid_dims(RES_ZONAL)
     return f"""
-{_sql_counts_cte()},
+{_sql_geo_cte(extra=extra)},
+counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x
+           FROM geo GROUP BY cell),
 sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
               CAST(SUM(x) AS HUGEINT) AS s,
               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
@@ -218,14 +223,21 @@ agg AS (SELECT cell, SUM(CAST(x AS HUGEINT)) AS nsum,
 g AS (SELECT c.cell, c.x,
              1 + COALESCE(a.ncnt, 0) AS wi,
              c.x + COALESCE(a.nsum, 0) AS li
-      FROM counts c LEFT JOIN agg a ON a.cell = c.cell)
-SELECT g.cell, g.x, CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
+      FROM counts c LEFT JOIN agg a ON a.cell = c.cell),
+gsel AS (SELECT g.cell, g.x,
+       CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
        CASE WHEN n > 1 AND n > wi AND n * q2 - s * s > 0 THEN
          CAST(n * li - s * wi AS DOUBLE)
          / sqrt(CAST((n * q2 - s * s) * (n * wi - wi * wi) AS DOUBLE)
                 / (CAST(n AS BIGINT) - 1.0))
        ELSE NULL END AS gi
-FROM g, sc"""
+FROM g, sc)"""
+
+
+def _sql_gi_star() -> str:
+    return f"""
+{_sql_gi_ctes()}
+SELECT cell, x, wi, li, gi FROM gsel"""
 
 
 def q_dissolve(sf_dir: str):
@@ -261,6 +273,205 @@ SELECT ar.g, ar.area, COALESCE(ad.adj, 0) AS adj_pairs,
                 * (4 * ar.area - 2 * COALESCE(ad.adj, 0)) AS DOUBLE)
        ELSE NULL END AS squareness
 FROM ar LEFT JOIN ad ON ad.g = ar.g"""
+
+
+RIPLEY_MAX_LAG = 3
+
+
+def q_ripley(sf_dir: str):
+    """Cell-binned Ripley's K (point-pattern clustering curve): ordered
+    point-pair counts within Chebyshev cell distance <= h as exact
+    integers, one float normalization M*pairs/n^2
+    (stages/spatial_stats.py:ripley_k)."""
+    from ..stages.spatial_stats import ripley_k
+
+    return ripley_k(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                    max_lag=RIPLEY_MAX_LAG)
+
+
+def _sql_ripley() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    k, m = RIPLEY_MAX_LAG, None
+    m = nc * nr
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i AS dy
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({k + 1})) AS i) dyr
+         WHERE GREATEST(abs(dxr.i - {k}), dyr.i) BETWEEN 1 AND {k}
+           AND (dyr.i > 0 OR dxr.i - {k} > 0)),
+pr AS (SELECT GREATEST(abs(o.dx), o.dy) AS h,
+              CAST(a.x AS HUGEINT) * b.x AS xx
+       FROM counts a
+       CROSS JOIN offs o
+       JOIN counts b ON b.cell = a.cell + o.dy * {nc} + o.dx
+       WHERE a.cell % {nc} + o.dx >= 0
+         AND a.cell % {nc} + o.dx <= {nc - 1}
+         AND a.cell // {nc} + o.dy <= {nr - 1}),
+ring AS (SELECT h, CAST(2 * SUM(xx) AS BIGINT) AS rp FROM pr GROUP BY h),
+win AS (SELECT CAST(SUM(CAST(x AS HUGEINT) * (x - 1)) AS BIGINT) AS w0,
+               CAST(SUM(x) AS BIGINT) AS n FROM counts)
+SELECT s.h,
+       CAST(w0 + SUM(COALESCE(r.rp, 0)) OVER (ORDER BY s.h)
+            AS BIGINT) AS pairs,
+       CASE WHEN n > 0 THEN
+         CAST({m} * (w0 + SUM(COALESCE(r.rp, 0)) OVER (ORDER BY s.h))
+              AS DOUBLE) / CAST(n * n AS DOUBLE)
+       ELSE NULL END AS k
+FROM (SELECT unnest(range(1, {k + 1})) AS h) s
+LEFT JOIN ring r ON r.h = s.h, win"""
+
+
+def q_dispersion(sf_dir: str):
+    """Quadrat-count index of dispersion (VMR) + the chi-square CSR
+    statistic over the FULL grid (empty cells are real zero quadrats)
+    — all-integer numerator/denominator, two shared float shapes
+    (stages/spatial_stats.py:dispersion_index)."""
+    from ..stages.spatial_stats import dispersion_index
+
+    return dispersion_index(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_dispersion() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    m = nc * nr
+    return f"""
+{_sql_counts_cte()},
+agg AS (SELECT CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2,
+               CAST(SUM(x) AS HUGEINT) AS n FROM counts)
+SELECT CAST({m} AS BIGINT) AS m_cells, CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n > 0 THEN
+         CAST({m} * ({m} * q2 - n * n) AS DOUBLE)
+         / CAST(n * {m} * ({m} - 1) AS DOUBLE)
+       ELSE NULL END AS vmr,
+       CASE WHEN n > 0 THEN
+         CAST(({m} - 1) * ({m} * ({m} * q2 - n * n)) AS DOUBLE)
+         / CAST(n * {m} * ({m} - 1) AS DOUBLE)
+       ELSE NULL END AS chi2
+FROM agg"""
+
+
+PROX_MAX_DIST = 3
+
+
+def q_proximity(sf_dir: str):
+    """Distance transform of the occupancy mask (gdal_proximity
+    analog): Chebyshev ring distance to the nearest occupied cell for
+    empty cells within 3 rings, pure integers
+    (stages/spatial_stats.py:proximity)."""
+    from ..stages.spatial_stats import proximity
+
+    return proximity(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                     max_dist=PROX_MAX_DIST)
+
+
+def _sql_proximity() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    k = PROX_MAX_DIST
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i - {k} AS dy,
+                GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k})) AS h
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({2 * k + 1})) AS i) dyr
+         WHERE GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k}))
+               BETWEEN 1 AND {k}),
+cand AS (SELECT a.cell + o.dy * {nc} + o.dx AS cell, o.h
+         FROM counts a CROSS JOIN offs o
+         WHERE a.cell % {nc} + o.dx >= 0
+           AND a.cell % {nc} + o.dx <= {nc - 1}
+           AND a.cell // {nc} + o.dy >= 0
+           AND a.cell // {nc} + o.dy <= {nr - 1})
+SELECT cand.cell, CAST(MIN(cand.h) AS BIGINT) AS dist
+FROM cand LEFT JOIN counts c ON c.cell = cand.cell
+WHERE c.cell IS NULL
+GROUP BY cand.cell"""
+
+
+def q_colocation(sf_dir: str):
+    """Join-count statistics (categorical Moran analog): per-cell
+    majority language (count desc, lang asc ties), rook-adjacent cell
+    pairs counted per unordered mark pair — BB/BW joins off the
+    diagonal, all integers
+    (stages/spatial_stats.py:colocation_counts)."""
+    from ..stages.spatial_stats import colocation_counts
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+    return colocation_counts(pts, res=RES_ZONAL, mark_col="lang")
+
+
+def _sql_colocation() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_geo_cte(extra=", lang")},
+cm AS (SELECT cell, lang AS m, CAST(COUNT(*) AS BIGINT) AS n
+       FROM geo GROUP BY cell, lang),
+top AS (SELECT cell, m FROM (
+          SELECT cell, m,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY n DESC, m ASC) AS rn
+          FROM cm) WHERE rn = 1),
+adj AS (
+  SELECT a.m AS x, b.m AS y FROM top a
+    JOIN top b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.m, b.m FROM top a
+    JOIN top b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1})
+SELECT LEAST(x, y) AS ma, GREATEST(x, y) AS mb,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM adj GROUP BY 1, 2"""
+
+
+GI_HOT = 1.645  # one-sided 95% z threshold
+
+
+def q_hotspot_docs(sf_dir: str):
+    """Composed geo-curation: per-language doc counts restricted to
+    STATISTICALLY HOT cells (Gi* > 1.645) — the 'sample from activity
+    hotspots' shape.  Gi* floats are bit-exact (the gi_star oracle),
+    so the threshold comparison is deterministic; the hot-cell set is
+    grid-bounded and broadcast into one filtering map over the
+    geocoded stream, then a bucketed per-lang count."""
+    import ray
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.spatial_stats import getis_ord_g
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+    g = getis_ord_g(pts, res=RES_ZONAL)
+    gi = g.column("gi").to_numpy(zero_copy_only=False)
+    hot = np.sort(g.column("cell").to_numpy(zero_copy_only=False)
+                  [~np.isnan(gi) & (gi > GI_HOT)]).astype(np.int64)
+    ref = ray.put(hot) if ray.is_initialized() else hot
+
+    def keep_hot(b: pa.Table, _ref=ref) -> pa.Table:
+        hs = ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
+        c = b.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hs, c)
+        pos = np.minimum(pos, max(len(hs) - 1, 0))
+        m = (hs[pos] == c) if len(hs) else np.zeros(len(c), bool)
+        u, cnt = np.unique(
+            np.asarray(b.column("lang").to_pylist())[m], return_counts=True)
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = pts.map_batches(keep_hot, batch_format="pyarrow")
+
+    def fold(f):
+        return f.groupby("lang", as_index=False)["n"].sum()
+
+    return bucketed_groupby(parts, ["lang"], fold, n_buckets=4)
+
+
+def _sql_hotspot_docs() -> str:
+    return f"""
+{_sql_gi_ctes(extra=", lang")}
+SELECT geo.lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM geo JOIN gsel ON gsel.cell = geo.cell
+WHERE gsel.gi IS NOT NULL AND gsel.gi > {GI_HOT}
+GROUP BY geo.lang"""
 
 
 IDW_RADIUS, IDW_WSCALE = 2, 1 << 20
@@ -8762,6 +8973,11 @@ def build_oracles() -> dict[str, str]:
         "variogram": _sql_variogram(),
         "dissolve": _sql_dissolve(),
         "idw": _sql_idw(),
+        "hotspot_docs": _sql_hotspot_docs(),
+        "ripley": _sql_ripley(),
+        "dispersion": _sql_dispersion(),
+        "proximity": _sql_proximity(),
+        "colocation": _sql_colocation(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
         "wmedian": _sql_wmedian(),
@@ -9659,6 +9875,11 @@ def build_queries() -> dict:
         "variogram": q_variogram,
         "dissolve": q_dissolve,
         "idw": q_idw,
+        "hotspot_docs": q_hotspot_docs,
+        "ripley": q_ripley,
+        "dispersion": q_dispersion,
+        "proximity": q_proximity,
+        "colocation": q_colocation,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,
         "wmedian": q_wmedian,

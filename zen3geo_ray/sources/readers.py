@@ -44,7 +44,8 @@ def read_vector(path: str, columns: list[str] | None = None,
     ``layer=`` selects among feature tables), ESRI Shapefile
     (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) and CSV with a
     WKT geometry column (``.csv``, sources/wktcsv.py — the GDAL CSV
-    driver interchange) — all yielding the identical fixed POLYGONS
+    driver interchange) and Arrow IPC / Feather (``.arrow`` /
+    ``.feather`` / ``.ipc``) — all yielding the identical fixed POLYGONS
     schema so downstream joins are format-agnostic (the reference's
     pyogrio multi-format surface).
 
@@ -75,7 +76,7 @@ def read_vector(path: str, columns: list[str] | None = None,
                 target = None
                 for ext in (".shp", ".gpkg", ".fgb", ".geojson",
                             ".geojsonl", ".geojsons", ".ndjson", ".json",
-                            ".parquet", ".csv"):
+                            ".parquet", ".csv", ".arrow", ".feather"):
                     target = next(
                         (n for n in names if n.endswith(ext)), None)
                     if target:
@@ -107,6 +108,14 @@ def read_vector(path: str, columns: list[str] | None = None,
         from .wktcsv import read_wkt_csv
 
         t = read_wkt_csv(path)
+    elif path.endswith((".arrow", ".feather", ".ipc")):
+        # Arrow IPC / Feather v1+v2 (pyarrow.feather reads both) — the
+        # zero-copy interchange sibling of parquet; same POLYGONS
+        # schema expectation as every other vector path.
+        from pyarrow import feather
+
+        t = feather.read_table(path, columns=columns)
+        columns = None  # already pruned at the read
     elif path.endswith(".fgb"):
         from .flatgeobuf import read_flatgeobuf
 

@@ -276,6 +276,162 @@ def idw_fill(ds, *, res: int, radius: int = 2,
     })
 
 
+def ripley_k(ds, *, res: int, max_lag: int = 3,
+             cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
+    """Cell-binned Ripley's K point-pattern statistic: for each lag h,
+    the number of ORDERED point pairs at Chebyshev cell distance
+    <= h (within-cell pairs = x*(x-1) count as distance 0), normalized
+    by intensity: K(h) = M * pairs(h) / (n*n) with M the full grid
+    size.  pairs(h) is a pure integer (the variogram pair machinery);
+    K is one shared float shape — clustered patterns rise above the
+    CSR expectation (2h+1)^2.  Output (h, pairs, k)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    m = ncols * nrows
+    n = _isum(x)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    within = int(sum(int(v) * (int(v) - 1) for v in x.tolist()))
+    hs, pair_counts, ks = [], [], []
+    cum = within
+    for h in range(1, max_lag + 1):
+        ring = 0
+        for dy in range(0, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                if dy == 0 and dx <= 0:
+                    continue
+                ok = (nx + dx >= 0) & (nx + dx < ncols) & (ny + dy < nrows)
+                src = np.flatnonzero(ok)
+                found, pos = _probe(cells_, cells_[src] + dy * ncols + dx)
+                ring += 2 * int(sum(
+                    int(a) * int(b) for a, b in
+                    zip(x[src[found]].tolist(), x[pos[found]].tolist())))
+        cum += ring
+        hs.append(h)
+        pair_counts.append(cum)
+        ks.append(float(m * cum) / float(n * n) if n else None)
+    return pa.table({
+        "h": pa.array(hs, pa.int64()),
+        "pairs": pa.array(pair_counts, pa.int64()),
+        "k": pa.array(ks, pa.float64()),
+    })
+
+
+def dispersion_index(ds, *, res: int, cell_col: str = "cell",
+                     n_buckets: int = 8) -> pa.Table:
+    """Quadrat-count index of dispersion (variance-mean ratio) over
+    the FULL grid (empty cells are real zero quadrats):
+
+        VMR  = s^2 / mean = M*(M*Q2 - n^2) / (n*M*(M-1))
+        chi2 = (M-1) * VMR   (the CSR test statistic, df = M-1)
+
+    all-integer numerator/denominator, two shared float shapes; VMR
+    > 1 = clustered, < 1 = dispersed.  Output one row
+    (m_cells, n_points, vmr, chi2)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    m = ncols * nrows
+    n = _isum(x)
+    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    num = m * (m * q2 - n * n)
+    den = n * m * (m - 1)
+    vmr = float(num) / float(den) if den else None
+    chi2 = float((m - 1) * num) / float(den) if den else None
+    return pa.table({
+        "m_cells": pa.array([m], pa.int64()),
+        "n_points": pa.array([n], pa.int64()),
+        "vmr": pa.array([vmr], pa.float64()),
+        "chi2": pa.array([chi2], pa.float64()),
+    })
+
+
+def proximity(ds, *, res: int, max_dist: int = 3,
+              cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
+    """Distance transform of the occupancy mask — the gdal_proximity
+    analog: for every EMPTY cell within ``max_dist`` Chebyshev rings
+    of an occupied cell, the ring distance to the NEAREST occupied
+    cell.  Pure integers (scatter from each occupied cell outward,
+    first ring wins).  Output (cell, dist), sorted by cell; cells
+    farther than max_dist are not emitted (the gdal maxdist
+    contract)."""
+    cells_, _x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    dist: dict[int, int] = {}
+    for h in range(1, max_dist + 1):
+        for dy in range(-h, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                ok = ((nx + dx >= 0) & (nx + dx < ncols)
+                      & (ny + dy >= 0) & (ny + dy < nrows))
+                for t in (cells_[np.flatnonzero(ok)]
+                          + dy * ncols + dx).tolist():
+                    dist.setdefault(t, h)
+    occupied = set(cells_.tolist())
+    out = sorted(t for t in dist if t not in occupied)
+    return pa.table({
+        "cell": pa.array(out, pa.int64()),
+        "dist": pa.array([dist[t] for t in out], pa.int64()),
+    })
+
+
+def colocation_counts(ds, *, res: int, mark_col: str,
+                      cell_col: str = "cell",
+                      n_buckets: int = 8) -> pa.Table:
+    """Join-count statistics (the categorical Moran analog): label
+    each occupied cell with its MAJORITY mark (count desc, mark asc on
+    ties — the deterministic mode rule), then count rook-adjacent cell
+    pairs per unordered mark pair.  BB/BW join counts read off the
+    diagonal/off-diagonal.  All integers.  Output (ma, mb, n_pairs)
+    with ma <= mb, sorted."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(mark_col).to_pylist()
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (pd.DataFrame({"cell": c, "m": g})
+              .groupby(["cell", "m"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["cell", "m"], as_index=False)["n"].sum()
+
+    cm = bucketed_groupby(parts, ["cell", "m"], fold,
+                          n_buckets=n_buckets).to_pandas()
+    cm = cm.sort_values(["cell", "n", "m"],
+                        ascending=[True, False, True], kind="mergesort")
+    top = cm.drop_duplicates("cell", keep="first")
+    cells_ = top["cell"].to_numpy().astype(np.int64)
+    order = np.argsort(cells_, kind="mergesort")
+    cells_ = cells_[order]
+    marks = np.asarray(top["m"].tolist(), dtype=object)[order]
+
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    pair_counts: dict[tuple, int] = {}
+    for off, ok in ((1, nx < ncols - 1), (ncols, ny < nrows - 1)):
+        src = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[src] + off)
+        for a, b in zip(marks[src[found]].tolist(),
+                        marks[pos[found]].tolist()):
+            key = (a, b) if a <= b else (b, a)
+            pair_counts[key] = pair_counts.get(key, 0) + 1
+    keys = sorted(pair_counts)
+    return pa.table({
+        "ma": pa.array([k[0] for k in keys]),
+        "mb": pa.array([k[1] for k in keys]),
+        "n_pairs": pa.array([pair_counts[k] for k in keys], pa.int64()),
+    })
+
+
 def semivariogram(ds, *, res: int, max_lag: int = 3,
                   cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
     """Empirical semivariogram over Chebyshev cell-ring lags 1..max_lag:
