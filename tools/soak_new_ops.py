@@ -243,12 +243,61 @@ def soak_sim_join(n_docs: int = 1_000_000, doc_len: int = 40,
 
 
 
+def soak_spatial_stats(n_pts: int = 20_000_000, res: int = 10):
+    """20M points -> res-10 grid (2048x1024 = 2M cells): the histogram
+    reduce is the distributed cost, the exact-int finales run over the
+    bounded grid.  Times morans_i (+geary), gi_star and ripley on the
+    SAME input."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.spatial_stats import (
+        getis_ord_g,
+        morans_i,
+        ripley_k,
+    )
+
+    ncells = (2 << res) * (1 << res)
+
+    def pts(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h = splitmix64(i.astype(np.uint64) + np.uint64(31))
+        # clustered: half the mass in 1% of cells
+        hot = (h % np.uint64(100)) < np.uint64(50)
+        cell = np.where(
+            hot,
+            (h >> np.uint64(8)) % np.uint64(ncells // 100),
+            (h >> np.uint64(8)) % np.uint64(ncells),
+        ).astype(np.int64)
+        return pa.table({"cell": pa.array(cell)})
+
+    ds = rd.range(n_pts, override_num_blocks=64).map_batches(
+        pts, batch_format="pyarrow")
+    out = {"soak": "spatial_stats", "n_pts": n_pts, "res": res}
+    t0 = time.perf_counter()
+    m = morans_i(ds, res=res, n_buckets=32).to_pandas()
+    out["moran_sec"] = round(time.perf_counter() - t0, 2)
+    out["moran_i"] = round(float(m.moran_i.iloc[0]), 6)
+    out["n_cells"] = int(m.n_cells.iloc[0])
+    t0 = time.perf_counter()
+    g = getis_ord_g(ds, res=res, n_buckets=32)
+    out["gi_sec"] = round(time.perf_counter() - t0, 2)
+    out["gi_rows"] = g.num_rows
+    t0 = time.perf_counter()
+    ripley_k(ds, res=res, max_lag=2, n_buckets=32)
+    out["ripley_sec"] = round(time.perf_counter() - t0, 2)
+    out["pts_per_sec"] = round(
+        3 * n_pts / (out["moran_sec"] + out["gi_sec"]
+                     + out["ripley_sec"]))
+    return out
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     _init()
     fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal,
            "hull": soak_hull, "sssp": soak_pinned_sssp,
-           "sim": soak_sim_join}
+           "sim": soak_sim_join, "spatial": soak_spatial_stats}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)

@@ -84,8 +84,37 @@ def _probe(cells_sorted: np.ndarray, targets: np.ndarray):
 
 
 def _isum(a: np.ndarray) -> int:
-    """Exact Python-int sum of an int64 array (finale discipline)."""
-    return int(sum(int(v) for v in a.tolist())) if len(a) else 0
+    """Exact sum of an int64 array: vectorized when provably safe
+    (|max| * len < 2^62), exact-Python-int fallback otherwise."""
+    if not len(a):
+        return 0
+    if int(np.abs(a).max()) * len(a) < (1 << 62):
+        return int(a.sum())
+    return int(sum(int(v) for v in a.tolist()))
+
+
+def _exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact SUM(a*b) over int64 arrays — int64 np.dot when the worst
+    case provably fits, exact-Python-int fallback otherwise."""
+    if not len(a):
+        return 0
+    bound = (int(np.abs(a).max()) * int(np.abs(b).max()) + 1) * len(a)
+    if bound < (1 << 62):
+        return int(np.dot(a, b))
+    return int(sum(int(x) * int(y)
+                   for x, y in zip(a.tolist(), b.tolist())))
+
+
+def _exact_sq_diff(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact SUM((a-b)^2) with the same guard discipline."""
+    if not len(a):
+        return 0
+    span = int(np.abs(a).max()) + int(np.abs(b).max())
+    if (span * span + 1) * len(a) < (1 << 62):
+        d = a - b
+        return int(np.dot(d, d))
+    return int(sum((int(x) - int(y)) ** 2
+                   for x, y in zip(a.tolist(), b.tolist())))
 
 
 def _rook_pairs(cells_: np.ndarray, x: np.ndarray, res: int):
@@ -101,11 +130,9 @@ def _rook_pairs(cells_: np.ndarray, x: np.ndarray, res: int):
         xi = x[src[found]]
         xj = x[pos[found]]
         wd += int(found.sum())
-        p1 += int(sum(int(a) * int(b)
-                      for a, b in zip(xi.tolist(), xj.tolist())))
+        p1 += _exact_dot(xi, xj)
         p2 += _isum(xi) + _isum(xj)
-        d += int(sum((int(a) - int(b)) ** 2
-                     for a, b in zip(xi.tolist(), xj.tolist())))
+        d += _exact_sq_diff(xi, xj)
     return wd, p1, p2, d
 
 
@@ -117,7 +144,7 @@ def morans_i(ds, *, res: int, cell_col: str = "cell",
     cells_, x = _histogram(ds, cell_col, n_buckets)
     n = int(len(cells_))
     s = _isum(x)
-    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    q2 = _exact_dot(x, x)
     wd, p1, p2, d = _rook_pairs(cells_, x, res)
 
     # num = SUM_{ordered pairs} z'_i z'_j with z' = n*x - S; expanding the
@@ -144,7 +171,7 @@ def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
     cells_, x = _histogram(ds, cell_col, n_buckets)
     n = int(len(cells_))
     s = _isum(x)
-    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    q2 = _exact_dot(x, x)
     ncols, nrows = _grid_dims(res)
     nx = cells_ % ncols
     ny = cells_ // ncols
@@ -292,7 +319,7 @@ def ripley_k(ds, *, res: int, max_lag: int = 3,
     nx = cells_ % ncols
     ny = cells_ // ncols
 
-    within = int(sum(int(v) * (int(v) - 1) for v in x.tolist()))
+    within = _exact_dot(x, x) - _isum(x)
     hs, pair_counts, ks = [], [], []
     cum = within
     for h in range(1, max_lag + 1):
@@ -306,9 +333,8 @@ def ripley_k(ds, *, res: int, max_lag: int = 3,
                 ok = (nx + dx >= 0) & (nx + dx < ncols) & (ny + dy < nrows)
                 src = np.flatnonzero(ok)
                 found, pos = _probe(cells_, cells_[src] + dy * ncols + dx)
-                ring += 2 * int(sum(
-                    int(a) * int(b) for a, b in
-                    zip(x[src[found]].tolist(), x[pos[found]].tolist())))
+                ring += 2 * _exact_dot(x[src[found]],
+                                       x[pos[found]])
         cum += ring
         hs.append(h)
         pair_counts.append(cum)
@@ -335,7 +361,7 @@ def dispersion_index(ds, *, res: int, cell_col: str = "cell",
     ncols, nrows = _grid_dims(res)
     m = ncols * nrows
     n = _isum(x)
-    q2 = int(sum(int(v) * int(v) for v in x.tolist()))
+    q2 = _exact_dot(x, x)
     num = m * (m * q2 - n * n)
     den = n * m * (m - 1)
     vmr = float(num) / float(den) if den else None
@@ -454,10 +480,8 @@ def semivariogram(ds, *, res: int, max_lag: int = 3,
                 ok = (nx + dx >= 0) & (nx + dx < ncols) & (ny + dy < nrows)
                 src = np.flatnonzero(ok)
                 found, pos = _probe(cells_, cells_[src] + dy * ncols + dx)
-                xi, xj = x[src[found]], x[pos[found]]
                 n_h += int(found.sum())
-                ssd += int(sum((int(a) - int(b)) ** 2
-                               for a, b in zip(xi.tolist(), xj.tolist())))
+                ssd += _exact_sq_diff(x[src[found]], x[pos[found]])
         hs.append(h)
         ns.append(n_h)
         ssds.append(ssd)
