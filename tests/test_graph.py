@@ -1470,3 +1470,59 @@ def test_local_clustering_k4(ray_session):
     assert len(out) == 4
     assert (out.deg == 3).all() and (out.tri == 3).all()
     assert (out.cc == 1.0).all()
+
+
+def test_rich_club_golden(ray_session):
+    """K4 plus a pendant: deg(K4 nodes)=3 (one has 4), pendant=1."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import rich_club
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs.append((0, 9))  # pendant on node 0 -> deg(0)=4
+    t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                  "dst": pa.array([b for _, b in pairs], pa.int64())})
+    out = rich_club(rd.from_arrow(t).repartition(2), ks=[1, 2, 3],
+                    n_buckets=2).to_pandas().set_index("k")
+    # k=1: all K4 nodes (deg>=3) qualify, pendant (deg 1) doesn't
+    assert (int(out.loc[1, "n_k"]), int(out.loc[1, "e_k"])) == (4, 6)
+    assert out.loc[1, "phi"] == 1.0
+    # k=2: same four nodes
+    assert (int(out.loc[2, "n_k"]), int(out.loc[2, "e_k"])) == (4, 6)
+    # k=3: only node 0 (deg 4); no edges among a single node
+    assert (int(out.loc[3, "n_k"]), int(out.loc[3, "e_k"])) == (1, 0)
+    assert np.isnan(out.loc[3, "phi"])
+
+
+def test_powerlaw_alpha_reference(ray_session):
+    """alpha matches the straight quantized-ln formula."""
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import powerlaw_alpha
+
+    rng = np.random.default_rng(13)
+    # a hub-and-spoke mix: node 0 connects to 1..20, plus random pairs
+    pairs = {(0, i) for i in range(1, 21)}
+    while len(pairs) < 50:
+        a, b = rng.integers(1, 30, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    t = pa.table({"src": pa.array([a for a, _ in sorted(pairs)],
+                                  pa.int64()),
+                  "dst": pa.array([b for _, b in sorted(pairs)],
+                                  pa.int64())})
+    out = powerlaw_alpha(rd.from_arrow(t).repartition(3), dmin=2,
+                         n_buckets=2).to_pandas().iloc[0]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ds_ = [d for d in deg.values() if d >= 2]
+    sc = float(1 << 16)
+    lqmin = math.floor(math.log(2.0) * sc)
+    denom = sum(math.floor(math.log(float(d)) * sc) - lqmin
+                for d in ds_)
+    assert (int(out["m"]), int(out["denom"])) == (len(ds_), denom)
+    assert out["alpha"] == 1.0 + (float(len(ds_)) * sc) / float(denom)

@@ -117,6 +117,8 @@ FAST = [
     "dispersion",
     "proximity",
     "colocation",
+    "richclub",
+    "plaw",
 ]
 
 

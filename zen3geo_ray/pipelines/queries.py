@@ -8192,6 +8192,105 @@ SELECT d.node, d.d AS deg, COALESCE(tri.t, 0) AS tri,
 FROM deg d LEFT JOIN tri ON tri.node = d.node"""
 
 
+RICH_KS = (2, 4, 8, 16)
+PLAW_DMIN, PLAW_LNSCALE = 2, 1 << 16
+
+
+def _copurchase_edges(sf_dir: str):
+    """Shared qty >= 40 co-purchase (src, dst) edge stream (the
+    q_triangles graph)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(TRI_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    return bucketed_groupby(lines, ["l_orderkey"], pair_expand,
+                            n_buckets=16)
+
+
+def _sql_copurchase_deg() -> str:
+    return f"""lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY 1)"""
+
+
+def q_richclub(sf_dir: str):
+    """Rich-club coefficient phi(k) of the co-purchase graph: density
+    of the deg>k induced subgraph at k in {2,4,8,16} — node-bounded
+    degree table broadcast, one counting map over the distinct edge
+    stream, integers end to end (stages/graph.py:rich_club)."""
+    from ..stages.graph import rich_club
+
+    return rich_club(_copurchase_edges(sf_dir), ks=list(RICH_KS))
+
+
+def _sql_richclub() -> str:
+    ks = ", ".join(str(k) for k in RICH_KS)
+    return f"""WITH
+{_sql_copurchase_deg()},
+ks AS (SELECT unnest([{ks}]) AS k),
+f AS (SELECT ks.k,
+        CAST((SELECT COUNT(*) FROM deg WHERE d > ks.k) AS BIGINT) AS n_k,
+        CAST((SELECT COUNT(*) FROM pairs p
+              JOIN deg a ON a.node = p.u JOIN deg b ON b.node = p.v
+              WHERE LEAST(a.d, b.d) > ks.k) AS BIGINT) AS e_k
+      FROM ks)
+SELECT CAST(k AS BIGINT) AS k, n_k, e_k,
+       CASE WHEN n_k >= 2 THEN
+         CAST(2 * e_k AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE)
+       ELSE NULL END AS phi
+FROM f"""
+
+
+def q_plaw(sf_dir: str):
+    """Quantized-ln MLE power-law exponent of the co-purchase degree
+    distribution (deterministic CSN variant): integer per-degree terms
+    floor(ln(d)*2^16), one float finale — math.log == DuckDB ln on
+    this glibc (stages/graph.py:powerlaw_alpha)."""
+    from ..stages.graph import powerlaw_alpha
+
+    return powerlaw_alpha(_copurchase_edges(sf_dir), dmin=PLAW_DMIN,
+                          ln_scale=PLAW_LNSCALE)
+
+
+def _sql_plaw() -> str:
+    import math
+
+    lqmin = math.floor(math.log(float(PLAW_DMIN)) * float(PLAW_LNSCALE))
+    return f"""WITH
+{_sql_copurchase_deg()},
+q AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(FLOOR(ln(CAST(d AS DOUBLE))
+                                 * {PLAW_LNSCALE}.0) AS BIGINT)
+                      - {lqmin}) AS BIGINT) AS denom
+      FROM deg WHERE d >= {PLAW_DMIN})
+SELECT CAST({PLAW_DMIN} AS BIGINT) AS dmin, m, denom,
+       CASE WHEN denom > 0 THEN
+         1.0 + (CAST(m AS DOUBLE) * {PLAW_LNSCALE}.0)
+               / CAST(denom AS DOUBLE)
+       ELSE NULL END AS alpha
+FROM q"""
+
+
 CN_MAX_DEG = 16
 CN_MIN_COMMON = 2
 
@@ -9779,6 +9878,8 @@ GROUP BY event_type, u - o.off
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "clustering": _sql_clustering(),
+        "richclub": _sql_richclub(),
+        "plaw": _sql_plaw(),
         "source_hhi": _SQL_SOURCE_HHI,
         "dbscan": _sql_dbscan(),
         "kcore": _sql_kcore(),
@@ -10056,6 +10157,8 @@ def build_queries() -> dict:
         "components": q_components,
         "triangles": q_triangles,
         "clustering": q_clustering,
+        "richclub": q_richclub,
+        "plaw": q_plaw,
         "source_hhi": q_source_hhi,
         "dbscan": q_dbscan,
         "kcore": q_kcore,

@@ -865,6 +865,127 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def _undirected_deg(edges, *, src: str, dst: str, n_buckets: int):
+    """(distinct undirected pairs Dataset, degree Dataset (node, _c))
+    — the shared front of rich_club / powerlaw_alpha."""
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+    pairs = distinct_tuples(
+        edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False),
+        ])
+        un, c = np.unique(x, return_counts=True)
+        return pa.table({NODE: pa.array(un),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    deg = bucketed_groupby(
+        pairs.map_batches(deg_partial, batch_format="pyarrow"),
+        [NODE],
+        lambda g: g.groupby(NODE, sort=False, as_index=False)["_c"].sum(),
+        n_buckets=n_buckets)
+    return pairs, deg
+
+
+def rich_club(edges, *, ks: list[int], src: str = "src",
+              dst: str = "dst", n_buckets: int = 16) -> pa.Table:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)): the
+    density of the subgraph induced by nodes with degree > k, for each
+    threshold in ``ks`` (Colizza et al. 2006).  Degree table is
+    node-bounded -> broadcast (sorted arrays via ray.put); one counting
+    map over the distinct edge stream accumulates E_k partials per
+    block, integers end to end; phi is one shared float division.
+    Output (k, n_k, e_k, phi)."""
+    import ray
+
+    pairs, deg = _undirected_deg(edges, src=src, dst=dst,
+                                 n_buckets=n_buckets)
+    ddf = deg.to_pandas()
+    nodes_ = ddf[NODE].to_numpy().astype(np.int64)
+    order = np.argsort(nodes_, kind="mergesort")
+    nodes_, degs_ = nodes_[order], \
+        ddf["_c"].to_numpy().astype(np.int64)[order]
+    ks_arr = np.asarray(sorted(ks), dtype=np.int64)
+    n_k = [int((degs_ > k).sum()) for k in ks_arr.tolist()]
+    ref = ray.put((nodes_, degs_)) if ray.is_initialized() \
+        else (nodes_, degs_)
+
+    def count_ek(b: pa.Table, _ref=ref) -> pa.Table:
+        ns, dv = _get_blob(_ref)
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = dv[np.searchsorted(ns, u)]
+        dw = dv[np.searchsorted(ns, v)]
+        both_min = np.minimum(du, dw)
+        ek = [int((both_min > k).sum()) for k in ks_arr.tolist()]
+        return pa.table({"k": pa.array(ks_arr),
+                         "e": pa.array(np.asarray(ek, dtype=np.int64))})
+
+    parts = pairs.map_batches(count_ek, batch_format="pyarrow") \
+        .to_pandas()
+    e_k = parts.groupby("k")["e"].sum()
+    rows_k, rows_n, rows_e, rows_phi = [], [], [], []
+    for k, nk in zip(ks_arr.tolist(), n_k):
+        ek = int(e_k.get(k, 0))
+        rows_k.append(k)
+        rows_n.append(nk)
+        rows_e.append(ek)
+        rows_phi.append(float(2 * ek) / float(nk * (nk - 1))
+                        if nk >= 2 else None)
+    return pa.table({
+        "k": pa.array(rows_k, pa.int64()),
+        "n_k": pa.array(rows_n, pa.int64()),
+        "e_k": pa.array(rows_e, pa.int64()),
+        "phi": pa.array(rows_phi, pa.float64()),
+    })
+
+
+def powerlaw_alpha(edges, *, dmin: int = 2, src: str = "src",
+                   dst: str = "dst", n_buckets: int = 16,
+                   ln_scale: int = 1 << 16) -> pa.Table:
+    """Quantized-ln MLE power-law exponent of the degree distribution
+    (Clauset-Shalizi-Newman continuous approximation, deterministic
+    variant): over nodes with deg >= dmin,
+
+        denom = SUM floor(ln(d)*2^16) - m*floor(ln(dmin)*2^16)  (int)
+        alpha = 1.0 + m*2^16 / denom                    (one division)
+
+    math.log == DuckDB ln bit-for-bit on this glibc (the approx_users
+    precedent), so the per-degree quantized terms are identical
+    integers on both sides.  Output one row (dmin, m, denom, alpha)."""
+    import math
+
+    _pairs, deg = _undirected_deg(edges, src=src, dst=dst,
+                                  n_buckets=n_buckets)
+    ddf = deg.to_pandas()
+    degs_ = ddf["_c"].to_numpy().astype(np.int64)
+    u, c = np.unique(degs_[degs_ >= dmin], return_counts=True)
+    m = int(c.sum())
+    lqmin = math.floor(math.log(float(dmin)) * float(ln_scale))
+    denom = int(sum(
+        int(cnt) * (math.floor(math.log(float(d)) * float(ln_scale))
+                    - lqmin)
+        for d, cnt in zip(u.tolist(), c.tolist())))
+    alpha = (1.0 + (float(m) * float(ln_scale)) / float(denom)) \
+        if denom > 0 else None
+    return pa.table({
+        "dmin": pa.array([dmin], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "denom": pa.array([denom], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64()),
+    })
+
+
 def kcore(edges, *, k: int, rounds: int, src: str = "src",
           dst: str = "dst", n_buckets: int | None = None,
           broadcast_threshold: int = BROADCAST_NODES):
