@@ -327,3 +327,33 @@ def test_keyed_rolling_frame1_and_single_key(ray_session):
     exp = pd.Series(sv).rolling(3, min_periods=1).sum().to_numpy()
     assert np.array_equal(out3["roll_sum"].to_numpy(),
                           exp.astype(np.int64))
+
+
+def test_zipf_fit_reference(ray_session):
+    """Slope matches the straight quantized-ln LSQ on a synthetic
+    perfect-Zipf corpus (alpha ~ 1)."""
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.ngrams import zipf_fit
+
+    # token w_r appears floor(1000/r) times -> near-perfect Zipf
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (1000 // r)
+    text = " ".join(words)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([text])})
+    out = zipf_fit(rd.from_arrow(t), top_v=20,
+                   n_buckets=2).to_pandas().iloc[0]
+    sc = float(1 << 16)
+    xs = [math.floor(math.log(float(r)) * sc) for r in range(1, 21)]
+    ys = [math.floor(math.log(float(1000 // r)) * sc)
+          for r in range(1, 21)]
+    v, sx, sy = 20, sum(xs), sum(ys)
+    num = v * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    den = v * sum(a * a for a in xs) - sx * sx
+    assert (int(out["num"]), int(out["den"])) == (num, den)
+    assert out["slope"] == float(num) / float(den)
+    assert 0.9 < out["alpha"] < 1.1

@@ -119,6 +119,7 @@ FAST = [
     "colocation",
     "richclub",
     "plaw",
+    "zipf",
 ]
 
 

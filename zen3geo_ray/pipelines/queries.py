@@ -4464,6 +4464,47 @@ def q_ngram_topk(sf_dir: str):
     return top_ngrams(docs, n=2, k_top=NGRAM_TOPK)
 
 
+ZIPF_V, ZIPF_LNSCALE = 64, 1 << 16
+
+
+def q_zipf(sf_dir: str):
+    """Zipf rank-frequency slope over the exact corpus top-64 unigrams
+    (the corpus-health diagnostic): quantized-ln LSQ, integer moments,
+    one float division (stages/ngrams.py:zipf_fit)."""
+    from ..stages.ngrams import zipf_fit
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=1000)
+    return zipf_fit(docs, top_v=ZIPF_V, ln_scale=ZIPF_LNSCALE)
+
+
+def _sql_zipf() -> str:
+    s = ZIPF_LNSCALE
+    return f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+             FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS r
+        FROM cnt ORDER BY n DESC, w ASC LIMIT {ZIPF_V}),
+q AS (SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * {s}.0) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(n AS DOUBLE)) * {s}.0) AS BIGINT) AS y
+      FROM top),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx FROM q)
+SELECT v, v * sxy - sx * sy AS num, v * sxx - sx * sx AS den,
+       CASE WHEN v * sxx - sx * sx <> 0 THEN
+         CAST(v * sxy - sx * sy AS DOUBLE)
+         / CAST(v * sxx - sx * sx AS DOUBLE)
+       ELSE NULL END AS slope,
+       CASE WHEN v * sxx - sx * sx <> 0 THEN
+         -(CAST(v * sxy - sx * sy AS DOUBLE)
+           / CAST(v * sxx - sx * sx AS DOUBLE))
+       ELSE NULL END AS alpha
+FROM m"""
+
+
 CHI2_K, CHI2_MIN_DF = 40, 5
 
 
@@ -9120,6 +9161,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
+        "zipf": _sql_zipf(),
         "rrf": _sql_rrf(),
         "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
@@ -10069,6 +10111,7 @@ def build_queries() -> dict:
         "ngram_topk": q_ngram_topk,
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
+        "zipf": q_zipf,
         "rrf": q_rrf,
         "mmr": q_mmr,
         "ir_eval": q_ir_eval,

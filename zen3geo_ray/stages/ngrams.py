@@ -411,3 +411,43 @@ def collocations(ds, text_col: str = "text", *, top_k: int = 50,
             .repartition(1)
             .map_batches(local_top, batch_format="pyarrow",
                          batch_size=None))
+
+
+def zipf_fit(ds, *, text_col: str = "text", top_v: int = 64,
+             ln_scale: int = 1 << 16, n_buckets: int = 32):
+    """Zipf rank-frequency slope over the EXACT corpus top-V unigrams
+    (count desc, token asc ties — the top_ngrams rule): least squares
+    of y = quantized ln(count) on x = quantized ln(rank), the classic
+    corpus-health diagnostic (natural text ~ -1; boilerplate-heavy or
+    templated corpora deviate).
+
+    Quantized-ln discipline: x_r = floor(ln(r)*2^16) and
+    y_r = floor(ln(n_r)*2^16) are identical integers on both sides
+    (math.log == DuckDB ln on this glibc), all LSQ moments are exact
+    int64 sums over V rows, slope = ONE float division
+    num/den = (V*Sxy - Sx*Sy)/(V*Sxx - Sx^2); alpha = -slope.
+
+    Output one row (v, num, den, slope, alpha)."""
+    import math
+
+    top = top_ngrams(ds, text_col=text_col, n=1, k_top=top_v,
+                     n_buckets=n_buckets).to_pandas()
+    v = len(top)
+    sc = float(ln_scale)
+    xs = [math.floor(math.log(float(r)) * sc) for r in range(1, v + 1)]
+    ys = [math.floor(math.log(float(c)) * sc)
+          for c in top["n"].tolist()]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = v * sxy - sx * sy
+    den = v * sxx - sx * sx
+    slope = float(num) / float(den) if den else None
+    return pa.table({
+        "v": pa.array([v], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "alpha": pa.array([-slope if slope is not None else None],
+                          pa.float64()),
+    })
