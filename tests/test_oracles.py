@@ -120,6 +120,7 @@ FAST = [
     "richclub",
     "plaw",
     "zipf",
+    "lisa",
 ]
 
 

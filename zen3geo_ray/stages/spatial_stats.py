@@ -200,6 +200,48 @@ def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
     })
 
 
+def local_moran(ds, *, res: int, cell_col: str = "cell",
+                n_buckets: int = 8) -> pa.Table:
+    """LISA — Anselin's local Moran's I per cell (exclusive rook
+    neighborhood).  With z' = n*x - S the statistic is a pure integer
+    ratio:
+
+        I_i = (n*x_i - S) * (n*L'_i - S*k_i) / (n*Q2 - S^2)
+
+    (L'_i = neighbor count sum, k_i = #occupied neighbors) — every
+    term exact, ONE float division, so the oracle VALUE-checks.
+    Positive = in a like-valued cluster (hot-hot / cold-cold),
+    negative = spatial outlier.  Output (cell, x, k, num, lisa)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    n = int(len(cells_))
+    s = _isum(x)
+    q2 = _exact_dot(x, x)
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    li = np.zeros(n, dtype=np.int64)
+    ki = np.zeros(n, dtype=np.int64)
+    for off, ok in ((1, nx < ncols - 1), (-1, nx > 0),
+                    (ncols, ny < nrows - 1), (-ncols, ny > 0)):
+        src = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[src] + off)
+        np.add.at(li, src[found], x[pos[found]])
+        np.add.at(ki, src[found], 1)
+
+    den = n * q2 - s * s
+    num = [(n * int(a) - s) * (n * int(b) - s * int(k))
+           for a, b, k in zip(x.tolist(), li.tolist(), ki.tolist())]
+    lisa = [float(v) / float(den) if den else None for v in num]
+    return pa.table({
+        "cell": pa.array(cells_),
+        "x": pa.array(x),
+        "k": pa.array(ki),
+        "num": pa.array(num, pa.int64()),
+        "lisa": pa.array(lisa, pa.float64()),
+    })
+
+
 def dissolve_stats(ds, *, res: int, group_col: str,
                    cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
     """Per-group DISSOLVED cell-region shape statistics — the
