@@ -121,6 +121,7 @@ FAST = [
     "plaw",
     "zipf",
     "lisa",
+    "emerging",
 ]
 
 

@@ -295,3 +295,37 @@ def test_local_moran_brute(ray_session):
         r = out.loc[cell]
         assert (int(r.k)) == k
         assert r.lisa == pytest.approx(want, rel=1e-9)
+
+
+def test_emerging_hotspots_store(ray_session, tmp_path):
+    """Run 1 seeds the store; run 2 merges — a cell that only becomes
+    hot after the merge is 'new'; re-running getis on the merged data
+    directly agrees with gi_new."""
+    from zen3geo_ray.stages.spatial_stats import (
+        emerging_hotspots,
+        getis_ord_g,
+    )
+
+    store = str(tmp_path / "store")
+    # run 1: diffuse background, one mild bump at cell 9
+    run1 = [c for c in range(32)] + [9] * 4
+    out1 = emerging_hotspots(_cells_ds(run1), store, res=RES,
+                             n_buckets=2).to_pandas()
+    assert (out1.status.isin(("new",))).all()  # first run: no history
+    # run 2: big spike at cell 20
+    run2 = [20] * 40
+    out2 = emerging_hotspots(_cells_ds(run2), store, res=RES,
+                             n_buckets=2).to_pandas().set_index("cell")
+    assert out2.loc[20, "status"] == "new"
+    # gi_new agrees with a direct Gi* over the merged counts
+    merged = run1 + run2
+    direct = getis_ord_g(_cells_ds(merged), res=RES,
+                         n_buckets=2).to_pandas().set_index("cell")
+    for cell in out2.index:
+        assert out2.loc[cell, "gi_new"] == direct.loc[cell, "gi"]
+    # the store now carries both runs
+    import pyarrow.parquet as pq
+    import glob
+    tot = sum(sum(pq.read_table(f).column("x").to_pylist())
+              for f in glob.glob(store + "/*.parquet"))
+    assert tot == len(run1) + len(run2)

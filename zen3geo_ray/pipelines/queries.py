@@ -515,6 +515,101 @@ FROM agg a LEFT JOIN counts c ON c.cell = a.cell
 WHERE c.cell IS NULL"""
 
 
+def _sql_gi_chain(p: str, where: str = "") -> str:
+    """Prefixed Gi* CTE chain over ``documents``; ends at ``{p}gsel``
+    (cell, x, wi, li, gi)."""
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
+    return f"""{p}geo0 AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat
+          FROM documents{where}),
+{p}geo AS (SELECT *, {cell_e} AS cell FROM {p}geo0),
+{p}counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x
+              FROM {p}geo GROUP BY cell),
+{p}sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+          FROM {p}counts),
+{p}nb AS (
+  SELECT a.cell, b.x FROM {p}counts a
+    JOIN {p}counts b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM {p}counts a
+    JOIN {p}counts b ON b.cell = a.cell - 1
+    WHERE a.cell % {nc} > 0
+  UNION ALL
+  SELECT a.cell, b.x FROM {p}counts a
+    JOIN {p}counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}
+  UNION ALL
+  SELECT a.cell, b.x FROM {p}counts a
+    JOIN {p}counts b ON b.cell = a.cell - {nc}
+    WHERE a.cell // {nc} > 0),
+{p}agg AS (SELECT cell, SUM(CAST(x AS HUGEINT)) AS nsum,
+                  CAST(COUNT(*) AS HUGEINT) AS ncnt
+           FROM {p}nb GROUP BY cell),
+{p}g AS (SELECT c.cell, c.x,
+                1 + COALESCE(a.ncnt, 0) AS wi,
+                c.x + COALESCE(a.nsum, 0) AS li
+         FROM {p}counts c LEFT JOIN {p}agg a ON a.cell = c.cell),
+{p}gsel AS (SELECT g2.cell, g2.x,
+       CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
+       CASE WHEN n > 1 AND n > wi AND n * q2 - s * s > 0 THEN
+         CAST(n * li - s * wi AS DOUBLE)
+         / sqrt(CAST((n * q2 - s * s) * (n * wi - wi * wi) AS DOUBLE)
+                / (CAST(n AS BIGINT) - 1.0))
+       ELSE NULL END AS gi
+FROM {p}g g2, {p}sc)"""
+
+
+def q_emerging(sf_dir: str):
+    """CROSS-RUN emerging hotspot analysis: run 1 seeds a persistent
+    per-cell count store with the even-doc half, run 2 merges the odd
+    half and classifies each hot cell 'new' / 'persistent' / 'faded'
+    against the pre-merge Gi* — bit-exact floats make the threshold
+    status deterministic (stages/spatial_stats.py:emerging_hotspots).
+    A fresh temp store per call keeps the query idempotent."""
+    import shutil
+    import tempfile
+
+    from ..stages.spatial_stats import emerging_hotspots
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    even = _geocoded(sf_dir, RES_ZONAL).map_batches(
+        half(0), batch_format="pyarrow")
+    odd = _geocoded(sf_dir, RES_ZONAL).map_batches(
+        half(1), batch_format="pyarrow")
+    store = tempfile.mkdtemp(prefix="emerging-")
+    try:
+        emerging_hotspots(even, store, res=RES_ZONAL)  # seed run
+        return emerging_hotspots(odd, store, res=RES_ZONAL)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _sql_emerging() -> str:
+    thr = GI_HOT
+    return f"""
+WITH {_sql_gi_chain("o_", " WHERE doc_id % 2 = 0")},
+{_sql_gi_chain("m_")},
+j AS (SELECT m.cell, COALESCE(o.x, 0) AS x_old, m.x AS x_new,
+             o.gi AS gi_old, m.gi AS gi_new
+      FROM m_gsel m LEFT JOIN o_gsel o ON o.cell = m.cell)
+SELECT cell, x_old, x_new, gi_old, gi_new,
+       CASE WHEN gi_old > {thr} AND gi_new > {thr} THEN 'persistent'
+            WHEN gi_new > {thr} THEN 'new'
+            ELSE 'faded' END AS status
+FROM j
+WHERE (gi_old IS NOT NULL AND gi_old > {thr})
+   OR (gi_new IS NOT NULL AND gi_new > {thr})"""
+
+
 def q_lisa(sf_dir: str):
     """LISA (Anselin local Moran's I) per cell: pure integer ratio
     (n*x_i - S)(n*L'_i - S*k_i)/(n*Q2 - S^2), one float division —
@@ -9208,6 +9303,7 @@ def build_oracles() -> dict[str, str]:
         "chi2_tokens": _sql_chi2_tokens(),
         "zipf": _sql_zipf(),
         "lisa": _sql_lisa(),
+        "emerging": _sql_emerging(),
         "rrf": _sql_rrf(),
         "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
@@ -10159,6 +10255,7 @@ def build_queries() -> dict:
         "chi2_tokens": q_chi2_tokens,
         "zipf": q_zipf,
         "lisa": q_lisa,
+        "emerging": q_emerging,
         "rrf": q_rrf,
         "mmr": q_mmr,
         "ir_eval": q_ir_eval,

@@ -163,12 +163,9 @@ def morans_i(ds, *, res: int, cell_col: str = "cell",
     })
 
 
-def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
-                n_buckets: int = 8) -> pa.Table:
-    """Per-cell Getis-Ord Gi* hotspot z-score (self-inclusive rook
-    neighborhood).  Output (cell, x, wi, li, gi): wi = neighborhood
-    size, li = neighborhood count sum, gi the z-score."""
-    cells_, x = _histogram(ds, cell_col, n_buckets)
+def _gi_scores(cells_: np.ndarray, x: np.ndarray, res: int):
+    """(wi, li, gi-list-with-Nones) for a sorted histogram — the Gi*
+    kernel shared by getis_ord_g / emerging_hotspots."""
     n = int(len(cells_))
     s = _isum(x)
     q2 = _exact_dot(x, x)
@@ -191,12 +188,107 @@ def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
                                 / (n - 1.0))
           if n > 1 and n > int(w) and gvar > 0 else None
           for nu, w in zip(num, wi.tolist())]
+    return wi, li, gi
+
+
+def getis_ord_g(ds, *, res: int, cell_col: str = "cell",
+                n_buckets: int = 8) -> pa.Table:
+    """Per-cell Getis-Ord Gi* hotspot z-score (self-inclusive rook
+    neighborhood).  Output (cell, x, wi, li, gi): wi = neighborhood
+    size, li = neighborhood count sum, gi the z-score."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    wi, li, gi = _gi_scores(cells_, x, res)
     return pa.table({
         "cell": pa.array(cells_),
         "x": pa.array(x),
         "wi": pa.array(wi),
         "li": pa.array(li),
         "gi": pa.array(gi, pa.float64()),
+    })
+
+
+def emerging_hotspots(ds, store_dir: str, *, res: int,
+                      cell_col: str = "cell", threshold: float = 1.645,
+                      n_buckets: int = 8) -> pa.Table:
+    """CROSS-RUN hotspot monitoring (the emerging-hot-spot-analysis
+    shape): merge this run's occupancy histogram into a persistent
+    per-cell count store, recompute Gi* on the merged counts, and
+    classify every cell that is (or was) hot against the PRE-merge
+    store:
+
+        'new'        hot now, not before
+        'persistent' hot in both
+        'faded'      was hot, not any more
+
+    Only GRID-bounded (cell, x) int64 rows ever persist (one parquet
+    per run under ``store_dir``, the incremental-store discipline of
+    incremental_exact_dedup).  Gi* floats are bit-exact, so the
+    threshold comparison — and therefore the status — is
+    deterministic.  Output (cell, x_old, x_new, gi_old, gi_new,
+    status), hot-old-or-new cells only, sorted by cell."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    # pre-merge store histogram (may be empty on the first run)
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(store_dir or "")
+        for f in fs if f.endswith(".parquet")
+    ] if os.path.isdir(store_dir) else []
+    if files:
+        old_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        old_df = old_df.groupby("cell", as_index=False)["x"].sum() \
+            .sort_values("cell", kind="mergesort")
+        old_c = old_df["cell"].to_numpy().astype(np.int64)
+        old_x = old_df["x"].to_numpy().astype(np.int64)
+    else:
+        old_c = np.array([], dtype=np.int64)
+        old_x = np.array([], dtype=np.int64)
+
+    new_c, new_x = _histogram(ds, cell_col, n_buckets)
+
+    # persist this run's histogram (append-only, idempotent re-read)
+    os.makedirs(store_dir, exist_ok=True)
+    run_path = os.path.join(store_dir,
+                            f"run-{uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(pa.table({"cell": pa.array(new_c),
+                             "x": pa.array(new_x)}), run_path)
+
+    # merged = old + new (old cells always a subset of merged)
+    merged = pd.concat([
+        pd.DataFrame({"cell": old_c, "x": old_x}),
+        pd.DataFrame({"cell": new_c, "x": new_x}),
+    ]).groupby("cell", as_index=False)["x"].sum() \
+        .sort_values("cell", kind="mergesort")
+    m_c = merged["cell"].to_numpy().astype(np.int64)
+    m_x = merged["x"].to_numpy().astype(np.int64)
+
+    _, _, gi_old = _gi_scores(old_c, old_x, res) if len(old_c) \
+        else (None, None, [])
+    _, _, gi_new = _gi_scores(m_c, m_x, res)
+
+    old_idx = {int(c): i for i, c in enumerate(old_c.tolist())}
+    rows = []
+    for i, c in enumerate(m_c.tolist()):
+        go = gi_old[old_idx[c]] if c in old_idx else None
+        gn = gi_new[i]
+        hot_o = go is not None and go > threshold
+        hot_n = gn is not None and gn > threshold
+        if not (hot_o or hot_n):
+            continue
+        status = ("persistent" if hot_o and hot_n
+                  else "new" if hot_n else "faded")
+        rows.append((c, int(old_x[old_idx[c]]) if c in old_idx else 0,
+                     int(m_x[i]), go, gn, status))
+    return pa.table({
+        "cell": pa.array([r[0] for r in rows], pa.int64()),
+        "x_old": pa.array([r[1] for r in rows], pa.int64()),
+        "x_new": pa.array([r[2] for r in rows], pa.int64()),
+        "gi_old": pa.array([r[3] for r in rows], pa.float64()),
+        "gi_new": pa.array([r[4] for r in rows], pa.float64()),
+        "status": pa.array([r[5] for r in rows], pa.string()),
     })
 
 
