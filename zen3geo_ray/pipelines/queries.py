@@ -1693,10 +1693,12 @@ def q_delta_simjoin(sf_dir: str):
 
     store = tempfile.mkdtemp(prefix="zen3geo_deltasim_")
     try:
-        seed = incremental_sim_join(
+        # run 1 seeds the store EAGERLY inside the call (new_sets
+        # write_parquet); its pair output is never consumed, so the
+        # run-1 candidate/verify pipeline never executes
+        incremental_sim_join(
             docs.map_batches(half(0), batch_format="pyarrow"), store,
             k=SIMJOIN_K, tau_num=SIMJOIN_NUM, tau_den=SIMJOIN_DEN)
-        seed.count()  # drive run 1 so the store is seeded
         fresh = incremental_sim_join(
             docs.map_batches(half(1), batch_format="pyarrow"), store,
             k=SIMJOIN_K, tau_num=SIMJOIN_NUM, tau_den=SIMJOIN_DEN)
