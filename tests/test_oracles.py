@@ -122,6 +122,7 @@ FAST = [
     "zipf",
     "lisa",
     "emerging",
+    "temporal_gi",
 ]
 
 

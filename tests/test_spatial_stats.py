@@ -329,3 +329,24 @@ def test_emerging_hotspots_store(ray_session, tmp_path):
     tot = sum(sum(pq.read_table(f).column("x").to_pylist())
               for f in glob.glob(store + "/*.parquet"))
     assert tot == len(run1) + len(run2)
+
+
+def test_temporal_gi_burst(ray_session):
+    """A planted burst hour scores highest; gap bins break the
+    neighborhood."""
+    from zen3geo_ray.stages.spatial_stats import temporal_gi
+
+    h = 3_600_000_000
+    ts = []
+    for b in range(10):
+        ts += [b * h + 7] * (50 if b == 4 else 5)  # burst at bin 4
+    t = pa.table({"ts": pa.array(np.array(ts, dtype=np.int64),
+                                 pa.timestamp("us"))})
+    import ray.data as rd
+
+    out = temporal_gi(rd.from_arrow(t).repartition(3), bin_us=h,
+                      n_buckets=2).to_pandas().set_index("bin")
+    assert len(out) == 10
+    assert (out.loc[4, "wi"], out.loc[4, "li"]) == (3, 60)
+    assert out.gi.idxmax() in (3, 4, 5)
+    assert out.loc[4, "gi"] > 1.0

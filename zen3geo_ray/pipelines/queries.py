@@ -610,6 +610,49 @@ WHERE (gi_old IS NOT NULL AND gi_old > {thr})
    OR (gi_new IS NOT NULL AND gi_new > {thr})"""
 
 
+TGI_BIN_US = 3_600_000_000  # hourly bins
+
+
+def q_temporal_gi(sf_dir: str):
+    """Temporal burst detection: 1-D Getis-Ord Gi* over hourly event
+    bins — adjacent occupied bins are the neighborhood, same
+    exact-int z-score shape as gi_star
+    (stages/spatial_stats.py:temporal_gi)."""
+    from ..stages.spatial_stats import temporal_gi
+
+    ev = _read(sf_dir, "events", ["ts"])
+    return temporal_gi(ev, ts_col="ts", bin_us=TGI_BIN_US)
+
+
+def _sql_temporal_gi() -> str:
+    return f"""
+WITH counts AS (SELECT CAST(epoch_us(ts) // {TGI_BIN_US} AS BIGINT)
+                       AS bin, CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1),
+sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s,
+              CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+       FROM counts),
+nb AS (
+  SELECT a.bin, b.x FROM counts a JOIN counts b ON b.bin = a.bin + 1
+  UNION ALL
+  SELECT a.bin, b.x FROM counts a JOIN counts b ON b.bin = a.bin - 1),
+agg AS (SELECT bin, SUM(CAST(x AS HUGEINT)) AS nsum,
+               CAST(COUNT(*) AS HUGEINT) AS ncnt
+        FROM nb GROUP BY bin),
+g AS (SELECT c.bin, c.x,
+             1 + COALESCE(a.ncnt, 0) AS wi,
+             c.x + COALESCE(a.nsum, 0) AS li
+      FROM counts c LEFT JOIN agg a ON a.bin = c.bin)
+SELECT g.bin, g.x, CAST(wi AS BIGINT) AS wi, CAST(li AS BIGINT) AS li,
+       CASE WHEN n > 1 AND n > wi AND n * q2 - s * s > 0 THEN
+         CAST(n * li - s * wi AS DOUBLE)
+         / sqrt(CAST((n * q2 - s * s) * (n * wi - wi * wi) AS DOUBLE)
+                / (CAST(n AS BIGINT) - 1.0))
+       ELSE NULL END AS gi
+FROM g, sc"""
+
+
 def q_lisa(sf_dir: str):
     """LISA (Anselin local Moran's I) per cell: pure integer ratio
     (n*x_i - S)(n*L'_i - S*k_i)/(n*Q2 - S^2), one float division —
@@ -9306,6 +9349,7 @@ def build_oracles() -> dict[str, str]:
         "zipf": _sql_zipf(),
         "lisa": _sql_lisa(),
         "emerging": _sql_emerging(),
+        "temporal_gi": _sql_temporal_gi(),
         "rrf": _sql_rrf(),
         "mmr": _sql_mmr(),
         "ir_eval": _sql_ir_eval(),
@@ -10258,6 +10302,7 @@ def build_queries() -> dict:
         "zipf": q_zipf,
         "lisa": q_lisa,
         "emerging": q_emerging,
+        "temporal_gi": q_temporal_gi,
         "rrf": q_rrf,
         "mmr": q_mmr,
         "ir_eval": q_ir_eval,

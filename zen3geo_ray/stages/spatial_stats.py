@@ -292,6 +292,50 @@ def emerging_hotspots(ds, store_dir: str, *, res: int,
     })
 
 
+def temporal_gi(ds, *, ts_col: str = "ts",
+                bin_us: int = 3_600_000_000,
+                n_buckets: int = 8) -> pa.Table:
+    """1-D Getis-Ord Gi* over time bins — temporal BURST detection,
+    the time-axis sibling of getis_ord_g: events histogram into
+    ``bin_us`` buckets (epoch_us // bin_us), neighbors are the
+    adjacent OCCUPIED bins (±1), same exact-integer z-score shape.
+    Output (bin, x, wi, li, gi), sorted by bin."""
+    def binner(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"cell": pa.array(t // bin_us)})
+
+    bins_, x = _histogram(
+        ds.map_batches(binner, batch_format="pyarrow"),
+        "cell", n_buckets)
+    n = int(len(bins_))
+    s = _isum(x)
+    q2 = _exact_dot(x, x)
+
+    li = x.copy()
+    wi = np.ones(n, dtype=np.int64)
+    for off in (1, -1):
+        found, pos = _probe(bins_, bins_ + off)
+        np.add.at(li, np.flatnonzero(found), x[pos[found]])
+        np.add.at(wi, np.flatnonzero(found), 1)
+
+    gvar = n * q2 - s * s
+    num = [n * int(a) - s * int(b)
+           for a, b in zip(li.tolist(), wi.tolist())]
+    gi = [float(nu)
+          / math.sqrt(float(gvar * (n * int(w) - int(w) * int(w)))
+                      / (n - 1.0))
+          if n > 1 and n > int(w) and gvar > 0 else None
+          for nu, w in zip(num, wi.tolist())]
+    return pa.table({
+        "bin": pa.array(bins_),
+        "x": pa.array(x),
+        "wi": pa.array(wi),
+        "li": pa.array(li),
+        "gi": pa.array(gi, pa.float64()),
+    })
+
+
 def local_moran(ds, *, res: int, cell_col: str = "cell",
                 n_buckets: int = 8) -> pa.Table:
     """LISA — Anselin's local Moran's I per cell (exclusive rook
