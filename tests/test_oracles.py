@@ -123,6 +123,7 @@ FAST = [
     "lisa",
     "emerging",
     "temporal_gi",
+    "voronoi",
 ]
 
 

@@ -350,3 +350,44 @@ def test_temporal_gi_burst(ray_session):
     assert (out.loc[4, "wi"], out.loc[4, "li"]) == (3, 60)
     assert out.gi.idxmax() in (3, 4, 5)
     assert out.loc[4, "gi"] > 1.0
+
+
+def test_lisa_sums_to_global_moran(ray_session):
+    """Cross-op identity: sum of LISA integer numerators equals the
+    global Moran numerator (both over z' = n*x - S), and both dens
+    agree — pins the two implementations against each other."""
+    from zen3geo_ray.stages.spatial_stats import local_moran, morans_i
+
+    rng = np.random.default_rng(41)
+    cells = rng.integers(0, 32, size=600)
+    ds = _cells_ds(cells)
+    li = local_moran(ds, res=RES, n_buckets=2).to_pandas()
+    mo = morans_i(ds, res=RES, n_buckets=2).to_pandas().iloc[0]
+    u, x = _brute(cells)
+    n, s = len(u), int(x.sum())
+    q2 = int((x.astype(object) * x).sum())
+    den = n * n * q2 - n * s * s
+    # morans_i reports I = n*num/(W*den); reconstruct num
+    got_moran_num = mo.moran_i * mo.w_pairs * den / n
+    assert int(li.num.sum()) == pytest.approx(got_moran_num, rel=1e-9)
+
+
+def test_proximity_label_tie(ray_session):
+    """Equidistant sources: smallest source cell id wins."""
+    from zen3geo_ray.stages.spatial_stats import proximity_label
+
+    # sources at (1,1)=9 and (5,1)=13; (3,1)=11 is ring-2 from both
+    t = pa.table({"cell": pa.array([9, 13], pa.int64())})
+    import ray.data as rd
+
+    out = proximity_label(rd.from_arrow(t), res=RES, max_dist=2,
+                          n_buckets=2).to_pandas().set_index("cell")
+    assert (int(out.loc[11, "dist"]), int(out.loc[11, "nearest"])) \
+        == (2, 9)
+    # adjacent to 13 only
+    assert (int(out.loc[14, "dist"]), int(out.loc[14, "nearest"])) \
+        == (1, 13)
+    # a closer ring always beats a smaller id farther away:
+    # (2,1)=10 is ring-1 from 9 -> dist 1 nearest 9
+    assert (int(out.loc[10, "dist"]), int(out.loc[10, "nearest"])) \
+        == (1, 9)

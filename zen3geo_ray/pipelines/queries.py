@@ -388,6 +388,44 @@ WHERE c.cell IS NULL
 GROUP BY cand.cell"""
 
 
+def q_voronoi(sf_dir: str):
+    """Nearest-facility assignment (discrete Voronoi / gdal_proximity
+    -values): ring distance + nearest occupied cell id for empty cells
+    within 3 rings, smallest-source tie rule
+    (stages/spatial_stats.py:proximity_label)."""
+    from ..stages.spatial_stats import proximity_label
+
+    return proximity_label(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                           max_dist=PROX_MAX_DIST)
+
+
+def _sql_voronoi() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    k = PROX_MAX_DIST
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i - {k} AS dy,
+                GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k})) AS h
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({2 * k + 1})) AS i) dyr
+         WHERE GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k}))
+               BETWEEN 1 AND {k}),
+cand AS (SELECT a.cell AS s, a.cell + o.dy * {nc} + o.dx AS cell, o.h
+         FROM counts a CROSS JOIN offs o
+         WHERE a.cell % {nc} + o.dx >= 0
+           AND a.cell % {nc} + o.dx <= {nc - 1}
+           AND a.cell // {nc} + o.dy >= 0
+           AND a.cell // {nc} + o.dy <= {nr - 1}),
+t AS (SELECT cell, CAST(MIN(h) AS BIGINT) AS dist
+      FROM cand GROUP BY cell),
+lab AS (SELECT t.cell, t.dist, CAST(MIN(cand.s) AS BIGINT) AS nearest
+        FROM t JOIN cand ON cand.cell = t.cell AND cand.h = t.dist
+        GROUP BY t.cell, t.dist)
+SELECT lab.cell, lab.dist, lab.nearest
+FROM lab LEFT JOIN counts oc ON oc.cell = lab.cell
+WHERE oc.cell IS NULL"""
+
+
 def q_colocation(sf_dir: str):
     """Join-count statistics (categorical Moran analog): per-cell
     majority language (count desc, lang asc ties), rook-adjacent cell
@@ -9302,6 +9340,7 @@ def build_oracles() -> dict[str, str]:
         "ripley": _sql_ripley(),
         "dispersion": _sql_dispersion(),
         "proximity": _sql_proximity(),
+        "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
         "union_area": _sql_union_area(),
         "temporal_reach": _sql_temporal_reach(),
@@ -10210,6 +10249,7 @@ def build_queries() -> dict:
         "ripley": q_ripley,
         "dispersion": q_dispersion,
         "proximity": q_proximity,
+        "voronoi": q_voronoi,
         "colocation": q_colocation,
         "union_area": q_union_area,
         "temporal_reach": q_temporal_reach,

@@ -585,6 +585,50 @@ def proximity(ds, *, res: int, max_dist: int = 3,
     })
 
 
+def proximity_label(ds, *, res: int, max_dist: int = 3,
+                    cell_col: str = "cell",
+                    n_buckets: int = 8) -> pa.Table:
+    """Nearest-facility assignment (the gdal_proximity ``-values`` /
+    discrete-Voronoi analog): for every EMPTY cell within ``max_dist``
+    rings, the ring distance AND the id of the nearest occupied cell —
+    ties at equal ring distance break to the SMALLEST source cell id
+    (deterministic, SQL-mirrorable).  Output (cell, dist, nearest)."""
+    cells_, _x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+
+    dist: dict[int, int] = {}
+    near: dict[int, int] = {}
+    for h in range(1, max_dist + 1):
+        ring_min: dict[int, int] = {}
+        for dy in range(-h, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                ok = ((nx + dx >= 0) & (nx + dx < ncols)
+                      & (ny + dy >= 0) & (ny + dy < nrows))
+                src = np.flatnonzero(ok)
+                for sc, t in zip(cells_[src].tolist(),
+                                 (cells_[src] + dy * ncols
+                                  + dx).tolist()):
+                    if t in dist:
+                        continue  # already assigned at a closer ring
+                    prev = ring_min.get(t)
+                    if prev is None or sc < prev:
+                        ring_min[t] = sc
+        for t, sc in ring_min.items():
+            dist[t] = h
+            near[t] = sc
+    occupied = set(cells_.tolist())
+    out = sorted(t for t in dist if t not in occupied)
+    return pa.table({
+        "cell": pa.array(out, pa.int64()),
+        "dist": pa.array([dist[t] for t in out], pa.int64()),
+        "nearest": pa.array([near[t] for t in out], pa.int64()),
+    })
+
+
 def colocation_counts(ds, *, res: int, mark_col: str,
                       cell_col: str = "cell",
                       n_buckets: int = 8) -> pa.Table:
