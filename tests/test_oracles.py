@@ -124,6 +124,7 @@ FAST = [
     "emerging",
     "temporal_gi",
     "voronoi",
+    "ndi",
 ]
 
 

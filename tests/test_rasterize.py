@@ -534,3 +534,35 @@ def test_focal_conv_two_kernels_one_pass(ray_session):
         n_buckets=2).to_pandas().sort_values("px").reset_index(drop=True)
     assert out["ident"].tolist() == [3, 5]
     assert out["right"].tolist() == [5, 0]
+
+
+def test_band_normalized_diff_golden(ray_session):
+    """Two bands in one pixel: ndi = (a-b)/(a+b); single-band pixels
+    hit ±1; untouched pixels never emit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import band_normalized_diff
+
+    spec = {0: {"width": 4, "height": 4, "xmin": 0.0, "xmax": 4.0,
+                "ymin": 0.0, "ymax": 4.0}}
+    rows = (
+        [(0.5, 0.5, "en")] * 3 + [(0.5, 0.5, "de")] * 1   # pixel (0,0)
+        + [(2.5, 2.5, "de")] * 2                          # de only
+        + [(3.5, 3.5, "fr")] * 5                          # ignored band
+    )
+    t = pa.table({
+        "tile_id": pa.array([0] * len(rows), pa.int64()),
+        "lon": pa.array([r[0] for r in rows], pa.float64()),
+        "lat": pa.array([r[1] for r in rows], pa.float64()),
+        "lang": pa.array([r[2] for r in rows]),
+    })
+    out = band_normalized_diff(rd.from_arrow(t).repartition(3), spec,
+                               band_col="lang", band_a="en",
+                               band_b="de", n_buckets=2).to_pandas()
+    out = out.set_index(["py", "px"]).sort_index()
+    # (0.5,0.5) -> ix=0, iy=0 -> py = 3
+    assert (int(out.loc[(3, 0), "a"]), int(out.loc[(3, 0), "b"])) == (3, 1)
+    assert out.loc[(3, 0), "ndi"] == 0.5
+    assert out.loc[(1, 2), "ndi"] == -1.0
+    assert len(out) == 2  # fr-only pixel absent

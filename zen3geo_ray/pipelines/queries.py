@@ -6130,6 +6130,56 @@ SELECT h.tile_id, h.hash_hi, h.hash_lo, g.rep_tile, g.n_same
 FROM h JOIN g USING (hash_hi, hash_lo)"""
 
 
+def q_ndi(sf_dir: str):
+    """Band math (the xarray (b1-b2)/(b1+b2) map-algebra staple):
+    normalized difference between the en and de occupancy bands
+    rasterized in ONE pass — integer conditional counts per pixel,
+    one float division (stages/rasterize.py:band_normalized_diff)."""
+    from ..stages.rasterize import band_normalized_diff
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["lang"])
+    tiled = pts.map_batches(
+        lambda b: rz.assign_tiles(
+            b, lon0=-180.0, lat0=-90.0, lon1=180.0, lat1=90.0,
+            nx=TILE_NX, ny=TILE_NY,
+        ),
+        batch_format="pyarrow",
+    )
+    return band_normalized_diff(tiled, _tile_specs(), band_col="lang",
+                                band_a="en", band_b="de")
+
+
+def _sql_ndi() -> str:
+    tw = 360.0 / TILE_NX
+    th = 180.0 / TILE_NY
+    ix = (f"LEAST(GREATEST(CAST(FLOOR((lon - -180.0) / 360.0 "
+          f"* {TILE_NX}) AS BIGINT), 0), {TILE_NX - 1})")
+    iy = (f"LEAST(GREATEST(CAST(FLOOR((lat - -90.0) / 180.0 "
+          f"* {TILE_NY}) AS BIGINT), 0), {TILE_NY - 1})")
+    px = (f"CAST(FLOOR((lon - (-180.0 + ix * {tw!r})) / {tw!r} "
+          f"* {TILE_PX}) AS BIGINT)")
+    gy = (f"CAST(FLOOR((lat - (-90.0 + iy * {th!r})) / {th!r} "
+          f"* {TILE_PX}) AS BIGINT)")
+    return f"""
+{_sql_geo_cte(RES_ZONAL, ', lang')},
+tiled AS (SELECT lon, lat, lang, {ix} AS ix, {iy} AS iy FROM geo
+          WHERE lang IN ('en', 'de')),
+binned AS (
+  SELECT iy * {TILE_NX} + ix AS tile_id,
+         {TILE_PX} - 1 - {gy} AS py,
+         {px} AS px,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS ib
+  FROM tiled
+),
+agg AS (SELECT tile_id, py, px, CAST(SUM(ia) AS BIGINT) AS a,
+               CAST(SUM(ib) AS BIGINT) AS b
+        FROM binned GROUP BY 1, 2, 3)
+SELECT tile_id, py, px, a, b,
+       CAST(a - b AS DOUBLE) / CAST(a + b AS DOUBLE) AS ndi
+FROM agg"""
+
+
 def _sql_raster_stats() -> str:
     """Mirror of moment_rasters: same tile/bin arithmetic as the
     rasterize oracle, weight = n_chars; mean/ex2 are single DOUBLE
@@ -9617,6 +9667,7 @@ FROM g,
         "sobel": _sql_sobel(),
         "phash_dedup": _sql_phash_dedup(),
         "raster_stats": _sql_raster_stats(),
+        "ndi": _sql_ndi(),
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
@@ -10267,6 +10318,7 @@ def build_queries() -> dict:
         "sobel": q_sobel,
         "phash_dedup": q_phash_dedup,
         "raster_stats": q_raster_stats,
+        "ndi": q_ndi,
         "raster_first": q_raster_first,
         "r2v": q_r2v,
         "warp": q_warp,

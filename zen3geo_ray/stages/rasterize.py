@@ -377,6 +377,79 @@ def partial_histogram(batch: pa.Table, *, tile_specs: dict,
                      "n": np.concatenate(out_n)})
 
 
+def band_normalized_diff(ds, tile_specs: dict, *, band_col: str,
+                         band_a, band_b, lon_col: str = "lon",
+                         lat_col: str = "lat", n_buckets: int = 16):
+    """NDVI-shape map algebra between two CATEGORICAL bands rasterized
+    in one pass: per pixel a = count(band == band_a), b = count(band
+    == band_b), ndi = (a - b) / (a + b) — the xarray
+    ``(b1 - b2) / (b1 + b2)`` band-arithmetic staple over the engine's
+    sparse raster rows.  Integer counts (same partial-histogram
+    combiner, one bucketed shuffle), ONE float division, NULL where
+    a + b = 0 rows never materialize (only touched-by-either pixels
+    emit).  Output (tile_id, py, px, a, b, ndi)."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        tids = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        band = np.asarray(batch.column(band_col).to_pylist(),
+                          dtype=object)
+        in_a = band == band_a
+        in_b = band == band_b
+        out = {"tile_id": [], "py": [], "px": [], "a": [], "b": []}
+        for tid in np.unique(tids):
+            if tid < 0 or int(tid) not in tile_specs:
+                continue
+            spec = tile_specs[int(tid)]
+            sel = (tids == tid) & (in_a | in_b)
+            if not sel.any():
+                continue
+            W, H = spec["width"], spec["height"]
+            ix = _bin(lon[sel], spec["xmin"], spec["xmax"], W)
+            iy = _bin(lat[sel], spec["ymin"], spec["ymax"], H)
+            flat = iy * W + ix
+            u, inv = np.unique(flat, return_inverse=True)
+            a = np.bincount(inv, weights=in_a[sel].astype(np.float64),
+                            minlength=len(u)).astype(np.int64)
+            bb = np.bincount(inv, weights=in_b[sel].astype(np.float64),
+                             minlength=len(u)).astype(np.int64)
+            out["tile_id"].append(np.full(len(u), tid, dtype=np.int64))
+            out["py"].append((H - 1 - u // W).astype(np.int64))
+            out["px"].append((u % W).astype(np.int64))
+            out["a"].append(a)
+            out["b"].append(bb)
+        if not out["tile_id"]:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile_id", "py", "px", "a", "b")})
+        return pa.table({c: pa.array(np.concatenate(v))
+                         for c, v in out.items()})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["tile_id", "py", "px"], sort=False,
+                        as_index=False)[["a", "b"]].sum()
+        a = agg["a"].to_numpy().astype(np.int64)
+        b = agg["b"].to_numpy().astype(np.int64)
+        ndi = (a - b).astype(np.float64) / (a + b).astype(np.float64)
+        return pa.table({
+            "tile_id": pa.array(agg["tile_id"].to_numpy()
+                                .astype(np.int64)),
+            "py": pa.array(agg["py"].to_numpy().astype(np.int64)),
+            "px": pa.array(agg["px"].to_numpy().astype(np.int64)),
+            "a": pa.array(a), "b": pa.array(b),
+            "ndi": pa.array(ndi, pa.float64()),
+        })
+
+    return bucketed_groupby(parts, ["tile_id", "py", "px"],
+                            lambda g: fold(g).to_pandas(),
+                            n_buckets=n_buckets)
+
+
 def partial_weighted_histogram(batch: pa.Table, *, tile_specs: dict,
                                value_col: str, lon_col="lon",
                                lat_col="lat") -> pa.Table:
