@@ -125,6 +125,7 @@ FAST = [
     "temporal_gi",
     "voronoi",
     "ndi",
+    "hist_eq",
 ]
 
 

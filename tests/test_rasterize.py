@@ -566,3 +566,32 @@ def test_band_normalized_diff_golden(ray_session):
     assert out.loc[(3, 0), "ndi"] == 0.5
     assert out.loc[(1, 2), "ndi"] == -1.0
     assert len(out) == 2  # fr-only pixel absent
+
+
+def test_histogram_equalize_golden(ray_session):
+    """Textbook remap: values {1:4px, 2:2px, 3:2px} -> cdf {4,6,8},
+    cmin=4, eq = (cdf-4)*255 // 4 -> {0, 127, 255}."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rasterize import histogram_equalize
+
+    n = [1, 1, 1, 1, 2, 2, 3, 3]
+    t = pa.table({
+        "tile_id": pa.array([0] * 8, pa.int64()),
+        "py": pa.array(list(range(8)), pa.int64()),
+        "px": pa.array([0] * 8, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+    })
+    out = histogram_equalize(rd.from_arrow(t).repartition(3),
+                             n_buckets=2).to_pandas()
+    got = dict(zip(out["n"], out["eq"]))
+    assert got == {1: 0, 2: 127, 3: 255}
+
+    # degenerate single value -> all zeros
+    t1 = pa.table({"tile_id": pa.array([0, 0], pa.int64()),
+                   "py": pa.array([0, 1], pa.int64()),
+                   "px": pa.array([0, 0], pa.int64()),
+                   "n": pa.array([7, 7], pa.int64())})
+    out1 = histogram_equalize(rd.from_arrow(t1)).to_pandas()
+    assert (out1["eq"] == 0).all()

@@ -6130,6 +6130,32 @@ SELECT h.tile_id, h.hash_hi, h.hash_lo, g.rep_tile, g.n_same
 FROM h JOIN g USING (hash_hi, hash_lo)"""
 
 
+def q_hist_eq(sf_dir: str):
+    """Global histogram equalization of the count raster (the classic
+    contrast remap): integer OpenCV formula
+    (cdf - cdf_min)*255 // (N - cdf_min) over the DISTINCT-value
+    histogram, remap broadcast — pixels never shuffle
+    (stages/rasterize.py:histogram_equalize)."""
+    from ..stages.rasterize import histogram_equalize
+
+    return histogram_equalize(q_rasterize(sf_dir), value_col="n")
+
+
+def _sql_hist_eq() -> str:
+    return _sql_rasterize_cte() + f""",
+vh AS (SELECT n AS v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM hist GROUP BY n),
+cd AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cdf
+       FROM vh),
+st AS (SELECT CAST(MIN(cdf) AS BIGINT) AS cmin,
+              CAST(MAX(cdf) AS BIGINT) AS total FROM cd)
+SELECT h.tile_id, h.py, h.px, h.n,
+       CASE WHEN st.total - st.cmin > 0 THEN
+         (cd.cdf - st.cmin) * 255 // (st.total - st.cmin)
+       ELSE 0 END AS eq
+FROM hist h JOIN cd ON cd.v = h.n CROSS JOIN st"""
+
+
 def q_ndi(sf_dir: str):
     """Band math (the xarray (b1-b2)/(b1+b2) map-algebra staple):
     normalized difference between the en and de occupancy bands
@@ -9668,6 +9694,7 @@ FROM g,
         "phash_dedup": _sql_phash_dedup(),
         "raster_stats": _sql_raster_stats(),
         "ndi": _sql_ndi(),
+        "hist_eq": _sql_hist_eq(),
         "raster_first": _sql_raster_first(),
         "r2v": _sql_r2v(),
         "warp": _sql_warp(),
@@ -10319,6 +10346,7 @@ def build_queries() -> dict:
         "phash_dedup": q_phash_dedup,
         "raster_stats": q_raster_stats,
         "ndi": q_ndi,
+        "hist_eq": q_hist_eq,
         "raster_first": q_raster_first,
         "r2v": q_r2v,
         "warp": q_warp,

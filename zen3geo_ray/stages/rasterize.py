@@ -450,6 +450,57 @@ def band_normalized_diff(ds, tile_specs: dict, *, band_col: str,
                             n_buckets=n_buckets)
 
 
+def histogram_equalize(raster, *, value_col: str = "n",
+                       out_max: int = 255, n_buckets: int = 16):
+    """GLOBAL histogram equalization of a sparse raster (the classic
+    contrast-enhancement remap, OpenCV's integer formula with floor):
+
+        eq(v) = (cdf(v) - cdf_min) * out_max // (N - cdf_min)
+
+    over the value histogram of ``value_col`` (N = touched pixels,
+    cdf_min = cdf of the smallest present value).  The histogram is
+    bounded by DISTINCT values (block combiners, one bucketed sum);
+    the remap broadcasts as two sorted arrays into a stateless map —
+    pixels never shuffle.  Degenerate single-value rasters map to 0.
+    Adds an ``eq`` int64 column."""
+    import pandas as pd
+    import ray
+
+    from .bucketed import bucketed_groupby
+
+    def vpart(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def vfold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["c"].sum()
+
+    vh = bucketed_groupby(raster.map_batches(vpart,
+                                             batch_format="pyarrow"),
+                          ["v"], vfold, n_buckets=n_buckets).to_pandas()
+    vh = vh.sort_values("v", kind="mergesort")
+    vals = vh["v"].to_numpy().astype(np.int64)
+    cdf = np.cumsum(vh["c"].to_numpy().astype(np.int64))
+    total = int(cdf[-1]) if len(cdf) else 0
+    cmin = int(cdf[0]) if len(cdf) else 0
+    den = total - cmin
+    eq = ((cdf - cmin) * out_max // den).astype(np.int64) if den \
+        else np.zeros(len(cdf), dtype=np.int64)
+    ref = ray.put((vals, eq)) if ray.is_initialized() else (vals, eq)
+
+    def remap(b: pa.Table, _ref=ref) -> pa.Table:
+        vs, es = ray.get(_ref) if not isinstance(_ref, tuple) else _ref
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return b.append_column(
+            "eq", pa.array(es[np.searchsorted(vs, v)]))
+
+    return raster.map_batches(remap, batch_format="pyarrow")
+
+
 def partial_weighted_histogram(batch: pa.Table, *, tile_specs: dict,
                                value_col: str, lon_col="lon",
                                lat_col="lat") -> pa.Table:
