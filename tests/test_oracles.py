@@ -126,6 +126,7 @@ FAST = [
     "voronoi",
     "ndi",
     "hist_eq",
+    "moran_w",
 ]
 
 

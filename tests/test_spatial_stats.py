@@ -391,3 +391,39 @@ def test_proximity_label_tie(ray_session):
     # (2,1)=10 is ring-1 from 9 -> dist 1 nearest 9
     assert (int(out.loc[10, "dist"]), int(out.loc[10, "nearest"])) \
         == (1, 9)
+
+
+def test_morans_i_weighted(ray_session):
+    """value_col sums replace counts; equal weights reduce to the
+    count statistic scaled consistently."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import morans_i
+
+    rng = np.random.default_rng(29)
+    cells = rng.integers(0, 32, size=200)
+    vals = rng.integers(1, 50, size=200)
+    t = pa.table({"cell": pa.array(cells.astype(np.int64)),
+                  "v": pa.array(vals.astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(3)
+    out = morans_i(ds, res=RES, value_col="v",
+                   n_buckets=2).to_pandas().iloc[0]
+    # brute force over per-cell value sums
+    u = np.unique(cells)
+    x = np.array([int(vals[cells == c].sum()) for c in u])
+    pairs = _rook_w(u, RES)
+    idx = {c: i for i, c in enumerate(u.tolist())}
+    z = x - x.mean()
+    num = sum(z[idx[a]] * z[idx[b]] for a, b in pairs)
+    den = (z * z).sum()
+    want = len(u) / len(pairs) * num / den
+    assert out.moran_i == pytest.approx(want, rel=1e-12)
+
+    # all-ones weights == plain counts
+    t1 = pa.table({"cell": pa.array(cells.astype(np.int64)),
+                   "v": pa.array(np.ones(200, np.int64))})
+    a = morans_i(rd.from_arrow(t1), res=RES, value_col="v",
+                 n_buckets=2).to_pandas().iloc[0]
+    b = morans_i(_cells_ds(cells), res=RES,
+                 n_buckets=2).to_pandas().iloc[0]
+    assert a.moran_i == b.moran_i and a.geary_c == b.geary_c

@@ -182,6 +182,26 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(2 * wd AS BIGINT) AS w_pairs,
 FROM sc, ps"""
 
 
+def q_moran_w(sf_dir: str):
+    """Value-weighted Moran's I: per-cell SUMS of n_chars instead of
+    record counts (the field-statistics variant — same exact-int
+    machinery, x = Σ n_chars per cell)."""
+    from ..stages.spatial_stats import morans_i
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["n_chars"])
+    return morans_i(pts, res=RES_ZONAL, value_col="n_chars")
+
+
+def _sql_moran_w() -> str:
+    base = _sql_moran()
+    return base.replace(
+        "counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x "
+        "FROM geo GROUP BY cell)",
+        "counts AS (SELECT cell, CAST(SUM(n_chars) AS BIGINT) AS x "
+        "FROM geo GROUP BY cell)").replace(
+        _sql_geo_cte(), _sql_geo_cte(extra=", n_chars"))
+
+
 def q_gi_star(sf_dir: str):
     """Per-cell Getis-Ord Gi* hotspot z-scores (self-inclusive rook
     neighborhood) — integer numerator n*L_i - S*W_i, one shared
@@ -9408,6 +9428,7 @@ def build_oracles() -> dict[str, str]:
         "proto_sim": _sql_proto_sim(),
         "gram": _sql_gram(),
         "moran": _sql_moran(),
+        "moran_w": _sql_moran_w(),
         "gi_star": _sql_gi_star(),
         "variogram": _sql_variogram(),
         "dissolve": _sql_dissolve(),
@@ -10319,6 +10340,7 @@ def build_queries() -> dict:
         "proto_sim": q_proto_sim,
         "gram": q_gram,
         "moran": q_moran,
+        "moran_w": q_moran_w,
         "gi_star": q_gi_star,
         "variogram": q_variogram,
         "dissolve": q_dissolve,

@@ -49,15 +49,25 @@ from ..geom.cells import _grid_dims
 from .bucketed import bucketed_groupby
 
 
-def cell_counts(ds, *, cell_col: str = "cell", n_buckets: int = 8):
-    """Corpus -> (cell, x) occupancy histogram; combiner-first, the only
-    shuffle any spatial statistic needs."""
+def cell_counts(ds, *, cell_col: str = "cell",
+                value_col: str | None = None, n_buckets: int = 8):
+    """Corpus -> (cell, x) histogram; combiner-first, the only shuffle
+    any spatial statistic needs.  ``value_col=None`` counts records;
+    an INTEGER value column sums instead (field statistics — weighted
+    Moran etc.)."""
 
     def partial(b: pa.Table) -> pa.Table:
         c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        u, cnt = np.unique(c, return_counts=True)
-        return pa.table({"cell": pa.array(u),
-                         "x": pa.array(cnt.astype(np.int64))})
+        if value_col is None:
+            u, x = np.unique(c, return_counts=True)
+            x = x.astype(np.int64)
+        else:
+            v = b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            u, inv = np.unique(c, return_inverse=True)
+            x = np.zeros(len(u), dtype=np.int64)
+            np.add.at(x, inv, v)
+        return pa.table({"cell": pa.array(u), "x": pa.array(x)})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -67,9 +77,11 @@ def cell_counts(ds, *, cell_col: str = "cell", n_buckets: int = 8):
     return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
 
 
-def _histogram(ds, cell_col: str, n_buckets: int):
+def _histogram(ds, cell_col: str, n_buckets: int,
+               value_col: str | None = None):
     """Materialize the GRID-BOUNDED histogram, sorted by cell id."""
-    df = cell_counts(ds, cell_col=cell_col, n_buckets=n_buckets).to_pandas()
+    df = cell_counts(ds, cell_col=cell_col, value_col=value_col,
+                     n_buckets=n_buckets).to_pandas()
     df = df.sort_values("cell", kind="mergesort")
     return (df["cell"].to_numpy().astype(np.int64),
             df["x"].to_numpy().astype(np.int64))
@@ -137,11 +149,14 @@ def _rook_pairs(cells_: np.ndarray, x: np.ndarray, res: int):
 
 
 def morans_i(ds, *, res: int, cell_col: str = "cell",
+             value_col: str | None = None,
              n_buckets: int = 8) -> pa.Table:
     """Global Moran's I and Geary's C of per-cell record counts under
-    rook adjacency.  One row: (n_cells, w_pairs, moran_i, geary_c) —
-    w_pairs counts BOTH directions (the standard symmetric W)."""
-    cells_, x = _histogram(ds, cell_col, n_buckets)
+    rook adjacency (``value_col`` switches to per-cell integer value
+    SUMS — the field-statistics variant).  One row: (n_cells, w_pairs,
+    moran_i, geary_c) — w_pairs counts BOTH directions (the standard
+    symmetric W)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets, value_col)
     n = int(len(cells_))
     s = _isum(x)
     q2 = _exact_dot(x, x)
