@@ -1526,3 +1526,26 @@ def test_powerlaw_alpha_reference(ray_session):
                 for d in ds_)
     assert (int(out["m"]), int(out["denom"])) == (len(ds_), denom)
     assert out["alpha"] == 1.0 + (float(len(ds_)) * sc) / float(denom)
+
+
+def test_diameter_double_sweep_path_and_star(ray_session):
+    """Exact on trees: a path graph's double sweep finds the true
+    diameter; a star's is 2."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import diameter_double_sweep
+
+    path = pa.table({"src": pa.array(list(range(6)), pa.int64()),
+                     "dst": pa.array(list(range(1, 7)), pa.int64())})
+    out = diameter_double_sweep(rd.from_arrow(path).repartition(2),
+                                max_hops=10).to_pandas().iloc[0]
+    assert (int(out.start), int(out.ecc1)) == (0, 6)
+    assert int(out.diameter_lb) == 6
+
+    star = pa.table({"src": pa.array([0] * 5, pa.int64()),
+                     "dst": pa.array(list(range(1, 6)), pa.int64())})
+    out = diameter_double_sweep(rd.from_arrow(star),
+                                max_hops=10).to_pandas().iloc[0]
+    # start = node 0 (the hub): ecc1 = 1, far = 1, ecc2 = 2
+    assert (int(out.ecc1), int(out.ecc2), int(out.diameter_lb)) \
+        == (1, 2, 2)

@@ -127,6 +127,7 @@ FAST = [
     "ndi",
     "hist_eq",
     "moran_w",
+    "diameter_lb",
 ]
 
 

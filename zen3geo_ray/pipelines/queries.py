@@ -8311,6 +8311,53 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
 
 
+DIAM_HOPS = 12
+
+
+def q_diameter_lb(sf_dir: str):
+    """Double-sweep diameter lower bound of the undirected trade
+    graph: BFS from the min node, BFS again from the farthest node
+    (ties min id), max eccentricity observed — exact on trees,
+    near-exact on real-world graphs; distances cap at 12 hops mirrored
+    by the oracle (stages/graph.py:diameter_double_sweep)."""
+    from ..stages.graph import diameter_double_sweep
+
+    return diameter_double_sweep(_trade_edges(sf_dir),
+                                 max_hops=DIAM_HOPS)
+
+
+def _sql_diameter_lb() -> str:
+    def chain(tag: str, seed_expr: str) -> str:
+        ctes = [
+            f"{tag}0 AS (SELECT {seed_expr} AS node, "
+            f"CAST(0 AS BIGINT) AS dist)"]
+        for i in range(1, DIAM_HOPS + 1):
+            ctes.append(f"""{tag}{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {tag}{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + 1 AS dist
+    FROM sym e JOIN {tag}{i - 1} r ON r.node = e.src
+  ) GROUP BY 1)""")
+        return ",\n".join(ctes)
+
+    last = f"d{DIAM_HOPS}"
+    last2 = f"e{DIAM_HOPS}"
+    return f"""WITH {_SQL_GRAPH_EDGES},
+sym AS MATERIALIZED (SELECT src, dst FROM edges
+       UNION SELECT dst, src FROM edges),
+st AS (SELECT CAST(MIN(src) AS BIGINT) AS s FROM sym),
+{chain('d', '(SELECT s FROM st)')},
+m1 AS (SELECT CAST(MAX(dist) AS BIGINT) AS ecc1 FROM {last}),
+f1 AS (SELECT CAST(MIN(node) AS BIGINT) AS far FROM {last}, m1
+       WHERE dist = ecc1),
+{chain('e', '(SELECT far FROM f1)')},
+m2 AS (SELECT CAST(MAX(dist) AS BIGINT) AS ecc2 FROM {last2})
+SELECT st.s AS start, m1.ecc1, f1.far AS far_node, m2.ecc2,
+       GREATEST(m1.ecc1, m2.ecc2) AS diameter_lb
+FROM st, m1, f1, m2"""
+
+
 CC_QTY_MIN = 48  # co-occurrence edge filter: rare high-quantity lines
 
 
@@ -9429,6 +9476,7 @@ def build_oracles() -> dict[str, str]:
         "gram": _sql_gram(),
         "moran": _sql_moran(),
         "moran_w": _sql_moran_w(),
+        "diameter_lb": _sql_diameter_lb(),
         "gi_star": _sql_gi_star(),
         "variogram": _sql_variogram(),
         "dissolve": _sql_dissolve(),
@@ -10341,6 +10389,7 @@ def build_queries() -> dict:
         "gram": q_gram,
         "moran": q_moran,
         "moran_w": q_moran_w,
+        "diameter_lb": q_diameter_lb,
         "gi_star": q_gi_star,
         "variogram": q_variogram,
         "dissolve": q_dissolve,

@@ -865,6 +865,65 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def diameter_double_sweep(edges, *, src: str = "src", dst: str = "dst",
+                          max_hops: int = 12,
+                          n_buckets: int | None = None) -> pa.Table:
+    """DOUBLE-SWEEP diameter lower bound (Magnien-Latapy-Habib): BFS
+    from the minimum node id, then BFS again from the farthest node
+    reached (ties to the smallest id) — max eccentricity observed is a
+    LOWER bound on the undirected diameter (exact on trees, near-exact
+    on real-world graphs).  Two bfs_hops runs on the symmetrized edge
+    set; each BFS's reached frontier is node-bounded, so the argmax is
+    a tiny driver reduce.  Distances cap at ``max_hops`` (mirrored by
+    the oracle, so the bound stays bit-identical).  One row:
+    (start, ecc1, far_node, ecc2, diameter_lb)."""
+    import ray.data as rd
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d])),
+            "dst": pa.array(np.concatenate([d, s])),
+        })
+
+    sym = distinct_tuples(
+        edges.map_batches(symm, batch_format="pyarrow"),
+        ["src", "dst"], n_buckets=n_buckets or 32).materialize()
+
+    def node_min(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(
+            [int(s.min())] if len(s) else [], pa.int64())})
+
+    mins = sym.map_batches(node_min,
+                           batch_format="pyarrow").to_pandas()
+    if not len(mins):
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ("start", "ecc1", "far_node", "ecc2",
+                          "diameter_lb")})
+    start = int(mins["m"].min())
+
+    def sweep(seed: int):
+        seeds = rd.from_arrow(
+            pa.table({"node": pa.array([seed], pa.int64())}))
+        df = bfs_hops(sym, seeds, max_hops=max_hops,
+                      n_buckets=n_buckets).to_pandas()
+        ecc = int(df["dist"].max())
+        far = int(df.loc[df["dist"] == ecc, "node"].min())
+        return ecc, far
+
+    ecc1, far1 = sweep(start)
+    ecc2, _far2 = sweep(far1)
+    return pa.table({
+        "start": pa.array([start], pa.int64()),
+        "ecc1": pa.array([ecc1], pa.int64()),
+        "far_node": pa.array([far1], pa.int64()),
+        "ecc2": pa.array([ecc2], pa.int64()),
+        "diameter_lb": pa.array([max(ecc1, ecc2)], pa.int64()),
+    })
+
+
 def _undirected_deg(edges, *, src: str, dst: str, n_buckets: int):
     """(distinct undirected pairs Dataset, degree Dataset (node, _c))
     — the shared front of rich_club / powerlaw_alpha."""
