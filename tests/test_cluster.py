@@ -467,3 +467,35 @@ def test_gram_matrix(ray_session):
         assert r.gram == (float(int(r.s))
                           / (float(len(vecs)) * float(scale)
                              * float(scale)))
+
+
+def test_gram_power_iteration_top_pc(ray_session):
+    """The iterated direction matches numpy's top eigenvector of the
+    same quantized Gram (up to sign/max-normalization) and the
+    Rayleigh quotient approaches the top eigenvalue."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import gram_power_iteration
+
+    rng = np.random.default_rng(17)
+    # strong first axis, weak noise elsewhere
+    n, dim, scale = 200, 8, 1 << 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32) * 0.05
+    vecs[:, 0] += rng.normal(size=n).astype(np.float32) * 1.0
+    t = pa.table({"embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    out = gram_power_iteration(rd.from_arrow(t).repartition(4),
+                               dim=dim, scale=scale, rounds=8,
+                               n_buckets=2).to_pandas()
+    q = np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+    g = (q.T @ q).astype(np.float64)
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1] * np.sign(evecs[np.abs(evecs[:, -1]).argmax(), -1])
+    v = out["v"].to_numpy().astype(np.float64)
+    v = v / np.abs(v).max() * np.sign(v[np.abs(v).argmax()])
+    cos = abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    assert out["eig"].iloc[0] == pytest.approx(
+        evals[-1] / (scale * scale), rel=1e-3)

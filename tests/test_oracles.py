@@ -128,6 +128,7 @@ FAST = [
     "hist_eq",
     "moran_w",
     "diameter_lb",
+    "pca1",
 ]
 
 

@@ -485,6 +485,64 @@ FROM adj GROUP BY 1, 2"""
 GI_HOT = 1.645  # one-sided 95% z threshold
 
 
+PCA_ROUNDS, PCA_VSCALE = 6, 1 << 20
+
+
+def q_pca1(sf_dir: str):
+    """Top principal direction of the embeddings — integer power
+    iteration on the distributed exact Gram matrix (pagerank's
+    fixed-point discipline applied to PCA): the only corpus pass is
+    the constant-size gram combiner; 6 exact-int matvec rounds with
+    max-normalization run on the bounded d x d finale; Rayleigh
+    quotient eigenvalue value-checked
+    (stages/cluster.py:gram_power_iteration)."""
+    from ..stages.cluster import gram_power_iteration
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return gram_power_iteration(emb, dim=SCORE_DIM, scale=GRAM_SCALE,
+                                rounds=PCA_ROUNDS, vscale=PCA_VSCALE)
+
+
+def _sql_pca1() -> str:
+    vs = PCA_VSCALE
+    ctes = [f"""el AS (SELECT vec_id, d.d AS d,
+                   CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE)
+                              * {GRAM_SCALE}.0) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range({SCORE_DIM})) AS d) d)""",
+            f"""agg AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s
+  FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.d >= a.d
+  GROUP BY 1, 2)""",
+            """gf AS MATERIALIZED (
+  SELECT i, j, s FROM agg
+  UNION ALL
+  SELECT j, i, s FROM agg WHERE j <> i)""",
+            f"""v0 AS MATERIALIZED (
+  SELECT unnest(range({SCORE_DIM})) AS d,
+         CAST({vs} AS HUGEINT) AS v)"""]
+    for k in range(1, PCA_ROUNDS + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT g.i AS d, SUM(CAST(g.s AS HUGEINT) * v.v) AS w
+  FROM gf g JOIN v{k - 1} v ON v.d = g.j GROUP BY 1)""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT MAX(ABS(w)) AS m FROM w{k})""")
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT d, (w * {vs} - (((w * {vs}) % m) + m) % m) // m AS v
+  FROM w{k}, m{k})""")
+    last = f"v{PCA_ROUNDS}"
+    ctes.append(f"""nm AS (
+  SELECT SUM(CAST(a.v AS HUGEINT) * g.s * b.v) AS num
+  FROM gf g JOIN {last} a ON a.d = g.i JOIN {last} b ON b.d = g.j)""")
+    ctes.append(f"""dn AS (
+  SELECT SUM(CAST(v AS HUGEINT) * v) AS den FROM {last})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT t.d, CAST(t.v AS BIGINT) AS v,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       / {GRAM_SCALE * GRAM_SCALE}.0 AS eig
+FROM {last} t, nm, dn""")
+
+
 def q_hotspot_docs(sf_dir: str):
     """Composed geo-curation: per-language doc counts restricted to
     STATISTICALLY HOT cells (Gi* > 1.645) — the 'sample from activity
@@ -9477,6 +9535,7 @@ def build_oracles() -> dict[str, str]:
         "moran": _sql_moran(),
         "moran_w": _sql_moran_w(),
         "diameter_lb": _sql_diameter_lb(),
+        "pca1": _sql_pca1(),
         "gi_star": _sql_gi_star(),
         "variogram": _sql_variogram(),
         "dissolve": _sql_dissolve(),
@@ -10390,6 +10449,7 @@ def build_queries() -> dict:
         "moran": q_moran,
         "moran_w": q_moran_w,
         "diameter_lb": q_diameter_lb,
+        "pca1": q_pca1,
         "gi_star": q_gi_star,
         "variogram": q_variogram,
         "dissolve": q_dissolve,

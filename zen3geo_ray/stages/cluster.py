@@ -821,6 +821,62 @@ def centroid_cosine_pairs(ds, *, vec_col: str = "embedding",
                      "cos": pa.array(cos_, pa.float64())})
 
 
+def gram_power_iteration(ds, *, vec_col: str = "embedding",
+                         dim: int = 64, scale: int = 1 << 16,
+                         rounds: int = 6, vscale: int = 1 << 20,
+                         n_buckets: int = 8) -> pa.Table:
+    """Top PRINCIPAL DIRECTION of the embedding column — integer
+    power iteration on the distributed exact Gram matrix (the pagerank
+    fixed-point discipline applied to PCA):
+
+        w = S v  (exact Python-int matvec on the d x d integer Gram)
+        v <- floor(w * vscale / max|w|)   (max-normalization)
+
+    from v0 = vscale * 1.  Every round is integer-exact, and the
+    floor-div of SIGNED ints mirrors in SQL as
+    ``(a - (((a % m) + m) % m)) // m`` (nonneg-remainder identity —
+    DuckDB's // truncates, Python's floors; the identity makes both
+    compute floor).  Finale: the Rayleigh quotient
+    eig = (v'Sv / v'v) / scale^2 — one shared float shape, the top
+    eigenvalue of the gram matrix.  Output (d, v, eig): the int64
+    direction vector (max-normalized to ±vscale) + the eigenvalue
+    repeated per row.
+
+    Distributed shape: the ONLY corpus pass is gram_matrix's
+    constant-size combiner reduce; the d x d iteration is a bounded
+    driver finale (d <= a few hundred)."""
+    g = gram_matrix(ds, vec_col=vec_col, dim=dim, scale=scale,
+                    n_buckets=n_buckets).to_pandas()
+    s_full = [[0] * dim for _ in range(dim)]
+    for r in g.itertuples():
+        i, j, s = int(r.i), int(r.j), int(r.s)
+        s_full[i][j] = s
+        s_full[j][i] = s
+
+    def fdiv(a: int, m: int) -> int:
+        return (a - (((a % m) + m) % m)) // m
+
+    v = [vscale] * dim
+    for _ in range(rounds):
+        w = [sum(s_full[i][j] * v[j] for j in range(dim))
+             for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [fdiv(x * vscale, m) for x in w]
+
+    num = sum(v[i] * s_full[i][j] * v[j]
+              for i in range(dim) for j in range(dim))
+    den = sum(x * x for x in v)
+    eig = (float(num) / float(den) / float(scale * scale)) \
+        if den else None
+    return pa.table({
+        "d": pa.array(list(range(dim)), pa.int64()),
+        "v": pa.array(v, pa.int64()),
+        "eig": pa.array([eig] * dim, pa.float64()),
+    })
+
+
 def gram_matrix(ds, *, vec_col: str = "embedding", dim: int = 64,
                 scale: int = 1 << 16, n_buckets: int = 8):
     """EXACT integer Gram matrix of the quantized embedding column —
