@@ -373,3 +373,47 @@ def test_api_spatial_stats_surface(ray_session):
     gm = api.from_arrow(emb).gram(dim=2, scale=1 << 8,
                                   n_buckets=2).to_pandas()
     assert len(gm) == 3
+
+
+def test_api_session4_surface(ray_session, tmp_path):
+    """Fluent wiring of the late session-4 terminals."""
+    cells = pa.table({"cell": pa.array([0, 1, 8, 9, 9, 3] * 5,
+                                       pa.int64())})
+    p = api.from_arrow(cells)
+    assert "lisa" in p.lisa(res=2, n_buckets=2).to_pandas().columns
+    assert len(p.voronoi_assign(res=2, max_dist=1,
+                                n_buckets=2).to_pandas()) > 0
+    e = p.emerging_hotspots(str(tmp_path / "st"), res=2,
+                            n_buckets=2).to_pandas()
+    assert set(e.columns) >= {"cell", "gi_new", "status"}
+
+    ts = pa.table({"ts": pa.array(
+        np.arange(20, dtype=np.int64) * 3_600_000_000,
+        pa.timestamp("us"))})
+    t = api.from_arrow(ts).temporal_hotspots(n_buckets=2).to_pandas()
+    assert len(t) == 20
+
+    emb = pa.table({"embedding": pa.array(
+        [[1.0, 0.1], [0.9, -0.1], [1.1, 0.0]], pa.list_(pa.float32()))})
+    pc1 = api.from_arrow(emb).pca_top(dim=2, scale=1 << 8,
+                                      rounds=4, n_buckets=2).to_pandas()
+    assert abs(int(pc1.v.iloc[0])) == (1 << 20)  # axis-0 dominant
+
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    ep = api.from_arrow(edges)
+    assert int(ep.diameter_lb(max_hops=8).to_pandas()
+               .diameter_lb.iloc[0]) == 3
+    rc = ep.rich_club(ks=[1], n_buckets=2).to_pandas()
+    assert int(rc.n_k.iloc[0]) == 2  # two deg-2 nodes
+
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["a a a b b c"])})
+    z = api.from_arrow(docs).zipf(top_v=3, n_buckets=2).to_pandas()
+    assert int(z.v.iloc[0]) == 3
+
+    wds = api.from_arrow(pa.table({
+        "key": pa.array(["k0", "k1"]),
+        "img": pa.array([b"x", b"y"], pa.binary()),
+    })).write_tar_shards(str(tmp_path / "wds"), key_col="key")
+    assert len(wds) >= 1

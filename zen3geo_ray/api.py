@@ -669,6 +669,67 @@ class Pipe:
 
         return Pipe(gram_matrix(self.ds, **kwargs))
 
+    def lisa(self, res: int, **kwargs) -> pa.Table:
+        """Per-cell local Moran's I (terminal)."""
+        from .stages.spatial_stats import local_moran
+
+        return local_moran(self.ds, res=res, **kwargs)
+
+    def temporal_hotspots(self, **kwargs) -> pa.Table:
+        """1-D Gi* burst detection over time bins (terminal)."""
+        from .stages.spatial_stats import temporal_gi
+
+        return temporal_gi(self.ds, **kwargs)
+
+    def emerging_hotspots(self, store_dir: str, res: int,
+                          **kwargs) -> pa.Table:
+        """Cross-run Gi* monitoring against a persistent cell-count
+        store (terminal)."""
+        from .stages.spatial_stats import emerging_hotspots
+
+        return emerging_hotspots(self.ds, store_dir, res=res, **kwargs)
+
+    def voronoi_assign(self, res: int, **kwargs) -> pa.Table:
+        """Nearest-occupied-cell assignment for empty cells
+        (terminal)."""
+        from .stages.spatial_stats import proximity_label
+
+        return proximity_label(self.ds, res=res, **kwargs)
+
+    def pca_top(self, **kwargs) -> pa.Table:
+        """Top principal component of the embedding column via integer
+        power iteration on the distributed Gram (terminal)."""
+        from .stages.cluster import gram_power_iteration
+
+        return gram_power_iteration(self.ds, **kwargs)
+
+    def rich_club(self, ks: list, **kwargs) -> pa.Table:
+        """Rich-club coefficient curve over (src, dst) edges
+        (terminal)."""
+        from .stages.graph import rich_club
+
+        return rich_club(self.ds, ks=ks, **kwargs)
+
+    def diameter_lb(self, **kwargs) -> pa.Table:
+        """Double-sweep diameter lower bound (terminal)."""
+        from .stages.graph import diameter_double_sweep
+
+        return diameter_double_sweep(self.ds, **kwargs)
+
+    def zipf(self, **kwargs) -> pa.Table:
+        """Zipf rank-frequency slope over the text column
+        (terminal)."""
+        from .stages.ngrams import zipf_fit
+
+        return zipf_fit(self.ds, **kwargs)
+
+    def write_tar_shards(self, out_dir: str, **kwargs) -> list:
+        """WebDataset tar-shard sink (terminal; returns shard
+        paths)."""
+        from .sources.tarshards import write_tar_shards
+
+        return write_tar_shards(self.ds, out_dir, **kwargs)
+
     def write_parquet(self, path: str, **kwargs):
         return self.ds.write_parquet(path, **kwargs)
 
