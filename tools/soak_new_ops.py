@@ -292,12 +292,54 @@ def soak_spatial_stats(n_pts: int = 20_000_000, res: int = 10):
     return out
 
 
+def soak_tarshards(n_samples: int = 1_000_000, payload: int = 256):
+    """1M (key, img, txt) samples -> WebDataset tar shards -> read
+    back; measures sink and source throughput (disk-bound)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from zen3geo_ray.sources.tarshards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        keys = [f"{v:09d}" for v in i.tolist()]
+        imgs = [bytes([v % 256]) * payload for v in i.tolist()]
+        txts = [f"caption {v}" for v in i.tolist()]
+        return pa.table({"key": pa.array(keys),
+                         "img": pa.array(imgs, pa.binary()),
+                         "txt": pa.array(txts)})
+
+    ds = rd.range(n_samples, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="wds_soak_")
+    try:
+        t0 = time.perf_counter()
+        paths = write_tar_shards(ds, out, key_col="key")
+        w = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_back = read_tar_shards(out).count()
+        r = time.perf_counter() - t0
+        return {"soak": "tarshards", "n_samples": n_samples,
+                "shards": len(paths), "write_sec": round(w, 2),
+                "read_sec": round(r, 2), "n_back": n_back,
+                "write_samples_per_sec": round(n_samples / w),
+                "read_samples_per_sec": round(n_samples / r)}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     _init()
     fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal,
            "hull": soak_hull, "sssp": soak_pinned_sssp,
-           "sim": soak_sim_join, "spatial": soak_spatial_stats}
+           "sim": soak_sim_join, "spatial": soak_spatial_stats,
+           "tarshards": soak_tarshards}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
