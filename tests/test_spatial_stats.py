@@ -427,3 +427,64 @@ def test_morans_i_weighted(ray_session):
     b = morans_i(_cells_ds(cells), res=RES,
                  n_buckets=2).to_pandas().iloc[0]
     assert a.moran_i == b.moran_i and a.geary_c == b.geary_c
+
+
+def test_join_counts_brute(ray_session):
+    from zen3geo_ray.stages.spatial_stats import join_count_stats
+
+    rng = np.random.default_rng(31)
+    cells = rng.integers(0, 32, size=300)
+    out = join_count_stats(_cells_ds(cells), res=RES,
+                           n_buckets=2).to_pandas().iloc[0]
+    u, x = _brute(cells)
+    pairs = _rook_w(u, RES)
+    n, s = len(u), int(x.sum())
+    black = {c: (n * int(v) > s) for c, v in zip(u.tolist(), x.tolist())}
+    # directed-once = half the ordered pairs
+    bb = sum(black[a] and black[b] for a, b in pairs) // 2
+    ww = sum((not black[a]) and (not black[b]) for a, b in pairs) // 2
+    bw = sum(black[a] != black[b] for a, b in pairs) // 2
+    nb = sum(black.values())
+    assert int(out.n_cells) == n
+    assert int(out.n_black) == nb
+    assert int(out.w_pairs) == len(pairs)
+    assert (int(out.bb), int(out.ww), int(out.bw)) == (bb, ww, bw)
+    assert int(out.bb) + int(out.ww) + int(out.bw) == len(pairs) // 2
+    assert out.e_bb == pytest.approx(
+        len(pairs) / 2 * nb * (nb - 1) / (n * (n - 1)), rel=1e-12)
+
+
+def test_join_counts_checkerboard_all_bw(ray_session):
+    """Alternating high/low occupancy -> every adjacent pair is mixed."""
+    from zen3geo_ray.stages.spatial_stats import join_count_stats
+
+    cells = []
+    for c in range(32):  # full 8x4 grid, checkerboard 3-vs-1 counts
+        x, y = c % 8, c // 8
+        cells.extend([c] * (3 if (x + y) % 2 == 0 else 1))
+    out = join_count_stats(_cells_ds(cells), res=RES,
+                           n_buckets=2).to_pandas().iloc[0]
+    assert int(out.bb) == 0 and int(out.ww) == 0
+    assert int(out.bw) == int(out.w_pairs) // 2
+
+
+def test_eb_rates_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import eb_rates
+
+    t = pa.table({"cell": pa.array([0, 0, 0, 5, 5, 9], pa.int64()),
+                  "v": pa.array([10, 20, 30, 100, 200, 6], pa.int64())})
+    out = eb_rates(rd.from_arrow(t).repartition(2), res=RES,
+                   value_col="v", m=2).to_pandas()
+    assert out.cell.tolist() == [0, 5, 9]
+    assert out.x.tolist() == [3, 2, 1]
+    assert out.v.tolist() == [60, 300, 6]
+    theta = 366.0 / 6.0  # global rate
+    assert out.raw.tolist() == [20.0, 150.0, 6.0]
+    want = [(60.0 + 2 * theta) / 5.0, (300.0 + 2 * theta) / 4.0,
+            (6.0 + 2 * theta) / 3.0]
+    assert out.smoothed.tolist() == pytest.approx(want, rel=1e-12)
+    # shrinkage: low-count cell pulled hardest toward theta
+    pull = np.abs(out.smoothed.to_numpy() - out.raw.to_numpy())
+    assert pull[2] > pull[0]

@@ -371,6 +371,81 @@ SELECT CAST({m} AS BIGINT) AS m_cells, CAST(n AS BIGINT) AS n_points,
 FROM agg"""
 
 
+def q_join_counts(sf_dir: str):
+    """Binary join-count statistics (Cliff-Ord BB/WW/BW) over the
+    occupancy histogram: marker = count strictly above the
+    occupied-cell mean (integer predicate n*x > S), rook adjacency,
+    directed-once pair counts + the free-sampling E[BB] (one float
+    division of exact ints)
+    (stages/spatial_stats.py:join_count_stats)."""
+    from ..stages.spatial_stats import join_count_stats
+
+    return join_count_stats(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_join_counts() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+{_sql_counts_cte()},
+sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s FROM counts),
+pairs AS (
+  SELECT a.x AS xa, b.x AS xb FROM counts a
+    JOIN counts b ON b.cell = a.cell + 1
+    WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.x, b.x FROM counts a
+    JOIN counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}),
+js AS (SELECT CAST(COUNT(*) AS HUGEINT) AS wd,
+  COALESCE(SUM(CASE WHEN n * xa > s AND n * xb > s
+                    THEN 1 ELSE 0 END), 0) AS bb,
+  COALESCE(SUM(CASE WHEN n * xa <= s AND n * xb <= s
+                    THEN 1 ELSE 0 END), 0) AS ww,
+  COALESCE(SUM(CASE WHEN (n * xa > s) <> (n * xb > s)
+                    THEN 1 ELSE 0 END), 0) AS bw
+  FROM pairs, sc),
+blk AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nbk
+        FROM counts, sc WHERE n * x > s)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(nbk AS BIGINT) AS n_black,
+       CAST(2 * wd AS BIGINT) AS w_pairs, CAST(bb AS BIGINT) AS bb,
+       CAST(ww AS BIGINT) AS ww, CAST(bw AS BIGINT) AS bw,
+       CASE WHEN n > 1 THEN
+         CAST(wd * nbk * (nbk - 1) AS DOUBLE)
+         / CAST(n * (n - 1) AS DOUBLE)
+       ELSE NULL END AS e_bb
+FROM sc, js, blk"""
+
+
+EB_M = 20
+
+
+def q_eb_rates(sf_dir: str):
+    """Empirical-Bayes rate smoothing per cell (the choropleth
+    rate-stabilizer): raw chars-per-doc rate v/x shrunk toward the
+    global rate with pseudo-count strength {EB_M}; integer sums, each
+    float ONE shared shape (stages/spatial_stats.py:eb_rates)."""
+    from ..stages.spatial_stats import eb_rates
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["n_chars"])
+    return eb_rates(pts, res=RES_ZONAL, value_col="n_chars", m=EB_M)
+
+
+def _sql_eb_rates() -> str:
+    return f"""
+{_sql_geo_cte(extra=", n_chars")},
+cv AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+              CAST(SUM(n_chars) AS BIGINT) AS v FROM geo GROUP BY cell),
+sc AS (SELECT CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(v) AS BIGINT) AS sv FROM cv)
+SELECT cell, x, v,
+       CAST(v AS DOUBLE) / CAST(x AS DOUBLE) AS raw,
+       (CAST(v AS DOUBLE) + {EB_M} * (CAST(sv AS DOUBLE)
+                                      / CAST(sx AS DOUBLE)))
+       / CAST(x + {EB_M} AS DOUBLE) AS smoothed
+FROM cv, sc"""
+
+
 PROX_MAX_DIST = 3
 
 
@@ -9543,6 +9618,8 @@ def build_oracles() -> dict[str, str]:
         "hotspot_docs": _sql_hotspot_docs(),
         "ripley": _sql_ripley(),
         "dispersion": _sql_dispersion(),
+        "join_counts": _sql_join_counts(),
+        "eb_rates": _sql_eb_rates(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -10457,6 +10534,8 @@ def build_queries() -> dict:
         "hotspot_docs": q_hotspot_docs,
         "ripley": q_ripley,
         "dispersion": q_dispersion,
+        "join_counts": q_join_counts,
+        "eb_rates": q_eb_rates,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

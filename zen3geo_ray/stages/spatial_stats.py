@@ -695,6 +695,102 @@ def colocation_counts(ds, *, res: int, mark_col: str,
     })
 
 
+def join_count_stats(ds, *, res: int, cell_col: str = "cell",
+                     n_buckets: int = 8) -> pa.Table:
+    """Binary join-count statistics (Cliff & Ord 1981) over the
+    occupancy histogram: marker B(lack) = cells with count STRICTLY
+    above the occupied-cell mean (integer predicate n*x > S, no
+    division), W(hite) otherwise; rook adjacency, directed-once pair
+    counts BB / WW / BW.  ``e_bb`` is the free-sampling expectation
+    W_d * nB*(nB-1) / (n*(n-1)) — ONE float division of exact ints.
+    Output one row (n_cells, n_black, w_pairs, bb, ww, bw, e_bb)."""
+    cells_, x = _histogram(ds, cell_col, n_buckets)
+    n = int(len(cells_))
+    s = _isum(x)
+    mx = int(np.abs(x).max()) if n else 0
+    if n * mx < (1 << 62):
+        black = (n * x) > s
+    else:
+        black = np.array([n * int(a) > s for a in x.tolist()], dtype=bool)
+    nb = int(black.sum())
+    ncols, nrows = _grid_dims(res)
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    wd, bb, ww, bw = 0, 0, 0, 0
+    for off, ok in ((1, nx < ncols - 1), (ncols, ny < nrows - 1)):
+        src = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[src] + off)
+        bi = black[src[found]]
+        bj = black[pos[found]]
+        wd += int(found.sum())
+        bb += int((bi & bj).sum())
+        ww += int((~bi & ~bj).sum())
+        bw += int((bi ^ bj).sum())
+    e_bb = (float(wd * nb * (nb - 1)) / float(n * (n - 1))
+            if n > 1 else None)
+    return pa.table({
+        "n_cells": pa.array([n], pa.int64()),
+        "n_black": pa.array([nb], pa.int64()),
+        "w_pairs": pa.array([2 * wd], pa.int64()),
+        "bb": pa.array([bb], pa.int64()),
+        "ww": pa.array([ww], pa.int64()),
+        "bw": pa.array([bw], pa.int64()),
+        "e_bb": pa.array([e_bb], pa.float64()),
+    })
+
+
+def eb_rates(ds, *, res: int, cell_col: str = "cell",
+             value_col: str, m: int = 20,
+             n_buckets: int = 8) -> pa.Table:
+    """Empirical-Bayes rate smoothing (the choropleth rate-stabilizer,
+    Marshall 1991 shape): per-cell raw rate v/x shrunk toward the
+    global rate theta = SV/SX with pseudo-count strength ``m``:
+
+        smoothed = (v + m * theta) / (x + m)
+
+    x = per-cell record count, v = per-cell integer ``value_col`` sum;
+    theta and each smoothed rate are the ONLY float operations and
+    share one parenthesization with the SQL mirror.  Output
+    (cell, x, v, raw, smoothed) sorted by cell."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        xs = np.zeros(len(u), dtype=np.int64)
+        vs = np.zeros(len(u), dtype=np.int64)
+        np.add.at(xs, inv, 1)
+        np.add.at(vs, inv, v)
+        return pa.table({"cell": pa.array(u), "x": pa.array(xs),
+                         "v": pa.array(vs)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cell", as_index=False)[["x", "v"]].sum()
+
+    df = bucketed_groupby(parts, ["cell"], fold,
+                          n_buckets=n_buckets).to_pandas()
+    df = df.sort_values("cell", kind="mergesort")
+    cells_ = df["cell"].to_numpy().astype(np.int64)
+    x = df["x"].to_numpy().astype(np.int64)
+    v = df["v"].to_numpy().astype(np.int64)
+    sx = _isum(x)
+    sv = _isum(v)
+    theta = float(sv) / float(sx) if sx else 0.0
+    raw = [float(int(a)) / float(int(b)) for a, b in
+           zip(v.tolist(), x.tolist())]
+    smoothed = [(float(int(a)) + m * theta) / float(int(b) + m)
+                for a, b in zip(v.tolist(), x.tolist())]
+    return pa.table({
+        "cell": pa.array(cells_),
+        "x": pa.array(x),
+        "v": pa.array(v),
+        "raw": pa.array(raw, pa.float64()),
+        "smoothed": pa.array(smoothed, pa.float64()),
+    })
+
+
 def semivariogram(ds, *, res: int, max_lag: int = 3,
                   cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
     """Empirical semivariogram over Chebyshev cell-ring lags 1..max_lag:
