@@ -477,3 +477,55 @@ def test_interval_union_length_reference(ray_session):
                 hi = e
         assert got[k] == (len(ivs), cov), k
     assert got[9] == (4, 30)  # touching merges, nested absorbs
+
+
+def test_kmv_exact_below_k(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sketch import kmv_distinct
+
+    t = pa.table({"g": pa.array(["a"] * 40 + ["b"] * 10),
+                  "v": pa.array(list(range(20)) * 2 + list(range(5)) * 2,
+                                pa.int64())})
+    out = kmv_distinct(rd.from_arrow(t).repartition(3), ["g"], "v",
+                       k=64).to_pandas().sort_values("g")
+    # below k: exact distinct counts, est == n_kept
+    assert out.n_kept.tolist() == [20, 5]
+    assert out.est.tolist() == [20.0, 5.0]
+
+
+def test_kmv_estimate_envelope(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sketch import kmv_distinct
+
+    n = 20_000
+    t = pa.table({"g": pa.array(["x"] * n),
+                  "v": pa.array(np.arange(n, dtype=np.int64))})
+    k = 256
+    out = kmv_distinct(rd.from_arrow(t).repartition(8), ["g"], "v",
+                       k=k).to_pandas().iloc[0]
+    assert int(out.n_kept) == k
+    # KMV relative error ~ 1/sqrt(k-2) ~ 6%; allow 4 sigma
+    assert abs(float(out.est) - n) / n < 0.25
+    # mergeability: one block must give the identical sketch
+    one = kmv_distinct(rd.from_arrow(t).repartition(1), ["g"], "v",
+                       k=k).to_pandas().iloc[0]
+    assert one.kth == out.kth and one.est == out.est
+
+
+def test_benford_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.profile import BENFORD_P, benford_profile
+
+    # 100, 2xx, 9xxx -> digits 1, 2, 9; zeros and negatives drop
+    t = pa.table({"v": pa.array([100, 250, 299, 9001, 0, -7], pa.int64())})
+    out = benford_profile(rd.from_arrow(t).repartition(2),
+                          "v").to_pandas()
+    assert out.digit.tolist() == [1, 2, 9]
+    assert out.obs.tolist() == [1, 2, 1]
+    assert out.exp.tolist() == [4 * BENFORD_P[0], 4 * BENFORD_P[1],
+                                4 * BENFORD_P[8]]
+    e = 4 * BENFORD_P[1]
+    assert out.chi2_term.iloc[1] == (2.0 - e) * (2.0 - e) / e

@@ -4457,6 +4457,88 @@ def q_pcont(sf_dir: str):
 APPROX_P = 6  # 64 registers for the oracle query; production default 2^12
 
 
+def q_benford(sf_dir: str):
+    """Benford's-law first-digit audit of order totals (the fraud /
+    data-quality screen): per digit the observed count, expected count
+    n*log10(1+1/d) from PRECOMPUTED constants inlined identically in
+    the SQL (the ndcg no-libm discipline) and the chi-square
+    contribution — one shared float shape
+    (stages/profile.py:benford_profile)."""
+    from ..stages.profile import benford_profile
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(
+            np.rint(v * 100.0).astype(np.int64))})
+
+    o = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        to_cents, batch_format="pyarrow")
+    return benford_profile(o, "cents")
+
+
+def _sql_benford() -> str:
+    from ..stages.profile import BENFORD_P
+
+    p_case = " ".join(f"WHEN {d} THEN {BENFORD_P[d - 1]!r}"
+                      for d in range(1, 10))
+    return f"""
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders),
+dg AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit FROM c WHERE cents > 0),
+hist AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs
+         FROM dg GROUP BY digit),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM hist)
+SELECT digit, obs,
+       CAST(n AS DOUBLE) * (CASE digit {p_case} END) AS exp,
+       (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE)
+          * (CASE digit {p_case} END))
+       * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE)
+          * (CASE digit {p_case} END))
+       / (CAST(n AS DOUBLE) * (CASE digit {p_case} END)) AS chi2_term
+FROM hist, tot"""
+
+
+KMV_K = 64
+
+
+def q_kmv(sf_dir: str):
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    the order-statistics sibling of approx_users: keep the 64 smallest
+    distinct mulrot64 hashes per key (mergeable min-k blobs, <=512
+    bytes per (key, block) shuffle), estimate (k-1)*2^64/h_(k) as ONE
+    float division of exactly-cast integers; below k hashes the count
+    is exact (stages/sketch.py:kmv_distinct)."""
+    from ..functions.hashing import mulrot64
+    from ..stages.sketch import kmv_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_distinct(ev, ["event_type"], "user_id",
+                        k=KMV_K, hasher=mulrot64)
+
+
+def _sql_kmv() -> str:
+    from ..functions.hashing import sql_mulrot_ctes
+
+    k = KMV_K
+    num = (k - 1) << 64
+    return f"""
+WITH src AS (SELECT DISTINCT event_type, user_id FROM events),
+{sql_mulrot_ctes('src', 'event_type',
+                 'CAST(user_id AS HUGEINT) + 40503')},
+dh AS (SELECT DISTINCT event_type, h FROM mh),
+rk AS (SELECT event_type, h,
+       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM dh),
+agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(h) AS kth FROM rk WHERE rn <= {k} GROUP BY 1)
+SELECT event_type, n_kept, CAST(kth AS DOUBLE) AS kth,
+       CASE WHEN n_kept = {k} AND kth > 0 THEN
+         CAST(CAST({num} AS HUGEINT) AS DOUBLE) / CAST(kth AS DOUBLE)
+       ELSE CAST(n_kept AS DOUBLE) END AS est
+FROM agg"""
+
+
 def q_approx_users(sf_dir: str):
     """APPROXIMATE distinct users per event type via HyperLogLog —
     VALUE-CHECKED floats: every register is integer-exact (mulrot64
@@ -10180,6 +10262,8 @@ GROUP BY e.user_id, w.win
             f"FROM events) WHERE rn <= {STRAT_N}"
         ),
         "approx_users": _sql_approx_users(),
+        "kmv": _sql_kmv(),
+        "benford": _sql_benford(),
         "hll_overlap": _sql_hll_overlap(),
         "cms_users": _sql_cms_users(),
         "heavy_hitters": (
@@ -10653,6 +10737,8 @@ def build_queries() -> dict:
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
         "approx_users": q_approx_users,
+        "kmv": q_kmv,
+        "benford": q_benford,
         "hll_overlap": q_hll_overlap,
         "cms_users": q_cms_users,
         "strat_sample": q_strat_sample,

@@ -150,3 +150,58 @@ def histogram(ds, col: str, lo: int, width: int, n_bins: int,
         lambda b: b.rename_columns([bin_col, count_col]),
         batch_format="pyarrow",
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9 —
+#: PRECOMPUTED constants inlined identically into the SQL oracle (the
+#: ndcg discipline: no libm call on either side at query time).
+BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def benford_profile(ds, value_col: str, n_buckets: int = 4) -> pa.Table:
+    """Benford's-law first-digit audit of a POSITIVE integer column:
+    per digit d = 1..9 the observed count, the expected count
+    n * log10(1+1/d) (precomputed constants, ONE multiply) and the
+    chi-square contribution (obs-exp)^2/exp (one shared float shape,
+    SQL-mirrored).  Digits are found by repeated integer division —
+    combiner-first 9-bin histograms, one tiny shuffle.
+    Output (digit, obs, exp, chi2_term)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[v > 0]
+        while len(v) and int(v.max()) >= 10:
+            v = np.where(v >= 10, v // 10, v)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"digit": pa.array(u, pa.int64()),
+                         "obs": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("digit", as_index=False)["obs"].sum()
+
+    from .bucketed import bucketed_groupby
+
+    df = bucketed_groupby(parts, ["digit"], fold,
+                          n_buckets=n_buckets).to_pandas()
+    df = df.sort_values("digit", kind="mergesort")
+    n = int(df["obs"].sum())
+    digits = df["digit"].to_numpy().astype(np.int64)
+    obs = df["obs"].to_numpy().astype(np.int64)
+    exp, term = [], []
+    for d, o in zip(digits.tolist(), obs.tolist()):
+        e = float(n) * BENFORD_P[d - 1]
+        exp.append(e)
+        diff = float(o) - e
+        term.append(diff * diff / e)
+    return pa.table({
+        "digit": pa.array(digits),
+        "obs": pa.array(obs),
+        "exp": pa.array(exp, pa.float64()),
+        "chi2_term": pa.array(term, pa.float64()),
+    })

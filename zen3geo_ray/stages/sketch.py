@@ -556,3 +556,77 @@ def grouped_approx_quantiles(ds, key_cols: list[str], value_col: str,
         return pd.DataFrame(out_rows)
 
     return bucketed_groupby(parts, key_cols, merge, n_buckets=n_buckets)
+
+
+# --- k-minimum-values distinct sketch --------------------------------------
+
+
+def kmv_distinct(ds, key_cols: list[str], value_col: str,
+                 k: int = 64, hasher=splitmix64):
+    """groupby(key) -> KMV (k-minimum-values, Bar-Yossef et al. 2002)
+    distinct estimate of ``value_col``: keep the k smallest DISTINCT
+    64-bit hash values per key; with a full sketch the estimator is
+    (k-1) * 2^64 / h_(k), with fewer than k hashes the count is exact.
+
+    Partial: per (key, block) the k smallest unique hashes as ONE
+    fixed-bound binary blob (<= 8k bytes) — the shuffle moves blobs,
+    never raw values; final: merge-unique-truncate per key (min-k is
+    mergeable by construction).  ``hasher=mulrot64`` makes every column
+    SQL-mirrorable (the ``kmv`` oracle VALUE-checks est/kth — uint64
+    order equals nonneg HUGEINT order, and both sides share the one
+    float division); the splitmix64 default cannot be mirrored.
+
+    Returns (key_cols..., n_kept, kth, est): kth = the k-th smallest
+    hash as an exactly-cast DOUBLE (uint64 exceeds int64), est the
+    distinct-count estimate."""
+    ksmall = int(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        h = hasher(vals.astype(np.uint64) + np.uint64(0x9E37))
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in key_cols})
+        df["_h"] = h
+        keys = {c: [] for c in key_cols}
+        blobs = []
+        for kv, g in df.groupby(key_cols, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            hs = np.unique(g["_h"].to_numpy())[:ksmall]  # sorted ascending
+            for c, v in zip(key_cols, kv):
+                keys[c].append(v)
+            blobs.append(hs.tobytes())
+        out = {c: pa.array(keys[c]) for c in key_cols}
+        out["kmv"] = pa.array(blobs, pa.binary())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [] for c in key_cols}
+        n_kept, kth, est = [], [], []
+        for kv, grp in g.groupby(key_cols, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            hs = np.unique(np.concatenate(
+                [np.frombuffer(b, dtype=np.uint64) for b in grp["kmv"]]
+            ))[:ksmall]
+            for c, v in zip(key_cols, kv):
+                keys[c].append(v)
+            n = int(len(hs))
+            n_kept.append(n)
+            hk = int(hs[-1]) if n else 0
+            kth.append(float(hk) if n else None)
+            if n == ksmall and hk > 0:
+                est.append(float((ksmall - 1) << 64) / float(hk))
+            else:
+                est.append(float(n))
+        out = {c: keys[c] for c in key_cols}
+        out["n_kept"] = np.asarray(n_kept, dtype=np.int64)
+        out["kth"] = np.asarray(kth, dtype=np.float64)
+        out["est"] = np.asarray(est, dtype=np.float64)
+        return pd.DataFrame(out)
+
+    from .bucketed import bucketed_groupby
+
+    return bucketed_groupby(partials, key_cols, fold)
