@@ -1549,3 +1549,114 @@ def test_diameter_double_sweep_path_and_star(ray_session):
     # start = node 0 (the hub): ecc1 = 1, far = 1, ecc2 = 2
     assert (int(out.ecc1), int(out.ecc2), int(out.diameter_lb)) \
         == (1, 2, 2)
+
+
+def _symm(src, dst):
+    return (np.concatenate([src, dst]), np.concatenate([dst, src]))
+
+
+def test_mis_independent_and_maximal(ray_session):
+    from zen3geo_ray.stages.graph import maximal_independent_set
+
+    src, dst = _random_graph(seed=11)
+    s, d = _symm(src, dst)
+    ds = rd.from_arrow(pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+    out = maximal_independent_set(ds, rounds=8).to_pandas()
+    mis = set(out.node.tolist())
+    adj = {}
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj.setdefault(a, set()).add(b)
+    # independence: no two MIS nodes adjacent
+    for v in mis:
+        assert not (adj.get(v, set()) & mis)
+    # maximality: every non-MIS node has an MIS neighbor
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, f"node {v} uncovered"
+
+
+def test_mis_paths_bit_parity(ray_session):
+    from zen3geo_ray.stages.graph import maximal_independent_set
+
+    src, dst = _random_graph(seed=13, n_nodes=80, n_edges=300)
+    s, d = _symm(src, dst)
+    ds = rd.from_arrow(pa.table({"src": pa.array(s),
+                                 "dst": pa.array(d)})).repartition(3)
+    a = maximal_independent_set(ds, rounds=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = maximal_independent_set(ds, rounds=8,
+                                broadcast_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.node.tolist() == b.node.tolist()
+    assert a["round"].tolist() == b["round"].tolist()
+
+
+def test_butterfly_k22_golden(ray_session):
+    from zen3geo_ray.stages.graph import butterfly_count
+
+    # K_{2,2}: exactly one butterfly; caterpillars = 4 edges x 1 x 1
+    t = pa.table({"src": pa.array([0, 0, 2, 2], pa.int64()),
+                  "dst": pa.array([1, 3, 1, 3], pa.int64())})
+    out = butterfly_count(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert int(out.butterflies) == 1
+    assert int(out.caterpillars) == 4
+    assert out.bf_cc == 1.0
+
+
+def test_butterfly_paths_and_sides_agree(ray_session):
+    from zen3geo_ray.stages.graph import butterfly_count
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 40, 400).astype(np.int64) * 2
+    b = rng.integers(0, 12, 400).astype(np.int64) * 2 + 1
+    ds = rd.from_arrow(pa.table({"src": pa.array(a),
+                                 "dst": pa.array(b)})).repartition(3)
+    ref = butterfly_count(ds).to_pandas().iloc[0]
+    # brute force: codegree over the left side
+    import itertools
+    pairs = set(zip(a.tolist(), b.tolist()))
+    nb = {}
+    for x, y in pairs:
+        nb.setdefault(x, set()).add(y)
+    bf = 0
+    for x, y in itertools.combinations(sorted(nb), 2):
+        c = len(nb[x] & nb[y])
+        bf += c * (c - 1) // 2
+    assert int(ref.butterflies) == bf
+    # bucketed degree-attach path agrees
+    alt = butterfly_count(ds, broadcast_threshold=0).to_pandas().iloc[0]
+    assert int(alt.butterflies) == bf
+    assert int(alt.caterpillars) == int(ref.caterpillars)
+
+
+def test_harmonic_path_graph_golden(ray_session):
+    from zen3geo_ray.stages.graph import harmonic_centrality
+
+    # path 0-1-2-3-4, seed node 0: d = 1,2,3,4 but max_hops=3
+    e = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 4], pa.int64())})
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+    out = harmonic_centrality(rd.from_arrow(e), seeds,
+                              max_hops=3).to_pandas().iloc[0]
+    q = 1 << 16
+    want = q // 1 + q // 2 + q // 3
+    assert int(out.n_reached) == 3
+    assert int(out.h_q) == want
+    assert out.harmonic == float(want) / float(q)
+
+
+def test_harmonic_paths_bit_parity(ray_session):
+    from zen3geo_ray.stages.graph import harmonic_centrality
+
+    src, dst = _random_graph(seed=23, n_nodes=60, n_edges=240)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(3)
+    a = harmonic_centrality(ds, n_seeds=4, max_hops=3).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    b = harmonic_centrality(ds, n_seeds=4, max_hops=3,
+                            broadcast_threshold=0).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    assert a.seed.tolist() == b.seed.tolist()
+    assert a.h_q.tolist() == b.h_q.tolist()
+    assert a.n_reached.tolist() == b.n_reached.tolist()
+    assert a.harmonic.tolist() == b.harmonic.tolist()

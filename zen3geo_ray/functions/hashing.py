@@ -135,3 +135,38 @@ def sql_mulrot_ctes(src: str, cols: str, x_expr: str) -> str:
         f"mh AS (SELECT {cols}, "
         f"((((t % 4294967296) * 4294967296 + t // 4294967296) "
         f"* {MULROT_K2} + {MULROT_C2}) % {_W64}) AS h FROM m1)")
+
+
+# 63-bit BIJECTIVE mixer: multiply-by-odd mod 2^63, 63-bit rotate
+# (= two disjoint-bit terms), multiply-by-odd mod 2^63.  Each step is a
+# bijection on [0, 2^63), so DISTINCT inputs < 2^63 get DISTINCT
+# priorities — the tie-free guarantee Luby-style symmetry breaking
+# needs (stages/graph.py:maximal_independent_set).  Values stay below
+# 2^63, so they survive pandas nullable-int padding and signed BIGINT
+# columns; products stay < 2^126 in DuckDB HUGEINT.
+_W63 = 1 << 63
+
+
+def mulrot63(x) -> np.ndarray:
+    """SQL-mirrorable 63-bit bijection (see ``sql_mulrot63_ctes``)."""
+    x = np.asarray(x, dtype=np.uint64)
+    m63 = np.uint64(_W63 - 1)
+    with np.errstate(over="ignore"):
+        h = (x * np.uint64(MULROT_K1) + np.uint64(MULROT_C1)) & m63
+        h = (((h & np.uint64(0x7FFFFFFF)) << np.uint64(32))
+             | (h >> np.uint64(31)))
+        h = (h * np.uint64(MULROT_K2) + np.uint64(MULROT_C2)) & m63
+    return h
+
+
+def sql_mulrot63_ctes(src: str, cols: str, x_expr: str) -> str:
+    """CTE pair mirroring ``mulrot63`` bit for bit; ``x_expr`` must be
+    HUGEINT-typed and in [0, 2^63).  Final CTE ``mh63`` exposes
+    (``cols``, h)."""
+    return (
+        f"m63a AS (SELECT {cols}, "
+        f"((({x_expr}) * {MULROT_K1} + {MULROT_C1}) % {_W63}) AS t "
+        f"FROM {src}), "
+        f"mh63 AS (SELECT {cols}, "
+        f"((((t % 2147483648) * 4294967296 + t // 2147483648) "
+        f"* {MULROT_K2} + {MULROT_C2}) % {_W63}) AS h FROM m63a)")

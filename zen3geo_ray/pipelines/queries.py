@@ -9208,6 +9208,149 @@ SELECT s AS seed, CAST(MAX(d) AS BIGINT) AS ecc,
 FROM r{STRESS_HOPS} GROUP BY 1""")
 
 
+HARM_QUANT = 1 << 16
+
+
+def q_harmonic(sf_dir: str):
+    """Bounded-hop HARMONIC centrality of the top-degree hubs over the
+    same co-purchase sigma BFS as stress/seed_reach: Σ 1/d over nodes
+    within 3 hops with 1/d QUANTIZED as 65536 // d (integer sums are
+    order-free; the float is one shared /65536.0)
+    (stages/graph.py:harmonic_centrality)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import harmonic_centrality
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(STRESS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return harmonic_centrality(prs, n_seeds=STRESS_K,
+                               max_hops=STRESS_HOPS, quant=HARM_QUANT)
+
+
+def _sql_harmonic() -> str:
+    q = HARM_QUANT
+    return (_sql_sigma_bfs_ctes() + f"""
+SELECT s AS seed,
+       CAST(COUNT(CASE WHEN d >= 1 THEN 1 END) AS BIGINT) AS n_reached,
+       CAST(COALESCE(SUM(CASE WHEN d >= 1 THEN {q} // d END), 0)
+            AS BIGINT) AS h_q,
+       CAST(COALESCE(SUM(CASE WHEN d >= 1 THEN {q} // d END), 0)
+            AS BIGINT) / {float(q)!r} AS harmonic
+FROM r{STRESS_HOPS} GROUP BY 1""")
+
+
+def q_butterfly(sf_dir: str):
+    """Exact BUTTERFLY (4-cycle) census of the bipartite
+    customer-supplier trade graph: butterflies Σ C(codeg,2),
+    caterpillars Σ (da-1)(db-1) per edge, bipartite clustering 4B/C —
+    wedge centers on the cheaper side (identical counts either side),
+    combiner-first pair reduce (stages/graph.py:butterfly_count)."""
+    from ..stages.graph import butterfly_count, distinct_tuples
+    from ..stages.hashjoin import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_join(li, orders, ["o_orderkey"])
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2), "dst": pa.array(s * 2 + 1)})
+
+    bip = distinct_tuples(
+        pairs.map_batches(to_nodes, batch_format="pyarrow"),
+        ["src", "dst"])
+    return butterfly_count(bip)
+
+
+def _sql_butterfly() -> str:
+    return """
+WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+                      l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+da AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+db AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY 1),
+codeg AS MATERIALIZED (SELECT p.b AS u, q.b AS v,
+                              CAST(COUNT(*) AS HUGEINT) AS c
+  FROM pairs p JOIN pairs q ON q.a = p.a AND p.b < q.b GROUP BY 1, 2),
+bf AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS bfv FROM codeg),
+cat AS (SELECT COALESCE(SUM(CAST(x.d - 1 AS HUGEINT) * (y.d - 1)), 0)
+               AS cv
+  FROM pairs p JOIN da x ON x.a = p.a JOIN db y ON y.b = p.b)
+SELECT CAST(bfv AS BIGINT) AS butterflies,
+       CAST(cv AS BIGINT) AS caterpillars,
+       CASE WHEN cv > 0 THEN
+         CAST(4 * bfv AS DOUBLE) / CAST(cv AS DOUBLE)
+       ELSE NULL END AS bf_cc
+FROM bf, cat"""
+
+
+MIS_ROUNDS = 6
+
+
+def q_mis(sf_dir: str):
+    """Deterministic Luby MAXIMAL INDEPENDENT SET over the symmetric
+    trade graph: tie-free 63-bit BIJECTIVE priorities (mulrot63), 6
+    fixed rounds (winner = strictly smallest priority in its alive
+    neighborhood; winners + neighbors leave), broadcast/bucketed dual
+    paths (stages/graph.py:maximal_independent_set)."""
+    from ..stages.graph import maximal_independent_set
+
+    return maximal_independent_set(_trade_edges(sf_dir),
+                                   rounds=MIS_ROUNDS)
+
+
+def _sql_mis() -> str:
+    from ..functions.hashing import sql_mulrot63_ctes
+
+    ctes = [
+        _SQL_GRAPH_EDGES,
+        "nodes AS (SELECT DISTINCT src AS v FROM edges)",
+        sql_mulrot63_ctes("nodes", "v", "CAST(v AS HUGEINT)"),
+        "a0 AS MATERIALIZED (SELECT v, h FROM mh63)",
+    ]
+    for r in range(1, MIS_ROUNDS + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+  SELECT e.dst AS v, MIN(x.h) AS m FROM edges e
+  JOIN a{r - 1} x ON x.v = e.src
+  JOIN a{r - 1} y ON y.v = e.dst
+  WHERE e.src <> e.dst GROUP BY 1),
+w{r} AS MATERIALIZED (
+  SELECT a.v FROM a{r - 1} a LEFT JOIN n{r} n ON n.v = a.v
+  WHERE n.m IS NULL OR a.h < n.m),
+d{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS v FROM edges e JOIN w{r} w ON w.v = e.src),
+a{r} AS MATERIALIZED (
+  SELECT a.v, a.h FROM a{r - 1} a
+  WHERE a.v NOT IN (SELECT v FROM w{r})
+    AND a.v NOT IN (SELECT v FROM d{r}))""")
+    finals = " UNION ALL ".join(
+        f"SELECT v AS node, CAST({r} AS BIGINT) AS round FROM w{r}"
+        for r in range(1, MIS_ROUNDS + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 5
 KCORE_QTY_MIN = 35  # denser co-purchase graph than the triangle query
@@ -10511,6 +10654,9 @@ GROUP BY event_type, u - o.off
         "adamic": _sql_adamic(),
         "stress": _sql_stress(),
         "seed_reach": _sql_seed_reach(),
+        "harmonic": _sql_harmonic(),
+        "butterfly": _sql_butterfly(),
+        "mis": _sql_mis(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "clustering": _sql_clustering(),
@@ -10804,6 +10950,9 @@ def build_queries() -> dict:
         "adamic": q_adamic,
         "stress": q_stress,
         "seed_reach": q_seed_reach,
+        "harmonic": q_harmonic,
+        "butterfly": q_butterfly,
+        "mis": q_mis,
         "components": q_components,
         "triangles": q_triangles,
         "clustering": q_clustering,

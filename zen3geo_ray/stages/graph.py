@@ -3178,3 +3178,413 @@ def seed_reach(edges, seeds=None, *, n_seeds: int = 6,
     return bucketed_groupby(
         r_state.map_batches(reach_partial, batch_format="pyarrow"),
         ["seed"], reach_final, n_buckets=n_buckets)
+
+
+def harmonic_centrality(edges, seeds=None, *, n_seeds: int = 6,
+                        src: str = "src", dst: str = "dst",
+                        max_hops: int = 3, quant: int = 1 << 16,
+                        n_buckets: int | None = None,
+                        broadcast_threshold: int = BROADCAST_NODES):
+    """Bounded-hop HARMONIC centrality (Boldi & Vigna 2014) of each
+    seed: sum of 1/d over nodes reached within ``max_hops`` — the
+    centrality that is well-defined on disconnected graphs (unreached
+    nodes contribute 0, no infinite-distance hazard).
+
+    Reuses the shared sigma-BFS (the stress/seed_reach plan: broadcast
+    frontier / bucketed-BSP state, adjacency never re-shuffles on the
+    broadcast path).  1/d is QUANTIZED as quant // d — integer sums
+    are order-free, so h_q value-checks against the chained-CTE
+    oracle; ``harmonic`` = h_q / quant is the ONE shared float.
+
+    Returns (seed, n_reached, h_q, harmonic): n_reached EXCLUDES the
+    seed itself (d >= 1 only), unlike seed_reach."""
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    adj = _simple_adj(edges, src=src, dst=dst, n_buckets=n_buckets)
+    sarr = _pick_seeds(adj, seeds, n_seeds, n_buckets)
+    K = len(sarr)
+    qf = float(quant)
+    if K == 0:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.int64()),
+            "n_reached": pa.array([], pa.int64()),
+            "h_q": pa.array([], pa.int64()),
+            "harmonic": pa.array([], pa.float64())}))
+
+    if n_edges <= broadcast_threshold:
+        reached = _sigma_bfs_broadcast(adj, sarr, max_hops, n_buckets)
+        nr, hq = [], []
+        for i in range(K):
+            d = reached[i][1]
+            m = d >= 1
+            nr.append(int(m.sum()))
+            hq.append(int((quant // d[m]).sum()) if m.any() else 0)
+        return rd.from_arrow(pa.table({
+            "seed": pa.array(sarr),
+            "n_reached": pa.array(np.asarray(nr, np.int64)),
+            "h_q": pa.array(np.asarray(hq, np.int64)),
+            "harmonic": pa.array([float(v) / qf for v in hq],
+                                 pa.float64())}))
+
+    r_state = _sigma_bfs_bucketed(adj, sarr, max_hops, n_buckets)
+
+    def h_partial(b: pa.Table) -> pa.Table:
+        d = b.column("_d").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("_s").to_numpy(zero_copy_only=False)
+        m = d >= 1
+        df = pd.DataFrame({
+            "seed": s[m],
+            "n_reached": np.ones(int(m.sum()), np.int64),
+            "h_q": quant // d[m],
+        }).groupby("seed", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def h_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("seed", sort=False, as_index=False)[
+            ["n_reached", "h_q"]].sum()
+        out["harmonic"] = np.array(
+            [float(int(v)) / qf for v in out["h_q"]], np.float64)
+        return out
+
+    got = bucketed_groupby(
+        r_state.map_batches(h_partial, batch_format="pyarrow"),
+        ["seed"], h_final, n_buckets=n_buckets).to_pandas()
+    # isolated seeds reach nothing -> keep the (seed, 0, 0, 0.0) row
+    have = set(got["seed"].tolist())
+    missing = [int(s) for s in sarr.tolist() if s not in have]
+    full = pd.concat([got, pd.DataFrame({
+        "seed": missing,
+        "n_reached": np.zeros(len(missing), np.int64),
+        "h_q": np.zeros(len(missing), np.int64),
+        "harmonic": np.zeros(len(missing), np.float64)})],
+        ignore_index=True)
+    return rd.from_arrow(pa.Table.from_pandas(
+        full, preserve_index=False).replace_schema_metadata(None))
+
+
+def butterfly_count(edges, *, src: str = "src", dst: str = "dst",
+                    n_buckets: int | None = None,
+                    broadcast_threshold: int = BROADCAST_NODES):
+    """Exact BUTTERFLY (4-cycle) census of a BIPARTITE graph
+    (Sanei-Mehri et al. 2018) — the bipartite clustering primitive:
+
+        butterflies  = Σ_{pairs (u,v) same side} C(codeg(u,v), 2)
+        caterpillars = Σ_{edges (a,b)} (deg(a)-1) * (deg(b)-1)
+        bf_cc        = 4 * butterflies / caterpillars
+
+    ``src`` and ``dst`` are the two PARTS (every src value is a left
+    vertex, every dst a right vertex; parallel edges deduped).  Wedges
+    are enumerated at centers on the side with the SMALLER exact wedge
+    volume Σ C(deg, 2) (both sides give identical counts — a butterfly
+    has exactly one diagonal pair on each side — so the choice is pure
+    cost and the oracle may fix either side).  Pair counts reduce
+    combiner-first; per-pair C(c,2) partials sum into ONE row.
+    Returns one row (butterflies, caterpillars, bf_cc)."""
+    import ray.data as rd
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": b.column(src).cast(pa.int64()),
+            "b": b.column(dst).cast(pa.int64())})
+
+    pairs = distinct_tuples(
+        edges.map_batches(norm, batch_format="pyarrow"), ["a", "b"],
+        n_buckets=n_buckets or 64).materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(pairs.count())
+
+    def deg_of(col: str):
+        def part(b: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                b.column(col).to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({col: pa.array(u),
+                             "_d": pa.array(c.astype(np.int64))})
+
+        return bucketed_groupby(
+            pairs.map_batches(part, batch_format="pyarrow"), [col],
+            lambda g: g.groupby(col, sort=False, as_index=False)[
+                "_d"].sum(),
+            n_buckets=n_buckets).materialize()
+
+    da, db = deg_of("a"), deg_of("b")
+
+    def wedge_cost(deg) -> int:
+        t = deg.map_batches(
+            lambda b: pa.table({"w": pa.array([int((lambda d: (
+                d * (d - 1) // 2).sum())(b.column("_d").to_numpy(
+                    zero_copy_only=False).astype(np.int64)))],
+                pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        return int(t["w"].sum())
+
+    # center side = smaller exact wedge volume (skew guard: a hot hub
+    # on ONE side only inflates the side we then avoid)
+    center, other = ("a", "b") if wedge_cost(da) <= wedge_cost(db) \
+        else ("b", "a")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([center, other], kind="mergesort")
+        v = g[other].to_numpy()
+        _, sizes = np.unique(g[center].to_numpy(), return_counts=True)
+        rep = np.repeat(sizes, sizes) - 1 \
+            - (np.arange(len(v)) - np.repeat(
+                np.cumsum(sizes) - sizes, sizes))
+        tot = int(rep.sum())
+        if tot == 0:
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "v": np.array([], np.int64),
+                                 "c": np.array([], np.int64)})
+        L = np.repeat(np.arange(len(v)), rep)
+        R = L + (np.arange(tot) - np.repeat(
+            np.cumsum(rep) - rep, rep)) + 1
+        return pd.DataFrame({"u": v[L], "v": v[R],
+                             "c": np.ones(tot, np.int64)}).groupby(
+            ["u", "v"], sort=False, as_index=False)["c"].sum()
+
+    wedge_parts = bucketed_groupby(pairs, [center], expand,
+                                   n_buckets=n_buckets)
+    codeg = bucketed_groupby(
+        wedge_parts, ["u", "v"],
+        lambda g: g.groupby(["u", "v"], sort=False,
+                            as_index=False)["c"].sum(),
+        n_buckets=n_buckets)
+
+    bf_t = codeg.map_batches(
+        lambda b: pa.table({"bf": pa.array([int((lambda c: (
+            c * (c - 1) // 2).sum())(b.column("c").to_numpy(
+                zero_copy_only=False).astype(np.int64)))], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    butterflies = int(bf_t["bf"].sum()) if len(bf_t) else 0
+
+    # caterpillars: attach both degrees to every edge (broadcast the
+    # node-bounded tables when they fit, else two bucketed joins)
+    if da.count() + db.count() <= broadcast_threshold:
+        import ray
+
+        adf = da.to_pandas().sort_values("a", kind="mergesort")
+        bdf = db.to_pandas().sort_values("b", kind="mergesort")
+        ref = ray.put((adf["a"].to_numpy().astype(np.int64),
+                       adf["_d"].to_numpy().astype(np.int64),
+                       bdf["b"].to_numpy().astype(np.int64),
+                       bdf["_d"].to_numpy().astype(np.int64)))
+
+        def cat_partial(b: pa.Table, _ref=ref) -> pa.Table:
+            an, ad, bn, bd = _get_blob(_ref)
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            w = ((ad[np.searchsorted(an, a)] - 1)
+                 * (bd[np.searchsorted(bn, bb)] - 1))
+            return pa.table({"cat": pa.array([int(w.sum())], pa.int64())})
+
+        cat_ds = pairs.map_batches(cat_partial, batch_format="pyarrow")
+    else:
+        j = bucketed_join(
+            bucketed_join(pairs, da.map_batches(
+                lambda b: b.rename_columns(["a", "_da"]),
+                batch_format="pyarrow"), ["a"], n_buckets=n_buckets),
+            db.map_batches(lambda b: b.rename_columns(["b", "_db"]),
+                           batch_format="pyarrow"),
+            ["b"], n_buckets=n_buckets)
+
+        def cat_partial2(b: pa.Table) -> pa.Table:
+            w = ((b.column("_da").to_numpy(zero_copy_only=False)
+                  .astype(np.int64) - 1)
+                 * (b.column("_db").to_numpy(zero_copy_only=False)
+                    .astype(np.int64) - 1))
+            return pa.table({"cat": pa.array([int(w.sum())], pa.int64())})
+
+        cat_ds = j.map_batches(cat_partial2, batch_format="pyarrow")
+
+    ct = cat_ds.to_pandas()
+    caterpillars = int(ct["cat"].sum()) if len(ct) else 0
+    cc = (float(4 * butterflies) / float(caterpillars)
+          if caterpillars else None)
+    return rd.from_arrow(pa.table({
+        "butterflies": pa.array([butterflies], pa.int64()),
+        "caterpillars": pa.array([caterpillars], pa.int64()),
+        "bf_cc": pa.array([cc], pa.float64())}))
+
+
+def maximal_independent_set(edges, *, rounds: int = 6,
+                            src: str = "src", dst: str = "dst",
+                            n_buckets: int | None = None,
+                            broadcast_threshold: int = BROADCAST_NODES):
+    """Deterministic Luby-style MAXIMAL INDEPENDENT SET over a
+    SYMMETRIC edge table (both directions present; self loops
+    ignored): node priorities are the 63-bit BIJECTION mulrot63
+    (functions/hashing.py) — distinct nodes get distinct priorities,
+    so symmetry breaking is TIE-FREE and needs no id fallback.  Round
+    r: an alive node joins the MIS iff it has no alive neighbor or
+    its priority is strictly below every alive neighbor's; winners
+    and their neighbors leave.  FIXED ``rounds`` (Luby converges in
+    O(log n) rounds w.h.p.; once alive empties further rounds are
+    no-ops, so the chained-CTE oracle mirrors round for round).
+
+    Broadcast path: per round TWO edge maps (min alive-neighbor
+    priority; neighbors-of-winners), node-bounded state via ray.put,
+    edges never re-shuffle.  Bucketed path: per round one state join +
+    combiner-first min reduce + one left join + semi/anti prunes, all
+    on fixed-width rows.  Returns (node, round) for MIS members."""
+    import ray.data as rd
+
+    from ..functions.hashing import mulrot63
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({NODE: pa.array(np.unique(np.concatenate([s, d])))})
+
+    nodes = distinct_tuples(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        [NODE], n_buckets=n_buckets)
+
+    if n_edges <= broadcast_threshold:
+        import ray
+
+        alive = np.sort(nodes.to_pandas()[NODE].to_numpy()
+                        .astype(np.int64))
+        h = mulrot63(alive).astype(np.int64)
+        out_nodes, out_round = [], []
+        for r in range(1, rounds + 1):
+            if len(alive) == 0:
+                break
+            ref = ray.put((alive, h))
+
+            def nbr_min(b: pa.Table, _ref=ref) -> pa.Table:
+                av, hv = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                si = np.minimum(np.searchsorted(av, s), len(av) - 1)
+                di = np.minimum(np.searchsorted(av, d), len(av) - 1)
+                m = (av[si] == s) & (av[di] == d) & (s != d)
+                df = pd.DataFrame({NODE: d[m], "m": hv[si[m]]}).groupby(
+                    NODE, sort=False, as_index=False)["m"].min()
+                return pa.Table.from_pandas(
+                    df, preserve_index=False).replace_schema_metadata(None)
+
+            red = bucketed_groupby(
+                edges.map_batches(nbr_min, batch_format="pyarrow"),
+                [NODE],
+                lambda g: g.groupby(NODE, sort=False,
+                                    as_index=False)["m"].min(),
+                n_buckets=n_buckets).to_pandas()
+            m_full = np.full(len(alive), np.iinfo(np.int64).max, np.int64)
+            if len(red):
+                rn = red[NODE].to_numpy().astype(np.int64)
+                rm = red["m"].to_numpy().astype(np.int64)
+                m_full[np.searchsorted(alive, rn)] = rm
+            win = h < m_full  # isolated nodes: m = +inf, always win
+            winners = alive[win]
+            if len(winners) == 0:
+                break
+            out_nodes.append(winners)
+            out_round.append(np.full(len(winners), r, np.int64))
+            wref = ray.put(winners)
+
+            def nbrs_of(b: pa.Table, _ref=wref) -> pa.Table:
+                wv = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                i = np.minimum(np.searchsorted(wv, s), len(wv) - 1)
+                return pa.table({NODE: pa.array(
+                    np.unique(d[wv[i] == s]))})
+
+            nb = bucketed_groupby(
+                edges.map_batches(nbrs_of, batch_format="pyarrow"),
+                [NODE],
+                lambda g: g.drop_duplicates(NODE),
+                n_buckets=n_buckets).to_pandas()
+            dead = np.union1d(winners, nb[NODE].to_numpy()
+                              .astype(np.int64))
+            keep = ~np.isin(alive, dead, assume_unique=False)
+            alive, h = alive[keep], h[keep]
+        if not out_nodes:
+            return rd.from_arrow(pa.table({
+                NODE: pa.array([], pa.int64()),
+                "round": pa.array([], pa.int64())}))
+        return rd.from_arrow(pa.table({
+            NODE: pa.array(np.concatenate(out_nodes)),
+            "round": pa.array(np.concatenate(out_round))}))
+
+    # --- bucketed BSP path -------------------------------------------
+    def with_h(b: pa.Table) -> pa.Table:
+        v = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({NODE: pa.array(v),
+                         "h": pa.array(mulrot63(v).astype(np.int64))})
+
+    state = _settle(nodes.map_batches(with_h, batch_format="pyarrow"),
+                    n_buckets)
+    mis_parts = []
+    for r in range(1, rounds + 1):
+        if state.count() == 0:
+            break
+        sh = state.map_batches(
+            lambda b: b.rename_columns([src, "_hs"]),
+            batch_format="pyarrow")
+        e1 = bucketed_join(edges.map_batches(
+            lambda b: pa.table({src: b.column(src), dst: b.column(dst)}),
+            batch_format="pyarrow"), sh, [src], n_buckets=n_buckets)
+
+        def min_partial(b: pa.Table) -> pa.Table:
+            s = b.column(src).to_numpy(zero_copy_only=False)
+            d = b.column(dst).to_numpy(zero_copy_only=False)
+            hs = b.column("_hs").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = s != d
+            df = pd.DataFrame({NODE: d[m], "m": hs[m]}).groupby(
+                NODE, sort=False, as_index=False)["m"].min()
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        nbrmin = bucketed_groupby(
+            e1.map_batches(min_partial, batch_format="pyarrow"),
+            [NODE],
+            lambda g: g.groupby(NODE, sort=False,
+                                as_index=False)["m"].min(),
+            n_buckets=n_buckets)
+        j = bucketed_join(state, nbrmin, [NODE], how="left",
+                          n_buckets=n_buckets)
+
+        def pick(b: pa.Table, _r=r) -> pa.Table:
+            h_ = b.column("h").to_numpy(zero_copy_only=False)
+            mcol = b.column("m")
+            isnull = pc.is_null(mcol).to_numpy(zero_copy_only=False)
+            mv = mcol.to_pandas().fillna(np.iinfo(np.int64).max) \
+                .to_numpy().astype(np.int64)
+            win = isnull | (h_ < mv)
+            return pa.table({
+                NODE: pa.array(b.column(NODE).to_numpy(
+                    zero_copy_only=False)[win]),
+                "round": pa.array(np.full(int(win.sum()), _r, np.int64))})
+
+        winners = j.map_batches(pick, batch_format="pyarrow") \
+            .materialize()
+        if winners.count() == 0:
+            break
+        mis_parts.append(winners)
+        wsrc = winners.map_batches(
+            lambda b: pa.table({src: b.column(NODE)}),
+            batch_format="pyarrow")
+        nbrs = bucketed_join(edges, wsrc, [src], how="semi",
+                             n_buckets=n_buckets).map_batches(
+            lambda b: pa.table({NODE: b.column(dst)}),
+            batch_format="pyarrow")
+        wn = winners.map_batches(lambda b: b.select([NODE]),
+                                 batch_format="pyarrow")
+        state = bucketed_join(
+            bucketed_join(state, wn, [NODE], how="anti",
+                          n_buckets=n_buckets),
+            nbrs, [NODE], how="anti", n_buckets=n_buckets)
+        state = _settle(state, n_buckets)
+    import functools
+
+    if not mis_parts:
+        return rd.from_arrow(pa.table({
+            NODE: pa.array([], pa.int64()),
+            "round": pa.array([], pa.int64())}))
+    return functools.reduce(lambda a, b: a.union(b), mis_parts)
