@@ -1660,3 +1660,58 @@ def test_harmonic_paths_bit_parity(ray_session):
     assert a.h_q.tolist() == b.h_q.tolist()
     assert a.n_reached.tolist() == b.n_reached.tolist()
     assert a.harmonic.tolist() == b.harmonic.tolist()
+
+
+def _kruskal(u, v, w):
+    """Reference MSF under the (w, u, v) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for wi, ui, vi in sorted(zip(w, u, v)):
+        ru, rv = find(ui), find(vi)
+        if ru != rv:
+            parent[ru] = rv
+            forest.append((ui, vi, wi))
+    return sorted(forest)
+
+
+def test_msf_matches_kruskal_random(ray_session):
+    from zen3geo_ray.stages.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(41)
+    n = 120
+    s = rng.integers(0, n, 900).astype(np.int64)
+    d = rng.integers(0, n, 900).astype(np.int64)
+    w = rng.integers(1, 50, 900).astype(np.int64)
+    m = s != d
+    ds = rd.from_arrow(pa.table({"src": pa.array(s[m]),
+                                 "dst": pa.array(d[m]),
+                                 "w": pa.array(w[m])})).repartition(4)
+    out = minimum_spanning_forest(ds, rounds=10).to_pandas()
+    got = sorted(zip(out.u.tolist(), out.v.tolist(), out.w.tolist()))
+    # reference over the NORMALIZED edge set (u<v, min w per pair)
+    import pandas as pd
+    df = pd.DataFrame({"u": np.minimum(s[m], d[m]),
+                       "v": np.maximum(s[m], d[m]), "w": w[m]})
+    df = df.groupby(["u", "v"], as_index=False)["w"].min()
+    want = [(u, v, wi) for u, v, wi in
+            _kruskal(df.u.tolist(), df.v.tolist(), df.w.tolist())]
+    assert got == sorted((min(a, b), max(a, b), c) for a, b, c in want)
+
+
+def test_msf_disconnected_forest(ray_session):
+    from zen3geo_ray.stages.graph import minimum_spanning_forest
+
+    # two triangles, disjoint: forest = 2 edges per component (min 2)
+    t = pa.table({"src": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 11, 12, 10], pa.int64()),
+                  "w": pa.array([1, 2, 3, 5, 4, 6], pa.int64())})
+    out = minimum_spanning_forest(rd.from_arrow(t)).to_pandas()
+    got = sorted(zip(out.u.tolist(), out.v.tolist(), out.w.tolist()))
+    assert got == [(0, 1, 1), (1, 2, 2), (10, 11, 5), (11, 12, 4)]

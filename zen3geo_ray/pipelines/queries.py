@@ -9306,6 +9306,67 @@ SELECT CAST(bfv AS BIGINT) AS butterflies,
 FROM bf, cat"""
 
 
+MST_ROUNDS = 16
+
+
+def q_mst(sf_dir: str):
+    """Borůvka MINIMUM SPANNING FOREST of the weighted trade graph
+    (w = lineitem count per customer-supplier pair): per round each
+    component's champion edge under the TOTAL order (w, u, v) joins
+    the forest, components contract (hook + 2-cycle break + pointer
+    jumping); the total order makes the forest unique, so the
+    chained-CTE oracle (with a recursive root-resolution walk per
+    round) matches exactly (stages/graph.py:minimum_spanning_forest)."""
+    from ..stages.graph import minimum_spanning_forest
+
+    return minimum_spanning_forest(_trade_edges_weighted(sf_dir),
+                                   rounds=MST_ROUNDS)
+
+
+def _sql_mst() -> str:
+    ctes = [
+        _SQL_GRAPH_EDGES_W,
+        ("uedges AS MATERIALIZED (SELECT LEAST(cnode, snode) AS u, "
+         "GREATEST(cnode, snode) AS v, w FROM pairs)"),
+        ("cc0 AS MATERIALIZED (SELECT node, node AS comp FROM ("
+         "SELECT u AS node FROM uedges UNION SELECT v FROM uedges))"),
+    ]
+    for r in range(1, MST_ROUNDS + 1):
+        ctes.append(f"""x{r} AS MATERIALIZED (
+  SELECT a.comp AS cu, b.comp AS cv, e.w, e.u, e.v
+  FROM uedges e JOIN cc{r - 1} a ON a.node = e.u
+  JOIN cc{r - 1} b ON b.node = e.v
+  WHERE a.comp <> b.comp),
+s{r} AS MATERIALIZED (
+  SELECT comp, w, u, v, tgt FROM (
+    SELECT cu AS comp, w, u, v, cv AS tgt FROM x{r}
+    UNION ALL SELECT cv, w, u, v, cu FROM x{r})
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) = 1),
+f{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM s{r}),
+p{r} AS MATERIALIZED (
+  SELECT c.comp,
+    CASE WHEN s.tgt IS NULL THEN c.comp
+         WHEN t.tgt = c.comp AND c.comp < s.tgt THEN c.comp
+         ELSE s.tgt END AS par
+  FROM (SELECT DISTINCT comp FROM cc{r - 1}) c
+  LEFT JOIN s{r} s ON s.comp = c.comp
+  LEFT JOIN s{r} t ON t.comp = s.tgt),
+walk{r}(comp, cur) AS (
+  SELECT comp, par FROM p{r}
+  UNION ALL
+  SELECT k.comp, p.par FROM walk{r} k JOIN p{r} p ON p.comp = k.cur
+  WHERE p.par <> k.cur),
+root{r} AS MATERIALIZED (
+  SELECT k.comp, k.cur AS root FROM walk{r} k
+  JOIN p{r} p ON p.comp = k.cur WHERE p.par = k.cur),
+cc{r} AS MATERIALIZED (
+  SELECT c.node, t.root AS comp FROM cc{r - 1} c
+  JOIN root{r} t ON t.comp = c.comp)""")
+    finals = " UNION ALL ".join(
+        f"SELECT u, v, w FROM f{r}" for r in range(1, MST_ROUNDS + 1))
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
+
+
 MIS_ROUNDS = 6
 
 
@@ -10657,6 +10718,7 @@ GROUP BY event_type, u - o.off
         "harmonic": _sql_harmonic(),
         "butterfly": _sql_butterfly(),
         "mis": _sql_mis(),
+        "mst": _sql_mst(),
         "components": _sql_components(),
         "triangles": _sql_triangles(),
         "clustering": _sql_clustering(),
@@ -10953,6 +11015,7 @@ def build_queries() -> dict:
         "harmonic": q_harmonic,
         "butterfly": q_butterfly,
         "mis": q_mis,
+        "mst": q_mst,
         "components": q_components,
         "triangles": q_triangles,
         "clustering": q_clustering,

@@ -3588,3 +3588,148 @@ def maximal_independent_set(edges, *, rounds: int = 6,
             NODE: pa.array([], pa.int64()),
             "round": pa.array([], pa.int64())}))
     return functools.reduce(lambda a, b: a.union(b), mis_parts)
+
+
+def minimum_spanning_forest(edges, *, src: str = "src", dst: str = "dst",
+                            weight_col: str = "w", rounds: int = 8,
+                            n_buckets: int | None = None,
+                            broadcast_threshold: int = BROADCAST_NODES):
+    """Borůvka MINIMUM SPANNING FOREST of an undirected weighted graph
+    — the classic distributed MST plan (Borůvka 1926; the GHS /
+    connected-components-with-weights shape): each round every
+    component selects its minimum incident OUTGOING edge under the
+    TOTAL order (w, u, v) (parallel edges pre-reduced to their min
+    weight; the total order makes the forest UNIQUE and tie-free),
+    selected edges join the forest, touching components contract.
+
+    Per round: ONE map over the (never re-shuffled) edge table
+    relabels endpoints by broadcast component ids and emits per-comp
+    lexicographic-min partials; one bucketed reduce finds each comp's
+    champion; hooking + 2-cycle break + pointer-jump contraction run
+    driver-side on the NODE-BOUNDED component array (consistent
+    tie-breaking means selection 2-cycles always share one edge, so
+    the hook graph is a forest and jumping converges).  Rounds are
+    FIXED (Borůvka halves components, <= log2 n rounds; converged
+    rounds are no-ops) so the chained-CTE oracle mirrors round for
+    round.  Returns forest edges (u, v, w) with u < v.
+
+    State is node-bounded (the BROADCAST_NODES discipline); above the
+    threshold the contraction belongs on the pinned actor-shard path
+    (stages/pregel.py) — raises for now rather than degrade."""
+    import ray
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s != d
+        df = pd.DataFrame({"u": np.minimum(s[m], d[m]),
+                           "v": np.maximum(s[m], d[m]),
+                           "w": w[m]}).groupby(
+            ["u", "v"], sort=False, as_index=False)["w"].min()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    uedges = bucketed_groupby(
+        edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"],
+        lambda g: g.groupby(["u", "v"], sort=False,
+                            as_index=False)["w"].min(),
+        n_buckets=n_buckets).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        x = np.concatenate([
+            b.column("u").to_numpy(zero_copy_only=False),
+            b.column("v").to_numpy(zero_copy_only=False)])
+        return pa.table({NODE: pa.array(np.unique(x))})
+
+    nodes_df = distinct_tuples(
+        uedges.map_batches(node_partial, batch_format="pyarrow"),
+        [NODE], n_buckets=n_buckets).to_pandas()
+    nodes = np.sort(nodes_df[NODE].to_numpy().astype(np.int64))
+    if len(nodes) > broadcast_threshold:
+        raise NotImplementedError(
+            "minimum_spanning_forest: node count exceeds the broadcast "
+            "state bound; contract on the pinned actor-shard path")
+    comp = nodes.copy()  # comp id per node (aligned with sorted nodes)
+
+    fu, fv, fw = [], [], []
+    for _ in range(rounds):
+        ref = ray.put((nodes, comp))
+
+        def champion(b: pa.Table, _ref=ref) -> pa.Table:
+            ns, cp = _get_blob(_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            w = b.column("w").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cu = cp[np.searchsorted(ns, u)]
+            cv = cp[np.searchsorted(ns, v)]
+            m = cu != cv
+            if not m.any():
+                return pa.table({"comp": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64()),
+                                 "u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "tgt": pa.array([], pa.int64())})
+            df = pd.DataFrame({
+                "comp": np.concatenate([cu[m], cv[m]]),
+                "w": np.concatenate([w[m], w[m]]),
+                "u": np.concatenate([u[m], u[m]]),
+                "v": np.concatenate([v[m], v[m]]),
+                "tgt": np.concatenate([cv[m], cu[m]])})
+            df = df.sort_values(["comp", "w", "u", "v"],
+                                kind="mergesort")
+            df = df.drop_duplicates("comp", keep="first")
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        def champ_fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["comp", "w", "u", "v"], kind="mergesort")
+            return g.drop_duplicates("comp", keep="first")
+
+        sel = bucketed_groupby(
+            uedges.map_batches(champion, batch_format="pyarrow"),
+            ["comp"], champ_fold, n_buckets=n_buckets).to_pandas()
+        if len(sel) == 0:
+            break
+        # forest edges (an edge may be both endpoints' champion)
+        eu = sel["u"].to_numpy().astype(np.int64)
+        ev = sel["v"].to_numpy().astype(np.int64)
+        ew = sel["w"].to_numpy().astype(np.int64)
+        _, first = np.unique(np.stack([eu, ev], 1), axis=0,
+                             return_index=True)
+        fu.append(eu[first])
+        fv.append(ev[first])
+        fw.append(ew[first])
+
+        # hooking over the CURRENT comp-id universe
+        comps = np.unique(comp)
+        parent = comps.copy()
+        ci = np.searchsorted(comps, sel["comp"].to_numpy()
+                             .astype(np.int64))
+        parent[ci] = sel["tgt"].to_numpy().astype(np.int64)
+        # 2-cycle break: c -> t -> c keeps the SMALLER id as root
+        pt = parent[np.searchsorted(comps, parent)]
+        two = (pt == comps) & (parent != comps) & (comps < parent)
+        parent[two] = comps[two]
+        # pointer jump to fixpoint (forest after the break)
+        while True:
+            nxt = parent[np.searchsorted(comps, parent)]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        comp = parent[np.searchsorted(comps, comp)]
+
+    if not fu:
+        return rd.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+    return rd.from_arrow(pa.table({
+        "u": pa.array(np.concatenate(fu)),
+        "v": pa.array(np.concatenate(fv)),
+        "w": pa.array(np.concatenate(fw))}))
