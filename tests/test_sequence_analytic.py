@@ -283,3 +283,24 @@ def test_skyline2d_goldens(ray_session):
     out = skyline2d(rd.from_arrow(t), "x", "y", n_buckets=2).to_pandas()
     got = {(int(r.x), int(r.y)): int(r.n_rows) for r in out.itertuples()}
     assert got == {(3, 2): 2, (1, 3): 1}
+
+
+def test_od_counts_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import od_counts
+
+    # user 1: cells 5 -> 5 -> 7 (one stay, one move); ties on ts break
+    # by id: user 2 has two events at t=10 -> order by id gives 3 -> 9
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3, 10, 10], pa.int64()),
+        "id": pa.array([100, 101, 102, 201, 200], pa.int64()),
+        "cell": pa.array([5, 5, 7, 9, 3], pa.int64()),
+    })
+    out = od_counts(rd.from_arrow(t).repartition(2), key_col="u",
+                    ts_col="ts", id_col="id",
+                    n_buckets=2).to_pandas().sort_values(
+        ["cell_from", "cell_to"]).reset_index(drop=True)
+    got = list(zip(out.cell_from, out.cell_to, out.n))
+    assert got == [(3, 9, 1), (5, 5, 1), (5, 7, 1)]

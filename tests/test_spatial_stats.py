@@ -488,3 +488,33 @@ def test_eb_rates_golden(ray_session):
     # shrinkage: low-count cell pulled hardest toward theta
     pull = np.abs(out.smoothed.to_numpy() - out.raw.to_numpy())
     assert pull[2] > pull[0]
+
+
+def test_mann_kendall_goldens(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import mann_kendall
+
+    # cell 0: strictly increasing counts 1,2,3 over bins -> S = +3
+    # cell 5: all-equal counts (ties) -> S = 0, var18 = 0, z null
+    rows_c, rows_b = [], []
+    for b, reps in ((0, 1), (1, 2), (2, 3)):
+        rows_c += [0] * reps
+        rows_b += [b] * reps
+    for b in (0, 1, 2):
+        rows_c += [5] * 2
+        rows_b += [b] * 2
+    t = pa.table({"cell": pa.array(rows_c, pa.int64()),
+                  "bin": pa.array(rows_b, pa.int64())})
+    out = mann_kendall(rd.from_arrow(t).repartition(3),
+                       n_buckets=2).to_pandas().sort_values("cell")
+    r0 = out[out.cell == 0].iloc[0]
+    assert (int(r0.t_bins), int(r0.s_stat)) == (3, 3)
+    # T=3, no ties: var18 = 3*2*11 = 66; z = (3-1)/sqrt(66/18)
+    assert int(r0.var18) == 66
+    assert r0.z == 2.0 / math.sqrt(66.0 / 18.0)
+    r5 = out[out.cell == 5].iloc[0]
+    assert (int(r5.s_stat), int(r5.var18)) == (0, 0)
+    assert np.isnan(r5.z)

@@ -417,6 +417,106 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(nbk AS BIGINT) AS n_black,
 FROM sc, js, blk"""
 
 
+MK_RES = 4                        # 32 x 16 grid: ~80 events per cell
+MK_BIN_US = 86_400_000_000        # daily bins over the 30-day window
+
+
+def q_mk_trend(sf_dir: str):
+    """Per-cell MANN-KENDALL trend test over daily event counts (the
+    emerging-hotspot trend primitive): events geocode by user_id
+    (neutral anchor), S = pair sign sums and the tie-corrected
+    variance numerator are exact integers, z is one shared float
+    (stages/spatial_stats.py:mann_kendall)."""
+    from ..stages.spatial_stats import mann_kendall
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(uid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "bin": pa.array(t // MK_BIN_US)})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return mann_kendall(ev)
+
+
+def _sql_mk_trend() -> str:
+    lon_e, lat_e = sql_geocode_exprs("user_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    return f"""
+WITH g0 AS (SELECT {lon_e} AS lon, {lat_e} AS lat,
+                   epoch_us(ts) // {MK_BIN_US} AS bin FROM events),
+cb AS (SELECT {cell_e} AS cell, bin, CAST(COUNT(*) AS BIGINT) AS x
+       FROM g0 GROUP BY 1, 2),
+pr AS (SELECT a.cell,
+              CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                            WHEN b.x < a.x THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s
+       FROM cb a JOIN cb b ON b.cell = a.cell AND b.bin > a.bin
+       GROUP BY 1),
+tt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS t FROM cb GROUP BY 1),
+ties AS (SELECT cell,
+                CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                AS tie18
+         FROM (SELECT cell, x, CAST(COUNT(*) AS BIGINT) AS tc
+               FROM cb GROUP BY 1, 2) GROUP BY 1)
+SELECT tt.cell, tt.t AS t_bins,
+       COALESCE(pr.s, 0) AS s_stat,
+       tt.t * (tt.t - 1) * (2 * tt.t + 5) - ties.tie18 AS var18,
+       CASE WHEN tt.t * (tt.t - 1) * (2 * tt.t + 5) - ties.tie18 > 0
+            THEN CAST(CASE WHEN COALESCE(pr.s, 0) > 0
+                           THEN COALESCE(pr.s, 0) - 1
+                           WHEN COALESCE(pr.s, 0) < 0
+                           THEN COALESCE(pr.s, 0) + 1
+                           ELSE 0 END AS DOUBLE)
+                 / sqrt(CAST(tt.t * (tt.t - 1) * (2 * tt.t + 5)
+                             - ties.tie18 AS DOUBLE) / 18.0)
+            ELSE NULL END AS z
+FROM tt JOIN ties ON ties.cell = tt.cell
+LEFT JOIN pr ON pr.cell = tt.cell"""
+
+
+def q_od_matrix(sf_dir: str):
+    """ORIGIN-DESTINATION flow matrix: per user consecutive event pairs
+    (ordered by the exact total order ts, event_id) become cell->cell
+    trips; one user-bucketed shuffle + one grid-bounded pair reduce
+    (stages/sequence.py:od_counts)."""
+    from ..stages.sequence import od_counts
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(eid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "tu": pa.array(t),
+                         "cell": pa.array(cell, pa.int64())})
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return od_counts(ev, key_col="user_id", ts_col="tu",
+                     id_col="event_id")
+
+
+def _sql_od_matrix() -> str:
+    lon_e, lat_e = sql_geocode_exprs("event_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    return f"""
+WITH g0 AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                   {lon_e} AS lon, {lat_e} AS lat FROM events),
+gc AS (SELECT user_id, event_id, tu, {cell_e} AS cell FROM g0),
+nx AS (SELECT cell AS cell_from,
+              LEAD(cell) OVER (PARTITION BY user_id
+                               ORDER BY tu, event_id) AS cell_to
+       FROM gc)
+SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
+FROM nx WHERE cell_to IS NOT NULL GROUP BY 1, 2"""
+
+
 EB_M = 20
 
 
@@ -9906,6 +10006,8 @@ def build_oracles() -> dict[str, str]:
         "dispersion": _sql_dispersion(),
         "join_counts": _sql_join_counts(),
         "eb_rates": _sql_eb_rates(),
+        "mk_trend": _sql_mk_trend(),
+        "od_matrix": _sql_od_matrix(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -10828,6 +10930,8 @@ def build_queries() -> dict:
         "dispersion": q_dispersion,
         "join_counts": q_join_counts,
         "eb_rates": q_eb_rates,
+        "mk_trend": q_mk_trend,
+        "od_matrix": q_od_matrix,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

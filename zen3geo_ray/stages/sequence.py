@@ -494,3 +494,38 @@ def linear_interp_grid(ds, key_col: str, ts_col: str, value_col: str,
                              "val": np.concatenate(vs)})
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets=n_buckets)
+
+
+def od_counts(ds, *, key_col: str, ts_col: str, id_col: str,
+              cell_col: str = "cell", n_buckets: int = 64):
+    """ORIGIN-DESTINATION flow matrix (the mobility-analysis staple):
+    per key, events ordered by the TOTAL order (ts, id) — id breaks ts
+    ties exactly, mirroring LEAD ... ORDER BY ts, id — consecutive
+    event pairs become (cell_from, cell_to) trips (stays included;
+    filter cell_from <> cell_to downstream for moves only).
+
+    One bucketed shuffle co-locates each key's events; pair counts
+    reduce combiner-first per bucket, then one GRID-bounded reduce on
+    the (from, to) pair key — the corpus never moves twice.  Returns
+    (cell_from, cell_to, n)."""
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        nxt = g.groupby(key_col, sort=False)[cell_col].shift(-1)
+        pairs = pd.DataFrame({"cell_from": g[cell_col], "cell_to": nxt})
+        pairs = pairs[nxt.notna()]
+        out = pairs.value_counts(["cell_from", "cell_to"]).reset_index(
+            name="n")
+        out["cell_from"] = out["cell_from"].astype(np.int64)
+        out["cell_to"] = out["cell_to"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = bucketed_groupby(ds, [key_col], partial, n_buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cell_from", "cell_to"], sort=False,
+                         as_index=False)["n"].sum()
+
+    return bucketed_groupby(partials, ["cell_from", "cell_to"], fold,
+                            n_buckets=min(n_buckets, 16))

@@ -825,3 +825,65 @@ def semivariogram(ds, *, res: int, max_lag: int = 3,
         "ssd": pa.array(ssds, pa.int64()),
         "gamma": pa.array(gammas, pa.float64()),
     })
+
+
+def mann_kendall(ds, *, cell_col: str = "cell", bin_col: str = "bin",
+                 n_buckets: int = 8) -> "object":
+    """Per-cell MANN-KENDALL trend test over time-binned counts — the
+    emerging-hotspot trend primitive (Mann 1945; Kendall 1975): for
+    each cell, over its OCCUPIED time bins' counts x_t,
+
+        S     = Σ_{i<j} sign(x_j - x_i)          (bins ordered)
+        var18 = T(T-1)(2T+5) - Σ_ties t(t-1)(2t+5)   (= 18 * Var(S))
+        z     = (S -/+ 1) / sqrt(var18 / 18)     (0 when S = 0)
+
+    S / var18 are exact integers (pair signs, tie-corrected variance
+    numerator kept times 18 so no division happens in integers); z is
+    ONE shared float shape, so the SQL mirror VALUE-checks.  Plan: one
+    combiner-first shuffle to (cell, bin, x), bins co-located per cell
+    (bucket key = cell), per-cell T² sign sums vectorized (T = bins
+    per cell, bounded by the binning).  Returns a lazy Dataset
+    (cell, t_bins, s_stat, var18, z)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(bin_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cell": c, "bin": t})
+        df["x"] = np.int64(1)
+        agg = df.groupby(["cell", "bin"], sort=False, as_index=False)[
+            "x"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell", "bin"], as_index=False)["x"].sum()
+        g = g.sort_values(["cell", "bin"], kind="mergesort")
+        cells_, t_bins, s_stat, var18, z = [], [], [], [], []
+        for cell, grp in g.groupby("cell", sort=False):
+            x = grp["x"].to_numpy().astype(np.int64)
+            T = len(x)
+            d = np.sign(x[None, :] - x[:, None])
+            s = int(np.triu(d, 1).sum())
+            _, tc = np.unique(x, return_counts=True)
+            tc = tc.astype(np.int64)
+            tie18 = int((tc * (tc - 1) * (2 * tc + 5)).sum())
+            v18 = T * (T - 1) * (2 * T + 5) - tie18
+            num = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+            zv = (float(num) / math.sqrt(float(v18) / 18.0)
+                  if v18 > 0 else None)
+            cells_.append(cell)
+            t_bins.append(T)
+            s_stat.append(s)
+            var18.append(v18)
+            z.append(zv)
+        return pd.DataFrame({
+            "cell": np.asarray(cells_, np.int64),
+            "t_bins": np.asarray(t_bins, np.int64),
+            "s_stat": np.asarray(s_stat, np.int64),
+            "var18": np.asarray(var18, np.int64),
+            "z": np.asarray(z, np.float64)})
+
+    return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
