@@ -413,3 +413,35 @@ class TestMeasure:
         t = measures_batch(blobs, as_int=True)
         assert t.column("area2").to_pylist() == [8, 12]
         assert t.column("cx").to_pylist()[0] == 1.0
+
+
+def test_hex_axial_centers_and_nearest():
+    import numpy as np
+
+    from zen3geo_ray.geom.cells import HEX_Q, HEX_S3D, HEX_S3N, hex_axial_of
+
+    s_q = 3 * HEX_Q
+    s = 3.0
+    s3 = HEX_S3N / HEX_S3D
+    for q in range(-4, 5):
+        for r in range(-4, 5):
+            cx = s * s3 * (q + r / 2.0)
+            cy = s * 1.5 * r
+            hq, hr = hex_axial_of(np.array([cx]), np.array([cy]), s_q)
+            assert (int(hq[0]), int(hr[0])) == (q, r)
+    # random points fall in their planar-nearest hex under the
+    # quantized-sqrt3 metric (exactness of the cube rounding)
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-20, 20, 500)
+    lat = rng.uniform(-20, 20, 500)
+    hq, hr = hex_axial_of(lon, lat, s_q)
+
+    def center(q, r):
+        return s * s3 * (q + r / 2.0), s * 1.5 * r
+
+    for i in range(500):
+        cx, cy = center(hq[i], hr[i])
+        d0 = (lon[i] - cx) ** 2 + (lat[i] - cy) ** 2
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx, ny = center(hq[i] + dq, hr[i] + dr)
+            assert (lon[i] - nx) ** 2 + (lat[i] - ny) ** 2 >= d0 - 1e-9

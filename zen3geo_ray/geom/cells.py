@@ -350,3 +350,75 @@ def sql_geohash_ctes(src: str, id_col: str, lon_expr: str,
     return f"""ghq AS (SELECT {id_col}, {xq} AS x, {yq} AS y FROM {src}),
 ghc AS (SELECT {id_col}, {code} AS code FROM ghq),
 ghf AS (SELECT {id_col}, {chars} AS gh FROM ghc)"""
+
+
+# --- hexagonal binning (the H3/hexbin analog) -------------------------------
+#
+# Pointy-top axial hex grid over a QUANTIZED plane: lon/lat floor to
+# 2^-20-degree integer units, then the axial fractions
+#     q = (sqrt(3)/3 * x - y/3) / s,   r = (2/3 * y) / s
+# are EXACT RATIONALS with sqrt(3) fixed at 1732051/1000000 — the grid
+# is *defined* by that rational (a ~3e-7 aspect skew nobody can see),
+# which buys bit-exact SQL mirrorability: cube rounding is round-half-up
+# on integer numerators over one shared positive denominator, and the
+# largest-residual fix compares integer absolute residuals.  Standard
+# cube-round algorithm per Red Blob Games' public hex-grid reference.
+
+HEX_S3N, HEX_S3D = 1732051, 1000000
+HEX_Q = 1 << 20
+
+
+def hex_axial_of(lon, lat, size_q: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (hq, hr) axial hex ids; ``size_q`` = hex circumradius
+    in 2^-20-degree units (e.g. 3 degrees -> 3 * 2^20)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = np.floor(lon * HEX_Q).astype(np.int64)
+    y = np.floor(lat * HEX_Q).astype(np.int64)
+    qn = HEX_S3N * x - HEX_S3D * y
+    rn = 2 * HEX_S3D * y
+    yn = -qn - rn
+    d = 3 * int(size_q) * HEX_S3D
+
+    def rnd(num):
+        return (2 * num + d) // (2 * d)   # round-half-up, floor div
+
+    rx, ry, rz = rnd(qn), rnd(yn), rnd(rn)
+    dx = np.abs(rx * d - qn)
+    dy = np.abs(ry * d - yn)
+    dz = np.abs(rz * d - rn)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    hq = np.where(fix_x, -ry - rz, rx)
+    hr = np.where(fix_z, -rx - ry, rz)
+    return hq.astype(np.int64), hr.astype(np.int64)
+
+
+def sql_hex_ctes(src: str, cols: str, lon_expr: str, lat_expr: str,
+                 size_q: int) -> str:
+    """CTE chain mirroring ``hex_axial_of`` bit for bit; final CTE
+    ``hexed`` exposes (``cols``, hq, hr).  Floor division of a signed
+    numerator by the positive denominator m uses the nonneg-remainder
+    identity (a - (((a % m) + m) % m)) / m (DuckDB // truncates)."""
+    d = 3 * int(size_q) * HEX_S3D
+
+    def fdiv(a: str, m: int) -> str:
+        return f"(({a}) - (((({a}) % {m}) + {m}) % {m})) // {m}"
+
+    def rnd(num: str) -> str:
+        return fdiv(f"2 * ({num}) + {d}", 2 * d)
+
+    return f"""hx0 AS (SELECT {cols},
+  CAST(FLOOR(({lon_expr}) * {HEX_Q}) AS BIGINT) AS x,
+  CAST(FLOOR(({lat_expr}) * {HEX_Q}) AS BIGINT) AS y FROM {src}),
+hx1 AS (SELECT {cols}, {HEX_S3N} * x - {HEX_S3D} * y AS qn,
+  2 * {HEX_S3D} * y AS rn, -({HEX_S3N} * x - {HEX_S3D} * y)
+  - 2 * {HEX_S3D} * y AS yn FROM hx0),
+hx2 AS (SELECT {cols}, qn, rn, yn, {rnd('qn')} AS rx,
+  {rnd('yn')} AS ry, {rnd('rn')} AS rz FROM hx1),
+hx3 AS (SELECT {cols}, rx, ry, rz, ABS(rx * {d} - qn) AS dx,
+  ABS(ry * {d} - yn) AS dy, ABS(rz * {d} - rn) AS dz FROM hx2),
+hexed AS (SELECT {cols},
+  CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hq,
+  CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+       THEN -rx - ry ELSE rz END AS hr FROM hx3)"""

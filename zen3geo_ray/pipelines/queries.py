@@ -517,6 +517,50 @@ SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
 FROM nx WHERE cell_to IS NOT NULL GROUP BY 1, 2"""
 
 
+HEX_SIZE_Q = 3 * (1 << 20)   # 3-degree hexes
+
+
+def q_hexbin(sf_dir: str):
+    """HEXAGONAL binning (the H3/hexbin analog) of the geocoded corpus:
+    pointy-top axial hex ids from fixed-point cube rounding (sqrt(3)
+    pinned at 1732051/1000000, round-half-up on integer numerators over
+    one shared denominator, largest-residual fix — bit-exact in SQL),
+    combiner-first per-hex counts (geom/cells.py:hex_axial_of)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    def prep(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_pylist()
+        lon, lat = geocode_id(key, langs)
+        hq, hr = cells.hex_axial_of(lon, lat, HEX_SIZE_Q)
+        df = pd.DataFrame({"hq": hq, "hr": hr})
+        df["n"] = np.int64(1)
+        agg = df.groupby(["hq", "hr"], sort=False, as_index=False)[
+            "n"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    parts = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        prep, batch_format="pyarrow")
+    return bucketed_groupby(
+        parts, ["hq", "hr"],
+        lambda g: g.groupby(["hq", "hr"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=8)
+
+
+def _sql_hexbin() -> str:
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    return f"""
+WITH geo AS (SELECT doc_id, {lon_e} AS lon, {lat_e} AS lat
+             FROM documents),
+{cells.sql_hex_ctes('geo', 'doc_id', 'lon', 'lat', HEX_SIZE_Q)}
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
+FROM hexed GROUP BY 1, 2"""
+
+
 EB_M = 20
 
 
@@ -10008,6 +10052,7 @@ def build_oracles() -> dict[str, str]:
         "eb_rates": _sql_eb_rates(),
         "mk_trend": _sql_mk_trend(),
         "od_matrix": _sql_od_matrix(),
+        "hexbin": _sql_hexbin(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -10932,6 +10977,7 @@ def build_queries() -> dict:
         "eb_rates": q_eb_rates,
         "mk_trend": q_mk_trend,
         "od_matrix": q_od_matrix,
+        "hexbin": q_hexbin,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
