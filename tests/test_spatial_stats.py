@@ -518,3 +518,35 @@ def test_mann_kendall_goldens(ray_session):
     r5 = out[out.cell == 5].iloc[0]
     assert (int(r5.s_stat), int(r5.var18)) == (0, 0)
     assert np.isnan(r5.z)
+
+
+def test_knox_brute(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from zen3geo_ray.geom.cells import _grid_dims
+    from zen3geo_ray.stages.spatial_stats import knox_test
+
+    rng = np.random.default_rng(43)
+    n = 150
+    cells_v = rng.integers(0, 32, n).astype(np.int64)
+    ts = rng.integers(0, 1000, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    tau = 60
+    t = pa.table({"cell": pa.array(cells_v), "tu": pa.array(ts),
+                  "eid": pa.array(eid)})
+    out = knox_test(rd.from_arrow(t).repartition(3), res=RES,
+                    tau_us=tau, n_buckets=2).to_pandas().iloc[0]
+    nc, _ = _grid_dims(RES)
+    bx, bns, bnt = 0, 0, 0
+    for i, j in itertools.combinations(range(n), 2):
+        sp = (abs(cells_v[i] % nc - cells_v[j] % nc) <= 1
+              and abs(cells_v[i] // nc - cells_v[j] // nc) <= 1)
+        tm = abs(int(ts[i]) - int(ts[j])) <= tau
+        bns += sp
+        bnt += tm
+        bx += sp and tm
+    assert (int(out.n), int(out.ns), int(out.nt), int(out.x)) \
+        == (n, bns, bnt, bx)
+    assert out.ex == float(bns * bnt) / float(n * (n - 1) // 2)

@@ -561,6 +561,59 @@ SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
 FROM hexed GROUP BY 1, 2"""
 
 
+KNOX_TAU_US = 3_600_000_000   # 1-hour time window
+
+
+def q_knox(sf_dir: str):
+    """KNOX space-time interaction test over the event points
+    (event_id-geocoded, res-4 cells, 1-hour window): X / Ns / Nt pair
+    counts exact, E[X] = Ns*Nt/C(n,2) the one float — the outbreak /
+    burst-cluster screen (stages/spatial_stats.py:knox_test)."""
+    from ..stages.spatial_stats import knox_test
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(eid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "tu": pa.array(t),
+                         "eid": b.column("event_id")})
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return knox_test(ev, res=MK_RES, tau_us=KNOX_TAU_US)
+
+
+def _sql_knox() -> str:
+    lon_e, lat_e = sql_geocode_exprs("event_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    nc, _nr = cells._grid_dims(MK_RES)
+    tau = KNOX_TAU_US
+    return f"""
+WITH g0 AS (SELECT event_id AS eid, epoch_us(ts) AS tu,
+                   {lon_e} AS lon, {lat_e} AS lat FROM events),
+ev AS MATERIALIZED (SELECT eid, tu, ({cell_e}) % {nc} AS cx,
+                           ({cell_e}) // {nc} AS cy FROM g0),
+xs AS (SELECT CAST(COUNT(*) AS HUGEINT) AS x FROM ev a JOIN ev b
+       ON a.eid < b.eid
+      AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      AND abs(a.tu - b.tu) <= {tau}),
+nss AS (SELECT CAST(COUNT(*) AS HUGEINT) AS ns FROM ev a JOIN ev b
+        ON a.eid < b.eid
+       AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+nts AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt FROM ev a JOIN ev b
+        ON a.eid < b.eid AND abs(a.tu - b.tu) <= {tau}),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM ev)
+SELECT CAST(n AS BIGINT) AS n, CAST(ns AS BIGINT) AS ns,
+       CAST(nt AS BIGINT) AS nt, CAST(x AS BIGINT) AS x,
+       CASE WHEN n > 1 THEN
+         CAST(ns * nt AS DOUBLE)
+         / CAST(n * (n - 1) // 2 AS DOUBLE)
+       ELSE NULL END AS ex
+FROM tot, xs, nss, nts"""
+
+
 EB_M = 20
 
 
@@ -10053,6 +10106,7 @@ def build_oracles() -> dict[str, str]:
         "mk_trend": _sql_mk_trend(),
         "od_matrix": _sql_od_matrix(),
         "hexbin": _sql_hexbin(),
+        "knox": _sql_knox(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -10978,6 +11032,7 @@ def build_queries() -> dict:
         "mk_trend": q_mk_trend,
         "od_matrix": q_od_matrix,
         "hexbin": q_hexbin,
+        "knox": q_knox,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

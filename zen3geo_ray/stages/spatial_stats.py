@@ -887,3 +887,125 @@ def mann_kendall(ds, *, cell_col: str = "cell", bin_col: str = "bin",
             "z": np.asarray(z, np.float64)})
 
     return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
+
+
+def knox_test(ds, *, res: int, tau_us: int, cell_col: str = "cell",
+              ts_col: str = "tu", id_col: str = "eid",
+              n_buckets: int = 8) -> pa.Table:
+    """KNOX space-time interaction test (Knox 1964, the outbreak /
+    burst-cluster screen): over event points,
+
+        X  = #pairs close in SPACE (same or 8-adjacent grid cell) AND
+             TIME (|Δt| <= tau)
+        Ns = #space-close pairs,  Nt = #time-close pairs
+        E[X] = Ns * Nt / C(n, 2)   (permutation expectation)
+
+    All pair counts are exact integers; E[X] is ONE float division.
+    Plan (the PBSM discipline, pairs counted once at the MIN cell/bin):
+    X — each event ships to its own cell plus lower-id neighbor cells,
+    per-bucket counts use time-sorted searchsorted windows (no pair
+    materialization); Ns — grid-bounded histogram arithmetic
+    driver-side; Nt — the same 1-D window count over tau-width time
+    bins.  The corpus shuffles once per statistic, never as pairs.
+    Output one row (n, ns, nt, x, ex)."""
+    ncols, nrows = _grid_dims(res)
+
+    # ---- X: space-and-time-close pairs ------------------------------
+    def rep_partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = c % ncols
+        ny = c // ncols
+        bks, ocs, ots, oes = [c], [c], [t], [e]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ok = ((nx + dx >= 0) & (nx + dx < ncols)
+                      & (ny + dy >= 0) & (ny + dy < nrows))
+                tgt = c + dy * ncols + dx
+                m = ok & (tgt < c)   # replicate only to SMALLER cells
+                bks.append(tgt[m])
+                ocs.append(c[m])
+                ots.append(t[m])
+                oes.append(e[m])
+        return pa.table({
+            "bk": pa.array(np.concatenate(bks)),
+            "cell": pa.array(np.concatenate(ocs)),
+            "tu": pa.array(np.concatenate(ots)),
+            "eid": pa.array(np.concatenate(oes))})
+
+    def bucket_count(g: pd.DataFrame, key: str, tau: int) -> int:
+        """Pairs within tau counted once at the min-``key`` bucket:
+        native-native unordered pairs + native-foreign pairs."""
+        total = 0
+        for bk, grp in g.groupby("bk", sort=False):
+            t_all = np.sort(grp["tu"].to_numpy().astype(np.int64))
+            nat = grp[grp[key].to_numpy() == bk]
+            t_nat = np.sort(nat["tu"].to_numpy().astype(np.int64))
+            if not len(t_nat):
+                continue
+            w_all = (np.searchsorted(t_all, t_nat + tau, "right")
+                     - np.searchsorted(t_all, t_nat - tau, "left"))
+            w_nat = (np.searchsorted(t_nat, t_nat + tau, "right")
+                     - np.searchsorted(t_nat, t_nat - tau, "left"))
+            foreign = int((w_all - w_nat).sum())
+            nat_pairs = int((w_nat - 1).sum()) // 2
+            total += foreign + nat_pairs
+        return total
+
+    reps = ds.map_batches(rep_partial, batch_format="pyarrow")
+
+    def x_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": [bucket_count(g, "cell", tau_us)]})
+
+    x_parts = bucketed_groupby(reps, ["bk"], x_fold,
+                               n_buckets=n_buckets).to_pandas()
+    x = int(x_parts["x"].sum()) if len(x_parts) else 0
+
+    # ---- Ns: all space-close pairs (histogram arithmetic) -----------
+    cells_, xh = _histogram(ds, cell_col, n_buckets)
+    ns = 0
+    for v in xh.tolist():
+        ns += v * (v - 1) // 2
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    for dy in (0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx <= 0:   # directed-once
+                continue
+            ok = ((nx + dx >= 0) & (nx + dx < ncols) & (ny + dy < nrows))
+            src = np.flatnonzero(ok)
+            found, pos = _probe(cells_, cells_[src] + dy * ncols + dx)
+            ns += _exact_dot(xh[src[found]], xh[pos[found]])
+
+    # ---- Nt: all time-close pairs (1-D tau bins, same counting) -----
+    def tbin_partial(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = t // tau_us
+        # every event ships to its bin (native) and the bin below
+        # (foreign copy): a |dt| <= tau pair spans at most one boundary
+        return pa.table({
+            "bk": pa.array(np.concatenate([bn, bn - 1])),
+            "bin": pa.array(np.concatenate([bn, bn])),
+            "tu": pa.array(np.concatenate([t, t]))})
+
+    tb = ds.map_batches(tbin_partial, batch_format="pyarrow")
+
+    def t_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": [bucket_count(g, "bin", tau_us)]})
+
+    t_parts = bucketed_groupby(tb, ["bk"], t_fold,
+                               n_buckets=n_buckets).to_pandas()
+    nt = int(t_parts["x"].sum()) if len(t_parts) else 0
+
+    n = int(_isum(xh))
+    npairs = n * (n - 1) // 2
+    ex = float(ns * nt) / float(npairs) if npairs else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "ns": pa.array([ns], pa.int64()),
+        "nt": pa.array([nt], pa.int64()),
+        "x": pa.array([x], pa.int64()),
+        "ex": pa.array([ex], pa.float64())})
