@@ -417,3 +417,73 @@ def test_api_session4_surface(ray_session, tmp_path):
         "img": pa.array([b"x", b"y"], pa.binary()),
     })).write_tar_shards(str(tmp_path / "wds"), key_col="key")
     assert len(wds) >= 1
+
+
+def test_api_session5_surface(ray_session):
+    """Fluent wiring of the session-5 terminals."""
+    cells = pa.table({"cell": pa.array([0, 0, 0, 1, 8, 9] * 5,
+                                       pa.int64()),
+                      "v": pa.array([2] * 30, pa.int64())})
+    p = api.from_arrow(cells)
+    jc = p.join_counts(res=2, n_buckets=2).to_pandas()
+    assert int(jc.bb.iloc[0]) + int(jc.ww.iloc[0]) + int(jc.bw.iloc[0]) \
+        == int(jc.w_pairs.iloc[0]) // 2
+    eb = p.eb_rates(res=2, value_col="v", m=2, n_buckets=2).to_pandas()
+    assert (eb.raw == 2.0).all()
+
+    st = pa.table({"cell": pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+                   "bin": pa.array([0, 1, 1, 2, 2, 2], pa.int64())})
+    mk = api.from_arrow(st).mann_kendall(n_buckets=2).to_pandas()
+    assert int(mk.s_stat.iloc[0]) == 3
+
+    evt = pa.table({"cell": pa.array([0, 0, 9], pa.int64()),
+                    "tu": pa.array([0, 10, 20], pa.int64()),
+                    "eid": pa.array([1, 2, 3], pa.int64())})
+    kx = api.from_arrow(evt).knox(res=2, tau_us=15, n_buckets=2) \
+        .to_pandas()
+    assert int(kx.x.iloc[0]) == 2  # (1,2) same-cell, (2,3) diagonal
+
+    od = api.from_arrow(pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1, 2], pa.int64()),
+        "id": pa.array([10, 11], pa.int64()),
+        "cell": pa.array([4, 7], pa.int64()),
+    })).od_matrix(key_col="u", ts_col="ts", id_col="id",
+                  n_buckets=2).to_pandas()
+    assert list(zip(od.cell_from, od.cell_to)) == [(4, 7)]
+
+    pts = pa.table({"lon": pa.array([0.1, 5.3], pa.float64()),
+                    "lat": pa.array([0.1, 4.4], pa.float64())})
+    hx = api.from_arrow(pts).hexbin(size_q=3 << 20).to_pandas()
+    assert {"hq", "hr"} <= set(hx.columns)
+
+    ev2 = pa.table({"g": pa.array(["a"] * 10),
+                    "v": pa.array(list(range(10)), pa.int64())})
+    kv = api.from_arrow(ev2).kmv_distinct(["g"], "v", k=64).to_pandas()
+    assert kv.est.iloc[0] == 10.0
+
+    bf = api.from_arrow(pa.table({
+        "v": pa.array([100, 20, 3], pa.int64())})).benford("v")
+    assert bf.to_pandas().obs.sum() == 3
+
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    ep = api.from_arrow(edges)
+    hc = ep.harmonic_centrality(n_seeds=2, max_hops=3).to_pandas()
+    assert (hc.h_q > 0).all()
+    mis = api.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 0], pa.int64()),
+    })).maximal_independent_set(rounds=4).to_pandas()
+    assert len(mis) == 1  # one endpoint of the single edge
+
+    bip = pa.table({"src": pa.array([0, 0, 2, 2], pa.int64()),
+                    "dst": pa.array([1, 3, 1, 3], pa.int64())})
+    bfc = api.from_arrow(bip).butterfly_count().to_pandas()
+    assert int(bfc.butterflies.iloc[0]) == 1
+
+    we = pa.table({"src": pa.array([0, 1], pa.int64()),
+                   "dst": pa.array([1, 2], pa.int64()),
+                   "w": pa.array([3, 4], pa.int64())})
+    msf = api.from_arrow(we).minimum_spanning_forest(rounds=4).to_pandas()
+    assert sorted(msf.w.tolist()) == [3, 4]

@@ -723,6 +723,94 @@ class Pipe:
 
         return zipf_fit(self.ds, **kwargs)
 
+    def join_counts(self, res: int, **kwargs) -> pa.Table:
+        """Cliff-Ord binary join-count statistics over the cell column
+        (terminal)."""
+        from .stages.spatial_stats import join_count_stats
+
+        return join_count_stats(self.ds, res=res, **kwargs)
+
+    def eb_rates(self, res: int, value_col: str, **kwargs) -> pa.Table:
+        """Empirical-Bayes smoothed per-cell rates (terminal)."""
+        from .stages.spatial_stats import eb_rates
+
+        return eb_rates(self.ds, res=res, value_col=value_col, **kwargs)
+
+    def mann_kendall(self, **kwargs) -> "Pipe":
+        """Per-cell Mann-Kendall trend test over (cell, bin) rows."""
+        from .stages.spatial_stats import mann_kendall
+
+        return Pipe(mann_kendall(self.ds, **kwargs))
+
+    def knox(self, res: int, tau_us: int, **kwargs) -> pa.Table:
+        """Knox space-time interaction test over (cell, tu, eid) rows
+        (terminal)."""
+        from .stages.spatial_stats import knox_test
+
+        return knox_test(self.ds, res=res, tau_us=tau_us, **kwargs)
+
+    def od_matrix(self, *, key_col: str, ts_col: str, id_col: str,
+                  **kwargs) -> "Pipe":
+        """Origin-destination flow counts from per-key event
+        sequences."""
+        from .stages.sequence import od_counts
+
+        return Pipe(od_counts(self.ds, key_col=key_col, ts_col=ts_col,
+                              id_col=id_col, **kwargs))
+
+    def hexbin(self, size_q: int, lon_col: str = "lon",
+               lat_col: str = "lat") -> "Pipe":
+        """Append fixed-point axial hex ids (hq, hr) for the lon/lat
+        columns."""
+        from .geom.cells import hex_axial_of
+
+        def fn(b: pa.Table) -> pa.Table:
+            hq, hr = hex_axial_of(
+                b.column(lon_col).to_numpy(zero_copy_only=False),
+                b.column(lat_col).to_numpy(zero_copy_only=False), size_q)
+            return b.append_column("hq", pa.array(hq)).append_column(
+                "hr", pa.array(hr))
+
+        return Pipe(self.ds.map_batches(fn, batch_format="pyarrow"))
+
+    def kmv_distinct(self, key_cols: list, value_col: str,
+                     **kwargs) -> "Pipe":
+        """KMV distinct-count sketch per key."""
+        from .stages.sketch import kmv_distinct
+
+        return Pipe(kmv_distinct(self.ds, key_cols, value_col, **kwargs))
+
+    def benford(self, value_col: str, **kwargs) -> pa.Table:
+        """Benford first-digit audit of a positive integer column
+        (terminal)."""
+        from .stages.profile import benford_profile
+
+        return benford_profile(self.ds, value_col, **kwargs)
+
+    def harmonic_centrality(self, **kwargs) -> "Pipe":
+        """Bounded-hop harmonic centrality over (src, dst) edges."""
+        from .stages.graph import harmonic_centrality
+
+        return Pipe(harmonic_centrality(self.ds, **kwargs))
+
+    def butterfly_count(self, **kwargs) -> "Pipe":
+        """Bipartite butterfly census over (src, dst) edges."""
+        from .stages.graph import butterfly_count
+
+        return Pipe(butterfly_count(self.ds, **kwargs))
+
+    def maximal_independent_set(self, **kwargs) -> "Pipe":
+        """Deterministic Luby MIS over symmetric (src, dst) edges."""
+        from .stages.graph import maximal_independent_set
+
+        return Pipe(maximal_independent_set(self.ds, **kwargs))
+
+    def minimum_spanning_forest(self, **kwargs) -> "Pipe":
+        """Boruvka minimum spanning forest over weighted edges."""
+        from .stages.graph import minimum_spanning_forest
+
+        return Pipe(minimum_spanning_forest(self.ds, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""
