@@ -550,3 +550,31 @@ def test_knox_brute(ray_session):
     assert (int(out.n), int(out.ns), int(out.nt), int(out.x)) \
         == (n, bns, bnt, bx)
     assert out.ex == float(bns * bnt) / float(n * (n - 1) // 2)
+
+
+def test_regions_via_components_golden(ray_session):
+    """4-connectivity labeling: an L-shape region + a diagonal-only
+    pair (NOT connected under rook) + a singleton."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.graph import connected_components
+
+    # grid 8x4 (RES=2): occupied {0,1,9} L-shape; {19, 26} diagonal;
+    # {31} singleton
+    occ = np.array([0, 1, 9, 19, 26, 31], dtype=np.int64)
+    nc = 8
+    nx, ny = occ % nc, occ // nc
+    srcs, dsts = [occ], [occ]
+    s = set(occ.tolist())
+    for off, ok in ((1, nx < nc - 1), (nc, ny < 4 - 1)):
+        for c, good in zip(occ.tolist(), ok.tolist()):
+            if good and c + off in s:
+                srcs.append(np.array([c], np.int64))
+                dsts.append(np.array([c + off], np.int64))
+    e = rd.from_arrow(pa.table({"src": pa.array(np.concatenate(srcs)),
+                                "dst": pa.array(np.concatenate(dsts))}))
+    lab = connected_components(e).to_pandas().sort_values("node")
+    comp = dict(zip(lab.node, lab.comp))
+    assert comp[0] == comp[1] == comp[9] == 0
+    assert comp[19] != comp[26]  # diagonal is NOT 4-connected
+    assert comp[31] == 31

@@ -339,7 +339,8 @@ def main():
     fns = {"bbox": soak_bbox, "walks": soak_walks, "focal": soak_focal,
            "hull": soak_hull, "sssp": soak_pinned_sssp,
            "sim": soak_sim_join, "spatial": soak_spatial_stats,
-           "tarshards": soak_tarshards}
+           "tarshards": soak_tarshards, "mst": soak_mst,
+           "butterfly": soak_butterfly, "mis": soak_mis}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
@@ -350,3 +351,90 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def soak_mst(n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
+    """Boruvka MSF on a 10M-edge random graph (weights hashed)."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.graph import minimum_spanning_forest
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        h3 = splitmix64(i.astype(np.uint64) + np.uint64(11))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_nodes)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_nodes)).astype(np.int64)),
+            "w": pa.array((h3 % np.uint64(1 << 30)).astype(np.int64)),
+        })
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        edges, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = minimum_spanning_forest(e, rounds=22)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "mst", "n_edges": n_edges, "n_nodes": n_nodes,
+            "forest_edges": rows, "sec": round(wall, 2),
+            "edges_per_sec": round(n_edges / wall)}
+
+
+def soak_butterfly(n_edges: int = 5_000_000, n_left: int = 500_000,
+                   n_right: int = 20_000):
+    """Bipartite butterfly census at 5M edges (Zipf-free uniform)."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.graph import butterfly_count
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_left)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_right)).astype(np.int64)),
+        })
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        edges, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = butterfly_count(e).to_pandas().iloc[0]
+    wall = time.perf_counter() - t0
+    return {"soak": "butterfly", "n_edges": n_edges,
+            "butterflies": int(out.butterflies),
+            "caterpillars": int(out.caterpillars),
+            "sec": round(wall, 2),
+            "edges_per_sec": round(n_edges / wall)}
+
+
+def soak_mis(n_edges: int = 10_000_000, n_nodes: int = 2_000_000):
+    """Luby MIS on a symmetric 10M-edge graph."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.graph import maximal_independent_set
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        s = (h1 % np.uint64(n_nodes)).astype(np.int64)
+        d = (h2 % np.uint64(n_nodes)).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d])),
+            "dst": pa.array(np.concatenate([d, s])),
+        })
+
+    e = rd.range(n_edges // 2, override_num_blocks=64).map_batches(
+        edges, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = maximal_independent_set(e, rounds=12)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "mis", "n_edges": n_edges, "mis_size": rows,
+            "sec": round(wall, 2),
+            "edges_per_sec": round(n_edges / wall)}

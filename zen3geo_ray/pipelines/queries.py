@@ -561,6 +561,78 @@ SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
 FROM hexed GROUP BY 1, 2"""
 
 
+def q_regions(sf_dir: str):
+    """RASTER REGION LABELING (the rasterio.features label / sieve
+    analog): 4-connected components of the OCCUPIED cell mask, labeled
+    by min cell id via the public connected_components operator (self
+    edges keep singleton regions), per-region cell and doc totals.
+    The corpus reduces to the grid-bounded histogram (one shuffle);
+    adjacency edges come from the broadcast histogram probe
+    (stages/spatial_stats machinery + stages/graph.py:
+    connected_components)."""
+    import ray.data as rd
+
+    from ..stages.graph import connected_components
+    from ..stages.spatial_stats import _histogram, _probe
+
+    cells_, x = _histogram(_geocoded(sf_dir, RES_ZONAL), "cell", 8)
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    nx = cells_ % nc
+    ny = cells_ // nc
+    srcs, dsts = [cells_], [cells_]   # self edges: singleton regions
+    for off, ok in ((1, nx < nc - 1), (nc, ny < nr - 1)):
+        si = np.flatnonzero(ok)
+        found, pos = _probe(cells_, cells_[si] + off)
+        srcs.append(cells_[si[found]])
+        dsts.append(cells_[pos[found]])
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.concatenate(srcs)),
+        "dst": pa.array(np.concatenate(dsts))}))
+    lab = connected_components(edges).to_pandas()
+    lab = lab.sort_values("node", kind="mergesort")
+    comp = lab["comp"].to_numpy().astype(np.int64)
+    # histogram and label frames share the sorted cell order
+    import pandas as pd
+
+    agg = pd.DataFrame({"comp": comp, "n_cells": np.ones(len(comp),
+                                                         np.int64),
+                        "n_docs": x}).groupby(
+        "comp", as_index=False).sum()
+    return rd.from_arrow(pa.Table.from_pandas(
+        agg, preserve_index=False).replace_schema_metadata(None))
+
+
+def _sql_regions() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    return f"""
+WITH RECURSIVE geo0 AS (SELECT doc_id,
+  {sql_geocode_exprs('doc_id', 'lang')[0]} AS lon,
+  {sql_geocode_exprs('doc_id', 'lang')[1]} AS lat FROM documents),
+geo AS (SELECT *, {cells.sql_cell_expr('lon', 'lat', RES_ZONAL)} AS cell
+        FROM geo0),
+counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x
+           FROM geo GROUP BY cell),
+e0 AS (
+  SELECT a.cell AS a, b.cell AS b FROM counts a
+    JOIN counts b ON b.cell = a.cell + 1 WHERE a.cell % {nc} < {nc - 1}
+  UNION ALL
+  SELECT a.cell, b.cell FROM counts a
+    JOIN counts b ON b.cell = a.cell + {nc}
+    WHERE a.cell // {nc} < {nr - 1}
+  UNION ALL SELECT cell, cell FROM counts),
+edge AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(id, r) AS (
+  SELECT DISTINCT a, a FROM edge
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edge e ON e.a = w.r
+),
+lab AS (SELECT id AS cell, MIN(r) AS comp FROM walk GROUP BY id)
+SELECT l.comp, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.x) AS BIGINT) AS n_docs
+FROM lab l JOIN counts c ON c.cell = l.cell
+GROUP BY 1"""
+
+
 KNOX_TAU_US = 3_600_000_000   # 1-hour time window
 
 
@@ -10107,6 +10179,7 @@ def build_oracles() -> dict[str, str]:
         "od_matrix": _sql_od_matrix(),
         "hexbin": _sql_hexbin(),
         "knox": _sql_knox(),
+        "regions": _sql_regions(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11033,6 +11106,7 @@ def build_queries() -> dict:
         "od_matrix": q_od_matrix,
         "hexbin": q_hexbin,
         "knox": q_knox,
+        "regions": q_regions,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
