@@ -445,3 +445,35 @@ def test_hex_axial_centers_and_nearest():
         for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
             nx, ny = center(hq[i] + dq, hr[i] + dr)
             assert (lon[i] - nx) ** 2 + (lat[i] - ny) ** 2 >= d0 - 1e-9
+
+
+def test_ring_simplify_mask_and_summary(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.geom import wkb
+    from zen3geo_ray.geom.measure import (
+        ring_area2,
+        ring_simplify_mask,
+        simplify_summary,
+    )
+
+    # square with one tiny notch vertex (area-2 triangle) at (5, 0.?):
+    # integer version — notch vertex (5, 1): triangle (0,0)-(5,1)-(10,0)
+    # has 2A = |(5,1)x(10,0)| = 10 >= 8 kept; shallower notch (5, 0)?
+    ring = np.array([[0, 0], [5, 1], [10, 0], [10, 10], [0, 10], [0, 0]],
+                    dtype=np.float64)
+    m = ring_simplify_mask(ring, 8)
+    assert m.tolist() == [True, True, True, True, True]
+    m2 = ring_simplify_mask(ring, 11)   # notch removed at T2 = 11
+    assert m2.tolist() == [True, False, True, True, True]
+
+    t = pa.table({"poly_id": pa.array([1], pa.int64()),
+                  "geometry_wkb": pa.array(
+        [wkb.dumps({"type": "Polygon", "coords": [ring]})], pa.binary())})
+    out = simplify_summary(rd.from_arrow(t), threshold2=11,
+                           keep_cols=["poly_id"]).to_pandas().iloc[0]
+    assert (int(out.nverts), int(out.nkept)) == (5, 4)
+    assert int(out.area2) == int(round(ring_area2(ring)))
+    assert int(out.area2_s) == 200   # clean 10x10 square

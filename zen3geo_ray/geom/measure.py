@@ -130,3 +130,58 @@ def geom_summary(ds, *, geom_col: str = "geometry_wkb",
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ring_simplify_mask(ring: np.ndarray, threshold2: float) -> np.ndarray:
+    """ONE-PASS vertex filter (the non-iterative Visvalingam screen):
+    keep vertex i iff twice its cyclic triangle area
+    |(v_i - v_{i-1}) x (v_{i+1} - v_{i-1})| >= threshold2; the first
+    vertex anchors the ring unconditionally.  Input closed ring
+    ((n, 2), first == last); returns a mask over the n-1 distinct
+    vertices.  One pass (not iterated), so the mask is a pure function
+    of the input ring and mirrors in SQL."""
+    pts = ring[:-1]
+    prv = np.roll(pts, 1, axis=0)
+    nxt = np.roll(pts, -1, axis=0)
+    cross = ((pts[:, 0] - prv[:, 0]) * (nxt[:, 1] - prv[:, 1])
+             - (nxt[:, 0] - prv[:, 0]) * (pts[:, 1] - prv[:, 1]))
+    keep = np.abs(cross) >= threshold2
+    keep[0] = True
+    return keep
+
+
+def simplify_summary(ds, *, threshold2: float,
+                     geom_col: str = "geometry_wkb",
+                     keep_cols: list[str] | None = None):
+    """Per-polygon simplification summary over the SHELL ring:
+    (nverts, nkept, area2, area2_s) — original and filtered shoelace
+    (both exact integers under the integer-coordinate contract).  A
+    stateless map_batches; the simplified ring may self-intersect for
+    aggressive thresholds (the standard one-pass caveat) — area2_s is
+    its signed shoelace either way."""
+    keep_cols = keep_cols or []
+
+    def fn(b: pa.Table) -> pa.Table:
+        blobs = b.column(geom_col).to_pylist()
+        nv = np.empty(len(blobs), np.int64)
+        nk = np.empty(len(blobs), np.int64)
+        a2 = np.empty(len(blobs), np.int64)
+        a2s = np.empty(len(blobs), np.int64)
+        for i, blob in enumerate(blobs):
+            g = wkb.loads(blob)
+            if g["type"] != "Polygon":
+                raise ValueError("simplify_summary: Polygon shells only")
+            ring = np.asarray(g["coords"][0], dtype=np.float64)
+            mask = ring_simplify_mask(ring, threshold2)
+            kept = ring[:-1][mask]
+            closed = np.vstack([kept, kept[:1]])
+            nv[i] = len(ring) - 1
+            nk[i] = int(mask.sum())
+            a2[i] = int(round(ring_area2(ring)))
+            a2s[i] = int(round(ring_area2(closed)))
+        out = {c: b.column(c) for c in keep_cols}
+        out.update({"nverts": pa.array(nv), "nkept": pa.array(nk),
+                    "area2": pa.array(a2), "area2_s": pa.array(a2s)})
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -6491,6 +6491,81 @@ SELECT a.poly_id, nv.nverts, a.area2, a.cx6, a.cy6,
 FROM agg a JOIN nv ON nv.poly_id = a.poly_id"""
 
 
+SIMPLIFY_T2 = 8   # keep corners with twice-triangle-area >= 8
+
+
+def q_simplify(sf_dir: str):
+    """ONE-PASS polygon simplification summary (the non-iterative
+    Visvalingam screen, the .simplify() analog): over the staircase
+    polygons keep vertices whose cyclic twice-triangle-area >= 8
+    (first vertex anchors), report original vs simplified shoelace —
+    all exact integers (geom/measure.py:simplify_summary)."""
+    from ..geom import wkb as _wkb
+    from ..geom.measure import simplify_summary
+
+    def mk(b: pa.Table) -> pa.Table:
+        keys = b.column("n_nationkey").to_numpy(zero_copy_only=False)
+        blobs = [_wkb.dumps({"type": "Polygon",
+                             "coords": [_staircase_ring(int(k))]})
+                 for k in keys]
+        return pa.table({
+            "poly_id": pa.array(keys.astype(np.int64)),
+            "geometry_wkb": pa.array(blobs, pa.binary()),
+        })
+
+    polys = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        mk, batch_format="pyarrow")
+    return simplify_summary(polys, threshold2=SIMPLIFY_T2,
+                            keep_cols=["poly_id"])
+
+
+def _sql_simplify() -> str:
+    return f"""WITH keys AS (SELECT n_nationkey AS k FROM nation),
+vv AS (SELECT k, 3 + k % 3 AS V FROM keys),
+steps AS (SELECT k, i,
+                 1 + (k * 7 + i * 3) % 5 AS dx,
+                 1 + (k * 11 + i * 5) % 4 AS dy
+          FROM (SELECT k, unnest(range(1, V + 1)) AS i FROM vv)),
+cum AS (SELECT k, i,
+               SUM(dx) OVER (PARTITION BY k ORDER BY i) AS x,
+               SUM(dy) OVER (PARTITION BY k ORDER BY i) AS y,
+               COALESCE(SUM(dy) OVER (PARTITION BY k ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS yprev
+        FROM steps),
+verts AS MATERIALIZED (
+  SELECT k, 0 AS ord, 0 AS x, 0 AS y FROM keys
+  UNION ALL SELECT k, 2 * i - 1, x, yprev FROM cum
+  UNION ALL SELECT k, 2 * i, x, y FROM cum
+  UNION ALL SELECT c.k, 2 * m.V + 1, 0, c.y
+            FROM cum c JOIN vv m ON m.k = c.k AND c.i = m.V),
+mm AS (SELECT k, 2 * V + 2 AS m FROM vv),
+orig AS (SELECT a.k,
+  CAST(SUM(a.x * b.y - b.x * a.y) AS BIGINT) AS area2,
+  CAST(COUNT(*) AS BIGINT) AS nverts
+  FROM verts a JOIN mm ON mm.k = a.k
+  JOIN verts b ON b.k = a.k AND b.ord = (a.ord + 1) % mm.m
+  GROUP BY 1),
+tri AS (SELECT v.k, v.ord, v.x, v.y,
+        p.x AS xp, p.y AS yp, n.x AS xn, n.y AS yn
+        FROM verts v JOIN mm ON mm.k = v.k
+        JOIN verts p ON p.k = v.k AND p.ord = (v.ord + mm.m - 1) % mm.m
+        JOIN verts n ON n.k = v.k AND n.ord = (v.ord + 1) % mm.m),
+kept AS MATERIALIZED (SELECT k, ord, x, y,
+        ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord) AS rn,
+        COUNT(*) OVER (PARTITION BY k) AS mk
+        FROM tri WHERE ord = 0 OR
+          ABS((x - xp) * (yn - yp) - (xn - xp) * (y - yp))
+            >= {SIMPLIFY_T2}),
+simp AS (SELECT a.k,
+  CAST(SUM(a.x * b.y - b.x * a.y) AS BIGINT) AS area2_s,
+  CAST(COUNT(*) AS BIGINT) AS nkept
+  FROM kept a JOIN kept b ON b.k = a.k AND b.rn = a.rn % a.mk + 1
+  GROUP BY 1)
+SELECT o.k AS poly_id, o.nverts, s.nkept, o.area2, s.area2_s
+FROM orig o JOIN simp s ON s.k = o.k"""
+
+
 def q_focal(sf_dir: str):
     """FOCAL (3x3 moving-window) statistics over the rasterized count
     grid — the rioxarray/scipy focal-convolution analog on the sparse
@@ -10180,6 +10255,7 @@ def build_oracles() -> dict[str, str]:
         "hexbin": _sql_hexbin(),
         "knox": _sql_knox(),
         "regions": _sql_regions(),
+        "simplify": _sql_simplify(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11107,6 +11183,7 @@ def build_queries() -> dict:
         "hexbin": q_hexbin,
         "knox": q_knox,
         "regions": q_regions,
+        "simplify": q_simplify,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
