@@ -357,3 +357,21 @@ def test_per_domain_quota_pipeline(ray_session):
             add_domain, batch_format="pyarrow"),
         "domain", "url", quota=3).to_pandas()
     assert set(capped["url"]) == set(capped2["url"])
+
+
+def test_readability_metrics_golden():
+    import pyarrow as pa
+
+    from zen3geo_ray.functions.text import readability_metrics
+
+    col = pa.array([
+        "The cat sat. The dog ran!",   # 6 words, 2 sentences
+        "",                             # empty: flesch None
+        "aaa eee",                      # 2 words, 0 sents -> floored 1
+    ])
+    w, s, y, fl = readability_metrics(col)
+    assert w.tolist() == [6, 0, 2]
+    assert s.tolist() == [2, 1, 1]
+    assert y.tolist() == [6, 0, 2]     # one vowel group per word here
+    assert fl[1] is None
+    assert fl[0] == 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)

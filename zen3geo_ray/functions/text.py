@@ -289,3 +289,29 @@ def normalize_ascii(col):
     x = pc.replace_substring_regex(x, "[^a-z0-9]+", " ")
     x = pc.replace_substring_regex(x, " +", " ")
     return pc.utf8_trim_whitespace(x)
+
+
+READ_SENT_RE = r"[.!?]+"
+READ_SYL_RE = "[aeiouyAEIOUY]+"
+
+
+def readability_metrics(col: "pa.ChunkedArray | pa.Array"):
+    """Flesch-reading-ease ingredients via RE2 counts (pyarrow and
+    DuckDB share RE2, so counts mirror bit-exactly): words = \\S+ runs
+    (the pinned tokenizer convention), sentences = [.!?]+ runs
+    (floored at 1), syllable proxy = vowel-group runs.  Returns
+    (n_words, n_sents, n_syl, flesch) numpy arrays; flesch =
+    206.835 - 1.015*(W/S) - 84.6*(Y/W), NaN-free: None when W = 0."""
+    import pyarrow.compute as pc
+
+    w = pc.count_substring_regex(col, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    s = pc.count_substring_regex(col, READ_SENT_RE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    y = pc.count_substring_regex(col, READ_SYL_RE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    s1 = np.maximum(s, 1)
+    flesch = [206.835 - 1.015 * (float(wi) / float(si))
+              - 84.6 * (float(yi) / float(wi)) if wi else None
+              for wi, si, yi in zip(w.tolist(), s1.tolist(), y.tolist())]
+    return w, s1, y, flesch

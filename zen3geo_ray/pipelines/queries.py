@@ -2979,6 +2979,41 @@ def q_token_bpe(sf_dir: str):
     )
 
 
+def q_readability(sf_dir: str):
+    """Flesch-reading-ease panel per document: RE2-counted words /
+    sentence runs / vowel-group syllable proxy (pyarrow and DuckDB
+    share RE2, counts mirror exactly), flesch = 206.835 - 1.015*(W/S)
+    - 84.6*(Y/W) left-assoc on both sides
+    (functions/text.py:readability_metrics)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        w, s, y, fl = textfn.readability_metrics(b.column("text"))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_words": pa.array(w), "n_sents": pa.array(s),
+            "n_syl": pa.array(y),
+            "flesch": pa.array(fl, pa.float64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _sql_readability() -> str:
+    return r"""
+WITH c AS (SELECT doc_id,
+  CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+  GREATEST(CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+    AS s,
+  CAST(LEN(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+  FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syl,
+       CASE WHEN w > 0 THEN
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+       ELSE NULL END AS flesch
+FROM c"""
+
+
 def q_quality(sf_dir: str):
     def fn(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
@@ -10256,6 +10291,7 @@ def build_oracles() -> dict[str, str]:
         "knox": _sql_knox(),
         "regions": _sql_regions(),
         "simplify": _sql_simplify(),
+        "readability": _sql_readability(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11184,6 +11220,7 @@ def build_queries() -> dict:
         "knox": q_knox,
         "regions": q_regions,
         "simplify": q_simplify,
+        "readability": q_readability,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
