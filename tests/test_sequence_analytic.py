@@ -304,3 +304,24 @@ def test_od_counts_golden(ray_session):
         ["cell_from", "cell_to"]).reset_index(drop=True)
     got = list(zip(out.cell_from, out.cell_to, out.n))
     assert got == [(3, 9, 1), (5, 5, 1), (5, 7, 1)]
+
+
+def test_staypoints_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import staypoints
+
+    # user 1: 5,5,7,5,5,5 -> runs [5x2], [7x1], [5x3]; min 2 keeps two
+    t = pa.table({
+        "u": pa.array([1] * 6 + [2] * 2, pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 6, 1, 2], pa.int64()),
+        "id": pa.array(list(range(8)), pa.int64()),
+        "cell": pa.array([5, 5, 7, 5, 5, 5, 9, 9], pa.int64()),
+    })
+    out = staypoints(rd.from_arrow(t).repartition(2), key_col="u",
+                     ts_col="ts", id_col="id", min_events=2,
+                     n_buckets=2).to_pandas().sort_values(
+        ["u", "start_tu"]).reset_index(drop=True)
+    got = list(zip(out.u, out.cell, out.n_events, out.start_tu,
+                   out.end_tu))
+    assert got == [(1, 5, 2, 1, 2), (1, 5, 3, 4, 6), (2, 9, 2, 1, 2)]

@@ -633,6 +633,52 @@ FROM lab l JOIN counts c ON c.cell = l.cell
 GROUP BY 1"""
 
 
+STAY_MIN = 2
+
+
+def q_staypoints(sf_dir: str):
+    """STAY-POINT detection: maximal consecutive same-cell runs per
+    user over the exact (ts, event_id) order, >= 2 events — the
+    trajectory-mining sibling of od_matrix
+    (stages/sequence.py:staypoints)."""
+    from ..stages.sequence import staypoints
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(eid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "tu": pa.array(t),
+                         "cell": pa.array(cell, pa.int64())})
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return staypoints(ev, key_col="user_id", ts_col="tu",
+                      id_col="event_id", min_events=STAY_MIN)
+
+
+def _sql_staypoints() -> str:
+    lon_e, lat_e = sql_geocode_exprs("event_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    return f"""
+WITH g0 AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                   {lon_e} AS lon, {lat_e} AS lat FROM events),
+gc AS (SELECT user_id, event_id, tu, {cell_e} AS cell FROM g0),
+isl AS (SELECT user_id, cell, tu,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu, event_id)
+  - ROW_NUMBER() OVER (PARTITION BY user_id, cell
+                       ORDER BY tu, event_id) AS run
+  FROM gc)
+SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(tu) AS BIGINT) AS start_tu,
+       CAST(MAX(tu) AS BIGINT) AS end_tu
+FROM isl GROUP BY user_id, cell, run
+HAVING COUNT(*) >= {STAY_MIN}"""
+
+
 KNOX_TAU_US = 3_600_000_000   # 1-hour time window
 
 
@@ -10292,6 +10338,7 @@ def build_oracles() -> dict[str, str]:
         "regions": _sql_regions(),
         "simplify": _sql_simplify(),
         "readability": _sql_readability(),
+        "staypoints": _sql_staypoints(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11221,6 +11268,7 @@ def build_queries() -> dict:
         "regions": q_regions,
         "simplify": q_simplify,
         "readability": q_readability,
+        "staypoints": q_staypoints,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

@@ -529,3 +529,35 @@ def od_counts(ds, *, key_col: str, ts_col: str, id_col: str,
 
     return bucketed_groupby(partials, ["cell_from", "cell_to"], fold,
                             n_buckets=min(n_buckets, 16))
+
+
+def staypoints(ds, *, key_col: str, ts_col: str, id_col: str,
+               cell_col: str = "cell", min_events: int = 2,
+               n_buckets: int = 64):
+    """STAY-POINT detection (the trajectory-mining primitive): maximal
+    runs of CONSECUTIVE same-cell events per key (order = the exact
+    (ts, id) total order), kept when the run has >= ``min_events``
+    events.  The gaps-and-islands shape — island id is the exact
+    ROW_NUMBER difference, so the SQL mirror is rn_overall -
+    rn_per-(key,cell).  One bucketed shuffle co-locates each key.
+    Returns (key, cell, n_events, start_tu, end_tu)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        c = g[cell_col].to_numpy().astype(np.int64)
+        t = g[ts_col].to_numpy().astype(np.int64)
+        new_run = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_run[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+        run = np.cumsum(new_run) - 1
+        df = pd.DataFrame({key_col: k, "cell": c, "tu": t, "run": run})
+        agg = df.groupby("run", sort=False).agg(
+            **{key_col: (key_col, "first")}, cell=("cell", "first"),
+            n_events=("tu", "size"), start_tu=("tu", "min"),
+            end_tu=("tu", "max")).reset_index(drop=True)
+        agg = agg[agg["n_events"] >= min_events]
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets)
