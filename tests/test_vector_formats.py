@@ -416,3 +416,24 @@ def test_arrow_ipc_roundtrip_and_parity(tmp_path):
     with zipfile.ZipFile(zp, "w") as zf:
         zf.write(tmp_path / "g.arrow", "g.arrow")
     assert read_vector(str(zp)).equals(tbl)
+
+
+def test_orc_roundtrip_and_parity(tmp_path):
+    """Apache ORC: write -> read_vector yields the identical POLYGONS
+    table; column pruning and zip dispatch work."""
+    import zipfile
+
+    from pyarrow import orc
+
+    tbl = admin_grid(nx=4, ny=3)
+    p = tmp_path / "g.orc"
+    orc.write_table(tbl, str(p))
+    got = read_vector(str(p))
+    assert got.equals(tbl)
+    pruned = read_vector(str(p), columns=["poly_id", "geometry_wkb"])
+    assert pruned.column_names == ["poly_id", "geometry_wkb"]
+    assert pruned.column("geometry_wkb").equals(tbl.column("geometry_wkb"))
+    zp = tmp_path / "o.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(p, "g.orc")
+    assert read_vector(str(zp)).equals(tbl)

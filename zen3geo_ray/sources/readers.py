@@ -45,7 +45,7 @@ def read_vector(path: str, columns: list[str] | None = None,
     (``.shp`` + sidecar ``.dbf``, sources/shapefile.py) and CSV with a
     WKT geometry column (``.csv``, sources/wktcsv.py — the GDAL CSV
     driver interchange) and Arrow IPC / Feather (``.arrow`` /
-    ``.feather`` / ``.ipc``) — all yielding the identical fixed POLYGONS
+    ``.feather`` / ``.ipc``) and Apache ORC (``.orc``) — all yielding the identical fixed POLYGONS
     schema so downstream joins are format-agnostic (the reference's
     pyogrio multi-format surface).
 
@@ -76,7 +76,8 @@ def read_vector(path: str, columns: list[str] | None = None,
                 target = None
                 for ext in (".shp", ".gpkg", ".fgb", ".geojson",
                             ".geojsonl", ".geojsons", ".ndjson", ".json",
-                            ".parquet", ".csv", ".arrow", ".feather"):
+                            ".parquet", ".csv", ".arrow", ".feather",
+                            ".orc"):
                     target = next(
                         (n for n in names if n.endswith(ext)), None)
                     if target:
@@ -116,6 +117,13 @@ def read_vector(path: str, columns: list[str] | None = None,
 
         t = feather.read_table(path, columns=columns)
         columns = None  # already pruned at the read
+    elif path.endswith(".orc"):
+        # Apache ORC (pyarrow.orc) — the columnar warehouse interchange;
+        # column pruning pushes down to the stripe reader.
+        from pyarrow import orc
+
+        t = orc.read_table(path, columns=columns)
+        columns = None
     elif path.endswith(".fgb"):
         from .flatgeobuf import read_flatgeobuf
 
