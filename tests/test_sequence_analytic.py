@@ -325,3 +325,29 @@ def test_staypoints_golden(ray_session):
     got = list(zip(out.u, out.cell, out.n_events, out.start_tu,
                    out.end_tu))
     assert got == [(1, 5, 2, 1, 2), (1, 5, 3, 4, 6), (2, 9, 2, 1, 2)]
+
+
+def test_trajectory_stats_golden(ray_session):
+    import ray.data as rd
+
+    # user 1: (0,0) -> (3,4) -> (3,4)  (ts tie at 20 broken by id)
+    # user 2: single event at (5,5)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "tu": [10, 20, 20, 7],
+        "eid": [3, 1, 2, 9],
+        "nx": [0, 3, 3, 5],
+        "ny": [0, 4, 4, 5],
+    })
+    out = (sequence.trajectory_stats(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+        key_col="user_id", ts_col="tu", id_col="eid", n_buckets=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out.loc[0, "n"] == 3 and out.loc[0, "steps"] == 2
+    assert out.loc[0, "manhattan"] == 7      # |3|+|4| then 0
+    assert out.loc[0, "net"] == 7
+    # rog_num = 3*(0 + 25 + 25) - 6^2 - 8^2 = 150 - 36 - 64 = 50
+    assert out.loc[0, "rog_num"] == 50
+    assert out.loc[1, "n"] == 1 and out.loc[1, "steps"] == 0
+    assert out.loc[1, "manhattan"] == 0 and out.loc[1, "net"] == 0
+    assert out.loc[1, "rog_num"] == 0

@@ -10282,6 +10282,63 @@ def _sql_skipgrams() -> str:
     )
 
 
+def q_traj(sf_dir: str):
+    """Per-user TRAJECTORY statistics (the scikit-mobility panel):
+    events ordered by the exact (ts, event_id) total order over res-4
+    grid coordinates give exact-int64 L1 path length, L1 net
+    displacement, and the radius-of-gyration numerator
+    n*SUM(x^2+y^2) - SUM(x)^2 - SUM(y)^2 — one bucketed shuffle,
+    vectorized diffs inside (stages/sequence.py:trajectory_stats)."""
+    from ..stages.sequence import trajectory_stats
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(eid, ["xx"] * len(b))
+        nx, ny = cells.nxny_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "tu": pa.array(t),
+                         "nx": pa.array(nx, pa.int64()),
+                         "ny": pa.array(ny, pa.int64())})
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return trajectory_stats(ev, key_col="user_id", ts_col="tu",
+                            id_col="event_id")
+
+
+def _sql_traj() -> str:
+    lon_e, lat_e = sql_geocode_exprs("event_id", "'xx'")
+    nx_e, ny_e = cells.sql_nxny_exprs("lon", "lat", MK_RES)
+    return f"""
+WITH g0 AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                   {lon_e} AS lon, {lat_e} AS lat FROM events),
+gc AS (SELECT user_id, event_id, tu, {nx_e} AS nx, {ny_e} AS ny FROM g0),
+l AS (SELECT user_id, nx, ny,
+  LAG(nx) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS px,
+  LAG(ny) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS py,
+  FIRST_VALUE(nx) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS fx,
+  FIRST_VALUE(ny) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS fy,
+  LAST_VALUE(nx) OVER (PARTITION BY user_id ORDER BY tu, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lx,
+  LAST_VALUE(ny) OVER (PARTITION BY user_id ORDER BY tu, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ly
+  FROM gc)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN px IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS steps,
+  CAST(SUM(CASE WHEN px IS NULL THEN 0
+           ELSE ABS(nx - px) + ABS(ny - py) END) AS BIGINT) AS manhattan,
+  CAST(MAX(ABS(lx - fx) + ABS(ly - fy)) AS BIGINT) AS net,
+  CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(nx * nx + ny * ny) AS BIGINT)
+       - CAST(SUM(nx) AS BIGINT) * CAST(SUM(nx) AS BIGINT)
+       - CAST(SUM(ny) AS BIGINT) * CAST(SUM(ny) AS BIGINT)
+       AS BIGINT) AS rog_num
+FROM l GROUP BY user_id"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -10339,6 +10396,7 @@ def build_oracles() -> dict[str, str]:
         "simplify": _sql_simplify(),
         "readability": _sql_readability(),
         "staypoints": _sql_staypoints(),
+        "traj": _sql_traj(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11269,6 +11327,7 @@ def build_queries() -> dict:
         "simplify": q_simplify,
         "readability": q_readability,
         "staypoints": q_staypoints,
+        "traj": q_traj,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

@@ -561,3 +561,62 @@ def staypoints(ds, *, key_col: str, ts_col: str, id_col: str,
         return agg
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets)
+
+
+def trajectory_stats(ds, *, key_col: str, ts_col: str, id_col: str,
+                     x_col: str = "nx", y_col: str = "ny",
+                     n_buckets: int = 64):
+    """Per-key TRAJECTORY statistics (the scikit-mobility staple set)
+    over grid coordinates: events ordered by the exact (ts, id) total
+    order give the step sequence; everything is exact int64 —
+
+    * ``n``          events in the trajectory
+    * ``steps``      consecutive pairs (n - 1 when n >= 1)
+    * ``manhattan``  total L1 path length  SUM |dx| + |dy|
+    * ``net``        L1 displacement first -> last event
+    * ``rog_num``    radius-of-gyration numerator
+                     n * SUM(x^2 + y^2) - SUM(x)^2 - SUM(y)^2
+                     (= n^2 * mean squared distance from the centroid,
+                     kept as the exact integer so the oracle is
+                     float-free; divide by n^2 downstream for RoG^2).
+
+    One bucketed shuffle co-locates each key; inside a bucket the fold
+    is one mergesort + vectorized diffs (key-boundary rows masked out
+    of the step sums), so Python-call count is O(buckets).  Reference
+    surface: zen3geo's per-scene iteration has no trajectory analog —
+    this extends the od_counts/staypoints mobility family
+    (``sequence.py:od_counts``)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        x = g[x_col].to_numpy().astype(np.int64)
+        y = g[y_col].to_numpy().astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = k[1:] == k[:-1]
+        dx = np.zeros(len(g), dtype=np.int64)
+        dy = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            dx[1:] = np.abs(x[1:] - x[:-1])
+            dy[1:] = np.abs(y[1:] - y[:-1])
+        step_len = np.where(same, dx + dy, 0)
+        df = pd.DataFrame({
+            key_col: k, "sl": step_len, "st": same.astype(np.int64),
+            "x": x, "y": y, "x2y2": x * x + y * y,
+        })
+        agg = df.groupby(key_col, sort=False).agg(
+            n=("x", "size"), steps=("st", "sum"), manhattan=("sl", "sum"),
+            sx=("x", "sum"), sy=("y", "sum"), sq=("x2y2", "sum"),
+            fx=("x", "first"), fy=("y", "first"),
+            lx=("x", "last"), ly=("y", "last"),
+        ).reset_index()
+        for c in ("n", "steps", "manhattan", "sx", "sy", "sq"):
+            agg[c] = agg[c].astype(np.int64)
+        agg["net"] = (np.abs(agg["lx"] - agg["fx"])
+                      + np.abs(agg["ly"] - agg["fy"])).astype(np.int64)
+        agg["rog_num"] = (agg["n"] * agg["sq"] - agg["sx"] * agg["sx"]
+                          - agg["sy"] * agg["sy"]).astype(np.int64)
+        return agg[[key_col, "n", "steps", "manhattan", "net", "rog_num"]]
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets)
