@@ -10339,6 +10339,81 @@ SELECT user_id,
 FROM l GROUP BY user_id"""
 
 
+def q_rfm(sf_dir: str):
+    """RFM customer scoring (the CRM segmentation staple): per customer
+    recency (last order epoch), frequency (order count) and monetary
+    (exact cents) reduce once; three global RANK() passes (constant
+    partition key, custkey tiebreak — stages/scan.py:keyed_rank) turn
+    each metric into a 1-5 quintile via the tie-stable integer formula
+    (rank-1)*5 // n + 1.  The reduce output is one bounded row per
+    customer, so the rank sorts never touch the raw orders again."""
+    from ..stages.bucketed import bucketed_groupby
+    import pandas as pd
+
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64())
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": b.column("o_custkey"), "du": d,
+                         "cents": pa.array(
+                             np.rint(v * 100.0).astype(np.int64))})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby("o_custkey", sort=False).agg(
+            last_us=("du", "max"), freq=("du", "size"),
+            mon=("cents", "sum")).reset_index()
+        for c in ("last_us", "freq", "mon"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    cust = bucketed_groupby(ords.map_batches(prep, batch_format="pyarrow"),
+                            ["o_custkey"], fold, 32).materialize()
+    n = cust.count()  # bounded aggregate: one row per customer
+
+    def add_k(b: pa.Table) -> pa.Table:
+        return b.append_column("k", pa.array(np.zeros(len(b), np.int64)))
+
+    ranked = cust.map_batches(add_k, batch_format="pyarrow")
+    for value, rank_col in (("last_us", "rr"), ("freq", "fr"),
+                            ("mon", "mr")):
+        ranked = scan.keyed_rank(ranked, "k", value, "o_custkey",
+                                 rank_col=rank_col,
+                                 dense_col=f"_d_{rank_col}")
+
+    def score(b: pa.Table) -> pa.Table:
+        out = {c: b.column(c) for c in ("o_custkey", "last_us", "freq",
+                                        "mon")}
+        for rank_col, sc in (("rr", "r_score"), ("fr", "f_score"),
+                             ("mr", "m_score")):
+            r = b.column(rank_col).to_numpy(zero_copy_only=False)
+            out[sc] = pa.array((r - 1) * 5 // n + 1, pa.int64())
+        return pa.table(out)
+
+    return ranked.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_rfm() -> str:
+    return """
+WITH c AS (SELECT o_custkey,
+    CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+r AS (SELECT o_custkey, last_us, freq, mon,
+    RANK() OVER (ORDER BY last_us) AS rr,
+    RANK() OVER (ORDER BY freq) AS fr,
+    RANK() OVER (ORDER BY mon) AS mr
+  FROM c)
+SELECT o_custkey, last_us, freq, mon,
+  (rr - 1) * 5 // n + 1 AS r_score,
+  (fr - 1) * 5 // n + 1 AS f_score,
+  (mr - 1) * 5 // n + 1 AS m_score
+FROM r CROSS JOIN t"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -10397,6 +10472,7 @@ def build_oracles() -> dict[str, str]:
         "readability": _sql_readability(),
         "staypoints": _sql_staypoints(),
         "traj": _sql_traj(),
+        "rfm": _sql_rfm(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11328,6 +11404,7 @@ def build_queries() -> dict:
         "readability": q_readability,
         "staypoints": q_staypoints,
         "traj": q_traj,
+        "rfm": q_rfm,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
