@@ -529,3 +529,23 @@ def test_benford_golden(ray_session):
                                 4 * BENFORD_P[8]]
     e = 4 * BENFORD_P[1]
     assert out.chi2_term.iloc[1] == (2.0 - e) * (2.0 - e) / e
+
+
+def test_ams_f2_accuracy_and_block_invariance(ray_session):
+    # Zipf-ish frequencies: key k appears ~1000//(k+1) times.
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [np.full(1000 // (k + 1), k, dtype=np.int64) for k in range(200)])
+    rng.shuffle(vals)
+    exact = int(sum(int(c) ** 2 for c in
+                    pd.Series(vals).value_counts().to_numpy()))
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(nblocks)
+        out = sketch.ams_f2(ds, "v").to_pandas()
+        assert int(out["f2_exact"][0]) == exact
+        outs.append(int(out["f2_est"][0]))
+    # merged sketch is block-boundary invariant
+    assert outs[0] == outs[1]
+    # median-of-means within ~3x sqrt(2/per) relative error envelope
+    assert abs(outs[0] - exact) <= 1.5 * exact

@@ -10414,6 +10414,45 @@ SELECT o_custkey, last_us, freq, mon,
 FROM r CROSS JOIN t"""
 
 
+AMS_LANES, AMS_GROUPS = 32, 4
+
+
+def q_ams_f2(sf_dir: str):
+    """AMS F2 sketch (self-join-size / skew estimator) of the user
+    frequency vector beside the exact SUM(f^2): sign bits from one
+    mulrot63 hash per user, integer median-of-means finale — constant
+    256 B of mergeable state per bucket (stages/sketch.py:ams_f2)."""
+    from ..stages.sketch import ams_f2
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return ams_f2(ev, "user_id", lanes=AMS_LANES, groups=AMS_GROUPS)
+
+
+def _sql_ams_f2() -> str:
+    per = AMS_LANES // AMS_GROUPS
+    mr = hashing.sql_mulrot63_ctes("f", "user_id, c",
+                                   "CAST(user_id AS HUGEINT)")
+    lane_sums = ", ".join(
+        f"CAST(SUM((((h // {1 << lane}) % 2) * 2 - 1) * c) AS BIGINT)"
+        f" AS s{lane}" for lane in range(AMS_LANES))
+    gmeans = ", ".join(
+        "(" + " + ".join(f"s{g * per + j} * s{g * per + j}"
+                         for j in range(per)) + f") // {per} AS g{g}"
+        for g in range(AMS_GROUPS))
+    glist = ", ".join(f"g{g}" for g in range(AMS_GROUPS))
+    return f"""
+WITH f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+{mr},
+s AS (SELECT {lane_sums} FROM mh63),
+g AS (SELECT {gmeans} FROM s),
+e AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM f)
+SELECT f2_exact,
+  ((g0 + g1 + g2 + g3) - GREATEST({glist}) - LEAST({glist})) // 2
+    AS f2_est
+FROM e CROSS JOIN g"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -10473,6 +10512,7 @@ def build_oracles() -> dict[str, str]:
         "staypoints": _sql_staypoints(),
         "traj": _sql_traj(),
         "rfm": _sql_rfm(),
+        "ams_f2": _sql_ams_f2(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11405,6 +11445,7 @@ def build_queries() -> dict:
         "staypoints": q_staypoints,
         "traj": q_traj,
         "rfm": q_rfm,
+        "ams_f2": q_ams_f2,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,
