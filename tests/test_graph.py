@@ -1715,3 +1715,36 @@ def test_msf_disconnected_forest(ray_session):
     out = minimum_spanning_forest(rd.from_arrow(t)).to_pandas()
     got = sorted(zip(out.u.tolist(), out.v.tolist(), out.w.tolist()))
     assert got == [(0, 1, 1), (1, 2, 2), (10, 11, 5), (11, 12, 4)]
+
+
+def test_betweenness_goldens_and_parity(ray_session):
+    from zen3geo_ray.stages.graph import betweenness_centrality
+
+    Q = 1 << 20
+    # path 1-2-3-4-5, seeds {1,5}: sigma_st=1 -> bw_q = Q per interior
+    edges = rd.from_arrow(pa.table({"src": np.array([1, 2, 3, 4], np.int64),
+                                    "dst": np.array([2, 3, 4, 5], np.int64)}))
+    seeds = rd.from_arrow(pa.table({"node": np.array([1, 5], np.int64)}))
+    out = betweenness_centrality(edges, seeds, max_hops=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["bw_q"].astype(int)))
+    assert got == {2: Q, 3: Q, 4: Q}
+
+    # diamond 1-2-4 / 1-3-4, seeds {1,4}: sigma_14=2 -> each middle Q//2
+    dm = rd.from_arrow(pa.table({"src": np.array([1, 1, 2, 3], np.int64),
+                                 "dst": np.array([2, 3, 4, 4], np.int64)}))
+    sd = rd.from_arrow(pa.table({"node": np.array([1, 4], np.int64)}))
+    out3 = betweenness_centrality(dm, sd, max_hops=3).to_pandas()
+    got3 = dict(zip(out3["node"].astype(int), out3["bw_q"].astype(int)))
+    assert got3 == {2: Q // 2, 3: Q // 2}
+
+    # random graph: broadcast path == bucketed path bit-for-bit
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    re = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    a = betweenness_centrality(re, n_seeds=5, max_hops=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = betweenness_centrality(re, n_seeds=5, max_hops=3,
+                               broadcast_threshold=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0

@@ -10414,6 +10414,55 @@ SELECT o_custkey, last_us, freq, mon,
 FROM r CROSS JOIN t"""
 
 
+BW_QUANT = 1 << 20
+
+
+def q_betweenness(sf_dir: str):
+    """Seeded BETWEENNESS centrality (Brandes pair-dependency with the
+    rational term QUANTIZED: (sig_sv*sig_tv*2^20) // sig_st per seed
+    pair, order-free integer sums) over the same co-purchase sigma BFS
+    as stress/harmonic — the true-betweenness member of the centrality
+    family (stages/graph.py:betweenness_centrality)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import betweenness_centrality
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(STRESS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return betweenness_centrality(prs, n_seeds=STRESS_K,
+                                  max_hops=STRESS_HOPS, quant=BW_QUANT)
+
+
+def _sql_betweenness() -> str:
+    D = STRESS_HOPS
+    return (_sql_sigma_bfs_ctes() + f""",
+pdist AS MATERIALIZED (SELECT r.s AS s, r.v AS t, r.d AS d_st,
+                              r.sig AS sig_st
+    FROM r{D} r JOIN seeds t2 ON t2.s = r.v WHERE r.s < r.v)
+SELECT a.v AS node,
+  CAST(SUM((a.sig * b.sig * {BW_QUANT}) // p.sig_st) AS BIGINT) AS bw_q
+FROM r{D} a JOIN r{D} b ON b.v = a.v AND a.s < b.s
+JOIN pdist p ON p.s = a.s AND p.t = b.s AND p.d_st = a.d + b.d
+WHERE a.v <> a.s AND a.v <> b.s
+GROUP BY 1""")
+
+
 AMS_LANES, AMS_GROUPS = 32, 4
 
 
@@ -10513,6 +10562,7 @@ def build_oracles() -> dict[str, str]:
         "traj": _sql_traj(),
         "rfm": _sql_rfm(),
         "ams_f2": _sql_ams_f2(),
+        "betweenness": _sql_betweenness(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11446,6 +11496,7 @@ def build_queries() -> dict:
         "traj": q_traj,
         "rfm": q_rfm,
         "ams_f2": q_ams_f2,
+        "betweenness": q_betweenness,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

@@ -3118,6 +3118,143 @@ def stress_centrality(edges, seeds=None, *, n_seeds: int = 6,
         [NODE], final_sum, n_buckets=n_buckets)
 
 
+def _bw_terms(g1: np.ndarray, g2: np.ndarray, sig_st: int,
+              quant: int) -> np.ndarray:
+    """Per-pair quantized dependency terms (g1*g2*quant) // sig_st —
+    int64-vectorized when the worst-case product provably fits,
+    exact-Python-int fallback otherwise (path counts can explode on
+    dense graphs; the floor-div terms themselves stay bounded)."""
+    if not len(g1):
+        return np.zeros(0, dtype=np.int64)
+    if int(g1.max()) * int(g2.max()) * quant < (1 << 62):
+        return (g1 * g2 * quant) // sig_st
+    return np.array([(int(a) * int(b) * quant) // sig_st
+                     for a, b in zip(g1.tolist(), g2.tolist())],
+                    dtype=np.int64)
+
+
+def betweenness_centrality(edges, seeds=None, *, n_seeds: int = 6,
+                           src: str = "src", dst: str = "dst",
+                           max_hops: int = 3, quant: int = 1 << 20,
+                           n_buckets: int | None = None,
+                           broadcast_threshold: int = BROADCAST_NODES):
+    """Seeded BETWEENNESS centrality (Brandes 2001, sampled-pivot
+    form) with the pair-dependency QUANTIZED so every term is an exact
+    integer:
+
+        bw_q(v) = Σ_{seed pairs s < t, d(s,t) <= max_hops}
+                  (sigma_sv * sigma_tv * quant) // sigma_st
+                  over v on a shortest s-t path (d_sv + d_tv = d_st)
+
+    i.e. classic betweenness x ``quant``, with each pair's rational
+    dependency floored independently — the sum is order-free, so the
+    chained-CTE SQL oracle matches bit for bit (divide by ``quant``
+    downstream for the float value).  This is the true-betweenness
+    sibling of :func:`stress_centrality` (same sigma BFS, same seed
+    contract, same 100-TB shape: adjacency never re-shuffles on the
+    broadcast path; one self-join + K^2 driver rows on the bucketed
+    path).  Keep max path-count products * quant below 2^62 for the
+    vectorized fast path (``_bw_terms`` falls back to exact Python
+    ints above it)."""
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    adj = _simple_adj(edges, src=src, dst=dst, n_buckets=n_buckets)
+    sarr = _pick_seeds(adj, seeds, n_seeds, n_buckets)
+    K = len(sarr)
+    empty = rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
+                                    "bw_q": pa.array([], pa.int64())}))
+    if K < 2:
+        return empty
+
+    if n_edges <= broadcast_threshold:
+        reached = _sigma_bfs_broadcast(adj, sarr, max_hops, n_buckets)
+        acc_n, acc_v = [], []
+        for i in range(K):
+            ni, di, gi = reached[i]
+            for j2 in range(i + 1, K):
+                nj, dj, gj = reached[j2]
+                p = np.searchsorted(ni, sarr[j2])
+                if p >= len(ni) or ni[p] != sarr[j2]:
+                    continue  # pair unreachable within max_hops
+                d_st, sig_st = int(di[p]), int(gi[p])
+                ii = np.minimum(np.searchsorted(ni, nj), len(ni) - 1)
+                m = ni[ii] == nj
+                ci, cj = ii[m], np.nonzero(m)[0]
+                ok = ((di[ci] + dj[cj] == d_st)
+                      & (ni[ci] != sarr[i]) & (ni[ci] != sarr[j2]))
+                acc_n.append(ni[ci][ok])
+                acc_v.append(_bw_terms(gi[ci][ok], gj[cj][ok],
+                                       sig_st, quant))
+        if not acc_n:
+            return empty
+        an = np.concatenate(acc_n)
+        av = np.concatenate(acc_v)
+        if len(an) == 0:
+            return empty
+        un, inv = np.unique(an, return_inverse=True)
+        out = np.zeros(len(un), np.int64)
+        np.add.at(out, inv, av)
+        return rd.from_arrow(pa.table({NODE: pa.array(un),
+                                       "bw_q": pa.array(out)}))
+
+    r_state = _sigma_bfs_bucketed(adj, sarr, max_hops, n_buckets)
+
+    sd = r_state.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(NODE),
+                                    value_set=pa.array(sarr))),
+        batch_format="pyarrow").to_pandas()
+    dmat = np.full((K, K), -1, np.int64)
+    smat = np.ones((K, K), np.int64)
+    si = np.searchsorted(sarr, sd["_s"].to_numpy().astype(np.int64))
+    ti = np.searchsorted(sarr, sd[NODE].to_numpy().astype(np.int64))
+    dmat[si, ti] = sd["_d"].to_numpy().astype(np.int64)
+    smat[si, ti] = sd["_sig"].to_numpy().astype(np.int64)
+
+    r2 = r_state.map_batches(
+        lambda b: b.rename_columns(
+            [{"_s": "_t", "_d": "_d2", "_sig": "_sig2"}.get(c, c)
+             for c in b.column_names]),
+        batch_format="pyarrow")
+    joined = bucketed_join(r_state, r2, [NODE], n_buckets=n_buckets)
+
+    def combine_partial(b: pa.Table, _dmat=dmat, _smat=smat,
+                        _sarr=sarr) -> pa.Table:
+        s_ = b.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ = b.column("_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = b.column(NODE).to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = b.column("_d").to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = b.column("_d2").to_numpy(zero_copy_only=False).astype(np.int64)
+        g1 = b.column("_sig").to_numpy(zero_copy_only=False).astype(np.int64)
+        g2 = b.column("_sig2").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s_ < t_
+        six = np.searchsorted(_sarr, s_[m])
+        tix = np.searchsorted(_sarr, t_[m])
+        dd = _dmat[six, tix]
+        ok = (d1[m] + d2[m] == dd) & (nd[m] != s_[m]) & (nd[m] != t_[m])
+        sig_st = _smat[six, tix][ok]
+        a1, a2 = g1[m][ok], g2[m][ok]
+        if len(a1) and int(a1.max()) * int(a2.max()) * quant < (1 << 62):
+            terms = (a1 * a2 * quant) // sig_st
+        else:
+            terms = np.array(
+                [(int(x) * int(y) * quant) // int(z)
+                 for x, y, z in zip(a1.tolist(), a2.tolist(),
+                                    sig_st.tolist())], dtype=np.int64)
+        df = pd.DataFrame({NODE: nd[m][ok], "bw_q": terms}).groupby(
+            NODE, sort=False, as_index=False)["bw_q"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["bw_q"].sum()
+
+    return bucketed_groupby(
+        joined.map_batches(combine_partial, batch_format="pyarrow"),
+        [NODE], final_sum, n_buckets=n_buckets)
+
+
 def seed_reach(edges, seeds=None, *, n_seeds: int = 6,
                src: str = "src", dst: str = "dst",
                max_hops: int = 3, n_buckets: int | None = None,
