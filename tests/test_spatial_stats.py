@@ -578,3 +578,22 @@ def test_regions_via_components_golden(ray_session):
     assert comp[0] == comp[1] == comp[9] == 0
     assert comp[19] != comp[26]  # diagonal is NOT 4-connected
     assert comp[31] == 31
+
+
+def test_flow_accumulation_chain_and_ties(ray_session):
+    from zen3geo_ray.stages.spatial_stats import flow_accumulation
+
+    # res=2: 8x4 grid.  Row y=1: cells 8..11 with heights 4,3,2,1 ->
+    # a straight drainage chain; (2,2)=18 h3 ties between (3,2)=19 h1
+    # (dir 0) and (3,3)=27 h1 (dir 1) -> dir order picks 19.
+    cells_ = ([8] * 4 + [9] * 3 + [10] * 2 + [11]
+              + [18] * 3 + [19] + [27])
+    out = flow_accumulation(_cells_ds(cells_), res=RES, rounds=6) \
+        .to_pandas().set_index("cell")
+    assert out.loc[8, "flow_to"] == 9 and out.loc[8, "acc"] == 1
+    assert out.loc[9, "flow_to"] == 10 and out.loc[9, "acc"] == 2
+    assert out.loc[10, "flow_to"] == 11 and out.loc[10, "acc"] == 3
+    assert out.loc[11, "flow_to"] == -1 and out.loc[11, "acc"] == 4
+    assert out.loc[18, "flow_to"] == 19          # dir-order tiebreak
+    assert out.loc[19, "flow_to"] == -1 and out.loc[19, "acc"] == 2
+    assert out.loc[27, "flow_to"] == -1 and out.loc[27, "acc"] == 1

@@ -10414,6 +10414,59 @@ SELECT o_custkey, last_us, freq, mon,
 FROM r CROSS JOIN t"""
 
 
+FLOW_ROUNDS = 6
+
+
+def q_flowacc(sf_dir: str):
+    """D8 FLOW ACCUMULATION over the occupancy-histogram DEM: each
+    occupied cell drains to its lowest strictly-lower occupied
+    8-neighbor (ties by the fixed D8 direction order), then 6 Jacobi
+    rounds of acc = 1 + upstream sum count the drainage area — the
+    hydrology / terrain-routing primitive, all int64
+    (stages/spatial_stats.py:flow_accumulation)."""
+    from ..stages.spatial_stats import flow_accumulation
+
+    return flow_accumulation(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                             rounds=FLOW_ROUNDS)
+
+
+def _sql_flowacc() -> str:
+    from ..stages.spatial_stats import D8_DIRS
+
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    dirs = ", ".join(f"({d}, {dx}, {dy})" for d, dx, dy in D8_DIRS)
+    ctes = [f"""nn AS MATERIALIZED (SELECT cell, x AS h, cell % {nc} AS xx,
+    cell // {nc} AS yy FROM counts)""",
+            f"dirs(dir, dx, dy) AS (VALUES {dirs})",
+            f"""cand AS MATERIALIZED (
+  SELECT a.cell, d.dir, b.cell AS ncell, b.h AS nh
+  FROM nn a CROSS JOIN dirs d
+  JOIN nn b ON b.cell = a.cell + d.dy * {nc} + d.dx
+  WHERE a.xx + d.dx BETWEEN 0 AND {nc - 1}
+    AND a.yy + d.dy BETWEEN 0 AND {nr - 1}
+    AND b.h < a.h)""",
+            """flow AS MATERIALIZED (SELECT cell, ncell FROM (
+  SELECT cell, ncell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY nh ASC, dir ASC)
+           AS rn FROM cand) WHERE rn = 1)""",
+            "a0 AS MATERIALIZED (SELECT cell, CAST(1 AS BIGINT) AS acc "
+            "FROM nn)"]
+    for i in range(1, FLOW_ROUNDS + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT n.cell, 1 + COALESCE(s.s, 0) AS acc
+  FROM nn n LEFT JOIN (
+    SELECT f.ncell AS cell, CAST(SUM(p.acc) AS BIGINT) AS s
+    FROM flow f JOIN a{i - 1} p ON p.cell = f.cell GROUP BY 1) s
+  USING (cell))""")
+    body = ",\n".join(ctes)
+    return f"""
+{_sql_counts_cte()},
+{body}
+SELECT n.cell, n.h, COALESCE(f.ncell, -1) AS flow_to, a.acc
+FROM nn n LEFT JOIN flow f USING (cell)
+JOIN a{FLOW_ROUNDS} a USING (cell)"""
+
+
 BW_QUANT = 1 << 20
 
 
@@ -10563,6 +10616,7 @@ def build_oracles() -> dict[str, str]:
         "rfm": _sql_rfm(),
         "ams_f2": _sql_ams_f2(),
         "betweenness": _sql_betweenness(),
+        "flowacc": _sql_flowacc(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11497,6 +11551,7 @@ def build_queries() -> dict:
         "rfm": q_rfm,
         "ams_f2": q_ams_f2,
         "betweenness": q_betweenness,
+        "flowacc": q_flowacc,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

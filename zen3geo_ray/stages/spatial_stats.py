@@ -1009,3 +1009,70 @@ def knox_test(ds, *, res: int, tau_us: int, cell_col: str = "cell",
         "nt": pa.array([nt], pa.int64()),
         "x": pa.array([x], pa.int64()),
         "ex": pa.array([ex], pa.float64())})
+
+
+# D8 neighbor order: dir index breaks steepest-descent ties, so the
+# enumeration below is part of the operator contract (the SQL oracle
+# carries the identical (dir, dx, dy) VALUES table).
+D8_DIRS = ((0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+           (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1))
+
+
+def flow_accumulation(ds, *, res: int, rounds: int = 6,
+                      cell_col: str = "cell", n_buckets: int = 8):
+    """D8 FLOW ACCUMULATION (the rio-terrain / hydrology primitive)
+    over the occupied-cell histogram as the DEM: each occupied cell
+    drains to its lowest occupied 8-neighbor with strictly smaller
+    height (height = per-cell count; ties by the fixed ``D8_DIRS``
+    order), sinks keep their water, and ``rounds`` Jacobi rounds of
+
+        acc_i(v) = 1 + SUM_{u -> v} acc_{i-1}(u)
+
+    count the upstream cells within ``rounds`` steps (heights strictly
+    decrease along flow, so the drainage graph is a DAG and acc
+    converges once rounds >= the longest flow path).  Returns
+    (cell, h, flow_to, acc) with flow_to = -1 for sinks — all int64.
+
+    100-TB shape: the ONE shuffle is the combiner-first cell histogram
+    (``cell_counts``); the drainage kernel runs on the GRID-bounded
+    (cell, h) table — the same bounded-finale contract as every
+    statistic in this module."""
+    import ray.data as rd
+
+    cells_, h = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    n = len(cells_)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "cell": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
+            "flow_to": pa.array([], pa.int64()),
+            "acc": pa.array([], pa.int64())}))
+    x = cells_ % ncols
+    y = cells_ // ncols
+    flow_ix = np.full(n, -1, dtype=np.int64)
+    flow_to = np.full(n, -1, dtype=np.int64)
+    best_nh = np.zeros(n, dtype=np.int64)
+    has = np.zeros(n, dtype=bool)
+    for _dir, dx, dy in D8_DIRS:
+        tx, ty = x + dx, y + dy
+        inb = (tx >= 0) & (tx < ncols) & (ty >= 0) & (ty < nrows)
+        t = ty * ncols + tx
+        found, pos = _probe(cells_, np.where(inb, t, cells_[0]))
+        found &= inb
+        nh = h[pos]
+        cand = found & (nh < h)
+        better = cand & (~has | (nh < best_nh))
+        flow_ix[better] = pos[better]
+        flow_to[better] = t[better]
+        best_nh[better] = nh[better]
+        has |= cand
+    acc = np.ones(n, dtype=np.int64)
+    m = flow_ix >= 0
+    tgt = flow_ix[m]
+    for _ in range(rounds):
+        new = np.ones(n, dtype=np.int64)
+        np.add.at(new, tgt, acc[m])
+        acc = new
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells_), "h": pa.array(h),
+        "flow_to": pa.array(flow_to), "acc": pa.array(acc)}))
