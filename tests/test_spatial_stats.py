@@ -597,3 +597,21 @@ def test_flow_accumulation_chain_and_ties(ray_session):
     assert out.loc[18, "flow_to"] == 19          # dir-order tiebreak
     assert out.loc[19, "flow_to"] == -1 and out.loc[19, "acc"] == 2
     assert out.loc[27, "flow_to"] == -1 and out.loc[27, "acc"] == 1
+
+
+def test_quadtree_leaves_golden(ray_session):
+    from zen3geo_ray.stages.partition import quadtree_leaves
+
+    # res_max=2 (8x4), res_min=1 (4x2).  res-1 cell 0 covers res-2
+    # cells {0,1,8,9}; put 5 points there (over cap 4) so those stay
+    # res-2 leaves; res-1 cell 3 covers {6,7,14,15}; put 2 points ->
+    # one res-1 leaf.
+    cells_ = [0, 0, 1, 8, 9, 6, 15]
+    out = quadtree_leaves(_cells_ds(cells_), res_max=2, res_min=1,
+                          cap=4).to_pandas()
+    got = {(int(r.depth), int(r.cell)): int(r.n)
+           for r in out.itertuples()}
+    assert got == {(2, 0): 2, (2, 1): 1, (2, 8): 1, (2, 9): 1,
+                   (1, 3): 2}
+    # invariant: leaf sums == point count
+    assert out["n"].sum() == len(cells_)

@@ -10414,6 +10414,42 @@ SELECT o_custkey, last_us, freq, mon,
 FROM r CROSS JOIN t"""
 
 
+QT_MIN, QT_CAP = 3, 30
+
+
+def q_quadtree(sf_dir: str):
+    """ADAPTIVE QUADTREE leaf directory over the geocoded corpus: the
+    hierarchical grid is cut at the first depth in [3, RES_ZONAL]
+    whose cell holds <= 30 docs (split-while-overfull) — one
+    combiner-first res-max histogram shuffle, local roll-ups above it
+    (stages/partition.py:quadtree_leaves)."""
+    from ..stages.partition import quadtree_leaves
+
+    return quadtree_leaves(_geocoded(sf_dir, RES_ZONAL), res_max=RES_ZONAL,
+                           res_min=QT_MIN, cap=QT_CAP)
+
+
+def _sql_quadtree() -> str:
+    nc, _ = cells._grid_dims(RES_ZONAL)
+    pexprs, joins, whens_d, whens_c = [], [], [], []
+    for r in range(QT_MIN, RES_ZONAL):
+        s = 1 << (RES_ZONAL - r)
+        pexprs.append(f"((cell // {nc}) // {s}) * {2 << r}"
+                      f" + ((cell % {nc}) // {s}) AS c{r}")
+        joins.append(f"JOIN (SELECT c{r}, CAST(SUM(n) AS BIGINT) AS t{r} "
+                     f"FROM p GROUP BY 1) n{r} USING (c{r})")
+        whens_d.append(f"WHEN t{r} <= {QT_CAP} THEN {r}")
+        whens_c.append(f"WHEN t{r} <= {QT_CAP} THEN c{r}")
+    return f"""
+{_sql_counts_cte()},
+p AS MATERIALIZED (SELECT cell, x AS n, {', '.join(pexprs)} FROM counts),
+j AS (SELECT p.* , {', '.join(f'n{r}.t{r}' for r in range(QT_MIN, RES_ZONAL))}
+      FROM p {' '.join(joins)}),
+l AS (SELECT CASE {' '.join(whens_d)} ELSE {RES_ZONAL} END AS depth,
+             CASE {' '.join(whens_c)} ELSE cell END AS cell, n FROM j)
+SELECT depth, cell, CAST(SUM(n) AS BIGINT) AS n FROM l GROUP BY 1, 2"""
+
+
 FLOW_ROUNDS = 6
 
 
@@ -10617,6 +10653,7 @@ def build_oracles() -> dict[str, str]:
         "ams_f2": _sql_ams_f2(),
         "betweenness": _sql_betweenness(),
         "flowacc": _sql_flowacc(),
+        "quadtree": _sql_quadtree(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
         "colocation": _sql_colocation(),
@@ -11552,6 +11589,7 @@ def build_queries() -> dict:
         "ams_f2": q_ams_f2,
         "betweenness": q_betweenness,
         "flowacc": q_flowacc,
+        "quadtree": q_quadtree,
         "proximity": q_proximity,
         "voronoi": q_voronoi,
         "colocation": q_colocation,

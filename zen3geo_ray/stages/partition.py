@@ -439,3 +439,55 @@ def assign_split(ds, id_col: str, split_col: str = "split",
         return batch.append_column(split_col, pa.array(split, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quadtree_leaves(ds, *, res_max: int, res_min: int, cap: int,
+                    cell_col: str = "cell", n_buckets: int = 8):
+    """ADAPTIVE QUADTREE leaf directory (the spatial-indexing /
+    load-balancing primitive): the hierarchical grid (geom/cells.py —
+    each res-r cell splits into exactly 4 res-(r+1) children) is cut
+    at the FIRST depth in [res_min, res_max] whose cell holds <= ``cap``
+    points (counts are monotone down the hierarchy, so this is the
+    classic split-while-overfull tree); cells still overfull at
+    ``res_max`` stay res_max leaves.  Returns one row per leaf
+    (depth, cell, n).
+
+    100-TB shape: ONE combiner-first shuffle builds the res_max
+    histogram (``cell_counts``); every coarser level is a local
+    roll-up of that GRID-bounded table — points never move again, and
+    the leaf directory is what a downstream repartition consumes."""
+    import ray.data as rd
+
+    from .spatial_stats import _histogram
+
+    cells_max, n = _histogram(ds, cell_col, n_buckets)
+    if len(cells_max) == 0:
+        return rd.from_arrow(pa.table({
+            "depth": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
+    ncols_max = 2 << res_max
+    x = cells_max % ncols_max
+    y = cells_max // ncols_max
+    leaf_depth = np.full(len(cells_max), res_max, dtype=np.int64)
+    leaf_cell = cells_max.copy()
+    assigned = np.zeros(len(cells_max), dtype=bool)
+    for r in range(res_min, res_max):
+        s = res_max - r
+        pc = ((y >> s) * (2 << r)) + (x >> s)
+        up, inv = np.unique(pc, return_inverse=True)
+        cnt = np.zeros(len(up), dtype=np.int64)
+        np.add.at(cnt, inv, n)
+        ok = (cnt[inv] <= cap) & ~assigned
+        leaf_depth[ok] = r
+        leaf_cell[ok] = pc[ok]
+        assigned |= ok
+    import pandas as pd
+
+    agg = pd.DataFrame({"depth": leaf_depth, "cell": leaf_cell,
+                        "n": n}).groupby(["depth", "cell"],
+                                         as_index=False)["n"].sum()
+    return rd.from_arrow(pa.table({
+        "depth": pa.array(agg["depth"].to_numpy().astype(np.int64)),
+        "cell": pa.array(agg["cell"].to_numpy().astype(np.int64)),
+        "n": pa.array(agg["n"].to_numpy().astype(np.int64))}))
