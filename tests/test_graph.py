@@ -1662,6 +1662,50 @@ def test_harmonic_paths_bit_parity(ray_session):
     assert a.harmonic.tolist() == b.harmonic.tolist()
 
 
+def test_closeness_path_graph_golden(ray_session):
+    from zen3geo_ray.stages.graph import closeness_centrality
+
+    # path 0-1-2-3-4, seed node 0: d = 1,2,3 within max_hops=3
+    e = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 4], pa.int64())})
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+    out = closeness_centrality(rd.from_arrow(e), seeds,
+                               max_hops=3).to_pandas().iloc[0]
+    assert int(out.n_reached) == 3
+    assert int(out.d_sum) == 1 + 2 + 3
+    assert out.closeness == 3.0 / 6.0
+
+
+def test_closeness_isolated_seed(ray_session):
+    from zen3geo_ray.stages.graph import closeness_centrality
+
+    e = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 0], pa.int64())})
+    seeds = rd.from_arrow(pa.table({"node": pa.array([7], pa.int64())}))
+    out = closeness_centrality(rd.from_arrow(e), seeds,
+                               max_hops=2).to_pandas().iloc[0]
+    assert int(out.n_reached) == 0
+    assert int(out.d_sum) == 0
+    assert out.closeness == 0.0
+
+
+def test_closeness_paths_bit_parity(ray_session):
+    from zen3geo_ray.stages.graph import closeness_centrality
+
+    src, dst = _random_graph(seed=29, n_nodes=60, n_edges=240)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)})).repartition(3)
+    a = closeness_centrality(ds, n_seeds=4, max_hops=3).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    b = closeness_centrality(ds, n_seeds=4, max_hops=3,
+                             broadcast_threshold=0).to_pandas() \
+        .sort_values("seed").reset_index(drop=True)
+    assert a.seed.tolist() == b.seed.tolist()
+    assert a.d_sum.tolist() == b.d_sum.tolist()
+    assert a.n_reached.tolist() == b.n_reached.tolist()
+    assert a.closeness.tolist() == b.closeness.tolist()
+
+
 def _kruskal(u, v, w):
     """Reference MSF under the (w, u, v) total order."""
     parent = {}

@@ -9680,6 +9680,51 @@ SELECT s AS seed,
 FROM r{STRESS_HOPS} GROUP BY 1""")
 
 
+def q_closeness(sf_dir: str):
+    """Bounded-hop CLOSENESS centrality of the top-degree hubs over the
+    same co-purchase sigma BFS as stress/harmonic: n_reached and
+    d_sum = Σ d are exact integers (order-free sums); closeness =
+    n_reached / d_sum is the one shared float division
+    (stages/graph.py:closeness_centrality)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.graph import closeness_centrality
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    lines = li.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"),
+                             pa.scalar(float(STRESS_QTY_MIN)))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pair_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"src": m["l_partkey_x"].to_numpy(),
+                             "dst": m["l_partkey_y"].to_numpy()})
+
+    prs = bucketed_groupby(lines, ["l_orderkey"], pair_expand, n_buckets=16)
+    return closeness_centrality(prs, n_seeds=STRESS_K,
+                                max_hops=STRESS_HOPS)
+
+
+def _sql_closeness() -> str:
+    return (_sql_sigma_bfs_ctes() + f"""
+SELECT s AS seed,
+       CAST(COUNT(CASE WHEN d >= 1 THEN 1 END) AS BIGINT) AS n_reached,
+       CAST(COALESCE(SUM(CASE WHEN d >= 1 THEN d END), 0)
+            AS BIGINT) AS d_sum,
+       CASE WHEN COALESCE(SUM(CASE WHEN d >= 1 THEN d END), 0) > 0
+            THEN CAST(COUNT(CASE WHEN d >= 1 THEN 1 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN d >= 1 THEN d END) AS DOUBLE)
+            ELSE 0.0 END AS closeness
+FROM r{STRESS_HOPS} GROUP BY 1""")
+
+
 def q_butterfly(sf_dir: str):
     """Exact BUTTERFLY (4-cycle) census of the bipartite
     customer-supplier trade graph: butterflies Σ C(codeg,2),
@@ -11464,6 +11509,7 @@ GROUP BY event_type, u - o.off
         "stress": _sql_stress(),
         "seed_reach": _sql_seed_reach(),
         "harmonic": _sql_harmonic(),
+        "closeness": _sql_closeness(),
         "butterfly": _sql_butterfly(),
         "mis": _sql_mis(),
         "mst": _sql_mst(),
@@ -11775,6 +11821,7 @@ def build_queries() -> dict:
         "stress": q_stress,
         "seed_reach": q_seed_reach,
         "harmonic": q_harmonic,
+        "closeness": q_closeness,
         "butterfly": q_butterfly,
         "mis": q_mis,
         "mst": q_mst,

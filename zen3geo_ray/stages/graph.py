@@ -3401,6 +3401,92 @@ def harmonic_centrality(edges, seeds=None, *, n_seeds: int = 6,
         full, preserve_index=False).replace_schema_metadata(None))
 
 
+def closeness_centrality(edges, seeds=None, *, n_seeds: int = 6,
+                         src: str = "src", dst: str = "dst",
+                         max_hops: int = 3,
+                         n_buckets: int | None = None,
+                         broadcast_threshold: int = BROADCAST_NODES):
+    """Bounded-hop CLOSENESS centrality of each seed (the
+    Wasserman–Faust disconnected-graph form restricted to the
+    ``max_hops`` ball): n_reached and d_sum = Σ d over nodes reached
+    within ``max_hops`` are EXACT integers whose sums are order-free,
+    and ``closeness`` = n_reached / d_sum is the ONE shared float
+    division (0.0 for isolated seeds).
+
+    Same plan as harmonic_centrality (reference: zen3geo has no graph
+    ops; this extends the sigma-BFS family): broadcast frontier under
+    ``broadcast_threshold`` edges, bucketed BSP above, adjacency never
+    re-shuffles on the broadcast path."""
+    import ray.data as rd
+
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    adj = _simple_adj(edges, src=src, dst=dst, n_buckets=n_buckets)
+    sarr = _pick_seeds(adj, seeds, n_seeds, n_buckets)
+    K = len(sarr)
+    if K == 0:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.int64()),
+            "n_reached": pa.array([], pa.int64()),
+            "d_sum": pa.array([], pa.int64()),
+            "closeness": pa.array([], pa.float64())}))
+
+    def _close(nr: int, dsum: int) -> float:
+        return float(nr) / float(dsum) if dsum > 0 else 0.0
+
+    if n_edges <= broadcast_threshold:
+        reached = _sigma_bfs_broadcast(adj, sarr, max_hops, n_buckets)
+        nr, dsums = [], []
+        for i in range(K):
+            d = reached[i][1]
+            m = d >= 1
+            nr.append(int(m.sum()))
+            dsums.append(int(d[m].sum()) if m.any() else 0)
+        return rd.from_arrow(pa.table({
+            "seed": pa.array(sarr),
+            "n_reached": pa.array(np.asarray(nr, np.int64)),
+            "d_sum": pa.array(np.asarray(dsums, np.int64)),
+            "closeness": pa.array(
+                [_close(a, b) for a, b in zip(nr, dsums)],
+                pa.float64())}))
+
+    r_state = _sigma_bfs_bucketed(adj, sarr, max_hops, n_buckets)
+
+    def c_partial(b: pa.Table) -> pa.Table:
+        d = b.column("_d").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("_s").to_numpy(zero_copy_only=False)
+        m = d >= 1
+        df = pd.DataFrame({
+            "seed": s[m],
+            "n_reached": np.ones(int(m.sum()), np.int64),
+            "d_sum": d[m],
+        }).groupby("seed", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def c_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("seed", sort=False, as_index=False)[
+            ["n_reached", "d_sum"]].sum()
+        out["closeness"] = np.array(
+            [_close(int(a), int(b))
+             for a, b in zip(out["n_reached"], out["d_sum"])],
+            np.float64)
+        return out
+
+    got = bucketed_groupby(
+        r_state.map_batches(c_partial, batch_format="pyarrow"),
+        ["seed"], c_final, n_buckets=n_buckets).to_pandas()
+    have = set(got["seed"].tolist())
+    missing = [int(s) for s in sarr.tolist() if s not in have]
+    full = pd.concat([got, pd.DataFrame({
+        "seed": missing,
+        "n_reached": np.zeros(len(missing), np.int64),
+        "d_sum": np.zeros(len(missing), np.int64),
+        "closeness": np.zeros(len(missing), np.float64)})],
+        ignore_index=True)
+    return rd.from_arrow(pa.Table.from_pandas(
+        full, preserve_index=False).replace_schema_metadata(None))
+
+
 def butterfly_count(edges, *, src: str = "src", dst: str = "dst",
                     n_buckets: int | None = None,
                     broadcast_threshold: int = BROADCAST_NODES):
