@@ -306,6 +306,43 @@ def test_od_counts_golden(ray_session):
     assert got == [(3, 9, 1), (5, 5, 1), (5, 7, 1)]
 
 
+def test_flow_reciprocity_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import flow_reciprocity
+
+    # dyad (1,2): 5 fwd / 3 rev -> mutual, 2*min = 6; dyad (1,3): 2/0
+    # -> asymmetric; (3,3) is a self-loop and must be excluded
+    od = pa.table({
+        "cell_from": pa.array([1, 2, 1, 3], pa.int64()),
+        "cell_to": pa.array([2, 1, 3, 3], pa.int64()),
+        "n": pa.array([5, 3, 2, 9], pa.int64()),
+    })
+    out = flow_reciprocity(
+        rd.from_arrow(od).repartition(2), n_buckets=2).to_pandas().iloc[0]
+    assert int(out.w_total) == 10
+    assert int(out.w_recip) == 6
+    assert int(out.m_dyads) == 1
+    assert int(out.a_dyads) == 1
+    assert out.recip_w == 0.6
+    assert out.recip_b == 2.0 / 3.0
+
+
+def test_flow_reciprocity_empty(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import flow_reciprocity
+
+    od = pa.table({
+        "cell_from": pa.array([4], pa.int64()),
+        "cell_to": pa.array([4], pa.int64()),
+        "n": pa.array([2], pa.int64()),
+    })
+    out = flow_reciprocity(rd.from_arrow(od)).to_pandas().iloc[0]
+    assert int(out.w_total) == 0 and out.recip_w == 0.0
+    assert out.recip_b == 0.0
+
+
 def test_staypoints_golden(ray_session):
     import ray.data as rd
 

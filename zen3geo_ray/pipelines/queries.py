@@ -517,6 +517,48 @@ SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
 FROM nx WHERE cell_to IS NOT NULL GROUP BY 1, 2"""
 
 
+def q_reciprocity(sf_dir: str):
+    """Weighted + binary dyad RECIPROCITY of the origin-destination
+    flow graph (Squartini 2013): w_recip = Σ min(w_ij, w_ji) over
+    ordered cell pairs, dyad census on the binary flows — composes
+    the od_matrix plan with one grid-bounded dyad reduce; integer
+    sums, the two ratios are the only floats
+    (stages/sequence.py:flow_reciprocity)."""
+    from ..stages.sequence import flow_reciprocity
+
+    return flow_reciprocity(q_od_matrix(sf_dir))
+
+
+def _sql_reciprocity() -> str:
+    od = _sql_od_matrix()
+    return f"""
+WITH od AS MATERIALIZED ({od}),
+p AS (SELECT LEAST(cell_from, cell_to) AS lo,
+             GREATEST(cell_from, cell_to) AS hi,
+             CAST(SUM(CASE WHEN cell_from < cell_to THEN n ELSE 0 END)
+                  AS BIGINT) AS nf,
+             CAST(SUM(CASE WHEN cell_from > cell_to THEN n ELSE 0 END)
+                  AS BIGINT) AS nr
+      FROM od WHERE cell_from <> cell_to GROUP BY 1, 2),
+a AS (SELECT CAST(COALESCE(SUM(nf + nr), 0) AS BIGINT) AS w_total,
+             CAST(COALESCE(2 * SUM(LEAST(nf, nr)), 0) AS BIGINT)
+               AS w_recip,
+             CAST(COUNT(CASE WHEN nf > 0 AND nr > 0 THEN 1 END)
+                  AS BIGINT) AS m_dyads,
+             CAST(COUNT(CASE WHEN nf = 0 OR nr = 0 THEN 1 END)
+                  AS BIGINT) AS a_dyads
+      FROM p)
+SELECT w_total, w_recip, m_dyads, a_dyads,
+       CASE WHEN w_total > 0
+            THEN CAST(w_recip AS DOUBLE) / CAST(w_total AS DOUBLE)
+            ELSE 0.0 END AS recip_w,
+       CASE WHEN m_dyads + a_dyads > 0
+            THEN CAST(2 * m_dyads AS DOUBLE)
+                 / CAST(2 * m_dyads + a_dyads AS DOUBLE)
+            ELSE 0.0 END AS recip_b
+FROM a"""
+
+
 HEX_SIZE_Q = 3 * (1 << 20)   # 3-degree hexes
 
 
@@ -10687,6 +10729,7 @@ def build_oracles() -> dict[str, str]:
         "eb_rates": _sql_eb_rates(),
         "mk_trend": _sql_mk_trend(),
         "od_matrix": _sql_od_matrix(),
+        "reciprocity": _sql_reciprocity(),
         "hexbin": _sql_hexbin(),
         "knox": _sql_knox(),
         "regions": _sql_regions(),
@@ -11624,6 +11667,7 @@ def build_queries() -> dict:
         "eb_rates": q_eb_rates,
         "mk_trend": q_mk_trend,
         "od_matrix": q_od_matrix,
+        "reciprocity": q_reciprocity,
         "hexbin": q_hexbin,
         "knox": q_knox,
         "regions": q_regions,

@@ -531,6 +531,74 @@ def od_counts(ds, *, key_col: str, ts_col: str, id_col: str,
                             n_buckets=min(n_buckets, 16))
 
 
+def flow_reciprocity(od, *, from_col: str = "cell_from",
+                     to_col: str = "cell_to", n_col: str = "n",
+                     n_buckets: int = 16):
+    """Weighted + binary DYAD reciprocity of a directed flow matrix
+    (Squartini et al. 2013, "Reciprocity of weighted networks"):
+
+        w_total = Σ w_ij            over ordered pairs i ≠ j
+        w_recip = Σ min(w_ij, w_ji) over ordered pairs  (2·min per dyad)
+        m_dyads / a_dyads = dyads with both / exactly one direction
+        recip_w = w_recip / w_total,  recip_b = 2M / (2M + A)
+
+    Self-loops are excluded.  Input is an already-reduced OD table
+    (grid-bounded), so partials fold per block into unordered-dyad
+    (lo, hi, nf, nr) rows, one bucketed dyad reduce emits per-bucket
+    scalar partials, and the driver sums ≤ n_buckets rows — integer
+    end to end, the two ratios are the only float ops.  Returns ONE
+    row (w_total, w_recip, m_dyads, a_dyads, recip_w, recip_b)."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.column(from_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = b.column(to_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = b.column(n_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = f != t
+        f, t, n = f[m], t[m], n[m]
+        lo = np.minimum(f, t)
+        hi = np.maximum(f, t)
+        df = pd.DataFrame({
+            "lo": lo, "hi": hi,
+            "nf": np.where(f < t, n, 0),
+            "nr": np.where(f > t, n, 0),
+        }).groupby(["lo", "hi"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["lo", "hi"], sort=False, as_index=False)[
+            ["nf", "nr"]].sum()
+        nf = s["nf"].to_numpy().astype(np.int64)
+        nr = s["nr"].to_numpy().astype(np.int64)
+        mut = (nf > 0) & (nr > 0)
+        return pd.DataFrame({
+            "w_total": [int(nf.sum() + nr.sum())],
+            "w_recip": [2 * int(np.minimum(nf, nr).sum())],
+            "m_dyads": [int(mut.sum())],
+            "a_dyads": [int(len(s) - mut.sum())]})
+
+    parts = bucketed_groupby(
+        od.map_batches(partial, batch_format="pyarrow"),
+        ["lo", "hi"], pair_fold, n_buckets=n_buckets).to_pandas()
+    wt = int(parts["w_total"].sum()) if len(parts) else 0
+    wr = int(parts["w_recip"].sum()) if len(parts) else 0
+    md = int(parts["m_dyads"].sum()) if len(parts) else 0
+    ad = int(parts["a_dyads"].sum()) if len(parts) else 0
+    return rd.from_arrow(pa.table({
+        "w_total": pa.array([wt], pa.int64()),
+        "w_recip": pa.array([wr], pa.int64()),
+        "m_dyads": pa.array([md], pa.int64()),
+        "a_dyads": pa.array([ad], pa.int64()),
+        "recip_w": pa.array(
+            [float(wr) / float(wt) if wt > 0 else 0.0], pa.float64()),
+        "recip_b": pa.array(
+            [float(2 * md) / float(2 * md + ad) if md + ad > 0 else 0.0],
+            pa.float64())}))
+
+
 def staypoints(ds, *, key_col: str, ts_col: str, id_col: str,
                cell_col: str = "cell", min_events: int = 2,
                n_buckets: int = 64):
