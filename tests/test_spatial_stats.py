@@ -520,6 +520,58 @@ def test_mann_kendall_goldens(ray_session):
     assert np.isnan(r5.z)
 
 
+def test_theil_sen_goldens(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import THEIL_SCALE, theil_sen
+
+    # cell 0: counts 1,2,4 at bins 0,1,3 -> pair slopes 1, 1, 1 ->
+    # median slope exactly 1.0.  cell 5: counts 2,1 at bins 0,3 ->
+    # one pair, slope -1/3: floor(-2^20/3) = -349526 (floor, not
+    # trunc — pins the negative-numerator convention).  cell 9: one
+    # occupied bin -> no pairs -> dropped.
+    rows_c, rows_b = [], []
+    for b, reps in ((0, 1), (1, 2), (3, 4)):
+        rows_c += [0] * reps
+        rows_b += [b] * reps
+    rows_c += [5, 5, 5]
+    rows_b += [0, 0, 3]
+    rows_c += [9]
+    rows_b += [7]
+    t = pa.table({"cell": pa.array(rows_c, pa.int64()),
+                  "bin": pa.array(rows_b, pa.int64())})
+    out = theil_sen(rd.from_arrow(t).repartition(3),
+                    n_buckets=2).to_pandas().sort_values("cell")
+    assert out.cell.tolist() == [0, 5]
+    r0 = out[out.cell == 0].iloc[0]
+    assert (int(r0.t_bins), int(r0.n_pairs)) == (3, 3)
+    assert int(r0.slope_q) == THEIL_SCALE
+    assert r0.slope == 1.0
+    r5 = out[out.cell == 5].iloc[0]
+    assert int(r5.n_pairs) == 1
+    assert int(r5.slope_q) == -349526
+    assert r5.slope == -349526.0 / float(THEIL_SCALE)
+
+
+def test_theil_sen_even_pair_lower_median(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import THEIL_SCALE, theil_sen
+
+    # 4 bins, counts 1,2,4,8 at bins 0,1,2,3 -> 6 pair slopes (scaled):
+    # 1, 3/2, 7/3, 2, 3, 4 -> sorted [1, 1.5, 2, 7/3, 3, 4]; lower
+    # median (index (6-1)//2 = 2) = 2.0
+    rows_c, rows_b = [], []
+    for b, reps in ((0, 1), (1, 2), (2, 4), (3, 8)):
+        rows_c += [0] * reps
+        rows_b += [b] * reps
+    t = pa.table({"cell": pa.array(rows_c, pa.int64()),
+                  "bin": pa.array(rows_b, pa.int64())})
+    out = theil_sen(rd.from_arrow(t), n_buckets=2).to_pandas().iloc[0]
+    assert int(out.n_pairs) == 6
+    assert int(out.slope_q) == 2 * THEIL_SCALE
+
+
 def test_knox_brute(ray_session):
     import itertools
 

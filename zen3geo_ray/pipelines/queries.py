@@ -478,6 +478,55 @@ FROM tt JOIN ties ON ties.cell = tt.cell
 LEFT JOIN pr ON pr.cell = tt.cell"""
 
 
+def q_theil_sen(sf_dir: str):
+    """Per-cell THEIL-SEN robust trend slope over the same daily event
+    bins as mk_trend: median of pairwise slopes, quantized as
+    floor(dy*2^20/dx) so the lower-median pick is exact-integer; the
+    one float is slope_q / 2^20
+    (stages/spatial_stats.py:theil_sen)."""
+    from ..stages.spatial_stats import theil_sen
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(uid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "bin": pa.array(t // MK_BIN_US)})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return theil_sen(ev)
+
+
+def _sql_theil_sen() -> str:
+    from ..stages.spatial_stats import THEIL_SCALE
+
+    lon_e, lat_e = sql_geocode_exprs("user_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    sc = THEIL_SCALE
+    num = f"((b.x - a.x) * {sc})"
+    dx = "(b.bin - a.bin)"
+    # floor division via the nonneg-remainder identity (DuckDB // truncates)
+    sexp = f"({num} - ((({num} % {dx}) + {dx}) % {dx})) // {dx}"
+    return f"""
+WITH g0 AS (SELECT {lon_e} AS lon, {lat_e} AS lat,
+                   epoch_us(ts) // {MK_BIN_US} AS bin FROM events),
+cb AS (SELECT {cell_e} AS cell, bin, CAST(COUNT(*) AS BIGINT) AS x
+       FROM g0 GROUP BY 1, 2),
+tt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS t FROM cb GROUP BY 1),
+sl AS (SELECT a.cell, CAST({sexp} AS BIGINT) AS s
+       FROM cb a JOIN cb b ON b.cell = a.cell AND b.bin > a.bin),
+rk AS (SELECT cell, s,
+              ROW_NUMBER() OVER (PARTITION BY cell ORDER BY s) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS np
+       FROM sl)
+SELECT rk.cell, tt.t AS t_bins, rk.np AS n_pairs, rk.s AS slope_q,
+       CAST(rk.s AS DOUBLE) / {float(sc)!r} AS slope
+FROM rk JOIN tt ON tt.cell = rk.cell
+WHERE rk.rn = (rk.np + 1) // 2"""
+
+
 def q_od_matrix(sf_dir: str):
     """ORIGIN-DESTINATION flow matrix: per user consecutive event pairs
     (ordered by the exact total order ts, event_id) become cell->cell
@@ -10728,6 +10777,7 @@ def build_oracles() -> dict[str, str]:
         "join_counts": _sql_join_counts(),
         "eb_rates": _sql_eb_rates(),
         "mk_trend": _sql_mk_trend(),
+        "theil_sen": _sql_theil_sen(),
         "od_matrix": _sql_od_matrix(),
         "reciprocity": _sql_reciprocity(),
         "hexbin": _sql_hexbin(),
@@ -11666,6 +11716,7 @@ def build_queries() -> dict:
         "join_counts": q_join_counts,
         "eb_rates": q_eb_rates,
         "mk_trend": q_mk_trend,
+        "theil_sen": q_theil_sen,
         "od_matrix": q_od_matrix,
         "reciprocity": q_reciprocity,
         "hexbin": q_hexbin,

@@ -889,6 +889,67 @@ def mann_kendall(ds, *, cell_col: str = "cell", bin_col: str = "bin",
     return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
 
 
+THEIL_SCALE = 1 << 20
+
+
+def theil_sen(ds, *, cell_col: str = "cell", bin_col: str = "bin",
+              scale: int = THEIL_SCALE, n_buckets: int = 8) -> "object":
+    """Per-cell THEIL-SEN slope estimator over time-binned counts —
+    the robust companion of mann_kendall (Theil 1950; Sen 1968): for
+    each cell, over its occupied bins' counts x_t, the slope is the
+    MEDIAN of all pairwise slopes (x_j - x_i) / (bin_j - bin_i), i<j.
+
+    Slopes are QUANTIZED as floor(dy * scale / dx) so the median is an
+    exact integer pick (sorted index (n-1)//2 — the lower median, the
+    ROW_NUMBER rn = (n+1)//2 element in SQL); dx > 0 always, and the
+    floor-div mirrors in SQL via the nonneg-remainder identity
+    (DuckDB // truncates).  ``slope`` = slope_q / scale is the ONE
+    shared float.  Same plan as mann_kendall: one combiner-first
+    shuffle to (cell, bin, x), per-cell T² pair slopes vectorized.
+    Cells with a single occupied bin (no pairs) are dropped.
+    Returns (cell, t_bins, n_pairs, slope_q, slope)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(bin_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cell": c, "bin": t})
+        df["x"] = np.int64(1)
+        agg = df.groupby(["cell", "bin"], sort=False, as_index=False)[
+            "x"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    fscale = float(scale)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell", "bin"], as_index=False)["x"].sum()
+        g = g.sort_values(["cell", "bin"], kind="mergesort")
+        cells_, t_bins, n_pairs, slope_q = [], [], [], []
+        for cell, grp in g.groupby("cell", sort=False):
+            x = grp["x"].to_numpy().astype(np.int64)
+            bins = grp["bin"].to_numpy().astype(np.int64)
+            T = len(x)
+            if T < 2:
+                continue
+            iu, ju = np.triu_indices(T, 1)
+            sq = ((x[ju] - x[iu]) * scale) // (bins[ju] - bins[iu])
+            sq.sort(kind="mergesort")
+            cells_.append(cell)
+            t_bins.append(T)
+            n_pairs.append(len(sq))
+            slope_q.append(int(sq[(len(sq) - 1) // 2]))
+        return pd.DataFrame({
+            "cell": np.asarray(cells_, np.int64),
+            "t_bins": np.asarray(t_bins, np.int64),
+            "n_pairs": np.asarray(n_pairs, np.int64),
+            "slope_q": np.asarray(slope_q, np.int64),
+            "slope": np.asarray([float(v) / fscale for v in slope_q],
+                                np.float64)})
+
+    return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
+
+
 def knox_test(ds, *, res: int, tau_us: int, cell_col: str = "cell",
               ts_col: str = "tu", id_col: str = "eid",
               n_buckets: int = 8) -> pa.Table:
