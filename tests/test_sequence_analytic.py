@@ -388,3 +388,51 @@ def test_trajectory_stats_golden(ray_session):
     assert out.loc[1, "n"] == 1 and out.loc[1, "steps"] == 0
     assert out.loc[1, "manhattan"] == 0 and out.loc[1, "net"] == 0
     assert out.loc[1, "rog_num"] == 0
+
+
+def test_kaplan_meier_golden(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import KM_SCALE, kaplan_meier
+
+    # day_us=1 so ts IS the day.  m = 5; censor window 1 day ->
+    # deaths: u1 (dur 3), u2/u4 (dur 2); censored: u3 (dur 5), u5 (0)
+    rows = [("u1", 0), ("u1", 3), ("u2", 1), ("u2", 3),
+            ("u3", 0), ("u3", 5), ("u4", 2), ("u4", 4), ("u5", 5)]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "tu": pa.array([r[1] for r in rows], pa.int64())})
+    out = kaplan_meier(rd.from_arrow(t).repartition(3), key_col="k",
+                       ts_col="tu", day_us=1, censor_days=1,
+                       n_buckets=2).to_pandas()
+    assert out.t_day.tolist() == [2, 3]
+    assert out.n_risk.tolist() == [4, 2]
+    assert out.n_death.tolist() == [2, 1]
+    assert out.n_censor.tolist() == [0, 0]
+    t2 = math.floor((math.log(2) - math.log(4)) * float(KM_SCALE))
+    t3 = math.floor((math.log(1) - math.log(2)) * float(KM_SCALE))
+    assert out.ls_q.tolist() == [t2, t2 + t3]
+    assert out.log_surv.tolist() == [
+        float(t2) / float(KM_SCALE), float(t2 + t3) / float(KM_SCALE)]
+
+
+def test_kaplan_meier_last_risk_set_dies(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import (KM_SCALE, KM_ZERO_Q,
+                                             kaplan_meier)
+
+    # u3 censored at dur 0 (lday 9 = m); u1 dies at dur 1, u2 at dur 4
+    # where n_risk == n_death == 1 -> the S = 0 sentinel term
+    rows = [("u1", 0), ("u1", 1), ("u2", 0), ("u2", 4), ("u3", 9)]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "tu": pa.array([r[1] for r in rows], pa.int64())})
+    out = kaplan_meier(rd.from_arrow(t), key_col="k", ts_col="tu",
+                       day_us=1, censor_days=1, n_buckets=2).to_pandas()
+    assert out.t_day.tolist() == [1, 4]
+    assert out.n_risk.tolist() == [2, 1]
+    t1 = math.floor((math.log(1) - math.log(2)) * float(KM_SCALE))
+    assert out.ls_q.tolist() == [t1, t1 + KM_ZERO_Q]

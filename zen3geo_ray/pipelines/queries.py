@@ -608,6 +608,61 @@ SELECT w_total, w_recip, m_dyads, a_dyads,
 FROM a"""
 
 
+def q_survival(sf_dir: str):
+    """KAPLAN-MEIER survival curve of user lifetimes (first -> last
+    event day; users active on or after the day before the corpus-end
+    day are censored): n_risk/n_death/n_censor are exact day-histogram
+    integers, the cumulative log-survival is a sum of quantized-ln
+    terms, log_surv = ls_q / 2^20 the one shared float
+    (stages/sequence.py:kaplan_meier)."""
+    from ..stages.sequence import kaplan_meier
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64())}),
+        batch_format="pyarrow")
+    return kaplan_meier(ev, key_col="user_id", ts_col="tu",
+                        censor_days=1)
+
+
+def _sql_survival() -> str:
+    from ..stages.sequence import KM_DAY_US, KM_SCALE, KM_ZERO_Q
+
+    day, sc, w = KM_DAY_US, KM_SCALE, 1
+    return f"""
+WITH ub AS (SELECT user_id, MIN(epoch_us(ts)) AS fu,
+                   MAX(epoch_us(ts)) AS lu FROM events GROUP BY 1),
+du AS (SELECT (lu - fu) // {day} AS dur, lu // {day} AS lday FROM ub),
+mx AS (SELECT MAX(lday) AS m FROM du),
+lab AS (SELECT dur, CASE WHEN lday <= m - {w} THEN 1 ELSE 0 END AS death
+        FROM du CROSS JOIN mx),
+hist AS (SELECT dur, CAST(SUM(death) AS BIGINT) AS n_death,
+                CAST(COUNT(*) - SUM(death) AS BIGINT) AS n_censor,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lab GROUP BY 1),
+r AS (SELECT dur, n_death, n_censor,
+             CAST(SUM(n) OVER (ORDER BY dur DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM hist),
+t AS (SELECT dur, n_death, n_censor, n_risk,
+             CASE WHEN n_death = 0 THEN 0
+                  WHEN n_risk > n_death
+                  THEN CAST(FLOOR((ln(n_risk - n_death) - ln(n_risk))
+                                  * {sc}.0) AS BIGINT)
+                  ELSE {KM_ZERO_Q} END AS tq
+      FROM r),
+km AS (SELECT dur, n_risk, n_death, n_censor,
+              CAST(SUM(tq) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ls_q
+       FROM t)
+SELECT dur AS t_day, n_risk, n_death, n_censor, ls_q,
+       CAST(ls_q AS DOUBLE) / {float(sc)!r} AS log_surv
+FROM km WHERE n_death > 0"""
+
+
 HEX_SIZE_Q = 3 * (1 << 20)   # 3-degree hexes
 
 
@@ -10780,6 +10835,7 @@ def build_oracles() -> dict[str, str]:
         "theil_sen": _sql_theil_sen(),
         "od_matrix": _sql_od_matrix(),
         "reciprocity": _sql_reciprocity(),
+        "survival": _sql_survival(),
         "hexbin": _sql_hexbin(),
         "knox": _sql_knox(),
         "regions": _sql_regions(),
@@ -11719,6 +11775,7 @@ def build_queries() -> dict:
         "theil_sen": q_theil_sen,
         "od_matrix": q_od_matrix,
         "reciprocity": q_reciprocity,
+        "survival": q_survival,
         "hexbin": q_hexbin,
         "knox": q_knox,
         "regions": q_regions,

@@ -688,3 +688,105 @@ def trajectory_stats(ds, *, key_col: str, ts_col: str, id_col: str,
         return agg[[key_col, "n", "steps", "manhattan", "net", "rog_num"]]
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets)
+
+
+KM_DAY_US = 86_400 * 10**6
+KM_SCALE = 1 << 20
+KM_ZERO_Q = -50 * KM_SCALE   # ln-S sentinel when the last at-risk set dies
+
+
+def kaplan_meier(ds, *, key_col: str, ts_col: str,
+                 day_us: int = KM_DAY_US, censor_days: int = 7,
+                 scale: int = KM_SCALE, n_buckets: int = 64):
+    """KAPLAN-MEIER survival curve (Kaplan & Meier 1958) of per-key
+    lifetimes: duration = (last - first event day); a key is CENSORED
+    (still alive at observation end) when its last event day is within
+    ``censor_days`` of the global max day, otherwise it "dies" at its
+    duration.  For each death day t:
+
+        n_risk  = #keys with duration >= t   (deaths + censored)
+        ls_q    = Σ_{death days <= t} floor((ln(n_risk - n_death)
+                                             - ln(n_risk)) * scale)
+
+    ln-terms are quantized to integers (the entropy/kl discipline —
+    math.log == DuckDB ln on this glibc) so the cumulative sum is
+    order-free; ``log_surv`` = ls_q / scale is the ONE shared float
+    (survival = exp(log_surv), left to the caller — exp is not
+    mirrored).  A day where the whole at-risk set dies gets the
+    sentinel term ``KM_ZERO_Q`` (S = 0).
+
+    Plan: block-combined per-key (first, last) partials -> ONE bucketed
+    key reduce -> a DAY-bounded (duration, last_day) 2-D histogram ->
+    integer finale over <= days^2 rows on the driver.  The censor rule
+    needs the global max day, which comes from the same histogram —
+    one pass, the corpus shuffles once.  Returns a pyarrow Table (the
+    finale is a bounded driver-side histogram fold — the schema
+    survives the zero-death case) with one row per DEATH day
+    (t_day, n_risk, n_death, n_censor, ls_q, log_surv)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        t = b.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key_col: k, "fu": t, "lu": t}).groupby(
+            key_col, sort=False, as_index=False).agg(
+            fu=("fu", "min"), lu=("lu", "max"))
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def key_fold(g: pd.DataFrame) -> pd.DataFrame:
+        ub = g.groupby(key_col, sort=False, as_index=False).agg(
+            fu=("fu", "min"), lu=("lu", "max"))
+        dur = (ub["lu"].to_numpy() - ub["fu"].to_numpy()) // day_us
+        lday = ub["lu"].to_numpy() // day_us
+        h = pd.DataFrame({"dur": dur, "lday": lday})
+        h["n"] = np.int64(1)
+        return h.groupby(["dur", "lday"], sort=False, as_index=False)[
+            "n"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col], key_fold, n_buckets=n_buckets)
+    h = bucketed_groupby(
+        hist, ["dur", "lday"],
+        lambda g: g.groupby(["dur", "lday"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=8).to_pandas()
+
+    if not len(h):
+        return pa.table({"t_day": pa.array([], pa.int64()),
+                         "n_risk": pa.array([], pa.int64()),
+                         "n_death": pa.array([], pa.int64()),
+                         "n_censor": pa.array([], pa.int64()),
+                         "ls_q": pa.array([], pa.int64()),
+                         "log_surv": pa.array([], pa.float64())})
+
+    m_day = int(h["lday"].max())
+    death = (h["lday"].to_numpy() <= m_day - censor_days)
+    n = h["n"].to_numpy().astype(np.int64)
+    df = pd.DataFrame({"dur": h["dur"].to_numpy().astype(np.int64),
+                       "n_death": np.where(death, n, 0),
+                       "n_censor": np.where(death, 0, n),
+                       "n": n}).groupby("dur", as_index=False).sum()
+    df = df.sort_values("dur", kind="mergesort").reset_index(drop=True)
+    n_risk = df["n"].to_numpy()[::-1].cumsum()[::-1]
+    fs = float(scale)
+    tq = np.zeros(len(df), np.int64)
+    for i in range(len(df)):
+        nd, nr = int(df["n_death"][i]), int(n_risk[i])
+        if nd == 0:
+            continue
+        tq[i] = (math.floor((math.log(nr - nd) - math.log(nr)) * fs)
+                 if nr > nd else KM_ZERO_Q)
+    ls_q = np.cumsum(tq)
+    keep = df["n_death"].to_numpy() > 0
+    return pa.table({
+        "t_day": pa.array(df["dur"].to_numpy()[keep], pa.int64()),
+        "n_risk": pa.array(n_risk[keep].astype(np.int64)),
+        "n_death": pa.array(df["n_death"].to_numpy()[keep].astype(
+            np.int64)),
+        "n_censor": pa.array(df["n_censor"].to_numpy()[keep].astype(
+            np.int64)),
+        "ls_q": pa.array(ls_q[keep].astype(np.int64)),
+        "log_surv": pa.array(
+            [float(int(v)) / fs for v in ls_q[keep]], pa.float64())})
