@@ -651,6 +651,26 @@ def test_flow_accumulation_chain_and_ties(ray_session):
     assert out.loc[27, "flow_to"] == -1 and out.loc[27, "acc"] == 1
 
 
+def test_watershed_chain_and_basins(ray_session):
+    from zen3geo_ray.stages.spatial_stats import watershed_label
+
+    # same DEM as the flowacc golden: chain 8->9->10->11 (one basin of
+    # 4 ending at sink 11), 18->19 (basin of 2), 27 isolated (basin 1)
+    cells_ = ([8] * 4 + [9] * 3 + [10] * 2 + [11]
+              + [18] * 3 + [19] + [27])
+    out = watershed_label(_cells_ds(cells_), res=RES,
+                          jump_rounds=6).to_pandas().set_index("cell")
+    assert out.loc[8, "sink"] == 11 and out.loc[8, "basin_n"] == 4
+    assert out.loc[9, "sink"] == 11
+    assert out.loc[10, "sink"] == 11
+    assert out.loc[11, "sink"] == 11 and out.loc[11, "basin_n"] == 4
+    assert out.loc[18, "sink"] == 19 and out.loc[18, "basin_n"] == 2
+    assert out.loc[19, "sink"] == 19
+    assert out.loc[27, "sink"] == 27 and out.loc[27, "basin_n"] == 1
+    # partition invariant: basin sizes sum to the cell count per sink
+    assert out.groupby("sink")["basin_n"].first().sum() == len(out)
+
+
 def test_quadtree_leaves_golden(ray_session):
     from zen3geo_ray.stages.partition import quadtree_leaves
 

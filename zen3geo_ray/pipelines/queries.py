@@ -10657,12 +10657,15 @@ def q_flowacc(sf_dir: str):
                              rounds=FLOW_ROUNDS)
 
 
-def _sql_flowacc() -> str:
+def _sql_d8_ctes() -> list:
+    """Shared D8 drainage CTE block (occupancy DEM, steepest-lower
+    receiver with the fixed dir-order tie rule) — consumed by both the
+    flowacc and watershed oracles."""
     from ..stages.spatial_stats import D8_DIRS
 
     nc, nr = cells._grid_dims(RES_ZONAL)
     dirs = ", ".join(f"({d}, {dx}, {dy})" for d, dx, dy in D8_DIRS)
-    ctes = [f"""nn AS MATERIALIZED (SELECT cell, x AS h, cell % {nc} AS xx,
+    return [f"""nn AS MATERIALIZED (SELECT cell, x AS h, cell % {nc} AS xx,
     cell // {nc} AS yy FROM counts)""",
             f"dirs(dir, dx, dy) AS (VALUES {dirs})",
             f"""cand AS MATERIALIZED (
@@ -10675,9 +10678,13 @@ def _sql_flowacc() -> str:
             """flow AS MATERIALIZED (SELECT cell, ncell FROM (
   SELECT cell, ncell,
          ROW_NUMBER() OVER (PARTITION BY cell ORDER BY nh ASC, dir ASC)
-           AS rn FROM cand) WHERE rn = 1)""",
-            "a0 AS MATERIALIZED (SELECT cell, CAST(1 AS BIGINT) AS acc "
-            "FROM nn)"]
+           AS rn FROM cand) WHERE rn = 1)"""]
+
+
+def _sql_flowacc() -> str:
+    ctes = _sql_d8_ctes() + [
+        "a0 AS MATERIALIZED (SELECT cell, CAST(1 AS BIGINT) AS acc "
+        "FROM nn)"]
     for i in range(1, FLOW_ROUNDS + 1):
         ctes.append(f"""a{i} AS MATERIALIZED (
   SELECT n.cell, 1 + COALESCE(s.s, 0) AS acc
@@ -10692,6 +10699,40 @@ def _sql_flowacc() -> str:
 SELECT n.cell, n.h, COALESCE(f.ncell, -1) AS flow_to, a.acc
 FROM nn n LEFT JOIN flow f USING (cell)
 JOIN a{FLOW_ROUNDS} a USING (cell)"""
+
+
+WSHED_ROUNDS = 6
+
+
+def q_watershed(sf_dir: str):
+    """WATERSHED basin labeling over the occupancy-histogram DEM:
+    every occupied cell gets the SINK its D8 drainage path reaches
+    (same receiver rule as flowacc) via 6 pointer-jumping rounds
+    (paths up to 64 steps — heights strictly decrease so real paths
+    are short), plus the basin size — all int64
+    (stages/spatial_stats.py:watershed_label)."""
+    from ..stages.spatial_stats import watershed_label
+
+    return watershed_label(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                           jump_rounds=WSHED_ROUNDS)
+
+
+def _sql_watershed() -> str:
+    ctes = _sql_d8_ctes() + [
+        """p0 AS MATERIALIZED (SELECT n.cell, COALESCE(f.ncell, n.cell)
+     AS p FROM nn n LEFT JOIN flow f USING (cell))"""]
+    for i in range(1, WSHED_ROUNDS + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT a.cell, b.p FROM p{i - 1} a JOIN p{i - 1} b ON b.cell = a.p)""")
+    r = WSHED_ROUNDS
+    ctes.append(f"""bsn AS (SELECT p AS sink,
+  CAST(COUNT(*) AS BIGINT) AS basin_n FROM p{r} GROUP BY 1)""")
+    body = ",\n".join(ctes)
+    return f"""
+{_sql_counts_cte()},
+{body}
+SELECT n.cell, n.h, pr.p AS sink, bsn.basin_n
+FROM nn n JOIN p{r} pr USING (cell) JOIN bsn ON bsn.sink = pr.p"""
 
 
 BW_QUANT = 1 << 20
@@ -10847,6 +10888,7 @@ def build_oracles() -> dict[str, str]:
         "ams_f2": _sql_ams_f2(),
         "betweenness": _sql_betweenness(),
         "flowacc": _sql_flowacc(),
+        "watershed": _sql_watershed(),
         "quadtree": _sql_quadtree(),
         "proximity": _sql_proximity(),
         "voronoi": _sql_voronoi(),
@@ -11787,6 +11829,7 @@ def build_queries() -> dict:
         "ams_f2": q_ams_f2,
         "betweenness": q_betweenness,
         "flowacc": q_flowacc,
+        "watershed": q_watershed,
         "quadtree": q_quadtree,
         "proximity": q_proximity,
         "voronoi": q_voronoi,

@@ -1079,6 +1079,35 @@ D8_DIRS = ((0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
            (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1))
 
 
+def _d8_flow(cells_: np.ndarray, h: np.ndarray, ncols: int, nrows: int):
+    """D8 steepest-descent drainage directions over the occupied-cell
+    table: each cell's receiver is its lowest occupied 8-neighbor with
+    strictly smaller height, ties broken by the fixed ``D8_DIRS``
+    order.  Returns (flow_ix, flow_to): positional index and cell id
+    of the receiver, -1 for sinks."""
+    n = len(cells_)
+    x = cells_ % ncols
+    y = cells_ // ncols
+    flow_ix = np.full(n, -1, dtype=np.int64)
+    flow_to = np.full(n, -1, dtype=np.int64)
+    best_nh = np.zeros(n, dtype=np.int64)
+    has = np.zeros(n, dtype=bool)
+    for _dir, dx, dy in D8_DIRS:
+        tx, ty = x + dx, y + dy
+        inb = (tx >= 0) & (tx < ncols) & (ty >= 0) & (ty < nrows)
+        t = ty * ncols + tx
+        found, pos = _probe(cells_, np.where(inb, t, cells_[0]))
+        found &= inb
+        nh = h[pos]
+        cand = found & (nh < h)
+        better = cand & (~has | (nh < best_nh))
+        flow_ix[better] = pos[better]
+        flow_to[better] = t[better]
+        best_nh[better] = nh[better]
+        has |= cand
+    return flow_ix, flow_to
+
+
 def flow_accumulation(ds, *, res: int, rounds: int = 6,
                       cell_col: str = "cell", n_buckets: int = 8):
     """D8 FLOW ACCUMULATION (the rio-terrain / hydrology primitive)
@@ -1108,25 +1137,7 @@ def flow_accumulation(ds, *, res: int, rounds: int = 6,
             "cell": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
             "flow_to": pa.array([], pa.int64()),
             "acc": pa.array([], pa.int64())}))
-    x = cells_ % ncols
-    y = cells_ // ncols
-    flow_ix = np.full(n, -1, dtype=np.int64)
-    flow_to = np.full(n, -1, dtype=np.int64)
-    best_nh = np.zeros(n, dtype=np.int64)
-    has = np.zeros(n, dtype=bool)
-    for _dir, dx, dy in D8_DIRS:
-        tx, ty = x + dx, y + dy
-        inb = (tx >= 0) & (tx < ncols) & (ty >= 0) & (ty < nrows)
-        t = ty * ncols + tx
-        found, pos = _probe(cells_, np.where(inb, t, cells_[0]))
-        found &= inb
-        nh = h[pos]
-        cand = found & (nh < h)
-        better = cand & (~has | (nh < best_nh))
-        flow_ix[better] = pos[better]
-        flow_to[better] = t[better]
-        best_nh[better] = nh[better]
-        has |= cand
+    flow_ix, flow_to = _d8_flow(cells_, h, ncols, nrows)
     acc = np.ones(n, dtype=np.int64)
     m = flow_ix >= 0
     tgt = flow_ix[m]
@@ -1137,3 +1148,43 @@ def flow_accumulation(ds, *, res: int, rounds: int = 6,
     return rd.from_arrow(pa.table({
         "cell": pa.array(cells_), "h": pa.array(h),
         "flow_to": pa.array(flow_to), "acc": pa.array(acc)}))
+
+
+def watershed_label(ds, *, res: int, jump_rounds: int = 6,
+                    cell_col: str = "cell", n_buckets: int = 8):
+    """WATERSHED (drainage-basin) labeling over the occupancy-histogram
+    DEM: every occupied cell is labeled with the SINK its D8
+    steepest-descent path reaches (same receiver rule as
+    flow_accumulation — strictly-lower lowest 8-neighbor, fixed
+    ``D8_DIRS`` tie order; sinks label themselves), plus the basin
+    size.  The label is computed by ``jump_rounds`` POINTER-JUMPING
+    rounds (p <- p[p]), covering paths up to 2^jump_rounds steps —
+    the round count is part of the operator contract, mirrored by the
+    chained pointer-doubling CTEs in the oracle (heights strictly
+    decrease along flow, so real paths are short and the default 64
+    steps converges on any realistic DEM).
+
+    100-TB shape: identical to flow_accumulation — ONE combiner-first
+    cell-histogram shuffle, then the grid-bounded kernel.  Returns
+    (cell, h, sink, basin_n) all int64."""
+    import ray.data as rd
+
+    cells_, h = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    n = len(cells_)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "cell": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
+            "sink": pa.array([], pa.int64()),
+            "basin_n": pa.array([], pa.int64())}))
+    flow_ix, _flow_to = _d8_flow(cells_, h, ncols, nrows)
+    parent = np.arange(n, dtype=np.int64)
+    m = flow_ix >= 0
+    parent[m] = flow_ix[m]
+    for _ in range(jump_rounds):
+        parent = parent[parent]
+    counts = np.bincount(parent, minlength=n).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells_), "h": pa.array(h),
+        "sink": pa.array(cells_[parent]),
+        "basin_n": pa.array(counts[parent])}))
