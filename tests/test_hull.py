@@ -488,3 +488,49 @@ def test_linear_interp_grid(ray_session):
     # user 2: only h=11 is ON the single event; others unbracketed
     assert set(k[1] for k in got if k[0] == 2) == {11}
     assert got[(2, 11)] == 5.0
+
+
+def test_jsd_source_pairs(ray_session):
+    """Pairwise quantized JSD: identical distributions give exactly 0
+    (every ln argument pair is equal), disjoint vocab gives ~ln 2,
+    and every pair matches the direct per-term computation."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.tfidf import jsd_source_pairs
+
+    docs = [("s1", "a b a b"), ("s1", "a b"),
+            ("s2", "a b a b a b"),          # same distribution as s1
+            ("s3", "z z q q z")]            # disjoint vocab
+    t = pa.table({"source": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]})
+    out = jsd_source_pairs(
+        rd.from_arrow(t).repartition(2), group_col="source",
+        scale=65536, n_buckets=2).to_pandas()
+    got = {(r.src_a, r.src_b): r for r in out.itertuples()}
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+
+    cnts = {s: Counter() for s in ("s1", "s2", "s3")}
+    for s_, tx in docs:
+        cnts[s_].update(tx.split())
+    ns = {s: sum(c.values()) for s, c in cnts.items()}
+
+    def s_term(a, b):
+        ca, cb, na, nb = cnts[a], cnts[b], ns[a], ns[b]
+        return sum(math.floor(
+            c * (math.log(2 * c * nb) - math.log(c * nb + cb[w] * na))
+            * 65536.0) for w, c in ca.items())
+
+    for a, b in got:
+        r = got[(a, b)]
+        assert (int(r.n_a), int(r.n_b)) == (ns[a], ns[b])
+        assert int(r.s_a) == s_term(a, b)
+        assert int(r.s_b) == s_term(b, a)
+        assert r.jsd == (float(r.s_a) / float(r.n_a)
+                         + float(r.s_b) / float(r.n_b)) / (2.0 * 65536.0)
+    # identical distributions -> exactly zero both sides
+    assert got[("s1", "s2")].jsd == 0.0
+    # disjoint vocab -> JSD == ln 2 (up to quantization)
+    assert abs(got[("s1", "s3")].jsd - math.log(2.0)) < 1e-4

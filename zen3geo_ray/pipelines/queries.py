@@ -2050,6 +2050,51 @@ SELECT agg.source AS source, ns.ns AS n, agg.s AS s,
 FROM agg JOIN ns USING (source)"""
 
 
+def q_jsd(sf_dir: str):
+    """Pairwise JENSEN-SHANNON divergence between source token
+    distributions (the source-similarity matrix, VALUE-CHECKED):
+    every ln argument is an exact integer product so the
+    kl_sources quantized-ln discipline extends — per-(pair, token)
+    integer terms, one shared (s_a/n_a + s_b/n_b)/(2·scale) float
+    finale (stages/tfidf.py:jsd_source_pairs)."""
+    from ..stages.tfidf import jsd_source_pairs
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return jsd_source_pairs(docs, group_col="source",
+                            scale=ENTROPY_SCALE)
+
+
+def _sql_jsd() -> str:
+    sc = ENTROPY_SCALE
+    return rf"""
+WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+cst AS MATERIALIZED (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM tok GROUP BY 1, 2),
+ns AS MATERIALIZED (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                    FROM cst GROUP BY source),
+terms AS (SELECT a.source AS sa, n2.source AS sb,
+                 CAST(FLOOR(a.c * (ln(2 * a.c * n2.n)
+                            - ln(a.c * n2.n + COALESCE(b.c, 0) * n1.n))
+                            * {sc}.0) AS BIGINT) AS t
+          FROM cst a
+          JOIN ns n1 ON n1.source = a.source
+          CROSS JOIN ns n2
+          LEFT JOIN cst b ON b.w = a.w AND b.source = n2.source
+          WHERE n2.source <> a.source),
+sagg AS MATERIALIZED (SELECT sa, sb, CAST(SUM(t) AS BIGINT) AS s
+                      FROM terms GROUP BY 1, 2)
+SELECT l.sa AS src_a, l.sb AS src_b, n1.n AS n_a, n2.n AS n_b,
+       l.s AS s_a, r.s AS s_b,
+       (CAST(l.s AS DOUBLE) / CAST(n1.n AS DOUBLE)
+        + CAST(r.s AS DOUBLE) / CAST(n2.n AS DOUBLE))
+       / (2.0 * {sc}.0) AS jsd
+FROM sagg l JOIN sagg r ON r.sa = l.sb AND r.sb = l.sa
+JOIN ns n1 ON n1.source = l.sa
+JOIN ns n2 ON n2.source = l.sb
+WHERE l.sa < l.sb"""
+
+
 def q_er_canonical(sf_dir: str):
     """Entity-resolution flagship composition: EXACT sim-join pairs →
     connectivity closure (sim_clusters) → keep the HIGHEST-quality
@@ -10855,6 +10900,7 @@ def build_oracles() -> dict[str, str]:
         "norm_dedup": _sql_norm_dedup(),
         "t5_spans": _sql_t5_spans(),
         "kl_sources": _sql_kl_sources(),
+        "jsd": _sql_jsd(),
         "er_canonical": _sql_er_canonical(),
         "centroids": _sql_centroids(),
         "proto_sim": _sql_proto_sim(),
@@ -11796,6 +11842,7 @@ def build_queries() -> dict:
         "norm_dedup": q_norm_dedup,
         "t5_spans": q_t5_spans,
         "kl_sources": q_kl_sources,
+        "jsd": q_jsd,
         "er_canonical": q_er_canonical,
         "centroids": q_centroids,
         "proto_sim": q_proto_sim,

@@ -717,3 +717,143 @@ def kl_divergence_by_group(docs, *, text_col: str = "text",
 
     return bucketed_groupby(rows, [group_col], finale,
                             n_buckets=n_buckets)
+
+
+def jsd_source_pairs(docs, *, text_col: str = "text",
+                     group_col: str = "source", scale: int = 65536,
+                     n_buckets: int = 16):
+    """Pairwise JENSEN-SHANNON divergence between per-group token
+    distributions (nats) — the source-similarity matrix a data-mixing
+    pipeline publishes.  For groups a, b with token counts c_a, c_b
+    and totals n_a, n_b, and M the even mixture:
+
+        JSD = 1/2·Σ_w (c_a/n_a)·ln(p_a/m) + 1/2·Σ_w (c_b/n_b)·ln(p_b/m)
+        ln(p_a/m) = ln(2·c_a·n_b) − ln(c_a·n_b + c_b·n_a)
+
+    — every ln argument is an exact integer, so the same quantized-ln
+    discipline as kl_divergence_by_group applies: per-(pair, token)
+    terms floor(c_a·(ln(2 c_a n_b) − ln(c_a n_b + c_b n_a))·scale)
+    are order-free int64 sums (math.log == DuckDB ln on this libm,
+    one shared parenthesization), and the finale
+    (s_a/n_a + s_b/n_b) / (2·scale) is the ONE float shape.
+
+    Plan: per-block (group, token, count) partials → ONE bucketed
+    shuffle on token; inside each bucket the per-token count matrix
+    over the (domain-bounded) group list yields all ordered-pair term
+    partials vectorized; the per-pair reduce is groups² rows.  The
+    corpus never shuffles.  Returns one row per UNORDERED pair
+    (src_a < src_b): (src_a, src_b, n_a, n_b, s_a, s_b, jsd)."""
+    import math
+
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(b, text_col)
+        grp = b.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            group_col: grp[doc_of],
+            "w": flat.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby([group_col, "w"], sort=False, as_index=False).size()
+        return pa.table({
+            group_col: pa.array(g[group_col].to_numpy(), pa.string()),
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    totals = bucketed_groupby(
+        parts, [group_col],
+        lambda g: g.groupby(group_col, as_index=False)["c"].sum(),
+        n_buckets=4).to_pandas().sort_values(group_col)
+    srcs = totals[group_col].tolist()
+    n_of = {s: int(v) for s, v in zip(srcs, totals["c"])}
+    S = len(srcs)
+    fscale = float(scale)
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["w", group_col], as_index=False)["c"].sum()
+        mat = cnt.pivot_table(index="w", columns=group_col, values="c",
+                              fill_value=0, aggfunc="sum")
+        V = np.zeros((len(mat), S), dtype=np.int64)
+        for j, s in enumerate(srcs):
+            if s in mat.columns:
+                V[:, j] = mat[s].to_numpy().astype(np.int64)
+        ns = np.array([n_of[s] for s in srcs], dtype=np.int64)
+        sa_l, sb_l, s_l = [], [], []
+        # one ln LUT per bucket over every distinct integer argument
+        args = []
+        for a in range(S):
+            ca = V[:, a]
+            m = ca > 0
+            for b_ in range(S):
+                if b_ == a:
+                    continue
+                args.append(2 * ca[m] * ns[b_])
+                args.append(ca[m] * ns[b_] + V[m, b_] * ns[a])
+        if not args:
+            return pd.DataFrame({"sa": [], "sb": [], "s": []})
+        u = np.unique(np.concatenate(args))
+        lg = np.array([math.log(int(v)) for v in u], np.float64)
+
+        def ln(v):
+            return lg[np.searchsorted(u, v)]
+
+        for a in range(S):
+            ca = V[:, a]
+            m = ca > 0
+            cam = ca[m]
+            for b_ in range(S):
+                if b_ == a:
+                    continue
+                ln1 = ln(2 * cam * ns[b_])
+                ln2 = ln(cam * ns[b_] + V[m, b_] * ns[a])
+                t = np.floor(cam * (ln1 - ln2) * fscale).astype(np.int64)
+                sa_l.append(srcs[a])
+                sb_l.append(srcs[b_])
+                s_l.append(int(t.sum()))
+        return pd.DataFrame({"sa": sa_l, "sb": sb_l,
+                             "s": pd.Series(s_l, dtype="int64")})
+
+    pp = bucketed_groupby(parts, ["w"], pair_fold,
+                          n_buckets=n_buckets).to_pandas()
+    if not len(pp):
+        return rd.from_arrow(pa.table({
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "s_a": pa.array([], pa.int64()),
+            "s_b": pa.array([], pa.int64()),
+            "jsd": pa.array([], pa.float64())}))
+    agg = pp.groupby(["sa", "sb"], as_index=False)["s"].sum()
+    key = {(r.sa, r.sb): int(r.s) for r in agg.itertuples()}
+    rows = {"src_a": [], "src_b": [], "n_a": [], "n_b": [],
+            "s_a": [], "s_b": [], "jsd": []}
+    for i in range(S):
+        for j in range(i + 1, S):
+            a, b_ = srcs[i], srcs[j]
+            sa = key.get((a, b_), 0)
+            sb = key.get((b_, a), 0)
+            na, nb = n_of[a], n_of[b_]
+            rows["src_a"].append(a)
+            rows["src_b"].append(b_)
+            rows["n_a"].append(na)
+            rows["n_b"].append(nb)
+            rows["s_a"].append(sa)
+            rows["s_b"].append(sb)
+            rows["jsd"].append(
+                (float(sa) / float(na) + float(sb) / float(nb))
+                / (2.0 * fscale))
+    return rd.from_arrow(pa.table({
+        "src_a": pa.array(rows["src_a"], pa.string()),
+        "src_b": pa.array(rows["src_b"], pa.string()),
+        "n_a": pa.array(rows["n_a"], pa.int64()),
+        "n_b": pa.array(rows["n_b"], pa.int64()),
+        "s_a": pa.array(rows["s_a"], pa.int64()),
+        "s_b": pa.array(rows["s_b"], pa.int64()),
+        "jsd": pa.array(rows["jsd"], pa.float64())}))
