@@ -78,3 +78,53 @@ def test_fuzzy_matches_duckdb_levenshtein(ray_session):
         ON levenshtein(w, term) <= 1
     """).fetchdf()
     assert got == set(map(tuple, exp.to_numpy()))
+
+
+def test_levenshtein_pairs_matches_scalar():
+    import itertools
+
+    from zen3geo_ray.stages.fuzzy import levenshtein, levenshtein_pairs
+
+    words = ["", "a", "ab", "ba", "abc", "ring", "rink", "small ring",
+             "small rig", "widget", "wdgets", "naïve", "naive", "née"]
+    pairs = list(itertools.product(words, words))
+    got = levenshtein_pairs([p[0] for p in pairs],
+                            [p[1] for p in pairs])
+    want = [levenshtein(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_edit_distance_join_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.fuzzy import edit_distance_join, levenshtein
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcd")
+    names = ["".join(rng.choice(alpha, rng.integers(3, 7)))
+             for _ in range(120)]
+    df = pd.DataFrame({
+        "pid": np.arange(120, dtype=np.int64),
+        "nm": names,
+        "blk": (np.arange(120, dtype=np.int64) % 5)})
+    out = edit_distance_join(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+        id_col="pid", text_col="nm", block_col="blk", max_dist=2,
+        n_buckets=3).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    exp = []
+    for _, g in df.groupby("blk"):
+        r = g.reset_index(drop=True)
+        for i in range(len(r)):
+            for j in range(i + 1, len(r)):
+                d = levenshtein(r.nm[i], r.nm[j])
+                if d <= 2:
+                    a, b = int(r.pid[i]), int(r.pid[j])
+                    exp.append((min(a, b), max(a, b), d))
+    exp.sort()
+    got = list(zip(out.id_a, out.id_b, out.dist))
+    assert [(int(a), int(b), int(d)) for a, b, d in got] == exp
+    assert len(exp) > 20   # fixture actually exercises matches

@@ -9871,6 +9871,32 @@ SELECT s AS seed,
 FROM r{STRESS_HOPS} GROUP BY 1""")
 
 
+EDIT_JOIN_K = 2
+
+
+def q_edit_join(sf_dir: str):
+    """Blocked EDIT-DISTANCE similarity self-join over part names
+    (the classic ER step): all within-brand pairs within 2 unit-cost
+    Levenshtein edits, DP fully vectorized over the pair arrays —
+    VALUE-checked against DuckDB's levenshtein()
+    (stages/fuzzy.py:edit_distance_join)."""
+    from ..stages.fuzzy import edit_distance_join
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return edit_distance_join(parts, id_col="p_partkey",
+                              text_col="p_name", block_col="p_brand",
+                              max_dist=EDIT_JOIN_K)
+
+
+def _sql_edit_join() -> str:
+    return f"""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {EDIT_JOIN_K}"""
+
+
 def q_closeness(sf_dir: str):
     """Bounded-hop CLOSENESS centrality of the top-degree hubs over the
     same co-purchase sigma BFS as stress/harmonic: n_reached and
@@ -11747,6 +11773,7 @@ GROUP BY event_type, u - o.off
         "seed_reach": _sql_seed_reach(),
         "harmonic": _sql_harmonic(),
         "closeness": _sql_closeness(),
+        "edit_join": _sql_edit_join(),
         "butterfly": _sql_butterfly(),
         "mis": _sql_mis(),
         "mst": _sql_mst(),
@@ -12064,6 +12091,7 @@ def build_queries() -> dict:
         "seed_reach": q_seed_reach,
         "harmonic": q_harmonic,
         "closeness": q_closeness,
+        "edit_join": q_edit_join,
         "butterfly": q_butterfly,
         "mis": q_mis,
         "mst": q_mst,

@@ -126,3 +126,84 @@ def fuzzy_term_matches(docs_ds, terms: list[str], *, id_col: str = "doc_id",
     pairs = docs_ds.map_batches(find, batch_format="pyarrow")
     return first_per_key(pairs, [id_col, "term"], [id_col],
                          n_buckets=n_buckets)
+
+
+def levenshtein_pairs(a_list, b_list) -> np.ndarray:
+    """Vectorized unit-cost Levenshtein over N string PAIRS: the full
+    (la+1)x(lb+1) DP runs as ~Lmax^2 scalar loop steps of N-length
+    numpy vector ops (strings padded into uint32 codepoint matrices),
+    capturing each pair's distance at its own (la, lb) corner.  Same
+    definition as the scalar ``levenshtein`` / DuckDB's function."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in a_list], np.int64)
+    lb = np.array([len(s) for s in b_list], np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(ma, 1)), np.uint32)
+    B = np.zeros((n, max(mb, 1)), np.uint32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), np.uint32)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), np.uint32)
+    rows = np.arange(n)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
+    out = np.zeros(n, np.int64)
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        neq = (ai != B).astype(np.int64)
+        for j in range(1, mb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + neq[:, j - 1])
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out
+
+
+def edit_distance_join(ds, *, id_col: str, text_col: str,
+                       block_col: str, max_dist: int = 2,
+                       n_buckets: int = 16):
+    """Blocked EDIT-DISTANCE similarity self-join (the classic
+    entity-resolution step): all unordered pairs WITHIN a block
+    (``block_col`` equality — the standard ER blocking key) whose
+    ``text_col`` values are within ``max_dist`` unit-cost Levenshtein
+    edits.  Exact within blocks; the |len difference| <= max_dist
+    prefilter is lossless (length difference lower-bounds the
+    distance).
+
+    One bucketed shuffle on the block key; pair enumeration and the
+    DP verify are fully vectorized per bucket (levenshtein_pairs).
+    Pair volume is sum of block-size^2 — blocking keys must be chosen
+    so blocks stay bounded, the same contract as every ER blocker.
+    Returns (id_a, id_b, dist) with id_a < id_b."""
+    from .bucketed import bucketed_groupby
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[id_col, text_col, block_col]]
+        m = g.merge(g, on=block_col)
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        da = m[f"{text_col}_x"].to_numpy()
+        db = m[f"{text_col}_y"].to_numpy()
+        ld = np.array([abs(len(x) - len(y)) for x, y in zip(da, db)],
+                      np.int64)
+        keep = ld <= max_dist
+        m = m[keep]
+        dist = levenshtein_pairs(da[keep].tolist(), db[keep].tolist())
+        ok = dist <= max_dist
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_x"].to_numpy()[ok],
+            "id_b": m[f"{id_col}_y"].to_numpy()[ok],
+            "dist": dist[ok]})
+
+    return bucketed_groupby(ds, [block_col], fold, n_buckets=n_buckets)
