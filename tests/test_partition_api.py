@@ -487,3 +487,48 @@ def test_api_session5_surface(ray_session):
                    "w": pa.array([3, 4], pa.int64())})
     msf = api.from_arrow(we).minimum_spanning_forest(rounds=4).to_pandas()
     assert sorted(msf.w.tolist()) == [3, 4]
+
+
+def test_api_session6_surface(ray_session):
+    """Fluent wiring of the session-6 terminals."""
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    cc = api.from_arrow(edges).closeness_centrality(
+        n_seeds=2, max_hops=3).to_pandas()
+    assert (cc.d_sum > 0).all()
+
+    od = pa.table({"cell_from": pa.array([1, 2], pa.int64()),
+                   "cell_to": pa.array([2, 1], pa.int64()),
+                   "n": pa.array([3, 3], pa.int64())})
+    fr = api.from_arrow(od).flow_reciprocity(n_buckets=2).to_pandas()
+    assert fr.recip_w.iloc[0] == 1.0
+
+    st = pa.table({"cell": pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+                   "bin": pa.array([0, 1, 1, 2, 2, 2], pa.int64())})
+    ts = api.from_arrow(st).theil_sen(n_buckets=2).to_pandas()
+    assert ts.slope.iloc[0] == 1.0
+
+    ev = pa.table({"k": pa.array(["a", "a", "b"]),
+                   "tu": pa.array([0, 3, 9], pa.int64())})
+    km = api.from_arrow(ev).kaplan_meier(key_col="k", ts_col="tu",
+                                         day_us=1, censor_days=1,
+                                         n_buckets=2)
+    assert km.num_rows == 1 and km.column("t_day")[0].as_py() == 3
+
+    ws = api.from_arrow(pa.table({
+        "cell": pa.array([8] * 2 + [9], pa.int64())})).watershed(
+        res=2, n_buckets=2).to_pandas().set_index("cell")
+    assert ws.loc[8, "sink"] == 9
+
+    docs = pa.table({"source": pa.array(["s1", "s2"]),
+                     "text": pa.array(["a b", "a b"])})
+    js = api.from_arrow(docs).jsd_pairs(n_buckets=2).to_pandas()
+    assert js.jsd.iloc[0] == 0.0
+
+    parts = pa.table({"pid": pa.array([1, 2, 3], pa.int64()),
+                      "nm": pa.array(["ring", "rink", "zzzzz"]),
+                      "blk": pa.array([0, 0, 0], pa.int64())})
+    ej = api.from_arrow(parts).edit_join(
+        id_col="pid", text_col="nm", block_col="blk",
+        max_dist=1, n_buckets=2).to_pandas()
+    assert list(zip(ej.id_a, ej.id_b, ej.dist)) == [(1, 2, 1)]

@@ -811,6 +811,55 @@ class Pipe:
 
         return Pipe(minimum_spanning_forest(self.ds, **kwargs))
 
+    def closeness_centrality(self, **kwargs) -> "Pipe":
+        """Bounded-hop closeness centrality over (src, dst) edges."""
+        from .stages.graph import closeness_centrality
+
+        return Pipe(closeness_centrality(self.ds, **kwargs))
+
+    def flow_reciprocity(self, **kwargs) -> "Pipe":
+        """Weighted + binary dyad reciprocity of an OD flow matrix."""
+        from .stages.sequence import flow_reciprocity
+
+        return Pipe(flow_reciprocity(self.ds, **kwargs))
+
+    def theil_sen(self, **kwargs) -> "Pipe":
+        """Per-cell Theil-Sen trend slope over (cell, bin) rows."""
+        from .stages.spatial_stats import theil_sen
+
+        return Pipe(theil_sen(self.ds, **kwargs))
+
+    def kaplan_meier(self, *, key_col: str, ts_col: str,
+                     **kwargs) -> pa.Table:
+        """Kaplan-Meier survival curve of per-key lifetimes
+        (terminal)."""
+        from .stages.sequence import kaplan_meier
+
+        return kaplan_meier(self.ds, key_col=key_col, ts_col=ts_col,
+                            **kwargs)
+
+    def watershed(self, res: int, **kwargs) -> "Pipe":
+        """D8 drainage-basin labels over the cell column."""
+        from .stages.spatial_stats import watershed_label
+
+        return Pipe(watershed_label(self.ds, res=res, **kwargs))
+
+    def jsd_pairs(self, **kwargs) -> "Pipe":
+        """Pairwise Jensen-Shannon divergence between group token
+        distributions."""
+        from .stages.tfidf import jsd_source_pairs
+
+        return Pipe(jsd_source_pairs(self.ds, **kwargs))
+
+    def edit_join(self, *, id_col: str, text_col: str, block_col: str,
+                  **kwargs) -> "Pipe":
+        """Blocked Levenshtein similarity self-join."""
+        from .stages.fuzzy import edit_distance_join
+
+        return Pipe(edit_distance_join(self.ds, id_col=id_col,
+                                       text_col=text_col,
+                                       block_col=block_col, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""
