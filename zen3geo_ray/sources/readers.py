@@ -77,7 +77,7 @@ def read_vector(path: str, columns: list[str] | None = None,
                 for ext in (".shp", ".gpkg", ".fgb", ".geojson",
                             ".geojsonl", ".geojsons", ".ndjson", ".json",
                             ".parquet", ".csv", ".arrow", ".feather",
-                            ".orc"):
+                            ".orc", ".avro"):
                     target = next(
                         (n for n in names if n.endswith(ext)), None)
                     if target:
@@ -123,6 +123,13 @@ def read_vector(path: str, columns: list[str] | None = None,
         from pyarrow import orc
 
         t = orc.read_table(path, columns=columns)
+        columns = None
+    elif path.endswith(".avro"):
+        # Apache Avro container (pure-stdlib codec, sources/avro.py) —
+        # the row-oriented log-shipping interchange.
+        from .avro import read_avro
+
+        t = read_avro(path, columns=columns)
         columns = None
     elif path.endswith(".fgb"):
         from .flatgeobuf import read_flatgeobuf
