@@ -687,3 +687,24 @@ def test_quadtree_leaves_golden(ray_session):
                    (1, 3): 2}
     # invariant: leaf sums == point count
     assert out["n"].sum() == len(cells_)
+
+
+def test_uniformity_chi2_goldens(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import uniformity_chi2
+
+    # cell 0: perfectly uniform over 7 dows (2 each, n=14) -> chi2 = 0
+    # cell 5: all 6 events in one dow -> i = (7*6-6)^2 + 6*36 = 1512,
+    #         chi2 = 1512/42 = 36 (the k-1 * n maximal-concentration
+    #         value: (k-1)*n = 36)
+    rows_c = [0] * 14 + [5] * 6
+    rows_t = list(range(7)) * 2 + [3] * 6
+    t = pa.table({"cell": pa.array(rows_c, pa.int64()),
+                  "cat": pa.array(rows_t, pa.int64())})
+    out = uniformity_chi2(rd.from_arrow(t).repartition(3),
+                          n_buckets=2).to_pandas().set_index("cell")
+    assert int(out.loc[0, "i_num"]) == 0 and out.loc[0, "chi2"] == 0.0
+    assert int(out.loc[5, "n"]) == 6
+    assert int(out.loc[5, "i_num"]) == (42 - 6) ** 2 + 6 * 36
+    assert out.loc[5, "chi2"] == 36.0

@@ -478,6 +478,50 @@ FROM tt JOIN ties ON ties.cell = tt.cell
 LEFT JOIN pr ON pr.cell = tt.cell"""
 
 
+def q_dow_chi2(sf_dir: str):
+    """Per-cell DAY-OF-WEEK chi-square uniformity test (the
+    seasonality screen beside mk_trend): 7-category counts with real
+    zeros, i_num = Σ(7o−n)² exact integer, chi2 = i_num/(7n) the one
+    float (stages/spatial_stats.py:uniformity_chi2)."""
+    from ..stages.sequence import KM_DAY_US
+    from ..stages.spatial_stats import uniformity_chi2
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(uid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "cat": pa.array((t // KM_DAY_US) % 7)})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return uniformity_chi2(ev, k=7)
+
+
+def _sql_dow_chi2() -> str:
+    from ..stages.sequence import KM_DAY_US
+
+    lon_e, lat_e = sql_geocode_exprs("user_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    return f"""
+WITH g0 AS (SELECT {lon_e} AS lon, {lat_e} AS lat,
+                   (epoch_us(ts) // {KM_DAY_US}) % 7 AS cat FROM events),
+cb AS (SELECT {cell_e} AS cell, cat, CAST(COUNT(*) AS BIGINT) AS x
+       FROM g0 GROUP BY 1, 2),
+tt AS (SELECT cell, CAST(SUM(x) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS c_obs FROM cb GROUP BY 1),
+i1 AS (SELECT cb.cell,
+              CAST(SUM((7 * cb.x - tt.n) * (7 * cb.x - tt.n))
+                   AS BIGINT) AS s
+       FROM cb JOIN tt USING (cell) GROUP BY 1)
+SELECT tt.cell, tt.n,
+       i1.s + (7 - tt.c_obs) * tt.n * tt.n AS i_num,
+       CAST(i1.s + (7 - tt.c_obs) * tt.n * tt.n AS DOUBLE)
+       / CAST(7 * tt.n AS DOUBLE) AS chi2
+FROM tt JOIN i1 USING (cell)"""
+
+
 def q_theil_sen(sf_dir: str):
     """Per-cell THEIL-SEN robust trend slope over the same daily event
     bins as mk_trend: median of pairwise slopes, quantized as
@@ -10946,6 +10990,7 @@ def build_oracles() -> dict[str, str]:
         "eb_rates": _sql_eb_rates(),
         "mk_trend": _sql_mk_trend(),
         "theil_sen": _sql_theil_sen(),
+        "dow_chi2": _sql_dow_chi2(),
         "od_matrix": _sql_od_matrix(),
         "reciprocity": _sql_reciprocity(),
         "survival": _sql_survival(),
@@ -11889,6 +11934,7 @@ def build_queries() -> dict:
         "eb_rates": q_eb_rates,
         "mk_trend": q_mk_trend,
         "theil_sen": q_theil_sen,
+        "dow_chi2": q_dow_chi2,
         "od_matrix": q_od_matrix,
         "reciprocity": q_reciprocity,
         "survival": q_survival,

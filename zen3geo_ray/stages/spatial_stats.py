@@ -889,6 +889,54 @@ def mann_kendall(ds, *, cell_col: str = "cell", bin_col: str = "bin",
     return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
 
 
+def uniformity_chi2(ds, *, cell_col: str = "cell",
+                    cat_col: str = "cat", k: int = 7,
+                    n_buckets: int = 8) -> "object":
+    """Pearson CHI-SQUARE uniformity test per cell over ``k``
+    categories (the day-of-week seasonality screen): with per-category
+    counts o_j (absent categories are REAL zeros) and n = Σ o_j,
+
+        chi2 = Σ_j (o_j − n/k)² / (n/k) = Σ_j (k·o_j − n)² / (k·n)
+
+    — the numerator i_num = Σ_j (k·o_j − n)² is an exact integer
+    (zero categories contribute n² each), chi2 = i_num / (k·n) is the
+    ONE shared float.  df = k−1 for the caller.  Same plan as
+    mann_kendall: one combiner-first (cell, cat) histogram shuffle,
+    bounded per-cell finale.  Returns (cell, n, i_num, chi2)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(cat_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cell": c, "cat": t})
+        df["x"] = np.int64(1)
+        agg = df.groupby(["cell", "cat"], sort=False, as_index=False)[
+            "x"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell", "cat"], as_index=False)["x"].sum()
+        cells_, ns, inum, chi2 = [], [], [], []
+        for cell, grp in g.groupby("cell", sort=False):
+            o = [int(v) for v in grp["x"]]
+            n = sum(o)
+            i = sum((k * v - n) ** 2 for v in o) \
+                + (k - len(o)) * n * n
+            cells_.append(cell)
+            ns.append(n)
+            inum.append(i)
+            chi2.append(float(i) / float(k * n) if n > 0 else 0.0)
+        return pd.DataFrame({
+            "cell": np.asarray(cells_, np.int64),
+            "n": np.asarray(ns, np.int64),
+            "i_num": np.asarray(inum, np.int64),
+            "chi2": np.asarray(chi2, np.float64)})
+
+    return bucketed_groupby(parts, ["cell"], fold, n_buckets=n_buckets)
+
+
 THEIL_SCALE = 1 << 20
 
 
