@@ -708,3 +708,47 @@ def test_uniformity_chi2_goldens(ray_session):
     assert int(out.loc[5, "n"]) == 6
     assert int(out.loc[5, "i_num"]) == (42 - 6) ** 2 + 6 * 36
     assert out.loc[5, "chi2"] == 36.0
+
+
+def test_haar_energy_goldens(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import haar_energy
+
+    # cell 0: one event at the origin day (global min): v = e_0 ->
+    # d_l = [1, 0, ...] at every level -> energy 1 at all levels.
+    # cell 5: alternating 2,0,2,0... over days 0..7 (levels=3, W=8):
+    # level1 d = [2,2,2,2] -> e=16; a=[2,2,2,2]; level2 d=[0,0] e=0;
+    # level3 d=[0] e=0.
+    rows = []
+    rows += [(0, 100)]
+    for day in range(0, 8, 2):
+        rows += [(5, 100 + day)] * 2
+    t = pa.table({"cell": pa.array([r[0] for r in rows], pa.int64()),
+                  "bin": pa.array([r[1] for r in rows], pa.int64())})
+    out = haar_energy(rd.from_arrow(t).repartition(3), levels=3,
+                      n_buckets=2).to_pandas()
+    got = {(int(r.cell), int(r.level)): int(r.energy)
+           for r in out.itertuples()}
+    assert got == {(0, 1): 1, (0, 2): 1, (0, 3): 1,
+                   (5, 1): 16, (5, 2): 0, (5, 3): 0}
+
+
+def test_haar_energy_parseval(ray_session):
+    """Unnormalized-Haar Parseval: sum over levels of energy_l / 2^l
+    plus (total)^2 / 2^L equals the time-domain energy Σ v²."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.spatial_stats import haar_energy
+
+    rng = np.random.default_rng(5)
+    days = rng.integers(0, 16, 300)
+    t = pa.table({"cell": pa.array(np.zeros(300, np.int64)),
+                  "bin": pa.array(days.astype(np.int64))})
+    out = haar_energy(rd.from_arrow(t).repartition(3), levels=4,
+                      n_buckets=2).to_pandas()
+    v = np.bincount(days, minlength=16).astype(np.int64)
+    lhs = sum(int(r.energy) / (2 ** int(r.level))
+              for r in out.itertuples())
+    lhs += int(v.sum()) ** 2 / 2 ** 4
+    assert lhs == float((v * v).sum())

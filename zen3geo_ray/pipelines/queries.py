@@ -522,6 +522,61 @@ SELECT tt.cell, tt.n,
 FROM tt JOIN i1 USING (cell)"""
 
 
+WAVELET_LEVELS = 5
+
+
+def q_wavelet(sf_dir: str):
+    """Unnormalized HAAR wavelet energy spectrum per cell over daily
+    event counts (multi-scale burstiness beside mk_trend/dow_chi2):
+    dense 32-day window from the global min day, integer pair
+    sums/differences per level, per-level Σd² exact int64
+    (stages/spatial_stats.py:haar_energy)."""
+    from ..stages.spatial_stats import haar_energy
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        lon, lat = geocode_id(uid, ["xx"] * len(b))
+        cell = cells.cell_of(lon, lat, MK_RES)
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "bin": pa.array(t // MK_BIN_US)})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return haar_energy(ev, levels=WAVELET_LEVELS)
+
+
+def _sql_wavelet() -> str:
+    lon_e, lat_e = sql_geocode_exprs("user_id", "'xx'")
+    cell_e = cells.sql_cell_expr("lon", "lat", MK_RES)
+    W = 1 << WAVELET_LEVELS
+    ctes = [f"""g0 AS (SELECT {lon_e} AS lon, {lat_e} AS lat,
+            epoch_us(ts) // {MK_BIN_US} AS bin FROM events)""",
+            f"""cb AS (SELECT {cell_e} AS cell, bin,
+       CAST(COUNT(*) AS BIGINT) AS x FROM g0 GROUP BY 1, 2)""",
+            "org AS (SELECT MIN(bin) AS m FROM cb)",
+            f"""cw AS MATERIALIZED (SELECT cell, bin - org.m AS t, x
+     FROM cb CROSS JOIN org
+     WHERE bin - org.m BETWEEN 0 AND {W - 1})""",
+            f"""l0 AS MATERIALIZED (
+  SELECT c.cell, r.t, COALESCE(cw.x, 0) AS v
+  FROM (SELECT DISTINCT cell FROM cw) c
+  CROSS JOIN (SELECT CAST(unnest(range({W})) AS BIGINT) AS t) r
+  LEFT JOIN cw ON cw.cell = c.cell AND cw.t = r.t)"""]
+    for i in range(1, WAVELET_LEVELS + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT cell, t2 AS t,
+         CAST(SUM(CASE WHEN par = 0 THEN v ELSE -v END) AS BIGINT) AS d,
+         CAST(SUM(v) AS BIGINT) AS v
+  FROM (SELECT cell, t // 2 AS t2, t % 2 AS par, v FROM l{i - 1})
+  GROUP BY 1, 2)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT cell, CAST({i} AS BIGINT) AS level,"
+        f" CAST(SUM(d * d) AS BIGINT) AS energy FROM l{i} GROUP BY 1"
+        for i in range(1, WAVELET_LEVELS + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 def q_theil_sen(sf_dir: str):
     """Per-cell THEIL-SEN robust trend slope over the same daily event
     bins as mk_trend: median of pairwise slopes, quantized as
@@ -10991,6 +11046,7 @@ def build_oracles() -> dict[str, str]:
         "mk_trend": _sql_mk_trend(),
         "theil_sen": _sql_theil_sen(),
         "dow_chi2": _sql_dow_chi2(),
+        "wavelet": _sql_wavelet(),
         "od_matrix": _sql_od_matrix(),
         "reciprocity": _sql_reciprocity(),
         "survival": _sql_survival(),
@@ -11935,6 +11991,7 @@ def build_queries() -> dict:
         "mk_trend": q_mk_trend,
         "theil_sen": q_theil_sen,
         "dow_chi2": q_dow_chi2,
+        "wavelet": q_wavelet,
         "od_matrix": q_od_matrix,
         "reciprocity": q_reciprocity,
         "survival": q_survival,
