@@ -534,3 +534,59 @@ def test_jsd_source_pairs(ray_session):
     assert got[("s1", "s2")].jsd == 0.0
     # disjoint vocab -> JSD == ln 2 (up to quantization)
     assert abs(got[("s1", "s3")].jsd - math.log(2.0)) < 1e-4
+
+
+def test_vocab_drift_two_runs(ray_session, tmp_path):
+    """Cross-run drift: run 1 on an empty store (uniform smoothed
+    baseline), run 2 against run 1's counts — both rows match the
+    direct add-one-smoothed KL computation; the store accumulates."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.tfidf import vocab_drift
+
+    store = str(tmp_path / "vstore")
+    r1_docs = ["a b a", "b c"]
+    r2_docs = ["a a d d d"]
+
+    def table(docs):
+        return rd.from_arrow(pa.table({"text": docs}))
+
+    def expect(run_docs, store_cnt):
+        r = Counter(w for d in run_docs for w in d.split())
+        big_r = sum(r.values())
+        big_s = sum(store_cnt.values())
+        vocab = set(r) | set(store_cnt)
+        big_v = len(vocab)
+        t = sum(math.floor(c * (math.log(c) - math.log(big_r)
+                                - math.log(store_cnt[w] + 1)
+                                + math.log(big_s + big_v)) * 65536.0)
+                for w, c in r.items())
+        v_new = sum(1 for w in r if store_cnt[w] == 0)
+        c_new = sum(c for w, c in r.items() if store_cnt[w] == 0)
+        return (big_s, big_r, len([w for w in store_cnt
+                                   if store_cnt[w] > 0]), len(r),
+                v_new, c_new, t,
+                float(t) / (float(big_r) * 65536.0))
+
+    out1 = vocab_drift(table(r1_docs), store).to_pandas().iloc[0]
+    got1 = (int(out1.n_store), int(out1.n_run), int(out1.v_store),
+            int(out1.v_run), int(out1.v_new), int(out1.c_new),
+            int(out1.t_sum), float(out1.drift))
+    assert got1 == expect(r1_docs, Counter())
+
+    st1 = Counter(w for d in r1_docs for w in d.split())
+    out2 = vocab_drift(table(r2_docs), store).to_pandas().iloc[0]
+    got2 = (int(out2.n_store), int(out2.n_run), int(out2.v_store),
+            int(out2.v_run), int(out2.v_new), int(out2.c_new),
+            int(out2.t_sum), float(out2.drift))
+    assert got2 == expect(r2_docs, st1)
+    assert int(out2.v_new) == 1 and int(out2.c_new) == 3   # token d
+
+    # run 3 sees the union of runs 1+2 in the store
+    st2 = st1 + Counter(w for d in r2_docs for w in d.split())
+    out3 = vocab_drift(table(["c c"]), store).to_pandas().iloc[0]
+    assert int(out3.n_store) == sum(st2.values())
+    assert int(out3.v_new) == 0

@@ -3251,6 +3251,72 @@ def q_delta_dedup(sf_dir: str):
     return out
 
 
+def q_delta_vocab(sf_dir: str):
+    """CROSS-RUN vocabulary drift: run 1 seeds the (token, count)
+    store with the even-doc_id half, run 2 measures the odd half's
+    add-one-smoothed KL drift against it (quantized-ln integers, one
+    float finale) and appends — the training-data drift alarm beside
+    the incremental dedup stores (stages/tfidf.py:vocab_drift)."""
+    import shutil
+    import tempfile
+
+    from ..stages.tfidf import vocab_drift
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_vocab_")
+    try:
+        vocab_drift(docs.map_batches(half(0), batch_format="pyarrow"),
+                    store, scale=ENTROPY_SCALE)   # seed run
+        out = vocab_drift(
+            docs.map_batches(half(1), batch_format="pyarrow"),
+            store, scale=ENTROPY_SCALE)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _sql_delta_vocab() -> str:
+    sc = ENTROPY_SCALE
+    return rf"""
+WITH st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS s
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+rn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r
+       FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+u AS MATERIALIZED (
+  SELECT COALESCE(rn.r, 0) AS r, COALESCE(st.s, 0) AS s
+  FROM rn FULL OUTER JOIN st ON st.w = rn.w),
+tt AS MATERIALIZED (
+  SELECT CAST(SUM(r) AS BIGINT) AS big_r,
+         CAST(SUM(s) AS BIGINT) AS big_s,
+         CAST(COUNT(*) AS BIGINT) AS big_v,
+         CAST(COUNT(CASE WHEN r > 0 THEN 1 END) AS BIGINT) AS v_run,
+         CAST(COUNT(CASE WHEN s > 0 THEN 1 END) AS BIGINT) AS v_store,
+         CAST(COUNT(CASE WHEN r > 0 AND s = 0 THEN 1 END) AS BIGINT)
+           AS v_new,
+         CAST(SUM(CASE WHEN s = 0 THEN r ELSE 0 END) AS BIGINT)
+           AS c_new
+  FROM u),
+tm AS (SELECT CAST(SUM(CAST(FLOOR(u.r * (ln(u.r) - ln(tt.big_r)
+                   - ln(u.s + 1) + ln(tt.big_s + tt.big_v))
+                   * {sc}.0) AS BIGINT)) AS BIGINT) AS t_sum
+       FROM u CROSS JOIN tt WHERE u.r > 0)
+SELECT tt.big_s AS n_store, tt.big_r AS n_run, tt.v_store, tt.v_run,
+       tt.v_new, tt.c_new, tm.t_sum,
+       CAST(tm.t_sum AS DOUBLE)
+       / (CAST(tt.big_r AS DOUBLE) * {sc}.0) AS drift
+FROM tt CROSS JOIN tm"""
+
+
 def q_first_event(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
     out = stack.dedup_first(ev, ["user_id"], ["ts", "event_id"])
@@ -11360,6 +11426,7 @@ FROM g,
             "(SELECT text FROM documents WHERE doc_id % 2 = 0) "
             "GROUP BY text"
         ),
+        "delta_vocab": _sql_delta_vocab(),
         "first_event": (
             "SELECT user_id, event_id, event_type, value FROM events "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
@@ -12038,6 +12105,7 @@ def build_queries() -> dict:
         "curate2": q_curate2,
         "dedup_docs": q_dedup_docs,
         "delta_dedup": q_delta_dedup,
+        "delta_vocab": q_delta_vocab,
         "first_event": q_first_event,
         "user_series": q_user_series,
         "topk_cells": q_topk_cells,

@@ -857,3 +857,133 @@ def jsd_source_pairs(docs, *, text_col: str = "text",
         "s_a": pa.array(rows["s_a"], pa.int64()),
         "s_b": pa.array(rows["s_b"], pa.int64()),
         "jsd": pa.array(rows["jsd"], pa.float64())}))
+
+
+def vocab_drift(docs, store_dir: str, *, text_col: str = "text",
+                scale: int = 65536, n_buckets: int = 16) -> pa.Table:
+    """CROSS-RUN vocabulary-drift monitor — the training-data drift
+    alarm beside the incremental dedup stores: compares this run's
+    unigram distribution against the ACCUMULATED store distribution,
+    then appends this run's (token, count) rows to the store (a
+    directory of plain parquet files, append-only, one per run —
+    delete to reset; the incremental_exact_dedup store contract).
+
+    Drift is KL(run ‖ store⁺) with add-one smoothing on the store
+    side over the UNION vocabulary (so unseen tokens are defined):
+
+        q_w = (s_w + 1) / (S + V)
+        term_w = floor(r_w·(ln r_w − ln R − ln(s_w+1) + ln(S+V))·scale)
+        drift  = Σ term_w / (R·scale)
+
+    — the kl_sources quantized-ln discipline: every ln argument is an
+    exact integer, term sums are order-free int64, the finale is ONE
+    float shape.  Plan: per-block (token, count) partials → one
+    bucketed token shuffle merging run + store counts (vocab-bounded
+    rows materialize); totals and the term sum reduce to scalars via
+    block partials; documents never shuffle.  Returns ONE row
+    (n_store, n_run, v_store, v_run, v_new, c_new, t_sum, drift)."""
+    import math
+    import os
+    import uuid
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _doc_of, _ = tokens_flat(b, text_col)
+        df = pd.DataFrame({"w": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby("w", sort=False, as_index=False).size()
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "c": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    run = bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"), ["w"],
+        lambda g: g.groupby("w", as_index=False)["c"].sum(),
+        n_buckets=n_buckets).materialize()
+
+    store_files = [
+        os.path.join(root, fn)
+        for root, _, files in os.walk(store_dir or "")
+        for fn in files if fn.endswith(".parquet")
+    ] if os.path.isdir(store_dir) else []
+
+    tagged = run.map_batches(
+        lambda b: pa.table({"w": b.column("w"),
+                            "r": b.column("c"),
+                            "s": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+    if store_files:
+        old = rd.read_parquet(store_dir, columns=["w", "c"]).map_batches(
+            lambda b: pa.table({
+                "w": b.column("w"),
+                "r": pa.array(np.zeros(len(b), np.int64)),
+                "s": b.column("c").cast(pa.int64())}),
+            batch_format="pyarrow")
+        tagged = tagged.union(old)
+    rows = bucketed_groupby(
+        tagged, ["w"],
+        lambda g: g.groupby("w", as_index=False)[["r", "s"]].sum(),
+        n_buckets=n_buckets).materialize()
+
+    tot = rows.map_batches(
+        lambda b: pa.table({
+            "r": pa.array([int(np.sum(b.column("r").to_numpy(
+                zero_copy_only=False)))], pa.int64()),
+            "s": pa.array([int(np.sum(b.column("s").to_numpy(
+                zero_copy_only=False)))], pa.int64()),
+            "v": pa.array([len(b)], pa.int64()),
+            "v_run": pa.array([int(np.sum(b.column("r").to_numpy(
+                zero_copy_only=False) > 0))], pa.int64()),
+            "v_store": pa.array([int(np.sum(b.column("s").to_numpy(
+                zero_copy_only=False) > 0))], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    big_r = int(tot["r"].sum())
+    big_s = int(tot["s"].sum())
+    big_v = int(tot["v"].sum())
+    v_run = int(tot["v_run"].sum())
+    v_store = int(tot["v_store"].sum())
+    fscale = float(scale)
+    ln_r_tot = math.log(big_r) if big_r > 0 else 0.0
+    ln_sv = math.log(big_s + big_v) if big_s + big_v > 0 else 0.0
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = r > 0
+        r, s = r[m], s[m]
+        u = np.unique(np.concatenate([r, s + 1]))
+        lg = np.array([math.log(int(v)) for v in u], np.float64)
+        ln_r = lg[np.searchsorted(u, r)]
+        ln_s1 = lg[np.searchsorted(u, s + 1)]
+        t = np.floor(r * (ln_r - ln_r_tot - ln_s1 + ln_sv)
+                     * fscale).astype(np.int64)
+        new = s == 0
+        return pa.table({
+            "t": pa.array([int(t.sum())], pa.int64()),
+            "v_new": pa.array([int(new.sum())], pa.int64()),
+            "c_new": pa.array([int(r[new].sum())], pa.int64())})
+
+    tp = rows.map_batches(term_partial, batch_format="pyarrow").to_pandas()
+    t_sum = int(tp["t"].sum())
+    v_new = int(tp["v_new"].sum())
+    c_new = int(tp["c_new"].sum())
+
+    os.makedirs(store_dir, exist_ok=True)
+    run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
+    run.write_parquet(run_dir)
+
+    return pa.table({
+        "n_store": pa.array([big_s], pa.int64()),
+        "n_run": pa.array([big_r], pa.int64()),
+        "v_store": pa.array([v_store], pa.int64()),
+        "v_run": pa.array([v_run], pa.int64()),
+        "v_new": pa.array([v_new], pa.int64()),
+        "c_new": pa.array([c_new], pa.int64()),
+        "t_sum": pa.array([t_sum], pa.int64()),
+        "drift": pa.array(
+            [float(t_sum) / (float(big_r) * fscale) if big_r > 0
+             else 0.0], pa.float64())})
