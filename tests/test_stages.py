@@ -662,3 +662,53 @@ def test_oneway_anova_degenerate(ray_session):
         .to_pandas().iloc[0]
     assert (int(out["k"]), int(out["n"])) == (2, 4)
     assert np.isnan(out["f_stat"]) and np.isnan(out["eta_sq"])
+
+
+def test_kruskal_wallis_reference(ray_session):
+    """H and the tie-corrected H vs the straight-line average-rank
+    computation, plus a hand-computed tie-free golden."""
+    rng = np.random.default_rng(31)
+    sizes = {"a": 120, "b": 90, "c": 140}
+    vals = {g: rng.integers(0, 40, sz).astype(np.int64)
+            for g, sz in sizes.items()}
+    gcol = sum(([g] * sizes[g] for g in ("a", "b", "c")), [])
+    t = pa.table({"g": pa.array(gcol),
+                  "v": pa.array(np.concatenate(
+                      [vals[g] for g in ("a", "b", "c")]))})
+    out = zonal.kruskal_wallis(rd.from_arrow(t).repartition(4),
+                               "g", "v", ["a", "b", "c"],
+                               n_buckets=4).to_pandas().iloc[0]
+    pooled = np.concatenate([vals[g] for g in ("a", "b", "c")])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled), dtype=np.float64)
+    i = 0
+    sp = pooled[order]
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(pooled)
+    lo = 0
+    ssum = 0.0
+    for g in ("a", "b", "c"):
+        r = ranks[lo:lo + sizes[g]]
+        lo += sizes[g]
+        ssum += r.sum() ** 2 / sizes[g]
+    h_ref = 12.0 / (n * (n + 1)) * ssum - 3 * (n + 1)
+    _, tc = np.unique(pooled, return_counts=True)
+    corr = 1.0 - float((tc ** 3 - tc).sum()) / (n ** 3 - n)
+    assert int(out["n"]) == n and int(out["k"]) == 3
+    assert int(out["t3t"]) == int((tc ** 3 - tc).sum())
+    assert out["h"] == pytest.approx(h_ref, rel=1e-12)
+    assert out["h_adj"] == pytest.approx(h_ref / corr, rel=1e-12)
+
+    # tie-free golden: groups {1,2} and {3,4} -> ranks 1..4,
+    # R1=3, R2=7, H = 12/(4*5)*(9/2+49/2) - 3*5 = 12/20*29 - 15 = 2.4
+    tg = pa.table({"g": pa.array(["x", "x", "y", "y"]),
+                   "v": pa.array([1, 2, 3, 4], pa.int64())})
+    o2 = zonal.kruskal_wallis(rd.from_arrow(tg), "g", "v",
+                              ["x", "y"]).to_pandas().iloc[0]
+    assert o2["h"] == pytest.approx(2.4, abs=1e-12)
+    assert int(o2["t3t"]) == 0 and o2["h_adj"] == o2["h"]

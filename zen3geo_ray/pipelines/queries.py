@@ -4600,6 +4600,60 @@ SELECT k, n, ssb, sst - ssb AS ssw,
 FROM fx"""
 
 
+def q_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across the five order priorities on FLOOR
+    dollars — the k-group nonparametric companion of anova/mwu: ×2
+    pooled-histogram ranks, exact-int group rank sums, fixed
+    left-assoc unrolled float finale with the standard tie correction
+    (stages/zonal.py:kruskal_wallis)."""
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": b.column("o_orderpriority"),
+            "v": pa.array(np.floor(v).astype(np.int64)),
+        })
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return zonal.kruskal_wallis(
+        ords.map_batches(prep, batch_format="pyarrow"), "g", "v",
+        list(ANOVA_GROUPS))
+
+
+def _sql_kruskal() -> str:
+    term = ("COALESCE((SELECT CAST(g2.rr2 - g2.ni * (t.n + 1) AS DOUBLE)"
+            " * CAST(g2.rr2 - g2.ni * (t.n + 1) AS DOUBLE)"
+            " / CAST(g2.ni AS DOUBLE) FROM grp g2 WHERE g2.g = '{g}'),"
+            " 0.0)")
+    terms = " + ".join(term.format(g=g) for g in ANOVA_GROUPS)
+    h = (f"3.0 * ({terms})"
+         f" / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))")
+    den = ("1.0 - CAST(tie.t3t AS DOUBLE) / (CAST(t.n AS DOUBLE)"
+           " * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)"
+           " - CAST(t.n AS DOUBLE))")
+    return f"""
+WITH src AS (SELECT o_orderpriority AS g,
+                    CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+             FROM orders),
+hist AS MATERIALIZED (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM src GROUP BY 1, 2),
+pooled AS MATERIALIZED (SELECT v, CAST(SUM(c) AS BIGINT) AS c
+                        FROM hist GROUP BY v),
+rk AS (SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - c + 1 AS BIGINT) AS r2 FROM pooled),
+grp AS MATERIALIZED (
+  SELECT h.g, CAST(SUM(h.c) AS BIGINT) AS ni,
+         CAST(SUM(h.c * rk.r2) AS BIGINT) AS rr2
+  FROM hist h JOIN rk ON rk.v = h.v GROUP BY h.g),
+tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM grp),
+tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS t3t FROM pooled)
+SELECT CAST({len(ANOVA_GROUPS)} AS BIGINT) AS k, t.n, tie.t3t,
+       {h} AS h,
+       CASE WHEN {den} > 0.0 THEN ({h}) / ({den}) ELSE NULL END
+         AS h_adj
+FROM tot t CROSS JOIN tie"""
+
+
 def q_mwu(sf_dir: str):
     """Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric sibling
     of ab_test over the same src0/src1 doc lengths: ×2 average ranks
@@ -11191,6 +11245,7 @@ def build_oracles() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "anova": _sql_anova(),
         "mwu": _SQL_MWU,
+        "kruskal": _sql_kruskal(),
         "cusum": _SQL_CUSUM,
         "covered_time": _SQL_COVERED_TIME,
         "autocorr": _SQL_AUTOCORR,
@@ -12146,6 +12201,7 @@ def build_queries() -> dict:
         "ab_test": q_ab_test,
         "anova": q_anova,
         "mwu": q_mwu,
+        "kruskal": q_kruskal,
         "cusum": q_cusum,
         "covered_time": q_covered_time,
         "autocorr": q_autocorr,

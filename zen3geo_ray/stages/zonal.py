@@ -830,6 +830,95 @@ def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b,
     })
 
 
+def kruskal_wallis(ds, group_col: str, value_col: str,
+                   groups: list[str], *, n_buckets: int = 16):
+    """KRUSKAL-WALLIS H test of an integer column across ``groups``
+    (the k-group nonparametric ANOVA — mann_whitney_u's k-group
+    sibling): ranks never materialize per row — ×2 average ranks come
+    from the pooled value histogram's cumulative counts, per-group
+    ×2 rank sums R2_i and sizes n_i are exact ints, and with
+    x_i = R2_i − n_i·(N+1):
+
+        H    = 3·Σ_i x_i²/n_i / (N·(N+1))
+        H_c  = H / (1 − Σ_t (t³−t) / (N³−N))    (tie correction)
+
+    The float finale sums the per-group terms float(x)·float(x)/n in
+    the FIXED ``groups`` order (left-assoc), mirroring the unrolled
+    SQL term for term — the oneway_anova discipline.  ``groups`` must
+    be the closed label set (rows with other labels are ignored).
+    Output one row (k, n, t3t, h, h_adj); NULL when N < 2 or every
+    value is tied."""
+    import math
+
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    gset = list(groups)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for name in gset:
+            m = np.array([x == name for x in g])
+            vv = v[m]
+            u, c = np.unique(vv, return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    cols = {}
+    for name in gset:
+        cols[name] = (piv[name].to_numpy().astype(np.int64)
+                      if name in piv else np.zeros(len(piv), np.int64))
+    ct = np.zeros(len(piv), np.int64)
+    for name in gset:
+        ct += cols[name]
+    n = int(ct.sum())
+    cum = np.concatenate([[0], np.cumsum(ct)[:-1]])
+    r2 = 2 * cum + ct + 1           # x2 pooled average rank per value
+    t3t = int(sum(int(t) ** 3 - int(t) for t in ct.tolist()))
+    k = len(gset)
+    h = None
+    h_adj = None
+    if n >= 2:
+        hsum = 0.0
+        for name in gset:              # FIXED order — mirrors the SQL
+            c = cols[name]
+            ni = int(c.sum())
+            if ni == 0:
+                continue
+            rr2 = int(sum(int(a) * int(b)
+                          for a, b in zip(c.tolist(), r2.tolist())))
+            x = rr2 - ni * (n + 1)
+            hsum += float(x) * float(x) / float(ni)
+        h = 3.0 * hsum / (float(n) * float(n + 1))
+        den = 1.0 - float(t3t) / (float(n) * float(n) * float(n)
+                                  - float(n))
+        if den > 0.0:
+            h_adj = h / den
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "t3t": pa.array([t3t], pa.int64()),
+        "h": pa.array([h], pa.float64()),
+        "h_adj": pa.array([h_adj], pa.float64()),
+    })
+
+
 def ks_distance(ds, group_col: str, value_col: str, group_a, group_b,
                 *, n_buckets: int = 16):
     """Two-sample Kolmogorov–Smirnov distance between two groups of an
