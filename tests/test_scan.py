@@ -118,3 +118,56 @@ def test_pack_span_index_invariants(ray_session):
         nt = g["n_tok"].to_numpy()
         assert off[0] == 0
         assert np.array_equal(off[1:], (off + nt)[:-1])
+
+
+def test_quantile_normalize_golden(ray_session):
+    """Two groups of different sizes map onto the pooled order: the
+    mapped distribution is identical across groups (the defining
+    property), ranks are exact floor-division picks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scan import quantile_normalize
+
+    # group a: values 10,20,30,40 (uids 0..3); group b: 5,15 (uids 4,5)
+    df = pd.DataFrame({
+        "uid": np.arange(6, dtype=np.int64),
+        "g": ["a"] * 4 + ["b"] * 2,
+        "v": np.array([10, 20, 30, 40, 5, 15], dtype=np.int64)})
+    out = quantile_normalize(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+        key_col="g", value_col="v", uid_col="uid",
+        n_buckets=2).to_pandas().sort_values("uid").reset_index(drop=True)
+    # pooled order by (v, uid): 5,10,15,20,30,40 -> G[1..6]
+    G = {1: 5, 2: 10, 3: 15, 4: 20, 5: 30, 6: 40}
+    # group a (n=4): r=1..4 -> (r*6)//4 = 1,3,4,6
+    # group b (n=2): r=1,2 -> (r*6)//2 = 3,6
+    want_rank = {0: 1, 1: 3, 2: 4, 3: 6, 4: 3, 5: 6}
+    for r in out.itertuples():
+        assert int(r.g_rank) == want_rank[int(r.uid)]
+        assert int(r.q_value) == G[int(r.g_rank)]
+    # both groups' max maps to the same global max value
+    assert int(out.loc[3, "q_value"]) == int(out.loc[5, "q_value"]) == 40
+
+
+def test_quantile_normalize_identity_single_group(ray_session):
+    """With one group the mapping is the identity on values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scan import quantile_normalize
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "uid": np.arange(50, dtype=np.int64),
+        "g": ["x"] * 50,
+        "v": rng.integers(0, 20, 50).astype(np.int64)})
+    out = quantile_normalize(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+        key_col="g", value_col="v", uid_col="uid",
+        n_buckets=2).to_pandas()
+    assert (out["q_value"].to_numpy() == out["v"].to_numpy()).all()

@@ -4600,6 +4600,39 @@ SELECT k, n, ssb, sst - ssb AS ssw,
 FROM fx"""
 
 
+def q_qnorm(sf_dir: str):
+    """QUANTILE NORMALIZATION of per-source doc lengths onto the
+    global length distribution (the cross-source score calibration):
+    within-source ROW_NUMBER r of n_s maps to the pooled value at
+    global rank (r*N)//n_s — exact integer rank arithmetic, one
+    bucketed join on the computed rank
+    (stages/scan.py:quantile_normalize)."""
+    from ..stages.scan import quantile_normalize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return quantile_normalize(docs, key_col="source",
+                              value_col="n_chars", uid_col="doc_id")
+
+
+def _sql_qnorm() -> str:
+    return """
+WITH s AS (SELECT doc_id, source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS r
+           FROM documents),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+       FROM documents GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+g AS (SELECT n_chars AS gv,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+      FROM documents)
+SELECT s.doc_id, s.source, s.n_chars,
+       CAST((s.r * nn.n) // ns.ns AS BIGINT) AS g_rank,
+       g.gv AS q_value
+FROM s JOIN ns USING (source) CROSS JOIN nn
+JOIN g ON g.gr = (s.r * nn.n) // ns.ns"""
+
+
 def q_kruskal(sf_dir: str):
     """Kruskal-Wallis H across the five order priorities on FLOOR
     dollars — the k-group nonparametric companion of anova/mwu: ×2
@@ -11246,6 +11279,7 @@ def build_oracles() -> dict[str, str]:
         "anova": _sql_anova(),
         "mwu": _SQL_MWU,
         "kruskal": _sql_kruskal(),
+        "qnorm": _sql_qnorm(),
         "cusum": _SQL_CUSUM,
         "covered_time": _SQL_COVERED_TIME,
         "autocorr": _SQL_AUTOCORR,
@@ -12202,6 +12236,7 @@ def build_queries() -> dict:
         "anova": q_anova,
         "mwu": q_mwu,
         "kruskal": q_kruskal,
+        "qnorm": q_qnorm,
         "cusum": q_cusum,
         "covered_time": q_covered_time,
         "autocorr": q_autocorr,

@@ -922,3 +922,63 @@ def keyed_rolling(ds, key_col: str, order_col: str, value_col: str, n: int,
 
     return sorted_ds.map_batches(add_rolling, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def quantile_normalize(ds, *, key_col: str, value_col: str,
+                       uid_col: str, n_buckets: int = 16):
+    """QUANTILE NORMALIZATION of a per-group integer score onto the
+    GLOBAL distribution (the cross-source score-calibration step): a
+    row with within-group ROW_NUMBER r of n_g rows (ordered by
+    (value, uid) — the exact total order) maps to the global value at
+    rank (r·N) // n_g of the pooled (value, uid) order.  All integer:
+    the rank arithmetic is one floor-division, the mapped value an
+    exact pick.
+
+    Plan: two keyed_window passes (per-group and constant-key global
+    ROW_NUMBER — each one range sort + a bounded block-summary walk),
+    group sizes broadcast (group-domain-bounded), then ONE bucketed
+    join on the computed global rank.  Returns (uid, key, value,
+    g_rank, q_value)."""
+    import pandas as pd
+
+    from .hashjoin import bucketed_join
+
+    per = keyed_window(ds, key_col, value_col, uid_col)
+    sizes = per.map_batches(
+        lambda b: pa.Table.from_pandas(pd.DataFrame(
+            {key_col: b.column(key_col).to_pandas()})
+            .groupby(key_col, as_index=False).size()
+            .rename(columns={"size": "_n"}), preserve_index=False)
+        .replace_schema_metadata(None),
+        batch_format="pyarrow").to_pandas() \
+        .groupby(key_col, as_index=False)["_n"].sum()
+    n_of = {k: int(v) for k, v in zip(sizes[key_col], sizes["_n"])}
+    big_n = int(sizes["_n"].sum())
+
+    def add_idx(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_pandas()
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = k.map(n_of).to_numpy().astype(np.int64)
+        return pa.table({
+            uid_col: b.column(uid_col),
+            key_col: b.column(key_col),
+            value_col: b.column(value_col),
+            "g_rank": pa.array((rn * big_n) // ns)})
+
+    left = per.map_batches(add_idx, batch_format="pyarrow")
+
+    glob = keyed_window(
+        ds.map_batches(
+            lambda b: pa.table({
+                "_one": pa.array(np.zeros(len(b), np.int64)),
+                value_col: b.column(value_col),
+                uid_col: b.column(uid_col)}),
+            batch_format="pyarrow"),
+        "_one", value_col, uid_col)
+    right = glob.map_batches(
+        lambda b: pa.table({
+            "g_rank": b.column("rn"),
+            "q_value": b.column(value_col)}),
+        batch_format="pyarrow")
+
+    return bucketed_join(left, right, ["g_rank"], n_buckets=n_buckets)
