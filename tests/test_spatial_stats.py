@@ -752,3 +752,43 @@ def test_haar_energy_parseval(ray_session):
               for r in out.itertuples())
     lhs += int(v.sum()) ** 2 / 2 ** 4
     assert lhs == float((v * v).sum())
+
+
+def test_clark_evans_goldens(ray_session):
+    import math
+
+    from zen3geo_ray.stages.spatial_stats import clark_evans
+
+    # occupied cells 0 and 1 are rook-adjacent (dist 1); cell 27 has
+    # no occupied neighbor within 2 rings -> counted far, excluded
+    out = clark_evans(_cells_ds([0, 0, 1, 27]), res=RES,
+                      max_dist=2).to_pandas().iloc[0]
+    assert (int(out.n_occ), int(out.n_found), int(out.n_far)) == (3, 2, 1)
+    assert int(out.sum_d) == 2
+    assert out.r_ce == (2.0 / 2.0) / (0.5 * math.sqrt(32.0 / 3.0))
+
+    # diagonal pair at Chebyshev distance 2: (0,0) and (2,2) = cells
+    # 0 and 18
+    o2 = clark_evans(_cells_ds([0, 18]), res=RES,
+                     max_dist=3).to_pandas().iloc[0]
+    assert int(o2.sum_d) == 4 and int(o2.n_found) == 2
+
+
+def test_ruggedness_index_goldens(ray_session):
+    import math
+
+    from zen3geo_ray.stages.spatial_stats import ruggedness_index
+
+    # cells 0 (h=3) and 1 (h=1) are adjacent; 27 (h=2) is isolated
+    out = ruggedness_index(_cells_ds([0, 0, 0, 1, 27, 27]),
+                           res=RES).to_pandas().set_index("cell")
+    assert (int(out.loc[0, "n_nbrs"]), int(out.loc[0, "tri2"])) == (1, 4)
+    assert out.loc[0, "tri"] == 2.0
+    assert (int(out.loc[1, "n_nbrs"]), int(out.loc[1, "tri2"])) == (1, 4)
+    assert (int(out.loc[27, "n_nbrs"]), int(out.loc[27, "tri2"])) == (0, 0)
+    assert out.loc[27, "tri"] == 0.0
+    # diagonal neighbors count too: 9=(1,1) borders 0
+    o2 = ruggedness_index(_cells_ds([0, 9, 9, 9]),
+                          res=RES).to_pandas().set_index("cell")
+    assert int(o2.loc[0, "tri2"]) == 4 and int(o2.loc[0, "n_nbrs"]) == 1
+    assert o2.loc[9, "tri"] == math.sqrt(4.0)

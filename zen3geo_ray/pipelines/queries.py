@@ -371,6 +371,54 @@ SELECT CAST({m} AS BIGINT) AS m_cells, CAST(n AS BIGINT) AS n_points,
 FROM agg"""
 
 
+CE_MAX_DIST = 3
+
+
+def q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbor index of the occupied-cell pattern
+    (the NN-distance companion of dispersion's quadrat VMR): per-cell
+    Chebyshev ring distance to the nearest other occupied cell
+    (bounded search), R = mean_nn / (0.5·sqrt(M/n)) the one float
+    shape (stages/spatial_stats.py:clark_evans)."""
+    from ..stages.spatial_stats import clark_evans
+
+    return clark_evans(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL,
+                       max_dist=CE_MAX_DIST)
+
+
+def _sql_clark_evans() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    m = nc * nr
+    d = CE_MAX_DIST
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dy in range(-d, d + 1)
+                     for dx in range(-d, d + 1)
+                     if (dx, dy) != (0, 0))
+    return f"""
+{_sql_counts_cte()},
+occ AS MATERIALIZED (SELECT cell, cell % {nc} AS xx, cell // {nc} AS yy
+                     FROM counts),
+offs(dx, dy) AS (VALUES {offs}),
+nn AS (SELECT a.cell,
+              CAST(MIN(GREATEST(ABS(d.dx), ABS(d.dy))) AS BIGINT)
+                AS dist
+       FROM occ a CROSS JOIN offs d
+       JOIN occ b ON b.cell = a.cell + d.dy * {nc} + d.dx
+       WHERE a.xx + d.dx BETWEEN 0 AND {nc - 1}
+         AND a.yy + d.dy BETWEEN 0 AND {nr - 1}
+       GROUP BY 1),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+               CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_d FROM nn),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ)
+SELECT tot.n AS n_occ, agg.n_found, tot.n - agg.n_found AS n_far,
+       agg.sum_d, CAST({m} AS BIGINT) AS m_cells,
+       CASE WHEN agg.n_found > 0 AND tot.n > 0 THEN
+         (CAST(agg.sum_d AS DOUBLE) / CAST(agg.n_found AS DOUBLE))
+         / (0.5 * sqrt({m}.0 / CAST(tot.n AS DOUBLE)))
+       ELSE NULL END AS r_ce
+FROM tot CROSS JOIN agg"""
+
+
 def q_join_counts(sf_dir: str):
     """Binary join-count statistics (Cliff-Ord BB/WW/BW) over the
     occupancy histogram: marker = count strictly above the
@@ -11024,6 +11072,39 @@ FROM nn n LEFT JOIN flow f USING (cell)
 JOIN a{FLOW_ROUNDS} a USING (cell)"""
 
 
+def q_tri(sf_dir: str):
+    """Terrain ruggedness index over the occupancy DEM (Riley 1999):
+    per-cell Σ(h−h_nbr)² over occupied 8-neighbors exact int64, tri =
+    sqrt the one float (stages/spatial_stats.py:ruggedness_index)."""
+    from ..stages.spatial_stats import ruggedness_index
+
+    return ruggedness_index(_geocoded(sf_dir, RES_ZONAL), res=RES_ZONAL)
+
+
+def _sql_tri() -> str:
+    from ..stages.spatial_stats import D8_DIRS
+
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    dirs = ", ".join(f"({d}, {dx}, {dy})" for d, dx, dy in D8_DIRS)
+    return f"""
+{_sql_counts_cte()},
+nn AS MATERIALIZED (SELECT cell, x AS h, cell % {nc} AS xx,
+    cell // {nc} AS yy FROM counts),
+dirs(dir, dx, dy) AS (VALUES {dirs}),
+agg AS (SELECT a.cell,
+               CAST(COUNT(b.cell) AS BIGINT) AS n_nbrs,
+               CAST(COALESCE(SUM((a.h - b.h) * (a.h - b.h)), 0)
+                    AS BIGINT) AS tri2
+        FROM nn a CROSS JOIN dirs d
+        LEFT JOIN nn b ON b.cell = a.cell + d.dy * {nc} + d.dx
+          AND a.xx + d.dx BETWEEN 0 AND {nc - 1}
+          AND a.yy + d.dy BETWEEN 0 AND {nr - 1}
+        GROUP BY 1)
+SELECT nn.cell, nn.h, agg.n_nbrs, agg.tri2,
+       sqrt(CAST(agg.tri2 AS DOUBLE)) AS tri
+FROM nn JOIN agg USING (cell)"""
+
+
 WSHED_ROUNDS = 6
 
 
@@ -11194,6 +11275,8 @@ def build_oracles() -> dict[str, str]:
         "hotspot_docs": _sql_hotspot_docs(),
         "ripley": _sql_ripley(),
         "dispersion": _sql_dispersion(),
+        "clark_evans": _sql_clark_evans(),
+        "tri": _sql_tri(),
         "join_counts": _sql_join_counts(),
         "eb_rates": _sql_eb_rates(),
         "mk_trend": _sql_mk_trend(),
@@ -12142,6 +12225,8 @@ def build_queries() -> dict:
         "hotspot_docs": q_hotspot_docs,
         "ripley": q_ripley,
         "dispersion": q_dispersion,
+        "clark_evans": q_clark_evans,
+        "tri": q_tri,
         "join_counts": q_join_counts,
         "eb_rates": q_eb_rates,
         "mk_trend": q_mk_trend,

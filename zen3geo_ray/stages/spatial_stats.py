@@ -600,6 +600,69 @@ def proximity(ds, *, res: int, max_dist: int = 3,
     })
 
 
+def clark_evans(ds, *, res: int, max_dist: int = 3,
+                cell_col: str = "cell", n_buckets: int = 8) -> pa.Table:
+    """CLARK-EVANS nearest-neighbor index (Clark & Evans 1954) of the
+    OCCUPIED-cell pattern under the grid (Chebyshev) metric: for each
+    occupied cell, the ring distance to its nearest other occupied
+    cell (within ``max_dist`` rings — farther cells are counted in
+    ``n_far`` but excluded from the mean, the bounded-search
+    contract); then
+
+        R = mean_nn / (0.5 · sqrt(M / n))
+
+    with M the full grid size and n the occupied count.  R < 1 =
+    clustered, ~1 = CSR, > 1 = dispersed (toward the max 2.149).
+    sum_d / n_found are exact ints; the one float shape is
+    (sum_d / n_found) / (0.5 · sqrt(M / n)), mirrored term for term.
+    Output one row (n_occ, n_found, n_far, sum_d, m_cells, r_ce)."""
+    import math
+
+    cells_, _x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    m = ncols * nrows
+    n = len(cells_)
+    if n == 0:
+        return pa.table({
+            "n_occ": pa.array([0], pa.int64()),
+            "n_found": pa.array([0], pa.int64()),
+            "n_far": pa.array([0], pa.int64()),
+            "sum_d": pa.array([0], pa.int64()),
+            "m_cells": pa.array([m], pa.int64()),
+            "r_ce": pa.array([None], pa.float64())})
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    best = np.full(n, -1, dtype=np.int64)
+    for h in range(1, max_dist + 1):
+        todo = best < 0
+        if not todo.any():
+            break
+        for dy in range(-h, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                ok = todo & ((nx + dx >= 0) & (nx + dx < ncols)
+                             & (ny + dy >= 0) & (ny + dy < nrows))
+                t = cells_ + dy * ncols + dx
+                found, _pos = _probe(cells_, np.where(ok, t, cells_[0]))
+                hit = ok & found
+                best[hit & (best < 0)] = h
+    found_m = best >= 0
+    n_found = int(found_m.sum())
+    sum_d = int(best[found_m].sum())
+    r_ce = None
+    if n_found > 0 and n > 0:
+        r_ce = ((float(sum_d) / float(n_found))
+                / (0.5 * math.sqrt(float(m) / float(n))))
+    return pa.table({
+        "n_occ": pa.array([n], pa.int64()),
+        "n_found": pa.array([n_found], pa.int64()),
+        "n_far": pa.array([n - n_found], pa.int64()),
+        "sum_d": pa.array([sum_d], pa.int64()),
+        "m_cells": pa.array([m], pa.int64()),
+        "r_ce": pa.array([r_ce], pa.float64())})
+
+
 def proximity_label(ds, *, res: int, max_dist: int = 3,
                     cell_col: str = "cell",
                     n_buckets: int = 8) -> pa.Table:
@@ -1268,6 +1331,54 @@ def flow_accumulation(ds, *, res: int, rounds: int = 6,
     return rd.from_arrow(pa.table({
         "cell": pa.array(cells_), "h": pa.array(h),
         "flow_to": pa.array(flow_to), "acc": pa.array(acc)}))
+
+
+def ruggedness_index(ds, *, res: int, cell_col: str = "cell",
+                     n_buckets: int = 8) -> "object":
+    """TERRAIN RUGGEDNESS INDEX (Riley et al. 1999) over the
+    occupancy-histogram DEM: per occupied cell, the square root of the
+    sum of squared height differences to its OCCUPIED 8-neighbors
+    (sparse-DEM convention — missing neighbors contribute nothing;
+    isolated cells get tri = 0 with n_nbrs = 0).
+
+        tri2 = Σ_nbr (h − h_nbr)²   (exact int64)
+        tri  = sqrt(tri2)           (the one float; sqrt is
+                                     correctly-rounded IEEE)
+
+    Same plan as every statistic here: ONE combiner-first cell
+    histogram shuffle, then the grid-bounded probe kernel.  Returns
+    (cell, h, n_nbrs, tri2, tri)."""
+    import math
+
+    import ray.data as rd
+
+    cells_, h = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    n = len(cells_)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "cell": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
+            "n_nbrs": pa.array([], pa.int64()),
+            "tri2": pa.array([], pa.int64()),
+            "tri": pa.array([], pa.float64())}))
+    x = cells_ % ncols
+    y = cells_ // ncols
+    tri2 = np.zeros(n, dtype=np.int64)
+    nnb = np.zeros(n, dtype=np.int64)
+    for _dir, dx, dy in D8_DIRS:
+        tx, ty = x + dx, y + dy
+        inb = (tx >= 0) & (tx < ncols) & (ty >= 0) & (ty < nrows)
+        t = ty * ncols + tx
+        found, pos = _probe(cells_, np.where(inb, t, cells_[0]))
+        found &= inb
+        d = h - h[pos]
+        tri2[found] += d[found] * d[found]
+        nnb[found] += 1
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells_), "h": pa.array(h),
+        "n_nbrs": pa.array(nnb), "tri2": pa.array(tri2),
+        "tri": pa.array([math.sqrt(float(v)) for v in tri2.tolist()],
+                        pa.float64())}))
 
 
 def watershed_label(ds, *, res: int, jump_rounds: int = 6,
