@@ -120,3 +120,65 @@ def test_first_last_nth_rejects_bad_nth(ray_session):
     with pytest.raises(ValueError):
         first_last_nth(rd.from_arrow(t), key_col="k", order_col="o",
                        value_col="v", nth=0)
+
+
+def test_naive_bayes_confusion_separable(ray_session):
+    """Two classes with disjoint vocab: every test doc classifies to
+    its own class -> a perfectly diagonal confusion matrix."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scoring import naive_bayes_confusion
+
+    rows = []
+    for i in range(40):
+        if i % 4 < 2:
+            rows.append((i, "apple banana apple", "fruit"))
+        else:
+            rows.append((i, "iron copper iron zinc", "metal"))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    out = naive_bayes_confusion(
+        rd.from_arrow(t).repartition(3), top_v=16,
+        n_buckets=2).to_pandas()
+    got = {(r.true_source, r.pred_source): int(r.n)
+           for r in out.itertuples()}
+    assert got == {("fruit", "fruit"): 10, ("metal", "metal"): 10}
+
+
+def test_naive_bayes_tie_breaks_to_smallest_label(ray_session):
+    """A test doc with symmetric evidence (equal counts both classes)
+    lands on the lexicographically smallest class."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scoring import naive_bayes_confusion
+
+    # train (even ids): classes 'a' and 'b' with identical profiles
+    rows = [(0, "x y", "a"), (2, "x y", "b")]
+    # test (odd ids): same text -> identical scores -> tie -> 'a'
+    rows += [(1, "x y", "b")]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    out = naive_bayes_confusion(
+        rd.from_arrow(t), top_v=8, n_buckets=2).to_pandas()
+    assert [(r.true_source, r.pred_source, int(r.n))
+            for r in out.itertuples()] == [("b", "a", 1)]
+
+
+def test_naive_bayes_zero_invocab_doc_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.scoring import naive_bayes_confusion
+
+    rows = [(0, "x x x", "a"), (2, "y y", "b"),
+            (1, "zzz qqq", "a")]       # test doc entirely OOV
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "source": pa.array([r[2] for r in rows])})
+    out = naive_bayes_confusion(
+        rd.from_arrow(t), top_v=8, n_buckets=2).to_pandas()
+    assert len(out) == 0

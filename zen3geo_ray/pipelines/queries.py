@@ -7667,6 +7667,73 @@ SELECT doc_id, n_tokens, freq_sum, n_oov,
 FROM d"""
 
 
+NB_V, NB_SCALE = 512, 65536
+
+
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes source classifier as dataflow (the
+    fastText-style domain-classifier leg): train on even doc_ids over
+    the top-512 train vocabulary, classify odd docs with exact
+    quantized-ln integer scores (smallest-label argmax ties), return
+    the confusion matrix
+    (stages/scoring.py:naive_bayes_confusion)."""
+    from ..stages.scoring import naive_bayes_confusion
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return naive_bayes_confusion(docs, top_v=NB_V, scale=NB_SCALE)
+
+
+def _sql_naive_bayes() -> str:
+    v, sc = NB_V, NB_SCALE
+    return rf"""
+WITH tok_tr AS (SELECT doc_id, source,
+                       unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents WHERE doc_id % 2 = 0),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok_tr GROUP BY w),
+vocab AS MATERIALIZED (SELECT w FROM (
+          SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+          FROM cnt) WHERE rn <= {v}),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+cwc AS MATERIALIZED (
+  SELECT t.source AS c, t.w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok_tr t JOIN vocab USING (w) GROUP BY 1, 2),
+tokc AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tok FROM cwc GROUP BY 1),
+classes AS (SELECT DISTINCT source AS c FROM documents
+            WHERE doc_id % 2 = 0),
+nd AS (SELECT source AS c, CAST(COUNT(*) AS BIGINT) AS ndocs
+       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 2 = 0),
+prior AS (SELECT nd.c,
+                 CAST(FLOOR((ln(nd.ndocs) - ln(ndt.n)) * {sc}.0)
+                      AS BIGINT) AS q
+          FROM nd CROSS JOIN ndt),
+dt AS MATERIALIZED (
+  SELECT t.doc_id, t.w, CAST(COUNT(*) AS BIGINT) AS m
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        FROM documents WHERE doc_id % 2 = 1) t
+  JOIN vocab USING (w) GROUP BY 1, 2),
+lk AS (SELECT dt.doc_id, cl.c,
+              CAST(SUM(dt.m * CAST(FLOOR((ln(COALESCE(cwc.cnt, 0) + 1)
+                   - ln(tokc.tok + vv.v)) * {sc}.0) AS BIGINT))
+                   AS BIGINT) AS s
+       FROM dt CROSS JOIN classes cl
+       LEFT JOIN cwc ON cwc.c = cl.c AND cwc.w = dt.w
+       JOIN tokc ON tokc.c = cl.c
+       CROSS JOIN vv
+       GROUP BY 1, 2),
+scv AS (SELECT l.doc_id, l.c, l.s + p.q AS score
+        FROM lk l JOIN prior p ON p.c = l.c),
+pred AS (SELECT doc_id, c AS pred_source FROM (
+  SELECT doc_id, c, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, c) AS rn
+  FROM scv) WHERE rn = 1)
+SELECT d.source AS true_source, pr.pred_source,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred pr JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
 PPL_SCALE = 1024
 
 
@@ -11993,6 +12060,7 @@ GROUP BY event_type, u - o.off
         "boilerplate": _sql_boilerplate(),
         "phrase": _sql_phrase(),
         "unigram_lm": _sql_unigram_lm(),
+        "naive_bayes": _sql_naive_bayes(),
         "ppl_buckets": _sql_ppl_buckets(),
         "tiling": _sql_tiling(),
         "bm25": _sql_bm25(),
@@ -12402,6 +12470,7 @@ def build_queries() -> dict:
         "boilerplate": q_boilerplate,
         "phrase": q_phrase,
         "unigram_lm": q_unigram_lm,
+        "naive_bayes": q_naive_bayes,
         "ppl_buckets": q_ppl_buckets,
         "tiling": q_tiling,
         "bm25": q_bm25,

@@ -501,3 +501,178 @@ def ccnet_buckets(docs, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def naive_bayes_confusion(docs, *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          label_col: str = "source",
+                          top_v: int = 512, scale: int = 65536,
+                          train_parity: int = 0, n_buckets: int = 64):
+    """Multinomial NAIVE BAYES source classifier as pure dataflow —
+    the fastText-style quality/domain-classifier leg of a curation
+    pipeline, ORACLE-EXACT end to end: train on the ``train_parity``
+    half of ids, classify the other half, return the confusion
+    matrix.
+
+    The feature set is the ``top_v`` most frequent TRAIN tokens
+    (count desc, token asc — the unigram_lm vocabulary rule);
+    out-of-vocabulary tokens are skipped (fixed-feature-set
+    convention).  All scores are exact integers:
+
+        q_like(w,c) = floor((ln(cnt_wc + 1) − ln(tok_c + V))·scale)
+        q_prior(c)  = floor((ln(nd_c) − ln(nd))·scale)
+        score(d,c)  = q_prior(c) + Σ_w m_dw·q_like(w,c)
+
+    (add-one smoothing over the V-token vocabulary; every ln argument
+    an exact integer — the kl discipline).  argmax ties break to the
+    SMALLEST class label.  Test docs with zero in-vocab tokens are
+    not classified (they emit no row).
+
+    100-TB shape: the vocabulary and the V×K q_like matrix broadcast
+    once via ray.put (V·K int64 — feature-capped, never corpus-
+    bound); class counts shuffle vocabulary-bounded rows; scoring is
+    one stateless map pass; the confusion reduce is classes².
+    Returns (true_{label_col}, pred_{label_col}, n)."""
+    import math
+
+    import pandas as pd
+    import ray as _ray
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    train = docs.map_batches(half(train_parity),
+                             batch_format="pyarrow").materialize()
+    test = docs.map_batches(half(1 - train_parity),
+                            batch_format="pyarrow")
+
+    # ---- vocabulary: pooled train counts, top_v ---------------------
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokens_flat(b, text_col)
+        w, c = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = bucketed_groupby(
+        train.map_batches(count_partial, batch_format="pyarrow"), ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["c"].sum(),
+        n_buckets=n_buckets)
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c", "w"], ascending=[False, True],
+                             kind="mergesort").head(top_v)
+
+    vocab = top(counts.map_batches(
+        lambda b: pa.Table.from_pandas(top(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow").to_pandas())
+    ws = np.sort(vocab["w"].to_numpy())
+    V = len(ws)
+
+    # ---- per-class stats over the train half ------------------------
+    def cls_partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(b, text_col)
+        lab = b.column(label_col).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        p = np.searchsorted(ws, toks)
+        p[p == V] = 0 if V else 0
+        hit = (ws[p] == toks) if V else np.zeros(len(toks), bool)
+        df = pd.DataFrame({"c": lab[doc_of][hit], "w": toks[hit]})
+        g = df.groupby(["c", "w"], sort=False, as_index=False).size()
+        return pa.table({
+            "c": pa.array(g["c"].to_numpy(), pa.string()),
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "cnt": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    cwc = bucketed_groupby(
+        train.map_batches(cls_partial, batch_format="pyarrow"),
+        ["c", "w"],
+        lambda g: g.groupby(["c", "w"], as_index=False)["cnt"].sum(),
+        n_buckets=n_buckets).to_pandas()   # <= V x K rows
+
+    nd = train.map_batches(
+        lambda b: pa.Table.from_pandas(pd.DataFrame(
+            {label_col: b.column(label_col).to_pandas()})
+            .groupby(label_col, as_index=False).size()
+            .rename(columns={"size": "_n"}), preserve_index=False)
+        .replace_schema_metadata(None),
+        batch_format="pyarrow").to_pandas() \
+        .groupby(label_col, as_index=False)["_n"].sum()
+    classes = sorted(nd[label_col].tolist())
+    K = len(classes)
+    nd_of = {c: int(v) for c, v in zip(nd[label_col], nd["_n"])}
+    n_docs = sum(nd_of.values())
+    cix = {c: i for i, c in enumerate(classes)}
+
+    cnt_m = np.zeros((max(V, 1), K), np.int64)
+    if len(cwc):
+        wi = np.searchsorted(ws, cwc["w"].to_numpy())
+        ci = np.array([cix[c] for c in cwc["c"]], np.int64)
+        cnt_m[wi, ci] = cwc["cnt"].to_numpy().astype(np.int64)
+    tok_c = cnt_m.sum(axis=0).astype(np.int64)
+
+    fs = float(scale)
+    lut_args = np.unique(cnt_m + 1)
+    lut = {int(v): math.log(int(v)) for v in lut_args}
+    Q = np.empty((max(V, 1), K), np.int64)
+    for j in range(K):
+        ln_den = math.log(int(tok_c[j]) + V)
+        col = np.array([lut[int(v)] for v in cnt_m[:, j] + 1])
+        Q[:, j] = np.floor((col - ln_den) * fs).astype(np.int64)
+    prior = np.array(
+        [math.floor((math.log(nd_of[c]) - math.log(n_docs)) * fs)
+         for c in classes], np.int64)
+
+    ref = _ray.put((ws, Q, prior)) if _ray.is_initialized() else \
+        (ws, Q, prior)
+
+    classes_arr = np.array(classes)
+
+    def classify(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        wsb, Qb, pb = _ref if isinstance(_ref, tuple) else _get_blob(_ref)
+        flat, doc_of, ndocs = tokens_flat(b, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        lab = b.column(label_col).to_numpy(zero_copy_only=False)
+        p = np.searchsorted(wsb, toks)
+        p[p == len(wsb)] = 0
+        hit = (wsb[p] == toks) if len(wsb) else np.zeros(len(toks), bool)
+        d_hit = doc_of[hit]
+        q_rows = Qb[p[hit]]
+        scores = np.zeros((ndocs, Qb.shape[1]), np.int64)
+        if len(d_hit):
+            starts = np.flatnonzero(
+                np.concatenate([[True], d_hit[1:] != d_hit[:-1]]))
+            scores[d_hit[starts]] = np.add.reduceat(q_rows, starts,
+                                                    axis=0)
+        has = np.zeros(ndocs, bool)
+        has[d_hit] = True
+        scores = scores + pb[None, :]
+        pred = np.argmax(scores, axis=1)   # first max = smallest label
+        df = pd.DataFrame({
+            "true_lab": lab[has],
+            "pred_lab": classes_arr[pred[has]]})
+        g = df.groupby(["true_lab", "pred_lab"], sort=False,
+                       as_index=False).size()
+        return pa.table({
+            f"true_{label_col}": pa.array(g["true_lab"].to_numpy(),
+                                          pa.string()),
+            f"pred_{label_col}": pa.array(g["pred_lab"].to_numpy(),
+                                          pa.string()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    parts = test.map_batches(classify, batch_format="pyarrow")
+    tc, pc = f"true_{label_col}", f"pred_{label_col}"
+    return bucketed_groupby(
+        parts, [tc, pc],
+        lambda g: g.groupby([tc, pc], as_index=False)["n"].sum(),
+        n_buckets=min(n_buckets, 8))
