@@ -436,3 +436,37 @@ def test_kaplan_meier_last_risk_set_dies(ray_session):
     assert out.n_risk.tolist() == [2, 1]
     t1 = math.floor((math.log(1) - math.log(2)) * float(KM_SCALE))
     assert out.ls_q.tolist() == [t1, t1 + KM_ZERO_Q]
+
+
+def test_funnel_depth_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import funnel_depth
+
+    # u1: view(1) click(2) purchase(3)        -> depth 3
+    # u2: view(1) purchase(2) click(3)        -> depth 2 (purchase
+    #     precedes the matched click -> not counted)
+    # u3: click(1) view(2)                    -> depth 1 (click before
+    #     the first view doesn't count)
+    # u4: purchase only                       -> no view, emits nothing
+    # u5: view and click at the SAME ts, click's event_id greater ->
+    #     strictly-after by the (ts, id) total order -> depth 2
+    rows = [
+        (1, 1, 10, "view"), (1, 2, 11, "click"), (1, 3, 12, "purchase"),
+        (2, 1, 20, "view"), (2, 2, 21, "purchase"), (2, 3, 22, "click"),
+        (3, 1, 30, "click"), (3, 2, 31, "view"),
+        (4, 1, 40, "purchase"),
+        (5, 7, 50, "view"), (5, 7, 51, "click"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "tu": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "typ": pa.array([r[3] for r in rows]),
+    })
+    out = funnel_depth(rd.from_arrow(t).repartition(3), key_col="u",
+                       ts_col="tu", id_col="eid", type_col="typ",
+                       steps=["view", "click", "purchase"],
+                       n_buckets=2).to_pandas()
+    got = {int(r.depth): int(r.n_users) for r in out.itertuples()}
+    assert got == {1: 1, 2: 2, 3: 1}

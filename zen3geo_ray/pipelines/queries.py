@@ -713,6 +713,66 @@ SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
 FROM nx WHERE cell_to IS NOT NULL GROUP BY 1, 2"""
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_depth(sf_dir: str):
+    """Multi-step ordered funnel view -> click -> purchase: per user,
+    greedy earliest matching over the exact (ts, event_id) total
+    order (first-touch, no horizon); output the depth histogram
+    (stages/sequence.py:funnel_depth)."""
+    from ..stages.sequence import funnel_depth
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type")}),
+        batch_format="pyarrow")
+    return funnel_depth(ev, key_col="user_id", ts_col="tu",
+                        id_col="event_id", type_col="event_type",
+                        steps=list(FUNNEL_STEPS))
+
+
+def _sql_funnel_depth() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events),
+f1 AS (SELECT user_id, tu, event_id FROM (
+  SELECT user_id, tu, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY tu, event_id) AS rn
+  FROM e WHERE event_type = '{s1}') WHERE rn = 1),
+f2 AS (SELECT user_id, tu, event_id FROM (
+  SELECT e.user_id, e.tu, e.event_id,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.tu, e.event_id) AS rn
+  FROM e JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = '{s2}'
+    AND (e.tu > f1.tu OR (e.tu = f1.tu AND e.event_id > f1.event_id)))
+  WHERE rn = 1),
+f3 AS (SELECT user_id FROM (
+  SELECT e.user_id,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.tu, e.event_id) AS rn
+  FROM e JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = '{s3}'
+    AND (e.tu > f2.tu OR (e.tu = f2.tu AND e.event_id > f2.event_id)))
+  WHERE rn = 1),
+d AS (SELECT f1.user_id,
+             CASE WHEN f3.user_id IS NOT NULL THEN 3
+                  WHEN f2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS depth
+      FROM f1 LEFT JOIN f2 ON f2.user_id = f1.user_id
+              LEFT JOIN f3 ON f3.user_id = f1.user_id)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1"""
+
+
 def q_reciprocity(sf_dir: str):
     """Weighted + binary dyad RECIPROCITY of the origin-destination
     flow graph (Squartini 2013): w_recip = Σ min(w_ij, w_ji) over
@@ -11390,6 +11450,7 @@ def build_oracles() -> dict[str, str]:
         "wavelet": _sql_wavelet(),
         "od_matrix": _sql_od_matrix(),
         "reciprocity": _sql_reciprocity(),
+        "funnel_depth": _sql_funnel_depth(),
         "survival": _sql_survival(),
         "hexbin": _sql_hexbin(),
         "knox": _sql_knox(),
@@ -12342,6 +12403,7 @@ def build_queries() -> dict:
         "wavelet": q_wavelet,
         "od_matrix": q_od_matrix,
         "reciprocity": q_reciprocity,
+        "funnel_depth": q_funnel_depth,
         "survival": q_survival,
         "hexbin": q_hexbin,
         "knox": q_knox,

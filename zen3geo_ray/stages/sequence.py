@@ -790,3 +790,71 @@ def kaplan_meier(ds, *, key_col: str, ts_col: str,
         "ls_q": pa.array(ls_q[keep].astype(np.int64)),
         "log_surv": pa.array(
             [float(int(v)) / fs for v in ls_q[keep]], pa.float64())})
+
+
+def funnel_depth(ds, *, key_col: str, ts_col: str, id_col: str,
+                 type_col: str, steps: list, n_buckets: int = 64):
+    """Multi-step ORDERED funnel (the k-step product-analytics
+    staple): per key, greedy earliest matching over the exact
+    (ts, id) total order — step 1 is the key's first ``steps[0]``
+    event, step s the first ``steps[s-1]`` event strictly AFTER the
+    matched step s−1 (first-touch semantics, no horizon).  Keys with
+    no step-1 event emit nothing.  Returns the funnel histogram
+    (depth, n_users), depth in 1..len(steps).
+
+    One bucketed key shuffle; inside a bucket every step resolves for
+    ALL keys at once — positions of step-s rows are searchsorted
+    against the previous step's matched positions, a same-key check
+    replaces per-key slicing (the funnel_conversion discipline)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        types = g[type_col].to_numpy()
+        n = len(g)
+        # step 1: first steps[0] row per key
+        m0 = types == steps[0]
+        pos0 = np.flatnonzero(m0)
+        if len(pos0) == 0:
+            return pd.DataFrame({"depth": np.array([], np.int64),
+                                 "n_users": np.array([], np.int64)})
+        first = np.ones(len(pos0), dtype=bool)
+        first[1:] = keys[pos0[1:]] != keys[pos0[:-1]]
+        cur_pos = pos0[first]              # one row per funnel entrant
+        cur_key = keys[cur_pos]
+        depth = np.ones(len(cur_pos), np.int64)
+        alive = np.ones(len(cur_pos), dtype=bool)
+        for s in range(1, len(steps)):
+            its = np.flatnonzero(types == steps[s])
+            if len(its) == 0:
+                break
+            cand = np.searchsorted(its, cur_pos, side="right")
+            ok = alive & (cand < len(its))
+            safe = np.minimum(cand, len(its) - 1)
+            nxt = its[safe]
+            ok &= keys[nxt] == cur_key
+            # keys[nxt] is the first steps[s] row at a LATER global
+            # position; same key -> strictly after in the total order
+            depth[ok] += 1
+            cur_pos = np.where(ok, nxt, cur_pos)
+            alive = ok
+            if not alive.any():
+                break
+        df = pd.DataFrame({"depth": depth,
+                           "n_users": np.ones(len(depth), np.int64)})
+        return df.groupby("depth", sort=False, as_index=False).sum()
+
+    parts = bucketed_groupby(ds, [key_col], fold, n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("depth", as_index=False)["n_users"] \
+            .sum()
+        df["depth"] = df["depth"].astype(np.int64)
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    # depth domain is len(steps) rows — one micro-task
+    return parts.repartition(1).map_batches(finalize,
+                                            batch_format="pyarrow")
