@@ -532,3 +532,70 @@ def test_api_session6_surface(ray_session):
         id_col="pid", text_col="nm", block_col="blk",
         max_dist=1, n_buckets=2).to_pandas()
     assert list(zip(ej.id_a, ej.id_b, ej.dist)) == [(1, 2, 1)]
+
+
+def test_api_session6b_surface(ray_session, tmp_path):
+    """Fluent wiring of the second session-6 batch."""
+    st = pa.table({"cell": pa.array([0] * 7, pa.int64()),
+                   "cat": pa.array(list(range(7)), pa.int64())})
+    uc = api.from_arrow(st).uniformity_chi2(n_buckets=2).to_pandas()
+    assert uc.chi2.iloc[0] == 0.0
+
+    hb = pa.table({"cell": pa.array([0], pa.int64()),
+                   "bin": pa.array([5], pa.int64())})
+    he = api.from_arrow(hb).haar_energy(levels=2,
+                                        n_buckets=2).to_pandas()
+    assert he.energy.tolist() == [1, 1]
+
+    ce = api.from_arrow(pa.table({
+        "cell": pa.array([0, 1], pa.int64())})).clark_evans(res=2)
+    assert ce.column("sum_d")[0].as_py() == 2
+
+    tr = api.from_arrow(pa.table({
+        "cell": pa.array([0, 0, 1], pa.int64())})).ruggedness(
+        res=2).to_pandas().set_index("cell")
+    assert int(tr.loc[0, "tri2"]) == 1
+
+    kt = pa.table({"g": pa.array(["x", "x", "y", "y"]),
+                   "v": pa.array([1, 2, 3, 4], pa.int64())})
+    kw = api.from_arrow(kt).kruskal_wallis("g", "v", ["x", "y"])
+    assert kw.column("n")[0].as_py() == 4
+
+    qt = pa.table({"uid": pa.array([0, 1], pa.int64()),
+                   "g": pa.array(["a", "a"]),
+                   "v": pa.array([3, 9], pa.int64())})
+    qn = api.from_arrow(qt).quantile_normalize(
+        key_col="g", value_col="v", uid_col="uid",
+        n_buckets=2).to_pandas()
+    assert sorted(qn.q_value.tolist()) == [3, 9]
+
+    nb = pa.table({"doc_id": pa.array([0, 2, 1], pa.int64()),
+                   "text": pa.array(["x x", "y y", "x x"]),
+                   "source": pa.array(["a", "b", "a"])})
+    cf = api.from_arrow(nb).naive_bayes_confusion(
+        top_v=8, n_buckets=2).to_pandas()
+    assert [(r.true_source, r.pred_source) for r in cf.itertuples()] \
+        == [("a", "a")]
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.9, 0.9], [0.9, 0.8],
+                               [-0.9, -0.9], [-0.8, -0.9]],
+                              pa.list_(pa.float32()))})
+    sil = api.from_arrow(emb).silhouette(k=2, iters=1,
+                                         n_buckets=2).to_pandas()
+    assert (sil.sil > 0.5).all()
+
+    fd = pa.table({"u": pa.array([1, 1], pa.int64()),
+                   "tu": pa.array([1, 2], pa.int64()),
+                   "eid": pa.array([10, 11], pa.int64()),
+                   "typ": pa.array(["view", "click"])})
+    f = api.from_arrow(fd).funnel_depth(
+        key_col="u", ts_col="tu", id_col="eid", type_col="typ",
+        steps=["view", "click"], n_buckets=2).to_pandas()
+    assert [(int(r.depth), int(r.n_users)) for r in f.itertuples()] \
+        == [(2, 1)]
+
+    vd = pa.table({"text": pa.array(["a b a"])})
+    row = api.from_arrow(vd).vocab_drift(str(tmp_path / "vs"))
+    assert row.column("v_new")[0].as_py() == 2

@@ -860,6 +860,76 @@ class Pipe:
                                        text_col=text_col,
                                        block_col=block_col, **kwargs))
 
+    def uniformity_chi2(self, **kwargs) -> "Pipe":
+        """Per-cell k-category chi-square uniformity test over
+        (cell, cat) rows."""
+        from .stages.spatial_stats import uniformity_chi2
+
+        return Pipe(uniformity_chi2(self.ds, **kwargs))
+
+    def haar_energy(self, **kwargs) -> "Pipe":
+        """Per-cell Haar wavelet energy spectrum over (cell, bin)
+        rows."""
+        from .stages.spatial_stats import haar_energy
+
+        return Pipe(haar_energy(self.ds, **kwargs))
+
+    def clark_evans(self, res: int, **kwargs) -> pa.Table:
+        """Clark-Evans nearest-neighbor index over the cell column
+        (terminal)."""
+        from .stages.spatial_stats import clark_evans
+
+        return clark_evans(self.ds, res=res, **kwargs)
+
+    def ruggedness(self, res: int, **kwargs) -> "Pipe":
+        """Terrain ruggedness index over the cell column."""
+        from .stages.spatial_stats import ruggedness_index
+
+        return Pipe(ruggedness_index(self.ds, res=res, **kwargs))
+
+    def kruskal_wallis(self, group_col: str, value_col: str,
+                       groups: list, **kwargs) -> pa.Table:
+        """Kruskal-Wallis H across a closed group set (terminal)."""
+        from .stages.zonal import kruskal_wallis
+
+        return kruskal_wallis(self.ds, group_col, value_col, groups,
+                              **kwargs)
+
+    def quantile_normalize(self, **kwargs) -> "Pipe":
+        """Per-group score calibration onto the pooled distribution."""
+        from .stages.scan import quantile_normalize
+
+        return Pipe(quantile_normalize(self.ds, **kwargs))
+
+    def naive_bayes_confusion(self, **kwargs) -> "Pipe":
+        """Train/test NB source classifier -> confusion matrix."""
+        from .stages.scoring import naive_bayes_confusion
+
+        return Pipe(naive_bayes_confusion(self.ds, **kwargs))
+
+    def silhouette(self, **kwargs) -> "Pipe":
+        """Simplified silhouette of the k-means clustering."""
+        from .stages.cluster import silhouette_score
+
+        return Pipe(silhouette_score(self.ds, **kwargs))
+
+    def funnel_depth(self, *, key_col: str, ts_col: str, id_col: str,
+                     type_col: str, steps: list, **kwargs) -> "Pipe":
+        """k-step ordered funnel depth histogram."""
+        from .stages.sequence import funnel_depth
+
+        return Pipe(funnel_depth(self.ds, key_col=key_col,
+                                 ts_col=ts_col, id_col=id_col,
+                                 type_col=type_col, steps=steps,
+                                 **kwargs))
+
+    def vocab_drift(self, store_dir: str, **kwargs) -> pa.Table:
+        """Cross-run vocabulary-drift row; appends this run's counts
+        (terminal)."""
+        from .stages.tfidf import vocab_drift
+
+        return vocab_drift(self.ds, store_dir, **kwargs)
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""
