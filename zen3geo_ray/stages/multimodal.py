@@ -55,6 +55,10 @@ class ImageDecoder:
                 arr3 = hwc
             elif b[:3] == b"\xff\xd8\xff":
                 arr3 = read_jpeg(b)
+            elif b[:4] == b"GIF8":
+                from ..sources.gif import read_gif
+
+                arr3 = read_gif(b)
             elif b[:2] in (b"II", b"MM"):
                 g = read_geotiff(b)
                 planes = g["data"][:3]
@@ -65,7 +69,8 @@ class ImageDecoder:
                 )
             else:
                 raise ValueError(
-                    "unrecognized image signature (PNG/TIFF/JPEG supported)"
+                    "unrecognized image signature "
+                    "(PNG/TIFF/JPEG/GIF supported)"
                 )
             tensors.append(np.ascontiguousarray(arr3).reshape(-1))
             hs.append(arr3.shape[0])
