@@ -340,7 +340,9 @@ def main():
            "hull": soak_hull, "sssp": soak_pinned_sssp,
            "sim": soak_sim_join, "spatial": soak_spatial_stats,
            "tarshards": soak_tarshards, "mst": soak_mst,
-           "butterfly": soak_butterfly, "mis": soak_mis}
+           "butterfly": soak_butterfly, "mis": soak_mis,
+           "edit": soak_edit_join, "funnel": soak_funnel,
+           "kaplan": soak_kaplan}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
@@ -349,8 +351,6 @@ def main():
     ray.shutdown()
 
 
-if __name__ == "__main__":
-    main()
 
 
 def soak_mst(n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
@@ -438,3 +438,115 @@ def soak_mis(n_edges: int = 10_000_000, n_nodes: int = 2_000_000):
     return {"soak": "mis", "n_edges": n_edges, "mis_size": rows,
             "sec": round(wall, 2),
             "edges_per_sec": round(n_edges / wall)}
+
+
+def soak_edit_join(n_strings: int = 1_000_000, n_blocks: int = 10_000):
+    """Blocked Levenshtein self-join: 1M length-4..8 strings over a
+    4-letter alphabet in 10k blocking keys (~100/block -> ~50M
+    candidate pairs through the vectorized DP)."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.fuzzy import edit_distance_join
+
+    alpha = np.frombuffer(b"abcd", np.uint8)
+
+    def strings(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h = splitmix64(i.astype(np.uint64) + np.uint64(17))
+        ln = (4 + (h % np.uint64(5))).astype(np.int64)
+        chars = np.empty((len(i), 8), np.uint8)
+        hh = h
+        for j in range(8):
+            chars[:, j] = alpha[(hh % np.uint64(4)).astype(np.int64)]
+            hh = hh >> np.uint64(2)
+        names = [bytes(chars[r, :ln[r]]).decode() for r in range(len(i))]
+        return pa.table({
+            "pid": pa.array(i.astype(np.int64)),
+            "nm": pa.array(names, pa.string()),
+            "blk": pa.array((splitmix64(i.astype(np.uint64))
+                             % np.uint64(n_blocks)).astype(np.int64)),
+        })
+
+    ds = rd.range(n_strings, override_num_blocks=64).map_batches(
+        strings, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = edit_distance_join(ds, id_col="pid", text_col="nm",
+                             block_col="blk", max_dist=1, n_buckets=64)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    return {"soak": "edit_join", "n_strings": n_strings,
+            "n_blocks": n_blocks, "pairs_matched": rows,
+            "sec": round(wall, 2),
+            "strings_per_sec": round(n_strings / wall)}
+
+
+def soak_funnel(n_events: int = 20_000_000, n_users: int = 1_000_000):
+    """3-step ordered funnel over 20M events / 1M users."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.sequence import funnel_depth
+
+    types = np.array(["view", "click", "purchase", "scroll", "error"])
+
+    def events(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h = splitmix64(i.astype(np.uint64) + np.uint64(23))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(10**9 + 7))
+        return pa.table({
+            "u": pa.array((h % np.uint64(n_users)).astype(np.int64)),
+            "tu": pa.array(((h >> np.uint64(20))
+                            % np.uint64(10**9)).astype(np.int64)),
+            "eid": pa.array(i.astype(np.int64)),
+            "typ": pa.array(types[(h2 % np.uint64(5)).astype(np.int64)]),
+        })
+
+    ds = rd.range(n_events, override_num_blocks=64).map_batches(
+        events, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = funnel_depth(ds, key_col="u", ts_col="tu", id_col="eid",
+                       type_col="typ",
+                       steps=["view", "click", "purchase"],
+                       n_buckets=64).to_pandas()
+    wall = time.perf_counter() - t0
+    return {"soak": "funnel", "n_events": n_events,
+            "depths": {int(r.depth): int(r.n_users)
+                       for r in out.itertuples()},
+            "sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall)}
+
+
+def soak_kaplan(n_events: int = 50_000_000, n_users: int = 5_000_000):
+    """KM survival over 50M events / 5M users (per-key min/max reduce
+    + day-bounded finale)."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.sequence import KM_DAY_US, kaplan_meier
+
+    def events(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h = splitmix64(i.astype(np.uint64) + np.uint64(29))
+        u = (h % np.uint64(n_users)).astype(np.int64)
+        day = ((h >> np.uint64(24)) % np.uint64(90)).astype(np.int64)
+        off = ((h >> np.uint64(32))
+               % np.uint64(KM_DAY_US)).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "tu": pa.array(day * KM_DAY_US + off),
+        })
+
+    ds = rd.range(n_events, override_num_blocks=64).map_batches(
+        events, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = kaplan_meier(ds, key_col="u", ts_col="tu", censor_days=1,
+                       n_buckets=64)
+    wall = time.perf_counter() - t0
+    return {"soak": "kaplan", "n_events": n_events,
+            "death_days": out.num_rows, "sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall)}
+
+
+if __name__ == "__main__":
+    main()
