@@ -712,3 +712,26 @@ def test_kruskal_wallis_reference(ray_session):
                               ["x", "y"]).to_pandas().iloc[0]
     assert o2["h"] == pytest.approx(2.4, abs=1e-12)
     assert int(o2["t3t"]) == 0 and o2["h_adj"] == o2["h"]
+
+
+def test_roc_auc_reference(ray_session):
+    """AUC vs the direct pairwise-comparison definition (ties count
+    half), plus the perfect-separation golden."""
+    rng = np.random.default_rng(41)
+    vp = rng.integers(0, 20, 80).astype(np.int64)
+    vn = rng.integers(0, 20, 120).astype(np.int64)
+    t = pa.table({"g": pa.array(["p"] * 80 + ["n"] * 120),
+                  "v": pa.array(np.concatenate([vp, vn]))})
+    out = zonal.roc_auc(rd.from_arrow(t).repartition(4), "g", "v",
+                        "p", "n", n_buckets=4).to_pandas().iloc[0]
+    wins = (vp[:, None] > vn[None, :]).sum()
+    ties = (vp[:, None] == vn[None, :]).sum()
+    want = (wins + 0.5 * ties) / (80 * 120)
+    assert int(out.n_pos) == 80 and int(out.n_neg) == 120
+    assert out.auc == pytest.approx(want, rel=1e-12)
+
+    t2 = pa.table({"g": pa.array(["p", "p", "n", "n"]),
+                   "v": pa.array([10, 9, 2, 1], pa.int64())})
+    o2 = zonal.roc_auc(rd.from_arrow(t2), "g", "v", "p", "n") \
+        .to_pandas().iloc[0]
+    assert o2.auc == 1.0

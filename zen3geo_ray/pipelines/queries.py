@@ -4661,6 +4661,41 @@ def q_ab_test(sf_dir: str):
     return zonal.welch_ttest(docs, "source", "n_chars", AB_A, AB_B)
 
 
+def q_auc(sf_dir: str):
+    """ROC AUC of doc length as a src0-vs-src1 classifier — the rank
+    identity AUC = U/(n_pos·n_neg) over the pooled value histogram
+    (average-rank tie handling = trapezoidal AUC), exact-int u2 and
+    ONE float division (stages/zonal.py:roc_auc)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.roc_auc(docs, "source", "n_chars", AB_A, AB_B)
+
+
+def _sql_auc() -> str:
+    return f"""
+WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+pooled AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN g = '{AB_A}' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca
+           FROM h GROUP BY v),
+rk AS (SELECT v, ca, c,
+              CAST(2 * SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c + 1 AS BIGINT) AS r2
+       FROM pooled),
+agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+               CAST(SUM(c - ca) AS BIGINT) AS n2,
+               CAST(SUM(ca * r2) AS BIGINT) AS rsum
+        FROM rk)
+SELECT n1 AS n_pos, n2 AS n_neg,
+       rsum - n1 * (n1 + 1) AS u2,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         CAST(rsum - n1 * (n1 + 1) AS DOUBLE)
+         / CAST(2 * n1 * n2 AS DOUBLE)
+       ELSE NULL END AS auc
+FROM agg"""
+
+
 _SQL_AB_TEST = f"""
 WITH p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(n_chars) AS BIGINT) AS sv,
@@ -11527,6 +11562,7 @@ def build_oracles() -> dict[str, str]:
         "ab_test": _SQL_AB_TEST,
         "anova": _sql_anova(),
         "mwu": _SQL_MWU,
+        "auc": _sql_auc(),
         "kruskal": _sql_kruskal(),
         "qnorm": _sql_qnorm(),
         "cusum": _SQL_CUSUM,
@@ -12490,6 +12526,7 @@ def build_queries() -> dict:
         "ab_test": q_ab_test,
         "anova": q_anova,
         "mwu": q_mwu,
+        "auc": q_auc,
         "kruskal": q_kruskal,
         "qnorm": q_qnorm,
         "cusum": q_cusum,

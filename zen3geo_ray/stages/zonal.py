@@ -1186,3 +1186,30 @@ def grouped_weighted_median(ds, key_cols: list[str], value_col: str,
 
     return bucketed_groupby(parts, key_cols, finale,
                             n_buckets=n_buckets)
+
+
+def roc_auc(ds, label_col: str, score_col: str, pos_label, neg_label,
+            *, n_buckets: int = 16):
+    """ROC AUC of an integer score as a binary classifier — the
+    rank/probability identity AUC = U / (n_pos·n_neg), computed
+    EXACTLY from the pooled value histogram (ties get average ranks,
+    i.e. trapezoidal tie handling): u2 = 2·U is the exact integer
+    mann_whitney_u statistic of the positive group, so
+
+        auc = u2 / (2·n_pos·n_neg)
+
+    is ONE float division of exact ints.  Rows with other labels are
+    ignored.  Output one row (n_pos, n_neg, u2, auc); NULL when a
+    class is empty."""
+    t = mann_whitney_u(ds, label_col, score_col, pos_label, neg_label,
+                       n_buckets=n_buckets)
+    n1 = t.column("n1")[0].as_py()
+    n2 = t.column("n2")[0].as_py()
+    u2 = t.column("u2")[0].as_py()
+    auc = (float(u2) / float(2 * n1 * n2)
+           if n1 > 0 and n2 > 0 else None)
+    return pa.table({
+        "n_pos": pa.array([n1], pa.int64()),
+        "n_neg": pa.array([n2], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc": pa.array([auc], pa.float64())})
