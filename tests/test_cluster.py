@@ -533,3 +533,41 @@ def test_silhouette_separated_vs_merged(ray_session):
                           n_buckets=2).to_pandas()
     # all points identical: a2 = b2 = 0 -> s_q = 0 exactly
     assert (o2.s_sum == 0).all() and (o2.sil == 0.0).all()
+
+
+def test_knn_confusion_separable_and_ties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.cluster import knn_confusion
+
+    # two tight blobs, labels 0/1; even ids train, odd ids test ->
+    # perfect diagonal
+    rng = np.random.default_rng(17)
+    dim = 4
+    vecs, labs = [], []
+    for i in range(40):
+        lab = i % 2 == 0  # interleave so both halves see both labels
+        base = 0.8 if (i // 2) % 2 == 0 else -0.8
+        vecs.append((rng.normal(0, 0.02, dim) + base).tolist())
+        labs.append(0 if base > 0 else 1)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int64())})
+    out = knn_confusion(rd.from_arrow(t).repartition(3),
+                        k=3).to_pandas()
+    got = {(int(r.true_label), int(r.pred_label)): int(r.n)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 10, (1, 1): 10}
+
+    # vote tie (k=2, one neighbor each label equidistant) -> label 0
+    t2 = pa.table({
+        "vec_id": pa.array([0, 2, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([7, 3, 9], pa.int64())})
+    o2 = knn_confusion(rd.from_arrow(t2), k=2).to_pandas()
+    assert [(int(r.true_label), int(r.pred_label), int(r.n))
+            for r in o2.itertuples()] == [(9, 3, 1)]

@@ -4171,6 +4171,52 @@ def q_label_noise(sf_dir: str):
     return knn_label_agreement(emb, k=NOISE_K)
 
 
+def q_knn_confusion(sf_dir: str):
+    """kNN classifier evaluation (the nonparametric sibling of
+    naive_bayes): even vec_ids broadcast as the train set, odd ids
+    classified by majority label among their 5 nearest (integer L2,
+    dist ties -> smaller id, vote ties -> smaller label); confusion
+    matrix out (stages/cluster.py:knn_confusion)."""
+    from ..stages.cluster import knn_confusion
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+                rows_per_block=1000)
+    return knn_confusion(emb, k=NOISE_K)
+
+
+def _sql_knn_confusion() -> str:
+    off = 1 << 20
+    return f"""
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * {float(off)}) AS BIGINT)
+           + {off} AS qv
+  FROM (SELECT vec_id, UNNEST(embedding) AS e,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)),
+d AS (SELECT a.vec_id AS u, b.vec_id AS v,
+             CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dist
+      FROM q a JOIN q b ON b.dim = a.dim
+      WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+      GROUP BY 1, 2),
+r AS (SELECT u, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY dist, v) AS rn
+      FROM d),
+kk AS (SELECT u, v FROM r WHERE rn <= {NOISE_K}),
+votes AS (SELECT kk.u, CAST(eb.label AS BIGINT) AS label,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM kk JOIN embeddings eb ON eb.vec_id = kk.v
+          GROUP BY 1, 2),
+pred AS (SELECT u, label AS pred_label FROM (
+  SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY c DESC, label) AS rn
+  FROM votes) WHERE rn = 1)
+SELECT CAST(ea.label AS BIGINT) AS true_label, p.pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN embeddings ea ON ea.vec_id = p.u
+GROUP BY 1, 2"""
+
+
 def _sql_label_noise() -> str:
     off = 1 << 20
     return f"""
@@ -11893,6 +11939,7 @@ FROM cand QUALIFY rank <= 10
         "purity": _sql_purity(),
         "silhouette": _sql_silhouette(),
         "label_noise": _sql_label_noise(),
+        "knn_confusion": _sql_knn_confusion(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -12503,6 +12550,7 @@ def build_queries() -> dict:
         "purity": q_purity,
         "silhouette": q_silhouette,
         "label_noise": q_label_noise,
+        "knn_confusion": q_knn_confusion,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

@@ -986,3 +986,88 @@ def silhouette_score(ds, *, id_col: str = "vec_id",
 
     return bucketed_groupby(parts, ["cluster"], fold,
                             n_buckets=n_buckets)
+
+
+def knn_confusion(ds, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", label_col: str = "label",
+                  k: int = 5, train_parity: int = 0):
+    """kNN CLASSIFIER evaluation as dataflow — the nonparametric
+    sibling of scoring.naive_bayes_confusion: the ``train_parity``
+    half of ids is the broadcast reference set, the other half is
+    classified by MAJORITY label among its k nearest train vectors
+    (exact integer quantized L2, distance ties → smaller id, vote
+    ties → smaller label), and the confusion matrix comes back.
+
+    Same scale contract as knn_label_agreement: the train side
+    broadcasts once via ``ray.put`` (eval-set shape — swap in the
+    IVF/LSH candidates from stages/ann for corpus-scale); the test
+    side streams, nothing shuffles but the classes² confusion
+    partials.  Returns (true_label, pred_label, n)."""
+    import pandas as pd
+    import ray
+
+    from .bucketed import bucketed_groupby
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    train = ds.map_batches(half(train_parity),
+                           batch_format="pyarrow").to_pandas()
+    ids_r = train[id_col].to_numpy().astype(np.int64)
+    lab_r = train[label_col].to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in train[vec_col]])
+    q_r = (np.floor(mat * float(1 << SCALE_BITS)).astype(np.int64)
+           + _OFF)
+    order = np.argsort(ids_r, kind="stable")
+    ids_r, lab_r, q_r = ids_r[order], lab_r[order], q_r[order]
+    ref = ray.put((ids_r, lab_r, q_r)) if ray.is_initialized() \
+        else (ids_r, lab_r, q_r)
+
+    def fn(b: pa.Table, _ref=ref) -> pa.Table:
+        from .graph import _get_blob
+
+        idr, lbr, qr = _ref if isinstance(_ref, tuple) \
+            else _get_blob(_ref)
+        q = _quant_matrix(b, vec_col)
+        lab = b.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n, m = len(lab), len(idr)
+        kk = min(k, m)
+        pred = np.zeros(n, dtype=np.int64)
+        for lo in range(0, n, 256):
+            hi = min(lo + 256, n)
+            d = np.zeros((hi - lo, m), dtype=np.int64)
+            for c in range(q.shape[1]):
+                diff = q[lo:hi, c:c + 1] - qr[:, c][None, :]
+                d += diff * diff
+            # idr sorted ascending -> stable argsort ties to smaller id
+            part = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            neigh = lbr[part]                      # (rows, kk)
+            for r in range(hi - lo):
+                vals, cnts = np.unique(neigh[r], return_counts=True)
+                # majority; ties -> smallest label (np.unique sorts
+                # vals ascending, argmax takes the first max)
+                pred[lo + r] = vals[np.argmax(cnts)]
+        df = pd.DataFrame({"true_label": lab, "pred_label": pred})
+        g = df.groupby(["true_label", "pred_label"], sort=False,
+                       as_index=False).size()
+        return pa.table({
+            "true_label": pa.array(g["true_label"].to_numpy(),
+                                   pa.int64()),
+            "pred_label": pa.array(g["pred_label"].to_numpy(),
+                                   pa.int64()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    parts = ds.map_batches(half(1 - train_parity),
+                           batch_format="pyarrow").map_batches(
+        fn, batch_format="pyarrow")
+    return bucketed_groupby(
+        parts, ["true_label", "pred_label"],
+        lambda g: g.groupby(["true_label", "pred_label"],
+                            as_index=False)["n"].sum(),
+        n_buckets=4)
