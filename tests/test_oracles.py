@@ -172,3 +172,22 @@ def test_every_query_has_oracle_or_is_flagged():
     # every query is oracle-checked (the dedup/lang kernels are written in
     # SQL-mirrorable arithmetic precisely so nothing is rows-only)
     assert qs - os_ == set()
+
+
+def test_no_shadowed_module_definitions():
+    """queries.py is append-heavy: a later duplicate def silently
+    SHADOWS the earlier one and reroutes unrelated queries' helpers
+    (the _events_cents incident).  Pin: no top-level name is defined
+    twice."""
+    import ast
+    import collections
+
+    src = open("/root/repo/zen3geo_ray/pipelines/queries.py").read()
+    tree = ast.parse(src)
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            seen[node.name] += 1
+    dups = [n for n, c in seen.items() if c > 1]
+    assert not dups, f"shadowed top-level defs in queries.py: {dups}"

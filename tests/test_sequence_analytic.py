@@ -470,3 +470,67 @@ def test_funnel_depth_golden(ray_session):
                        n_buckets=2).to_pandas()
     got = {int(r.depth): int(r.n_users) for r in out.itertuples()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_last_touch_attribution_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import last_touch_attribution
+
+    # u1: view(1) click(2) purchase(3, 100)   -> click credited
+    # u2: view(1) purchase(50, 200)           -> window 10 missed ->
+    #     direct (an OLDER view can never rescue a window miss)
+    # u3: purchase(1, 300) view(2)            -> later touch ignored ->
+    #     direct
+    # u4: click at the SAME ts as the purchase, smaller event_id ->
+    #     strictly-before by the (ts, id) total order -> click
+    rows = [
+        (1, 1, 10, "view", 0), (1, 2, 11, "click", 0),
+        (1, 3, 12, "purchase", 100),
+        (2, 1, 20, "view", 0), (2, 50, 21, "purchase", 200),
+        (3, 1, 30, "purchase", 300), (3, 2, 31, "view", 0),
+        (4, 7, 40, "click", 0), (4, 7, 41, "purchase", 400),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "tu": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "typ": pa.array([r[3] for r in rows]),
+        "cents": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    out = last_touch_attribution(
+        rd.from_arrow(t).repartition(3), key_col="u", ts_col="tu",
+        id_col="eid", type_col="typ", value_col="cents",
+        conv_type="purchase", window=10, n_buckets=2).to_pandas()
+    got = {r.touch_type: (int(r.conversions), int(r.credited))
+           for r in out.itertuples()}
+    assert got == {"click": (2, 500), "direct": (2, 500)}
+
+
+def test_ewma_last_k_exact(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import ewma_last_k
+
+    # u1: values 1..5 in ts order, k=3 -> last 3 are 3,4,5 with
+    # weights 1,2,4 -> num = 3+8+20 = 31, denom = 7
+    # u2: one value 10 -> num = 10*4 = 40, denom = 4 (truncated renorm)
+    # u3: ties at equal ts break by event_id (7 is most recent)
+    rows = [(1, t, 10 + t, v) for t, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [(2, 0, 20, 10)]
+    rows += [(3, 5, 30, 6), (3, 5, 31, 7)]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "tu": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "v": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = ewma_last_k(rd.from_arrow(t).repartition(2), key_col="u",
+                      ts_col="tu", id_col="eid", value_col="v",
+                      k=3, n_buckets=2).to_pandas().set_index("u")
+    assert int(out.loc[1, "ewma_num"]) == 3 * 1 + 4 * 2 + 5 * 4
+    assert out.loc[1, "ewma"] == 31.0 / 7.0
+    assert (int(out.loc[2, "ewma_num"]), out.loc[2, "ewma"]) == (40, 10.0)
+    # u3: most recent = eid 31 (v=7) weight 4, then v=6 weight 2
+    assert int(out.loc[3, "ewma_num"]) == 7 * 4 + 6 * 2
+    assert out.loc[3, "ewma"] == 40.0 / 6.0

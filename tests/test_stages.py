@@ -735,3 +735,63 @@ def test_roc_auc_reference(ray_session):
     o2 = zonal.roc_auc(rd.from_arrow(t2), "g", "v", "p", "n") \
         .to_pandas().iloc[0]
     assert o2.auc == 1.0
+
+
+def test_average_precision_reference(ray_session):
+    """Quantized AP vs the direct step-sweep definition (distinct
+    descending thresholds, Δtp·precision terms), plus goldens."""
+    rng = np.random.default_rng(43)
+    vp = rng.integers(0, 15, 60).astype(np.int64)
+    vn = rng.integers(0, 15, 140).astype(np.int64)
+    t = pa.table({"g": pa.array(["p"] * 60 + ["n"] * 140),
+                  "v": pa.array(np.concatenate([vp, vn]))})
+    out = zonal.average_precision(
+        rd.from_arrow(t).repartition(4), "g", "v", "p", "n",
+        n_buckets=4).to_pandas().iloc[0]
+    # reference: exact (unquantized) step AP
+    want = 0.0
+    tp = fp = 0
+    for v in sorted(set(np.concatenate([vp, vn]).tolist()), reverse=True):
+        dtp = int((vp == v).sum())
+        dfp = int((vn == v).sum())
+        tp += dtp
+        fp += dfp
+        want += dtp * tp / (tp + fp)
+    want /= 60
+    assert int(out.n_pos) == 60 and int(out.n_neg) == 140
+    # quantization error < 2^-30 per unit
+    assert out.ap == pytest.approx(want, abs=1e-8)
+
+    # perfect separation -> AP exactly 1
+    t2 = pa.table({"g": pa.array(["p", "p", "n", "n"]),
+                   "v": pa.array([10, 9, 2, 1], pa.int64())})
+    o2 = zonal.average_precision(rd.from_arrow(t2), "g", "v", "p", "n") \
+        .to_pandas().iloc[0]
+    assert o2.ap == 1.0
+    # all-tied -> AP = prevalence (one threshold, P = n_pos/n)
+    t3 = pa.table({"g": pa.array(["p", "n", "n", "n"]),
+                   "v": pa.array([5, 5, 5, 5], pa.int64())})
+    o3 = zonal.average_precision(rd.from_arrow(t3), "g", "v", "p", "n") \
+        .to_pandas().iloc[0]
+    assert o3.ap == pytest.approx(0.25, abs=1e-8)
+
+
+def test_fd_check_golden(ray_session):
+    from zen3geo_ray.stages.profile import fd_check
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "d": pa.array(["a", "a", "b", "c", "c", "d"]),
+    })
+    out = fd_check(rd.from_arrow(t).repartition(3), "k", "d",
+                   n_buckets=2).to_pandas().iloc[0]
+    # key 1 has {a,b} (violated), 2 has {c}, 3 has {d}
+    assert out.fd == "k->d"
+    assert (int(out.n_keys), int(out.n_violated), int(out.max_card)) \
+        == (3, 1, 2)
+    # a holding FD
+    t2 = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "d": pa.array(["a", "a", "b"])})
+    o2 = fd_check(rd.from_arrow(t2), "k", "d").to_pandas().iloc[0]
+    assert (int(o2.n_keys), int(o2.n_violated), int(o2.max_card)) \
+        == (2, 0, 1)

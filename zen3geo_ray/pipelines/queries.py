@@ -11473,6 +11473,166 @@ SELECT f2_exact,
 FROM e CROSS JOIN g"""
 
 
+def q_pr_auc(sf_dir: str):
+    """Quantized average precision (step-wise PR-AUC) of doc length as
+    a src0-vs-src1 classifier — descending distinct-value threshold
+    sweep, per-threshold precision floored onto the 2^-30 lattice so
+    the term sum is an order-free exact integer, ONE float division
+    (stages/zonal.py:average_precision)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.average_precision(docs, "source", "n_chars", AB_A, AB_B)
+
+
+def _sql_pr_auc() -> str:
+    q = zonal.AP_Q
+    return f"""
+WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+pooled AS (SELECT v,
+    CAST(SUM(CASE WHEN g = '{AB_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN g = '{AB_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM h GROUP BY v),
+rk AS (SELECT ca,
+    CAST(SUM(ca) OVER (ORDER BY v DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS tp,
+    CAST(SUM(ca + cb) OVER (ORDER BY v DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS tot
+  FROM pooled),
+agg AS (SELECT CAST(COALESCE(SUM(ca * (({q} * tp) // tot)), 0)
+               AS BIGINT) AS ap_num FROM rk),
+cnt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+               CAST(SUM(cb) AS BIGINT) AS n_neg FROM pooled)
+SELECT n_pos, n_neg, ap_num,
+  CASE WHEN n_pos > 0 THEN
+    CAST(ap_num AS DOUBLE) / ({float(q)} * CAST(n_pos AS DOUBLE))
+  ELSE NULL END AS ap
+FROM cnt CROSS JOIN agg"""
+
+
+ATTR_CONV = "purchase"
+ATTR_WINDOW_US = 48 * 3600 * 1_000_000
+
+
+def _events_cents_total(sf_dir: str):
+    """events -> (user_id, tu, event_id, event_type, cents) with the
+    FLOOR-cents quantization (floor(value*100), one float multiply
+    both sides — the anova FLOOR-dollar discipline)."""
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+        })
+
+    return _read(sf_dir, "events",
+                 ["user_id", "ts", "event_id", "event_type",
+                  "value"]).map_batches(prep, batch_format="pyarrow")
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits the latest
+    same-user non-purchase event strictly before it in the (ts, id)
+    total order within 48 h (unmatched -> 'direct'); per-channel
+    conversions + credited cents, all integers
+    (stages/sequence.py:last_touch_attribution)."""
+    from ..stages.sequence import last_touch_attribution
+
+    return last_touch_attribution(
+        _events_cents_total(sf_dir), key_col="user_id", ts_col="tu",
+        id_col="event_id", type_col="event_type", value_col="cents",
+        conv_type=ATTR_CONV, window=ATTR_WINDOW_US)
+
+
+def _sql_attribution() -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, event_type,
+                  CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+           FROM events),
+conv AS (SELECT * FROM e WHERE event_type = '{ATTR_CONV}'),
+tch AS (SELECT * FROM e WHERE event_type <> '{ATTR_CONV}'),
+pick AS (SELECT c.event_id AS cid, c.cents, t.event_type AS ttype,
+    ROW_NUMBER() OVER (PARTITION BY c.event_id
+                       ORDER BY t.tu DESC, t.event_id DESC) AS rn
+  FROM conv c JOIN tch t ON t.user_id = c.user_id
+   AND (t.tu < c.tu OR (t.tu = c.tu AND t.event_id < c.event_id))
+   AND c.tu - t.tu <= {ATTR_WINDOW_US}),
+lt AS (SELECT cid, ttype FROM pick WHERE rn = 1),
+cr AS (SELECT COALESCE(lt.ttype, 'direct') AS touch_type, c.cents
+       FROM conv c LEFT JOIN lt ON lt.cid = c.event_id)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS conversions,
+       CAST(SUM(cents) AS BIGINT) AS credited
+FROM cr GROUP BY 1"""
+
+
+EWMA_K = 8
+
+
+def q_ewma(sf_dir: str):
+    """Per-user dyadic EWMA of the last 8 event values (decay 1/2,
+    truncated-renormalized): power-of-two weights make the numerator
+    an exact int64, ewma = num / (2^k - 2^(k-m)) the one float
+    division (stages/sequence.py:ewma_last_k)."""
+    from ..stages.sequence import ewma_last_k
+
+    return ewma_last_k(_events_cents_total(sf_dir), key_col="user_id",
+                       ts_col="tu", id_col="event_id",
+                       value_col="cents", k=EWMA_K)
+
+
+def _sql_ewma() -> str:
+    k = EWMA_K
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+                  CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT user_id, cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY tu DESC, event_id DESC) AS rn
+  FROM e),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+    CAST(SUM(cents * (1 << ({k} - rn))) AS BIGINT) AS ewma_num
+  FROM r WHERE rn <= {k} GROUP BY user_id)
+SELECT user_id, n_used, ewma_num,
+  CAST(ewma_num AS DOUBLE)
+    / CAST((1 << {k}) - (1 << ({k} - n_used)) AS DOUBLE) AS ewma
+FROM a"""
+
+
+FD_PAIRS = (("o_custkey", "o_orderpriority"),
+            ("o_custkey", "o_orderstatus"))
+
+
+def q_fd_check(sf_dir: str):
+    """Functional-dependency profiler over orders: for each candidate
+    FD det->dep, the determinant-key count, violated-key count and
+    worst dependent multiplicity — only DISTINCT (det, dep) pairs ever
+    shuffle (stages/profile.py:fd_check)."""
+    from ..stages.profile import fd_check
+
+    rows = []
+    for det, dep in FD_PAIRS:
+        rows.append(fd_check(_read(sf_dir, "orders", [det, dep]),
+                             det, dep))
+    return pa.concat_tables(rows)
+
+
+def _sql_fd_check() -> str:
+    parts = []
+    for det, dep in FD_PAIRS:
+        parts.append(f"""
+SELECT '{det}->{dep}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violated,
+  CAST(MAX(c) AS BIGINT) AS max_card
+FROM (SELECT {det}, CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS c
+      FROM orders GROUP BY {det})""")
+    return " UNION ALL ".join(parts)
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -11940,6 +12100,10 @@ FROM cand QUALIFY rank <= 10
         "silhouette": _sql_silhouette(),
         "label_noise": _sql_label_noise(),
         "knn_confusion": _sql_knn_confusion(),
+        "pr_auc": _sql_pr_auc(),
+        "attribution": _sql_attribution(),
+        "ewma": _sql_ewma(),
+        "fd_check": _sql_fd_check(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -12551,6 +12715,10 @@ def build_queries() -> dict:
         "silhouette": q_silhouette,
         "label_noise": q_label_noise,
         "knn_confusion": q_knn_confusion,
+        "pr_auc": q_pr_auc,
+        "attribution": q_attribution,
+        "ewma": q_ewma,
+        "fd_check": q_fd_check,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

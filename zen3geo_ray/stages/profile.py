@@ -205,3 +205,49 @@ def benford_profile(ds, value_col: str, n_buckets: int = 4) -> pa.Table:
         "exp": pa.array(exp, pa.float64()),
         "chi2_term": pa.array(term, pa.float64()),
     })
+
+
+def fd_check(ds, det_col: str, dep_col: str, *, label: str | None = None,
+             n_buckets: int = 16) -> pa.Table:
+    """FUNCTIONAL-DEPENDENCY profiler: does ``det_col`` determine
+    ``dep_col``?  The data-quality check behind key discovery and
+    denormalization audits (Papenbrock 2015's FD-discovery verify
+    step, run distributed).  Combiner-first: each block reduces to its
+    DISTINCT (det, dep) pairs, the coarse-bucket reduce dedups
+    globally, and per-det cardinalities fold to ONE summary row
+
+        (fd, n_keys, n_violated, max_card)
+
+    — n_violated = determinant values with >1 distinct dependent,
+    max_card the worst multiplicity; the FD holds iff n_violated == 0.
+    Only distinct pairs ever shuffle (bounded by the true pair
+    cardinality, never the row count)."""
+    from .bucketed import bucketed_groupby
+
+    name = label or f"{det_col}->{dep_col}"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([det_col, dep_col]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates([det_col, dep_col]),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([det_col, dep_col])
+        card = g.groupby(det_col, sort=False, as_index=False).size()
+        return pd.DataFrame({
+            "n_keys": [np.int64(len(card))],
+            "n_violated": [np.int64((card["size"] > 1).sum())],
+            "max_card": [np.int64(card["size"].max())
+                         if len(card) else np.int64(0)]})
+
+    parts = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [det_col], fold, n_buckets=n_buckets).to_pandas()
+    return pa.table({
+        "fd": pa.array([name], pa.string()),
+        "n_keys": pa.array([int(parts["n_keys"].sum())], pa.int64()),
+        "n_violated": pa.array([int(parts["n_violated"].sum())],
+                               pa.int64()),
+        "max_card": pa.array([int(parts["max_card"].max())
+                              if len(parts) else 0], pa.int64())})

@@ -858,3 +858,115 @@ def funnel_depth(ds, *, key_col: str, ts_col: str, id_col: str,
     # depth domain is len(steps) rows — one micro-task
     return parts.repartition(1).map_batches(finalize,
                                             batch_format="pyarrow")
+
+
+def last_touch_attribution(ds, *, key_col: str, ts_col: str, id_col: str,
+                           type_col: str, value_col: str, conv_type: str,
+                           window: int, n_buckets: int = 64):
+    """LAST-TOUCH marketing attribution (the funnel family's revenue
+    leg): each ``conv_type`` event credits the LATEST same-key
+    non-conversion event strictly before it in the exact (ts, id)
+    total order and within ``window`` (ts units); conversions with no
+    such touch credit the synthetic channel ``'direct'``.  Output the
+    per-channel summary (touch_type, conversions, credited), credited
+    = exact integer sum of the conversion's ``value_col``.
+
+    One bucketed key shuffle; inside a bucket the latest touch for
+    ALL conversions resolves at once — touch row positions are
+    searchsorted against conversion positions on the global
+    (key, ts, id) sort, a same-key check replaces per-key slicing
+    (the funnel_depth discipline).  An earlier touch can never rescue
+    a window miss (it is older still), so the single candidate per
+    conversion is exact."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        types = g[type_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        vals = g[value_col].to_numpy().astype(np.int64)
+        conv_pos = np.flatnonzero(types == conv_type)
+        if len(conv_pos) == 0:
+            return pd.DataFrame({
+                "touch_type": np.array([], object),
+                "conversions": np.array([], np.int64),
+                "credited": np.array([], np.int64)})
+        touch_pos = np.flatnonzero(types != conv_type)
+        channel = np.full(len(conv_pos), "direct", dtype=object)
+        if len(touch_pos):
+            idx = np.searchsorted(touch_pos, conv_pos, side="left") - 1
+            ok = idx >= 0
+            cand = touch_pos[np.maximum(idx, 0)]
+            ok &= keys[cand] == keys[conv_pos]
+            ok &= ts[conv_pos] - ts[cand] <= window
+            channel[ok] = types[cand[ok]]
+        df = pd.DataFrame({"touch_type": channel,
+                           "conversions": np.ones(len(conv_pos), np.int64),
+                           "credited": vals[conv_pos]})
+        return df.groupby("touch_type", sort=False, as_index=False).sum()
+
+    parts = bucketed_groupby(ds, [key_col], fold, n_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("touch_type", as_index=False)[
+            ["conversions", "credited"]].sum()
+        df["conversions"] = df["conversions"].astype(np.int64)
+        df["credited"] = df["credited"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    # channel domain is #event-types rows — one micro-task
+    return parts.repartition(1).map_batches(finalize,
+                                            batch_format="pyarrow")
+
+
+def ewma_last_k(ds, *, key_col: str, ts_col: str, id_col: str,
+                value_col: str, k: int = 8, n_buckets: int = 64):
+    """Per-key EXPONENTIALLY weighted moving average of the last ``k``
+    integer values in (ts, id) order with decay 1/2 — the dyadic
+    weights make it EXACT: the most recent value gets weight
+    2^(k-1), the j-th most recent 2^(k-j), so with m = min(n, k)
+    values present
+
+        ewma_num = Σ_j v_j · 2^(k-j)          (exact int64)
+        ewma     = ewma_num / (2^k − 2^(k−m)) (ONE float division)
+
+    (the truncated-renormalized EWMA — weights sum to the
+    denominator exactly).  Output one row per key
+    (key, n_used, ewma_num, ewma).  One bucketed key shuffle;
+    position-from-end is a vectorized per-key cumcount, no per-key
+    slicing."""
+    if not (1 <= k <= 31):
+        raise ValueError("k must be in [1, 31]")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy().astype(np.int64)
+        n = len(g)
+        # per-key segment boundaries on the sorted frame
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        seg_start = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        seg_end = np.append(seg_start[1:], n)          # exclusive
+        pos_from_end = (seg_end[seg_id] - 1) - np.arange(n)
+        keep = pos_from_end < k                         # last k rows/key
+        rn = pos_from_end[keep] + 1                     # 1 = most recent
+        w = np.int64(1) << (k - rn)
+        num = vals[keep] * w
+        df = pd.DataFrame({key_col: keys[keep], "__num": num,
+                           "__one": np.ones(keep.sum(), np.int64)})
+        agg = df.groupby(key_col, sort=False, as_index=False).sum()
+        m = agg["__one"].to_numpy().astype(np.int64)
+        enum = agg["__num"].to_numpy().astype(np.int64)
+        denom = (np.int64(1) << k) - (np.int64(1) << (k - m))
+        return pd.DataFrame({
+            key_col: agg[key_col],
+            "n_used": m,
+            "ewma_num": enum,
+            "ewma": enum.astype(np.float64) / denom.astype(np.float64)})
+
+    return bucketed_groupby(ds, [key_col], fold, n_buckets)

@@ -1213,3 +1213,76 @@ def roc_auc(ds, label_col: str, score_col: str, pos_label, neg_label,
         "n_neg": pa.array([n2], pa.int64()),
         "u2": pa.array([u2], pa.int64()),
         "auc": pa.array([auc], pa.float64())})
+
+
+AP_Q = 1 << 30                    # precision quantum for average_precision
+
+
+def average_precision(ds, label_col: str, score_col: str, pos_label,
+                      neg_label, *, n_buckets: int = 16):
+    """QUANTIZED average precision (step-wise PR-AUC, the ranking
+    metric beside :func:`roc_auc`) of an integer score as a binary
+    classifier.  Thresholds sweep the DISTINCT score values in
+    descending order (all ties enter together — the deterministic,
+    permutation-free tie rule); at threshold v with cumulative
+    tp/fp counts,
+
+        AP = Σ_v Δtp(v) · P(v) / n_pos,    P(v) = tp/(tp+fp)
+
+    To keep the sum ORDER-FREE (the kl/entropy quantized-ln
+    discipline), each precision is floored onto the 2^-30 lattice:
+    q(v) = (AP_Q·tp) // (tp+fp) is an exact integer, the per-value
+    terms Δtp·q(v) sum exactly (Python ints), and
+
+        ap = ap_num / (AP_Q · n_pos)
+
+    is the ONE float division — bit-mirrorable by a windowed-cumsum
+    SQL with BIGINT // division.  |ap − AP_true| < 2^-30.  Rows with
+    other labels are ignored.  Output one row
+    (n_pos, n_neg, ap_num, ap); ap NULL when n_pos == 0."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(label_col).to_pylist()
+        v = b.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for tag, name in ((pos_label, "a"), (neg_label, "b")):
+            m = np.array([x == tag for x in g])
+            vv = v[m]
+            u, c = np.unique(vv, return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0) \
+        .sort_index(ascending=False)        # descending score sweep
+    ca = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv), np.int64)
+    cb = piv["b"].to_numpy() if "b" in piv else np.zeros(len(piv), np.int64)
+    n_pos, n_neg = int(ca.sum()), int(cb.sum())
+    tp = fp = 0
+    ap_num = 0
+    for dtp, dfp in zip(ca.tolist(), cb.tolist()):
+        tp += int(dtp)
+        fp += int(dfp)
+        if dtp:
+            ap_num += int(dtp) * ((AP_Q * tp) // (tp + fp))
+    ap = (float(ap_num) / (float(AP_Q) * float(n_pos))
+          if n_pos > 0 else None)
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "ap_num": pa.array([ap_num], pa.int64()),
+        "ap": pa.array([ap], pa.float64())})
