@@ -599,3 +599,48 @@ def test_api_session6b_surface(ray_session, tmp_path):
     vd = pa.table({"text": pa.array(["a b a"])})
     row = api.from_arrow(vd).vocab_drift(str(tmp_path / "vs"))
     assert row.column("v_new")[0].as_py() == 2
+
+
+def test_api_session7_surface(ray_session):
+    """Fluent wiring of the session-7 terminals."""
+    scored = pa.table({"g": pa.array(["p", "p", "n", "n"]),
+                       "v": pa.array([9, 8, 2, 1], pa.int64())})
+    ap = api.from_arrow(scored).average_precision("g", "v", "p", "n",
+                                                  n_buckets=2)
+    assert ap.column("ap")[0].as_py() == 1.0
+    gains = api.from_arrow(scored).decile_gains("g", "v", "p", "n",
+                                                n_bins=2, n_buckets=2)
+    assert gains.column("rate")[0].as_py() == 1.0
+
+    ev = pa.table({"u": pa.array([1, 1], pa.int64()),
+                   "tu": pa.array([1, 2], pa.int64()),
+                   "eid": pa.array([10, 11], pa.int64()),
+                   "typ": pa.array(["click", "purchase"]),
+                   "cents": pa.array([0, 500], pa.int64())})
+    at = api.from_arrow(ev).attribution(
+        key_col="u", ts_col="tu", id_col="eid", type_col="typ",
+        value_col="cents", conv_type="purchase", window=10,
+        n_buckets=2).to_pandas()
+    assert at.touch_type.tolist() == ["click"]
+
+    ew = api.from_arrow(ev).ewma(key_col="u", ts_col="tu",
+                                 id_col="eid", value_col="cents",
+                                 k=2, n_buckets=2).to_pandas()
+    assert ew.ewma_num.tolist() == [500 * 2 + 0]
+
+    fd = api.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "d": pa.array(["a", "b"])})).fd_check("k", "d", n_buckets=2)
+    assert fd.column("n_violated")[0].as_py() == 1
+
+    pts = pa.table({"g": pa.array(["A", "B"]),
+                    "cell": pa.array([0, 2], pa.int64())})
+    hd = api.from_arrow(pts).hausdorff(res=6, max_dist=4, group_a="A",
+                                       group_b="B", n_buckets=2)
+    assert hd.column("hausdorff")[0].as_py() == 2
+
+    edges = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                      "dst": pa.array([2, 1, 1], pa.int64())})
+    sc = api.from_arrow(edges).scc(n_buckets=2).to_pandas()
+    got = dict(zip(sc.node.astype(int), sc.comp.astype(int)))
+    assert got == {1: 1, 2: 1, 3: 3}

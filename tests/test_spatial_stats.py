@@ -792,3 +792,33 @@ def test_ruggedness_index_goldens(ray_session):
                           res=RES).to_pandas().set_index("cell")
     assert int(o2.loc[0, "tri2"]) == 4 and int(o2.loc[0, "n_nbrs"]) == 1
     assert o2.loc[9, "tri"] == math.sqrt(4.0)
+
+
+def test_hausdorff_cells_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.geom.cells import _grid_dims
+    from zen3geo_ray.stages.spatial_stats import hausdorff_cells
+
+    nc, _nr = _grid_dims(6)
+    # A = {(0,0), (5,0)}; B = {(0,0), (1,3)}  (x, y) on the res-6 grid
+    # h(A,B): a1 shares a cell (0), a2 -> nearest b2 at cheb
+    #         max(|5-1|,|0-3|) = 4 -> h_ab = 4
+    # h(B,A): b1 -> 0, b2 -> min(cheb to (0,0)=3, to (5,0)=4) = 3
+    a = [(0, 0), (5, 0)]
+    b = [(0, 0), (1, 3)]
+    rows = ([("A", x + y * nc) for x, y in a]
+            + [("B", x + y * nc) for x, y in b])
+    t = pa.table({"g": pa.array([r[0] for r in rows]),
+                  "cell": pa.array([r[1] for r in rows], pa.int64())})
+    out = hausdorff_cells(rd.from_arrow(t).repartition(2), res=6,
+                          max_dist=8, group_a="A", group_b="B",
+                          n_buckets=2).to_pandas().iloc[0]
+    assert (int(out.h_ab), int(out.h_ba), int(out.hausdorff)) == (4, 3, 4)
+    assert (int(out.n_far_ab), int(out.n_far_ba)) == (0, 0)
+
+    # bounded-search contract: max_dist=2 leaves a2 and b2 unmatched
+    out2 = hausdorff_cells(rd.from_arrow(t), res=6, max_dist=2,
+                           group_a="A", group_b="B").to_pandas().iloc[0]
+    assert (int(out2.h_ab), int(out2.n_far_ab)) == (0, 1)
+    assert (int(out2.h_ba), int(out2.n_far_ba)) == (0, 1)

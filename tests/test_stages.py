@@ -795,3 +795,26 @@ def test_fd_check_golden(ray_session):
     o2 = fd_check(rd.from_arrow(t2), "k", "d").to_pandas().iloc[0]
     assert (int(o2.n_keys), int(o2.n_violated), int(o2.max_card)) \
         == (2, 0, 1)
+
+
+def test_decile_gains_golden(ray_session):
+    # 10 rows, scores 10..1 descending, positives at the top 3 scores
+    g = ["p"] * 3 + ["n"] * 7
+    v = list(range(10, 0, -1))
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    out = zonal.decile_gains(rd.from_arrow(t).repartition(3), "g", "v",
+                             "p", "n", n_bins=5, n_buckets=2).to_pandas()
+    # 5 bins of 2 rows each (all values distinct): top bin rate 1.0,
+    # second bin has one positive, rest 0
+    assert out.bin.tolist() == [0, 1, 2, 3, 4]
+    assert out.n.tolist() == [2, 2, 2, 2, 2]
+    assert out.n_pos.tolist() == [2, 1, 0, 0, 0]
+    assert out.rate.tolist() == [1.0, 0.5, 0.0, 0.0, 0.0]
+
+    # ties share a bin: all values equal -> ONE bin 0 with everything
+    t2 = pa.table({"g": pa.array(["p", "n", "n", "n"]),
+                   "v": pa.array([7, 7, 7, 7], pa.int64())})
+    o2 = zonal.decile_gains(rd.from_arrow(t2), "g", "v", "p", "n",
+                            n_bins=4).to_pandas()
+    assert o2.bin.tolist() == [0] and o2.n.tolist() == [4]
+    assert o2.rate.tolist() == [0.25]

@@ -930,6 +930,58 @@ class Pipe:
 
         return vocab_drift(self.ds, store_dir, **kwargs)
 
+    def average_precision(self, label_col: str, score_col: str,
+                          pos_label, neg_label, **kwargs) -> pa.Table:
+        """Quantized step-wise PR-AUC of an integer score (terminal)."""
+        from .stages.zonal import average_precision
+
+        return average_precision(self.ds, label_col, score_col,
+                                 pos_label, neg_label, **kwargs)
+
+    def decile_gains(self, label_col: str, score_col: str,
+                     pos_label, neg_label, **kwargs) -> pa.Table:
+        """Descending-rank gains/lift bins with per-bin positive rate
+        (terminal)."""
+        from .stages.zonal import decile_gains
+
+        return decile_gains(self.ds, label_col, score_col,
+                            pos_label, neg_label, **kwargs)
+
+    def attribution(self, **kwargs) -> "Pipe":
+        """Last-touch attribution per channel (conversions +
+        credited value)."""
+        from .stages.sequence import last_touch_attribution
+
+        return Pipe(last_touch_attribution(self.ds, **kwargs))
+
+    def ewma(self, **kwargs) -> "Pipe":
+        """Per-key dyadic EWMA of the last k integer values."""
+        from .stages.sequence import ewma_last_k
+
+        return Pipe(ewma_last_k(self.ds, **kwargs))
+
+    def fd_check(self, det_col: str, dep_col: str, **kwargs) -> pa.Table:
+        """Functional-dependency profile row (terminal)."""
+        from .stages.profile import fd_check
+
+        return fd_check(self.ds, det_col, dep_col, **kwargs)
+
+    def hausdorff(self, *, res: int, max_dist: int, group_a, group_b,
+                  **kwargs) -> pa.Table:
+        """Grid Hausdorff distance between two occupancy patterns
+        (terminal)."""
+        from .stages.spatial_stats import hausdorff_cells
+
+        return hausdorff_cells(self.ds, res=res, max_dist=max_dist,
+                               group_a=group_a, group_b=group_b,
+                               **kwargs)
+
+    def scc(self, **kwargs) -> "Pipe":
+        """Strongly-connected components of a directed edge dataset."""
+        from .stages.graph import strongly_connected_components
+
+        return Pipe(strongly_connected_components(self.ds, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""

@@ -713,6 +713,48 @@ SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
 FROM nx WHERE cell_to IS NOT NULL GROUP BY 1, 2"""
 
 
+SCC_MIN_FLOW = 4
+
+
+def q_scc(sf_dir: str):
+    """STRONGLY-connected components of the thresholded OD flow graph
+    (mutually-reachable mobility regions): od_matrix edges with
+    n >= 4 flows feed min-pivot forward-backward label refinement —
+    every inner propagation is relax + pointer jump to ITS fixpoint,
+    restricted to same-block edges, so blocks only refine and the
+    fixpoint blocks are exactly the SCCs
+    (stages/graph.py:strongly_connected_components)."""
+    from ..stages.graph import strongly_connected_components
+
+    od = q_od_matrix(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("n"),
+                             pa.scalar(SCC_MIN_FLOW, pa.int64())),
+            pc.not_equal(b.column("cell_from"), b.column("cell_to")))
+        f = b.filter(keep)
+        return pa.table({"src": f.column("cell_from"),
+                         "dst": f.column("cell_to")})
+
+    edges = od.map_batches(prep, batch_format="pyarrow")
+    return strongly_connected_components(edges)
+
+
+def _sql_scc() -> str:
+    od = _sql_od_matrix()
+    return f"""WITH RECURSIVE od AS MATERIALIZED ({od}),
+e AS MATERIALIZED (SELECT cell_from AS a, cell_to AS b FROM od
+                   WHERE n >= {SCC_MIN_FLOW} AND cell_from <> cell_to),
+nd AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+reach(a, b) AS (SELECT v, v FROM nd
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)
+SELECT r1.a AS node, CAST(MIN(r1.b) AS BIGINT) AS comp
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -11633,6 +11675,96 @@ FROM (SELECT {det}, CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS c
     return " UNION ALL ".join(parts)
 
 
+GAINS_BINS = 10
+
+
+def q_gains(sf_dir: str):
+    """Decile gains/lift table of doc length as a src0-vs-src1
+    classifier: descending-RANK bins cut EXACTLY from the pooled value
+    histogram (no global sort — bin(v) = (cum_before·10)//N, ties
+    share a bin), per-bin positive rate the one float
+    (stages/zonal.py:decile_gains)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.decile_gains(docs, "source", "n_chars", AB_A, AB_B,
+                              n_bins=GAINS_BINS)
+
+
+def _sql_gains() -> str:
+    return f"""
+WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+pooled AS (SELECT v,
+    CAST(SUM(CASE WHEN g = '{AB_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(COUNT(*) AS BIGINT) AS ct
+  FROM h GROUP BY v),
+rk AS (SELECT ca, ct,
+    CAST(SUM(ct) OVER (ORDER BY v DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct
+         AS BIGINT) AS cumb
+  FROM pooled),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM pooled),
+b AS (SELECT (cumb * {GAINS_BINS}) // tot.n AS bin, ca, ct
+      FROM rk CROSS JOIN tot)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(ct) AS BIGINT) AS n,
+  CAST(SUM(ca) AS BIGINT) AS n_pos,
+  CAST(SUM(ca) AS DOUBLE) / CAST(SUM(ct) AS DOUBLE) AS rate
+FROM b GROUP BY 1"""
+
+
+HAUS_MAX_DIST = 8
+
+
+def q_hausdorff(sf_dir: str):
+    """Grid Hausdorff distance between the src0 and src1 occupancy
+    patterns: both sides reduce to distinct occupied cells (one
+    bucketed shuffle), directed max-min Chebyshev distances via the
+    bounded ring search, all integers
+    (stages/spatial_stats.py:hausdorff_cells)."""
+    from ..stages.spatial_stats import hausdorff_cells
+
+    pts = _geocoded(sf_dir, RES_ZONAL, keep_extra=["source"])
+    return hausdorff_cells(pts, res=RES_ZONAL, max_dist=HAUS_MAX_DIST,
+                           group_a=AB_A, group_b=AB_B,
+                           group_col="source")
+
+
+def _sql_hausdorff() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    d = HAUS_MAX_DIST
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dy in range(-d, d + 1)
+                     for dx in range(-d, d + 1))
+    dir_cte = """
+nn_{t} AS (SELECT a.cell,
+       CAST(MIN(GREATEST(ABS(d.dx), ABS(d.dy))) AS BIGINT) AS dist
+  FROM o{s} a CROSS JOIN offs d
+  JOIN o{d2} b ON b.cell = a.cell + d.dy * {nc} + d.dx
+  WHERE a.xx + d.dx BETWEEN 0 AND {ncm}
+    AND a.yy + d.dy BETWEEN 0 AND {nrm}
+  GROUP BY 1),
+agg_{t} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+                   CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS h
+            FROM nn_{t})"""
+    return f"""
+{_sql_geo_cte(RES_ZONAL, ", source")},
+occ AS MATERIALIZED (SELECT DISTINCT source AS g, cell FROM geo
+                     WHERE source IN ('{AB_A}', '{AB_B}')),
+oa AS MATERIALIZED (SELECT cell, cell % {nc} AS xx, cell // {nc} AS yy
+                    FROM occ WHERE g = '{AB_A}'),
+ob AS MATERIALIZED (SELECT cell, cell % {nc} AS xx, cell // {nc} AS yy
+                    FROM occ WHERE g = '{AB_B}'),
+offs(dx, dy) AS (VALUES {offs}),
+{dir_cte.format(t="ab", s="a", d2="b", nc=nc, ncm=nc - 1, nrm=nr - 1)},
+{dir_cte.format(t="ba", s="b", d2="a", nc=nc, ncm=nc - 1, nrm=nr - 1)},
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM oa),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM ob)
+SELECT n_a, n_b, agg_ab.h AS h_ab, agg_ba.h AS h_ba,
+       GREATEST(agg_ab.h, agg_ba.h) AS hausdorff,
+       n_a - agg_ab.n_found AS n_far_ab,
+       n_b - agg_ba.n_found AS n_far_ba
+FROM na CROSS JOIN nb CROSS JOIN agg_ab CROSS JOIN agg_ba"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -12104,6 +12236,9 @@ FROM cand QUALIFY rank <= 10
         "attribution": _sql_attribution(),
         "ewma": _sql_ewma(),
         "fd_check": _sql_fd_check(),
+        "gains": _sql_gains(),
+        "hausdorff": _sql_hausdorff(),
+        "scc": _sql_scc(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -12719,6 +12854,9 @@ def build_queries() -> dict:
         "attribution": q_attribution,
         "ewma": q_ewma,
         "fd_check": q_fd_check,
+        "gains": q_gains,
+        "hausdorff": q_hausdorff,
+        "scc": q_scc,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

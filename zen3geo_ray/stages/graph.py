@@ -3956,3 +3956,233 @@ def minimum_spanning_forest(edges, *, src: str = "src", dst: str = "dst",
         "u": pa.array(np.concatenate(fu)),
         "v": pa.array(np.concatenate(fv)),
         "w": pa.array(np.concatenate(fw))}))
+
+
+def strongly_connected_components(edges, *, src: str = "src",
+                                  dst: str = "dst", max_rounds: int = 12,
+                                  inner_rounds: int = 40,
+                                  n_buckets: int | None = None,
+                                  broadcast_threshold: int = BROADCAST_NODES):
+    """STRONGLY-connected components of a DIRECTED edge Dataset:
+    (node, comp) with comp the MINIMUM node id of the SCC — the
+    directed sibling of :func:`connected_components`, via min-pivot
+    forward-backward label REFINEMENT (the distributed FW-BW/coloring
+    family — Fleischer 2000; Orzan 2004's color propagation):
+
+    every node carries a block label ``part`` (invariant: the min node
+    id of its block; blocks only ever REFINE, and an SCC is never
+    split because mutually-reachable nodes always agree on both
+    propagated labels).  Per outer round, restricted to
+    SAME-BLOCK edges:
+
+        f(v) = min id that REACHES v      (forward min propagation)
+        b(v) = min id REACHABLE FROM v    (backward min propagation)
+        part'(v) = min node id of the (part, f, b) class
+
+    The block-min pivot m gets (m, m, m) while every non-SCC(m) node
+    in its block differs in f or b (f=b=m would mean mutual
+    reachability with m), so each round peels at least one SCC per
+    live block; at the fixpoint blocks ARE the SCCs.  Each inner
+    propagation runs to ITS fixpoint (relax + pointer jump — f(f(v))
+    reaches f(v) reaches v, all in-block, so jumping is sound and
+    convergence is O(log diameter) edge passes); a non-converged
+    inner pass would split blocks spuriously, so both paths raise
+    RuntimeError rather than return a partial refinement.
+
+    Broadcast path (<= ``broadcast_threshold`` nodes): part/f/b are
+    driver arrays shipped per inner pass via ray.put — the edge table
+    NEVER re-shuffles, pointer jumps and the regroup are free numpy /
+    hash-group gathers.  Bucketed BSP path above it: per outer round
+    the edge table is annotated once with both endpoint parts and
+    filtered to active (same-block) edges, then each inner pass is
+    the connected_components relax+jump plan on those directed
+    edges."""
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
+        ]))
+        return pa.table({NODE: pa.array(u)})
+
+    nodes = bucketed_groupby(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        [NODE], lambda g: g.drop_duplicates(NODE), n_buckets=n_buckets,
+    ).materialize()
+    n_nodes = nodes.count()
+
+    import ray
+    import ray.data as rd
+
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({NODE: pa.array([], pa.int64()),
+                                       "comp": pa.array([], pa.int64())}))
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(NODE, sort=False, as_index=False)["lab"].min()
+
+    if n_nodes <= broadcast_threshold:
+        ns = np.sort(nodes.to_pandas()[NODE].to_numpy().astype(np.int64))
+        part = np.full(len(ns), ns[0], dtype=np.int64)
+
+        def prop_fixpoint(part: np.ndarray, forward: bool) -> np.ndarray:
+            lab = ns.copy()
+            for _ in range(inner_rounds):
+                ref = ray.put((ns, part, lab))
+
+                def relax(b: pa.Table, _ref=ref,
+                          _fwd=forward) -> pa.Table:
+                    nsl, pt, lb = _get_blob(_ref)
+                    s = b.column(src).to_numpy(zero_copy_only=False)
+                    d = b.column(dst).to_numpy(zero_copy_only=False)
+                    if not _fwd:
+                        s, d = d, s
+                    si = np.searchsorted(nsl, s)
+                    di = np.searchsorted(nsl, d)
+                    m = pt[si] == pt[di]
+                    df = pd.DataFrame({NODE: d[m], "lab": lb[si[m]]}) \
+                        .groupby(NODE, sort=False,
+                                 as_index=False)["lab"].min()
+                    return pa.Table.from_pandas(
+                        df, preserve_index=False) \
+                        .replace_schema_metadata(None)
+
+                red = bucketed_groupby(
+                    edges.map_batches(relax, batch_format="pyarrow"),
+                    [NODE], take_min, n_buckets=n_buckets,
+                ).to_pandas()
+                new = lab.copy()
+                if len(red):
+                    idx = np.searchsorted(
+                        ns, red[NODE].to_numpy().astype(np.int64))
+                    np.minimum.at(
+                        new, idx, red["lab"].to_numpy().astype(np.int64))
+                while True:  # pointer jumps — free driver gathers
+                    j = np.minimum(new, new[np.searchsorted(ns, new)])
+                    if np.array_equal(j, new):
+                        break
+                    new = j
+                if np.array_equal(new, lab):
+                    return lab
+                lab = new
+            raise RuntimeError(
+                f"scc inner propagation did not converge in "
+                f"{inner_rounds} relax+jump passes; raise inner_rounds")
+
+        for _ in range(max_rounds):
+            if np.array_equal(part, ns):      # all singletons
+                break
+            f = prop_fixpoint(part, True)
+            bk = prop_fixpoint(part, False)
+            df = pd.DataFrame({"p": part, "f": f, "b": bk, "v": ns})
+            newp = df.groupby(["p", "f", "b"], sort=False)["v"] \
+                .transform("min").to_numpy().astype(np.int64)
+            if np.array_equal(newp, part):
+                break
+            part = newp
+        else:
+            raise RuntimeError(
+                f"scc did not converge in {max_rounds} refinement "
+                "rounds (each peels >= one SCC per live block); raise "
+                "max_rounds")
+        return rd.from_arrow(pa.table({NODE: pa.array(ns),
+                                       "comp": pa.array(part)}))
+
+    # ---- bucketed BSP path (state too big to broadcast) ----
+    gmin = int(nodes.min(NODE))
+    part = _settle(nodes.map_batches(
+        lambda b: pa.table({
+            NODE: b.column(NODE),
+            "part": pa.array(np.full(len(b), gmin, np.int64))}),
+        batch_format="pyarrow"), n_buckets)
+
+    def prop_fix_bucketed(e_act, reverse: bool):
+        lab = _settle(nodes.map_batches(
+            lambda b: pa.table({NODE: b.column(NODE),
+                                "lab": b.column(NODE)}),
+            batch_format="pyarrow"), n_buckets)
+        join_col, emit_col = (dst, src) if reverse else (src, dst)
+
+        def relax_partial(b: pa.Table) -> pa.Table:
+            d = b.column(emit_col).to_numpy(zero_copy_only=False)
+            lv = b.column("lab").to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({NODE: d, "lab": lv}).groupby(
+                NODE, sort=False, as_index=False)["lab"].min()
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        prev_sum = None
+        for _ in range(inner_rounds):
+            joined = _propagated(e_act, lab, src=join_col,
+                                 n_buckets=n_buckets)
+            relaxed = joined.map_batches(relax_partial,
+                                         batch_format="pyarrow")
+            lab = _settle(bucketed_groupby(
+                lab.union(relaxed), [NODE], take_min,
+                n_buckets=n_buckets), n_buckets)
+            parent = lab.map_batches(
+                lambda b: pa.table({"lab": b.column(NODE),
+                                    "_p": b.column("lab")}),
+                batch_format="pyarrow")
+            lab = _settle(bucketed_join(
+                lab, parent, ["lab"], n_buckets=n_buckets,
+            ).map_batches(
+                lambda b: pa.table({NODE: b.column(NODE),
+                                    "lab": b.column("_p")}),
+                batch_format="pyarrow"), n_buckets)
+            new_sum = lab.sum("lab", ignore_nulls=False)
+            if new_sum == prev_sum:
+                return lab
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"scc inner propagation did not converge in {inner_rounds} "
+            "relax+jump passes; raise inner_rounds")
+
+    prev_part_sum = None
+    for _ in range(max_rounds):
+        # annotate both endpoints' parts once per round; keep only
+        # same-block edges — the inner passes then need no part check
+        ann = _propagated(edges, part, src=src, n_buckets=n_buckets)
+        pd_state = part.map_batches(
+            lambda b: pa.table({dst: b.column(NODE),
+                                "_pd": b.column("part")}),
+            batch_format="pyarrow")
+        e_act = _settle(bucketed_join(
+            ann, pd_state, [dst], n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: b.filter(pc.equal(b.column("part"),
+                                        b.column("_pd")))
+            .select([src, dst]),
+            batch_format="pyarrow"), n_buckets)
+        f_state = prop_fix_bucketed(e_act, False).map_batches(
+            lambda b: pa.table({NODE: b.column(NODE),
+                                "_f": b.column("lab")}),
+            batch_format="pyarrow")
+        b_state = prop_fix_bucketed(e_act, True).map_batches(
+            lambda b: pa.table({NODE: b.column(NODE),
+                                "_b": b.column("lab")}),
+            batch_format="pyarrow")
+        fb = bucketed_join(f_state, b_state, [NODE], n_buckets=n_buckets)
+        all3 = _settle(bucketed_join(fb, part, [NODE],
+                                     n_buckets=n_buckets), n_buckets)
+
+        def regroup(g: pd.DataFrame) -> pd.DataFrame:
+            np_ = g.groupby(["part", "_f", "_b"], sort=False)[NODE] \
+                .transform("min")
+            return pd.DataFrame({NODE: g[NODE].to_numpy(),
+                                 "part": np_.to_numpy()})
+
+        part = _settle(bucketed_groupby(
+            all3, ["part", "_f", "_b"], regroup, n_buckets=n_buckets),
+            n_buckets)
+        new_sum = part.sum("part", ignore_nulls=False)
+        if new_sum == prev_part_sum:
+            return part.map_batches(
+                lambda b: pa.table({NODE: b.column(NODE),
+                                    "comp": b.column("part")}),
+                batch_format="pyarrow")
+        prev_part_sum = new_sum
+    raise RuntimeError(
+        f"scc did not converge in {max_rounds} refinement rounds "
+        "(each peels >= one SCC per live block); raise max_rounds")

@@ -1419,3 +1419,87 @@ def watershed_label(ds, *, res: int, jump_rounds: int = 6,
         "cell": pa.array(cells_), "h": pa.array(h),
         "sink": pa.array(cells_[parent]),
         "basin_n": pa.array(counts[parent])}))
+
+
+def hausdorff_cells(ds, *, res: int, max_dist: int, group_a, group_b,
+                    group_col: str = "g", cell_col: str = "cell",
+                    n_buckets: int = 8) -> pa.Table:
+    """GRID Hausdorff distance between two point patterns (Huttenlocher
+    1993's shape-comparison metric, run on the occupancy grid): both
+    groups reduce to their DISTINCT occupied-cell sets (one bucketed
+    shuffle, GRID-bounded state), then each directed distance
+
+        h(A, B) = max_{a in A} min_{b in B} d_chebyshev(a, b)
+
+    comes from a bounded ring search — ring 0 is the shared-cell
+    probe, rings 1..max_dist scan outward on the sorted other-set
+    array; cells with no opposite-set cell within ``max_dist`` are
+    counted in ``n_far_*`` and excluded from the max (the clark_evans
+    bounded-search contract).  All integers.  Output one row
+    (n_a, n_b, h_ab, h_ba, hausdorff, n_far_ab, n_far_ba);
+    h = 0 when a side finds nothing (COALESCE discipline)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        c = b.column(cell_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for tag, name in ((group_a, "a"), (group_b, "b")):
+            m = np.array([x == tag for x in g])
+            rows.append(pd.DataFrame({"g": name,
+                                      "cell": np.unique(c[m])}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["g", "cell"])
+
+    pairs = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "cell"], fold, n_buckets=n_buckets).to_pandas()
+    a_cells = np.sort(pairs.loc[pairs["g"] == "a", "cell"]
+                      .to_numpy().astype(np.int64))
+    b_cells = np.sort(pairs.loc[pairs["g"] == "b", "cell"]
+                      .to_numpy().astype(np.int64))
+    ncols, nrows = _grid_dims(res)
+
+    def directed(src: np.ndarray, dst: np.ndarray):
+        n = len(src)
+        if n == 0 or len(dst) == 0:
+            return 0, n
+        nx = src % ncols
+        ny = src // ncols
+        best = np.full(n, -1, dtype=np.int64)
+        # ring 0: shared cell
+        found0, _ = _probe(dst, src)
+        best[found0] = 0
+        for h in range(1, max_dist + 1):
+            todo = best < 0
+            if not todo.any():
+                break
+            for dy in range(-h, h + 1):
+                for dx in range(-h, h + 1):
+                    if max(abs(dx), abs(dy)) != h:
+                        continue
+                    ok = todo & ((nx + dx >= 0) & (nx + dx < ncols)
+                                 & (ny + dy >= 0) & (ny + dy < nrows))
+                    t = src + dy * ncols + dx
+                    found, _pos = _probe(dst, np.where(ok, t, dst[0]))
+                    hit = ok & found
+                    best[hit & (best < 0)] = h
+        found_m = best >= 0
+        h_dir = int(best[found_m].max()) if found_m.any() else 0
+        return h_dir, int((~found_m).sum())
+
+    h_ab, far_ab = directed(a_cells, b_cells)
+    h_ba, far_ba = directed(b_cells, a_cells)
+    return pa.table({
+        "n_a": pa.array([len(a_cells)], pa.int64()),
+        "n_b": pa.array([len(b_cells)], pa.int64()),
+        "h_ab": pa.array([h_ab], pa.int64()),
+        "h_ba": pa.array([h_ba], pa.int64()),
+        "hausdorff": pa.array([max(h_ab, h_ba)], pa.int64()),
+        "n_far_ab": pa.array([far_ab], pa.int64()),
+        "n_far_ba": pa.array([far_ba], pa.int64()),
+    })

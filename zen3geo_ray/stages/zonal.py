@@ -1286,3 +1286,69 @@ def average_precision(ds, label_col: str, score_col: str, pos_label,
         "n_neg": pa.array([n_neg], pa.int64()),
         "ap_num": pa.array([ap_num], pa.int64()),
         "ap": pa.array([ap], pa.float64())})
+
+
+def decile_gains(ds, label_col: str, score_col: str, pos_label,
+                 neg_label, *, n_bins: int = 10, n_buckets: int = 16):
+    """GAINS / LIFT table (the marketing-ML model-eval staple beside
+    :func:`roc_auc`): rows ranked by integer score DESCENDING are cut
+    into ``n_bins`` rank bins and each bin reports its positive rate.
+    NO global sort — bins come exactly from the pooled value
+    histogram: every row with distinct value v shares the descending
+    RANK cum_before(v)+1, so its bin is the integer
+
+        bin(v) = (cum_before(v) · n_bins) // N
+
+    (ties share a bin, the ppl_buckets RANK discipline; bin 0 = top
+    scores).  n / n_pos per bin are exact ints; rate = n_pos/n is the
+    one float shape per row.  Output (bin, n, n_pos, rate), one row
+    per non-empty bin."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(label_col).to_pylist()
+        v = b.column(score_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for tag, name in ((pos_label, "a"), (neg_label, "b")):
+            m = np.array([x == tag for x in g])
+            vv = v[m]
+            u, c = np.unique(vv, return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0) \
+        .sort_index(ascending=False)
+    ca = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv), np.int64)
+    cb = piv["b"].to_numpy() if "b" in piv else np.zeros(len(piv), np.int64)
+    ct = ca + cb
+    n = int(ct.sum())
+    if n == 0:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "n_pos": pa.array([], pa.int64()),
+                         "rate": pa.array([], pa.float64())})
+    cumb = np.concatenate([[0], np.cumsum(ct)[:-1]]).astype(np.int64)
+    bins = (cumb * n_bins) // n
+    df = pd.DataFrame({"bin": bins, "n": ct, "n_pos": ca})
+    agg = df.groupby("bin", as_index=False).sum().sort_values("bin")
+    return pa.table({
+        "bin": pa.array(agg["bin"].to_numpy(), pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+        "n_pos": pa.array(agg["n_pos"].to_numpy(), pa.int64()),
+        "rate": pa.array(agg["n_pos"].to_numpy().astype(np.float64)
+                         / agg["n"].to_numpy().astype(np.float64),
+                         pa.float64())})
