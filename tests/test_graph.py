@@ -1881,3 +1881,32 @@ def test_scc_random_matches_kosaraju(ray_session, bt):
     assert got == ref
     # sanity: the instance is nontrivial (some multi-node SCC exists)
     assert len(set(ref.values())) < len(ref)
+
+
+def test_bfs_hops_sink_frontier(ray_session):
+    """Regression: a frontier of pure sinks used to crash the
+    broadcast path (empty relax frame has no columns)."""
+    edges = rd.from_arrow(pa.table({"src": pa.array([1], pa.int64()),
+                                    "dst": pa.array([2], pa.int64())}))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([2], pa.int64())}))
+    out = bfs_hops(edges, seeds, max_hops=10, n_buckets=2).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == {2: 0}
+
+
+@pytest.mark.parametrize("bt", [0, 2_000_000], ids=["bucketed", "broadcast"])
+def test_bowtie_golden(ray_session, bt):
+    from zen3geo_ray.stages.graph import bowtie_decomposition
+
+    # IN: 50 -> cycle; SCC: {1,2,3}; OUT: cycle -> 60 -> 61;
+    # tendril off IN: 50 -> 70 (reaches SCC? no: 70 is a sink off the
+    # IN node -> OTHER); disconnected: 80 -> 81 (both OTHER)
+    src = np.array([1, 2, 3, 50, 3, 60, 50, 80], dtype=np.int64)
+    dst = np.array([2, 3, 1, 1, 60, 61, 70, 81], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})) \
+        .repartition(3)
+    out = bowtie_decomposition(edges, n_buckets=8,
+                               broadcast_threshold=bt).to_pandas().iloc[0]
+    assert int(out.n_nodes) == 9
+    assert int(out.giant_comp) == 1 and int(out.n_scc) == 3
+    assert int(out.n_in) == 1 and int(out.n_out) == 2
+    assert int(out.n_other) == 3

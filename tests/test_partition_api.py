@@ -644,3 +644,16 @@ def test_api_session7_surface(ray_session):
     sc = api.from_arrow(edges).scc(n_buckets=2).to_pandas()
     got = dict(zip(sc.node.astype(int), sc.comp.astype(int)))
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_api_session7b_surface(ray_session):
+    edges = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                      "dst": pa.array([2, 1, 1], pa.int64())})
+    bt = api.from_arrow(edges).bowtie(n_buckets=2)
+    assert bt.column("n_scc")[0].as_py() == 2
+    assert bt.column("n_in")[0].as_py() == 1
+
+    t = pa.table({"a": pa.array([1, 1, 2], pa.int64()),
+                  "b": pa.array(["x", "x", "y"])})
+    ka = api.from_arrow(t).k_anonymity(["a", "b"], 2, n_buckets=2)
+    assert ka.column("n_classes_exposed")[0].as_py() == 1

@@ -818,3 +818,18 @@ def test_decile_gains_golden(ray_session):
                             n_bins=4).to_pandas()
     assert o2.bin.tolist() == [0] and o2.n.tolist() == [4]
     assert o2.rate.tolist() == [0.25]
+
+
+def test_k_anonymity_golden(ray_session):
+    from zen3geo_ray.stages.profile import k_anonymity
+
+    t = pa.table({
+        "a": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "b": pa.array(["x", "x", "x", "y", "y", "z"]),
+    })
+    out = k_anonymity(rd.from_arrow(t).repartition(3), ["a", "b"], 3,
+                      n_buckets=2).to_pandas().iloc[0]
+    # classes: (1,x)=3 ok, (2,y)=2 exposed, (3,z)=1 exposed
+    assert (int(out.n_rows), int(out.n_classes), int(out.min_class)) \
+        == (6, 3, 1)
+    assert (int(out.n_rows_exposed), int(out.n_classes_exposed)) == (3, 2)

@@ -982,6 +982,21 @@ class Pipe:
 
         return Pipe(strongly_connected_components(self.ds, **kwargs))
 
+    def bowtie(self, **kwargs) -> pa.Table:
+        """Bow-tie macro-structure (giant SCC / IN / OUT / other) of a
+        directed edge dataset (terminal)."""
+        from .stages.graph import bowtie_decomposition
+
+        return bowtie_decomposition(self.ds, **kwargs)
+
+    def k_anonymity(self, qi_cols: list[str], k: int,
+                    **kwargs) -> pa.Table:
+        """k-anonymity audit over quasi-identifier columns
+        (terminal)."""
+        from .stages.profile import k_anonymity
+
+        return k_anonymity(self.ds, qi_cols, k, **kwargs)
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""

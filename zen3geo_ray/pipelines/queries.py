@@ -726,6 +726,17 @@ def q_scc(sf_dir: str):
     (stages/graph.py:strongly_connected_components)."""
     from ..stages.graph import strongly_connected_components
 
+    return strongly_connected_components(_od_edges(sf_dir))
+
+
+def _sql_scc() -> str:
+    return (f"WITH RECURSIVE {_sql_scc_ctes()} "
+            f"SELECT node, comp FROM scc")
+
+
+def _od_edges(sf_dir: str):
+    """Thresholded directed OD flow edges (src, dst) — the shared base
+    of the scc / bowtie queries."""
     od = q_od_matrix(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
@@ -737,22 +748,162 @@ def q_scc(sf_dir: str):
         return pa.table({"src": f.column("cell_from"),
                          "dst": f.column("cell_to")})
 
-    edges = od.map_batches(prep, batch_format="pyarrow")
-    return strongly_connected_components(edges)
+    return od.map_batches(prep, batch_format="pyarrow")
 
 
-def _sql_scc() -> str:
+def _sql_scc_ctes() -> str:
+    """od -> thresholded directed edges -> reach closure -> scc, the
+    shared CTE chain of the scc / bowtie oracles."""
     od = _sql_od_matrix()
-    return f"""WITH RECURSIVE od AS MATERIALIZED ({od}),
+    return f"""od AS MATERIALIZED ({od}),
 e AS MATERIALIZED (SELECT cell_from AS a, cell_to AS b FROM od
                    WHERE n >= {SCC_MIN_FLOW} AND cell_from <> cell_to),
-nd AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+nd AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT a AS v FROM e
+                          UNION ALL SELECT b AS v FROM e)),
 reach(a, b) AS (SELECT v, v FROM nd
                 UNION
-                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)
-SELECT r1.a AS node, CAST(MIN(r1.b) AS BIGINT) AS comp
-FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-GROUP BY r1.a"""
+                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+scc AS MATERIALIZED (
+  SELECT r1.a AS node, CAST(MIN(r1.b) AS BIGINT) AS comp
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a)"""
+
+
+def q_bowtie(sf_dir: str):
+    """Bow-tie macro-structure (Broder 2000) of the OD flow graph:
+    giant SCC + IN/OUT reachability counts — composes scc with two
+    frontier-delta BFS sweeps seeded by the giant component
+    (stages/graph.py:bowtie_decomposition)."""
+    from ..stages.graph import bowtie_decomposition
+
+    return bowtie_decomposition(_od_edges(sf_dir))
+
+
+def _sql_bowtie() -> str:
+    return f"""WITH RECURSIVE {_sql_scc_ctes()},
+sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS c FROM scc
+       GROUP BY comp),
+giant AS (SELECT comp FROM sz ORDER BY c DESC, comp LIMIT 1),
+s AS MATERIALIZED (SELECT node FROM scc
+                   WHERE comp = (SELECT comp FROM giant)),
+outr AS (SELECT DISTINCT r.b AS node FROM reach r
+         JOIN s ON s.node = r.a
+         WHERE r.b NOT IN (SELECT node FROM s)),
+inr AS (SELECT DISTINCT r.a AS node FROM reach r
+        JOIN s ON s.node = r.b
+        WHERE r.a NOT IN (SELECT node FROM s)),
+c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nd) AS n_nodes,
+             (SELECT CAST(comp AS BIGINT) FROM giant) AS giant_comp,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_scc,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM inr) AS n_in,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM outr) AS n_out)
+SELECT n_nodes, giant_comp, n_scc, n_in, n_out,
+       n_nodes - n_scc - n_in - n_out AS n_other
+FROM c"""
+
+
+def q_headings(sf_dir: str):
+    """Trajectory HEADING histogram: consecutive same-user moves on
+    the od grid classified into 8 compass octants + 'stay' by pure
+    integer sign/magnitude predicates (axis wins when strictly
+    dominant, exact diagonal on |dx| == |dy|) — a constant-size map
+    over the od_matrix plan, nothing new shuffles."""
+    nc, _nr = cells._grid_dims(MK_RES)
+    od = q_od_matrix(sf_dir)
+
+    def head(b: pa.Table) -> pa.Table:
+        cf = b.column("cell_from").to_numpy(zero_copy_only=False)
+        ct = b.column("cell_to").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        dx = ct % nc - cf % nc
+        dy = ct // nc - cf // nc
+        lab = np.full(len(cf), "stay", dtype=object)
+        ax, ay = np.abs(dx), np.abs(dy)
+        east = (ax > ay) & (dx > 0)
+        west = (ax > ay) & (dx < 0)
+        north = (ay > ax) & (dy > 0)
+        south = (ay > ax) & (dy < 0)
+        diag = (ax == ay) & (ax > 0)
+        lab[east] = "E"
+        lab[west] = "W"
+        lab[north] = "N"
+        lab[south] = "S"
+        lab[diag & (dx > 0) & (dy > 0)] = "NE"
+        lab[diag & (dx > 0) & (dy < 0)] = "SE"
+        lab[diag & (dx < 0) & (dy > 0)] = "NW"
+        lab[diag & (dx < 0) & (dy < 0)] = "SW"
+        import pandas as pd
+
+        df = pd.DataFrame({"heading": lab, "n": n}).groupby(
+            "heading", sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    parts = od.map_batches(head, batch_format="pyarrow")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().groupby("heading", as_index=False)["n"].sum()
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    return parts.repartition(1).map_batches(finalize,
+                                            batch_format="pyarrow")
+
+
+def _sql_headings() -> str:
+    nc, _nr = cells._grid_dims(MK_RES)
+    od = _sql_od_matrix()
+    return f"""
+WITH od AS MATERIALIZED ({od}),
+d AS (SELECT n,
+             cell_to % {nc} - cell_from % {nc} AS dx,
+             cell_to // {nc} - cell_from // {nc} AS dy
+      FROM od),
+h AS (SELECT n, CASE
+  WHEN ABS(dx) > ABS(dy) AND dx > 0 THEN 'E'
+  WHEN ABS(dx) > ABS(dy) AND dx < 0 THEN 'W'
+  WHEN ABS(dy) > ABS(dx) AND dy > 0 THEN 'N'
+  WHEN ABS(dy) > ABS(dx) AND dy < 0 THEN 'S'
+  WHEN ABS(dx) = ABS(dy) AND dx > 0 AND dy > 0 THEN 'NE'
+  WHEN ABS(dx) = ABS(dy) AND dx > 0 AND dy < 0 THEN 'SE'
+  WHEN ABS(dx) = ABS(dy) AND dx < 0 AND dy > 0 THEN 'NW'
+  WHEN ABS(dx) = ABS(dy) AND dx < 0 AND dy < 0 THEN 'SW'
+  ELSE 'stay' END AS heading FROM d)
+SELECT heading, CAST(SUM(n) AS BIGINT) AS n FROM h GROUP BY 1"""
+
+
+KANON_K = 5
+KANON_QI = ("c_nationkey", "c_mktsegment")
+
+
+def q_kanon(sf_dir: str):
+    """k-anonymity audit of customer quasi-identifiers (nation x
+    segment): class sizes fold combiner-first, every class whole
+    inside one bucket so the driver reduce sees n_buckets summary
+    rows (stages/profile.py:k_anonymity)."""
+    from ..stages.profile import k_anonymity
+
+    cust = _read(sf_dir, "customer", list(KANON_QI))
+    return k_anonymity(cust, list(KANON_QI), KANON_K)
+
+
+def _sql_kanon() -> str:
+    qi = ", ".join(KANON_QI)
+    return f"""
+WITH cls AS (SELECT {qi}, CAST(COUNT(*) AS BIGINT) AS c
+             FROM customer GROUP BY {qi})
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(c) AS BIGINT) AS min_class,
+       CAST(COALESCE(SUM(CASE WHEN c < {KANON_K} THEN c END), 0)
+            AS BIGINT) AS n_rows_exposed,
+       CAST(SUM(CASE WHEN c < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_exposed
+FROM cls"""
 
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -12239,6 +12390,9 @@ FROM cand QUALIFY rank <= 10
         "gains": _sql_gains(),
         "hausdorff": _sql_hausdorff(),
         "scc": _sql_scc(),
+        "bowtie": _sql_bowtie(),
+        "headings": _sql_headings(),
+        "kanon": _sql_kanon(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -12857,6 +13011,9 @@ def build_queries() -> dict:
         "gains": q_gains,
         "hausdorff": q_hausdorff,
         "scc": q_scc,
+        "bowtie": q_bowtie,
+        "headings": q_headings,
+        "kanon": q_kanon,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

@@ -1448,6 +1448,10 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
                 edges.map_batches(relax_bc, batch_format="pyarrow"),
                 [NODE], take_min, n_buckets=n_buckets,
             ).to_pandas()
+            if len(red) == 0:
+                # frontier of pure sinks: relax emits nothing and the
+                # empty frame has no columns — the walk is done
+                break
             rn = red[NODE].to_numpy().astype(np.int64)
             rdist = red["dist"].to_numpy().astype(np.int64)
             # new frontier = reached nodes NOT already known
@@ -1481,12 +1485,21 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
             NODE, sort=False, as_index=False)["dist"].min()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
+    # unit-hop BFS distances are final at first reach, so an unchanged
+    # (count, dist-sum) pair is a fixpoint — stop early instead of
+    # spending (and chaining plans for) the full max_hops budget when
+    # the reachable set saturates sooner
+    prev = None
     for _ in range(max_hops):
         joined = _propagated(edges, state, src=src, n_buckets=n_buckets)
         relaxed = joined.map_batches(relax_partial, batch_format="pyarrow")
         state = _settle(bucketed_groupby(
             state.union(relaxed), [NODE], take_min, n_buckets=n_buckets,
         ), n_buckets)
+        cur = (state.count(), state.sum("dist", ignore_nulls=False))
+        if cur == prev:
+            break
+        prev = cur
     return state
 
 
@@ -3960,7 +3973,7 @@ def minimum_spanning_forest(edges, *, src: str = "src", dst: str = "dst",
 
 def strongly_connected_components(edges, *, src: str = "src",
                                   dst: str = "dst", max_rounds: int = 12,
-                                  inner_rounds: int = 40,
+                                  inner_rounds: int = 192,
                                   n_buckets: int | None = None,
                                   broadcast_threshold: int = BROADCAST_NODES):
     """STRONGLY-connected components of a DIRECTED edge Dataset:
@@ -3972,8 +3985,14 @@ def strongly_connected_components(edges, *, src: str = "src",
     every node carries a block label ``part`` (invariant: the min node
     id of its block; blocks only ever REFINE, and an SCC is never
     split because mutually-reachable nodes always agree on both
-    propagated labels).  Per outer round, restricted to
-    SAME-BLOCK edges:
+    propagated labels).  DIRECTED min propagation is inherently
+    O(block diameter) edge passes worst case — pointer jumps only
+    compress DESCENDING label chains, they cannot shortcut a distant
+    minimum crawling through locally-minimal waypoints (unlike the
+    undirected hash-to-min trick), hence the generous ``inner_rounds``
+    budget: unused passes cost nothing (the loop exits at the
+    fixpoint), and diameter-deep graphs need it.  Per outer round,
+    restricted to SAME-BLOCK edges:
 
         f(v) = min id that REACHES v      (forward min propagation)
         b(v) = min id REACHABLE FROM v    (backward min propagation)
@@ -4026,61 +4045,115 @@ def strongly_connected_components(edges, *, src: str = "src",
         ns = np.sort(nodes.to_pandas()[NODE].to_numpy().astype(np.int64))
         part = np.full(len(ns), ns[0], dtype=np.int64)
 
-        def prop_fixpoint(part: np.ndarray, forward: bool) -> np.ndarray:
-            lab = ns.copy()
-            for _ in range(inner_rounds):
-                ref = ray.put((ns, part, lab))
+        def take_min2(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby([NODE, "dir"], sort=False,
+                             as_index=False)["lab"].min()
 
-                def relax(b: pa.Table, _ref=ref,
-                          _fwd=forward) -> pa.Table:
-                    nsl, pt, lb = _get_blob(_ref)
+        def prop_fixpoint(part: np.ndarray, e_cur):
+            """Run the forward AND backward propagations to their
+            fixpoints in the SAME edge passes (they are independent,
+            so the pass count is max(fwd, bwd) instead of the sum —
+            executions dominate wall time here)."""
+            f = ns.copy()
+            bk = ns.copy()
+            f_done = b_done = False
+            for _ in range(inner_rounds):
+                ref = ray.put((ns, part, f, bk, f_done, b_done))
+
+                def relax(b: pa.Table, _ref=ref) -> pa.Table:
+                    nsl, pt, fl, bl, fd, bd = _get_blob(_ref)
                     s = b.column(src).to_numpy(zero_copy_only=False)
                     d = b.column(dst).to_numpy(zero_copy_only=False)
-                    if not _fwd:
-                        s, d = d, s
                     si = np.searchsorted(nsl, s)
                     di = np.searchsorted(nsl, d)
                     m = pt[si] == pt[di]
-                    df = pd.DataFrame({NODE: d[m], "lab": lb[si[m]]}) \
-                        .groupby(NODE, sort=False,
-                                 as_index=False)["lab"].min()
+                    frames = []
+                    if not fd:      # forward: min reacher flows s -> d
+                        frames.append(pd.DataFrame({
+                            NODE: d[m], "dir": np.int64(0),
+                            "lab": fl[si[m]]}))
+                    if not bd:      # backward: min reachable flows d -> s
+                        frames.append(pd.DataFrame({
+                            NODE: s[m], "dir": np.int64(1),
+                            "lab": bl[di[m]]}))
+                    df = pd.concat(frames, ignore_index=True).groupby(
+                        [NODE, "dir"], sort=False,
+                        as_index=False)["lab"].min()
                     return pa.Table.from_pandas(
                         df, preserve_index=False) \
                         .replace_schema_metadata(None)
 
                 red = bucketed_groupby(
-                    edges.map_batches(relax, batch_format="pyarrow"),
-                    [NODE], take_min, n_buckets=n_buckets,
+                    e_cur.map_batches(relax, batch_format="pyarrow"),
+                    [NODE, "dir"], take_min2, n_buckets=n_buckets,
                 ).to_pandas()
-                new = lab.copy()
-                if len(red):
-                    idx = np.searchsorted(
-                        ns, red[NODE].to_numpy().astype(np.int64))
-                    np.minimum.at(
-                        new, idx, red["lab"].to_numpy().astype(np.int64))
-                while True:  # pointer jumps — free driver gathers
-                    j = np.minimum(new, new[np.searchsorted(ns, new)])
-                    if np.array_equal(j, new):
-                        break
-                    new = j
-                if np.array_equal(new, lab):
-                    return lab
-                lab = new
+                if len(red) == 0:   # no active candidates at all
+                    return f, bk
+
+                def apply(lab: np.ndarray, dirno: int) -> np.ndarray:
+                    new = lab.copy()
+                    part_r = red[red["dir"] == dirno]
+                    if len(part_r):
+                        idx = np.searchsorted(
+                            ns, part_r[NODE].to_numpy().astype(np.int64))
+                        np.minimum.at(
+                            new, idx,
+                            part_r["lab"].to_numpy().astype(np.int64))
+                    while True:  # pointer jumps — free driver gathers
+                        j = np.minimum(new, new[np.searchsorted(ns, new)])
+                        if np.array_equal(j, new):
+                            break
+                        new = j
+                    return new
+
+                if not f_done:
+                    nf = apply(f, 0)
+                    f_done = np.array_equal(nf, f)
+                    f = nf
+                if not b_done:
+                    nb = apply(bk, 1)
+                    b_done = np.array_equal(nb, bk)
+                    bk = nb
+                if f_done and b_done:
+                    return f, bk
             raise RuntimeError(
                 f"scc inner propagation did not converge in "
                 f"{inner_rounds} relax+jump passes; raise inner_rounds")
 
+        e_cur = edges
+        final = np.zeros(len(ns), dtype=bool)
         for _ in range(max_rounds):
             if np.array_equal(part, ns):      # all singletons
                 break
-            f = prop_fixpoint(part, True)
-            bk = prop_fixpoint(part, False)
+            f, bk = prop_fixpoint(part, e_cur)
             df = pd.DataFrame({"p": part, "f": f, "b": bk, "v": ns})
-            newp = df.groupby(["p", "f", "b"], sort=False)["v"] \
+            cand = df.groupby(["p", "f", "b"], sort=False)["v"] \
                 .transform("min").to_numpy().astype(np.int64)
+            # FINAL blocks are frozen: their edges were peeled, so the
+            # reset self-labels would spuriously re-split them
+            newp = np.where(final, part, cand)
             if np.array_equal(newp, part):
                 break
             part = newp
+            # a class with f == b == its min is PROVABLY a whole SCC
+            # (every member mutually reaches the pivot) — it never
+            # splits again, so drop its edges: later rounds scan only
+            # the still-live fraction (the FW-BW "peel" made literal)
+            final = final | ((f == bk) & (f == newp))
+            if final.all():
+                break
+            fref = ray.put((ns, final))
+
+            def live(b: pa.Table, _ref=fref) -> pa.Table:
+                nsl, fin = _get_blob(_ref)
+                s = b.column(src).to_numpy(zero_copy_only=False)
+                d = b.column(dst).to_numpy(zero_copy_only=False)
+                keep = (~fin[np.searchsorted(nsl, s)]
+                        & ~fin[np.searchsorted(nsl, d)])
+                return b.filter(pa.array(keep))
+
+            e_cur = edges.map_batches(
+                live, batch_format="pyarrow").materialize()
         else:
             raise RuntimeError(
                 f"scc did not converge in {max_rounds} refinement "
@@ -4186,3 +4259,90 @@ def strongly_connected_components(edges, *, src: str = "src",
     raise RuntimeError(
         f"scc did not converge in {max_rounds} refinement rounds "
         "(each peels >= one SCC per live block); raise max_rounds")
+
+
+def bowtie_decomposition(edges, *, src: str = "src", dst: str = "dst",
+                         max_hops: int = 64, max_rounds: int = 12,
+                         n_buckets: int | None = None,
+                         broadcast_threshold: int = BROADCAST_NODES):
+    """BOW-TIE decomposition of a directed graph (Broder et al. 2000,
+    the web-graph macro-structure): the GIANT SCC (largest component,
+    ties to the smaller comp id), IN = nodes that reach it, OUT =
+    nodes it reaches, OTHER = tendrils/tubes/disconnected.  Composes
+    :func:`strongly_connected_components` with two multi-source
+    :func:`bfs_hops` sweeps (forward on the edges, backward on the
+    swapped edges) seeded by the giant SCC's members — IN and OUT are
+    provably disjoint from each other and from the SCC (overlap would
+    mean mutual reachability), so the counts are three Dataset counts.
+
+    ``max_hops`` bounds the reachability sweeps (frontier-delta BFS
+    stops early when the frontier empties, so a generous bound is
+    cheap on shallow graphs); a graph with true eccentricity beyond it
+    undercounts IN/OUT — raise the bound.  Output ONE row
+    (n_nodes, giant_comp, n_scc, n_in, n_out, n_other)."""
+    import ray.data as rd  # noqa: F401  (parity with sibling ops)
+
+    edges = edges.materialize()
+    comp = strongly_connected_components(
+        edges, src=src, dst=dst, max_rounds=max_rounds,
+        n_buckets=n_buckets,
+        broadcast_threshold=broadcast_threshold).materialize()
+    n_nodes = comp.count()
+    if n_nodes == 0:
+        return pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "giant_comp": pa.array([None], pa.int64()),
+            "n_scc": pa.array([0], pa.int64()),
+            "n_in": pa.array([0], pa.int64()),
+            "n_out": pa.array([0], pa.int64()),
+            "n_other": pa.array([0], pa.int64())})
+    if n_buckets is None:
+        n_buckets = _auto_buckets(n_nodes)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("comp").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"comp": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    sizes = bucketed_groupby(
+        comp.map_batches(size_partial, batch_format="pyarrow"),
+        ["comp"],
+        lambda g: g.groupby("comp", sort=False, as_index=False)["c"].sum(),
+        n_buckets=n_buckets)
+    top = sizes.map_batches(  # block-local top then a tiny driver pick
+        lambda b: b.sort_by([("c", "descending"), ("comp", "ascending")])
+        .slice(0, 1),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded: ONE row per block
+    top = top.sort_values(["c", "comp"], ascending=[False, True],
+                          kind="mergesort")
+    giant = int(top["comp"].iloc[0])
+
+    seeds = comp.map_batches(
+        lambda b, _g=giant: pa.table({
+            NODE: b.filter(pc.equal(b.column("comp"),
+                                    pa.scalar(_g, pa.int64())))
+            .column(NODE)}),
+        batch_format="pyarrow").materialize()
+    n_scc = seeds.count()
+
+    fwd = bfs_hops(edges, seeds, src=src, dst=dst, max_hops=max_hops,
+                   n_buckets=n_buckets,
+                   broadcast_threshold=broadcast_threshold)
+    rev = edges.map_batches(
+        lambda b: pa.table({src: b.column(dst), dst: b.column(src)}),
+        batch_format="pyarrow")
+    bwd = bfs_hops(rev, seeds, src=src, dst=dst, max_hops=max_hops,
+                   n_buckets=n_buckets,
+                   broadcast_threshold=broadcast_threshold)
+    n_out = fwd.count() - n_scc
+    n_in = bwd.count() - n_scc
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "giant_comp": pa.array([giant], pa.int64()),
+        "n_scc": pa.array([n_scc], pa.int64()),
+        "n_in": pa.array([n_in], pa.int64()),
+        "n_out": pa.array([n_out], pa.int64()),
+        "n_other": pa.array([n_nodes - n_scc - n_in - n_out],
+                            pa.int64())})

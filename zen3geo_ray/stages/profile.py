@@ -251,3 +251,54 @@ def fd_check(ds, det_col: str, dep_col: str, *, label: str | None = None,
                                pa.int64()),
         "max_card": pa.array([int(parts["max_card"].max())
                               if len(parts) else 0], pa.int64())})
+
+
+def k_anonymity(ds, qi_cols: list[str], k: int, *,
+                n_buckets: int = 16) -> pa.Table:
+    """K-ANONYMITY audit (Sweeney 2002): partition rows by the
+    quasi-identifier tuple and report how exposed the table is —
+    combiner-first (each block reduces to its (qi..., count) partials,
+    one bucketed sum), finale a handful of exact ints:
+
+        (n_rows, n_classes, min_class, n_rows_exposed,
+         n_classes_exposed)
+
+    where exposed = equivalence class smaller than ``k``.  The table
+    is k-anonymous iff n_classes_exposed == 0.  Every class lives
+    whole inside one bucket, so each bucket folds straight to ONE
+    summary row — the driver reduce sees n_buckets rows no matter how
+    many QI classes exist."""
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(qi_cols).to_pandas()
+        out = df.groupby(qi_cols, sort=False, as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(qi_cols, sort=False)["c"].sum() \
+            .to_numpy().astype(np.int64)
+        exposed = c < k
+        return pd.DataFrame({
+            "n_rows": [np.int64(c.sum())],
+            "n_classes": [np.int64(len(c))],
+            "min_class": [np.int64(c.min()) if len(c) else np.int64(0)],
+            "n_rows_exposed": [np.int64(c[exposed].sum())],
+            "n_classes_exposed": [np.int64(exposed.sum())]})
+
+    s = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        qi_cols, fold, n_buckets=n_buckets).to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(s["n_rows"].sum())], pa.int64()),
+        "n_classes": pa.array([int(s["n_classes"].sum())], pa.int64()),
+        "min_class": pa.array([int(s["min_class"].min())
+                               if len(s) else 0], pa.int64()),
+        "n_rows_exposed": pa.array([int(s["n_rows_exposed"].sum())],
+                                   pa.int64()),
+        "n_classes_exposed": pa.array(
+            [int(s["n_classes_exposed"].sum())], pa.int64()),
+    })
