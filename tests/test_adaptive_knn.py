@@ -212,3 +212,33 @@ def test_tuner_monotone_and_loose_target_prunes_harder(ray_session):
         rd.from_arrow(tbl), blob, 10, n_planes=8, target_recall=0.5
     )
     assert p_loose <= p_tight
+
+
+def test_upsert_store_scd1(ray_session, tmp_path):
+    """SCD-1 upsert: later runs overwrite per key by (ver, uid) desc;
+    unknown keys insert; prior parts are never rewritten."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    store = str(tmp_path / "upsert")
+
+    def tbl(rows):
+        return rd.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ver": pa.array([r[1] for r in rows], pa.int64()),
+            "uid": pa.array([r[2] for r in rows], pa.int64()),
+            "v": pa.array([r[3] for r in rows]),
+        }))
+
+    v1 = lineage.upsert_store(tbl([(1, 10, 100, "a"), (2, 10, 101, "b")]),
+                              store, key_cols=["k"],
+                              order_cols=["ver", "uid"]).to_pandas()
+    assert dict(zip(v1.k, v1.v)) == {1: "a", 2: "b"}
+    # run 2: newer ver for k=1, OLDER ver for k=2 (ignored), new k=3,
+    # and a ver tie on k=3 broken by uid desc
+    v2 = lineage.upsert_store(
+        tbl([(1, 20, 102, "a2"), (2, 5, 103, "old"),
+             (3, 7, 104, "c1"), (3, 7, 105, "c2")]),
+        store, key_cols=["k"], order_cols=["ver", "uid"]).to_pandas()
+    assert dict(zip(v2.k, v2.v)) == {1: "a2", 2: "b", 3: "c2"}
+    assert len(v2) == 3

@@ -997,6 +997,15 @@ class Pipe:
 
         return k_anonymity(self.ds, qi_cols, k, **kwargs)
 
+    def upsert(self, store_dir: str, *, key_cols: list[str],
+               order_cols: list[str], **kwargs) -> "Pipe":
+        """SCD-1 keyed upsert into a parquet store; returns the merged
+        current view."""
+        from .state.lineage import upsert_store
+
+        return Pipe(upsert_store(self.ds, store_dir, key_cols=key_cols,
+                                 order_cols=order_cols, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""

@@ -906,6 +906,246 @@ SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
 FROM cls"""
 
 
+PATHS_K = 5
+
+
+def q_paths(sf_dir: str):
+    """User-journey PATH mining (the product-analytics 'top paths'
+    report): per user the first 5 event types in the exact (ts, id)
+    total order joined with '>' into a path string, counted globally —
+    one bucketed user shuffle, vectorized per-key head via
+    position-from-start, tiny path-domain reduce."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type")}),
+        batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tu", "event_id"],
+                          kind="mergesort")
+        pos = g.groupby("user_id", sort=False).cumcount()
+        head = g[pos < PATHS_K]
+        paths = head.groupby("user_id", sort=False)["event_type"] \
+            .agg(">".join)
+        out = paths.to_frame("path").groupby("path", sort=False) \
+            .size().reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = bucketed_groupby(ev, ["user_id"], fold, n_buckets=16)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().groupby("path", as_index=False)["n_users"] \
+            .sum()
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    return parts.repartition(1).map_batches(finalize,
+                                            batch_format="pyarrow")
+
+
+def _sql_paths() -> str:
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events),
+r AS (SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY tu, event_id) AS rn
+  FROM e),
+p AS (SELECT user_id,
+    STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATHS_K} GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path"""
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q_q7_volume(sf_dir: str):
+    """TPC-H Q7-shaped shipping-volume chain: lineitem revenue between
+    two nations in BOTH directions, grouped by (supp_nation,
+    cust_nation, ship year) — broadcast supplier->nation lookup, two
+    bucketed hash joins (orders x customer-of-the-two-nations,
+    lineitem x enriched orders), year via searchsorted over calendar
+    year starts, exact int64 cents."""
+    import datetime
+
+    import ray
+
+    from ..stages.hashjoin import bucketed_join
+    from ..stages.join import make_broadcast_lookup_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    pair_keys = {k for k, v in names.items()
+                 if v in (Q7_NATION_A, Q7_NATION_B)}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    blob = {
+        "l_suppkey": sup.column("s_suppkey").to_numpy(
+            zero_copy_only=False),
+        "s_nationkey": sup.column("s_nationkey").to_numpy(
+            zero_copy_only=False),
+    }
+    ref = ray.put(blob) if ray.is_initialized() else blob
+    j_sup = make_broadcast_lookup_join(
+        ref, key_col="l_suppkey", value_cols={"s_nationkey": pa.int64()})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    pk = sorted(pair_keys)
+
+    def ckeys(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(np.isin(nk, pk)))
+        return pa.table({"o_custkey": f.column("c_custkey"),
+                         "c_nationkey": f.column("c_nationkey")})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_enriched = bucketed_join(
+        orders, cust.map_batches(ckeys, batch_format="pyarrow"),
+        ["o_custkey"], n_buckets=32,
+    ).map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"]),
+                  batch_format="pyarrow")
+
+    years = list(range(1990, 2008))
+    starts = np.array([int(datetime.datetime(
+        y, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for y in years], dtype=np.int64)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        t = _li_rev_cols(b, ["l_orderkey", "l_suppkey"])
+        ts = b.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = np.array(years, dtype=np.int64)[
+            np.searchsorted(starts, ts, side="right") - 1]
+        t = t.append_column("l_year", pa.array(yr, pa.int64()))
+        t = j_sup(t)
+        f = t.filter(pa.array(np.isin(
+            t.column("s_nationkey").to_numpy(zero_copy_only=False), pk)))
+        return pa.table({"o_orderkey": f.column("l_orderkey"),
+                         "s_nationkey": f.column("s_nationkey"),
+                         "l_year": f.column("l_year"),
+                         "rev": f.column("rev")})
+
+    joined = bucketed_join(li.map_batches(lprep, batch_format="pyarrow"),
+                           o_enriched, ["o_orderkey"], n_buckets=32)
+    names_ref = ray.put(names) if ray.is_initialized() else names
+
+    def tag(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(sn != cn))   # the two nations differ
+        nm = ray.get(names_ref) if ray.is_initialized() else names_ref
+        sns = f.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cns = f.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "supp_nation": pa.array([nm[int(k)] for k in sns],
+                                    pa.string()),
+            "cust_nation": pa.array([nm[int(k)] for k in cns],
+                                    pa.string()),
+            "l_year": f.column("l_year"),
+            "rev": f.column("rev")})
+
+    tagged = joined.map_batches(tag, batch_format="pyarrow")
+    return zonal.zonal_aggregate(
+        tagged, ["supp_nation", "cust_nation", "l_year"],
+        {"rev": ["sum"]})
+
+
+def _sql_q7_volume() -> str:
+    a, b = Q7_NATION_A, Q7_NATION_B
+    return f"""
+WITH j AS (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+    CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) *
+    (100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{a}' AND n2.n_name = '{b}')
+      OR (n1.n_name = '{b}' AND n2.n_name = '{a}')))
+SELECT supp_nation, cust_nation, l_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rev) AS BIGINT) AS rev_sum
+FROM j GROUP BY 1, 2, 3"""
+
+
+def q_delta_upsert(sf_dir: str):
+    """CROSS-RUN SCD-1 upsert store: run 1 upserts the even-orderkey
+    half of orders keyed by customer, run 2 the odd half; the returned
+    view is the LATEST order (by date, orderkey ties) per customer
+    across both runs — MERGE INTO semantics over append-only parquet
+    parts (state/lineage.py:upsert_store)."""
+    import shutil
+    import tempfile
+
+    from ..state.lineage import upsert_store
+
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate",
+                  "o_orderstatus"]).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "ver": b.column("o_orderdate").cast(pa.int64()),
+            "o_orderstatus": b.column("o_orderstatus")}),
+        batch_format="pyarrow")
+
+    def half(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    store = tempfile.mkdtemp(prefix="zen3geo_upsert_")
+    try:
+        upsert_store(
+            ords.map_batches(half(0), batch_format="pyarrow"), store,
+            key_cols=["o_custkey"], order_cols=["ver", "o_orderkey"])
+        view = upsert_store(
+            ords.map_batches(half(1), batch_format="pyarrow"), store,
+            key_cols=["o_custkey"], order_cols=["ver", "o_orderkey"])
+        out = view.materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def _sql_delta_upsert() -> str:
+    return """
+WITH r AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ver,
+    o_orderstatus,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY epoch_us(o_orderdate) DESC,
+                                o_orderkey DESC) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, ver, o_orderstatus
+FROM r WHERE rn = 1"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -12393,6 +12633,9 @@ FROM cand QUALIFY rank <= 10
         "bowtie": _sql_bowtie(),
         "headings": _sql_headings(),
         "kanon": _sql_kanon(),
+        "paths": _sql_paths(),
+        "q7_volume": _sql_q7_volume(),
+        "delta_upsert": _sql_delta_upsert(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(),
         "ivfpq_ann": _sql_ivfpq_ann(),
@@ -13014,6 +13257,9 @@ def build_queries() -> dict:
         "bowtie": q_bowtie,
         "headings": q_headings,
         "kanon": q_kanon,
+        "paths": q_paths,
+        "q7_volume": q_q7_volume,
+        "delta_upsert": q_delta_upsert,
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,

@@ -238,3 +238,40 @@ def incremental_write(ds, out_dir: str, partition_col: str, fp_col: str):
         ),
         todo,
     )
+
+
+def upsert_store(new, store_dir: str, *, key_cols: list[str],
+                 order_cols: list[str], n_buckets: int = 32):
+    """SCD-TYPE-1 keyed UPSERT into a persistent parquet store — the
+    MERGE INTO / compacted-changelog staple: append the new rows as an
+    immutable run part (no rewrite of prior state; delete the
+    directory to reset) and return the CURRENT view, i.e. the single
+    LATEST row per ``key_cols`` ordering by ``order_cols`` DESCENDING
+    across every part ever written.  End ``order_cols`` with a unique
+    id so the winner is deterministic.
+
+    Scale shape: parts are append-only (a failed run never corrupts
+    prior state), the view is one bucketed shuffle of the store keyed
+    on ``key_cols`` — every key's history lands whole in one bucket
+    where a vectorized sort + drop_duplicates picks the survivor; at
+    compaction time write the view back as a new store generation."""
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    new = new.materialize()
+    os.makedirs(store_dir, exist_ok=True)
+    run_dir = os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}")
+    new.write_parquet(run_dir)
+    allrows = rd.read_parquet(store_dir)
+
+    def latest(g):
+        return g.sort_values(list(order_cols), ascending=False,
+                             kind="mergesort") \
+            .drop_duplicates(list(key_cols), keep="first")
+
+    return bucketed_groupby(allrows, list(key_cols), latest,
+                            n_buckets=n_buckets)
