@@ -1910,3 +1910,31 @@ def test_bowtie_golden(ray_session, bt):
     assert int(out.giant_comp) == 1 and int(out.n_scc) == 3
     assert int(out.n_in) == 1 and int(out.n_out) == 2
     assert int(out.n_other) == 3
+
+
+def test_pinned_scc_parity(ray_session):
+    """pinned_scc is bit-identical to the Dataset-path SCC on the
+    bridged-cycles golden and a random digraph."""
+    from zen3geo_ray.stages.pregel import pinned_scc
+
+    src = np.array([1, 2, 3, 3, 10, 11, 12, 20, 21, 22, 5],
+                   dtype=np.int64)
+    dst = np.array([2, 3, 1, 10, 11, 12, 10, 21, 22, 23, 500],
+                   dtype=np.int64)
+    out = pinned_scc(rd.from_arrow(pa.table({"src": src, "dst": dst}))
+                     .repartition(3), n_shards=3).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["comp"].astype(int)))
+    assert got == _ref_scc(src, dst)
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 80, 200).astype(np.int64)
+    dst = rng.integers(0, 80, 200).astype(np.int64)
+    m = src != dst
+    src, dst = src[m], dst[m]
+    out = pinned_scc(rd.from_arrow(pa.table({"src": src, "dst": dst}))
+                     .repartition(4), max_rounds=20,
+                     n_shards=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["comp"].astype(int)))
+    ref = _ref_scc(src, dst)
+    assert got == ref
+    assert len(set(ref.values())) < len(ref)   # nontrivial instance

@@ -342,7 +342,8 @@ def main():
            "tarshards": soak_tarshards, "mst": soak_mst,
            "butterfly": soak_butterfly, "mis": soak_mis,
            "edit": soak_edit_join, "funnel": soak_funnel,
-           "kaplan": soak_kaplan, "scc": soak_scc}
+           "kaplan": soak_kaplan, "scc": soak_scc,
+           "scc_pinned": lambda: soak_scc(engine="pinned")}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
@@ -549,7 +550,7 @@ def soak_kaplan(n_events: int = 50_000_000, n_users: int = 5_000_000):
 
 
 def soak_scc(n_edges: int = 10_000_000, n_nodes: int = 2_000_000,
-             ring: int = 128, levels: int = 8):
+             ring: int = 128, levels: int = 8, engine: str = "dataset"):
     """SCC on a ~10M-edge digraph with PLANTED structure and BOUNDED
     diameter: n_nodes/ring directed rings (each a 128-node SCC) with
     one random WITHIN-ring chord per node (ring diameter ~ log ring),
@@ -597,13 +598,19 @@ def soak_scc(n_edges: int = 10_000_000, n_nodes: int = 2_000_000,
         .map_batches(dag_edges, batch_format="pyarrow")
     e = rings.union(dag)
     t0 = time.perf_counter()
-    out = strongly_connected_components(e, max_rounds=12)
+    if engine == "pinned":
+        from zen3geo_ray.stages.pregel import pinned_scc
+
+        out = pinned_scc(e, max_rounds=12)
+    else:
+        out = strongly_connected_components(e, max_rounds=12)
     comp = out.to_pandas()
     wall = time.perf_counter() - t0
     sizes = comp.groupby("comp").size()
     ok = (len(sizes) == n_rings and int(sizes.min()) == ring
           and int(sizes.max()) == ring)
-    return {"soak": "scc", "n_edges": n_edges, "n_nodes": n_nodes,
+    return {"soak": "scc", "engine": engine,
+            "n_edges": n_edges, "n_nodes": n_nodes,
             "planted_sccs": n_rings, "found_sccs": int(len(sizes)),
             "structure_ok": bool(ok), "sec": round(wall, 2),
             "edges_per_sec": round(n_edges / wall)}

@@ -72,6 +72,8 @@ def _make_shard_cls():
             self._w_parts: list[np.ndarray] = []
             self._node_parts: list[np.ndarray] = []
             self._deg_parts: list[np.ndarray] = []
+            self._ins_parts: list[np.ndarray] = []   # scc: in-edges
+            self._ind_parts: list[np.ndarray] = []
             self.nodes = np.empty(0, dtype=np.int64)
             self.outdeg = np.empty(0, dtype=np.int64)
             self.pr = np.empty(0, dtype=np.int64)
@@ -248,6 +250,145 @@ def _make_shard_cls():
         def comp_table(self) -> pa.Table:
             return pa.table({NODE: pa.array(self.nodes),
                              "comp": pa.array(self.comp)})
+
+        # --- strongly connected components (FW-BW refinement) ----------
+        def add_in_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+            """Edges whose DESTINATION this shard owns (the backward-
+            propagation copy; out-edges go through add_edges)."""
+            self._ins_parts.append(np.asarray(src, dtype=np.int64))
+            self._ind_parts.append(np.asarray(dst, dtype=np.int64))
+            return len(src)
+
+        def seal_scc(self) -> int:
+            """seal() handles the out-edges; this sorts the in-edge
+            copy by dst and derives the per-edge source-owner shard."""
+            isrc = (np.concatenate(self._ins_parts)
+                    if self._ins_parts else np.empty(0, np.int64))
+            idst = (np.concatenate(self._ind_parts)
+                    if self._ind_parts else np.empty(0, np.int64))
+            self._ins_parts = self._ind_parts = []
+            order = np.argsort(idst, kind="mergesort")
+            self.in_src = isrc[order]
+            self.in_dst = idst[order]
+            self.in_src_shard = _shard_of(self.in_src, self.n)
+            nodes = (np.concatenate(self._node_parts)
+                     if self._node_parts else np.empty(0, np.int64))
+            self._node_parts = self._deg_parts = []
+            self.nodes = np.unique(nodes)
+            self.part = self.nodes.copy()
+            self.f = self.nodes.copy()
+            self.b = self.nodes.copy()
+            return len(self.in_src)
+
+        def start_scc_round(self, blob_ref) -> int:
+            """Begin an outer refinement round: take the regrouped
+            global (nodes, part, final) blob, overwrite the local part
+            slice, reset f/b to self labels, and PERMANENTLY drop
+            edges that are cross-block or touch a finalized SCC —
+            parts only refine, so a cross-part pair can never rejoin
+            and the edge set shrinks monotonically (the FW-BW peel).
+            After this filter every surviving edge is same-block, so
+            the per-pass exchange ships no part column and the apply
+            needs no equality check.  Returns live out-edge count."""
+            import ray as _ray
+
+            ns_g, part_g, final_g = _ray.get(blob_ref) \
+                if not isinstance(blob_ref, tuple) else blob_ref
+            if len(self.nodes):
+                self.part = part_g[np.searchsorted(ns_g, self.nodes)]
+            self.f = self.nodes.copy()
+            self.b = self.nodes.copy()
+
+            def alive(s, d):
+                ps = part_g[np.searchsorted(ns_g, s)]
+                pdv = part_g[np.searchsorted(ns_g, d)]
+                fin = (final_g[np.searchsorted(ns_g, s)]
+                       | final_g[np.searchsorted(ns_g, d)])
+                return (ps == pdv) & ~fin
+
+            if len(self.src):
+                keep = alive(self.src, self.dst)
+                self.src = self.src[keep]
+                self.dst = self.dst[keep]
+                self.dst_shard = self.dst_shard[keep]
+            if len(self.in_src):
+                keep = alive(self.in_src, self.in_dst)
+                self.in_src = self.in_src[keep]
+                self.in_dst = self.in_dst[keep]
+                self.in_src_shard = self.in_src_shard[keep]
+            return len(self.src)
+
+        def scc_contribs(self) -> list:
+            """One fused pass: forward candidates (min f over in-
+            neighbors, shipped to the dst owner from the out-edge
+            copy) and backward candidates (min b over out-neighbors,
+            shipped to the src owner from the in-edge copy), one
+            table per target shard with a dir tag."""
+            empty = pa.table({NODE: pa.array([], pa.int64()),
+                              "dir": pa.array([], pa.int64()),
+                              "lab": pa.array([], pa.int64())})
+            out = []
+            fl = (self.f[np.searchsorted(self.nodes, self.src)]
+                  if len(self.src) else np.empty(0, np.int64))
+            bl = (self.b[np.searchsorted(self.nodes, self.in_dst)]
+                  if len(self.in_src) else np.empty(0, np.int64))
+            for j in range(self.n):
+                parts = []
+                if len(self.src):
+                    m = self.dst_shard == j
+                    if m.any():
+                        u, inv = np.unique(self.dst[m],
+                                           return_inverse=True)
+                        mn = np.full(len(u), np.iinfo(np.int64).max,
+                                     dtype=np.int64)
+                        np.minimum.at(mn, inv, fl[m])
+                        parts.append(pa.table({
+                            NODE: pa.array(u),
+                            "dir": pa.array(np.zeros(len(u), np.int64)),
+                            "lab": pa.array(mn)}))
+                if len(self.in_src):
+                    m = self.in_src_shard == j
+                    if m.any():
+                        u, inv = np.unique(self.in_src[m],
+                                           return_inverse=True)
+                        mn = np.full(len(u), np.iinfo(np.int64).max,
+                                     dtype=np.int64)
+                        np.minimum.at(mn, inv, bl[m])
+                        parts.append(pa.table({
+                            NODE: pa.array(u),
+                            "dir": pa.array(np.ones(len(u), np.int64)),
+                            "lab": pa.array(mn)}))
+                out.append(pa.concat_tables(parts) if parts else empty)
+            return out
+
+        def scc_apply(self, *incoming) -> int:
+            """Min-apply the fused candidates into f (dir 0) and b
+            (dir 1); returns the changed-label count."""
+            flat = []
+            for t in incoming:
+                flat.extend(t) if isinstance(t, list) else flat.append(t)
+            nf = self.f.copy()
+            nb = self.b.copy()
+            for t in flat:
+                nd = t.column(NODE).to_numpy(zero_copy_only=False)
+                if len(nd) == 0:
+                    continue
+                dirs = t.column("dir").to_numpy(zero_copy_only=False)
+                lab = t.column("lab").to_numpy(zero_copy_only=False)
+                ix = np.searchsorted(self.nodes, nd)
+                m0 = dirs == 0
+                if m0.any():
+                    np.minimum.at(nf, ix[m0], lab[m0])
+                if (~m0).any():
+                    np.minimum.at(nb, ix[~m0], lab[~m0])
+            changed = int((nf != self.f).sum() + (nb != self.b).sum())
+            self.f, self.b = nf, nb
+            return changed
+
+        def scc_state(self) -> pa.Table:
+            return pa.table({NODE: pa.array(self.nodes),
+                             "f": pa.array(self.f),
+                             "b": pa.array(self.b)})
 
         # --- degree-oriented triangle counting -------------------------
         def prep_tri(self, blob_ref) -> int:
@@ -1625,6 +1766,137 @@ def pinned_sssp(edges, seeds, *, src: str = "src", dst: str = "dst",
                 break  # nothing improved — distances are final
         refs = [sh.bfs_table.remote() for sh in shards]
         return rd.from_arrow_refs(refs).materialize()
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+
+
+def pinned_scc(edges, *, src: str = "src", dst: str = "dst",
+               max_rounds: int = 12, inner_rounds: int = 4096,
+               n_shards: int | None = None):
+    """STRONGLY-connected components over actor-pinned edge shards —
+    bit-identical to stages/graph.py:strongly_connected_components
+    (parity-tested), at actor-exchange cost per propagation pass
+    instead of a Dataset execution.
+
+    Sharding: every directed edge lives TWICE — an out-copy at
+    shard(src) (forward min-reacher propagation flows src -> dst) and
+    an in-copy at shard(dst) (backward min-reachable flows dst ->
+    src); both directions' candidates travel in the SAME fused
+    exchange (one table per target shard, dir-tagged).  Relax-only
+    passes (a cross-shard pointer jump would need a second exchange),
+    so inner passes are block-diameter-bound — they cost only a
+    per-shard node-partial exchange, the pinned_components trade.
+
+    Each outer round starts by shipping the regrouped (part, final)
+    blob once: shards PERMANENTLY drop cross-block edges (refinement
+    never rejoins blocks) and edges touching finalized SCCs, so the
+    live edge set shrinks monotonically.  The regroup itself is the
+    node-bounded driver step (the broadcast-threshold contract —
+    shards pin the EDGES; per-node state is a few int64 arrays)."""
+    import ray
+    import ray.data as rd
+
+    if n_shards is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        n_shards = min(8, cpus)
+    S = int(n_shards)
+    GraphShard = _make_shard_cls()
+    shards = [GraphShard.remote(i, S) for i in range(S)]
+    try:
+        shards_ref = ray.put(shards)
+
+        def route(b: pa.Table) -> pa.Table:
+            hs = ray.get(shards_ref)
+            s = b.column(src).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = b.column(dst).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sh_s = _shard_of(s, S)
+            sh_d = _shard_of(d, S)
+            acks = []
+            for j in range(S):
+                m = sh_s == j
+                if m.any():
+                    acks.append(hs[j].add_edges.remote(s[m], d[m]))
+                    acks.append(hs[j].add_nodes.remote(
+                        s[m], np.zeros(int(m.sum()), np.int64)))
+                m = sh_d == j
+                if m.any():
+                    acks.append(hs[j].add_in_edges.remote(s[m], d[m]))
+                    acks.append(hs[j].add_nodes.remote(
+                        d[m], np.zeros(int(m.sum()), np.int64)))
+            ray.get(acks)
+            return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+        # max_retries=0: routing mutates actor state (see pinned_pagerank)
+        edges.map_batches(route, batch_format="pyarrow",
+                          max_retries=0,
+                          retry_exceptions=False).materialize()
+        ray.get([sh.seal.remote() for sh in shards])
+        ray.get([sh.seal_scc.remote() for sh in shards])
+
+        node_arrays = [t.column(NODE).to_numpy(zero_copy_only=False)
+                       for t in ray.get([sh.scc_state.remote()
+                                         for sh in shards])]
+        ns = np.sort(np.concatenate(node_arrays)) if node_arrays \
+            else np.empty(0, np.int64)
+        if len(ns) == 0:
+            return rd.from_arrow(pa.table({
+                NODE: pa.array([], pa.int64()),
+                "comp": pa.array([], pa.int64())}))
+        part = np.full(len(ns), ns[0], dtype=np.int64)
+        final = np.zeros(len(ns), dtype=bool)
+
+        for _ in range(max_rounds):
+            if np.array_equal(part, ns):          # all singletons
+                break
+            blob = ray.put((ns, part, final))
+            ray.get([sh.start_scc_round.remote(blob) for sh in shards])
+            for _p in range(inner_rounds):
+                if S == 1:
+                    outs = [[sh.scc_contribs.remote()] for sh in shards]
+                else:
+                    outs = [sh.scc_contribs.options(
+                        num_returns=S).remote() for sh in shards]
+                changed = ray.get([
+                    shards[j].scc_apply.remote(
+                        *[outs[i][j] for i in range(S)])
+                    for j in range(S)])
+                if sum(changed) == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"pinned_scc inner propagation did not converge in "
+                    f"{inner_rounds} relax passes (passes are "
+                    "block-diameter-bound on this path)")
+            import pandas as pd
+
+            f = np.empty(len(ns), dtype=np.int64)
+            bk = np.empty(len(ns), dtype=np.int64)
+            for t in ray.get([sh.scc_state.remote() for sh in shards]):
+                nd = t.column(NODE).to_numpy(zero_copy_only=False)
+                if len(nd) == 0:
+                    continue
+                ix = np.searchsorted(ns, nd)
+                f[ix] = t.column("f").to_numpy(zero_copy_only=False)
+                bk[ix] = t.column("b").to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"p": part, "f": f, "b": bk, "v": ns})
+            cand = df.groupby(["p", "f", "b"], sort=False)["v"] \
+                .transform("min").to_numpy().astype(np.int64)
+            newp = np.where(final, part, cand)
+            if np.array_equal(newp, part):
+                break
+            part = newp
+            final = final | ((f == bk) & (f == newp))
+            if final.all():
+                break
+        else:
+            raise RuntimeError(
+                f"pinned_scc did not converge in {max_rounds} "
+                "refinement rounds; raise max_rounds")
+        return rd.from_arrow(pa.table({NODE: pa.array(ns),
+                                       "comp": pa.array(part)}))
     finally:
         for sh in shards:
             ray.kill(sh)
