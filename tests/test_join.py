@@ -312,3 +312,47 @@ def test_grid_seg_join_bruteforce(ray_session):
                     (ra["x1"] - ra["x0"]) * (rb["y1"] - rb["y0"])
                     - (ra["y1"] - ra["y0"]) * (rb["x1"] - rb["x0"]))
     assert got == want and len(want) > 20
+
+
+def test_snap_points_to_segments_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import SNAP_Q, snap_points_to_segments
+
+    # seg 1: horizontal (0,0)-(10,0); seg 2: point-degenerate (5,7)
+    segs = pa.table({
+        "sid": pa.array([1, 2], pa.int64()),
+        "x0": pa.array([0, 5], pa.int64()),
+        "y0": pa.array([0, 7], pa.int64()),
+        "x1": pa.array([10, 5], pa.int64()),
+        "y1": pa.array([0, 7], pa.int64())})
+    # p1 (3,4): foot inside seg1 -> d2=16; to seg2 d2=13 -> seg2 wins
+    # p2 (-3,4): before seg1 start -> endpoint d2=25; seg2 d2=73
+    # p3 (5,4): seg1 d2=16, seg2 d2=9 -> seg2
+    # p4 (99,99): nothing within radius -> no row
+    pts = pa.table({
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+        "x": pa.array([3, -3, 5, 99], pa.int64()),
+        "y": pa.array([4, 4, 4, 99], pa.int64())})
+    out = snap_points_to_segments(
+        rd.from_arrow(pts).repartition(2), rd.from_arrow(segs),
+        radius=10, cell=8, n_buckets=2).to_pandas().set_index("pid")
+    assert int(out.loc[1, "sid"]) == 2
+    assert int(out.loc[1, "d2q"]) == 13 * SNAP_Q
+    assert int(out.loc[2, "sid"]) == 1
+    assert int(out.loc[2, "d2q"]) == 25 * SNAP_Q
+    assert int(out.loc[3, "sid"]) == 2 and 4 not in out.index
+    # tie at equal distance -> smaller sid: two point-segs at d2=4
+    segs2 = pa.table({
+        "sid": pa.array([7, 3], pa.int64()),
+        "x0": pa.array([2, -2], pa.int64()),
+        "y0": pa.array([0, 0], pa.int64()),
+        "x1": pa.array([2, -2], pa.int64()),
+        "y1": pa.array([0, 0], pa.int64())})
+    p2 = pa.table({"pid": pa.array([9], pa.int64()),
+                   "x": pa.array([0], pa.int64()),
+                   "y": pa.array([0], pa.int64())})
+    o2 = snap_points_to_segments(rd.from_arrow(p2),
+                                 rd.from_arrow(segs2), radius=5,
+                                 cell=4, n_buckets=2).to_pandas()
+    assert int(o2.sid.iloc[0]) == 3

@@ -657,3 +657,29 @@ def test_api_session7b_surface(ray_session):
                   "b": pa.array(["x", "x", "y"])})
     ka = api.from_arrow(t).k_anonymity(["a", "b"], 2, n_buckets=2)
     assert ka.column("n_classes_exposed")[0].as_py() == 1
+
+
+def test_api_session7c_surface(ray_session):
+    ev = pa.table({"y": pa.array([5, 7, 9], pa.int64()),
+                   "x1": pa.array([0, 1, 2], pa.int64()),
+                   "x2": pa.array([0, 1, 0], pa.int64())})
+    o = api.from_arrow(ev).ols2("y", "x1", "x2")
+    assert o.column("b1")[0].as_py() == 2.0
+
+    sc = pa.table({"g": pa.array(["p"] * 10 + ["n"] * 10),
+                   "v": pa.array(list(range(10)) * 2, pa.int64())})
+    ps = api.from_arrow(sc).psi("g", "v", "p", "n", bin_width=5)
+    assert abs(ps.column("psi")[0].as_py()) < 1e-4
+
+    pts = pa.table({"pid": pa.array([1], pa.int64()),
+                    "x": pa.array([3], pa.int64()),
+                    "y": pa.array([4], pa.int64())})
+    segs = pa.table({"sid": pa.array([1], pa.int64()),
+                     "x0": pa.array([0], pa.int64()),
+                     "y0": pa.array([0], pa.int64()),
+                     "x1": pa.array([10], pa.int64()),
+                     "y1": pa.array([0], pa.int64())})
+    sn = api.from_arrow(pts).snap_to_segments(
+        api.from_arrow(segs), radius=10, cell=8,
+        n_buckets=2).to_pandas()
+    assert sn.sid.tolist() == [1]

@@ -833,3 +833,66 @@ def test_k_anonymity_golden(ray_session):
     assert (int(out.n_rows), int(out.n_classes), int(out.min_class)) \
         == (6, 3, 1)
     assert (int(out.n_rows_exposed), int(out.n_classes_exposed)) == (3, 2)
+
+
+def test_ols2_matches_lstsq(ray_session):
+    rng = np.random.default_rng(3)
+    x1 = rng.integers(0, 24, 400).astype(np.int64)
+    x2 = rng.integers(0, 7, 400).astype(np.int64)
+    y = 100 + 3 * x1 - 5 * x2 + rng.integers(-10, 11, 400)
+    t = pa.table({"y": pa.array(y), "x1": pa.array(x1),
+                  "x2": pa.array(x2)})
+    out = zonal.ols2(rd.from_arrow(t).repartition(4),
+                     "y", "x1", "x2").to_pandas().iloc[0]
+    X = np.column_stack([np.ones(400), x1, x2]).astype(float)
+    ref, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert out.b0 == pytest.approx(ref[0], rel=1e-9)
+    assert out.b1 == pytest.approx(ref[1], rel=1e-9)
+    assert out.b2 == pytest.approx(ref[2], rel=1e-9)
+    # exact-fit golden: y = 2 + x1 + 4*x2 with independent regressors
+    x1g = np.array([0, 1, 2, 0, 1, 2], np.int64)
+    x2g = np.array([0, 0, 1, 1, 2, 2], np.int64)
+    yg = 2 + x1g + 4 * x2g
+    tg = pa.table({"y": pa.array(yg), "x1": pa.array(x1g),
+                   "x2": pa.array(x2g)})
+    og = zonal.ols2(rd.from_arrow(tg), "y", "x1", "x2") \
+        .to_pandas().iloc[0]
+    assert (og.b0, og.b1, og.b2) == (2.0, 1.0, 4.0)
+    # collinear regressors -> det 0 -> NULL coefficients
+    tc = pa.table({"y": pa.array([1, 2, 3], pa.int64()),
+                   "x1": pa.array([1, 2, 3], pa.int64()),
+                   "x2": pa.array([2, 4, 6], pa.int64())})
+    oc = zonal.ols2(rd.from_arrow(tc), "y", "x1", "x2") \
+        .to_pandas().iloc[0]
+    assert oc.det == 0.0 and np.isnan(oc.b0)
+
+
+def test_psi_two_groups_reference(ray_session):
+    import math
+
+    g = ["p"] * 50 + ["n"] * 70
+    rng = np.random.default_rng(9)
+    v = np.concatenate([rng.integers(0, 500, 50),
+                        rng.integers(100, 700, 70)]).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = zonal.psi_two_groups(rd.from_arrow(t).repartition(3),
+                               "g", "v", "p", "n",
+                               bin_width=100).to_pandas().iloc[0]
+    # direct smoothed PSI over the union of observed bins
+    bins = sorted(set((v // 100).tolist()))
+    a = np.array([(v[:50] // 100 == bb).sum() for bb in bins])
+    b = np.array([(v[50:] // 100 == bb).sum() for bb in bins])
+    m = len(bins)
+    da, db = 50 + m, 70 + m
+    want = sum((
+        ((av + 1) / da - (bv + 1) / db)
+        * math.log(((av + 1) / da) / ((bv + 1) / db))
+        for av, bv in zip(a, b)))
+    assert int(out.n_bins) == m
+    assert out.psi == pytest.approx(want, abs=1e-4)
+    # identical distributions -> PSI ~ 0
+    t2 = pa.table({"g": pa.array(["p", "n"] * 40),
+                   "v": pa.array(list(range(40)) * 2, pa.int64())})
+    o2 = zonal.psi_two_groups(rd.from_arrow(t2), "g", "v", "p", "n",
+                              bin_width=10).to_pandas().iloc[0]
+    assert abs(o2.psi) < 1e-4

@@ -997,6 +997,30 @@ class Pipe:
 
         return k_anonymity(self.ds, qi_cols, k, **kwargs)
 
+    def snap_to_segments(self, segs, *, radius: int, **kwargs) -> "Pipe":
+        """Nearest-segment snap within a radius (map-matching step);
+        ``segs`` is a Dataset or Pipe of (sid, x0, y0, x1, y1)."""
+        from .stages.join import snap_points_to_segments
+
+        s = segs.ds if isinstance(segs, Pipe) else segs
+        return Pipe(snap_points_to_segments(self.ds, s, radius=radius,
+                                            **kwargs))
+
+    def psi(self, group_col: str, value_col: str, group_a, group_b,
+            *, bin_width: int, **kwargs) -> pa.Table:
+        """Population stability index between two groups (terminal)."""
+        from .stages.zonal import psi_two_groups
+
+        return psi_two_groups(self.ds, group_col, value_col, group_a,
+                              group_b, bin_width=bin_width, **kwargs)
+
+    def ols2(self, y_col: str, x1_col: str, x2_col: str,
+             **kwargs) -> pa.Table:
+        """Two-regressor exact-integer OLS (terminal)."""
+        from .stages.zonal import ols2
+
+        return ols2(self.ds, y_col, x1_col, x2_col, **kwargs)
+
     def upsert(self, store_dir: str, *, key_cols: list[str],
                order_cols: list[str], **kwargs) -> "Pipe":
         """SCD-1 keyed upsert into a parquet store; returns the merged

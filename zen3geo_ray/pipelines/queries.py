@@ -1146,6 +1146,180 @@ SELECT o_custkey, o_orderkey, ver, o_orderstatus
 FROM r WHERE rn = 1"""
 
 
+SNAP_R = 64
+
+
+def q_snap(sf_dir: str):
+    """Map-matching snap: customer-derived points to their nearest
+    supplier-derived segment within radius 64 (ties -> smaller seg
+    id) — PBSM dilated-bbox candidacy + exact quantized rational
+    point-segment distances, one cell join + one keyed min reduce
+    (stages/join.py:snap_points_to_segments)."""
+    from ..stages.join import snap_points_to_segments
+
+    def mkp(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pid": pa.array(k),
+            "x": pa.array((k * 191) % BBOX_DOM),
+            "y": pa.array((k * 193) % BBOX_DOM)})
+
+    def mks(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = (k * 173) % BBOX_DOM
+        y0 = (k * 179) % BBOX_DOM
+        return pa.table({
+            "sid": pa.array(k), "x0": pa.array(x0), "y0": pa.array(y0),
+            "x1": pa.array(x0 + (k * 7) % 240 - 120),
+            "y1": pa.array(y0 + (k * 11) % 192 - 96)})
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        mkp, batch_format="pyarrow")
+    segs = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        mks, batch_format="pyarrow")
+    return snap_points_to_segments(pts, segs, radius=SNAP_R,
+                                   cell=BBOX_CELL)
+
+
+def _sql_snap() -> str:
+    from ..stages.join import SNAP_Q
+
+    sx0, sy0, sdx, sdy = _segs_exprs("s_suppkey", 173, 179)
+    r, q = SNAP_R, SNAP_Q
+    return f"""
+WITH p AS (SELECT c_custkey AS pid,
+    CAST((c_custkey * 191) % {BBOX_DOM} AS BIGINT) AS x,
+    CAST((c_custkey * 193) % {BBOX_DOM} AS BIGINT) AS y
+  FROM customer),
+s AS (SELECT s_suppkey AS sid,
+    CAST({sx0} AS BIGINT) AS x0, CAST({sy0} AS BIGINT) AS y0,
+    CAST({sx0} + ({sdx}) AS BIGINT) AS x1,
+    CAST({sy0} + ({sdy}) AS BIGINT) AS y1
+  FROM supplier),
+cand AS (SELECT p.pid, s.sid, p.x, p.y, s.x0, s.y0, s.x1, s.y1
+  FROM p JOIN s
+  ON p.x >= LEAST(s.x0, s.x1) - {r} AND p.x <= GREATEST(s.x0, s.x1) + {r}
+ AND p.y >= LEAST(s.y0, s.y1) - {r} AND p.y <= GREATEST(s.y0, s.y1) + {r}),
+d AS (SELECT pid, sid,
+    CASE WHEN (x - x0) * (x1 - x0) + (y - y0) * (y1 - y0) <= 0
+         THEN ((x - x0) * (x - x0) + (y - y0) * (y - y0)) * {q}
+         WHEN (x - x0) * (x1 - x0) + (y - y0) * (y1 - y0)
+              >= (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)
+         THEN ((x - x1) * (x - x1) + (y - y1) * (y - y1)) * {q}
+         ELSE ((x - x0) * (y1 - y0) - (y - y0) * (x1 - x0))
+            * ((x - x0) * (y1 - y0) - (y - y0) * (x1 - x0)) * {q}
+            // ((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+    END AS d2q
+  FROM cand),
+f AS (SELECT pid, sid, d2q,
+    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2q, sid) AS rn
+  FROM d WHERE d2q <= {r * r * q})
+SELECT pid, sid, CAST(d2q AS BIGINT) AS d2q FROM f WHERE rn = 1"""
+
+
+PSI_BIN_W = 100
+
+
+def q_psi(sf_dir: str):
+    """Population stability index between src0 and src1 doc-length
+    distributions over fixed 100-char bins — add-one smoothing makes
+    every ln argument an exact integer product, per-bin quantized-ln
+    terms sum order-free, ONE float division
+    (stages/zonal.py:psi_two_groups)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.psi_two_groups(docs, "source", "n_chars", AB_A, AB_B,
+                                bin_width=PSI_BIN_W)
+
+
+def _sql_psi() -> str:
+    return f"""
+WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) // {PSI_BIN_W}
+                  AS v
+           FROM documents WHERE source IN ('{AB_A}', '{AB_B}')),
+pooled AS (SELECT v,
+    CAST(SUM(CASE WHEN g = '{AB_A}' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN g = '{AB_B}' THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM h GROUP BY v),
+tot AS (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS na,
+               CAST(COALESCE(SUM(b), 0) AS BIGINT) AS nbv,
+               CAST(COUNT(*) AS BIGINT) AS m FROM pooled),
+terms AS (SELECT CAST(FLOOR(
+    CAST((a + 1) * (nbv + m) - (b + 1) * (na + m) AS DOUBLE)
+    * (ln(CAST((a + 1) * (nbv + m) AS DOUBLE))
+       - ln(CAST((b + 1) * (na + m) AS DOUBLE))) * {65536}.0)
+    AS BIGINT) AS t
+  FROM pooled CROSS JOIN tot)
+SELECT na AS n_a, nbv AS n_b, m AS n_bins,
+  CAST(COALESCE(SUM(t), 0) AS BIGINT) AS s,
+  CASE WHEN m > 0 THEN
+    CAST(COALESCE(SUM(t), 0) AS DOUBLE)
+    / (CAST(na + m AS DOUBLE) * CAST(nbv + m AS DOUBLE) * {65536}.0)
+  ELSE NULL END AS psi
+FROM terms CROSS JOIN tot GROUP BY na, nbv, m"""
+
+
+def q_ols2(sf_dir: str):
+    """Two-regressor OLS of event cents on (hour-of-day, day-of-week)
+    — pure-integer epoch arithmetic both sides, nine exact int64
+    moment partials per block, Cramer coefficients as ratios of exact
+    integer 3x3 determinants, one float division each
+    (stages/zonal.py:ols2)."""
+    ev = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        lambda b: pa.table({
+            "y": pa.array(np.floor(
+                b.column("value").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)),
+            "x1": pa.array(
+                (b.column("ts").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 3_600_000_000) % 24),
+            "x2": pa.array(
+                ((b.column("ts").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000) + 4) % 7),
+        }),
+        batch_format="pyarrow")
+    return zonal.ols2(ev, "y", "x1", "x2")
+
+
+def _sql_ols2() -> str:
+    def det(a, b, c, d, e, f, g, h, i):
+        hug = [f"CAST({x} AS HUGEINT)"
+               for x in (a, b, c, d, e, f, g, h, i)]
+        a, b, c, d, e, f, g, h, i = hug
+        return (f"({a} * ({e} * {i} - {f} * {h}) "
+                f"- {b} * ({d} * {i} - {f} * {g}) "
+                f"+ {c} * ({d} * {h} - {e} * {g}))")
+
+    dd = det("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    d0 = det("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    d1 = det("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    d2 = det("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    return f"""
+WITH e AS (SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS y,
+    (epoch_us(ts) // 3600000000) % 24 AS x1,
+    ((epoch_us(ts) // 86400000000) + 4) % 7 AS x2
+  FROM events),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM e),
+d AS (SELECT n, {dd} AS det, {d0} AS d0, {d1} AS d1, {d2} AS d2 FROM m)
+SELECT n, CAST(det AS DOUBLE) AS det,
+  CASE WHEN det <> 0 THEN CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)
+       ELSE NULL END AS b0,
+  CASE WHEN det <> 0 THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+       ELSE NULL END AS b1,
+  CASE WHEN det <> 0 THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+       ELSE NULL END AS b2
+FROM d"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -12634,6 +12808,9 @@ FROM cand QUALIFY rank <= 10
         "headings": _sql_headings(),
         "kanon": _sql_kanon(),
         "paths": _sql_paths(),
+        "psi": _sql_psi(),
+        "snap": _sql_snap(),
+        "ols2": _sql_ols2(),
         "q7_volume": _sql_q7_volume(),
         "delta_upsert": _sql_delta_upsert(),
         "pq_codes": _sql_pq_codes(),
@@ -13258,6 +13435,9 @@ def build_queries() -> dict:
         "headings": q_headings,
         "kanon": q_kanon,
         "paths": q_paths,
+        "psi": q_psi,
+        "snap": q_snap,
+        "ols2": q_ols2,
         "q7_volume": q_q7_volume,
         "delta_upsert": q_delta_upsert,
         "pq_codes": q_pq_codes,

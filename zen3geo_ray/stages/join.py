@@ -696,3 +696,120 @@ def grid_seg_join(a_ds, b_ds, *, cell: int = 128,
             "det": pc.cast(b.column("det"), pa.int64()),
         }),
         batch_format="pyarrow")
+
+
+SNAP_Q = 1 << 20
+
+
+def snap_points_to_segments(pts, segs, *, radius: int, cell: int = 128,
+                            pid_col: str = "pid", sid_col: str = "sid",
+                            n_buckets: int = 32):
+    """MAP-MATCHING snap: for every integer point the NEAREST segment
+    within Euclidean ``radius`` (ties to the smaller segment id) —
+    the rio/osmnx nearest-edge step as a dataflow.  Exactness: the
+    point-to-segment squared distance is the rational cross²/|w|²
+    (projection inside) or an integer endpoint distance; both are
+    compared on the shared quantized lattice
+
+        d2q = (cross² · SNAP_Q) // |w|²   /   |v|² · SNAP_Q
+
+    — exact integers, so the min and the tie rule are deterministic
+    and SQL-mirrorable.  Candidacy is the DILATED-BBOX test (segment
+    bbox grown by ``radius`` contains the point): a superset of the
+    true radius ball, applied exactly on both sides, with the final
+    d2q <= radius²·SNAP_Q filter making the contract exact.
+
+    Plan (PBSM): segments replicate to the grid cells of their
+    dilated bbox, points hash to their one cell, ONE bucketed cell
+    join enumerates candidates (vectorized pairwise inside), then one
+    keyed reduce keeps the min (d2q, sid) per point.  Points with no
+    segment within the radius emit nothing (the bounded-search
+    contract).  Inputs: pts (pid, x, y), segs (sid, x0, y0, x1, y1).
+    Output (pid, sid, d2q)."""
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+    from .hashjoin import bucketed_join
+
+    def seg_cells(b: pa.Table) -> pa.Table:
+        sid = b.column(sid_col).to_numpy(zero_copy_only=False)
+        x0 = b.column("x0").to_numpy(zero_copy_only=False)
+        y0 = b.column("y0").to_numpy(zero_copy_only=False)
+        x1 = b.column("x1").to_numpy(zero_copy_only=False)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False)
+        lx = np.minimum(x0, x1) - radius
+        hx = np.maximum(x0, x1) + radius
+        ly = np.minimum(y0, y1) - radius
+        hy = np.maximum(y0, y1) + radius
+        cx0, cx1 = lx // cell, hx // cell
+        cy0, cy1 = ly // cell, hy // cell
+        reps = ((cx1 - cx0 + 1) * (cy1 - cy0 + 1)).astype(np.int64)
+        idx = np.repeat(np.arange(len(sid)), reps)
+        # per-replica cell offset via segmented arange
+        off = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        w = (cx1 - cx0 + 1)[idx]
+        cx = cx0[idx] + off % w
+        cy = cy0[idx] + off // w
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            sid_col: pa.array(sid[idx]),
+            "x0": pa.array(x0[idx]), "y0": pa.array(y0[idx]),
+            "x1": pa.array(x1[idx]), "y1": pa.array(y1[idx])})
+
+    def pt_cells(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cx": pa.array(x // cell), "cy": pa.array(y // cell),
+            pid_col: b.column(pid_col),
+            "x": pa.array(x), "y": pa.array(y)})
+
+    cand = bucketed_join(
+        pts.map_batches(pt_cells, batch_format="pyarrow"),
+        segs.map_batches(seg_cells, batch_format="pyarrow"),
+        ["cx", "cy"], n_buckets=n_buckets)
+
+    lim = radius * radius * SNAP_Q
+
+    def verify(b: pa.Table) -> pa.Table:
+        px = b.column("x").to_numpy(zero_copy_only=False)
+        py = b.column("y").to_numpy(zero_copy_only=False)
+        x0 = b.column("x0").to_numpy(zero_copy_only=False)
+        y0 = b.column("y0").to_numpy(zero_copy_only=False)
+        x1 = b.column("x1").to_numpy(zero_copy_only=False)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False)
+        # exact dilated-bbox test (the SQL candidacy, minus grid slop)
+        inb = ((px >= np.minimum(x0, x1) - radius)
+               & (px <= np.maximum(x0, x1) + radius)
+               & (py >= np.minimum(y0, y1) - radius)
+               & (py <= np.maximum(y0, y1) + radius))
+        wx, wy = x1 - x0, y1 - y0
+        vx, vy = px - x0, py - y0
+        dot = vx * wx + vy * wy
+        len2 = wx * wx + wy * wy
+        cross = vx * wy - vy * wx
+        d_a = (vx * vx + vy * vy) * SNAP_Q
+        d_b = ((px - x1) ** 2 + (py - y1) ** 2) * SNAP_Q
+        d_m = np.where(len2 > 0,
+                       (cross * cross * SNAP_Q) // np.maximum(len2, 1),
+                       0)
+        d2q = np.where(dot <= 0, d_a,
+                       np.where(dot >= len2, d_b, d_m))
+        keep = inb & (d2q <= lim)
+        return pa.table({
+            pid_col: pa.array(b.column(pid_col)
+                              .to_numpy(zero_copy_only=False)[keep]),
+            sid_col: pa.array(b.column(sid_col)
+                              .to_numpy(zero_copy_only=False)[keep]),
+            "d2q": pa.array(d2q[keep])})
+
+    scored = cand.map_batches(verify, batch_format="pyarrow")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([pid_col, "d2q", sid_col],
+                             kind="mergesort") \
+            .drop_duplicates(pid_col, keep="first")
+
+    return bucketed_groupby(scored, [pid_col], pick,
+                            n_buckets=n_buckets)

@@ -1352,3 +1352,137 @@ def decile_gains(ds, label_col: str, score_col: str, pos_label,
         "rate": pa.array(agg["n_pos"].to_numpy().astype(np.float64)
                          / agg["n"].to_numpy().astype(np.float64),
                          pa.float64())})
+
+
+def psi_two_groups(ds, group_col: str, value_col: str, group_a, group_b,
+                   *, bin_width: int, scale: int = 65536,
+                   n_buckets: int = 16):
+    """POPULATION STABILITY INDEX between two groups' integer-value
+    distributions over fixed-width bins (the model-monitoring drift
+    score beside the kl/jsd family): with add-one-smoothed bin counts
+    a+1, b+1 and totals da = A+nb, db = B+nb over the nb bins observed
+    in either group,
+
+        PSI = Σ_bins (p−q)·ln(p/q),  p = (a+1)/da, q = (b+1)/db
+            = Σ_bins N·(ln((a+1)·db) − ln((b+1)·da)) / (da·db)
+
+    with N = (a+1)·db − (b+1)·da an exact integer and every ln
+    argument an exact integer product — the kl quantized-ln
+    discipline: per-bin terms floor(N·(ln x − ln y)·scale) sum
+    order-free, the finale s / ((da·db)·scale) is the ONE float
+    shape.  Output one row (n_a, n_b, n_bins, s, psi)."""
+    import math
+
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_pylist()
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64) // bin_width
+        rows = []
+        for tag, name in ((group_a, "a"), (group_b, "b")):
+            m = np.array([x == tag for x in g])
+            u, c = np.unique(v[m], return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    piv = hist.pivot_table(index="v", columns="g", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    a = (piv["a"].to_numpy() if "a" in piv
+         else np.zeros(len(piv), np.int64)).astype(np.int64)
+    b_ = (piv["b"].to_numpy() if "b" in piv
+          else np.zeros(len(piv), np.int64)).astype(np.int64)
+    nb = len(piv)
+    n_a, n_b = int(a.sum()), int(b_.sum())
+    da, db = n_a + nb, n_b + nb
+    s = 0
+    for av, bv in zip(a.tolist(), b_.tolist()):
+        n_i = (av + 1) * db - (bv + 1) * da
+        term = (float(n_i)
+                * (math.log((av + 1) * db) - math.log((bv + 1) * da))
+                * float(scale))
+        s += int(math.floor(term))
+    psi = (float(s) / (float(da) * float(db) * float(scale))
+           if nb > 0 else None)
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_bins": pa.array([nb], pa.int64()),
+        "s": pa.array([s], pa.int64()),
+        "psi": pa.array([psi], pa.float64())})
+
+
+def ols2(ds, y_col: str, x1_col: str, x2_col: str, *,
+         n_buckets: int = 8):
+    """Two-regressor ordinary least squares y ~ b0 + b1·x1 + b2·x2
+    over INTEGER columns — the multivariate sibling of
+    grouped_regression, solved EXACTLY: each block reduces to the nine
+    normal-equation moments (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy,
+    Σx1y, Σx2y — exact int64 partials), the tiny reduce folds them,
+    and Cramer's rule gives each coefficient as the ratio of two
+    EXACT INTEGER 3×3 determinants (Python ints — no overflow at any
+    scale; the SQL mirror uses HUGEINT):
+
+        b_i = det_i / det        (ONE float division each)
+
+    Output one row (n, det, b0, b1, b2) with det reported as DOUBLE
+    (the exact integer rounds to nearest, same on both sides);
+    coefficients NULL when det == 0 (collinear regressors)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = b.column(x1_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x2 = b.column(x2_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(y)], pa.int64()),
+            "s1": pa.array([int(x1.sum())], pa.int64()),
+            "s2": pa.array([int(x2.sum())], pa.int64()),
+            "s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+            "s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+            "s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+            "s2y": pa.array([int((x2 * y).sum())], pa.int64()),
+        })
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, s1, s2 = int(m["n"].sum()), int(m["s1"].sum()), int(m["s2"].sum())
+    s11, s12, s22 = (int(m["s11"].sum()), int(m["s12"].sum()),
+                     int(m["s22"].sum()))
+    sy, s1y, s2y = (int(m["sy"].sum()), int(m["s1y"].sum()),
+                    int(m["s2y"].sum()))
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    if det != 0:
+        b0 = float(d0) / float(det)
+        b1 = float(d1) / float(det)
+        b2 = float(d2) / float(det)
+    else:
+        b0 = b1 = b2 = None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "det": pa.array([float(det)], pa.float64()),
+        "b0": pa.array([b0], pa.float64()),
+        "b1": pa.array([b1], pa.float64()),
+        "b2": pa.array([b2], pa.float64())})
