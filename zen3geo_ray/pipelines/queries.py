@@ -1219,6 +1219,161 @@ f AS (SELECT pid, sid, d2q,
 SELECT pid, sid, CAST(d2q AS BIGINT) AS d2q FROM f WHERE rn = 1"""
 
 
+def q_seasonality(sf_dir: str):
+    """Hour-of-day seasonality index per event type: idx = observed /
+    expected share = (n_th·N)/(n_t·n_h) over the (type, hour)
+    histogram — pure-integer epoch hour, combiner-first histogram,
+    the index is the one mirrored float shape per row."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pa.array(
+                (b.column("ts").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 3_600_000_000) % 24)}),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "hour": b.column("hour").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "hour"], sort=False,
+                       as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    hist = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        lambda g: g.groupby(["event_type", "hour"], sort=False,
+                            as_index=False)["n"].sum(),
+        n_buckets=8).to_pandas()      # bounded: types x 24 rows
+    n_t = hist.groupby("event_type")["n"].transform("sum") \
+        .to_numpy().astype(np.int64)
+    n_h = hist.groupby("hour")["n"].transform("sum") \
+        .to_numpy().astype(np.int64)
+    big_n = int(hist["n"].sum())
+    n_th = hist["n"].to_numpy().astype(np.int64)
+    idx = (n_th.astype(np.float64) * float(big_n)) \
+        / (n_t.astype(np.float64) * n_h.astype(np.float64))
+    return pa.table({
+        "event_type": pa.array(hist["event_type"], pa.string()),
+        "hour": pa.array(hist["hour"].to_numpy().astype(np.int64)),
+        "n": pa.array(n_th),
+        "idx": pa.array(idx, pa.float64())})
+
+
+def _sql_seasonality() -> str:
+    return """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour
+           FROM events),
+h AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+w AS (SELECT event_type, hour, n,
+    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+    CAST(SUM(n) OVER (PARTITION BY hour) AS BIGINT) AS nh,
+    CAST(SUM(n) OVER () AS BIGINT) AS nn
+  FROM h)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, n,
+  CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+  / (CAST(nt AS DOUBLE) * CAST(nh AS DOUBLE)) AS idx
+FROM w"""
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_acf(sf_dir: str):
+    """Autocorrelation of the DAILY event-count series at lags 1..3
+    (zero-filled dense day domain): exact integer moments over the
+    lagged pairs, the Pearson finale in grouped_corr's mirrored float
+    shape — the day histogram is bounded, so the lag loop is a free
+    driver finale."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda b: pa.table({
+            "d": pa.array(b.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000)}),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("d").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"d": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pyarrow"), ["d"],
+        lambda g: g.groupby("d", sort=False, as_index=False)["c"].sum(),
+        n_buckets=8).to_pandas().sort_values("d")
+    days = hist["d"].to_numpy().astype(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = hist["c"].to_numpy().astype(np.int64)
+
+    lags, ns, rs = [], [], []
+    for lag in ACF_LAGS:
+        x = dense[:-lag]
+        y = dense[lag:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int(np.dot(x, y))
+        sxx, sxs = int(np.dot(x, x)), int(np.dot(y, y))
+        cov = float(n) * float(sxy) - float(sx) * float(sy)
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(sxs) - float(sy) * float(sy)
+        r = (cov / (np.sqrt(vx) * np.sqrt(vy))
+             if vx > 0 and vy > 0 else None)
+        lags.append(lag)
+        ns.append(n)
+        rs.append(r)
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "corr": pa.array(rs, pa.float64())})
+
+
+def _sql_acf() -> str:
+    lag_vals = ", ".join(f"({v})" for v in ACF_LAGS)
+    return f"""
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d FROM events),
+c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY d),
+lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c),
+dense AS (SELECT s.d, COALESCE(c.c, 0) AS c
+  FROM (SELECT unnest(range((SELECT lo FROM lim),
+                            (SELECT hi FROM lim) + 1)) AS d) s
+  LEFT JOIN c ON c.d = s.d),
+lags(l) AS (VALUES {lag_vals}),
+p AS (SELECT l, a.c AS x, b.c AS y
+      FROM lags CROSS JOIN dense a JOIN dense b ON b.d = a.d + l),
+m AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY l),
+d2 AS (SELECT l, n,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+  FROM m)
+SELECT CAST(l AS BIGINT) AS lag, n,
+  CASE WHEN vx > 0 AND vy > 0 THEN cov / (SQRT(vx) * SQRT(vy))
+       ELSE NULL END AS corr
+FROM d2"""
+
+
 PSI_BIN_W = 100
 
 
@@ -12810,6 +12965,8 @@ FROM cand QUALIFY rank <= 10
         "paths": _sql_paths(),
         "psi": _sql_psi(),
         "snap": _sql_snap(),
+        "seasonality": _sql_seasonality(),
+        "acf": _sql_acf(),
         "ols2": _sql_ols2(),
         "q7_volume": _sql_q7_volume(),
         "delta_upsert": _sql_delta_upsert(),
@@ -13437,6 +13594,8 @@ def build_queries() -> dict:
         "paths": q_paths,
         "psi": q_psi,
         "snap": q_snap,
+        "seasonality": q_seasonality,
+        "acf": q_acf,
         "ols2": q_ols2,
         "q7_volume": q_q7_volume,
         "delta_upsert": q_delta_upsert,
