@@ -534,3 +534,48 @@ def test_ewma_last_k_exact(ray_session):
     # u3: most recent = eid 31 (v=7) weight 4, then v=6 weight 2
     assert int(out.loc[3, "ewma_num"]) == 7 * 4 + 6 * 2
     assert out.loc[3, "ewma"] == 40.0 / 6.0
+
+
+def test_dtw_pairs_reference(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.sequence import dtw_pairs
+
+    def ref_dtw(x, y):
+        L = len(x)
+        C = [[0] * L for _ in range(L)]
+        for i in range(L):
+            for j in range(L):
+                c = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    C[i][j] = c
+                elif i == 0:
+                    C[i][j] = C[i][j - 1] + c
+                elif j == 0:
+                    C[i][j] = C[i - 1][j] + c
+                else:
+                    C[i][j] = c + min(C[i - 1][j], C[i][j - 1],
+                                      C[i - 1][j - 1])
+        return C[L - 1][L - 1]
+
+    # three users over 4 days (day_us=1): u1 and u2 identical -> 0;
+    # u3 shifted by one day (DTW absorbs the shift cheaply)
+    rows = []
+    series = {1: [5, 9, 2, 7], 2: [5, 9, 2, 7], 3: [0, 5, 9, 2]}
+    for u, vals in series.items():
+        for d, v in enumerate(vals):
+            if v:
+                rows.append((u, d, v))
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "tu": pa.array([r[1] for r in rows], pa.int64()),
+        "c": pa.array([r[2] for r in rows], pa.int64())})
+    out = dtw_pairs(rd.from_arrow(t).repartition(3), key_col="u",
+                    ts_col="tu", value_col="c", length=4, day_us=1,
+                    n_buckets=2).to_pandas()
+    got = {(int(r.key_a), int(r.key_b)): int(r.dtw)
+           for r in out.itertuples()}
+    want = {(a, b): ref_dtw(series[a], series[b])
+            for a in series for b in series if a < b}
+    assert got == want
+    assert got[(1, 2)] == 0

@@ -997,6 +997,12 @@ class Pipe:
 
         return k_anonymity(self.ds, qi_cols, k, **kwargs)
 
+    def dtw_pairs(self, **kwargs) -> "Pipe":
+        """Pairwise DTW of per-key daily-total series."""
+        from .stages.sequence import dtw_pairs
+
+        return Pipe(dtw_pairs(self.ds, **kwargs))
+
     def snap_to_segments(self, segs, *, radius: int, **kwargs) -> "Pipe":
         """Nearest-segment snap within a radius (map-matching step);
         ``segs`` is a Dataset or Pipe of (sid, x0, y0, x1, y1)."""

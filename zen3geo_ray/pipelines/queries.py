@@ -1374,6 +1374,63 @@ SELECT CAST(l AS BIGINT) AS lag, n,
 FROM d2"""
 
 
+DTW_L = 8
+
+
+def q_dtw(sf_dir: str):
+    """Pairwise DTW distance between every two users' daily-cents
+    series (first 8 days from the global min day, zero-filled) —
+    key-bounded histogram + one broadcast matrix, the DP is 64 scalar
+    steps of pair-length vector ops
+    (stages/sequence.py:dtw_pairs)."""
+    from ..stages.sequence import dtw_pairs
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                b.column("value").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64))}),
+        batch_format="pyarrow")
+    return dtw_pairs(ev, key_col="user_id", ts_col="tu",
+                     value_col="cents", length=DTW_L)
+
+
+def _sql_dtw() -> str:
+    L = DTW_L
+    xcols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN k = {i} THEN c END), 0) "
+        f"AS BIGINT) AS x{i}" for i in range(L))
+    # DTW DP as lateral column aliases in dependency (row-major) order
+    cells = []
+    for i in range(L):
+        for j in range(L):
+            cost = f"ABS(a.x{i} - b.x{j})"
+            if i == 0 and j == 0:
+                expr = cost
+            elif i == 0:
+                expr = f"c0_{j - 1} + {cost}"
+            elif j == 0:
+                expr = f"c{i - 1}_0 + {cost}"
+            else:
+                expr = (f"{cost} + LEAST(c{i - 1}_{j}, c{i}_{j - 1}, "
+                        f"c{i - 1}_{j - 1})")
+            cells.append(f"{expr} AS c{i}_{j}")
+    cell_sql = ", ".join(cells)
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CAST(FLOOR(value * 100.0) AS BIGINT) AS c
+           FROM events),
+lim AS (SELECT MIN(d) AS lo FROM e),
+s AS (SELECT user_id, d - (SELECT lo FROM lim) AS k, c FROM e),
+ser AS (SELECT user_id, {xcols} FROM s GROUP BY user_id),
+dp AS (SELECT a.user_id AS key_a, b.user_id AS key_b, {cell_sql}
+       FROM ser a JOIN ser b ON a.user_id < b.user_id)
+SELECT key_a, key_b, CAST(c{L - 1}_{L - 1} AS BIGINT) AS dtw FROM dp"""
+
+
 PSI_BIN_W = 100
 
 
@@ -12966,6 +13023,7 @@ FROM cand QUALIFY rank <= 10
         "psi": _sql_psi(),
         "snap": _sql_snap(),
         "seasonality": _sql_seasonality(),
+        "dtw": _sql_dtw(),
         "acf": _sql_acf(),
         "ols2": _sql_ols2(),
         "q7_volume": _sql_q7_volume(),
@@ -13595,6 +13653,7 @@ def build_queries() -> dict:
         "psi": q_psi,
         "snap": q_snap,
         "seasonality": q_seasonality,
+        "dtw": q_dtw,
         "acf": q_acf,
         "ols2": q_ols2,
         "q7_volume": q_q7_volume,

@@ -970,3 +970,103 @@ def ewma_last_k(ds, *, key_col: str, ts_col: str, id_col: str,
             "ewma": enum.astype(np.float64) / denom.astype(np.float64)})
 
     return bucketed_groupby(ds, [key_col], fold, n_buckets)
+
+
+def dtw_pairs(ds, *, key_col: str, ts_col: str, value_col: str,
+              length: int = 8, day_us: int = 86_400_000_000,
+              n_buckets: int = 16):
+    """Pairwise DYNAMIC-TIME-WARPING distance between every two keys'
+    daily-total series (the time-series similarity staple;
+    Sakoe–Chiba 1978 recurrence, unconstrained path, |x−y| cost) —
+    series are the first ``length`` days from the GLOBAL min day,
+    zero-filled, exact integer sums, so the DP is exact-int and the
+    output (key_a, key_b, dtw) with key_a < key_b is deterministic.
+
+    Scale shape (the knn_confusion broadcast discipline): the corpus
+    reduces to the KEY-BOUNDED (key, day, sum) histogram via one
+    bucketed shuffle; the keys×length int64 matrix broadcasts once
+    via ray.put, and each batch of keys computes its pair block
+    against all LARGER keys — the DP is length² SCALAR steps of
+    P-length vector ops (the levenshtein_pairs trick), never a
+    per-pair Python loop.  Pair volume is keys²/2: a key-bounded
+    operator by contract (sample or band-limit above ~10^5 keys)."""
+    import ray
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = b.column(ts_col).to_numpy(zero_copy_only=False) // day_us
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"k": k, "d": d, "c": v})
+        g = df.groupby(["k", "d"], sort=False, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["k"],
+        lambda g: g.groupby(["k", "d"], sort=False,
+                            as_index=False)["c"].sum(),
+        n_buckets=n_buckets).to_pandas()     # key-bounded
+    if len(hist) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+            "dtw": pa.array([], pa.int64())}))
+    lo = int(hist["d"].min())
+    keys = np.sort(hist["k"].unique().astype(np.int64))
+    mat = np.zeros((len(keys), length), dtype=np.int64)
+    kk = hist["k"].to_numpy().astype(np.int64)
+    dd = hist["d"].to_numpy().astype(np.int64) - lo
+    cc = hist["c"].to_numpy().astype(np.int64)
+    m = dd < length
+    mat[np.searchsorted(keys, kk[m]), dd[m]] = cc[m]
+    blob_ref = ray.put((keys, mat))
+
+    import ray.data as rd
+
+    users = rd.from_arrow(pa.table({"k": pa.array(keys)})) \
+        .repartition(max(1, min(n_buckets, len(keys))))
+
+    def pair_block(b: pa.Table, _ref=blob_ref) -> pa.Table:
+        from ..stages.graph import _get_blob
+
+        ks, mt = _get_blob(_ref)
+        mine = b.column("k").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, mine)
+        # pairs (u, v) with u < v: each of my keys against all larger
+        reps = len(ks) - pos - 1
+        iu = np.repeat(pos, reps)
+        base = np.cumsum(reps) - reps
+        iv = (np.arange(int(reps.sum()), dtype=np.int64)
+              - np.repeat(base, reps)) + np.repeat(pos, reps) + 1
+        X = mt[iu]
+        Y = mt[iv]
+        L = mt.shape[1]
+        prev = None
+        for i in range(L):
+            row = np.empty((len(iu), L), dtype=np.int64) \
+                if len(iu) else np.empty((0, L), dtype=np.int64)
+            for j in range(L):
+                cost = np.abs(X[:, i] - Y[:, j])
+                if i == 0 and j == 0:
+                    row[:, 0] = cost
+                elif i == 0:
+                    row[:, j] = row[:, j - 1] + cost
+                elif j == 0:
+                    row[:, 0] = prev[:, 0] + cost
+                else:
+                    row[:, j] = cost + np.minimum(
+                        np.minimum(prev[:, j], row[:, j - 1]),
+                        prev[:, j - 1])
+            prev = row
+        dtw = prev[:, L - 1] if len(iu) else np.empty(0, np.int64)
+        return pa.table({"key_a": pa.array(ks[iu]),
+                         "key_b": pa.array(ks[iv]),
+                         "dtw": pa.array(dtw)})
+
+    return users.map_batches(pair_block, batch_format="pyarrow")
