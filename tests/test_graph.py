@@ -1938,3 +1938,25 @@ def test_pinned_scc_parity(ray_session):
     ref = _ref_scc(src, dst)
     assert got == ref
     assert len(set(ref.values())) < len(ref)   # nontrivial instance
+
+
+def test_negative_edge_sample_properties(ray_session):
+    from zen3geo_ray.stages.graph import negative_edge_sample
+
+    src = np.array([1, 2, 3, 4, 1], dtype=np.int64)
+    dst = np.array([2, 3, 4, 1, 3], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})) \
+        .repartition(2)
+    out = negative_edge_sample(edges, k=2, slack=2,
+                               n_buckets=4).to_pandas()
+    real = set(zip(src.tolist(), dst.tolist()))
+    for r in out.itertuples():
+        assert (int(r.src), int(r.neg)) not in real   # true non-edges
+        assert int(r.src) != int(r.neg)               # no self pairs
+    assert (out.groupby("src").size() <= 2).all()     # k cap
+    # deterministic: a second run reproduces the identical sample
+    out2 = negative_edge_sample(edges, k=2, slack=2,
+                                n_buckets=4).to_pandas()
+    a = sorted(map(tuple, out[["src", "neg", "j"]].to_numpy()))
+    b = sorted(map(tuple, out2[["src", "neg", "j"]].to_numpy()))
+    assert a == b

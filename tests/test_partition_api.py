@@ -683,3 +683,23 @@ def test_api_session7c_surface(ray_session):
         api.from_arrow(segs), radius=10, cell=8,
         n_buckets=2).to_pandas()
     assert sn.sid.tolist() == [1]
+
+
+def test_api_session7d_surface(ray_session):
+    edges = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                      "dst": pa.array([2, 3, 1], pa.int64())})
+    ns = api.from_arrow(edges).neg_sample(1, slack=8,
+                                          n_buckets=2).to_pandas()
+    assert len(ns) > 0 and (ns.groupby("src").size() <= 1).all()
+
+    cells_t = pa.table({"cell": pa.array([0], pa.int64())})
+    cov = api.from_arrow(cells_t).coverage(res=6, max_dist=1)
+    assert cov.column("cum_cells")[1].as_py() == 4
+
+    ev = pa.table({"u": pa.array([1, 1, 2], pa.int64()),
+                   "tu": pa.array([0, 1, 0], pa.int64()),
+                   "c": pa.array([5, 6, 5], pa.int64())})
+    dt = api.from_arrow(ev).dtw_pairs(key_col="u", ts_col="tu",
+                                      value_col="c", length=2,
+                                      day_us=1, n_buckets=2).to_pandas()
+    assert dt.dtw.tolist() == [6]   # u2 lacks day1: |6-0| on the path

@@ -822,3 +822,21 @@ def test_hausdorff_cells_golden(ray_session):
                            group_a="A", group_b="B").to_pandas().iloc[0]
     assert (int(out2.h_ab), int(out2.n_far_ab)) == (0, 1)
     assert (int(out2.h_ba), int(out2.n_far_ba)) == (0, 1)
+
+
+def test_coverage_by_ring_golden(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.geom.cells import _grid_dims
+    from zen3geo_ray.stages.spatial_stats import coverage_by_ring
+
+    nc, nr = _grid_dims(6)
+    # one occupied cell at the (0,0) corner: ring h adds the L-shaped
+    # band of (h+1)^2 - h^2 = 2h+1 in-bounds cells
+    t = pa.table({"cell": pa.array([0], pa.int64())})
+    out = coverage_by_ring(rd.from_arrow(t), res=6,
+                           max_dist=2).to_pandas()
+    assert out.dist.tolist() == [0, 1, 2]
+    assert out.n_cells.tolist() == [1, 3, 5]
+    assert out.cum_cells.tolist() == [1, 4, 9]
+    assert out.frac.tolist()[-1] == 9.0 / (nc * nr)

@@ -997,6 +997,19 @@ class Pipe:
 
         return k_anonymity(self.ds, qi_cols, k, **kwargs)
 
+    def neg_sample(self, k: int, **kwargs) -> "Pipe":
+        """Deterministic negative-edge sampling (link-pred prep)."""
+        from .stages.graph import negative_edge_sample
+
+        return Pipe(negative_edge_sample(self.ds, k=k, **kwargs))
+
+    def coverage(self, *, res: int, max_dist: int, **kwargs) -> pa.Table:
+        """Accessibility coverage curve by ring distance (terminal)."""
+        from .stages.spatial_stats import coverage_by_ring
+
+        return coverage_by_ring(self.ds, res=res, max_dist=max_dist,
+                                **kwargs)
+
     def dtw_pairs(self, **kwargs) -> "Pipe":
         """Pairwise DTW of per-key daily-total series."""
         from .stages.sequence import dtw_pairs

@@ -1374,6 +1374,103 @@ SELECT CAST(l AS BIGINT) AS lag, n,
 FROM d2"""
 
 
+COV_MAX_DIST = 3
+
+
+def q_coverage(sf_dir: str):
+    """Accessibility coverage curve: cells within h rings of an
+    occupied cell, cumulative and as a grid fraction, for h =
+    0..3 — pure integers off the occupancy histogram + outward
+    scatter (stages/spatial_stats.py:coverage_by_ring)."""
+    from ..stages.spatial_stats import coverage_by_ring
+
+    return coverage_by_ring(_geocoded(sf_dir, RES_ZONAL),
+                            res=RES_ZONAL, max_dist=COV_MAX_DIST)
+
+
+def _sql_coverage() -> str:
+    nc, nr = cells._grid_dims(RES_ZONAL)
+    m = nc * nr
+    k = COV_MAX_DIST
+    return f"""
+{_sql_counts_cte()},
+offs AS (SELECT dxr.i - {k} AS dx, dyr.i - {k} AS dy,
+                GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k})) AS h
+         FROM (SELECT unnest(range({2 * k + 1})) AS i) dxr,
+              (SELECT unnest(range({2 * k + 1})) AS i) dyr
+         WHERE GREATEST(abs(dxr.i - {k}), abs(dyr.i - {k}))
+               BETWEEN 1 AND {k}),
+cand AS (SELECT a.cell + o.dy * {nc} + o.dx AS cell, o.h
+         FROM counts a CROSS JOIN offs o
+         WHERE a.cell % {nc} + o.dx >= 0
+           AND a.cell % {nc} + o.dx <= {nc - 1}
+           AND a.cell // {nc} + o.dy >= 0
+           AND a.cell // {nc} + o.dy <= {nr - 1}),
+prox AS (SELECT cand.cell, CAST(MIN(cand.h) AS BIGINT) AS dist
+         FROM cand LEFT JOIN counts c ON c.cell = cand.cell
+         WHERE c.cell IS NULL GROUP BY cand.cell),
+per AS (SELECT 0 AS dist, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM counts
+        UNION ALL
+        SELECT CAST(dist AS INTEGER), CAST(COUNT(*) AS BIGINT)
+        FROM prox GROUP BY dist),
+dom AS (SELECT unnest(range({k + 1})) AS dist),
+fx AS (SELECT dom.dist, CAST(COALESCE(per.n_cells, 0) AS BIGINT)
+              AS n_cells
+       FROM dom LEFT JOIN per ON per.dist = dom.dist)
+SELECT CAST(dist AS BIGINT) AS dist, n_cells,
+  CAST(SUM(n_cells) OVER (ORDER BY dist
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_cells,
+  CAST(SUM(n_cells) OVER (ORDER BY dist
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) / {float(m)} AS frac
+FROM fx"""
+
+
+NEG_K, NEG_SLACK = 3, 2
+
+
+def q_neg_sample(sf_dir: str):
+    """Deterministic negative-edge sampling over the OD flow graph
+    (link-prediction training prep): mulrot63-hash candidates mapped
+    onto the sorted node array, exact anti-join exclusion of real
+    edges, first k survivors in lane order — no RNG state anywhere
+    (stages/graph.py:negative_edge_sample)."""
+    from ..stages.graph import negative_edge_sample
+
+    return negative_edge_sample(_od_edges(sf_dir), k=NEG_K,
+                                slack=NEG_SLACK)
+
+
+def _sql_neg_sample() -> str:
+    od = _sql_od_matrix()
+    nj = NEG_K * NEG_SLACK
+    mr = hashing.sql_mulrot63_ctes(
+        "jx", "u, j", "CAST(u * 64 + j AS HUGEINT)")
+    return f"""
+WITH od AS MATERIALIZED ({od}),
+e AS MATERIALIZED (SELECT cell_from AS a, cell_to AS b FROM od
+                   WHERE n >= {SCC_MIN_FLOW} AND cell_from <> cell_to),
+nd AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT a AS v FROM e
+                          UNION ALL SELECT b AS v FROM e)),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+ix AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS i FROM nd),
+jx AS (SELECT nd.v AS u, jr.j FROM nd
+       CROSS JOIN (SELECT unnest(range({nj})) AS j) jr),
+{mr},
+cand AS (SELECT mh63.u, mh63.j, ix.v AS neg
+         FROM mh63 JOIN ix ON ix.i = mh63.h % (SELECT n FROM cnt)),
+f AS (SELECT u, j, neg FROM cand
+      WHERE neg <> u AND NOT EXISTS (
+        SELECT 1 FROM e WHERE e.a = cand.u AND e.b = cand.neg)),
+r AS (SELECT u, neg, j,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) AS rn
+      FROM f)
+SELECT u AS src, neg, CAST(j AS BIGINT) AS j FROM r WHERE rn <= {NEG_K}"""
+
+
 DTW_L = 8
 
 
@@ -13024,6 +13121,8 @@ FROM cand QUALIFY rank <= 10
         "snap": _sql_snap(),
         "seasonality": _sql_seasonality(),
         "dtw": _sql_dtw(),
+        "coverage": _sql_coverage(),
+        "neg_sample": _sql_neg_sample(),
         "acf": _sql_acf(),
         "ols2": _sql_ols2(),
         "q7_volume": _sql_q7_volume(),
@@ -13654,6 +13753,8 @@ def build_queries() -> dict:
         "snap": q_snap,
         "seasonality": q_seasonality,
         "dtw": q_dtw,
+        "coverage": q_coverage,
+        "neg_sample": q_neg_sample,
         "acf": q_acf,
         "ols2": q_ols2,
         "q7_volume": q_q7_volume,

@@ -4346,3 +4346,72 @@ def bowtie_decomposition(edges, *, src: str = "src", dst: str = "dst",
         "n_out": pa.array([n_out], pa.int64()),
         "n_other": pa.array([n_nodes - n_scc - n_in - n_out],
                             pa.int64())})
+
+
+def negative_edge_sample(edges, *, k: int, slack: int = 2,
+                         src: str = "src", dst: str = "dst",
+                         n_buckets: int | None = None):
+    """DETERMINISTIC negative sampling for link prediction (the GNN
+    training-data prep step): for every node u, up to ``k`` NON-edges
+    (u, v) — candidates come from the SQL-mirrorable mulrot63 hash
+    h(u·64 + j) mapped onto the sorted node array (j = 0..k·slack−1,
+    so ``k·slack <= 64``), self-pairs and EXISTING directed edges are
+    excluded exactly (bucketed anti join against the distinct edge
+    set — no Bloom approximation), and the first ``k`` survivors in
+    j order win.  No RNG state: re-running any shard reproduces the
+    same sample (the temp_sample/wsample hash-predicate discipline).
+    Output (src, neg, j)."""
+    import ray
+
+    from ..functions.hashing import mulrot63
+
+    if k * slack > 64:
+        raise ValueError("k * slack must be <= 64 (hash lane budget)")
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
+        ]))
+        return pa.table({NODE: pa.array(u)})
+
+    nodes = bucketed_groupby(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        [NODE], lambda g: g.drop_duplicates(NODE), n_buckets=n_buckets,
+    ).materialize()
+    ns = np.sort(nodes.to_pandas()[NODE].to_numpy().astype(np.int64))
+    if len(ns) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            src: pa.array([], pa.int64()),
+            "neg": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64())}))
+    ref = ray.put(ns)
+    nj = k * slack
+
+    def cand(b: pa.Table, _ref=ref) -> pa.Table:
+        nsl = _get_blob(_ref)
+        u = b.column(NODE).to_numpy(zero_copy_only=False)
+        uu = np.repeat(u, nj)
+        jj = np.tile(np.arange(nj, dtype=np.int64), len(u))
+        h = mulrot63((uu * 64 + jj).astype(np.uint64))
+        v = nsl[(h % np.uint64(len(nsl))).astype(np.int64)]
+        keep = v != uu
+        return pa.table({src: pa.array(uu[keep]),
+                         dst: pa.array(v[keep]),
+                         "j": pa.array(jj[keep])})
+
+    cands = nodes.map_batches(cand, batch_format="pyarrow")
+    dedup_e = distinct_tuples(edges, [src, dst], n_buckets=n_buckets)
+    fresh = bucketed_join(cands, dedup_e, [src, dst], how="anti",
+                          n_buckets=n_buckets)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([src, "j"], kind="mergesort")
+        pos = g.groupby(src, sort=False).cumcount()
+        out = g[pos < k].rename(columns={dst: "neg"})
+        return out[[src, "neg", "j"]]
+
+    return bucketed_groupby(fresh, [src], topk, n_buckets=n_buckets)

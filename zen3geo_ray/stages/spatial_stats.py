@@ -1503,3 +1503,51 @@ def hausdorff_cells(ds, *, res: int, max_dist: int, group_a, group_b,
         "n_far_ab": pa.array([far_ab], pa.int64()),
         "n_far_ba": pa.array([far_ba], pa.int64()),
     })
+
+
+def coverage_by_ring(ds, *, res: int, max_dist: int,
+                     cell_col: str = "cell",
+                     n_buckets: int = 8) -> pa.Table:
+    """ACCESSIBILITY coverage curve: for each ring distance h (0 =
+    occupied, 1..max_dist = the proximity transform's bands), how
+    many grid cells lie within h of an occupied cell, cumulatively,
+    and as a fraction of the FULL grid — the service-area summary a
+    siting analysis reads off gdal_proximity.  Pure integers off the
+    grid-bounded histogram + the outward scatter; frac = cum/m is the
+    one float shape per row.  Output (dist, n_cells, cum_cells,
+    frac)."""
+    cells_, _x = _histogram(ds, cell_col, n_buckets)
+    ncols, nrows = _grid_dims(res)
+    m = ncols * nrows
+    nx = cells_ % ncols
+    ny = cells_ // ncols
+    dist: dict[int, int] = {}
+    for h in range(1, max_dist + 1):
+        for dy in range(-h, h + 1):
+            for dx in range(-h, h + 1):
+                if max(abs(dx), abs(dy)) != h:
+                    continue
+                ok = ((nx + dx >= 0) & (nx + dx < ncols)
+                      & (ny + dy >= 0) & (ny + dy < nrows))
+                for t in (cells_[np.flatnonzero(ok)]
+                          + dy * ncols + dx).tolist():
+                    dist.setdefault(t, h)
+    occupied = set(cells_.tolist())
+    per = {h: 0 for h in range(max_dist + 1)}
+    per[0] = len(cells_)
+    for t, h in dist.items():
+        if t not in occupied:
+            per[h] += 1
+    ds_, ns_, cs_, fs_ = [], [], [], []
+    cum = 0
+    for h in range(max_dist + 1):
+        cum += per[h]
+        ds_.append(h)
+        ns_.append(per[h])
+        cs_.append(cum)
+        fs_.append(float(cum) / float(m))
+    return pa.table({
+        "dist": pa.array(ds_, pa.int64()),
+        "n_cells": pa.array(ns_, pa.int64()),
+        "cum_cells": pa.array(cs_, pa.int64()),
+        "frac": pa.array(fs_, pa.float64())})
