@@ -191,3 +191,20 @@ def test_no_shadowed_module_definitions():
             seen[node.name] += 1
     dups = [n for n, c in seen.items() if c > 1]
     assert not dups, f"shadowed top-level defs in queries.py: {dups}"
+
+
+def test_lorenz_curve_invariants(ray_session):
+    """Lorenz shares are monotone, end at exactly 1.0, and lie under
+    the diagonal (poorest-first concentration)."""
+    import numpy as np
+
+    from zen3geo_ray.pipelines.queries import q_lorenz
+
+    out = q_lorenz("/root/testdata/sf0.001").to_pandas()
+    s = out["cum_share"].to_numpy()
+    assert (np.diff(s) > 0).all()
+    assert s[-1] == 1.0
+    # cumulative user fraction at each bin boundary dominates the
+    # cumulative revenue share (definition of concentration)
+    cum_users = np.cumsum(out["n"].to_numpy()) / out["n"].sum()
+    assert (s <= cum_users + 1e-12).all()

@@ -1374,6 +1374,87 @@ SELECT CAST(l AS BIGINT) AS lag, n,
 FROM d2"""
 
 
+LORENZ_BINS = 10
+
+
+def q_lorenz(sf_dir: str):
+    """LORENZ concentration curve of user revenue (gini's reporting
+    companion): users ranked by total cents ASCENDING are cut into 10
+    rank bins straight off the user-total histogram (ties share a
+    bin, the gains discipline), each bin reporting its user count,
+    cents total, and cumulative share of all cents (the one float
+    per row)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    ev = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "cents": pa.array(np.floor(
+                b.column("value").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64))}),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b.column("user_id").to_numpy(zero_copy_only=False),
+            "c": b.column("cents").to_numpy(zero_copy_only=False)})
+        g = df.groupby("u", sort=False, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    totals = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pyarrow"), ["u"],
+        lambda g: g.groupby("u", sort=False, as_index=False)["c"].sum(),
+        n_buckets=8).to_pandas()          # user-bounded
+    # distinct-total histogram, ascending sweep (poorest bin first)
+    v, cnt = np.unique(totals["c"].to_numpy().astype(np.int64),
+                       return_counts=True)
+    cnt = cnt.astype(np.int64)
+    n = int(cnt.sum())
+    total_c = int(np.dot(v, cnt))
+    cumb = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+    bins = (cumb * LORENZ_BINS) // n
+    df = pd.DataFrame({"bin": bins, "n": cnt, "cents": v * cnt})
+    agg = df.groupby("bin", as_index=False).sum().sort_values("bin")
+    cum = np.cumsum(agg["cents"].to_numpy()).astype(np.int64)
+    return pa.table({
+        "bin": pa.array(agg["bin"].to_numpy(), pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+        "cents": pa.array(agg["cents"].to_numpy(), pa.int64()),
+        "cum_share": pa.array(
+            cum.astype(np.float64) / float(total_c), pa.float64())})
+
+
+def _sql_lorenz() -> str:
+    return f"""
+WITH t AS (SELECT user_id,
+    CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY user_id),
+h AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY c),
+rk AS (SELECT v, cnt,
+    CAST(SUM(cnt) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+         AS BIGINT) AS cumb
+  FROM h),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(v * cnt) AS BIGINT) AS tc FROM h),
+b AS (SELECT (cumb * {LORENZ_BINS}) // tot.n AS bin, cnt,
+             v * cnt AS cents
+      FROM rk CROSS JOIN tot),
+g AS (SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM b GROUP BY bin)
+SELECT bin, n, cents,
+  CAST(SUM(cents) OVER (ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  / (SELECT CAST(tc AS DOUBLE) FROM tot) AS cum_share
+FROM g"""
+
+
 COV_MAX_DIST = 3
 
 
@@ -13122,6 +13203,7 @@ FROM cand QUALIFY rank <= 10
         "seasonality": _sql_seasonality(),
         "dtw": _sql_dtw(),
         "coverage": _sql_coverage(),
+        "lorenz": _sql_lorenz(),
         "neg_sample": _sql_neg_sample(),
         "acf": _sql_acf(),
         "ols2": _sql_ols2(),
@@ -13754,6 +13836,7 @@ def build_queries() -> dict:
         "seasonality": q_seasonality,
         "dtw": q_dtw,
         "coverage": q_coverage,
+        "lorenz": q_lorenz,
         "neg_sample": q_neg_sample,
         "acf": q_acf,
         "ols2": q_ols2,
