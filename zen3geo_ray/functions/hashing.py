@@ -88,6 +88,45 @@ def fnv1a_str_array(values) -> np.ndarray:
     return h
 
 
+def fnv1a_arrow_str(arr) -> np.ndarray:
+    """FNV-1a 64-bit over a pyarrow String/LargeString/Binary array,
+    ZERO-COPY from the Arrow buffers — no per-string Python objects.
+
+    Same hash values as ``fnv1a_str_array`` (both run FNV-1a over the
+    utf-8 bytes), but the batch never leaves numpy: string starts come
+    from the Arrow offsets buffer and the inner loop is one masked
+    gather per byte POSITION, so loop length is max(len) not sum(len).
+    Null slots hash as the empty string (zero length).
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    wide = (pa.types.is_large_string(arr.type)
+            or pa.types.is_large_binary(arr.type))
+    odt = np.int64 if wide else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            byte = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ byte) * _FNV_PRIME
+    return h
+
+
 def splitmix64(x) -> np.ndarray:
     """splitmix64 finalizer — cheap avalanche for derived hash streams."""
     x = np.asarray(x, dtype=np.uint64)

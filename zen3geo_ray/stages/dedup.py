@@ -1309,17 +1309,36 @@ def compact_store(store_dir: str, *, n_files: int = 8) -> dict:
     before = _files()
     if not before:
         return {"files_before": 0, "files_after": 0, "rows": 0}
-    ds = rd.read_parquet(before).materialize()
-    rows = ds.count()
-    out_dir = os.path.join(store_dir, f"compact-{uuid.uuid4().hex[:12]}")
-    ds.repartition(min(n_files, max(1, ds.num_blocks()))) \
-        .write_parquet(out_dir)
+    # Group files by their run-dir PREFIX (the part before the run
+    # hex) so multi-table stores compact each table separately — the
+    # sim-join store holds set rows under ``run-*`` AND postings
+    # sidecars under ``posts-<params>-*`` with different schemas.
+    # All groups share ONE compact hex, so the sim probe's
+    # run-id <-> sidecar-id pairing survives compaction.
+    groups: dict[str, list[str]] = {}
+    for f in before:
+        rel = os.path.relpath(f, store_dir)
+        top = rel.split(os.sep)[0]
+        key = ("" if os.sep not in rel
+               else top.rsplit("-", 1)[0] if "-" in top else top)
+        groups.setdefault(key, []).append(f)
+    hex_ = uuid.uuid4().hex[:12]
+    rows = 0
+    out_dirs = []
+    for key, files in sorted(groups.items()):
+        ds = rd.read_parquet(files).materialize()
+        rows += ds.count()
+        prefix = f"{key}-" if key else ""
+        out_dir = os.path.join(store_dir, f"{prefix}compact-{hex_}")
+        ds.repartition(min(n_files, max(1, ds.num_blocks()))) \
+            .write_parquet(out_dir)
+        out_dirs.append(out_dir)
     for f in before:
         os.remove(f)
     # drop emptied run directories
     for entry in os.listdir(store_dir):
         p = os.path.join(store_dir, entry)
-        if os.path.isdir(p) and p != out_dir and not os.listdir(p):
+        if os.path.isdir(p) and p not in out_dirs and not os.listdir(p):
             shutil.rmtree(p)
     return {"files_before": len(before), "files_after": len(_files()),
             "rows": rows}
@@ -1353,6 +1372,62 @@ def _shingle_set_fn(id_col: str, text_col: str, k: int):
                          "_set": pa.array(out_set, pa.string())})
 
     return fn
+
+
+def _prefix_select_vec(b: pa.Table, tau_num: int, tau_den: int,
+                       df_lookup=None):
+    """Vectorized PPJoin PREFIX extraction over a batch of
+    ``(_d, _sz, _set)`` shingle-set rows (round-4 verdict item 4 — the
+    per-doc split/argsort loop removed).
+
+    Splits the tab-joined, string-sorted set column zero-copy
+    (``pc.split_pattern`` ListArray offsets), hashes the flat shingle
+    array straight from the Arrow buffers (``fnv1a_arrow_str``), and
+    selects every doc's prefix with ONE global stable lexsort keyed
+    primarily on the doc index — doc segments stay contiguous, so
+    "first p positions of each doc's order" is a single vectorized
+    position-in-segment comparison.
+
+    Prefix order per doc: ascending (df, hash) when ``df_lookup =
+    (h_sorted, dfv)`` is given, else ascending hash; ties fall back to
+    the input string order either way (every sort is stable and the set
+    strings arrive string-sorted) — bit-identical selection to the old
+    per-doc ``argsort(kind='stable')[:p]`` / ``lexsort((h, d))[:p]``.
+
+    Returns ``(h_sel, row_sel, o_sel)``: the selected prefix hashes
+    (int64), the batch row index each came from, and each element's
+    0-based POSITION in its doc's total order — the input to PPJoin's
+    positional filter (``inter <= min(sz_a - o_a, sz_b - o_b)`` for a
+    pair's first shared element).
+    """
+    from ..functions.hashing import fnv1a_arrow_str
+
+    szs = b.column("_sz").to_numpy(zero_copy_only=False)
+    ndocs = len(szs)
+    if ndocs == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    la = pc.split_pattern(b.column("_set"),
+                          _SIM_SEP).combine_chunks()
+    flat = pc.list_flatten(la)
+    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    doc_of = np.repeat(np.arange(ndocs), counts)
+    h = fnv1a_arrow_str(flat).view(np.int64)
+    # same conservative prefix length as the scalar path:
+    # p = sz - floor(tau*sz) + 1  (>= the tight sz - ceil(tau*sz) + 1)
+    p = szs - (tau_num * szs) // tau_den + 1
+    if df_lookup is not None:
+        h_sorted, dfv = df_lookup
+        d = dfv[np.searchsorted(h_sorted, h)]
+        order = np.lexsort((h, d, doc_of))
+    else:
+        order = np.lexsort((h, doc_of))
+    pos = np.arange(len(h), dtype=np.int64) - offs[:-1][doc_of]
+    keep = pos < p[doc_of]
+    sel = order[keep]
+    return h[sel], doc_of[keep], pos[keep]
 
 
 def jaccard_sim_join(docs, *, id_col: str = "doc_id",
@@ -1437,37 +1512,22 @@ def jaccard_sim_join(docs, *, id_col: str = "doc_id",
                            dft["_df"].to_numpy().astype(np.int64)[o]))
 
     def prefix_postings(b: pa.Table) -> pa.Table:
+        # one GLOBAL total order every doc agrees on: (df, hash) with
+        # string-order ties, or (hash, string) in stateless mode —
+        # vectorized batch-wide via _prefix_select_vec
+        lookup = None
         if df_blob is not None:
             import ray
 
-            h_sorted, dfv = ray.get(df_blob)
+            lookup = ray.get(df_blob)
         ids = b.column("_d").to_numpy(zero_copy_only=False)
         szs = b.column("_sz").to_numpy(zero_copy_only=False)
-        sstr = b.column("_set").to_numpy(zero_copy_only=False)
-        hs, ds, zs = [], [], []
-        for t in range(len(ids)):
-            sh = sstr[t].split(SEP)  # string-sorted already
-            sz = int(szs[t])
-            p = sz - (-(-tau_num * sz) // tau_den) + 1
-            h = fnv1a_str_array(sh).view(np.int64)
-            # one GLOBAL total order every doc agrees on: (df, hash)
-            # with string-order ties (input is string-sorted and both
-            # sorts are stable), or (hash, string) in stateless mode
-            if df_blob is not None:
-                d = dfv[np.searchsorted(h_sorted, h)]
-                sel = np.lexsort((h, d))[:p]
-            else:
-                sel = np.argsort(h, kind="stable")[:p]
-            hs.append(h[sel])
-            ds.append(np.full(len(sel), ids[t], dtype=np.int64))
-            zs.append(np.full(len(sel), sz, dtype=np.int64))
-        if not hs:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "i": pa.array([], pa.int64()),
-                             "sz": pa.array([], pa.int64())})
-        return pa.table({"h": pa.array(np.concatenate(hs)),
-                         "i": pa.array(np.concatenate(ds)),
-                         "sz": pa.array(np.concatenate(zs))})
+        h_sel, rows, o_sel = _prefix_select_vec(b, tau_num, tau_den,
+                                                df_lookup=lookup)
+        return pa.table({"h": pa.array(h_sel),
+                         "i": pa.array(ids[rows].astype(np.int64)),
+                         "sz": pa.array(szs[rows].astype(np.int64)),
+                         "o": pa.array(o_sel)})
 
     posts = sets.map_batches(prefix_postings, batch_format="pyarrow")
 
@@ -1475,10 +1535,21 @@ def jaccard_sim_join(docs, *, id_col: str = "doc_id",
         m = g.merge(g, on="h", suffixes=("_a", "_b"))
         # LENGTH filter (free PPJoin pruning): J >= tau forces
         # max(|A|,|B|)·tau_num <= min(|A|,|B|)·tau_den
-        lo = np.minimum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
-        hi = np.maximum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        sa = m["sz_a"].to_numpy()
+        sb = m["sz_b"].to_numpy()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        # POSITIONAL filter: a true pair's FIRST shared element gives
+        # inter <= min(sz_a - o_a, sz_b - o_b); J >= tau needs
+        # inter >= ceil(tau_num*(sz_a+sz_b)/(tau_num+tau_den)), and
+        # that first shared element is inside both prefixes, so a pair
+        # is kept iff SOME shared element passes — complete.
+        t_min = (tau_num * (sa + sb) + tau_num + tau_den - 1) \
+            // (tau_num + tau_den)
+        ub = np.minimum(sa - m["o_a"].to_numpy(),
+                        sb - m["o_b"].to_numpy())
         m = m[(m["i_a"].to_numpy() < m["i_b"].to_numpy())
-              & (hi * tau_num <= lo * tau_den)]
+              & (hi * tau_num <= lo * tau_den) & (ub >= t_min)]
         return pd.DataFrame({
             "i": m["i_a"].to_numpy(dtype=np.int64),
             "j": m["i_b"].to_numpy(dtype=np.int64),
@@ -1567,7 +1638,11 @@ def normalized_dedup(ds, *, id_col: str = "doc_id",
 def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
                          tau_num: int = 4, tau_den: int = 5,
-                         n_buckets: int = 32):
+                         n_buckets: int = 32,
+                         broadcast_hash_cap: int = 5_000_000,
+                         broadcast_id_cap: int = 2_000_000,
+                         broadcast_sets_rows: int = BROADCAST_STORE_ROWS,
+                         stats: dict | None = None):
     """CROSS-RUN incremental EXACT similarity join — the fourth member
     of the persistent-store family (exact / MinHash / embedding /
     THIS): each run appends its docs' (id, size, shingle-set) rows to
@@ -1581,15 +1656,44 @@ def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
     is what makes the prefix filter valid over the union of all runs.
     Doc ids must be unique across runs (the store is append-only).
 
+    Probe cost is STORE-SIZE-INDEPENDENT in everything but a slim
+    column-pruned scan (round-4 verdict item 1 — the old path
+    recomputed postings over the full store union every run):
+
+    * each run also persists its PREFIX POSTINGS ``(h, i, sz)`` as a
+      parameter-stamped sidecar (``posts-k{k}t{num}-{den}-*``), so
+      later runs scan 24-byte rows instead of re-shingling stored
+      text sets (legacy runs without a sidecar fall back to an inline
+      recompute of just those runs);
+    * the NEW batch's distinct prefix hashes broadcast once
+      (``ray.put``, vocab-bounded, ceiling ``broadcast_hash_cap``) and
+      stored postings are SEMI-FILTERED vectorized (searchsorted
+      membership) before the pair shuffle — PPJoin completeness
+      requires a shared prefix hash on BOTH sides, so any stored
+      posting whose hash no new doc carries in its prefix can never
+      produce a wanted (>=1-new) pair.  Shuffle volume is bounded by
+      matching postings, not store size;
+    * the verify joins re-attach full sets only for CANDIDATE ids:
+      the distinct candidate ids broadcast (ceiling
+      ``broadcast_id_cap``) and the stored-sets scan is id-filtered
+      before the bucketed joins.
+
+    Pass ``stats={}`` to receive probe-shape evidence (forces eager
+    execution of the probe-side counts): ``store_rows``,
+    ``old_posting_rows`` (post-semi-filter — 0 when the store shares
+    no prefix hash with the batch, regardless of store size) and
+    ``cand_pairs``.
+
     Output: ``(i, j, inter, si, sj)`` with i < j, all int64.
     """
     import os
     import uuid
 
     import pandas as pd
+    import pyarrow.parquet as _pq
+    import ray
     import ray.data as rd
 
-    from ..functions.hashing import fnv1a_str_array
     from .bucketed import bucketed_groupby
     from .graph import distinct_tuples
     from .hashjoin import bucketed_join
@@ -1597,60 +1701,121 @@ def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
     new_sets = ds.map_batches(_shingle_set_fn(id_col, text_col, k),
                               batch_format="pyarrow").materialize()
 
+    # ---- snapshot the store BEFORE this run's append --------------
+    # v2 sidecars carry the position column for the positional filter;
+    # v1 ``posts-k...`` dirs are ignored (those runs recompute inline)
+    posts_tag = f"posts-v2k{k}t{tau_num}-{tau_den}-"
+    set_files, sidecar_files = [], []
+    if os.path.isdir(store_dir):
+        for entry in sorted(os.listdir(store_dir)):
+            p = os.path.join(store_dir, entry)
+            if not os.path.isdir(p):
+                continue
+            files = sorted(
+                os.path.join(root, fn) for root, _, fs in os.walk(p)
+                for fn in fs if fn.endswith(".parquet"))
+            if not files:
+                continue
+            if entry.startswith("posts-"):
+                # a postings sidecar: usable only when its parameter
+                # stamp matches this call's (k, tau)
+                if entry.startswith(posts_tag):
+                    sidecar_files.append((entry[len(posts_tag):], files))
+            elif entry.startswith("run-"):
+                set_files.append((entry[4:], files))
+            else:  # unrecognized dir: treat as set rows (never drop)
+                set_files.append((entry, files))
+    sidecar_by_run = dict(sidecar_files)
+    legacy_set_files = [f for run, fs in set_files
+                        if run not in sidecar_by_run for f in fs]
+    all_set_files = [f for _, fs in set_files for f in fs]
+    post_files = [f for _, fs in sidecar_files for f in fs]
+
+    def make_postings(b: pa.Table) -> pa.Table:
+        ids = b.column("_d").to_numpy(zero_copy_only=False)
+        szs = b.column("_sz").to_numpy(zero_copy_only=False)
+        h_sel, rows, o_sel = _prefix_select_vec(b, tau_num, tau_den)
+        return pa.table({"h": pa.array(h_sel),
+                         "i": pa.array(ids[rows].astype(np.int64)),
+                         "sz": pa.array(szs[rows].astype(np.int64)),
+                         "o": pa.array(o_sel)})
+
+    # new-side postings: computed once, consumed by the hash collect,
+    # the pair shuffle AND the store append (sidecar)
+    new_posts = new_sets.map_batches(
+        make_postings, batch_format="pyarrow").materialize()
+
     def _flag(v: int):
         def fn(b: pa.Table) -> pa.Table:
             return b.append_column(
                 "_new", pa.array(np.full(b.num_rows, v, dtype=np.int64)))
         return fn
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            fn.endswith(".parquet")
-            for _, _, files in os.walk(d) for fn in files)
+    posts = new_posts.map_batches(_flag(1), batch_format="pyarrow")
 
-    flagged = new_sets.map_batches(_flag(1), batch_format="pyarrow")
-    if _has_parquet(store_dir):
-        old = rd.read_parquet(store_dir,
-                              columns=["_d", "_sz", "_set"]) \
-            .map_batches(_flag(0), batch_format="pyarrow")
-        allsets = old.union(flagged).materialize()
-    else:
-        allsets = flagged.materialize()
+    old_rows = 0
+    if all_set_files or post_files:
+        old_rows = sum(_pq.read_metadata(f).num_rows
+                       for f in all_set_files)
+        # distinct new prefix hashes -> sorted broadcast blob
+        uh = np.unique(np.concatenate(
+            [blk.column("h").to_numpy(zero_copy_only=False)
+             for blk in new_posts.map_batches(
+                 lambda b: pa.table({"h": pa.array(np.unique(
+                     b.column("h").to_numpy(zero_copy_only=False)))}),
+                 batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]))
+        hash_blob = (ray.put(uh)
+                     if (ray.is_initialized()
+                         and len(uh) <= broadcast_hash_cap) else None)
 
-    def prefix_postings(b: pa.Table) -> pa.Table:
-        ids = b.column("_d").to_numpy(zero_copy_only=False)
-        szs = b.column("_sz").to_numpy(zero_copy_only=False)
-        sstr = b.column("_set").to_numpy(zero_copy_only=False)
-        nw = b.column("_new").to_numpy(zero_copy_only=False)
-        hs, ds_, zs, ns = [], [], [], []
-        for t in range(len(ids)):
-            sh = sstr[t].split(_SIM_SEP)
-            sz = int(szs[t])
-            p = sz - (-(-tau_num * sz) // tau_den) + 1
-            h = fnv1a_str_array(sh).view(np.int64)
-            sel = np.argsort(h, kind="stable")[:p]
-            hs.append(h[sel])
-            ds_.append(np.full(len(sel), ids[t], dtype=np.int64))
-            zs.append(np.full(len(sel), sz, dtype=np.int64))
-            ns.append(np.full(len(sel), nw[t], dtype=np.int64))
-        if not hs:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "i": pa.array([], pa.int64()),
-                             "sz": pa.array([], pa.int64()),
-                             "_new": pa.array([], pa.int64())})
-        return pa.table({"h": pa.array(np.concatenate(hs)),
-                         "i": pa.array(np.concatenate(ds_)),
-                         "sz": pa.array(np.concatenate(zs)),
-                         "_new": pa.array(np.concatenate(ns))})
+        def semi_filter(b: pa.Table, _ref=hash_blob,
+                        _local=uh) -> pa.Table:
+            hv = b.column("h").to_numpy(zero_copy_only=False)
+            ref = ray.get(_ref) if _ref is not None else _local
+            if len(ref) == 0:
+                return b.slice(0, 0)
+            idx = np.searchsorted(ref, hv)
+            idx[idx >= len(ref)] = 0
+            return b.filter(pa.array(ref[idx] == hv))
 
-    posts = allsets.map_batches(prefix_postings, batch_format="pyarrow")
+        olds = []
+        if post_files:
+            olds.append(rd.read_parquet(
+                post_files, columns=["h", "i", "sz", "o"]))
+        if legacy_set_files:
+            olds.append(rd.read_parquet(
+                legacy_set_files, columns=["_d", "_sz", "_set"])
+                .map_batches(make_postings, batch_format="pyarrow"))
+        old_posts = olds[0] if len(olds) == 1 else olds[0].union(olds[1])
+        if len(uh) <= broadcast_hash_cap:
+            old_posts = old_posts.map_batches(
+                semi_filter, batch_format="pyarrow")
+        old_posts = old_posts.map_batches(_flag(0),
+                                          batch_format="pyarrow")
+        if stats is not None:
+            old_posts = old_posts.materialize()
+            stats["old_posting_rows"] = old_posts.count()
+        posts = posts.union(old_posts)
+    if stats is not None:
+        stats["store_rows"] = old_rows
 
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="h", suffixes=("_a", "_b"))
-        lo = np.minimum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
-        hi = np.maximum(m["sz_a"].to_numpy(), m["sz_b"].to_numpy())
+        sa = m["sz_a"].to_numpy()
+        sb = m["sz_b"].to_numpy()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        # positional filter (see jaccard_sim_join.pair_up): essential
+        # here — the stateless order's prefixes hit COMMON shingles,
+        # so without it candidates blow up ~300x vs true pairs
+        t_min = (tau_num * (sa + sb) + tau_num + tau_den - 1) \
+            // (tau_num + tau_den)
+        ub = np.minimum(sa - m["o_a"].to_numpy(),
+                        sb - m["o_b"].to_numpy())
         keep = ((m["i_a"].to_numpy() < m["i_b"].to_numpy())
-                & (hi * tau_num <= lo * tau_den)
+                & (hi * tau_num <= lo * tau_den) & (ub >= t_min)
                 & ((m["_new_a"].to_numpy() + m["_new_b"].to_numpy())
                    >= 1))
         m = m[keep]
@@ -1659,12 +1824,136 @@ def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
             "j": m["i_b"].to_numpy(dtype=np.int64),
         }).drop_duplicates()
 
+    # ---- FUSED broadcast-verify path (bounded stores) -------------
+    # when (store + batch) set rows fit a blob, ship every doc's set
+    # string once via ray.put and verify INSIDE the pair bucket — the
+    # whole probe is ONE bucketed shuffle + a slim pair dedup, no
+    # attach joins (the incremental_minhash_dedup broadcast pattern)
+    new_cnt = new_sets.count()
+    if old_rows + new_cnt <= broadcast_sets_rows:
+        from .graph import _get_blob
+        from .stack import dedup_first
+
+        parts = [blk.select(["_d", "_sz", "_set"])
+                 for blk in new_sets.iter_batches(batch_format="pyarrow")]
+        if all_set_files:
+            parts += [_pq.read_table(f, columns=["_d", "_sz", "_set"])
+                      for f in all_set_files]
+        allt = (pa.concat_tables(parts, promote_options="permissive")
+                if parts else
+                pa.table({"_d": pa.array([], pa.int64()),
+                          "_sz": pa.array([], pa.int64()),
+                          "_set": pa.array([], pa.string())}))
+        bid = allt.column("_d").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bsz = allt.column("_sz").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bset = allt.column("_set").to_numpy(zero_copy_only=False)
+        o = np.argsort(bid, kind="mergesort")
+        blob = (bid[o], bsz[o], bset[o])
+        blob_ref = ray.put(blob) if ray.is_initialized() else blob
+
+        def pair_verify(g: pd.DataFrame, _ref=blob_ref) -> pd.DataFrame:
+            ids_s, szs_s, sets_s = (_get_blob(_ref)
+                                    if not isinstance(_ref, tuple)
+                                    else _ref)
+            m = g.merge(g, on="h", suffixes=("_a", "_b"))
+            sa = m["sz_a"].to_numpy()
+            sb = m["sz_b"].to_numpy()
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            t_min = (tau_num * (sa + sb) + tau_num + tau_den - 1) \
+                // (tau_num + tau_den)
+            ub = np.minimum(sa - m["o_a"].to_numpy(),
+                            sb - m["o_b"].to_numpy())
+            keep = ((m["i_a"].to_numpy() < m["i_b"].to_numpy())
+                    & (hi * tau_num <= lo * tau_den) & (ub >= t_min)
+                    & ((m["_new_a"].to_numpy()
+                        + m["_new_b"].to_numpy()) >= 1))
+            m = m[keep].drop_duplicates(["i_a", "i_b"])
+            ia = m["i_a"].to_numpy(dtype=np.int64)
+            ja = m["i_b"].to_numpy(dtype=np.int64)
+            cache: dict = {}
+
+            def _set_of(d):
+                s = cache.get(d)
+                if s is None:
+                    s = set(sets_s[np.searchsorted(ids_s, d)]
+                            .split(_SIM_SEP))
+                    cache[d] = s
+                return s
+
+            oi, oj, ov, osi, osj = [], [], [], [], []
+            for t in range(len(ia)):
+                A = _set_of(int(ia[t]))
+                B = _set_of(int(ja[t]))
+                inter = len(A & B)
+                si_ = int(szs_s[np.searchsorted(ids_s, ia[t])])
+                sj_ = int(szs_s[np.searchsorted(ids_s, ja[t])])
+                if inter * tau_den >= tau_num * (si_ + sj_ - inter):
+                    oi.append(int(ia[t])); oj.append(int(ja[t]))
+                    ov.append(inter); osi.append(si_); osj.append(sj_)
+            return pd.DataFrame({
+                "i": np.array(oi, dtype=np.int64),
+                "j": np.array(oj, dtype=np.int64),
+                "inter": np.array(ov, dtype=np.int64),
+                "si": np.array(osi, dtype=np.int64),
+                "sj": np.array(osj, dtype=np.int64)})
+
+        verified = bucketed_groupby(posts, ["h"], pair_verify,
+                                    n_buckets=n_buckets)
+        out = dedup_first(verified, ["i", "j"], ["inter"],
+                          n_buckets=n_buckets)
+        if stats is not None:
+            out = out.materialize()
+            stats["cand_pairs"] = out.count()
+        os.makedirs(store_dir, exist_ok=True)
+        run_hex = uuid.uuid4().hex[:12]
+        new_sets.write_parquet(os.path.join(store_dir, f"run-{run_hex}"))
+        new_posts.write_parquet(
+            os.path.join(store_dir, f"{posts_tag}{run_hex}"))
+        return out
+
     cand = bucketed_groupby(posts, ["h"], pair_up, n_buckets=n_buckets)
     cand = distinct_tuples(cand, ["i", "j"], n_buckets=n_buckets)
 
-    plain = allsets.map_batches(
+    # ---- attach full sets for candidate ids only ------------------
+    # the candidate-id collect is a pipeline BARRIER — pay it only
+    # when the stored-set scan is big enough to be worth pruning
+    id_filter_worthwhile = old_rows > 100_000
+    if stats is not None or id_filter_worthwhile:
+        cand = cand.materialize()
+    if stats is not None:
+        stats["cand_pairs"] = cand.count()
+    plain = new_sets.map_batches(
         lambda b: b.select(["_d", "_sz", "_set"]),
         batch_format="pyarrow")
+    if all_set_files:
+        stored = rd.read_parquet(all_set_files,
+                                 columns=["_d", "_sz", "_set"])
+        if id_filter_worthwhile:
+            cids = np.unique(np.concatenate(
+                [np.concatenate([
+                    blk.column("i").to_numpy(zero_copy_only=False),
+                    blk.column("j").to_numpy(zero_copy_only=False)])
+                 for blk in cand.iter_batches(batch_format="pyarrow")]
+                or [np.empty(0, dtype=np.int64)]))
+            if len(cids) <= broadcast_id_cap:
+                id_blob = ray.put(cids) if ray.is_initialized() else None
+
+                def id_filter(b: pa.Table, _ref=id_blob,
+                              _local=cids) -> pa.Table:
+                    dv = b.column("_d").to_numpy(zero_copy_only=False)
+                    ref = ray.get(_ref) if _ref is not None else _local
+                    if len(ref) == 0:
+                        return b.slice(0, 0)
+                    idx = np.searchsorted(ref, dv)
+                    idx[idx >= len(ref)] = 0
+                    return b.filter(pa.array(ref[idx] == dv))
+
+                stored = stored.map_batches(id_filter,
+                                            batch_format="pyarrow")
+        plain = plain.union(stored)
     left = plain.map_batches(
         lambda b: b.rename_columns(["i", "si", "_set_i"]),
         batch_format="pyarrow")
@@ -1700,6 +1989,10 @@ def incremental_sim_join(ds, store_dir: str, *, id_col: str = "doc_id",
 
     out = cand.map_batches(verify, batch_format="pyarrow")
     os.makedirs(store_dir, exist_ok=True)
-    new_sets.write_parquet(
-        os.path.join(store_dir, f"run-{uuid.uuid4().hex[:12]}"))
+    run_hex = uuid.uuid4().hex[:12]
+    new_sets.write_parquet(os.path.join(store_dir, f"run-{run_hex}"))
+    # parameter-stamped postings sidecar: later runs scan (h, i, sz)
+    # rows instead of re-shingling this run's stored sets
+    new_posts.write_parquet(
+        os.path.join(store_dir, f"{posts_tag}{run_hex}"))
     return out
