@@ -96,7 +96,12 @@ def headline() -> dict:
     n_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "128"))
 
     def read_corpus():
-        return rd.read_parquet(CORPUS_DIR, override_num_blocks=n_blocks)
+        # column-pruned: the extractor re-derives ``text`` from html and
+        # drops html, so reading the stored text column would scan a
+        # second large_string column only to throw it away (round-4
+        # verdict item 5)
+        return rd.read_parquet(CORPUS_DIR, columns=["url", "html", "lang"],
+                               override_num_blocks=n_blocks)
 
     # untimed warmup: spins up the worker processes (module imports) and
     # the OS page cache so the timed run measures steady-state throughput,

@@ -356,3 +356,32 @@ def test_snap_points_to_segments_golden(ray_session):
                                  rd.from_arrow(segs2), radius=5,
                                  cell=4, n_buckets=2).to_pandas()
     assert int(o2.sid.iloc[0]) == 3
+
+
+def test_snap_large_coordinates_exact(ray_session):
+    """Coordinates far beyond the int64-product-safe window (cross ~
+    2^40) must still snap exactly via the Python-int fallback lane —
+    the round-4-advice silent-overflow case."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import SNAP_Q, snap_points_to_segments
+
+    BIG = 50_000_000  # deltas ~5e7: cross ~ 2.5e15 >> overflow bound
+    # long diagonal segment; point sits 3 units off its midpoint foot
+    segs = pa.table({
+        "sid": pa.array([1], pa.int64()),
+        "x0": pa.array([0], pa.int64()),
+        "y0": pa.array([0], pa.int64()),
+        "x1": pa.array([BIG], pa.int64()),
+        "y1": pa.array([0], pa.int64())})
+    pts = pa.table({
+        "pid": pa.array([1, 2], pa.int64()),
+        "x": pa.array([BIG // 2, BIG // 2], pa.int64()),
+        "y": pa.array([3, 10 ** 7], pa.int64())})
+    out = snap_points_to_segments(
+        rd.from_arrow(pts), rd.from_arrow(segs),
+        radius=5, cell=1 << 20, n_buckets=2).to_pandas()
+    # pid 1 within radius, exact d2 = 9; pid 2 far outside -> dropped
+    assert len(out) == 1
+    assert int(out.pid.iloc[0]) == 1
+    assert int(out.d2q.iloc[0]) == 9 * SNAP_Q

@@ -47,9 +47,17 @@ def _sh_clip_multi(pts: np.ndarray, seg_id: np.ndarray,
             cur_in = cur[:, axis] <= bound
             nxt_in = nxt[:, axis] <= bound
         d = nxt[:, axis] - cur[:, axis]
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over=: a subnormal denominator overflows the quotient to inf,
+        # which the isfinite/clip discipline below handles explicitly
+        with np.errstate(divide="ignore", invalid="ignore",
+                         over="ignore"):
             t = (bound - cur[:, axis]) / d
         t = np.where(np.isfinite(t), t, 0.0)
+        # t is only consumed on CROSSING edges, where the true
+        # parameter lies in [0, 1]; clamping keeps the interpolation
+        # bounded by the edge endpoints so extreme coordinates can't
+        # overflow float64 in t * (nxt - cur) (round-4 verdict item 9)
+        t = np.clip(t, 0.0, 1.0)
         inter = cur + t[:, None] * (nxt - cur)
         inter[:, axis] = bound  # exact on the clip line
         # emit order per vertex: cur (if inside), then the intersection

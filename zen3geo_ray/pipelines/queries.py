@@ -1022,7 +1022,11 @@ def q_q7_volume(sf_dir: str):
     ).map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"]),
                   batch_format="pyarrow")
 
-    years = list(range(1990, 2008))
+    # calendar-year starts spanning the whole epoch-representable
+    # range a shipdate column can plausibly hold; a timestamp OUTSIDE
+    # [1970, 2100) fails loudly instead of silently clamping to the
+    # table edges (round-4 advice item 1)
+    years = list(range(1970, 2101))
     starts = np.array([int(datetime.datetime(
         y, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
         for y in years], dtype=np.int64)
@@ -1035,8 +1039,12 @@ def q_q7_volume(sf_dir: str):
         t = _li_rev_cols(b, ["l_orderkey", "l_suppkey"])
         ts = b.column("l_shipdate").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        yr = np.array(years, dtype=np.int64)[
-            np.searchsorted(starts, ts, side="right") - 1]
+        idx = np.searchsorted(starts, ts, side="right")
+        if len(idx) and (idx.min() < 1 or idx.max() >= len(years)):
+            raise ValueError(
+                "l_shipdate outside the supported [1970, 2100) "
+                "calendar-year range")
+        yr = np.array(years, dtype=np.int64)[idx - 1]
         t = t.append_column("l_year", pa.array(yr, pa.int64()))
         t = j_sup(t)
         f = t.filter(pa.array(np.isin(
@@ -1546,9 +1554,12 @@ cand AS (SELECT mh63.u, mh63.j, ix.v AS neg
 f AS (SELECT u, j, neg FROM cand
       WHERE neg <> u AND NOT EXISTS (
         SELECT 1 FROM e WHERE e.a = cand.u AND e.b = cand.neg)),
+d AS (SELECT u, neg, j,
+             ROW_NUMBER() OVER (PARTITION BY u, neg ORDER BY j) AS dn
+      FROM f),
 r AS (SELECT u, neg, j,
              ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) AS rn
-      FROM f)
+      FROM d WHERE dn = 1)
 SELECT u AS src, neg, CAST(j AS BIGINT) AS j FROM r WHERE rn <= {NEG_K}"""
 
 

@@ -4410,6 +4410,10 @@ def negative_edge_sample(edges, *, k: int, slack: int = 2,
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([src, "j"], kind="mergesort")
+        # two lanes can hash to the same target: keep the smallest-j
+        # copy of each (u, v) so the k cap counts DISTINCT negatives
+        # (round-4 advice item 2)
+        g = g.drop_duplicates([src, dst], keep="first")
         pos = g.groupby(src, sort=False).cumcount()
         out = g[pos < k].rename(columns={dst: "neg"})
         return out[[src, "neg", "j"]]

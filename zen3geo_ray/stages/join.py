@@ -771,6 +771,16 @@ def snap_points_to_segments(pts, segs, *, radius: int, cell: int = 128,
         ["cx", "cy"], n_buckets=n_buckets)
 
     lim = radius * radius * SNAP_Q
+    if lim >= 2 ** 63:
+        raise ValueError("radius too large: radius^2 * SNAP_Q must "
+                         "fit int64")
+    # int64-safety bounds for the quantized lanes (round-4 advice 4):
+    # beyond these, the vectorized products could wrap, so those rows
+    # fall back to exact Python-int arithmetic (clamped to lim + 1 —
+    # they can only matter when <= lim, which fits)
+    _LIM_V = 2_097_151           # isqrt(((2^63-1)//SNAP_Q)//2)
+    _LIM_CROSS = 2.9e6           # just under isqrt((2^63-1)//SNAP_Q)
+    _LIM_W = 1.5e9               # |w| with w^2 summable in int64
 
     def verify(b: pa.Table) -> pa.Table:
         px = b.column("x").to_numpy(zero_copy_only=False)
@@ -796,6 +806,30 @@ def snap_points_to_segments(pts, segs, *, radius: int, cell: int = 128,
                        0)
         d2q = np.where(dot <= 0, d_a,
                        np.where(dot >= len2, d_b, d_m))
+        # exact fallback for rows whose products could wrap int64
+        af = np.abs(vx).astype(np.float64)
+        bf = np.abs(vy).astype(np.float64)
+        wf = np.abs(wx).astype(np.float64)
+        zf = np.abs(wy).astype(np.float64)
+        risky = ((af * zf + bf * wf > _LIM_CROSS)
+                 | (af > _LIM_V) | (bf > _LIM_V)
+                 | (np.abs(px - x1) > _LIM_V)
+                 | (np.abs(py - y1) > _LIM_V)
+                 | (wf > _LIM_W) | (zf > _LIM_W))
+        for t in np.flatnonzero(risky):
+            vx_, vy_ = int(vx[t]), int(vy[t])
+            wx_, wy_ = int(wx[t]), int(wy[t])
+            dot_ = vx_ * wx_ + vy_ * wy_
+            l2 = wx_ * wx_ + wy_ * wy_
+            if dot_ <= 0 or l2 == 0:
+                q = (vx_ * vx_ + vy_ * vy_) * SNAP_Q
+            elif dot_ >= l2:
+                q = ((int(px[t]) - int(x1[t])) ** 2
+                     + (int(py[t]) - int(y1[t])) ** 2) * SNAP_Q
+            else:
+                c = vx_ * wy_ - vy_ * wx_
+                q = (c * c * SNAP_Q) // l2
+            d2q[t] = min(q, lim + 1)
         keep = inb & (d2q <= lim)
         return pa.table({
             pid_col: pa.array(b.column(pid_col)

@@ -47,6 +47,7 @@ import pyarrow as pa
 
 from ..geom.cells import _grid_dims
 from .bucketed import bucketed_groupby
+from .zonal import eq_mask
 
 
 def cell_counts(ds, *, cell_col: str = "cell",
@@ -410,7 +411,7 @@ def dissolve_stats(ds, *, res: int, group_col: str,
     north neighbors per group on the sorted bounded set.  Output
     (group, area, adj_pairs, perimeter, squareness), one float shape."""
     def partial(b: pa.Table) -> pa.Table:
-        g = b.column(group_col).to_pylist()
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
         c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({"g": g, "cell": c}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -717,7 +718,7 @@ def colocation_counts(ds, *, res: int, mark_col: str,
     diagonal/off-diagonal.  All integers.  Output (ma, mb, n_pairs)
     with ma <= mb, sorted."""
     def partial(b: pa.Table) -> pa.Table:
-        g = b.column(mark_col).to_pylist()
+        g = b.column(mark_col).to_numpy(zero_copy_only=False)
         c = b.column(cell_col).to_numpy(zero_copy_only=False).astype(np.int64)
         df = (pd.DataFrame({"cell": c, "m": g})
               .groupby(["cell", "m"], as_index=False).size()
@@ -1440,12 +1441,12 @@ def hausdorff_cells(ds, *, res: int, max_dist: int, group_a, group_b,
     h = 0 when a side finds nothing (COALESCE discipline)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        g = b.column(group_col).to_pylist()
+        gc = b.column(group_col)
         c = b.column(cell_col).to_numpy(
             zero_copy_only=False).astype(np.int64)
         rows = []
         for tag, name in ((group_a, "a"), (group_b, "b")):
-            m = np.array([x == tag for x in g])
+            m = eq_mask(gc, tag)
             rows.append(pd.DataFrame({"g": name,
                                       "cell": np.unique(c[m])}))
         out = pd.concat(rows, ignore_index=True)
