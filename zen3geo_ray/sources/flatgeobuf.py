@@ -279,17 +279,9 @@ def _decode_feature(buf, off, i, gtype_hint, col_names,
     return flen
 
 
-def read_flatgeobuf(path: str, bbox=None) -> pa.Table:
-    """Load a FlatGeobuf file as a POLYGONS-schema table (names from a
-    'name' string column when the properties carry one).  With
-    ``bbox=(minx, miny, maxx, maxy)`` and an indexed file, only the
-    R-tree-intersecting features are decoded (poly_id stays the file
-    ordinal, identical to a full scan)."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:8] != MAGIC[:8]:
-        raise ValueError("not a FlatGeobuf file (bad magic)")
-    off = 8
+def _parse_header(buf, off: int = 8):
+    """Header fields from the size-prefixed Header table at ``off``.
+    Returns (hlen, gtype_hint, feat_count, node_size, col_names)."""
     hlen = _u32(buf, off)
     hroot = off + 4 + _u32(buf, off + 4)
     gtype_hint = _field_scalar(buf, hroot, 2, "B", 0)
@@ -303,26 +295,87 @@ def read_flatgeobuf(path: str, bbox=None) -> pa.Table:
         if noff is not None:
             ln = _u32(buf, noff)
             col_names.append(buf[noff + 4:noff + 4 + ln].decode())
-    off += 4 + hlen
-    has_index = node_size > 0 and feat_count > 0
-    isize = _index_size(feat_count, node_size) if has_index else 0
-    ibuf, off = buf[off:off + isize], off + isize
+    return hlen, gtype_hint, feat_count, node_size, col_names
+
+
+def read_flatgeobuf(path: str, bbox=None) -> pa.Table:
+    """Load a FlatGeobuf file as a POLYGONS-schema table (names from a
+    'name' string column when the properties carry one).  With
+    ``bbox=(minx, miny, maxx, maxy)`` and an indexed file, only the
+    R-tree-intersecting features are decoded (poly_id stays the file
+    ordinal, identical to a full scan).
+
+    ``path`` may be an http(s) URL (the ``/vsicurl/`` analog — the
+    reference layer itself is a remote FlatGeobuf,
+    ``docs/vector-segmentation-masks.md:190``): a bbox read against an
+    indexed remote file RANGE-reads only the header, the R-tree and
+    the hit features' byte windows (block-coalesced via
+    sources/remote.py:RangeBytes) — never the whole file; without a
+    bbox (or index) the object is fetched once in full.
+    """
+    from .remote import RangeBytes, is_remote, open_range
 
     ids, names, blobs, bbs = [], [], [], []
-    if bbox is not None and has_index:
-        hits = sorted(_search_index(ibuf, feat_count, node_size, bbox))
-        for ordinal, foff in hits:
-            _decode_feature(buf, off + foff, ordinal, gtype_hint,
-                            col_names, ids, names, blobs, bbs)
+    ranged = False
+    if is_remote(path):
+        # small cache blocks: FGB features are sub-KB records and the
+        # Hilbert ordering clusters bbox hits, so 8 KiB windows keep
+        # pushdown tight (the index is fetched in one direct read)
+        rb = RangeBytes(open_range(path), block=8192)
+        head = rb[0:12]
+        if head[:8] != MAGIC[:8]:
+            raise ValueError("not a FlatGeobuf file (bad magic)")
+        hlen = _u32(head, 8)
+        hdr = rb[0:12 + hlen]
+        hlen, gtype_hint, feat_count, node_size, col_names = \
+            _parse_header(hdr)
+        off = 8 + 4 + hlen
+        has_index = node_size > 0 and feat_count > 0
+        isize = _index_size(feat_count, node_size) if has_index else 0
+        if bbox is not None and has_index:
+            ranged = True
+            ibuf = rb[off:off + isize]
+            fstart = off + isize
+            hits = sorted(_search_index(ibuf, feat_count, node_size,
+                                        bbox))
+            for ordinal, foff in hits:
+                lb = rb[fstart + foff:fstart + foff + 4]
+                flen = _u32(lb, 0)
+                blob = lb + rb[fstart + foff + 4:
+                               fstart + foff + 4 + flen]
+                _decode_feature(blob, 0, ordinal, gtype_hint,
+                                col_names, ids, names, blobs, bbs)
+        else:
+            buf = rb[0:len(rb)]
     else:
-        i = 0
-        while off + 4 <= len(buf) and (feat_count == 0 or i < feat_count):
-            flen = _decode_feature(buf, off, i, gtype_hint, col_names,
-                                   ids, names, blobs, bbs)
-            if flen == 0:
-                break
-            off += 4 + flen
-            i += 1
+        with open(path, "rb") as f:
+            buf = f.read()
+        if buf[:8] != MAGIC[:8]:
+            raise ValueError("not a FlatGeobuf file (bad magic)")
+
+    if not ranged:
+        hlen, gtype_hint, feat_count, node_size, col_names = \
+            _parse_header(buf)
+        off = 8 + 4 + hlen
+        has_index = node_size > 0 and feat_count > 0
+        isize = _index_size(feat_count, node_size) if has_index else 0
+        ibuf, off = buf[off:off + isize], off + isize
+        if bbox is not None and has_index:
+            hits = sorted(_search_index(ibuf, feat_count, node_size,
+                                        bbox))
+            for ordinal, foff in hits:
+                _decode_feature(buf, off + foff, ordinal, gtype_hint,
+                                col_names, ids, names, blobs, bbs)
+        else:
+            i = 0
+            while off + 4 <= len(buf) \
+                    and (feat_count == 0 or i < feat_count):
+                flen = _decode_feature(buf, off, i, gtype_hint,
+                                       col_names, ids, names, blobs, bbs)
+                if flen == 0:
+                    break
+                off += 4 + flen
+                i += 1
     b = np.asarray(bbs, dtype=np.float64).reshape(-1, 4)
     out = pa.table(
         {

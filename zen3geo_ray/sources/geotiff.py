@@ -325,6 +325,36 @@ def write_geotiff(arr: np.ndarray, *, minx: float = 0.0, maxy: float = 0.0,
     return bytes(out)
 
 
+def read_geotiff_uri(uri: str, overview_level: int | None = None,
+                     stats: dict | None = None) -> dict:
+    """Decode a (Geo)TIFF from a local path or http(s) URL.
+
+    The remote path is the reference's https-GeoTIFF doctest surface
+    (``zen3geo/datapipes/rioxarray.py:54-60``) with /vsicurl/-style
+    RANGE reads: ``read_geotiff`` touches the payload only through
+    byte slices, so handing it a lazy ``RangeBytes`` view fetches just
+    the header, the IFD chain and the SELECTED IFD's strip/tile
+    windows — an ``overview_level=`` read of a remote COG never pulls
+    the full-resolution bytes.  Pass ``stats={}`` to receive
+    ``bytes_fetched`` / ``requests`` / ``size`` for the transfer.
+    """
+    from .remote import RangeBytes, is_remote, open_range
+
+    if is_remote(uri):
+        rb = RangeBytes(open_range(uri))
+        out = read_geotiff(rb, overview_level=overview_level)
+        if stats is not None:
+            stats.update(bytes_fetched=rb.bytes_fetched,
+                         requests=rb.requests, size=len(rb))
+        return out
+    with open(uri, "rb") as f:
+        data = f.read()
+    if stats is not None:
+        stats.update(bytes_fetched=len(data), requests=1,
+                     size=len(data))
+    return read_geotiff(data, overview_level=overview_level)
+
+
 def scene_tensor_from_geotiff(batch: pa.Table, *, payload_col: str = "tiff",
                               id_col: str = "scene_id",
                               overview_level: int | None = None) -> pa.Table:

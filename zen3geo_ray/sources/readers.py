@@ -55,6 +55,34 @@ def read_vector(path: str, columns: list[str] | None = None,
     pushes down to ROW-GROUP statistics of the covering columns
     (sources/geoparquet.py) — pruned groups never leave storage; the
     other formats filter after the parse."""
+    from .remote import is_remote
+
+    if is_remote(path) and not path.endswith(".fgb"):
+        # generic remote fallback (the /vsicurl/ surface for every
+        # other format): fetch the object once into a temp file and
+        # dispatch locally.  .fgb skips this — read_flatgeobuf speaks
+        # HTTP ranges natively (bbox+index reads fetch only the hit
+        # windows).  A remote .shp also pulls its .dbf sidecar.
+        import os
+        import tempfile
+        import urllib.parse
+
+        from .remote import exists as _rexists, fetch_bytes
+
+        uri, _, member = path.partition("!")
+        base = os.path.basename(urllib.parse.urlparse(uri).path) \
+            or "remote.bin"
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, base)
+            with open(local, "wb") as f:
+                f.write(fetch_bytes(uri))
+            if uri.endswith(".shp"):
+                dbf = uri[:-4] + ".dbf"
+                if _rexists(dbf):
+                    with open(local[:-4] + ".dbf", "wb") as f:
+                        f.write(fetch_bytes(dbf))
+            return read_vector(local + (f"!{member}" if member else ""),
+                               columns=columns, layer=layer, bbox=bbox)
     if path.endswith(".zip") or ".zip!" in path:
         # the reference's /vsizip/ surface (pyogrio.py:87-89): read a
         # vector layer out of a zip archive; "archive.zip!member" pins

@@ -30,15 +30,30 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .remote import uri_join as _uri_join
+
 
 def _load_meta(store: str, array: str | None) -> tuple[str, dict, dict]:
     """Locate the array (root array or named group member); returns
-    (array_dir, .zarray meta, merged .zattrs)."""
-    root_arr = os.path.join(store, ".zarray")
-    if array is None and os.path.exists(root_arr):
+    (array_dir, .zarray meta, merged .zattrs).
+
+    ``store`` may be an http(s) URL (object-store layout: one GET per
+    metadata document / chunk object, the natural "range read" at
+    chunk granularity).  HTTP cannot list a directory, so a remote
+    GROUP store needs an explicit ``array=`` name unless the root is
+    itself an array.
+    """
+    from .remote import exists, fetch_bytes, is_remote, uri_join
+
+    root_arr = uri_join(store, ".zarray")
+    if array is None and exists(root_arr):
         adir = store
     else:
         if array is None:
+            if is_remote(store):
+                raise ValueError(
+                    "remote group store: pass array=... (HTTP cannot "
+                    "list the store)")
             subs = sorted(
                 d for d in os.listdir(store)
                 if os.path.exists(os.path.join(store, d, ".zarray")))
@@ -46,14 +61,12 @@ def _load_meta(store: str, array: str | None) -> tuple[str, dict, dict]:
                 raise ValueError(
                     f"store has {len(subs)} arrays — pass array=...")
             array = subs[0]
-        adir = os.path.join(store, array)
-    with open(os.path.join(adir, ".zarray")) as f:
-        meta = json.load(f)
+        adir = uri_join(store, array)
+    meta = json.loads(fetch_bytes(uri_join(adir, ".zarray")))
     attrs = {}
-    for p in (os.path.join(store, ".zattrs"), os.path.join(adir, ".zattrs")):
-        if os.path.exists(p):
-            with open(p) as f:
-                attrs.update(json.load(f))
+    for p in (uri_join(store, ".zattrs"), uri_join(adir, ".zattrs")):
+        if exists(p):
+            attrs.update(json.loads(fetch_bytes(p)))
     if meta.get("order", "C") != "C":
         raise NotImplementedError("only C-order zarr arrays supported")
     comp = meta.get("compressor")
@@ -76,14 +89,15 @@ def read_zarr_meta(store: str, array: str | None = None) -> dict:
 
 
 def _decode_chunk(path: str, meta: dict) -> np.ndarray:
+    from .remote import fetch_bytes_or_none
+
     dt = np.dtype(meta["dtype"])
     full = tuple(meta["chunks"])
-    if not os.path.exists(path):
+    raw = fetch_bytes_or_none(path)  # local read or HTTP GET; 404/-ENOENT
+    if raw is None:                  # -> missing chunk = fill_value
         fv = meta.get("fill_value", 0)
         return np.full(full, 0 if fv is None else fv,
                        dtype=dt.newbyteorder("="))
-    with open(path, "rb") as f:
-        raw = f.read()
     if meta.get("compressor") is not None:
         raw = zlib.decompress(raw)
     return np.frombuffer(raw, dtype=dt).reshape(full).astype(
@@ -116,7 +130,7 @@ def zarr_chunk_dataset(store: str, array: str | None = None):
             cols[f"n{d}"] = []
         for key in keys:
             ix = [int(x) for x in key.split(sep)]
-            arr = _decode_chunk(os.path.join(m["array_dir"], key), m)
+            arr = _decode_chunk(_uri_join(m["array_dir"], key), m)
             sl, offs, ns = [], [], []
             for d in range(rank):
                 o = ix[d] * chunks[d]
