@@ -162,3 +162,110 @@ def test_transform_geom_inverse():
     back = crs.transform_geom_inverse(fwd, "EPSG:32631")
     for r_in, r_out in zip(g["coords"], back["coords"]):
         assert np.allclose(r_in, r_out, atol=1e-9)
+
+
+# --- LAEA + EPSG alias table (round-4 verdict item 6) ---------------------
+
+
+def test_laea_snyder_worked_example():
+    """Snyder PP 1395 §24 ellipsoidal numerical example (Clarke 1866,
+    lat0=40 lon0=-100, point 30N 110W -> x=-965932.1, y=-1056814.9)."""
+    p = crs.LambertAzimuthalEqualArea(lat0=40, lon0=-100,
+                                      a=CLARKE_A, f=CLARKE_F)
+    x, y = p.forward(-110.0, 30.0)
+    assert float(x) == pytest.approx(-965932.1, abs=0.5)
+    assert float(y) == pytest.approx(-1056814.9, abs=0.5)
+
+
+@pytest.mark.parametrize("spec,box", [
+    ("EPSG:3035", (-10, 35, 30, 65)),     # ETRS89-LAEA Europe
+    ("EPSG:9311", (-120, 25, -75, 50)),   # US National Atlas (sphere)
+])
+def test_laea_roundtrip_and_center(spec, box):
+    rng = np.random.default_rng(29)
+    lon = rng.uniform(box[0], box[2], 300)
+    lat = rng.uniform(box[1], box[3], 300)
+    x, y = crs.transform(lon, lat, spec)
+    lo, la = crs.transform_inverse(x, y, spec)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_laea_center_false_origin():
+    x, y = crs.transform(10.0, 52.0, "EPSG:3035")
+    assert (float(x), float(y)) == pytest.approx((4321000.0, 3210000.0),
+                                                 abs=1e-6)
+    x, y = crs.transform(-100.0, 45.0, "EPSG:9311")
+    assert (float(x), float(y)) == pytest.approx((0.0, 0.0), abs=1e-6)
+
+
+def test_laea_equal_area_property():
+    """|det J| of the forward map times the inverse ellipsoid area
+    element must be 1 everywhere (the defining property), via finite
+    differences — mirrors the Albers unit-area test."""
+    p = crs.LambertAzimuthalEqualArea(lat0=52, lon0=10)
+    d = 1e-6
+    for lon, lat in ((0.0, 40.0), (20.0, 60.0), (-8.0, 37.0)):
+        x0, y0 = p.forward(lon, lat)
+        xl, yl = p.forward(lon + d, lat)
+        xp, yp = p.forward(lon, lat + d)
+        det = abs((float(xl) - float(x0)) * (float(yp) - float(y0))
+                  - (float(xp) - float(x0)) * (float(yl) - float(y0)))
+        phi = np.radians(lat)
+        s2 = np.sin(phi) ** 2
+        M = WGS_A * (1 - WGS_E2) / (1 - WGS_E2 * s2) ** 1.5
+        N = WGS_A / np.sqrt(1 - WGS_E2 * s2)
+        area = (M * np.radians(d)) * (N * np.cos(phi) * np.radians(d))
+        assert det / area == pytest.approx(1.0, rel=1e-4)
+
+
+def test_epsg_alias_table_dispatch():
+    # NAD83 / ETRS89 UTM aliases hit the same TM kernel
+    for alias, canon in (("EPSG:26910", "EPSG:32610"),
+                         ("EPSG:25832", "EPSG:32632"),
+                         ("EPSG:3067", "EPSG:32635")):
+        xa, ya = crs.transform(9.0, 48.0, alias)
+        xc, yc = crs.transform(9.0, 48.0, canon)
+        assert float(xa) == float(xc) and float(ya) == float(yc)
+    # national conic aliases resolve to parameterized kernels
+    x, y = crs.transform(-154.0, 50.0, "EPSG:3338")  # Alaska Albers center
+    assert (float(x), float(y)) == pytest.approx((0.0, 0.0), abs=1e-6)
+    x, y = crs.transform(132.0, 0.0, "EPSG:3577")    # Australian Albers
+    assert (float(x), float(y)) == pytest.approx((0.0, 0.0), abs=1e-6)
+    x, y = crs.transform(10.0, 52.0, "EPSG:3034")    # ETRS89-LCC
+    assert (float(x), float(y)) == pytest.approx((4000000.0, 2800000.0),
+                                                 abs=1e-6)
+    x, y = crs.transform(0.0, 0.0, "EPSG:900913")    # web-mercator alias
+    assert (float(x), float(y)) == pytest.approx((0.0, 0.0), abs=1e-9)
+
+
+@pytest.mark.parametrize("spec,gbox,inner,far", [
+    # ETRS89-LAEA Europe over a central-Europe box
+    ("EPSG:3035", (0.0, 45.0, 20.0, 55.0), (3.0, 47.0, 17.0, 53.0),
+     (40.0, 45.0, 50.0, 55.0)),
+    # NAD83 / Alaska Albers
+    ("EPSG:3338", (-160.0, 55.0, -140.0, 65.0),
+     (-157.0, 57.0, -143.0, 63.0), (-100.0, 55.0, -90.0, 65.0)),
+    # NAD83 / Canada Atlas Lambert
+    ("EPSG:3978", (-110.0, 50.0, -90.0, 60.0),
+     (-107.0, 52.0, -93.0, 58.0), (-40.0, 50.0, -30.0, 60.0)),
+    # GDA94 / Australian Albers
+    ("EPSG:3577", (120.0, -35.0, 145.0, -15.0),
+     (123.0, -32.0, 142.0, -18.0), (60.0, -35.0, 70.0, -15.0)),
+])
+def test_cross_crs_clip_golden_new_codes(spec, gbox, inner, far):
+    """The reference's reprojected-clip cases
+    (test_datapipes_geopandas.py:121-156) in the NEW alias codes:
+    identity clip, strictly-inner mask -> mask bounds, disjoint -> None."""
+    g = crs.transform_geom(wkb.box(*gbox), spec)
+    gb = wkb.bounds(g)
+    big = wkb.bounds(crs.transform_geom(
+        wkb.box(gbox[0] - 10, gbox[1] - 10, gbox[2] + 10, gbox[3] + 10),
+        spec))
+    out = clip.clip_geom_rect(g, *big)
+    assert wkb.bounds(out) == pytest.approx(gb, rel=1e-12)
+    innerb = wkb.bounds(crs.transform_geom(wkb.box(*inner), spec))
+    out = clip.clip_geom_rect(g, *innerb)
+    assert wkb.bounds(out) == pytest.approx(innerb, rel=1e-12)
+    farb = wkb.bounds(crs.transform_geom(wkb.box(*far), spec))
+    assert clip.clip_geom_rect(g, *farb) is None

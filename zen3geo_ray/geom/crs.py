@@ -256,6 +256,83 @@ class AlbersEqualArea:
         return lon, np.degrees(phi)
 
 
+class LambertAzimuthalEqualArea:
+    """LAEA, oblique aspect, on an ellipsoid or sphere (Snyder PP 1395
+    §24) — the ETRS89-LAEA Europe grid (EPSG:3035) and the US National
+    Atlas sphere (EPSG:9311) projection."""
+
+    def __init__(self, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a, self.x0, self.y0, self.lon0 = a, x0, y0, lon0
+        e2 = f * (2.0 - f)
+        self.e = float(np.sqrt(e2))
+        self.e2 = e2
+        p0 = np.radians(lat0)
+        if self.e == 0.0:
+            self.qp = 2.0
+            q0 = 2.0 * float(np.sin(p0))
+        else:
+            self.qp = float(_q_factor(np.float64(np.pi / 2.0), self.e))
+            q0 = float(_q_factor(np.float64(p0), self.e))
+        beta1 = float(np.arcsin(np.clip(q0 / self.qp, -1.0, 1.0)))
+        self.sinb1, self.cosb1 = np.sin(beta1), np.cos(beta1)
+        self.Rq = a * float(np.sqrt(self.qp / 2.0))
+        m1 = float(_m_factor(np.float64(p0), e2))
+        if self.cosb1 < 1e-12:
+            raise NotImplementedError(
+                "polar-aspect LAEA unsupported (oblique only)")
+        self.D = a * m1 / (self.Rq * self.cosb1)
+
+    def _q(self, phi):
+        if self.e == 0.0:
+            return 2.0 * np.sin(phi)
+        return _q_factor(phi, self.e)
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        beta = np.arcsin(np.clip(self._q(np.radians(lat)) / self.qp,
+                                 -1.0, 1.0))
+        lam = np.radians(lon - self.lon0)
+        denom = (1.0 + self.sinb1 * np.sin(beta)
+                 + self.cosb1 * np.cos(beta) * np.cos(lam))
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = B * self.D * np.cos(beta) * np.sin(lam) + self.x0
+        y = (B / self.D) * (self.cosb1 * np.sin(beta)
+                            - self.sinb1 * np.cos(beta) * np.cos(lam)) \
+            + self.y0
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = np.asarray(y, dtype=np.float64) - self.y0
+        rho = np.hypot(x / self.D, self.D * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sc, cc = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = self.qp * (cc * self.sinb1
+                           + self.D * y * sc * self.cosb1 / rho)
+        q = np.where(rho == 0.0, self.qp * self.sinb1, q)
+        lam = np.arctan2(x * sc,
+                         self.D * rho * self.cosb1 * cc
+                         - self.D * self.D * y * self.sinb1 * sc)
+        lon = np.degrees(lam) + self.lon0
+        if self.e == 0.0:
+            return lon, np.degrees(np.arcsin(np.clip(q / 2.0,
+                                                     -1.0, 1.0)))
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):  # same Snyder 3-16 iteration as Albers
+            s = np.sin(phi)
+            d = (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+            phi = phi + d
+        return lon, np.degrees(phi)
+
+
 def _parse_proj(spec: str) -> dict:
     kv = {}
     for tok in spec.split():
@@ -275,12 +352,55 @@ _EPSG_CONIC = {
                               x0=700_000.0, y0=6_600_000.0)),
 }
 
+# EPSG -> canonical spec the kernels above already implement (round-4
+# verdict item 6: the pyproj-database subset a web-scale pipeline
+# actually meets).  All parameters are public EPSG registry values;
+# NAD83/GDA94/ETRS89 datums are within ~1 m of WGS84 and are treated
+# as identical (the standard no-grid-shift approximation).
+_EPSG_ALIAS = {
+    # NAD83 UTM north (conus + alaska): same TM kernel as WGS84 UTM
+    **{f"EPSG:269{z:02d}": f"EPSG:326{z:02d}" for z in range(1, 24)},
+    # ETRS89 UTM (Europe)
+    **{f"EPSG:258{z:02d}": f"EPSG:326{z:02d}" for z in range(28, 39)},
+    # ETRS89 / TM35FIN == UTM zone 35N
+    "EPSG:3067": "EPSG:32635",
+    # NAD83 / Alaska Albers
+    "EPSG:3338": "+proj=aea +lat_1=55 +lat_2=65 +lat_0=50 +lon_0=-154",
+    # GDA94 / Australian Albers
+    "EPSG:3577": "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132",
+    # NAD83 / Canada Atlas Lambert
+    "EPSG:3978": "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95",
+    # NAD83 / Statistics Canada Lambert
+    "EPSG:3347": ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 "
+                  "+lon_0=-91.86666666666667 +x_0=6200000 +y_0=3000000"),
+    # ETRS89-extended / LCC Europe
+    "EPSG:3034": ("+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 "
+                  "+x_0=4000000 +y_0=2800000"),
+    # ETRS89-extended / LAEA Europe (the EEA reference grid)
+    "EPSG:3035": ("+proj=laea +lat_0=52 +lon_0=10 "
+                  "+x_0=4321000 +y_0=3210000"),
+    # US National Atlas Equal Area (authalic sphere)
+    "EPSG:9311": ("+proj=laea +lat_0=45 +lon_0=-100 "
+                  "+a=6370997 +b=6370997"),
+    "EPSG:2163": ("+proj=laea +lat_0=45 +lon_0=-100 "
+                  "+a=6370997 +b=6370997"),
+    # web-mercator aliases
+    "EPSG:900913": "EPSG:3857",
+    "EPSG:102100": "EPSG:3857",
+}
+
+
+def resolve_crs(spec: str) -> str:
+    """EPSG alias -> the canonical spec the kernels implement."""
+    return _EPSG_ALIAS.get(spec.upper(), spec)
+
 
 def conic_from_spec(spec: str):
     """Build an LCC/Albers projector from a PROJ-like string
     ('+proj=lcc +lat_1=.. +lat_2=.. +lat_0=.. +lon_0=.. [+x_0 +y_0]')
     or a known conic EPSG alias.  Returns None if the spec is not a
-    conic this module understands."""
+    conic/azimuthal this module understands."""
+    spec = resolve_crs(spec)
     up = spec.upper()
     if up in _EPSG_CONIC:
         kind, kw = _EPSG_CONIC[up]
@@ -290,8 +410,18 @@ def conic_from_spec(spec: str):
         return None
     kv = _parse_proj(spec)
     proj = kv.get("proj")
-    if proj not in ("lcc", "aea"):
+    if proj not in ("lcc", "aea", "laea"):
         return None
+    a = float(kv.get("a", WGS84_A))
+    f = (1.0 / float(kv["rf"])) if "rf" in kv else (
+        1.0 - float(kv["b"]) / a if "b" in kv else WGS84_F)
+    if proj == "laea":
+        return LambertAzimuthalEqualArea(
+            lat0=float(kv.get("lat_0", 0.0)),
+            lon0=float(kv.get("lon_0", 0.0)),
+            x0=float(kv.get("x_0", 0.0)),
+            y0=float(kv.get("y_0", 0.0)),
+            a=a, f=f)
     cls = LambertConformalConic if proj == "lcc" else AlbersEqualArea
     return cls(
         lat1=float(kv.get("lat_1", 0.0)),
@@ -300,10 +430,7 @@ def conic_from_spec(spec: str):
         lon0=float(kv.get("lon_0", 0.0)),
         x0=float(kv.get("x_0", 0.0)),
         y0=float(kv.get("y_0", 0.0)),
-        a=float(kv.get("a", WGS84_A)),
-        f=(1.0 / float(kv["rf"])) if "rf" in kv else (
-            1.0 - float(kv["b"]) / float(kv.get("a", WGS84_A))
-            if "b" in kv else WGS84_F),
+        a=a, f=f,
     )
 
 
@@ -313,8 +440,11 @@ def transform(lon, lat, crs: str) -> tuple[np.ndarray, np.ndarray]:
     Supported: 'OGC:CRS84' / 'EPSG:4326' (identity), 'EPSG:3857',
     'EPSG:326xx' (UTM north), 'EPSG:327xx' (UTM south), conic EPSG
     aliases (EPSG:5070 Conus Albers, EPSG:2154 Lambert-93), and
-    PROJ-like '+proj=lcc/+proj=aea' parameter strings.
+    PROJ-like '+proj=lcc/+proj=aea/+proj=laea' parameter strings, and
+    the public-registry EPSG aliases in ``_EPSG_ALIAS`` (NAD83/ETRS89
+    UTM zones, national Albers/LCC/LAEA grids).
     """
+    crs = resolve_crs(crs)
     conic = conic_from_spec(crs)
     if conic is not None:
         return conic.forward(lon, lat)
@@ -355,6 +485,7 @@ def transform_inverse(x, y, crs: str) -> tuple[np.ndarray, np.ndarray]:
     reverse direction the reference gets from PROJ (reading projected
     rasters/vectors back into the geographic pipeline).  Same CRS
     vocabulary as :func:`transform`."""
+    crs = resolve_crs(crs)
     conic = conic_from_spec(crs)
     if conic is not None:
         return conic.inverse(x, y)
