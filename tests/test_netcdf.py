@@ -75,3 +75,80 @@ def test_netcdf_error_paths(tmp_path):
     p, _, _, _ = _store(tmp_path)
     with pytest.raises(ValueError, match="fixed variable"):
         nc.netcdf_slab_dataset(p, "lat")
+
+
+# --- NetCDF-4 / HDF5-lite (sources/hdf5lite.py, round-4 verdict 7) --------
+
+
+def _h5_store(tmp_path, **kw):
+    from zen3geo_ray.sources.hdf5lite import write_hdf5
+
+    rng = np.random.default_rng(17)
+    temp = rng.normal(280.0, 8.0, size=(11, 4, 5))
+    lat = np.linspace(-60, 60, 4)
+    p = str(tmp_path / "cube.h5")
+    write_hdf5(p, {
+        "temp": (temp, {"units": "K", "scale_factor": 0.5,
+                        "valid_range": [200, 320]}),
+        "lat": lat.astype(np.float64),
+        "count": rng.integers(0, 9, size=(4, 5)).astype(np.int32),
+    }, **kw)
+    return p, temp, lat
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                               # all contiguous
+    {"chunks": {"temp": (3, 4, 5)}},                  # chunked raw
+    {"chunks": {"temp": (4, 2, 3)}, "compress": True},
+    {"chunks": {"temp": (5, 4, 5)}, "compress": True, "shuffle": True},
+])
+def test_hdf5_roundtrip_layouts(tmp_path, kw):
+    from zen3geo_ray.sources.hdf5lite import read_hdf5_meta, read_hdf5_var
+
+    p, temp, lat = _h5_store(tmp_path, **kw)
+    data = open(p, "rb").read()
+    m = read_hdf5_meta(data)
+    assert set(m["datasets"]) == {"temp", "lat", "count"}
+    a = m["datasets"]["temp"]["attrs"]
+    assert a["units"] == "K" and a["scale_factor"] == 0.5
+    assert a["valid_range"] == [200, 320]
+    np.testing.assert_array_equal(read_hdf5_var(data, m, "temp"), temp)
+    np.testing.assert_array_equal(read_hdf5_var(data, m, "lat"), lat)
+    np.testing.assert_array_equal(
+        read_hdf5_var(data, m, "temp", rec_range=(2, 8)), temp[2:8])
+
+
+def test_netcdf4_slab_dataset_dispatch(ray_session, tmp_path):
+    """netcdf_slab_dataset auto-dispatches on the HDF5 magic and
+    yields the identical (rec0, nrec, data) slab contract; chunked
+    tasks read only their slab's chunks."""
+    p, temp, _ = _h5_store(tmp_path,
+                           chunks={"temp": (3, 4, 5)}, compress=True)
+    ds = nc.netcdf_slab_dataset(p, "temp", recs_per_slab=4)
+    out = np.zeros_like(temp)
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            r0 = b.column("rec0")[r].as_py()
+            n = b.column("nrec")[r].as_py()
+            out[r0:r0 + n] = np.asarray(
+                b.column("data")[r].as_py()).reshape(n, 4, 5)
+    np.testing.assert_array_equal(out, temp)
+
+
+def test_hdf5_loud_rejections(tmp_path):
+    from zen3geo_ray.sources import hdf5lite as h5
+
+    with pytest.raises(ValueError, match="bad signature"):
+        h5.read_hdf5_meta(b"NOPE" + b"\0" * 64)
+    # unsupported superblock version fails loudly
+    bad = bytearray(h5._SIG) + bytes([7]) + b"\0" * 80
+    with pytest.raises(NotImplementedError, match="superblock"):
+        h5.read_hdf5_meta(bytes(bad))
+    # unsupported filter id fails loudly
+    p, _, _ = _h5_store(tmp_path, chunks={"temp": (3, 4, 5)})
+    data = bytearray(open(p, "rb").read())
+    # no filters in this file; fabricate a filter message check directly
+    with pytest.raises(NotImplementedError, match="filters"):
+        h5._parse_filters(bytes([1, 1]) + b"\0" * 6
+                          + np.uint16(32000).tobytes()
+                          + b"\0\0" + b"\0\0" + np.uint16(0).tobytes())

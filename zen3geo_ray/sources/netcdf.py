@@ -77,7 +77,9 @@ def netcdf_meta(data: bytes) -> dict:
     if data[:3] != b"CDF":
         if data[:8] == b"\x89HDF\r\n\x1a\n":
             raise NotImplementedError(
-                "NetCDF-4/HDF5 container — classic CDF only")
+                "NetCDF-4/HDF5 container — use sources/hdf5lite.py "
+                "(read_hdf5_meta / read_hdf5_var) or "
+                "netcdf_slab_dataset, which dispatches automatically")
         raise ValueError("not a NetCDF classic file (no CDF magic)")
     version = data[3]
     if version not in (1, 2):
@@ -155,14 +157,87 @@ def read_netcdf_var(data: bytes, var: str,
                                             copy=False)
 
 
+def netcdf4_slab_dataset(path: str, var: str, *, recs_per_slab: int = 16):
+    """Record-slab Ray Dataset over a NetCDF-4/HDF5 file (the
+    sources/hdf5lite.py reader — round-4 verdict item 7): same output
+    contract as the classic path — columns (rec0, nrec, data flattened
+    float64), slab axis = the variable's FIRST dimension.
+
+    The driver parses the (small) metadata + chunk table once; each
+    task re-opens the file and reads ONLY the chunk/contiguous byte
+    ranges its slab needs — chunked storage never decodes full-array.
+    """
+    import ray.data as rd
+
+    from .hdf5lite import read_hdf5_meta, read_hdf5_var
+    from .remote import fetch_bytes
+
+    data = fetch_bytes(path)
+    meta = read_hdf5_meta(data)
+    if var not in meta["datasets"]:
+        raise KeyError(f"{var!r} not in {sorted(meta['datasets'])}")
+    d = meta["datasets"][var]
+    if not d["shape"]:
+        raise ValueError(f"{var!r} is scalar — no slab axis")
+    n = int(d["shape"][0])
+    slabs = [(r, min(recs_per_slab, n - r))
+             for r in range(0, n, recs_per_slab)]
+    descr = rd.from_items([{"rec0": a, "nrec": b} for a, b in slabs])
+
+    def decode(b: pa.Table) -> pa.Table:
+        from .remote import is_remote, open_range
+
+        r0 = b.column("rec0").to_numpy(zero_copy_only=False)
+        nr = b.column("nrec").to_numpy(zero_copy_only=False)
+        vals = []
+        if is_remote(path):
+            src = open_range(path)
+            reader = src.read
+            for i in range(len(b)):
+                arr = read_hdf5_var(None, meta, var,
+                                    rec_range=(int(r0[i]),
+                                               int(r0[i] + nr[i])),
+                                    reader=reader)
+                vals.append(np.ascontiguousarray(
+                    arr, dtype=np.float64).reshape(-1))
+        else:
+            with open(path, "rb") as f:
+                def reader(off, ln):
+                    f.seek(off)
+                    return f.read(ln)
+                for i in range(len(b)):
+                    arr = read_hdf5_var(None, meta, var,
+                                        rec_range=(int(r0[i]),
+                                                   int(r0[i] + nr[i])),
+                                        reader=reader)
+                    vals.append(np.ascontiguousarray(
+                        arr, dtype=np.float64).reshape(-1))
+        return pa.table({
+            "rec0": b.column("rec0"), "nrec": b.column("nrec"),
+            "data": pa.array(vals, pa.list_(pa.float64())),
+        })
+
+    return descr.map_batches(decode, batch_format="pyarrow")
+
+
 def netcdf_slab_dataset(path: str, var: str, *, recs_per_slab: int = 16):
     """Ray Dataset of record slabs of one record variable: columns
     (rec0, nrec, data flattened float64).  The driver parses ONLY the
-    header; each task reads and decodes its own slab from the file."""
+    header; each task reads and decodes its own slab from the file.
+    NetCDF-4/HDF5 containers dispatch to ``netcdf4_slab_dataset``
+    (sources/hdf5lite.py) with the identical output contract."""
     import ray.data as rd
 
-    with open(path, "rb") as f:
-        head = f.read(1 << 16)
+    from .remote import fetch_bytes, is_remote
+
+    if is_remote(path):
+        head = fetch_bytes(path)[:1 << 16]
+    else:
+        with open(path, "rb") as f:
+            head = f.read(1 << 16)
+    if head[:8] == b"\x89HDF\r\n\x1a\n":
+        return netcdf4_slab_dataset(path, var,
+                                    recs_per_slab=recs_per_slab)
     meta = netcdf_meta(head)
     v = meta["vars"][var]
     if not v["record"]:
