@@ -1960,3 +1960,46 @@ def test_negative_edge_sample_properties(ray_session):
     a = sorted(map(tuple, out[["src", "neg", "j"]].to_numpy()))
     b = sorted(map(tuple, out2[["src", "neg", "j"]].to_numpy()))
     assert a == b
+
+
+def test_engine_auto_routes_to_pinned(ray_session, monkeypatch):
+    """engine='auto' routes to the pinned actor engine above
+    PINNED_EDGE_THRESHOLD with bit-identical results (round-4 verdict
+    item 8); engine='dataset' pins the SQL-mirrored path; bad engine
+    values fail loudly."""
+    import zen3geo_ray.stages.graph as G
+
+    src, dst = _random_graph(seed=31, n_nodes=120, n_edges=700)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([int(src[0])],
+                                                     pa.int64())}))
+
+    cases = [
+        ("pagerank", lambda e: G.pagerank(edges, iters=3, n_buckets=8,
+                                          engine=e), ["node"]),
+        ("components", lambda e: G.connected_components(
+            edges, n_buckets=8, engine=e), ["node"]),
+        ("kcore", lambda e: G.kcore(edges, k=3, rounds=4, n_buckets=8,
+                                    engine=e), ["node"]),
+        ("bfs", lambda e: G.bfs_hops(edges, seeds, max_hops=3,
+                                     n_buckets=8, engine=e), ["node"]),
+        ("ktruss", lambda e: G.ktruss(edges, k=3, rounds=3, n_buckets=8,
+                                      engine=e), ["u", "v"]),
+        ("scc", lambda e: G.strongly_connected_components(
+            edges, n_buckets=8, engine=e), ["node"]),
+    ]
+    for name, fn, keys in cases:
+        want = fn("dataset").to_pandas().sort_values(keys) \
+            .reset_index(drop=True)
+        monkeypatch.setattr(G, "PINNED_EDGE_THRESHOLD", 1)
+        got = fn("auto").to_pandas().sort_values(keys) \
+            .reset_index(drop=True)
+        monkeypatch.setattr(G, "PINNED_EDGE_THRESHOLD", 2_000_000)
+        still = fn("auto").to_pandas().sort_values(keys) \
+            .reset_index(drop=True)
+        for g2 in (got, still):
+            assert list(g2.columns) == list(want.columns), name
+            assert g2.equals(want), name
+
+    with pytest.raises(ValueError, match="engine"):
+        G.pagerank(edges, engine="bogus")

@@ -343,7 +343,8 @@ def main():
            "butterfly": soak_butterfly, "mis": soak_mis,
            "edit": soak_edit_join, "funnel": soak_funnel,
            "kaplan": soak_kaplan, "scc": soak_scc,
-           "scc_pinned": lambda: soak_scc(engine="pinned")}
+           "scc_pinned": lambda: soak_scc(engine="pinned"),
+           "autoroute": soak_auto_route}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
@@ -603,7 +604,8 @@ def soak_scc(n_edges: int = 10_000_000, n_nodes: int = 2_000_000,
 
         out = pinned_scc(e, max_rounds=12)
     else:
-        out = strongly_connected_components(e, max_rounds=12)
+        out = strongly_connected_components(e, max_rounds=12,
+                                            engine=engine)
     comp = out.to_pandas()
     wall = time.perf_counter() - t0
     sizes = comp.groupby("comp").size()
@@ -614,6 +616,59 @@ def soak_scc(n_edges: int = 10_000_000, n_nodes: int = 2_000_000,
             "planted_sccs": n_rings, "found_sccs": int(len(sizes)),
             "structure_ok": bool(ok), "sec": round(wall, 2),
             "edges_per_sec": round(n_edges / wall)}
+
+
+def soak_auto_route(n_edges: int = 4_000_000,
+                    n_nodes: int = 800_000):
+    """Round-5 verdict item 8 evidence: the graph family at soak scale
+    with engine='auto' (routes to the pinned actor engine above
+    PINNED_EDGE_THRESHOLD) vs the explicit Dataset path — BIT-IDENTICAL
+    results, wall times for both.  One random digraph shared by every
+    op; components/kcore symmetrize internally."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages import graph as G
+
+    def mk(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_nodes)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_nodes)).astype(np.int64))})
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        mk, batch_format="pyarrow").materialize()
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+
+    ops = {
+        "pagerank": lambda eng: G.pagerank(e, iters=3, engine=eng),
+        "components": lambda eng: G.connected_components(e, engine=eng),
+        "kcore": lambda eng: G.kcore(e, k=8, rounds=4, engine=eng),
+        "bfs": lambda eng: G.bfs_hops(e, seeds, max_hops=3, engine=eng),
+        "scc": lambda eng: G.strongly_connected_components(
+            e, max_rounds=12, engine=eng),
+    }
+    out = {"soak": "autoroute", "n_edges": n_edges, "n_nodes": n_nodes,
+           "ops": {}}
+    for name, fn in ops.items():
+        t0 = time.perf_counter()
+        auto = fn("auto").to_pandas()
+        t_auto = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ds = fn("dataset").to_pandas()
+        t_ds = time.perf_counter() - t0
+        keys = list(auto.columns)
+        a = auto.sort_values(keys).reset_index(drop=True)
+        d = ds.sort_values(keys).reset_index(drop=True)
+        out["ops"][name] = {
+            "bit_identical": bool(a.equals(d)),
+            "rows": int(len(a)),
+            "auto_sec": round(t_auto, 2),
+            "dataset_sec": round(t_ds, 2),
+            "speedup": round(t_ds / max(t_auto, 1e-9), 2)}
+    return out
 
 
 if __name__ == "__main__":

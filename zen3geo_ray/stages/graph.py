@@ -177,11 +177,33 @@ def _settled_edges(edges, n_buckets: int | None):
     return edges, n_edges, n_buckets
 
 
+
+#: edge-count threshold above which ``engine="auto"`` routes the
+#: iterative ops to the actor-pinned engine (stages/pregel.py): at 10M
+#: edges the pinned paths measured 2-6x the Dataset rounds (scc 270.5s
+#: -> 42.7s, round-4 soaks) because edges ship to shards ONCE instead
+#: of re-mapping per round.  Oracle-scale inputs stay on the Dataset
+#: path (the SQL-mirrored surface).
+PINNED_EDGE_THRESHOLD = 2_000_000
+
+
+def _route_pinned(engine: str, n_edges: int) -> bool:
+    if engine == "pinned":
+        return True
+    if engine == "dataset":
+        return False
+    if engine != "auto":
+        raise ValueError(
+            f"engine must be 'auto'|'dataset'|'pinned', got {engine!r}")
+    return n_edges >= PINNED_EDGE_THRESHOLD
+
+
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
              scale: int = 10 ** 12, d_num: int = 85, d_den: int = 100,
              n_buckets: int | None = None, seeds=None,
              weight_col: str | None = None, warm_state=None,
-             broadcast_threshold: int = BROADCAST_NODES):
+             broadcast_threshold: int = BROADCAST_NODES,
+             engine: str = "auto"):
     """Exact fixed-point (optionally PERSONALIZED) PageRank; returns
     (node, outdeg, pr) with pr an int64 rank scaled by ``scale``
     (Σpr ≈ scale up to floor residue and dangling decay).
@@ -217,7 +239,14 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 4,
     """
     if scale * d_num >= 1 << 62:
         raise ValueError("scale * d_num must stay below 2^62")
-    edges, _, n_buckets = _settled_edges(edges, n_buckets)
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    if _route_pinned(engine, n_edges):
+        from .pregel import pinned_pagerank
+
+        return pinned_pagerank(edges, src=src, dst=dst, iters=iters,
+                               scale=scale, d_num=d_num, d_den=d_den,
+                               weight_col=weight_col, seeds=seeds,
+                               warm_state=warm_state)
     nodes = node_degrees(edges, src=src, dst=dst, weight_col=weight_col,
                          n_buckets=n_buckets).materialize()
     n = nodes.count()
@@ -513,7 +542,8 @@ def incremental_pagerank(new_edges, store_dir: str, *,
 
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
                          max_rounds: int = 50, n_buckets: int | None = None,
-                         broadcast_threshold: int = BROADCAST_NODES):
+                         broadcast_threshold: int = BROADCAST_NODES,
+                         engine: str = "auto"):
     """Weakly-connected components of an arbitrary edge Dataset:
     (node, comp) where comp is the MINIMUM node id of the component.
 
@@ -527,6 +557,14 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     returning partial groups if the budget is still exceeded.
     Self-loops are harmless and give isolated nodes singleton
     components."""
+
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_components
+
+            return pinned_components(edges, src=src, dst=dst,
+                             max_rounds=max_rounds)
 
     def symm(b: pa.Table) -> pa.Table:
         s = b.column(src).combine_chunks()
@@ -1047,7 +1085,8 @@ def powerlaw_alpha(edges, *, dmin: int = 2, src: str = "src",
 
 def kcore(edges, *, k: int, rounds: int, src: str = "src",
           dst: str = "dst", n_buckets: int | None = None,
-          broadcast_threshold: int = BROADCAST_NODES):
+          broadcast_threshold: int = BROADCAST_NODES,
+          engine: str = "auto"):
     """SYNCHRONOUS k-core peeling for a FIXED number of rounds: each
     round recomputes every surviving node's degree among surviving
     neighbors and drops nodes with degree < k.  Returns (node, deg) for
@@ -1063,6 +1102,13 @@ def kcore(edges, *, k: int, rounds: int, src: str = "src",
     block growth."""
     if rounds < 1:
         raise ValueError("kcore needs rounds >= 1")
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_kcore
+
+            return pinned_kcore(edges, k=k, rounds=rounds,
+                        src=src, dst=dst)
 
     def symm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1390,7 +1436,8 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
 
 def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
              max_hops: int = 3, n_buckets: int | None = None,
-             broadcast_threshold: int = BROADCAST_NODES):
+             broadcast_threshold: int = BROADCAST_NODES,
+             engine: str = "auto"):
     """Multi-source bounded-hop BFS: (node, dist) for every node whose
     shortest hop count from ANY seed is <= max_hops.
 
@@ -1407,6 +1454,11 @@ def bfs_hops(edges, seeds, *, src: str = "src", dst: str = "dst",
     an extra shuffle per round).
     """
     edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    if _route_pinned(engine, n_edges):
+        from .pregel import pinned_bfs
+
+        return pinned_bfs(edges, seeds, src=src, dst=dst,
+                          max_hops=max_hops)
 
     def take_min(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(NODE, sort=False, as_index=False)["dist"].min()
@@ -1605,7 +1657,8 @@ def _truss_decrement(ku, kv, ks, du, dv, chunk_expansion: int = 4_000_000):
 
 def ktruss(edges, *, k: int, rounds: int, src: str = "src",
            dst: str = "dst", n_buckets: int | None = None,
-           broadcast_threshold: int = BROADCAST_NODES):
+           broadcast_threshold: int = BROADCAST_NODES,
+           engine: str = "auto"):
     """SYNCHRONOUS k-truss peeling for a FIXED number of rounds: each
     round computes every surviving edge's triangle SUPPORT (triangles
     within the surviving edge set) and drops edges with support < k-2.
@@ -1638,6 +1691,13 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
         raise ValueError("ktruss needs k >= 3 (support threshold k-2 >= 1)")
     if rounds < 1:
         raise ValueError("ktruss needs rounds >= 1")
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_ktruss
+
+            return pinned_ktruss(edges, k=k, rounds=rounds,
+                         src=src, dst=dst)
 
     def norm(b: pa.Table) -> pa.Table:
         s = b.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3975,7 +4035,8 @@ def strongly_connected_components(edges, *, src: str = "src",
                                   dst: str = "dst", max_rounds: int = 12,
                                   inner_rounds: int = 192,
                                   n_buckets: int | None = None,
-                                  broadcast_threshold: int = BROADCAST_NODES):
+                                  broadcast_threshold: int = BROADCAST_NODES,
+                                  engine: str = "auto"):
     """STRONGLY-connected components of a DIRECTED edge Dataset:
     (node, comp) with comp the MINIMUM node id of the SCC — the
     directed sibling of :func:`connected_components`, via min-pivot
@@ -4017,6 +4078,12 @@ def strongly_connected_components(edges, *, src: str = "src",
     the connected_components relax+jump plan on those directed
     edges."""
     edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+    if _route_pinned(engine, n_edges):
+        from .pregel import pinned_scc
+
+        return pinned_scc(edges, src=src, dst=dst,
+                          max_rounds=max_rounds,
+                          inner_rounds=inner_rounds)
 
     def node_partial(b: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
