@@ -759,6 +759,48 @@ def _py_int_sum(col) -> int:
     return int(sum(int(v) for v in col.tolist()))
 
 
+
+def grouped_value_hist(ds, group_col: str, value_col: str, tags, *,
+                       bin_div: int | None = None, n_buckets: int = 16):
+    """Shared two-pass (group, value) HISTOGRAM kernel behind the
+    rank/ECDF statistics family (mann_whitney_u, kruskal_wallis,
+    ks_distance, average_precision, decile_gains, psi_two_groups —
+    round-4 verdict item 10): one combiner-first per-block partial +
+    one bucketed fold, then a driver collect of the value-grid-bounded
+    (tag, distinct value, count) rows for each op's exact-int finale.
+
+    ``tags`` is ``[(raw_label, out_name), ...]``; ``bin_div``
+    floor-divides values first (psi's binning).  Returns a pandas
+    DataFrame with columns (g, v, c).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        gc = b.column(group_col)
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if bin_div is not None:
+            v = v // bin_div
+        rows = []
+        for tag, name in tags:
+            m = eq_mask(gc, tag)
+            u, c = np.unique(v[m], return_counts=True)
+            rows.append(pd.DataFrame({"g": name, "v": u,
+                                      "c": c.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+
+
 def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b,
                    *, n_buckets: int = 16):
     """Mann–Whitney U (Wilcoxon rank-sum) between two groups of an
@@ -786,27 +828,9 @@ def mann_whitney_u(ds, group_col: str, value_col: str, group_a, group_b,
 
     from .bucketed import bucketed_groupby
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(group_col)
-        v = b.column(value_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rows = []
-        for tag, name in ((group_a, "a"), (group_b, "b")):
-            m = eq_mask(gc, tag)
-            vv = v[m]
-            u, c = np.unique(vv, return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, group_col, value_col,
+                              [(group_a, "a"), (group_b, "b")],
+                              n_buckets=n_buckets)
 
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0).sort_index()
@@ -868,27 +892,9 @@ def kruskal_wallis(ds, group_col: str, value_col: str,
 
     gset = list(groups)
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(group_col)
-        v = b.column(value_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rows = []
-        for name in gset:
-            m = eq_mask(gc, name)
-            vv = v[m]
-            u, c = np.unique(vv, return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, group_col, value_col,
+                              [(name, name) for name in gset],
+                              n_buckets=n_buckets)
 
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0).sort_index()
@@ -948,26 +954,9 @@ def ks_distance(ds, group_col: str, value_col: str, group_a, group_b,
 
     from .bucketed import bucketed_groupby
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(group_col)
-        v = b.column(value_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rows = []
-        for tag, name in ((group_a, "a"), (group_b, "b")):
-            m = eq_mask(gc, tag)
-            u, c = np.unique(v[m], return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, group_col, value_col,
+                              [(group_a, "a"), (group_b, "b")],
+                              n_buckets=n_buckets)
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0).sort_index()
     ca = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv), np.int64)
@@ -1256,27 +1245,9 @@ def average_precision(ds, label_col: str, score_col: str, pos_label,
 
     from .bucketed import bucketed_groupby
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(label_col)
-        v = b.column(score_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rows = []
-        for tag, name in ((pos_label, "a"), (neg_label, "b")):
-            m = eq_mask(gc, tag)
-            vv = v[m]
-            u, c = np.unique(vv, return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, label_col, score_col,
+                              [(pos_label, "a"), (neg_label, "b")],
+                              n_buckets=n_buckets)
 
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0) \
@@ -1319,27 +1290,9 @@ def decile_gains(ds, label_col: str, score_col: str, pos_label,
 
     from .bucketed import bucketed_groupby
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(label_col)
-        v = b.column(score_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        rows = []
-        for tag, name in ((pos_label, "a"), (neg_label, "b")):
-            m = eq_mask(gc, tag)
-            vv = v[m]
-            u, c = np.unique(vv, return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, label_col, score_col,
+                              [(pos_label, "a"), (neg_label, "b")],
+                              n_buckets=n_buckets)
 
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0) \
@@ -1389,26 +1342,10 @@ def psi_two_groups(ds, group_col: str, value_col: str, group_a, group_b,
 
     from .bucketed import bucketed_groupby
 
-    def partial(b: pa.Table) -> pa.Table:
-        gc = b.column(group_col)
-        v = b.column(value_col).to_numpy(
-            zero_copy_only=False).astype(np.int64) // bin_width
-        rows = []
-        for tag, name in ((group_a, "a"), (group_b, "b")):
-            m = eq_mask(gc, tag)
-            u, c = np.unique(v[m], return_counts=True)
-            rows.append(pd.DataFrame({"g": name, "v": u,
-                                      "c": c.astype(np.int64)}))
-        out = pd.concat(rows, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
-
-    hist = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["g", "v"], fold, n_buckets=n_buckets).to_pandas()
+    hist = grouped_value_hist(ds, group_col, value_col,
+                              [(group_a, "a"), (group_b, "b")],
+                              bin_div=bin_width,
+                              n_buckets=n_buckets)
     piv = hist.pivot_table(index="v", columns="g", values="c",
                            aggfunc="sum", fill_value=0).sort_index()
     a = (piv["a"].to_numpy() if "a" in piv
