@@ -256,3 +256,144 @@ def test_read_vector_remote_formats(http_root):
     bb = read_vector(url + "/layer.geojson", bbox=(4, 4, 7, 7)) \
         .to_pandas()
     assert list(bb["name"]) == ["sq"]
+
+
+# --- live STAC API client (sources/stac.py) -------------------------------
+
+
+class _StacHandler(http.server.BaseHTTPRequestHandler):
+    """Canned STAC API: 7 items in collection c1, page size clamped to
+    3, POST /search pages via a next link with body+merge (token),
+    GET /search and /collections/c1/items page via href links."""
+
+    items = [
+        {"type": "Feature", "id": f"item-{i}",
+         "bbox": [float(i), 0.0, float(i) + 1.0, 1.0],
+         "properties": {"datetime": f"2020-01-0{i + 1}T00:00:00Z"},
+         "assets": {"data": {"href": f"s3://bucket/scene-{i}.tif"}}}
+        for i in range(7)
+    ]
+    PAGE = 3
+    post_bodies = None  # log
+
+    def _send(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _page(self, items, tok, mk_next):
+        sel = items[tok:tok + self.PAGE]
+        page = {"type": "FeatureCollection", "features": sel,
+                "links": []}
+        nxt = tok + self.PAGE
+        if nxt < len(items):
+            page["links"].append(mk_next(nxt))
+        return page
+
+    def _filtered(self, bbox):
+        if bbox is None:
+            return self.items
+        return [it for it in self.items
+                if it["bbox"][0] <= bbox[2] and it["bbox"][2] >= bbox[0]]
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(n)) if n else {}
+        type(self).post_bodies.append(body)
+        tok = int(body.get("token", 0))
+        items = self._filtered(body.get("bbox"))
+        base = f"http://{self.headers['Host']}/search"
+        self._send(self._page(
+            items, tok,
+            lambda nxt: {"rel": "next", "href": base,
+                         "body": {"token": nxt}, "merge": True}))
+
+    def do_GET(self):
+        u = urllib.parse.urlparse(self.path)
+        q = urllib.parse.parse_qs(u.query)
+        tok = int(q.get("token", ["0"])[0])
+        bbox = None
+        if "bbox" in q:
+            bbox = [float(v) for v in q["bbox"][0].split(",")]
+        if u.path == "/search":
+            items = self._filtered(bbox)
+        elif u.path == "/collections/c1/items":
+            items = self.items
+        else:
+            self.send_error(404)
+            return
+        base = f"http://{self.headers['Host']}{u.path}"
+        qs = dict(q, token=None)
+
+        def mk_next(nxt):
+            params = {k: v[0] for k, v in q.items() if k != "token"}
+            params["token"] = str(nxt)
+            return {"rel": "next",
+                    "href": base + "?" + urllib.parse.urlencode(params)}
+
+        self._send(self._page(items, tok, mk_next))
+
+    def log_message(self, *a):
+        pass
+
+
+import json  # noqa: E402
+
+
+@pytest.fixture()
+def stac_api():
+    logs = []
+    handler = type("S", (_StacHandler,), {"post_bodies": logs})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", logs
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_stac_search_post_pagination(stac_api):
+    from zen3geo_ray.sources.stac import stac_search
+
+    url, logs = stac_api
+    items = stac_search(url, collections=["c1"], limit=3)
+    assert [i["id"] for i in items] == [f"item-{i}" for i in range(7)]
+    # three pages -> three POSTs, token merged into the original body
+    assert len(logs) == 3
+    assert logs[1]["token"] == 3 and logs[1]["collections"] == ["c1"]
+    # max_items truncates mid-page and stops paging
+    logs.clear()
+    few = stac_search(url, limit=3, max_items=4)
+    assert [i["id"] for i in few] == ["item-0", "item-1", "item-2",
+                                     "item-3"]
+    assert len(logs) == 2  # stopped after the second page
+
+
+def test_stac_search_get_bbox_and_lister(stac_api):
+    from zen3geo_ray.sources.stac import (stac_collection_items,
+                                          stac_search)
+
+    url, _ = stac_api
+    hits = stac_search(url, bbox=(2.5, 0.0, 4.5, 1.0), method="GET",
+                       limit=3)
+    assert [i["id"] for i in hits] == ["item-2", "item-3", "item-4"]
+    listed = stac_collection_items(url, "c1", limit=3)
+    assert [i["id"] for i in listed] == [f"item-{i}" for i in range(7)]
+
+
+def test_stac_manifest_end_to_end(ray_session, stac_api):
+    from zen3geo_ray.sources.readers import search_manifest
+    from zen3geo_ray.sources.stac import search_items_manifest
+
+    url, _ = stac_api
+    man = search_items_manifest(url, limit=3)
+    df = man.to_pandas().sort_values("uri").reset_index(drop=True)
+    assert len(df) == 7
+    assert df["uri"][0] == "s3://bucket/scene-0.tif"
+    assert str(df["ts"][0]).startswith("2020-01-01")
+    # the deferred manifest search composes on top (bbox prune)
+    sel = search_manifest(man, bbox=(2.5, 0.0, 4.5, 1.0)).to_pandas()
+    assert sorted(sel["uri"]) == [f"s3://bucket/scene-{i}.tif"
+                                  for i in (2, 3, 4)]
