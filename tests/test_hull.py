@@ -645,3 +645,49 @@ def test_vocab_drift_two_runs(ray_session, tmp_path):
     out3 = vocab_drift(table(["c c"]), store).to_pandas().iloc[0]
     assert int(out3.n_store) == sum(st2.values())
     assert int(out3.v_new) == 0
+
+
+def test_pyramid_counts_levels(ray_session):
+    """Every coarser level's cell count equals the sum of its children
+    at base res, and level totals all equal the row count."""
+    import ray.data as rd
+
+    from zen3geo_ray.geom import cells
+    from zen3geo_ray.stages.spatial_stats import pyramid_counts
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-170, 170, 4000)
+    lat = rng.uniform(-80, 80, 4000)
+    res = 6
+    t = pa.table({"cell": pa.array(cells.cell_of(lon, lat, res),
+                                   pa.int64())})
+    out = pyramid_counts(rd.from_arrow(t).repartition(4), res=res,
+                         deltas=[0, 2, 4], n_buckets=4).to_pandas()
+    assert sorted(out["level"].unique()) == [2, 4, 6]
+    for lv in (2, 4, 6):
+        assert int(out[out.level == lv]["n"].sum()) == 4000
+    # parent identity: level-4 count == sum of its res-6 children
+    base = out[out.level == 6]
+    par = cells.parent(base["cell"].to_numpy(), 6, 4)
+    import pandas as pd
+    roll = pd.DataFrame({"cell": par, "n": base["n"].to_numpy()}) \
+        .groupby("cell", as_index=False)["n"].sum()
+    lvl4 = out[out.level == 4].sort_values("cell").reset_index(drop=True)
+    assert roll.sort_values("cell").reset_index(drop=True).equals(lvl4[["cell", "n"]])
+
+
+def test_densify_segments_exact(ray_session):
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import densify_segments
+
+    segs = pa.table({"sid": pa.array([1], pa.int64()),
+                     "x0": pa.array([10], pa.int64()),
+                     "y0": pa.array([20], pa.int64()),
+                     "x1": pa.array([18], pa.int64()),
+                     "y1": pa.array([4], pa.int64())})
+    out = densify_segments(rd.from_arrow(segs), k=4).to_pandas() \
+        .sort_values("j").reset_index(drop=True)
+    # point j on the x4 lattice: (x0*4 + j*dx, y0*4 + j*dy)
+    assert list(out["xk"]) == [40 + j * 8 for j in range(5)]
+    assert list(out["yk"]) == [80 - j * 16 for j in range(5)]

@@ -58,6 +58,9 @@ FAST = [
     "rollup",
     "near_dup",
     "median_price",
+    "pyramid",
+    "dedup_rate",
+    "densify",
     # round-3 additions (sequence/analytic/corpus/mixing/flagship)
     "transitions",
     "funnel",

@@ -12731,6 +12731,227 @@ SELECT n_a, n_b, agg_ab.h AS h_ab, agg_ba.h AS h_ba,
 FROM na CROSS JOIN nb CROSS JOIN agg_ab CROSS JOIN agg_ba"""
 
 
+
+
+PYR_DELTAS = [0, 2, 4]
+
+
+def q_pyramid(sf_dir: str):
+    """Multi-resolution density pyramid of the geocoded corpus — tile
+    overviews (gdaladdo / tippecanoe zoom rollup) built in ONE pass:
+    per-block combiner emits counts at res 6/4/2 via integer parent
+    shifts, one bucketed reduce keyed (level, cell)
+    (stages/spatial_stats.py:pyramid_counts)."""
+    from ..stages.spatial_stats import pyramid_counts
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+    return pyramid_counts(pts, res=RES_ZONAL, deltas=PYR_DELTAS)
+
+
+def _sql_pyramid() -> str:
+    from ..geom.cells import _grid_dims
+
+    ncols, _ = _grid_dims(RES_ZONAL)
+    parts = []
+    for d in sorted({0, *PYR_DELTAS}):
+        pncols, _ = _grid_dims(RES_ZONAL - d)
+        pc = (f"((cell // {ncols}) // {1 << d}) * {pncols} "
+              f"+ ((cell % {ncols}) // {1 << d})")
+        parts.append(
+            f"SELECT CAST({RES_ZONAL - d} AS BIGINT) AS level, "
+            f"CAST({pc} AS BIGINT) AS cell, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM geo GROUP BY 2")
+    body = " UNION ALL ".join(parts)
+    return f"{_sql_geo_cte()} {body}"
+
+
+def q_lsh_eval(sf_dir: str):
+    """LSH candidate-generation RECALL audit — the engine measuring its
+    own approximation: banded-MinHash candidate pairs (16 bands x 4
+    rows) vs the EXACT J >= 4/5 PPJoin pair set on the same corpus.
+    Output one row (n_true, n_cand, n_hit, recall) — recall is the one
+    mirrored division (stages/dedup.py:minhash_bands +
+    jaccard_sim_join)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.dedup import jaccard_sim_join, minhash_bands
+    from ..stages.graph import distinct_tuples
+    from ..stages.hashjoin import bucketed_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        lambda b: minhash_bands(b, id_col="doc_id",
+                                num_perm=MH_NUM_PERM, bands=MH_BANDS,
+                                k=MH_K),
+        batch_format="pyarrow")
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()]
+        return pd.DataFrame({
+            "i": m["doc_id_a"].to_numpy(dtype=np.int64),
+            "j": m["doc_id_b"].to_numpy(dtype=np.int64),
+        }).drop_duplicates()
+
+    cand = distinct_tuples(
+        bucketed_groupby(bands, ["band_id", "band_hash"], pair_up,
+                         n_buckets=32),
+        ["i", "j"], n_buckets=32).materialize()
+    truth = jaccard_sim_join(docs, k=SIMJOIN_K, tau_num=SIMJOIN_NUM,
+                             tau_den=SIMJOIN_DEN).map_batches(
+        lambda b: b.select(["i", "j"]),
+        batch_format="pyarrow").materialize()
+    hits = bucketed_join(truth, cand, ["i", "j"], how="semi",
+                         n_buckets=32)
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = hits.count()
+    recall = (float(n_hit) / float(n_true)) if n_true else None
+    return pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_cand": pa.array([n_cand], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "recall": pa.array([recall], pa.float64())})
+
+
+def _sql_lsh_eval() -> str:
+    sim = _sql_sim_join()
+    return f"""
+WITH {_sql_minhash_sig_ctes()},
+cpairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           FROM bands a
+           JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+           WHERE a.doc_id < b.doc_id),
+simp AS ({sim}),
+tp AS (SELECT i, j FROM simp),
+hit AS (SELECT tp.i, tp.j FROM tp
+        JOIN cpairs c ON c.i = tp.i AND c.j = tp.j),
+m AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+             (SELECT COUNT(*) FROM cpairs) AS n_cand,
+             (SELECT COUNT(*) FROM hit) AS n_hit)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_true > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END
+         AS recall
+FROM m"""
+
+
+def q_dedup_rate(sf_dir: str):
+    """Per-source dedup survivorship — the cleaning-report table every
+    corpus pipeline publishes: docs per source, exact-dedup survivors
+    attributed to the KEPT doc's source (first doc_id per distinct
+    text), and the survival rate (one mirrored division)
+    (stages/dedup.py:exact_dedup)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.dedup import exact_dedup
+    from ..stages.hashjoin import bucketed_join
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "source"]).materialize()
+
+    def per_source(cnt_col):
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "source": b.column("source").to_numpy(
+                    zero_copy_only=False)})
+            g = df.groupby("source", sort=False, as_index=False).size()
+            g = g.rename(columns={"size": cnt_col})
+            g[cnt_col] = g[cnt_col].astype(np.int64)
+            return pa.Table.from_pandas(
+                g, preserve_index=False).replace_schema_metadata(None)
+        return partial
+
+    def fold(cnt_col):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("source", sort=False,
+                            as_index=False)[cnt_col].sum()
+            out[cnt_col] = out[cnt_col].astype(np.int64)
+            return out
+        return fn
+
+    totals = bucketed_groupby(
+        docs.map_batches(per_source("n_docs"), batch_format="pyarrow"),
+        ["source"], fold("n_docs"), n_buckets=4)
+    kept = exact_dedup(docs, order_cols=["doc_id"])
+    kept_counts = bucketed_groupby(
+        kept.map_batches(per_source("n_kept"), batch_format="pyarrow"),
+        ["source"], fold("n_kept"), n_buckets=4)
+    out = bucketed_join(totals, kept_counts, ["source"], how="left",
+                        n_buckets=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nk = pc.fill_null(b.column("n_kept"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "n_kept": pa.array(nk),
+            "rate": pa.array(nk.astype(np.float64) / nd)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_dedup_rate() -> str:
+    return """
+WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept JOIN documents d USING (doc_id) GROUP BY d.source),
+t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+SELECT t.source, t.n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+         AS rate
+FROM t LEFT JOIN k USING (source)"""
+
+
+DENSIFY_K = 8
+
+
+def q_densify(sf_dir: str):
+    """Segment densification: 9 evenly-spaced points along every
+    supplier-derived segment on the exact x8 integer lattice — the
+    shapely segmentize / ST_LineInterpolatePoint surface, pure flat
+    map (stages/join.py:densify_segments)."""
+    from ..stages.join import densify_segments
+
+    def mks(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x0 = (k * 173) % BBOX_DOM
+        y0 = (k * 179) % BBOX_DOM
+        return pa.table({
+            "sid": pa.array(k), "x0": pa.array(x0), "y0": pa.array(y0),
+            "x1": pa.array(x0 + (k * 7) % 240 - 120),
+            "y1": pa.array(y0 + (k * 11) % 192 - 96)})
+
+    segs = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        mks, batch_format="pyarrow")
+    return densify_segments(segs, k=DENSIFY_K)
+
+
+def _sql_densify() -> str:
+    K = DENSIFY_K
+    return f"""
+WITH s0 AS (SELECT s_suppkey AS sid,
+                   (s_suppkey * 173) % {BBOX_DOM} AS x0,
+                   (s_suppkey * 179) % {BBOX_DOM} AS y0 FROM supplier),
+s AS (SELECT sid, x0, y0,
+             x0 + (sid * 7) % 240 - 120 AS x1,
+             y0 + (sid * 11) % 192 - 96 AS y1 FROM s0),
+j AS (SELECT unnest(range({K + 1})) AS j)
+SELECT s.sid, CAST(j.j AS BIGINT) AS j,
+       CAST(s.x0 * {K} + j.j * (s.x1 - s.x0) AS BIGINT) AS xk,
+       CAST(s.y0 * {K} + j.j * (s.y1 - s.y0) AS BIGINT) AS yk
+FROM s CROSS JOIN j"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -12747,6 +12968,10 @@ def build_oracles() -> dict[str, str]:
             f"FROM geo GROUP BY cell"
         ),
         "nearest_admin": _sql_nearest_admin(),
+        "pyramid": _sql_pyramid(),
+        "lsh_eval": _sql_lsh_eval(),
+        "dedup_rate": _sql_dedup_rate(),
+        "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
         "hull": _sql_hull(),
@@ -13863,6 +14088,10 @@ def build_queries() -> dict:
         "top_orders": q_top_orders,
         "top_per_group": q_top_per_group,
         "rollup": q_rollup,
+        "pyramid": q_pyramid,
+        "lsh_eval": q_lsh_eval,
+        "dedup_rate": q_dedup_rate,
+        "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
         "pcont": q_pcont,

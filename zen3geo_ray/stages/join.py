@@ -847,3 +847,32 @@ def snap_points_to_segments(pts, segs, *, radius: int, cell: int = 128,
 
     return bucketed_groupby(scored, [pid_col], pick,
                             n_buckets=n_buckets)
+
+
+def densify_segments(segs, *, k: int, sid_col: str = "sid"):
+    """DENSIFY integer segments: k+1 evenly-spaced points along each
+    (x0,y0)-(x1,y1) — the shapely ``segmentize`` / ST_LineInterpolate
+    surface as a flat map.  Coordinates stay EXACT integers on the
+    x``k`` lattice: point j is ``(x0*k + j*(x1-x0), y0*k + j*(y1-y0))``
+    (i.e. real coordinate times k), so no float division exists and
+    the SQL mirror is plain arithmetic over ``unnest(range(k+1))``.
+    Pure map_batches (repeat/tile) — no shuffle.  Output
+    (sid, j, xk, yk)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        sid = b.column(sid_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x0 = b.column("x0").to_numpy(zero_copy_only=False).astype(np.int64)
+        y0 = b.column("y0").to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = b.column("x1").to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sid)
+        j = np.tile(np.arange(k + 1, dtype=np.int64), n)
+        rep = np.repeat(np.arange(n), k + 1)
+        xk = x0[rep] * k + j * (x1 - x0)[rep]
+        yk = y0[rep] * k + j * (y1 - y0)[rep]
+        return pa.table({sid_col: pa.array(sid[rep]),
+                         "j": pa.array(j),
+                         "xk": pa.array(xk), "yk": pa.array(yk)})
+
+    return segs.map_batches(fn, batch_format="pyarrow")

@@ -1552,3 +1552,55 @@ def coverage_by_ring(ds, *, res: int, max_dist: int,
         "n_cells": pa.array(ns_, pa.int64()),
         "cum_cells": pa.array(cs_, pa.int64()),
         "frac": pa.array(fs_, pa.float64())})
+
+
+def pyramid_counts(ds, *, res: int, deltas: list[int],
+                   cell_col: str = "cell", n_buckets: int = 32):
+    """Multi-resolution density PYRAMID in ONE pass — the vector-tile
+    overview builder (gdaladdo / tippecanoe zoom rollup as a dataflow):
+    per input row, occupancy counts at the base resolution AND at every
+    coarser level ``res - d`` for d in ``deltas``, all from a single
+    combiner-first partial + one bucketed reduce keyed (level, cell).
+
+    Parent derivation is pure integer shift math on the row-major cell
+    id (geom/cells.py:parent): at delta d,
+    ``pcell = (ny >> d) * ncols_p + (nx >> d)`` — SQL-mirrorable, so a
+    level-L row equals the GROUP BY of the base cells under it.  One
+    pass instead of one shuffle per level: the partial's output is
+    bounded by (levels x occupied cells per block), and coarser levels
+    shrink geometrically.
+
+    Output: (level, cell, n) with level = the resolution (res - d),
+    sorted upstream of nothing (order-free reduce).
+    """
+    from ..geom.cells import _grid_dims
+
+    levels = sorted({0, *deltas})
+    ncols, _ = _grid_dims(res)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ny, nx = c // ncols, c % ncols
+        lvl_out, cell_out, n_out = [], [], []
+        for d in levels:
+            pncols, _ = _grid_dims(res - d)
+            pc = (ny >> d) * pncols + (nx >> d)
+            u, cnt = np.unique(pc, return_counts=True)
+            lvl_out.append(np.full(len(u), res - d, dtype=np.int64))
+            cell_out.append(u)
+            n_out.append(cnt.astype(np.int64))
+        return pa.table({
+            "level": pa.array(np.concatenate(lvl_out)),
+            "cell": pa.array(np.concatenate(cell_out)),
+            "n": pa.array(np.concatenate(n_out))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["level", "cell"], sort=False,
+                        as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["level", "cell"], fold, n_buckets=n_buckets)
