@@ -1049,6 +1049,20 @@ class Pipe:
         return Pipe(upsert_store(self.ds, store_dir, key_cols=key_cols,
                                  order_cols=order_cols, **kwargs))
 
+    def pyramid(self, *, res: int, deltas: list[int],
+                **kwargs) -> "Pipe":
+        """Multi-resolution density pyramid over the cell column."""
+        from .stages.spatial_stats import pyramid_counts
+
+        return Pipe(pyramid_counts(self.ds, res=res, deltas=deltas,
+                                   **kwargs))
+
+    def densify(self, *, k: int, **kwargs) -> "Pipe":
+        """k+1 exact-lattice points along each integer segment."""
+        from .stages.join import densify_segments
+
+        return Pipe(densify_segments(self.ds, k=k, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""

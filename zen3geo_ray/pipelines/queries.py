@@ -12952,6 +12952,128 @@ SELECT s.sid, CAST(j.j AS BIGINT) AS j,
 FROM s CROSS JOIN j"""
 
 
+
+
+def q_curate3(sf_dir: str):
+    """End-to-end curation v3 — curate2 with a NEAR-dup stage wired in
+    (the full web-pipeline shape): exact dedup (first doc_id per text)
+    → MinHash-LSH near-dup collapse (keep each connected component's
+    canonical = minimum doc_id) → unigram-LM OOV gate → DSIR selection
+    → global sort → pack-span index.  All stages stream; the LSH
+    closure shuffles only fixed-width band rows
+    (stages/dedup.py:minhash_lsh_groups + pipelines curate2 chain)."""
+    from ..stages import hashjoin
+    from ..stages.dedup import minhash_lsh_groups
+    from ..stages.scoring import dsir_weights, unigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    surv = dedup.exact_dedup(docs, order_cols=["doc_id"])
+    groups = minhash_lsh_groups(surv, id_col="doc_id",
+                                num_perm=MH_NUM_PERM, bands=MH_BANDS,
+                                k=MH_K)
+
+    def canonical(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        g = b.column("dup_group").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(i[i == g])})
+
+    keep = groups.map_batches(canonical,
+                              batch_format="pyarrow").materialize()
+    surv2 = hashjoin.bucketed_join(surv, keep, on=["doc_id"],
+                                   how="semi", n_buckets=32)
+    lm = unigram_lm_scores(surv2, top_v=UNIGRAM_V)
+    dw = dsir_weights(surv2, n_buckets=DSIR_BUCKETS,
+                      target_mod=DECON_MOD, target_rem=DECON_REM)
+
+    def q_gate(b: pa.Table) -> pa.Table:
+        oov = b.column("n_oov").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return b.select(["doc_id", "n_tokens"]).filter(
+            pa.array(oov * 4 <= n))
+
+    def d_gate(b: pa.Table) -> pa.Table:
+        tf = b.column("tf_sum").to_numpy(zero_copy_only=False)
+        rf = b.column("rf_sum").to_numpy(zero_copy_only=False)
+        return b.select(["doc_id"]).filter(pa.array(tf * 12 >= rf))
+
+    sel = hashjoin.bucketed_join(
+        lm.map_batches(q_gate, batch_format="pyarrow"),
+        dw.map_batches(d_gate, batch_format="pyarrow"),
+        on=["doc_id"], how="semi", n_buckets=32,
+    )
+    packed_in = sel.sort("doc_id").materialize()
+    return scan.pack_span_index(packed_in, "doc_id", "n_tokens",
+                                budget=CURATE2_BUDGET)
+
+
+def _sql_curate3() -> str:
+    v, nb = UNIGRAM_V, DSIR_BUCKETS
+    mod, rem, b = DECON_MOD, DECON_REM, CURATE2_BUDGET
+    # tok/th on the exact-dedup survivors (d); minhash sig/band/closure
+    # ctes consume th, so stripping its own tokhash prefix reuses d's
+    sig = _sql_minhash_cc_ctes()
+    sig = sig[sig.index("sh AS ("):]  # drop the embedded tokhash ctes
+    tokhash = _sql_tokhash_cte().replace(
+        "FROM documents", "FROM d").lstrip().lstrip(",").strip()
+    return f"""
+WITH RECURSIVE
+surv AS MATERIALIZED (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+                      FROM documents GROUP BY text),
+d AS MATERIALIZED (SELECT doc.doc_id, doc.text
+                   FROM documents doc JOIN surv USING (doc_id)),
+{tokhash},
+{sig},
+d2 AS MATERIALIZED (SELECT d.doc_id, d.text
+                    FROM d JOIN labels l ON l.doc_id = d.doc_id
+                    WHERE l.dup_group = d.doc_id),
+tok0 AS MATERIALIZED (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\\S+')) AS w
+                      FROM d2),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok0 GROUP BY w),
+vocab AS (SELECT w, c FROM (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+            FROM cnt)
+          WHERE rn <= {v}),
+lm AS (SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN vo.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+       FROM tok0 t LEFT JOIN vocab vo ON vo.w = t.w
+       GROUP BY t.doc_id),
+tb AS MATERIALIZED (SELECT th.doc_id,
+                           CAST(unnest(ths) % {nb} AS BIGINT) AS bkt
+                    FROM th JOIN d2 USING (doc_id)),
+tcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} = {rem} GROUP BY bkt),
+rcnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         WHERE doc_id % {mod} <> {rem} GROUP BY bkt),
+dw AS (SELECT t.doc_id,
+         CAST(SUM(COALESCE(tc.c, 0) + 1) AS BIGINT) AS tf_sum,
+         CAST(SUM(COALESCE(rc.c, 0) + 1) AS BIGINT) AS rf_sum
+       FROM tb t
+       LEFT JOIN tcnt tc ON tc.bkt = t.bkt
+       LEFT JOIN rcnt rc ON rc.bkt = t.bkt
+       WHERE t.doc_id % {mod} <> {rem}
+       GROUP BY t.doc_id),
+sel AS (SELECT l.doc_id, l.n_tokens
+        FROM lm l JOIN dw USING (doc_id)
+        WHERE l.n_oov * 4 <= l.n_tokens AND dw.tf_sum * 12 >= dw.rf_sum),
+c AS (SELECT doc_id, n_tokens AS n,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS s
+      FROM sel),
+x AS (SELECT doc_id, n, s,
+        unnest(range(s // {b}, (s + n - 1) // {b} + 1)) AS ci
+      FROM c WHERE n > 0)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_id,
+       CAST(GREATEST(s, ci * {b}) - s AS BIGINT) AS doc_off,
+       CAST(GREATEST(s, ci * {b}) - ci * {b} AS BIGINT) AS chunk_off,
+       CAST(LEAST(s + n, (ci + 1) * {b}) - GREATEST(s, ci * {b})
+            AS BIGINT) AS n_tok
+FROM x"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -12971,6 +13093,7 @@ def build_oracles() -> dict[str, str]:
         "pyramid": _sql_pyramid(),
         "lsh_eval": _sql_lsh_eval(),
         "dedup_rate": _sql_dedup_rate(),
+        "curate3": _sql_curate3(),
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14091,6 +14214,7 @@ def build_queries() -> dict:
         "pyramid": q_pyramid,
         "lsh_eval": q_lsh_eval,
         "dedup_rate": q_dedup_rate,
+        "curate3": q_curate3,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
