@@ -595,3 +595,55 @@ def test_histogram_equalize_golden(ray_session):
                    "n": pa.array([7, 7], pa.int64())})
     out1 = histogram_equalize(rd.from_arrow(t1)).to_pandas()
     assert (out1["eq"] == 0).all()
+
+
+def test_write_density_tiles(ray_session, tmp_path):
+    """Slippy-tile PNG pyramid sink: per-pixel counts round-trip
+    through the PNG codec, North-up rows, multi-level totals conserved,
+    re-run byte-identical (idempotent heal)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.geom import cells
+    from zen3geo_ray.sources.png import read_png
+    from zen3geo_ray.stages.rasterize import write_density_tiles
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-170, 170, 3000)
+    lat = rng.uniform(-80, 80, 3000)
+    res = 6
+    t = pa.table({"cell": pa.array(cells.cell_of(lon, lat, res),
+                                   pa.int64())})
+    out = str(tmp_path / "tiles")
+    man = write_density_tiles(
+        rd.from_arrow(t).repartition(4), out, res=res, deltas=[0, 3],
+        tile_px=64, cap=4, n_buckets=4).to_pandas()
+    assert sorted(man["level"].unique()) == [3, 6]
+    assert int(man[man.level == 6]["total"].sum()) == 3000
+    assert int(man[man.level == 3]["total"].sum()) == 3000
+
+    # pixel-exact check on one level-6 tile
+    row = man[man.level == 6].iloc[0]
+    img = read_png(open(row["path"], "rb").read())
+    img = img[:, :, 0] if img.ndim == 3 else img
+    c = cells.cell_of(lon, lat, res)
+    ncols = 2 << res
+    py, px = c // ncols, c % ncols
+    in_tile = ((px // 64 == row["tx"]) & (py // 64 == row["ty"]))
+    import collections
+    want = collections.Counter(
+        zip(px[in_tile].tolist(), py[in_tile].tolist()))
+    for (qx, qy), n in want.items():
+        r = 64 - 1 - (qy - row["ty"] * 64)
+        assert img[r, qx - row["tx"] * 64] == min(n, 4) * 255 // 4
+    assert int((img > 0).sum()) == len(want)
+
+    # idempotent heal: re-run rewrites byte-identical files
+    before = {p: open(p, "rb").read() for p in man["path"]}
+    write_density_tiles(
+        rd.from_arrow(t).repartition(2), out, res=res, deltas=[0, 3],
+        tile_px=64, cap=4, n_buckets=2).materialize()
+    for p, by in before.items():
+        assert open(p, "rb").read() == by

@@ -1327,3 +1327,92 @@ def focal_conv(sparse, *, px_size: int, kernels: dict[str, dict],
         return pa.table(cols)
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def write_density_tiles(ds, out_dir: str, *, res: int, deltas: list[int],
+                        tile_px: int = 256, cap: int = 255,
+                        cell_col: str = "cell", n_buckets: int = 32):
+    """Slippy-map DENSITY TILE pyramid sink — the tippecanoe/gdal2tiles
+    product surface: grayscale PNG tiles ``{out}/{level}/{tx}/{ty}.png``
+    (one pixel per grid cell, North-up, intensity = min(count, cap)
+    scaled onto 0..255) for the base resolution and every coarser
+    ``res - d`` level, rendered and WRITTEN inside the reduce tasks —
+    a distributed sink, no driver image traffic.
+
+    One pass end to end: the multi-level cell counts come from the
+    pyramid combiner (stages/spatial_stats.py:pyramid_counts shape)
+    with tile keys attached, ONE bucketed shuffle keyed
+    (level, tx, ty), then each group renders its tile with the
+    pure-numpy PNG codec (sources/png.py) and lands it via the
+    temp+rename idempotent-write discipline (tarshards) — re-running a
+    failed job just overwrites byte-identical files.
+
+    Returns the tile manifest Dataset: (level, tx, ty, path, n_cells,
+    total) — resumable-output bookkeeping (SURVEY lineage contract).
+    """
+    import os
+
+    import pandas as pd
+
+    from ..geom.cells import _grid_dims
+    from ..sources.png import write_png
+    from .bucketed import bucketed_groupby
+
+    ncols, _ = _grid_dims(res)
+    levels = sorted({0, *deltas})
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column(cell_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ny, nx = c // ncols, c % ncols
+        lvl, cell, n = [], [], []
+        for d in levels:
+            pncols, _ = _grid_dims(res - d)
+            pc = (ny >> d) * pncols + (nx >> d)
+            u, cnt = np.unique(pc, return_counts=True)
+            lvl.append(np.full(len(u), res - d, dtype=np.int64))
+            cell.append(u)
+            n.append(cnt.astype(np.int64))
+        lvl = np.concatenate(lvl)
+        cell = np.concatenate(cell)
+        n = np.concatenate(n)
+        # per-row grid width at its own level: 2 << level
+        pnc = (np.int64(2) << lvl)
+        py, px = cell // pnc, cell % pnc
+        return pa.table({
+            "level": pa.array(lvl),
+            "tx": pa.array(px // tile_px), "ty": pa.array(py // tile_px),
+            "cell": pa.array(cell), "n": pa.array(n)})
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (lvl, tx, ty), grp in g.groupby(["level", "tx", "ty"],
+                                            sort=False):
+            lvl, tx, ty = int(lvl), int(tx), int(ty)
+            pnc = 2 << lvl
+            agg = grp.groupby("cell", sort=False)["n"].sum()
+            cells_ = agg.index.to_numpy().astype(np.int64)
+            counts = agg.to_numpy().astype(np.int64)
+            py, px = cells_ // pnc, cells_ % pnc
+            img = np.zeros((tile_px, tile_px), dtype=np.uint8)
+            v = np.minimum(counts, cap) * 255 // cap
+            # North-up: image row 0 = the tile's highest ny
+            rows = tile_px - 1 - (py - ty * tile_px)
+            img[rows, px - tx * tile_px] = v.astype(np.uint8)
+            tdir = os.path.join(out_dir, str(lvl), str(tx))
+            os.makedirs(tdir, exist_ok=True)
+            path = os.path.join(tdir, f"{ty}.png")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(write_png(img))
+            os.replace(tmp, path)
+            out.append((lvl, tx, ty, path, int(len(cells_)),
+                        int(counts.sum())))
+        return pd.DataFrame(out, columns=["level", "tx", "ty", "path",
+                                          "n_cells", "total"])
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["level", "tx", "ty"], render, n_buckets=n_buckets)
