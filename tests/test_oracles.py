@@ -61,6 +61,11 @@ FAST = [
     "pyramid",
     "dedup_rate",
     "densify",
+    "confusion",
+    "kappa",
+    "trimmed_mean",
+    "theil",
+    "heldout_ppl",
     # round-3 additions (sequence/analytic/corpus/mixing/flagship)
     "transitions",
     "funnel",

@@ -13074,6 +13074,252 @@ SELECT doc_id,
 FROM x"""
 
 
+
+
+def _confusion_ds(sf_dir: str):
+    """(lang, lang_pred, n) confusion counts of the n-gram lang-id
+    heuristic vs the stored label — combiner partial + one bucketed
+    reduce on the bounded class-pair grid."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pred = textfn.detect_lang(b.column("text").to_pylist())
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_numpy(zero_copy_only=False),
+            "lang_pred": pred,
+        }).groupby(["lang", "lang_pred"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "lang_pred"], sort=False,
+                        as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "lang_pred"], fold, n_buckets=4)
+
+
+def q_confusion(sf_dir: str):
+    """Lang-id CONFUSION MATRIX — the classifier-eval table: stored
+    label x predicted label counts (functions/text.py:detect_lang,
+    already oracle-mirrored)."""
+    return _confusion_ds(sf_dir)
+
+
+def _sql_confusion() -> str:
+    return ("WITH " + _sql_lang_ctes()
+            + """ SELECT d.lang, l.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN langpred l USING (doc_id)
+GROUP BY d.lang, l.lang_pred""")
+
+
+def q_kappa(sf_dir: str):
+    """Cohen's KAPPA of lang-id vs the stored label — inter-annotator
+    agreement as exact integers until ONE mirrored division:
+    kappa = (po_num*N - pe_num) / (N^2 - pe_num) with po_num = trace,
+    pe_num = sum_c rowtotal(c)*coltotal(c)."""
+    conf = _confusion_ds(sf_dir).to_pandas()
+    n = int(conf["n"].sum())
+    po_num = int(conf[conf["lang"] == conf["lang_pred"]]["n"].sum())
+    rows = conf.groupby("lang")["n"].sum()
+    cols = conf.groupby("lang_pred")["n"].sum()
+    classes = sorted(set(rows.index) | set(cols.index))
+    pe_num = sum(int(rows.get(c, 0)) * int(cols.get(c, 0))
+                 for c in classes)
+    denom = n * n - pe_num
+    kappa = (float(po_num * n - pe_num) / float(denom)) if denom \
+        else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "po_num": pa.array([po_num], pa.int64()),
+        "pe_num": pa.array([pe_num], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64())})
+
+
+def _sql_kappa() -> str:
+    return ("WITH " + _sql_lang_ctes()
+            + """, conf AS (
+  SELECT d.lang, l.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN langpred l USING (doc_id)
+  GROUP BY d.lang, l.lang_pred),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM conf),
+po AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS po_num
+       FROM conf WHERE lang = lang_pred),
+r AS (SELECT lang AS c, CAST(SUM(n) AS BIGINT) AS rn FROM conf
+      GROUP BY lang),
+cl AS (SELECT lang_pred AS c, CAST(SUM(n) AS BIGINT) AS cn FROM conf
+       GROUP BY lang_pred),
+pe AS (SELECT CAST(COALESCE(SUM(r.rn * cl.cn), 0) AS BIGINT) AS pe_num
+       FROM r JOIN cl USING (c))
+SELECT tot.n, po.po_num, pe.pe_num,
+       CASE WHEN tot.n * tot.n - pe.pe_num <> 0 THEN
+         CAST(po.po_num * tot.n - pe.pe_num AS DOUBLE)
+           / CAST(tot.n * tot.n - pe.pe_num AS DOUBLE) END AS kappa
+FROM tot, po, pe""")
+
+
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Per-language 10%%-trimmed mean of doc lengths — the robust-mean
+    report metric, exact from the value histogram (no per-row sort),
+    one mirrored division (stages/zonal.py:grouped_trimmed_mean)."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return zonal.grouped_trimmed_mean(docs, ["lang"], "n_chars",
+                                      trim_num=1, trim_den=10,
+                                      n_buckets=8)
+
+
+_SQL_TRIMMED_MEAN = """
+WITH h AS (SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+cbs AS (SELECT lang, v, c,
+        CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) - c AS BIGINT)
+          AS cb FROM h),
+m AS (SELECT cbs.lang, t.n, (t.n * 1) // 10 AS k,
+             cbs.v, cbs.c, cbs.cb FROM cbs JOIN t USING (lang)),
+kept AS (SELECT lang, n, k, v,
+         c - LEAST(c, GREATEST(0, k - cb))
+           - LEAST(c, GREATEST(0, (cb + c) - (n - k))) AS kc
+         FROM m),
+f AS (SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(n) - 2 * MAX(k) AS BIGINT) AS n_kept,
+             CAST(SUM(v * kc) AS BIGINT) AS mid_sum
+      FROM kept GROUP BY lang)
+SELECT lang, n, n_kept, mid_sum,
+       CASE WHEN n_kept > 0 THEN
+         CAST(mid_sum AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS tmean
+FROM f"""
+
+
+def q_theil(sf_dir: str):
+    """Per-source Theil T inequality of doc lengths — gini's
+    information-theoretic sibling under the quantized-ln discipline
+    (stages/zonal.py:grouped_theil)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return zonal.grouped_theil(docs, ["source"], "n_chars",
+                               n_buckets=8)
+
+
+_SQL_THEIL = f"""
+WITH h AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+f AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(v * c) AS BIGINT) AS sv,
+             CAST(COALESCE(SUM(CASE WHEN v > 0 THEN
+               c * CAST(FLOOR(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE))
+                              * {zonal.THEIL_Q}.0) AS BIGINT) END), 0)
+               AS BIGINT) AS qs
+      FROM h GROUP BY source)
+SELECT source, n, sv, qs,
+       CASE WHEN sv > 0 THEN
+         CAST(qs AS DOUBLE) / (CAST(sv AS DOUBLE) * {zonal.THEIL_Q}.0)
+         - (ln(CAST(sv AS DOUBLE)) - ln(CAST(n AS DOUBLE))) END
+         AS theil
+FROM f"""
+
+
+
+
+def q_heldout_ppl(sf_dir: str):
+    """Held-out cross-entropy of the add-one unigram LM (train on even
+    doc_ids, evaluate on odd) — the LM-eval loop under the
+    quantized-ln discipline
+    (stages/scoring.py:heldout_cross_entropy)."""
+    from ..stages.scoring import heldout_cross_entropy
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return heldout_cross_entropy(docs)
+
+
+_SQL_HELDOUT_PPL = """
+WITH tok0 AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents),
+g AS (SELECT w,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ch
+      FROM tok0 GROUP BY w),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS s_train,
+             CAST(COALESCE(SUM(ch), 0) AS BIGINT) AS n_held,
+             CAST(COALESCE(SUM(CASE WHEN ch > 0 THEN
+               ch * CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE)) * 65536.0)
+                         AS BIGINT) END), 0) AS BIGINT) AS qs
+      FROM g)
+SELECT n_held, CAST(s_train + nv AS BIGINT) AS d, qs,
+       CASE WHEN n_held > 0 AND s_train + nv > 0 THEN
+         ln(CAST(s_train + nv AS DOUBLE))
+         - CAST(qs AS DOUBLE) / (CAST(n_held AS DOUBLE) * 65536.0) END
+         AS h
+FROM f"""
+
+
+
+
+HARM_SEEDS = 4
+
+
+def q_harmonic(sf_dir: str):
+    """Bounded-hop HARMONIC centrality from the 4 smallest seed-class
+    customer nodes of the trade graph: h(v) = Σ_s 1/d(s,v) over
+    0 < d <= 3, exact on the lcm(1..3)=6 rational lattice, one
+    mirrored division (stages/graph.py:harmonic_centrality)."""
+    import ray.data as rd
+
+    from ..stages.graph import harmonic_centrality
+
+    edges = _trade_edges(sf_dir).materialize()
+    sdf = edges.map_batches(
+        lambda b: pa.table({"node": pa.array(np.unique(
+            b.column("src").to_numpy(zero_copy_only=False)
+            [b.column("src").to_numpy(zero_copy_only=False)
+             % BFS_SEED_MOD == 0]))}),
+        batch_format="pyarrow").to_pandas()
+    sids = np.sort(np.unique(sdf["node"].to_numpy()))[:HARM_SEEDS]
+    seeds = rd.from_arrow(pa.table({"node": pa.array(sids, pa.int64())}))
+    return harmonic_centrality(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def _sql_harmonic() -> str:
+    ctes = [
+        _SQL_GRAPH_EDGES,
+        (f"seeds AS (SELECT node FROM ("
+         f"SELECT DISTINCT src AS node FROM edges "
+         f"WHERE src % {BFS_SEED_MOD} = 0 ORDER BY node "
+         f"LIMIT {HARM_SEEDS}))"),
+        ("p0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist "
+         "FROM seeds)"),
+    ]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM p{i - 1}
+    UNION ALL
+    SELECT r.seed, e.dst AS node, r.dist + 1 AS dist
+    FROM edges e JOIN p{i - 1} r ON r.node = e.src
+  ) GROUP BY 1, 2)""")
+    L = 6  # lcm(1..3)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_from,
+       CAST(SUM({L} // dist) AS BIGINT) AS hnum,
+       CAST(SUM({L} // dist) AS DOUBLE) / {L}.0 AS h
+FROM p{BFS_MAX_HOPS} WHERE dist > 0 GROUP BY node""")
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13094,6 +13340,12 @@ def build_oracles() -> dict[str, str]:
         "lsh_eval": _sql_lsh_eval(),
         "dedup_rate": _sql_dedup_rate(),
         "curate3": _sql_curate3(),
+        "confusion": _sql_confusion(),
+        "kappa": _sql_kappa(),
+        "trimmed_mean": _SQL_TRIMMED_MEAN,
+        "theil": _SQL_THEIL,
+        "heldout_ppl": _SQL_HELDOUT_PPL,
+        "harmonic": _sql_harmonic(),
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14215,6 +14467,12 @@ def build_queries() -> dict:
         "lsh_eval": q_lsh_eval,
         "dedup_rate": q_dedup_rate,
         "curate3": q_curate3,
+        "confusion": q_confusion,
+        "kappa": q_kappa,
+        "trimmed_mean": q_trimmed_mean,
+        "theil": q_theil,
+        "heldout_ppl": q_heldout_ppl,
+        "harmonic": q_harmonic,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,

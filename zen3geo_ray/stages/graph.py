@@ -4486,3 +4486,70 @@ def negative_edge_sample(edges, *, k: int, slack: int = 2,
         return out[[src, "neg", "j"]]
 
     return bucketed_groupby(fresh, [src], topk, n_buckets=n_buckets)
+
+
+def harmonic_centrality(edges, seeds, *, max_hops: int = 3,
+                        src: str = "src", dst: str = "dst",
+                        n_buckets: int | None = None,
+                        broadcast_threshold: int = BROADCAST_NODES,
+                        engine: str = "auto"):
+    """Bounded-hop HARMONIC CENTRALITY of every node with respect to a
+    (small-by-contract) SEED set: h(v) = Σ_{s∈S, 0<d(s,v)<=H} 1/d(s,v)
+    — the influence/reachability score that, unlike closeness, handles
+    disconnection natively.
+
+    Exact rational arithmetic: distances are hops <= ``max_hops``, so
+    every 1/d lands on the lcm(1..H) lattice — ``hnum = Σ L // d`` is
+    an exact int64 and ``h = hnum / L`` is the ONE mirrored division.
+
+    Plan: one bounded BFS per seed (seed sets personalize — the ppr
+    seed-contract; each BFS is the bfs_hops engine, auto-routable to
+    the pinned path) → union tagged per seed → one bucketed per-node
+    reduce.  Output (node, n_from, hnum, h); nodes reached by no seed
+    (or only at d=0) emit nothing.
+    """
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from .bucketed import bucketed_groupby
+
+    L = math.lcm(*range(1, max_hops + 1))
+    seed_ids = np.sort(np.unique(
+        seeds.to_pandas()[NODE].to_numpy().astype(np.int64)))
+    if len(seed_ids) == 0:
+        raise ValueError("harmonic_centrality needs >= 1 seed")
+    edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
+
+    runs = []
+    for sid in seed_ids.tolist():
+        one = rd.from_arrow(pa.table({NODE: pa.array([sid], pa.int64())}))
+        d = bfs_hops(edges, one, src=src, dst=dst, max_hops=max_hops,
+                     n_buckets=n_buckets,
+                     broadcast_threshold=broadcast_threshold,
+                     engine=engine)
+        runs.append(d)
+    alld = runs[0]
+    for r in runs[1:]:
+        alld = alld.union(r)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dist = g["dist"].to_numpy().astype(np.int64)
+        g = g[dist > 0]
+        if len(g) == 0:
+            return pd.DataFrame({NODE: pd.Series([], dtype="int64"),
+                                 "n_from": pd.Series([], dtype="int64"),
+                                 "hnum": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="float64")})
+        d = g["dist"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({NODE: g[NODE].to_numpy().astype(np.int64),
+                           "q": L // d})
+        out = df.groupby(NODE, as_index=False).agg(
+            n_from=("q", "size"), hnum=("q", "sum"))
+        out["n_from"] = out["n_from"].astype(np.int64)
+        out["hnum"] = out["hnum"].astype(np.int64)
+        out["h"] = out["hnum"].to_numpy().astype(np.float64) / float(L)
+        return out
+
+    return bucketed_groupby(alld, [NODE], fold, n_buckets=n_buckets)

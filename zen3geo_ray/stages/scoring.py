@@ -676,3 +676,85 @@ def naive_bayes_confusion(docs, *, id_col: str = "doc_id",
         parts, [tc, pc],
         lambda g: g.groupby([tc, pc], as_index=False)["n"].sum(),
         n_buckets=min(n_buckets, 8))
+
+
+def heldout_cross_entropy(docs, *, id_col: str = "doc_id",
+                          text_col: str = "text", scale: int = 65536,
+                          n_buckets: int = 16):
+    """Held-out CROSS-ENTROPY of an add-one-smoothed unigram LM — the
+    LM-quality eval loop: train counts on the EVEN-id half, evaluate
+    on the ODD half,
+
+        H = ln(S_train + V) − (1/N_held)·Σ_w c_held(w)·ln(c_train(w)+1)
+
+    (V = whole-corpus distinct vocabulary).  The quantized-ln
+    discipline throughout (token_entropy): each vocab term is the
+    exact INTEGER c_held·floor(ln(c_train+1)·scale) — order-free sum —
+    and ONE shared float finale; math.log == DuckDB ln on this libm.
+
+    Plan: per-block (token, c_train, c_held) partials → ONE bucketed
+    shuffle on token → per-bucket scalar partials (nv, s_train,
+    n_held, qs) → a bounded driver finale (n_buckets rows).
+    Documents never shuffle.  Output one row
+    (n_held, d, qs, h) with d = S_train + V.
+    """
+    import math
+
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+    from .ngrams import tokens_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, doc_of, _ = tokens_flat(b, text_col)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        held = (ids[doc_of] % 2 == 1)
+        df = pd.DataFrame({
+            "w": flat.to_numpy(zero_copy_only=False),
+            "ct": (~held).astype(np.int64),
+            "ch": held.astype(np.int64)})
+        g = df.groupby("w", sort=False, as_index=False).sum()
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "ct": pa.array(g["ct"].to_numpy().astype(np.int64)),
+            "ch": pa.array(g["ch"].to_numpy().astype(np.int64))})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("w", sort=False, as_index=False)[["ct", "ch"]] \
+            .sum()
+        ct = agg["ct"].to_numpy(dtype=np.int64)
+        ch = agg["ch"].to_numpy(dtype=np.int64)
+        qs = 0
+        qmemo: dict[int, int] = {}
+        for cv, hv in zip(ct.tolist(), ch.tolist()):
+            if hv == 0:
+                continue
+            q = qmemo.get(cv)
+            if q is None:
+                q = math.floor(math.log(float(cv + 1)) * float(scale))
+                qmemo[cv] = q
+            qs += hv * q
+        return pd.DataFrame({
+            "nv": pd.Series([len(agg)], dtype="int64"),
+            "s_train": pd.Series([int(ct.sum())], dtype="int64"),
+            "n_held": pd.Series([int(ch.sum())], dtype="int64"),
+            "qs": pd.Series([qs], dtype="int64")})
+
+    bp = bucketed_groupby(parts, ["w"], bucket_fold,
+                          n_buckets=n_buckets).to_pandas()
+    nv = int(bp["nv"].sum())
+    s_train = int(bp["s_train"].sum())
+    n_held = int(bp["n_held"].sum())
+    qs = int(bp["qs"].sum())
+    d = s_train + nv
+    h = (math.log(float(d))
+         - float(qs) / (float(n_held) * float(scale))) \
+        if n_held > 0 and d > 0 else None
+    return pa.table({
+        "n_held": pa.array([n_held], pa.int64()),
+        "d": pa.array([d], pa.int64()),
+        "qs": pa.array([qs], pa.int64()),
+        "h": pa.array([h], pa.float64())})

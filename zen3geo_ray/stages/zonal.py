@@ -1435,3 +1435,132 @@ def ols2(ds, y_col: str, x1_col: str, x2_col: str, *,
         "b0": pa.array([b0], pa.float64()),
         "b1": pa.array([b1], pa.float64()),
         "b2": pa.array([b2], pa.float64())})
+
+
+def grouped_trimmed_mean(ds, key_cols: list[str], value_col: str, *,
+                         trim_num: int = 1, trim_den: int = 10,
+                         n_buckets: int = 16):
+    """Per-group TRIMMED MEAN of an integer column — the robust-mean
+    report metric — exact from the bounded per-group value histogram
+    (grouped_gini's no-per-row-sort discipline): k = (n*num)//den rows
+    cut from EACH tail via cumulative-count clamps, middle sum as
+    exact ints, ONE mirrored division.
+
+    Output: key cols, n, n_kept, mid_sum, tmean (NULL when the trim
+    swallows everything).
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: b.column(k).to_pandas()
+                           for k in key_cols})
+        df["_v"] = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = df.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False).size() \
+            .rename(columns={"size": "_c"})
+        out["_c"] = out["_c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False)["_c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_cols + ["_v"], fold, n_buckets=n_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, gg in g.groupby(key_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            v = gg["_v"].to_numpy()
+            c = gg["_c"].to_numpy()
+            o = np.argsort(v, kind="stable")
+            v, c = v[o], c[o]
+            cb = np.concatenate([[0], np.cumsum(c)[:-1]])
+            n = int(c.sum())
+            k = (n * trim_num) // trim_den
+            bot = np.minimum(c, np.maximum(0, k - cb))
+            top = np.minimum(c, np.maximum(0, (cb + c) - (n - k)))
+            keep = c - bot - top
+            mid = sum(int(vv) * int(kk) for vv, kk in zip(v, keep))
+            m = n - 2 * k
+            tm = float(mid) / float(m) if m > 0 else None
+            rows.append((*key, n, m, mid, tm))
+        return pd.DataFrame(rows, columns=key_cols
+                            + ["n", "n_kept", "mid_sum", "tmean"])
+
+    return bucketed_groupby(hist, key_cols, finalize,
+                            n_buckets=n_buckets)
+
+
+THEIL_Q = 65536  # 2^16 quantized-ln lattice (the entropy discipline)
+
+
+def grouped_theil(ds, key_cols: list[str], value_col: str, *,
+                  n_buckets: int = 16):
+    """Per-group THEIL T inequality index of a positive integer column
+    — gini's information-theoretic sibling:
+
+        T = (Σ x·ln x) / S − ln(S/n)        (S = Σx)
+
+    computed with the quantized-ln discipline (entropy/kl_sources):
+    per-DISTINCT-value integer terms floor(v·ln(v)·2^16) summed
+    order-free (count-weighted int64), then ONE shared float finale —
+    math.log bit-equals DuckDB ln on this libm (pinned).  Zero values
+    contribute 0 (x·ln x → 0).
+
+    Output: key cols, n, sv, qs, theil (NULL when S = 0).
+    """
+    import math
+
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: b.column(k).to_pandas()
+                           for k in key_cols})
+        df["_v"] = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = df.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False).size() \
+            .rename(columns={"size": "_c"})
+        out["_c"] = out["_c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols + ["_v"], sort=False,
+                         as_index=False)["_c"].sum()
+
+    hist = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_cols + ["_v"], fold, n_buckets=n_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, gg in g.groupby(key_cols, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            v = gg["_v"].to_numpy()
+            c = gg["_c"].to_numpy()
+            n = int(c.sum())
+            sv = sum(int(a) * int(b_) for a, b_ in zip(v, c))
+            qs = sum(int(b_) * math.floor(
+                float(a) * math.log(float(a)) * float(THEIL_Q))
+                for a, b_ in zip(v, c) if a > 0)
+            th = (float(qs) / (float(sv) * float(THEIL_Q))
+                  - (math.log(float(sv)) - math.log(float(n)))) \
+                if sv > 0 else None
+            rows.append((*key, n, sv, qs, th))
+        return pd.DataFrame(rows, columns=key_cols
+                            + ["n", "sv", "qs", "theil"])
+
+    return bucketed_groupby(hist, key_cols, finalize,
+                            n_buckets=n_buckets)
