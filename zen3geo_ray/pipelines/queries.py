@@ -13320,6 +13320,78 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_from,
 FROM p{BFS_MAX_HOPS} WHERE dist > 0 GROUP BY node""")
 
 
+
+
+IAT_BUCKET_US = 3_600_000_000  # 1 h
+IAT_MAX_BUCKET = 48
+
+
+def q_iat(sf_dir: str):
+    """Inter-arrival-time histogram of per-user event streams (hourly
+    buckets, 48 h tail clamp) — the burstiness/traffic-model
+    diagnostic (stages/sequence.py:interarrival_hist)."""
+    from ..stages.sequence import interarrival_hist
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"]) \
+        .map_batches(lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "tu": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id")}),
+            batch_format="pyarrow")
+    return interarrival_hist(ev, key_col="user_id", ts_col="tu",
+                             id_col="event_id",
+                             bucket_us=IAT_BUCKET_US,
+                             max_bucket=IAT_MAX_BUCKET)
+
+
+_SQL_IAT = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+d AS (SELECT user_id,
+             tu - LAG(tu) OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS dt
+      FROM e),
+b AS (SELECT LEAST(dt // {IAT_BUCKET_US}, {IAT_MAX_BUCKET}) AS bucket
+      FROM d WHERE dt IS NOT NULL)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket"""
+
+
+LATE_WIN_US = 3_600_000_000       # 1 h event-time windows
+LATE_WATERMARK_US = 120_000_000   # 2 min allowed lateness
+LATE_DELAY_MOD_US = 600_000_000   # synthetic transport delay < 10 min
+
+
+def q_late_events(sf_dir: str):
+    """Watermark-lateness accounting per event-time hour: arrival =
+    event time + deterministic per-id delay, late = arrives after
+    window close + 2 min watermark
+    (stages/sequence.py:late_event_counts)."""
+    from ..stages.sequence import late_event_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    return late_event_counts(ev, ts_col="ts", id_col="event_id",
+                             window_us=LATE_WIN_US,
+                             watermark_us=LATE_WATERMARK_US,
+                             delay_mod_us=LATE_DELAY_MOD_US)
+
+
+_SQL_LATE_EVENTS = f"""
+WITH e AS (SELECT epoch_us(ts) AS t,
+                  epoch_us(ts) + (event_id * 7919) % {LATE_DELAY_MOD_US}
+                    AS arr
+           FROM events),
+w AS (SELECT t // {LATE_WIN_US} AS win,
+             CASE WHEN arr > (t // {LATE_WIN_US} + 1) * {LATE_WIN_US}
+                             + {LATE_WATERMARK_US}
+                  THEN 1 ELSE 0 END AS late
+      FROM e)
+SELECT CAST(win AS BIGINT) AS win,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM w GROUP BY win"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13346,6 +13418,8 @@ def build_oracles() -> dict[str, str]:
         "theil": _SQL_THEIL,
         "heldout_ppl": _SQL_HELDOUT_PPL,
         "harmonic": _sql_harmonic(),
+        "iat": _SQL_IAT,
+        "late_events": _SQL_LATE_EVENTS,
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14473,6 +14547,8 @@ def build_queries() -> dict:
         "theil": q_theil,
         "heldout_ppl": q_heldout_ppl,
         "harmonic": q_harmonic,
+        "iat": q_iat,
+        "late_events": q_late_events,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,

@@ -1070,3 +1070,83 @@ def dtw_pairs(ds, *, key_col: str, ts_col: str, value_col: str,
                          "dtw": pa.array(dtw)})
 
     return users.map_batches(pair_block, batch_format="pyarrow")
+
+
+def interarrival_hist(ds, *, key_col: str, ts_col: str, id_col: str,
+                      bucket_us: int, max_bucket: int,
+                      n_buckets: int = 16):
+    """INTER-ARRIVAL-TIME histogram over per-key ordered event streams
+    — the traffic-model / burstiness diagnostic: consecutive deltas in
+    (ts, id) order per key, floor-bucketed at ``bucket_us`` and
+    clamped to ``max_bucket`` (the tail bucket).  One per-key shuffle
+    (keys whole-in-bucket) + a combiner histogram; output
+    (bucket, n) over the dense 0..max_bucket domain.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_groupby
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        t = g[ts_col].to_numpy().astype(np.int64)
+        k = g[key_col].to_numpy()
+        d = t[1:] - t[:-1]
+        same = (k[1:] == k[:-1])
+        d = d[same]
+        b = np.minimum(d // bucket_us, max_bucket)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    parts = bucketed_groupby(ds, [key_col], per_key,
+                             n_buckets=n_buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bucket", sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = bucketed_groupby(parts, ["bucket"], fold, n_buckets=4)
+
+    def dense(b: pa.Table) -> pa.Table:
+        return b
+
+    return hist.map_batches(dense, batch_format="pyarrow")
+
+
+def late_event_counts(ds, *, ts_col: str, id_col: str,
+                      window_us: int, watermark_us: int,
+                      delay_mod_us: int, delay_mult: int = 7919):
+    """WATERMARK-lateness accounting — the streaming-ingest health
+    table: each event's ARRIVAL time is its event time plus a
+    deterministic per-id delay ``(id * delay_mult) % delay_mod_us``
+    (the reprocessable stand-in for transport lag); an event is LATE
+    when it arrives after its window's close plus the watermark.
+    Pure map + one small keyed reduce: output per event-time window
+    (win, n_events, n_late).
+    """
+    from .zonal import zonal_aggregate
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        i = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = t + (i * delay_mult) % delay_mod_us
+        win = t // window_us
+        late = (arr > (win + 1) * window_us + watermark_us) \
+            .astype(np.int64)
+        return pa.table({"win": pa.array(win),
+                         "late": pa.array(late)})
+
+    out = zonal_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["win"], {"late": ["sum"]})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "win": b.column("win"),
+            "n_events": b.column("n"),
+            "n_late": b.column("late_sum")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
