@@ -344,7 +344,8 @@ def main():
            "edit": soak_edit_join, "funnel": soak_funnel,
            "kaplan": soak_kaplan, "scc": soak_scc,
            "scc_pinned": lambda: soak_scc(engine="pinned"),
-           "autoroute": soak_auto_route}
+           "autoroute": soak_auto_route, "pyramid": soak_pyramid,
+           "densify": soak_densify, "harmonic": soak_harmonic}
     todo = fns.values() if which == "all" else [fns[which]]
     for fn in todo:
         print(json.dumps(fn()), flush=True)
@@ -669,6 +670,94 @@ def soak_auto_route(n_edges: int = 4_000_000,
             "dataset_sec": round(t_ds, 2),
             "speedup": round(t_ds / max(t_auto, 1e-9), 2)}
     return out
+
+
+def soak_pyramid(n_pts: int = 50_000_000, res: int = 12):
+    """One-pass multi-level density pyramid at 50M points: the
+    combiner emits 4 levels per block, one (level, cell) shuffle."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.spatial_stats import pyramid_counts
+
+    ncols = 2 << res
+    nrows = 1 << res
+
+    def mk(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        hx = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        hy = splitmix64(i.astype(np.uint64) + np.uint64(9))
+        nx = (hx % np.uint64(ncols)).astype(np.int64)
+        ny = (hy % np.uint64(nrows)).astype(np.int64)
+        return pa.table({"cell": pa.array(ny * ncols + nx)})
+
+    pts = rd.range(n_pts, override_num_blocks=64).map_batches(
+        mk, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = pyramid_counts(pts, res=res, deltas=[0, 4, 8, 10],
+                         n_buckets=64).materialize()
+    wall = time.perf_counter() - t0
+    import pandas as pd  # noqa: F401
+    tot = out.to_pandas().groupby("level")["n"].sum()
+    ok = bool((tot == n_pts).all())
+    return {"soak": "pyramid", "n_pts": n_pts, "levels": 4,
+            "rows_out": out.count(), "totals_ok": ok,
+            "sec": round(wall, 2),
+            "pts_per_sec": round(n_pts / wall)}
+
+
+def soak_densify(n_segs: int = 10_000_000, k: int = 8):
+    """Flat-map densification at 10M segments -> 90M points."""
+    import ray.data as rd
+
+    from zen3geo_ray.stages.join import densify_segments
+
+    def mk(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "sid": pa.array(i),
+            "x0": pa.array((i * 173) % 100_000),
+            "y0": pa.array((i * 179) % 100_000),
+            "x1": pa.array((i * 173) % 100_000 + i % 240 - 120),
+            "y1": pa.array((i * 179) % 100_000 + i % 192 - 96)})
+
+    segs = rd.range(n_segs, override_num_blocks=64).map_batches(
+        mk, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    n = densify_segments(segs, k=k).count()
+    wall = time.perf_counter() - t0
+    return {"soak": "densify", "n_segs": n_segs, "k": k,
+            "points_out": n, "ok": n == n_segs * (k + 1),
+            "sec": round(wall, 2),
+            "pts_per_sec": round(n / wall)}
+
+
+def soak_harmonic(n_edges: int = 10_000_000, n_nodes: int = 2_000_000):
+    """Harmonic centrality (4 seeds x 3 hops) on a 10M-edge digraph —
+    each seed BFS auto-routes to the pinned engine."""
+    import ray.data as rd
+
+    from zen3geo_ray.functions.hashing import splitmix64
+    from zen3geo_ray.stages.graph import harmonic_centrality
+
+    def mk(b: pa.Table) -> pa.Table:
+        i = b.column("id").to_numpy(zero_copy_only=False)
+        h1 = splitmix64(i.astype(np.uint64) + np.uint64(3))
+        h2 = splitmix64(i.astype(np.uint64) + np.uint64(7))
+        return pa.table({
+            "src": pa.array((h1 % np.uint64(n_nodes)).astype(np.int64)),
+            "dst": pa.array((h2 % np.uint64(n_nodes)).astype(np.int64))})
+
+    e = rd.range(n_edges, override_num_blocks=64).map_batches(
+        mk, batch_format="pyarrow").materialize()
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3],
+                                                     pa.int64())}))
+    t0 = time.perf_counter()
+    out = harmonic_centrality(e, seeds, max_hops=3).materialize()
+    wall = time.perf_counter() - t0
+    return {"soak": "harmonic", "n_edges": n_edges, "seeds": 4,
+            "rows_out": out.count(), "sec": round(wall, 2),
+            "edge_traversals_per_sec": round(4 * 3 * n_edges / wall)}
 
 
 if __name__ == "__main__":
