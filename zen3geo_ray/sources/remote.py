@@ -213,3 +213,132 @@ class RangeBytes:
             return self._read(start, stop - start)
         # single index -> int, like bytes
         return self._read(key, 1)[0]
+
+
+class RangeFile:
+    """Seekable read-only file object over a RangeSource — what
+    ``pyarrow.parquet`` needs to read a REMOTE parquet object with
+    true range IO (footer, then only the projected column chunks).
+
+    Not buffered beyond the source's own semantics; pyarrow issues
+    coalesced column-chunk reads, so per-call fetches map ~1:1 onto
+    HTTP range requests.  Tracks ``bytes_read`` / ``requests``.
+    """
+
+    def __init__(self, source):
+        self.src = source
+        self.pos = 0
+        self._size = source.size()
+        self.bytes_read = 0
+        self.requests = 0
+        self.closed = False
+
+    # --- the file protocol subset pyarrow uses -------------------------
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self.pos
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        if whence == 0:
+            self.pos = off
+        elif whence == 1:
+            self.pos += off
+        elif whence == 2:
+            self.pos = self._size + off
+        return self.pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self.pos
+        n = max(0, min(n, self._size - self.pos))
+        if n == 0:
+            return b""
+        data = self.src.read(self.pos, n)
+        self.pos += len(data)
+        self.bytes_read += len(data)
+        self.requests += 1
+        return data
+
+    def read_at(self, n: int, off: int) -> bytes:
+        data = self.src.read(off, n)
+        self.bytes_read += len(data)
+        self.requests += 1
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def read_parquet_uris(uris, columns=None, *, rows_per_task: int | None = None):
+    """Ray Dataset over REMOTE (or local) parquet objects with
+    column-chunk range pushdown — the object-store corpus read shape
+    the 100-TB design assumes: the driver range-reads each footer for
+    the row-group list, ships (uri, row_group) descriptors, and every
+    task opens its object with a ranged file and decodes ONLY its row
+    group's projected column chunks.  ``columns=`` prunes at the
+    transport level (untouched columns never leave the server).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if rows_per_task is None:
+        rows_per_task = 100_000
+    items = []
+    metas: dict = {}
+    uri_list = [uris] if isinstance(uris, str) else list(uris)
+    for uri in uri_list:
+        f = pq.ParquetFile(RangeFile(open_range(uri)))
+        md = f.metadata
+        if len(uri_list) <= 1000:
+            metas[uri] = md  # footer shipped once, tasks skip re-fetch
+        chunk: list[int] = []
+        acc = 0
+        for rg in range(md.num_row_groups):
+            chunk.append(rg)
+            acc += md.row_group(rg).num_rows
+            if acc >= rows_per_task:
+                items.append({"uri": uri, "rg0": chunk[0],
+                              "nrg": len(chunk)})
+                chunk, acc = [], 0
+        if chunk:
+            items.append({"uri": uri, "rg0": chunk[0],
+                          "nrg": len(chunk)})
+    descr = rd.from_items(items)
+
+    def decode(b):
+        import pyarrow as pa
+
+        uris_ = b.column("uri").to_pylist()
+        rg0s = b.column("rg0").to_pylist()
+        nrgs = b.column("nrg").to_pylist()
+        outs = []
+        open_files: dict = {}
+        for uri, rg0, nrg in zip(uris_, rg0s, nrgs):
+            f = open_files.get(uri)
+            if f is None:
+                f = pq.ParquetFile(RangeFile(open_range(uri)),
+                                   metadata=metas.get(uri))
+                open_files[uri] = f
+            outs.append(f.read_row_groups(
+                list(range(rg0, rg0 + nrg)), columns=columns))
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    return descr.map_batches(decode, batch_format="pyarrow",
+                             batch_size=4)
