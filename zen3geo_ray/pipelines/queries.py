@@ -13392,6 +13392,68 @@ SELECT CAST(win AS BIGINT) AS win,
 FROM w GROUP BY win"""
 
 
+
+
+def q_lpm(sf_dir: str):
+    """Longest-prefix-match lookup — the CIDR / IP-geolocation join:
+    nation-derived /12-style parent blocks with supplier-derived /24
+    children (a laminar family), probed by customer-hashed addresses;
+    unmatched points keep the left-join (-1, -1) contract
+    (stages/rangejoin.py:lpm_lookup)."""
+    from ..stages.rangejoin import lpm_lookup
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    lo_p = nk * 1_048_576
+    lo_c = (sk % 25) * 1_048_576 + ((sk // 25) % 4096) * 256
+    table = pa.table({
+        "lo": pa.array(np.concatenate([lo_p, lo_c])),
+        "hi": pa.array(np.concatenate([lo_p + 1_048_575,
+                                       lo_c + 255])),
+        "len": pa.array(np.concatenate([
+            np.full(len(nk), 12, dtype=np.int64),
+            np.full(len(sk), 24, dtype=np.int64)])),
+        "rid": pa.array(np.concatenate([nk, 100_000 + sk]))})
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = b.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"pid": pa.array(c),
+                         "x": pa.array((c * 2654435761) % 33_554_432)})
+
+    return lpm_lookup(cust.map_batches(prep, batch_format="pyarrow"),
+                      table, x_col="x")
+
+
+_SQL_LPM = """
+WITH par AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+                    CAST(n_nationkey * 1048576 AS BIGINT) AS lo,
+                    CAST(n_nationkey * 1048576 + 1048575 AS BIGINT) AS hi,
+                    CAST(12 AS BIGINT) AS len FROM nation),
+ch AS (SELECT CAST(100000 + s_suppkey AS BIGINT) AS rid,
+              CAST((s_suppkey % 25) * 1048576
+                   + ((s_suppkey // 25) % 4096) * 256 AS BIGINT) AS lo,
+              CAST((s_suppkey % 25) * 1048576
+                   + ((s_suppkey // 25) % 4096) * 256 + 255 AS BIGINT)
+                AS hi,
+              CAST(24 AS BIGINT) AS len FROM supplier),
+cidr AS (SELECT * FROM par UNION ALL SELECT * FROM ch),
+p AS (SELECT CAST(c_custkey AS BIGINT) AS pid,
+             CAST((c_custkey * 2654435761) % 33554432 AS BIGINT) AS x
+      FROM customer),
+m AS (SELECT p.pid, p.x, c.len, c.rid,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY c.len DESC, c.rid) AS rn
+      FROM p LEFT JOIN cidr c ON p.x BETWEEN c.lo AND c.hi)
+SELECT pid, x, CAST(COALESCE(len, -1) AS BIGINT) AS len,
+       CAST(COALESCE(rid, -1) AS BIGINT) AS rid
+FROM m WHERE rn = 1"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13420,6 +13482,7 @@ def build_oracles() -> dict[str, str]:
         "harmonic": _sql_harmonic(),
         "iat": _SQL_IAT,
         "late_events": _SQL_LATE_EVENTS,
+        "lpm": _SQL_LPM,
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14549,6 +14612,7 @@ def build_queries() -> dict:
         "harmonic": q_harmonic,
         "iat": q_iat,
         "late_events": q_late_events,
+        "lpm": q_lpm,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,

@@ -363,3 +363,63 @@ def keyed_range_join(left, right, *, left_key: str, right_key: str,
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def lpm_lookup(pts, table, *, x_col: str, lo_col: str = "lo",
+               hi_col: str = "hi", len_col: str = "len",
+               id_col: str = "rid", keep_cols: list[str] | None = None):
+    """LONGEST-PREFIX-MATCH lookup — the CIDR / IP-geolocation join:
+    each point value matches the longest (most specific) enclosing
+    interval of a broadcast LAMINAR interval family (every two
+    intervals are nested or disjoint — the CIDR property).
+
+    Broadcast-side state: per prefix LENGTH a sorted (lo, hi, id)
+    array; the probe is one vectorized pass per length, most-specific
+    first — ``idx = searchsorted(lo_L, x, 'right') - 1`` then an
+    ``x <= hi`` check — so a point takes its first (= longest) hit and
+    drops out.  <= L passes per batch, no shuffle, immune to point
+    skew (the PIP-join discipline).  Unmatched points emit len = -1,
+    id = -1 (the LEFT join contract).
+
+    Output: point pass-through columns + (len, id).
+    """
+    import ray
+
+    t = table if isinstance(table, pa.Table) else pa.table(table)
+    lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = t.column(len_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    rid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    by_len = []
+    for lv in sorted(set(ln.tolist()), reverse=True):
+        m = ln == lv
+        o = np.argsort(lo[m], kind="mergesort")
+        by_len.append((int(lv), lo[m][o], hi[m][o], rid[m][o]))
+    blob = ray.put(by_len) if ray.is_initialized() else by_len
+
+    def probe(b: pa.Table, _ref=blob) -> pa.Table:
+        from ..stages.graph import _get_blob
+
+        tbl = _get_blob(_ref) if not isinstance(_ref, list) else _ref
+        x = b.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_len = np.full(len(x), -1, dtype=np.int64)
+        out_id = np.full(len(x), -1, dtype=np.int64)
+        un = np.ones(len(x), dtype=bool)
+        for lv, lo_s, hi_s, id_s in tbl:
+            if not un.any() or len(lo_s) == 0:
+                break
+            xi = x[un]
+            idx = np.searchsorted(lo_s, xi, side="right") - 1
+            ok = idx >= 0
+            idx = np.maximum(idx, 0)
+            ok &= xi <= hi_s[idx]
+            tgt = np.flatnonzero(un)[ok]
+            out_len[tgt] = lv
+            out_id[tgt] = id_s[idx[ok]]
+            un[tgt] = False
+        keep = b.select(keep_cols) if keep_cols else b
+        return keep.append_column("len", pa.array(out_len)) \
+            .append_column("rid", pa.array(out_id))
+
+    return pts.map_batches(probe, batch_format="pyarrow")
