@@ -13454,6 +13454,70 @@ SELECT pid, x, CAST(COALESCE(len, -1) AS BIGINT) AS len,
 FROM m WHERE rn = 1"""
 
 
+
+
+def q_cdc_diff(sf_dir: str):
+    """Change-data-capture DIFF of two corpus versions — the data-
+    versioning audit table: v1 drops doc_id % 3 == 0, v2 drops
+    doc_id % 5 == 0 and rewrites doc_id % 7 == 0 (first character
+    stripped); one bucketed FULL OUTER join on doc_id classifies every
+    id as added / removed / changed / same
+    (stages/hashjoin.py:bucketed_join how='outer')."""
+    from ..stages.hashjoin import bucketed_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def v1(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(i % 3 != 0))
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "ta": f.column("text")})
+
+    def v2(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(i % 5 != 0))
+        i2 = f.column("doc_id").to_numpy(zero_copy_only=False)
+        t = f.column("text")
+        changed = pa.array(i2 % 7 == 0)
+        t = pc.if_else(changed, pc.utf8_slice_codeunits(t, 1), t)
+        return pa.table({"doc_id": f.column("doc_id"), "tb": t})
+
+    j = bucketed_join(docs.map_batches(v1, batch_format="pyarrow"),
+                      docs.map_batches(v2, batch_format="pyarrow"),
+                      ["doc_id"], how="outer", n_buckets=16)
+
+    def classify(b: pa.Table) -> pa.Table:
+        ta = b.column("ta")
+        tb = b.column("tb")
+        a_null = pc.is_null(ta).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(tb).to_numpy(zero_copy_only=False)
+        eq = pc.fill_null(pc.equal(ta, tb), False) \
+            .to_numpy(zero_copy_only=False)
+        status = np.where(a_null, "added",
+                          np.where(b_null, "removed",
+                                   np.where(eq, "same", "changed")))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "status": pa.array(status, pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+_SQL_CDC_DIFF = """
+WITH v1 AS (SELECT doc_id, text AS ta FROM documents
+            WHERE doc_id % 3 <> 0),
+v2 AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN substr(text, 2)
+                   ELSE text END AS tb
+       FROM documents WHERE doc_id % 5 <> 0),
+j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, ta, tb
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT doc_id,
+       CASE WHEN ta IS NULL THEN 'added'
+            WHEN tb IS NULL THEN 'removed'
+            WHEN ta = tb THEN 'same' ELSE 'changed' END AS status
+FROM j"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13483,6 +13547,7 @@ def build_oracles() -> dict[str, str]:
         "iat": _SQL_IAT,
         "late_events": _SQL_LATE_EVENTS,
         "lpm": _SQL_LPM,
+        "cdc_diff": _SQL_CDC_DIFF,
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14613,6 +14678,7 @@ def build_queries() -> dict:
         "iat": q_iat,
         "late_events": q_late_events,
         "lpm": q_lpm,
+        "cdc_diff": q_cdc_diff,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
