@@ -477,3 +477,24 @@ def test_ring_simplify_mask_and_summary(ray_session):
     assert (int(out.nverts), int(out.nkept)) == (5, 4)
     assert int(out.area2) == int(round(ring_area2(ring)))
     assert int(out.area2_s) == 200   # clean 10x10 square
+
+
+def test_quadkey_published_vectors():
+    """Bing tile-system doc example: tile (x=3, y=5) at level 3 has
+    quadkey '213'; plus structural invariants (prefix = parent,
+    length = zoom)."""
+    import numpy as np
+
+    from zen3geo_ray.geom import cells
+
+    lon = [-180 + (3 + 0.5) * 360 / 8]
+    lat = [90 - (5 + 0.5) * 180 / 8]
+    assert cells.quadkey_of(lon, lat, 3) == ["213"]
+    # parent-prefix property at a few random points
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-179, 179, 50)
+    lats = rng.uniform(-89, 89, 50)
+    q5 = cells.quadkey_of(lons, lats, 5)
+    q3 = cells.quadkey_of(lons, lats, 3)
+    assert all(len(a) == 5 and len(b) == 3 and a.startswith(b)
+               for a, b in zip(q5, q3))

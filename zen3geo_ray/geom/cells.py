@@ -422,3 +422,49 @@ hexed AS (SELECT {cols},
   CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hq,
   CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
        THEN -rx - ry ELSE rz END AS hr FROM hx3)"""
+
+
+def quadkey_of(lon, lat, z: int) -> list[str]:
+    """Bing-maps QUADKEY strings at zoom ``z`` (the public tile-key
+    scheme: one base-4 digit per zoom level, digit = (x_bit) + 2*(y_bit)
+    from most significant down) over the SAME equirectangular grid as
+    ``cell_of`` at res z (2^z x 2^z ... note: quadkeys use a square
+    tile grid, so x uses the 2^z-column HALF grid: nx // 2 of res z's
+    2^(z+1) columns == floor((lon+180)/360 * 2^z)).
+
+    Vectorized: digits assembled per level as integer arrays, joined
+    through numpy unicode addition.
+    """
+    nq = 1 << z
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = np.floor((lon + 180.0) / 360.0 * nq).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * nq).astype(np.int64)
+    np.clip(x, 0, nq - 1, out=x)
+    np.clip(y, 0, nq - 1, out=y)
+    # quadkey rows count from the TOP (north) — flip the row index
+    ty = (nq - 1) - y
+    out = np.full(len(x), "", dtype=f"<U{z}")
+    for k in range(z - 1, -1, -1):
+        d = ((x >> k) & 1) + 2 * ((ty >> k) & 1)
+        out = np.char.add(out, d.astype("<U1"))
+    return out.tolist()
+
+
+def sql_quadkey_parts(lon_expr: str, lat_expr: str,
+                      z: int) -> tuple[str, str, str]:
+    """DuckDB fragments computing exactly ``quadkey_of``: (qx_expr,
+    qy_expr, concat_expr) where the concat expression reads columns
+    named ``qx``/``qy`` (compute the first two in a CTE).  Clamped
+    floor bins, north-flipped row, base-4 digit concatenation."""
+    nq = 1 << z
+    x = (f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 "
+         f"* {nq}) AS BIGINT), 0), {nq - 1})")
+    y = (f"{nq - 1} - LEAST(GREATEST(CAST(FLOOR(({lat_expr} + 90.0) "
+         f"/ 180.0 * {nq}) AS BIGINT), 0), {nq - 1})")
+    parts = []
+    for k in range(z - 1, -1, -1):
+        parts.append(
+            f"CAST(((qx // {1 << k}) % 2) + 2 * ((qy // {1 << k}) % 2) "
+            f"AS VARCHAR)")
+    return x, y, " || ".join(parts)

@@ -13518,6 +13518,51 @@ SELECT doc_id,
 FROM j"""
 
 
+
+
+QUADKEY_Z = 6
+
+
+def q_quadkey(sf_dir: str):
+    """Per-QUADKEY density of the geocoded corpus at zoom 6 — the
+    Bing-maps tile-key scheme (one base-4 digit per level; kernel
+    pinned to the published 'example tile (3,5,3) -> 213' vector)
+    (geom/cells.py:quadkey_of)."""
+    from ..stages.bucketed import bucketed_groupby
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qk = cells.quadkey_of(
+            b.column("lon").to_numpy(zero_copy_only=False),
+            b.column("lat").to_numpy(zero_copy_only=False), QUADKEY_Z)
+        vc = pd.Series(qk).value_counts(sort=False)
+        return pa.table({"quadkey": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    def fold(g):
+        out = g.groupby("quadkey", sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(
+        pts.map_batches(part, batch_format="pyarrow"),
+        ["quadkey"], fold, n_buckets=8)
+
+
+def _sql_quadkey() -> str:
+    lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
+    qx, qy, concat = cells.sql_quadkey_parts("lon", "lat", QUADKEY_Z)
+    return f"""
+WITH g AS (SELECT {lon_e} AS lon, {lat_e} AS lat FROM documents),
+q AS (SELECT {qx} AS qx, {qy} AS qy FROM g),
+k AS (SELECT {concat} AS quadkey FROM q)
+SELECT quadkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM k GROUP BY quadkey"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13548,6 +13593,7 @@ def build_oracles() -> dict[str, str]:
         "late_events": _SQL_LATE_EVENTS,
         "lpm": _SQL_LPM,
         "cdc_diff": _SQL_CDC_DIFF,
+        "quadkey": _sql_quadkey(),
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14679,6 +14725,7 @@ def build_queries() -> dict:
         "late_events": q_late_events,
         "lpm": q_lpm,
         "cdc_diff": q_cdc_diff,
+        "quadkey": q_quadkey,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
