@@ -2003,3 +2003,44 @@ def test_engine_auto_routes_to_pinned(ray_session, monkeypatch):
 
     with pytest.raises(ValueError, match="engine"):
         G.pagerank(edges, engine="bogus")
+
+
+def test_engine_auto_routes_second_family(ray_session, monkeypatch):
+    """Auto-routing parity for the remaining pinned pairs: triangles,
+    common_neighbors, label_propagation, sssp_bounded."""
+    import zen3geo_ray.stages.graph as G
+
+    src, dst = _random_graph(seed=37, n_nodes=120, n_edges=700)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    w = ((src * 7 + dst * 3) % 9 + 1).astype(np.int64)
+    wedges = rd.from_arrow(pa.table({"src": src, "dst": dst,
+                                     "w": w})).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([int(src[0])],
+                                                     pa.int64())}))
+
+    cases = [
+        ("triangles", lambda e: G.triangle_count(edges, n_buckets=8,
+                                                 engine=e), ["n_tri"]),
+        ("cn", lambda e: G.common_neighbors(edges, n_buckets=8,
+                                            engine=e), ["u", "v"]),
+        ("lpa", lambda e: G.label_propagation(edges, rounds=3,
+                                              n_buckets=8, engine=e),
+         ["node"]),
+        ("sssp", lambda e: G.sssp_bounded(wedges, seeds, max_rounds=3,
+                                          n_buckets=8, engine=e),
+         ["node"]),
+    ]
+    for name, fn, keys in cases:
+        want = fn("dataset").to_pandas().sort_values(keys) \
+            .reset_index(drop=True)
+        monkeypatch.setattr(G, "PINNED_EDGE_THRESHOLD", 1)
+        got = fn("auto").to_pandas().sort_values(keys) \
+            .reset_index(drop=True)
+        monkeypatch.setattr(G, "PINNED_EDGE_THRESHOLD", 2_000_000)
+        assert list(got.columns) == list(want.columns), name
+        assert got.equals(want), name
+    # scores/aa variants stay on the Dataset path (pinned lacks them)
+    monkeypatch.setattr(G, "PINNED_EDGE_THRESHOLD", 1)
+    out = G.common_neighbors(edges, n_buckets=8, scores=True,
+                             engine="auto").to_pandas()
+    assert "jaccard" in "".join(out.columns) or len(out.columns) > 3

@@ -769,7 +769,8 @@ def _oriented_edges(edges, *, src: str, dst: str,
 
 def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                    n_buckets: int | None = None,
-                   broadcast_threshold: int = BROADCAST_NODES):
+                   broadcast_threshold: int = BROADCAST_NODES,
+                   engine: str = "auto"):
     """Exact global triangle count; returns a ONE-ROW Dataset {n_tri}.
 
     The DEGREE-ORIENTED wedge plan (the standard skew-safe distributed
@@ -781,6 +782,13 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
     oriented edge set.  Each triangle is counted exactly once, at its
     orientation-minimal vertex.  Wedges STREAM through the closing join —
     they are never materialized or collected."""
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_triangles
+
+            return pinned_triangles(edges, src=src, dst=dst)
+
     o, _deg, n_buckets = _oriented_edges(
         edges, src=src, dst=dst, n_buckets=n_buckets,
         broadcast_threshold=broadcast_threshold)
@@ -1226,7 +1234,8 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
                      max_degree: int = 16, min_common: int = 2,
                      n_buckets: int | None = None,
                      broadcast_threshold: int = BROADCAST_NODES,
-                     scores: bool = False, aa: bool = False):
+                     scores: bool = False, aa: bool = False,
+                     engine: str = "auto"):
     """Per-pair COMMON-NEIGHBOR counts — the classic link-prediction /
     who-to-crawl-next feature: (u, v, n_common) for unordered pairs
     u < v that share >= ``min_common`` neighbors.
@@ -1246,6 +1255,15 @@ def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
     math.log, which is bit-identical to DuckDB ln on this glibc; the
     ndcg inline-constant discipline), so the sums are order-free and the
     float finale is one exact /65536.0 rescale on both oracle sides."""
+    if engine != "dataset" and not scores and not aa:
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_common_neighbors
+
+            return pinned_common_neighbors(
+                edges, src=src, dst=dst, max_degree=max_degree,
+                min_common=min_common)
+
     if aa:
         import math
 
@@ -1939,7 +1957,8 @@ def ktruss(edges, *, k: int, rounds: int, src: str = "src",
 
 def label_propagation(edges, *, rounds: int, src: str = "src",
                       dst: str = "dst", n_buckets: int | None = None,
-                      broadcast_threshold: int = BROADCAST_NODES):
+                      broadcast_threshold: int = BROADCAST_NODES,
+                      engine: str = "auto"):
     """SYNCHRONOUS label propagation (community detection, Raghavan et
     al. 2007) for a FIXED number of rounds: label(0) = node id; each
     round every node adopts the most frequent label among its
@@ -1960,6 +1979,13 @@ def label_propagation(edges, *, rounds: int, src: str = "src",
       lab) state onto the edges keyed by dst, then the same partial ->
       argmax reduce; `_settle` stops block compounding.
     """
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_lpa
+
+            return pinned_lpa(edges, rounds=rounds, src=src, dst=dst)
+
     if rounds < 1:
         raise ValueError("label_propagation needs rounds >= 1")
 
@@ -2654,7 +2680,8 @@ def hash_walks(edges, seeds, *, steps: int, src: str = "src",
 def sssp_bounded(edges, seeds, *, src: str = "src", dst: str = "dst",
                  weight_col: str = "w", max_rounds: int = 3,
                  n_buckets: int | None = None,
-                 broadcast_threshold: int = BROADCAST_NODES):
+                 broadcast_threshold: int = BROADCAST_NODES,
+                 engine: str = "auto"):
     """Multi-source bounded-round WEIGHTED shortest paths (Bellman-Ford
     layering) — the weighted sibling of ``bfs_hops``: (node, dist) =
     minimum total weight over paths of <= ``max_rounds`` edges from any
@@ -2670,6 +2697,15 @@ def sssp_bounded(edges, seeds, *, src: str = "src", dst: str = "dst",
     results).  The bucketed path ships the whole (node, dist) state per
     round like bfs_hops.
     """
+    if engine != "dataset":
+        edges = edges.materialize()
+        if _route_pinned(engine, edges.count()):
+            from .pregel import pinned_sssp
+
+            return pinned_sssp(edges, seeds, src=src, dst=dst,
+                        weight_col=weight_col,
+                        max_rounds=max_rounds)
+
     edges, n_edges, n_buckets = _settled_edges(edges, n_buckets)
 
     def take_min(g: pd.DataFrame) -> pd.DataFrame:
