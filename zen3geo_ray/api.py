@@ -1063,6 +1063,53 @@ class Pipe:
 
         return Pipe(densify_segments(self.ds, k=k, **kwargs))
 
+    def lpm(self, table, *, x_col: str, **kwargs) -> "Pipe":
+        """Longest-prefix-match broadcast lookup (CIDR shape)."""
+        from .stages.rangejoin import lpm_lookup
+
+        return Pipe(lpm_lookup(self.ds, table, x_col=x_col, **kwargs))
+
+    def trimmed_mean(self, key_cols: list[str], value_col: str,
+                     **kwargs) -> "Pipe":
+        """Per-group trimmed mean from the value histogram."""
+        from .stages.zonal import grouped_trimmed_mean
+
+        return Pipe(grouped_trimmed_mean(self.ds, key_cols, value_col,
+                                         **kwargs))
+
+    def theil(self, key_cols: list[str], value_col: str,
+              **kwargs) -> "Pipe":
+        """Per-group Theil T inequality index (quantized-ln)."""
+        from .stages.zonal import grouped_theil
+
+        return Pipe(grouped_theil(self.ds, key_cols, value_col,
+                                  **kwargs))
+
+    def interarrival(self, *, key_col: str, ts_col: str, id_col: str,
+                     bucket_us: int, max_bucket: int,
+                     **kwargs) -> "Pipe":
+        """Inter-arrival-time histogram of per-key event streams."""
+        from .stages.sequence import interarrival_hist
+
+        return Pipe(interarrival_hist(
+            self.ds, key_col=key_col, ts_col=ts_col, id_col=id_col,
+            bucket_us=bucket_us, max_bucket=max_bucket, **kwargs))
+
+    def harmonic(self, seeds, *, max_hops: int = 3, **kwargs) -> "Pipe":
+        """Bounded-hop harmonic centrality from a seed set."""
+        from .stages.graph import harmonic_centrality
+
+        return Pipe(harmonic_centrality(self.ds, seeds,
+                                        max_hops=max_hops, **kwargs))
+
+    def write_density_tiles(self, out_dir: str, *, res: int,
+                            deltas: list[int], **kwargs) -> "Pipe":
+        """Slippy-map PNG density-tile pyramid sink (manifest out)."""
+        from .stages.rasterize import write_density_tiles
+
+        return Pipe(write_density_tiles(self.ds, out_dir, res=res,
+                                        deltas=deltas, **kwargs))
+
     def write_tar_shards(self, out_dir: str, **kwargs) -> list:
         """WebDataset tar-shard sink (terminal; returns shard
         paths)."""
