@@ -122,3 +122,35 @@ def test_keyed_range_join_slab_edges(ray_session):
     ).to_pandas()
     pairs = sorted(zip(got["lid"], got["rid"]))
     assert pairs == [(0, 0), (1, 0), (3, 1)]  # t=1024 == hi excluded
+
+
+def test_lpm_lookup_laminar(ray_session):
+    """Longest-prefix semantics on a nested laminar family: points in
+    a child match the child, points only in the parent match the
+    parent, points outside everything get (-1, -1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zen3geo_ray.stages.rangejoin import lpm_lookup
+
+    table = pa.table({
+        "lo": pa.array([0, 100, 16, 40, 18], pa.int64()),
+        "hi": pa.array([99, 199, 31, 47, 19], pa.int64()),
+        "len": pa.array([8, 8, 16, 16, 24], pa.int64()),
+        "rid": pa.array([1, 2, 10, 11, 20], pa.int64())})
+    pts = pa.table({"pid": pa.array(list(range(7)), pa.int64()),
+                    "x": pa.array([5, 18, 30, 45, 150, 250, 99],
+                                  pa.int64())})
+    out = lpm_lookup(rd.from_arrow(pts).repartition(2), table,
+                     x_col="x").to_pandas().set_index("pid")
+    want = {0: (8, 1),    # parent only
+            1: (24, 20),  # deepest of three nested
+            2: (16, 10),  # middle child
+            3: (16, 11),  # second child
+            4: (8, 2),    # second parent
+            5: (-1, -1),  # outside
+            6: (8, 1)}    # parent hi boundary inclusive
+    for pid, (ln, rid) in want.items():
+        assert (int(out.loc[pid, "len"]), int(out.loc[pid, "rid"])) \
+            == (ln, rid), pid
