@@ -183,22 +183,41 @@ def test_every_query_has_oracle_or_is_flagged():
 
 
 def test_no_shadowed_module_definitions():
-    """queries.py is append-heavy: a later duplicate def silently
-    SHADOWS the earlier one and reroutes unrelated queries' helpers
-    (the _events_cents incident).  Pin: no top-level name is defined
-    twice."""
+    """Append-heavy modules: a later duplicate def silently SHADOWS
+    the earlier one and reroutes unrelated callers (the _events_cents
+    and harmonic_centrality incidents).  Pin: no top-level name is
+    defined twice in ANY package module, and the two registry dict
+    literals carry no duplicate keys (a duplicate key silently
+    replaces the earlier query/oracle)."""
     import ast
     import collections
+    import glob
 
+    for path in glob.glob("/root/repo/zen3geo_ray/**/*.py",
+                          recursive=True):
+        tree = ast.parse(open(path).read())
+        seen = collections.Counter()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                seen[node.name] += 1
+        dups = [n for n, c in seen.items() if c > 1]
+        assert not dups, f"shadowed top-level defs in {path}: {dups}"
+
+    # registry dict literals: every key exactly once
     src = open("/root/repo/zen3geo_ray/pipelines/queries.py").read()
     tree = ast.parse(src)
-    seen = collections.Counter()
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
-                             ast.ClassDef)):
-            seen[node.name] += 1
-    dups = [n for n, c in seen.items() if c > 1]
-    assert not dups, f"shadowed top-level defs in queries.py: {dups}"
+    for fn in tree.body:
+        if not (isinstance(fn, ast.FunctionDef)
+                and fn.name in ("build_oracles", "build_queries")):
+            continue
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                keys = [k.value for k in node.keys
+                        if isinstance(k, ast.Constant)]
+                dup = [k for k, c in
+                       collections.Counter(keys).items() if c > 1]
+                assert not dup, f"duplicate {fn.name} keys: {dup}"
 
 
 def test_lorenz_curve_invariants(ray_session):

@@ -738,7 +738,7 @@ def soak_harmonic(n_edges: int = 10_000_000, n_nodes: int = 2_000_000):
     import ray.data as rd
 
     from zen3geo_ray.functions.hashing import splitmix64
-    from zen3geo_ray.stages.graph import harmonic_centrality
+    from zen3geo_ray.stages.graph import seed_harmonic_centrality
 
     def mk(b: pa.Table) -> pa.Table:
         i = b.column("id").to_numpy(zero_copy_only=False)
@@ -753,7 +753,7 @@ def soak_harmonic(n_edges: int = 10_000_000, n_nodes: int = 2_000_000):
     seeds = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3],
                                                      pa.int64())}))
     t0 = time.perf_counter()
-    out = harmonic_centrality(e, seeds, max_hops=3).materialize()
+    out = seed_harmonic_centrality(e, seeds, max_hops=3).materialize()
     wall = time.perf_counter() - t0
     return {"soak": "harmonic", "n_edges": n_edges, "seeds": 4,
             "rows_out": out.count(), "sec": round(wall, 2),

@@ -1095,12 +1095,14 @@ class Pipe:
             self.ds, key_col=key_col, ts_col=ts_col, id_col=id_col,
             bucket_us=bucket_us, max_bucket=max_bucket, **kwargs))
 
-    def harmonic(self, seeds, *, max_hops: int = 3, **kwargs) -> "Pipe":
+    def seed_harmonic(self, seeds, *, max_hops: int = 3,
+                      **kwargs) -> "Pipe":
         """Bounded-hop harmonic centrality from a seed set."""
-        from .stages.graph import harmonic_centrality
+        from .stages.graph import seed_harmonic_centrality
 
-        return Pipe(harmonic_centrality(self.ds, seeds,
-                                        max_hops=max_hops, **kwargs))
+        return Pipe(seed_harmonic_centrality(self.ds, seeds,
+                                             max_hops=max_hops,
+                                             **kwargs))
 
     def write_density_tiles(self, out_dir: str, *, res: int,
                             deltas: list[int], **kwargs) -> "Pipe":

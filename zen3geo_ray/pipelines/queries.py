@@ -13273,14 +13273,14 @@ FROM f"""
 HARM_SEEDS = 4
 
 
-def q_harmonic(sf_dir: str):
+def q_seed_harmonic(sf_dir: str):
     """Bounded-hop HARMONIC centrality from the 4 smallest seed-class
     customer nodes of the trade graph: h(v) = Σ_s 1/d(s,v) over
     0 < d <= 3, exact on the lcm(1..3)=6 rational lattice, one
     mirrored division (stages/graph.py:harmonic_centrality)."""
     import ray.data as rd
 
-    from ..stages.graph import harmonic_centrality
+    from ..stages.graph import seed_harmonic_centrality
 
     edges = _trade_edges(sf_dir).materialize()
     sdf = edges.map_batches(
@@ -13291,10 +13291,11 @@ def q_harmonic(sf_dir: str):
         batch_format="pyarrow").to_pandas()
     sids = np.sort(np.unique(sdf["node"].to_numpy()))[:HARM_SEEDS]
     seeds = rd.from_arrow(pa.table({"node": pa.array(sids, pa.int64())}))
-    return harmonic_centrality(edges, seeds, max_hops=BFS_MAX_HOPS)
+    return seed_harmonic_centrality(edges, seeds,
+                                    max_hops=BFS_MAX_HOPS)
 
 
-def _sql_harmonic() -> str:
+def _sql_seed_harmonic() -> str:
     ctes = [
         _SQL_GRAPH_EDGES,
         (f"seeds AS (SELECT node FROM ("
@@ -13588,7 +13589,7 @@ def build_oracles() -> dict[str, str]:
         "trimmed_mean": _SQL_TRIMMED_MEAN,
         "theil": _SQL_THEIL,
         "heldout_ppl": _SQL_HELDOUT_PPL,
-        "harmonic": _sql_harmonic(),
+        "seed_harmonic": _sql_seed_harmonic(),
         "iat": _SQL_IAT,
         "late_events": _SQL_LATE_EVENTS,
         "lpm": _SQL_LPM,
@@ -14720,7 +14721,7 @@ def build_queries() -> dict:
         "trimmed_mean": q_trimmed_mean,
         "theil": q_theil,
         "heldout_ppl": q_heldout_ppl,
-        "harmonic": q_harmonic,
+        "seed_harmonic": q_seed_harmonic,
         "iat": q_iat,
         "late_events": q_late_events,
         "lpm": q_lpm,

@@ -4524,7 +4524,7 @@ def negative_edge_sample(edges, *, k: int, slack: int = 2,
     return bucketed_groupby(fresh, [src], topk, n_buckets=n_buckets)
 
 
-def harmonic_centrality(edges, seeds, *, max_hops: int = 3,
+def seed_harmonic_centrality(edges, seeds, *, max_hops: int = 3,
                         src: str = "src", dst: str = "dst",
                         n_buckets: int | None = None,
                         broadcast_threshold: int = BROADCAST_NODES,
