@@ -13564,6 +13564,196 @@ SELECT quadkey, CAST(COUNT(*) AS BIGINT) AS n
 FROM k GROUP BY quadkey"""
 
 
+
+
+VOCAB_STEPS = [1000, 2000, 5000, 10000, 20000]
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer VOCAB COVERAGE curve — the choose-your-vocab-size
+    table: fraction of all corpus tokens covered by the top-V
+    unigrams at each candidate V (count desc, token asc ties — the
+    unigram_lm vocabulary order).  Built from the bounded unigram
+    histogram: one token shuffle, rank cumsums on the driver-final
+    reduce, one mirrored division per row."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.ngrams import tokens_flat
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = tokens_flat(b, "text")
+        df = pd.DataFrame({"w": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby("w", sort=False, as_index=False).size()
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(), pa.string()),
+            "c": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("w", sort=False, as_index=False)["c"].sum()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    hist = bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["w"], fold, n_buckets=16).to_pandas()
+    hist = hist.sort_values(["c", "w"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    c = hist["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(c)
+    total = int(c.sum())
+    rows = []
+    for v in VOCAB_STEPS:
+        cov = int(cum[min(v, len(c)) - 1]) if len(c) else 0
+        rows.append((v, cov, total,
+                     float(cov) / float(total) if total else None))
+    return pa.table({
+        "v": pa.array([r[0] for r in rows], pa.int64()),
+        "covered": pa.array([r[1] for r in rows], pa.int64()),
+        "total": pa.array([r[2] for r in rows], pa.int64()),
+        "coverage": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def _sql_vocab_coverage() -> str:
+    vs = ", ".join(f"({v})" for v in VOCAB_STEPS)
+    return f"""
+WITH tok0 AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+              FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok0 GROUP BY w),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM cnt),
+cc AS (SELECT rn, CAST(SUM(c) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM r),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nv FROM cnt),
+vsteps(v) AS (VALUES {vs})
+SELECT CAST(v AS BIGINT) AS v,
+       CAST(COALESCE((SELECT cum FROM cc
+                      WHERE rn = LEAST(v, t.nv)), 0) AS BIGINT)
+         AS covered,
+       t.total,
+       CASE WHEN t.total > 0 THEN
+         CAST(COALESCE((SELECT cum FROM cc
+                        WHERE rn = LEAST(v, t.nv)), 0) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) END AS coverage
+FROM vsteps, t"""
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER-SIZE distribution — the dedup health
+    histogram: MinHash-LSH components grouped by size, (size,
+    n_clusters) (stages/dedup.py:minhash_lsh_groups)."""
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.dedup import minhash_lsh_groups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    groups = minhash_lsh_groups(docs, id_col="doc_id",
+                                num_perm=MH_NUM_PERM, bands=MH_BANDS,
+                                k=MH_K)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("dup_group", sort=False, as_index=False).size() \
+            .rename(columns={"size": "sz"})
+        vc = sz["sz"].value_counts(sort=False)
+        out = pd.DataFrame({
+            "sz": vc.index.to_numpy().astype(np.int64),
+            "n_clusters": vc.to_numpy().astype(np.int64)})
+        return out
+
+    sizes = bucketed_groupby(groups, ["dup_group"], per_group,
+                             n_buckets=16)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("sz", sort=False,
+                        as_index=False)["n_clusters"].sum()
+        out["n_clusters"] = out["n_clusters"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(sizes, ["sz"], fold, n_buckets=4)
+
+
+def _sql_dup_cluster_sizes() -> str:
+    return ("WITH RECURSIVE " + _sql_minhash_cc_ctes() + """,
+gs AS (SELECT dup_group, CAST(COUNT(*) AS BIGINT) AS sz
+       FROM labels GROUP BY dup_group)
+SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM gs GROUP BY sz""")
+
+
+OVERLAP_PRE_TOKENS = 8
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source BOILERPLATE overlap matrix — which feeds share
+    opening phrases: for every unordered source pair, the number of
+    distinct 8-token document OPENINGS appearing in both (per-opening
+    distinct-source sets are tiny, so pairs expand combinatorially
+    inside the per-key group) (the dedup provenance report)."""
+    import itertools
+
+    import pandas as pd
+
+    from ..stages.bucketed import bucketed_groupby
+    from ..stages.ngrams import tokens_flat
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        flat, doc_of, ndocs = tokens_flat(b, "text")
+        toks = flat.to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(doc_of, np.arange(ndocs + 1))
+        pres = [" ".join(
+            toks[starts[d]:min(starts[d] + OVERLAP_PRE_TOKENS,
+                               starts[d + 1])])
+            for d in range(ndocs)]
+        return pa.table({
+            "pre": pa.array(pres, pa.string()),
+            "source": b.column("source")})
+
+    keyed = docs.map_batches(prefix, batch_format="pyarrow")
+
+    def per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for h, gg in g.groupby("pre", sort=False):
+            srcs = sorted(set(gg["source"]))
+            for a, b_ in itertools.combinations(srcs, 2):
+                rows.append((a, b_))
+        if not rows:
+            return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                                 "src_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame(rows, columns=["src_a", "src_b"])
+        out = df.groupby(["src_a", "src_b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = bucketed_groupby(keyed, ["pre"], per_hash,
+                             n_buckets=16)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src_a", "src_b"], sort=False,
+                        as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(pairs, ["src_a", "src_b"], fold,
+                            n_buckets=4)
+
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH d AS (SELECT DISTINCT array_to_string(
+             (regexp_extract_all(text, '\\S+'))[1:{OVERLAP_PRE_TOKENS}],
+             ' ') AS pre, source FROM documents),
+p AS (SELECT a.pre, a.source AS src_a, b.source AS src_b
+      FROM d a JOIN d b ON a.pre = b.pre AND a.source < b.source)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY src_a, src_b"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13595,6 +13785,9 @@ def build_oracles() -> dict[str, str]:
         "lpm": _SQL_LPM,
         "cdc_diff": _SQL_CDC_DIFF,
         "quadkey": _sql_quadkey(),
+        "vocab_coverage": _sql_vocab_coverage(),
+        "dup_cluster_sizes": _sql_dup_cluster_sizes(),
+        "source_overlap": _SQL_SOURCE_OVERLAP,
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14727,6 +14920,9 @@ def build_queries() -> dict:
         "lpm": q_lpm,
         "cdc_diff": q_cdc_diff,
         "quadkey": q_quadkey,
+        "vocab_coverage": q_vocab_coverage,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "source_overlap": q_source_overlap,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
