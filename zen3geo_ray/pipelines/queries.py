@@ -13754,6 +13754,65 @@ SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n
 FROM p GROUP BY src_a, src_b"""
 
 
+
+
+def q_spatial_gini(sf_dir: str):
+    """SPATIAL CONCENTRATION of the geocoded corpus: the Gini
+    coefficient of per-cell document counts (how unevenly the crawl
+    covers the grid) — the cell-occupancy histogram feeds the same
+    sorted-rank identity as grouped_gini under one constant key."""
+    from ..stages.zonal import grouped_gini
+
+    pts = _geocoded(sf_dir, RES_ZONAL)
+
+    def counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(b.column("cell").to_numpy(
+            zero_copy_only=False)).value_counts(sort=False)
+        return pa.table({"cell": pa.array(vc.index.to_numpy(),
+                                          pa.int64()),
+                         "x": pa.array(vc.to_numpy().astype(np.int64))})
+
+    from ..stages.bucketed import bucketed_groupby
+
+    def fold(g):
+        out = g.groupby("cell", sort=False, as_index=False)["x"].sum()
+        out["x"] = out["x"].astype(np.int64)
+        return out
+
+    occ = bucketed_groupby(
+        pts.map_batches(counts, batch_format="pyarrow"),
+        ["cell"], fold, n_buckets=8)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(np.zeros(b.num_rows, np.int64)),
+            "x": b.column("x")})
+
+    return grouped_gini(occ.map_batches(tag, batch_format="pyarrow"),
+                        ["k"], "x", n_buckets=4)
+
+
+def _sql_spatial_gini() -> str:
+    return f"""
+{_sql_counts_cte()},
+h AS (SELECT 0 AS k, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM counts GROUP BY 2),
+t AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(v * c) AS BIGINT) AS sv FROM h GROUP BY 1),
+cbs AS (SELECT k, v, c,
+        CAST(SUM(c) OVER (PARTITION BY k ORDER BY v) - c AS BIGINT)
+          AS cb FROM h),
+g AS (SELECT cbs.k,
+        CAST(SUM(cbs.v * cbs.c * (2 * cbs.cb + cbs.c - t.n)) AS BIGINT)
+          AS num FROM cbs JOIN t ON t.k = cbs.k GROUP BY cbs.k)
+SELECT CAST(t.k AS BIGINT) AS k, t.n,
+       CASE WHEN t.n * t.sv > 0 THEN
+         CAST(g.num AS DOUBLE) / CAST(t.n * t.sv AS DOUBLE) END AS gini
+FROM t JOIN g ON g.k = t.k"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13788,6 +13847,7 @@ def build_oracles() -> dict[str, str]:
         "vocab_coverage": _sql_vocab_coverage(),
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
         "source_overlap": _SQL_SOURCE_OVERLAP,
+        "spatial_gini": _sql_spatial_gini(),
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -14923,6 +14983,7 @@ def build_queries() -> dict:
         "vocab_coverage": q_vocab_coverage,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "source_overlap": q_source_overlap,
+        "spatial_gini": q_spatial_gini,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,
