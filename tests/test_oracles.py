@@ -66,6 +66,14 @@ FAST = [
     "trimmed_mean",
     "theil",
     "heldout_ppl",
+    "lpm",
+    "cdc_diff",
+    "quadkey",
+    "vocab_coverage",
+    "source_overlap",
+    "spatial_gini",
+    "iat",
+    "late_events",
     # round-3 additions (sequence/analytic/corpus/mixing/flagship)
     "transitions",
     "funnel",
