@@ -443,3 +443,32 @@ def test_remote_parquet_column_pushdown(ray_session, http_root):
     assert len(full) == len(t)
     assert sorted(full.columns) == sorted(t.column_names)
     assert slim_bytes < full_bytes // 2
+
+
+def test_remote_tar_shards(ray_session, http_root):
+    """WebDataset shards over HTTP: field probe from one shard, each
+    task GETs its own shard, rows identical to the local read."""
+    import ray.data as rd
+
+    from zen3geo_ray.sources.tarshards import (read_tar_shards,
+                                               write_tar_shards)
+
+    url, root, served = http_root
+    t = pa.table({
+        "key": pa.array([f"s{i:04d}" for i in range(40)], pa.string()),
+        "txt": pa.array([f"doc {i}".encode() for i in range(40)],
+                        pa.binary()),
+        "cls": pa.array([str(i % 3).encode() for i in range(40)],
+                        pa.binary())})
+    out = os.path.join(root, "shards")
+    write_tar_shards(rd.from_arrow(t).repartition(4), out,
+                     key_col="key")
+    shard_urls = [url + "/shards/" + f for f in sorted(os.listdir(out))
+                  if f.endswith(".tar")]
+    assert len(shard_urls) >= 4
+    local = read_tar_shards(out).to_pandas().sort_values("key") \
+        .reset_index(drop=True)
+    remote = read_tar_shards(shard_urls).to_pandas() \
+        .sort_values("key").reset_index(drop=True)
+    assert local.equals(remote)
+    assert len(remote) == 40

@@ -107,14 +107,21 @@ def _parse_tar(data: bytes) -> dict[str, dict[str, bytes]]:
     return samples
 
 
-def read_tar_shards(path: str, *, fields: list[str] | None = None):
-    """WebDataset source: ``path`` is a directory of .tar shards (or
-    one tar).  Returns a Dataset of (key: string, <field>: binary ...)
-    — one row per sample, fields missing in a sample are NULL.  The
-    driver only lists files; tars parse inside read tasks."""
+def read_tar_shards(path, *, fields: list[str] | None = None):
+    """WebDataset source: ``path`` is a directory of .tar shards, one
+    tar, or a LIST of shard paths/URLs (http(s) shard lists are the
+    WebDataset brace-expansion deployment shape — each task GETs its
+    own shard object).  Returns a Dataset of (key: string, <field>:
+    binary ...) — one row per sample, fields missing in a sample are
+    NULL.  The driver only lists files (and probes ONE shard for the
+    field set); tars parse inside read tasks."""
     import ray.data as rd
 
-    if os.path.isdir(path):
+    from .remote import fetch_bytes, is_remote
+
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif not is_remote(path) and os.path.isdir(path):
         paths = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.endswith(".tar"))
@@ -122,20 +129,31 @@ def read_tar_shards(path: str, *, fields: list[str] | None = None):
         paths = [path]
     if fields is None:
         # probe the first shard for its field set (driver reads ONE)
-        with open(paths[0], "rb") as f:
-            probe = _parse_tar(f.read())
+        probe = _parse_tar(fetch_bytes(paths[0]))
         fields = sorted({e for s in probe.values() for e in s})
     flds = list(fields)
+
+    if any(is_remote(p) for p in paths):
+        descr = rd.from_items([{"path": p} for p in paths])
+
+        def fetch(row: dict) -> list[dict]:
+            return _explode_tar(fetch_bytes(row["path"]), flds)
+
+        return descr.flat_map(fetch)
 
     files = rd.read_binary_files(paths)
 
     def explode(row: dict) -> list[dict]:
-        out = []
-        for key, sample in sorted(_parse_tar(row["bytes"]).items()):
-            rec = {"key": key}
-            for e in flds:
-                rec[e] = sample.get(e)
-            out.append(rec)
-        return out
+        return _explode_tar(row["bytes"], flds)
 
     return files.flat_map(explode)
+
+
+def _explode_tar(data: bytes, flds: list[str]) -> list[dict]:
+    out = []
+    for key, sample in sorted(_parse_tar(data).items()):
+        rec = {"key": key}
+        for e in flds:
+            rec[e] = sample.get(e)
+        out.append(rec)
+    return out
