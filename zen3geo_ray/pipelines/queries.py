@@ -13572,10 +13572,14 @@ VOCAB_STEPS = [1000, 2000, 5000, 10000, 20000]
 def q_vocab_coverage(sf_dir: str):
     """Tokenizer VOCAB COVERAGE curve — the choose-your-vocab-size
     table: fraction of all corpus tokens covered by the top-V
-    unigrams at each candidate V (count desc, token asc ties — the
-    unigram_lm vocabulary order).  Built from the bounded unigram
-    histogram: one token shuffle, rank cumsums on the driver-final
-    reduce, one mirrored division per row."""
+    unigrams at each candidate V.  Coverage at a rank cutoff is
+    TIE-ORDER-FREE (any V tokens of equal count cover the same mass),
+    so the driver never sees the vocabulary: the token histogram
+    reduces to its COUNT-OF-COUNTS (distinct count value -> #tokens),
+    bounded by distinct count VALUES (~sqrt-of-corpus under Zipf, not
+    vocab size), and the curve reads off its descending cumsums with
+    one partial block at each cutoff.  One token shuffle + one tiny
+    reduce; one mirrored division per row."""
     import pandas as pd
 
     from ..stages.bucketed import bucketed_groupby
@@ -13591,22 +13595,34 @@ def q_vocab_coverage(sf_dir: str):
             "w": pa.array(g["w"].to_numpy(), pa.string()),
             "c": pa.array(g["size"].to_numpy().astype(np.int64))})
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("w", sort=False, as_index=False)["c"].sum()
-        out["c"] = out["c"].astype(np.int64)
-        return out
+    def fold_cc(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("w", sort=False, as_index=False)["c"].sum()
+        u, k = np.unique(cnt["c"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"c": u, "k": k.astype(np.int64)})
 
-    hist = bucketed_groupby(
+    cc = bucketed_groupby(
         docs.map_batches(partial, batch_format="pyarrow"),
-        ["w"], fold, n_buckets=16).to_pandas()
-    hist = hist.sort_values(["c", "w"], ascending=[False, True],
-                            kind="mergesort").reset_index(drop=True)
-    c = hist["c"].to_numpy().astype(np.int64)
-    cum = np.cumsum(c)
-    total = int(c.sum())
+        ["w"], fold_cc, n_buckets=16).to_pandas()
+    cc = cc.groupby("c", as_index=False)["k"].sum() \
+        .sort_values("c", ascending=False).reset_index(drop=True)
+    c = cc["c"].to_numpy().astype(np.int64)
+    k = cc["k"].to_numpy().astype(np.int64)
+    cum_tok = np.cumsum(k)          # tokens consumed by rank
+    cum_mass = np.cumsum(c * k)     # corpus mass covered
+    total = int(cum_mass[-1]) if len(c) else 0
     rows = []
     for v in VOCAB_STEPS:
-        cov = int(cum[min(v, len(c)) - 1]) if len(c) else 0
+        if len(c) == 0:
+            rows.append((v, 0, 0, None))
+            continue
+        i = int(np.searchsorted(cum_tok, v))
+        if i >= len(c):
+            cov = int(cum_mass[-1])
+        else:
+            before_tok = int(cum_tok[i - 1]) if i else 0
+            before_mass = int(cum_mass[i - 1]) if i else 0
+            cov = before_mass + (v - before_tok) * int(c[i])
         rows.append((v, cov, total,
                      float(cov) / float(total) if total else None))
     return pa.table({
@@ -13692,8 +13708,6 @@ def q_source_overlap(sf_dir: str):
     distinct 8-token document OPENINGS appearing in both (per-opening
     distinct-source sets are tiny, so pairs expand combinatorially
     inside the per-key group) (the dedup provenance report)."""
-    import itertools
-
     import pandas as pd
 
     from ..stages.bucketed import bucketed_groupby
@@ -13716,16 +13730,31 @@ def q_source_overlap(sf_dir: str):
     keyed = docs.map_batches(prefix, batch_format="pyarrow")
 
     def per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for h, gg in g.groupby("pre", sort=False):
-            srcs = sorted(set(gg["source"]))
-            for a, b_ in itertools.combinations(srcs, 2):
-                rows.append((a, b_))
-        if not rows:
+        # vectorized within-segment pair expansion (no per-group
+        # Python loop — the driver-loop tail-killer pattern): distinct
+        # (pre, source) rows sorted, then each pre-segment's ordered
+        # pairs come from one repeat/arange pass
+        d = g.drop_duplicates(["pre", "source"]) \
+            .sort_values(["pre", "source"], kind="mergesort")
+        pre = d["pre"].to_numpy()
+        src = d["source"].to_numpy()
+        seg_start = np.concatenate([[True], pre[1:] != pre[:-1]])
+        seg_ids = np.cumsum(seg_start) - 1
+        starts = np.flatnonzero(seg_start)
+        lens = np.diff(np.concatenate([starts, [len(pre)]]))
+        m = lens[seg_ids]                       # segment size per row
+        pos = np.arange(len(pre)) - starts[seg_ids]
+        # row i pairs with the (m - pos - 1) LATER rows of its segment
+        reps = (m - pos - 1)
+        ia = np.repeat(np.arange(len(pre)), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        ib = ia + 1 + off
+        if len(ia) == 0:
             return pd.DataFrame({"src_a": pd.Series([], dtype=object),
                                  "src_b": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype="int64")})
-        df = pd.DataFrame(rows, columns=["src_a", "src_b"])
+        df = pd.DataFrame({"src_a": src[ia], "src_b": src[ib]})
         out = df.groupby(["src_a", "src_b"], as_index=False).size() \
             .rename(columns={"size": "n"})
         out["n"] = out["n"].astype(np.int64)

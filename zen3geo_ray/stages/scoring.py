@@ -727,16 +727,15 @@ def heldout_cross_entropy(docs, *, id_col: str = "doc_id",
             .sum()
         ct = agg["ct"].to_numpy(dtype=np.int64)
         ch = agg["ch"].to_numpy(dtype=np.int64)
-        qs = 0
-        qmemo: dict[int, int] = {}
-        for cv, hv in zip(ct.tolist(), ch.tolist()):
-            if hv == 0:
-                continue
-            q = qmemo.get(cv)
-            if q is None:
-                q = math.floor(math.log(float(cv + 1)) * float(scale))
-                qmemo[cv] = q
-            qs += hv * q
+        # vectorized over DISTINCT train counts: the quantized-ln value
+        # is computed once per distinct ct (math.log == np.log on this
+        # libm element-wise? NOT guaranteed — keep math.log per distinct
+        # value, gathered by inverse index, summed as int64)
+        u, inv = np.unique(ct, return_inverse=True)
+        qvals = np.array([math.floor(math.log(float(v + 1))
+                                     * float(scale))
+                          for v in u.tolist()], dtype=np.int64)
+        qs = int((ch * qvals[inv]).sum())
         return pd.DataFrame({
             "nv": pd.Series([len(agg)], dtype="int64"),
             "s_train": pd.Series([int(ct.sum())], dtype="int64"),
