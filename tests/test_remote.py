@@ -444,6 +444,18 @@ def test_remote_parquet_column_pushdown(ray_session, http_root):
     assert sorted(full.columns) == sorted(t.column_names)
     assert slim_bytes < full_bytes // 2
 
+    # multi-object read: two halves, one Dataset
+    h1 = os.path.join(root, "part-0.parquet")
+    h2 = os.path.join(root, "part-1.parquet")
+    n2 = len(t) // 2
+    pq.write_table(t.slice(0, n2), h1, row_group_size=1000)
+    pq.write_table(t.slice(n2), h2, row_group_size=1000)
+    both = read_parquet_uris(
+        [url + "/part-0.parquet", url + "/part-1.parquet"],
+        columns=["doc_id"], rows_per_task=2000).to_pandas()
+    assert sorted(both["doc_id"]) == sorted(
+        t.column("doc_id").to_pylist())
+
 
 def test_remote_tar_shards(ray_session, http_root):
     """WebDataset shards over HTTP: field probe from one shard, each
