@@ -484,3 +484,42 @@ def test_remote_tar_shards(ray_session, http_root):
         .sort_values("key").reset_index(drop=True)
     assert local.equals(remote)
     assert len(remote) == 40
+
+
+def test_remote_corpus_end_to_end(ray_session, http_root):
+    """The object-store deployment shape end to end: the pages corpus
+    served over HTTP (ranged parquet, column-pruned to url/html/lang),
+    piped through extract -> geocode -> broadcast PIP join -> zonal
+    aggregate — identical per-cell results to the local-disk run."""
+    import pyarrow.parquet as pq
+
+    from zen3geo_ray.sources.corpus import pages_table
+    from zen3geo_ray.sources.fixtures import admin_grid
+    from zen3geo_ray.sources.remote import read_parquet_uris
+    from zen3geo_ray.stages import zonal
+    from zen3geo_ray.stages.extract import pages_to_points
+    from zen3geo_ray.stages.join import make_pip_join_fn, polygons_to_blob
+    import ray
+
+    url, root, served = http_root
+    t = pages_table(800)
+    path = os.path.join(root, "pages.parquet")
+    pq.write_table(t, path, row_group_size=200)
+
+    blob = ray.put(polygons_to_blob(admin_grid(nx=8, ny=4)))
+
+    def run(pages_ds):
+        pts = pages_to_points(pages_ds, res=6, batch_size=256)
+        joined = pts.map_batches(make_pip_join_fn(blob),
+                                 batch_format="pyarrow")
+        return zonal.zonal_aggregate(joined, ["poly_id"], {}) \
+            .to_pandas().sort_values("poly_id").reset_index(drop=True)
+
+    import ray.data as rd
+
+    local = run(rd.from_arrow(t.select(["url", "html", "lang"])))
+    remote = run(read_parquet_uris(url + "/pages.parquet",
+                                   columns=["url", "html", "lang"],
+                                   rows_per_task=200))
+    assert local.equals(remote)
+    assert len(local) > 0
