@@ -237,6 +237,9 @@ def test_epsg_alias_table_dispatch():
                                                  abs=1e-6)
     x, y = crs.transform(0.0, 0.0, "EPSG:900913")    # web-mercator alias
     assert (float(x), float(y)) == pytest.approx((0.0, 0.0), abs=1e-9)
+    x, y = crs.transform(-120.0, 0.0, "EPSG:3310")   # California Albers
+    assert (float(x), float(y)) == pytest.approx((0.0, -4000000.0),
+                                                 abs=1e-6)
 
 
 @pytest.mark.parametrize("spec,gbox,inner,far", [

@@ -368,6 +368,9 @@ _EPSG_ALIAS = {
     "EPSG:3338": "+proj=aea +lat_1=55 +lat_2=65 +lat_0=50 +lon_0=-154",
     # GDA94 / Australian Albers
     "EPSG:3577": "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132",
+    # NAD83 / California Albers
+    "EPSG:3310": ("+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 "
+                  "+lon_0=-120 +x_0=0 +y_0=-4000000"),
     # NAD83 / Canada Atlas Lambert
     "EPSG:3978": "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95",
     # NAD83 / Statistics Canada Lambert
