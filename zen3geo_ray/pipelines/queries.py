@@ -13842,6 +13842,47 @@ SELECT CAST(t.k AS BIGINT) AS k, t.n,
 FROM t JOIN g ON g.k = t.k"""
 
 
+
+
+LDIV_L = 3
+
+
+def q_ldiv(sf_dir: str):
+    """l-diversity audit — k-anonymity's attribute-disclosure sibling:
+    per (nation x segment) class, the number of DISTINCT order
+    priorities among the class's customers' orders; classes below
+    l=3 are exposed (stages/profile.py:l_diversity)."""
+    from ..stages.hashjoin import bucketed_join
+    from ..stages.profile import l_diversity
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    j = bucketed_join(orders, cust, ["c_custkey"], n_buckets=16)
+    return l_diversity(j, ["c_nationkey", "c_mktsegment"],
+                       "o_orderpriority", LDIV_L)
+
+
+def _sql_ldiv() -> str:
+    return f"""
+WITH j AS (SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+per AS (SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS div,
+               CAST(COUNT(*) AS BIGINT) AS rows_
+        FROM j GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COALESCE(MIN(div), 0) AS BIGINT) AS min_diversity,
+       CAST(SUM(CASE WHEN div < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_exposed,
+       CAST(COALESCE(SUM(CASE WHEN div < {LDIV_L} THEN rows_ END), 0)
+            AS BIGINT) AS n_rows_exposed
+FROM per"""
+
+
 def build_oracles() -> dict[str, str]:
     lon_e, lat_e = sql_geocode_exprs("doc_id", "lang")
     cell_e = cells.sql_cell_expr("lon", "lat", RES_ZONAL)
@@ -13877,6 +13918,7 @@ def build_oracles() -> dict[str, str]:
         "dup_cluster_sizes": _sql_dup_cluster_sizes(),
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "spatial_gini": _sql_spatial_gini(),
+        "ldiv": _sql_ldiv(),
         "densify": _sql_densify(),
         "bbox_join": _sql_bbox_join(),
         "seg_join": _sql_seg_join(),
@@ -15013,6 +15055,7 @@ def build_queries() -> dict:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "source_overlap": q_source_overlap,
         "spatial_gini": q_spatial_gini,
+        "ldiv": q_ldiv,
         "densify": q_densify,
         "median_price": q_median_price,
         "quantiles": q_quantiles,

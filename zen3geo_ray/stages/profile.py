@@ -302,3 +302,57 @@ def k_anonymity(ds, qi_cols: list[str], k: int, *,
         "n_classes_exposed": pa.array(
             [int(s["n_classes_exposed"].sum())], pa.int64()),
     })
+
+
+def l_diversity(ds, qi_cols: list[str], sensitive_col: str, lvl: int, *,
+                n_buckets: int = 16) -> pa.Table:
+    """L-DIVERSITY audit (Machanavajjhala 2007) — k-anonymity's
+    sibling: per quasi-identifier class, the number of DISTINCT
+    sensitive values; a class with fewer than ``lvl`` is exposed
+    (attribute disclosure even when the class is large).
+
+    Combiner-first on (qi..., sensitive) DISTINCT pairs — duplicate
+    pairs collapse inside each block before the one bucketed shuffle,
+    classes live whole inside one bucket, each bucket folds to ONE
+    summary row.  Output one row:
+    (n_classes, min_diversity, n_classes_exposed, n_rows_exposed).
+    """
+    from .bucketed import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(qi_cols + [sensitive_col]).to_pandas()
+        out = df.groupby(qi_cols + [sensitive_col], sort=False,
+                         as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby(qi_cols + [sensitive_col], sort=False,
+                          as_index=False)["c"].sum()
+        per = pairs.groupby(qi_cols, sort=False).agg(
+            div=(sensitive_col, "nunique"), rows=("c", "sum"))
+        d = per["div"].to_numpy().astype(np.int64)
+        r = per["rows"].to_numpy().astype(np.int64)
+        exposed = d < lvl
+        return pd.DataFrame({
+            "n_classes": [np.int64(len(d))],
+            "min_diversity": [np.int64(d.min()) if len(d)
+                              else np.int64(0)],
+            "n_classes_exposed": [np.int64(exposed.sum())],
+            "n_rows_exposed": [np.int64(r[exposed].sum())]})
+
+    s = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        qi_cols, fold, n_buckets=n_buckets).to_pandas()
+    return pa.table({
+        "n_classes": pa.array([int(s["n_classes"].sum())], pa.int64()),
+        "min_diversity": pa.array(
+            [int(s["min_diversity"].min()) if len(s) else 0],
+            pa.int64()),
+        "n_classes_exposed": pa.array(
+            [int(s["n_classes_exposed"].sum())], pa.int64()),
+        "n_rows_exposed": pa.array(
+            [int(s["n_rows_exposed"].sum())], pa.int64()),
+    })
